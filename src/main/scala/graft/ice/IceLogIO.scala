@@ -1,0 +1,137 @@
+package graft.ice
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import java.nio.charset.StandardCharsets
+import scala.collection.mutable
+
+/** Append-only JSONL transaction log over the Hadoop FileSystem API
+  * (local fs in tests, s3a in production — a single-object PUT is the
+  * atomicity unit, matching the reference's S3 PUT commit,
+  * icedb/log.py:330-358).
+  *
+  * Layout under a table root URI:
+  *   {root}/_log/{unix_ms}[_m]_{hostname}.jsonl
+  *   {root}/_data/{partition}/{uuid}.parquet
+  *
+  * Marker paths stored in the log are *root-relative* (start with
+  * `_data/`); the bucket+prefix of the reference collapses into the root
+  * URI.
+  */
+final class IceLogIO(pathSafeHostname: String, conf: Configuration) {
+
+  def fs(root: String): FileSystem = new Path(root).getFileSystem(conf)
+
+  def logDir(root: String): Path = new Path(root, "_log")
+
+  /** Fold a set of log files into (schema, markers, tombstones):
+    * lexicographic (=timestamp) order, schema union, last-writer-wins per
+    * marker path, tombstone collect (reference: icedb/log.py:232-279).
+    */
+  def readLogForward(root: String, logPaths: Seq[String])
+      : (Schema, Seq[FileMarker], Seq[LogTombstone]) = {
+    val totalSchema = new Schema
+    val markers = mutable.LinkedHashMap.empty[String, FileMarker]
+    val tombstones = mutable.LinkedHashMap.empty[String, LogTombstone]
+    val filesystem = fs(root)
+    val sorted = logPaths.sorted
+
+    if (sorted.isEmpty) throw new NoLogFilesException
+
+    sorted.foreach { logFile =>
+      val lines = readLines(filesystem, new Path(root, logFile))
+      val meta = LogMetadata.fromJson(lines(0))
+      val schema = Schema.fromJson(lines(meta.schemaLineIndex))
+      totalSchema.accumulate(schema.columns, schema.types)
+      meta.tombstoneLineIndex.foreach { tmbIdx =>
+        (tmbIdx until meta.fileLineIndex).foreach { i =>
+          val t = LogTombstone.fromJson(lines(i))
+          tombstones(t.path) = t
+        }
+      }
+      (meta.fileLineIndex until lines.length).foreach { i =>
+        val fm = FileMarker.fromJson(lines(i)).copy(virSourceLogFile = Some(logFile))
+        markers(fm.path) = fm
+      }
+    }
+    (totalSchema, markers.values.toSeq, tombstones.values.toSeq)
+  }
+
+  /** List current log files (root-relative paths), lexicographically
+    * sorted (reference: icedb/log.py:281-309). */
+  def currentLogFiles(root: String): Seq[String] = {
+    val dir = logDir(root)
+    val filesystem = fs(root)
+    if (!filesystem.exists(dir)) return Seq.empty
+    filesystem.listStatus(dir).toSeq
+      .filter(_.isFile)
+      .map(st => s"_log/${st.getPath.getName}")
+      .sorted
+  }
+
+  /** Snapshot at max time: strict `<` filename-timestamp filter
+    * (reference: icedb/log.py:311-328). */
+  def readAtMaxTime(root: String, timestamp: Long): IceSnapshot = {
+    val logs = currentLogFiles(root)
+      .filter(p => IceLogIO.logFileInfo(p)._1 < timestamp)
+    if (logs.isEmpty) throw new NoLogFilesException
+    val (schema, markers, tombstones) = readLogForward(root, logs)
+    IceSnapshot(schema, markers, tombstones, logs, timestamp)
+  }
+
+  /** Append one log file: line order version-metadata, schema,
+    * tombstones?, files (reference: icedb/log.py:330-358). Returns
+    * (root-relative log path, metadata). */
+  def append(
+      root: String,
+      version: Int,
+      schema: Schema,
+      files: Seq[FileMarker],
+      tombstones: Seq[LogTombstone] = Seq.empty,
+      merged: Boolean = false,
+      timestamp: Option[Long] = None): (String, LogMetadata) = {
+    val meta = LogMetadata(
+      version,
+      schemaLineIndex = 1,
+      fileLineIndex = if (tombstones.isEmpty) 2 else 2 + tombstones.length,
+      tombstoneLineIndex = if (tombstones.isEmpty) None else Some(2),
+      timestamp = timestamp.getOrElse(System.currentTimeMillis()))
+
+    val lines = Seq(meta.json, schema.toJson) ++
+      tombstones.map(_.json) ++ files.map(_.json)
+
+    val fileId = s"${meta.timestamp}${if (merged) "_m" else ""}_$pathSafeHostname"
+    val rel = s"_log/$fileId.jsonl"
+    writeAtomic(fs(root), new Path(root, rel), lines.mkString("\n"))
+    (rel, meta)
+  }
+
+  def delete(root: String, relPath: String): Boolean =
+    fs(root).delete(new Path(root, relPath), false)
+
+  private def readLines(filesystem: FileSystem, p: Path): Array[String] = {
+    val in = filesystem.open(p)
+    try {
+      val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+      new String(bytes, StandardCharsets.UTF_8).split("\n")
+    } finally in.close()
+  }
+
+  private def writeAtomic(filesystem: FileSystem, p: Path, body: String): Unit = {
+    val out = filesystem.create(p, false)
+    try out.write(body.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}
+
+object IceLogIO {
+  /** Filename codec: `{ts}[_m]_{hostname}.jsonl` → (ts, merged)
+    * (reference: icedb/log.py:360-371). */
+  def logFileInfo(fileName: String): (Long, Boolean) = {
+    val name = fileName.split("/").last
+    val parts = name.split("_")
+    val ts = parts(0).toLong
+    val merged = parts.length > 2 && parts(1) == "m"
+    (ts, merged)
+  }
+}
