@@ -1,0 +1,73 @@
+package graft
+
+import graft.ice.{IceTable, IceTableConfig}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end smoke drive of the engine over the driver's sf0.001 fixtures:
+  * ingest → snapshot query → merge → time travel → partition-range prune →
+  * GDPR rewrite. Run: `sbt "runMain graft.Demo"`. */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS) which the Spark 4 reader
+      // rejects; read as epoch-nanos BIGINT (the reference stores epoch
+      // timestamps as BIGINT too — SURVEY.md §1.2)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val root = java.nio.file.Files.createTempDirectory("graft_demo").toString
+    // ts is epoch-nanos BIGINT (see nanosAsLong above)
+    val tsCol = timestamp_micros((col("ts") / 1000L).cast("long"))
+    val table = new IceTable(spark, root, IceTableConfig(
+      partitionExpr = concat(lit("d="), date_format(tsCol, "yyyy-MM-dd")),
+      sortOrder = Seq("ts", "event_id")))
+
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    println(s"== insert ${events.count()} events from $sfDir")
+    val markers = table.insert(events)
+    println(s"== wrote ${markers.length} data parts (one per day)")
+    val between = System.currentTimeMillis() + 1
+
+    println("== second insert (same batch) and merge")
+    table.insert(events)
+    val nMerges = table.mergeAll(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+    val snap = table.snapshot()
+    println(s"== $nMerges merges; alive files=${snap.aliveFiles.length} " +
+      s"logs=${snap.logFiles.length} markers=${snap.files.length}")
+
+    println("== count by event_type over the snapshot (should be 2x source)")
+    table.read().groupBy("event_type").count().orderBy("event_type").show()
+
+    println("== time travel to after first insert only")
+    println(s"   count=${table.read(between).count()} (expect ${events.count()})")
+
+    val minDay = "d=2024-01-01"
+    println(s"== partition-range pruned read [$minDay, $minDay]")
+    val pruned = table.readPartitionRange(minDay, minDay)
+    println(s"   files=${table.filesInPartitionRange(table.snapshot(), minDay, minDay).length} rows=${pruned.count()}")
+
+    println("== rewrite partition: purge user_id=7 from " + minDay)
+    table.rewritePartition(minDay, "select * from _rows where user_id != 7")
+    val after = table.read()
+    println(s"   rows with user_id=7 on day 1: " +
+      after.where(col("user_id") === 7 &&
+        date_format(timestamp_micros((col("ts") / 1000L).cast("long")),
+          "yyyy-MM-dd") === "2024-01-01").count())
+    println(s"   total rows now: ${after.count()}")
+
+    println("== physical plan of pruned aggregate (pushdown check)")
+    table.readPartitionRange(minDay, minDay)
+      .where(col("event_type") === "click").groupBy("event_type").count()
+      .explain("formatted")
+
+    spark.stop()
+  }
+}

@@ -3,7 +3,10 @@ package graft.ice
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import java.nio.charset.StandardCharsets
+import java.util.concurrent.Executors
 import scala.collection.mutable
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
 
 /** Append-only JSONL transaction log over the Hadoop FileSystem API
   * (local fs in tests, s3a in production — a single-object PUT is the
@@ -27,6 +30,11 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration) {
   /** Fold a set of log files into (schema, markers, tombstones):
     * lexicographic (=timestamp) order, schema union, last-writer-wins per
     * marker path, tombstone collect (reference: icedb/log.py:232-279).
+    *
+    * GETs run concurrently (the reference reads sequentially and its merge
+    * latency was log-read-bound at thousands of S3 objects —
+    * perf_tests/chicago_taxis/README.md:381-387); the fold itself stays
+    * sequential in lexicographic order so semantics are unchanged.
     */
   def readLogForward(root: String, logPaths: Seq[String])
       : (Schema, Seq[FileMarker], Seq[LogTombstone]) = {
@@ -38,8 +46,14 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration) {
 
     if (sorted.isEmpty) throw new NoLogFilesException
 
+    implicit val ec: ExecutionContext = IceLogIO.ioPool
+    val fetched: Map[String, Array[String]] = Await.result(
+      Future.traverse(sorted.distinct) { logFile =>
+        Future(logFile -> readLines(filesystem, new Path(root, logFile)))
+      }, Duration.Inf).toMap
+
     sorted.foreach { logFile =>
-      val lines = readLines(filesystem, new Path(root, logFile))
+      val lines = fetched(logFile)
       val meta = LogMetadata.fromJson(lines(0))
       val schema = Schema.fromJson(lines(meta.schemaLineIndex))
       totalSchema.accumulate(schema.columns, schema.types)
@@ -64,7 +78,8 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration) {
     val filesystem = fs(root)
     if (!filesystem.exists(dir)) return Seq.empty
     filesystem.listStatus(dir).toSeq
-      .filter(_.isFile)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_"))
       .map(st => s"_log/${st.getPath.getName}")
       .sorted
   }
@@ -117,14 +132,36 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration) {
     } finally in.close()
   }
 
+  /** Atomic single-object commit. On an object store (s3a) the PUT happens
+    * at close, which is the reference's atomicity unit (icedb/log.py:330-358).
+    * On rename-capable filesystems (local/HDFS) a direct create would expose
+    * partially-written log files to concurrent readers, so we stage under a
+    * dot-prefixed temp name (hidden from [[currentLogFiles]]) and rename into
+    * place — rename is atomic there.
+    */
   private def writeAtomic(filesystem: FileSystem, p: Path, body: String): Unit = {
-    val out = filesystem.create(p, false)
+    val tmp = new Path(p.getParent, s".tmp.${java.util.UUID.randomUUID()}.${p.getName}")
+    val out = filesystem.create(tmp, false)
     try out.write(body.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    if (!filesystem.rename(tmp, p)) {
+      filesystem.delete(tmp, false)
+      throw new java.io.IOException(s"failed to commit log file $p")
+    }
   }
 }
 
 object IceLogIO {
+  /** Shared bounded pool for concurrent log GETs (daemon threads). */
+  private[ice] lazy val ioPool: ExecutionContext =
+    ExecutionContext.fromExecutorService(Executors.newFixedThreadPool(
+      16,
+      (r: Runnable) => {
+        val t = new Thread(r, "ice-log-io")
+        t.setDaemon(true)
+        t
+      }))
+
   /** Filename codec: `{ts}[_m]_{hostname}.jsonl` → (ts, merged)
     * (reference: icedb/log.py:360-371). */
   def logFileInfo(fileName: String): (Long, Boolean) = {

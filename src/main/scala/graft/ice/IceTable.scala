@@ -1,0 +1,544 @@
+package graft.ice
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import java.util.UUID
+import scala.collection.mutable
+
+/** What a merge did (reference: icedb/icedb.py:223-325 return tuple). */
+final case class MergeResult(
+    newLog: String,
+    newFileMarker: FileMarker,
+    partition: String,
+    mergedFileMarkers: Seq[FileMarker],
+    meta: LogMetadata)
+
+/** What a tombstone cleanup did (reference: icedb/icedb.py:327-433). */
+final case class CleanupResult(
+    cleanedLogFiles: Seq[String],
+    deletedLogFiles: Seq[String],
+    deletedDataFiles: Seq[String])
+
+/** Table configuration — the constructor knobs of the reference's `IceDBv3`
+  * (icedb/icedb.py:39-83) re-expressed Spark-first.
+  *
+  * @param partitionExpr string-typed Column computing the partition path
+  *   segment per row (reference `part_func`, icedb/icedb.py:22; conventionally
+  *   Hive-style `k=v/k2=v2`). Declarative so Catalyst evaluates it inside the
+  *   ingest job — no per-row driver callback at 100 TB.
+  * @param sortOrder columns each data part is clustered by at write
+  *   (row-group pruning; icedb/icedb.py:27,154-155).
+  * @param customInsertSql Spark SQL over a `_rows` view replacing the default
+  *   `select * from _rows order by sortOrder` (icedb/icedb.py:118-119,151-160).
+  * @param customMergeSql Spark SQL over a `source_files` view replacing the
+  *   default `select * from source_files` at compaction
+  *   (icedb/icedb.py:271-276; AggregatingMergeTree / ReplacingMergeTree /
+  *   dedup semantics per README.md:625-794).
+  * @param preservePartition keep a pre-computed `_partition` column in the
+  *   data (icedb/icedb.py:191-196, README.md:514-519).
+  */
+final case class IceTableConfig(
+    partitionExpr: Column,
+    sortOrder: Seq[String],
+    customInsertSql: Option[String] = None,
+    customMergeSql: Option[String] = None,
+    compressionCodec: String = "snappy",
+    parquetBlockBytes: Long = 128L * 1024 * 1024,
+    preservePartition: Boolean = false)
+
+/** The Parquet merge-engine table: MVCC JSONL log + immutable Parquet data
+  * parts under one root URI (local fs or s3a — anything Hadoop FileSystem
+  * speaks). Layout (reference README.md:13-14, ARCHITECTURE.md:19-100):
+  *
+  * {{{
+  *   {root}/_log/{unix_ms}[_m]_{host}.jsonl
+  *   {root}/_data/{partition}/{uuid}.parquet
+  * }}}
+  *
+  * Design split (SURVEY.md §7): driver-side Scala owns all metadata logic
+  * (log fold, merge policy, tombstones — KB-scale even at 100 TB of data);
+  * Spark jobs own all data movement. Queries are plain DataFrames over the
+  * snapshot's alive files, so the whole Catalyst/Tungsten stack (pushdown,
+  * pruning, codegen, AQE) applies unmodified.
+  */
+final class IceTable(
+    val spark: SparkSession,
+    val root: String,
+    val cfg: IceTableConfig,
+    clock: () => Long = () => System.currentTimeMillis()) {
+
+  private val hadoopConf = spark.sparkContext.hadoopConfiguration
+  val logio = new IceLogIO(IceTable.pathSafeHostname, hadoopConf)
+  private def fs = logio.fs(root)
+  private def now(): Long = clock()
+
+  // ---------------------------------------------------------------- snapshot
+
+  /** MVCC snapshot at `maxTs` (strict `<` on log filename timestamps —
+    * icedb/log.py:311-328). */
+  def snapshot(maxTs: Long = Long.MaxValue): IceSnapshot =
+    logio.readAtMaxTime(root, maxTs)
+
+  def trySnapshot(maxTs: Long = Long.MaxValue): Option[IceSnapshot] =
+    try Some(snapshot(maxTs)) catch { case _: NoLogFilesException => None }
+
+  /** Partition string of a data path: the segment between `_data/` and the
+    * file name (reference: icedb/icedb.py:103-108). */
+  def partitionOf(path: String): String = {
+    val base = path.split("_data/", 2)(1)
+    base.split("/").dropRight(1).mkString("/")
+  }
+
+  // -------------------------------------------------------------- read (B1+)
+
+  /** Snapshot → DataFrame: the whole delegated query surface (SURVEY §2.B)
+    * hangs off this. Explicit alive-file list (snapshot isolation — never
+    * glob `_data/`) + explicit union schema (absent columns read as null,
+    * matching the add-only union-schema contract, README.md:156-177,461-464).
+    */
+  def read(maxTs: Long = Long.MaxValue): DataFrame = {
+    val snap = snapshot(maxTs)
+    readFiles(snap, snap.aliveFiles)
+  }
+
+  /** Read a specific marker subset under a snapshot's union schema. */
+  def readFiles(snap: IceSnapshot, markers: Seq[FileMarker]): DataFrame = {
+    val schema = snap.schema.toStructType
+    if (markers.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else
+      spark.read.schema(schema).parquet(markers.map(m => s"$root/${m.path}"): _*)
+  }
+
+  /** A18 `get_files`: alive markers whose partition string is within the
+    * lexicographic [lo, hi] range (reference: ch/user_scripts/main.go:44-73).
+    * Pruning happens *before* Spark ever lists a file — at 100 TB this is
+    * the difference between touching 12 partitions and 10⁵ files.
+    */
+  def filesInPartitionRange(snap: IceSnapshot, lo: String, hi: String): Seq[FileMarker] =
+    snap.aliveFiles.filter { m =>
+      val p = partitionOf(m.path)
+      p >= lo && p <= hi
+    }
+
+  def readPartitionRange(lo: String, hi: String, maxTs: Long = Long.MaxValue): DataFrame = {
+    val snap = snapshot(maxTs)
+    readFiles(snap, filesInPartitionRange(snap, lo, hi))
+  }
+
+  /** B2/B3 hive-partition + filename virtual columns, recovered from the file
+    * path (reference README.md:489-492: `extract(_path, 'u=([^\s/]+)')`). */
+  def withPartitionColumn(df: DataFrame, key: String): DataFrame =
+    df.withColumn(key,
+      regexp_extract(input_file_name(), "/" + key + "=([^/]+)/", 1))
+
+  def withFileName(df: DataFrame): DataFrame =
+    df.withColumn("_file", input_file_name())
+
+  // ------------------------------------------------------------ insert (A1+)
+
+  /** A1-A4: partition-routed, sorted, single-file-per-partition Parquet
+    * ingest + one atomic log append (reference: icedb/icedb.py:125-221).
+    *
+    * Default path is ONE Spark job: hash-repartition on the partition string
+    * (each partition value lands in exactly one task → exactly one file per
+    * partition dir, like the reference's one-file-per-part contract), sort
+    * within tasks by (partition, sortOrder) for row-group pruning, and write
+    * with `partitionBy`. The shuffle is the unavoidable one (co-locating each
+    * partition's rows); there is no driver-side row handling at any scale.
+    */
+  def insert(df: DataFrame): Seq[FileMarker] = {
+    val hasPre = df.columns.contains("_partition")
+    // routing column; `_partition` fast path per icedb/icedb.py:191-196
+    val routed0 =
+      if (hasPre) df.withColumn(IceTable.RouteCol, col("_partition"))
+      else df.withColumn(IceTable.RouteCol, cfg.partitionExpr)
+    val routed =
+      if (hasPre && !cfg.preservePartition) routed0.drop("_partition")
+      else routed0
+
+    val (markers, schema) = cfg.customInsertSql match {
+      case None      => insertDefault(routed)
+      case Some(sql) => insertCustom(routed, sql)
+    }
+
+    // One PUT = the transaction (icedb/icedb.py:217-219).
+    logio.append(root, 1, schema, markers, timestamp = Some(now()))
+    markers
+  }
+
+  private def insertDefault(routed: DataFrame): (Seq[FileMarker], Schema) = {
+    val schema = Schema.fromStructType(routed.drop(IceTable.RouteCol).schema)
+    val tmp = s"$root/_tmp/${UUID.randomUUID()}"
+    val sortCols = col(IceTable.RouteCol) +: cfg.sortOrder.map(col)
+    routed
+      .repartition(col(IceTable.RouteCol))
+      .sortWithinPartitions(sortCols: _*)
+      .write
+      .partitionBy(IceTable.RouteCol)
+      .option("compression", cfg.compressionCodec)
+      .option("parquet.block.size", cfg.parquetBlockBytes)
+      .parquet(tmp)
+    (collectTempParts(tmp), schema)
+  }
+
+  /** Custom insert SQL runs per partition over a `_rows` view, exactly like
+    * the reference applies it to each partition's row batch
+    * (icedb/icedb.py:151-160). Deviation from the reference (which logs the
+    * *raw* batch schema even when the SQL reshapes it — icedb.py:139-143):
+    * we log the SQL's *output* schema, because our reads are schema-driven
+    * rather than footer-union-driven.
+    */
+  private def insertCustom(routed: DataFrame, sql: String): (Seq[FileMarker], Schema) = {
+    val parts = routed.select(IceTable.RouteCol).distinct()
+      .collect().map(_.getString(0)).sorted
+    val schema = new Schema
+    val out = mutable.ArrayBuffer.empty[FileMarker]
+    parts.foreach { p =>
+      val view = s"_rows_${UUID.randomUUID().toString.replace("-", "")}"
+      routed.filter(col(IceTable.RouteCol) === p).drop(IceTable.RouteCol)
+        .createOrReplaceTempView(view)
+      try {
+        val result = spark.sql(sql.replaceAll("\\b_rows\\b", view))
+        val s = Schema.fromStructType(result.schema)
+        schema.accumulate(s.columns, s.types)
+        out += writeSingleFile(result, s"_data/$p/${UUID.randomUUID()}.parquet")
+      } finally spark.catalog.dropTempView(view)
+    }
+    (out.toSeq, schema)
+  }
+
+  /** Move each `{tmp}/{RouteCol}={part}/part-*.parquet` into
+    * `_data/{part}/{uuid}.parquet` (rename-based finalize: files are
+    * invisible until the log append, same crash semantics as the reference's
+    * PUT-then-log — ARCHITECTURE.md:180-186). */
+  private def collectTempParts(tmp: String): Seq[FileMarker] = {
+    val f = fs
+    val tmpPath = new Path(tmp)
+    val markers = mutable.ArrayBuffer.empty[FileMarker]
+    val dirs = f.listStatus(tmpPath).filter(_.isDirectory)
+    dirs.foreach { d =>
+      val dirName = d.getPath.getName
+      val part = IceTable.unescapePathName(
+        dirName.stripPrefix(s"${IceTable.RouteCol}="))
+      f.listStatus(d.getPath)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .foreach { st =>
+          val rel = s"_data/$part/${UUID.randomUUID()}.parquet"
+          val dest = new Path(root, rel)
+          f.mkdirs(dest.getParent)
+          if (!f.rename(st.getPath, dest))
+            throw new java.io.IOException(s"failed to finalize $dest")
+          markers += FileMarker(rel, now(), f.getFileStatus(dest).getLen)
+        }
+    }
+    f.delete(tmpPath, true)
+    markers.toSeq
+  }
+
+  private def writeSingleFile(df: DataFrame, destRel: String): FileMarker = {
+    val tmp = s"$root/_tmp/${UUID.randomUUID()}"
+    df.coalesce(1).write
+      .option("compression", cfg.compressionCodec)
+      .option("parquet.block.size", cfg.parquetBlockBytes)
+      .parquet(tmp)
+    val f = fs
+    val file = f.listStatus(new Path(tmp))
+      .find(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .getOrElse(throw new java.io.IOException(s"no parquet output in $tmp"))
+    val dest = new Path(root, destRel)
+    f.mkdirs(dest.getParent)
+    if (!f.rename(file.getPath, dest))
+      throw new java.io.IOException(s"failed to finalize $dest")
+    f.delete(new Path(tmp), true)
+    FileMarker(destRel, now(), f.getFileStatus(dest).getLen)
+  }
+
+  // ------------------------------------------------------------- merge (A10)
+
+  /** A10-A14 compaction: exact port of the greedy candidate policy
+    * (icedb/icedb.py:243-261 — size-asc accumulation, `>=` byte threshold
+    * *including* the crossing file, `len>1 && len>=max_file_count` cap,
+    * partitions visited by file count desc (`asc=false`, hot-first) or asc
+    * (full optimize), one partition per call). Data exec is a Spark job:
+    * explicit file list → optional custom merge SQL over a `source_files`
+    * view → one output file.
+    *
+    * Deviation (documented): the reference reads candidates with DuckDB
+    * `hive_partitioning=1`, which bakes partition-dir keys into the merged
+    * file as real columns; we read with the log's union schema instead, so
+    * merged files keep exactly the log schema (our reads are schema-driven;
+    * partition keys stay derivable from the path via
+    * [[withPartitionColumn]]).
+    */
+  def merge(
+      maxFileSize: Long = 10_000_000L,
+      maxFileCount: Int = 10,
+      asc: Boolean = false): Option[MergeResult] = {
+    val snap = trySnapshot(now()).getOrElse(return None)
+
+    // group *all* current markers (incl. tombstoned) like icedb.py:234-240
+    val partitions = snap.files.groupBy(f => partitionOf(f.path))
+    val ordered = partitions.toSeq.sortBy { case (p, ms) =>
+      (if (asc) ms.length else -ms.length, p)
+    }
+
+    ordered.foreach { case (partition, fileMarkers) =>
+      if (fileMarkers.length > 1) {
+        val sortedMs = fileMarkers.sortBy(_.fileBytes)
+        var accBytes = 0L
+        val acc = mutable.ArrayBuffer.empty[FileMarker]
+        val it = sortedMs.iterator
+        var done = false
+        while (it.hasNext && !done) {
+          val m = it.next()
+          if (m.tombstone.isEmpty) {
+            accBytes += m.fileBytes
+            acc += m
+            if (accBytes >= maxFileSize ||
+              (acc.length > 1 && acc.length >= maxFileCount)) done = true
+          }
+        }
+        if (acc.length > 1) {
+          return Some(executeMerge(snap, partition, acc.toSeq))
+        }
+      }
+    }
+    None
+  }
+
+  private def executeMerge(
+      snap: IceSnapshot,
+      partition: String,
+      acc: Seq[FileMarker]): MergeResult = {
+    val src = readFiles(snap, acc)
+    val merged = cfg.customMergeSql match {
+      case None => src
+      case Some(q) =>
+        src.createOrReplaceTempView("source_files")
+        spark.sql(q)
+    }
+    val outRel = s"_data/$partition/${UUID.randomUUID()}.parquet"
+    val preMarker = writeSingleFile(merged, outRel)
+    if (cfg.customMergeSql.isDefined) spark.catalog.dropTempView("source_files")
+
+    // Log rewrite (icedb/icedb.py:290-322): re-read exactly the source logs
+    // of the merged markers, tombstone merged paths, carry forward untouched
+    // markers and existing tombstones, tombstone the source logs, one `_m`
+    // append.
+    val mergedLogFiles = acc.flatMap(_.virSourceLogFile).distinct.sorted
+    val (mSchema, mMarkers, mTombstones) =
+      logio.readLogForward(root, mergedLogFiles)
+    val mergedTime = now()
+    val accPaths = acc.map(_.path).toSet
+    val newMarker = preMarker.copy(createdMs = mergedTime)
+    val updated = mMarkers.map { m =>
+      FileMarker(m.path, m.createdMs, m.fileBytes,
+        if (accPaths(m.path)) Some(mergedTime) else m.tombstone)
+    }
+    val newTombstones = mergedLogFiles.map(LogTombstone(_, mergedTime))
+    val (newLog, meta) = logio.append(
+      root, 1, mSchema,
+      updated :+ newMarker,
+      mTombstones ++ newTombstones,
+      merged = true,
+      timestamp = Some(mergedTime))
+    MergeResult(newLog, newMarker, partition, acc, meta)
+  }
+
+  /** Run [[merge]] until no partition has anything left to merge (the
+    * reference's caller loop, examples/api-flask.py:92-101). Returns the
+    * number of merges performed. */
+  def mergeAll(
+      maxFileSize: Long = 10_000_000L,
+      maxFileCount: Int = 10,
+      asc: Boolean = true): Int = {
+    var n = 0
+    while (merge(maxFileSize, maxFileCount, asc).isDefined) n += 1
+    n
+  }
+
+  // ----------------------------------------------------- maintenance (A15-17)
+
+  /** A15 vacuum + log truncation: exact port of icedb/icedb.py:327-433 —
+    * processes only merged (`_m`) logs, deletes expired log-tombstone targets
+    * and expired tombstoned data files, writes one consolidated merged log
+    * with the kept markers/tombstones, then deletes the cleaned source logs.
+    * Deletes are optimistic (a crash may orphan data files, icedb.py:331).
+    */
+  def tombstoneCleanup(minAgeMs: Long): CleanupResult = {
+    val nowMs = now()
+    val snap = snapshot(nowMs)
+    val mergeLogFiles = snap.logFiles.filter(p => IceLogIO.logFileInfo(p)._2)
+
+    val logFilesToDelete = mutable.LinkedHashSet.empty[String]
+    val logFilesToKeep = mutable.LinkedHashMap.empty[String, LogTombstone]
+    val dataFilesToDelete = mutable.LinkedHashSet.empty[String]
+    val dataFilesToKeep = mutable.LinkedHashMap.empty[String, FileMarker]
+    val schema = new Schema
+    val cleaned = mutable.ArrayBuffer.empty[String]
+    val expired = nowMs - minAgeMs
+
+    mergeLogFiles.foreach { logFile =>
+      val (s, markers, tombstones) = logio.readLogForward(root, Seq(logFile))
+      tombstones.foreach { tmb =>
+        if (tmb.createdMs <= expired) logFilesToDelete += tmb.path
+        else logFilesToKeep(tmb.path) = tmb
+      }
+      markers.foreach { fm =>
+        // fall back to the *current* fold's tombstone for this path
+        // (icedb.py:375-381)
+        val tombstone = fm.tombstone.orElse(
+          snap.files.find(_.path == fm.path).flatMap(_.tombstone))
+        if (tombstone.exists(_ <= expired)) {
+          dataFilesToDelete += fm.path
+          dataFilesToKeep.remove(fm.path)
+        } else {
+          dataFilesToKeep(fm.path) = fm.copy(virSourceLogFile = None)
+        }
+      }
+      schema.accumulate(s.columns, s.types)
+      cleaned += logFile
+    }
+
+    logFilesToDelete.foreach(p => logio.delete(root, p))
+    dataFilesToDelete.foreach(p => logio.delete(root, p))
+
+    logio.append(
+      root, 1, schema,
+      dataFilesToKeep.values.toSeq,
+      logFilesToKeep.values.toSeq, // kept to preserve tombstones for min_age
+      merged = true,
+      timestamp = Some(now()))
+
+    cleaned.foreach(p => logio.delete(root, p))
+
+    CleanupResult(cleaned.toSeq, logFilesToDelete.toSeq, dataFilesToDelete.toSeq)
+  }
+
+  /** A16 log-only partition drop (TTL / data deletion): the removal callback
+    * picks from the unique alive-partition list; their markers get tombstones
+    * in one merged log append — no data I/O (icedb/icedb.py:435-501).
+    *
+    * Deviation (safety, invariant-identical): the reference carries forward
+    * only the *tombstoned* markers while log-tombstoning the whole source
+    * log, which can drop sibling markers once cleanup deletes that log; we
+    * carry forward all markers of each affected source log (what merge itself
+    * does, icedb.py:290-322). The fold is last-writer-wins by path, so alive/
+    * file-count invariants are unchanged.
+    */
+  def removePartitions(
+      removalFunc: Seq[String] => Seq[String],
+      maxFiles: Int = 1000): (Option[String], Option[LogMetadata], Int) = {
+    val removeTime = now()
+    val snap = snapshot(removeTime)
+
+    val alive = snap.aliveFiles
+    val partitions = alive.groupBy(f => partitionOf(f.path))
+    val toRemove = removalFunc(partitions.keys.toSeq.sorted)
+    if (toRemove.isEmpty) return (None, None, 0)
+
+    val modifiedLogs = mutable.LinkedHashSet.empty[String]
+    val tombstoned = mutable.LinkedHashMap.empty[String, FileMarker]
+    var deleted = 0
+    val it = toRemove.iterator
+    while (it.hasNext && deleted < maxFiles) {
+      val partition = it.next()
+      partitions.get(partition).foreach { ms =>
+        ms.foreach { m =>
+          deleted += 1
+          tombstoned(m.path) = m.copy(tombstone = Some(removeTime))
+          m.virSourceLogFile.foreach(modifiedLogs += _)
+        }
+      }
+    }
+
+    // carry forward every marker of the affected logs (tombstoned ones win)
+    val (_, carried, carriedTmb) =
+      logio.readLogForward(root, modifiedLogs.toSeq.sorted)
+    val updated = carried.map(m =>
+      tombstoned.getOrElse(m.path, m).copy(virSourceLogFile = None))
+
+    val logTombstones = modifiedLogs.toSeq.map(LogTombstone(_, removeTime))
+    val (newLog, meta) = logio.append(
+      root, 1, snap.schema, updated,
+      carriedTmb ++ logTombstones,
+      merged = true,
+      timestamp = Some(removeTime))
+    (Some(newLog), Some(meta), deleted)
+  }
+
+  /** A17 filtered partition rewrite (GDPR purge, retro-dedup): every alive
+    * part in the target partition is piped through `filterSql` (source view
+    * `_rows`) into a new file; old parts get tombstones
+    * (icedb/icedb.py:503-589). The filter must not create new columns — the
+    * current schema is carried to the new log (icedb.py:507-509).
+    */
+  def rewritePartition(
+      targetPartition: String,
+      filterSql: String): (Option[String], Option[LogMetadata], Seq[String]) = {
+    val runTime = now()
+    val snap = snapshot(runTime)
+
+    val targets = snap.aliveFiles.filter(f => partitionOf(f.path) == targetPartition)
+    if (targets.isEmpty) return (None, None, Seq.empty)
+
+    val newFiles = targets.map { old =>
+      val view = s"_rows_${UUID.randomUUID().toString.replace("-", "")}"
+      readFiles(snap, Seq(old)).createOrReplaceTempView(view)
+      try {
+        val result = spark.sql(filterSql.replaceAll("\\b_rows\\b", view))
+        writeSingleFile(result,
+          s"_data/$targetPartition/${UUID.randomUUID()}.parquet")
+      } finally spark.catalog.dropTempView(view)
+    }
+
+    val rewrittenPaths = targets.map(_.path).toSet
+    val updated = snap.files.map { m =>
+      FileMarker(m.path, m.createdMs, m.fileBytes,
+        if (rewrittenPaths(m.path)) Some(runTime) else m.tombstone)
+    }
+    val newTombstones = targets.flatMap(_.virSourceLogFile).distinct
+      .map(LogTombstone(_, runTime))
+    val (newLog, meta) = logio.append(
+      root, 1, snap.schema,
+      updated ++ newFiles,
+      snap.tombstones ++ newTombstones,
+      merged = true,
+      timestamp = Some(runTime))
+    (Some(newLog), Some(meta), targets.map(_.path))
+  }
+}
+
+object IceTable {
+  /** Internal routing column name; never written to data files. */
+  private[ice] val RouteCol = "_ice_part"
+
+  val pathSafeHostname: String = {
+    val host = try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: Exception => "localhost" }
+    host.replaceAll("[^A-Za-z0-9.-]", "-")
+  }
+
+  /** Inverse of Spark's partition-path escaping (`/`→`%2F`, `=`→`%3D`, ...)
+    * so Hive-style multi-segment partition strings round-trip through
+    * `partitionBy`. */
+  def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hex = s.substring(i + 1, i + 3)
+        try {
+          sb.append(Integer.parseInt(hex, 16).toChar)
+          i += 3
+        } catch {
+          case _: NumberFormatException => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}

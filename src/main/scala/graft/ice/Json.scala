@@ -39,7 +39,7 @@ object Json {
     case b: Boolean          => if (b) "true" else "false"
     case i: Int              => i.toString
     case l: Long             => l.toString
-    case d: Double           => if (d == d.floor && !d.isInfinite) f"$d%.1f" else d.toString
+    case d: Double           => pythonRepr(d)
     case m: mutable.LinkedHashMap[_, _] =>
       m.map { case (k, vv) => s"${escape(k.toString)}: ${writeValue(vv)}" }
         .mkString("{", ", ", "}")
@@ -48,6 +48,28 @@ object Json {
         .mkString("{", ", ", "}")
     case seq: Seq[_] => seq.map(writeValue).mkString("[", ", ", "]")
     case other => escape(other.toString)
+  }
+
+  /** Python `repr(float)`-compatible formatting (shortest round-trip, and
+    * exponent form `1e+20` / `1e-07` where Python switches to it). Doubles
+    * never appear in real log lines — markers/metadata are ints, schema
+    * values are strings — but the byte-compatibility claim is kept honest.
+    */
+  def pythonRepr(d: Double): String = {
+    if (d.isNaN) return "NaN"
+    if (d.isInfinite) return if (d > 0) "Infinity" else "-Infinity"
+    val abs = math.abs(d)
+    if (d == d.floor && abs < 1e16) f"$d%.1f"
+    else if (abs >= 1e16 || (abs < 1e-4 && abs > 0)) {
+      // Java "1.0E20" / "1.23E-7" → Python "1e+20" / "1.23e-07"
+      val s = java.lang.Double.toString(d)
+      val Array(mantissa0, exp0) = s.split("E")
+      val mantissa =
+        if (mantissa0.endsWith(".0")) mantissa0.dropRight(2) else mantissa0
+      val expVal = exp0.toInt
+      val sign = if (expVal < 0) "-" else "+"
+      f"${mantissa}e$sign${math.abs(expVal)}%02d"
+    } else java.lang.Double.toString(d)
   }
 
   /** Ordered-pairs object writer — field order is part of the log format. */

@@ -129,8 +129,9 @@ object SchemaTypes {
       case "INTEGER" | "INT" | "INT4" | "INT32"                         => IntegerType
       case "SMALLINT" | "INT2" | "INT16"                                => ShortType
       case "TINYINT" | "INT1"                                           => ByteType
-      case "DOUBLE" | "FLOAT8" | "REAL"                                 => DoubleType
-      case "FLOAT" | "FLOAT4"                                           => FloatType
+      case "DOUBLE" | "FLOAT8"                                          => DoubleType
+      // REAL is single-precision in the reference's (DuckDB) vocabulary
+      case "FLOAT" | "FLOAT4" | "REAL"                                  => FloatType
       case "VARCHAR" | "TEXT" | "STRING" | "JSON" | "CHAR"              => StringType
       case "BOOLEAN" | "BOOL"                                           => BooleanType
       case "BLOB" | "BYTEA" | "BINARY"                                  => BinaryType
@@ -143,17 +144,19 @@ object SchemaTypes {
         DecimalType(p, sc)
       case u if u.startsWith("STRUCT(") =>
         StructType(splitTopLevel(t.substring(7, t.lastIndexOf(')'))).map { fld =>
-          val f = fld.trim
-          val sp = f.lastIndexOf(' ')
           // field name may be quoted; type is everything after the first
           // top-level space outside quotes
-          val (name, typ) = splitNameType(f)
+          val (name, typ) = splitNameType(fld.trim)
           StructField(unquote(name), toDataType(typ), nullable = true)
         })
       case u if u.startsWith("MAP(") =>
         val parts = splitTopLevel(t.substring(4, t.lastIndexOf(')')))
         MapType(toDataType(parts(0)), toDataType(parts(1)), valueContainsNull = true)
-      case _ => StringType
+      // Fail fast instead of silently reading Parquet with a mismatched
+      // StringType (UUID/TIME/INTERVAL/ENUM... are not in the reference's
+      // inference vocabulary — SURVEY.md §1.2).
+      case other => throw new IllegalArgumentException(
+        s"unsupported log schema type string: '$other'")
     }
   }
 
