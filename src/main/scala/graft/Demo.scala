@@ -63,6 +63,23 @@ object Demo {
           "yyyy-MM-dd") === "2024-01-01").count())
     println(s"   total rows now: ${after.count()}")
 
+    println("== LLM pipeline ops over documents/embeddings")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    println(s"   docs=${docs.count()} exact-deduped=" +
+      graft.operators.Dedup.exactDedup(docs, Seq("text"), "doc_id").count())
+    val dups = graft.operators.Dedup.minHashDupPairs(docs, "doc_id", "text", 0.5)
+    println(s"   minhash-LSH near-dup pairs (j>=0.5): ${dups.count()}")
+    val queries = emb.limit(2).select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    graft.operators.Similarity
+      .bruteForceTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", 3)
+      .show()
+    docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).as("tokens"),
+      graft.functions.TextFunctions.langId(col("text")).as("lang_pred"),
+      graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+      .show(5)
+
     println("== physical plan of pruned aggregate (pushdown check)")
     table.readPartitionRange(minDay, minDay)
       .where(col("event_type") === "click").groupBy("event_type").count()

@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, token counting, language ID, quality scoring, document
+  * fingerprinting. Everything is composed from built-in (whole-stage
+  * codegen'd) SQL functions — no UDFs — so the expressions inline into the
+  * scan stage and survive a 100 TB fan-out unchanged.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization of trimmed, lowercased text. */
+  def tokens(text: Column): Column =
+    split(lower(trim(text)), "\\s+")
+
+  /** Whitespace token count (0 for empty/null-ish text). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  /** BPE-ish subword count approximation: word-piece regex split (letters /
+    * digits / single punctuation marks), the usual cheap pre-tokenizer. */
+  def wordPieceCount(text: Column): Column = {
+    val pieces = regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+    coalesce(size(pieces), lit(0))
+  }
+
+  /** Word k-shingles (k consecutive tokens joined by a space); the unit of
+    * MinHash/Jaccard similarity. Returns the distinct shingle array. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val t = tokens(text)
+    val n = size(t)
+    when(n < k, array_distinct(array(concat_ws(" ", t))))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), n - k),
+        i => concat_ws(" ", slice(t, i + 1, lit(k))))))
+  }
+
+  // ------------------------------------------------------------ language ID
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was",
+      "for", "on", "with", "as", "at", "by", "a", "an", "be", "this", "are"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+      "mit", "auf", "für", "von", "zu", "den", "dem", "sich", "des", "im"),
+    "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en", "un",
+      "una", "es", "por", "con", "para", "del", "se", "no", "su"),
+    "fr" -> Seq("le", "la", "les", "des", "de", "et", "est", "un", "une",
+      "dans", "pour", "que", "qui", "au", "aux", "ce", "pas", "sur"))
+
+  /** Per-language stopword hit count over the token array. */
+  private def stopwordHits(toks: Column, lang: String): Column =
+    aggregate(toks, lit(0),
+      (acc, t) => acc + when(t.isInCollection(stopwords(lang)), 1).otherwise(0))
+
+  /** CJK character count (the zh signal — no whitespace tokens). */
+  def cjkCharCount(text: Column): Column =
+    coalesce(size(regexp_extract_all(text, lit("[\\u4e00-\\u9fff]"), lit(0))), lit(0))
+
+  /** N-gram/stopword-heuristic language ID over en/de/es/fr/zh: pick the
+    * language with the highest evidence count; `und` when no evidence. A
+    * per-row scalar expression — language ID of 100 TB is a map-only scan.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = map(
+      lit("en"), stopwordHits(toks, "en"),
+      lit("de"), stopwordHits(toks, "de"),
+      lit("es"), stopwordHits(toks, "es"),
+      lit("fr"), stopwordHits(toks, "fr"),
+      lit("zh"), cjkCharCount(text) * 2)
+    val entries = map_entries(scores) // array<struct<key,value>>
+    val best = array_max(transform(entries,
+      e => struct(e.getField("value").as("v"), e.getField("key").as("k"))))
+    when(best.getField("v") > 0, best.getField("k")).otherwise(lit("und"))
+  }
+
+  // ---------------------------------------------------------------- quality
+
+  /** Punctuation character ratio (0..1). */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      coalesce(size(regexp_extract_all(text,
+        lit("[!-/:-@\\[-`{-~]"), lit(0))), lit(0)).cast("double") / length(text))
+
+  /** English stopword token ratio (0..1) — fluency signal. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(stopwordHits(toks, "en").cast("double") / size(toks))
+  }
+
+  /** Mean token length. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /** Composite document-quality score in [0,1]: length sweet-spot, low
+    * punctuation noise, reasonable word lengths. The exact recipe is a
+    * heuristic (a la C4/Gopher filters); each term is tunable. */
+  def qualityScore(text: Column, minTokens: Int = 10, maxMeanTokenLen: Double = 12.0): Column = {
+    val lenOk = when(tokenCount(text) >= minTokens, 0.4).otherwise(
+      tokenCount(text).cast("double") / minTokens * 0.4)
+    val punctOk = greatest(lit(0.0), lit(0.3) - punctRatio(text) * 1.5)
+    val wordOk = when(meanTokenLen(text) <= maxMeanTokenLen, 0.3)
+      .otherwise(lit(0.0))
+    round(lenOk + punctOk + wordOk, 4)
+  }
+
+  // ------------------------------------------------------------ fingerprint
+
+  /** Rolling-hash document fingerprint: xxhash64 of the normalized
+    * (lowercased, whitespace-collapsed) token stream — distinct per
+    * distinct content, stable under whitespace/case changes. */
+  def fingerprint(text: Column): Column =
+    xxhash64(concat_ws(" ", tokens(text)))
+
+  /** Min shingle hash — a 1-function MinHash sketch; collides for
+    * *similar* docs (use [[fingerprint]] for identity). */
+  def minShingleHash(text: Column, k: Int = 3): Column =
+    array_min(transform(shingles(text, k), s => xxhash64(s)))
+
+  /** 64-bit SimHash over tokens: per-bit majority vote of token hashes,
+    * expressed with higher-order functions (zip_with accumulate) so it stays
+    * inside codegen. Near-duplicate docs differ in few bits (Hamming). */
+  def simHash(text: Column): Column = {
+    val toks = array_distinct(tokens(text))
+    // votes[b] = sum over tokens of +-1 depending on bit b of xxhash64(token)
+    // (bit positions unrolled statically — shift amounts must be literals)
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => zip_with(acc,
+        array((0 until 64).map(b =>
+          when(shiftright(xxhash64(t), b).bitwiseAND(1) === 1, 1).otherwise(-1)): _*),
+        (a, v) => a + v))
+    // fold positive votes into a 64-bit long
+    aggregate(
+      zip_with(votes, array((0 until 64).map(b => lit(1L << b)): _*),
+        (v, bit) => when(v > 0, bit).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit SimHashes. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two paths, per the scale playbook:
+  *  - [[bruteForceTopK]] — exact cosine top-k; the correctness baseline.
+  *    Broadcast the (small) query set, scan the corpus once, reduce with a
+  *    two-stage top-k so no single reducer sees more than `partitions * k`
+  *    rows per query.
+  *  - [[lshTopK]] — random-hyperplane LSH bucketing; only same-bucket
+  *    candidates are scored. The 100 TB path: candidate generation is a
+  *    bucket-key shuffle, never a cross join.
+  */
+object Similarity {
+
+  /** Dot product of two equal-length numeric arrays (codegen'd zip_with). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 for zero vectors. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Two-stage distributed top-k: per (query, input-partition) local top-k,
+    * then global top-k over the k-per-partition survivors. Keeps the final
+    * per-query shuffle at `numPartitions * k` rows instead of `N`. */
+  private def topKPerQuery(scored: DataFrame, qidCol: String, k: Int): DataFrame = {
+    val local = Window.partitionBy(col(qidCol), spark_partition_id())
+      .orderBy(col("sim").desc, col("id"))
+    val global = Window.partitionBy(col(qidCol))
+      .orderBy(col("sim").desc, col("id"))
+    scored
+      .withColumn("_lrank", row_number().over(local))
+      .where(col("_lrank") <= k).drop("_lrank")
+      .withColumn("rank", row_number().over(global))
+      .where(col("rank") <= k)
+  }
+
+  /** Exact cosine top-k neighbors for each query vector.
+    *
+    * @param corpus  (id, vec) corpus table
+    * @param queries (qid, qvec) small query table — broadcast
+    * @return (qid, id, sim, rank) with rank 1..k by sim desc (id tiebreak)
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int = 10): DataFrame = {
+    val scored = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("_v"))
+      .crossJoin(broadcast(
+        queries.select(col(qidCol).as("qid"), col(qvecCol).as("_q"))))
+      .where(col("id") =!= col("qid")) // a query is not its own neighbor
+      .withColumn("sim", cosine(col("_v"), col("_q")))
+    topKPerQuery(scored, "qid", k).select("qid", "id", "sim", "rank")
+  }
+
+  /** Deterministic random hyperplanes: `tables` independent sign-bit
+    * signatures of `bits` planes each, derived from a fixed seed so results
+    * are reproducible across runs and match between build sides. */
+  private def planes(dim: Int, tables: Int, bits: Int, seed: Long): Array[Array[Array[Double]]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(tables, bits, dim)(rnd.nextGaussian())
+  }
+
+  private def bucketExpr(vec: Column, plane: Array[Array[Double]]): Column = {
+    // bucket id = sign bits of the plane dot products, packed into a long
+    val bitCols = plane.zipWithIndex.map { case (w, i) =>
+      val wArr = array(w.map(lit): _*)
+      when(dot(vec, wArr) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate top-k: candidates share an LSH bucket in at least one of
+    * `tables` hyperplane tables; candidates are scored exactly. Recall
+    * improves with `tables`, cost with `bits` (bucket granularity).
+    */
+  def lshTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int = 10, dim: Int = 64, tables: Int = 8, bits: Int = 10,
+      seed: Long = 42L): DataFrame = {
+    val ps = planes(dim, tables, bits, seed)
+    def withBuckets(df: DataFrame, vc: String): DataFrame = {
+      val buckets = array(ps.zipWithIndex.map { case (p, t) =>
+        struct(lit(t).as("t"), bucketExpr(col(vc), p).as("b"))
+      }: _*)
+      df.withColumn("_tb", explode(buckets))
+        .withColumn("_t", col("_tb.t")).withColumn("_b", col("_tb.b"))
+        .drop("_tb")
+    }
+    val c = withBuckets(corpus.select(col(idCol).as("id"), col(vecCol).as("_v")), "_v")
+    val q = withBuckets(queries.select(col(qidCol).as("qid"), col(qvecCol).as("_q")), "_q")
+    val scored = c.join(broadcast(q), Seq("_t", "_b"))
+      .where(col("id") =!= col("qid"))
+      .dropDuplicates("qid", "id")
+      .withColumn("sim", cosine(col("_v"), col("_q")))
+    topKPerQuery(scored, "qid", k).select("qid", "id", "sim", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: same-bucket candidates with
+    * cosine >= threshold (idA < idB). The embedding twin of
+    * [[Dedup.minHashDupPairs]]. */
+  def cosineDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, dim: Int = 64, tables: Int = 8,
+      bits: Int = 10, seed: Long = 42L): DataFrame = {
+    val ps = planes(dim, tables, bits, seed)
+    val withB = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .withColumn("_tb", explode(array(ps.zipWithIndex.map { case (p, t) =>
+        struct(lit(t).as("t"), bucketExpr(col("_v"), p).as("b"))
+      }: _*)))
+    val a = withB.select(col("_tb").as("_k"), col("_id").as("idA"), col("_v").as("_va"))
+    val b = withB.select(col("_tb").as("_k"), col("_id").as("idB"), col("_v").as("_vb"))
+    a.join(b, Seq("_k"))
+      .where(col("idA") < col("idB"))
+      .dropDuplicates("idA", "idB")
+      .withColumn("cosine", cosine(col("_va"), col("_vb")))
+      .where(col("cosine") >= threshold)
+      .select("idA", "idB", "cosine")
+  }
+}

@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline operator correctness on the driver's sf0.001 fixtures:
+  * exact dedup vs distinct-count ground truth, MinHash-LSH recall vs exact
+  * Jaccard, LSH-ANN recall vs brute force, text stats, multimodal plumbing.
+  */
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+  private lazy val embeddings: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  test("exact dedup keeps one row per distinct text, lowest id") {
+    val withDup = docs.union(docs.limit(10)) // add 10 exact duplicates
+    val deduped = Dedup.exactDedup(withDup, Seq("text"), "doc_id")
+    val expected = docs.select("text").distinct().count()
+    assert(deduped.count() == expected)
+    // duplicates of the same text keep the lowest doc_id
+    val dupIds = Dedup.exactDedup(
+      Seq((2L, "same"), (1L, "same"), (3L, "other")).toDF("doc_id", "text"),
+      Seq("text"), "doc_id").select("doc_id").as[Long].collect().sorted
+    assert(dupIds.toSeq == Seq(1L, 3L))
+  }
+
+  test("minhash LSH finds planted near-duplicates with high jaccard") {
+    // plant near-dups: copy 5 docs with one appended token
+    val planted = docs.limit(5)
+      .withColumn("doc_id", $"doc_id" + 1000000L)
+      .withColumn("text", concat($"text", lit(" extraword")))
+    val corpus = docs.union(planted)
+    val pairs = Dedup.minHashDupPairs(corpus, "doc_id", "text",
+      threshold = 0.7, numHashes = 128, bands = 32).cache()
+    val found = pairs
+      .where($"idB" >= 1000000L && $"idB" - 1000000L === $"idA")
+      .count()
+    assert(found >= 4, s"expected >=4 of 5 planted dups, found $found")
+    // verified jaccard is exact — check one against a direct computation
+    val direct = corpus.as("a").crossJoin(corpus.as("b"))
+      .where($"a.doc_id" === 0L && $"b.doc_id" === 1000000L)
+      .select(Dedup.jaccard($"a.text", $"b.text").as("j"))
+      .as[Double].head()
+    val reported = pairs.where($"idA" === 0L && $"idB" === 1000000L)
+      .select("jaccard").as[Double].collect()
+    if (reported.nonEmpty) assert(math.abs(reported.head - direct) < 1e-12)
+  }
+
+  test("simhash: near-identical docs within hamming 3, banding finds them") {
+    val base = docs.limit(20).select($"doc_id", $"text")
+    val tweaked = base
+      .withColumn("doc_id", $"doc_id" + 500000L)
+      .withColumn("text", concat($"text", lit(" x")))
+    val pairs = Dedup.simHashDupPairs(base.union(tweaked), "doc_id", "text",
+      maxHamming = 8)
+    val matched = pairs.where($"idB" - 500000L === $"idA").count()
+    assert(matched >= 15, s"simhash banding found only $matched/20 planted pairs")
+  }
+
+  test("LSH ANN reaches >=60% recall@10 of brute force on real embeddings") {
+    val queries = embeddings.limit(5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val exact = Similarity.bruteForceTopK(
+      embeddings, "vec_id", "embedding", queries, "qid", "qvec", k = 10)
+    // synthetic embeddings have weak neighbor structure: use coarse buckets
+    // (few bits) and many tables for recall; real clustered data would use
+    // more bits for a smaller candidate set
+    val approx = Similarity.lshTopK(
+      embeddings, "vec_id", "embedding", queries, "qid", "qvec",
+      k = 10, dim = 64, tables = 16, bits = 4)
+    val e = exact.select("qid", "id").as[(Long, Long)].collect().toSet
+    val a = approx.select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = (e intersect a).size.toDouble / e.size
+    assert(recall >= 0.6, s"ANN recall@10 = $recall")
+    // brute force is exactly ranked: rank 1 has max sim
+    val r = exact.where($"qid" === queries.select("qid").as[Long].head())
+      .orderBy("rank").select("sim").as[Double].collect()
+    assert(r.sameElements(r.sorted.reverse))
+  }
+
+  test("embedding cosine near-dup pairs are symmetric-free and thresholded") {
+    // plant an exact duplicate vector
+    val dup = embeddings.limit(1)
+      .withColumn("vec_id", $"vec_id" + 900000L)
+    val pairs = Similarity.cosineDupPairs(
+      embeddings.union(dup), "vec_id", "embedding", threshold = 0.999)
+    val planted = pairs.where($"idA" === 0L && $"idB" === 900000L)
+    assert(planted.count() == 1)
+    assert(planted.select("cosine").as[Double].head() > 0.9999)
+    assert(pairs.where($"idA" >= $"idB").count() == 0)
+  }
+
+  test("text stats: token counts and quality are sane on real docs") {
+    val stats = docs.select(
+      TextFunctions.tokenCount($"text").as("toks"),
+      TextFunctions.wordPieceCount($"text").as("pieces"),
+      TextFunctions.punctRatio($"text").as("punct"),
+      TextFunctions.qualityScore($"text").as("q"),
+      TextFunctions.fingerprint($"text").as("fp"))
+    val r = stats.agg(
+      min($"toks"), max($"toks"), min($"punct"), max($"punct"),
+      min($"q"), max($"q"), countDistinct($"fp")).head()
+    assert(r.getInt(0) > 0)              // every doc has tokens
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(3) <= 1.0)
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(5) <= 1.0)
+    assert(r.getLong(6) == 500L)         // fingerprint distinct per content
+    // fingerprint is whitespace-normalization stable
+    val fp2 = docs.select(TextFunctions.fingerprint(concat($"text", lit("  "))).as("fp"))
+    assert(fp2.collect().map(_.getLong(0)).toSeq ==
+      stats.select("fp").collect().map(_.getLong(0)).toSeq)
+  }
+
+  test("language ID classifies real per-language sentences") {
+    // the synthetic corpus reuses one English vocab for every lang label,
+    // so ground truth there is unrecoverable; test on real sentences
+    val fixtures = Seq(
+      ("en", "the cat sat on the mat and it was happy with this"),
+      ("de", "der hund ist nicht mit der katze auf dem sofa"),
+      ("es", "el perro es un animal que vive en la casa con los gatos"),
+      ("fr", "le chien est dans la maison pour les vacances et pas sur la table"),
+      ("zh", "这是一个中文句子 测试语言识别"),
+      ("und", "zzz qqq xxx")).toDF("expected", "text")
+    val scored = fixtures.select($"expected",
+      TextFunctions.langId($"text").as("pred"))
+    assert(scored.where($"expected" =!= $"pred").count() == 0,
+      scored.collect().mkString(","))
+  }
+
+  test("multimodal plumbing: pack → decode meta → resize → frame sample") {
+    val media = Multimodal.pack(docs.limit(50), "doc_id", "text", "image/fake")
+    assert(media.schema.fieldNames.toSeq ==
+      Seq("media_id", "media_type", "payload", "meta"))
+
+    val decoded = Multimodal.decodeImageMeta(media)
+    val d = decoded.agg(min("width"), max("width"), min("n_bytes")).head()
+    assert(d.getInt(0) >= 64 && d.getInt(1) <= 64 + 191 * 8)
+    assert(d.getLong(2) > 0L)
+    // deterministic: same payload → same dims
+    val twice = Multimodal.decodeImageMeta(media).select("media_id", "width")
+      .except(decoded.select("media_id", "width"))
+    assert(twice.count() == 0)
+
+    val resized = Multimodal.resizePayload(media, maxBytes = 100)
+    assert(resized.select(max(length($"payload"))).head().getInt(0) <= 100)
+
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, everyN = 2)
+    assert(frames.count() > 0)
+    assert(frames.schema.fieldNames.toSeq == Seq("media_id", "frame_idx", "frame"))
+  }
+}
