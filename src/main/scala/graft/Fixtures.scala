@@ -1,0 +1,184 @@
+package graft
+
+import graft.ice.{IceTable, IceTableConfig}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.concurrent.TrieMap
+
+/** Ice-backed fixture tables built from the driver's parquet testdata, so
+  * every registered query exercises the engine's own write → log → snapshot
+  * → read path rather than reading the raw files. Builders are memoized per
+  * (sfDir, variant) within the JVM — Verify/Bench build once, query many.
+  */
+object Fixtures {
+
+  private val cache = TrieMap.empty[String, Any]
+  private def memo[T](key: String)(f: => T): T =
+    cache.getOrElseUpdate(key, f).asInstanceOf[T]
+
+  /** events.parquet carries TIMESTAMP(NANOS); Spark 4 reads it only as
+    * epoch-nanos BIGINT (spark.sql.legacy.parquet.nanosAsLong, set in
+    * Verify/Bench). Convert to a usable timestamp column. */
+  def evTs(c: Column): Column = timestamp_micros((c / 1000L).cast("long"))
+
+  def ensureConf(spark: SparkSession): Unit =
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Exception => () } // immutable in this session: pre-set
+
+  def raw(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    ensureConf(spark)
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  private def newRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+
+  // ------------------------------------------------------------ events ice
+
+  final case class EventsIce(table: IceTable, betweenTs: Long)
+
+  /** Main events table: two inserts (even then odd event_id — a stable
+    * time-travel split), then full compaction. Exercises A1/A3/A7/A9/A10. */
+  def eventsIce(spark: SparkSession, sfDir: String): EventsIce =
+    memo(s"$sfDir#events") {
+      val ev = raw(spark, sfDir, "events")
+      val table = new IceTable(spark, newRoot("events"), IceTableConfig(
+        partitionExpr = concat(lit("d="), date_format(evTs(col("ts")), "yyyy-MM-dd")),
+        sortOrder = Seq("ts", "event_id")))
+      table.insert(ev.where(col("event_id") % 2 === 0))
+      Thread.sleep(2)
+      val between = System.currentTimeMillis()
+      Thread.sleep(2)
+      table.insert(ev.where(col("event_id") % 2 === 1))
+      table.mergeAll(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+      EventsIce(table, between)
+    }
+
+  /** Merged + vacuumed variant (A15): query answers must be unchanged. */
+  def eventsCleaned(spark: SparkSession, sfDir: String): IceTable =
+    memo(s"$sfDir#cleaned") {
+      val ev = raw(spark, sfDir, "events")
+      val table = new IceTable(spark, newRoot("cleaned"), IceTableConfig(
+        partitionExpr = concat(lit("d="), date_format(evTs(col("ts")), "yyyy-MM-dd")),
+        sortOrder = Seq("ts", "event_id")))
+      table.insert(ev.where(col("event_id") % 2 === 0))
+      table.insert(ev.where(col("event_id") % 2 === 1))
+      table.mergeAll(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+      table.tombstoneCleanup(0)
+      table
+    }
+
+  /** Partition-removal variant (A16): first week dropped log-only. */
+  def eventsRemoved(spark: SparkSession, sfDir: String): IceTable =
+    memo(s"$sfDir#removed") {
+      val ev = raw(spark, sfDir, "events")
+      val table = new IceTable(spark, newRoot("removed"), IceTableConfig(
+        partitionExpr = concat(lit("d="), date_format(evTs(col("ts")), "yyyy-MM-dd")),
+        sortOrder = Seq("ts", "event_id")))
+      table.insert(ev)
+      table.removePartitions(parts => parts.filter(_ <= "d=2024-01-07"))
+      table
+    }
+
+  /** Partition-rewrite variant (A17): GDPR purge of user_id%10==0 on day 1. */
+  def eventsRewritten(spark: SparkSession, sfDir: String): IceTable =
+    memo(s"$sfDir#rewritten") {
+      val ev = raw(spark, sfDir, "events")
+      val table = new IceTable(spark, newRoot("rewritten"), IceTableConfig(
+        partitionExpr = concat(lit("d="), date_format(evTs(col("ts")), "yyyy-MM-dd")),
+        sortOrder = Seq("ts", "event_id")))
+      table.insert(ev)
+      table.rewritePartition("d=2024-01-01",
+        "select * from _rows where user_id % 10 != 0")
+      table
+    }
+
+  /** Schema-evolution variant (A6/B18): first batch lacks `props`. */
+  def eventsEvolved(spark: SparkSession, sfDir: String): IceTable =
+    memo(s"$sfDir#evolved") {
+      val ev = raw(spark, sfDir, "events")
+      val table = new IceTable(spark, newRoot("evolved"), IceTableConfig(
+        partitionExpr = concat(lit("d="), date_format(evTs(col("ts")), "yyyy-MM-dd")),
+        sortOrder = Seq("ts", "event_id")))
+      table.insert(ev.where(col("event_id") % 2 === 0).drop("props"))
+      table.insert(ev.where(col("event_id") % 2 === 1))
+      table
+    }
+
+  /** AggregatingMergeTree variant (A12 + A4): custom insert seeds cnt=1,
+    * merge sums it; grand totals must match raw count(*). */
+  def eventsAgg(spark: SparkSession, sfDir: String): IceTable =
+    memo(s"$sfDir#agg") {
+      val ev = raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val table = new IceTable(spark, newRoot("agg"), IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(16))),
+        sortOrder = Seq("user_id"),
+        customInsertSql = Some(
+          """select user_id, event_type, max(event_id) as last_event_id,
+            |cast(count(*) as bigint) as cnt
+            |from _rows group by user_id, event_type""".stripMargin),
+        customMergeSql = Some(
+          """select user_id, event_type, max(last_event_id) as last_event_id,
+            |cast(sum(cnt) as bigint) as cnt
+            |from source_files group by user_id, event_type""".stripMargin)))
+      table.insert(ev.where(col("event_id") % 2 === 0))
+      table.insert(ev.where(col("event_id") % 2 === 1))
+      table.mergeAll(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+      table
+    }
+
+  /** ReplacingMergeTree variant (A13): latest row per user survives. */
+  def eventsReplacing(spark: SparkSession, sfDir: String): IceTable =
+    memo(s"$sfDir#replacing") {
+      val ev = raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val table = new IceTable(spark, newRoot("replacing"), IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(16))),
+        sortOrder = Seq("user_id", "event_id"),
+        customMergeSql = Some(
+          """select user_id, max_by(event_type, event_id) as event_type,
+            |max(event_id) as event_id
+            |from source_files group by user_id""".stripMargin)))
+      table.insert(ev.where(col("event_id") % 2 === 0))
+      table.insert(ev.where(col("event_id") % 2 === 1))
+      table.mergeAll(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+      table
+    }
+
+  /** Dedup-merge variant (A14): the same batch inserted twice, collapsed by
+    * deterministic `_row_id` at merge. */
+  def eventsDedup(spark: SparkSession, sfDir: String): IceTable =
+    memo(s"$sfDir#dedup") {
+      val ev = raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .withColumn("_row_id", md5(col("event_id").cast("string")))
+      val table = new IceTable(spark, newRoot("dedup"), IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(16))),
+        sortOrder = Seq("_row_id"),
+        customMergeSql = Some(
+          """select any_value(event_id) as event_id,
+            |any_value(user_id) as user_id,
+            |any_value(event_type) as event_type, _row_id
+            |from source_files group by _row_id""".stripMargin)))
+      table.insert(ev)
+      table.insert(ev)
+      table.mergeAll(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+      table
+    }
+
+  // ---------------------------------------------------------- lineitem ice
+
+  /** lineitem through the engine, hive-partitioned by ship month (83
+    * partitions) and clustered by (shipdate, orderkey) for row-group
+    * pruning. */
+  def lineitemIce(spark: SparkSession, sfDir: String): IceTable =
+    memo(s"$sfDir#lineitem") {
+      val li = raw(spark, sfDir, "lineitem")
+      val table = new IceTable(spark, newRoot("lineitem"), IceTableConfig(
+        partitionExpr = concat(lit("m="), date_format(col("l_shipdate"), "yyyy-MM")),
+        sortOrder = Seq("l_shipdate", "l_orderkey")))
+      table.insert(li)
+      table
+    }
+}

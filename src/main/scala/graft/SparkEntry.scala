@@ -1,13 +1,390 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.TextFunctions
+import graft.ice.{IceTable, IceTableConfig}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one registered query per implemented operator from
+  * SURVEY.md §2 (+ the LLM-pipeline operators), each with a DuckDB oracle
+  * over the same testdata. Engine operators run through ice-backed fixture
+  * tables ([[Fixtures]]) so the write → log → snapshot → read path is what
+  * gets graded, not a raw parquet scan.
+  *
+  * Column-name and type discipline (the driver hash-compares values with
+  * columns sorted by name): every aggregate is aliased identically on both
+  * sides; money sums go through DECIMAL(18,2) so they are exact and
+  * order-independent; temporal outputs are strings/dates (never raw
+  * timestamps — events.ts is nanos and the tz-ness differs between
+  * engines); every query has a total ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship on sf0.001: full engine lifecycle (insert → merge → snapshot
+    * read → aggregate) over lineitem. */
+  def entry(spark: SparkSession): DataFrame = {
+    val sfDir = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft_entry").toString
+    val table = new IceTable(spark, root, IceTableConfig(
+      partitionExpr = concat(lit("m="), date_format(col("l_shipdate"), "yyyy-MM")),
+      sortOrder = Seq("l_shipdate", "l_orderkey")))
+    table.insert(li.where(col("l_orderkey") % 2 === 0))
+    table.insert(li.where(col("l_orderkey") % 2 === 1))
+    table.merge(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+    table.read()
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  // money sums aggregate in DECIMAL(18,2) (exact, summation-order-
+  // independent) and surface as DOUBLE (both engines produce the identical
+  // nearest-double of the exact decimal; parquet/pandas types then agree)
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  def queries: Map[String, Q] = Map(
+    // ---------------------------------------------------- engine operators
+    "a1_insert_count" -> ((s, d) => {
+      Fixtures.eventsIce(s, d).table.read()
+        .agg(count(lit(1)).as("cnt"))
+    }),
+    "a9_time_travel" -> ((s, d) => {
+      val fx = Fixtures.eventsIce(s, d)
+      fx.table.read(fx.betweenTs).agg(count(lit(1)).as("cnt"))
+    }),
+    "a10_merge_stability" -> ((s, d) => {
+      Fixtures.eventsIce(s, d).table.read()
+        .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("event_type"))
+    }),
+    "a15_tombstone_cleanup" -> ((s, d) => {
+      Fixtures.eventsCleaned(s, d).read()
+        .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("event_type"))
+    }),
+    "a16_remove_partitions" -> ((s, d) => {
+      Fixtures.eventsRemoved(s, d).read().agg(count(lit(1)).as("cnt"))
+    }),
+    "a17_rewrite_partition" -> ((s, d) => {
+      Fixtures.eventsRewritten(s, d).read().agg(count(lit(1)).as("cnt"))
+    }),
+    "a6_schema_evolution" -> ((s, d) => {
+      val df = Fixtures.eventsEvolved(s, d).read()
+      df.agg(count(lit(1)).as("cnt"),
+        sum(when(col("props").isNull, 1L).otherwise(0L)).as("null_props"))
+    }),
+    "a12_agg_merge" -> ((s, d) => {
+      Fixtures.eventsAgg(s, d).read()
+        .groupBy(col("event_type")).agg(sum(col("cnt")).as("cnt"))
+        .orderBy(col("event_type"))
+    }),
+    "a13_replacing_merge" -> ((s, d) => {
+      Fixtures.eventsReplacing(s, d).read()
+        .groupBy(col("user_id"))
+        .agg(max_by(col("event_type"), col("event_id")).as("event_type"),
+          max(col("event_id")).as("last_event_id"))
+        .orderBy(col("user_id"))
+    }),
+    "a14_dedup_merge" -> ((s, d) => {
+      Fixtures.eventsDedup(s, d).read()
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("_row_id")).as("uniq"))
+    }),
+    "a18_partition_prune" -> ((s, d) => {
+      val t = Fixtures.eventsIce(s, d).table
+      t.readPartitionRange("d=2024-01-01", "d=2024-01-01")
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // --------------------------------------------- delegated query surface
+    "b2_partition_columns" -> ((s, d) => {
+      val t = Fixtures.eventsIce(s, d).table
+      t.withPartitionColumn(t.read(), "d")
+        .groupBy(col("d")).agg(count(lit(1)).as("cnt")).orderBy(col("d"))
+    }),
+    "b5_filter" -> ((s, d) => {
+      Fixtures.lineitemIce(s, d).read()
+        .where(col("l_quantity") < 25 && col("l_discount").between(0.02, 0.08))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity")).cast("bigint").as("sum_qty"))
+    }),
+    "b6_group_agg" -> ((s, d) => {
+      Fixtures.lineitemIce(s, d).read()
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity")).cast("bigint").as("sum_qty"),
+          dec(sum(dec(col("l_extendedprice")))).cast("double").as("sum_price"),
+          max(col("l_quantity")).cast("bigint").as("max_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    "b7_count_distinct" -> ((s, d) => {
+      Fixtures.lineitemIce(s, d).read()
+        .agg(countDistinct(col("l_orderkey")).as("uniq_orders"),
+          countDistinct(col("l_partkey")).as("uniq_parts"))
+    }),
+    "b8_max_by" -> ((s, d) => {
+      Fixtures.raw(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(max_by(col("o_orderstatus"), col("o_orderkey")).as("last_status"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    "b9_any_value" -> ((s, d) => {
+      Fixtures.raw(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(any_value(col("o_orderstatus")).as("av"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("o_orderstatus"))
+    }),
+    "b10_quantiles" -> ((s, d) => {
+      Fixtures.lineitemIce(s, d).read()
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"))
+    }),
+    "b11_topk" -> ((s, d) => {
+      Fixtures.lineitemIce(s, d).read()
+        .groupBy(col("l_orderkey"))
+        // exact scale-4 decimal sum straight to double (a re-cast to scale 2
+        // would expose Spark HALF_UP vs DuckDB HALF_EVEN at half-cents)
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+    "b12_json_extract" -> ((s, d) => {
+      Fixtures.eventsIce(s, d).table.read()
+        .agg(sum(get_json_object(col("props"), "$.k").cast("bigint"))
+          .cast("bigint").as("k_sum"),
+          count(get_json_object(col("props"), "$.k")).as("k_cnt"))
+    }),
+    "b13_to_json" -> ((s, d) => {
+      Fixtures.eventsIce(s, d).table.read()
+        .orderBy(col("event_id")).limit(5)
+        .select(col("event_id"),
+          to_json(struct(col("event_id"), col("event_type"))).as("js"))
+    }),
+    "b14_casts" -> ((s, d) => {
+      Fixtures.lineitemIce(s, d).read()
+        .agg(sum(col("l_quantity").cast("bigint")).as("qty_long"),
+          countDistinct(col("l_orderkey").cast("string")).as("key_str"),
+          max(round(col("l_discount") * 100).cast("bigint")).as("disc_pct"))
+    }),
+    "b15_datetime" -> ((s, d) => {
+      Fixtures.lineitemIce(s, d).read()
+        .groupBy(year(col("l_shipdate")).cast("bigint").as("yr"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(date_trunc("month", col("l_shipdate"))).as("months"),
+          min(date_format(col("l_shipdate"), "yyyy-MM-dd")).as("first_day"))
+        .orderBy(col("yr"))
+    }),
+    "b16_string_regex" -> ((s, d) => {
+      Fixtures.raw(s, d, "part")
+        .groupBy(regexp_extract(col("p_name"), "([a-z]+)", 1).as("w"))
+        .agg(count(lit(1)).as("cnt"),
+          max(upper(col("p_brand"))).as("max_brand"),
+          min(substring(col("p_type"), 1, 3)).as("type3"))
+        .orderBy(col("w"))
+    }),
+    "b17_uuid" -> ((s, d) => {
+      // uuid() is nondeterministic by nature: rows-only check (no oracle)
+      Fixtures.raw(s, d, "orders").limit(100)
+        .select(expr("uuid()").as("id"))
+        .agg(countDistinct(col("id")).as("uniq"))
+    }),
+    "b19_coalesce" -> ((s, d) => {
+      Fixtures.eventsIce(s, d).table.read()
+        .agg(sum(coalesce(get_json_object(col("props"), "$.missing").cast("bigint"),
+          lit(1L))).cast("bigint").as("s"))
+    }),
+    "b20_subquery" -> ((s, d) => {
+      val inner = Fixtures.raw(s, d, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      inner.agg(round(avg(col("cnt")), 6).as("avg_orders"),
+        max(col("cnt")).as("max_orders"))
+    }),
+    "b3_filename_virtual" -> ((s, d) => {
+      // file paths are run-specific: rows-only check (no oracle)
+      val t = Fixtures.eventsIce(s, d).table
+      t.withFileName(t.read())
+        .agg(countDistinct(col("_file")).as("files"))
+    }),
+    "join_star_schema" -> ((s, d) => {
+      // beyond-reference: Spark-native star join, dims broadcast
+      val li = Fixtures.lineitemIce(s, d).read()
+      val orders = Fixtures.raw(s, d, "orders")
+      val cust = Fixtures.raw(s, d, "customer")
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"),
+          dec(sum(dec(col("l_extendedprice")))).cast("double").as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ------------------------------------------------ LLM pipeline operators
+    "llm_exact_dedup" -> ((s, d) => {
+      Fixtures.raw(s, d, "documents")
+        .agg(count(lit(1)).as("total_docs"),
+          countDistinct(md5(col("text"))).as("distinct_docs"))
+    }),
+    "llm_dedup_keep" -> ((s, d) => {
+      Dedup.exactDedup(Fixtures.raw(s, d, "documents"), Seq("text"), "doc_id")
+        .select(col("doc_id").as("keep_id")).orderBy(col("keep_id"))
+    }),
+    "llm_token_stats" -> ((s, d) => {
+      Fixtures.raw(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(TextFunctions.tokenCount(col("text"))).cast("bigint").as("total_tokens"),
+          sum(col("n_chars")).cast("bigint").as("total_chars"))
+        .orderBy(col("lang"))
+    }),
+    "llm_quality_buckets" -> ((s, d) => {
+      Fixtures.raw(s, d, "documents")
+        .groupBy(when(col("n_chars") < 150, "short")
+          .when(col("n_chars") < 300, "medium")
+          .otherwise("long").as("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          round(avg(col("n_chars")), 4).as("avg_chars"))
+        .orderBy(col("bucket"))
+    }),
+    "llm_fingerprint" -> ((s, d) => {
+      Fixtures.raw(s, d, "documents")
+        .agg(countDistinct(TextFunctions.fingerprint(col("text"))).as("uniq_fp"),
+          count(lit(1)).as("total"))
+    }),
+    "llm_lang_quality" -> ((s, d) => {
+      // heuristic scores: rows-only check (no closed-form SQL oracle)
+      Fixtures.raw(s, d, "documents")
+        .groupBy(TextFunctions.langId(col("text")).as("pred_lang"))
+        .agg(count(lit(1)).as("cnt"),
+          round(avg(TextFunctions.qualityScore(col("text"))), 4).as("avg_quality"))
+        .orderBy(col("pred_lang"))
+    }),
+    "llm_minhash_dedup" -> ((s, d) => {
+      // LSH banding: rows-only check (bucketing not SQL-oracle-expressible)
+      Dedup.minHashDupPairs(Fixtures.raw(s, d, "documents"),
+          "doc_id", "text", threshold = 0.5)
+        .orderBy(col("idA"), col("idB"))
+        .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
+    }),
+    "llm_simhash_dedup" -> ((s, d) => {
+      // rows-only check
+      Dedup.simHashDupPairs(Fixtures.raw(s, d, "documents"),
+          "doc_id", "text", maxHamming = 3)
+        .orderBy(col("idA"), col("idB"))
+    }),
+    "llm_ann_bruteforce" -> ((s, d) => {
+      val emb = Fixtures.raw(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val queries = emb.where(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queries, "qid", "qvec", k = 10)
+        .select(col("qid"), col("id"), col("rank").cast("bigint").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+    "llm_ann_lsh" -> ((s, d) => {
+      // approximate: rows-only check; recall vs brute force asserted in tests
+      val emb = Fixtures.raw(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val queries = emb.where(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.lshTopK(emb, "vec_id", "embedding",
+          queries, "qid", "qvec", k = 10, dim = 64, tables = 16, bits = 4)
+        .select(col("qid"), col("id"), col("rank").cast("bigint").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+    "llm_cosine_neardup" -> ((s, d) => {
+      // rows-only check
+      Similarity.cosineDupPairs(
+          Fixtures.raw(s, d, "embeddings")
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
+          "vec_id", "embedding", threshold = 0.99)
+        .select(col("idA"), col("idB"), round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("idA"), col("idB"))
+    }),
+    "llm_multimodal_meta" -> ((s, d) => {
+      val media = Multimodal.pack(Fixtures.raw(s, d, "documents"),
+        "doc_id", "text", "image/fake")
+      Multimodal.decodeImageMeta(media)
+        .agg(sum(col("n_bytes")).cast("bigint").as("total_bytes"),
+          count(lit(1)).as("cnt"))
+    }))
+
+  /** DuckDB oracle per query (omitted for the nondeterministic / LSH /
+    * heuristic ones → driver records a weaker rows-only check). */
+  def oracleSql: Map[String, String] = Map(
+    "a1_insert_count" -> "SELECT count(*) AS cnt FROM events",
+    "a9_time_travel" ->
+      "SELECT count(*) AS cnt FROM events WHERE event_id % 2 = 0",
+    "a10_merge_stability" ->
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
+    "a15_tombstone_cleanup" ->
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
+    "a16_remove_partitions" ->
+      "SELECT count(*) AS cnt FROM events WHERE strftime(ts, '%Y-%m-%d') > '2024-01-07'",
+    "a17_rewrite_partition" ->
+      "SELECT count(*) AS cnt FROM events WHERE NOT (strftime(ts, '%Y-%m-%d') = '2024-01-01' AND user_id % 10 = 0)",
+    "a6_schema_evolution" ->
+      "SELECT count(*) AS cnt, CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS null_props FROM events",
+    "a12_agg_merge" ->
+      "SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
+    "a13_replacing_merge" ->
+      "SELECT user_id, arg_max(event_type, event_id) AS event_type, max(event_id) AS last_event_id FROM events GROUP BY user_id ORDER BY user_id",
+    "a14_dedup_merge" ->
+      "SELECT count(*) AS cnt, count(DISTINCT event_id) AS uniq FROM events",
+    "a18_partition_prune" ->
+      "SELECT count(*) AS cnt FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-01'",
+    "b2_partition_columns" ->
+      "SELECT strftime(ts, '%Y-%m-%d') AS d, count(*) AS cnt FROM events GROUP BY d ORDER BY d",
+    "b5_filter" ->
+      "SELECT count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty FROM lineitem WHERE l_quantity < 25 AND l_discount BETWEEN 0.02 AND 0.08",
+    "b6_group_agg" ->
+      "SELECT l_returnflag, l_linestatus, count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty, CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price, CAST(max(l_quantity) AS BIGINT) AS max_qty FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    "b7_count_distinct" ->
+      "SELECT count(DISTINCT l_orderkey) AS uniq_orders, count(DISTINCT l_partkey) AS uniq_parts FROM lineitem",
+    "b8_max_by" ->
+      "SELECT o_orderpriority, arg_max(o_orderstatus, o_orderkey) AS last_status, max(o_orderkey) AS max_key FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "b9_any_value" ->
+      "SELECT o_orderstatus, any_value(o_orderstatus) AS av, count(*) AS cnt FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    "b10_quantiles" ->
+      "SELECT quantile_cont(l_quantity, 0.5) AS p50, quantile_cont(l_quantity, 0.9) AS p90 FROM lineitem",
+    "b11_topk" ->
+      "SELECT l_orderkey, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue FROM lineitem GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10",
+    "b12_json_extract" ->
+      "SELECT CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum, count(json_extract_string(props, '$.k')) AS k_cnt FROM events",
+    "b13_to_json" ->
+      "SELECT event_id, to_json(struct_pack(event_id := event_id, event_type := event_type)) AS js FROM events ORDER BY event_id LIMIT 5",
+    "b14_casts" ->
+      "SELECT CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_long, count(DISTINCT CAST(l_orderkey AS VARCHAR)) AS key_str, CAST(max(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS disc_pct FROM lineitem",
+    "b15_datetime" ->
+      "SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr, count(*) AS cnt, count(DISTINCT date_trunc('month', l_shipdate)) AS months, min(strftime(l_shipdate, '%Y-%m-%d')) AS first_day FROM lineitem GROUP BY yr ORDER BY yr",
+    "b16_string_regex" ->
+      "SELECT regexp_extract(p_name, '([a-z]+)', 1) AS w, count(*) AS cnt, max(upper(p_brand)) AS max_brand, min(substring(p_type, 1, 3)) AS type3 FROM part GROUP BY w ORDER BY w",
+    "b19_coalesce" ->
+      "SELECT CAST(sum(coalesce(CAST(json_extract_string(props, '$.missing') AS BIGINT), 1)) AS BIGINT) AS s FROM events",
+    "b20_subquery" ->
+      "SELECT round(avg(cnt), 6) AS avg_orders, max(cnt) AS max_orders FROM (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey)",
+    "join_star_schema" ->
+      "SELECT c_mktsegment, count(*) AS cnt, CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    "llm_exact_dedup" ->
+      "SELECT count(*) AS total_docs, count(DISTINCT md5(text)) AS distinct_docs FROM documents",
+    "llm_dedup_keep" ->
+      "SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text) ORDER BY keep_id",
+    "llm_token_stats" ->
+      "SELECT lang, count(*) AS docs, CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens, CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents GROUP BY lang ORDER BY lang",
+    "llm_quality_buckets" ->
+      "SELECT CASE WHEN n_chars < 150 THEN 'short' WHEN n_chars < 300 THEN 'medium' ELSE 'long' END AS bucket, count(*) AS cnt, round(avg(n_chars), 4) AS avg_chars FROM documents GROUP BY bucket ORDER BY bucket",
+    "llm_fingerprint" ->
+      "SELECT count(DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS uniq_fp, count(*) AS total FROM documents",
+    "llm_ann_bruteforce" ->
+      "SELECT qid, id, rank FROM (SELECT q.vec_id AS qid, c.vec_id AS id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank FROM embeddings c, embeddings q WHERE q.vec_id IN (0, 1, 2) AND c.vec_id != q.vec_id) WHERE rank <= 10 ORDER BY qid, rank",
+    "llm_multimodal_meta" ->
+      "SELECT CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes, count(*) AS cnt FROM documents")
 }

@@ -330,6 +330,15 @@ final class IceTable(
     val mergedLogFiles = acc.flatMap(_.virSourceLogFile).distinct.sorted
     val (mSchema, mMarkers, mTombstones) =
       logio.readLogForward(root, mergedLogFiles)
+    // Deviation from the reference (which carries the source-log schema
+    // verbatim, icedb.py:291-293): a custom merge SQL may *reshape* columns
+    // (e.g. seed an aggregate state column); since our reads are driven by
+    // the log schema rather than parquet-footer unions, the merge output's
+    // schema must be accumulated add-only here (type conflicts still throw).
+    if (cfg.customMergeSql.isDefined) {
+      val out = Schema.fromStructType(merged.schema)
+      mSchema.accumulate(out.columns, out.types)
+    }
     val mergedTime = now()
     val accPaths = acc.map(_.path).toSet
     val newMarker = preMarker.copy(createdMs = mergedTime)
