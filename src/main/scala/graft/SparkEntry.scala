@@ -269,7 +269,7 @@ object SparkEntry {
     "llm_minhash_dedup" -> ((s, d) => {
       // LSH banding: rows-only check (bucketing not SQL-oracle-expressible)
       Dedup.minHashDupPairs(Fixtures.raw(s, d, "documents"),
-          "doc_id", "text", threshold = 0.5)
+          "doc_id", "text", threshold = 0.7)
         .orderBy(col("idA"), col("idB"))
         .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
     }),
