@@ -213,6 +213,15 @@ object SparkEntry {
       t.withFileName(t.read())
         .agg(countDistinct(col("_file")).as("files"))
     }),
+    "b21_catalog_view" -> ((s, d) => {
+      // snapshot registered as a catalog view via IceFileIndex: WHERE on the
+      // partition key prunes files inside the optimizer (B21/B22)
+      val t = Fixtures.eventsIce(s, d).table
+      graft.plans.IceFileIndex.registerView(s, t, "ice_events_view")
+      s.sql("""select event_type, count(*) as cnt from ice_events_view
+              |where d = '2024-01-15' group by event_type
+              |order by event_type""".stripMargin)
+    }),
     "join_star_schema" -> ((s, d) => {
       // beyond-reference: Spark-native star join, dims broadcast
       val li = Fixtures.lineitemIce(s, d).read()
@@ -371,6 +380,8 @@ object SparkEntry {
       "SELECT CAST(sum(coalesce(CAST(json_extract_string(props, '$.missing') AS BIGINT), 1)) AS BIGINT) AS s FROM events",
     "b20_subquery" ->
       "SELECT round(avg(cnt), 6) AS avg_orders, max(cnt) AS max_orders FROM (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey)",
+    "b21_catalog_view" ->
+      "SELECT event_type, count(*) AS cnt FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15' GROUP BY event_type ORDER BY event_type",
     "join_star_schema" ->
       "SELECT c_mktsegment, count(*) AS cnt, CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment",
     "llm_exact_dedup" ->

@@ -37,6 +37,10 @@ final case class CleanupResult(
   *   dedup semantics per README.md:625-794).
   * @param preservePartition keep a pre-computed `_partition` column in the
   *   data (icedb/icedb.py:191-196, README.md:514-519).
+  * @param formatRow A23 pre-insert hook (reference `format_row`,
+  *   examples/api-flask.py:156-162): a whole-DataFrame transform applied
+  *   before partition routing (a per-row driver callback would not scale;
+  *   the DataFrame form composes with Catalyst).
   */
 final case class IceTableConfig(
     partitionExpr: Column,
@@ -45,7 +49,8 @@ final case class IceTableConfig(
     customMergeSql: Option[String] = None,
     compressionCodec: String = "snappy",
     parquetBlockBytes: Long = 128L * 1024 * 1024,
-    preservePartition: Boolean = false)
+    preservePartition: Boolean = false,
+    formatRow: Option[DataFrame => DataFrame] = None)
 
 /** The Parquet merge-engine table: MVCC JSONL log + immutable Parquet data
   * parts under one root URI (local fs or s3a — anything Hadoop FileSystem
@@ -136,6 +141,19 @@ final class IceTable(
   def withFileName(df: DataFrame): DataFrame =
     df.withColumn("_file", input_file_name())
 
+  /** A5 batch schema introspection: the log type-strings an insert of this
+    * batch would record, honoring `customInsertSql` (reference `get_schema`,
+    * icedb/icedb.py:110-123). */
+  def getSchema(df: DataFrame): Schema = cfg.customInsertSql match {
+    case None => Schema.fromStructType(df.schema)
+    case Some(sql) =>
+      val view = s"_rows_${UUID.randomUUID().toString.replace("-", "")}"
+      df.createOrReplaceTempView(view)
+      try Schema.fromStructType(
+        spark.sql(sql.replaceAll("\\b_rows\\b", view)).schema)
+      finally spark.catalog.dropTempView(view)
+  }
+
   // ------------------------------------------------------------ insert (A1+)
 
   /** A1-A4: partition-routed, sorted, single-file-per-partition Parquet
@@ -148,7 +166,8 @@ final class IceTable(
     * with `partitionBy`. The shuffle is the unavoidable one (co-locating each
     * partition's rows); there is no driver-side row handling at any scale.
     */
-  def insert(df: DataFrame): Seq[FileMarker] = {
+  def insert(df0: DataFrame): Seq[FileMarker] = {
+    val df = cfg.formatRow.fold(df0)(f => f(df0)) // A23 pre-insert hook
     val hasPre = df.columns.contains("_partition")
     // routing column; `_partition` fast path per icedb/icedb.py:191-196
     val routed0 =

@@ -1,0 +1,127 @@
+package graft.plans
+
+import graft.ice.{IceSnapshot, IceTable}
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BoundReference, Expression, Predicate}
+import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A Catalyst [[FileIndex]] backed by an ice snapshot: the table becomes a
+  * first-class catalog relation whose Hive-style partition keys (parsed
+  * from `_data/{k=v/...}/uuid.parquet` marker paths) are *real queryable
+  * columns*, and `WHERE` clauses on them prune files inside the optimizer
+  * (`PartitionFilters` in the plan) — no files are even listed for pruned
+  * partitions. This is the catalog-integrated complement to
+  * `IceTable.readPartitionRange` (A18) and subsumes the reference's
+  * `get_files` UDF / parameterized-view integrations
+  * (ch/user_scripts/main.go:44-73, examples/segment-webhook-sink.py:84-90 —
+  * B21/B22): instead of splicing file lists into SQL text, the resolver IS
+  * the table.
+  *
+  * The snapshot is pinned at construction — MVCC isolation holds for the
+  * lifetime of the DataFrame, exactly like the explicit-file-list path.
+  */
+final class IceFileIndex(
+    spark: SparkSession,
+    table: IceTable,
+    snap: IceSnapshot,
+    val partitionSchema: StructType) extends FileIndex {
+
+  /** partition string → (values row, file statuses), built once driver-side
+    * from the marker list (metadata-scale: no FS listing at all). */
+  private lazy val partitions: Seq[(InternalRow, Seq[FileStatus])] = {
+    val fs = table.logio.fs(table.root)
+    snap.aliveFiles
+      .groupBy(m => table.partitionOf(m.path))
+      .toSeq.sortBy(_._1)
+      .map { case (part, markers) =>
+        val kv = part.split("/").map { seg =>
+          val i = seg.indexOf('=')
+          if (i < 0) (seg, "") else (seg.substring(0, i), seg.substring(i + 1))
+        }.toMap
+        val row = InternalRow.fromSeq(partitionSchema.map(f =>
+          UTF8String.fromString(kv.getOrElse(f.name, ""))))
+        // sizes come from the log markers — no S3 HEAD/LIST needed
+        val statuses = markers.map(m => new FileStatus(
+          m.fileBytes, false, 1, 128L * 1024 * 1024, m.createdMs,
+          new Path(table.root, m.path)))
+        (row, statuses)
+      }
+  }
+
+  override def rootPaths: Seq[Path] = Seq(new Path(table.root))
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val pruned = if (partitionFilters.isEmpty) partitions else {
+      val attrs = partitionSchema.zipWithIndex.map { case (f, i) =>
+        f.name -> BoundReference(i, f.dataType, nullable = true)
+      }.toMap
+      val bound = partitionFilters.map(_.transform {
+        case a: Attribute => attrs(a.name)
+      })
+      val predicate = Predicate.create(bound.reduce(
+        org.apache.spark.sql.catalyst.expressions.And))
+      partitions.filter { case (row, _) => predicate.eval(row) }
+    }
+    pruned.map { case (row, statuses) =>
+      PartitionDirectory(row, statuses.map(FileStatusWithMetadata(_)))
+    }
+  }
+
+  override def inputFiles: Array[String] =
+    snap.aliveFiles.map(m => s"${table.root}/${m.path}").toArray
+
+  override def refresh(): Unit = ()
+
+  override def sizeInBytes: Long = snap.aliveFiles.map(_.fileBytes).sum
+}
+
+object IceFileIndex {
+
+  /** Partition keys present in a snapshot's marker paths, in first-seen
+    * order (all typed string — the partition path is a string codec). */
+  def partitionKeys(table: IceTable, snap: IceSnapshot): Seq[String] = {
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    snap.aliveFiles.foreach { m =>
+      table.partitionOf(m.path).split("/").foreach { seg =>
+        val i = seg.indexOf('=')
+        if (i > 0) seen += seg.substring(0, i)
+      }
+    }
+    seen.toSeq
+  }
+
+  /** Snapshot → catalog-grade DataFrame with queryable partition columns
+    * and optimizer-side file pruning. */
+  def dataFrame(spark: SparkSession, table: IceTable,
+      maxTs: Long = Long.MaxValue): DataFrame = {
+    val snap = table.snapshot(maxTs)
+    val pSchema = StructType(partitionKeys(table, snap)
+      .map(StructField(_, StringType, nullable = true)))
+    val index = new IceFileIndex(spark, table, snap, pSchema)
+    val relation = HadoopFsRelation(
+      location = index,
+      partitionSchema = pSchema,
+      dataSchema = snap.schema.toStructType,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark)
+    spark.baseRelationToDataFrame(relation)
+  }
+
+  /** Register the snapshot as a temp view: `spark.sql("... FROM name WHERE
+    * d = '2024-01-01'")` prunes partitions in the optimizer (B21: the
+    * parameterized-view shape without SQL splicing). */
+  def registerView(spark: SparkSession, table: IceTable, name: String,
+      maxTs: Long = Long.MaxValue): DataFrame = {
+    val df = dataFrame(spark, table, maxTs)
+    df.createOrReplaceTempView(name)
+    df
+  }
+}

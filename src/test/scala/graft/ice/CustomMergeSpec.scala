@@ -80,6 +80,19 @@ class CustomMergeSpec extends SparkSpec {
     assert(u1.where($"event" === "login").select("cnt").as[Long].head() == 2L)
   }
 
+  test("A23 formatRow pre-insert hook and A5 getSchema introspection") {
+    val cfg = IceTableConfig(
+      partitionExpr = lit("d=all"),
+      sortOrder = Seq("ts"),
+      formatRow = Some(df => df.withColumn("event", upper($"event"))))
+    val table = new IceTable(spark, tmpDir("fmt"), cfg)
+    // A5: introspect before inserting (reference get_schema)
+    assert(table.getSchema(eventsV1).toJson ==
+      """{"ts": "BIGINT", "event": "VARCHAR", "user_id": "VARCHAR"}""")
+    table.insert(eventsV1)
+    assert(table.read().where($"event" === "LOGIN").count() == 3)
+  }
+
   test("A14 dedup merge: any_value grouped by deterministic _row_id") {
     val cfg = IceTableConfig(
       partitionExpr = lit("d=all"),

@@ -1,0 +1,75 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.ice.{IceTable, IceTableConfig}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Catalog-grade reads: partition keys become queryable columns and WHERE
+  * clauses on them prune files inside the optimizer. */
+class IceFileIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventsTable(): IceTable = {
+    val df = Seq(
+      (1L, "a", "2024-01-01"), (2L, "b", "2024-01-01"),
+      (3L, "a", "2024-01-02"), (4L, "b", "2024-01-03"),
+      (5L, "a", "2024-01-03")
+    ).toDF("id", "user", "day")
+    val table = new IceTable(spark, tmpDir("fidx"), IceTableConfig(
+      partitionExpr = concat(lit("u="), col("user"), lit("/d="), col("day")),
+      sortOrder = Seq("id")))
+    table.insert(df)
+    table
+  }
+
+  test("partition keys surface as queryable string columns") {
+    val table = eventsTable()
+    val df = IceFileIndex.dataFrame(spark, table)
+    assert(df.columns.toSet == Set("id", "user", "day", "u", "d"))
+    val r = df.groupBy("d").count().orderBy("d").collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(r.toSeq == Seq(("2024-01-01", 2L), ("2024-01-02", 1L), ("2024-01-03", 2L)))
+  }
+
+  test("WHERE on a partition key prunes files in the optimizer") {
+    val table = eventsTable()
+    IceFileIndex.registerView(spark, table, "ice_events")
+    val q = spark.sql("select count(*) as cnt from ice_events where d = '2024-01-03'")
+    assert(q.as[Long].head() == 2L)
+
+    val plan = q.queryExecution.executedPlan
+    val scans = plan.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.collect { case s: FileSourceScanExec => s }
+      case s: FileSourceScanExec => Seq(s)
+    }.flatten
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    // optimizer-side pruning: only the 2 files of d=2024-01-03 are read
+    assert(scan.metadata("PartitionFilters").contains("d"))
+    assert(scan.inputRDDs().map(_.partitions.length).sum > 0)
+    val selected = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters)
+      .flatMap(_.files)
+    assert(selected.length == 2)
+    assert(selected.forall(_.getPath.toString.contains("d=2024-01-03")))
+  }
+
+  test("snapshot pinning: the view is isolated from later inserts") {
+    val table = eventsTable()
+    val df = IceFileIndex.dataFrame(spark, table)
+    assert(df.count() == 5)
+    table.insert(Seq((6L, "c", "2024-01-04")).toDF("id", "user", "day"))
+    assert(df.count() == 5) // pinned snapshot
+    assert(IceFileIndex.dataFrame(spark, table).count() == 6)
+  }
+
+  test("partition values containing the key prefix parse correctly") {
+    val snapKeys = {
+      val table = eventsTable()
+      IceFileIndex.partitionKeys(table, table.snapshot())
+    }
+    assert(snapKeys == Seq("u", "d"))
+  }
+}
