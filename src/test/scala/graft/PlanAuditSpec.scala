@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan audits: the properties that make these queries survive a
+  * 100× scale-up are asserted, not assumed — filter pushdown reaching the
+  * parquet scan, column pruning, broadcast dimension joins, TakeOrdered
+  * top-k, codegen'd aggregation for the minhash fan-out.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def planOf(df: DataFrame): String = {
+    df.collect() // force AQE finalization
+    df.queryExecution.executedPlan.toString
+  }
+  private def scansOf(df: DataFrame): Seq[FileSourceScanExec] = {
+    df.collect()
+    def all(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: AdaptiveSparkPlanExec => all(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => all(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => all(r.child)
+        case s: FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(all) ++
+          other.subqueries.flatMap(all)
+      }
+    all(df.queryExecution.executedPlan)
+  }
+
+  test("b5: predicates push down to the parquet scan; columns pruned") {
+    Fixtures.ensureConf(spark)
+    val df = SparkEntry.queries("b5_filter")(spark, sfDir)
+    val scan = scansOf(df).head
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("LessThan(l_quantity"), pushed)
+    assert(pushed.contains("l_discount"), pushed)
+    // projection pruned to the two referenced columns
+    val read = scan.metadata("ReadSchema")
+    assert(read.contains("l_quantity") && read.contains("l_discount"), read)
+    assert(!read.contains("l_extendedprice"), read)
+  }
+
+  test("join_star: dimension join is broadcast, not shuffled") {
+    Fixtures.ensureConf(spark)
+    val df = SparkEntry.queries("join_star_schema")(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("b11: top-k plans as TakeOrderedAndProject, not a global sort") {
+    Fixtures.ensureConf(spark)
+    val df = SparkEntry.queries("b11_topk")(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("GlobalSort"), plan.take(2000))
+  }
+
+  test("minhash signatures aggregate inside codegen'd HashAggregate") {
+    val docs = Fixtures.raw(spark, sfDir, "documents")
+    val df = operators.Dedup.minHashSignatures(docs, "doc_id", "text")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+    // partial (map-side) aggregation before the shuffle
+    assert(plan.contains("partial_min") || plan.contains("partial"), plan.take(2000))
+  }
+
+  test("snapshot read scans exactly the alive files (no directory glob)") {
+    Fixtures.ensureConf(spark)
+    val fx = Fixtures.eventsIce(spark, sfDir)
+    val df = fx.table.read().groupBy("event_type").count()
+    val scan = scansOf(df).head
+    val alive = fx.table.snapshot().aliveFiles.length
+    assert(scan.relation.location.inputFiles.length == alive)
+  }
+}
