@@ -107,6 +107,13 @@ object SparkEntry {
       t.withPartitionColumn(t.read(), "d")
         .groupBy(col("d")).agg(count(lit(1)).as("cnt")).orderBy(col("d"))
     }),
+    "b4_projection" -> ((s, d) => {
+      Fixtures.lineitemIce(s, d).read()
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_quantity") * 2).cast("bigint").as("double_qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(50)
+    }),
     "b5_filter" -> ((s, d) => {
       Fixtures.lineitemIce(s, d).read()
         .where(col("l_quantity") < 25 && col("l_discount").between(0.02, 0.08))
@@ -212,6 +219,25 @@ object SparkEntry {
       val t = Fixtures.eventsIce(s, d).table
       t.withFileName(t.read())
         .agg(countDistinct(col("_file")).as("files"))
+    }),
+    "b22_scalar_udf" -> ((s, d) => {
+      // scalar UDF bound into the engine (B22) — last-resort extension
+      // point; everything else in this library uses codegen'd built-ins
+      s.udf.register("graft_tok_count",
+        (t: String) => if (t == null || t.trim.isEmpty) 0 else t.trim.split("\\s+").length)
+      Fixtures.raw(s, d, "documents").createOrReplaceTempView("docs_udf")
+      s.sql("""select cast(sum(graft_tok_count(text)) as bigint) as total_tokens,
+              |count(*) as cnt from docs_udf""".stripMargin)
+    }),
+    "b23_output_csv" -> ((s, d) => {
+      // output-format round trip (B23): aggregate -> csv -> read back
+      val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      Fixtures.raw(s, d, "orders")
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("cnt"))
+        .coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
+      s.read.option("header", "true").option("inferSchema", "true").csv(out)
+        .select(col("o_orderstatus"), col("cnt").cast("bigint").as("cnt"))
+        .orderBy(col("o_orderstatus"))
     }),
     "b21_catalog_view" -> ((s, d) => {
       // snapshot registered as a catalog view via IceFileIndex: WHERE on the
@@ -352,6 +378,12 @@ object SparkEntry {
       "SELECT count(*) AS cnt FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-01'",
     "b2_partition_columns" ->
       "SELECT strftime(ts, '%Y-%m-%d') AS d, count(*) AS cnt FROM events GROUP BY d ORDER BY d",
+    "b4_projection" ->
+      "SELECT l_orderkey, l_linenumber, CAST(l_quantity * 2 AS BIGINT) AS double_qty FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 50",
+    "b22_scalar_udf" ->
+      "SELECT CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens, count(*) AS cnt FROM documents",
+    "b23_output_csv" ->
+      "SELECT o_orderstatus, count(*) AS cnt FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
     "b5_filter" ->
       "SELECT count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty FROM lineitem WHERE l_quantity < 25 AND l_discount BETWEEN 0.02 AND 0.08",
     "b6_group_agg" ->
