@@ -32,9 +32,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // untimed warmup: build the ice fixture tables the queries read
+    // warmup: build the ice fixture tables the queries read; the build IS
+    // the ingest benchmark (insert + full compaction), reported separately
+    val t0 = System.nanoTime()
     Fixtures.eventsIce(spark, sfDir)
     Fixtures.lineitemIce(spark, sfDir)
+    val loadSec = (System.nanoTime() - t0) / 1e9
+    val loadRows = Fixtures.raw(spark, sfDir, "events").count() +
+      Fixtures.raw(spark, sfDir, "lineitem").count()
 
     val qs = SparkEntry.queries
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -56,7 +61,7 @@ object Bench {
     val eJson = errors.map { case (k, v) => s""""$k":"$v"""" }
       .mkString("{", ",", "}")
     val total = times.values.sum
-    println(s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qJson,"errors":$eJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qJson,"errors":$eJson,"load_sec":${"%.4f".format(loadSec)},"load_rows":$loadRows,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -408,8 +408,19 @@ final class IceTable(
     val cleaned = mutable.ArrayBuffer.empty[String]
     val expired = nowMs - minAgeMs
 
+    // fetch all merged logs concurrently (the reference's cleanup is
+    // sequential-GET-bound at scale); the fold below stays in sorted order
+    val fetched: Map[String, (Schema, Seq[FileMarker], Seq[LogTombstone])] = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext = IceLogIO.ioPool
+      Await.result(
+        Future.traverse(mergeLogFiles)(f =>
+          Future(f -> logio.readLogForward(root, Seq(f)))),
+        Duration.Inf).toMap
+    }
     mergeLogFiles.foreach { logFile =>
-      val (s, markers, tombstones) = logio.readLogForward(root, Seq(logFile))
+      val (s, markers, tombstones) = fetched(logFile)
       tombstones.foreach { tmb =>
         if (tmb.createdMs <= expired) logFilesToDelete += tmb.path
         else logFilesToKeep(tmb.path) = tmb
