@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.ice.IceTable
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming surface: the reference's only streaming story is a
+  * wall-clock batcher (examples/api-flask.py:51-141 — covered by
+  * [[IceTable.insert]] inside `foreachBatch`, see StreamingIngestSpec);
+  * these operators extend it with the event-time primitives a real stream
+  * pipeline needs — watermarked windowed aggregation, session windows, and
+  * custom keyed state — all on the engine's tables.
+  */
+object Streams {
+
+  /** Watermarked tumbling/sliding event-time counts per key. */
+  def windowedCounts(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      windowDuration: String = "1 minute",
+      slideDuration: Option[String] = None,
+      watermark: String = "2 minutes"): DataFrame = {
+    val w = slideDuration.fold(window(col(tsCol), windowDuration))(s =>
+      window(col(tsCol), windowDuration, s))
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), w.as("win"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col(keyCol), col("win.start").as("win_start"),
+        col("win.end").as("win_end"), col("cnt"))
+  }
+
+  /** Event-time sessionization with a gap timeout — Spark's native
+    * `session_window` (declarative; Catalyst owns the state store). */
+  def sessionized(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      gap: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap).as("sess"))
+      .agg(count(lit(1)).as("events"),
+        min(tsCol).as("first_ts"), max(tsCol).as("last_ts"))
+      .select(col(keyCol), col("sess.start").as("sess_start"),
+        col("sess.end").as("sess_end"), col("events"))
+
+  /** Custom keyed state via mapGroupsWithState: running per-key event count
+    * and latest value across micro-batches (the escape hatch when built-in
+    * windows can't express the state machine). Emits one updated row per
+    * key per batch — use OutputMode.Update. */
+  def runningState(
+      events: Dataset[(String, Long)]): Dataset[(String, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), (String, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[(Long, Long)]) =>
+          val (prevCnt, _) = state.getOption.getOrElse((0L, 0L))
+          var cnt = prevCnt
+          var latest = state.getOption.map(_._2).getOrElse(0L)
+          rows.foreach { case (_, v) => cnt += 1; latest = math.max(latest, v) }
+          state.update((cnt, latest))
+          (key, cnt, latest)
+      }
+  }
+
+  /** The reference's batcher loop as a streaming sink: every micro-batch is
+    * one atomic ice insert; optional compaction every `mergeEveryBatches`. */
+  def iceSink(
+      stream: DataFrame,
+      table: IceTable,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("3 seconds"),
+      mergeEveryBatches: Int = 10): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          table.insert(batch)
+          if (mergeEveryBatches > 0 && id > 0 && id % mergeEveryBatches == 0)
+            table.merge()
+        }
+        ()
+      }
+      .start()
+}
