@@ -335,6 +335,17 @@ object SparkEntry {
         .select(col("qid"), col("id"), col("rank").cast("bigint").as("rank"))
         .orderBy(col("qid"), col("rank"))
     }),
+    "llm_ann_ivf" -> ((s, d) => {
+      // IVF coarse quantization: rows-only check (training-dependent)
+      val emb = Fixtures.raw(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val queries = emb.where(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(emb, "vec_id", "embedding",
+          queries, "qid", "qvec", k = 10, nlist = 16, nprobe = 4)
+        .select(col("qid"), col("id"), col("rank").cast("bigint").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
     "llm_cosine_neardup" -> ((s, d) => {
       // rows-only check
       Similarity.cosineDupPairs(

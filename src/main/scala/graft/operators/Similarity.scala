@@ -107,6 +107,67 @@ object Similarity {
     topKPerQuery(scored, "qid", k).select("qid", "id", "sim", "rank")
   }
 
+  /** IVF (inverted-file) ANN: k-means-style coarse quantization. Centroids
+    * are seeded deterministically from the corpus and refined with a few
+    * Lloyd iterations (all DataFrame ops — assignment is a broadcast
+    * nearest-centroid argmin, the update is an element-wise mean via
+    * posexplode/regroup); queries probe the `nprobe` nearest lists and
+    * score only those lists' members exactly.
+    *
+    * vs [[lshTopK]]: IVF adapts to the data distribution (clustered real
+    * embeddings → small lists, high recall); LSH is oblivious but needs no
+    * training pass. Both exist because both trade-offs are real at 100 TB.
+    */
+  def ivfTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
+      lloydIterations: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("_v"))
+
+    // deterministic seeds: the nlist corpus rows with smallest xxhash64(id)
+    var centroids = c
+      .withColumn("_h", xxhash64(col("id")))
+      .orderBy("_h").limit(nlist)
+      .select(monotonically_increasing_id().as("cid"), col("_v").as("_c"))
+
+    def nearestCid(df: DataFrame): DataFrame = {
+      val scored = df.crossJoin(broadcast(centroids))
+        .withColumn("_sim", cosine(col("_v"), col("_c")))
+      val w = Window.partitionBy("id").orderBy(col("_sim").desc, col("cid"))
+      scored.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1).select(col("id"), col("_v"), col("cid"))
+    }
+
+    (1 to lloydIterations).foreach { _ =>
+      // element-wise mean per centroid: posexplode → avg per (cid, pos)
+      val assigned = nearestCid(c)
+      centroids = assigned
+        .select(col("cid"), posexplode(col("_v")).as(Seq("_p", "_x")))
+        .groupBy("cid", "_p").agg(avg(col("_x")).as("_m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("_p"), col("_m")))).as("_pm"))
+        .select(col("cid"), transform(col("_pm"), e => e.getField("_m")).as("_c"))
+    }
+
+    val lists = nearestCid(c) // final assignment: (id, _v, cid)
+
+    // each query probes its nprobe nearest lists
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("_q"))
+    val probes = {
+      val scored = q.crossJoin(broadcast(centroids))
+        .withColumn("_sim", cosine(col("_q"), col("_c")))
+      val w = Window.partitionBy("qid").orderBy(col("_sim").desc, col("cid"))
+      scored.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") <= nprobe).select(col("qid"), col("_q"), col("cid"))
+    }
+
+    val scored = lists.join(broadcast(probes), Seq("cid"))
+      .where(col("id") =!= col("qid"))
+      .withColumn("sim", cosine(col("_v"), col("_q")))
+    topKPerQuery(scored, "qid", k).select("qid", "id", "sim", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs: same-bucket candidates with
     * cosine >= threshold (idA < idB). The embedding twin of
     * [[Dedup.minHashDupPairs]]. */

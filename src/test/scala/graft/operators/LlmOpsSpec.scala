@@ -83,6 +83,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(r.sameElements(r.sorted.reverse))
   }
 
+  test("IVF ANN reaches >=60% recall@10 of brute force") {
+    val queries = embeddings.limit(5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val exact = Similarity.bruteForceTopK(
+      embeddings, "vec_id", "embedding", queries, "qid", "qvec", k = 10)
+    val ivf = Similarity.ivfTopK(
+      embeddings, "vec_id", "embedding", queries, "qid", "qvec",
+      k = 10, nlist = 8, nprobe = 4)
+    val e = exact.select("qid", "id").as[(Long, Long)].collect().toSet
+    val a = ivf.select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = (e intersect a).size.toDouble / e.size
+    assert(recall >= 0.6, s"IVF recall@10 = $recall")
+  }
+
   test("embedding cosine near-dup pairs are symmetric-free and thresholded") {
     // plant an exact duplicate vector
     val dup = embeddings.limit(1)
