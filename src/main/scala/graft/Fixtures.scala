@@ -33,6 +33,26 @@ object Fixtures {
   private def newRoot(tag: String): String =
     java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
 
+  /** Build every fixture table concurrently (they are independent roots;
+    * Spark schedules the jobs side by side). Verify calls this once so the
+    * per-query map order doesn't serialize ~8 table builds. */
+  def prewarm(spark: SparkSession, sfDir: String): Unit = {
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+        val t = new Thread(r, "fixture-prewarm"); t.setDaemon(true); t
+      }))
+    val builds: Seq[() => Any] = Seq(
+      () => eventsIce(spark, sfDir), () => lineitemIce(spark, sfDir),
+      () => eventsCleaned(spark, sfDir), () => eventsRemoved(spark, sfDir),
+      () => eventsRewritten(spark, sfDir), () => eventsEvolved(spark, sfDir),
+      () => eventsAgg(spark, sfDir), () => eventsReplacing(spark, sfDir),
+      () => eventsDedup(spark, sfDir))
+    Await.result(Future.traverse(builds)(b => Future(b())), Duration.Inf)
+    ()
+  }
+
   // ------------------------------------------------------------ events ice
 
   final case class EventsIce(table: IceTable, betweenTs: Long)

@@ -17,6 +17,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    try Fixtures.prewarm(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] prewarm failed: ${e.getMessage}") }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -332,15 +332,19 @@ final class IceTable(
       partition: String,
       acc: Seq[FileMarker]): MergeResult = {
     val src = readFiles(snap, acc)
+    // the `source_files` view name is rewritten to a unique name so
+    // concurrent merges of *different* tables in one session never race
+    // (merges of the SAME table still require the reference's external
+    // exclusive lock — ARCHITECTURE.md:117,158-165)
     val merged = cfg.customMergeSql match {
       case None => src
       case Some(q) =>
-        src.createOrReplaceTempView("source_files")
-        spark.sql(q)
+        val view = s"source_files_${UUID.randomUUID().toString.replace("-", "")}"
+        src.createOrReplaceTempView(view)
+        spark.sql(q.replaceAll("\\bsource_files\\b", view))
     }
     val outRel = s"_data/$partition/${UUID.randomUUID()}.parquet"
     val preMarker = writeSingleFile(merged, outRel)
-    if (cfg.customMergeSql.isDefined) spark.catalog.dropTempView("source_files")
 
     // Log rewrite (icedb/icedb.py:290-322): re-read exactly the source logs
     // of the merged markers, tombstone merged paths, carry forward untouched

@@ -112,6 +112,10 @@ object SchemaTypes {
     case BinaryType          => "BLOB"
     case DateType            => "DATE"
     case TimestampType       => "TIMESTAMP"
+    // NTZ collapses to TIMESTAMP (and round-trips as session-tz
+    // TimestampType): the reference's vocabulary has a single timestamp
+    // string; pipelines needing NTZ fidelity should store epoch BIGINT
+    // like the reference does (SURVEY.md §1.2)
     case TimestampNTZType    => "TIMESTAMP"
     case d: DecimalType      => s"DECIMAL(${d.precision},${d.scale})"
     case ArrayType(et, _)    => s"${toTypeString(et)}[]"
