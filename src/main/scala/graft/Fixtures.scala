@@ -35,43 +35,75 @@ object Fixtures {
 
   /** Build every fixture table concurrently (they are independent roots;
     * Spark schedules the jobs side by side). Verify calls this once so the
-    * per-query map order doesn't serialize ~8 table builds. */
-  def prewarm(spark: SparkSession, sfDir: String): Unit = {
+    * per-query map order doesn't serialize ~10 table builds.
+    *
+    * Bounded: each build is individually recovered (a failed fixture costs
+    * only its own queries — they'll retry lazily and report their own
+    * error), and the whole wait is time-boxed so a stuck build can never
+    * hang the caller forever (round 2 lost all 45 queries to one
+    * `Duration.Inf` await here).
+    */
+  def prewarm(
+      spark: SparkSession,
+      sfDir: String,
+      timeout: scala.concurrent.duration.Duration =
+        scala.concurrent.duration.Duration(30, "min")): Unit = {
     import scala.concurrent.{Await, Future, ExecutionContext}
-    import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(
       java.util.concurrent.Executors.newFixedThreadPool(8, r => {
         val t = new Thread(r, "fixture-prewarm"); t.setDaemon(true); t
       }))
-    val builds: Seq[() => Any] = Seq(
-      () => eventsIce(spark, sfDir), () => lineitemIce(spark, sfDir),
-      () => eventsCleaned(spark, sfDir), () => eventsRemoved(spark, sfDir),
-      () => eventsRewritten(spark, sfDir), () => eventsEvolved(spark, sfDir),
-      () => eventsAgg(spark, sfDir), () => eventsReplacing(spark, sfDir),
-      () => eventsDedup(spark, sfDir))
-    Await.result(Future.traverse(builds)(b => Future(b())), Duration.Inf)
+    val builds: Seq[(String, () => Any)] = Seq(
+      "events" -> (() => eventsIce(spark, sfDir)),
+      "lineitem" -> (() => lineitemIce(spark, sfDir)),
+      "cleaned" -> (() => eventsCleaned(spark, sfDir)),
+      "removed" -> (() => eventsRemoved(spark, sfDir)),
+      "rewritten" -> (() => eventsRewritten(spark, sfDir)),
+      "evolved" -> (() => eventsEvolved(spark, sfDir)),
+      "agg" -> (() => eventsAgg(spark, sfDir)),
+      "replacing" -> (() => eventsReplacing(spark, sfDir)),
+      "dedup" -> (() => eventsDedup(spark, sfDir)),
+      "mv" -> (() => eventsMv(spark, sfDir)),
+      "seeded" -> (() => eventsSeeded(spark, sfDir)))
+    val all = Future.traverse(builds) { case (name, b) =>
+      Future(b()).recover { case e =>
+        System.err.println(s"[prewarm] fixture $name failed: ${e.getMessage}")
+      }
+    }
+    try Await.result(all, timeout)
+    catch { case _: scala.concurrent.TimeoutException =>
+      System.err.println(s"[prewarm] timed out after $timeout; " +
+        "unfinished fixtures will build lazily per query")
+    }
     ()
   }
 
   // ------------------------------------------------------------ events ice
 
-  final case class EventsIce(table: IceTable, betweenTs: Long)
+  final case class EventsIce(
+      table: IceTable, betweenTs: Long,
+      insertSec: Double, mergeSec: Double)
 
   /** Main events table: two inserts (even then odd event_id — a stable
-    * time-travel split), then full compaction. Exercises A1/A3/A7/A9/A10. */
+    * time-travel split), then full compaction. Exercises A1/A3/A7/A9/A10.
+    * Insert and merge are timed separately so the bench can report a clean
+    * ingest-only rows/s against BASELINE.md's load band. */
   def eventsIce(spark: SparkSession, sfDir: String): EventsIce =
     memo(s"$sfDir#events") {
       val ev = raw(spark, sfDir, "events")
       val table = new IceTable(spark, newRoot("events"), IceTableConfig(
         partitionExpr = concat(lit("d="), date_format(evTs(col("ts")), "yyyy-MM-dd")),
         sortOrder = Seq("ts", "event_id")))
+      val t0 = System.nanoTime()
       table.insert(ev.where(col("event_id") % 2 === 0))
       Thread.sleep(2)
       val between = System.currentTimeMillis()
       Thread.sleep(2)
       table.insert(ev.where(col("event_id") % 2 === 1))
+      val t1 = System.nanoTime()
       table.mergeAll(maxFileSize = 1_000_000_000L, maxFileCount = 100)
-      EventsIce(table, between)
+      val t2 = System.nanoTime()
+      EventsIce(table, between, (t1 - t0) / 1e9, (t2 - t1) / 1e9)
     }
 
   /** Merged + vacuumed variant (A15): query answers must be unchanged. */
@@ -183,6 +215,65 @@ object Fixtures {
             |from source_files group by _row_id""".stripMargin)))
       table.insert(ev)
       table.insert(ev)
+      table.mergeAll(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+      table
+    }
+
+  /** Materialized-view recipe (reference examples/materialized-view.py:44-98,
+    * README.md:625-634): the app double-writes every batch to a raw table
+    * AND a second aggregating table with its own partition function +
+    * custom insert/merge. The MV's `sum(cnt)` must equal the raw table's
+    * `count(*)` at every lifecycle point. */
+  final case class MvPair(raw: IceTable, mv: IceTable)
+
+  def eventsMv(spark: SparkSession, sfDir: String): MvPair =
+    memo(s"$sfDir#mv") {
+      val ev = raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val rawTable = new IceTable(spark, newRoot("mvraw"), IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(16))),
+        sortOrder = Seq("user_id", "event_id")))
+      val mvTable = new IceTable(spark, newRoot("mvagg"), IceTableConfig(
+        partitionExpr = concat(lit("e="), col("event_type")),
+        sortOrder = Seq("user_id"),
+        customInsertSql = Some(
+          """select user_id, event_type, cast(count(*) as bigint) as cnt
+            |from _rows group by user_id, event_type""".stripMargin),
+        customMergeSql = Some(
+          """select user_id, event_type, cast(sum(cnt) as bigint) as cnt
+            |from source_files group by user_id, event_type""".stripMargin)))
+      Seq(ev.where(col("event_id") % 2 === 0),
+          ev.where(col("event_id") % 2 === 1)).foreach { batch =>
+        rawTable.insert(batch) // the app-side double-write
+        mvTable.insert(batch)
+      }
+      rawTable.mergeAll(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+      mvTable.mergeAll(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+      MvPair(rawTable, mvTable)
+    }
+
+  /** B18 union-by-name seeding over an evolved schema (README.md:672-687):
+    * early batches predate the `cnt` column (raw rows, one event each);
+    * later batches arrive pre-aggregated with `cnt`. The custom merge seeds
+    * the missing column with `coalesce(cnt, 1)` — the union-schema read
+    * supplies the nulls, exactly the `union all by name` idiom. */
+  def eventsSeeded(spark: SparkSession, sfDir: String): IceTable =
+    memo(s"$sfDir#seeded") {
+      val ev = raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val table = new IceTable(spark, newRoot("seeded"), IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(16))),
+        sortOrder = Seq("user_id"),
+        customMergeSql = Some(
+          """select user_id, event_type,
+            |cast(sum(coalesce(cnt, 1)) as bigint) as cnt
+            |from source_files group by user_id, event_type""".stripMargin)))
+      // pre-evolution batch: no cnt column (each row is one event)
+      table.insert(ev.where(col("event_id") % 2 === 0))
+      // post-evolution batch: pre-aggregated rows carry cnt
+      table.insert(ev.where(col("event_id") % 2 === 1)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).cast("bigint").as("cnt")))
       table.mergeAll(maxFileSize = 1_000_000_000L, maxFileCount = 100)
       table
     }

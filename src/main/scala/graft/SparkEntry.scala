@@ -83,6 +83,22 @@ object SparkEntry {
         .groupBy(col("event_type")).agg(sum(col("cnt")).as("cnt"))
         .orderBy(col("event_type"))
     }),
+    "a12_mv" -> ((s, d) => {
+      // materialized-view double-write recipe: MV grand total == raw
+      // count(*) after both tables compact (materialized-view.py:112-118)
+      val pair = Fixtures.eventsMv(s, d)
+      val rawCnt = pair.raw.read().agg(count(lit(1)).as("raw_cnt"))
+      val mvCnt = pair.mv.read().agg(sum(col("cnt")).cast("bigint").as("mv_cnt"))
+      rawCnt.crossJoin(mvCnt)
+    }),
+    "b18_union_seed" -> ((s, d) => {
+      // query-time re-application of the seeding agg (README.md:672-687):
+      // unmerged pre-evolution files read cnt as null → coalesce to 1
+      Fixtures.eventsSeeded(s, d).read()
+        .groupBy(col("event_type"))
+        .agg(sum(coalesce(col("cnt"), lit(1L))).cast("bigint").as("cnt"))
+        .orderBy(col("event_type"))
+    }),
     "a13_replacing_merge" -> ((s, d) => {
       Fixtures.eventsReplacing(s, d).read()
         .groupBy(col("user_id"))
@@ -111,7 +127,9 @@ object SparkEntry {
       Fixtures.lineitemIce(s, d).read()
         .select(col("l_orderkey"), col("l_linenumber"),
           (col("l_quantity") * 2).cast("bigint").as("double_qty"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // the synthetic testdata has duplicate (orderkey, linenumber) pairs,
+        // so double_qty is needed to make the order total under LIMIT
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("double_qty"))
         .limit(50)
     }),
     "b5_filter" -> ((s, d) => {
@@ -133,6 +151,17 @@ object SparkEntry {
       Fixtures.lineitemIce(s, d).read()
         .agg(countDistinct(col("l_orderkey")).as("uniq_orders"),
           countDistinct(col("l_partkey")).as("uniq_parts"))
+    }),
+    "b7_approx_uniq" -> ((s, d) => {
+      // CH `uniq` parity (query.sql:4): HLL estimate, graded as a
+      // verified-accuracy bound — the oracle pins exact_uniq and asserts
+      // the estimate landed within 5% (rsd 0.02 ⇒ ~2σ margin)
+      val df = Fixtures.lineitemIce(s, d).read()
+      df.agg(countDistinct(col("l_orderkey")).as("exact_uniq"),
+          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx"))
+        .select(col("exact_uniq"),
+          (abs(col("approx") - col("exact_uniq")) <=
+            col("exact_uniq") * 0.05).as("approx_within_5pct"))
     }),
     "b8_max_by" -> ((s, d) => {
       Fixtures.raw(s, d, "orders")
@@ -381,6 +410,12 @@ object SparkEntry {
       "SELECT count(*) AS cnt, CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS null_props FROM events",
     "a12_agg_merge" ->
       "SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
+    "a12_mv" ->
+      "SELECT count(*) AS raw_cnt, CAST(count(*) AS BIGINT) AS mv_cnt FROM events",
+    "b18_union_seed" ->
+      "SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
+    "b7_approx_uniq" ->
+      "SELECT count(DISTINCT l_orderkey) AS exact_uniq, true AS approx_within_5pct FROM lineitem",
     "a13_replacing_merge" ->
       "SELECT user_id, arg_max(event_type, event_id) AS event_type, max(event_id) AS last_event_id FROM events GROUP BY user_id ORDER BY user_id",
     "a14_dedup_merge" ->
@@ -390,7 +425,7 @@ object SparkEntry {
     "b2_partition_columns" ->
       "SELECT strftime(ts, '%Y-%m-%d') AS d, count(*) AS cnt FROM events GROUP BY d ORDER BY d",
     "b4_projection" ->
-      "SELECT l_orderkey, l_linenumber, CAST(l_quantity * 2 AS BIGINT) AS double_qty FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 50",
+      "SELECT l_orderkey, l_linenumber, CAST(l_quantity * 2 AS BIGINT) AS double_qty FROM lineitem ORDER BY l_orderkey, l_linenumber, double_qty LIMIT 50",
     "b22_scalar_udf" ->
       "SELECT CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens, count(*) AS cnt FROM documents",
     "b23_output_csv" ->

@@ -27,46 +27,67 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration) {
 
   def logDir(root: String): Path = new Path(root, "_log")
 
+  /** Concurrent GET of log files → raw lines, keyed by root-relative path.
+    *
+    * LEAF-ONLY concurrency contract: the futures submitted to the shared
+    * bounded [[IceLogIO.ioPool]] do nothing but read bytes — they never call
+    * back into any method that itself blocks on the pool. Round 2 nested
+    * `readLogForward` (which Awaits on the pool) inside pool futures from
+    * `tombstoneCleanup`; with more outer tasks than threads, every thread sat
+    * in an outer `Await` waiting for inner work that could never be
+    * scheduled. All callers now fan out through this method only.
+    */
+  def fetchLogLines(root: String, logPaths: Seq[String]): Map[String, Array[String]] = {
+    val filesystem = fs(root)
+    implicit val ec: ExecutionContext = IceLogIO.ioPool
+    Await.result(
+      Future.traverse(logPaths.distinct) { logFile =>
+        Future(logFile -> readLines(filesystem, new Path(root, logFile)))
+      }, Duration.Inf).toMap
+  }
+
+  /** Parse one fetched log file (pure, in-memory): line 1 metadata, schema
+    * line, optional tombstone lines, file-marker lines
+    * (reference: icedb/log.py:232-279 per-file body). */
+  def parseLog(logFile: String, lines: Array[String])
+      : (Schema, Seq[FileMarker], Seq[LogTombstone]) = {
+    val meta = LogMetadata.fromJson(lines(0))
+    val schema = Schema.fromJson(lines(meta.schemaLineIndex))
+    val tombstones = meta.tombstoneLineIndex.toSeq.flatMap { tmbIdx =>
+      (tmbIdx until meta.fileLineIndex).map(i => LogTombstone.fromJson(lines(i)))
+    }
+    val markers = (meta.fileLineIndex until lines.length).map { i =>
+      FileMarker.fromJson(lines(i)).copy(virSourceLogFile = Some(logFile))
+    }
+    (schema, markers, tombstones)
+  }
+
   /** Fold a set of log files into (schema, markers, tombstones):
     * lexicographic (=timestamp) order, schema union, last-writer-wins per
     * marker path, tombstone collect (reference: icedb/log.py:232-279).
     *
-    * GETs run concurrently (the reference reads sequentially and its merge
-    * latency was log-read-bound at thousands of S3 objects —
-    * perf_tests/chicago_taxis/README.md:381-387); the fold itself stays
-    * sequential in lexicographic order so semantics are unchanged.
+    * GETs run concurrently via [[fetchLogLines]] (the reference reads
+    * sequentially and its merge latency was log-read-bound at thousands of
+    * S3 objects — perf_tests/chicago_taxis/README.md:381-387); the fold
+    * itself stays sequential in lexicographic order so semantics are
+    * unchanged.
     */
   def readLogForward(root: String, logPaths: Seq[String])
       : (Schema, Seq[FileMarker], Seq[LogTombstone]) = {
     val totalSchema = new Schema
     val markers = mutable.LinkedHashMap.empty[String, FileMarker]
     val tombstones = mutable.LinkedHashMap.empty[String, LogTombstone]
-    val filesystem = fs(root)
     val sorted = logPaths.sorted
 
     if (sorted.isEmpty) throw new NoLogFilesException
 
-    implicit val ec: ExecutionContext = IceLogIO.ioPool
-    val fetched: Map[String, Array[String]] = Await.result(
-      Future.traverse(sorted.distinct) { logFile =>
-        Future(logFile -> readLines(filesystem, new Path(root, logFile)))
-      }, Duration.Inf).toMap
+    val fetched = fetchLogLines(root, sorted)
 
     sorted.foreach { logFile =>
-      val lines = fetched(logFile)
-      val meta = LogMetadata.fromJson(lines(0))
-      val schema = Schema.fromJson(lines(meta.schemaLineIndex))
+      val (schema, fileMs, tmbs) = parseLog(logFile, fetched(logFile))
       totalSchema.accumulate(schema.columns, schema.types)
-      meta.tombstoneLineIndex.foreach { tmbIdx =>
-        (tmbIdx until meta.fileLineIndex).foreach { i =>
-          val t = LogTombstone.fromJson(lines(i))
-          tombstones(t.path) = t
-        }
-      }
-      (meta.fileLineIndex until lines.length).foreach { i =>
-        val fm = FileMarker.fromJson(lines(i)).copy(virSourceLogFile = Some(logFile))
-        markers(fm.path) = fm
-      }
+      tmbs.foreach(t => tombstones(t.path) = t)
+      fileMs.foreach(fm => markers(fm.path) = fm)
     }
     (totalSchema, markers.values.toSeq, tombstones.values.toSeq)
   }

@@ -210,22 +210,34 @@ final class IceTable(
     * rather than footer-union-driven.
     */
   private def insertCustom(routed: DataFrame, sql: String): (Seq[FileMarker], Schema) = {
+    // metadata-scale collect: distinct partition values only, never row data
     val parts = routed.select(IceTable.RouteCol).distinct()
       .collect().map(_.getString(0)).sorted
+    // Partitions write concurrently, mirroring the reference's per-partition
+    // thread pool (icedb.py:205-215) — at 10³-10⁴ partitions a serial
+    // driver loop of Spark jobs is the bottleneck. Leaf-only futures: each
+    // submits one Spark job + a rename, and never blocks on this pool.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = IceTable.insertPool
+    val results: Seq[(Schema, FileMarker)] = Await.result(
+      Future.traverse(parts.toSeq) { p =>
+        Future {
+          val view = s"_rows_${UUID.randomUUID().toString.replace("-", "")}"
+          routed.filter(col(IceTable.RouteCol) === p).drop(IceTable.RouteCol)
+            .createOrReplaceTempView(view)
+          try {
+            val result = spark.sql(sql.replaceAll("\\b_rows\\b", view))
+            val s = Schema.fromStructType(result.schema)
+            (s, writeSingleFile(result, s"_data/$p/${UUID.randomUUID()}.parquet"))
+          } finally spark.catalog.dropTempView(view)
+        }
+      }, Duration.Inf)
+    // fold on the caller thread in sorted partition order, so a schema
+    // conflict raises at the same partition the serial loop would have
     val schema = new Schema
-    val out = mutable.ArrayBuffer.empty[FileMarker]
-    parts.foreach { p =>
-      val view = s"_rows_${UUID.randomUUID().toString.replace("-", "")}"
-      routed.filter(col(IceTable.RouteCol) === p).drop(IceTable.RouteCol)
-        .createOrReplaceTempView(view)
-      try {
-        val result = spark.sql(sql.replaceAll("\\b_rows\\b", view))
-        val s = Schema.fromStructType(result.schema)
-        schema.accumulate(s.columns, s.types)
-        out += writeSingleFile(result, s"_data/$p/${UUID.randomUUID()}.parquet")
-      } finally spark.catalog.dropTempView(view)
-    }
-    (out.toSeq, schema)
+    results.foreach { case (s, _) => schema.accumulate(s.columns, s.types) }
+    (results.map(_._2), schema)
   }
 
   /** Move each `{tmp}/{RouteCol}={part}/part-*.parquet` into
@@ -413,18 +425,13 @@ final class IceTable(
     val expired = nowMs - minAgeMs
 
     // fetch all merged logs concurrently (the reference's cleanup is
-    // sequential-GET-bound at scale); the fold below stays in sorted order
-    val fetched: Map[String, (Schema, Seq[FileMarker], Seq[LogTombstone])] = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec: scala.concurrent.ExecutionContext = IceLogIO.ioPool
-      Await.result(
-        Future.traverse(mergeLogFiles)(f =>
-          Future(f -> logio.readLogForward(root, Seq(f)))),
-        Duration.Inf).toMap
-    }
+    // sequential-GET-bound at scale): fetchLogLines is leaf-only I/O on the
+    // shared pool — never nest readLogForward (which Awaits on that same
+    // pool) inside pool futures, that starves and deadlocks at >16 logs.
+    // The per-log parse + fold below stays sequential in sorted order.
+    val fetched = logio.fetchLogLines(root, mergeLogFiles)
     mergeLogFiles.foreach { logFile =>
-      val (s, markers, tombstones) = fetched(logFile)
+      val (s, markers, tombstones) = logio.parseLog(logFile, fetched(logFile))
       tombstones.foreach { tmb =>
         if (tmb.createdMs <= expired) logFilesToDelete += tmb.path
         else logFilesToKeep(tmb.path) = tmb
@@ -557,6 +564,17 @@ final class IceTable(
 object IceTable {
   /** Internal routing column name; never written to data files. */
   private[ice] val RouteCol = "_ice_part"
+
+  /** Bounded pool for concurrent per-partition custom-insert jobs (distinct
+    * from IceLogIO.ioPool — keeps Spark-job-submitting work off the log-GET
+    * pool so neither can starve the other). */
+  private[ice] lazy val insertPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, Runtime.getRuntime.availableProcessors()),
+        (r: Runnable) => {
+          val t = new Thread(r, "ice-insert"); t.setDaemon(true); t
+        }))
 
   val pathSafeHostname: String = {
     val host = try java.net.InetAddress.getLocalHost.getHostName

@@ -1,0 +1,44 @@
+package graft.ice
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.concurrent.TimeLimits
+import org.scalatest.concurrent.Signaler
+import org.scalatest.time.{Seconds, Span}
+
+/** Regression for the round-2 thread-pool starvation deadlock: cleanup used
+  * to run `readLogForward` (which Awaits on IceLogIO.ioPool) inside futures
+  * submitted to that same fixed 16-thread pool, so with more than 16 merged
+  * logs every pool thread blocked on inner work that could never run. The
+  * lifecycle suite never crossed 16 merged logs, so this spec does —
+  * cleanup over 40 merged logs must complete and collapse them to one
+  * (the reference's log-truncation invariant, integration_test.py:401-426).
+  */
+class CleanupScaleSpec extends SparkSpec with TimeLimits {
+  private implicit val signaler: Signaler =
+    org.scalatest.concurrent.ThreadSignaler
+
+  test("tombstoneCleanup over 40 merged logs completes (no ioPool deadlock)") {
+    val root = tmpDir("cleanup_scale")
+    val cfg = IceTableConfig(partitionExpr = lit("p=1"), sortOrder = Seq.empty)
+    val table = new IceTable(spark, root, cfg)
+    val logio = table.logio
+    val schema = Schema("ts" -> "BIGINT")
+    val base = 1700000000000L
+    (0 until 40).foreach { i =>
+      logio.append(root, 1, schema,
+        Seq(FileMarker(s"_data/p=1/f$i.parquet", base + i, 100L)),
+        merged = true, timestamp = Some(base + i))
+    }
+
+    val result = failAfter(Span(120, Seconds)) {
+      table.tombstoneCleanup(minAgeMs = 365L * 24 * 3600 * 1000)
+    }
+    assert(result.cleanedLogFiles.length == 40)
+    assert(result.deletedLogFiles.isEmpty)
+    assert(result.deletedDataFiles.isEmpty)
+    val snap = table.snapshot()
+    assert(snap.logFiles.length == 1)
+    assert(snap.aliveFiles.length == 40)
+  }
+}
