@@ -13,8 +13,11 @@ Test / fork := true
 run / fork := true
 // Pass the forked JVM's stdout through unadorned (default LoggedOutput
 // prefixes every line with [info]/[error], which breaks the driver's
-// machine-parse of Bench's final JSON metric line).
+// machine-parse of Bench's final JSON metric line), and drop sbt's own
+// trailing "[success] Total time" line so the metric JSON printed by the
+// forked main is the LAST stdout line of `sbt runMain graft.Bench`.
 outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -32,6 +32,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Ingest warmup: a throwaway 1k-row insert+optimize compiles the whole
+    // write path (shuffle, parquet writer, codegen) so the timed build
+    // below measures steady-state ingest, not JVM startup — matching the
+    // warm-cache basis of the baseline's numbers.
+    {
+      import org.apache.spark.sql.functions._
+      val warm = new graft.ice.IceTable(spark,
+        java.nio.file.Files.createTempDirectory("graft_warm").toString,
+        graft.ice.IceTableConfig(
+          partitionExpr = concat(lit("d="),
+            date_format(Fixtures.evTs(col("ts")), "yyyy-MM-dd")),
+          sortOrder = Seq("ts", "event_id")))
+      warm.insert(Fixtures.raw(spark, sfDir, "events").limit(1000))
+      warm.insert(Fixtures.raw(spark, sfDir, "events").limit(1000))
+      warm.optimize(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+    }
+
     // warmup: build the ice fixture tables the queries read; the build IS
     // the ingest benchmark, with insert and compaction timed separately so
     // the rows/s comparison against BASELINE.md's load band is ingest-only

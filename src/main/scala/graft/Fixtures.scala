@@ -101,7 +101,7 @@ object Fixtures {
       Thread.sleep(2)
       table.insert(ev.where(col("event_id") % 2 === 1))
       val t1 = System.nanoTime()
-      table.mergeAll(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+      table.optimize(maxFileSize = 1_000_000_000L, maxFileCount = 100)
       val t2 = System.nanoTime()
       EventsIce(table, between, (t1 - t0) / 1e9, (t2 - t1) / 1e9)
     }
@@ -115,7 +115,7 @@ object Fixtures {
         sortOrder = Seq("ts", "event_id")))
       table.insert(ev.where(col("event_id") % 2 === 0))
       table.insert(ev.where(col("event_id") % 2 === 1))
-      table.mergeAll(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+      table.optimize(maxFileSize = 1_000_000_000L, maxFileCount = 100)
       table.tombstoneCleanup(0)
       table
     }
@@ -176,7 +176,7 @@ object Fixtures {
             |from source_files group by user_id, event_type""".stripMargin)))
       table.insert(ev.where(col("event_id") % 2 === 0))
       table.insert(ev.where(col("event_id") % 2 === 1))
-      table.mergeAll(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+      table.optimize(maxFileSize = 1_000_000_000L, maxFileCount = 100)
       table
     }
 
@@ -194,7 +194,7 @@ object Fixtures {
             |from source_files group by user_id""".stripMargin)))
       table.insert(ev.where(col("event_id") % 2 === 0))
       table.insert(ev.where(col("event_id") % 2 === 1))
-      table.mergeAll(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+      table.optimize(maxFileSize = 1_000_000_000L, maxFileCount = 100)
       table
     }
 
@@ -215,7 +215,7 @@ object Fixtures {
             |from source_files group by _row_id""".stripMargin)))
       table.insert(ev)
       table.insert(ev)
-      table.mergeAll(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+      table.optimize(maxFileSize = 1_000_000_000L, maxFileCount = 100)
       table
     }
 
@@ -247,8 +247,8 @@ object Fixtures {
         rawTable.insert(batch) // the app-side double-write
         mvTable.insert(batch)
       }
-      rawTable.mergeAll(maxFileSize = 1_000_000_000L, maxFileCount = 100)
-      mvTable.mergeAll(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+      rawTable.optimize(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+      mvTable.optimize(maxFileSize = 1_000_000_000L, maxFileCount = 100)
       MvPair(rawTable, mvTable)
     }
 
@@ -274,7 +274,7 @@ object Fixtures {
       table.insert(ev.where(col("event_id") % 2 === 1)
         .groupBy(col("user_id"), col("event_type"))
         .agg(count(lit(1)).cast("bigint").as("cnt")))
-      table.mergeAll(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+      table.optimize(maxFileSize = 1_000_000_000L, maxFileCount = 100)
       table
     }
 

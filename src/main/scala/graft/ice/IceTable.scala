@@ -403,6 +403,118 @@ final class IceTable(
     n
   }
 
+  /** Full-table compaction, Spark-shaped: where the reference's contract is
+    * one-partition-per-call (so a caller loop issues N snapshots, N jobs
+    * and N log appends — fine for a cron merging the hottest partition,
+    * quadratic pain for "optimize the table"), this picks the same greedy
+    * candidate set for EVERY partition under one snapshot, runs the merge
+    * jobs concurrently on a bounded pool (disjoint partitions touch
+    * disjoint files), and commits them all in ONE merged-log append — a
+    * single atomic PUT, so a crash mid-optimize publishes nothing. Repeats
+    * in rounds until no partition is mergeable. Returns merges performed.
+    *
+    * Same per-partition policy as [[merge]] (size-asc greedy, `>=` byte
+    * threshold, count cap); requires the same external exclusive lock as
+    * any merge (ARCHITECTURE.md:158-165).
+    */
+  def optimize(
+      maxFileSize: Long = 10_000_000L,
+      maxFileCount: Int = 10): Int = {
+    var total = 0
+    var progressed = true
+    while (progressed) {
+      progressed = false
+      val snapOpt = trySnapshot(now())
+      snapOpt.foreach { snap =>
+        val candidates = snap.files.groupBy(f => partitionOf(f.path)).toSeq
+          .sortBy(_._1)
+          .flatMap { case (partition, fileMarkers) =>
+            if (fileMarkers.length <= 1) None
+            else {
+              val sortedMs = fileMarkers.sortBy(_.fileBytes)
+              var accBytes = 0L
+              val acc = mutable.ArrayBuffer.empty[FileMarker]
+              val it = sortedMs.iterator
+              var done = false
+              while (it.hasNext && !done) {
+                val m = it.next()
+                if (m.tombstone.isEmpty) {
+                  accBytes += m.fileBytes
+                  acc += m
+                  if (accBytes >= maxFileSize ||
+                    (acc.length > 1 && acc.length >= maxFileCount)) done = true
+                }
+              }
+              if (acc.length > 1) Some(partition -> acc.toSeq) else None
+            }
+          }
+        if (candidates.nonEmpty) {
+          commitMerges(snap, candidates)
+          total += candidates.length
+          progressed = true
+        }
+      }
+    }
+    total
+  }
+
+  /** Run each partition's merge job concurrently, then write one merged
+    * log covering all of them (the multi-partition generalization of
+    * [[executeMerge]]'s log rewrite). */
+  private def commitMerges(
+      snap: IceSnapshot,
+      candidates: Seq[(String, Seq[FileMarker])]): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = IceTable.insertPool
+    // data movement: one single-file merge job per partition, concurrent,
+    // leaf-only on the pool
+    val results: Seq[(FileMarker, Schema)] = Await.result(
+      Future.traverse(candidates) { case (partition, acc) =>
+        Future {
+          val src = readFiles(snap, acc)
+          val merged = cfg.customMergeSql match {
+            case None => src
+            case Some(q) =>
+              val view = s"source_files_${UUID.randomUUID().toString.replace("-", "")}"
+              src.createOrReplaceTempView(view)
+              try spark.sql(q.replaceAll("\\bsource_files\\b", view))
+              finally () // view dropped lazily; unique name avoids races
+          }
+          (writeSingleFile(merged, s"_data/$partition/${UUID.randomUUID()}.parquet"),
+            Schema.fromStructType(merged.schema))
+        }
+      }, Duration.Inf)
+    val newMarkers = results.map(_._1)
+
+    // log rewrite over the union of all source logs (icedb.py:290-322
+    // semantics, one append instead of one per partition)
+    val allAcc = candidates.flatMap(_._2)
+    val mergedLogFiles = allAcc.flatMap(_.virSourceLogFile).distinct.sorted
+    val (mSchema, mMarkers, mTombstones) =
+      logio.readLogForward(root, mergedLogFiles)
+    if (cfg.customMergeSql.isDefined) {
+      // merge SQL may reshape columns; accumulate each output schema
+      // add-only (see executeMerge)
+      results.foreach { case (_, s) => mSchema.accumulate(s.columns, s.types) }
+    }
+    val mergedTime = now()
+    val accPaths = allAcc.map(_.path).toSet
+    val updated = mMarkers.map { m =>
+      FileMarker(m.path, m.createdMs, m.fileBytes,
+        if (accPaths(m.path)) Some(mergedTime) else m.tombstone)
+    }
+    val stamped = newMarkers.map(_.copy(createdMs = mergedTime))
+    val newTombstones = mergedLogFiles.map(LogTombstone(_, mergedTime))
+    logio.append(
+      root, 1, mSchema,
+      updated ++ stamped,
+      mTombstones ++ newTombstones,
+      merged = true,
+      timestamp = Some(mergedTime))
+    ()
+  }
+
   // ----------------------------------------------------- maintenance (A15-17)
 
   /** A15 vacuum + log truncation: exact port of icedb/icedb.py:327-433 —

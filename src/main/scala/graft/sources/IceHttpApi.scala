@@ -27,7 +27,8 @@ import scala.collection.mutable
 final class IceHttpApi(
     table: IceTable,
     flushIntervalMs: Long = 3000L,
-    mergeIntervalMs: Long = 0L) {
+    mergeIntervalMs: Long = 0L,
+    maxQueryRows: Int = 10000) {
 
   private val buffer = mutable.ArrayBuffer.empty[String]
   private var server: HttpServer = _
@@ -55,15 +56,21 @@ final class IceHttpApi(
       val sql = q.split("&").collectFirst {
         case kv if kv.startsWith("sql=") =>
           java.net.URLDecoder.decode(kv.drop(4), "UTF-8")
-      }.getOrElse(return500(ex, "missing sql param"))
+      }.getOrElse(badRequest(ex, "missing sql param"))
       table.read().createOrReplaceTempView("ice")
       val df = spark.sql(sql)
       val header = df.columns.mkString(",")
-      val rows = df.collect().map(_.toSeq.map {
+      // hard row cap: an HTTP edge must never pull an unbounded result
+      // through the driver (take(n+1) detects truncation without a count)
+      val taken = df.take(maxQueryRows + 1)
+      val truncated = taken.length > maxQueryRows
+      val rows = taken.take(maxQueryRows).map(_.toSeq.map {
         case null => ""
         case v => v.toString
       }.mkString(","))
-      (200, (header +: rows).mkString("\n"))
+      val suffix = if (truncated)
+        Seq(s"# truncated at $maxQueryRows rows") else Seq.empty
+      (200, ((header +: rows.toSeq) ++ suffix).mkString("\n"))
     })
     server.setExecutor(Executors.newFixedThreadPool(4))
     server.start()
@@ -85,10 +92,14 @@ final class IceHttpApi(
     val batch = synchronized { val b = buffer.toSeq; buffer.clear(); b }
     if (batch.isEmpty) return 0L
     import spark.implicits._
-    val df = spark.read.json(spark.createDataset(batch))
-    val n = df.count()
-    table.insert(df)
-    n
+    // cache: both the count and the insert consume this JSON parse —
+    // uncached it would parse the whole batch twice
+    val df = spark.read.json(spark.createDataset(batch)).cache()
+    try {
+      val n = df.count()
+      table.insert(df)
+      n
+    } finally df.unpersist()
   }
 
   private def flushQuietly(): Unit =
@@ -103,7 +114,7 @@ final class IceHttpApi(
       case e: Exception => respond(ex, 500, s"""{"error": "${e.getMessage}"}""")
     } finally ex.close()
 
-  private def return500(ex: HttpExchange, msg: String): Nothing = {
+  private def badRequest(ex: HttpExchange, msg: String): Nothing = {
     respond(ex, 400, s"""{"error": "$msg"}""")
     throw new IllegalArgumentException(msg)
   }

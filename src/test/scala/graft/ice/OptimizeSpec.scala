@@ -1,0 +1,91 @@
+package graft.ice
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** `optimize` (multi-partition compaction, one merged-log commit) must
+  * preserve exactly the invariants the reference's per-partition merge loop
+  * guarantees: one alive file per fully-merged partition, stable query
+  * answers, merged paths tombstoned, source logs log-tombstoned, and
+  * cleanup-compatible state.
+  */
+class OptimizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events(n: Int): DataFrame =
+    (0 until n).map(i => (i.toLong, i % 5L, s"type_${i % 3}"))
+      .toDF("event_id", "user_id", "event_type")
+
+  private def newTable(
+      dir: String,
+      mergeSql: Option[String] = None,
+      sortOrder: Seq[String] = Seq("event_id")): IceTable =
+    new IceTable(spark, tmpDir(dir), IceTableConfig(
+      partitionExpr = concat(lit("u="), pmod($"user_id", lit(5))),
+      sortOrder = sortOrder,
+      customMergeSql = mergeSql))
+
+  test("optimize compacts every partition in one commit; answers stable") {
+    val table = newTable("opt")
+    (0 until 4).foreach(_ => table.insert(events(100)))
+    val before = table.read().groupBy($"event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    var snap = table.snapshot()
+    assert(snap.logFiles.length == 4)
+    assert(snap.aliveFiles.length == 20) // 5 partitions × 4 inserts
+
+    val merges = table.optimize(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+    assert(merges == 5) // one merge per partition, single round
+
+    snap = table.snapshot()
+    assert(snap.logFiles.length == 5) // 4 inserts + ONE merged log
+    assert(snap.aliveFiles.length == 5) // one file per partition
+    assert(snap.files.count(_.tombstone.isDefined) == 20)
+    // all four insert logs are log-tombstoned by the single commit
+    assert(snap.tombstones.map(_.path).toSet == snap.logFiles.take(4).toSet)
+
+    val after = table.read().groupBy($"event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after == before)
+
+    // cleanup collapses to one log and deletes the merged-away data files
+    table.tombstoneCleanup(0)
+    snap = table.snapshot()
+    assert(snap.logFiles.length == 1)
+    assert(snap.aliveFiles.length == 5)
+    val after2 = table.read().groupBy($"event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after2 == before)
+  }
+
+  test("optimize applies custom merge SQL per partition (agg totals kept)") {
+    val table = newTable("opt_agg", Some(
+      "select user_id, event_type, cast(sum(coalesce(cnt, 1)) as bigint) as cnt " +
+        "from source_files group by user_id, event_type"),
+      sortOrder = Seq("user_id")) // both batch shapes carry user_id
+    table.insert(events(120)) // raw rows: no cnt column yet
+    table.insert(events(120) // pre-aggregated rows carry cnt (seeded idiom)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).cast("bigint").as("cnt")))
+    table.optimize(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+    val total = table.read()
+      .agg(sum(coalesce($"cnt", lit(1L)))).collect()(0).getLong(0)
+    assert(total == 240L)
+    assert(table.snapshot().aliveFiles.length == 5)
+  }
+
+  test("optimize converges over rounds under the file-count cap") {
+    val table = newTable("opt_rounds")
+    (0 until 4).foreach(_ =>
+      table.insert(events(40).where($"user_id" === 0)))
+    assert(table.snapshot().aliveFiles.length == 4)
+    // cap 2 → one pairwise merge per round: 4→3→2→1 files, 3 rounds
+    val merges = table.optimize(maxFileSize = 1_000_000_000L, maxFileCount = 2)
+    assert(merges == 3)
+    assert(table.snapshot().aliveFiles.length == 1)
+    // events(40) filtered to user_id==0 keeps i % 5 == 0 → 8 rows × 4
+    assert(table.read().count() == 32L)
+  }
+}
