@@ -473,16 +473,20 @@ final class IceTable(
       Future.traverse(candidates) { case (partition, acc) =>
         Future {
           val src = readFiles(snap, acc)
-          val merged = cfg.customMergeSql match {
-            case None => src
+          cfg.customMergeSql match {
+            case None =>
+              (writeSingleFile(src, s"_data/$partition/${UUID.randomUUID()}.parquet"),
+                Schema.fromStructType(src.schema))
             case Some(q) =>
               val view = s"source_files_${UUID.randomUUID().toString.replace("-", "")}"
               src.createOrReplaceTempView(view)
-              try spark.sql(q.replaceAll("\\bsource_files\\b", view))
-              finally () // view dropped lazily; unique name avoids races
+              try {
+                val merged = spark.sql(q.replaceAll("\\bsource_files\\b", view))
+                // write executes the plan, so the view can drop right after
+                (writeSingleFile(merged, s"_data/$partition/${UUID.randomUUID()}.parquet"),
+                  Schema.fromStructType(merged.schema))
+              } finally spark.catalog.dropTempView(view)
           }
-          (writeSingleFile(merged, s"_data/$partition/${UUID.randomUUID()}.parquet"),
-            Schema.fromStructType(merged.schema))
         }
       }, Duration.Inf)
     val newMarkers = results.map(_._1)

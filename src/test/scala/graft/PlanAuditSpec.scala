@@ -76,4 +76,27 @@ class PlanAuditSpec extends SparkSpec {
     val alive = fx.table.snapshot().aliveFiles.length
     assert(scan.relation.location.inputFiles.length == alive)
   }
+
+  test("b7 approx uniq: HLL aggregates partially before the shuffle") {
+    Fixtures.ensureConf(spark)
+    val df = SparkEntry.queries("b7_approx_uniq")(spark, sfDir)
+    val plan = planOf(df)
+    // both the exact distinct and the HLL sketch must combine map-side
+    assert(plan.contains("partial_approx_count_distinct"), plan.take(2000))
+  }
+
+  test("minhash near-dup plan: single tokenization, no all-pairs join") {
+    val docs = Fixtures.raw(spark, sfDir, "documents")
+    val df = operators.Dedup.minHashDupPairs(docs, "doc_id", "text", 0.7)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // no CartesianProduct / BroadcastNestedLoopJoin anywhere — every join
+    // is keyed (bucket or id): the all-pairs failure mode is structural
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoop"), plan.take(2000))
+    // the corpus scan is the cached tok table, not a re-tokenization:
+    // at most one InMemoryTableScan source feeds every downstream branch
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      plan.take(2000))
+  }
 }
