@@ -63,6 +63,29 @@ object Bench {
     val loadRows = Fixtures.raw(spark, sfDir, "events").count() +
       Fixtures.raw(spark, sfDir, "lineitem").count()
 
+    // The reference's own synthetic ingest benchmark, replicated: 6M small
+    // rows into 16 partitions on local storage (perf_tests/local_testing/
+    // README.md:10-24, 690k rows/s there). Same row shape (ts, user_id,
+    // event, properties JSON), same partition count — the one directly
+    // commensurable ingest number.
+    val synthRows = 6_000_000L
+    val synthSec = {
+      import org.apache.spark.sql.functions._
+      val synth = spark.range(synthRows).select(
+        col("id").as("ts"),
+        concat(lit("user_"), pmod(col("id"), lit(16))).as("user_id"),
+        lit("page_load").as("event"),
+        to_json(struct(col("id").as("n"))).as("properties"))
+      val st = new graft.ice.IceTable(spark,
+        java.nio.file.Files.createTempDirectory("graft_synth").toString,
+        graft.ice.IceTableConfig(
+          partitionExpr = concat(lit("u="), pmod(col("ts"), lit(16))),
+          sortOrder = Seq("event", "ts")))
+      val t = System.nanoTime()
+      st.insert(synth)
+      (System.nanoTime() - t) / 1e9
+    }
+
     val qs = SparkEntry.queries
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -92,7 +115,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = times.values.sum
     val line =
-      s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qJson,"errors":$eJson,"load_sec":${"%.4f".format(loadSec)},"insert_sec":${"%.4f".format(insertSec)},"merge_sec":${"%.4f".format(mergeSec)},"load_rows":$loadRows,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qJson,"errors":$eJson,"load_sec":${"%.4f".format(loadSec)},"insert_sec":${"%.4f".format(insertSec)},"merge_sec":${"%.4f".format(mergeSec)},"load_rows":$loadRows,"synthetic_insert_rows":$synthRows,"synthetic_insert_sec":${"%.4f".format(synthSec)},"synthetic_insert_rows_per_sec":${(synthRows / synthSec).toLong},"sf":"$sfDir"}"""
     // mirror to a file so the metric survives any stdout mangling
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), line + "\n")
