@@ -390,6 +390,32 @@ object SparkEntry {
       Multimodal.decodeImageMeta(media)
         .agg(sum(col("n_bytes")).cast("bigint").as("total_bytes"),
           count(lit(1)).as("cnt"))
+    }),
+    "llm_multimodal_pipeline" -> ((s, d) => {
+      // full media pipeline: pack → resize (payload cap) → frame-sample;
+      // resized bytes and frame counts are deterministic functions of the
+      // payload, so the totals have a closed-form DuckDB oracle
+      val media = Multimodal.pack(Fixtures.raw(s, d, "documents"),
+        "doc_id", "text", "video/fake")
+      val resized = Multimodal.resizePayload(media, maxBytes = 256)
+      Multimodal.sampleFrames(resized, frameBytes = 64, everyN = 2)
+        .agg(count(lit(1)).as("frames"),
+          countDistinct(col("media_id")).as("media_cnt"),
+          sum(length(col("frame"))).cast("bigint").as("frame_bytes"))
+    }),
+    "llm_wordpiece_count" -> ((s, d) => {
+      // BPE-ish subword pre-tokenizer counts (TextFunctions.wordPieceCount)
+      Fixtures.raw(s, d, "documents")
+        .agg(sum(TextFunctions.wordPieceCount(col("text"))).cast("bigint")
+          .as("total_pieces"),
+          count(lit(1)).as("cnt"))
+    }),
+    "llm_ngram_dedup" -> ((s, d) => {
+      // 2-gram Jaccard near-dup via the bucketed minhash path: rows-only
+      Dedup.ngramJaccardPairs(Fixtures.raw(s, d, "documents"),
+          "doc_id", "text", threshold = 0.7, shingleK = 2)
+        .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("idA"), col("idB"))
     }))
 
   /** DuckDB oracle per query (omitted for the nondeterministic / LSH /
@@ -475,5 +501,15 @@ object SparkEntry {
     "llm_ann_bruteforce" ->
       "SELECT qid, id, rank FROM (SELECT q.vec_id AS qid, c.vec_id AS id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank FROM embeddings c, embeddings q WHERE q.vec_id IN (0, 1, 2) AND c.vec_id != q.vec_id) WHERE rank <= 10 ORDER BY qid, rank",
     "llm_multimodal_meta" ->
-      "SELECT CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes, count(*) AS cnt FROM documents")
+      "SELECT CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes, count(*) AS cnt FROM documents",
+    // resize cap 256, frame chunks of 64, keep every 2nd (indices 0,2):
+    // closed form over L = capped utf-8 byte length
+    "llm_multimodal_pipeline" ->
+      ("SELECT CAST(sum(CASE WHEN L = 0 THEN 0 WHEN L > 128 THEN 2 ELSE 1 END) AS BIGINT) AS frames, " +
+        "count(DISTINCT CASE WHEN L > 0 THEN doc_id END) AS media_cnt, " +
+        "CAST(sum(LEAST(64, L) + CASE WHEN L > 128 THEN LEAST(64, L - 128) ELSE 0 END) AS BIGINT) AS frame_bytes " +
+        "FROM (SELECT doc_id, LEAST(256, octet_length(encode(text))) AS L FROM documents)"),
+    "llm_wordpiece_count" ->
+      ("SELECT CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS total_pieces, " +
+        "count(*) AS cnt FROM documents"))
 }
