@@ -86,6 +86,29 @@ object Bench {
       (System.nanoTime() - t) / 1e9
     }
 
+    // The reference's log-state-read benchmark, replicated: snapshot fold
+    // over 2000 log files / 4000 markers (perf_tests/local_testing/
+    // perf-test-1.md:57-66 — 7.37 s there, sequential GETs; ours fan out
+    // through the bounded log-IO pool).
+    val logReadSec = {
+      import graft.ice.{FileMarker, IceTable, IceTableConfig, Schema}
+      import org.apache.spark.sql.functions.lit
+      val root = java.nio.file.Files.createTempDirectory("graft_logbench").toString
+      val t = new IceTable(spark, root, IceTableConfig(lit("p=1"), Seq.empty))
+      val sch = Schema("ts" -> "BIGINT")
+      val base = 1700000000000L
+      (0 until 2000).foreach { i =>
+        t.logio.append(root, 1, sch,
+          Seq(FileMarker(s"_data/p=1/a$i.parquet", base + i, 100L),
+            FileMarker(s"_data/p=1/b$i.parquet", base + i, 100L)),
+          timestamp = Some(base + i))
+      }
+      val t0 = System.nanoTime()
+      val snap = t.snapshot()
+      require(snap.files.length == 4000, s"expected 4000 markers, got ${snap.files.length}")
+      (System.nanoTime() - t0) / 1e9
+    }
+
     val qs = SparkEntry.queries
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -115,7 +138,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = times.values.sum
     val line =
-      s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qJson,"errors":$eJson,"load_sec":${"%.4f".format(loadSec)},"insert_sec":${"%.4f".format(insertSec)},"merge_sec":${"%.4f".format(mergeSec)},"load_rows":$loadRows,"synthetic_insert_rows":$synthRows,"synthetic_insert_sec":${"%.4f".format(synthSec)},"synthetic_insert_rows_per_sec":${(synthRows / synthSec).toLong},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qJson,"errors":$eJson,"load_sec":${"%.4f".format(loadSec)},"insert_sec":${"%.4f".format(insertSec)},"merge_sec":${"%.4f".format(mergeSec)},"load_rows":$loadRows,"synthetic_insert_rows":$synthRows,"synthetic_insert_sec":${"%.4f".format(synthSec)},"synthetic_insert_rows_per_sec":${(synthRows / synthSec).toLong},"log_read_2000_sec":${"%.4f".format(logReadSec)},"sf":"$sfDir"}"""
     // mirror to a file so the metric survives any stdout mangling
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), line + "\n")

@@ -36,11 +36,12 @@ object Demo {
     println(s"== wrote ${markers.length} data parts (one per day)")
     val between = System.currentTimeMillis() + 1
 
-    println("== second insert (same batch) and merge")
+    println("== second insert (same batch) and optimize (all partitions, one commit)")
     table.insert(events)
-    val nMerges = table.mergeAll(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+    val nMerges = table.optimize(maxFileSize = 1_000_000_000L, maxFileCount = 100)
     val snap = table.snapshot()
-    println(s"== $nMerges merges; alive files=${snap.aliveFiles.length} " +
+    println(s"== $nMerges partition merges in one log append; " +
+      s"alive files=${snap.aliveFiles.length} " +
       s"logs=${snap.logFiles.length} markers=${snap.files.length}")
 
     println("== count by event_type over the snapshot (should be 2x source)")
