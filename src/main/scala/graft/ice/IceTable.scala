@@ -37,6 +37,13 @@ final case class CleanupResult(
   *   dedup semantics per README.md:625-794).
   * @param preservePartition keep a pre-computed `_partition` column in the
   *   data (icedb/icedb.py:191-196, README.md:514-519).
+  * @param shuffleOnInsert when true (default), hash-repartition on the
+  *   partition string so each insert writes exactly one file per touched
+  *   partition (the reference's shape). When false, skip the global
+  *   shuffle: each upstream task writes its own file per partition it
+  *   holds — more small files (compaction's job anyway), ZERO shuffle.
+  *   The right setting for already-clustered input (streaming
+  *   micro-batches, pre-bucketed upstreams) at large scale.
   * @param formatRow A23 pre-insert hook (reference `format_row`,
   *   examples/api-flask.py:156-162): a whole-DataFrame transform applied
   *   before partition routing (a per-row driver callback would not scale;
@@ -50,6 +57,7 @@ final case class IceTableConfig(
     compressionCodec: String = "snappy",
     parquetBlockBytes: Long = 128L * 1024 * 1024,
     preservePartition: Boolean = false,
+    shuffleOnInsert: Boolean = true,
     formatRow: Option[DataFrame => DataFrame] = None)
 
 /** The Parquet merge-engine table: MVCC JSONL log + immutable Parquet data
@@ -191,8 +199,10 @@ final class IceTable(
     val schema = Schema.fromStructType(routed.drop(IceTable.RouteCol).schema)
     val tmp = s"$root/_tmp/${UUID.randomUUID()}"
     val sortCols = col(IceTable.RouteCol) +: cfg.sortOrder.map(col)
-    routed
-      .repartition(col(IceTable.RouteCol))
+    val arranged =
+      if (cfg.shuffleOnInsert) routed.repartition(col(IceTable.RouteCol))
+      else routed
+    arranged
       .sortWithinPartitions(sortCols: _*)
       .write
       .partitionBy(IceTable.RouteCol)

@@ -76,6 +76,21 @@ class OptimizeSpec extends SparkSpec {
     assert(table.snapshot().aliveFiles.length == 5)
   }
 
+  test("shuffle-free insert writes per-task files; optimize compacts them") {
+    val table = new IceTable(spark, tmpDir("noshuffle"), IceTableConfig(
+      partitionExpr = concat(lit("u="), pmod($"user_id", lit(5))),
+      sortOrder = Seq("event_id"),
+      shuffleOnInsert = false))
+    // 4-slice input → up to 4 files per partition from one insert
+    table.insert(events(200).repartition(4))
+    val snap = table.snapshot()
+    assert(snap.aliveFiles.length > 5, s"expected >1 file/partition, got ${snap.aliveFiles.length}")
+    assert(table.read().count() == 200L)
+    table.optimize(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+    assert(table.snapshot().aliveFiles.length == 5)
+    assert(table.read().count() == 200L)
+  }
+
   test("optimize converges over rounds under the file-count cap") {
     val table = newTable("opt_rounds")
     (0 until 4).foreach(_ =>
