@@ -156,10 +156,11 @@ final class IceTable(
     case None => Schema.fromStructType(df.schema)
     case Some(sql) =>
       val view = s"_rows_${UUID.randomUUID().toString.replace("-", "")}"
+      val ss = df.sparkSession // see insertCustom: honor foreachBatch sessions
       df.createOrReplaceTempView(view)
       try Schema.fromStructType(
-        spark.sql(sql.replaceAll("\\b_rows\\b", view)).schema)
-      finally spark.catalog.dropTempView(view)
+        ss.sql(sql.replaceAll("\\b_rows\\b", view)).schema)
+      finally ss.catalog.dropTempView(view)
   }
 
   // ------------------------------------------------------------ insert (A1+)
@@ -234,13 +235,17 @@ final class IceTable(
       Future.traverse(parts.toSeq) { p =>
         Future {
           val view = s"_rows_${UUID.randomUUID().toString.replace("-", "")}"
+          // resolve the view through the DataFrame's OWN session: inside
+          // foreachBatch the batch belongs to a per-micro-batch session
+          // whose temp catalog the table's outer session cannot see
+          val ss = routed.sparkSession
           routed.filter(col(IceTable.RouteCol) === p).drop(IceTable.RouteCol)
             .createOrReplaceTempView(view)
           try {
-            val result = spark.sql(sql.replaceAll("\\b_rows\\b", view))
+            val result = ss.sql(sql.replaceAll("\\b_rows\\b", view))
             val s = Schema.fromStructType(result.schema)
             (s, writeSingleFile(result, s"_data/$p/${UUID.randomUUID()}.parquet"))
-          } finally spark.catalog.dropTempView(view)
+          } finally ss.catalog.dropTempView(view)
         }
       }, Duration.Inf)
     // fold on the caller thread in sorted partition order, so a schema

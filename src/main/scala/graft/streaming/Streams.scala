@@ -68,6 +68,40 @@ object Streams {
       }
   }
 
+  /** The materialized-view double-write as a streaming sink (reference:
+    * examples/materialized-view.py:91-98 — the app writes every batch to
+    * the raw table AND the aggregating MV table). Each micro-batch lands
+    * in both tables; per-table inserts stay individually atomic (one log
+    * PUT each), matching the reference's crash semantics: a crash between
+    * the two writes can leave one batch ahead, reconciled by replay since
+    * foreachBatch re-delivers the same batch id on restart. */
+  def mvSink(
+      stream: DataFrame,
+      rawTable: IceTable,
+      mvTable: IceTable,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("3 seconds"),
+      mergeEveryBatches: Int = 10): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val cached = batch.cache() // both inserts consume this batch
+          try {
+            rawTable.insert(cached)
+            mvTable.insert(cached)
+          } finally cached.unpersist()
+          if (mergeEveryBatches > 0 && id > 0 && id % mergeEveryBatches == 0) {
+            rawTable.merge()
+            mvTable.merge()
+          }
+        }
+        ()
+      }
+      .start()
+
   /** The reference's batcher loop as a streaming sink: every micro-batch is
     * one atomic ice insert; optional compaction every `mergeEveryBatches`. */
   def iceSink(

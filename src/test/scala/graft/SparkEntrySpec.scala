@@ -22,7 +22,7 @@ class SparkEntrySpec extends SparkSpec {
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
     assert(rowsOnly == Set(
       "b17_uuid", "b3_filename_virtual", "llm_lang_quality",
-      "llm_minhash_dedup", "llm_simhash_dedup", "llm_ann_lsh",
-      "llm_ann_ivf", "llm_cosine_neardup"), rowsOnly)
+      "llm_minhash_dedup", "llm_simhash_dedup", "llm_ngram_dedup",
+      "llm_ann_lsh", "llm_ann_ivf", "llm_cosine_neardup"), rowsOnly)
   }
 }
