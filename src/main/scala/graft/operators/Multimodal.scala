@@ -10,12 +10,13 @@ import org.apache.spark.sql.types._
   * (the Scala analog of `mapInPandas` — one iterator pass per partition, no
   * per-row driver involvement, arbitrary native/JNI decode inside).
   *
-  * The actual codec step is STUBBED with a deterministic fake (this
-  * container has no image/audio libraries): [[FakeCodec]] derives metadata
-  * from payload bytes. The Spark-side contract — schema, batch shape,
-  * partitioning, null behavior — is real and tested; swap [[FakeCodec]]
-  * for a real decoder (javacv, TwelveMonkeys, ffmpeg-cli) without touching
-  * the plumbing.
+  * Images have a REAL codec ([[JdkImageCodec]], `javax.imageio` — in the
+  * JDK, zero dependencies): true header dimensions, proportional resize,
+  * PNG re-encode. Audio/video codecs don't exist in the JDK, so those
+  * paths use [[FakeCodec]], a deterministic stand-in deriving metadata
+  * from payload bytes; the Spark-side contract — schema, batch shape,
+  * partitioning, null behavior — is identical, so swapping in javacv/
+  * ffmpeg touches only the codec object.
   */
 object Multimodal {
 
@@ -86,6 +87,77 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val resized = FakeCodec.resize(r.getAs[Array[Byte]]("payload"), maxBytes)
+          Row(r.get(0), r.get(1), resized, r.get(3))
+        }
+      }(enc)
+  }
+
+  // ------------------------------------------------------- real image codec
+
+  /** REAL image codec on `javax.imageio` (ships with the JDK — no external
+    * libraries): decodes PNG/JPEG/GIF/BMP payloads, resizes with
+    * Graphics2D, re-encodes PNG. Audio/video remain behind [[FakeCodec]]
+    * (the JDK has no such codecs); swap in javacv/ffmpeg there.
+    */
+  object JdkImageCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    /** Decode payload → image, None when bytes aren't a supported format. */
+    def decode(payload: Array[Byte]): Option[BufferedImage] =
+      if (payload == null || payload.isEmpty) None
+      else Option(ImageIO.read(new ByteArrayInputStream(payload)))
+
+    /** Proportional resize so max(width, height) == maxDim; no-op when
+      * already within budget. Returns PNG-encoded bytes. */
+    def resizePng(img: BufferedImage, maxDim: Int): Array[Byte] = {
+      val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+      val out =
+        if (scale >= 1.0) img
+        else {
+          val w = math.max(1, (img.getWidth * scale).round.toInt)
+          val h = math.max(1, (img.getHeight * scale).round.toInt)
+          val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try g.drawImage(img.getScaledInstance(w, h, java.awt.Image.SCALE_SMOOTH), 0, 0, null)
+          finally g.dispose()
+          dst
+        }
+      val buf = new ByteArrayOutputStream()
+      ImageIO.write(out, "png", buf)
+      buf.toByteArray
+    }
+  }
+
+  /** Real decode pass: (width, height) from actual image headers; rows
+    * whose payload isn't a decodable image get (-1, -1) rather than being
+    * dropped (the pipeline decides what to do with undecodables). Same
+    * mapPartitions shape as [[decodeImageMeta]]. */
+  def decodeImageMetaReal(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(decodedSchema)
+    media.select("media_id", "media_type", "payload", "meta")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]](2) // positional: schema-less rows
+          val (w, h) = JdkImageCodec.decode(payload)
+            .map(i => (i.getWidth, i.getHeight)).getOrElse((-1, -1))
+          Row.fromSeq(r.toSeq ++ Seq(w, h,
+            if (payload == null) 0L else payload.length.toLong))
+        }
+      }(enc)
+  }
+
+  /** Real resize pass: decodable payloads are proportionally resized to
+    * `maxDim` and re-encoded PNG; undecodable payloads pass through. */
+  def resizeImageReal(media: DataFrame, maxDim: Int): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    media.select("media_id", "media_type", "payload", "meta")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]](2) // positional: schema-less rows
+          val resized = JdkImageCodec.decode(payload)
+            .map(JdkImageCodec.resizePng(_, maxDim)).getOrElse(payload)
           Row(r.get(0), r.get(1), resized, r.get(3))
         }
       }(enc)

@@ -166,4 +166,39 @@ class LlmOpsSpec extends SparkSpec {
     assert(frames.count() > 0)
     assert(frames.schema.fieldNames.toSeq == Seq("media_id", "frame_idx", "frame"))
   }
+
+  test("real image codec: PNG decode, proportional resize, re-decode") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    // build genuine PNGs of known dimensions in-test
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => img.setRGB(x, 0, x * 7919)) // non-constant pixels
+      val buf = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    val rows = Seq(
+      (1L, "image/png", png(320, 200), Map.empty[String, String]),
+      (2L, "image/png", png(64, 480), Map.empty[String, String]),
+      (3L, "image/png", "not an image".getBytes, Map.empty[String, String]))
+    val media = spark.createDataFrame(rows)
+      .toDF("media_id", "media_type", "payload", "meta")
+
+    val meta = Multimodal.decodeImageMetaReal(media)
+      .select("media_id", "width", "height").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(meta(1L) == (320, 200)) // true header dimensions
+    assert(meta(2L) == (64, 480))
+    assert(meta(3L) == (-1, -1)) // undecodable flagged, not dropped
+
+    val resized = Multimodal.resizeImageReal(media, maxDim = 100)
+    val dims = Multimodal.decodeImageMetaReal(resized)
+      .select("media_id", "width", "height").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(dims(1L) == (100, 63)) // 320x200 scaled so max dim == 100
+    assert(dims(2L) == (13, 100)) // 64x480 scaled proportionally
+    assert(dims(3L) == (-1, -1)) // pass-through stays undecodable
+  }
 }
