@@ -126,20 +126,40 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration) {
       tombstones: Seq[LogTombstone] = Seq.empty,
       merged: Boolean = false,
       timestamp: Option[Long] = None): (String, LogMetadata) = {
-    val meta = LogMetadata(
-      version,
-      schemaLineIndex = 1,
-      fileLineIndex = if (tombstones.isEmpty) 2 else 2 + tombstones.length,
-      tombstoneLineIndex = if (tombstones.isEmpty) None else Some(2),
-      timestamp = timestamp.getOrElse(System.currentTimeMillis()))
-
-    val lines = Seq(meta.json, schema.toJson) ++
-      tombstones.map(_.json) ++ files.map(_.json)
-
-    val fileId = s"${meta.timestamp}${if (merged) "_m" else ""}_$pathSafeHostname"
-    val rel = s"_log/$fileId.jsonl"
-    writeAtomic(fs(root), new Path(root, rel), lines.mkString("\n"))
-    (rel, meta)
+    // The filename IS the commit identity: two commits in the same
+    // millisecond from one writer would collide on `{ts}_{host}.jsonl`
+    // (rename then fails — or silently replaces, store-dependent).
+    // Concurrent inserts are a normal pattern (HTTP batcher, streaming
+    // double-writes), so on collision bump the millisecond and retry;
+    // cross-host uniqueness comes from the hostname suffix as in the
+    // reference. A same-JVM reservation set closes the local check-then-
+    // write race; cross-process races on the same host are left to the
+    // store's rename atomicity, as in the reference.
+    val filesystem = fs(root)
+    var ts = timestamp.getOrElse(System.currentTimeMillis())
+    var attempts = 0
+    while (attempts < 1000) {
+      val fileId = s"$ts${if (merged) "_m" else ""}_$pathSafeHostname"
+      val rel = s"_log/$fileId.jsonl"
+      val dest = new Path(root, rel)
+      val reserved = IceLogIO.reserve(root, fileId)
+      if (reserved && !filesystem.exists(dest)) {
+        val meta = LogMetadata(
+          version,
+          schemaLineIndex = 1,
+          fileLineIndex = if (tombstones.isEmpty) 2 else 2 + tombstones.length,
+          tombstoneLineIndex = if (tombstones.isEmpty) None else Some(2),
+          timestamp = ts)
+        val lines = Seq(meta.json, schema.toJson) ++
+          tombstones.map(_.json) ++ files.map(_.json)
+        writeAtomic(filesystem, dest, lines.mkString("\n"))
+        return (rel, meta)
+      }
+      ts += 1
+      attempts += 1
+    }
+    throw new java.io.IOException(
+      s"could not find a free log timestamp after $attempts attempts")
   }
 
   def delete(root: String, relPath: String): Boolean =
@@ -173,6 +193,14 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration) {
 }
 
 object IceLogIO {
+  private val reservedIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Same-JVM reservation of a (root, log file id): closes the local
+    * check-then-write race between concurrent appenders (see append). */
+  private def reserve(root: String, fileId: String): Boolean =
+    reservedIds.add(s"$root#$fileId")
+
   /** Shared bounded pool for concurrent log GETs (daemon threads). */
   private[ice] lazy val ioPool: ExecutionContext =
     ExecutionContext.fromExecutorService(Executors.newFixedThreadPool(

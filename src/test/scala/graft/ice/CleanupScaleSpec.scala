@@ -18,6 +18,28 @@ class CleanupScaleSpec extends SparkSpec with TimeLimits {
   private implicit val signaler: Signaler =
     org.scalatest.concurrent.ThreadSignaler
 
+  test("concurrent appends never collide on the same-ms log filename") {
+    val root = tmpDir("concurrent_log")
+    val cfg = IceTableConfig(partitionExpr = lit("p=1"), sortOrder = Seq.empty)
+    val logio = new IceTable(spark, root, cfg).logio
+    val schema = Schema("ts" -> "BIGINT")
+    val fixedTs = 1690000000000L // every thread requests the SAME commit ms
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val rels = Await.result(
+      Future.traverse((0 until 24).toList)(i => Future {
+        logio.append(root, 1, schema,
+          Seq(FileMarker(s"_data/p=1/c$i.parquet", fixedTs, 10L)),
+          timestamp = Some(fixedTs))._1
+      }), 60.seconds)
+    assert(rels.distinct.length == 24, "colliding log filenames")
+    assert(logio.currentLogFiles(root).length == 24)
+    // all 24 markers fold in — nothing was overwritten
+    val (_, markers, _) = logio.readLogForward(root, rels)
+    assert(markers.length == 24)
+  }
+
   test("tombstoneCleanup over 40 merged logs completes (no ioPool deadlock)") {
     val root = tmpDir("cleanup_scale")
     val cfg = IceTableConfig(partitionExpr = lit("p=1"), sortOrder = Seq.empty)
