@@ -109,6 +109,36 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // The reference's tombstone-cleanup benchmark, replicated: 800 merged
+    // logs, each carrying one expired tombstoned data file (real file on
+    // disk) and one alive marker; cleanup must delete the 800 data files,
+    // collapse 800 logs to 1, and keep the alive markers
+    // (perf_tests/local_testing/perf-test-1.md:32 — 811 logs + 1012 data
+    // files in 4.33 s there).
+    val cleanupSec = {
+      import graft.ice.{FileMarker, IceTable, IceTableConfig, Schema}
+      import org.apache.spark.sql.functions.lit
+      val root = java.nio.file.Files.createTempDirectory("graft_cleanbench").toString
+      val t = new IceTable(spark, root, IceTableConfig(lit("p=1"), Seq.empty))
+      val sch = Schema("ts" -> "BIGINT")
+      val base = 1700000000000L
+      val dataDir = java.nio.file.Paths.get(root, "_data", "p=1")
+      java.nio.file.Files.createDirectories(dataDir)
+      (0 until 800).foreach { i =>
+        java.nio.file.Files.writeString(dataDir.resolve(s"dead$i.parquet"), "x")
+        t.logio.append(root, 1, sch,
+          Seq(FileMarker(s"_data/p=1/dead$i.parquet", base, 100L, Some(base + i)),
+            FileMarker(s"_data/p=1/live$i.parquet", base, 100L)),
+          merged = true, timestamp = Some(base + i))
+      }
+      val t0 = System.nanoTime()
+      val res = t.tombstoneCleanup(minAgeMs = 0L)
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(res.deletedDataFiles.length == 800 && res.cleanedLogFiles.length == 800,
+        s"cleanup bench invariant: ${res.deletedDataFiles.length}/${res.cleanedLogFiles.length}")
+      sec
+    }
+
     val qs = SparkEntry.queries
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -138,7 +168,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = times.values.sum
     val line =
-      s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qJson,"errors":$eJson,"load_sec":${"%.4f".format(loadSec)},"insert_sec":${"%.4f".format(insertSec)},"merge_sec":${"%.4f".format(mergeSec)},"load_rows":$loadRows,"synthetic_insert_rows":$synthRows,"synthetic_insert_sec":${"%.4f".format(synthSec)},"synthetic_insert_rows_per_sec":${(synthRows / synthSec).toLong},"log_read_2000_sec":${"%.4f".format(logReadSec)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qJson,"errors":$eJson,"load_sec":${"%.4f".format(loadSec)},"insert_sec":${"%.4f".format(insertSec)},"merge_sec":${"%.4f".format(mergeSec)},"load_rows":$loadRows,"synthetic_insert_rows":$synthRows,"synthetic_insert_sec":${"%.4f".format(synthSec)},"synthetic_insert_rows_per_sec":${(synthRows / synthSec).toLong},"log_read_2000_sec":${"%.4f".format(logReadSec)},"cleanup_800_sec":${"%.4f".format(cleanupSec)},"sf":"$sfDir"}"""
     // mirror to a file so the metric survives any stdout mangling
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), line + "\n")
