@@ -91,6 +91,44 @@ class OptimizeSpec extends SparkSpec {
     assert(table.read().count() == 200L)
   }
 
+  test("optimize ≡ mergeAll: same answers, same alive-file shape (seeded runs)") {
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val batches = (0 until 2 + rnd.nextInt(2)).map { _ =>
+        val n = 50 + rnd.nextInt(150)
+        val off = rnd.nextInt(1000)
+        events(n).withColumn("event_id", $"event_id" + off)
+      }
+      val viaLoop = newTable(s"eq_loop_$seed")
+      val viaOpt = newTable(s"eq_opt_$seed")
+      batches.foreach { b => viaLoop.insert(b); viaOpt.insert(b) }
+      viaLoop.mergeAll(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+      viaOpt.optimize(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+
+      def dump(t: IceTable) = t.read()
+        .orderBy($"event_id", $"user_id", $"event_type").collect().toSeq
+      assert(dump(viaLoop) == dump(viaOpt), s"seed $seed: rows diverge")
+      assert(viaLoop.snapshot().aliveFiles.length ==
+        viaOpt.snapshot().aliveFiles.length, s"seed $seed: file shape diverges")
+    }
+  }
+
+  test("optimize handles 500 partitions in one commit") {
+    val table = new IceTable(spark, tmpDir("opt_wide"), IceTableConfig(
+      partitionExpr = concat(lit("p="), pmod($"event_id", lit(500))),
+      sortOrder = Seq("event_id"),
+      compressionCodec = "none"))
+    table.insert(events(1000))
+    table.insert(events(1000))
+    assert(table.snapshot().aliveFiles.length == 1000)
+    val merges = table.optimize(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+    assert(merges == 500)
+    val snap = table.snapshot()
+    assert(snap.aliveFiles.length == 500)
+    assert(snap.logFiles.length == 3) // 2 inserts + one optimize commit
+    assert(table.read().count() == 2000L)
+  }
+
   test("optimize converges over rounds under the file-count cap") {
     val table = newTable("opt_rounds")
     (0 until 4).foreach(_ =>
