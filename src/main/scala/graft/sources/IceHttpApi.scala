@@ -106,16 +106,25 @@ final class IceHttpApi(
     try flush() catch { case e: Exception =>
       System.err.println(s"[ice-http] flush failed: ${e.getMessage}") }
 
+  private def jsonEscape(s: String): String =
+    Option(s).getOrElse("").flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   private def handle(ex: HttpExchange)(f: => (Int, String)): Unit =
     try {
       val (code, body) = f
       respond(ex, code, body)
     } catch {
-      case e: Exception => respond(ex, 500, s"""{"error": "${e.getMessage}"}""")
+      case e: Exception =>
+        respond(ex, 500, s"""{"error": "${jsonEscape(e.getMessage)}"}""")
     } finally ex.close()
 
   private def badRequest(ex: HttpExchange, msg: String): Nothing = {
-    respond(ex, 400, s"""{"error": "$msg"}""")
+    respond(ex, 400, s"""{"error": "${jsonEscape(msg)}"}""")
     throw new IllegalArgumentException(msg)
   }
 
