@@ -349,7 +349,7 @@ object SparkEntry {
       val queries = emb.where(col("vec_id").isin(0L, 1L, 2L))
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-          queries, "qid", "qvec", k = 10)
+          queries, "qid", "qvec", k = 10, dim = 64)
         .select(col("qid"), col("id"), col("rank").cast("bigint").as("rank"))
         .orderBy(col("qid"), col("rank"))
     }),
@@ -371,7 +371,7 @@ object SparkEntry {
       val queries = emb.where(col("vec_id").isin(0L, 1L, 2L))
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.ivfTopK(emb, "vec_id", "embedding",
-          queries, "qid", "qvec", k = 10, nlist = 16, nprobe = 4)
+          queries, "qid", "qvec", k = 10, nlist = 16, nprobe = 4, dim = 64)
         .select(col("qid"), col("id"), col("rank").cast("bigint").as("rank"))
         .orderBy(col("qid"), col("rank"))
     }),

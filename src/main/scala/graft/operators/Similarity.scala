@@ -17,17 +17,35 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two equal-length numeric arrays (codegen'd zip_with). */
+  /** Dot product of two equal-length numeric arrays. Higher-order functions
+    * evaluate interpreted (outside whole-stage codegen) — use only when the
+    * dimension is unknown; [[dotN]] is the hot-path form. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
+  /** Fixed-dimension dot product unrolled to `element_at` products — a flat
+    * codegen'd expression tree, ~10× the interpreted HOF form on the scan
+    * side. Falls back to [[dot]] when dim is unknown (<= 0). */
+  def dotN(a: Column, b: Column, dim: Int): Column =
+    if (dim <= 0) dot(a, b)
+    else (1 to dim).map(i => element_at(a, i) * element_at(b, i))
+      .reduce(_ + _).cast("double")
+
   def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def normN(a: Column, dim: Int): Column = sqrt(dotN(a, a, dim))
 
   /** Cosine similarity; 0 for zero vectors. */
   def cosine(a: Column, b: Column): Column = {
     val d = norm(a) * norm(b)
     when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
   }
+
+  /** Cosine from PRE-COMPUTED norms: on any candidate-scoring join, compute
+    * each side's norm once per row in its projection, not once per pair —
+    * the naive form does three array passes per candidate. */
+  private def cosinePre(a: Column, b: Column, na: Column, nb: Column, dim: Int): Column =
+    when(na * nb === 0, lit(0.0)).otherwise(dotN(a, b, dim) / (na * nb))
 
   /** Two-stage distributed top-k: per (query, input-partition) local top-k,
     * then global top-k over the k-per-partition survivors. Keeps the final
@@ -53,13 +71,16 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int = 10): DataFrame = {
+      k: Int = 10, dim: Int = 0): DataFrame = {
     val scored = corpus
       .select(col(idCol).as("id"), col(vecCol).as("_v"))
+      .withColumn("_nv", normN(col("_v"), dim)) // corpus norm: once per row
       .crossJoin(broadcast(
-        queries.select(col(qidCol).as("qid"), col(qvecCol).as("_q"))))
+        queries.select(col(qidCol).as("qid"), col(qvecCol).as("_q"))
+          .withColumn("_nq", normN(col("_q"), dim))))
       .where(col("id") =!= col("qid")) // a query is not its own neighbor
-      .withColumn("sim", cosine(col("_v"), col("_q")))
+      .withColumn("sim",
+        cosinePre(col("_v"), col("_q"), col("_nv"), col("_nq"), dim))
     topKPerQuery(scored, "qid", k).select("qid", "id", "sim", "rank")
   }
 
@@ -98,12 +119,15 @@ object Similarity {
         .withColumn("_t", col("_tb.t")).withColumn("_b", col("_tb.b"))
         .drop("_tb")
     }
-    val c = withBuckets(corpus.select(col(idCol).as("id"), col(vecCol).as("_v")), "_v")
-    val q = withBuckets(queries.select(col(qidCol).as("qid"), col(qvecCol).as("_q")), "_q")
+    val c = withBuckets(corpus.select(col(idCol).as("id"), col(vecCol).as("_v"))
+      .withColumn("_nv", normN(col("_v"), dim)), "_v")
+    val q = withBuckets(queries.select(col(qidCol).as("qid"), col(qvecCol).as("_q"))
+      .withColumn("_nq", normN(col("_q"), dim)), "_q")
     val scored = c.join(broadcast(q), Seq("_t", "_b"))
       .where(col("id") =!= col("qid"))
       .dropDuplicates("qid", "id")
-      .withColumn("sim", cosine(col("_v"), col("_q")))
+      .withColumn("sim",
+        cosinePre(col("_v"), col("_q"), col("_nv"), col("_nq"), dim))
     topKPerQuery(scored, "qid", k).select("qid", "id", "sim", "rank")
   }
 
@@ -122,7 +146,7 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
-      lloydIterations: Int = 2): DataFrame = {
+      lloydIterations: Int = 2, dim: Int = 0): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("_v"))
 
     // deterministic seeds: the nlist corpus rows with smallest xxhash64(id)
@@ -133,7 +157,8 @@ object Similarity {
 
     def nearestCid(df: DataFrame): DataFrame = {
       val scored = df.crossJoin(broadcast(centroids))
-        .withColumn("_sim", cosine(col("_v"), col("_c")))
+        .withColumn("_sim", cosinePre(col("_v"), col("_c"),
+          normN(col("_v"), dim), normN(col("_c"), dim), dim))
       val w = Window.partitionBy("id").orderBy(col("_sim").desc, col("cid"))
       scored.withColumn("_rn", row_number().over(w))
         .where(col("_rn") === 1).select(col("id"), col("_v"), col("cid"))
@@ -156,15 +181,19 @@ object Similarity {
     val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("_q"))
     val probes = {
       val scored = q.crossJoin(broadcast(centroids))
-        .withColumn("_sim", cosine(col("_q"), col("_c")))
+        .withColumn("_sim", cosinePre(col("_q"), col("_c"),
+          normN(col("_q"), dim), normN(col("_c"), dim), dim))
       val w = Window.partitionBy("qid").orderBy(col("_sim").desc, col("cid"))
       scored.withColumn("_rn", row_number().over(w))
         .where(col("_rn") <= nprobe).select(col("qid"), col("_q"), col("cid"))
     }
 
-    val scored = lists.join(broadcast(probes), Seq("cid"))
+    val scored = lists
+      .withColumn("_nv", normN(col("_v"), dim))
+      .join(broadcast(probes.withColumn("_nq", normN(col("_q"), dim))), Seq("cid"))
       .where(col("id") =!= col("qid"))
-      .withColumn("sim", cosine(col("_v"), col("_q")))
+      .withColumn("sim",
+        cosinePre(col("_v"), col("_q"), col("_nv"), col("_nq"), dim))
     topKPerQuery(scored, "qid", k).select("qid", "id", "sim", "rank")
   }
 
@@ -180,12 +209,15 @@ object Similarity {
       .withColumn("_tb", explode(array(ps.zipWithIndex.map { case (p, t) =>
         struct(lit(t).as("t"), bucketExpr(col("_v"), p).as("b"))
       }: _*)))
-    val a = withB.select(col("_tb").as("_k"), col("_id").as("idA"), col("_v").as("_va"))
-    val b = withB.select(col("_tb").as("_k"), col("_id").as("idB"), col("_v").as("_vb"))
+    val a = withB.select(col("_tb").as("_k"), col("_id").as("idA"),
+      col("_v").as("_va"), normN(col("_v"), dim).as("_na"))
+    val b = withB.select(col("_tb").as("_k"), col("_id").as("idB"),
+      col("_v").as("_vb"), normN(col("_v"), dim).as("_nb"))
     a.join(b, Seq("_k"))
       .where(col("idA") < col("idB"))
       .dropDuplicates("idA", "idB")
-      .withColumn("cosine", cosine(col("_va"), col("_vb")))
+      .withColumn("cosine",
+        cosinePre(col("_va"), col("_vb"), col("_na"), col("_nb"), dim))
       .where(col("cosine") >= threshold)
       .select("idA", "idB", "cosine")
   }
