@@ -665,14 +665,25 @@ final class IceTable(
     val targets = snap.aliveFiles.filter(f => partitionOf(f.path) == targetPartition)
     if (targets.isEmpty) return (None, None, Seq.empty)
 
-    val newFiles = targets.map { old =>
-      val view = s"_rows_${UUID.randomUUID().toString.replace("-", "")}"
-      readFiles(snap, Seq(old)).createOrReplaceTempView(view)
-      try {
-        val result = spark.sql(filterSql.replaceAll("\\b_rows\\b", view))
-        writeSingleFile(result,
-          s"_data/$targetPartition/${UUID.randomUUID()}.parquet")
-      } finally spark.catalog.dropTempView(view)
+    // per-file rewrites run concurrently on the bounded pool (leaf-only:
+    // one Spark job + a rename each) — the reference's serial per-file copy
+    // (icedb.py:540-567) is a driver bottleneck at high file counts
+    val newFiles: Seq[FileMarker] = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext = IceTable.insertPool
+      Await.result(
+        Future.traverse(targets) { old =>
+          Future {
+            val view = s"_rows_${UUID.randomUUID().toString.replace("-", "")}"
+            readFiles(snap, Seq(old)).createOrReplaceTempView(view)
+            try {
+              val result = spark.sql(filterSql.replaceAll("\\b_rows\\b", view))
+              writeSingleFile(result,
+                s"_data/$targetPartition/${UUID.randomUUID()}.parquet")
+            } finally spark.catalog.dropTempView(view)
+          }
+        }, Duration.Inf)
     }
 
     val rewrittenPaths = targets.map(_.path).toSet
