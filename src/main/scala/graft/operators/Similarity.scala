@@ -23,13 +23,12 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
-  /** Fixed-dimension dot product unrolled to `element_at` products — a flat
-    * codegen'd expression tree, ~10× the interpreted HOF form on the scan
-    * side. Falls back to [[dot]] when dim is unknown (<= 0). */
+  /** Hot-path dot product: the native codegen'd Catalyst expression
+    * ([[graft.functions.VectorExpressions.dotNative]]) — one generated
+    * `while` loop over the array buffers, any dimension. The `dim`
+    * parameter is kept for API stability; it no longer matters. */
   def dotN(a: Column, b: Column, dim: Int): Column =
-    if (dim <= 0) dot(a, b)
-    else (1 to dim).map(i => element_at(a, i) * element_at(b, i))
-      .reduce(_ + _).cast("double")
+    graft.functions.VectorExpressions.dotNative(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
