@@ -129,6 +129,19 @@ class OptimizeSpec extends SparkSpec {
     assert(table.read().count() == 2000L)
   }
 
+  test("empty-batch insert commits an empty log, read unaffected") {
+    // reference parity: insert([]) writes a log with zero file markers
+    // (icedb.py:183-221 has no empty guard); reads must be unchanged
+    val table = newTable("empty_insert")
+    table.insert(events(30))
+    assert(table.read().count() == 30L)
+    table.insert(events(0))
+    val snap = table.snapshot()
+    assert(snap.logFiles.length == 2)
+    assert(snap.aliveFiles.length == table.snapshot().aliveFiles.length)
+    assert(table.read().count() == 30L)
+  }
+
   test("optimize converges over rounds under the file-count cap") {
     val table = newTable("opt_rounds")
     (0 until 4).foreach(_ =>
