@@ -142,6 +142,26 @@ class OptimizeSpec extends SparkSpec {
     assert(table.read().count() == 30L)
   }
 
+  test("insert concurrent with optimize loses nothing (MVCC)") {
+    // the reference's lock contract covers merge-vs-merge only; inserts
+    // are safe concurrently with compaction because a merge tombstones
+    // exactly the files its snapshot read and an insert only adds — the
+    // log fold is last-writer-wins per path, so both commits compose
+    val table = newTable("concurrent_ins")
+    (0 until 3).foreach(_ => table.insert(events(100)))
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val opt = Future(table.optimize(maxFileSize = 1_000_000_000L, maxFileCount = 100))
+    val ins = Future(table.insert(events(100).withColumn("event_id", $"event_id" + 5000)))
+    Await.result(Future.sequence(Seq(opt, ins)), 120.seconds)
+    assert(table.read().count() == 400L)
+    // a follow-up optimize folds the late insert in as well
+    table.optimize(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+    assert(table.read().count() == 400L)
+    assert(table.snapshot().aliveFiles.length == 5)
+  }
+
   test("optimize converges over rounds under the file-count cap") {
     val table = newTable("opt_rounds")
     (0 until 4).foreach(_ =>
