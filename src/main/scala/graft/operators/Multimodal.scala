@@ -12,11 +12,13 @@ import org.apache.spark.sql.types._
   *
   * Images have a REAL codec ([[JdkImageCodec]], `javax.imageio` — in the
   * JDK, zero dependencies): true header dimensions, proportional resize,
-  * PNG re-encode. Audio/video codecs don't exist in the JDK, so those
-  * paths use [[FakeCodec]], a deterministic stand-in deriving metadata
-  * from payload bytes; the Spark-side contract — schema, batch shape,
-  * partitioning, null behavior — is identical, so swapping in javacv/
-  * ffmpeg touches only the codec object.
+  * PNG re-encode. Audio metadata is REAL for WAV/AIFF/AU
+  * ([[decodeAudioMetaReal]], `javax.sound.sampled`): sample rate,
+  * channels, frames, duration. Video and compressed-audio codecs don't
+  * exist in the JDK, so those paths use [[FakeCodec]], a deterministic
+  * stand-in deriving metadata from payload bytes; the Spark-side contract
+  * — schema, batch shape, partitioning, null behavior — is identical, so
+  * swapping in javacv/ffmpeg touches only the codec object.
   */
 object Multimodal {
 
@@ -159,6 +161,39 @@ object Multimodal {
           val resized = JdkImageCodec.decode(payload)
             .map(JdkImageCodec.resizePng(_, maxDim)).getOrElse(payload)
           Row(r.get(0), r.get(1), resized, r.get(3))
+        }
+      }(enc)
+  }
+
+  private val audioSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("duration_sec", DoubleType)))
+
+  /** REAL audio metadata via `javax.sound.sampled` (in the JDK): sample
+    * rate, channels, frame count, duration for WAV/AIFF/AU payloads.
+    * Undecodable payloads yield (-1, -1, -1, -1.0). Compressed formats
+    * (mp3/ogg) need an external decoder behind the same contract. */
+  def decodeAudioMetaReal(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(audioSchema)
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]](1)
+          val meta =
+            try {
+              val in = new java.io.ByteArrayInputStream(payload)
+              val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(in)
+              val fmt = aff.getFormat
+              val frames = aff.getFrameLength.toLong
+              val dur =
+                if (fmt.getFrameRate > 0) frames / fmt.getFrameRate.toDouble
+                else -1.0
+              (fmt.getSampleRate.toInt, fmt.getChannels, frames, dur)
+            } catch { case _: Exception => (-1, -1, -1L, -1.0) }
+          Row(r.getLong(0), meta._1, meta._2, meta._3, meta._4)
         }
       }(enc)
   }

@@ -167,6 +167,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(frames.schema.fieldNames.toSeq == Seq("media_id", "frame_idx", "frame"))
   }
 
+  test("real audio codec: WAV header decode via javax.sound.sampled") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    // build a genuine 16-bit mono 8kHz WAV of known length in-test
+    def wav(nFrames: Int, rate: Float = 8000f): Array[Byte] = {
+      val fmt = new AudioFormat(rate, 16, 1, true, false)
+      val pcm = Array.tabulate(nFrames * 2)(i => (i % 251).toByte)
+      val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nFrames)
+      val buf = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, buf)
+      buf.toByteArray
+    }
+    val rows = Seq(
+      (1L, "audio/wav", wav(8000), Map.empty[String, String]), // 1.0 s
+      (2L, "audio/wav", wav(2000), Map.empty[String, String]), // 0.25 s
+      (3L, "audio/wav", "not audio".getBytes, Map.empty[String, String]))
+    val media = spark.createDataFrame(rows)
+      .toDF("media_id", "media_type", "payload", "meta")
+    val meta = Multimodal.decodeAudioMetaReal(media).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(meta(1L) == (8000, 1, 8000L, 1.0))
+    assert(meta(2L) == (8000, 1, 2000L, 0.25))
+    assert(meta(3L) == (-1, -1, -1L, -1.0))
+  }
+
   test("real image codec: PNG decode, proportional resize, re-decode") {
     import java.awt.image.BufferedImage
     import java.io.ByteArrayOutputStream
