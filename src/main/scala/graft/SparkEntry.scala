@@ -47,6 +47,69 @@ object SparkEntry {
   // nearest-double of the exact decimal; parquet/pandas types then agree)
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
 
+  // ---------------------------------------------------- planted-dup helpers
+  //
+  // The LSH-family operators (minhash/ngram/simhash/cosine near-dup) are
+  // not SQL-oracle-expressible, so their graded artifacts used to be
+  // rows-only dumps with zero verification signal. Instead, each query
+  // plants 5 deterministic near-duplicates (id + PlantOffset, a content
+  // mutation the operator must see through) and the graded result is the
+  // CONSTANT planted-recovery count plus a bool_and over the operator's own
+  // similarity guarantee — a self-verifying summary with a trivial oracle.
+
+  private val PlantOffset = 1000000L
+
+  /** The 5 planted sources: longish docs (stable shingle sets), lowest ids
+    * — a deterministic total order, so the same docs plant at every run. */
+  private def docsWithPlanted(
+      s: SparkSession, d: String,
+      mutate: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+    val all = Fixtures.raw(s, d, "documents")
+    val base = all.select(col("doc_id"), col("text"))
+    val planted = all.where(col("n_chars") >= 200)
+      .orderBy(col("doc_id")).limit(5)
+      .select((col("doc_id") + PlantOffset).as("doc_id"),
+        mutate(col("text")).as("text"))
+    base.unionByName(planted)
+  }
+
+  /** Constant-row summary over a near-dup pair list: how many of the 5
+    * planted (source, source+offset) pairs were recovered, and does every
+    * emitted pair honor the operator's similarity bound. */
+  private def plantedSummary(
+      pairs: DataFrame, pairOk: org.apache.spark.sql.Column): DataFrame =
+    pairs.agg(
+      sum(when(col("idB") === col("idA") + PlantOffset, 1L).otherwise(0L))
+        .cast("bigint").as("planted_found"),
+      bool_and(pairOk).as("all_pairs_valid"))
+
+  /** Corpus + queries for the ANN family (shared by all three variants). */
+  private def annInputs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val emb = Fixtures.raw(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val queries = emb.where(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    (emb, queries)
+  }
+
+  /** Self-verifying harness for approximate ANN: join the approximate
+    * top-10 against the exact brute-force top-10 IN-QUERY and grade
+    * recall@10 >= 0.6 (the bound the test suite asserts) as a constant
+    * row — the approximation quality itself becomes the graded artifact. */
+  private def annRecall(
+      s: SparkSession, d: String,
+      approx: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val (emb, queries) = annInputs(s, d)
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 10, dim = 64)
+      .select(col("qid"), col("id"), lit(1L).as("_bf"))
+    approx(emb, queries)
+      .select(col("qid"), col("id"))
+      .join(bf, Seq("qid", "id"), "left")
+      .agg(countDistinct(col("qid")).as("n_queries"),
+        (sum(coalesce(col("_bf"), lit(0L))) >= lit(18L)).as("recall_ok"))
+  }
+
   def queries: Map[String, Q] = Map(
     // ---------------------------------------------------- engine operators
     "a1_insert_count" -> ((s, d) => {
@@ -227,7 +290,8 @@ object SparkEntry {
         .orderBy(col("w"))
     }),
     "b17_uuid" -> ((s, d) => {
-      // uuid() is nondeterministic by nature: rows-only check (no oracle)
+      // uuid() values are nondeterministic, but their UNIQUENESS is the
+      // contract — 100 generated ids must be 100 distinct ids (constant)
       Fixtures.raw(s, d, "orders").limit(100)
         .select(expr("uuid()").as("id"))
         .agg(countDistinct(col("id")).as("uniq"))
@@ -244,7 +308,8 @@ object SparkEntry {
         max(col("cnt")).as("max_orders"))
     }),
     "b3_filename_virtual" -> ((s, d) => {
-      // file paths are run-specific: rows-only check (no oracle)
+      // raw paths are run-specific, but the alive-file COUNT is pinned:
+      // post-optimize it equals the partition (event-day) count
       val t = Fixtures.eventsIce(s, d).table
       t.withFileName(t.read())
         .agg(countDistinct(col("_file")).as("files"))
@@ -323,25 +388,35 @@ object SparkEntry {
           count(lit(1)).as("total"))
     }),
     "llm_lang_quality" -> ((s, d) => {
-      // heuristic scores: rows-only check (no closed-form SQL oracle)
+      // heuristic scores, graded on their CONTRACT: every quality score in
+      // [0,1], every language prediction in the model's domain, one score
+      // per document — constants a SQL oracle can pin
       Fixtures.raw(s, d, "documents")
-        .groupBy(TextFunctions.langId(col("text")).as("pred_lang"))
-        .agg(count(lit(1)).as("cnt"),
-          round(avg(TextFunctions.qualityScore(col("text"))), 4).as("avg_quality"))
-        .orderBy(col("pred_lang"))
+        .select(TextFunctions.langId(col("text")).as("pred_lang"),
+          TextFunctions.qualityScore(col("text")).as("q"))
+        .agg(count(lit(1)).as("total_docs"),
+          bool_and(col("q").between(0.0, 1.0)).as("quality_in_range"),
+          bool_and(col("pred_lang").isin("en", "de", "es", "fr", "zh", "und"))
+            .as("lang_in_domain"))
     }),
     "llm_minhash_dedup" -> ((s, d) => {
-      // LSH banding: rows-only check (bucketing not SQL-oracle-expressible)
-      Dedup.minHashDupPairs(Fixtures.raw(s, d, "documents"),
-          "doc_id", "text", threshold = 0.7)
-        .orderBy(col("idA"), col("idB"))
-        .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
+      // planted near-dups (3 appended tokens: jaccard ≈ n/(n+3) ≈ 0.93, at
+      // most 3 of 128 OPH buckets move → ≥13 of 16 bands still collide):
+      // the graded row is the constant recovery count + the verifier's own
+      // threshold invariant
+      val pairs = Dedup.minHashDupPairs(
+        docsWithPlanted(s, d, t => concat(t, lit(" planted dup marker"))),
+        "doc_id", "text", threshold = 0.7)
+      plantedSummary(pairs, col("jaccard") >= 0.7)
     }),
     "llm_simhash_dedup" -> ((s, d) => {
-      // rows-only check
-      Dedup.simHashDupPairs(Fixtures.raw(s, d, "documents"),
-          "doc_id", "text", maxHamming = 3)
-        .orderBy(col("idA"), col("idB"))
+      // planted near-dups: word-order reversal keeps the distinct-token SET
+      // (simhash input) identical → hamming 0, all 4 bands collide
+      val pairs = Dedup.simHashDupPairs(
+        docsWithPlanted(s, d,
+          t => array_join(reverse(split(t, "\\s+")), " ")),
+        "doc_id", "text", maxHamming = 3)
+      plantedSummary(pairs, col("hamming") <= 3)
     }),
     "llm_ann_bruteforce" -> ((s, d) => {
       val emb = Fixtures.raw(s, d, "embeddings")
@@ -354,41 +429,66 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
     "llm_ann_lsh" -> ((s, d) => {
-      // approximate: rows-only check; recall vs brute force asserted in tests
-      val emb = Fixtures.raw(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-      val queries = emb.where(col("vec_id").isin(0L, 1L, 2L))
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Similarity.lshTopK(emb, "vec_id", "embedding",
-          queries, "qid", "qvec", k = 10, dim = 64, tables = 16, bits = 4)
-        .select(col("qid"), col("id"), col("rank").cast("bigint").as("rank"))
-        .orderBy(col("qid"), col("rank"))
+      // self-verifying: recall@10 vs the exact brute-force top-10, in-query
+      annRecall(s, d, (emb, queries) =>
+        Similarity.lshTopK(emb, "vec_id", "embedding",
+          queries, "qid", "qvec", k = 10, dim = 64, tables = 16, bits = 4))
     }),
     "llm_ann_ivf" -> ((s, d) => {
-      // IVF coarse quantization: rows-only check (training-dependent)
-      val emb = Fixtures.raw(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-      val queries = emb.where(col("vec_id").isin(0L, 1L, 2L))
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Similarity.ivfTopK(emb, "vec_id", "embedding",
-          queries, "qid", "qvec", k = 10, nlist = 16, nprobe = 4, dim = 64)
-        .select(col("qid"), col("id"), col("rank").cast("bigint").as("rank"))
-        .orderBy(col("qid"), col("rank"))
+      // self-verifying: recall@10 vs the exact brute-force top-10, in-query
+      // nlist=8/nprobe=4 (the suite's config): recall 0.73 at sf0.01 —
+      // margin over the 0.6 bar; 16/4 sat at 0.43 on the weakly-clustered
+      // synthetic embeddings
+      annRecall(s, d, (emb, queries) =>
+        Similarity.ivfTopK(emb, "vec_id", "embedding",
+          queries, "qid", "qvec", k = 10, nlist = 8, nprobe = 4, dim = 64))
     }),
     "llm_cosine_neardup" -> ((s, d) => {
-      // rows-only check
-      Similarity.cosineDupPairs(
-          Fixtures.raw(s, d, "embeddings")
-            .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
-          "vec_id", "embedding", threshold = 0.99)
-        .select(col("idA"), col("idB"), round(col("cosine"), 4).as("cosine"))
-        .orderBy(col("idA"), col("idB"))
+      // planted near-dups (ε on one component: cosine ≈ 1 ≫ 0.99, bucket
+      // signs essentially unchanged across all 8 tables) — the organic
+      // corpus has no 0.99-pairs at small SF, so without planting this
+      // grades an empty result
+      val emb = Fixtures.raw(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val planted = emb.where(col("vec_id") < 5)
+        .select((col("vec_id") + PlantOffset).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => x + when(i === 0, lit(0.001)).otherwise(lit(0.0)))
+            .as("embedding"))
+      val pairs = Similarity.cosineDupPairs(emb.unionByName(planted),
+        "vec_id", "embedding", threshold = 0.99)
+      plantedSummary(pairs, col("cosine") >= 0.99)
     }),
     "llm_multimodal_meta" -> ((s, d) => {
-      val media = Multimodal.pack(Fixtures.raw(s, d, "documents"),
-        "doc_id", "text", "image/fake")
-      Multimodal.decodeImageMeta(media)
-        .agg(sum(col("n_bytes")).cast("bigint").as("total_bytes"),
+      // REAL codec graded: payloads are actual PNGs (dims a closed-form
+      // function of doc_id), decoded with javax.imageio — the oracle pins
+      // the true header dimensions
+      val media = Multimodal.packPng(Fixtures.raw(s, d, "documents"), "doc_id")
+      Multimodal.decodeImageMetaReal(media)
+        .agg(sum(col("width")).cast("bigint").as("sum_w"),
+          sum(col("height")).cast("bigint").as("sum_h"),
+          count(lit(1)).as("cnt"),
+          bool_and(col("width") > 0).as("all_decoded"))
+    }),
+    "llm_multimodal_resize" -> ((s, d) => {
+      // real decode → proportional resize → PNG re-encode → real re-decode;
+      // the resized dimensions have a closed-form oracle
+      val media = Multimodal.packPng(Fixtures.raw(s, d, "documents"), "doc_id")
+      Multimodal.decodeImageMetaReal(Multimodal.resizeImageReal(media, maxDim = 6))
+        .agg(sum(col("width")).cast("bigint").as("sum_w"),
+          sum(col("height")).cast("bigint").as("sum_h"),
+          count(lit(1)).as("cnt"))
+    }),
+    "llm_multimodal_audio" -> ((s, d) => {
+      // REAL audio codec graded: payloads are actual 8 kHz mono PCM WAVs
+      // (frame count a closed-form function of doc_id), decoded with
+      // javax.sound.sampled
+      val media = Multimodal.packWav(Fixtures.raw(s, d, "documents"), "doc_id")
+      Multimodal.decodeAudioMetaReal(media)
+        .agg(sum(col("n_frames")).cast("bigint").as("total_frames"),
+          min(col("sample_rate")).as("min_rate"),
+          max(col("sample_rate")).as("max_rate"),
+          sum(col("channels")).cast("bigint").as("mono_channels"),
           count(lit(1)).as("cnt"))
     }),
     "llm_multimodal_pipeline" -> ((s, d) => {
@@ -411,15 +511,17 @@ object SparkEntry {
           count(lit(1)).as("cnt"))
     }),
     "llm_ngram_dedup" -> ((s, d) => {
-      // 2-gram Jaccard near-dup via the bucketed minhash path: rows-only
-      Dedup.ngramJaccardPairs(Fixtures.raw(s, d, "documents"),
-          "doc_id", "text", threshold = 0.7, shingleK = 2)
-        .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
-        .orderBy(col("idA"), col("idB"))
+      // 2-gram variant of the planted-dup harness
+      val pairs = Dedup.ngramJaccardPairs(
+        docsWithPlanted(s, d, t => concat(t, lit(" planted dup marker"))),
+        "doc_id", "text", threshold = 0.7, shingleK = 2)
+      plantedSummary(pairs, col("jaccard") >= 0.7)
     }))
 
-  /** DuckDB oracle per query (omitted for the nondeterministic / LSH /
-    * heuristic ones → driver records a weaker rows-only check). */
+  /** DuckDB oracle per query — EVERY registered query carries one: the
+    * nondeterministic / LSH / heuristic operators grade constant-row
+    * summaries (planted-dup recovery counts, in-query recall bounds,
+    * contract invariants) instead of raw dumps. */
   def oracleSql: Map[String, String] = Map(
     "a1_insert_count" -> "SELECT count(*) AS cnt FROM events",
     "a9_time_travel" ->
@@ -501,7 +603,37 @@ object SparkEntry {
     "llm_ann_bruteforce" ->
       "SELECT qid, id, rank FROM (SELECT q.vec_id AS qid, c.vec_id AS id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank FROM embeddings c, embeddings q WHERE q.vec_id IN (0, 1, 2) AND c.vec_id != q.vec_id) WHERE rank <= 10 ORDER BY qid, rank",
     "llm_multimodal_meta" ->
-      "SELECT CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes, count(*) AS cnt FROM documents",
+      "SELECT CAST(sum(4 + doc_id % 13) AS BIGINT) AS sum_w, CAST(sum(3 + doc_id % 7) AS BIGINT) AS sum_h, count(*) AS cnt, true AS all_decoded FROM documents",
+    // real resize parity: scale = 6 / max(w,h) computed in DOUBLE on both
+    // sides, round-half-up matches for positive values
+    "llm_multimodal_resize" ->
+      ("SELECT CAST(sum(CASE WHEN greatest(w, h) <= 6 THEN w ELSE greatest(1, CAST(round(w * (6.0 / greatest(w, h))) AS BIGINT)) END) AS BIGINT) AS sum_w, " +
+        "CAST(sum(CASE WHEN greatest(w, h) <= 6 THEN h ELSE greatest(1, CAST(round(h * (6.0 / greatest(w, h))) AS BIGINT)) END) AS BIGINT) AS sum_h, " +
+        "count(*) AS cnt FROM (SELECT 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h FROM documents)"),
+    "llm_multimodal_audio" ->
+      ("SELECT CAST(sum(100 + doc_id % 50) AS BIGINT) AS total_frames, " +
+        "CAST(8000 AS INTEGER) AS min_rate, CAST(8000 AS INTEGER) AS max_rate, " +
+        "count(*) AS mono_channels, count(*) AS cnt FROM documents"),
+    "llm_lang_quality" ->
+      "SELECT count(*) AS total_docs, true AS quality_in_range, true AS lang_in_domain FROM documents",
+    "llm_minhash_dedup" ->
+      "SELECT CAST(5 AS BIGINT) AS planted_found, true AS all_pairs_valid",
+    "llm_ngram_dedup" ->
+      "SELECT CAST(5 AS BIGINT) AS planted_found, true AS all_pairs_valid",
+    "llm_simhash_dedup" ->
+      "SELECT CAST(5 AS BIGINT) AS planted_found, true AS all_pairs_valid",
+    "llm_cosine_neardup" ->
+      "SELECT CAST(5 AS BIGINT) AS planted_found, true AS all_pairs_valid",
+    "llm_ann_lsh" ->
+      "SELECT CAST(3 AS BIGINT) AS n_queries, true AS recall_ok",
+    "llm_ann_ivf" ->
+      "SELECT CAST(3 AS BIGINT) AS n_queries, true AS recall_ok",
+    "b17_uuid" ->
+      "SELECT CAST(100 AS BIGINT) AS uniq",
+    // post-optimize the table holds exactly one alive file per partition,
+    // and partitions are the distinct event days — a deterministic count
+    "b3_filename_virtual" ->
+      "SELECT count(DISTINCT strftime(ts, '%Y-%m-%d')) AS files FROM events",
     // resize cap 256, frame chunks of 64, keep every 2nd (indices 0,2):
     // closed form over L = capped utf-8 byte length
     "llm_multimodal_pipeline" ->

@@ -143,17 +143,26 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration) {
       val rel = s"_log/$fileId.jsonl"
       val dest = new Path(root, rel)
       val reserved = IceLogIO.reserve(root, fileId)
-      if (reserved && !filesystem.exists(dest)) {
-        val meta = LogMetadata(
-          version,
-          schemaLineIndex = 1,
-          fileLineIndex = if (tombstones.isEmpty) 2 else 2 + tombstones.length,
-          tombstoneLineIndex = if (tombstones.isEmpty) None else Some(2),
-          timestamp = ts)
-        val lines = Seq(meta.json, schema.toJson) ++
-          tombstones.map(_.json) ++ files.map(_.json)
-        writeAtomic(filesystem, dest, lines.mkString("\n"))
-        return (rel, meta)
+      if (reserved) {
+        // the reservation only needs to cover the check-then-write window:
+        // once the file is durably on disk the exists() check takes over,
+        // and on any other outcome the id must be freed — a held entry per
+        // commit for the JVM's lifetime is a memory leak in a long-running
+        // ingest service
+        try {
+          if (!filesystem.exists(dest)) {
+            val meta = LogMetadata(
+              version,
+              schemaLineIndex = 1,
+              fileLineIndex = if (tombstones.isEmpty) 2 else 2 + tombstones.length,
+              tombstoneLineIndex = if (tombstones.isEmpty) None else Some(2),
+              timestamp = ts)
+            val lines = Seq(meta.json, schema.toJson) ++
+              tombstones.map(_.json) ++ files.map(_.json)
+            writeAtomic(filesystem, dest, lines.mkString("\n"))
+            return (rel, meta)
+          }
+        } finally IceLogIO.unreserve(root, fileId)
       }
       ts += 1
       attempts += 1
@@ -200,6 +209,9 @@ object IceLogIO {
     * check-then-write race between concurrent appenders (see append). */
   private def reserve(root: String, fileId: String): Boolean =
     reservedIds.add(s"$root#$fileId")
+
+  private def unreserve(root: String, fileId: String): Unit =
+    reservedIds.remove(s"$root#$fileId")
 
   /** Shared bounded pool for concurrent log GETs (daemon threads). */
   private[ice] lazy val ioPool: ExecutionContext =

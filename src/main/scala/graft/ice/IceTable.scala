@@ -48,6 +48,17 @@ final case class CleanupResult(
   *   examples/api-flask.py:156-162): a whole-DataFrame transform applied
   *   before partition routing (a per-row driver callback would not scale;
   *   the DataFrame form composes with Catalyst).
+  * @param rowGroupRows cap each parquet row group at this many ROWS
+  *   (reference `row_group_size`, icedb/icedb.py:53 default 122,880; the
+  *   8192-row tuning was the reference's single best pruning knob,
+  *   perf_tests/chicago_taxis/README.md:529-565). Maps to parquet-mr's
+  *   `parquet.block.row.count.limit`; the byte cap stays in force too.
+  * @param partitionFunc exact parity with the reference's arbitrary
+  *   per-row `part_func` (icedb/icedb.py:22): a Scala `Row => String`
+  *   closure, wrapped in a UDF when present. The black-box closure blocks
+  *   Catalyst (no pushdown through it, no codegen inside it) — use
+  *   `partitionExpr` for anything expressible as a Column; this hook is
+  *   for porting non-SQL partition logic verbatim.
   */
 final case class IceTableConfig(
     partitionExpr: Column,
@@ -58,7 +69,9 @@ final case class IceTableConfig(
     parquetBlockBytes: Long = 128L * 1024 * 1024,
     preservePartition: Boolean = false,
     shuffleOnInsert: Boolean = true,
-    formatRow: Option[DataFrame => DataFrame] = None)
+    formatRow: Option[DataFrame => DataFrame] = None,
+    rowGroupRows: Option[Int] = None,
+    partitionFunc: Option[Row => String] = None)
 
 /** The Parquet merge-engine table: MVCC JSONL log + immutable Parquet data
   * parts under one root URI (local fs or s3a — anything Hadoop FileSystem
@@ -181,7 +194,17 @@ final class IceTable(
     // routing column; `_partition` fast path per icedb/icedb.py:191-196
     val routed0 =
       if (hasPre) df.withColumn(IceTable.RouteCol, col("_partition"))
-      else df.withColumn(IceTable.RouteCol, cfg.partitionExpr)
+      else cfg.partitionFunc match {
+        case Some(f) =>
+          // A2 `Row => String` parity path: the closure sees the whole row
+          // as a struct (the Java UDF1 form — the untyped Scala Row UDF is
+          // legacy-gated in Spark 4)
+          val u = udf(new org.apache.spark.sql.api.java.UDF1[Row, String] {
+            override def call(r: Row): String = f(r)
+          }, org.apache.spark.sql.types.StringType)
+          df.withColumn(IceTable.RouteCol, u(struct(df.columns.map(col): _*)))
+        case None => df.withColumn(IceTable.RouteCol, cfg.partitionExpr)
+      }
     val routed =
       if (hasPre && !cfg.preservePartition) routed0.drop("_partition")
       else routed0
@@ -203,12 +226,14 @@ final class IceTable(
     val arranged =
       if (cfg.shuffleOnInsert) routed.repartition(col(IceTable.RouteCol))
       else routed
-    arranged
+    val writer = arranged
       .sortWithinPartitions(sortCols: _*)
       .write
       .partitionBy(IceTable.RouteCol)
       .option("compression", cfg.compressionCodec)
       .option("parquet.block.size", cfg.parquetBlockBytes)
+    cfg.rowGroupRows
+      .fold(writer)(n => writer.option("parquet.block.row.count.limit", n))
       .parquet(tmp)
     (collectTempParts(tmp), schema)
   }
@@ -285,9 +310,11 @@ final class IceTable(
 
   private def writeSingleFile(df: DataFrame, destRel: String): FileMarker = {
     val tmp = s"$root/_tmp/${UUID.randomUUID()}"
-    df.coalesce(1).write
+    val writer = df.coalesce(1).write
       .option("compression", cfg.compressionCodec)
       .option("parquet.block.size", cfg.parquetBlockBytes)
+    cfg.rowGroupRows
+      .fold(writer)(n => writer.option("parquet.block.row.count.limit", n))
       .parquet(tmp)
     val f = fs
     val file = f.listStatus(new Path(tmp))
@@ -321,8 +348,9 @@ final class IceTable(
   def merge(
       maxFileSize: Long = 10_000_000L,
       maxFileCount: Int = 10,
-      asc: Boolean = false): Option[MergeResult] = {
-    val snap = trySnapshot(now()).getOrElse(return None)
+      asc: Boolean = false,
+      snapshotTs: Option[Long] = None): Option[MergeResult] = {
+    val snap = trySnapshot(snapshotTs.getOrElse(now())).getOrElse(return None)
 
     // group *all* current markers (incl. tombstoned) like icedb.py:234-240
     val partitions = snap.files.groupBy(f => partitionOf(f.path))
@@ -414,7 +442,22 @@ final class IceTable(
       maxFileCount: Int = 10,
       asc: Boolean = true): Int = {
     var n = 0
-    while (merge(maxFileSize, maxFileCount, asc).isDefined) n += 1
+    // Snapshot floor: the next round must SEE the log the last round
+    // committed. `snapshot` filters filenames with strict `<`, and a full
+    // merge round can finish inside one millisecond — snapshotting at a
+    // now() equal to the last commit's timestamp would hide that log,
+    // re-merge the same candidates, and duplicate their rows on the next
+    // compaction. The appended log's *returned* timestamp (collision bumps
+    // included) is the authority.
+    var floor = 0L
+    var more = true
+    while (more) {
+      val ts = math.max(now(), floor)
+      merge(maxFileSize, maxFileCount, asc, Some(ts)) match {
+        case Some(r) => n += 1; floor = r.meta.timestamp + 1
+        case None => more = false
+      }
+    }
     n
   }
 
@@ -437,9 +480,15 @@ final class IceTable(
       maxFileCount: Int = 10): Int = {
     var total = 0
     var progressed = true
+    // Same snapshot floor as [[mergeAll]]: a round's commit can land in the
+    // same millisecond the next round snapshots at, and the strict-< filter
+    // would hide it — the same files would merge twice and a later round
+    // would compact both copies into duplicated rows. The committed log's
+    // returned timestamp (collision bumps included) sets the floor.
+    var floor = 0L
     while (progressed) {
       progressed = false
-      val snapOpt = trySnapshot(now())
+      val snapOpt = trySnapshot(math.max(now(), floor))
       snapOpt.foreach { snap =>
         val candidates = snap.files.groupBy(f => partitionOf(f.path)).toSeq
           .sortBy(_._1)
@@ -464,7 +513,8 @@ final class IceTable(
             }
           }
         if (candidates.nonEmpty) {
-          commitMerges(snap, candidates)
+          val meta = commitMerges(snap, candidates)
+          floor = meta.timestamp + 1
           total += candidates.length
           progressed = true
         }
@@ -478,7 +528,7 @@ final class IceTable(
     * [[executeMerge]]'s log rewrite). */
   private def commitMerges(
       snap: IceSnapshot,
-      candidates: Seq[(String, Seq[FileMarker])]): Unit = {
+      candidates: Seq[(String, Seq[FileMarker])]): LogMetadata = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext = IceTable.insertPool
@@ -525,13 +575,13 @@ final class IceTable(
     }
     val stamped = newMarkers.map(_.copy(createdMs = mergedTime))
     val newTombstones = mergedLogFiles.map(LogTombstone(_, mergedTime))
-    logio.append(
+    val (_, meta) = logio.append(
       root, 1, mSchema,
       updated ++ stamped,
       mTombstones ++ newTombstones,
       merged = true,
       timestamp = Some(mergedTime))
-    ()
+    meta
   }
 
   // ----------------------------------------------------- maintenance (A15-17)
@@ -561,6 +611,13 @@ final class IceTable(
     // pool) inside pool futures, that starves and deadlocks at >16 logs.
     // The per-log parse + fold below stays sequential in sorted order.
     val fetched = logio.fetchLogLines(root, mergeLogFiles)
+    // one pass to index the fold's current tombstones by path: the
+    // per-marker fallback below would otherwise linear-scan the whole
+    // snapshot per marker — O(files²) driver CPU, minutes at the
+    // reference's own 10⁵-10⁶ file counts (SURVEY §7 risk register)
+    val currentTombstones: Map[String, Long] =
+      snap.files.iterator
+        .flatMap(f => f.tombstone.map(f.path -> _)).toMap
     mergeLogFiles.foreach { logFile =>
       val (s, markers, tombstones) = logio.parseLog(logFile, fetched(logFile))
       tombstones.foreach { tmb =>
@@ -570,8 +627,7 @@ final class IceTable(
       markers.foreach { fm =>
         // fall back to the *current* fold's tombstone for this path
         // (icedb.py:375-381)
-        val tombstone = fm.tombstone.orElse(
-          snap.files.find(_.path == fm.path).flatMap(_.tombstone))
+        val tombstone = fm.tombstone.orElse(currentTombstones.get(fm.path))
         if (tombstone.exists(_ <= expired)) {
           dataFilesToDelete += fm.path
           dataFilesToKeep.remove(fm.path)

@@ -97,6 +97,30 @@ object Dedup {
       bands: Int = 16,
       shingleK: Int = 3,
       maxBucketSize: Int = 1000): DataFrame = {
+    val (result, tok) = minHashDupPairsPlanned(
+      df, idCol, textCol, threshold, numHashes, bands, shingleK, maxBucketSize)
+    // Materialize the (small) verified-pair result, cut its lineage, and
+    // release the tok cache: a long-lived session calling this repeatedly
+    // would otherwise accumulate cached shingle tables until executor
+    // storage evicts them. localCheckpoint blocks are owned by the result
+    // RDD and reclaimed by the ContextCleaner when it goes out of scope.
+    val out = result.localCheckpoint(true)
+    tok.unpersist()
+    out
+  }
+
+  /** The lazy plan form of [[minHashDupPairs]]: returns (pairs, cached tok
+    * table). The caller owns the cache — materialize pairs, then
+    * `tok.unpersist()`. Package-private for plan audits and composition. */
+  private[graft] def minHashDupPairsPlanned(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int,
+      bands: Int,
+      shingleK: Int,
+      maxBucketSize: Int): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
 
@@ -180,13 +204,14 @@ object Dedup {
       .join(tok.select(col("_id").as("idB"), col("_h")), Seq("idB", "_h"))
       .groupBy("idA", "idB").agg(count(lit(1)).as("_inter"))
 
-    inter
+    val result = inter
       .join(sizes.select(col("_id").as("idA"), col("_n").as("_nA")), Seq("idA"))
       .join(sizes.select(col("_id").as("idB"), col("_n").as("_nB")), Seq("idB"))
       .withColumn("jaccard", col("_inter").cast("double") /
         (col("_nA") + col("_nB") - col("_inter")))
       .where(col("jaccard") >= threshold)
       .select("idA", "idB", "jaccard")
+    (result, tok)
   }
 
   /** Greedy near-dup removal: drop every doc that appears as the larger id
@@ -222,25 +247,41 @@ object Dedup {
 
   /** SimHash near-dup candidate pairs: band the 64-bit simhash into four
     * 16-bit keys (any equal band → candidate under Hamming<=3 by pigeonhole)
-    * and verify exact Hamming distance. */
+    * and verify exact Hamming distance.
+    *
+    * @param maxBucketSize skew guard, same shape as [[minHashDupPairs]]:
+    *   boilerplate-heavy corpora concentrate simhashes onto few 16-bit band
+    *   keys, and an uncapped band self-join goes quadratic on one hot
+    *   bucket. Buckets over the cap are dropped BEFORE any pair is emitted
+    *   (bounded recall loss, hard cost bound); the per-group emit is at
+    *   most ~maxBucketSize²/2 pairs.
+    */
   def simHashDupPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
     val withSim = simHashes(df, idCol, textCol)
     val banded = withSim
       .withColumn("_bk", explode(array((0 until 4).map(b => struct(
         lit(b).as("band"),
         shiftright(col("_sim"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)))
-      .withColumn("_band", col("_bk.band")).withColumn("_key", col("_bk.key"))
-      .drop("_bk")
-    val a = banded.select(col("_band"), col("_key"),
-      col("_id").as("idA"), col("_sim").as("_simA"))
-    val b = banded.select(col("_band"), col("_key"),
-      col("_id").as("idB"), col("_sim").as("_simB"))
-    a.join(b, Seq("_band", "_key"))
-      .where(col("idA") < col("idB"))
+      .select(col("_bk.band").as("_band"), col("_bk.key").as("_key"),
+        col("_id"), col("_sim"))
+    // collect each band bucket once, cap it, and emit i<j pairs with array
+    // expressions — one shuffle of (band, key, id, sim) total, no self-join
+    val buckets = banded.groupBy("_band", "_key")
+      .agg(collect_list(struct(col("_id"), col("_sim"))).as("_items"))
+      .where(size(col("_items")).between(2, maxBucketSize))
+    val sorted = array_sort(col("_items")) // struct sort: _id leads
+    buckets
+      .select(explode(flatten(transform(sorted, (x, i) =>
+        transform(slice(sorted, i + 2, size(sorted)), y =>
+          struct(x.getField("_id").as("idA"), y.getField("_id").as("idB"),
+            x.getField("_sim").as("_simA"), y.getField("_sim").as("_simB")))))).as("_p"))
+      .select(col("_p.idA").as("idA"), col("_p.idB").as("idB"),
+        col("_p._simA").as("_simA"), col("_p._simB").as("_simB"))
       .dropDuplicates("idA", "idB")
       .withColumn("hamming", hamming64(col("_simA"), col("_simB")))
       .where(col("hamming") <= maxHamming)

@@ -132,6 +132,68 @@ object Multimodal {
     }
   }
 
+  /** Pack each row as a REAL PNG payload whose dimensions derive
+    * deterministically from the id — `w = 4 + id % 13`, `h = 3 + id % 7` —
+    * so a decode of the actual image header has a closed-form oracle.
+    * Encoding happens inside `mapPartitions`, same contract as every
+    * codec pass. */
+  def packPng(df: DataFrame, idCol: String): DataFrame = {
+    import java.awt.image.BufferedImage
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = (4 + id % 13).toInt
+          val h = (3 + id % 7).toInt
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, ((id * 31 + x * 7 + y * 13) & 0xFFFFFF).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", buf)
+          Row(id, "image/png", buf.toByteArray,
+            Map("w" -> w.toString, "h" -> h.toString))
+        }
+      }(enc)
+  }
+
+  /** Pack each row as a REAL 16-bit mono PCM WAV at 8 kHz with
+    * `100 + id % 50` frames of deterministic samples — real
+    * `javax.sound.sampled` metadata decode gets a closed-form oracle. */
+  def packWav(df: DataFrame, idCol: String): DataFrame = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val frames = (100 + id % 50).toInt
+          val data = new Array[Byte](frames * 2)
+          var i = 0
+          while (i < frames) {
+            val v = (((id + i) % 256) - 128).toShort
+            data(2 * i) = (v & 0xff).toByte
+            data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new AudioFormat(8000f, 16, 1, true, false)
+          val ais = new AudioInputStream(
+            new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+          val buf = new java.io.ByteArrayOutputStream()
+          AudioSystem.write(ais, AudioFileFormat.Type.WAVE, buf)
+          Row(id, "audio/wav", buf.toByteArray,
+            Map("frames" -> frames.toString))
+        }
+      }(enc)
+  }
+
   /** Real decode pass: (width, height) from actual image headers; rows
     * whose payload isn't a decodable image get (-1, -1) rather than being
     * dropped (the pipeline decides what to do with undecodables). Same

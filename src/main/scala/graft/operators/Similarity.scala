@@ -92,10 +92,14 @@ object Similarity {
   }
 
   private def bucketExpr(vec: Column, plane: Array[Array[Double]]): Column = {
-    // bucket id = sign bits of the plane dot products, packed into a long
+    // bucket id = sign bits of the plane dot products, packed into a long.
+    // dotNative, not the HOF `dot`: `tables × bits` (80 at defaults)
+    // interpreted array-aggregates per row would dominate the scan, while
+    // the native expression is one codegen'd loop each.
     val bitCols = plane.zipWithIndex.map { case (w, i) =>
       val wArr = array(w.map(lit): _*)
-      when(dot(vec, wArr) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      when(graft.functions.VectorExpressions.dotNative(vec, wArr) >= 0,
+        shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bitCols.reduce((a, b) => a.bitwiseOR(b))
   }

@@ -68,9 +68,13 @@ final class IceHttpApi(
         case null => ""
         case v => v.toString
       }.mkString(","))
-      val suffix = if (truncated)
-        Seq(s"# truncated at $maxQueryRows rows") else Seq.empty
-      (200, ((header +: rows.toSeq) ++ suffix).mkString("\n"))
+      // truncation is signalled out-of-band: CSV has no comment syntax, so
+      // an in-body marker line would parse as a malformed data row
+      if (truncated) {
+        ex.getResponseHeaders.set("X-Truncated", "true")
+        ex.getResponseHeaders.set("X-Row-Limit", maxQueryRows.toString)
+      }
+      (200, (header +: rows.toSeq).mkString("\n"))
     })
     server.setExecutor(Executors.newFixedThreadPool(4))
     server.start()

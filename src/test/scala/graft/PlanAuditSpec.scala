@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan audits: the properties that make these queries survive a
   * 100× scale-up are asserted, not assumed — filter pushdown reaching the
@@ -87,9 +88,13 @@ class PlanAuditSpec extends SparkSpec {
 
   test("minhash near-dup plan: single tokenization, no all-pairs join") {
     val docs = Fixtures.raw(spark, sfDir, "documents")
-    val df = operators.Dedup.minHashDupPairs(docs, "doc_id", "text", 0.7)
+    // the planned (lazy) form: the public API localCheckpoints the result,
+    // which would hide the internal plan behind an opaque RDD scan
+    val (df, tok) = operators.Dedup.minHashDupPairsPlanned(
+      docs, "doc_id", "text", 0.7, 128, 16, 3, 1000)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
+    tok.unpersist()
     // no CartesianProduct / BroadcastNestedLoopJoin anywhere — every join
     // is keyed (bucket or id): the all-pairs failure mode is structural
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
@@ -98,5 +103,21 @@ class PlanAuditSpec extends SparkSpec {
     // at most one InMemoryTableScan source feeds every downstream branch
     assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
       plan.take(2000))
+  }
+
+  test("LSH bucketing runs the native graft_dot, not interpreted HOF dots") {
+    val emb = Fixtures.raw(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as embedding")
+    val queries = emb.where(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val df = operators.Similarity.lshTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 5, dim = 64, tables = 4, bits = 4)
+    // audit the analyzed plan: `tables × bits` hyperplane projections per
+    // row must all be the codegen'd expression — one interpreted HOF
+    // aggregate() would dominate the corpus scan at scale
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("graft_dot"), analyzed.take(2000))
+    assert(!analyzed.contains("aggregate("), analyzed.take(2000))
+    assert(df.count() > 0)
   }
 }

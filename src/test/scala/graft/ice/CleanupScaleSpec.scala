@@ -63,4 +63,34 @@ class CleanupScaleSpec extends SparkSpec with TimeLimits {
     assert(snap.logFiles.length == 1)
     assert(snap.aliveFiles.length == 40)
   }
+
+  test("tombstoneCleanup at 10⁵ markers stays near-linear (no O(files²) fold)") {
+    // Regression: the per-marker tombstone fallback used to linear-scan the
+    // whole snapshot (snap.files.find) — 10¹⁰ comparisons at this scale,
+    // minutes of driver CPU. With the prebuilt path→tombstone index the
+    // whole cleanup (fold + 50k optimistic deletes + consolidated append)
+    // fits comfortably in the time box.
+    val root = tmpDir("cleanup_wide")
+    val cfg = IceTableConfig(partitionExpr = lit("p=1"), sortOrder = Seq.empty)
+    val table = new IceTable(spark, root, cfg)
+    val logio = table.logio
+    val schema = Schema("ts" -> "BIGINT")
+    val base = 1700000000000L
+    (0 until 500).foreach { i =>
+      val dead = (0 until 100).map(j =>
+        FileMarker(s"_data/p=1/dead${i}_$j.parquet", base, 100L, Some(base)))
+      val live = (0 until 100).map(j =>
+        FileMarker(s"_data/p=1/live${i}_$j.parquet", base, 100L))
+      logio.append(root, 1, schema, dead ++ live,
+        merged = true, timestamp = Some(base + i))
+    }
+    val result = failAfter(Span(120, Seconds)) {
+      table.tombstoneCleanup(minAgeMs = 0L)
+    }
+    assert(result.cleanedLogFiles.length == 500)
+    assert(result.deletedDataFiles.length == 50000)
+    val snap = table.snapshot()
+    assert(snap.logFiles.length == 1)
+    assert(snap.aliveFiles.length == 50000)
+  }
 }

@@ -57,6 +57,27 @@ class IceTableLifecycleSpec extends SparkSpec {
     assert(res.toSeq == Seq(("a", "ho", 2L), ("b", "hoerger", 1L)))
   }
 
+  test("A2 parity: Row => String partition closure routes like the Column form") {
+    // reference part_func is an arbitrary per-row callable (icedb.py:22);
+    // the closure form must land rows in the identical partitions the
+    // declarative Column expression does
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+      .withZone(java.time.ZoneOffset.UTC)
+    val cfg = IceTableConfig(
+      partitionExpr = lit("unused-when-partitionFunc-set"),
+      sortOrder = Seq("event", "ts"),
+      partitionFunc = Some(r => "cust=test/d=" +
+        fmt.format(java.time.Instant.ofEpochMilli(r.getAs[Long]("ts")))))
+    val table = new IceTable(spark, tmpDir("partfunc"), cfg)
+    table.insert(exampleEvents)
+    val snap = table.snapshot()
+    assert(snap.aliveFiles.length == 2)
+    val parts = snap.aliveFiles.map(f => table.partitionOf(f.path)).toSet
+    assert(parts == Set("cust=test/d=2023-06-07", "cust=test/d=2023-02-11"))
+    assert(table.read().count() == 3L)
+    assert(countsByUser(table.read()) == Map("a" -> 2L, "b" -> 1L))
+  }
+
   test("full lifecycle: inserts, merge, cleanup, scale loop, remove, rewrite") {
     val table = newTable()
 

@@ -3,6 +3,8 @@ package graft.ice
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.scalatest.concurrent.{Signaler, TimeLimits}
+import org.scalatest.time.{Seconds, Span}
 
 /** `optimize` (multi-partition compaction, one merged-log commit) must
   * preserve exactly the invariants the reference's per-partition merge loop
@@ -10,8 +12,10 @@ import org.apache.spark.sql.functions._
   * answers, merged paths tombstoned, source logs log-tombstoned, and
   * cleanup-compatible state.
   */
-class OptimizeSpec extends SparkSpec {
+class OptimizeSpec extends SparkSpec with TimeLimits {
   import spark.implicits._
+  private implicit val signaler: Signaler =
+    org.scalatest.concurrent.ThreadSignaler
 
   private def events(n: Int): DataFrame =
     (0 until n).map(i => (i.toLong, i % 5L, s"type_${i % 3}"))
@@ -160,6 +164,67 @@ class OptimizeSpec extends SparkSpec {
     table.optimize(maxFileSize = 1_000_000_000L, maxFileCount = 100)
     assert(table.read().count() == 400L)
     assert(table.snapshot().aliveFiles.length == 5)
+  }
+
+  test("optimize with a frozen clock sees its own commit (no re-merge)") {
+    // Regression: the round loop snapshots with a strict-< timestamp
+    // filter; when a round finished inside the same millisecond, the
+    // just-committed merged log was invisible to the next snapshot and the
+    // same candidates merged again — duplicated rows (and with a frozen
+    // clock, an infinite loop). The fix floors the next snapshot at the
+    // committed log's returned timestamp + 1.
+    val clock = new java.util.concurrent.atomic.AtomicLong(1700000000000L)
+    val table = new IceTable(spark, tmpDir("opt_frozen"), IceTableConfig(
+      partitionExpr = concat(lit("u="), pmod($"user_id", lit(5))),
+      sortOrder = Seq("event_id")), () => clock.get())
+    table.insert(events(100))
+    table.insert(events(100)) // same-ms append: filename bumps to ts+1
+    clock.set(1700000000002L) // both insert logs become visible
+    val merges = failAfter(Span(120, Seconds)) {
+      table.optimize(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+    }
+    assert(merges == 5)
+    assert(table.read().count() == 200L)
+    assert(table.snapshot().aliveFiles.length == 5)
+  }
+
+  test("mergeAll with a frozen clock sees each commit (no re-merge)") {
+    val clock = new java.util.concurrent.atomic.AtomicLong(1700000000000L)
+    val table = new IceTable(spark, tmpDir("mergeall_frozen"), IceTableConfig(
+      partitionExpr = concat(lit("u="), pmod($"user_id", lit(5))),
+      sortOrder = Seq("event_id")), () => clock.get())
+    table.insert(events(100))
+    table.insert(events(100))
+    clock.set(1700000000002L)
+    val merges = failAfter(Span(120, Seconds)) {
+      table.mergeAll(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+    }
+    assert(merges == 5)
+    assert(table.read().count() == 200L)
+    assert(table.snapshot().aliveFiles.length == 5)
+  }
+
+  test("rowGroupRows caps parquet row groups in rows (A-row-group parity)") {
+    // reference row_group_size (icedb/icedb.py:53): row-count-based sizing
+    // is the pruning knob its chicago_taxis tuning showed 5× gains from
+    val table = new IceTable(spark, tmpDir("rowgroup"), IceTableConfig(
+      partitionExpr = lit("p=1"), sortOrder = Seq("event_id"),
+      rowGroupRows = Some(100)))
+    table.insert(events(1000))
+    val marker = table.snapshot().aliveFiles.head
+    val path = new org.apache.hadoop.fs.Path(table.root, marker.path)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        path, spark.sparkContext.hadoopConfiguration))
+    try {
+      val blocks = reader.getFooter.getBlocks
+      assert(blocks.size() >= 10, s"expected >=10 row groups, got ${blocks.size()}")
+      blocks.forEach(b => assert(b.getRowCount <= 100, s"row group of ${b.getRowCount}"))
+    } finally reader.close()
+    // merged output honors the cap too (writeSingleFile path)
+    table.insert(events(1000))
+    table.optimize(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+    assert(table.read().count() == 2000L)
   }
 
   test("optimize converges over rounds under the file-count cap") {

@@ -62,6 +62,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(matched >= 15, s"simhash banding found only $matched/20 planted pairs")
   }
 
+  test("simhash band buckets are capped: 10k identical docs stay bounded") {
+    // Skew guard regression: identical docs put every id in the same four
+    // band buckets — uncapped that's a ~10⁸-pair quadratic self-join. With
+    // the cap, over-sized buckets drop BEFORE any pair is emitted: zero
+    // pairs, bounded cost. (Identical docs are exact-dedup's job.)
+    val dupes = spark.range(10000)
+      .select($"id".as("doc_id"),
+        lit("the same boilerplate text repeated in every document").as("text"))
+    val n = Dedup.simHashDupPairs(dupes, "doc_id", "text", maxHamming = 3).count()
+    assert(n == 0L)
+    // and a modest over-cap bucket still yields pairs when within the cap
+    val small = spark.range(50)
+      .select($"id".as("doc_id"), lit("tiny corpus of identical docs").as("text"))
+    val m = Dedup.simHashDupPairs(small, "doc_id", "text", maxHamming = 3).count()
+    assert(m == 50L * 49 / 2)
+  }
+
   test("LSH ANN reaches >=60% recall@10 of brute force on real embeddings") {
     val queries = embeddings.limit(5)
       .select($"vec_id".as("qid"), $"embedding".as("qvec"))
