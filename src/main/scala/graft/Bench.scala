@@ -134,6 +134,101 @@ object Bench {
       sec
     }
 
+    // The no-shuffle ingest path (shuffleOnInsert=false): each upstream
+    // task writes its own file per held partition — zero shuffle, more
+    // small files (compaction's job). Same 6M-row synthetic shape as above
+    // so the two ingest modes are directly comparable.
+    def synthDf = {
+      import org.apache.spark.sql.functions._
+      spark.range(synthRows).select(
+        col("id").as("ts"),
+        concat(lit("user_"), pmod(col("id"), lit(16))).as("user_id"),
+        lit("page_load").as("event"),
+        to_json(struct(col("id").as("n"))).as("properties"))
+    }
+    def synthTable(shuffleIns: Boolean) = {
+      import org.apache.spark.sql.functions._
+      new graft.ice.IceTable(spark,
+        java.nio.file.Files.createTempDirectory("graft_synth2").toString,
+        graft.ice.IceTableConfig(
+          partitionExpr = concat(lit("u="), pmod(col("ts"), lit(16))),
+          sortOrder = Seq("event", "ts"),
+          shuffleOnInsert = shuffleIns))
+    }
+    val insertNoShuffleSec = {
+      val st = synthTable(shuffleIns = false)
+      val t = System.nanoTime()
+      st.insert(synthDf)
+      (System.nanoTime() - t) / 1e9
+    }
+
+    // The reference's own 2000-file optimize scale (perf_tests/
+    // local_testing/perf-test-1.md:48-49 — 16.0 s there): 125 input slices
+    // × 16 partitions through the no-shuffle path = exactly 2000 files,
+    // then one full-table optimize (16 concurrent 125-file merges, ONE
+    // log commit).
+    val optimize2000Sec = {
+      val st = synthTable(shuffleIns = false)
+      st.insert(synthDf.repartition(125))
+      val files = st.snapshot().aliveFiles.length
+      require(files == 2000, s"expected 2000 files, got $files")
+      val t = System.nanoTime()
+      st.optimize(maxFileSize = 10_000_000_000L, maxFileCount = 1000)
+      val sec = (System.nanoTime() - t) / 1e9
+      require(st.snapshot().aliveFiles.length == 16)
+      sec
+    }
+
+    // The reference's row-group tuning experiment, replicated
+    // (chicago_taxis/README.md:529-565 — row_group_size=8192 cut a
+    // selective count from 0.807 s to 0.162 s there): one ts-sorted
+    // single-file wide-row table, default byte-based groups (two ~128 MB
+    // groups) vs rowGroupRows=8192 (~730 groups), a 1/720 time-slice
+    // aggregate that decodes a string column wherever stats can't prune.
+    // Two readings per config: Spark's default page-level column-index
+    // pruning ON (where page stats already deliver most of what the
+    // reference needed tiny row groups for — the knob's win shrinks to
+    // ~10%), and column indexes OFF, which isolates ROW-GROUP-granularity
+    // pruning — the reference-equivalent story, where 8192-row groups win
+    // ~3-4× exactly as the reference measured.
+    val (rowgroupDefaultSec, rowgroup8kSec, rowgroupDefaultNoIdxSec, rowgroup8kNoIdxSec) = {
+      import org.apache.spark.sql.functions._
+      import graft.ice.{IceTable, IceTableConfig}
+      val n = 6_000_000L
+      def build(rgRows: Option[Int]): IceTable = {
+        val t = new IceTable(spark,
+          java.nio.file.Files.createTempDirectory("graft_rg").toString,
+          IceTableConfig(lit("p=1"), Seq("ts"), rowGroupRows = rgRows))
+        t.insert(spark.range(n).select(
+          (col("id") * 1000L).as("ts"),
+          pmod(col("id"), lit(97)).as("user_id"),
+          concat(lit("event_name_"), pmod(col("id"), lit(13))).as("event"),
+          to_json(struct(col("id").as("n"), pmod(col("id"), lit(7)).as("w")))
+            .as("props")))
+        t
+      }
+      def timeSelective(t: IceTable): Double = {
+        val lo = (n / 2) * 1000L
+        val hi = lo + (n / 720) * 1000L
+        def run(): Int = t.read().where(col("ts").between(lo, hi))
+          .agg(count(lit(1)), max(col("event")), max(col("props")))
+          .collect().length
+        run() // untimed warmup: one-time codegen
+        (0 until 3).map { _ =>
+          val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      val dflt = build(None)
+      val rg8k = build(Some(8192))
+      val withIdx = (timeSelective(dflt), timeSelective(rg8k))
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("parquet.filter.columnindex.enabled", "false")
+      val noIdx =
+        try (timeSelective(dflt), timeSelective(rg8k))
+        finally hc.unset("parquet.filter.columnindex.enabled")
+      (withIdx._1, withIdx._2, noIdx._1, noIdx._2)
+    }
+
     val qs = SparkEntry.queries
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -163,7 +258,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = times.values.sum
     val line =
-      s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qJson,"errors":$eJson,"load_sec":${"%.4f".format(loadSec)},"insert_sec":${"%.4f".format(insertSec)},"merge_sec":${"%.4f".format(mergeSec)},"load_rows":$loadRows,"synthetic_insert_rows":$synthRows,"synthetic_insert_sec":${"%.4f".format(synthSec)},"synthetic_insert_rows_per_sec":${(synthRows / synthSec).toLong},"log_read_2000_sec":${"%.4f".format(logReadSec)},"cleanup_800_sec":${"%.4f".format(cleanupSec)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qJson,"errors":$eJson,"load_sec":${"%.4f".format(loadSec)},"insert_sec":${"%.4f".format(insertSec)},"merge_sec":${"%.4f".format(mergeSec)},"load_rows":$loadRows,"synthetic_insert_rows":$synthRows,"synthetic_insert_sec":${"%.4f".format(synthSec)},"synthetic_insert_rows_per_sec":${(synthRows / synthSec).toLong},"insert_noshuffle_sec":${"%.4f".format(insertNoShuffleSec)},"optimize_2000_sec":${"%.4f".format(optimize2000Sec)},"rowgroup_default_sec":${"%.4f".format(rowgroupDefaultSec)},"rowgroup8k_sec":${"%.4f".format(rowgroup8kSec)},"rowgroup_default_noindex_sec":${"%.4f".format(rowgroupDefaultNoIdxSec)},"rowgroup8k_noindex_sec":${"%.4f".format(rowgroup8kNoIdxSec)},"log_read_2000_sec":${"%.4f".format(logReadSec)},"cleanup_800_sec":${"%.4f".format(cleanupSec)},"sf":"$sfDir"}"""
     // mirror to a file so the metric survives any stdout mangling
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), line + "\n")
