@@ -93,7 +93,8 @@ object Fixtures {
       val ev = raw(spark, sfDir, "events")
       val table = new IceTable(spark, newRoot("events"), IceTableConfig(
         partitionExpr = concat(lit("d="), date_format(evTs(col("ts")), "yyyy-MM-dd")),
-        sortOrder = Seq("ts", "event_id")))
+        sortOrder = Seq("ts", "event_id"),
+        statsColumn = Some("ts"))) // log-side min/max → stats_skipping query
       val t0 = System.nanoTime()
       table.insert(ev.where(col("event_id") % 2 === 0))
       Thread.sleep(2)

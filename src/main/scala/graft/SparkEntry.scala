@@ -342,6 +342,27 @@ object SparkEntry {
               |where d = '2024-01-15' group by event_type
               |order by event_type""".stripMargin)
     }),
+    "stats_skipping" -> ((s, d) => {
+      // beyond-reference: each written file's [min, max] of the cluster key
+      // (ts) is recorded in its log marker at write time, so a ts-range
+      // query prunes files from the log ALONE — zero footer/object-store
+      // reads at plan time. Self-verifying: the pruned-scan count must
+      // equal the oracle's full-table filter count, files_scanned is the
+      // deterministic 11 day-files of the range, files_total the partition
+      // count.
+      val fx = Fixtures.eventsIce(s, d)
+      val snap = fx.table.snapshot()
+      def dayNs(day: Int): Long =
+        java.time.LocalDate.of(2024, 1, day).toEpochDay * 86400L * 1_000_000_000L
+      val lo = dayNs(10)
+      val hi = dayNs(21) - 1
+      val pruned = fx.table.filesInStatsRange(snap, lo.toString, hi.toString)
+      fx.table.readFiles(snap, pruned)
+        .where(col("ts").between(lo, hi))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("files_scanned", lit(pruned.length.toLong))
+        .withColumn("files_total", lit(snap.aliveFiles.length.toLong))
+    }),
     "join_star_schema" -> ((s, d) => {
       // beyond-reference: Spark-native star join, dims broadcast
       val li = Fixtures.lineitemIce(s, d).read()
@@ -590,6 +611,13 @@ object SparkEntry {
       "SELECT event_type, count(*) AS cnt FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15' GROUP BY event_type ORDER BY event_type",
     "join_star_schema" ->
       "SELECT c_mktsegment, count(*) AS cnt, CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    // post-optimize there is exactly one alive file per day partition, each
+    // with tight [min,max] ts stats — an 11-day range must plan exactly 11
+    // files, and the pruned scan must agree with the full-table filter
+    "stats_skipping" ->
+      ("SELECT (SELECT count(*) FROM events WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-20') AS cnt, " +
+        "CAST(11 AS BIGINT) AS files_scanned, " +
+        "(SELECT count(DISTINCT strftime(ts, '%Y-%m-%d')) FROM events) AS files_total"),
     "llm_exact_dedup" ->
       "SELECT count(*) AS total_docs, count(DISTINCT md5(text)) AS distinct_docs FROM documents",
     "llm_dedup_keep" ->

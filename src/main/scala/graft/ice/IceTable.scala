@@ -59,6 +59,14 @@ final case class CleanupResult(
   *   Catalyst (no pushdown through it, no codegen inside it) — use
   *   `partitionExpr` for anything expressible as a Column; this hook is
   *   for porting non-SQL partition logic verbatim.
+  * @param statsColumn beyond-reference data skipping: record each written
+  *   file's [min, max] of this column (typically the leading sort key) in
+  *   its log marker, read once from the parquet footer at write time.
+  *   [[IceTable.filesInStatsRange]] / [[IceTable.readStatsRange]] then
+  *   prune files from the log alone — at 100 TB a range query on the
+  *   cluster key plans with ZERO object-store reads instead of listing
+  *   and footer-probing 10⁵ files. Stats-less markers (older writers)
+  *   are conservatively kept.
   */
 final case class IceTableConfig(
     partitionExpr: Column,
@@ -71,7 +79,8 @@ final case class IceTableConfig(
     shuffleOnInsert: Boolean = true,
     formatRow: Option[DataFrame => DataFrame] = None,
     rowGroupRows: Option[Int] = None,
-    partitionFunc: Option[Row => String] = None)
+    partitionFunc: Option[Row => String] = None,
+    statsColumn: Option[String] = None)
 
 /** The Parquet merge-engine table: MVCC JSONL log + immutable Parquet data
   * parts under one root URI (local fs or s3a — anything Hadoop FileSystem
@@ -151,6 +160,32 @@ final class IceTable(
   def readPartitionRange(lo: String, hi: String, maxTs: Long = Long.MaxValue): DataFrame = {
     val snap = snapshot(maxTs)
     readFiles(snap, filesInPartitionRange(snap, lo, hi))
+  }
+
+  /** Data skipping on the stats column (see `IceTableConfig.statsColumn`):
+    * alive markers whose recorded [min, max] interval can intersect
+    * [lo, hi]. Values compare per the log schema's type for the column —
+    * numerically for numeric types, lexicographically otherwise. Markers
+    * without stats are conservatively kept (no false negatives); without a
+    * configured stats column this is the full alive list. Pure log-side
+    * metadata work: no file is listed or opened.
+    */
+  def filesInStatsRange(snap: IceSnapshot, lo: String, hi: String): Seq[FileMarker] = {
+    if (cfg.statsColumn.isEmpty) return snap.aliveFiles
+    val numericTypes =
+      Set("BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT")
+    val numeric = cfg.statsColumn.flatMap(c => snap.schema.pairs.toMap.get(c))
+      .exists(t => numericTypes.contains(t) || t.startsWith("DECIMAL"))
+    def cmp(a: String, b: String): Int =
+      if (numeric) BigDecimal(a).compare(BigDecimal(b)) else a.compareTo(b)
+    snap.aliveFiles.filter(_.stats.forall { case (mn, mx) =>
+      cmp(mx, lo) >= 0 && cmp(mn, hi) <= 0
+    })
+  }
+
+  def readStatsRange(lo: String, hi: String, maxTs: Long = Long.MaxValue): DataFrame = {
+    val snap = snapshot(maxTs)
+    readFiles(snap, filesInStatsRange(snap, lo, hi))
   }
 
   /** B2/B3 hive-partition + filename virtual columns, recovered from the file
@@ -287,7 +322,7 @@ final class IceTable(
   private def collectTempParts(tmp: String): Seq[FileMarker] = {
     val f = fs
     val tmpPath = new Path(tmp)
-    val markers = mutable.ArrayBuffer.empty[FileMarker]
+    val renamed = mutable.ArrayBuffer.empty[(String, Path, Long)]
     val dirs = f.listStatus(tmpPath).filter(_.isDirectory)
     dirs.foreach { d =>
       val dirName = d.getPath.getName
@@ -301,11 +336,68 @@ final class IceTable(
           f.mkdirs(dest.getParent)
           if (!f.rename(st.getPath, dest))
             throw new java.io.IOException(s"failed to finalize $dest")
-          markers += FileMarker(rel, now(), f.getFileStatus(dest).getLen)
+          renamed += ((rel, dest, f.getFileStatus(dest).getLen))
         }
     }
     f.delete(tmpPath, true)
-    markers.toSeq
+    // footer stats fan out on the bounded pool (leaf-only reads): a
+    // 10³-partition insert against an object store would otherwise pay
+    // 10³ sequential footer GETs on the driver
+    val statsByRel: Map[String, Option[(String, String)]] =
+      if (cfg.statsColumn.isEmpty) Map.empty
+      else {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: scala.concurrent.ExecutionContext = IceTable.insertPool
+        Await.result(
+          Future.traverse(renamed.toSeq) { case (rel, dest, _) =>
+            Future(rel -> footerStats(dest))
+          }, Duration.Inf).toMap
+      }
+    renamed.toSeq.map { case (rel, _, len) =>
+      FileMarker(rel, now(), len, stats = statsByRel.getOrElse(rel, None))
+    }
+  }
+
+  /** One footer read at write time: [min, max] of `cfg.statsColumn` across
+    * the file's row groups, as canonical strings. None when the column is
+    * absent/non-primitive or any row group lacks stats — the marker then
+    * stays conservatively un-prunable. */
+  private def footerStats(dest: Path): Option[(String, String)] =
+    cfg.statsColumn.flatMap { colName =>
+      try {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(dest, hadoopConf))
+        try {
+          var min: Comparable[Any] = null
+          var max: Comparable[Any] = null
+          var ok = !reader.getFooter.getBlocks.isEmpty
+          reader.getFooter.getBlocks.forEach { b =>
+            var found = false
+            b.getColumns.forEach { c =>
+              if (c.getPath.toDotString == colName) {
+                found = true
+                val st = c.getStatistics
+                if (st == null || !st.hasNonNullValue) ok = false
+                else {
+                  val mn = st.genericGetMin.asInstanceOf[Comparable[Any]]
+                  val mx = st.genericGetMax.asInstanceOf[Comparable[Any]]
+                  if (min == null || mn.compareTo(min.asInstanceOf[Any]) < 0) min = mn
+                  if (max == null || mx.compareTo(max.asInstanceOf[Any]) > 0) max = mx
+                }
+              }
+            }
+            if (!found) ok = false
+          }
+          if (!ok || min == null) None
+          else Some((statString(min), statString(max)))
+        } finally reader.close()
+      } catch { case _: Exception => None }
+    }
+
+  private def statString(v: Any): String = v match {
+    case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+    case other => other.toString
   }
 
   private def writeSingleFile(df: DataFrame, destRel: String): FileMarker = {
@@ -325,7 +417,8 @@ final class IceTable(
     if (!f.rename(file.getPath, dest))
       throw new java.io.IOException(s"failed to finalize $dest")
     f.delete(new Path(tmp), true)
-    FileMarker(destRel, now(), f.getFileStatus(dest).getLen)
+    FileMarker(destRel, now(), f.getFileStatus(dest).getLen,
+      stats = footerStats(dest))
   }
 
   // ------------------------------------------------------------- merge (A10)
@@ -421,8 +514,10 @@ final class IceTable(
     val accPaths = acc.map(_.path).toSet
     val newMarker = preMarker.copy(createdMs = mergedTime)
     val updated = mMarkers.map { m =>
-      FileMarker(m.path, m.createdMs, m.fileBytes,
-        if (accPaths(m.path)) Some(mergedTime) else m.tombstone)
+      // copy, not reconstruct: carried-forward markers keep their stats
+      m.copy(
+        tombstone = if (accPaths(m.path)) Some(mergedTime) else m.tombstone,
+        virSourceLogFile = None)
     }
     val newTombstones = mergedLogFiles.map(LogTombstone(_, mergedTime))
     val (newLog, meta) = logio.append(
@@ -570,8 +665,10 @@ final class IceTable(
     val mergedTime = now()
     val accPaths = allAcc.map(_.path).toSet
     val updated = mMarkers.map { m =>
-      FileMarker(m.path, m.createdMs, m.fileBytes,
-        if (accPaths(m.path)) Some(mergedTime) else m.tombstone)
+      // copy, not reconstruct: carried-forward markers keep their stats
+      m.copy(
+        tombstone = if (accPaths(m.path)) Some(mergedTime) else m.tombstone,
+        virSourceLogFile = None)
     }
     val stamped = newMarkers.map(_.copy(createdMs = mergedTime))
     val newTombstones = mergedLogFiles.map(LogTombstone(_, mergedTime))
@@ -744,8 +841,10 @@ final class IceTable(
 
     val rewrittenPaths = targets.map(_.path).toSet
     val updated = snap.files.map { m =>
-      FileMarker(m.path, m.createdMs, m.fileBytes,
-        if (rewrittenPaths(m.path)) Some(runTime) else m.tombstone)
+      // copy, not reconstruct: carried-forward markers keep their stats
+      m.copy(
+        tombstone = if (rewrittenPaths(m.path)) Some(runTime) else m.tombstone,
+        virSourceLogFile = None)
     }
     val newTombstones = targets.flatMap(_.virSourceLogFile).distinct
       .map(LogTombstone(_, runTime))

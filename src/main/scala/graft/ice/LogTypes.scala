@@ -1,23 +1,34 @@
 package graft.ice
 
 /** One immutable data part (a Parquet file). Serialized as
-  * `{"p": path, "b": bytes, "t": createdMs[, "tmb": tombstoneMs]}`
-  * (reference: icedb/log.py:111-158, ARCHITECTURE.md:86-100).
+  * `{"p": path, "b": bytes, "t": createdMs[, "tmb": tombstoneMs]
+  * [, "st": [min, max]]}` (reference: icedb/log.py:111-158,
+  * ARCHITECTURE.md:86-100).
   *
   * @param virSourceLogFile which log file this marker was read from; used by
   *   merge to rewrite exactly the source logs (icedb/log.py:117-125,273).
   *   Never serialized.
+  * @param stats beyond-reference extension (opt-in via
+  *   `IceTableConfig.statsColumn`): the file's [min, max] of the stats
+  *   column, read once from the parquet footer at write time, so range
+  *   queries on the cluster key skip files from the LOG alone — zero
+  *   footer/object-store reads at plan time. Absent on stats-less writers;
+  *   readers that don't know the field ignore it (the reference format's
+  *   fields are untouched).
   */
 final case class FileMarker(
     path: String,
     createdMs: Long,
     fileBytes: Long,
     tombstone: Option[Long] = None,
-    virSourceLogFile: Option[String] = None) {
+    virSourceLogFile: Option[String] = None,
+    stats: Option[(String, String)] = None) {
 
   def json: String = {
     val base = Seq("p" -> (path: Any), "b" -> (fileBytes: Any), "t" -> (createdMs: Any))
-    Json.obj(tombstone.fold(base)(t => base :+ ("tmb" -> (t: Any))): _*)
+    val withTmb = tombstone.fold(base)(t => base :+ ("tmb" -> (t: Any)))
+    Json.obj(stats.fold(withTmb)(s =>
+      withTmb :+ ("st" -> (Seq(s._1, s._2): Any))): _*)
   }
   def alive: Boolean = tombstone.isEmpty
 }
@@ -29,7 +40,11 @@ object FileMarker {
       m("p").toString,
       m("t").asInstanceOf[Long],
       m("b").asInstanceOf[Long],
-      m.get("tmb").map(_.asInstanceOf[Long]))
+      m.get("tmb").map(_.asInstanceOf[Long]),
+      stats = m.get("st").collect {
+        case s: scala.collection.Seq[_] if s.length == 2 =>
+          (s(0).toString, s(1).toString)
+      })
 }
 
 /** A log file superseded by a merge; `{"p": logPath, "t": tombstonedMs}`
