@@ -1,10 +1,10 @@
 package graft.plans
 
-import graft.ice.{IceSnapshot, IceTable}
+import graft.ice.{FileMarker, IceSnapshot, IceTable}
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BoundReference, Expression, Predicate}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BoundReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -31,10 +31,9 @@ final class IceFileIndex(
     snap: IceSnapshot,
     val partitionSchema: StructType) extends FileIndex {
 
-  /** partition string → (values row, file statuses), built once driver-side
-    * from the marker list (metadata-scale: no FS listing at all). */
-  private lazy val partitions: Seq[(InternalRow, Seq[FileStatus])] = {
-    val fs = table.logio.fs(table.root)
+  /** partition string → (values row, markers + file statuses), built once
+    * driver-side from the marker list (metadata-scale: no FS listing). */
+  private lazy val partitions: Seq[(InternalRow, Seq[(FileMarker, FileStatus)])] = {
     snap.aliveFiles
       .groupBy(m => table.partitionOf(m.path))
       .toSeq.sortBy(_._1)
@@ -46,12 +45,73 @@ final class IceFileIndex(
         val row = InternalRow.fromSeq(partitionSchema.map(f =>
           UTF8String.fromString(kv.getOrElse(f.name, ""))))
         // sizes come from the log markers — no S3 HEAD/LIST needed
-        val statuses = markers.map(m => new FileStatus(
+        val files = markers.map(m => m -> new FileStatus(
           m.fileBytes, false, 1, 128L * 1024 * 1024, m.createdMs,
           new Path(table.root, m.path)))
-        (row, statuses)
+        (row, files)
       }
   }
+
+  // ------------------------------------------------- stats-based skipping
+  //
+  // The optimizer hands listFiles the non-partition conjuncts as
+  // dataFilters; when the table records log-side [min, max] stats for a
+  // column, simple comparisons against it turn into a conservative
+  // [lo, hi] window and files whose stats interval cannot intersect it are
+  // never listed — the SQL-path twin of IceTable.readStatsRange, still
+  // with zero plan-time object-store reads.
+
+  private val statsCol: Option[String] = table.cfg.statsColumn
+  private val statsNumeric: Boolean = {
+    val numericTypes =
+      Set("BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT")
+    statsCol.flatMap(c => snap.schema.pairs.toMap.get(c))
+      .exists(t => numericTypes.contains(t) || t.startsWith("DECIMAL"))
+  }
+  private def statsCmp(a: String, b: String): Int =
+    if (statsNumeric) BigDecimal(a).compare(BigDecimal(b)) else a.compareTo(b)
+
+  /** Conservative [lo, hi] window for the stats column from conjunctive
+    * comparison filters; anything unrecognized just widens the window. */
+  private def statsWindow(
+      dataFilters: Seq[Expression]): (Option[String], Option[String]) = {
+    val col = statsCol.getOrElse(return (None, None))
+    def isCol(e: Expression): Boolean = e match {
+      case a: Attribute => a.name == col
+      case Cast(child, _, _, _) => isCol(child)
+      case _ => false
+    }
+    def litStr(l: Literal): Option[String] =
+      Option(l.value).map(_.toString)
+    var lo: Option[String] = None
+    var hi: Option[String] = None
+    def tightenLo(v: String): Unit =
+      lo = Some(lo.fold(v)(cur => if (statsCmp(v, cur) > 0) v else cur))
+    def tightenHi(v: String): Unit =
+      hi = Some(hi.fold(v)(cur => if (statsCmp(v, cur) < 0) v else cur))
+    dataFilters.foreach {
+      case GreaterThanOrEqual(a, l: Literal) if isCol(a) => litStr(l).foreach(tightenLo)
+      case GreaterThan(a, l: Literal) if isCol(a)        => litStr(l).foreach(tightenLo)
+      case LessThanOrEqual(a, l: Literal) if isCol(a)    => litStr(l).foreach(tightenHi)
+      case LessThan(a, l: Literal) if isCol(a)           => litStr(l).foreach(tightenHi)
+      case EqualTo(a, l: Literal) if isCol(a) =>
+        litStr(l).foreach { v => tightenLo(v); tightenHi(v) }
+      case GreaterThanOrEqual(l: Literal, a) if isCol(a) => litStr(l).foreach(tightenHi)
+      case GreaterThan(l: Literal, a) if isCol(a)        => litStr(l).foreach(tightenHi)
+      case LessThanOrEqual(l: Literal, a) if isCol(a)    => litStr(l).foreach(tightenLo)
+      case LessThan(l: Literal, a) if isCol(a)           => litStr(l).foreach(tightenLo)
+      case EqualTo(l: Literal, a) if isCol(a) =>
+        litStr(l).foreach { v => tightenLo(v); tightenHi(v) }
+      case _ => ()
+    }
+    (lo, hi)
+  }
+
+  private def statsKeep(
+      m: FileMarker, lo: Option[String], hi: Option[String]): Boolean =
+    m.stats.forall { case (mn, mx) =>
+      lo.forall(l => statsCmp(mx, l) >= 0) && hi.forall(h => statsCmp(mn, h) <= 0)
+    }
 
   override def rootPaths: Seq[Path] = Seq(new Path(table.root))
 
@@ -69,8 +129,12 @@ final class IceFileIndex(
         org.apache.spark.sql.catalyst.expressions.And))
       partitions.filter { case (row, _) => predicate.eval(row) }
     }
-    pruned.map { case (row, statuses) =>
-      PartitionDirectory(row, statuses.map(FileStatusWithMetadata(_)))
+    val (lo, hi) = statsWindow(dataFilters)
+    pruned.map { case (row, files) =>
+      val kept =
+        if (lo.isEmpty && hi.isEmpty) files
+        else files.filter { case (m, _) => statsKeep(m, lo, hi) }
+      PartitionDirectory(row, kept.map(f => FileStatusWithMetadata(f._2)))
     }
   }
 

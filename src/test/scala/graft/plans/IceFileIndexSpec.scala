@@ -56,6 +56,28 @@ class IceFileIndexSpec extends SparkSpec {
     assert(selected.forall(_.getPath.toString.contains("d=2024-01-03")))
   }
 
+  test("WHERE on the stats column skips files via log-side min/max") {
+    val df = (0 until 100).map(i => (i.toLong, s"g${i / 25}")).toDF("v", "grp")
+    val table = new IceTable(spark, tmpDir("fidx_stats"), IceTableConfig(
+      partitionExpr = concat(lit("g="), col("grp")),
+      sortOrder = Seq("v"),
+      statsColumn = Some("v")))
+    table.insert(df) // 4 files with disjoint v ranges [0,24]..[75,99]
+    IceFileIndex.registerView(spark, table, "ice_stats")
+    val q = spark.sql("select count(*) as cnt from ice_stats where v between 30 and 60")
+    assert(q.as[Long].head() == 31L)
+    val scans = q.queryExecution.executedPlan.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.collect { case s: FileSourceScanExec => s }
+      case s: FileSourceScanExec => Seq(s)
+    }.flatten
+    val selected = scans.head.relation.location
+      .listFiles(scans.head.partitionFilters, scans.head.dataFilters)
+      .flatMap(_.files)
+    // v∈[30,60] intersects only [25,49] and [50,74] — 2 of 4 files listed,
+    // from the log's marker stats, with zero plan-time file reads
+    assert(selected.length == 2, s"expected 2 files, got ${selected.length}")
+  }
+
   test("snapshot pinning: the view is isolated from later inserts") {
     val table = eventsTable()
     val df = IceFileIndex.dataFrame(spark, table)
