@@ -28,7 +28,8 @@ object Demo {
     val tsCol = timestamp_micros((col("ts") / 1000L).cast("long"))
     val table = new IceTable(spark, root, IceTableConfig(
       partitionExpr = concat(lit("d="), date_format(tsCol, "yyyy-MM-dd")),
-      sortOrder = Seq("ts", "event_id")))
+      sortOrder = Seq("ts", "event_id"),
+      statsColumn = Some("ts"))) // log-side [min,max] per file → data skipping
 
     val events = spark.read.parquet(s"$sfDir/events.parquet")
     println(s"== insert ${events.count()} events from $sfDir")
@@ -54,6 +55,16 @@ object Demo {
     println(s"== partition-range pruned read [$minDay, $minDay]")
     val pruned = table.readPartitionRange(minDay, minDay)
     println(s"   files=${table.filesInPartitionRange(table.snapshot(), minDay, minDay).length} rows=${pruned.count()}")
+
+    println("== stats skipping: ts-range read plans files from the log alone")
+    val day10 = java.time.LocalDate.of(2024, 1, 10).toEpochDay * 86400L * 1_000_000_000L
+    val day13 = java.time.LocalDate.of(2024, 1, 13).toEpochDay * 86400L * 1_000_000_000L - 1
+    val statsSnap = table.snapshot()
+    val statsFiles = table.filesInStatsRange(statsSnap, day10.toString, day13.toString)
+    println(s"   3-day ts range plans ${statsFiles.length} of " +
+      s"${statsSnap.aliveFiles.length} files (zero footer reads); rows=" +
+      table.readFiles(statsSnap, statsFiles)
+        .where(col("ts").between(day10, day13)).count())
 
     println("== rewrite partition: purge user_id=7 from " + minDay)
     table.rewritePartition(minDay, "select * from _rows where user_id != 7")
