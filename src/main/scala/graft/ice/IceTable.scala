@@ -172,14 +172,10 @@ final class IceTable(
     */
   def filesInStatsRange(snap: IceSnapshot, lo: String, hi: String): Seq[FileMarker] = {
     if (cfg.statsColumn.isEmpty) return snap.aliveFiles
-    val numericTypes =
-      Set("BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT")
     val numeric = cfg.statsColumn.flatMap(c => snap.schema.pairs.toMap.get(c))
-      .exists(t => numericTypes.contains(t) || t.startsWith("DECIMAL"))
-    def cmp(a: String, b: String): Int =
-      if (numeric) BigDecimal(a).compare(BigDecimal(b)) else a.compareTo(b)
+      .exists(IceTable.statsTypeIsNumeric)
     snap.aliveFiles.filter(_.stats.forall { case (mn, mx) =>
-      cmp(mx, lo) >= 0 && cmp(mn, hi) <= 0
+      IceTable.statsIntersects(numeric, mn, mx, Some(lo), Some(hi))
     })
   }
 
@@ -861,6 +857,31 @@ final class IceTable(
 object IceTable {
   /** Internal routing column name; never written to data files. */
   private[ice] val RouteCol = "_ice_part"
+
+  private[graft] def statsTypeIsNumeric(t: String): Boolean =
+    Set("BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT")
+      .contains(t) || t.startsWith("DECIMAL")
+
+  /** Shared stats-interval test for [[IceTable.filesInStatsRange]] and the
+    * optimizer-side skipping in `IceFileIndex`. Numeric values compare as
+    * BigDecimal; strings compare as UNSIGNED UTF-8 BYTES — the order
+    * parquet's binary statistics are computed in (Java String.compareTo is
+    * UTF-16 code-unit order, which disagrees beyond the BMP and would
+    * prune wrongly). Anything unparseable (e.g. Infinity from a double
+    * column) keeps the file — skipping must never produce a false
+    * negative. */
+  private[graft] def statsIntersects(
+      numeric: Boolean,
+      min: String, max: String,
+      lo: Option[String], hi: Option[String]): Boolean = {
+    def cmp(a: String, b: String): Int =
+      if (numeric) BigDecimal(a).compare(BigDecimal(b))
+      else java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try lo.forall(l => cmp(max, l) >= 0) && hi.forall(h => cmp(min, h) <= 0)
+    catch { case _: NumberFormatException => true }
+  }
 
   /** Bounded pool for concurrent per-partition custom-insert jobs (distinct
     * from IceLogIO.ioPool — keeps Spark-job-submitting work off the log-GET
