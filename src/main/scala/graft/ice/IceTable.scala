@@ -862,26 +862,31 @@ object IceTable {
     Set("BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT")
       .contains(t) || t.startsWith("DECIMAL")
 
-  /** Shared stats-interval test for [[IceTable.filesInStatsRange]] and the
-    * optimizer-side skipping in `IceFileIndex`. Numeric values compare as
-    * BigDecimal; strings compare as UNSIGNED UTF-8 BYTES — the order
-    * parquet's binary statistics are computed in (Java String.compareTo is
-    * UTF-16 code-unit order, which disagrees beyond the BMP and would
-    * prune wrongly). Anything unparseable (e.g. Infinity from a double
-    * column) keeps the file — skipping must never produce a false
-    * negative. */
-  private[graft] def statsIntersects(
-      numeric: Boolean,
-      min: String, max: String,
-      lo: Option[String], hi: Option[String]): Boolean = {
-    def cmp(a: String, b: String): Int =
+  /** The one stats comparator. Numeric values compare as BigDecimal;
+    * strings compare as UNSIGNED UTF-8 BYTES — the order parquet's binary
+    * statistics are computed in (Java String.compareTo is UTF-16 code-unit
+    * order, which disagrees beyond the BMP and would prune wrongly).
+    * `None` on anything unparseable (e.g. Infinity/NaN stringified from a
+    * double column) — callers must treat that as "unknown" and never
+    * prune on it. */
+  private[graft] def statsTryCmp(
+      numeric: Boolean, a: String, b: String): Option[Int] =
+    try Some(
       if (numeric) BigDecimal(a).compare(BigDecimal(b))
       else java.util.Arrays.compareUnsigned(
         a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    try lo.forall(l => cmp(max, l) >= 0) && hi.forall(h => cmp(min, h) <= 0)
-    catch { case _: NumberFormatException => true }
-  }
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    catch { case _: NumberFormatException => None }
+
+  /** Shared stats-interval test for [[IceTable.filesInStatsRange]] and the
+    * optimizer-side skipping in `IceFileIndex`. An unparseable value keeps
+    * the file — skipping must never produce a false negative. */
+  private[graft] def statsIntersects(
+      numeric: Boolean,
+      min: String, max: String,
+      lo: Option[String], hi: Option[String]): Boolean =
+    lo.forall(l => statsTryCmp(numeric, max, l).forall(_ >= 0)) &&
+      hi.forall(h => statsTryCmp(numeric, min, h).forall(_ <= 0))
 
   /** Bounded pool for concurrent per-partition custom-insert jobs (distinct
     * from IceLogIO.ioPool — keeps Spark-job-submitting work off the log-GET

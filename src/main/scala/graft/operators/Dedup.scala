@@ -192,6 +192,10 @@ object Dedup {
         transform(slice(sortedIds, i + 2, size(sortedIds)),
           y => struct(x.as("idA"), y.as("idB")))))).as("_p"))
       .select(col("_p.idA").as("idA"), col("_p.idB").as("idB"))
+      // ids are not guaranteed unique (see TESTDATA.md): two rows sharing
+      // an id in one bucket would otherwise emit a self-pair that a
+      // downstream dedupRemove would read as "doc duplicates itself"
+      .where(col("idA") =!= col("idB"))
       .dropDuplicates("idA", "idB")
 
     // Exact verification by shared-shingle-hash counting: |A ∩ B| is a
@@ -282,6 +286,7 @@ object Dedup {
             x.getField("_sim").as("_simA"), y.getField("_sim").as("_simB")))))).as("_p"))
       .select(col("_p.idA").as("idA"), col("_p.idB").as("idB"),
         col("_p._simA").as("_simA"), col("_p._simB").as("_simB"))
+      .where(col("idA") =!= col("idB")) // no self-pairs on duplicate ids
       .dropDuplicates("idA", "idB")
       .withColumn("hamming", hamming64(col("_simA"), col("_simB")))
       .where(col("hamming") <= maxHamming)

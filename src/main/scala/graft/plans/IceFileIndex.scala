@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, BoundReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{NumericType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** A Catalyst [[FileIndex]] backed by an ice snapshot: the table becomes a
@@ -62,33 +62,42 @@ final class IceFileIndex(
   // with zero plan-time object-store reads.
 
   private val statsCol: Option[String] = table.cfg.statsColumn
-  private val statsNumeric: Boolean = {
-    val numericTypes =
-      Set("BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT")
+  private val statsNumeric: Boolean =
     statsCol.flatMap(c => snap.schema.pairs.toMap.get(c))
-      .exists(t => numericTypes.contains(t) || t.startsWith("DECIMAL"))
-  }
-  private def statsCmp(a: String, b: String): Int =
-    if (statsNumeric) BigDecimal(a).compare(BigDecimal(b)) else a.compareTo(b)
+      .exists(IceTable.statsTypeIsNumeric)
 
   /** Conservative [lo, hi] window for the stats column from conjunctive
-    * comparison filters; anything unrecognized just widens the window. */
+    * comparison filters; anything unrecognized just widens the window.
+    *
+    * A comparison only qualifies when it is against the bare attribute, or
+    * against a numeric→numeric cast of it on a numeric stats column (the
+    * widening casts Spark inserts for type coercion — order-preserving, and
+    * the cast literal still compares correctly as BigDecimal against the
+    * raw stats). Any other cast (e.g. a string column implicitly cast to
+    * DOUBLE by `WHERE k > 5`) moves the literal into a different ordering
+    * domain than the recorded stats, so pruning on it would be wrong —
+    * those filters are ignored. */
   private def statsWindow(
       dataFilters: Seq[Expression]): (Option[String], Option[String]) = {
     val col = statsCol.getOrElse(return (None, None))
     def isCol(e: Expression): Boolean = e match {
       case a: Attribute => a.name == col
-      case Cast(child, _, _, _) => isCol(child)
+      case Cast(child, dt, _, _)
+          if statsNumeric && dt.isInstanceOf[NumericType] &&
+            child.dataType.isInstanceOf[NumericType] => isCol(child)
       case _ => false
     }
     def litStr(l: Literal): Option[String] =
       Option(l.value).map(_.toString)
     var lo: Option[String] = None
     var hi: Option[String] = None
+    // an unparseable comparison keeps the current bound (wider window = safe)
     def tightenLo(v: String): Unit =
-      lo = Some(lo.fold(v)(cur => if (statsCmp(v, cur) > 0) v else cur))
+      lo = Some(lo.fold(v)(cur =>
+        if (IceTable.statsTryCmp(statsNumeric, v, cur).exists(_ > 0)) v else cur))
     def tightenHi(v: String): Unit =
-      hi = Some(hi.fold(v)(cur => if (statsCmp(v, cur) < 0) v else cur))
+      hi = Some(hi.fold(v)(cur =>
+        if (IceTable.statsTryCmp(statsNumeric, v, cur).exists(_ < 0)) v else cur))
     dataFilters.foreach {
       case GreaterThanOrEqual(a, l: Literal) if isCol(a) => litStr(l).foreach(tightenLo)
       case GreaterThan(a, l: Literal) if isCol(a)        => litStr(l).foreach(tightenLo)
@@ -110,7 +119,7 @@ final class IceFileIndex(
   private def statsKeep(
       m: FileMarker, lo: Option[String], hi: Option[String]): Boolean =
     m.stats.forall { case (mn, mx) =>
-      lo.forall(l => statsCmp(mx, l) >= 0) && hi.forall(h => statsCmp(mn, h) <= 0)
+      IceTable.statsIntersects(statsNumeric, mn, mx, lo, hi)
     }
 
   override def rootPaths: Seq[Path] = Seq(new Path(table.root))

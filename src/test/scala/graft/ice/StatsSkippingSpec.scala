@@ -77,6 +77,16 @@ class StatsSkippingSpec extends SparkSpec {
     // both real files pruned out; the stats-less marker survives
     assert(pruned.map(_.path) == Seq("_data/q=9/legacy.parquet"))
 
+    // the one shared comparator: strings order by unsigned UTF-8 bytes
+    // (parquet's binary-stats order), NOT UTF-16 code units; unparseable
+    // numerics are "unknown", never a verdict
+    val supplementary = new String(Character.toChars(0x10000)) // UTF-8 F0 90 80 80
+    assert(supplementary.compareTo("\uFFFD") < 0, "UTF-16 order disagrees here")
+    assert(IceTable.statsTryCmp(numeric = false, supplementary, "\uFFFD").exists(_ > 0))
+    assert(IceTable.statsTryCmp(numeric = true, "Infinity", "1").isEmpty)
+    assert(IceTable.statsIntersects(numeric = true, "Infinity", "Infinity",
+      Some("0"), Some("10")), "unparseable stats intersect everything")
+
     val m = FileMarker("_data/p/x.parquet", 5L, 9L, stats = Some(("1", "42")))
     assert(FileMarker.fromJson(m.json) == m)
     val legacy = FileMarker("_data/p/y.parquet", 5L, 9L)

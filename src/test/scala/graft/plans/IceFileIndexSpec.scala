@@ -78,6 +78,73 @@ class IceFileIndexSpec extends SparkSpec {
     assert(selected.length == 2, s"expected 2 files, got ${selected.length}")
   }
 
+  private def scanOf(q: org.apache.spark.sql.DataFrame) = {
+    val scans = q.queryExecution.executedPlan.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.collect { case s: FileSourceScanExec => s }
+      case s: FileSourceScanExec => Seq(s)
+    }.flatten
+    assert(scans.nonEmpty)
+    scans.head
+  }
+
+  test("implicit cast on a string stats column derives no window (no mis-prune)") {
+    // WHERE k > 5 on a STRING column coerces to Cast(k AS DOUBLE) > 5.0:
+    // the literal lives in a numeric ordering domain while the recorded
+    // stats are strings — a window derived from it would prune wrongly
+    // (lexicographically "100" < "5.0"). The filter must be ignored.
+    val df = Seq(("100", "a"), ("200", "a"), ("300", "b"), ("400", "b"))
+      .toDF("k", "grp")
+    val table = new IceTable(spark, tmpDir("fidx_strstats"), IceTableConfig(
+      partitionExpr = concat(lit("g="), col("grp"), lit("/k="), col("k")),
+      sortOrder = Seq("k"),
+      statsColumn = Some("k")))
+    table.insert(df) // 4 files, string stats "100".."400"
+    IceFileIndex.registerView(spark, table, "ice_str_stats")
+    val q = spark.sql("select count(*) as cnt from ice_str_stats where k > 5")
+    assert(q.as[Long].head() == 4L, "every value is numerically > 5")
+    val scan = scanOf(q)
+    val selected = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters).flatMap(_.files)
+    assert(selected.length == 4,
+      s"cast comparison must not produce a stats window; got ${selected.length} files")
+  }
+
+  test("numeric widening cast on a numeric stats column still prunes") {
+    val df = (0 until 100).map(i => (i.toLong, s"g${i / 25}")).toDF("v", "grp")
+    val table = new IceTable(spark, tmpDir("fidx_numcast"), IceTableConfig(
+      partitionExpr = concat(lit("g="), col("grp")),
+      sortOrder = Seq("v"),
+      statsColumn = Some("v")))
+    table.insert(df) // 4 files: [0,24] [25,49] [50,74] [75,99]
+    IceFileIndex.registerView(spark, table, "ice_numcast")
+    // double literal → Cast(v AS DOUBLE) >= 60.5: order-preserving numeric
+    // widening, safe to window on — only [50,74] and [75,99] may intersect
+    val q = spark.sql("select count(*) as cnt from ice_numcast where v >= 60.5")
+    assert(q.as[Long].head() == 39L)
+    val scan = scanOf(q)
+    val selected = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters).flatMap(_.files)
+    assert(selected.length == 2, s"expected 2 files, got ${selected.length}")
+  }
+
+  test("unparseable double stats (Infinity) keep the file, never fail the plan") {
+    val df = Seq((1.0, "a"), (Double.PositiveInfinity, "a"), (5.0, "b"), (7.0, "b"))
+      .toDF("v", "grp")
+    val table = new IceTable(spark, tmpDir("fidx_inf"), IceTableConfig(
+      partitionExpr = concat(lit("g="), col("grp")),
+      sortOrder = Seq("grp"),
+      statsColumn = Some("v")))
+    table.insert(df) // g=a stats = ("1.0", "Infinity") — not BigDecimal-parseable
+    IceFileIndex.registerView(spark, table, "ice_inf")
+    val q = spark.sql("select count(*) as cnt from ice_inf where v between 0 and 10")
+    // old comparator threw NumberFormatException inside listFiles here
+    assert(q.as[Long].head() == 3L)
+    val scan = scanOf(q)
+    val selected = scan.relation.location
+      .listFiles(scan.partitionFilters, scan.dataFilters).flatMap(_.files)
+    assert(selected.length == 2, "unparseable stats are conservatively kept")
+  }
+
   test("snapshot pinning: the view is isolated from later inserts") {
     val table = eventsTable()
     val df = IceFileIndex.dataFrame(spark, table)
