@@ -64,7 +64,9 @@ object Fixtures {
       "replacing" -> (() => eventsReplacing(spark, sfDir)),
       "dedup" -> (() => eventsDedup(spark, sfDir)),
       "mv" -> (() => eventsMv(spark, sfDir)),
-      "seeded" -> (() => eventsSeeded(spark, sfDir)))
+      "seeded" -> (() => eventsSeeded(spark, sfDir)),
+      "incremental" -> (() => eventsIncremental(spark, sfDir)),
+      "stream" -> (() => eventsStream(spark, sfDir)))
     val all = Future.traverse(builds) { case (name, b) =>
       Future(b()).recover { case e =>
         System.err.println(s"[prewarm] fixture $name failed: ${e.getMessage}")
@@ -276,6 +278,45 @@ object Fixtures {
         .groupBy(col("user_id"), col("event_type"))
         .agg(count(lit(1)).cast("bigint").as("cnt")))
       table.optimize(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+      table
+    }
+
+  /** Incremental-read (CDC) variant: even events in commit 1, odd in
+    * commit 2 (the window target), then a full compaction — which must NOT
+    * re-emit anything through the changelog. */
+  def eventsIncremental(spark: SparkSession, sfDir: String): (IceTable, Long) =
+    memo(s"$sfDir#incremental") {
+      val ev = raw(spark, sfDir, "events")
+      val table = new IceTable(spark, newRoot("incr"), IceTableConfig(
+        partitionExpr = concat(lit("d="), date_format(evTs(col("ts")), "yyyy-MM-dd")),
+        sortOrder = Seq("ts", "event_id")))
+      table.insert(ev.where(col("event_id") % 2 === 0))
+      val sinceTs = table.logio.currentLogFiles(table.root)
+        .map(f => graft.ice.IceLogIO.logFileInfo(f)._1).max
+      Thread.sleep(2)
+      table.insert(ev.where(col("event_id") % 2 === 1))
+      table.optimize(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+      (table, sinceTs)
+    }
+
+  /** Exactly-once streaming-sink variant: two micro-batches committed via
+    * insertBatch, then BOTH replayed (foreachBatch's crash re-delivery) —
+    * the replays must be skipped, and compaction must not forget that. */
+  def eventsStream(spark: SparkSession, sfDir: String): IceTable =
+    memo(s"$sfDir#stream") {
+      val ev = raw(spark, sfDir, "events")
+      val table = new IceTable(spark, newRoot("stream"), IceTableConfig(
+        partitionExpr = concat(lit("d="), date_format(evTs(col("ts")), "yyyy-MM-dd")),
+        sortOrder = Seq("ts", "event_id")))
+      val b0 = ev.where(col("event_id") % 2 === 0)
+      val b1 = ev.where(col("event_id") % 2 === 1)
+      require(table.insertBatch(b0, "evstream", 0L))
+      require(table.insertBatch(b1, "evstream", 1L))
+      require(!table.insertBatch(b1, "evstream", 1L), "replay must skip")
+      require(!table.insertBatch(b0, "evstream", 0L), "stale replay must skip")
+      table.optimize(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+      require(!table.insertBatch(b1, "evstream", 1L),
+        "replay after compaction must still skip")
       table
     }
 

@@ -179,6 +179,29 @@ object SparkEntry {
       t.readPartitionRange("d=2024-01-01", "d=2024-01-01")
         .agg(count(lit(1)).as("cnt"))
     }),
+    "a24_incremental_read" -> ((s, d) => {
+      // CDC tail: rows committed after the first insert = exactly the odd
+      // half of events; the full compaction the fixture ran afterwards
+      // rewrote every row but must emit NOTHING through the changelog
+      // (`evens` = 0 is the self-verifying guard against merge re-emission)
+      val (t, sinceTs) = Fixtures.eventsIncremental(s, d)
+      t.readAdded(sinceTs).agg(
+        count(lit(1)).as("cnt"),
+        sum(col("event_id")).cast("bigint").as("sum_id"),
+        count(when(col("event_id") % 2 === 0, 1)).cast("bigint").as("evens"))
+    }),
+    "a25_stream_exactly_once" -> ((s, d) => {
+      // the fixture replayed both micro-batches (and replayed again after
+      // compaction): exactly-once holds iff the table matches the source
+      // exactly — and the committed high-water batch id survived the
+      // merge/optimize log rewrites
+      val t = Fixtures.eventsStream(s, d)
+      val lastBatch = t.snapshot().streamCommits("evstream")
+      t.read().agg(
+        count(lit(1)).as("cnt"),
+        countDistinct(col("event_id")).as("uniq"))
+        .withColumn("last_batch", lit(lastBatch))
+    }),
 
     // --------------------------------------------- delegated query surface
     "b2_partition_columns" -> ((s, d) => {
@@ -322,6 +345,24 @@ object SparkEntry {
       Fixtures.raw(s, d, "documents").createOrReplaceTempView("docs_udf")
       s.sql("""select cast(sum(graft_tok_count(text)) as bigint) as total_tokens,
               |count(*) as cnt from docs_udf""".stripMargin)
+    }),
+    "b24_sql_functions" -> ((s, d) => {
+      // native expressions registered as SQL functions: graft_dot /
+      // graft_cosine callable from plain spark.sql (and so from the HTTP
+      // query API). Bit-parity basis: both engines cast float→double and
+      // accumulate sequentially in IEEE double, so the rounded values
+      // hash-match the DuckDB list_inner_product oracle exactly.
+      org.apache.spark.sql.graft.GraftSqlFunctions.register(s)
+      Fixtures.raw(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .createOrReplaceTempView("graft_emb")
+      s.sql("""select c.vec_id,
+              |  round(graft_dot(c.emb, q.emb), 6) as dot_q0,
+              |  round(graft_cosine(c.emb, q.emb), 6) as cos_q0
+              |from graft_emb c
+              |cross join (select emb from graft_emb where vec_id = 0) q
+              |where c.vec_id < 10
+              |order by c.vec_id, dot_q0, cos_q0""".stripMargin)
     }),
     "b23_output_csv" -> ((s, d) => {
       // output-format round trip (B23): aggregate -> csv -> read back
@@ -571,12 +612,32 @@ object SparkEntry {
       "SELECT count(*) AS cnt, count(DISTINCT event_id) AS uniq FROM events",
     "a18_partition_prune" ->
       "SELECT count(*) AS cnt FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-01'",
+    // CDC window = the second insert (odd event_ids); evens=0 proves the
+    // compaction that followed emitted nothing through the changelog
+    "a24_incremental_read" ->
+      ("SELECT count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id, " +
+        "CAST(0 AS BIGINT) AS evens FROM events WHERE event_id % 2 = 1"),
+    // exactly-once: replayed batches (incl. post-compaction) inserted once
+    "a25_stream_exactly_once" ->
+      ("SELECT count(*) AS cnt, count(DISTINCT event_id) AS uniq, " +
+        "CAST(1 AS BIGINT) AS last_batch FROM events"),
     "b2_partition_columns" ->
       "SELECT strftime(ts, '%Y-%m-%d') AS d, count(*) AS cnt FROM events GROUP BY d ORDER BY d",
     "b4_projection" ->
       "SELECT l_orderkey, l_linenumber, CAST(l_quantity * 2 AS BIGINT) AS double_qty FROM lineitem ORDER BY l_orderkey, l_linenumber, double_qty LIMIT 50",
     "b22_scalar_udf" ->
       "SELECT CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens, count(*) AS cnt FROM documents",
+    // same float→double cast + sequential double accumulation on both
+    // sides → bit-identical values; round(6) is only formatting safety
+    "b24_sql_functions" ->
+      ("SELECT c.vec_id, " +
+        "round(list_inner_product(CAST(c.embedding AS DOUBLE[]), q.e), 6) AS dot_q0, " +
+        "round(list_inner_product(CAST(c.embedding AS DOUBLE[]), q.e) / " +
+        "(sqrt(list_inner_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) * " +
+        "sqrt(list_inner_product(q.e, q.e))), 6) AS cos_q0 " +
+        "FROM embeddings c CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS e " +
+        "FROM embeddings WHERE vec_id = 0) q " +
+        "WHERE c.vec_id < 10 ORDER BY c.vec_id, dot_q0, cos_q0"),
     "b23_output_csv" ->
       "SELECT o_orderstatus, count(*) AS cnt FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
     "b5_filter" ->

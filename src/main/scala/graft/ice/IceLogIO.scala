@@ -73,10 +73,17 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration) {
     * unchanged.
     */
   def readLogForward(root: String, logPaths: Seq[String])
-      : (Schema, Seq[FileMarker], Seq[LogTombstone]) = {
+      : (Schema, Seq[FileMarker], Seq[LogTombstone]) =
+    readLogForwardWithCommits(root, logPaths)._1
+
+  /** [[readLogForward]] plus the max-folded per-query stream-commit map
+    * from the logs' metadata lines (exactly-once sink bookkeeping). */
+  def readLogForwardWithCommits(root: String, logPaths: Seq[String])
+      : ((Schema, Seq[FileMarker], Seq[LogTombstone]), Map[String, Long]) = {
     val totalSchema = new Schema
     val markers = mutable.LinkedHashMap.empty[String, FileMarker]
     val tombstones = mutable.LinkedHashMap.empty[String, LogTombstone]
+    var commits = Map.empty[String, Long]
     val sorted = logPaths.sorted
 
     if (sorted.isEmpty) throw new NoLogFilesException
@@ -84,12 +91,15 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration) {
     val fetched = fetchLogLines(root, sorted)
 
     sorted.foreach { logFile =>
-      val (schema, fileMs, tmbs) = parseLog(logFile, fetched(logFile))
+      val lines = fetched(logFile)
+      val (schema, fileMs, tmbs) = parseLog(logFile, lines)
+      commits = LogMetadata.mergeCommits(
+        commits, LogMetadata.fromJson(lines(0)).streamCommits)
       totalSchema.accumulate(schema.columns, schema.types)
       tmbs.foreach(t => tombstones(t.path) = t)
       fileMs.foreach(fm => markers(fm.path) = fm)
     }
-    (totalSchema, markers.values.toSeq, tombstones.values.toSeq)
+    ((totalSchema, markers.values.toSeq, tombstones.values.toSeq), commits)
   }
 
   /** List current log files (root-relative paths), lexicographically
@@ -111,8 +121,9 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration) {
     val logs = currentLogFiles(root)
       .filter(p => IceLogIO.logFileInfo(p)._1 < timestamp)
     if (logs.isEmpty) throw new NoLogFilesException
-    val (schema, markers, tombstones) = readLogForward(root, logs)
-    IceSnapshot(schema, markers, tombstones, logs, timestamp)
+    val ((schema, markers, tombstones), commits) =
+      readLogForwardWithCommits(root, logs)
+    IceSnapshot(schema, markers, tombstones, logs, timestamp, commits)
   }
 
   /** Append one log file: line order version-metadata, schema,
@@ -125,7 +136,8 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration) {
       files: Seq[FileMarker],
       tombstones: Seq[LogTombstone] = Seq.empty,
       merged: Boolean = false,
-      timestamp: Option[Long] = None): (String, LogMetadata) = {
+      timestamp: Option[Long] = None,
+      streamCommits: Map[String, Long] = Map.empty): (String, LogMetadata) = {
     // The filename IS the commit identity: two commits in the same
     // millisecond from one writer would collide on `{ts}_{host}.jsonl`
     // (rename then fails — or silently replaces, store-dependent).
@@ -156,7 +168,8 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration) {
               schemaLineIndex = 1,
               fileLineIndex = if (tombstones.isEmpty) 2 else 2 + tombstones.length,
               tombstoneLineIndex = if (tombstones.isEmpty) None else Some(2),
-              timestamp = ts)
+              timestamp = ts,
+              streamCommits = streamCommits)
             val lines = Seq(meta.json, schema.toJson) ++
               tombstones.map(_.json) ++ files.map(_.json)
             writeAtomic(filesystem, dest, lines.mkString("\n"))

@@ -184,6 +184,43 @@ final class IceTable(
     readFiles(snap, filesInStatsRange(snap, lo, hi))
   }
 
+  /** Incremental (CDC-style) file listing: markers committed by *insert*
+    * logs whose commit timestamp is in `(sinceTs, untilTs]` — the
+    * append-only changelog a downstream incremental pipeline tails
+    * ("give me everything ingested since my last run"). Merged (`_m`)
+    * logs are excluded by construction: a compaction rewrites existing
+    * rows into new files, which is not new data — a consumer reading
+    * merge outputs would double-count every compacted row.
+    *
+    * Metadata-only (one LIST + the window's log GETs; no data I/O), and
+    * exact for any window inside the log retention horizon: an insert log
+    * is immutable until `tombstoneCleanup(minAgeMs)` deletes it (after
+    * it was merged away AND aged out), so size retention to cover the
+    * longest consumer lag. Note partition *rewrites* (GDPR) change
+    * existing rows without producing CDC events — by design, matching
+    * append-only changelog semantics.
+    */
+  def addedFiles(sinceTs: Long, untilTs: Long = Long.MaxValue): Seq[FileMarker] = {
+    val logs = logio.currentLogFiles(root).filter { f =>
+      val (ts, merged) = IceLogIO.logFileInfo(f)
+      !merged && ts > sinceTs && ts <= untilTs
+    }
+    if (logs.isEmpty) Seq.empty
+    else {
+      val fetched = logio.fetchLogLines(root, logs)
+      logs.sorted.flatMap(f => logio.parseLog(f, fetched(f))._2)
+    }
+  }
+
+  /** Rows ingested in `(sinceTs, untilTs]` as a DataFrame (see
+    * [[addedFiles]]) under the current union schema — late-added columns
+    * read as null, so a consumer that restarts across a schema evolution
+    * sees one consistent shape. */
+  def readAdded(sinceTs: Long, untilTs: Long = Long.MaxValue): DataFrame = {
+    val snap = snapshot()
+    readFiles(snap, addedFiles(sinceTs, untilTs))
+  }
+
   /** B2/B3 hive-partition + filename virtual columns, recovered from the file
     * path (reference README.md:489-492: `extract(_path, 'u=([^\s/]+)')`). */
   def withPartitionColumn(df: DataFrame, key: String): DataFrame =
@@ -219,7 +256,12 @@ final class IceTable(
     * with `partitionBy`. The shuffle is the unavoidable one (co-locating each
     * partition's rows); there is no driver-side row handling at any scale.
     */
-  def insert(df0: DataFrame): Seq[FileMarker] = {
+  def insert(df0: DataFrame): Seq[FileMarker] = insert(df0, Map.empty)
+
+  /** [[insert]] whose log commit also records stream-commit bookkeeping —
+    * the data files and the per-query batch id land in ONE atomic log PUT
+    * (the exactly-once sink building block; use [[insertBatch]]). */
+  def insert(df0: DataFrame, streamCommits: Map[String, Long]): Seq[FileMarker] = {
     val df = cfg.formatRow.fold(df0)(f => f(df0)) // A23 pre-insert hook
     val hasPre = df.columns.contains("_partition")
     // routing column; `_partition` fast path per icedb/icedb.py:191-196
@@ -246,8 +288,34 @@ final class IceTable(
     }
 
     // One PUT = the transaction (icedb/icedb.py:217-219).
-    logio.append(root, 1, schema, markers, timestamp = Some(now()))
+    logio.append(root, 1, schema, markers, timestamp = Some(now()),
+      streamCommits = streamCommits)
     markers
+  }
+
+  /** Exactly-once micro-batch insert for Structured Streaming sinks
+    * (`foreachBatch` re-delivers the last batch after a crash/restart —
+    * at-least-once by itself). The batch's data files and its
+    * `(queryName, batchId)` record commit in ONE atomic log PUT; a replay
+    * of an already-committed batch id is detected from the log fold and
+    * skipped, making the sink transactional end-to-end. Returns whether
+    * the batch was inserted (false = duplicate replay, skipped).
+    *
+    * Scope: batch ids are tracked per `queryName` (one writer per query,
+    * Structured Streaming's own contract); the record survives merge/
+    * optimize/cleanup log rewrites (per-query max carried forward), so
+    * the guarantee outlives compaction — not just the retention window
+    * of the original insert log.
+    */
+  def insertBatch(df: DataFrame, queryName: String, batchId: Long): Boolean = {
+    val committed = trySnapshot()
+      .flatMap(_.streamCommits.get(queryName))
+      .getOrElse(Long.MinValue)
+    if (batchId <= committed) false
+    else {
+      insert(df, Map(queryName -> batchId))
+      true
+    }
   }
 
   private def insertDefault(routed: DataFrame): (Seq[FileMarker], Schema) = {
@@ -495,8 +563,8 @@ final class IceTable(
     // markers and existing tombstones, tombstone the source logs, one `_m`
     // append.
     val mergedLogFiles = acc.flatMap(_.virSourceLogFile).distinct.sorted
-    val (mSchema, mMarkers, mTombstones) =
-      logio.readLogForward(root, mergedLogFiles)
+    val ((mSchema, mMarkers, mTombstones), mCommits) =
+      logio.readLogForwardWithCommits(root, mergedLogFiles)
     // Deviation from the reference (which carries the source-log schema
     // verbatim, icedb.py:291-293): a custom merge SQL may *reshape* columns
     // (e.g. seed an aggregate state column); since our reads are driven by
@@ -521,7 +589,8 @@ final class IceTable(
       updated :+ newMarker,
       mTombstones ++ newTombstones,
       merged = true,
-      timestamp = Some(mergedTime))
+      timestamp = Some(mergedTime),
+      streamCommits = mCommits) // exactly-once records outlive the rewrite
     MergeResult(newLog, newMarker, partition, acc, meta)
   }
 
@@ -651,8 +720,8 @@ final class IceTable(
     // semantics, one append instead of one per partition)
     val allAcc = candidates.flatMap(_._2)
     val mergedLogFiles = allAcc.flatMap(_.virSourceLogFile).distinct.sorted
-    val (mSchema, mMarkers, mTombstones) =
-      logio.readLogForward(root, mergedLogFiles)
+    val ((mSchema, mMarkers, mTombstones), mCommits) =
+      logio.readLogForwardWithCommits(root, mergedLogFiles)
     if (cfg.customMergeSql.isDefined) {
       // merge SQL may reshape columns; accumulate each output schema
       // add-only (see executeMerge)
@@ -673,7 +742,8 @@ final class IceTable(
       updated ++ stamped,
       mTombstones ++ newTombstones,
       merged = true,
-      timestamp = Some(mergedTime))
+      timestamp = Some(mergedTime),
+      streamCommits = mCommits) // exactly-once records outlive the rewrite
     meta
   }
 
@@ -711,8 +781,12 @@ final class IceTable(
     val currentTombstones: Map[String, Long] =
       snap.files.iterator
         .flatMap(f => f.tombstone.map(f.path -> _)).toMap
+    var cleanCommits = Map.empty[String, Long]
     mergeLogFiles.foreach { logFile =>
       val (s, markers, tombstones) = logio.parseLog(logFile, fetched(logFile))
+      // exactly-once stream-commit records must outlive the consolidation
+      cleanCommits = LogMetadata.mergeCommits(cleanCommits,
+        LogMetadata.fromJson(fetched(logFile)(0)).streamCommits)
       tombstones.foreach { tmb =>
         if (tmb.createdMs <= expired) logFilesToDelete += tmb.path
         else logFilesToKeep(tmb.path) = tmb
@@ -740,7 +814,8 @@ final class IceTable(
       dataFilesToKeep.values.toSeq,
       logFilesToKeep.values.toSeq, // kept to preserve tombstones for min_age
       merged = true,
-      timestamp = Some(now()))
+      timestamp = Some(now()),
+      streamCommits = cleanCommits)
 
     cleaned.foreach(p => logio.delete(root, p))
 
@@ -785,8 +860,8 @@ final class IceTable(
     }
 
     // carry forward every marker of the affected logs (tombstoned ones win)
-    val (_, carried, carriedTmb) =
-      logio.readLogForward(root, modifiedLogs.toSeq.sorted)
+    val ((_, carried, carriedTmb), rCommits) =
+      logio.readLogForwardWithCommits(root, modifiedLogs.toSeq.sorted)
     val updated = carried.map(m =>
       tombstoned.getOrElse(m.path, m).copy(virSourceLogFile = None))
 
@@ -795,7 +870,8 @@ final class IceTable(
       root, 1, snap.schema, updated,
       carriedTmb ++ logTombstones,
       merged = true,
-      timestamp = Some(removeTime))
+      timestamp = Some(removeTime),
+      streamCommits = rCommits)
     (Some(newLog), Some(meta), deleted)
   }
 
@@ -849,7 +925,8 @@ final class IceTable(
       updated ++ newFiles,
       snap.tombstones ++ newTombstones,
       merged = true,
-      timestamp = Some(runTime))
+      timestamp = Some(runTime),
+      streamCommits = snap.streamCommits) // full-fold rewrite carries all
     (Some(newLog), Some(meta), targets.map(_.path))
   }
 }

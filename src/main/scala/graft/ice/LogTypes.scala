@@ -60,15 +60,27 @@ object LogTombstone {
 }
 
 /** Log-file line 1: `{"v": version, "sch": schemaLine, "f": fileLine,
-  * "t": timestampMs[, "tmb": tombstoneLine]}` — line *indices* into the
-  * JSONL body (reference: icedb/log.py:185-223, ARCHITECTURE.md:30-43).
+  * "t": timestampMs[, "tmb": tombstoneLine][, "sc": {query: batchId}]}` —
+  * line *indices* into the JSONL body (reference: icedb/log.py:185-223,
+  * ARCHITECTURE.md:30-43).
+  *
+  * @param streamCommits beyond-reference extension for exactly-once
+  *   Structured Streaming sinks: the highest micro-batch id this log
+  *   commits per stream query name. An insert carrying `{q: 7}` and the
+  *   log append are ONE atomic PUT, so a foreachBatch replay of batch 7
+  *   after a crash is detected from the fold and skipped — the classic
+  *   transactional-sink idempotence contract. Merged-log rewrites carry
+  *   the per-query max forward so the record outlives log compaction and
+  *   cleanup. Absent (and unserialized) everywhere streaming isn't used —
+  *   the reference format's bytes are untouched.
   */
 final case class LogMetadata(
     version: Int,
     schemaLineIndex: Int,
     fileLineIndex: Int,
     tombstoneLineIndex: Option[Int] = None,
-    timestamp: Long = System.currentTimeMillis()) {
+    timestamp: Long = System.currentTimeMillis(),
+    streamCommits: Map[String, Long] = Map.empty) {
 
   def json: String = {
     val base = Seq(
@@ -76,7 +88,12 @@ final case class LogMetadata(
       "sch" -> (schemaLineIndex: Any),
       "f" -> (fileLineIndex: Any),
       "t" -> (timestamp: Any))
-    Json.obj(tombstoneLineIndex.fold(base)(t => base :+ ("tmb" -> (t: Any))): _*)
+    val withTmb = tombstoneLineIndex.fold(base)(t => base :+ ("tmb" -> (t: Any)))
+    Json.obj(
+      (if (streamCommits.isEmpty) withTmb
+       // sorted: log bytes must not depend on map iteration order
+       else withTmb :+ ("sc" ->
+         (scala.collection.immutable.ListMap(streamCommits.toSeq.sortBy(_._1): _*): Any))): _*)
   }
 }
 
@@ -88,16 +105,31 @@ object LogMetadata {
       m("sch").asInstanceOf[Long].toInt,
       m("f").asInstanceOf[Long].toInt,
       m.get("tmb").map(_.asInstanceOf[Long].toInt),
-      m("t").asInstanceOf[Long])
+      m("t").asInstanceOf[Long],
+      streamCommits = m.get("sc").collect {
+        case sc: scala.collection.Map[_, _] =>
+          sc.map { case (k, v) => k.toString -> v.asInstanceOf[Long] }.toMap
+      }.getOrElse(Map.empty))
   }
+
+  /** Max-merge of per-query committed batch ids (fold across logs). */
+  def mergeCommits(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+    b.foldLeft(a) { case (acc, (q, id)) =>
+      acc.updated(q, math.max(acc.getOrElse(q, Long.MinValue), id))
+    }
 }
 
-/** Full MVCC state at a point in time (reference: icedb/log.py:311-328). */
+/** Full MVCC state at a point in time (reference: icedb/log.py:311-328).
+  *
+  * @param streamCommits highest committed micro-batch id per stream query
+  *   name, max-folded across the snapshot's logs (see
+  *   [[LogMetadata.streamCommits]]). */
 final case class IceSnapshot(
     schema: Schema,
     files: Seq[FileMarker],
     tombstones: Seq[LogTombstone],
     logFiles: Seq[String],
-    timestamp: Long) {
+    timestamp: Long,
+    streamCommits: Map[String, Long] = Map.empty) {
   def aliveFiles: Seq[FileMarker] = files.filter(_.alive)
 }

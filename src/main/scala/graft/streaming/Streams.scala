@@ -102,6 +102,38 @@ object Streams {
       }
       .start()
 
+  /** [[iceSink]] upgraded to exactly-once: each micro-batch commits its
+    * data files and its `(queryName, batchId)` record in ONE atomic log
+    * PUT via [[IceTable.insertBatch]], so the batch foreachBatch re-delivers
+    * after a crash/restart is recognized from the table's own log and
+    * skipped — no duplicate rows, no reliance on the checkpoint dir alone.
+    * `queryName` must be stable across restarts (it IS the idempotence
+    * key) and unique per (query, table) pair. */
+  def iceSinkExactlyOnce(
+      stream: DataFrame,
+      table: IceTable,
+      checkpoint: String,
+      queryName: String,
+      trigger: Trigger = Trigger.ProcessingTime("3 seconds"),
+      mergeEveryBatches: Int = 10): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // empty batches are skipped entirely: replaying them cannot
+        // duplicate data, and recording them would append a log file per
+        // idle trigger
+        if (!batch.isEmpty) {
+          val inserted = table.insertBatch(batch, queryName, id)
+          if (inserted && mergeEveryBatches > 0 && id > 0 &&
+              id % mergeEveryBatches == 0)
+            table.merge()
+        }
+        ()
+      }
+      .start()
+
   /** The reference's batcher loop as a streaming sink: every micro-batch is
     * one atomic ice insert; optional compaction every `mergeEveryBatches`. */
   def iceSink(
