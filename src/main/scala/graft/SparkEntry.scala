@@ -330,6 +330,36 @@ object SparkEntry {
       inner.agg(round(avg(col("cnt")), 6).as("avg_orders"),
         max(col("cnt")).as("max_orders"))
     }),
+    "b25_window" -> ((s, d) => {
+      // analytic window surface: row_number / lag / running sum / rank
+      // over a unique-keyed monthly rollup (unique key ⇒ deterministic)
+      val W = org.apache.spark.sql.expressions.Window
+      val monthly = Fixtures.lineitemIce(s, d).read()
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("m"))
+        .agg(count(lit(1)).as("cnt"), sum(dec(col("l_extendedprice"))).as("_rev"))
+      val w = W.orderBy(col("m"))
+      monthly.select(col("m"), col("cnt"),
+          col("_rev").cast("double").as("rev"),
+          row_number().over(w).cast("bigint").as("rn"),
+          lag(col("_rev"), 1).over(w).cast("double").as("prev_rev"),
+          sum(col("_rev")).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("double").as("cum_rev"),
+          rank().over(W.orderBy(col("_rev").desc, col("m"))).cast("bigint").as("rev_rank"))
+        .orderBy(col("m"))
+    }),
+    "b26_rollup" -> ((s, d) => {
+      // multi-level aggregation: ROLLUP with grouping() disambiguation
+      Fixtures.lineitemIce(s, d).read()
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity")).cast("bigint").as("sum_qty"),
+          (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+            .cast("bigint").as("lvl"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("cnt"), col("sum_qty"), col("lvl"))
+        .orderBy(col("lvl"), col("flag"), col("status"))
+    }),
     "b3_filename_virtual" -> ((s, d) => {
       // raw paths are run-specific, but the alive-file COUNT is pinned:
       // post-optimize it equals the partition (event-day) count
@@ -572,6 +602,49 @@ object SparkEntry {
           .as("total_pieces"),
           count(lit(1)).as("cnt"))
     }),
+    "llm_dedup_groups" -> ((s, d) => {
+      // grades connectedComponents with an EXACT oracle: chain edges
+      // (consecutive doc_ids within each (lang, source) shard) reach the
+      // full shard group only through multi-hop transitive closure — up to
+      // 15 hops at sf0.01 — and the recovered components must equal the
+      // shards, which DuckDB pins exactly
+      val docs = Fixtures.raw(s, d, "documents")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "source").orderBy("doc_id")
+      val chain = docs
+        .withColumn("_prev", lag(col("doc_id"), 1).over(w))
+        .where(col("_prev").isNotNull)
+        .select(col("_prev").as("idA"), col("doc_id").as("idB"))
+      val grouped = Dedup.connectedComponents(chain)
+        .groupBy(col("component")).agg(count(lit(1)).as("_n"))
+        .agg(count(lit(1)).as("n_groups"),
+          coalesce(sum(col("_n")), lit(0L)).cast("bigint").as("grouped_docs"),
+          coalesce(sum(col("component")), lit(0L)).cast("bigint").as("sum_roots"))
+      val kept = Dedup.keepCanonical(docs, "doc_id", chain)
+        .agg(count(lit(1)).as("kept_docs"))
+      grouped.crossJoin(kept)
+    }),
+    "asof_join" -> ((s, d) => {
+      // click→purchase attribution: for each purchase, the user's latest
+      // prior click (classic as-of shape). Graded against DuckDB's native
+      // ASOF LEFT JOIN: unmatched purchases exercise left semantics, the
+      // 24h freshness bucket exercises matchedTime, and sum(click_id)
+      // pins the exact matched row set.
+      // events.ts reads as epoch-nanos BIGINT (see Fixtures.evTs) — the
+      // as-of time axis is the raw long, exact on both engines
+      val ev = Fixtures.raw(s, d, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts")) // unique (key, time) right rows
+        .agg(max(col("event_id")).as("click_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+      operators.AsOf.asofJoin(purchases, clicks,
+          Seq("user_id"), Seq("user_id"), "ts", "ts", payload = Seq("click_id"))
+        .agg(count(lit(1)).as("purchases"),
+          count(col("click_id")).as("attributed"),
+          sum(when(col("ts") - col("matchedTime") <= 86400000000000L, 1L)
+            .otherwise(0L)).cast("bigint").as("within_24h"),
+          sum(col("click_id")).cast("bigint").as("sum_click_id"))
+    }),
     "llm_ngram_dedup" -> ((s, d) => {
       // 2-gram variant of the planted-dup harness
       val pairs = Dedup.ngramJaccardPairs(
@@ -730,6 +803,38 @@ object SparkEntry {
         "count(DISTINCT CASE WHEN L > 0 THEN doc_id END) AS media_cnt, " +
         "CAST(sum(LEAST(64, L) + CASE WHEN L > 128 THEN LEAST(64, L - 128) ELSE 0 END) AS BIGINT) AS frame_bytes " +
         "FROM (SELECT doc_id, LEAST(256, octet_length(encode(text))) AS L FROM documents)"),
+    "b25_window" ->
+      ("WITH monthly AS (SELECT strftime(l_shipdate, '%Y-%m') AS m, count(*) AS cnt, " +
+        "sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev0 FROM lineitem GROUP BY 1) " +
+        "SELECT m, cnt, CAST(rev0 AS DOUBLE) AS rev, " +
+        "row_number() OVER (ORDER BY m) AS rn, " +
+        "CAST(lag(rev0, 1) OVER (ORDER BY m) AS DOUBLE) AS prev_rev, " +
+        "CAST(sum(rev0) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_rev, " +
+        "rank() OVER (ORDER BY rev0 DESC, m) AS rev_rank " +
+        "FROM monthly ORDER BY m"),
+    "b26_rollup" ->
+      ("SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status, " +
+        "count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty, " +
+        "CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS lvl " +
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY lvl, flag, status"),
+    // components must equal the (lang, source) shards exactly
+    "llm_dedup_groups" ->
+      ("WITH g AS (SELECT lang, source, count(*) AS cnt, min(doc_id) AS root " +
+        "FROM documents GROUP BY 1, 2 HAVING count(*) >= 2) " +
+        "SELECT count(*) AS n_groups, " +
+        "CAST(coalesce(sum(cnt), 0) AS BIGINT) AS grouped_docs, " +
+        "CAST(coalesce(sum(root), 0) AS BIGINT) AS sum_roots, " +
+        "(SELECT count(*) FROM documents) - CAST(coalesce(sum(cnt), 0) AS BIGINT) + count(*) AS kept_docs " +
+        "FROM g"),
+    // DuckDB's native ASOF JOIN is the oracle for the union-merge as-of
+    "asof_join" ->
+      ("WITH c AS (SELECT user_id, ts, max(event_id) AS click_id FROM events " +
+        "WHERE event_type = 'click' GROUP BY 1, 2), " +
+        "p AS (SELECT * FROM events WHERE event_type = 'purchase') " +
+        "SELECT count(*) AS purchases, count(c.click_id) AS attributed, " +
+        "CAST(count(*) FILTER (WHERE epoch_ns(p.ts) - epoch_ns(c.ts) <= 86400000000000) AS BIGINT) AS within_24h, " +
+        "CAST(sum(c.click_id) AS BIGINT) AS sum_click_id " +
+        "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"),
     "llm_wordpiece_count" ->
       ("SELECT CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS total_pieces, " +
         "count(*) AS cnt FROM documents"))

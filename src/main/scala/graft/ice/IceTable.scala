@@ -67,6 +67,13 @@ final case class CleanupResult(
   *   cluster key plans with ZERO object-store reads instead of listing
   *   and footer-probing 10⁵ files. Stats-less markers (older writers)
   *   are conservatively kept.
+  * @param statsColumns ADDITIONAL stats columns beyond `statsColumn` (all
+  *   read from the same one footer pass at write time; recorded in the
+  *   marker's `stm` field). With Z-order clustering
+  *   ([[IceTable.insertClustered]] + `graft.functions.ZOrder`) every
+  *   clustered dimension gets a bounded per-file range, so
+  *   [[IceTable.filesMatchingStats]] and the SQL path (`IceFileIndex`)
+  *   prune on predicates over ANY of them — not just the leading sort key.
   */
 final case class IceTableConfig(
     partitionExpr: Column,
@@ -80,7 +87,8 @@ final case class IceTableConfig(
     formatRow: Option[DataFrame => DataFrame] = None,
     rowGroupRows: Option[Int] = None,
     partitionFunc: Option[Row => String] = None,
-    statsColumn: Option[String] = None)
+    statsColumn: Option[String] = None,
+    statsColumns: Seq[String] = Seq.empty)
 
 /** The Parquet merge-engine table: MVCC JSONL log + immutable Parquet data
   * parts under one root URI (local fs or s3a — anything Hadoop FileSystem
@@ -182,6 +190,41 @@ final class IceTable(
   def readStatsRange(lo: String, hi: String, maxTs: Long = Long.MaxValue): DataFrame = {
     val snap = snapshot(maxTs)
     readFiles(snap, filesInStatsRange(snap, lo, hi))
+  }
+
+  /** A marker's recorded [min, max] for any stats column (primary or
+    * additional), or None (un-prunable on that column). */
+  def markerStats(m: FileMarker, column: String): Option[(String, String)] =
+    if (cfg.statsColumn.contains(column)) m.stats
+    else m.multiStats.get(column)
+
+  /** Multi-column data skipping: alive markers whose recorded per-column
+    * [min, max] can intersect EVERY requested window (conjunctive
+    * semantics, like a `WHERE a BETWEEN .. AND b BETWEEN ..`). Columns a
+    * marker has no stats for are conservatively kept. Pure log-side
+    * metadata work — with Z-order clustering this prunes on any clustered
+    * dimension, not just the leading sort key. */
+  def filesMatchingStats(
+      snap: IceSnapshot,
+      windows: Map[String, (Option[String], Option[String])]): Seq[FileMarker] = {
+    if (windows.isEmpty) return snap.aliveFiles
+    val types = snap.schema.pairs.toMap
+    val numeric = windows.keys.map(c =>
+      c -> types.get(c).exists(IceTable.statsTypeIsNumeric)).toMap
+    snap.aliveFiles.filter { m =>
+      windows.forall { case (c, (lo, hi)) =>
+        markerStats(m, c).forall { case (mn, mx) =>
+          IceTable.statsIntersects(numeric(c), mn, mx, lo, hi)
+        }
+      }
+    }
+  }
+
+  def readMatchingStats(
+      windows: Map[String, (Option[String], Option[String])],
+      maxTs: Long = Long.MaxValue): DataFrame = {
+    val snap = snapshot(maxTs)
+    readFiles(snap, filesMatchingStats(snap, windows))
   }
 
   /** Incremental (CDC-style) file listing: markers committed by *insert*
@@ -318,6 +361,26 @@ final class IceTable(
     }
   }
 
+  /** Cluster-aware ingest: range-partition the batch on `clusterExpr`
+    * (typically a Z-value — `graft.functions.ZOrder.zvalue`) into
+    * `numFiles` contiguous cluster ranges, then insert WITHOUT the
+    * partition shuffle, so each range lands in its own file and every
+    * file covers a bounded slice of the clustering space. Combined with
+    * `statsColumns`, this is OPTIMIZE-ZORDER-shaped ingest: range queries
+    * on ANY clustered dimension prune files from the log alone.
+    *
+    * Cost shape: the range partitioner samples the cluster key (one extra
+    * scan of the batch) and the write shuffles once on the range id —
+    * same shuffle count as the default insert path.
+    */
+  def insertClustered(
+      df: DataFrame, clusterExpr: Column, numFiles: Int): Seq[FileMarker] = {
+    val noShuffle =
+      if (!cfg.shuffleOnInsert) this
+      else new IceTable(spark, root, cfg.copy(shuffleOnInsert = false), clock)
+    noShuffle.insert(df.repartitionByRange(numFiles, clusterExpr))
+  }
+
   private def insertDefault(routed: DataFrame): (Seq[FileMarker], Schema) = {
     val schema = Schema.fromStructType(routed.drop(IceTable.RouteCol).schema)
     val tmp = s"$root/_tmp/${UUID.randomUUID()}"
@@ -407,57 +470,79 @@ final class IceTable(
     // footer stats fan out on the bounded pool (leaf-only reads): a
     // 10³-partition insert against an object store would otherwise pay
     // 10³ sequential footer GETs on the driver
-    val statsByRel: Map[String, Option[(String, String)]] =
-      if (cfg.statsColumn.isEmpty) Map.empty
+    val statsByRel: Map[String, Map[String, (String, String)]] =
+      if (statsCols.isEmpty) Map.empty
       else {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
         implicit val ec: scala.concurrent.ExecutionContext = IceTable.insertPool
         Await.result(
           Future.traverse(renamed.toSeq) { case (rel, dest, _) =>
-            Future(rel -> footerStats(dest))
+            Future(rel -> footerStatsAll(dest))
           }, Duration.Inf).toMap
       }
     renamed.toSeq.map { case (rel, _, len) =>
-      FileMarker(rel, now(), len, stats = statsByRel.getOrElse(rel, None))
+      val (primary, extra) = splitStats(statsByRel.getOrElse(rel, Map.empty))
+      FileMarker(rel, now(), len, stats = primary, multiStats = extra)
     }
   }
 
-  /** One footer read at write time: [min, max] of `cfg.statsColumn` across
-    * the file's row groups, as canonical strings. None when the column is
-    * absent/non-primitive or any row group lacks stats — the marker then
-    * stays conservatively un-prunable. */
-  private def footerStats(dest: Path): Option[(String, String)] =
-    cfg.statsColumn.flatMap { colName =>
+  /** All configured stats columns (primary first). */
+  private def statsCols: Seq[String] =
+    (cfg.statsColumn.toSeq ++ cfg.statsColumns).distinct
+
+  /** One footer read at write time: [min, max] of every configured stats
+    * column across the file's row groups, as canonical strings. A column
+    * is omitted when absent/non-primitive or any row group lacks stats for
+    * it — the marker then stays conservatively un-prunable on that column
+    * (other columns still record). */
+  private def footerStatsAll(dest: Path): Map[String, (String, String)] = {
+    val cols = statsCols
+    if (cols.isEmpty) return Map.empty
+    try {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(dest, hadoopConf))
       try {
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(dest, hadoopConf))
-        try {
-          var min: Comparable[Any] = null
-          var max: Comparable[Any] = null
-          var ok = !reader.getFooter.getBlocks.isEmpty
-          reader.getFooter.getBlocks.forEach { b =>
-            var found = false
-            b.getColumns.forEach { c =>
-              if (c.getPath.toDotString == colName) {
-                found = true
-                val st = c.getStatistics
-                if (st == null || !st.hasNonNullValue) ok = false
-                else {
-                  val mn = st.genericGetMin.asInstanceOf[Comparable[Any]]
-                  val mx = st.genericGetMax.asInstanceOf[Comparable[Any]]
-                  if (min == null || mn.compareTo(min.asInstanceOf[Any]) < 0) min = mn
-                  if (max == null || mx.compareTo(max.asInstanceOf[Any]) > 0) max = mx
-                }
+        val wanted = cols.toSet
+        val min = mutable.Map.empty[String, Comparable[Any]]
+        val max = mutable.Map.empty[String, Comparable[Any]]
+        val bad = mutable.Set.empty[String]
+        val nonEmpty = !reader.getFooter.getBlocks.isEmpty
+        reader.getFooter.getBlocks.forEach { b =>
+          val found = mutable.Set.empty[String]
+          b.getColumns.forEach { c =>
+            val name = c.getPath.toDotString
+            if (wanted(name)) {
+              found += name
+              val st = c.getStatistics
+              if (st == null || !st.hasNonNullValue) bad += name
+              else {
+                val mn = st.genericGetMin.asInstanceOf[Comparable[Any]]
+                val mx = st.genericGetMax.asInstanceOf[Comparable[Any]]
+                if (!min.contains(name) || mn.compareTo(min(name).asInstanceOf[Any]) < 0)
+                  min(name) = mn
+                if (!max.contains(name) || mx.compareTo(max(name).asInstanceOf[Any]) > 0)
+                  max(name) = mx
               }
             }
-            if (!found) ok = false
           }
-          if (!ok || min == null) None
-          else Some((statString(min), statString(max)))
-        } finally reader.close()
-      } catch { case _: Exception => None }
-    }
+          wanted.diff(found).foreach(bad += _)
+        }
+        if (!nonEmpty) Map.empty
+        else cols.filter(c => !bad(c) && min.contains(c))
+          .map(c => c -> (statString(min(c)), statString(max(c)))).toMap
+      } finally reader.close()
+    } catch { case _: Exception => Map.empty }
+  }
+
+  /** Split a footer-stats map into the marker's (primary `st`, additional
+    * `stm`) fields. */
+  private def splitStats(
+      all: Map[String, (String, String)]): (Option[(String, String)], Map[String, (String, String)]) = {
+    val primary = cfg.statsColumn.flatMap(all.get)
+    val extra = all -- cfg.statsColumn
+    (primary, extra)
+  }
 
   private def statString(v: Any): String = v match {
     case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
@@ -481,8 +566,9 @@ final class IceTable(
     if (!f.rename(file.getPath, dest))
       throw new java.io.IOException(s"failed to finalize $dest")
     f.delete(new Path(tmp), true)
+    val (primary, extra) = splitStats(footerStatsAll(dest))
     FileMarker(destRel, now(), f.getFileStatus(dest).getLen,
-      stats = footerStats(dest))
+      stats = primary, multiStats = extra)
   }
 
   // ------------------------------------------------------------- merge (A10)

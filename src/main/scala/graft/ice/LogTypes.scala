@@ -15,6 +15,11 @@ package graft.ice
   *   footer/object-store reads at plan time. Absent on stats-less writers;
   *   readers that don't know the field ignore it (the reference format's
   *   fields are untouched).
+  * @param multiStats [min, max] per ADDITIONAL stats column
+  *   (`IceTableConfig.statsColumns` beyond the primary), serialized as
+  *   `"stm": {col: [min, max]}` with sorted keys (log bytes must not
+  *   depend on map iteration order). Separate from `stats` so tables
+  *   using only the single-column knob keep byte-identical logs.
   */
 final case class FileMarker(
     path: String,
@@ -22,13 +27,20 @@ final case class FileMarker(
     fileBytes: Long,
     tombstone: Option[Long] = None,
     virSourceLogFile: Option[String] = None,
-    stats: Option[(String, String)] = None) {
+    stats: Option[(String, String)] = None,
+    multiStats: Map[String, (String, String)] = Map.empty) {
 
   def json: String = {
     val base = Seq("p" -> (path: Any), "b" -> (fileBytes: Any), "t" -> (createdMs: Any))
     val withTmb = tombstone.fold(base)(t => base :+ ("tmb" -> (t: Any)))
-    Json.obj(stats.fold(withTmb)(s =>
-      withTmb :+ ("st" -> (Seq(s._1, s._2): Any))): _*)
+    val withSt = stats.fold(withTmb)(s =>
+      withTmb :+ ("st" -> (Seq(s._1, s._2): Any)))
+    Json.obj(
+      (if (multiStats.isEmpty) withSt
+       else withSt :+ ("stm" -> (scala.collection.immutable.ListMap(
+         multiStats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+           c -> (Seq(mn, mx): Any)
+         }: _*): Any))): _*)
   }
   def alive: Boolean = tombstone.isEmpty
 }
@@ -44,7 +56,14 @@ object FileMarker {
       stats = m.get("st").collect {
         case s: scala.collection.Seq[_] if s.length == 2 =>
           (s(0).toString, s(1).toString)
-      })
+      },
+      multiStats = m.get("stm").collect {
+        case sm: scala.collection.Map[_, _] =>
+          sm.collect {
+            case (k, v: scala.collection.Seq[_]) if v.length == 2 =>
+              k.toString -> (v(0).toString, v(1).toString)
+          }.toMap
+      }.getOrElse(Map.empty))
 }
 
 /** A log file superseded by a merge; `{"p": logPath, "t": tombstonedMs}`

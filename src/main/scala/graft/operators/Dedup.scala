@@ -293,6 +293,117 @@ object Dedup {
       .select("idA", "idB", "hamming")
   }
 
+  /** Connected components over a duplicate-pair list — the step that turns
+    * pairwise near-dup evidence into dedup GROUPS (A≈B and B≈C must put A
+    * and C in one group even when the A-C pair was never emitted; greedy
+    * pair-dropping silently keeps transitive duplicates).
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014) —
+    * converges in O(log² n) rounds on any graph, vs O(diameter) for naive
+    * label propagation (a 10⁶-long chain of boilerplate docs would need
+    * 10⁶ rounds under label propagation). Each round is built ONLY from
+    * min-aggregates and joins — no collect_list, so a celebrity node with
+    * 10⁷ neighbors shuffles as partial min-combines, never as one array
+    * on one reducer. Lineage is cut per round with localCheckpoint (an
+    * iterative plan otherwise doubles in depth every round).
+    *
+    * @param pairs edge list; self-loops ignored, orientation irrelevant
+    * @return (id, component) for every id appearing in `pairs`, where
+    *   component = the smallest id in its connected component
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "idA",
+      bCol: String = "idB",
+      maxIter: Int = 30): DataFrame = {
+    val nodes = pairs.select(col(aCol).cast("long").as("id"))
+      .union(pairs.select(col(bCol).cast("long").as("id"))).distinct()
+    var edges = pairs
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    // Convergence = the (count, hash-sum) signature of the edge set stops
+    // moving. One tiny aggregate per round instead of a full exceptAll
+    // anti-join; a collision would need two distinct edge sets with equal
+    // count AND equal xxhash64 sum mid-run — vanishingly unlikely.
+    def sig(e: DataFrame): (Long, Long) = {
+      // hashes reduced mod a prime before summing: a raw xxhash64 sum can
+      // overflow Long, which ANSI mode (Spark 4 default) turns into an error
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L))), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    var s = sig(edges)
+    var converged = edges.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val ns = sig(next)
+      converged = ns == s
+      s = ns
+      edges = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+
+    // Fixpoint is a forest of stars: every non-root points at its
+    // component's minimum. Roots map to themselves.
+    nodes.join(edges.select(col("u").as("id"), col("v").as("_c")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("_c"), col("id")).as("component"))
+  }
+
+  /** Large-star: every node connects its strictly-larger neighbors to the
+    * minimum of its neighborhood (including itself). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val minN = sym.groupBy("u").agg(min(col("v")).as("_mn"))
+      .select(col("u"), least(col("u"), col("_mn")).as("_m"))
+    sym.where(col("v") > col("u"))
+      .join(minN, Seq("u"))
+      .select(col("v").as("u"), col("_m").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star: every node connects its smaller-or-equal neighbors (and
+    * itself) to the minimum among them. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .where(col("v") < col("u"))
+    val minN = sym.groupBy("u").agg(min(col("v")).as("_m"))
+    sym.join(minN, Seq("u"))
+      .select(col("v").as("u"), col("_m").as("v"))
+      .where(col("u") =!= col("v"))
+      .union(minN.select(col("u"), col("_m").as("v")))
+      .distinct()
+  }
+
+  /** Near-dup groups end-to-end: minhash+LSH pair discovery →
+    * connected components. Returns (id, component). */
+  def dupGroups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8): DataFrame =
+    connectedComponents(minHashDupPairs(df, idCol, textCol, threshold))
+
+  /** Group-aware dedup: keep exactly one doc (the smallest id) per
+    * connected duplicate group — the transitive-closure-correct version
+    * of [[dropNearDups]]. `pairs` is any duplicate-pair list (minhash,
+    * simhash, cosine, or a union of them). */
+  def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .where(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Character/word n-gram Jaccard similarity matrix restricted to LSH
     * buckets — the "ngram Jaccard near-dup" surface with minhash recall. */
   def ngramJaccardPairs(

@@ -61,13 +61,16 @@ final class IceFileIndex(
   // never listed — the SQL-path twin of IceTable.readStatsRange, still
   // with zero plan-time object-store reads.
 
-  private val statsCol: Option[String] = table.cfg.statsColumn
-  private val statsNumeric: Boolean =
-    statsCol.flatMap(c => snap.schema.pairs.toMap.get(c))
-      .exists(IceTable.statsTypeIsNumeric)
+  private val statsCols: Seq[String] =
+    (table.cfg.statsColumn.toSeq ++ table.cfg.statsColumns).distinct
+  private val statsNumeric: Map[String, Boolean] = {
+    val types = snap.schema.pairs.toMap
+    statsCols.map(c =>
+      c -> types.get(c).exists(IceTable.statsTypeIsNumeric)).toMap
+  }
 
-  /** Conservative [lo, hi] window for the stats column from conjunctive
-    * comparison filters; anything unrecognized just widens the window.
+  /** Conservative per-column [lo, hi] windows for every stats column, from
+    * conjunctive comparison filters; anything unrecognized just widens.
     *
     * A comparison only qualifies when it is against the bare attribute, or
     * against a numeric→numeric cast of it on a numeric stats column (the
@@ -77,49 +80,63 @@ final class IceFileIndex(
     * DOUBLE by `WHERE k > 5`) moves the literal into a different ordering
     * domain than the recorded stats, so pruning on it would be wrong —
     * those filters are ignored. */
-  private def statsWindow(
-      dataFilters: Seq[Expression]): (Option[String], Option[String]) = {
-    val col = statsCol.getOrElse(return (None, None))
-    def isCol(e: Expression): Boolean = e match {
-      case a: Attribute => a.name == col
+  private def statsWindows(
+      dataFilters: Seq[Expression]): Map[String, (Option[String], Option[String])] = {
+    if (statsCols.isEmpty) return Map.empty
+    def colOf(e: Expression): Option[String] = e match {
+      case a: Attribute if statsNumeric.contains(a.name) => Some(a.name)
       case Cast(child, dt, _, _)
-          if statsNumeric && dt.isInstanceOf[NumericType] &&
-            child.dataType.isInstanceOf[NumericType] => isCol(child)
-      case _ => false
+          if dt.isInstanceOf[NumericType] &&
+            child.dataType.isInstanceOf[NumericType] =>
+        colOf(child).filter(statsNumeric(_)) // numeric→numeric widening only
+      case _ => None
     }
     def litStr(l: Literal): Option[String] =
       Option(l.value).map(_.toString)
-    var lo: Option[String] = None
-    var hi: Option[String] = None
+    val lo = scala.collection.mutable.Map.empty[String, String]
+    val hi = scala.collection.mutable.Map.empty[String, String]
     // an unparseable comparison keeps the current bound (wider window = safe)
-    def tightenLo(v: String): Unit =
-      lo = Some(lo.fold(v)(cur =>
-        if (IceTable.statsTryCmp(statsNumeric, v, cur).exists(_ > 0)) v else cur))
-    def tightenHi(v: String): Unit =
-      hi = Some(hi.fold(v)(cur =>
-        if (IceTable.statsTryCmp(statsNumeric, v, cur).exists(_ < 0)) v else cur))
+    def tightenLo(c: String, v: String): Unit =
+      lo(c) = lo.get(c).fold(v)(cur =>
+        if (IceTable.statsTryCmp(statsNumeric(c), v, cur).exists(_ > 0)) v else cur)
+    def tightenHi(c: String, v: String): Unit =
+      hi(c) = hi.get(c).fold(v)(cur =>
+        if (IceTable.statsTryCmp(statsNumeric(c), v, cur).exists(_ < 0)) v else cur)
     dataFilters.foreach {
-      case GreaterThanOrEqual(a, l: Literal) if isCol(a) => litStr(l).foreach(tightenLo)
-      case GreaterThan(a, l: Literal) if isCol(a)        => litStr(l).foreach(tightenLo)
-      case LessThanOrEqual(a, l: Literal) if isCol(a)    => litStr(l).foreach(tightenHi)
-      case LessThan(a, l: Literal) if isCol(a)           => litStr(l).foreach(tightenHi)
-      case EqualTo(a, l: Literal) if isCol(a) =>
-        litStr(l).foreach { v => tightenLo(v); tightenHi(v) }
-      case GreaterThanOrEqual(l: Literal, a) if isCol(a) => litStr(l).foreach(tightenHi)
-      case GreaterThan(l: Literal, a) if isCol(a)        => litStr(l).foreach(tightenHi)
-      case LessThanOrEqual(l: Literal, a) if isCol(a)    => litStr(l).foreach(tightenLo)
-      case LessThan(l: Literal, a) if isCol(a)           => litStr(l).foreach(tightenLo)
-      case EqualTo(l: Literal, a) if isCol(a) =>
-        litStr(l).foreach { v => tightenLo(v); tightenHi(v) }
+      case GreaterThanOrEqual(a, l: Literal) =>
+        colOf(a).foreach(c => litStr(l).foreach(tightenLo(c, _)))
+      case GreaterThan(a, l: Literal) =>
+        colOf(a).foreach(c => litStr(l).foreach(tightenLo(c, _)))
+      case LessThanOrEqual(a, l: Literal) =>
+        colOf(a).foreach(c => litStr(l).foreach(tightenHi(c, _)))
+      case LessThan(a, l: Literal) =>
+        colOf(a).foreach(c => litStr(l).foreach(tightenHi(c, _)))
+      case EqualTo(a, l: Literal) if colOf(a).isDefined =>
+        colOf(a).foreach(c =>
+          litStr(l).foreach { v => tightenLo(c, v); tightenHi(c, v) })
+      case GreaterThanOrEqual(l: Literal, a) =>
+        colOf(a).foreach(c => litStr(l).foreach(tightenHi(c, _)))
+      case GreaterThan(l: Literal, a) =>
+        colOf(a).foreach(c => litStr(l).foreach(tightenHi(c, _)))
+      case LessThanOrEqual(l: Literal, a) =>
+        colOf(a).foreach(c => litStr(l).foreach(tightenLo(c, _)))
+      case LessThan(l: Literal, a) =>
+        colOf(a).foreach(c => litStr(l).foreach(tightenLo(c, _)))
+      case EqualTo(l: Literal, a) if colOf(a).isDefined =>
+        colOf(a).foreach(c =>
+          litStr(l).foreach { v => tightenLo(c, v); tightenHi(c, v) })
       case _ => ()
     }
-    (lo, hi)
+    (lo.keySet ++ hi.keySet).map(c => c -> (lo.get(c), hi.get(c))).toMap
   }
 
   private def statsKeep(
-      m: FileMarker, lo: Option[String], hi: Option[String]): Boolean =
-    m.stats.forall { case (mn, mx) =>
-      IceTable.statsIntersects(statsNumeric, mn, mx, lo, hi)
+      m: FileMarker,
+      windows: Map[String, (Option[String], Option[String])]): Boolean =
+    windows.forall { case (c, (lo, hi)) =>
+      table.markerStats(m, c).forall { case (mn, mx) =>
+        IceTable.statsIntersects(statsNumeric(c), mn, mx, lo, hi)
+      }
     }
 
   override def rootPaths: Seq[Path] = Seq(new Path(table.root))
@@ -138,11 +155,11 @@ final class IceFileIndex(
         org.apache.spark.sql.catalyst.expressions.And))
       partitions.filter { case (row, _) => predicate.eval(row) }
     }
-    val (lo, hi) = statsWindow(dataFilters)
+    val windows = statsWindows(dataFilters)
     pruned.map { case (row, files) =>
       val kept =
-        if (lo.isEmpty && hi.isEmpty) files
-        else files.filter { case (m, _) => statsKeep(m, lo, hi) }
+        if (windows.isEmpty) files
+        else files.filter { case (m, _) => statsKeep(m, windows) }
       PartitionDirectory(row, kept.map(f => FileStatusWithMetadata(f._2)))
     }
   }
