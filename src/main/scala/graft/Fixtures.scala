@@ -66,7 +66,8 @@ object Fixtures {
       "mv" -> (() => eventsMv(spark, sfDir)),
       "seeded" -> (() => eventsSeeded(spark, sfDir)),
       "incremental" -> (() => eventsIncremental(spark, sfDir)),
-      "stream" -> (() => eventsStream(spark, sfDir)))
+      "stream" -> (() => eventsStream(spark, sfDir)),
+      "zorder" -> (() => eventsZOrder(spark, sfDir)))
     val all = Future.traverse(builds) { case (name, b) =>
       Future(b()).recover { case e =>
         System.err.println(s"[prewarm] fixture $name failed: ${e.getMessage}")
@@ -79,6 +80,27 @@ object Fixtures {
     }
     ()
   }
+
+  /** Z-order-clustered events: one logical partition, 16 files range-
+    * partitioned on the Morton value of (user_id, event_id), per-file
+    * min/max recorded for BOTH dimensions — range predicates on either
+    * prune files from the log alone (graded by `zorder_skipping`). */
+  def eventsZOrder(spark: SparkSession, sfDir: String): IceTable =
+    memo(s"$sfDir#zorder") {
+      val ev = raw(spark, sfDir, "events")
+      val table = new IceTable(spark, newRoot("zorder"), IceTableConfig(
+        partitionExpr = lit("all"),
+        sortOrder = Seq("user_id", "event_id"),
+        statsColumn = Some("user_id"),
+        statsColumns = Seq("event_id")))
+      val r = ev.agg(max(col("user_id")), max(col("event_id"))).head
+      val (uMax, eMax) = (r.getLong(0), r.getLong(1))
+      val z = graft.functions.ZOrder.zvalue(12,
+        graft.functions.ZOrder.scaled(col("user_id"), 0, uMax.toDouble, 12),
+        graft.functions.ZOrder.scaled(col("event_id"), 0, eMax.toDouble, 12))
+      table.insertClustered(ev, z, numFiles = 16)
+      table
+    }
 
   // ------------------------------------------------------------ events ice
 

@@ -434,6 +434,30 @@ object SparkEntry {
         .withColumn("files_scanned", lit(pruned.length.toLong))
         .withColumn("files_total", lit(snap.aliveFiles.length.toLong))
     }),
+    "zorder_skipping" -> ((s, d) => {
+      // Z-order clustering: 16 files each bounded in BOTH (user_id,
+      // event_id); a one-fifth window on EITHER dimension must prune
+      // files (booleans) while the pruned read agrees exactly with the
+      // full filter (counts — the DuckDB-checkable part)
+      val t = Fixtures.eventsZOrder(s, d)
+      val snap = t.snapshot()
+      val total = snap.aliveFiles.length
+      val r = Fixtures.raw(s, d, "events")
+        .agg(max(col("user_id")), max(col("event_id"))).head
+      val (uLim, eLim) = (r.getLong(0) / 5, r.getLong(1) / 5)
+      val filesU = t.filesMatchingStats(snap,
+        Map("user_id" -> (None, Some(uLim.toString))))
+      val filesE = t.filesMatchingStats(snap,
+        Map("event_id" -> (None, Some(eLim.toString))))
+      val cntU = t.readFiles(snap, filesU)
+        .where(col("user_id") <= uLim).count()
+      val cntE = t.readFiles(snap, filesE)
+        .where(col("event_id") <= eLim).count()
+      import s.implicits._
+      Seq((cntU, cntE, filesU.length < total, filesE.length < total,
+        total.toLong))
+        .toDF("cnt_u", "cnt_e", "pruned_u", "pruned_e", "files_total")
+    }),
     "join_star_schema" -> ((s, d) => {
       // beyond-reference: Spark-native star join, dims broadcast
       val li = Fixtures.lineitemIce(s, d).read()
@@ -752,6 +776,13 @@ object SparkEntry {
       ("SELECT (SELECT count(*) FROM events WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-20') AS cnt, " +
         "CAST(11 AS BIGINT) AS files_scanned, " +
         "(SELECT count(DISTINCT strftime(ts, '%Y-%m-%d')) FROM events) AS files_total"),
+    // both dimensions' counts are exact; the pruned booleans pin that the
+    // z-layout actually skipped files on each axis
+    "zorder_skipping" ->
+      ("SELECT " +
+        "(SELECT count(*) FROM events WHERE user_id <= (SELECT CAST(floor(max(user_id) / 5) AS BIGINT) FROM events)) AS cnt_u, " +
+        "(SELECT count(*) FROM events WHERE event_id <= (SELECT CAST(floor(max(event_id) / 5) AS BIGINT) FROM events)) AS cnt_e, " +
+        "true AS pruned_u, true AS pruned_e, CAST(16 AS BIGINT) AS files_total"),
     "llm_exact_dedup" ->
       "SELECT count(*) AS total_docs, count(DISTINCT md5(text)) AS distinct_docs FROM documents",
     "llm_dedup_keep" ->

@@ -74,6 +74,18 @@ final case class CleanupResult(
   *   clustered dimension gets a bounded per-file range, so
   *   [[IceTable.filesMatchingStats]] and the SQL path (`IceFileIndex`)
   *   prune on predicates over ANY of them — not just the leading sort key.
+  * @param bloomFilterColumns write parquet split-block bloom filters for
+  *   these columns. Complements min/max stats where ranges don't help:
+  *   point lookups on HIGH-CARDINALITY keys (ids, hashes) whose values
+  *   scatter across the whole range of every file. The parquet reader's
+  *   row-group filter consults the bloom on pushed equality predicates,
+  *   so non-matching row groups are skipped without decoding — at 100 TB
+  *   a needle query reads footers + a few KB of bloom bits per file
+  *   instead of the column data. False positives only cost a wasted
+  *   row-group read; never correctness.
+  * @param bloomFilterNdv expected distinct values per file for sizing the
+  *   bloom bits (parquet sizes for ~1% fpp); unset uses parquet-mr's
+  *   default cap.
   */
 final case class IceTableConfig(
     partitionExpr: Column,
@@ -88,7 +100,9 @@ final case class IceTableConfig(
     rowGroupRows: Option[Int] = None,
     partitionFunc: Option[Row => String] = None,
     statsColumn: Option[String] = None,
-    statsColumns: Seq[String] = Seq.empty)
+    statsColumns: Seq[String] = Seq.empty,
+    bloomFilterColumns: Seq[String] = Seq.empty,
+    bloomFilterNdv: Option[Long] = None)
 
 /** The Parquet merge-engine table: MVCC JSONL log + immutable Parquet data
   * parts under one root URI (local fs or s3a — anything Hadoop FileSystem
@@ -394,11 +408,21 @@ final class IceTable(
       .partitionBy(IceTable.RouteCol)
       .option("compression", cfg.compressionCodec)
       .option("parquet.block.size", cfg.parquetBlockBytes)
-    cfg.rowGroupRows
+    val withRows = cfg.rowGroupRows
       .fold(writer)(n => writer.option("parquet.block.row.count.limit", n))
-      .parquet(tmp)
+    withBloomOptions(withRows).parquet(tmp)
     (collectTempParts(tmp), schema)
   }
+
+  /** Apply the bloom-filter writer options (see
+    * `IceTableConfig.bloomFilterColumns`). */
+  private def withBloomOptions(
+      w: org.apache.spark.sql.DataFrameWriter[Row]): org.apache.spark.sql.DataFrameWriter[Row] =
+    cfg.bloomFilterColumns.foldLeft(w) { (acc, c) =>
+      val on = acc.option(s"parquet.bloom.filter.enabled#$c", "true")
+      cfg.bloomFilterNdv.fold(on)(n =>
+        on.option(s"parquet.bloom.filter.expected.ndv#$c", n))
+    }
 
   /** Custom insert SQL runs per partition over a `_rows` view, exactly like
     * the reference applies it to each partition's row batch
@@ -554,9 +578,9 @@ final class IceTable(
     val writer = df.coalesce(1).write
       .option("compression", cfg.compressionCodec)
       .option("parquet.block.size", cfg.parquetBlockBytes)
-    cfg.rowGroupRows
+    val withRows = cfg.rowGroupRows
       .fold(writer)(n => writer.option("parquet.block.row.count.limit", n))
-      .parquet(tmp)
+    withBloomOptions(withRows).parquet(tmp)
     val f = fs
     val file = f.listStatus(new Path(tmp))
       .find(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
