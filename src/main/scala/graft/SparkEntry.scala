@@ -202,6 +202,20 @@ object SparkEntry {
         countDistinct(col("event_id")).as("uniq"))
         .withColumn("last_batch", lit(lastBatch))
     }),
+    "a26_stream_source" -> ((s, d) => {
+      // the reader-side dual of a25: readStream.format("ice") tails the
+      // events table's log from zero. The CDC contract (non-merged logs
+      // only) means the drained stream equals the raw source exactly, even
+      // though the fixture compacted the table after both inserts.
+      val t = Fixtures.eventsIce(s, d).table
+      val sink = "icesrc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = s.readStream.format("ice").option("path", t.root).load()
+        .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+        .writeStream.format("memory").queryName(sink).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).orderBy(col("event_type"))
+    }),
 
     // --------------------------------------------- delegated query surface
     "b2_partition_columns" -> ((s, d) => {
@@ -718,6 +732,9 @@ object SparkEntry {
     "a25_stream_exactly_once" ->
       ("SELECT count(*) AS cnt, count(DISTINCT event_id) AS uniq, " +
         "CAST(1 AS BIGINT) AS last_batch FROM events"),
+    // the drained ice stream == the raw source, per event_type
+    "a26_stream_source" ->
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
     "b2_partition_columns" ->
       "SELECT strftime(ts, '%Y-%m-%d') AS d, count(*) AS cnt FROM events GROUP BY d ORDER BY d",
     "b4_projection" ->

@@ -1,0 +1,154 @@
+package graft.streaming
+
+import graft.ice.{IceLogIO, IceTable, IceTableConfig}
+import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.graft.StreamBridge
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming SOURCE over an ice table's transaction log:
+  * `spark.readStream.format("ice").option("path", root).load()` tails the
+  * append-only changelog — the reader-side dual of the exactly-once sink
+  * ([[Streams.iceSinkExactlyOnce]]). Together they close the loop the
+  * reference approximates app-side with interval-flushed buffers
+  * (examples/api-flask.py:51-141): ice table → stream → transform →
+  * ice table, with end-to-end exactly-once from the engine.
+  *
+  * Semantics (the same contract as [[IceTable.addedFiles]]):
+  *  - An offset is a log timestamp; a micro-batch is every file marker
+  *    committed by a NON-merged log file in `(start, end]`. Merge and
+  *    cleanup rewrite existing rows into new files but never produce new
+  *    rows, so their logs are excluded — a consumer never sees a row
+  *    twice no matter how aggressively the table compacts behind it.
+  *  - Offsets are data-independent (pure log timestamps), so checkpoint
+  *    recovery replays exactly the uncommitted window. Retention caveat:
+  *    tombstone cleanup must lag the slowest consumer, or replayed
+  *    markers may point at deleted parts (documented on `addedFiles`).
+  *  - The schema is pinned at query start (the snapshot's accumulated
+  *    union schema); files written before a later column was added read
+  *    it as null — one consistent shape for the whole run.
+  *
+  * At 100 TB this stays driver-light: discovering a batch is one log
+  * LIST plus fetches of only the new log files (KB-scale JSONL), never a
+  * data-file listing; the data plane is a normal pruned parquet scan of
+  * exactly the new files, executed distributed.
+  *
+  * Options: `path` (table root, required); `startingTimestamp` — `0`
+  * (default) replays the table from the beginning, `latest` starts at the
+  * current log head, any long starts strictly after that log timestamp.
+  */
+class IceStreamProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "ice"
+
+  private def tableFor(sqlContext: SQLContext, parameters: Map[String, String]): IceTable = {
+    val root = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "ice stream source requires option 'path' (table root URI)"))
+    // config is write-side only; reads need just the root + log
+    new IceTable(sqlContext.sparkSession, root,
+      IceTableConfig(partitionExpr = lit("all"), sortOrder = Seq.empty))
+  }
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      tableFor(sqlContext, parameters).snapshot().schema.toStructType))
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source = {
+    val table = tableFor(sqlContext, parameters)
+    val pinned = schema.getOrElse(table.snapshot().schema.toStructType)
+    val startTs = IceStreamSource.resolveStartTs(
+      sqlContext, metadataPath, parameters, table)
+    new IceStreamSource(table, pinned, startTs)
+  }
+}
+
+object IceStreamSource {
+  /** Head of the log: max timestamp over ALL log files (merged included —
+    * the offset must cover every filename the next LIST can return, and an
+    * empty micro-batch for a merge-only window is harmless). */
+  def maxLogTs(table: IceTable): Option[Long] = {
+    val logs = table.logio.currentLogFiles(table.root)
+    if (logs.isEmpty) None
+    else Some(logs.map(f => IceLogIO.logFileInfo(f)._1).max)
+  }
+
+  /** Resolve the start timestamp ONCE per checkpoint, not once per
+    * (re)start: `latest` captured at first start is persisted under the
+    * source's metadata path, so a query restarted tomorrow resumes from
+    * its original head instead of silently skipping everything inserted
+    * while it was down (the same reason Kafka's source writes its initial
+    * offsets to the checkpoint). */
+  def resolveStartTs(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      parameters: Map[String, String],
+      table: IceTable): Long = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(metadataPath, "ice-start-ts")
+    val fs = p.getFileSystem(sqlContext.sparkSession.sparkContext.hadoopConfiguration)
+    def read(): Long = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+    if (fs.exists(p)) read()
+    else {
+      val computed = parameters.get("startingTimestamp") match {
+        case Some("latest") => maxLogTs(table).getOrElse(0L)
+        case Some(v) => v.toLong
+        case None => 0L
+      }
+      fs.mkdirs(p.getParent)
+      try {
+        val out = fs.create(p, false) // no-overwrite: first writer wins
+        try out.write(computed.toString.getBytes("UTF-8")) finally out.close()
+        computed
+      } catch { case _: java.io.IOException => read() }
+    }
+  }
+}
+
+class IceStreamSource(table: IceTable, pinnedSchema: StructType, startTs: Long)
+    extends Source {
+
+  override def schema: StructType = pinnedSchema
+
+  override def getOffset: Option[Offset] =
+    IceStreamSource.maxLogTs(table).filter(_ > startTs).map(LongOffset(_))
+
+  private def ts(o: Offset): Long = o match {
+    case LongOffset(v) => v
+    case s: SerializedOffset => s.json.trim.toLong
+    case other => other.json().trim.toLong
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val since = start.map(ts).getOrElse(startTs)
+    val spark = table.spark
+    val files = table.addedFiles(since, ts(end))
+    val batch =
+      if (files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], pinnedSchema)
+      else
+        // explicit file list + pinned schema: no directory listing, and
+        // pre-schema-evolution files surface later columns as null
+        spark.read.schema(pinnedSchema)
+          .parquet(files.map(m => s"${table.root}/${m.path}"): _*)
+    StreamBridge.asStreamingBatch(batch)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"IceStreamSource[${table.root}]"
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ice.{IceTable, IceTableConfig}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The `ice` streaming source tails the table log: replay-from-zero sees
+  * every inserted row exactly once, compaction between runs emits nothing
+  * (merge logs are excluded), and `startingTimestamp=latest` is pinned in
+  * the checkpoint so restarts resume from the original head.
+  */
+class IceStreamSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newTable(dir: String): IceTable =
+    new IceTable(spark, tmpDir(dir), IceTableConfig(
+      partitionExpr = concat(lit("u="), col("user")),
+      sortOrder = Seq("id")))
+
+  private def rows(ids: Range) =
+    ids.map(i => (i.toLong, s"u${i % 3}")).toDF("id", "user")
+
+  /** Drain everything available via foreachBatch (the one sink shape that
+    * supports checkpoint recovery in tests); returns the ids THIS run
+    * delivered. */
+  private def drain(root: String, ckpt: String,
+      extra: Map[String, String] = Map.empty): Set[Long] = {
+    val got = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val reader = spark.readStream.format("ice").option("path", root)
+    val q = extra.foldLeft(reader)((r, kv) => r.option(kv._1, kv._2)).load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("id").as[Long].collect().foreach(got.add); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not drain in time")
+    import scala.jdk.CollectionConverters._
+    got.asScala.toSet
+  }
+
+  test("replay from zero, then incremental batches; merges emit nothing") {
+    val table = newTable("iss_basic")
+    table.insert(rows(0 until 10)); Thread.sleep(3)
+    table.insert(rows(10 until 20)); Thread.sleep(3)
+    val ckpt = tmpDir("iss_basic_ckpt")
+
+    assert(drain(table.root, ckpt) == (0L until 20L).toSet)
+
+    // compaction rewrites every row into new files — the stream must NOT
+    // re-emit them; only genuinely new inserts flow
+    table.optimize(maxFileSize = 1L << 30, maxFileCount = 100)
+    Thread.sleep(3)
+    table.insert(rows(20 until 30)); Thread.sleep(3)
+    assert(drain(table.root, ckpt) == (20L until 30L).toSet)
+
+    // nothing new: an AvailableNow run delivers zero rows
+    assert(drain(table.root, ckpt) == Set.empty[Long])
+  }
+
+  test("startingTimestamp=latest skips history and survives restart") {
+    val table = newTable("iss_latest")
+    table.insert(rows(0 until 15)); Thread.sleep(3)
+    val ckpt = tmpDir("iss_latest_ckpt")
+    val opts = Map("startingTimestamp" -> "latest")
+
+    // first run: head captured at start, history invisible
+    assert(drain(table.root, ckpt, opts) == Set.empty[Long])
+
+    // rows inserted between runs arrive on restart — the captured head is
+    // pinned in the checkpoint, not re-read as "now"
+    table.insert(rows(15 until 20)); Thread.sleep(3)
+    assert(drain(table.root, ckpt, opts) == (15L until 20L).toSet)
+  }
+
+  test("schema is pinned: pre-evolution files read later columns as null") {
+    val table = newTable("iss_schema")
+    table.insert(rows(0 until 5)); Thread.sleep(3)
+    table.insert(rows(5 until 10).withColumn("extra", col("id") * 10)); Thread.sleep(3)
+
+    val ckpt = tmpDir("iss_schema_ckpt")
+    val q = spark.readStream.format("ice").option("path", table.root).load()
+      .writeStream.format("memory").queryName("iss_ssink")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    val out = spark.table("iss_ssink")
+    assert(out.columns.toSet == Set("id", "user", "extra"))
+    assert(out.where(col("extra").isNull).count() == 5)
+    assert(out.where(col("extra") === col("id") * 10).count() == 5)
+  }
+}
