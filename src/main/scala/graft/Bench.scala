@@ -229,6 +229,45 @@ object Bench {
       (withIdx._1, withIdx._2, noIdx._1, noIdx._2)
     }
 
+    // Bloom-filter needle lookup: a point query on a high-cardinality key
+    // UNSORTED in the layout — every row group spans ~the whole key range,
+    // so min/max stats and the column index prune nothing; only the bloom
+    // bits can skip row groups. The pair of metrics is the knob's value.
+    // Sizing (measured): the wide payload makes the full scan real work
+    // (~800 MB raw over ~6 row groups), and ndv must match rows-per-row-
+    // group (~2M at this width) — undersizing to 200k tripled needle time.
+    val (bloomNeedleSec, noBloomNeedleSec) = {
+      import org.apache.spark.sql.functions._
+      import graft.ice.{IceTable, IceTableConfig}
+      val n = 6_000_000L
+      def build(bloom: Boolean): IceTable = {
+        val t = new IceTable(spark,
+          java.nio.file.Files.createTempDirectory("graft_bloom").toString,
+          IceTableConfig(lit("p=1"), Seq("ord"),
+            bloomFilterColumns = if (bloom) Seq("id") else Seq.empty,
+            // ~rows per 128MB row group at this row width
+            bloomFilterNdv = if (bloom) Some(2_000_000L) else None))
+        t.insert(spark.range(n).select(
+          xxhash64(col("id")).as("id"), // high-cardinality, layout-random
+          col("id").as("ord"),
+          repeat(md5(col("id").cast("string")), 4).as("payload")))
+        t
+      }
+      def timeNeedle(t: IceTable): Double = {
+        val needle = spark.range(1)
+          .select(xxhash64(lit(424242L))).head.getLong(0)
+        def run(): Long = t.read().where(col("id") === needle)
+          .agg(count(lit(1)), max(col("payload"))).head.getLong(0)
+        run() // warmup (codegen)
+        (0 until 3).map { _ =>
+          val t0 = System.nanoTime()
+          require(run() >= 1L, "needle row must exist")
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      (timeNeedle(build(true)), timeNeedle(build(false)))
+    }
+
     val qs = SparkEntry.queries
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -258,7 +297,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = times.values.sum
     val line =
-      s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qJson,"errors":$eJson,"load_sec":${"%.4f".format(loadSec)},"insert_sec":${"%.4f".format(insertSec)},"merge_sec":${"%.4f".format(mergeSec)},"load_rows":$loadRows,"synthetic_insert_rows":$synthRows,"synthetic_insert_sec":${"%.4f".format(synthSec)},"synthetic_insert_rows_per_sec":${(synthRows / synthSec).toLong},"insert_noshuffle_sec":${"%.4f".format(insertNoShuffleSec)},"optimize_2000_sec":${"%.4f".format(optimize2000Sec)},"rowgroup_default_sec":${"%.4f".format(rowgroupDefaultSec)},"rowgroup8k_sec":${"%.4f".format(rowgroup8kSec)},"rowgroup_default_noindex_sec":${"%.4f".format(rowgroupDefaultNoIdxSec)},"rowgroup8k_noindex_sec":${"%.4f".format(rowgroup8kNoIdxSec)},"log_read_2000_sec":${"%.4f".format(logReadSec)},"cleanup_800_sec":${"%.4f".format(cleanupSec)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qJson,"errors":$eJson,"load_sec":${"%.4f".format(loadSec)},"insert_sec":${"%.4f".format(insertSec)},"merge_sec":${"%.4f".format(mergeSec)},"load_rows":$loadRows,"synthetic_insert_rows":$synthRows,"synthetic_insert_sec":${"%.4f".format(synthSec)},"synthetic_insert_rows_per_sec":${(synthRows / synthSec).toLong},"insert_noshuffle_sec":${"%.4f".format(insertNoShuffleSec)},"optimize_2000_sec":${"%.4f".format(optimize2000Sec)},"rowgroup_default_sec":${"%.4f".format(rowgroupDefaultSec)},"rowgroup8k_sec":${"%.4f".format(rowgroup8kSec)},"rowgroup_default_noindex_sec":${"%.4f".format(rowgroupDefaultNoIdxSec)},"rowgroup8k_noindex_sec":${"%.4f".format(rowgroup8kNoIdxSec)},"bloom_needle_sec":${"%.4f".format(bloomNeedleSec)},"nobloom_needle_sec":${"%.4f".format(noBloomNeedleSec)},"log_read_2000_sec":${"%.4f".format(logReadSec)},"cleanup_800_sec":${"%.4f".format(cleanupSec)},"sf":"$sfDir"}"""
     // mirror to a file so the metric survives any stdout mangling
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), line + "\n")
