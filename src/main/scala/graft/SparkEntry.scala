@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions
 import graft.ice.{IceTable, IceTableConfig}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Packing, Shards, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -484,6 +484,35 @@ object SparkEntry {
           dec(sum(dec(col("l_extendedprice")))).cast("double").as("revenue"))
         .orderBy(col("c_mktsegment"))
     }),
+    "dpp_join" -> ((s, d) => {
+      // beyond-reference: DYNAMIC partition pruning through the ice catalog
+      // relation — the query has no literal predicate on the partition key,
+      // yet joining a filtered dimension prunes fact files AT RUNTIME
+      // (Spark's PartitionPruning rule fires because IceFileIndex routes
+      // partition values through partitionSchema). Self-verifying: the
+      // count must equal the oracle's, dpp_applied pins the
+      // dynamicpruningexpression in the plan, files_runtime_pruned pins
+      // that fewer files were read than statically selected.
+      val fx = Fixtures.eventsIce(s, d)
+      graft.plans.IceFileIndex.registerView(s, fx.table, "dpp_events")
+      // the dim must be file-backed: an in-memory Seq folds to a
+      // LocalRelation whose filter disappears before PartitionPruning runs
+      val dimPath = java.nio.file.Files.createTempDirectory("dpp_dim").toString
+      import s.implicits._
+      (10 to 19).map(day => (f"2024-01-$day%02d", if (day <= 14) "keep" else "drop"))
+        .toDF("day", "tag").write.mode("overwrite").parquet(dimPath)
+      s.read.parquet(dimPath).createOrReplaceTempView("dpp_days")
+      val q = s.sql(
+        """select count(*) as cnt from dpp_events f
+          |join dpp_days m on f.d = m.day where m.tag = 'keep'""".stripMargin)
+      val cnt = q.collect().map(_.getLong(0)).head
+      val scan = graft.plans.PlanScans.factScan(q)
+      val dppApplied = scan.metadata("PartitionFilters").contains("dynamicpruning")
+      val runtimePruned =
+        scan.metrics("numFiles").value < scan.metrics("staticFilesNum").value
+      Seq((cnt, dppApplied, runtimePruned))
+        .toDF("cnt", "dpp_applied", "files_runtime_pruned")
+    }),
 
     // ------------------------------------------------ LLM pipeline operators
     "llm_exact_dedup" -> ((s, d) => {
@@ -640,6 +669,70 @@ object SparkEntry {
           .as("total_pieces"),
           count(lit(1)).as("cnt"))
     }),
+    "llm_pii_scrub" -> ((s, d) => {
+      // PII redaction (TextFunctions.scrubPii): PII shapes planted
+      // deterministically per doc, per-doc md5 of the scrubbed text
+      // hash-compared against DuckDB replaying the same RE2-safe patterns
+      Fixtures.raw(s, d, "documents")
+        .select(col("doc_id"),
+          md5(TextFunctions.scrubPii(concat(
+            col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com ssn 123-45-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" call 555-867-5309 card 4111111111111111 from 10.1.2."),
+            (col("doc_id") % 256).cast("string")))).as("fp"))
+        .orderBy("doc_id")
+    }),
+    "llm_shard_export" -> ((s, d) => {
+      // Balanced shard export (Shards): write 8 one-file shards, read the
+      // export BACK FROM DISK, grade per-shard counts/char sums; the
+      // boolean pins the one-file-per-shard layout contract
+      val path = java.nio.file.Files.createTempDirectory("graft_shards").toString
+      val docs = Fixtures.raw(s, d, "documents")
+      Shards.write(docs, path, Shards.modShard(col("doc_id"), 8), 8)
+      val ok = Shards.oneFilePerShard(s, path)
+      Shards.read(s, path)
+        .groupBy(col("shard").cast("bigint").as("shard"))
+        .agg(count(lit(1)).as("rows"),
+          sum(col("n_chars")).cast("bigint").as("sum_chars"))
+        .withColumn("one_file_per_shard", lit(ok))
+        .orderBy("shard")
+    }),
+    "llm_pack_sequences" -> ((s, d) => {
+      // Sequence packing (Packing.scala): concat-and-chunk pack assignment
+      // via a DISTRIBUTED prefix sum (no global single-partition window) —
+      // total/split counts are exact DuckDB window arithmetic. The greedy
+      // no-split variant adds self-verifying invariants: every pack within
+      // budget, pack count within the next-fit waste bound.
+      val budget = 512L
+      val docs = Fixtures.raw(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("tokens"))
+      val seq = Packing.packSequential(docs, "doc_id", "tokens", budget,
+        numBuckets = 16)
+      val greedy = Packing.packGreedy(docs, "doc_id", "tokens", budget,
+        numBuckets = 16)
+      val g = greedy.groupBy("pack_id")
+        .agg(sum("tokens").as("pack_tokens"))
+        .agg(count(lit(1)).as("n_packs"),
+          max("pack_tokens").as("max_pack"),
+          sum("pack_tokens").as("g_tokens")).head
+      val stats = docs.agg(sum("tokens").cast("long"),
+        max("tokens").cast("long")).head
+      val (total, maxTok) = (stats.getLong(0), stats.getLong(1))
+      val fillFloor = budget - maxTok + 1
+      val greedyBound = (total + fillFloor - 1) / fillFloor + 16
+      seq.agg(
+        count(lit(1)).as("total_docs"),
+        sum("tokens").cast("bigint").as("total_tokens"),
+        (max("pack_last") + 1).cast("bigint").as("total_packs"),
+        sum(when(col("pack_first") =!= col("pack_last"), 1L).otherwise(0L))
+          .cast("bigint").as("docs_split"))
+        .withColumn("greedy_within_budget", lit(g.getLong(1) <= budget))
+        .withColumn("greedy_bound_ok", lit(g.getLong(0) <= greedyBound))
+        .withColumn("greedy_conserves", lit(g.getLong(2) == total))
+    }),
     "llm_dedup_groups" -> ((s, d) => {
       // grades connectedComponents with an EXACT oracle: chain edges
       // (consecutive doc_ids within each (lang, source) shard) reach the
@@ -786,6 +879,12 @@ object SparkEntry {
       "SELECT event_type, count(*) AS cnt FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15' GROUP BY event_type ORDER BY event_type",
     "join_star_schema" ->
       "SELECT c_mktsegment, count(*) AS cnt, CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    // the count is the DuckDB-checkable part; the booleans pin that the
+    // plan carried a dynamicpruningexpression and that the runtime scan
+    // read fewer files than were statically selected
+    "dpp_join" ->
+      ("SELECT (SELECT count(*) FROM events WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-14') AS cnt, " +
+        "true AS dpp_applied, true AS files_runtime_pruned"),
     // post-optimize there is exactly one alive file per day partition, each
     // with tight [min,max] ts stats — an 11-day range must plan exactly 11
     // files, and the pruned scan must agree with the full-table filter
@@ -885,5 +984,33 @@ object SparkEntry {
         "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts"),
     "llm_wordpiece_count" ->
       ("SELECT CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS total_pieces, " +
-        "count(*) AS cnt FROM documents"))
+        "count(*) AS cnt FROM documents"),
+    // DuckDB replays the identical redaction chain (RE2 'g' flag = Java
+    // replace-all); both engines emit lowercase-hex md5
+    "llm_pii_scrub" ->
+      ("SELECT doc_id, md5(" +
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com ssn 123-45-' || " +
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
+        "' call 555-867-5309 card 4111111111111111 from 10.1.2.' || CAST(doc_id % 256 AS VARCHAR), " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'), " +
+        "'\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'), " +
+        "'\\b\\d{16}\\b', '<CC>', 'g'), " +
+        "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g')) AS fp " +
+        "FROM documents ORDER BY doc_id"),
+    "llm_shard_export" ->
+      ("SELECT CAST(doc_id % 8 AS BIGINT) AS shard, count(*) AS rows, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, true AS one_file_per_shard " +
+        "FROM documents GROUP BY shard ORDER BY shard"),
+    // concat-and-chunk packing is pure window arithmetic in DuckDB: the
+    // exclusive running token sum gives each doc's stream interval; the
+    // greedy booleans are invariants the Spark side proves in-query
+    "llm_pack_sequences" ->
+      ("SELECT count(*) AS total_docs, CAST(sum(tok) AS BIGINT) AS total_tokens, " +
+        "CAST(floor((sum(tok) - 1) / 512) + 1 AS BIGINT) AS total_packs, " +
+        "CAST(sum(CASE WHEN floor(strt / 512) != floor((strt + tok - 1) / 512) THEN 1 ELSE 0 END) AS BIGINT) AS docs_split, " +
+        "true AS greedy_within_budget, true AS greedy_bound_ok, true AS greedy_conserves " +
+        "FROM (SELECT tok, coalesce(sum(tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt " +
+        "FROM (SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents))"))
 }

@@ -21,7 +21,10 @@ object Verify {
       }))
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: comma-separated query names (fast local iteration)
+    val only: Option[Set[String]] =
+      args.lift(2).map(_.split(",").map(_.trim).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val queryTimeout =
       sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "600").toLong.seconds
@@ -47,7 +50,9 @@ object Verify {
       System.err.println(s"[verify] prewarm failed: ${e.getMessage}") }
 
     implicit val ec: ExecutionContext = queryPool
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       val fut = Future {
         // job group is thread-local: set it inside the worker so a timeout

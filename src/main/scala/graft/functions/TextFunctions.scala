@@ -147,4 +147,26 @@ object TextFunctions {
   /** Hamming distance between two 64-bit SimHashes. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  // ------------------------------------------------------------- PII scrub
+
+  /** Redaction patterns, ordered most-specific-first (the SSN shape would
+    * otherwise be half-eaten by the phone pattern). Kept to constructs with
+    * identical semantics in Java regex and RE2 (no backrefs, no lookaround,
+    * unambiguous alternation) so the DuckDB oracle can replay them
+    * byte-for-byte. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>",
+    "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b" -> "<PHONE>",
+    "\\b\\d{16}\\b" -> "<CC>",
+    "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>")
+
+  /** Scrub common PII shapes (emails, SSNs, phone numbers, card numbers,
+    * IPv4s) from text — the standard pre-training redaction pass. Pure
+    * chained `regexp_replace`, codegen'd, map-only at any scale. */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (acc, (pat, tag)) =>
+      regexp_replace(acc, pat, tag)
+    }
 }
