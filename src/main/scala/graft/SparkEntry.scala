@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions
 import graft.ice.{IceTable, IceTableConfig}
-import graft.operators.{Dedup, Multimodal, Packing, Shards, Similarity}
+import graft.operators.{Decontam, Dedup, Multimodal, Packing, Shards, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -669,6 +669,57 @@ object SparkEntry {
           .as("total_pieces"),
           count(lit(1)).as("cnt"))
     }),
+    "llm_gopher_quality" -> ((s, d) => {
+      // Gopher-style repetition/shape filters (TextFunctions): per-rule
+      // violation counts + kept total, replayed exactly by DuckDB list
+      // lambdas. The token and bigram arrays are materialized ONCE per row
+      // and every metric derives from the attributes — the HOF metrics run
+      // interpreted, and re-deriving the arrays per metric column
+      // multiplied the dominant cost ~10x.
+      val metrics = Fixtures.raw(s, d, "documents")
+        .select(col("text"), TextFunctions.tokens(col("text")).as("tk"))
+        .select(col("text"), col("tk"),
+          TextFunctions.ngramsFromTokens(col("tk"), 2).as("g2"))
+        .select(
+          size(col("tk")).as("nt"),
+          when(size(col("tk")) < 2, lit(0))
+            .otherwise(TextFunctions.modeCount(col("g2"))).as("mode2"),
+          TextFunctions.dupSentenceFraction(col("text")).as("dupf"),
+          when(size(col("tk")) <= 0, lit(0.0))
+            .otherwise(aggregate(col("tk"), lit(0L), (acc, w) => acc + length(w))
+              / size(col("tk")).cast("double")).as("mwl"),
+          when(size(col("tk")) <= 0, lit(0.0))
+            .otherwise(coalesce(size(regexp_extract_all(col("text"),
+              lit("[^A-Za-z0-9\\s.,!?'\"-]"), lit(0))), lit(0))
+              / size(col("tk")).cast("double")).as("symr"))
+        .withColumn("top2", when(col("nt") < 2, lit(0.0))
+          .otherwise(col("mode2") * 2 / col("nt").cast("double")))
+      metrics.agg(
+        count(lit(1)).as("total_docs"),
+        sum(when((col("mode2") < 3 || col("top2") <= 0.2) &&
+            col("dupf") <= 0.3 && col("mwl").between(2.0, 12.0) &&
+            col("symr") <= 0.3, 1L).otherwise(0L))
+          .cast("bigint").as("kept"),
+        sum(when(col("mode2") >= 3 && col("top2") > 0.2, 1L).otherwise(0L))
+          .cast("bigint").as("flag_repetition"),
+        sum(when(col("dupf") > 0.3, 1L).otherwise(0L))
+          .cast("bigint").as("flag_dup_sentences"),
+        sum(when(!col("mwl").between(2.0, 12.0), 1L).otherwise(0L))
+          .cast("bigint").as("flag_word_shape"),
+        sum(when(col("symr") > 0.3, 1L).otherwise(0L))
+          .cast("bigint").as("flag_symbols"))
+    }),
+    "llm_decontam" -> ((s, d) => {
+      // Benchmark decontamination (Decontam): corpus docs sharing an
+      // 8-gram with the eval set (here: every 50th doc, so the planted
+      // benchmark docs must at minimum contaminate themselves)
+      val docs = Fixtures.raw(s, d, "documents")
+      val bench = docs.where(col("doc_id") % 50 === 0)
+      Decontam.contaminated(docs, bench, "doc_id", "text", n = 8)
+        .agg(count(lit(1)).as("contaminated_docs"),
+          sum("overlap").cast("bigint").as("total_overlap"),
+          max("overlap").cast("bigint").as("max_overlap"))
+    }),
     "llm_pii_scrub" -> ((s, d) => {
       // PII redaction (TextFunctions.scrubPii): PII shapes planted
       // deterministically per doc, per-doc md5 of the scrubbed text
@@ -985,6 +1036,38 @@ object SparkEntry {
     "llm_wordpiece_count" ->
       ("SELECT CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS total_pieces, " +
         "count(*) AS cnt FROM documents"),
+    // DuckDB list lambdas replay every Gopher rule: tk = tokens, bigram
+    // mode count, dup-sentence fraction, mean word length, symbol ratio —
+    // identical IEEE arithmetic, so the threshold comparisons agree
+    "llm_gopher_quality" ->
+      ("WITH t1 AS (SELECT text, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM documents), " +
+        "t2 AS (SELECT len(tk) AS nt, " +
+        "CASE WHEN len(tk) < 2 THEN 0 ELSE " +
+        "list_max(list_transform(list_distinct(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])), " +
+        "s -> len(list_filter(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]), x -> x = s)))) END AS mode2, " +
+        "list_filter(list_transform(string_split(lower(text), '.'), s -> trim(s)), s -> len(s) > 0) AS sents, " +
+        "list_sum(list_transform(tk, w -> len(w))) AS sumw, " +
+        "len(regexp_extract_all(text, '[^A-Za-z0-9\\s.,!?''\"-]')) AS nsym " +
+        "FROM t1), " +
+        "r AS (SELECT nt, mode2, " +
+        "CASE WHEN nt < 2 THEN 0.0 ELSE mode2 * 2 / CAST(nt AS DOUBLE) END AS top2, " +
+        "CASE WHEN len(sents) <= 0 THEN 0.0 ELSE 1.0 - len(list_distinct(sents)) / CAST(len(sents) AS DOUBLE) END AS dupf, " +
+        "CASE WHEN nt <= 0 THEN 0.0 ELSE sumw / CAST(nt AS DOUBLE) END AS mwl, " +
+        "CASE WHEN nt <= 0 THEN 0.0 ELSE nsym / CAST(nt AS DOUBLE) END AS symr FROM t2) " +
+        "SELECT count(*) AS total_docs, " +
+        "CAST(sum(CASE WHEN (mode2 < 3 OR top2 <= 0.2) AND dupf <= 0.3 AND mwl BETWEEN 2.0 AND 12.0 AND symr <= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS kept, " +
+        "CAST(sum(CASE WHEN mode2 >= 3 AND top2 > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS flag_repetition, " +
+        "CAST(sum(CASE WHEN dupf > 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS flag_dup_sentences, " +
+        "CAST(sum(CASE WHEN NOT (mwl BETWEEN 2.0 AND 12.0) THEN 1 ELSE 0 END) AS BIGINT) AS flag_word_shape, " +
+        "CAST(sum(CASE WHEN symr > 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS flag_symbols FROM r"),
+    "llm_decontam" ->
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM documents), " +
+        "g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')] " +
+        "ELSE list_transform(range(1, len(tk) - 6), i -> array_to_string(list_slice(tk, i, i + 7), ' ')) END)) AS gram FROM t), " +
+        "b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0), " +
+        "ov AS (SELECT g.doc_id, count(DISTINCT g.gram) AS overlap FROM g JOIN b USING (gram) GROUP BY g.doc_id) " +
+        "SELECT count(*) AS contaminated_docs, CAST(sum(overlap) AS BIGINT) AS total_overlap, " +
+        "CAST(max(overlap) AS BIGINT) AS max_overlap FROM ov"),
     // DuckDB replays the identical redaction chain (RE2 'g' flag = Java
     // replace-all); both engines emit lowercase-hex md5
     "llm_pii_scrub" ->

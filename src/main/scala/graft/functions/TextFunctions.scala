@@ -148,6 +148,82 @@ object TextFunctions {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  // ---------------------------------------------- repetition/quality rules
+  //
+  // Gopher-style repetition filters (Rae et al. 2021, "Scaling Language
+  // Models", §A1.1): documents dominated by repeated fragments are
+  // boilerplate. All doc-local HOF arithmetic — map-only at any scale,
+  // bounded per row — and every rule is replayable in DuckDB's list
+  // lambdas for grading.
+
+  /** Non-distinct word n-grams over a precomputed token array. HOF metrics
+    * evaluate interpreted (no codegen), so pipelines should materialize
+    * the token/gram arrays ONCE in a projection and derive every metric
+    * from the attribute — re-deriving them per metric column multiplies
+    * the dominant cost. */
+  def ngramsFromTokens(t: Column, n: Int): Column =
+    when(size(t) < n, array(concat_ws(" ", t)))
+      .otherwise(transform(
+        sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+
+  /** Non-distinct word n-grams (the repetition unit — [[shingles]] is the
+    * distinct variant used for similarity). */
+  def ngramsAll(text: Column, n: Int): Column =
+    ngramsFromTokens(tokens(text), n)
+
+  /** Occurrence count of the most frequent element of a gram array. */
+  def modeCount(grams: Column): Column =
+    array_max(transform(array_distinct(grams),
+      s => size(filter(grams, x => x === s))))
+
+  /** Occurrence count of the most frequent n-gram (the mode). */
+  def topNgramCount(text: Column, n: Int): Column =
+    when(size(tokens(text)) < n, lit(0))
+      .otherwise(modeCount(ngramsAll(text, n)))
+
+  /** Fraction of words inside occurrences of the most frequent n-gram:
+    * mode-count * n / word-count. Boilerplate pushes this toward 1. */
+  def topNgramFraction(text: Column, n: Int): Column =
+    when(size(tokens(text)) < n, lit(0.0))
+      .otherwise(topNgramCount(text, n) * n / size(tokens(text)).cast("double"))
+
+  /** Fraction of duplicate sentences (split on '.'), the dup-line rule for
+    * single-line corpora: 1 - distinct/total over non-empty sentences. */
+  def dupSentenceFraction(text: Column): Column = {
+    val sents = filter(transform(split(lower(text), "\\."), s => trim(s)),
+      s => length(s) > 0)
+    when(size(sents) <= 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(sents)) / size(sents).cast("double"))
+  }
+
+  /** Mean word length over whitespace tokens (0 for empty text). */
+  def meanWordLength(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) <= 0, lit(0.0))
+      .otherwise(aggregate(t, lit(0L), (acc, w) => acc + length(w))
+        / size(t).cast("double"))
+  }
+
+  /** Symbol-to-word ratio: non-alphanumeric, non-space, non-basic-punct
+    * chars per word. */
+  def symbolWordRatio(text: Column): Column = {
+    val symbols = coalesce(size(regexp_extract_all(
+      text, lit("[^A-Za-z0-9\\s.,!?'\"-]"), lit(0))), lit(0))
+    when(size(tokens(text)) <= 0, lit(0.0))
+      .otherwise(symbols / size(tokens(text)).cast("double"))
+  }
+
+  /** Gopher-ish keep decision: repetition and shape rules combined. A
+    * dominant n-gram only counts as repetition when it actually repeats
+    * (mode >= 3) — in a short document every unique bigram is a large
+    * fraction, which is shape, not boilerplate. */
+  def gopherKeep(text: Column): Column =
+    (topNgramCount(text, 2) < 3 || topNgramFraction(text, 2) <= 0.2) &&
+      (dupSentenceFraction(text) <= 0.3) &&
+      meanWordLength(text).between(2.0, 12.0) &&
+      (symbolWordRatio(text) <= 0.3)
+
   // ------------------------------------------------------------- PII scrub
 
   /** Redaction patterns, ordered most-specific-first (the SSN shape would
