@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch perf harness (not part of the library surface): times one
+  * operator in isolation at a given SF. Kept for local iteration. */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Fixtures.raw(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    docs.count() // warm FS cache
+
+    def time(name: String)(body: => Long): Unit = {
+      body // warmup (codegen)
+      val times = (0 until 6).map { _ =>
+        val t0 = System.nanoTime()
+        val n = body
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"$name: $n rows in $s%.3f s")
+        s
+      }
+      println(f"$name best: ${times.min}%.3f s")
+    }
+
+    time("minHashDupPairs")(
+      graft.operators.Dedup.minHashDupPairs(docs, "doc_id", "text", 0.8).count())
+    time("llm_minhash_dedup")(
+      SparkEntry.queries("llm_minhash_dedup")(spark, sfDir).count())
+    spark.stop()
+  }
+}

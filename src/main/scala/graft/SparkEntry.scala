@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions
 import graft.ice.{IceTable, IceTableConfig}
-import graft.operators.{Decontam, Dedup, Multimodal, Packing, Shards, Similarity}
+import graft.operators.{Decontam, Dedup, Mixing, Multimodal, Packing, Shards, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -833,6 +833,62 @@ object SparkEntry {
         docsWithPlanted(s, d, t => concat(t, lit(" planted dup marker"))),
         "doc_id", "text", threshold = 0.7, shingleK = 2)
       plantedSummary(pairs, col("jaccard") >= 0.7)
+    }),
+    "llm_data_mixing" -> ((s, d) => {
+      // Deterministic proportion-targeted mixing (Mixing): rates derived
+      // from per-lang counts to hit the target mixture keeping the most
+      // data; the selector is portable arithmetic, so DuckDB re-derives
+      // the EXACT kept row set — rates, sampling, and counts all verified
+      val targets = Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15,
+        "fr" -> 0.15, "zh" -> 0.15)
+      val docs = Fixtures.raw(s, d, "documents")
+      val (mixed, _) = Mixing.mixToProportions(docs, "lang", "doc_id", targets)
+      mixed.groupBy("lang")
+        .agg(count(lit(1)).as("kept"),
+          sum(col("n_chars")).cast("bigint").as("kept_chars"))
+        .orderBy("lang")
+    }),
+    "llm_chunking" -> ((s, d) => {
+      // Token chunking with overlap (Packing.chunkTokens): 256-token
+      // windows advancing by 192. Chunk counts and token sums have a
+      // closed form in n_tokens that DuckDB pins exactly; the booleans
+      // prove chunk_text and chunk_tokens agree under re-tokenization
+      val ch = Packing.chunkTokens(
+        Fixtures.raw(s, d, "documents"), "text", chunkSize = 256, overlap = 64)
+      ch.withColumn("_rtok",
+          size(TextFunctions.tokens(col("chunk_text"))))
+        .groupBy("source")
+        .agg(count(lit(1)).as("chunks"),
+          sum(col("chunk_tokens").cast("long")).cast("bigint").as("sum_tokens"),
+          bool_and(col("chunk_tokens") === col("_rtok")).as("tokens_consistent"),
+          bool_and(col("chunk_tokens").between(1, 256)).as("all_within_size"))
+        .orderBy("source")
+    }),
+    "llm_ann_quantized" -> ((s, d) => {
+      // int8 embedding quantization (Similarity.quantizeInt8): graded on
+      // BOTH contracts in-query — reconstruction error within scale/2 per
+      // component, and exact top-10 over the dequantized corpus recalling
+      // >= 27/30 of the float top-10
+      val (emb, queries) = annInputs(s, d)
+      val quant = Similarity.quantizeInt8(emb, "embedding")
+      val recon = quant.select(
+          aggregate(
+            zip_with(col("embedding"),
+              Similarity.dequantize(col("q_vec"), col("q_scale")),
+              (x, y) => abs(x.cast("double") - y)),
+            lit(0.0), (acc, e) => greatest(acc, e)).as("_err"),
+          col("q_scale"))
+        .agg(count(lit(1)).as("n_vectors"),
+          bool_and(col("_err") <= col("q_scale") * 0.5 + 1e-9).as("recon_ok"))
+      val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queries, "qid", "qvec", k = 10, dim = 64)
+        .select(col("qid"), col("id"), lit(1L).as("_bf"))
+      val recall = Similarity.bruteForceTopKQuantized(quant, "vec_id",
+          "q_vec", "q_scale", queries, "qid", "qvec", k = 10, dim = 64)
+        .select(col("qid"), col("id"))
+        .join(bf, Seq("qid", "id"), "left")
+        .agg((sum(coalesce(col("_bf"), lit(0L))) >= 27L).as("recall_ok"))
+      recon.crossJoin(recall)
     }))
 
   /** DuckDB oracle per query — EVERY registered query carries one: the
@@ -1095,5 +1151,29 @@ object SparkEntry {
         "CAST(sum(CASE WHEN floor(strt / 512) != floor((strt + tok - 1) / 512) THEN 1 ELSE 0 END) AS BIGINT) AS docs_split, " +
         "true AS greedy_within_budget, true AS greedy_bound_ok, true AS greedy_conserves " +
         "FROM (SELECT tok, coalesce(sum(tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt " +
-        "FROM (SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents))"))
+        "FROM (SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents))"),
+    // the mixing selector is portable arithmetic: DuckDB re-derives the
+    // per-lang keep rates (largest subsample hitting the target mixture)
+    // and the exact kept row set from the same doubles
+    "llm_data_mixing" ->
+      ("WITH tgt AS (SELECT * FROM (VALUES ('en', 0.4), ('de', 0.15), ('es', 0.15), ('fr', 0.15), ('zh', 0.15)) t(lang, tgt)), " +
+        "cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang), " +
+        "tot AS (SELECT min(n / tgt) AS t FROM cnt JOIN tgt USING (lang)), " +
+        "rates AS (SELECT lang, least(1.0, tgt * (SELECT t FROM tot) / n) AS r FROM cnt JOIN tgt USING (lang)) " +
+        "SELECT d.lang AS lang, count(*) AS kept, CAST(sum(d.n_chars) AS BIGINT) AS kept_chars " +
+        "FROM documents d JOIN rates USING (lang) " +
+        "WHERE CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 < r " +
+        "GROUP BY d.lang ORDER BY d.lang"),
+    // chunk counts / token sums in closed form: c(n) = ceil((n-256)/192)+1
+    // (1 when n <= 256); per-doc chunk-token sum = n + (c-1)*overlap
+    "llm_chunking" ->
+      ("SELECT source, CAST(sum(c) AS BIGINT) AS chunks, " +
+        "CAST(sum(n + (c - 1) * 64) AS BIGINT) AS sum_tokens, " +
+        "true AS tokens_consistent, true AS all_within_size " +
+        "FROM (SELECT source, n, CASE WHEN n <= 256 THEN 1 ELSE CAST(ceil((n - 256) / 192.0) AS BIGINT) + 1 END AS c " +
+        "FROM (SELECT source, len(regexp_split_to_array(trim(text), '\\s+')) AS n FROM documents)) " +
+        "GROUP BY source ORDER BY source"),
+    "llm_ann_quantized" ->
+      ("SELECT count(*) AS n_vectors, true AS recon_ok, true AS recall_ok " +
+        "FROM embeddings"))
 }

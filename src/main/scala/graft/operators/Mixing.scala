@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-mixing operators for training-corpus assembly: deterministic
+  * stratified sampling (hit a target mixture of sources without a random
+  * seed whose replay depends on partitioning) and deterministic global
+  * shuffle (a stable training order).
+  *
+  * Everything here is map-only over the corpus — the only full pass is the
+  * metadata-scale per-stratum count that [[ratesFor]] folds on the driver
+  * (one row per source, never row data). Sampling decisions are pure
+  * functions of the row key, so the SAME rows are kept on any cluster
+  * size, any partitioning, and any engine that can evaluate the selector —
+  * re-runs and incremental appends stay consistent, unlike `df.sample`,
+  * whose outcome changes with partition layout.
+  */
+object Mixing {
+
+  /** Deterministic uniform-[0,1) selector from a non-negative integer key:
+    * Knuth's multiplicative hash (TAOCP vol. 3 §6.4) taken mod 2^32.
+    * Portable — any SQL engine evaluates the same arithmetic to the same
+    * double, so a sampled table is re-derivable outside Spark (the
+    * correctness oracle exercises exactly that).
+    *
+    * Domain: |key| < 2^31 keeps `key * 2654435761` inside int64 under
+    * ANSI overflow checking. For arbitrary 64-bit or composite keys use
+    * [[uniformHash]] (xxhash64-mixed, Spark-only).
+    */
+  def uniform(key: Column): Column =
+    pmod(key.cast("long") * lit(2654435761L), lit(4294967296L))
+      .cast("double") / lit(4294967296.0)
+
+  /** Deterministic uniform-[0,1) from any key (or several), xxhash64-mixed:
+    * full-strength avalanche for production keys; not expressible outside
+    * Spark. The seed picks an independent sampling universe. */
+  def uniformHash(seed: Long, keys: Column*): Column =
+    (xxhash64((lit(seed) +: keys): _*).cast("double") / lit(1.8446744073709552e19)) + lit(0.5)
+
+  /** Keep each row with its stratum's rate: `uniform(key) < rate`.
+    * Map-only; strata missing from `rates` keep `defaultRate`. */
+  def sampleStrata(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(col(strataCol) === s, lit(r)).otherwise(acc)
+    }
+    df.where(uniform(col(keyCol)) < rate)
+  }
+
+  /** Largest-subsample rates that hit target mixture proportions exactly
+    * (in expectation) while keeping the most data: the stratum with the
+    * scarcest supply relative to its target keeps 100% and every other
+    * stratum downsamples to match. Counts fold on the driver — one row
+    * per stratum.
+    *
+    * targets must cover every stratum present and sum to ~1.
+    */
+  def ratesFor(
+      df: DataFrame,
+      strataCol: String,
+      targets: Map[String, Double]): Map[String, Double] = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.keySet.subsetOf(targets.keySet),
+      s"targets missing strata: ${counts.keySet -- targets.keySet}")
+    // total output size T maximal s.t. target_s * T <= n_s for all s
+    val totalOut = counts.map { case (s, n) => n / targets(s) }.min
+    counts.map { case (s, n) => s -> math.min(1.0, targets(s) * totalOut / n) }
+  }
+
+  /** One-call mixture: compute rates for the target proportions, then
+    * sample. Returns (sampled, rates) so callers can log/replay rates. */
+  def mixToProportions(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      targets: Map[String, Double]): (DataFrame, Map[String, Double]) = {
+    val rates = ratesFor(df, strataCol, targets)
+    (sampleStrata(df, strataCol, keyCol, rates, defaultRate = 0.0), rates)
+  }
+
+  /** Deterministic global shuffle for training order: sort by a seeded
+    * hash of the key. One range-partitioned sort (Spark samples bounds;
+    * no single-node bottleneck); the order is a pure function of
+    * (seed, keys) — stable across cluster sizes and re-runs. */
+  def deterministicShuffle(df: DataFrame, seed: Long, keyCols: String*): DataFrame =
+    df.orderBy(xxhash64((lit(seed) +: keyCols.map(col)): _*), col(keyCols.head))
+}

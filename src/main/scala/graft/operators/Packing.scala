@@ -92,6 +92,50 @@ object Packing {
             .cast("long")))
   }
 
+  /** Fixed-size token chunking with overlap — the RAG/context-window
+    * preprocessing shape: each document's token stream is cut into windows
+    * of `chunkSize` tokens advancing by `chunkSize - overlap`, so
+    * consecutive chunks share `overlap` tokens and the final (possibly
+    * short) chunk always reaches the end of the document. Documents with
+    * at most `chunkSize` tokens yield exactly one chunk.
+    *
+    * Map-only: the chunk list is built per row with array expressions and
+    * exploded — no shuffle, scales with partitions. The per-doc transform
+    * evaluates interpreted (HOF), but over ~n/step elements per doc, each
+    * a bounded slice+join — linear, off any shuffle path.
+    *
+    * All input columns are preserved; adds `chunk_id` (0-based),
+    * `chunk_text` (tokens re-joined with single spaces; tokenization is
+    * [[graft.functions.TextFunctions.tokens]], i.e. lowercased), and
+    * `chunk_tokens`.
+    */
+  def chunkTokens(
+      df: DataFrame,
+      textCol: String,
+      chunkSize: Int,
+      overlap: Int): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize), got $overlap")
+    val step = chunkSize - overlap
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    val n = size(toks)
+    // ceil((n - chunkSize) / step) + 1 full-coverage chunks; only the last
+    // may be short, and it still starts within the previous chunk's span
+    val tail = floor((n - lit(chunkSize) + lit(step - 1)).cast("double") / step)
+      .cast("int") + lit(1)
+    val nChunks = when(n <= chunkSize, lit(1)).otherwise(tail)
+    val chunks = transform(sequence(lit(0), nChunks - 1), i =>
+      struct(i.cast("int").as("chunk_id"),
+        array_join(slice(toks, i * step + 1, lit(chunkSize)), " ").as("chunk_text"),
+        least(lit(chunkSize), n - i * step).cast("int").as("chunk_tokens")))
+    df.select(col("*"), explode(chunks).as("_chunk"))
+      .select(col("*"), col("_chunk.chunk_id").as("chunk_id"),
+        col("_chunk.chunk_text").as("chunk_text"),
+        col("_chunk.chunk_tokens").as("chunk_tokens"))
+      .drop("_chunk")
+  }
+
   private val greedySchema = StructType(Seq(
     StructField("id", LongType), StructField("tokens", LongType),
     StructField("pack_id", LongType)))

@@ -200,6 +200,45 @@ object Similarity {
     topKPerQuery(scored, "qid", k).select("qid", "id", "sim", "rank")
   }
 
+  // ------------------------------------------------------- quantization
+
+  /** Symmetric per-vector int8 scalar quantization: `scale = max|x|/127`,
+    * `q_i = round(x_i / scale)` ∈ [-127, 127]. The embedding column
+    * shrinks 4× (float→byte), which at 100 TB is the difference between an
+    * ANN corpus that fits executor storage and one that doesn't; scoring
+    * on dequantized vectors loses at most `scale/2` per component.
+    *
+    * The scale uses `array_max`/`array_min` (codegen'd, no interpreted
+    * pass); only the per-element rounding is a HOF — map-only, linear.
+    * Adds `scaleCol` (double) and `qCol` (array<tinyint>).
+    */
+  def quantizeInt8(
+      df: DataFrame, vecCol: String,
+      scaleCol: String = "q_scale", qCol: String = "q_vec"): DataFrame = {
+    val v = col(vecCol)
+    val maxAbs = greatest(array_max(v), -array_min(v)).cast("double")
+    val scale = when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127.0)
+    df.withColumn(scaleCol, scale)
+      .withColumn(qCol,
+        transform(v, x => round(x.cast("double") / col(scaleCol)).cast("tinyint")))
+  }
+
+  /** Reconstruct a float vector from its int8 quantization. */
+  def dequantize(qVec: Column, scale: Column): Column =
+    transform(qVec, x => x.cast("double") * scale)
+
+  /** Exact top-k over the QUANTIZED corpus: dequantize in the scan
+    * projection and score as usual — the accuracy/recall harness for
+    * [[quantizeInt8]]. */
+  def bruteForceTopKQuantized(
+      quantized: DataFrame, idCol: String, qVecCol: String, scaleCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int = 10, dim: Int = 0): DataFrame = {
+    val deq = quantized.select(col(idCol),
+      dequantize(col(qVecCol), col(scaleCol)).as("_deq"))
+    bruteForceTopK(deq, idCol, "_deq", queries, qidCol, qvecCol, k, dim)
+  }
+
   /** Embedding-cosine near-duplicate pairs: same-bucket candidates with
     * cosine >= threshold (idA < idB). The embedding twin of
     * [[Dedup.minHashDupPairs]]. */

@@ -114,6 +114,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall@10 = $recall")
   }
 
+  test("int8 quantization: bounded reconstruction error, near-perfect recall") {
+    val quant = Similarity.quantizeInt8(embeddings, "embedding")
+    // every component reconstructs within scale/2 (round-to-nearest bound)
+    val errs = quant.select(
+      aggregate(
+        zip_with($"embedding", Similarity.dequantize($"q_vec", $"q_scale"),
+          (x, y) => abs(x.cast("double") - y)),
+        lit(0.0), (acc, e) => greatest(acc, e)).as("err"),
+      $"q_scale")
+    assert(errs.where($"err" > $"q_scale" * 0.5 + 1e-9).count() == 0)
+    // quantized values actually span the int8 range (scale is per-vector)
+    val qmax = quant.select(array_max($"q_vec").cast("int").as("m"))
+      .agg(max($"m")).head.getInt(0)
+    assert(qmax == 127, s"per-vector scale must reach 127, got $qmax")
+    // exact top-10 over dequantized vectors ~= float top-10
+    val queries = embeddings.limit(5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val exact = Similarity.bruteForceTopK(
+      embeddings, "vec_id", "embedding", queries, "qid", "qvec", k = 10)
+    val deq = Similarity.bruteForceTopKQuantized(
+      quant, "vec_id", "q_vec", "q_scale", queries, "qid", "qvec", k = 10)
+    val e = exact.select("qid", "id").as[(Long, Long)].collect().toSet
+    val a = deq.select("qid", "id").as[(Long, Long)].collect().toSet
+    val recall = (e intersect a).size.toDouble / e.size
+    assert(recall >= 0.9, s"quantized recall@10 = $recall")
+  }
+
   test("embedding cosine near-dup pairs are symmetric-free and thresholded") {
     // plant an exact duplicate vector
     val dup = embeddings.limit(1)

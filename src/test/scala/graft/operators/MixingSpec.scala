@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MixingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // skewed strata: 600 a, 300 b, 100 c
+  private lazy val corpus = spark.range(1000)
+    .select(col("id"),
+      when(col("id") < 600, "a").when(col("id") < 900, "b").otherwise("c")
+        .as("src"))
+
+  test("uniform is deterministic, in [0,1), and roughly uniform") {
+    val u = corpus.select(Mixing.uniform(col("id")).as("u"))
+    val stats = u.agg(min("u"), max("u"), avg("u")).head
+    assert(stats.getDouble(0) >= 0.0 && stats.getDouble(1) < 1.0)
+    assert(math.abs(stats.getDouble(2) - 0.5) < 0.05)
+    // same key -> same value on a re-run (pure function of the key)
+    assert(u.collect().toSeq == corpus
+      .select(Mixing.uniform(col("id")).as("u")).collect().toSeq)
+  }
+
+  test("sampleStrata keeps ~rate per stratum and is stable under repartition") {
+    val rates = Map("a" -> 0.5, "b" -> 1.0, "c" -> 0.1)
+    val kept = Mixing.sampleStrata(corpus, "src", "id", rates)
+    val byS = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS("b") == 300) // rate 1.0 keeps everything
+    assert(math.abs(byS("a") - 300.0) < 45) // 600 * 0.5 ± sampling noise
+    assert(byS("c") <= 30 && byS("c") >= 2)
+    // partition layout must not change the kept set (unlike df.sample)
+    val kept2 = Mixing.sampleStrata(corpus.repartition(7), "src", "id", rates)
+    assert(kept2.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      kept.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("mixToProportions hits the target mixture keeping the scarcest stratum whole") {
+    val targets = Map("a" -> 0.2, "b" -> 0.3, "c" -> 0.5)
+    // c is scarcest vs its target: T = 100/0.5 = 200 -> a keeps 40/600,
+    // b keeps 60/300, c keeps 100/100
+    val rates = Mixing.ratesFor(corpus, "src", targets)
+    assert(rates("c") == 1.0)
+    assert(math.abs(rates("a") - 40.0 / 600) < 1e-12)
+    assert(math.abs(rates("b") - 60.0 / 300) < 1e-12)
+    val (mixed, _) = Mixing.mixToProportions(corpus, "src", "id", targets)
+    val byS = mixed.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS("c") == 100)
+    // achieved proportions within sampling noise of the targets
+    val total = byS.values.sum.toDouble
+    assert(math.abs(byS("a") / total - 0.2) < 0.05)
+    assert(math.abs(byS("b") / total - 0.3) < 0.05)
+  }
+
+  test("mixToProportions rejects strata missing from the targets") {
+    intercept[IllegalArgumentException] {
+      Mixing.ratesFor(corpus, "src", Map("a" -> 0.5, "b" -> 0.5))
+    }
+  }
+
+  test("deterministicShuffle is a stable permutation, not the input order") {
+    val df = spark.range(500).toDF("id")
+    val s1 = Mixing.deterministicShuffle(df, 7L, "id")
+      .collect().map(_.getLong(0)).toSeq
+    val s2 = Mixing.deterministicShuffle(df.repartition(13), 7L, "id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2) // pure function of (seed, key)
+    assert(s1.sorted == (0L until 500L)) // a permutation
+    assert(s1 != (0L until 500L).toSeq) // and actually shuffled
+    val s3 = Mixing.deterministicShuffle(df, 8L, "id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(s3 != s1) // seed picks a different order
+  }
+
+  test("uniformHash covers arbitrary/composite keys") {
+    val u = spark.range(2000)
+      .select(Mixing.uniformHash(1L, col("id"), lit("salt")).as("u"))
+    val stats = u.agg(min("u"), max("u"), avg("u")).head
+    assert(stats.getDouble(0) >= 0.0 && stats.getDouble(1) < 1.0)
+    assert(math.abs(stats.getDouble(2) - 0.5) < 0.05)
+  }
+}

@@ -82,4 +82,49 @@ class PackingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     assert(packed(1L) != packed(0L) && packed(1L) != packed(2L))
   }
+
+  test("chunkTokens cuts overlapping windows that tile the document exactly") {
+    // 10 tokens, chunkSize 4, overlap 1 -> step 3 -> chunks at 0,3,6 cover
+    // [0,4) [3,7) [6,10): the last chunk reaches the end exactly
+    val text = (0 until 10).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, text)).toDF("id", "text")
+    val out = Packing.chunkTokens(df, "text", chunkSize = 4, overlap = 1)
+      .orderBy("chunk_id")
+      .select("chunk_id", "chunk_text", "chunk_tokens")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+    assert(out.toSeq == Seq(
+      (0, "t0 t1 t2 t3", 4),
+      (1, "t3 t4 t5 t6", 4),
+      (2, "t6 t7 t8 t9", 4)))
+  }
+
+  test("chunkTokens short final chunk and single-chunk docs") {
+    val df = Seq(
+      (1L, (0 until 11).map(i => s"w$i").mkString(" ")), // 11 toks: 4,4,4,2
+      (2L, "just three tokens"),                          // <= chunkSize
+      (3L, "one")
+    ).toDF("id", "text")
+    val out = Packing.chunkTokens(df, "text", chunkSize = 4, overlap = 1)
+      .groupBy("id")
+      .agg(count(lit(1)).as("c"), sum("chunk_tokens").as("t"),
+        min("chunk_tokens").as("mn"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3).toLong)).toMap
+    // 11 tokens, step 3: chunks at 0,3,6,9 -> sizes 4,4,4,2
+    assert(out(1L) == ((4L, 14L, 2L)))
+    assert(out(2L) == ((1L, 3L, 3L)))
+    assert(out(3L) == ((1L, 1L, 1L)))
+  }
+
+  test("chunkTokens preserves input columns and every original token position is covered") {
+    val df = Seq((7L, "a", (0 until 23).map(i => s"x$i").mkString(" ")))
+      .toDF("id", "tag", "text")
+    val chunks = Packing.chunkTokens(df, "text", chunkSize = 8, overlap = 2)
+    assert(chunks.columns.toSet ==
+      Set("id", "tag", "text", "chunk_id", "chunk_text", "chunk_tokens"))
+    assert(chunks.select("tag").distinct().collect().map(_.getString(0)).toSeq == Seq("a"))
+    // union of chunk tokens = original token multiset restricted to overlap
+    val toks = chunks.orderBy("chunk_id").collect()
+      .flatMap(_.getAs[String]("chunk_text").split(" ")).distinct
+    assert(toks.length == 23) // every position reached at least once
+  }
 }
