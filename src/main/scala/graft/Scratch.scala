@@ -22,7 +22,7 @@ object Scratch {
 
     def time(name: String)(body: => Long): Unit = {
       body // warmup (codegen)
-      val times = (0 until 6).map { _ =>
+      val times = (0 until 3).map { _ =>
         val t0 = System.nanoTime()
         val n = body
         val s = (System.nanoTime() - t0) / 1e9
@@ -32,10 +32,14 @@ object Scratch {
       println(f"$name best: ${times.min}%.3f s")
     }
 
-    time("minHashDupPairs")(
-      graft.operators.Dedup.minHashDupPairs(docs, "doc_id", "text", 0.8).count())
-    time("llm_minhash_dedup")(
-      SparkEntry.queries("llm_minhash_dedup")(spark, sfDir).count())
+    val t0 = System.nanoTime()
+    val st = graft.operators.Search.docTermStats(docs, "doc_id", "text",
+      Seq("spark", "query", "window"))
+    println(f"docTermStats count=${st.count()} in ${(System.nanoTime() - t0) / 1e9}%.3f s")
+
+    time("bm25TopK")(
+      graft.operators.Search.bm25TopK(docs, "doc_id", "text",
+        Seq("spark", "query", "window"), k = 10).count())
     spark.stop()
   }
 }

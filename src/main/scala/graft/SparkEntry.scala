@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions
 import graft.ice.{IceTable, IceTableConfig}
-import graft.operators.{Decontam, Dedup, Mixing, Multimodal, Packing, Shards, Similarity}
+import graft.operators.{Decontam, Dedup, Mixing, Multimodal, Packing, Search, Shards, Similarity, Sketches, Vocab}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -889,6 +889,103 @@ object SparkEntry {
         .join(bf, Seq("qid", "id"), "left")
         .agg((sum(coalesce(col("_bf"), lit(0L))) >= 27L).as("recall_ok"))
       recon.crossJoin(recall)
+    }),
+    "llm_bm25_search" -> ((s, d) => {
+      // BM25 ranked retrieval (Search.bm25TopK): top-10 docs for a
+      // 3-term query. The per-doc score is an explicitly ordered sum of
+      // per-term contributions, so DuckDB replays it bit-for-bit from the
+      // same corpus stats (scores rounded to 4 decimals on both sides)
+      Search.bm25TopK(Fixtures.raw(s, d, "documents"), "doc_id", "text",
+        Seq("spark", "query", "window"), k = 10)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+    "llm_vocab_coverage" -> ((s, d) => {
+      // Vocabulary build + coverage (Vocab): top-25 vocabulary with the
+      // deterministic (freq desc, term) tie-break, then corpus coverage
+      // of it — counts and one division, all exactly replayable
+      val docs = Fixtures.raw(s, d, "documents")
+      val vocab = Vocab.build(docs, "text", size = 25)
+      val vstats = vocab.agg(count(lit(1)).as("vocab_size"),
+        min("freq").as("vocab_min_freq"),
+        max("freq").as("vocab_max_freq"))
+      Vocab.coverage(docs, "text", vocab).crossJoin(vstats)
+    }),
+    "llm_boilerplate_dedup" -> ((s, d) => {
+      // Cross-doc boilerplate removal (Dedup.stripBoilerplate): plant two
+      // boilerplate sentences on doc_id%2 / doc_id%5, strip sentences
+      // appearing in >= 30 docs, and grade that every doc is restored to
+      // exactly its original (normalized) text — plus removal arithmetic
+      val docs = Fixtures.raw(s, d, "documents")
+      val planted = docs.select(col("doc_id"), col("text"),
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0,
+            lit(". subscribe to our newsletter today")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit(". all rights reserved")).otherwise(lit(""))).as("dirty"))
+      val origSents = lit(1) +
+        when(col("doc_id") % 2 === 0, 1).otherwise(0) +
+        when(col("doc_id") % 5 === 0, 1).otherwise(0)
+      Dedup.stripBoilerplate(planted, "doc_id", "dirty", minDocs = 30)
+        .join(planted, Seq("doc_id"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("kept_sentences")).cast("bigint").as("kept_sentences"),
+          sum(origSents - col("kept_sentences")).cast("bigint")
+            .as("removed_occurrences"),
+          bool_and(col("clean_text") === lower(trim(col("text"))))
+            .as("restored"))
+    }),
+    "llm_heavy_hitters" -> ((s, d) => {
+      // Heavy hitters: exact threshold counts (oracle replays them) +
+      // count-min estimates checked in-query against the CMS guarantees —
+      // never under truth, within eps*N above it (seeded, deterministic)
+      val ev = Fixtures.raw(s, d, "events").select(col("user_id"))
+      val heavy = Sketches.heavyHitters(ev, "user_id", threshold = 40L)
+        .persist()
+      try {
+        val cms = Sketches.countMin(ev, "user_id", eps = 0.0001,
+          confidence = 0.99, seed = 7)
+        val total = ev.count()
+        val bound = math.ceil(0.0001 * total).toLong
+        val rows = heavy.collect() // heavy-hitter list: small by definition
+        val ok = rows.forall { r =>
+          val est = cms.estimateCount(r.getLong(0))
+          est >= r.getLong(1) && est <= r.getLong(1) + bound
+        }
+        heavy.agg(count(lit(1)).as("n_heavy"),
+          max("cnt").cast("bigint").as("max_cnt"),
+          sum("cnt").cast("bigint").as("sum_cnt"))
+          .withColumn("cms_within_bounds", lit(ok))
+      } finally heavy.unpersist()
+    }),
+    "llm_hll_shards" -> ((s, d) => {
+      // Mergeable per-shard HLL sketches: distinct users per event_type
+      // shard, merged into ONE estimate without rescanning — graded
+      // against the exact global distinct count (within 5%) plus the
+      // exact shard count the oracle replays
+      val ev = Fixtures.raw(s, d, "events")
+      val sketches = Sketches.hllPerShard(ev, "event_type", "user_id")
+      val est = Sketches.hllMergedEstimate(sketches).head().getLong(0)
+      ev.agg(countDistinct(col("user_id")).as("exact_distinct"),
+        countDistinct(col("event_type")).as("n_shards"))
+        .withColumn("hll_within_5pct",
+          abs(lit(est) - col("exact_distinct")) <=
+            col("exact_distinct") * 0.05)
+    }),
+    "range_join" -> ((s, d) => {
+      // Windowed co-occurrence join (RangeJoin.windowJoin): ALL clicks in
+      // the 24h before each purchase, same user — bucketed equi-join, not
+      // an inequality sort-merge. Graded pair-exactly against DuckDB's
+      // native range join; ts is epoch-nanos long on the Spark side
+      val ev = Fixtures.raw(s, d, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+      operators.RangeJoin.windowJoin(purchases, clicks,
+          Seq("user_id"), Seq("user_id"), "ts", "ts",
+          before = 86400000000000L, after = 0L, payload = Seq("click_id"))
+        .agg(count(lit(1)).as("pairs"),
+          countDistinct(col("event_id")).as("purchases_matched"),
+          sum(col("click_id")).cast("bigint").as("sum_click_ids"))
     }))
 
   /** DuckDB oracle per query — EVERY registered query carries one: the
@@ -1175,5 +1272,62 @@ object SparkEntry {
         "GROUP BY source ORDER BY source"),
     "llm_ann_quantized" ->
       ("SELECT count(*) AS n_vectors, true AS recon_ok, true AS recall_ok " +
-        "FROM embeddings"))
+        "FROM embeddings"),
+    // DuckDB replays BM25 end-to-end: same tokenization, same corpus
+    // stats, same EXPLICITLY ORDERED contribution sum (term 0 first —
+    // summation order is the only FP freedom), scores rounded to 4
+    "llm_bm25_search" ->
+      ("WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t FROM documents), " +
+        "pd AS (SELECT doc_id, count(*) AS dl, " +
+        "sum(CASE WHEN t = 'spark' THEN 1 ELSE 0 END) AS tf0, " +
+        "sum(CASE WHEN t = 'query' THEN 1 ELSE 0 END) AS tf1, " +
+        "sum(CASE WHEN t = 'window' THEN 1 ELSE 0 END) AS tf2 FROM tk GROUP BY doc_id), " +
+        "st AS (SELECT count(*) AS n, avg(dl) AS avgdl, " +
+        "sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0, " +
+        "sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1, " +
+        "sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM pd), " +
+        "sc AS (SELECT doc_id, " +
+        "((ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))) " +
+        "+ (ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)))) " +
+        "+ (ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score " +
+        "FROM pd, st) " +
+        "SELECT doc_id, round(score, 4) AS score FROM sc WHERE score > 0 " +
+        "ORDER BY score DESC, doc_id LIMIT 10"),
+    "llm_vocab_coverage" ->
+      ("WITH tk AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term FROM documents), " +
+        "wc AS (SELECT term, count(*) AS freq FROM tk GROUP BY term), " +
+        "v AS (SELECT term, freq FROM wc ORDER BY freq DESC, term LIMIT 25) " +
+        "SELECT count(*) AS total_tokens, " +
+        "CAST(sum(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS covered_tokens, " +
+        "round(sum(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS coverage, " +
+        "count(DISTINCT CASE WHEN v.term IS NULL THEN tk.term END) AS oov_terms, " +
+        "(SELECT count(*) FROM v) AS vocab_size, " +
+        "(SELECT min(freq) FROM v) AS vocab_min_freq, " +
+        "(SELECT max(freq) FROM v) AS vocab_max_freq " +
+        "FROM tk LEFT JOIN v ON tk.term = v.term"),
+    // each doc keeps exactly its one original sentence (all 500 texts are
+    // distinct, so no original sentence can reach the >=30-doc bar), the
+    // planted boilerplate is removed everywhere it was planted, and the
+    // restored check is proven Spark-side (bool_and vs the original text)
+    "llm_boilerplate_dedup" ->
+      ("SELECT count(*) AS docs, count(*) AS kept_sentences, " +
+        "CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END + " +
+        "CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS removed_occurrences, " +
+        "true AS restored FROM documents"),
+    "llm_heavy_hitters" ->
+      ("WITH h AS (SELECT user_id, count(*) AS cnt FROM events " +
+        "GROUP BY user_id HAVING count(*) >= 40) " +
+        "SELECT count(*) AS n_heavy, CAST(max(cnt) AS BIGINT) AS max_cnt, " +
+        "CAST(sum(cnt) AS BIGINT) AS sum_cnt, true AS cms_within_bounds FROM h"),
+    "llm_hll_shards" ->
+      ("SELECT count(DISTINCT user_id) AS exact_distinct, " +
+        "count(DISTINCT event_type) AS n_shards, true AS hll_within_5pct " +
+        "FROM events"),
+    "range_join" ->
+      ("WITH c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'), " +
+        "p AS (SELECT * FROM events WHERE event_type = 'purchase') " +
+        "SELECT count(*) AS pairs, count(DISTINCT p.event_id) AS purchases_matched, " +
+        "CAST(sum(c.click_id) AS BIGINT) AS sum_click_ids " +
+        "FROM p JOIN c ON p.user_id = c.user_id " +
+        "AND epoch_ns(c.ts) BETWEEN epoch_ns(p.ts) - 86400000000000 AND epoch_ns(p.ts)"))
 }

@@ -411,6 +411,54 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Cross-document boilerplate removal — the C4/RefinedWeb-style step
+    * that strips sentences appearing near-verbatim in many documents
+    * (cookie banners, "all rights reserved", subscribe prompts) while
+    * keeping each document's unique prose in original order.
+    *
+    * Sentences = '.'-separated, trimmed, lowercased, non-empty — the same
+    * normalization as [[graft.functions.TextFunctions.dupSentenceFraction]].
+    * A sentence is boilerplate when it appears in >= `minDocs` DISTINCT
+    * documents.
+    *
+    * Shape at 100 TB: one sentence-explode scan; the boilerplate table is
+    * a distinct-count aggregate of it (map-side combined); removal is one
+    * anti-join on the sentence string (AQE broadcasts it when small — by
+    * construction it holds only sentences repeated across >= minDocs
+    * docs); reassembly is a doc-local collect_list (bounded by document
+    * size, never corpus-sized).
+    *
+    * @return (idCol, clean_text, kept_sentences) — one row per input doc;
+    *   docs whose every sentence was boilerplate keep an empty clean_text.
+    */
+  def stripBoilerplate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Int = 3): DataFrame = {
+    val sentArr = filter(
+      transform(split(lower(col(textCol)), "\\."), s => trim(s)),
+      s => length(s) > 0)
+    val sents = df.select(col(idCol).as("_id"),
+      posexplode(sentArr).as(Seq("_p", "_s")))
+    val boiler = sents.groupBy("_s")
+      .agg(countDistinct(col("_id")).as("_nd"))
+      .where(col("_nd") >= minDocs)
+      .select("_s")
+    val rebuilt = sents.join(boiler, Seq("_s"), "left_anti")
+      .groupBy("_id")
+      .agg(
+        concat_ws(". ", transform(
+          array_sort(collect_list(struct(col("_p"), col("_s")))),
+          x => x.getField("_s"))).as("clean_text"),
+        count(lit(1)).as("kept_sentences"))
+    df.select(col(idCol))
+      .join(rebuilt.withColumnRenamed("_id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("kept_sentences"), lit(0L)).as("kept_sentences"))
+  }
+
   /** Character/word n-gram Jaccard similarity matrix restricted to LSH
     * buckets — the "ngram Jaccard near-dup" surface with minhash recall. */
   def ngramJaccardPairs(
