@@ -30,8 +30,24 @@ object Fixtures {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  private def newRoot(tag: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+  /** Scratch dir for fixture/bench tables: prefer tmpfs (`/dev/shm`) when
+    * present so harness-local table builds measure ENGINE work, not the
+    * host's disk-writeback behavior (some virtualized hosts throttle
+    * buffered writers to ~10 MB/s, which would bill disk stalls to every
+    * timed section). Tables here are small (fixtures) or deleted right
+    * after their bench section. Override with SPARK_GRAFT_TMP. */
+  def scratchDir(prefix: String): String = {
+    val base = sys.env.get("SPARK_GRAFT_TMP")
+      .orElse(Some("/dev/shm").filter(p =>
+        { val f = new java.io.File(p); f.isDirectory && f.canWrite }))
+    base match {
+      case Some(b) => java.nio.file.Files
+        .createTempDirectory(java.nio.file.Paths.get(b), prefix).toString
+      case None => java.nio.file.Files.createTempDirectory(prefix).toString
+    }
+  }
+
+  private def newRoot(tag: String): String = scratchDir(s"graft_$tag")
 
   /** Build every fixture table concurrently (they are independent roots;
     * Spark schedules the jobs side by side). Verify calls this once so the

@@ -7,7 +7,6 @@ import org.apache.spark.sql.functions._
   * operator in isolation at a given SF. Kept for local iteration. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -16,30 +15,27 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs = Fixtures.raw(spark, sfDir, "documents")
-      .select(col("doc_id"), col("text"))
-    docs.count() // warm FS cache
-
-    def time(name: String)(body: => Long): Unit = {
-      body // warmup (codegen)
-      val times = (0 until 3).map { _ =>
-        val t0 = System.nanoTime()
-        val n = body
-        val s = (System.nanoTime() - t0) / 1e9
-        println(f"$name: $n rows in $s%.3f s")
-        s
-      }
-      println(f"$name best: ${times.min}%.3f s")
-    }
-
-    val t0 = System.nanoTime()
-    val st = graft.operators.Search.docTermStats(docs, "doc_id", "text",
-      Seq("spark", "query", "window"))
-    println(f"docTermStats count=${st.count()} in ${(System.nanoTime() - t0) / 1e9}%.3f s")
-
-    time("bm25TopK")(
-      graft.operators.Search.bm25TopK(docs, "doc_id", "text",
-        Seq("spark", "query", "window"), k = 10).count())
+    // replicate the optimize_2000 bench in isolation
+    val n = 6_000_000L
+    val synthDf = spark.range(n).select(
+      col("id").as("ts"),
+      concat(lit("u"), pmod(col("id"), lit(1000))).as("user_id"),
+      lit("page_load").as("event"),
+      to_json(struct(col("id").as("n"))).as("properties"))
+    val st = new graft.ice.IceTable(spark,
+      java.nio.file.Files.createTempDirectory("graft_synth2").toString,
+      graft.ice.IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("ts"), lit(16))),
+        sortOrder = Seq("event", "ts"),
+        shuffleOnInsert = false))
+    var t0 = System.nanoTime()
+    st.insert(synthDf.repartition(125))
+    println(f"insert125: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val files = st.snapshot().aliveFiles.length
+    println(s"files=$files")
+    t0 = System.nanoTime()
+    st.optimize(maxFileSize = 10_000_000_000L, maxFileCount = 1000)
+    println(f"optimize_2000: ${(System.nanoTime() - t0) / 1e9}%.2f s; alive=${st.snapshot().aliveFiles.length}")
     spark.stop()
   }
 }

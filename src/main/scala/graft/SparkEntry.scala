@@ -971,6 +971,20 @@ object SparkEntry {
           abs(lit(est) - col("exact_distinct")) <=
             col("exact_distinct") * 0.05)
     }),
+    "llm_domain_cap" -> ((s, d) => {
+      // Per-domain contribution cap (Mixing.capPerKey): pseudo-domains
+      // from (source, doc_id%7), keep the 5 lowest doc_ids per domain —
+      // DuckDB replays the identical window arithmetic for the exact
+      // kept set (summed ids pin it, not just counts)
+      val docs = Fixtures.raw(s, d, "documents")
+        .withColumn("domain", concat(col("source"), lit("/"),
+          (col("doc_id") % 7).cast("string")))
+      Mixing.capPerKey(docs, "domain", "doc_id", maxPerKey = 5)
+        .groupBy("source")
+        .agg(count(lit(1)).as("kept"),
+          sum("doc_id").cast("bigint").as("sum_ids"))
+        .orderBy("source")
+    }),
     "range_join" -> ((s, d) => {
       // Windowed co-occurrence join (RangeJoin.windowJoin): ALL clicks in
       // the 24h before each purchase, same user — bucketed equi-join, not
@@ -1323,6 +1337,12 @@ object SparkEntry {
       ("SELECT count(DISTINCT user_id) AS exact_distinct, " +
         "count(DISTINCT event_type) AS n_shards, true AS hll_within_5pct " +
         "FROM events"),
+    "llm_domain_cap" ->
+      ("WITH c AS (SELECT source, doc_id, row_number() OVER " +
+        "(PARTITION BY source || '/' || CAST(doc_id % 7 AS VARCHAR) ORDER BY doc_id) AS rn " +
+        "FROM documents) " +
+        "SELECT source, count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids " +
+        "FROM c WHERE rn <= 5 GROUP BY source ORDER BY source"),
     "range_join" ->
       ("WITH c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'), " +
         "p AS (SELECT * FROM events WHERE event_type = 'purchase') " +

@@ -793,6 +793,100 @@ final class IceTable(
     total
   }
 
+  /** OPTIMIZE ZORDER (recluster): rewrite every partition's alive files
+    * re-sorted by `clusterExpr` (typically `graft.functions.ZOrder.zvalue`
+    * over the query dimensions) into `filesPer` range-partitioned output
+    * files per partition — so multi-column stats skipping starts working
+    * on data that was ingested BEFORE clustering was configured, the
+    * after-the-fact counterpart of [[insertClustered]].
+    *
+    * Each output file covers a contiguous slice of the clustering space
+    * (range partitioning on the cluster key + an intra-file sort), and its
+    * footer min/max for every configured stats column lands in the log, so
+    * box queries on ANY clustered dimension prune files without I/O.
+    *
+    * Execution shape: one Spark job per partition on the bounded pool
+    * (disjoint partitions touch disjoint files), ONE atomic merged-log
+    * append for the whole pass — a crash mid-recluster publishes nothing,
+    * and time travel to any pre-recluster timestamp still sees the old
+    * layout. Requires the same external exclusive lock as any merge.
+    *
+    * @param partitions restrict to these partition strings (None = all)
+    * @return number of partitions rewritten
+    */
+  def recluster(
+      clusterExpr: Column,
+      filesPer: Int = 1,
+      partitions: Option[Set[String]] = None): Int = {
+    require(filesPer >= 1, "filesPer must be >= 1")
+    val snap = trySnapshot(now()).getOrElse(return 0)
+    val byPart = snap.aliveFiles.groupBy(f => partitionOf(f.path)).toSeq
+      .filter { case (p, _) => partitions.forall(_.contains(p)) }
+      .sortBy(_._1)
+    if (byPart.isEmpty) return 0
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = IceTable.insertPool
+    val results: Seq[Seq[FileMarker]] = Await.result(
+      Future.traverse(byPart) { case (partition, ms) =>
+        Future {
+          val src = readFiles(snap, ms)
+          val clustered =
+            if (filesPer == 1) src.coalesce(1).sortWithinPartitions(clusterExpr)
+            else src.repartitionByRange(filesPer, clusterExpr)
+              .sortWithinPartitions(clusterExpr)
+          writeFiles(clustered, partition)
+        }
+      }, Duration.Inf)
+
+    // one atomic log rewrite, same shape as [[commitMerges]]: tombstone
+    // every source file, add the clustered markers, tombstone source logs
+    val allAcc = byPart.flatMap(_._2)
+    val mergedLogFiles = allAcc.flatMap(_.virSourceLogFile).distinct.sorted
+    val ((mSchema, mMarkers, mTombstones), mCommits) =
+      logio.readLogForwardWithCommits(root, mergedLogFiles)
+    val mergedTime = now()
+    val accPaths = allAcc.map(_.path).toSet
+    val updated = mMarkers.map(m => m.copy(
+      tombstone = if (accPaths(m.path)) Some(mergedTime) else m.tombstone,
+      virSourceLogFile = None))
+    val newMarkers = results.flatten.map(_.copy(createdMs = mergedTime))
+    val newTombstones = mergedLogFiles.map(LogTombstone(_, mergedTime))
+    logio.append(root, 1, mSchema, updated ++ newMarkers,
+      mTombstones ++ newTombstones, merged = true,
+      timestamp = Some(mergedTime), streamCommits = mCommits)
+    byPart.length
+  }
+
+  /** Multi-file variant of [[writeSingleFile]]: write `df` as-is (one file
+    * per Spark partition; empty partitions produce nothing), finalize each
+    * into `_data/{partition}/`, and record footer stats per file. */
+  private def writeFiles(df: DataFrame, partition: String): Seq[FileMarker] = {
+    val tmp = s"$root/_tmp/${UUID.randomUUID()}"
+    val writer = df.write
+      .option("compression", cfg.compressionCodec)
+      .option("parquet.block.size", cfg.parquetBlockBytes)
+    val withRows = cfg.rowGroupRows
+      .fold(writer)(n => writer.option("parquet.block.row.count.limit", n))
+    withBloomOptions(withRows).parquet(tmp)
+    val f = fs
+    val parts = f.listStatus(new Path(tmp))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    val markers = parts.toSeq.map { st =>
+      val rel = s"_data/$partition/${UUID.randomUUID()}.parquet"
+      val dest = new Path(root, rel)
+      f.mkdirs(dest.getParent)
+      if (!f.rename(st.getPath, dest))
+        throw new java.io.IOException(s"failed to finalize $dest")
+      val (primary, extra) = splitStats(footerStatsAll(dest))
+      FileMarker(rel, now(), f.getFileStatus(dest).getLen,
+        stats = primary, multiStats = extra)
+    }
+    f.delete(new Path(tmp), true)
+    markers
+  }
+
   /** Run each partition's merge job concurrently, then write one merged
     * log covering all of them (the multi-partition generalization of
     * [[executeMerge]]'s log rewrite). */

@@ -90,4 +90,23 @@ object Mixing {
     * (seed, keys) — stable across cluster sizes and re-runs. */
   def deterministicShuffle(df: DataFrame, seed: Long, keyCols: String*): DataFrame =
     df.orderBy(xxhash64((lit(seed) +: keyCols.map(col)): _*), col(keyCols.head))
+
+  /** Per-group contribution cap: keep at most `maxPerKey` rows per
+    * `groupCol`, preferring the lowest `orderCol` — the crawl-pipeline
+    * step that stops any single domain/source from dominating the corpus
+    * (the counterpart of [[sampleStrata]] when the cap is a COUNT, not a
+    * rate). One window shuffle on the group key; the per-group sort is
+    * bounded and deterministic, so the kept set is a pure function of the
+    * data. */
+  def capPerKey(
+      df: DataFrame,
+      groupCol: String,
+      orderCol: String,
+      maxPerKey: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col(orderCol))
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= maxPerKey)
+      .drop("_rn")
+  }
 }

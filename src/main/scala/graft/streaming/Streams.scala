@@ -134,6 +134,24 @@ object Streams {
       }
       .start()
 
+  /** Streaming deduplication bounded by event time: drop rows whose keys
+    * were already seen within the watermark horizon. Unlike plain
+    * `dropDuplicates` on a stream (whose state grows forever — every key
+    * ever seen is held), `dropDuplicatesWithinWatermark` evicts key state
+    * once the watermark passes it, so state size is bounded by the key
+    * arrival rate × `delay`, not by stream lifetime — the only shape that
+    * survives an unbounded ingest feed. Use upstream of an ice sink to
+    * make at-least-once sources (HTTP retries, queue redeliveries)
+    * effectively exactly-once per key within the horizon. */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** The reference's batcher loop as a streaming sink: every micro-batch is
     * one atomic ice insert; optional compaction every `mergeEveryBatches`. */
   def iceSink(

@@ -81,4 +81,15 @@ class MixingSpec extends SparkSpec {
     assert(stats.getDouble(0) >= 0.0 && stats.getDouble(1) < 1.0)
     assert(math.abs(stats.getDouble(2) - 0.5) < 0.05)
   }
+
+  test("capPerKey keeps the lowest-order rows per group, exactly") {
+    import spark.implicits._
+    // group sizes 1..6; cap at 3 keeps min(size, 3) lowest ids per group
+    val rows = for (g <- 1 to 6; i <- 1 to g) yield (s"g$g", g * 100L + i)
+    val capped = Mixing.capPerKey(rows.toDF("dom", "id"), "dom", "id", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val expect = (for (g <- 1 to 6; i <- 1 to math.min(g, 3))
+      yield (s"g$g", g * 100L + i)).toSet
+    assert(capped == expect)
+  }
 }

@@ -52,6 +52,36 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark drops redelivered keys, bounds state") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Long)]
+    val deduped = Streams.dedupWithinWatermark(
+      input.toDF().toDF("ts", "key", "v"), Seq("key"), "ts",
+      delay = "5 minutes")
+    val q = deduped.writeStream.format("memory")
+      .queryName("wm_dedup").outputMode(OutputMode.Append).start()
+    try {
+      // k1 delivered twice in one batch, again in the next (a queue
+      // redelivery): one surviving row while inside the watermark horizon
+      input.addData((ts(0), "k1", 1L), (ts(0, 30), "k1", 2L), (ts(1), "k2", 3L))
+      q.processAllAvailable()
+      input.addData((ts(2), "k1", 4L))
+      q.processAllAvailable()
+      val k1 = spark.table("wm_dedup").where($"key" === "k1").count()
+      assert(k1 == 1L, s"redelivered k1 must dedup to one row, got $k1")
+      // advance the watermark past k1's expiry (first-seen 10:00 + 5min)
+      // with an unrelated batch — eviction happens at END of the batch
+      // that moves the watermark, so the advance must come BEFORE the
+      // re-arrival, not ride along with it
+      input.addData((ts(20), "k3", 6L))
+      q.processAllAvailable()
+      input.addData((ts(21), "k1", 5L)) // state evicted: new data again
+      q.processAllAvailable()
+      assert(spark.table("wm_dedup").where($"key" === "k1").count() == 2L,
+        "a key re-arriving after watermark eviction is new data")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-key state across batches") {
     implicit val ctx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
