@@ -971,6 +971,35 @@ object SparkEntry {
           abs(lit(est) - col("exact_distinct")) <=
             col("exact_distinct") * 0.05)
     }),
+    "llm_incremental_dedup" -> ((s, d) => {
+      // Incremental dedup (Dedup.incrementalDedup): new batch checked
+      // against the persisted content-hash index of already-ingested docs
+      // — 10 planted redeliveries of seen docs must drop, the rest keep.
+      // DuckDB replays the md5 index, the anti-join, and the window
+      val docs = Fixtures.raw(s, d, "documents")
+      val seenDocs = docs.where(col("doc_id") < 250)
+      val planted = seenDocs.orderBy("doc_id").limit(10)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val newBatch = docs.where(col("doc_id") >= 250)
+        .select(col("doc_id"), col("text")).unionByName(planted)
+      val total = newBatch.count()
+      Dedup.incrementalDedup(newBatch, Seq("text"), "doc_id",
+          Dedup.contentHashes(seenDocs, Seq("text")))
+        .agg(count(lit(1)).as("kept_docs"),
+          sum("doc_id").cast("bigint").as("sum_ids"))
+        .withColumn("dropped", lit(total) - col("kept_docs"))
+    }),
+    "analyze_profile" -> ((s, d) => {
+      // ANALYZE-style column profiler (Profile.profile): one-pass fused
+      // aggregates, exact distincts; integer/string columns only so every
+      // emitted stat (incl. avg = exact integer sum / count) is
+      // bit-replayable
+      operators.Profile.profile(
+          Fixtures.raw(s, d, "events")
+            .select("event_id", "user_id", "event_type"),
+          exact = true)
+        .orderBy("column")
+    }),
     "llm_domain_cap" -> ((s, d) => {
       // Per-domain contribution cap (Mixing.capPerKey): pseudo-domains
       // from (source, doc_id%7), keep the 5 lowest doc_ids per domain —
@@ -1337,6 +1366,31 @@ object SparkEntry {
       ("SELECT count(DISTINCT user_id) AS exact_distinct, " +
         "count(DISTINCT event_type) AS n_shards, true AS hll_within_5pct " +
         "FROM events"),
+    "llm_incremental_dedup" ->
+      ("WITH seen AS (SELECT DISTINCT md5(text) AS hash FROM documents WHERE doc_id < 250), " +
+        "newb AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250 " +
+        "UNION ALL SELECT doc_id + 1000000, text FROM " +
+        "(SELECT doc_id, text FROM documents WHERE doc_id < 250 ORDER BY doc_id LIMIT 10)), " +
+        "fresh AS (SELECT doc_id, text FROM newb WHERE md5(text) NOT IN (SELECT hash FROM seen)), " +
+        "kept AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER " +
+        "(PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM fresh) WHERE rn = 1) " +
+        "SELECT count(*) AS kept_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids, " +
+        "(SELECT count(*) FROM newb) - count(*) AS dropped FROM kept"),
+    "analyze_profile" ->
+      ("SELECT * FROM (" +
+        "SELECT 'event_id' AS \"column\", count(*) AS \"rows\", " +
+        "CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls, " +
+        "count(DISTINCT event_id) AS \"distinct\", CAST(min(event_id) AS VARCHAR) AS min, " +
+        "CAST(max(event_id) AS VARCHAR) AS max, avg(event_id) AS avg FROM events " +
+        "UNION ALL SELECT 'user_id', count(*), " +
+        "CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT), " +
+        "count(DISTINCT user_id), CAST(min(user_id) AS VARCHAR), " +
+        "CAST(max(user_id) AS VARCHAR), avg(user_id) FROM events " +
+        "UNION ALL SELECT 'event_type', count(*), " +
+        "CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT), " +
+        "count(DISTINCT event_type), CAST(min(event_type) AS VARCHAR), " +
+        "CAST(max(event_type) AS VARCHAR), CAST(NULL AS DOUBLE) FROM events" +
+        ") ORDER BY \"column\""),
     "llm_domain_cap" ->
       ("WITH c AS (SELECT source, doc_id, row_number() OVER " +
         "(PARTITION BY source || '/' || CAST(doc_id % 7 AS VARCHAR) ORDER BY doc_id) AS rn " +

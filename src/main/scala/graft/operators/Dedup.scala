@@ -411,6 +411,37 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Incremental exact dedup — the production shape: dedup a NEW batch
+    * against the corpus already ingested without rescanning it, using a
+    * persisted content-hash index (store `seenHashes` as an ice table and
+    * append each batch's hashes after it lands). Drops new rows whose
+    * content hash is already in `seenHashes`, then exact-dedups what
+    * remains within the batch (lowest id wins). Cost: one broadcast-or-
+    * shuffle anti-join on the 128-bit hash + one batch-local window —
+    * never touches historical row data.
+    *
+    * @param seenHashes single-column DataFrame of md5 content hashes
+    *   (column name `hash`), as produced by [[contentHashes]]
+    */
+  def incrementalDedup(
+      newDf: DataFrame, contentCols: Seq[String], idCol: String,
+      seenHashes: DataFrame): DataFrame = {
+    val h = md5(concat_ws(" ", contentCols.map(col): _*))
+    val fresh = newDf.withColumn("_content_hash", h)
+      .join(seenHashes.select(col("hash").as("_content_hash")),
+        Seq("_content_hash"), "left_anti")
+    val w = Window.partitionBy("_content_hash").orderBy(col(idCol))
+    fresh.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn", "_content_hash")
+  }
+
+  /** The content-hash index rows for a batch (feed back into the
+    * `seenHashes` table after the batch commits). */
+  def contentHashes(df: DataFrame, contentCols: Seq[String]): DataFrame =
+    df.select(md5(concat_ws(" ", contentCols.map(col): _*)).as("hash"))
+      .distinct()
+
   /** Cross-document boilerplate removal — the C4/RefinedWeb-style step
     * that strips sentences appearing near-verbatim in many documents
     * (cookie banners, "all rights reserved", subscribe prompts) while
