@@ -75,6 +75,18 @@ object Demo {
           "yyyy-MM-dd") === "2024-01-01").count())
     println(s"   total rows now: ${after.count()}")
 
+    println("== OPTIMIZE ZORDER: recluster day 2 by (user_id, event_id)")
+    val day2 = "d=2024-01-02"
+    val zmax = table.read().agg(max("user_id"), max("event_id")).head
+    val z = graft.functions.ZOrder.zvalue(8,
+      graft.functions.ZOrder.scaled(col("user_id"), 0, zmax.getLong(0), 8),
+      graft.functions.ZOrder.scaled(col("event_id"), 0, zmax.getLong(1), 8))
+    val reclustered = table.recluster(z, filesPer = 2,
+      partitions = Some(Set(day2)))
+    println(s"   partitions reclustered=$reclustered; " +
+      s"alive files now=${table.snapshot().aliveFiles.length}; " +
+      s"rows unchanged=${table.read().count()}")
+
     println("== LLM pipeline ops over documents/embeddings")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")

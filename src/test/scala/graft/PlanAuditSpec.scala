@@ -105,6 +105,31 @@ class PlanAuditSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("range_join is a keyed hash/merge join, never a nested loop") {
+    Fixtures.ensureConf(spark)
+    val df = SparkEntry.queries("range_join")(spark, sfDir)
+    val plan = planOf(df)
+    // the whole point of time bucketing: the window predicate rides an
+    // EQUI-join on (key, bucket) — an inequality-only join would plan as
+    // a nested loop and go quadratic per key
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoop"), plan.take(2000))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(2000))
+  }
+
+  test("bm25 fuses doc length and all term counts into one aggregation pass") {
+    Fixtures.ensureConf(spark)
+    val stats = operators.Search.docTermStats(
+      Fixtures.raw(spark, sfDir, "documents"), "doc_id", "text",
+      Seq("spark", "query", "window"))
+    val plan = planOf(stats)
+    // one scan, one generate (the token explode), one keyed aggregate —
+    // a per-term pass would scan the corpus |terms| times
+    assert(scansOf(stats).length == 1, plan.take(2000))
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+  }
+
   test("LSH bucketing runs the native graft_dot, not interpreted HOF dots") {
     val emb = Fixtures.raw(spark, sfDir, "embeddings")
       .selectExpr("vec_id", "cast(embedding as array<double>) as embedding")

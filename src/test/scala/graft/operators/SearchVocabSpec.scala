@@ -42,6 +42,16 @@ class SearchVocabSpec extends SparkSpec {
     assert(math.abs(got(0L) - (math.rint(expected0 * 1e4) / 1e4)) < 1e-9)
   }
 
+  test("tfidfNorm is zero iff no query term matches, positive otherwise") {
+    val got = Search.tfidfNorm(corpus, "id", "text", Seq("spark", "data"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(2L) == 0.0 && got(4L) == 0.0)
+    assert(got(0L) > 0 && got(1L) > 0 && got(3L) > 0)
+    // doc 1 has tf(spark)=3 vs doc 3's tf(data|engine...)=1 each: same
+    // idf weights, so the 3x term dominates the norm
+    assert(got(1L) > got(3L))
+  }
+
   test("vocab build is deterministic under frequency ties and coverage adds up") {
     val vocab = Vocab.build(corpus, "text", size = 3)
       .collect().map(r => (r.getString(0), r.getLong(1)))
