@@ -37,9 +37,13 @@ object Fixtures {
     * timed section). Tables here are small (fixtures) or deleted right
     * after their bench section. Override with SPARK_GRAFT_TMP. */
   def scratchDir(prefix: String): String = {
+    // tmpfs only qualifies with real headroom: containers often mount a
+    // 64 MB /dev/shm, where a bench table would die on ENOSPC
     val base = sys.env.get("SPARK_GRAFT_TMP")
-      .orElse(Some("/dev/shm").filter(p =>
-        { val f = new java.io.File(p); f.isDirectory && f.canWrite }))
+      .orElse(Some("/dev/shm").filter { p =>
+        val f = new java.io.File(p)
+        f.isDirectory && f.canWrite && f.getUsableSpace > 16L * 1024 * 1024 * 1024
+      })
     base match {
       case Some(b) => java.nio.file.Files
         .createTempDirectory(java.nio.file.Paths.get(b), prefix).toString
