@@ -86,6 +86,16 @@ final case class CleanupResult(
   * @param bloomFilterNdv expected distinct values per file for sizing the
   *   bloom bits (parquet sizes for ~1% fpp); unset uses parquet-mr's
   *   default cap.
+  * @param sortOnMerge re-sort DEFAULT-merge output by `sortOrder` before
+  *   writing. The reference's merge concatenates its sorted inputs
+  *   (`select * from source_files`, icedb.py:271-276), so after a few
+  *   compaction generations a file holds interleaved sorted runs and
+  *   row-group min/max windows widen toward the file's full range —
+  *   intra-file pruning decays as the table ages. This knob keeps merged
+  *   files globally sorted (one extra in-memory sort of the merge batch,
+  *   which is bounded by maxFileSize). Off by default for byte-level
+  *   reference parity; ignored for custom merge SQL (the SQL owns its
+  *   output shape, and aggregating merges have nothing to re-sort).
   */
 final case class IceTableConfig(
     partitionExpr: Column,
@@ -102,7 +112,8 @@ final case class IceTableConfig(
     statsColumn: Option[String] = None,
     statsColumns: Seq[String] = Seq.empty,
     bloomFilterColumns: Seq[String] = Seq.empty,
-    bloomFilterNdv: Option[Long] = None)
+    bloomFilterNdv: Option[Long] = None,
+    sortOnMerge: Boolean = false)
 
 /** The Parquet merge-engine table: MVCC JSONL log + immutable Parquet data
   * parts under one root URI (local fs or s3a — anything Hadoop FileSystem
@@ -573,9 +584,21 @@ final class IceTable(
     case other => other.toString
   }
 
-  private def writeSingleFile(df: DataFrame, destRel: String): FileMarker = {
+  /** Sort applied to default-merge output (see `IceTableConfig.sortOnMerge`). */
+  private def mergeSortCols: Seq[Column] =
+    if (cfg.sortOnMerge && cfg.customMergeSql.isEmpty) cfg.sortOrder.map(col)
+    else Nil
+
+  private def writeSingleFile(
+      df: DataFrame, destRel: String,
+      sortCols: Seq[Column] = Nil): FileMarker = {
     val tmp = s"$root/_tmp/${UUID.randomUUID()}"
-    val writer = df.coalesce(1).write
+    // sort AFTER the coalesce: sorting the inputs per-partition and then
+    // coalescing would concatenate sorted runs, not produce a sorted file
+    val arranged =
+      if (sortCols.nonEmpty) df.coalesce(1).sortWithinPartitions(sortCols: _*)
+      else df.coalesce(1)
+    val writer = arranged.write
       .option("compression", cfg.compressionCodec)
       .option("parquet.block.size", cfg.parquetBlockBytes)
     val withRows = cfg.rowGroupRows
@@ -666,7 +689,7 @@ final class IceTable(
         spark.sql(q.replaceAll("\\bsource_files\\b", view))
     }
     val outRel = s"_data/$partition/${UUID.randomUUID()}.parquet"
-    val preMarker = writeSingleFile(merged, outRel)
+    val preMarker = writeSingleFile(merged, outRel, mergeSortCols)
 
     // Log rewrite (icedb/icedb.py:290-322): re-read exactly the source logs
     // of the merged markers, tombstone merged paths, carry forward untouched
@@ -904,7 +927,8 @@ final class IceTable(
           val src = readFiles(snap, acc)
           cfg.customMergeSql match {
             case None =>
-              (writeSingleFile(src, s"_data/$partition/${UUID.randomUUID()}.parquet"),
+              (writeSingleFile(src, s"_data/$partition/${UUID.randomUUID()}.parquet",
+                mergeSortCols),
                 Schema.fromStructType(src.schema))
             case Some(q) =>
               val view = s"source_files_${UUID.randomUUID().toString.replace("-", "")}"

@@ -67,6 +67,61 @@ class ReclusterSpec extends SparkSpec {
     assert(table.readFiles(old, old.aliveFiles).count() == n)
   }
 
+  test("sortOnMerge keeps compacted files globally sorted; default concatenates") {
+    def build(sortOnMerge: Boolean): IceTable = {
+      val t = new IceTable(spark, tmpDir("sortmerge"), IceTableConfig(
+        partitionExpr = lit("p=all"),
+        sortOrder = Seq("k"),
+        sortOnMerge = sortOnMerge))
+      // two batches with interleaved key ranges: concatenation of the two
+      // sorted files is NOT globally sorted
+      val df = (0 until 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      t.insert(df.where(col("k") % 2 === 0))
+      t.insert(df.where(col("k") % 2 === 1))
+      t.optimize(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+      t
+    }
+    def fileIsSorted(t: IceTable): Boolean = {
+      val snap = t.snapshot()
+      assert(snap.aliveFiles.length == 1)
+      val ks = spark.read
+        .parquet(s"${t.root}/${snap.aliveFiles.head.path}")
+        .select("k").collect().map(_.getLong(0)).toSeq
+      ks == ks.sorted
+    }
+    assert(fileIsSorted(build(sortOnMerge = true)),
+      "sortOnMerge=true must produce a globally sorted merged file")
+    assert(!fileIsSorted(build(sortOnMerge = false)),
+      "reference-parity default concatenates the sorted inputs")
+    // content identical either way
+    assert(build(sortOnMerge = true).read().count() == 1000)
+  }
+
+  test("recluster composes with a concurrent insert (MVCC)") {
+    // same safety argument as insert-vs-optimize: recluster tombstones
+    // exactly the files its snapshot read, an insert only ADDS files in a
+    // fresh log — last-writer-wins-per-path folding keeps both commits
+    val table = new IceTable(spark, tmpDir("recluster_mvcc"), IceTableConfig(
+      partitionExpr = lit("p=all"),
+      sortOrder = Seq("id"),
+      statsColumn = Some("x")))
+    val df = grid(1024)
+    (0 until 4).foreach(s =>
+      table.insert(df.where((col("id") / 256).cast("long") === s)))
+    val z = ZOrder.zvalue(5,
+      ZOrder.scaled(col("x"), 0, 1023, 5), ZOrder.scaled(col("y"), 0, 1023, 5))
+    val extra = grid(1024).withColumn("id", col("id") + 10000)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val rec = Future(table.recluster(z, filesPer = 4,
+      partitions = Some(Set("p=all"))))
+    val ins = Future(table.insert(extra))
+    Await.result(Future.sequence(Seq[Future[Any]](rec, ins)), 120.seconds)
+    // nothing lost, regardless of which commit won the interleaving
+    assert(table.read().count() == 2048)
+  }
+
   test("recluster restricted to a partition subset leaves others alone") {
     val table = new IceTable(spark, tmpDir("recluster2"), IceTableConfig(
       partitionExpr = concat(lit("g="), pmod(col("id"), lit(2))),
