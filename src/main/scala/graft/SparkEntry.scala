@@ -971,6 +971,28 @@ object SparkEntry {
           abs(lit(est) - col("exact_distinct")) <=
             col("exact_distinct") * 0.05)
     }),
+    "llm_sample_exact" -> ((s, d) => {
+      // Exact-N deterministic stratified sample (Mixing.sampleExactN):
+      // 20 docs per lang by smallest multiplicative-hash draw — DuckDB
+      // re-derives the identical kept set from the same arithmetic
+      val got = Mixing.sampleExactN(
+        Fixtures.raw(s, d, "documents"), "lang", "doc_id", n = 20)
+      got.groupBy("lang")
+        .agg(count(lit(1)).as("kept"),
+          sum("doc_id").cast("bigint").as("sum_ids"))
+        .orderBy("lang")
+    }),
+    "llm_tfidf" -> ((s, d) => {
+      // TF-IDF vector norms (Search.tfidfNorm) for a 3-term vocabulary:
+      // graded on order-independent aggregates (count, matched, max) —
+      // the norm itself is a fixed-order sum DuckDB replays exactly
+      val norms = Search.tfidfNorm(Fixtures.raw(s, d, "documents"),
+        "doc_id", "text", Seq("spark", "query", "window"))
+      norms.agg(count(lit(1)).as("n_docs"),
+        sum(when(col("tfidf_norm") > 0, 1L).otherwise(0L)).cast("bigint")
+          .as("matched"),
+        round(max(col("tfidf_norm")), 4).as("max_norm"))
+    }),
     "llm_incremental_dedup" -> ((s, d) => {
       // Incremental dedup (Dedup.incrementalDedup): new batch checked
       // against the persisted content-hash index of already-ingested docs
@@ -1366,6 +1388,34 @@ object SparkEntry {
       ("SELECT count(DISTINCT user_id) AS exact_distinct, " +
         "count(DISTINCT event_type) AS n_shards, true AS hll_within_5pct " +
         "FROM events"),
+    "llm_sample_exact" ->
+      ("WITH r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0, doc_id) AS rn " +
+        "FROM documents) " +
+        "SELECT lang, count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids " +
+        "FROM r WHERE rn <= 20 GROUP BY lang ORDER BY lang"),
+    // norm = sqrt(((c0 + c1) + c2)) with c_i = (tf_i * idf_i)^2 in term
+    // order — the same fixed-order sum the Scala side builds; idf uses
+    // the smoothed ln((N+1)/(df+1)) + 1
+    "llm_tfidf" ->
+      ("WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t FROM documents), " +
+        "pd0 AS (SELECT doc_id, " +
+        "sum(CASE WHEN t = 'spark' THEN 1 ELSE 0 END) AS tf0, " +
+        "sum(CASE WHEN t = 'query' THEN 1 ELSE 0 END) AS tf1, " +
+        "sum(CASE WHEN t = 'window' THEN 1 ELSE 0 END) AS tf2 FROM tk GROUP BY doc_id), " +
+        "pd AS (SELECT p.tf0, p.tf1, p.tf2 FROM documents d JOIN pd0 p USING (doc_id)), " +
+        "st AS (SELECT (SELECT count(*) FROM documents) AS n, " +
+        "sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0, " +
+        "sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1, " +
+        "sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM pd), " +
+        "idf AS (SELECT ln((n + 1.0) / (df0 + 1.0)) + 1 AS i0, " +
+        "ln((n + 1.0) / (df1 + 1.0)) + 1 AS i1, " +
+        "ln((n + 1.0) / (df2 + 1.0)) + 1 AS i2 FROM st), " +
+        "nm AS (SELECT sqrt((((tf0 * i0) * (tf0 * i0) + (tf1 * i1) * (tf1 * i1)) " +
+        "+ (tf2 * i2) * (tf2 * i2))) AS norm FROM pd, idf) " +
+        "SELECT count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN norm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS matched, " +
+        "round(max(norm), 4) AS max_norm FROM nm"),
     "llm_incremental_dedup" ->
       ("WITH seen AS (SELECT DISTINCT md5(text) AS hash FROM documents WHERE doc_id < 250), " +
         "newb AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250 " +

@@ -91,6 +91,26 @@ object Mixing {
   def deterministicShuffle(df: DataFrame, seed: Long, keyCols: String*): DataFrame =
     df.orderBy(xxhash64((lit(seed) +: keyCols.map(col)): _*), col(keyCols.head))
 
+  /** Deterministic exact-N sample per stratum: the N rows with the
+    * smallest `uniform(key)` draw in each stratum — rate-free sampling
+    * when the contract is a COUNT ("exactly 10k eval docs per language"),
+    * where [[sampleStrata]]'s rates only hit the target in expectation.
+    * The kept set is a pure function of the data (hash order, ties broken
+    * by the hash's key), so re-runs, engines, and cluster sizes agree.
+    * One window shuffle on the stratum; per-group sort is the standard
+    * window cost. */
+  def sampleExactN(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(uniform(col(keyCol)), col(keyCol))
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= n)
+      .drop("_rn")
+  }
+
   /** Per-group contribution cap: keep at most `maxPerKey` rows per
     * `groupCol`, preferring the lowest `orderCol` — the crawl-pipeline
     * step that stops any single domain/source from dominating the corpus

@@ -92,17 +92,23 @@ object Search {
   def tfidfNorm(
       df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String]): DataFrame = {
+    // cache the one-pass term stats: both the df-count aggregate and the
+    // final projection read it — uncached, the corpus tokenizes twice
     val stats = docTermStats(df, idCol, textCol, terms)
-    val n = df.count().toDouble
-    val dfs = stats.agg(
-      terms.indices.map(i => sum(when(col(s"_tf$i") > 0, 1L).otherwise(0L)).as(s"_df$i")).head,
-      terms.indices.tail.map(i => sum(when(col(s"_tf$i") > 0, 1L).otherwise(0L)).as(s"_df$i")): _*).head()
-    val comps: Seq[Column] = terms.indices.map { i =>
-      val idf = math.log((n + 1.0) / (dfs.getLong(i) + 1.0)) + 1.0
-      val v = col(s"_tf$i").cast("double") * lit(idf)
-      v * v
-    }
-    stats.select(col("_id").as(idCol),
-      sqrt(comps.reduceLeft(_ + _)).as("tfidf_norm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val aggs = count(lit(1)).as("_n") +: terms.indices.map(i =>
+        sum(when(col(s"_tf$i") > 0, 1L).otherwise(0L)).as(s"_df$i"))
+      val r = stats.agg(aggs.head, aggs.tail: _*).head()
+      val n = r.getLong(0).toDouble
+      val comps: Seq[Column] = terms.indices.map { i =>
+        val idf = math.log((n + 1.0) / (r.getLong(1 + i) + 1.0)) + 1.0
+        val v = col(s"_tf$i").cast("double") * lit(idf)
+        v * v
+      }
+      stats.select(col("_id").as(idCol),
+        sqrt(comps.reduceLeft(_ + _)).as("tfidf_norm"))
+        .localCheckpoint(true)
+    } finally stats.unpersist()
   }
 }

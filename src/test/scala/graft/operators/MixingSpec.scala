@@ -82,6 +82,23 @@ class MixingSpec extends SparkSpec {
     assert(math.abs(stats.getDouble(2) - 0.5) < 0.05)
   }
 
+  test("sampleExactN takes exactly n per stratum, deterministically") {
+    import spark.implicits._
+    val df = (0 until 900).map(i => (s"s${i % 3}", i.toLong)).toDF("st", "id")
+    val a = Mixing.sampleExactN(df, "st", "id", 50)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a.size == 150)
+    assert(a.groupBy(_._1).forall(_._2.size == 50))
+    // stable under repartition (pure function of the data)
+    val b = Mixing.sampleExactN(df.repartition(7), "st", "id", 50)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == b)
+    // small strata keep everything
+    val tiny = Mixing.sampleExactN(
+      Seq(("x", 1L), ("x", 2L)).toDF("st", "id"), "st", "id", 50)
+    assert(tiny.count() == 2)
+  }
+
   test("capPerKey keeps the lowest-order rows per group, exactly") {
     import spark.implicits._
     // group sizes 1..6; cap at 3 keeps min(size, 3) lowest ids per group
