@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BitwiseCount, BitwiseXor, Divide, Expression, ExpressionInfo, Multiply, Sqrt}
+import org.apache.spark.sql.graft.DotProduct
+
+/** Config-driven library activation — the standard Spark packaging hook:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * injects the native graft expressions (`graft_dot`, `graft_cosine`,
+  * `graft_hamming64`) into every session built on the cluster, with no
+  * driver-side `register(spark)` call — the right deployment shape for
+  * shared clusters, SQL gateways, and notebook platforms where user code
+  * never holds the session builder. The functions are the same codegen'd
+  * Catalyst expressions `GraftSqlFunctions.register` installs on a live
+  * session; both routes resolve to identical plans.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[DotProduct].getName, name, usage)
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - codegen'd array dot product"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "graft_cosine(a, b) - cosine similarity"),
+      (es: Seq[Expression]) =>
+        Divide(DotProduct(es(0), es(1)),
+          Multiply(Sqrt(DotProduct(es(0), es(0))),
+            Sqrt(DotProduct(es(1), es(1)))))))
+    e.injectFunction((FunctionIdentifier("graft_hamming64"),
+      info("graft_hamming64",
+        "graft_hamming64(a, b) - Hamming distance of two 64-bit fingerprints"),
+      (es: Seq[Expression]) => BitwiseCount(BitwiseXor(es(0), es(1)))))
+  }
+}

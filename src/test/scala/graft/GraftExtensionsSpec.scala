@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The spark.sql.extensions activation route: a session built with
+  * GraftExtensions resolves the native functions from plain SQL with no
+  * register() call. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("a session built withExtensions resolves graft functions from SQL") {
+    SparkSpec.session // ensure the shared SparkContext exists
+    // getOrCreate returns the existing default session, so clear the
+    // session slots (NOT the context) to force a fresh session build —
+    // it reuses the running SparkContext and applies the extensions
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val built = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      val r = built.sql(
+        "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+          "round(graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)), 6) AS c, " +
+          "graft_hamming64(7L, 1L) AS h").head()
+      assert(r.getDouble(0) == 11.0)
+      assert(r.getDouble(1) == 1.0)
+      assert(r.getInt(2) == 2)
+      // the shared base session does NOT see the injected functions —
+      // extensions scope to the session they were built with
+      val base = SparkSpec.session
+      val err = intercept[Exception](
+        base.sql("SELECT graft_dot_not_injected(1, 2)"))
+      assert(err != null)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
