@@ -107,6 +107,13 @@ object Similarity {
   /** Approximate top-k: candidates share an LSH bucket in at least one of
     * `tables` hyperplane tables; candidates are scored exactly. Recall
     * improves with `tables`, cost with `bits` (bucket granularity).
+    *
+    * Shuffle discipline: the candidate-dedup exchange carries only
+    * (qid, id) — two longs per row. Buckets are computed map-side from the
+    * vector, then the vector is DROPPED before the explode so the
+    * `tables ×` duplication never moves embedding bytes; vectors re-join
+    * after the distinct (AQE turns that into a broadcast when the
+    * candidate set is small).
     */
   def lshTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
@@ -114,21 +121,31 @@ object Similarity {
       k: Int = 10, dim: Int = 64, tables: Int = 8, bits: Int = 10,
       seed: Long = 42L): DataFrame = {
     val ps = planes(dim, tables, bits, seed)
-    def withBuckets(df: DataFrame, vc: String): DataFrame = {
+    def withBuckets(df: DataFrame, vc: String, keep: Seq[String]): DataFrame = {
       val buckets = array(ps.zipWithIndex.map { case (p, t) =>
         struct(lit(t).as("t"), bucketExpr(col(vc), p).as("b"))
       }: _*)
-      df.withColumn("_tb", explode(buckets))
+      // project to (keys, _tb) BEFORE exploding: the vector must not ride
+      // through the tables× row multiplication
+      df.select(keep.map(col) :+ explode(buckets).as("_tb"): _*)
         .withColumn("_t", col("_tb.t")).withColumn("_b", col("_tb.b"))
         .drop("_tb")
     }
-    val c = withBuckets(corpus.select(col(idCol).as("id"), col(vecCol).as("_v"))
-      .withColumn("_nv", normN(col("_v"), dim)), "_v")
-    val q = withBuckets(queries.select(col(qidCol).as("qid"), col(qvecCol).as("_q"))
-      .withColumn("_nq", normN(col("_q"), dim)), "_q")
-    val scored = c.join(broadcast(q), Seq("_t", "_b"))
+    val cVec = corpus.select(col(idCol).as("id"), col(vecCol).as("_v"))
+      .withColumn("_nv", normN(col("_v"), dim))
+    val qVec = queries.select(col(qidCol).as("qid"), col(qvecCol).as("_q"))
+      .withColumn("_nq", normN(col("_q"), dim))
+    val cB = withBuckets(corpus.select(col(idCol).as("id"),
+      col(vecCol).as("_v")), "_v", Seq("id"))
+    val qB = withBuckets(queries.select(col(qidCol).as("qid"),
+      col(qvecCol).as("_q")), "_q", Seq("qid"))
+    val candidates = cB.join(broadcast(qB), Seq("_t", "_b"))
       .where(col("id") =!= col("qid"))
-      .dropDuplicates("qid", "id")
+      .select("qid", "id")
+      .dropDuplicates("qid", "id") // the banded exchange: 2 longs/row
+    val scored = candidates
+      .join(cVec, Seq("id"))
+      .join(broadcast(qVec), Seq("qid"))
       .withColumn("sim",
         cosinePre(col("_v"), col("_q"), col("_nv"), col("_nq"), dim))
     topKPerQuery(scored, "qid", k).select("qid", "id", "sim", "rank")
@@ -241,23 +258,46 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs: same-bucket candidates with
     * cosine >= threshold (idA < idB). The embedding twin of
-    * [[Dedup.minHashDupPairs]]. */
+    * [[Dedup.minHashDupPairs]], and the same skew-safe shape: each
+    * (table, bucket) group is collected ONCE, singleton and over-cap
+    * buckets are dropped before anything joins, and the i<j pairs are
+    * emitted from array expressions — never a raw bucket self-join, which
+    * goes quadratic on one hot bucket of mass-duplicated embeddings.
+    * `maxBucketSize` bounds the per-group emit at ~maxBucketSize²/2 pairs;
+    * a bucket above the cap is, like in the minhash path, too dense to be
+    * discriminative (its members are caught via their other `tables-1`
+    * signatures). Vectors never ride the bucket shuffle: the exchange
+    * carries (table, bucket, id) and vectors re-join per side afterwards.
+    */
   def cosineDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, dim: Int = 64, tables: Int = 8,
-      bits: Int = 10, seed: Long = 42L): DataFrame = {
+      bits: Int = 10, seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame = {
     val ps = planes(dim, tables, bits, seed)
-    val withB = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
-      .withColumn("_tb", explode(array(ps.zipWithIndex.map { case (p, t) =>
+    val base = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    val banded = base
+      .select(col("_id"), explode(array(ps.zipWithIndex.map { case (p, t) =>
         struct(lit(t).as("t"), bucketExpr(col("_v"), p).as("b"))
-      }: _*)))
-    val a = withB.select(col("_tb").as("_k"), col("_id").as("idA"),
-      col("_v").as("_va"), normN(col("_v"), dim).as("_na"))
-    val b = withB.select(col("_tb").as("_k"), col("_id").as("idB"),
-      col("_v").as("_vb"), normN(col("_v"), dim).as("_nb"))
-    a.join(b, Seq("_k"))
-      .where(col("idA") < col("idB"))
+      }: _*)).as("_tb"))
+      .select(col("_id"), col("_tb.t").as("_t"), col("_tb.b").as("_b"))
+    val buckets = banded.groupBy("_t", "_b")
+      .agg(collect_list(col("_id")).as("_ids"))
+      .where(size(col("_ids")).between(2, maxBucketSize))
+    val sortedIds = array_sort(col("_ids"))
+    val candidates = buckets
+      .select(explode(flatten(transform(sortedIds, (x, i) =>
+        transform(slice(sortedIds, i + 2, size(sortedIds)),
+          y => struct(x.as("idA"), y.as("idB")))))).as("_p"))
+      .select(col("_p.idA").as("idA"), col("_p.idB").as("idB"))
+      .where(col("idA") =!= col("idB")) // duplicated source ids: no self-pairs
       .dropDuplicates("idA", "idB")
+    val vecs = base.withColumn("_n", normN(col("_v"), dim))
+    candidates
+      .join(vecs.select(col("_id").as("idA"), col("_v").as("_va"),
+        col("_n").as("_na")), Seq("idA"))
+      .join(vecs.select(col("_id").as("idB"), col("_v").as("_vb"),
+        col("_n").as("_nb")), Seq("idB"))
       .withColumn("cosine",
         cosinePre(col("_va"), col("_vb"), col("_na"), col("_nb"), dim))
       .where(col("cosine") >= threshold)

@@ -130,6 +130,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan.take(2000))
   }
 
+  test("LSH candidate-dedup exchange carries only (qid, id) — no vectors") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    val emb = Fixtures.raw(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as embedding")
+    val queries = emb.where(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val df = operators.Similarity.lshTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 5, dim = 64, tables = 4, bits = 4)
+    df.collect()
+    def shuffles(p: SparkPlan): Seq[ShuffleExchangeLike] = p match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case q: QueryStageExec => shuffles(q.plan)
+      case r: ReusedExchangeExec => shuffles(r.child)
+      case s: ShuffleExchangeLike => s +: s.children.flatMap(shuffles)
+      case other => other.children.flatMap(shuffles) ++
+        other.subqueries.flatMap(shuffles)
+    }
+    val all = shuffles(df.queryExecution.executedPlan)
+    // the banded exchange (candidate distinct) must move exactly two longs
+    // per row: the tables× explode multiplies rows, so any vector column
+    // riding it multiplies shuffle bytes by `tables`
+    assert(all.exists(_.child.output.map(_.name).toSet == Set("qid", "id")),
+      all.map(_.child.output.map(_.name).mkString("[", ",", "]")).mkString(" "))
+  }
+
   test("LSH bucketing runs the native graft_dot, not interpreted HOF dots") {
     val emb = Fixtures.raw(spark, sfDir, "embeddings")
       .selectExpr("vec_id", "cast(embedding as array<double>) as embedding")
