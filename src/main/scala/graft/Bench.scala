@@ -8,6 +8,22 @@ import org.apache.spark.sql.SparkSession
   * warmup — the reference's own bench methodology also separates load from
   * query (BASELINE.md). Failures are reported in an `errors` map, never as
   * fake timings.
+  *
+  * Steal-robust measurement: this runs in a virtualized sandbox where the
+  * host can throttle or starve the JVM mid-run (round 5 saw the SAME binary
+  * swing 30-70× per query between two runs). Three defenses, so a noisy
+  * host is VISIBLE in the artifact instead of corrupting it:
+  *   - every timed section is the minimum of `SPARK_GRAFT_BENCH_REPS`
+  *     (default 3) repetitions — the minimum estimates the un-stolen cost;
+  *   - every wall time is paired with the JVM's process-CPU time over the
+  *     same interval (`cpu` map / `*_cpu_sec`): under host CPU steal, wall
+  *     inflates while CPU stays flat, so wall≫cpu with low parallelism is
+  *     the steal signature, wall≈cpu/k is honest k-way work;
+  *   - `effective_parallelism` (total timed CPU / total timed wall) next to
+  *     `host_cpus`: on an idle local[32] the parallel sections push this
+  *     well above 1; a throttled host pins it near or below 1.
+  * `scratch_medium` records whether temp tables hit tmpfs or disk — the
+  * reference baselines are disk-based, so a RAM-backed run must say so.
   */
 object Bench {
   /** Headline shapes mirroring BASELINE.md's query classes: full-scan agg,
@@ -28,6 +44,49 @@ object Bench {
     Option(dir.listFiles).getOrElse(Array.empty[java.io.File]).foreach(rm)
     dir.delete(); ()
   }
+
+  // ------------------------------------------------------------- timing
+
+  private val osBean = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean
+  /** JVM process CPU nanos (threads summed), -1 if the platform bean is
+    * unavailable. com.sun.management is part of the JDK (not an external
+    * dep); the cast fails soft. */
+  private def processCpu(): Long = osBean match {
+    case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+    case _ => -1L
+  }
+
+  private case class Timed(wallSec: Double, cpuSec: Double)
+
+  /** Accumulated (wall, cpu) across every timed repetition — the basis of
+    * the whole-run effective_parallelism metric. Warmups and untimed
+    * builds are excluded: they are deliberately not part of the claim. */
+  private var totalWallNs = 0L
+  private var totalCpuNs = 0L
+
+  private val reps: Int =
+    sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3)
+
+  /** min-of-reps wall time, with the process-CPU delta of the SAME
+    * (fastest) repetition. `setup` runs untimed before each rep — for
+    * sections whose body consumes its input (a fresh table per insert, a
+    * rebuilt log dir per cleanup). */
+  private def timed[A](nReps: Int = reps)(setup: => Unit = ())(body: => A): Timed = {
+    val runs = (0 until math.max(1, nReps)).map { _ =>
+      setup
+      val c0 = processCpu(); val w0 = System.nanoTime()
+      body
+      val w = System.nanoTime() - w0
+      val c = if (c0 < 0) -1L else processCpu() - c0
+      totalWallNs += w; if (c >= 0) totalCpuNs += c
+      (w, c)
+    }
+    val best = runs.minBy(_._1)
+    Timed(best._1 / 1e9, if (best._2 < 0) -1.0 else best._2 / 1e9)
+  }
+
+  private def f(v: Double): String = "%.4f".format(v)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -59,13 +118,16 @@ object Bench {
 
     // warmup: build the ice fixture tables the queries read; the build IS
     // the ingest benchmark, with insert and compaction timed separately so
-    // the rows/s comparison against BASELINE.md's load band is ingest-only
-    val t0 = System.nanoTime()
+    // the rows/s comparison against BASELINE.md's load band is ingest-only.
+    // Single-shot by nature (the fixtures persist for the query section),
+    // so the CPU pairing is the only steal telemetry here.
+    val loadCpu0 = processCpu(); val t0 = System.nanoTime()
     val events = Fixtures.eventsIce(spark, sfDir)
     val tLi0 = System.nanoTime()
     Fixtures.lineitemIce(spark, sfDir)
     val liSec = (System.nanoTime() - tLi0) / 1e9
     val loadSec = (System.nanoTime() - t0) / 1e9
+    val loadCpuSec = if (loadCpu0 < 0) -1.0 else (processCpu() - loadCpu0) / 1e9
     val insertSec = events.insertSec + liSec // lineitem build is insert-only
     val mergeSec = events.mergeSec
     val loadRows = Fixtures.raw(spark, sfDir, "events").count() +
@@ -76,22 +138,19 @@ object Bench {
     // hosts with slow disk that churn would evict the page-cached inputs
     // and bill disk latency to query time.
     val qs = SparkEntry.queries
-    val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val times = scala.collection.mutable.LinkedHashMap.empty[String, Timed]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // Untimed warmup pass: first execution of each plan shape pays one-time
     // codegen (janino) + JIT compilation — 5-7s on the heaviest plans, pure
-    // JVM startup artifact. The timed pass below measures steady state,
+    // JVM startup artifact. The timed passes measure steady state,
     // which is what the baseline's (warm-cache ClickHouse) numbers are.
     headline.foreach { name =>
       try qs(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
     headline.foreach { name =>
-      val t0 = System.nanoTime()
-      try {
-        qs(name)(spark, sfDir).count()
-        times(name) = (System.nanoTime() - t0) / 1e9
-      } catch {
+      try times(name) = timed()() { qs(name)(spark, sfDir).count() }
+      catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .replaceAll("[\"\\n\\r]", " ").take(200)
@@ -99,35 +158,46 @@ object Bench {
     }
 
     // The reference's own synthetic ingest benchmark, replicated: 6M small
-    // rows into 16 partitions on local storage (perf_tests/local_testing/
-    // README.md:10-24, 690k rows/s there). Same row shape (ts, user_id,
-    // event, properties JSON), same partition count — the one directly
-    // commensurable ingest number.
+    // rows into 16 partitions (perf_tests/local_testing/README.md:10-24,
+    // 690k rows/s there). Same row shape (ts, user_id, event, properties
+    // JSON), same partition count — the one directly commensurable ingest
+    // number. Each rep inserts into a FRESH table.
     val synthRows = 6_000_000L
-    val synthSec = {
+    def synthDf = {
       import org.apache.spark.sql.functions._
-      val synth = spark.range(synthRows).select(
+      spark.range(synthRows).select(
         col("id").as("ts"),
         concat(lit("user_"), pmod(col("id"), lit(16))).as("user_id"),
         lit("page_load").as("event"),
         to_json(struct(col("id").as("n"))).as("properties"))
+    }
+    def synthTable(shuffleIns: Boolean): (graft.ice.IceTable, String) = {
+      import org.apache.spark.sql.functions._
       val root = Fixtures.scratchDir("graft_synth")
-      val st = new graft.ice.IceTable(spark, root,
+      (new graft.ice.IceTable(spark, root,
         graft.ice.IceTableConfig(
           partitionExpr = concat(lit("u="), pmod(col("ts"), lit(16))),
-          sortOrder = Seq("event", "ts")))
-      val t = System.nanoTime()
-      st.insert(synth)
-      val sec = (System.nanoTime() - t) / 1e9
-      rm(new java.io.File(root))
-      sec
+          sortOrder = Seq("event", "ts"),
+          shuffleOnInsert = shuffleIns)), root)
     }
+    def timedInsert(shuffleIns: Boolean): Timed = {
+      var st: graft.ice.IceTable = null
+      var root: String = null
+      val t = timed()({
+        if (root != null) rm(new java.io.File(root))
+        val p = synthTable(shuffleIns); st = p._1; root = p._2
+      }) { st.insert(synthDf) }
+      rm(new java.io.File(root))
+      t
+    }
+    val synth = timedInsert(shuffleIns = true)
 
     // The reference's log-state-read benchmark, replicated: snapshot fold
     // over 2000 log files / 4000 markers (perf_tests/local_testing/
     // perf-test-1.md:57-66 — 7.37 s there, sequential GETs; ours fan out
-    // through the bounded log-IO pool).
-    val logReadSec = {
+    // through the bounded log-IO pool). The fold is read-only: one build,
+    // min-of-reps folds.
+    val logRead = {
       import graft.ice.{FileMarker, IceTable, IceTableConfig, Schema}
       import org.apache.spark.sql.functions.lit
       val root = Fixtures.scratchDir("graft_logbench")
@@ -140,12 +210,13 @@ object Bench {
             FileMarker(s"_data/p=1/b$i.parquet", base + i, 100L)),
           timestamp = Some(base + i))
       }
-      val t0 = System.nanoTime()
-      val snap = t.snapshot()
-      require(snap.files.length == 4000, s"expected 4000 markers, got ${snap.files.length}")
-      val sec = (System.nanoTime() - t0) / 1e9
+      val r = timed()() {
+        val snap = t.snapshot()
+        require(snap.files.length == 4000,
+          s"expected 4000 markers, got ${snap.files.length}")
+      }
       rm(new java.io.File(root))
-      sec
+      r
     }
 
     // The reference's tombstone-cleanup benchmark, replicated: 800 merged
@@ -153,78 +224,64 @@ object Bench {
     // disk) and one alive marker; cleanup must delete the 800 data files,
     // collapse 800 logs to 1, and keep the alive markers
     // (perf_tests/local_testing/perf-test-1.md:32 — 811 logs + 1012 data
-    // files in 4.33 s there).
-    val cleanupSec = {
+    // files in 4.33 s there). Cleanup consumes its input: rebuilt per rep.
+    val cleanup = {
       import graft.ice.{FileMarker, IceTable, IceTableConfig, Schema}
       import org.apache.spark.sql.functions.lit
-      val root = Fixtures.scratchDir("graft_cleanbench")
-      val t = new IceTable(spark, root, IceTableConfig(lit("p=1"), Seq.empty))
-      val sch = Schema("ts" -> "BIGINT")
-      val base = 1700000000000L
-      val dataDir = java.nio.file.Paths.get(root, "_data", "p=1")
-      java.nio.file.Files.createDirectories(dataDir)
-      (0 until 800).foreach { i =>
-        java.nio.file.Files.writeString(dataDir.resolve(s"dead$i.parquet"), "x")
-        t.logio.append(root, 1, sch,
-          Seq(FileMarker(s"_data/p=1/dead$i.parquet", base, 100L, Some(base + i)),
-            FileMarker(s"_data/p=1/live$i.parquet", base, 100L)),
-          merged = true, timestamp = Some(base + i))
+      var root: String = null
+      var t: IceTable = null
+      val r = timed()({
+        if (root != null) rm(new java.io.File(root))
+        root = Fixtures.scratchDir("graft_cleanbench")
+        t = new IceTable(spark, root, IceTableConfig(lit("p=1"), Seq.empty))
+        val sch = Schema("ts" -> "BIGINT")
+        val base = 1700000000000L
+        val dataDir = java.nio.file.Paths.get(root, "_data", "p=1")
+        java.nio.file.Files.createDirectories(dataDir)
+        (0 until 800).foreach { i =>
+          java.nio.file.Files.writeString(dataDir.resolve(s"dead$i.parquet"), "x")
+          t.logio.append(root, 1, sch,
+            Seq(FileMarker(s"_data/p=1/dead$i.parquet", base, 100L, Some(base + i)),
+              FileMarker(s"_data/p=1/live$i.parquet", base, 100L)),
+            merged = true, timestamp = Some(base + i))
+        }
+      }) {
+        val res = t.tombstoneCleanup(minAgeMs = 0L)
+        require(res.deletedDataFiles.length == 800 &&
+          res.cleanedLogFiles.length == 800,
+          s"cleanup bench invariant: ${res.deletedDataFiles.length}/${res.cleanedLogFiles.length}")
       }
-      val t0 = System.nanoTime()
-      val res = t.tombstoneCleanup(minAgeMs = 0L)
-      val sec = (System.nanoTime() - t0) / 1e9
-      require(res.deletedDataFiles.length == 800 && res.cleanedLogFiles.length == 800,
-        s"cleanup bench invariant: ${res.deletedDataFiles.length}/${res.cleanedLogFiles.length}")
       rm(new java.io.File(root))
-      sec
+      r
     }
 
     // The no-shuffle ingest path (shuffleOnInsert=false): each upstream
     // task writes its own file per held partition — zero shuffle, more
     // small files (compaction's job). Same 6M-row synthetic shape as above
     // so the two ingest modes are directly comparable.
-    def synthDf = {
-      import org.apache.spark.sql.functions._
-      spark.range(synthRows).select(
-        col("id").as("ts"),
-        concat(lit("user_"), pmod(col("id"), lit(16))).as("user_id"),
-        lit("page_load").as("event"),
-        to_json(struct(col("id").as("n"))).as("properties"))
-    }
-    def synthTable(shuffleIns: Boolean): (graft.ice.IceTable, String) = {
-      import org.apache.spark.sql.functions._
-      val root = Fixtures.scratchDir("graft_synth2")
-      (new graft.ice.IceTable(spark, root,
-        graft.ice.IceTableConfig(
-          partitionExpr = concat(lit("u="), pmod(col("ts"), lit(16))),
-          sortOrder = Seq("event", "ts"),
-          shuffleOnInsert = shuffleIns)), root)
-    }
-    val insertNoShuffleSec = {
-      val (st, root) = synthTable(shuffleIns = false)
-      val t = System.nanoTime()
-      st.insert(synthDf)
-      val sec = (System.nanoTime() - t) / 1e9
-      rm(new java.io.File(root))
-      sec
-    }
+    val insertNoShuffle = timedInsert(shuffleIns = false)
 
     // The reference's own 2000-file optimize scale (perf_tests/
     // local_testing/perf-test-1.md:48-49 — 16.0 s there): 125 input slices
     // × 16 partitions through the no-shuffle path = exactly 2000 files,
     // then one full-table optimize (16 concurrent 125-file merges, ONE
-    // log commit).
-    val optimize2000Sec = {
-      val (st, root) = synthTable(shuffleIns = false)
-      st.insert(synthDf.repartition(125))
-      val files = st.snapshot().aliveFiles.length
-      require(files == 2000, s"expected 2000 files, got $files")
-      val t = System.nanoTime()
-      st.optimize(maxFileSize = 10_000_000_000L, maxFileCount = 1000)
-      val sec = (System.nanoTime() - t) / 1e9
-      require(st.snapshot().aliveFiles.length == 16)
+    // log commit). The optimize consumes its input: rebuilt per rep
+    // (build untimed, optimize timed).
+    val optimize2000 = {
+      var st: graft.ice.IceTable = null
+      var root: String = null
+      val r = timed()({
+        if (root != null) rm(new java.io.File(root))
+        val p = synthTable(shuffleIns = false); st = p._1; root = p._2
+        st.insert(synthDf.repartition(125))
+        val files = st.snapshot().aliveFiles.length
+        require(files == 2000, s"expected 2000 files, got $files")
+      }) {
+        st.optimize(maxFileSize = 10_000_000_000L, maxFileCount = 1000)
+        require(st.snapshot().aliveFiles.length == 16)
+      }
       rm(new java.io.File(root))
-      sec
+      r
     }
 
     // The reference's row-group tuning experiment, replicated
@@ -239,7 +296,7 @@ object Bench {
     // ~10%), and column indexes OFF, which isolates ROW-GROUP-granularity
     // pruning — the reference-equivalent story, where 8192-row groups win
     // ~3-4× exactly as the reference measured.
-    val (rowgroupDefaultSec, rowgroup8kSec, rowgroupDefaultNoIdxSec, rowgroup8kNoIdxSec) = {
+    val (rowgroupDefault, rowgroup8k, rowgroupDefaultNoIdx, rowgroup8kNoIdx) = {
       import org.apache.spark.sql.functions._
       import graft.ice.{IceTable, IceTableConfig}
       val n = 6_000_000L
@@ -255,16 +312,14 @@ object Bench {
             .as("props")))
         (t, root)
       }
-      def timeSelective(t: IceTable): Double = {
+      def timeSelective(t: IceTable): Timed = {
         val lo = (n / 2) * 1000L
         val hi = lo + (n / 720) * 1000L
         def run(): Int = t.read().where(col("ts").between(lo, hi))
           .agg(count(lit(1)), max(col("event")), max(col("props")))
           .collect().length
         run() // untimed warmup: one-time codegen
-        (0 until 3).map { _ =>
-          val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
-        }.min
+        timed()() { run() }
       }
       val (dflt, dfltRoot) = build(None)
       val (rg8k, rg8kRoot) = build(Some(8192))
@@ -285,7 +340,7 @@ object Bench {
     // Sizing (measured): the wide payload makes the full scan real work
     // (~800 MB raw over ~6 row groups), and ndv must match rows-per-row-
     // group (~2M at this width) — undersizing to 200k tripled needle time.
-    val (bloomNeedleSec, noBloomNeedleSec) = {
+    val (bloomNeedle, noBloomNeedle) = {
       import org.apache.spark.sql.functions._
       import graft.ice.{IceTable, IceTableConfig}
       val n = 6_000_000L
@@ -302,31 +357,43 @@ object Bench {
           repeat(md5(col("id").cast("string")), 4).as("payload")))
         (t, root)
       }
-      def timeNeedle(bloom: Boolean): Double = {
+      def timeNeedle(bloom: Boolean): Timed = {
         val (t, root) = build(bloom)
         val needle = spark.range(1)
           .select(xxhash64(lit(424242L))).head.getLong(0)
         def run(): Long = t.read().where(col("id") === needle)
           .agg(count(lit(1)), max(col("payload"))).head.getLong(0)
         run() // warmup (codegen)
-        val sec = (0 until 3).map { _ =>
-          val t0 = System.nanoTime()
-          require(run() >= 1L, "needle row must exist")
-          (System.nanoTime() - t0) / 1e9
-        }.min
+        val r = timed()() { require(run() >= 1L, "needle row must exist") }
         rm(new java.io.File(root))
-        sec
+        r
       }
       (timeNeedle(true), timeNeedle(false))
     }
 
-    val qJson = times.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }
+    val qJson = times.map { case (k, v) => s""""$k":${f(v.wallSec)}""" }
+      .mkString("{", ",", "}")
+    val qCpuJson = times.map { case (k, v) => s""""$k":${f(v.cpuSec)}""" }
       .mkString("{", ",", "}")
     val eJson = errors.map { case (k, v) => s""""$k":"$v"""" }
       .mkString("{", ",", "}")
-    val total = times.values.sum
+    val total = times.values.map(_.wallSec).sum
+    val effParallelism =
+      if (totalWallNs > 0 && totalCpuNs > 0) totalCpuNs.toDouble / totalWallNs
+      else -1.0
+    val sections = Seq(
+      "synthetic_insert" -> synth, "insert_noshuffle" -> insertNoShuffle,
+      "optimize_2000" -> optimize2000,
+      "rowgroup_default" -> rowgroupDefault, "rowgroup8k" -> rowgroup8k,
+      "rowgroup_default_noindex" -> rowgroupDefaultNoIdx,
+      "rowgroup8k_noindex" -> rowgroup8kNoIdx,
+      "bloom_needle" -> bloomNeedle, "nobloom_needle" -> noBloomNeedle,
+      "log_read_2000" -> logRead, "cleanup_800" -> cleanup)
+    val sectionJson = sections.map { case (k, v) =>
+      s""""${k}_sec":${f(v.wallSec)},"${k}_cpu_sec":${f(v.cpuSec)}"""
+    }.mkString(",")
     val line =
-      s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec","queries":$qJson,"errors":$eJson,"load_sec":${"%.4f".format(loadSec)},"insert_sec":${"%.4f".format(insertSec)},"merge_sec":${"%.4f".format(mergeSec)},"load_rows":$loadRows,"synthetic_insert_rows":$synthRows,"synthetic_insert_sec":${"%.4f".format(synthSec)},"synthetic_insert_rows_per_sec":${(synthRows / synthSec).toLong},"insert_noshuffle_sec":${"%.4f".format(insertNoShuffleSec)},"optimize_2000_sec":${"%.4f".format(optimize2000Sec)},"rowgroup_default_sec":${"%.4f".format(rowgroupDefaultSec)},"rowgroup8k_sec":${"%.4f".format(rowgroup8kSec)},"rowgroup_default_noindex_sec":${"%.4f".format(rowgroupDefaultNoIdxSec)},"rowgroup8k_noindex_sec":${"%.4f".format(rowgroup8kNoIdxSec)},"bloom_needle_sec":${"%.4f".format(bloomNeedleSec)},"nobloom_needle_sec":${"%.4f".format(noBloomNeedleSec)},"log_read_2000_sec":${"%.4f".format(logReadSec)},"cleanup_800_sec":${"%.4f".format(cleanupSec)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"queries_cpu":$qCpuJson,"errors":$eJson,"load_sec":${f(loadSec)},"load_cpu_sec":${f(loadCpuSec)},"insert_sec":${f(insertSec)},"merge_sec":${f(mergeSec)},"load_rows":$loadRows,"synthetic_insert_rows":$synthRows,"synthetic_insert_rows_per_sec":${(synthRows / synth.wallSec).toLong},$sectionJson,"bench_reps":$reps,"effective_parallelism":${f(effParallelism)},"host_cpus":${Runtime.getRuntime.availableProcessors},"spark_cpus":$cpus,"scratch_medium":"${Fixtures.scratchMedium}","sf":"$sfDir"}"""
     // mirror to a file so the metric survives any stdout mangling
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), line + "\n")

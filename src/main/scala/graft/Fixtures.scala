@@ -51,6 +51,21 @@ object Fixtures {
     }
   }
 
+  /** The medium [[scratchDir]] resolves to right now — recorded in the
+    * bench JSON (and echoed in README's bench tables) so RAM-backed runs
+    * are never silently compared against disk-based baselines: the
+    * reference's own perf numbers were measured against local disk, and a
+    * tmpfs-backed ingest figure is a different experiment. */
+  def scratchMedium: String = sys.env.get("SPARK_GRAFT_TMP") match {
+    case Some(p) if p.startsWith("/dev/shm") => s"tmpfs ($p, via SPARK_GRAFT_TMP)"
+    case Some(p) => s"override ($p, via SPARK_GRAFT_TMP)"
+    case None =>
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite &&
+        shm.getUsableSpace > 16L * 1024 * 1024 * 1024) "tmpfs (/dev/shm)"
+      else s"disk (${sys.props.getOrElse("java.io.tmpdir", "/tmp")})"
+  }
+
   private def newRoot(tag: String): String = scratchDir(s"graft_$tag")
 
   /** Build every fixture table concurrently (they are independent roots;

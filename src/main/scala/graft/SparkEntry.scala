@@ -1403,7 +1403,8 @@ object SparkEntry {
         "sum(CASE WHEN t = 'spark' THEN 1 ELSE 0 END) AS tf0, " +
         "sum(CASE WHEN t = 'query' THEN 1 ELSE 0 END) AS tf1, " +
         "sum(CASE WHEN t = 'window' THEN 1 ELSE 0 END) AS tf2 FROM tk GROUP BY doc_id), " +
-        "pd AS (SELECT p.tf0, p.tf1, p.tf2 FROM documents d JOIN pd0 p USING (doc_id)), " +
+        "pd AS (SELECT coalesce(p.tf0, 0) AS tf0, coalesce(p.tf1, 0) AS tf1, " +
+        "coalesce(p.tf2, 0) AS tf2 FROM documents d LEFT JOIN pd0 p USING (doc_id)), " +
         "st AS (SELECT (SELECT count(*) FROM documents) AS n, " +
         "sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0, " +
         "sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1, " +

@@ -57,58 +57,59 @@ object Search {
       terms: Seq[String], k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "query must have at least one term")
+    // Pass 1: the one-row corpus aggregate (N, avgdl, df per term) —
+    // tiny and driver-safe, the ONLY eager step. The returned plan is
+    // fully lazy and re-derives the doc stats on execution: a second
+    // tokenization scan, but no corpus-sized cache/checkpoint pinned in
+    // executor storage (a non-reliable localCheckpoint of a corpus-sized
+    // result is lost with any executor at 100 TB).
     val stats = docTermStats(df, idCol, textCol, terms)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // one-row corpus aggregate: N, avgdl, df per term (tiny, driver-safe)
-      val corpusAggs = Seq(count(lit(1)).as("_n"), avg(col("_dl")).as("_avgdl")) ++
-        terms.indices.map(i =>
-          sum(when(col(s"_tf$i") > 0, 1L).otherwise(0L)).as(s"_df$i"))
-      val c = stats.agg(corpusAggs.head, corpusAggs.tail: _*).head()
-      val n = c.getLong(0)
-      val avgdl = c.getDouble(1)
-      val idf = terms.indices.map { i =>
-        val dfi = c.getLong(2 + i).toDouble
-        math.log(1.0 + (n - dfi + 0.5) / (dfi + 0.5))
-      }
-      // explicitly ordered contribution sum: ((c0 + c1) + c2) + ...
-      val score = terms.indices.map { i =>
-        val tf = col(s"_tf$i").cast("double")
-        lit(idf(i)) * tf * (k1 + 1.0) /
-          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / lit(avgdl)))
-      }.reduceLeft(_ + _)
-      stats.select(col("_id").as(idCol), score.as("_score"))
-        .where(col("_score") > 0)
-        .orderBy(col("_score").desc, col(idCol))
-        .limit(k)
-        .select(col(idCol), round(col("_score"), 4).as("score"))
-        .localCheckpoint(true)
-    } finally stats.unpersist()
+    val corpusAggs = Seq(count(lit(1)).as("_n"), avg(col("_dl")).as("_avgdl")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"_tf$i") > 0, 1L).otherwise(0L)).as(s"_df$i"))
+    val c = stats.agg(corpusAggs.head, corpusAggs.tail: _*).head()
+    val n = c.getLong(0)
+    val avgdl = c.getDouble(1)
+    val idf = terms.indices.map { i =>
+      val dfi = c.getLong(2 + i).toDouble
+      math.log(1.0 + (n - dfi + 0.5) / (dfi + 0.5))
+    }
+    // explicitly ordered contribution sum: ((c0 + c1) + c2) + ...
+    val score = terms.indices.map { i =>
+      val tf = col(s"_tf$i").cast("double")
+      lit(idf(i)) * tf * (k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / lit(avgdl)))
+    }.reduceLeft(_ + _)
+    stats.select(col("_id").as(idCol), score.as("_score"))
+      .where(col("_score") > 0)
+      .orderBy(col("_score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("_score"), 4).as("score"))
   }
 
   /** Term-frequency/inverse-document-frequency vector norm per doc for a
     * fixed vocabulary — the dense-scoring building block ([[bm25TopK]] is
-    * the ranked retrieval surface). Returns (idCol, tfidf_norm). */
+    * the ranked retrieval surface). Returns (idCol, tfidf_norm) with ONE
+    * row per source document: `N` is the full corpus size and a document
+    * whose text tokenizes to nothing still appears, with norm 0 — the
+    * groupBy-after-explode would otherwise silently drop it and skew the
+    * idf denominator. Lazy like [[bm25TopK]]: only the one-row df-count
+    * aggregate executes eagerly. */
   def tfidfNorm(
       df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String]): DataFrame = {
-    // cache the one-pass term stats: both the df-count aggregate and the
-    // final projection read it — uncached, the corpus tokenizes twice
     val stats = docTermStats(df, idCol, textCol, terms)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val aggs = count(lit(1)).as("_n") +: terms.indices.map(i =>
-        sum(when(col(s"_tf$i") > 0, 1L).otherwise(0L)).as(s"_df$i"))
-      val r = stats.agg(aggs.head, aggs.tail: _*).head()
-      val n = r.getLong(0).toDouble
-      val comps: Seq[Column] = terms.indices.map { i =>
-        val idf = math.log((n + 1.0) / (r.getLong(1 + i) + 1.0)) + 1.0
-        val v = col(s"_tf$i").cast("double") * lit(idf)
-        v * v
-      }
-      stats.select(col("_id").as(idCol),
-        sqrt(comps.reduceLeft(_ + _)).as("tfidf_norm"))
-        .localCheckpoint(true)
-    } finally stats.unpersist()
+    val n = df.count().toDouble // ALL docs, token-less included
+    val aggs = terms.indices.map(i =>
+      sum(when(col(s"_tf$i") > 0, 1L).otherwise(0L)).as(s"_df$i"))
+    val r = stats.agg(aggs.head, aggs.tail: _*).head()
+    val comps: Seq[Column] = terms.indices.map { i =>
+      val idf = math.log((n + 1.0) / (r.getLong(i) + 1.0)) + 1.0
+      val v = coalesce(col(s"_tf$i"), lit(0L)).cast("double") * lit(idf)
+      v * v
+    }
+    df.select(col(idCol))
+      .join(stats.withColumnRenamed("_id", idCol), Seq(idCol), "left")
+      .select(col(idCol), sqrt(comps.reduceLeft(_ + _)).as("tfidf_norm"))
   }
 }

@@ -29,12 +29,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r.getDouble(0) == 11.0)
       assert(r.getDouble(1) == 1.0)
       assert(r.getInt(2) == 2)
-      // the shared base session does NOT see the injected functions —
-      // extensions scope to the session they were built with
-      val base = SparkSpec.session
-      val err = intercept[Exception](
-        base.sql("SELECT graft_dot_not_injected(1, 2)"))
-      assert(err != null)
+      // a session built WITHOUT the extensions does not see the injected
+      // functions — injection must be per-session, never a write into the
+      // static builtin registry. (Not asserted on the shared base session:
+      // other suites legitimately register graft_dot there as a temp
+      // function, which would make the check order-dependent.)
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      val plain = SparkSession.builder().master("local[4]").getOrCreate()
+      intercept[org.apache.spark.sql.AnalysisException](
+        plain.sql("SELECT graft_dot(array(1.0d), array(1.0d))").collect())
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

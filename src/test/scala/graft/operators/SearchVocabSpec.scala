@@ -52,6 +52,21 @@ class SearchVocabSpec extends SparkSpec {
     assert(got(1L) > got(3L))
   }
 
+  test("tfidfNorm keeps token-less docs: norm 0, and N counts the full corpus") {
+    // doc 9 has null text: tokens() is null, the explode emits no row, and
+    // the groupBy would silently drop it — it must still appear (norm 0),
+    // and the idf N must be 6 (all docs), not 5 (tokenized docs): with
+    // N=6, idf(spark) = ln(7/3)+1; doc 1 norm = 3 * idf
+    val withEmpty = corpus.union(Seq((9L, null.asInstanceOf[String]))
+      .toDF("id", "text"))
+    val got = Search.tfidfNorm(withEmpty, "id", "text", Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L, 9L))
+    assert(got(9L) == 0.0)
+    val idf = math.log(7.0 / 3.0) + 1.0
+    assert(math.abs(got(1L) - 3.0 * idf) < 1e-9)
+  }
+
   test("vocab build is deterministic under frequency ties and coverage adds up") {
     val vocab = Vocab.build(corpus, "text", size = 3)
       .collect().map(r => (r.getString(0), r.getLong(1)))
