@@ -217,6 +217,46 @@ object SparkEntry {
       s.table(sink).orderBy(col("event_type"))
     }),
 
+    "a22_http_roundtrip" -> ((s, d) => {
+      // A22 end-to-end through the real HTTP edge: 500 events POST as
+      // NDJSON to /insert, /flush commits them as ONE atomic ice insert,
+      // and GET /query runs SQL over the snapshot and returns CSV. The
+      // CSV aggregates are re-emitted as the graded row, so DuckDB
+      // re-derives them from the raw parquet — VALUES prove the payload
+      // survived the edge, not just a row count.
+      import java.net.URI
+      import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+      val src = Fixtures.raw(s, d, "events").where(col("event_id") < 500)
+        .select(col("event_id"), col("event_type"), col("user_id"))
+      val nd = src.toJSON.collect().mkString("\n") // 500 short lines: edge-scale
+      val root = Fixtures.scratchDir("graft_http")
+      val table = new IceTable(s, root, IceTableConfig(
+        partitionExpr = concat(lit("t="), col("event_type")),
+        sortOrder = Seq("event_id")))
+      val api = new graft.sources.IceHttpApi(table, flushIntervalMs = 0)
+      val addr = api.start()
+      try {
+        val client = HttpClient.newHttpClient()
+        val base = s"http://localhost:${addr.getPort}"
+        client.send(HttpRequest.newBuilder(URI.create(s"$base/insert"))
+          .POST(HttpRequest.BodyPublishers.ofString(nd)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        client.send(HttpRequest.newBuilder(URI.create(s"$base/flush"))
+          .POST(HttpRequest.BodyPublishers.noBody()).build(),
+          HttpResponse.BodyHandlers.ofString())
+        val sql = java.net.URLEncoder.encode(
+          "select count(*) as r, sum(event_id) as s, " +
+            "count(distinct user_id) as u from ice", "UTF-8")
+        val csv = client.send(
+          HttpRequest.newBuilder(URI.create(s"$base/query?sql=$sql"))
+            .GET().build(), HttpResponse.BodyHandlers.ofString()).body()
+        val cols = csv.split("\n")(1).split(",")
+        import s.implicits._
+        Seq((cols(0).toLong, cols(1).toLong, cols(2).toLong))
+          .toDF("http_rows", "http_sum", "http_users")
+      } finally api.stop()
+    }),
+
     // --------------------------------------------- delegated query surface
     "b2_partition_columns" -> ((s, d) => {
       val t = Fixtures.eventsIce(s, d).table
@@ -648,6 +688,20 @@ object SparkEntry {
           min(col("sample_rate")).as("min_rate"),
           max(col("sample_rate")).as("max_rate"),
           sum(col("channels")).cast("bigint").as("mono_channels"),
+          count(lit(1)).as("cnt"))
+    }),
+    "llm_multimodal_mp3" -> ((s, d) => {
+      // REAL MP3 metadata decode graded: payloads are actual MPEG1 Layer
+      // III frame streams behind an ID3v2 tag (frame count a closed-form
+      // function of doc_id); the pure-Scala frame-header walk
+      // (Multimodal.CompressedAudioHeaders) recovers samples/rate/duration
+      val media = Multimodal.packMp3(Fixtures.raw(s, d, "documents"), "doc_id")
+      Multimodal.decodeCompressedAudioMeta(media)
+        .agg(sum(col("n_frames")).cast("bigint").as("total_samples"),
+          min(col("sample_rate")).as("min_rate"),
+          max(col("sample_rate")).as("max_rate"),
+          sum(col("channels")).cast("bigint").as("mono_channels"),
+          round(max(col("duration_sec")), 6).as("max_dur"),
           count(lit(1)).as("cnt"))
     }),
     "llm_multimodal_pipeline" -> ((s, d) => {
@@ -1091,6 +1145,9 @@ object SparkEntry {
       ("SELECT count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id, " +
         "CAST(0 AS BIGINT) AS evens FROM events WHERE event_id % 2 = 1"),
     // exactly-once: replayed batches (incl. post-compaction) inserted once
+    "a22_http_roundtrip" ->
+      ("SELECT count(*) AS http_rows, CAST(sum(event_id) AS BIGINT) AS http_sum, " +
+        "count(DISTINCT user_id) AS http_users FROM events WHERE event_id < 500"),
     "a25_stream_exactly_once" ->
       ("SELECT count(*) AS cnt, count(DISTINCT event_id) AS uniq, " +
         "CAST(1 AS BIGINT) AS last_batch FROM events"),
@@ -1192,6 +1249,12 @@ object SparkEntry {
       ("SELECT CAST(sum(100 + doc_id % 50) AS BIGINT) AS total_frames, " +
         "CAST(8000 AS INTEGER) AS min_rate, CAST(8000 AS INTEGER) AS max_rate, " +
         "count(*) AS mono_channels, count(*) AS cnt FROM documents"),
+    "llm_multimodal_mp3" ->
+      ("SELECT CAST(sum((10 + doc_id % 20) * 1152) AS BIGINT) AS total_samples, " +
+        "CAST(44100 AS INTEGER) AS min_rate, CAST(44100 AS INTEGER) AS max_rate, " +
+        "count(*) AS mono_channels, " +
+        "round(max((10 + doc_id % 20) * 1152 / 44100.0), 6) AS max_dur, " +
+        "count(*) AS cnt FROM documents"),
     "llm_lang_quality" ->
       "SELECT count(*) AS total_docs, true AS quality_in_range, true AS lang_in_domain FROM documents",
     "llm_minhash_dedup" ->

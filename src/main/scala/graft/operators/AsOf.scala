@@ -22,8 +22,21 @@ import org.apache.spark.sql.functions._
   * over rows-between(unboundedPreceding, current) then fills each left row
   * with the most recent right payload in scan order. Cost at any scale:
   * one shuffle on the key + one per-key sort — identical to a single
-  * groupBy, with no row multiplication anywhere. Skewed keys shard like
-  * any other window (AQE handles the shuffle; the sort is linear).
+  * groupBy, with no row multiplication anywhere.
+  *
+  * Hot keys: one key's whole history lands in ONE window partition (one
+  * task — AQE splits shuffle partitions, never a window partition). The
+  * work stays strictly LINEAR in that key's row count (sort + one scan,
+  * spilling if needed) — a 10⁶-row single-key history completes in
+  * seconds (SkewSpec) where the range-join formulation would do 10¹²
+  * comparisons. For histories beyond what one task should sort, shard
+  * time-ranges explicitly: process left by time-slice with the right side
+  * pre-filtered to `[sliceStart - maxLookback, sliceEnd]`, or
+  * pre-aggregate the right side to the per-(key, slice) last row first —
+  * both compose from this operator unchanged. Key-salting
+  * ([[Skew.saltedJoin]]) does NOT apply here: as-of needs the full
+  * per-key time order, and a salted split would lose cross-shard
+  * lookback.
   *
   * Direction semantics match pandas `merge_asof` / DuckDB `ASOF JOIN`:
   *  - backward (default): latest right row with `r.ts <= l.ts`

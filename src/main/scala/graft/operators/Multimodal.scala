@@ -13,11 +13,13 @@ import org.apache.spark.sql.types._
   * Images have a REAL codec ([[JdkImageCodec]], `javax.imageio` — in the
   * JDK, zero dependencies): true header dimensions, proportional resize,
   * PNG re-encode. Audio metadata is REAL for WAV/AIFF/AU
-  * ([[decodeAudioMetaReal]], `javax.sound.sampled`): sample rate,
-  * channels, frames, duration. Video and compressed-audio codecs don't
-  * exist in the JDK, so those paths use [[FakeCodec]], a deterministic
-  * stand-in deriving metadata from payload bytes; the Spark-side contract
-  * — schema, batch shape, partitioning, null behavior — is identical, so
+  * ([[decodeAudioMetaReal]], `javax.sound.sampled`) AND for MP3/OGG
+  * ([[CompressedAudioHeaders]] — pure-Scala MPEG frame-header / OGG page
+  * walk, no codec needed for metadata): sample rate, channels, samples,
+  * duration. Only video frame extraction still uses [[FakeCodec]], a
+  * deterministic stand-in deriving frames from payload bytes (the JDK has
+  * no video codec and the build is offline); the Spark-side contract —
+  * schema, batch shape, partitioning, null behavior — is identical, so
   * swapping in javacv/ffmpeg touches only the codec object.
   */
 object Multimodal {
@@ -256,6 +258,211 @@ object Multimodal {
               (fmt.getSampleRate.toInt, fmt.getChannels, frames, dur)
             } catch { case _: Exception => (-1, -1, -1L, -1.0) }
           Row(r.getLong(0), meta._1, meta._2, meta._3, meta._4)
+        }
+      }(enc)
+  }
+
+  // ------------------------------------- compressed-audio header parsing
+
+  /** REAL MP3/OGG *metadata* decode in pure Scala — no codec required:
+    * sample rate, channels, total samples, and duration come straight from
+    * MPEG frame headers (`reference: README.md:29-31` treats media as
+    * opaque engine-external payloads; here the header walk is the decode).
+    * MP3: skip any ID3v2 tag (syncsafe size), find the first 0xFFE sync,
+    * then hop frame-to-frame via the frame-length formula
+    * (`spf/8 * bitrate / sampleRate + padding`), summing samples-per-frame
+    * (1152 for MPEG1 Layer III, 576 for MPEG2/2.5). OGG: walk page
+    * headers (`OggS` capture pattern, 27-byte header + segment table),
+    * read channels + rate from the Vorbis identification packet in the
+    * first page, duration from the last page's granule position. Audio
+    * PAYLOAD decode of these formats still needs an external codec — but
+    * metadata does not, and metadata is what pipeline filters consume.
+    */
+  object CompressedAudioHeaders {
+    final case class AudioMeta(
+        sampleRate: Int, channels: Int, totalSamples: Long, durationSec: Double)
+
+    // Layer III bitrate tables, kbps (index 0 = free, 15 = bad)
+    private val mpeg1L3 =
+      Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+    private val mpeg2L3 =
+      Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+    // sample-rate tables by version bits (3=MPEG1, 2=MPEG2, 0=MPEG2.5)
+    private val rates = Map(
+      3 -> Array(44100, 48000, 32000),
+      2 -> Array(22050, 24000, 16000),
+      0 -> Array(11025, 12000, 8000))
+
+    /** MP3 = MPEG Layer III. Other layers/free-form bitrates → None. */
+    def mp3Meta(payload: Array[Byte]): Option[AudioMeta] = {
+      if (payload == null || payload.length < 4) return None
+      var o = 0
+      if (payload.length >= 10 && payload(0) == 'I' && payload(1) == 'D' &&
+        payload(2) == '3') {
+        val size = ((payload(6) & 0x7f) << 21) | ((payload(7) & 0x7f) << 14) |
+          ((payload(8) & 0x7f) << 7) | (payload(9) & 0x7f)
+        o = 10 + size
+      }
+      var frames = 0L; var samples = 0L; var rate = -1; var chans = -1
+      var scanning = true
+      while (scanning && o + 4 <= payload.length) {
+        val b1 = payload(o) & 0xff; val b2 = payload(o + 1) & 0xff
+        val synced = b1 == 0xff && (b2 & 0xe0) == 0xe0
+        if (synced) {
+          val version = (b2 >> 3) & 0x3 // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+          val layer = (b2 >> 1) & 0x3   // 1=Layer III
+          val b3 = payload(o + 2) & 0xff
+          val brIdx = (b3 >> 4) & 0xf
+          val srIdx = (b3 >> 2) & 0x3
+          val padding = (b3 >> 1) & 0x1
+          val mode = (payload(o + 3) >> 6) & 0x3 // 3=mono
+          if (version == 1 || layer != 1 || brIdx == 0 || brIdx == 15 ||
+            srIdx == 3) {
+            // false sync (garbage that happens to carry 0xFFE): before the
+            // first real frame, resync byte-by-byte like any mp3 reader;
+            // after it, the stream is over
+            if (frames == 0) o += 1 else scanning = false
+          } else {
+            val sr = rates(version)(srIdx)
+            val kbps = if (version == 3) mpeg1L3(brIdx) else mpeg2L3(brIdx)
+            val spf = if (version == 3) 1152 else 576
+            val frameLen = spf / 8 * (kbps * 1000) / sr + padding
+            if (frameLen <= 4 || o + frameLen > payload.length) {
+              if (frames == 0) o += 1 else scanning = false
+            } else {
+              frames += 1; samples += spf
+              if (rate < 0) { rate = sr; chans = if (mode == 3) 1 else 2 }
+              o += frameLen
+            }
+          }
+        } else if (frames == 0) o += 1 // pre-sync garbage: keep scanning
+        else scanning = false          // post-stream garbage: done
+      }
+      if (frames == 0 || rate <= 0) None
+      else Some(AudioMeta(rate, chans, samples, samples.toDouble / rate))
+    }
+
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) |
+        ((b(o + 3) & 0xff) << 24)
+    private def le64(b: Array[Byte], o: Int): Long =
+      (0 until 8).map(i => (b(o + i) & 0xffL) << (8 * i)).reduce(_ | _)
+
+    /** OGG container with a Vorbis identification header. Granule position
+      * of the last page = total PCM samples (the Vorbis/Opus convention).
+      * CRCs are not verified — this is a metadata reader, not a codec. */
+    def oggMeta(payload: Array[Byte]): Option[AudioMeta] = {
+      if (payload == null || payload.length < 27) return None
+      var o = 0; var rate = -1; var chans = -1
+      var lastGranule = -1L; var pages = 0; var ok = true
+      while (ok && o + 27 <= payload.length && payload(o) == 'O' &&
+        payload(o + 1) == 'g' && payload(o + 2) == 'g' && payload(o + 3) == 'S') {
+        val granule = le64(payload, o + 6)
+        val nSegs = payload(o + 26) & 0xff
+        if (o + 27 + nSegs > payload.length) ok = false
+        else {
+          var bodyLen = 0
+          (0 until nSegs).foreach(i => bodyLen += payload(o + 27 + i) & 0xff)
+          val bodyStart = o + 27 + nSegs
+          if (bodyStart + bodyLen > payload.length) ok = false
+          else {
+            if (pages == 0 && bodyLen >= 16 && payload(bodyStart) == 1 &&
+              new String(payload, bodyStart + 1, 6, "US-ASCII") == "vorbis") {
+              chans = payload(bodyStart + 11) & 0xff
+              rate = le32(payload, bodyStart + 12)
+            }
+            if (granule >= 0) lastGranule = granule
+            pages += 1
+            o = bodyStart + bodyLen
+          }
+        }
+      }
+      if (pages == 0 || rate <= 0 || lastGranule < 0) None
+      else Some(AudioMeta(rate, chans, lastGranule,
+        lastGranule.toDouble / rate))
+    }
+  }
+
+  /** Pack each row as a REAL parseable MP3 stream — an ID3v2 tag (which
+    * the parser must skip) followed by `10 + id % 20` MPEG1 Layer III
+    * frames at 44.1 kHz / 128 kbps mono, zero-filled payloads — so the
+    * frame-header walk has a closed-form oracle:
+    * samples = (10 + id % 20) * 1152. */
+  def packMp3(df: DataFrame, idCol: String): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        val frameLen = 144 * 128000 / 44100 // 417 bytes, padding 0
+        rows.map { r =>
+          val id = r.getLong(0)
+          val nFrames = (10 + id % 20).toInt
+          val out = new Array[Byte](16 + nFrames * frameLen)
+          // ID3v2.3 tag: 10-byte header, syncsafe size = 6 bytes of padding
+          out(0) = 'I'; out(1) = 'D'; out(2) = '3'; out(3) = 3; out(9) = 6
+          var i = 0
+          while (i < nFrames) {
+            val o = 16 + i * frameLen
+            out(o) = 0xFF.toByte     // sync
+            out(o + 1) = 0xFB.toByte // sync + MPEG1 + Layer III + no CRC
+            out(o + 2) = 0x90.toByte // 128 kbps, 44100 Hz, no padding
+            out(o + 3) = 0xC0.toByte // mono
+            i += 1
+          }
+          Row(id, "audio/mpeg", out, Map("frames" -> nFrames.toString))
+        }
+      }(enc)
+  }
+
+  /** Pack each row as a REAL minimal OGG/Vorbis container: a BOS page
+    * carrying the Vorbis identification header (1 ch, 8 kHz) and an EOS
+    * page whose granule position is `8000 + (id % 16) * 100` samples. */
+  def packOgg(df: DataFrame, idCol: String): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    def page(headerType: Int, granule: Long, seq: Int, body: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](27 + 1 + body.length)
+      out(0) = 'O'; out(1) = 'g'; out(2) = 'g'; out(3) = 'S'
+      out(5) = headerType.toByte
+      (0 until 8).foreach(i => out(6 + i) = ((granule >> (8 * i)) & 0xff).toByte)
+      out(18) = seq.toByte // page sequence (low byte is enough here)
+      out(26) = 1          // one segment
+      out(27) = body.length.toByte
+      System.arraycopy(body, 0, out, 28, body.length)
+      out
+    }
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val samples = 8000L + (id % 16) * 100
+          val idHdr = new Array[Byte](30)
+          idHdr(0) = 1
+          "vorbis".getBytes("US-ASCII").copyToArray(idHdr, 1)
+          idHdr(11) = 1 // channels
+          idHdr(12) = (8000 & 0xff).toByte; idHdr(13) = (8000 >> 8).toByte
+          val payload = page(0x02, 0L, 0, idHdr) ++
+            page(0x04, samples, 1, new Array[Byte](10))
+          Row(id, "audio/ogg", payload, Map("samples" -> samples.toString))
+        }
+      }(enc)
+  }
+
+  /** Metadata decode for compressed audio (MP3 frame headers, OGG pages):
+    * same contract and output schema as [[decodeAudioMetaReal]];
+    * `n_frames` is total PCM samples so `duration = n_frames/sample_rate`
+    * holds across both decoders. Undecodable → (-1, -1, -1, -1.0). */
+  def decodeCompressedAudioMeta(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(audioSchema)
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]](1)
+          CompressedAudioHeaders.mp3Meta(payload)
+            .orElse(CompressedAudioHeaders.oggMeta(payload)) match {
+            case Some(m) =>
+              Row(r.getLong(0), m.sampleRate, m.channels, m.totalSamples,
+                m.durationSec)
+            case None => Row(r.getLong(0), -1, -1, -1L, -1.0)
+          }
         }
       }(enc)
   }

@@ -33,6 +33,7 @@ final class IceHttpApi(
   private val buffer = mutable.ArrayBuffer.empty[String]
   private var server: HttpServer = _
   private var timer: ScheduledExecutorService = _
+  private var pool: java.util.concurrent.ExecutorService = _
   private val spark = table.spark
 
   def start(port: Int = 0): InetSocketAddress = synchronized {
@@ -76,7 +77,10 @@ final class IceHttpApi(
       }
       (200, (header +: rows.toSeq).mkString("\n"))
     })
-    server.setExecutor(Executors.newFixedThreadPool(4))
+    // non-daemon worker threads would outlive stop() and pin the JVM:
+    // keep the pool so stop() can shut it down
+    pool = Executors.newFixedThreadPool(4)
+    server.setExecutor(pool)
     server.start()
     if (flushIntervalMs > 0) {
       timer = Executors.newSingleThreadScheduledExecutor(r => {
@@ -143,5 +147,6 @@ final class IceHttpApi(
   def stop(): Unit = synchronized {
     if (timer != null) timer.shutdownNow()
     if (server != null) server.stop(0)
+    if (pool != null) pool.shutdownNow()
   }
 }

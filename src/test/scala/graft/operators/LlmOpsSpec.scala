@@ -237,6 +237,44 @@ class LlmOpsSpec extends SparkSpec {
     assert(meta(3L) == (-1, -1, -1L, -1.0))
   }
 
+  test("real MP3 metadata: frame-header walk with ID3 skip") {
+    // packMp3 writes genuine MPEG1 Layer III frame streams; the parser
+    // must skip the ID3v2 tag, hop frame-to-frame, and sum 1152 samples
+    // per frame at 44.1 kHz mono
+    val ids = Seq(0L, 7L, 19L).toDF("doc_id")
+    val meta = Multimodal.decodeCompressedAudioMeta(
+      Multimodal.packMp3(ids, "doc_id")).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4))).toMap
+    Seq(0L, 7L, 19L).foreach { id =>
+      val samples = (10 + id % 20) * 1152
+      assert(meta(id) == (44100, 1, samples, samples.toDouble / 44100),
+        s"id=$id: ${meta(id)}")
+    }
+    // raw header-only parse (no DataFrame): garbage before sync is scanned
+    // over, garbage payloads are rejected
+    val one = Multimodal.packMp3(Seq(3L).toDF("doc_id"), "doc_id")
+      .select("payload").head.getAs[Array[Byte]](0)
+    val withJunk = Array[Byte](0, 42, -1) ++ one.drop(16) // strip ID3, prepend junk
+    val m = Multimodal.CompressedAudioHeaders.mp3Meta(withJunk)
+    assert(m.exists(_.totalSamples == 13 * 1152))
+    assert(Multimodal.CompressedAudioHeaders.mp3Meta("nope".getBytes).isEmpty)
+  }
+
+  test("real OGG metadata: page walk reads vorbis id header and granule") {
+    val ids = Seq(0L, 5L, 15L).toDF("doc_id")
+    val meta = Multimodal.decodeCompressedAudioMeta(
+      Multimodal.packOgg(ids, "doc_id")).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4))).toMap
+    Seq(0L, 5L, 15L).foreach { id =>
+      val samples = 8000L + (id % 16) * 100
+      assert(meta(id) == (8000, 1, samples, samples.toDouble / 8000),
+        s"id=$id: ${meta(id)}")
+    }
+    assert(Multimodal.CompressedAudioHeaders.oggMeta("OggX junk".getBytes).isEmpty)
+  }
+
   test("real image codec: PNG decode, proportional resize, re-decode") {
     import java.awt.image.BufferedImage
     import java.io.ByteArrayOutputStream

@@ -48,6 +48,37 @@ class SkewSpec extends SparkSpec {
     assert(got.length == 1225)
   }
 
+  test("asofJoin: 10^6-row single-key history completes, linear not quadratic") {
+    // every row shares one key: the whole history is ONE window partition
+    // (one task), but the work is a sort + one scan — the range-join
+    // formulation would attempt 10^6 x 10^5 comparisons here
+    val n = 1000000L
+    val left = spark.range(n).select(lit(1L).as("k"), ($"id" * 10).as("ts"))
+    val right = spark.range(n / 10)
+      .select(lit(1L).as("k"), ($"id" * 100).as("rts"), $"id".as("v"))
+    val out = AsOf.asofJoin(left, right, Seq("k"), Seq("k"), "ts", "rts", Seq("v"))
+    assert(out.count() == n) // left join: every left row survives
+    // spot-check the as-of semantics deep in the history:
+    // ts=999990 -> latest rts <= ts is 999900 -> v = 9999
+    val v = out.where($"ts" === 999990L).select("v").as[Long].head()
+    assert(v == 9999L)
+  }
+
+  test("windowJoin: 10^6-row hot key spread over time stays bucket-bounded") {
+    // single hot key, rows spread over time: the (key, bucket) equi-join
+    // bounds per-group work by bucket population (~2x4 here), never by the
+    // key's 10^6 rows — the naive key-join residual-filter plan would do
+    // 10^12 comparisons in one sort-merge group
+    val n = 1000000L
+    val left = spark.range(n).select(lit(7L).as("k"), ($"id" * 100).as("ts"))
+    val right = spark.range(n)
+      .select(lit(7L).as("k"), ($"id" * 100 + 50).as("rts"), $"id".as("v"))
+    val out = RangeJoin.windowJoin(left, right, Seq("k"), Seq("k"),
+      "ts", "rts", before = 100, after = 100, Seq("v"))
+    // left at 100i matches rts 100i+50 and 100i-50; i=0 has only the former
+    assert(out.count() == 2 * n - 1)
+  }
+
   test("key histogram surfaces the hot key") {
     val facts = spark.range(0, 1000)
       .select(when($"id" % 10 === 0, $"id" % 5).otherwise(0L).as("k"))

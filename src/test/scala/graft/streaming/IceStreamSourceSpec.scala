@@ -59,6 +59,35 @@ class IceStreamSourceSpec extends SparkSpec {
     assert(drain(table.root, ckpt) == Set.empty[Long])
   }
 
+  test("mid-stream recluster: reader sees no duplicates and no gaps") {
+    // the CDC analog of ReclusterSpec's MVCC test: recluster commits one
+    // merged (_m) log that rewrites EVERY alive file — including files the
+    // reader has not consumed yet. The contract: merged logs emit nothing
+    // (no duplicates of already-streamed history) and the yet-unstreamed
+    // insert still arrives exactly once from its original non-merged log
+    // (no gap), because recluster tombstones but never deletes — deletion
+    // is tombstone cleanup's job, which must lag the slowest consumer.
+    val table = newTable("iss_recluster")
+    val ckpt = tmpDir("iss_recluster_ckpt")
+    table.insert(rows(0 until 10)); Thread.sleep(3)
+    assert(drain(table.root, ckpt) == (0L until 10L).toSet)
+
+    // insert, then recluster BEFORE the reader catches up
+    table.insert(rows(10 until 20)); Thread.sleep(3)
+    assert(table.recluster(col("id")) >= 1)
+    Thread.sleep(3)
+    assert(drain(table.root, ckpt) == (10L until 20L).toSet)
+
+    // the stream keeps flowing normally after the recluster boundary
+    table.insert(rows(20 until 30)); Thread.sleep(3)
+    assert(drain(table.root, ckpt) == (20L until 30L).toSet)
+
+    // a FRESH reader replaying from zero across the recluster sees every
+    // row exactly once too
+    assert(drain(table.root, tmpDir("iss_recluster_ckpt2")) ==
+      (0L until 30L).toSet)
+  }
+
   test("startingTimestamp=latest skips history and survives restart") {
     val table = newTable("iss_latest")
     table.insert(rows(0 until 15)); Thread.sleep(3)
