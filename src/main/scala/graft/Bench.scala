@@ -393,7 +393,7 @@ object Bench {
       s""""${k}_sec":${f(v.wallSec)},"${k}_cpu_sec":${f(v.cpuSec)}"""
     }.mkString(",")
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"queries_cpu":$qCpuJson,"errors":$eJson,"load_sec":${f(loadSec)},"load_cpu_sec":${f(loadCpuSec)},"insert_sec":${f(insertSec)},"merge_sec":${f(mergeSec)},"load_rows":$loadRows,"synthetic_insert_rows":$synthRows,"synthetic_insert_rows_per_sec":${(synthRows / synth.wallSec).toLong},$sectionJson,"bench_reps":$reps,"effective_parallelism":${f(effParallelism)},"host_cpus":${Runtime.getRuntime.availableProcessors},"spark_cpus":$cpus,"scratch_medium":"${Fixtures.scratchMedium}","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"queries_cpu":$qCpuJson,"errors":$eJson,"load_sec":${f(loadSec)},"load_cpu_sec":${f(loadCpuSec)},"insert_sec":${f(insertSec)},"merge_sec":${f(mergeSec)},"load_rows":$loadRows,"synthetic_insert_rows":$synthRows,"synthetic_insert_rows_per_sec":${(synthRows / synth.wallSec).toLong},$sectionJson,"bench_reps":$reps,"effective_parallelism":${f(effParallelism)},"host_cpus":${Runtime.getRuntime.availableProcessors},"spark_cpus":$cpus,"scratch_medium":"${Fixtures.scratchMedium}","scratch_free_gb":${Fixtures.scratchFreeGb},"sf":"$sfDir"}"""
     // mirror to a file so the metric survives any stdout mangling
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), line + "\n")

@@ -66,6 +66,16 @@ object Fixtures {
       else s"disk (${sys.props.getOrElse("java.io.tmpdir", "/tmp")})"
   }
 
+  /** Free space (GiB) on the scratch medium at call time — recorded at
+    * bench END so a run that drained tmpfs (ENOSPC-adjacent stalls) is
+    * diagnosable from the artifact. */
+  def scratchFreeGb: Long = {
+    val d = scratchDir("graft_probe")
+    val free = new java.io.File(d).getUsableSpace / (1L << 30)
+    new java.io.File(d).delete()
+    free
+  }
+
   private def newRoot(tag: String): String = scratchDir(s"graft_$tag")
 
   /** Build every fixture table concurrently (they are independent roots;
