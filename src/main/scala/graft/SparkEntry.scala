@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions
 import graft.ice.{IceTable, IceTableConfig}
-import graft.operators.{Decontam, Dedup, Mixing, Multimodal, Packing, Search, Shards, Similarity, Sketches, Vocab}
+import graft.operators.{Decontam, Dedup, IvfIndex, Mixing, Multimodal, Packing, Search, Shards, Similarity, Sketches, Vocab}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -643,6 +643,17 @@ object SparkEntry {
         Similarity.ivfTopK(emb, "vec_id", "embedding",
           queries, "qid", "qvec", k = 10, nlist = 8, nprobe = 5, dim = 64))
     }),
+    "llm_ann_ivf_index" -> ((s, d) => {
+      // the persistent twin of llm_ann_ivf: train once, store the inverted
+      // lists as ice partitions (r=d/cid=k), search via log-side partition
+      // pruning — same in-query recall bound vs exact brute force
+      annRecall(s, d, (emb, queries) => {
+        val root = Fixtures.scratchDir("graft_ivfidx")
+        val t = IvfIndex.build(s, emb, "vec_id", "embedding", root,
+          nlist = 8, lloydIterations = 2, dim = 64)
+        IvfIndex.search(t, queries, "qid", "qvec", k = 10, nprobe = 5, dim = 64)
+      })
+    }),
     "llm_cosine_neardup" -> ((s, d) => {
       // planted near-dups (ε on one component: cosine ≈ 1 ≫ 0.99, bucket
       // signs essentially unchanged across all 8 tables) — the organic
@@ -1269,6 +1280,8 @@ object SparkEntry {
     "llm_ann_lsh" ->
       "SELECT CAST(3 AS BIGINT) AS n_queries, true AS recall_ok",
     "llm_ann_ivf" ->
+      "SELECT CAST(3 AS BIGINT) AS n_queries, true AS recall_ok",
+    "llm_ann_ivf_index" ->
       "SELECT CAST(3 AS BIGINT) AS n_queries, true AS recall_ok",
     "b17_uuid" ->
       "SELECT CAST(100 AS BIGINT) AS uniq",

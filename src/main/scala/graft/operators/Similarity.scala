@@ -162,31 +162,42 @@ object Similarity {
     * embeddings → small lists, high recall); LSH is oblivious but needs no
     * training pass. Both exist because both trade-offs are real at 100 TB.
     */
-  def ivfTopK(
-      corpus: DataFrame, idCol: String, vecCol: String,
-      queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
-      lloydIterations: Int = 2, dim: Int = 0): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("_v"))
+  /** Nearest-centroid assignment: (id, _v) × broadcast (cid, _c) →
+    * (id, _v, cid). Shared by [[ivfTopK]] and [[IvfIndex]].
+    *
+    * The argmax is `max_by` over (sim, -cid) — a hash aggregate with
+    * map-side partial combine, so the corpus×nlist scored rows collapse
+    * to one row per id BEFORE any exchange. The previous window form
+    * (row_number over partitionBy(id)) shuffled all nlist copies and
+    * sorted them per id — nlist× the shuffle bytes — and an id that
+    * constant-folds (a literal) emptied the window's partition spec
+    * entirely, collapsing the job to one task. Ties on sim pick the
+    * smallest cid, identical to the window's ordering. */
+  private[operators] def nearestCid(
+      df: DataFrame, centroids: DataFrame, dim: Int): DataFrame = {
+    val scored = df.crossJoin(broadcast(centroids))
+      .withColumn("_sim", cosinePre(col("_v"), col("_c"),
+        normN(col("_v"), dim), normN(col("_c"), dim), dim))
+    scored.groupBy("id")
+      .agg(max_by(struct(col("cid"), col("_v")),
+        struct(col("_sim"), (-col("cid")).cast("long").as("_negcid"))).as("_best"))
+      .select(col("id"), col("_best._v").as("_v"), col("_best.cid").as("cid"))
+  }
 
-    // deterministic seeds: the nlist corpus rows with smallest xxhash64(id)
+  /** Lloyd-refined coarse centroids over a (id, _v) corpus: deterministic
+    * seeds (the nlist rows with smallest xxhash64(id)), then
+    * `lloydIterations` of assign + element-wise mean — every step a
+    * DataFrame op. Returns (cid, _c). Shared by [[ivfTopK]] and
+    * [[IvfIndex]]. */
+  private[operators] def trainCentroids(
+      c: DataFrame, nlist: Int, lloydIterations: Int, dim: Int): DataFrame = {
     var centroids = c
       .withColumn("_h", xxhash64(col("id")))
       .orderBy("_h").limit(nlist)
       .select(monotonically_increasing_id().as("cid"), col("_v").as("_c"))
-
-    def nearestCid(df: DataFrame): DataFrame = {
-      val scored = df.crossJoin(broadcast(centroids))
-        .withColumn("_sim", cosinePre(col("_v"), col("_c"),
-          normN(col("_v"), dim), normN(col("_c"), dim), dim))
-      val w = Window.partitionBy("id").orderBy(col("_sim").desc, col("cid"))
-      scored.withColumn("_rn", row_number().over(w))
-        .where(col("_rn") === 1).select(col("id"), col("_v"), col("cid"))
-    }
-
     (1 to lloydIterations).foreach { _ =>
       // element-wise mean per centroid: posexplode → avg per (cid, pos)
-      val assigned = nearestCid(c)
+      val assigned = nearestCid(c, centroids, dim)
       centroids = assigned
         .select(col("cid"), posexplode(col("_v")).as(Seq("_p", "_x")))
         .groupBy("cid", "_p").agg(avg(col("_x")).as("_m"))
@@ -194,20 +205,41 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("_p"), col("_m")))).as("_pm"))
         .select(col("cid"), transform(col("_pm"), e => e.getField("_m")).as("_c"))
     }
+    centroids
+  }
 
-    val lists = nearestCid(c) // final assignment: (id, _v, cid)
+  def ivfTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int = 10, nlist: Int = 16, nprobe: Int = 4,
+      lloydIterations: Int = 2, dim: Int = 0): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("_v"))
+    val centroids = trainCentroids(c, nlist, lloydIterations, dim)
+    val lists = nearestCid(c, centroids, dim) // final assignment: (id, _v, cid)
 
     // each query probes its nprobe nearest lists
     val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("_q"))
-    val probes = {
-      val scored = q.crossJoin(broadcast(centroids))
-        .withColumn("_sim", cosinePre(col("_q"), col("_c"),
-          normN(col("_q"), dim), normN(col("_c"), dim), dim))
-      val w = Window.partitionBy("qid").orderBy(col("_sim").desc, col("cid"))
-      scored.withColumn("_rn", row_number().over(w))
-        .where(col("_rn") <= nprobe).select(col("qid"), col("_q"), col("cid"))
-    }
+    val probes = probeCids(q, centroids, nprobe, dim)
+    scoreLists(lists, probes, k, dim)
+  }
 
+  /** (qid, _q) × broadcast centroids → the nprobe nearest (qid, _q, cid)
+    * probe rows per query. Shared by [[ivfTopK]] and [[IvfIndex]]. */
+  private[operators] def probeCids(
+      q: DataFrame, centroids: DataFrame, nprobe: Int, dim: Int): DataFrame = {
+    val scored = q.crossJoin(broadcast(centroids))
+      .withColumn("_sim", cosinePre(col("_q"), col("_c"),
+        normN(col("_q"), dim), normN(col("_c"), dim), dim))
+    val w = Window.partitionBy("qid").orderBy(col("_sim").desc, col("cid"))
+    scored.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= nprobe).select(col("qid"), col("_q"), col("cid"))
+  }
+
+  /** Exact scoring of probed lists: (id, _v, cid) ⋈ broadcast
+    * (qid, _q, cid) → per-query top-k. Shared by [[ivfTopK]] and
+    * [[IvfIndex]]. */
+  private[operators] def scoreLists(
+      lists: DataFrame, probes: DataFrame, k: Int, dim: Int): DataFrame = {
     val scored = lists
       .withColumn("_nv", normN(col("_v"), dim))
       .join(broadcast(probes.withColumn("_nq", normN(col("_q"), dim))), Seq("cid"))
