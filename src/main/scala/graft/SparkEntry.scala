@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions
 import graft.ice.{IceTable, IceTableConfig}
-import graft.operators.{Decontam, Dedup, IvfIndex, Mixing, Multimodal, Packing, Search, Shards, Similarity, Sketches, Vocab}
+import graft.operators.{Decontam, Dedup, IvfIndex, Mixing, Multimodal, Packing, Search, SemDedup, Shards, Similarity, Sketches, Vocab}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -654,6 +654,15 @@ object SparkEntry {
         IvfIndex.search(t, queries, "qid", "qvec", k = 10, nprobe = 5, dim = 64)
       })
     }),
+    "llm_ann_pq" -> ((s, d) => {
+      // product quantization: the 32×-compressed ANN scan (8×16 codebooks,
+      // ADC lookup-table scoring, exact re-rank of the 4k shortlist) —
+      // same in-query recall bound vs exact brute force
+      annRecall(s, d, (emb, queries) =>
+        Similarity.pqTopK(emb, "vec_id", "embedding",
+          queries, "qid", "qvec", k = 10, m = 8, ksub = 16,
+          iterations = 2, dim = 64))
+    }),
     "llm_cosine_neardup" -> ((s, d) => {
       // planted near-dups (ε on one component: cosine ≈ 1 ≫ 0.99, bucket
       // signs essentially unchanged across all 8 tables) — the organic
@@ -669,6 +678,26 @@ object SparkEntry {
       val pairs = Similarity.cosineDupPairs(emb.unionByName(planted),
         "vec_id", "embedding", threshold = 0.99)
       plantedSummary(pairs, col("cosine") >= 0.99)
+    }),
+    "llm_semantic_dedup" -> ((s, d) => {
+      // SemDeDup: cluster-then-neighborhood-scan near-dup detection, same
+      // planted ε-pairs as llm_cosine_neardup (near-identical vectors get
+      // near-identical centroid similarity, so they sort adjacent inside
+      // their cluster); additionally grades the keep-set — one canonical
+      // row per planted group survives, so kept == original corpus size
+      val emb = Fixtures.raw(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val planted = emb.where(col("vec_id") < 5)
+        .select((col("vec_id") + PlantOffset).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => x + when(i === 0, lit(0.001)).otherwise(lit(0.0)))
+            .as("embedding"))
+      val corpus = emb.unionByName(planted)
+      val pairs = SemDedup.semanticDupPairs(corpus, "vec_id", "embedding",
+        threshold = 0.99)
+      val kept = Dedup.keepCanonical(corpus, "vec_id", pairs)
+        .agg(count(lit(1)).as("kept"))
+      plantedSummary(pairs, col("cosine") >= 0.99).crossJoin(kept)
     }),
     "llm_multimodal_meta" -> ((s, d) => {
       // REAL codec graded: payloads are actual PNGs (dims a closed-form
@@ -1277,11 +1306,16 @@ object SparkEntry {
       "SELECT CAST(5 AS BIGINT) AS planted_found, true AS all_pairs_valid",
     "llm_cosine_neardup" ->
       "SELECT CAST(5 AS BIGINT) AS planted_found, true AS all_pairs_valid",
+    "llm_semantic_dedup" ->
+      ("SELECT CAST(5 AS BIGINT) AS planted_found, true AS all_pairs_valid, " +
+        "(SELECT count(*) FROM embeddings) AS kept"),
     "llm_ann_lsh" ->
       "SELECT CAST(3 AS BIGINT) AS n_queries, true AS recall_ok",
     "llm_ann_ivf" ->
       "SELECT CAST(3 AS BIGINT) AS n_queries, true AS recall_ok",
     "llm_ann_ivf_index" ->
+      "SELECT CAST(3 AS BIGINT) AS n_queries, true AS recall_ok",
+    "llm_ann_pq" ->
       "SELECT CAST(3 AS BIGINT) AS n_queries, true AS recall_ok",
     "b17_uuid" ->
       "SELECT CAST(100 AS BIGINT) AS uniq",

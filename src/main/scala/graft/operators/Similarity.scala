@@ -288,6 +288,148 @@ object Similarity {
     bruteForceTopK(deq, idCol, "_deq", queries, qidCol, qvecCol, k, dim)
   }
 
+  // ------------------------------------------------ product quantization
+
+  /** Split (id, _v) rows into `m` contiguous subvectors: (id, _nv, _j, _s)
+    * with `_j` ∈ [0, m) and `_s` of length dsub. The full-vector norm
+    * rides along so downstream aggregates never re-join the corpus. */
+  private def subVectors(df: DataFrame, m: Int, dsub: Int, dim: Int): DataFrame =
+    df.select(col("id"), normN(col("_v"), dim).as("_nv"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          j => slice(col("_v"), j * dsub + 1, lit(dsub)))).as(Seq("_j", "_s")))
+
+  /** Nearest codebook cell per (id, subspace). argmin‖s−c‖² =
+    * argmin(‖c‖² − 2·s·c): ‖s‖² is constant across candidates, so the
+    * subvector self-dot is never computed, and ‖c‖² comes precomputed on
+    * the broadcast side. The argmin is a `min_by` hash aggregate —
+    * map-side partial combine collapses the ksub candidate rows per
+    * (id, subspace) before any exchange (same rationale as
+    * [[nearestCid]]). Ties pick the smallest cell id. */
+  private def assignCells(sub: DataFrame, codebook: DataFrame, dsub: Int): DataFrame = {
+    val cb = codebook.withColumn("_cc", dotN(col("_c"), col("_c"), dsub))
+    sub.join(broadcast(cb), Seq("_j"))
+      .withColumn("_d2", col("_cc") - lit(2.0) * dotN(col("_s"), col("_c"), dsub))
+      .groupBy("id", "_j")
+      .agg(min_by(struct(col("cid"), col("_s")),
+          struct(col("_d2"), col("cid"))).as("_best"),
+        first(col("_nv")).as("_nv"))
+      .select(col("id"), col("_j"), col("_best._s").as("_s"),
+        col("_best.cid").as("cid"), col("_nv"))
+  }
+
+  /** Per-subspace Lloyd codebooks for product quantization, trained
+    * JOINTLY: one DataFrame holds every (subspace, subvector) pair, so
+    * each iteration is ONE broadcast-assign plus ONE regrouped mean for
+    * all `m` subspaces together — not m sequential trainings. Seeds are
+    * deterministic (per subspace, the ksub subvectors of the rows with
+    * smallest xxhash64(id)); a cell that loses all members keeps its
+    * previous centroid instead of vanishing. Returns (_j, cid, _c):
+    * m × ksub rows — broadcast-sized by construction. */
+  private[operators] def pqTrain(
+      c: DataFrame, m: Int, ksub: Int, iterations: Int, dim: Int): DataFrame = {
+    val dsub = dim / m
+    val sub = subVectors(c, m, dsub, dim)
+    val w = Window.partitionBy("_j").orderBy(xxhash64(col("id")), col("id"))
+    var codebook = sub.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= ksub)
+      .select(col("_j"), (col("_rn") - 1).cast("int").as("cid"), col("_s").as("_c"))
+    (1 to iterations).foreach { _ =>
+      val means = assignCells(sub, codebook, dsub)
+        .select(col("_j"), col("cid"), posexplode(col("_s")).as(Seq("_p", "_x")))
+        .groupBy("_j", "cid", "_p").agg(avg(col("_x")).as("_m"))
+        .groupBy("_j", "cid")
+        .agg(array_sort(collect_list(struct(col("_p"), col("_m")))).as("_pm"))
+        .select(col("_j"), col("cid"),
+          transform(col("_pm"), e => e.getField("_m")).as("_mc"))
+      codebook = codebook.join(means, Seq("_j", "cid"), "left")
+        .select(col("_j"), col("cid"), coalesce(col("_mc"), col("_c")).as("_c"))
+    }
+    codebook
+  }
+
+  /** Encode each vector as `m` codebook cell ids: (id, code, _nv) with
+    * `code` an array<smallint> — at m=8 that is 16 bytes/vector where the
+    * float64 original is 8·dim, a 32× compression (vs 4× for
+    * [[quantizeInt8]]). At 100 TB this is what makes the ANN corpus fit
+    * in executor memory; the exact norm rides along so ADC scores can be
+    * cosine-normalized without touching the original vectors. */
+  private[operators] def pqEncode(
+      c: DataFrame, codebook: DataFrame, m: Int, dim: Int): DataFrame = {
+    val dsub = dim / m
+    assignCells(subVectors(c, m, dsub, dim), codebook, dsub)
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("_j"), col("cid")))).as("_jc"),
+        first(col("_nv")).as("_nv"))
+      .select(col("id"),
+        transform(col("_jc"), e => e.getField("cid").cast("smallint")).as("code"),
+        col("_nv"))
+  }
+
+  /** PQ ANN with asymmetric-distance scoring and exact re-rank — the
+    * third ANN family next to [[lshTopK]] (oblivious hashing) and
+    * [[ivfTopK]] (coarse partitioning): here the CORPUS REPRESENTATION
+    * itself is compressed 32×, and the full-corpus scan touches only
+    * (id, 16-byte code, norm) rows.
+    *
+    * Queries stay float: each query precomputes an m × ksub lookup table
+    * of subvector·cell dot products (nq·m·ksub doubles — broadcast), so
+    * scoring a candidate is m table lookups summed, normalized by the
+    * stored exact norms into an ADC cosine. The ADC top
+    * `k·rerankFactor` shortlist per query — the only rows whose real
+    * vectors are ever fetched — is re-scored exactly and cut to top-k.
+    * Returns (qid, id, sim, rank) with exact cosine sims.
+    */
+  def pqTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int = 10, m: Int = 8, ksub: Int = 16, iterations: Int = 2,
+      dim: Int = 64, rerankFactor: Int = 4): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    val dsub = dim / m
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("_v"))
+    val codebook = pqTrain(c, m, ksub, iterations, dim)
+    val codes = pqEncode(c, codebook, m, dim)
+
+    // per-query ADC lookup tables: LUT[j][cid] = q_subvec_j · cell
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("_q"))
+    val luts = subVectors(q.select(col("qid").as("id"), col("_q").as("_v")),
+        m, dsub, dim)
+      .join(broadcast(codebook), Seq("_j"))
+      .withColumn("_w", dotN(col("_s"), col("_c"), dsub))
+      .groupBy("id", "_j")
+      .agg(array_sort(collect_list(struct(col("cid"), col("_w")))).as("_cw"),
+        first(col("_nv")).as("_nq"))
+      .select(col("id"), col("_j"), col("_nq"),
+        transform(col("_cw"), e => e.getField("_w")).as("_row"))
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("_j"), col("_row")))).as("_jr"),
+        first(col("_nq")).as("_nq"))
+      .select(col("id").as("qid"),
+        transform(col("_jr"), e => e.getField("_row")).as("_lut"), col("_nq"))
+
+    // ADC scan: sum of m lookups per (code, query) pair, cosine-normalized
+    val adc = codes.crossJoin(broadcast(luts))
+      .where(col("id") =!= col("qid"))
+      .withColumn("_adc",
+        aggregate(zip_with(col("code"), col("_lut"),
+          (cc, row) => element_at(row, cc.cast("int") + 1)),
+          lit(0.0d), (acc, x) => acc + x))
+      .withColumn("sim", when(col("_nv") * col("_nq") === 0, lit(0.0))
+        .otherwise(col("_adc") / (col("_nv") * col("_nq"))))
+    val shortlist = topKPerQuery(adc, "qid", k * rerankFactor)
+      .select("qid", "id")
+
+    // exact re-rank of the shortlist only
+    val vecs = c.withColumn("_nv", normN(col("_v"), dim))
+    val qv = q.withColumn("_nq", normN(col("_q"), dim))
+    val exact = shortlist
+      .join(vecs, Seq("id"))
+      .join(broadcast(qv), Seq("qid"))
+      .withColumn("sim",
+        cosinePre(col("_v"), col("_q"), col("_nv"), col("_nq"), dim))
+    topKPerQuery(exact, "qid", k).select("qid", "id", "sim", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs: same-bucket candidates with
     * cosine >= threshold (idA < idB). The embedding twin of
     * [[Dedup.minHashDupPairs]], and the same skew-safe shape: each
