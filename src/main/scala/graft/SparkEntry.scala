@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions
 import graft.ice.{IceTable, IceTableConfig}
-import graft.operators.{Decontam, Dedup, IvfIndex, Mixing, Multimodal, Packing, Search, SemDedup, Shards, Similarity, Sketches, Vocab}
+import graft.operators.{Decontam, Dedup, IvfIndex, Mixing, Multimodal, Packing, Search, SemDedup, Shards, Similarity, Sketches, SpanDedup, Vocab}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1005,6 +1005,33 @@ object SparkEntry {
         max("freq").as("vocab_max_freq"))
       Vocab.coverage(docs, "text", vocab).crossJoin(vstats)
     }),
+    "llm_span_dedup" -> ((s, d) => {
+      // Exact-substring span dedup (SpanDedup.dedupSpans): plant a
+      // 10-token globally-unique span onto docs 0-4 and grade that the
+      // smallest-id doc keeps it verbatim while the other four are
+      // scrubbed (>= 10 tokens removed — organic cross-doc 8-gram repeats
+      // exist in the fixture, so exact whole-corpus arithmetic would be
+      // data-dependent; the planted invariants are not). `counts_ok`
+      // re-tokenizes every clean_text and checks kept_tokens arithmetic.
+      val span = (0 until 10).map(i => s"zzspanw$i").mkString(" ")
+      val docs = Fixtures.raw(s, d, "documents")
+      val dirty = docs.select(col("doc_id"),
+        when(col("doc_id") < 5, concat(col("text"), lit(" " + span)))
+          .otherwise(col("text")).as("dirty"))
+      val out = SpanDedup.dedupSpans(dirty, "doc_id", "dirty", n = 8)
+      out.agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("doc_id").between(1, 4) &&
+            !col("clean_text").contains("zzspanw") &&
+            col("removed_tokens") >= 10, 1L).otherwise(0L))
+          .as("span_scrubbed"),
+        bool_and(when(col("doc_id") === 0,
+            col("clean_text").endsWith(span)).otherwise(lit(true)))
+          .as("canonical_intact"),
+        bool_and(col("kept_tokens") ===
+            TextFunctions.tokenCount(col("clean_text")).cast("bigint"))
+          .as("counts_ok"))
+    }),
     "llm_boilerplate_dedup" -> ((s, d) => {
       // Cross-doc boilerplate removal (Dedup.stripBoilerplate): plant two
       // boilerplate sentences on doc_id%2 / doc_id%5, strip sentences
@@ -1485,6 +1512,9 @@ object SparkEntry {
     // distinct, so no original sentence can reach the >=30-doc bar), the
     // planted boilerplate is removed everywhere it was planted, and the
     // restored check is proven Spark-side (bool_and vs the original text)
+    "llm_span_dedup" ->
+      ("SELECT count(*) AS docs, CAST(4 AS BIGINT) AS span_scrubbed, " +
+        "true AS canonical_intact, true AS counts_ok FROM documents"),
     "llm_boilerplate_dedup" ->
       ("SELECT count(*) AS docs, count(*) AS kept_sentences, " +
         "CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END + " +
