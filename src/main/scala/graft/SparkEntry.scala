@@ -745,6 +745,19 @@ object SparkEntry {
           round(max(col("duration_sec")), 6).as("max_dur"),
           count(lit(1)).as("cnt"))
     }),
+    "llm_multimodal_mp4" -> ((s, d) => {
+      // REAL MP4 metadata decode graded: payloads are actual ISO BMFF
+      // files (spec-correct nested boxes; duration/dims/frame-count are
+      // closed-form functions of doc_id); the pure-Scala box walk
+      // (Multimodal.Mp4Headers) recovers them from moov/mvhd/tkhd/stsz
+      val media = Multimodal.packMp4(Fixtures.raw(s, d, "documents"), "doc_id")
+      Multimodal.decodeVideoMeta(media)
+        .agg(sum(col("n_frames")).cast("bigint").as("total_frames"),
+          min(col("width")).as("min_w"),
+          max(col("height")).as("max_h"),
+          round(max(col("duration_sec")), 6).as("max_dur"),
+          count(lit(1)).as("cnt"))
+    }),
     "llm_multimodal_pipeline" -> ((s, d) => {
       // full media pipeline: pack → resize (payload cap) → frame-sample;
       // resized bytes and frame counts are deterministic functions of the
@@ -1322,6 +1335,12 @@ object SparkEntry {
         "CAST(44100 AS INTEGER) AS min_rate, CAST(44100 AS INTEGER) AS max_rate, " +
         "count(*) AS mono_channels, " +
         "round(max((10 + doc_id % 20) * 1152 / 44100.0), 6) AS max_dur, " +
+        "count(*) AS cnt FROM documents"),
+    "llm_multimodal_mp4" ->
+      ("SELECT CAST(sum(30 * (2 + doc_id % 10)) AS BIGINT) AS total_frames, " +
+        "CAST(min(320 + 16 * (doc_id % 8)) AS INTEGER) AS min_w, " +
+        "CAST(max(240 + 16 * (doc_id % 8)) AS INTEGER) AS max_h, " +
+        "round(max(2 + doc_id % 10) * 1.0, 6) AS max_dur, " +
         "count(*) AS cnt FROM documents"),
     "llm_lang_quality" ->
       "SELECT count(*) AS total_docs, true AS quality_in_range, true AS lang_in_domain FROM documents",

@@ -16,11 +16,13 @@ import org.apache.spark.sql.types._
   * ([[decodeAudioMetaReal]], `javax.sound.sampled`) AND for MP3/OGG
   * ([[CompressedAudioHeaders]] — pure-Scala MPEG frame-header / OGG page
   * walk, no codec needed for metadata): sample rate, channels, samples,
-  * duration. Only video frame extraction still uses [[FakeCodec]], a
-  * deterministic stand-in deriving frames from payload bytes (the JDK has
-  * no video codec and the build is offline); the Spark-side contract —
-  * schema, batch shape, partitioning, null behavior — is identical, so
-  * swapping in javacv/ffmpeg touches only the codec object.
+  * duration. Video METADATA is real too ([[Mp4Headers]] — pure-Scala ISO
+  * BMFF box walk: dimensions, duration, frame count). Only video FRAME
+  * extraction still uses [[FakeCodec]], a deterministic stand-in deriving
+  * frames from payload bytes (the JDK has no video codec and the build is
+  * offline); the Spark-side contract — schema, batch shape, partitioning,
+  * null behavior — is identical, so swapping in javacv/ffmpeg touches
+  * only the codec object.
   */
 object Multimodal {
 
@@ -471,6 +473,149 @@ object Multimodal {
     StructField("media_id", LongType),
     StructField("frame_idx", IntegerType),
     StructField("frame", BinaryType)))
+
+  // ---------------------------------------------- video (MP4) metadata
+
+  /** Pure-Scala ISO BMFF (MP4) box walk — like [[CompressedAudioHeaders]],
+    * METADATA needs no codec: `moov/mvhd` carries timescale+duration,
+    * `moov/trak/tkhd` the 16.16-fixed track dimensions, and the track's
+    * `stbl/stsz` the sample (frame) count. Frame DECODE stays behind
+    * [[FakeCodec]] (the JDK has no video codec); this makes the metadata
+    * surface real for the dominant container. Reference: ISO/IEC 14496-12
+    * box layout (public spec). */
+  object Mp4Headers {
+    final case class VideoMeta(
+        width: Int, height: Int, durationSec: Double, nFrames: Long)
+
+    private def be32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def be64(b: Array[Byte], o: Int): Long =
+      (0 until 8).map(i => (b(o + i) & 0xffL) << (8 * (7 - i))).reduce(_ | _)
+
+    def mp4Meta(payload: Array[Byte]): Option[VideoMeta] = {
+      if (payload == null || payload.length < 8) return None
+      var tsc = -1L; var dur = -1L
+      var w = -1; var h = -1; var frames = -1L
+      var ok = true
+
+      // iterate sibling boxes in [start, end); f(type, bodyStart, bodyEnd)
+      def boxes(start: Int, end: Int)(f: (String, Int, Int) => Unit): Unit = {
+        var o = start
+        while (ok && o + 8 <= end) {
+          var size = be32(payload, o)
+          val typ = new String(payload, o + 4, 4, "US-ASCII")
+          var hdr = 8
+          if (size == 1 && o + 16 <= end) { size = be64(payload, o + 8); hdr = 16 }
+          else if (size == 0) size = (end - o).toLong
+          if (size < hdr || size > end - o) ok = false
+          else { f(typ, o + hdr, o + size.toInt); o += size.toInt }
+        }
+      }
+
+      // one trak subtree: tkhd dims + the subtree's stsz sample count;
+      // the first trak with nonzero dims is the video track
+      def trak(start: Int, end: Int): Unit = {
+        var tw = -1; var th = -1; var tf = -1L
+        def walk(s: Int, e: Int): Unit = boxes(s, e) { (t, bs, be) =>
+          t match {
+            case "tkhd" if bs < be =>
+              val off = if ((payload(bs) & 0xff) == 1) bs + 88 else bs + 76
+              if (off + 8 <= be) {
+                tw = (be32(payload, off) >> 16).toInt // 16.16 fixed point
+                th = (be32(payload, off + 4) >> 16).toInt
+              }
+            case "stsz" => if (bs + 12 <= be) tf = be32(payload, bs + 8)
+            case "mdia" | "minf" | "stbl" => walk(bs, be)
+            case _ => ()
+          }
+        }
+        walk(start, end)
+        if (tw > 0 && th > 0 && w < 0) { w = tw; h = th; frames = tf }
+      }
+
+      boxes(0, payload.length) { (t, bs, be) =>
+        if (t == "moov") boxes(bs, be) { (t2, ms, me) =>
+          t2 match {
+            case "mvhd" if ms < me =>
+              if ((payload(ms) & 0xff) == 1) {
+                if (ms + 32 <= me) { tsc = be32(payload, ms + 20); dur = be64(payload, ms + 24) }
+              } else if (ms + 20 <= me) {
+                tsc = be32(payload, ms + 12); dur = be32(payload, ms + 16)
+              }
+            case "trak" => trak(ms, me)
+            case _ => ()
+          }
+        }
+      }
+      if (!ok || tsc <= 0 || dur < 0 || w <= 0) None
+      else Some(VideoMeta(w, h, dur.toDouble / tsc, frames))
+    }
+  }
+
+  private val videoSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_sec", DoubleType),
+    StructField("n_frames", LongType)))
+
+  /** Pack each row as a REAL minimal ISO BMFF file — `ftyp` +
+    * `moov{mvhd, trak{tkhd, mdia{minf{stbl{stsz}}}}}` with spec-correct
+    * box sizes — so the box walk has a closed-form oracle:
+    * duration = `2 + id % 10` s (timescale 600), dims
+    * `(320 + 16·(id%8)) × (240 + 16·(id%8))`, frames `30 · duration`. */
+  def packMp4(df: DataFrame, idCol: String): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        def w32(b: Array[Byte], o: Int, v: Long): Unit = {
+          b(o) = ((v >> 24) & 0xff).toByte; b(o + 1) = ((v >> 16) & 0xff).toByte
+          b(o + 2) = ((v >> 8) & 0xff).toByte; b(o + 3) = (v & 0xff).toByte
+        }
+        def box(typ: String, body: Array[Byte]): Array[Byte] = {
+          val out = new Array[Byte](8 + body.length)
+          w32(out, 0, out.length.toLong)
+          typ.getBytes("US-ASCII").copyToArray(out, 4)
+          System.arraycopy(body, 0, out, 8, body.length)
+          out
+        }
+        rows.map { r =>
+          val id = r.getLong(0)
+          val durUnits = 600L * (2 + id % 10)
+          val wpx = 320 + 16 * (id % 8); val hpx = 240 + 16 * (id % 8)
+          val nFrames = 30L * (2 + id % 10)
+          val mvhd = new Array[Byte](100) // v0: full spec-size payload
+          w32(mvhd, 12, 600L); w32(mvhd, 16, durUnits)
+          val tkhd = new Array[Byte](84)  // v0
+          w32(tkhd, 76, wpx << 16); w32(tkhd, 80, hpx << 16) // 16.16
+          val stsz = new Array[Byte](12)
+          w32(stsz, 8, nFrames)
+          val moov = box("moov", box("mvhd", mvhd) ++
+            box("trak", box("tkhd", tkhd) ++
+              box("mdia", box("minf", box("stbl", box("stsz", stsz))))))
+          val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ new Array[Byte](4))
+          Row(id, "video/mp4", ftyp ++ moov,
+            Map("frames" -> nFrames.toString))
+        }
+      }(enc)
+  }
+
+  /** Metadata decode for MP4 video: (media_id, width, height,
+    * duration_sec, n_frames); undecodable → (-1, -1, -1.0, -1). */
+  def decodeVideoMeta(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(videoSchema)
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          Mp4Headers.mp4Meta(r.getAs[Array[Byte]](1)) match {
+            case Some(m) =>
+              Row(r.getLong(0), m.width, m.height, m.durationSec, m.nFrames)
+            case None => Row(r.getLong(0), -1, -1, -1.0, -1L)
+          }
+        }
+      }(enc)
+  }
 
   /** Frame-sampling pass: explode each payload into sampled frame chunks
     * (1:N flatMap inside the partition iterator — the video shape). */

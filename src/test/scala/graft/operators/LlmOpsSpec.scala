@@ -275,6 +275,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(Multimodal.CompressedAudioHeaders.oggMeta("OggX junk".getBytes).isEmpty)
   }
 
+  test("real MP4 metadata: box walk reads mvhd/tkhd/stsz") {
+    val ids = Seq(0L, 3L, 9L, 17L).toDF("doc_id")
+    val meta = Multimodal.decodeVideoMeta(
+      Multimodal.packMp4(ids, "doc_id")).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3), r.getLong(4))).toMap
+    Seq(0L, 3L, 9L, 17L).foreach { id =>
+      val dur = 2 + id % 10
+      val px = (320 + 16 * (id % 8)).toInt
+      assert(meta(id) == ((px, px - 80, dur.toDouble, 30 * dur)),
+        s"id=$id: ${meta(id)}")
+    }
+    // malformed inputs are rejected, truncated boxes never loop or throw
+    assert(Multimodal.Mp4Headers.mp4Meta("notamp4file".getBytes).isEmpty)
+    assert(Multimodal.Mp4Headers.mp4Meta(Array[Byte](0, 0, 0, 9)).isEmpty)
+    val one = Multimodal.packMp4(Seq(1L).toDF("doc_id"), "doc_id")
+      .select("payload").head.getAs[Array[Byte]](0)
+    assert(Multimodal.Mp4Headers.mp4Meta(one.take(40)).isEmpty)
+  }
+
   test("real image codec: PNG decode, proportional resize, re-decode") {
     import java.awt.image.BufferedImage
     import java.io.ByteArrayOutputStream
