@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions
 import graft.ice.{IceTable, IceTableConfig}
-import graft.operators.{Decontam, Dedup, IvfIndex, Mixing, Multimodal, Packing, Search, SemDedup, Shards, Similarity, Sketches, SpanDedup, Vocab}
+import graft.operators.{Cluster, Decontam, Dedup, IvfIndex, Mixing, Multimodal, Packing, Search, SemDedup, Shards, Similarity, Sketches, SpanDedup, Vocab}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -678,6 +678,32 @@ object SparkEntry {
       val pairs = Similarity.cosineDupPairs(emb.unionByName(planted),
         "vec_id", "embedding", threshold = 0.99)
       plantedSummary(pairs, col("cosine") >= 0.99)
+    }),
+    "llm_cluster_sample" -> ((s, d) => {
+      // cluster-balanced curation: k-means assign + per-cluster exact-N
+      // sample. Self-verifying — the kept count must equal
+      // sum(min(perCluster, size)) over the assignment's own profile,
+      // every cluster's kept count must respect the cap, and the
+      // assignment sims must be true cosines (in [-1, 1])
+      val emb = Fixtures.raw(s, d, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val assigned = Cluster.assign(emb, "vec_id", "embedding")
+      val expected = Cluster.profile(assigned)
+        .agg(sum(least(col("size"), lit(20L))).as("_exp"))
+      val kept = Cluster.balancedSample(emb, "vec_id", "embedding",
+        perCluster = 20)
+      val keptStats = kept.groupBy("cid").agg(count(lit(1)).as("_k"))
+        .agg(sum(col("_k")).as("_actual"), max(col("_k")).as("_maxk"))
+      val simsOk = assigned
+        .agg(bool_and(col("centroid_sim").between(-1.0000001, 1.0000001))
+          .as("_simok"))
+      emb.agg(count(lit(1)).as("docs"))
+        .crossJoin(expected).crossJoin(keptStats).crossJoin(simsOk)
+        .select(col("docs"),
+          (col("_actual") === col("_exp")).as("sample_matches"),
+          (col("_maxk") <= 20L).as("per_cluster_ok"),
+          col("_simok").as("sims_ok"))
     }),
     "llm_semantic_dedup" -> ((s, d) => {
       // SemDeDup: cluster-then-neighborhood-scan near-dup detection, same
@@ -1355,6 +1381,9 @@ object SparkEntry {
     "llm_semantic_dedup" ->
       ("SELECT CAST(5 AS BIGINT) AS planted_found, true AS all_pairs_valid, " +
         "(SELECT count(*) FROM embeddings) AS kept"),
+    "llm_cluster_sample" ->
+      ("SELECT count(*) AS docs, true AS sample_matches, " +
+        "true AS per_cluster_ok, true AS sims_ok FROM embeddings"),
     "llm_ann_lsh" ->
       "SELECT CAST(3 AS BIGINT) AS n_queries, true AS recall_ok",
     "llm_ann_ivf" ->
