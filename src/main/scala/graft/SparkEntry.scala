@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions
 import graft.ice.{IceTable, IceTableConfig}
-import graft.operators.{Cluster, Decontam, Dedup, IvfIndex, Mixing, Multimodal, Packing, Search, SemDedup, Shards, Similarity, Sketches, SpanDedup, Vocab}
+import graft.operators.{Bpe, Cluster, Decontam, Dedup, IvfIndex, LangModel, Mixing, Multimodal, Packing, Search, SemDedup, Shards, Similarity, Sketches, SpanDedup, UrlOps, Vocab}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1212,6 +1212,93 @@ object SparkEntry {
         .agg(count(lit(1)).as("pairs"),
           countDistinct(col("event_id")).as("purchases_matched"),
           sum(col("click_id")).cast("bigint").as("sum_click_ids"))
+    }),
+    "llm_bpe_tokenizer" -> ((s, d) => {
+      // Distributed BPE tokenizer (Bpe.train/encode): 40 merges learned
+      // over the word-frequency table, corpus re-encoded with the learned
+      // ranks. Graded on replayable word/char totals plus contract
+      // invariants: exact decode(encode(text)) round trip on EVERY doc,
+      // per-doc token counts within [words, chars + words], and strict
+      // corpus-level compression (the top learned pair has freq >= 2 by
+      // construction, so >= 1 merge must fire).
+      val docs = Fixtures.raw(s, d, "documents")
+      val model = Bpe.train(docs, "text", numMerges = 40)
+      val enc = Bpe.encode(docs, "doc_id", "text", model)
+      enc.join(docs, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          Bpe.decode(col("tokens")).as("dec"),
+          concat_ws(" ", TextFunctions.tokens(col("text"))).as("norm"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("words"),
+          length(regexp_replace(col("text"), "\\s", "")).cast("long").as("chars"))
+        .agg(count(lit(1)).as("docs"),
+          sum("words").cast("bigint").as("total_words"),
+          sum("chars").cast("bigint").as("total_chars"),
+          lit(model.merges.size.toLong).as("merges_learned"),
+          bool_and(col("dec") === col("norm")).as("roundtrip_ok"),
+          bool_and(col("n_tokens").between(col("words"),
+            col("chars") + col("words"))).as("tokens_bounded"),
+          (sum("n_tokens") < sum(col("chars") + col("words")))
+            .as("compressed"))
+    }),
+    "llm_lm_perplexity" -> ((s, d) => {
+      // CCNet-style LM quality scoring (LangModel): bigram Stupid-Backoff
+      // model trained on the doc_id%5!=0 split, held-out 20% scored and
+      // bucketed on fixed integer thresholds. The graded score is the
+      // integer-scaled mean transition probability (floor(1e6*s) summed,
+      // floored mean) — IEEE div/mul are correctly rounded, so DuckDB
+      // replays the entire train+score pipeline bit-exactly.
+      val docs = Fixtures.raw(s, d, "documents")
+      val m = LangModel.train(docs.where(col("doc_id") % 5 =!= 0), "text")
+      val scored = LangModel.scoreDocs(
+        docs.where(col("doc_id") % 5 === 0), "doc_id", "text", m)
+      LangModel.bucket(scored, headMin = 33900L, tailMax = 32200L)
+        .agg(count(lit(1)).as("scored_docs"),
+          sum("n_transitions").cast("bigint").as("sum_transitions"),
+          sum(coalesce(col("prob_e6"), lit(0L))).cast("bigint")
+            .as("sum_prob_e6"),
+          sum(when(col("bucket") === "head", 1L).otherwise(0L))
+            .cast("bigint").as("head_docs"),
+          sum(when(col("bucket") === "middle", 1L).otherwise(0L))
+            .cast("bigint").as("middle_docs"),
+          sum(when(col("bucket") === "tail", 1L).otherwise(0L))
+            .cast("bigint").as("tail_docs"))
+    }),
+    "llm_url_curation" -> ((s, d) => {
+      // URL hygiene (UrlOps): deterministic synthetic URLs derived from
+      // (doc_id, source, lang) — mixed case, www, explicit default
+      // ports, tracking params, fragments, a co.uk multi-part suffix —
+      // normalized + domain-extracted + blocklist-filtered. The oracle
+      // knows the closed form of every input, so it re-derives the
+      // expected normalized URL and registrable domain per doc directly;
+      // every kept row is hash-compared.
+      val docs = Fixtures.raw(s, d, "documents")
+      val url = concat(
+        when(col("doc_id") % 3 === 0, lit("HTTP://")).otherwise(lit("https://")),
+        when(col("doc_id") % 2 === 0, lit("www.")).otherwise(lit("")),
+        col("source"),
+        when(col("doc_id") % 4 === 1, lit(".co.uk")).otherwise(lit(".com")),
+        when(col("doc_id") % 3 === 0, lit(":80")).otherwise(lit("")),
+        lit("/"), col("lang"), lit("/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("?utm_source=feed&gclid=g&id="), col("doc_id").cast("string")))
+          .otherwise(concat(lit("?id="), col("doc_id").cast("string"))),
+        when(col("doc_id") % 7 === 0, lit("#frag")).otherwise(lit("")))
+      val withUrl = docs.withColumn("url", url)
+      UrlOps.filterBlocklist(withUrl, "url", Seq("src0.com", "src1.co.uk"))
+        .select(col("doc_id"),
+          UrlOps.registrableDomain(col("url")).as("domain"),
+          UrlOps.normalize(col("url")).as("norm_url"))
+        .orderBy("doc_id")
+    }),
+    "llm_train_order" -> ((s, d) => {
+      // Deterministic, engine-portable training order
+      // (Mixing.portableShuffle): global sort by the Knuth multiplicative
+      // draw. Graded on the first 20 docs of the epoch WITH their draws —
+      // DuckDB re-derives the identical order from the same arithmetic.
+      val docs = Fixtures.raw(s, d, "documents")
+      Mixing.portableShuffle(docs, "doc_id")
+        .select(col("doc_id"), Mixing.uniform(col("doc_id")).as("draw"))
+        .limit(20)
     }))
 
   /** DuckDB oracle per query — EVERY registered query carries one: the
@@ -1643,5 +1730,63 @@ object SparkEntry {
         "SELECT count(*) AS pairs, count(DISTINCT p.event_id) AS purchases_matched, " +
         "CAST(sum(c.click_id) AS BIGINT) AS sum_click_ids " +
         "FROM p JOIN c ON p.user_id = c.user_id " +
-        "AND epoch_ns(c.ts) BETWEEN epoch_ns(p.ts) - 86400000000000 AND epoch_ns(p.ts)"))
+        "AND epoch_ns(c.ts) BETWEEN epoch_ns(p.ts) - 86400000000000 AND epoch_ns(p.ts)"),
+    // replayable word/char totals; the tokenizer contracts (round trip,
+    // bounds, compression) are constants the Spark side must prove
+    "llm_bpe_tokenizer" ->
+      ("SELECT count(*) AS docs, " +
+        "CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+        "len(regexp_split_to_array(lower(trim(text)), '\\s+')) END) AS BIGINT) AS total_words, " +
+        "CAST(sum(length(regexp_replace(text, '\\s', '', 'g'))) AS BIGINT) AS total_chars, " +
+        "CAST(40 AS BIGINT) AS merges_learned, true AS roundtrip_ok, " +
+        "true AS tokens_bounded, true AS compressed FROM documents"),
+    // full train + score + bucket replay: integer-scaled probabilities
+    // (floor(1e6*s)) make every aggregate order-free and engine-exact
+    "llm_lm_perplexity" ->
+      ("WITH tr AS (SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        "w -> length(w) > 0) AS toks FROM documents WHERE doc_id % 5 <> 0), " +
+        "uni AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(toks) AS w FROM tr) GROUP BY w), " +
+        "tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS n FROM uni), " +
+        "bi AS (SELECT w1, w2, count(*) AS c12 FROM (SELECT p.w1 AS w1, p.w2 AS w2 FROM " +
+        "(SELECT unnest(list_transform(range(2, len(toks) + 1), " +
+        "i -> struct_pack(w1 := toks[i - 1], w2 := toks[i]))) AS p FROM tr)) GROUP BY w1, w2), " +
+        "held AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        "w -> length(w) > 0) AS toks FROM documents WHERE doc_id % 5 = 0), " +
+        "trans AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM " +
+        "(SELECT doc_id, unnest(list_transform(range(2, len(toks) + 1), " +
+        "i -> struct_pack(w1 := toks[i - 1], w2 := toks[i]))) AS p FROM held)), " +
+        "sc AS (SELECT t.doc_id AS doc_id, CAST(floor(1000000.0 * " +
+        "(CASE WHEN b.c12 IS NOT NULL AND u1.c1 IS NOT NULL " +
+        "THEN CAST(b.c12 AS DOUBLE) / CAST(u1.c1 AS DOUBLE) " +
+        "ELSE 0.4 * CAST(coalesce(u2.c1, 1) AS DOUBLE) / (SELECT n FROM tot) END)) AS BIGINT) AS s_e6 " +
+        "FROM trans t LEFT JOIN bi b ON t.w1 = b.w1 AND t.w2 = b.w2 " +
+        "LEFT JOIN uni u1 ON t.w1 = u1.w LEFT JOIN uni u2 ON t.w2 = u2.w), " +
+        "per AS (SELECT doc_id, count(*) AS nt, " +
+        "CAST(floor(CAST(sum(s_e6) AS DOUBLE) / count(*)) AS BIGINT) AS prob_e6 " +
+        "FROM sc GROUP BY doc_id), " +
+        "f AS (SELECT h.doc_id AS doc_id, coalesce(per.nt, 0) AS nt, per.prob_e6 AS prob_e6 " +
+        "FROM (SELECT DISTINCT doc_id FROM held) h LEFT JOIN per ON h.doc_id = per.doc_id) " +
+        "SELECT count(*) AS scored_docs, CAST(sum(nt) AS BIGINT) AS sum_transitions, " +
+        "CAST(sum(coalesce(prob_e6, 0)) AS BIGINT) AS sum_prob_e6, " +
+        "CAST(sum(CASE WHEN prob_e6 >= 33900 THEN 1 ELSE 0 END) AS BIGINT) AS head_docs, " +
+        "CAST(sum(CASE WHEN prob_e6 < 33900 AND prob_e6 > 32200 THEN 1 ELSE 0 END) AS BIGINT) AS middle_docs, " +
+        "CAST(sum(CASE WHEN prob_e6 IS NULL OR prob_e6 <= 32200 THEN 1 ELSE 0 END) AS BIGINT) AS tail_docs " +
+        "FROM f"),
+    // inputs are closed-form in (doc_id, source, lang), so the oracle
+    // re-derives the expected normalized URL + registrable domain per doc
+    "llm_url_curation" ->
+      ("WITH u AS (SELECT doc_id, " +
+        "source || (CASE WHEN doc_id % 4 = 1 THEN '.co.uk' ELSE '.com' END) AS domain, " +
+        "('http' || (CASE WHEN doc_id % 3 = 0 THEN '' ELSE 's' END) || '://' || " +
+        "(CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END) || source || " +
+        "(CASE WHEN doc_id % 4 = 1 THEN '.co.uk' ELSE '.com' END) || '/' || lang || '/' || " +
+        "CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR)) AS norm_url " +
+        "FROM documents) " +
+        "SELECT doc_id, domain, norm_url FROM u " +
+        "WHERE domain NOT IN ('src0.com', 'src1.co.uk') ORDER BY doc_id"),
+    // the first 20 docs of the training epoch, re-derived from the same
+    // Knuth multiplicative arithmetic (k/2^32 draws are exact doubles)
+    "llm_train_order" ->
+      ("SELECT doc_id, CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 AS draw " +
+        "FROM documents ORDER BY draw, doc_id LIMIT 20"))
 }

@@ -91,6 +91,14 @@ object Mixing {
   def deterministicShuffle(df: DataFrame, seed: Long, keyCols: String*): DataFrame =
     df.orderBy(xxhash64((lit(seed) +: keyCols.map(col)): _*), col(keyCols.head))
 
+  /** [[deterministicShuffle]] with the engine-portable [[uniform]] draw
+    * instead of xxhash64: the training order is re-derivable by ANY
+    * engine from the same arithmetic (the oracle replays the first rows
+    * of the epoch in DuckDB). Same scale shape — one range-partitioned
+    * sort. Key domain: non-negative ints < 2^31 (see [[uniform]]). */
+  def portableShuffle(df: DataFrame, keyCol: String): DataFrame =
+    df.orderBy(uniform(col(keyCol)), col(keyCol))
+
   /** Deterministic exact-N sample per stratum: the N rows with the
     * smallest `uniform(key)` draw in each stratum — rate-free sampling
     * when the contract is a COUNT ("exactly 10k eval docs per language"),
