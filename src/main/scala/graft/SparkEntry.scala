@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions
 import graft.ice.{IceTable, IceTableConfig}
-import graft.operators.{Bpe, Cluster, Decontam, Dedup, IvfIndex, LangModel, Mixing, Multimodal, Packing, Search, SemDedup, Shards, Similarity, Sketches, SpanDedup, UrlOps, Vocab}
+import graft.operators.{Bpe, Classifier, Cluster, Decontam, Dedup, IvfIndex, LangModel, Mixing, Multimodal, Packing, Search, SemDedup, Shards, Similarity, Sketches, SpanDedup, UrlOps, Vocab}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1299,6 +1299,34 @@ object SparkEntry {
       Mixing.portableShuffle(docs, "doc_id")
         .select(col("doc_id"), Mixing.uniform(col("doc_id")).as("draw"))
         .limit(20)
+    }),
+    "llm_nb_classifier" -> ((s, d) => {
+      // Model-based quality filtering (Classifier): plant two perfectly
+      // class-indicative tokens per doc (label = doc_id parity), train
+      // multinomial NB on the doc_id%5!=0 split, classify the held-out
+      // 20%. The planted log-ratio (~2.3 decades per token, two tokens)
+      // dominates any base-text imbalance, so held-out decisions must be
+      // exact; vocabulary and per-class doc counts replay in DuckDB.
+      val docs = Fixtures.raw(s, d, "documents")
+      val planted = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0, lit(" qgooda qgoodb"))
+            .otherwise(lit(" qbada qbadb"))).as("ptext"),
+        when(col("doc_id") % 2 === 0, lit("good")).otherwise(lit("bad"))
+          .as("label"))
+      val train = planted.where(col("doc_id") % 5 =!= 0)
+      val held = planted.where(col("doc_id") % 5 === 0)
+      val m = Classifier.trainNaiveBayes(train, "ptext", "label")
+      Classifier.classify(held, "doc_id", "ptext", m)
+        .join(held.select("doc_id", "label"), Seq("doc_id"))
+        .agg(count(lit(1)).as("held_docs"),
+          sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+            .cast("bigint").as("correct"),
+          sum(when(col("pred") === "good", 1L).otherwise(0L))
+            .cast("bigint").as("pred_good"),
+          lit(m.vocabSize).as("vocab_size"),
+          lit(m.totalDocs).as("train_docs"),
+          lit(m.stats("good").docs).as("train_good_docs"))
     }))
 
   /** DuckDB oracle per query — EVERY registered query carries one: the
@@ -1788,5 +1816,17 @@ object SparkEntry {
     // Knuth multiplicative arithmetic (k/2^32 draws are exact doubles)
     "llm_train_order" ->
       ("SELECT doc_id, CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 AS draw " +
-        "FROM documents ORDER BY draw, doc_id LIMIT 20"))
+        "FROM documents ORDER BY draw, doc_id LIMIT 20"),
+    // decisions forced by the planted tokens; vocab = distinct base-text
+    // tokens of the train split + the 4 planted class markers
+    "llm_nb_classifier" ->
+      ("WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0), " +
+        "v AS (SELECT count(DISTINCT w) AS nv FROM (SELECT unnest(list_filter(" +
+        "regexp_split_to_array(lower(trim(text)), '\\s+'), x -> length(x) > 0)) AS w FROM tr)) " +
+        "SELECT (SELECT count(*) FROM documents WHERE doc_id % 5 = 0) AS held_docs, " +
+        "CAST((SELECT count(*) FROM documents WHERE doc_id % 5 = 0) AS BIGINT) AS correct, " +
+        "CAST((SELECT count(*) FROM documents WHERE doc_id % 5 = 0 AND doc_id % 2 = 0) AS BIGINT) AS pred_good, " +
+        "CAST((SELECT nv FROM v) + 4 AS BIGINT) AS vocab_size, " +
+        "CAST((SELECT count(*) FROM tr) AS BIGINT) AS train_docs, " +
+        "CAST((SELECT count(*) FROM tr WHERE doc_id % 2 = 0) AS BIGINT) AS train_good_docs"))
 }
