@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions
 import graft.ice.{IceTable, IceTableConfig}
-import graft.operators.{Bpe, Classifier, Cluster, Decontam, Dedup, IvfIndex, LangModel, Mixing, Multimodal, Packing, Search, SemDedup, Shards, Similarity, Sketches, SpanDedup, UrlOps, Vocab}
+import graft.operators.{Bpe, Classifier, Cluster, Decontam, Dedup, Dsir, IvfIndex, LangModel, Mixing, Multimodal, Packing, Search, SemDedup, Shards, Similarity, Sketches, SpanDedup, UrlOps, Vocab}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1327,6 +1327,23 @@ object SparkEntry {
           lit(m.vocabSize).as("vocab_size"),
           lit(m.totalDocs).as("train_docs"),
           lit(m.stats("good").docs).as("train_good_docs"))
+    }),
+    "llm_dsir_select" -> ((s, d) => {
+      // DSIR importance resampling (Dsir): target = the doc_id%7==0
+      // "trusted" split, raw = the rest; hashed unigram+bigram
+      // multinomials at m=1024, every raw doc scored by its summed
+      // per-bucket integer log-ratio, top-20 most target-like kept.
+      // Fully replayable: the oracle re-derives the portable 31-ary
+      // polynomial hash, the smoothed floored log-ratio table, and the
+      // exact selected head with weights.
+      val docs = Fixtures.raw(s, d, "documents")
+      val target = docs.where(col("doc_id") % 7 === 0)
+      val raw = docs.where(col("doc_id") % 7 =!= 0)
+      val model = Dsir.fit(target, raw, "text", m = 1024)
+      val scored = Dsir.score(raw, "doc_id", "text", model)
+      Dsir.selectTopK(scored, "doc_id", 20)
+        .select(col("doc_id"), col("n_features").cast("long").as("n_features"),
+          col("weight_e6").cast("long").as("weight_e6"))
     }))
 
   /** DuckDB oracle per query — EVERY registered query carries one: the
@@ -1828,5 +1845,33 @@ object SparkEntry {
         "CAST((SELECT count(*) FROM documents WHERE doc_id % 5 = 0 AND doc_id % 2 = 0) AS BIGINT) AS pred_good, " +
         "CAST((SELECT nv FROM v) + 4 AS BIGINT) AS vocab_size, " +
         "CAST((SELECT count(*) FROM tr) AS BIGINT) AS train_docs, " +
-        "CAST((SELECT count(*) FROM tr WHERE doc_id % 2 = 0) AS BIGINT) AS train_good_docs"))
+        "CAST((SELECT count(*) FROM tr WHERE doc_id % 2 = 0) AS BIGINT) AS train_good_docs"),
+    // full DSIR replay: portable polynomial hash -> bucket counts ->
+    // smoothed floored log-ratio table -> per-doc bigint weights -> top-20
+    "llm_dsir_select" ->
+      ("WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+        "w -> length(w) > 0) AS toks FROM documents), " +
+        "feats AS (SELECT doc_id, unnest(toks || list_transform(range(2, len(toks) + 1), " +
+        "i -> toks[i - 1] || ' ' || toks[i])) AS f FROM d), " +
+        "fb AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(range(1, length(f) + 1), i -> CAST(unicode(f[i]) AS BIGINT))), " +
+        "(h, c) -> (h * 31 + c) % 1024) AS bucket FROM feats), " +
+        "tc AS (SELECT bucket, count(*) AS ct FROM fb WHERE doc_id % 7 = 0 GROUP BY bucket), " +
+        "rc AS (SELECT bucket, count(*) AS cr FROM fb WHERE doc_id % 7 <> 0 GROUP BY bucket), " +
+        "tt AS (SELECT coalesce(sum(ct), 0) AS n FROM tc), " +
+        "rt AS (SELECT coalesce(sum(cr), 0) AS n FROM rc), " +
+        "lr AS (SELECT b.bucket AS bucket, CAST(floor(1000000.0 * log10(" +
+        "(CAST(coalesce(tc.ct, 0) + 1 AS DOUBLE) / ((SELECT n FROM tt) + 1024.0)) / " +
+        "(CAST(coalesce(rc.cr, 0) + 1 AS DOUBLE) / ((SELECT n FROM rt) + 1024.0)))) AS BIGINT) AS lr_e6 " +
+        "FROM (SELECT unnest(range(0, 1024)) AS bucket) b " +
+        "LEFT JOIN tc ON b.bucket = tc.bucket LEFT JOIN rc ON b.bucket = rc.bucket), " +
+        "sc AS (SELECT fb.doc_id AS doc_id, count(*) AS n_features, sum(lr.lr_e6) AS weight_e6 " +
+        "FROM fb JOIN lr ON fb.bucket = lr.bucket WHERE fb.doc_id % 7 <> 0 GROUP BY fb.doc_id), " +
+        "f AS (SELECT r.doc_id AS doc_id, coalesce(sc.n_features, 0) AS n_features, " +
+        "coalesce(sc.weight_e6, 0) AS weight_e6 " +
+        "FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) r " +
+        "LEFT JOIN sc ON r.doc_id = sc.doc_id) " +
+        "SELECT doc_id, CAST(n_features AS BIGINT) AS n_features, " +
+        "CAST(weight_e6 AS BIGINT) AS weight_e6 FROM f " +
+        "ORDER BY weight_e6 DESC, doc_id LIMIT 20"))
 }
