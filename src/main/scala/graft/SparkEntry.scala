@@ -1344,6 +1344,25 @@ object SparkEntry {
       Dsir.selectTopK(scored, "doc_id", 20)
         .select(col("doc_id"), col("n_features").cast("long").as("n_features"),
           col("weight_e6").cast("long").as("weight_e6"))
+    }),
+    "llm_temperature_mix" -> ((s, d) => {
+      // Temperature-flattened mixture (Mixing.temperatureQuotas/
+      // sampleQuotas): per-lang share ~ count^0.5, Hamilton-apportioned
+      // to exactly 200 rows in pure bigint arithmetic, each lang
+      // contributing its smallest-draw head. DuckDB replays the weights
+      // (sqrt is correctly rounded), the apportionment, and the exact
+      // kept sets.
+      import s.implicits._
+      val docs = Fixtures.raw(s, d, "documents")
+      val quotas = Mixing.temperatureQuotas(docs, "lang", total = 200L)
+      val kept = Mixing.sampleQuotas(docs, "lang", "doc_id", quotas)
+      val qDf = quotas.toSeq.toDF("lang", "quota")
+      kept.groupBy("lang")
+        .agg(count(lit(1)).as("kept"),
+          sum("doc_id").cast("bigint").as("sum_ids"))
+        .join(broadcast(qDf), Seq("lang"))
+        .select(col("lang"), col("quota"), col("kept"), col("sum_ids"))
+        .orderBy("lang")
     }))
 
   /** DuckDB oracle per query — EVERY registered query carries one: the
@@ -1873,5 +1892,24 @@ object SparkEntry {
         "LEFT JOIN sc ON r.doc_id = sc.doc_id) " +
         "SELECT doc_id, CAST(n_features AS BIGINT) AS n_features, " +
         "CAST(weight_e6 AS BIGINT) AS weight_e6 FROM f " +
-        "ORDER BY weight_e6 DESC, doc_id LIMIT 20"))
+        "ORDER BY weight_e6 DESC, doc_id LIMIT 20"),
+    // temperature mixture replay: integer-scaled sqrt weights, Hamilton
+    // apportionment in bigint arithmetic, per-lang smallest-draw heads
+    "llm_temperature_mix" ->
+      ("WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang), " +
+        "w AS (SELECT lang, cnt, CAST(floor(1000000.0 * sqrt(CAST(cnt AS DOUBLE))) AS BIGINT) AS wk FROM c), " +
+        "tot AS (SELECT sum(wk) AS bw FROM w), " +
+        "b AS (SELECT lang, cnt, wk, (200 * wk) // (SELECT bw FROM tot) AS base, " +
+        "(200 * wk) % (SELECT bw FROM tot) AS rem FROM w), " +
+        "d AS (SELECT 200 - sum(base) AS deficit FROM b), " +
+        "q AS (SELECT lang, base + (CASE WHEN row_number() OVER (ORDER BY rem DESC, lang) " +
+        "<= (SELECT deficit FROM d) THEN 1 ELSE 0 END) AS quota FROM b), " +
+        "r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0, doc_id) AS rn " +
+        "FROM documents), " +
+        "kept AS (SELECT r.lang AS lang, r.doc_id AS doc_id FROM r JOIN q ON r.lang = q.lang " +
+        "WHERE r.rn <= q.quota) " +
+        "SELECT q.lang AS lang, CAST(q.quota AS BIGINT) AS quota, " +
+        "CAST(count(kept.doc_id) AS BIGINT) AS kept, CAST(sum(kept.doc_id) AS BIGINT) AS sum_ids " +
+        "FROM q JOIN kept ON q.lang = kept.lang GROUP BY q.lang, q.quota ORDER BY lang"))
 }

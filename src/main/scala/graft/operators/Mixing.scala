@@ -119,6 +119,81 @@ object Mixing {
       .drop("_rn")
   }
 
+  /** Temperature-flattened mixture quotas (the multilingual-training
+    * reweighting: a stratum's target share is `count^tau / Σ count^tau`,
+    * `tau < 1` flattening the head so low-resource strata survive),
+    * integerized to EXACTLY `total` rows by largest-remainder
+    * apportionment (Hamilton's method), ties broken on stratum name.
+    *
+    * Engine-portable by construction: weights are integer-scaled
+    * (`floor(1e6 * count^tau)`, with `tau = 0.5` routed through the
+    * correctly-rounded `sqrt`), so apportionment is pure bigint
+    * arithmetic — no float sums whose value depends on iteration order.
+    * The per-stratum count table is metadata-scale (one row per
+    * language/source), so the apportionment folds on the driver like
+    * [[ratesFor]]; row data never leaves the cluster.
+    */
+  def temperatureQuotas(
+      df: DataFrame,
+      strataCol: String,
+      total: Long,
+      tau: Double = 0.5): Map[String, Long] = {
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("_c"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val w = counts.map { case (k, c) =>
+      val scaled = if (tau == 0.5) math.sqrt(c.toDouble)
+        else math.pow(c.toDouble, tau)
+      k -> math.floor(1e6 * scaled).toLong
+    }
+    val bigW = w.map(_._2).sum
+    if (bigW == 0L) return counts.map { case (k, _) => k -> 0L }.toMap
+    // base share by exact integer division; distribute the deficit to the
+    // largest remainders (tie: stratum name order — already sorted)
+    val base = w.map { case (k, wk) =>
+      (k, (total * wk) / bigW, (total * wk) % bigW)
+    }
+    val deficit = (total - base.map(_._2).sum).toInt
+    val bump = base.sortBy { case (k, _, rem) => (-rem, k) }
+      .take(deficit).map(_._1).toSet
+    base.map { case (k, b, _) => k -> (if (bump(k)) b + 1 else b) }.toMap
+  }
+
+  /** Draw the temperature-flattened mixture: each stratum contributes its
+    * [[temperatureQuotas]] quota of rows, chosen as the stratum's
+    * smallest-[[uniform]]-draw head (so the kept set is a pure function
+    * of the data, like [[sampleExactN]]). One window shuffle on the
+    * stratum; quotas ride in as a literal map (metadata-scale). */
+  def temperatureSample(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      total: Long,
+      tau: Double = 0.5): DataFrame =
+    sampleQuotas(df, strataCol, keyCol,
+      temperatureQuotas(df, strataCol, total, tau))
+
+  /** Exact per-stratum quota sample: stratum k contributes its
+    * `quotas(k)` smallest-[[uniform]]-draw rows (strata absent from the
+    * map contribute none). The quota map rides in as a literal
+    * expression — metadata-scale, no join. */
+  def sampleQuotas(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      quotas: Map[String, Long]): DataFrame = {
+    val quotaCol = quotas.toSeq.sortBy(_._1)
+      .foldLeft(lit(0L)) { case (acc, (k, q)) =>
+        when(col(strataCol) === k, lit(q)).otherwise(acc)
+      }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(uniform(col(keyCol)), col(keyCol))
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= quotaCol)
+      .drop("_rn")
+  }
+
   /** Per-group contribution cap: keep at most `maxPerKey` rows per
     * `groupCol`, preferring the lowest `orderCol` — the crawl-pipeline
     * step that stops any single domain/source from dominating the corpus

@@ -99,6 +99,37 @@ class MixingSpec extends SparkSpec {
     assert(tiny.count() == 2)
   }
 
+  test("temperatureQuotas: closed-form Hamilton apportionment at tau=0.5") {
+    import spark.implicits._
+    // counts a=100, b=1, c=4; w = floor(1e6*sqrt(c)) = 10e6 / 1e6 / 2e6,
+    // W = 13e6. base = floor(10*w/W) = 7/0/1 (sum 8, deficit 2);
+    // remainders 9e6/10e6/7e6 -> bump b then a. quotas: a=8, b=1, c=1.
+    val rows = Seq.tabulate(100)(i => ("a", i.toLong)) ++
+      Seq(("b", 200L)) ++ Seq.tabulate(4)(i => ("c", 300L + i))
+    val df = rows.toDF("st", "id")
+    val q = Mixing.temperatureQuotas(df, "st", total = 10L)
+    assert(q == Map("a" -> 8L, "b" -> 1L, "c" -> 1L))
+    // tau=1 is plain proportionality: 100/1/4 of 105 -> quotas match counts
+    val q1 = Mixing.temperatureQuotas(df, "st", total = 105L, tau = 1.0)
+    assert(q1 == Map("a" -> 100L, "b" -> 1L, "c" -> 4L))
+  }
+
+  test("temperatureSample draws exactly the quota per stratum, total hit") {
+    import spark.implicits._
+    val rows = for (s <- Seq("a", "b", "c"); i <- 1 to 200)
+      yield (s, (s.hashCode.abs % 100) * 1000L + i)
+    val df = rows.toDF("st", "id")
+    val quotas = Mixing.temperatureQuotas(df, "st", total = 60L)
+    assert(quotas.values.sum == 60L)
+    val kept = Mixing.temperatureSample(df, "st", "id", total = 60L)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(kept.length == 60)
+    val byStrata = kept.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(byStrata == quotas)
+    // equal-sized strata at tau=0.5 split evenly
+    assert(quotas == Map("a" -> 20L, "b" -> 20L, "c" -> 20L))
+  }
+
   test("capPerKey keeps the lowest-order rows per group, exactly") {
     import spark.implicits._
     // group sizes 1..6; cap at 3 keeps min(size, 3) lowest ids per group
