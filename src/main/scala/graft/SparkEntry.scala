@@ -1363,6 +1363,53 @@ object SparkEntry {
         .join(broadcast(qDf), Seq("lang"))
         .select(col("lang"), col("quota"), col("kept"), col("sum_ids"))
         .orderBy("lang")
+    }),
+    "llm_e2e_pipeline" -> ((s, d) => {
+      // The whole curation pipeline COMPOSED end-to-end — quality filter
+      // -> exact dedup -> benchmark decontamination -> per-source cap —
+      // each stage an operator graded on its own elsewhere; this query
+      // grades their composition (stage order, column threading, and the
+      // exact surviving set). One corpus scan feeds stage 1; dedup and
+      // cap are one window shuffle each; decontam joins map-side against
+      // the broadcast benchmark grams.
+      val docs = Fixtures.raw(s, d, "documents")
+      // stage 1: Gopher-style repetition/shape keep (llm_gopher_quality's
+      // exact rules, per-doc)
+      val flags = docs
+        .select(col("doc_id"), col("source"), col("text"),
+          TextFunctions.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), col("source"), col("text"), col("tk"),
+          TextFunctions.ngramsFromTokens(col("tk"), 2).as("g2"))
+        .select(col("doc_id"), col("source"), col("text"),
+          size(col("tk")).as("nt"),
+          when(size(col("tk")) < 2, lit(0))
+            .otherwise(TextFunctions.modeCount(col("g2"))).as("mode2"),
+          TextFunctions.dupSentenceFraction(col("text")).as("dupf"),
+          when(size(col("tk")) <= 0, lit(0.0))
+            .otherwise(aggregate(col("tk"), lit(0L), (acc, w) => acc + length(w))
+              / size(col("tk")).cast("double")).as("mwl"),
+          when(size(col("tk")) <= 0, lit(0.0))
+            .otherwise(coalesce(size(regexp_extract_all(col("text"),
+              lit("[^A-Za-z0-9\\s.,!?'\"-]"), lit(0))), lit(0))
+              / size(col("tk")).cast("double")).as("symr"))
+        .withColumn("top2", when(col("nt") < 2, lit(0.0))
+          .otherwise(col("mode2") * 2 / col("nt").cast("double")))
+      val quality = flags.where((col("mode2") < 3 || col("top2") <= 0.2) &&
+          col("dupf") <= 0.3 && col("mwl").between(2.0, 12.0) &&
+          col("symr") <= 0.3)
+        .select("doc_id", "source", "text")
+      // stage 2: exact content dedup, keep the smallest doc_id
+      val deduped = Dedup.exactDedup(quality, Seq("text"), "doc_id")
+      // stage 3: drop docs sharing an 8-gram with the benchmark split
+      val bench = docs.where(col("doc_id") % 50 === 0)
+      val contam = Decontam.contaminated(deduped, bench, "doc_id", "text", n = 8)
+      val clean = deduped.join(contam.select("doc_id"), Seq("doc_id"), "left_anti")
+      // stage 4: per-source contribution cap
+      val capped = Mixing.capPerKey(clean, "source", "doc_id", maxPerKey = 40)
+      capped.groupBy("source")
+        .agg(count(lit(1)).as("kept"),
+          sum("doc_id").cast("bigint").as("sum_ids"))
+        .orderBy("source")
     }))
 
   /** DuckDB oracle per query — EVERY registered query carries one: the
@@ -1911,5 +1958,37 @@ object SparkEntry {
         "WHERE r.rn <= q.quota) " +
         "SELECT q.lang AS lang, CAST(q.quota AS BIGINT) AS quota, " +
         "CAST(count(kept.doc_id) AS BIGINT) AS kept, CAST(sum(kept.doc_id) AS BIGINT) AS sum_ids " +
-        "FROM q JOIN kept ON q.lang = kept.lang GROUP BY q.lang, q.quota ORDER BY lang"))
+        "FROM q JOIN kept ON q.lang = kept.lang GROUP BY q.lang, q.quota ORDER BY lang"),
+    // the composed pipeline, replayed stage by stage: gopher keep rules ->
+    // min-id-per-content dedup -> 8-gram benchmark anti-join -> source cap
+    "llm_e2e_pipeline" ->
+      ("WITH t1 AS (SELECT doc_id, source, text, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM documents), " +
+        "t2 AS (SELECT doc_id, source, text, len(tk) AS nt, " +
+        "CASE WHEN len(tk) < 2 THEN 0 ELSE " +
+        "list_max(list_transform(list_distinct(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])), " +
+        "s -> len(list_filter(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]), x -> x = s)))) END AS mode2, " +
+        "list_filter(list_transform(string_split(lower(text), '.'), s -> trim(s)), s -> len(s) > 0) AS sents, " +
+        "list_sum(list_transform(tk, w -> len(w))) AS sumw, " +
+        "len(regexp_extract_all(text, '[^A-Za-z0-9\\s.,!?''\"-]')) AS nsym FROM t1), " +
+        "r AS (SELECT doc_id, source, text, nt, mode2, " +
+        "CASE WHEN nt < 2 THEN 0.0 ELSE mode2 * 2 / CAST(nt AS DOUBLE) END AS top2, " +
+        "CASE WHEN len(sents) <= 0 THEN 0.0 ELSE 1.0 - len(list_distinct(sents)) / CAST(len(sents) AS DOUBLE) END AS dupf, " +
+        "CASE WHEN nt <= 0 THEN 0.0 ELSE sumw / CAST(nt AS DOUBLE) END AS mwl, " +
+        "CASE WHEN nt <= 0 THEN 0.0 ELSE nsym / CAST(nt AS DOUBLE) END AS symr FROM t2), " +
+        "q AS (SELECT doc_id, source, text FROM r WHERE (mode2 < 3 OR top2 <= 0.2) " +
+        "AND dupf <= 0.3 AND mwl BETWEEN 2.0 AND 12.0 AND symr <= 0.3), " +
+        "dd AS (SELECT doc_id, source, text FROM " +
+        "(SELECT q.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM q) WHERE rn = 1), " +
+        "bt AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM documents WHERE doc_id % 50 = 0), " +
+        "bg AS (SELECT DISTINCT unnest(list_distinct(CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')] " +
+        "ELSE list_transform(range(1, len(tk) - 6), i -> array_to_string(list_slice(tk, i, i + 7), ' ')) END)) AS gram FROM bt), " +
+        "dg AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')] " +
+        "ELSE list_transform(range(1, len(tk) - 6), i -> array_to_string(list_slice(tk, i, i + 7), ' ')) END)) AS gram " +
+        "FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM dd)), " +
+        "contam AS (SELECT DISTINCT dg.doc_id FROM dg JOIN bg USING (gram)), " +
+        "clean AS (SELECT dd.* FROM dd LEFT JOIN contam ON dd.doc_id = contam.doc_id WHERE contam.doc_id IS NULL), " +
+        "capped AS (SELECT doc_id, source FROM " +
+        "(SELECT clean.*, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM clean) WHERE rn <= 40) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids " +
+        "FROM capped GROUP BY source ORDER BY source"))
 }
