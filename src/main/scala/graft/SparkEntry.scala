@@ -1410,6 +1410,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("kept"),
           sum("doc_id").cast("bigint").as("sum_ids"))
         .orderBy("source")
+    }),
+    "llm_epoch_upsample" -> ((s, d) => {
+      // Fractional-epoch upsampling (Mixing.upsampleEpochs): en seen 1.5
+      // epochs, zh 2.25, de dropped, others once. Graded per lang on
+      // emitted rows, distinct docs, copy-index sum, and the exact id-sum
+      // of the fractional heads — DuckDB re-derives the uniform(doc_id)
+      // draw that decides every extra copy.
+      val docs = Fixtures.raw(s, d, "documents")
+      val up = Mixing.upsampleEpochs(docs, "lang", "doc_id",
+        Map("en" -> 1.5, "zh" -> 2.25, "de" -> 0.0))
+      up.groupBy("lang")
+        .agg(count(lit(1)).as("rows_out"),
+          countDistinct(col("doc_id")).as("docs_in"),
+          sum("_epoch").cast("bigint").as("sum_epoch"),
+          sum(when(col("_epoch") > floor(when(col("lang") === "en", 1.5)
+              .when(col("lang") === "zh", 2.25).otherwise(1.0)).cast("long"),
+            col("doc_id")).otherwise(0L)).cast("bigint").as("sum_extra_ids"))
+        .orderBy("lang")
     }))
 
   /** DuckDB oracle per query — EVERY registered query carries one: the
@@ -1990,5 +2008,19 @@ object SparkEntry {
         "capped AS (SELECT doc_id, source FROM " +
         "(SELECT clean.*, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM clean) WHERE rn <= 40) " +
         "SELECT source, CAST(count(*) AS BIGINT) AS kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids " +
-        "FROM capped GROUP BY source ORDER BY source"))
+        "FROM capped GROUP BY source ORDER BY source"),
+    // upsample replay: copies = floor(e) + [uniform(doc_id) < frac(e)];
+    // sum_epoch telescopes to cp*(cp+1)/2 per doc
+    "llm_epoch_upsample" ->
+      ("WITH p AS (SELECT doc_id, lang, " +
+        "CASE lang WHEN 'en' THEN 1 WHEN 'zh' THEN 2 WHEN 'de' THEN 0 ELSE 1 END AS wh, " +
+        "CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 0.0 END AS fr, " +
+        "CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 AS u FROM documents), " +
+        "c AS (SELECT doc_id, lang, wh + (CASE WHEN u < fr THEN 1 ELSE 0 END) AS cp, " +
+        "(CASE WHEN u < fr THEN 1 ELSE 0 END) AS extra FROM p) " +
+        "SELECT lang, CAST(sum(cp) AS BIGINT) AS rows_out, " +
+        "CAST(count(*) FILTER (WHERE cp > 0) AS BIGINT) AS docs_in, " +
+        "CAST(sum((cp * (cp + 1)) // 2) AS BIGINT) AS sum_epoch, " +
+        "CAST(sum(doc_id * extra) AS BIGINT) AS sum_extra_ids " +
+        "FROM c GROUP BY lang HAVING sum(cp) > 0 ORDER BY lang"))
 }

@@ -194,6 +194,32 @@ object Mixing {
       .drop("_rn")
   }
 
+  /** Fractional-epoch upsampling ("source X is seen 1.4 epochs"): every
+    * row appears `floor(e)` times, plus once more for the
+    * `uniform(key) < frac(e)` head — so a stratum's expected multiplicity
+    * is exactly its repeat factor, the kept set is a pure function of the
+    * data, and the emitted copy index (`_epoch`, 1-based) lets the
+    * training-order shuffle spread copies apart. Map-only: one explode of
+    * a per-row sequence, no shuffle, no driver state. Strata absent from
+    * `epochs` default to 1.0 (seen once). */
+  def upsampleEpochs(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      epochs: Map[String, Double]): DataFrame = {
+    val eCol = epochs.toSeq.sortBy(_._1)
+      .foldLeft(lit(1.0)) { case (acc, (k, e)) =>
+        when(col(strataCol) === k, lit(e)).otherwise(acc)
+      }
+    val whole = floor(eCol).cast("long")
+    val copies = (whole +
+      when(uniform(col(keyCol)) < (eCol - whole), 1L).otherwise(0L))
+      .cast("long")
+    df.withColumn("_epoch",
+        explode(when(copies <= 0L, array().cast("array<bigint>"))
+          .otherwise(sequence(lit(1L), copies))))
+  }
+
   /** Per-group contribution cap: keep at most `maxPerKey` rows per
     * `groupCol`, preferring the lowest `orderCol` — the crawl-pipeline
     * step that stops any single domain/source from dominating the corpus

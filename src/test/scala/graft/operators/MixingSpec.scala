@@ -130,6 +130,28 @@ class MixingSpec extends SparkSpec {
     assert(quotas == Map("a" -> 20L, "b" -> 20L, "c" -> 20L))
   }
 
+  test("upsampleEpochs: floor copies always, fractional head once more") {
+    import spark.implicits._
+    val df = Seq.tabulate(1000)(i => ("a", i.toLong)).toDF("st", "id")
+    val up = Mixing.upsampleEpochs(df, "st", "id", Map("a" -> 2.3))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val byId = up.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byId.size == 1000)
+    // every id appears 2 or 3 times, epochs numbered 1..copies
+    assert(byId.values.forall(e => e == Seq(1L, 2L) || e == Seq(1L, 2L, 3L)))
+    // the fractional head is the uniform(key) < 0.3 set, exactly
+    def u(k: Long): Double =
+      (((k * 2654435761L) % 4294967296L + 4294967296L) % 4294967296L) / 4294967296.0
+    (0L until 1000L).foreach { k =>
+      assert((byId(k).length == 3) == (u(k) < 0.3), s"id $k")
+    }
+    // zero epochs drops the stratum; absent strata default to 1 copy
+    val mixed = Seq(("a", 1L), ("b", 2L)).toDF("st", "id")
+    val z = Mixing.upsampleEpochs(mixed, "st", "id", Map("a" -> 0.0))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(z.toSeq == Seq(("b", 1L)))
+  }
+
   test("capPerKey keeps the lowest-order rows per group, exactly") {
     import spark.implicits._
     // group sizes 1..6; cap at 3 keeps min(size, 3) lowest ids per group
