@@ -784,6 +784,29 @@ object SparkEntry {
           round(max(col("duration_sec")), 6).as("max_dur"),
           count(lit(1)).as("cnt"))
     }),
+    "llm_multimodal_video" -> ((s, d) => {
+      // REAL video frame decode graded end-to-end: payloads are actual
+      // MJPEG AVIs (RIFF container, every frame a true ImageIO JPEG);
+      // sampling walks the container and DECODES every 2nd frame — the
+      // oracle pins the closed-form per-doc dims and sampled counts,
+      // which only a real decode of real JPEGs reproduces. Heavier
+      // per-row than the other media queries, so it runs on a fixed
+      // 500-doc slice.
+      val docs = Fixtures.raw(s, d, "documents").where(col("doc_id") < 500)
+      val media = Multimodal.packAvi(docs, "doc_id")
+      val frames = Multimodal.sampleFramesAviReal(media, everyN = 2)
+      val meta = Multimodal.decodeAviMeta(media)
+      val f = frames.agg(
+        count(lit(1)).as("sampled_frames"),
+        sum(col("width").cast("long") * col("height")).cast("bigint")
+          .as("sum_px"),
+        min(col("width")).as("min_w"),
+        bool_and(col("width") > 0).as("all_decoded"))
+      val m = meta.agg(sum(col("n_frames")).cast("bigint").as("total_frames"),
+        round(max(col("duration_sec")), 6).as("max_dur"),
+        count(lit(1)).as("cnt"))
+      f.crossJoin(m)
+    }),
     "llm_multimodal_pipeline" -> ((s, d) => {
       // full media pipeline: pack → resize (payload cap) → frame-sample;
       // resized bytes and frame counts are deterministic functions of the
@@ -1584,6 +1607,15 @@ object SparkEntry {
         "CAST(max(240 + 16 * (doc_id % 8)) AS INTEGER) AS max_h, " +
         "round(max(2 + doc_id % 10) * 1.0, 6) AS max_dur, " +
         "count(*) AS cnt FROM documents"),
+    // MJPEG-AVI: every sampled frame must REALLY decode (ImageIO) with
+    // the closed-form dims; sampled count = ceil(frames/2) per doc
+    "llm_multimodal_video" ->
+      ("SELECT CAST(sum((2 + doc_id % 5 + 1) // 2) AS BIGINT) AS sampled_frames, " +
+        "CAST(sum(((2 + doc_id % 5 + 1) // 2) * (16 + 2 * (doc_id % 4)) * (12 + 2 * (doc_id % 3))) AS BIGINT) AS sum_px, " +
+        "CAST(16 AS INTEGER) AS min_w, true AS all_decoded, " +
+        "CAST(sum(2 + doc_id % 5) AS BIGINT) AS total_frames, " +
+        "round((max(2 + doc_id % 5) * 100000) / 1000000.0, 6) AS max_dur, " +
+        "count(*) AS cnt FROM documents WHERE doc_id < 500"),
     "llm_lang_quality" ->
       "SELECT count(*) AS total_docs, true AS quality_in_range, true AS lang_in_domain FROM documents",
     "llm_minhash_dedup" ->

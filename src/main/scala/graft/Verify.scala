@@ -25,7 +25,11 @@ object Verify {
     // optional 3rd arg: comma-separated query names (fast local iteration)
     val only: Option[Set[String]] =
       args.lift(2).map(_.split(",").map(_.trim).toSet)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default matches the stated environment (local[32]); the driver can
+    // still override. Thread count never affects correctness, only how
+    // close each query stays to its timeout.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors).toString)
     val queryTimeout =
       sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "600").toLong.seconds
     val prewarmTimeout =

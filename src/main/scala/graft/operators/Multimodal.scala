@@ -17,12 +17,13 @@ import org.apache.spark.sql.types._
   * ([[CompressedAudioHeaders]] — pure-Scala MPEG frame-header / OGG page
   * walk, no codec needed for metadata): sample rate, channels, samples,
   * duration. Video METADATA is real too ([[Mp4Headers]] — pure-Scala ISO
-  * BMFF box walk: dimensions, duration, frame count). Only video FRAME
-  * extraction still uses [[FakeCodec]], a deterministic stand-in deriving
-  * frames from payload bytes (the JDK has no video codec and the build is
-  * offline); the Spark-side contract — schema, batch shape, partitioning,
-  * null behavior — is identical, so swapping in javacv/ffmpeg touches
-  * only the codec object.
+  * BMFF box walk: dimensions, duration, frame count), and video FRAME
+  * decode is real for MJPEG-in-AVI ([[AviMjpeg]] + ImageIO: RIFF walk,
+  * every sampled frame truly JPEG-decoded). Only inter-frame codecs
+  * (H.264 etc.) still use [[FakeCodec]], a deterministic stand-in (the
+  * JDK has no such codec and the build is offline); the Spark-side
+  * contract — schema, batch shape, partitioning, null behavior — is
+  * identical, so swapping in javacv/ffmpeg touches only the codec object.
   */
 object Multimodal {
 
@@ -626,6 +627,193 @@ object Multimodal {
         rows.flatMap { r =>
           FakeCodec.sampleFrames(r.getAs[Array[Byte]]("payload"), frameBytes, everyN)
             .zipWithIndex.map { case (f, i) => Row(r.getLong(0), i, f) }
+        }
+      }(enc)
+  }
+
+  // ------------------------------------------- real video: MJPEG in AVI
+
+  /** MJPEG-in-AVI — the one video format the JDK can take ALL the way:
+    * the container is a RIFF chunk walk in pure Scala, and every frame
+    * payload is a baseline JPEG `javax.imageio` decodes for real. This
+    * closes the video-frame gap honestly for one mainstream format;
+    * inter-frame codecs (H.264 etc.) genuinely need an external decoder
+    * and stay behind [[FakeCodec]]. Layout per the public AVI RIFF spec:
+    * `RIFF('AVI ' LIST('hdrl' avih ...) LIST('movi' 00dc...))`, 32-bit
+    * little-endian sizes, chunks padded to even offsets. */
+  object AviMjpeg {
+    import Mp4Headers.VideoMeta
+
+    private def le32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "US-ASCII")
+
+    /** avih header fields -> dims, frame count, duration (µs/frame ×
+      * frames). Returns None unless the payload is a well-formed
+      * RIFF-AVI with an `hdrl/avih`. */
+    def aviMeta(p: Array[Byte]): Option[VideoMeta] = {
+      if (p == null || p.length < 24 || fourcc(p, 0) != "RIFF" ||
+        fourcc(p, 8) != "AVI ") return None
+      var meta: Option[VideoMeta] = None
+      var o = 12
+      while (meta.isEmpty && o + 8 <= p.length) {
+        val sz = le32(p, o + 4).toInt
+        if (fourcc(p, o) == "LIST" && o + 12 <= p.length &&
+          fourcc(p, o + 8) == "hdrl") {
+          var i = o + 12
+          val end = math.min(o + 8 + sz, p.length)
+          while (meta.isEmpty && i + 8 <= end) {
+            val csz = le32(p, i + 4).toInt
+            if (fourcc(p, i) == "avih" && i + 8 + 40 <= end) {
+              val usPerFrame = le32(p, i + 8)
+              val frames = le32(p, i + 8 + 16)
+              val w = le32(p, i + 8 + 32).toInt
+              val h = le32(p, i + 8 + 36).toInt
+              meta = Some(VideoMeta(w, h, frames * usPerFrame / 1e6, frames))
+            }
+            i += 8 + csz + (csz & 1)
+          }
+        }
+        o += 8 + sz + (sz & 1)
+      }
+      meta
+    }
+
+    /** The `movi` list's `00dc` chunk bodies — each one a complete JPEG. */
+    def frameChunks(p: Array[Byte]): Seq[Array[Byte]] = {
+      if (p == null || p.length < 24 || fourcc(p, 0) != "RIFF") return Seq.empty
+      val out = Seq.newBuilder[Array[Byte]]
+      var o = 12
+      while (o + 8 <= p.length) {
+        val sz = le32(p, o + 4).toInt
+        if (fourcc(p, o) == "LIST" && o + 12 <= p.length &&
+          fourcc(p, o + 8) == "movi") {
+          var i = o + 12
+          val end = math.min(o + 8 + sz, p.length)
+          while (i + 8 <= end) {
+            val csz = le32(p, i + 4).toInt
+            if (fourcc(p, i) == "00dc" && i + 8 + csz <= end)
+              out += java.util.Arrays.copyOfRange(p, i + 8, i + 8 + csz)
+            i += 8 + csz + (csz & 1)
+          }
+        }
+        o += 8 + sz + (sz & 1)
+      }
+      out.result()
+    }
+  }
+
+  /** Pack each row as a REAL playable MJPEG AVI: `2 + id % 5` frames of
+    * `(16 + 2·(id%4)) × (12 + 2·(id%3))` at 10 fps, every frame a true
+    * ImageIO-encoded JPEG of a deterministic gradient. Closed-form
+    * oracle on dims/frames/duration; the frames themselves are graded by
+    * really decoding them ([[sampleFramesAviReal]]). */
+  def packAvi(df: DataFrame, idCol: String): DataFrame = {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    df.select(col(idCol).cast("long").as("media_id"))
+      .mapPartitions { rows =>
+        def w32(b: Array[Byte], o: Int, v: Long): Unit = {
+          b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+          b(o + 2) = ((v >> 16) & 0xff).toByte; b(o + 3) = ((v >> 24) & 0xff).toByte
+        }
+        def chunk(cc: String, body: Array[Byte]): Array[Byte] = {
+          val pad = body.length & 1
+          val out = new Array[Byte](8 + body.length + pad)
+          cc.getBytes("US-ASCII").copyToArray(out, 0)
+          w32(out, 4, body.length.toLong)
+          System.arraycopy(body, 0, out, 8, body.length)
+          out
+        }
+        def list(kind: String, body: Array[Byte]): Array[Byte] =
+          chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val nf = (2 + id % 5).toInt
+          val w = (16 + 2 * (id % 4)).toInt; val h = (12 + 2 * (id % 3)).toInt
+          val frames = (0 until nf).map { f =>
+            val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+            for (y <- 0 until h; x <- 0 until w)
+              img.setRGB(x, y, (((x * 8 + f * 32) & 0xff) << 16) |
+                (((y * 8 + id.toInt % 64) & 0xff) << 8) | ((f * 40) & 0xff))
+            val buf = new ByteArrayOutputStream()
+            ImageIO.write(img, "jpg", buf)
+            buf.toByteArray
+          }
+          val avih = new Array[Byte](56)
+          w32(avih, 0, 100000L)       // dwMicroSecPerFrame (10 fps)
+          w32(avih, 16, nf.toLong)    // dwTotalFrames
+          w32(avih, 24, 1L)           // dwStreams
+          w32(avih, 32, w.toLong); w32(avih, 36, h.toLong)
+          val strh = new Array[Byte](56)
+          "vids".getBytes("US-ASCII").copyToArray(strh, 0)
+          "MJPG".getBytes("US-ASCII").copyToArray(strh, 4)
+          w32(strh, 20, 1L); w32(strh, 24, 10L)   // scale/rate = 10 fps
+          w32(strh, 32, nf.toLong)                // dwLength
+          val strf = new Array[Byte](40)          // BITMAPINFOHEADER
+          w32(strf, 0, 40L); w32(strf, 4, w.toLong); w32(strf, 8, h.toLong)
+          strf(12) = 1; strf(14) = 24
+          "MJPG".getBytes("US-ASCII").copyToArray(strf, 16)
+          val hdrl = list("hdrl", chunk("avih", avih) ++
+            list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+          val movi = list("movi",
+            frames.flatMap(f => chunk("00dc", f)).toArray)
+          val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+          val riff = new Array[Byte](8 + body.length)
+          "RIFF".getBytes("US-ASCII").copyToArray(riff, 0)
+          w32(riff, 4, body.length.toLong)
+          System.arraycopy(body, 0, riff, 8, body.length)
+          Row(id, "video/x-msvideo", riff, Map("frames" -> nf.toString))
+        }
+      }(enc)
+  }
+
+  /** Metadata decode for AVI (same surface as [[decodeVideoMeta]]). */
+  def decodeAviMeta(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(videoSchema)
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          AviMjpeg.aviMeta(r.getAs[Array[Byte]](1)) match {
+            case Some(m) =>
+              Row(r.getLong(0), m.width, m.height, m.durationSec, m.nFrames)
+            case None => Row(r.getLong(0), -1, -1, -1.0, -1L)
+          }
+        }
+      }(enc)
+  }
+
+  private val decodedFrameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("frame_index", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_bytes", LongType)))
+
+  /** REAL video frame sampling: walk the AVI container, take every Nth
+    * `00dc` chunk, and DECODE it with ImageIO — (media_id, frame_index,
+    * width, height, n_bytes), width/height -1 when a frame fails to
+    * decode. 1:N flatMap inside the partition iterator, the same batch
+    * shape as the fake — a different container format swaps in here
+    * without touching the plan. */
+  def sampleFramesAviReal(media: DataFrame, everyN: Int = 2): DataFrame = {
+    val enc = RowEncoder.encoderFor(decodedFrameSchema)
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          AviMjpeg.frameChunks(r.getAs[Array[Byte]](1)).zipWithIndex
+            .collect { case (jpeg, i) if i % everyN == 0 =>
+              JdkImageCodec.decode(jpeg) match {
+                case Some(img) =>
+                  Row(r.getLong(0), i, img.getWidth, img.getHeight,
+                    jpeg.length.toLong)
+                case None => Row(r.getLong(0), i, -1, -1, jpeg.length.toLong)
+              }
+            }
         }
       }(enc)
   }

@@ -295,6 +295,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(Multimodal.Mp4Headers.mp4Meta(one.take(40)).isEmpty)
   }
 
+  test("real MJPEG-AVI: RIFF walk + true ImageIO frame decode") {
+    val ids = Seq(0L, 3L, 7L, 11L).toDF("doc_id")
+    val media = Multimodal.packAvi(ids, "doc_id")
+    // container metadata from avih
+    val meta = Multimodal.decodeAviMeta(media).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getDouble(3), r.getLong(4)))).toMap
+    Seq(0L, 3L, 7L, 11L).foreach { id =>
+      val nf = 2 + id % 5
+      val exp = ((16 + 2 * (id % 4)).toInt, (12 + 2 * (id % 3)).toInt,
+        nf * 100000L / 1e6, nf)
+      assert(meta(id) == exp, s"id=$id: ${meta(id)}")
+    }
+    // every sampled frame REALLY decodes as a JPEG with the true dims
+    val frames = Multimodal.sampleFramesAviReal(media, everyN = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(frames.nonEmpty)
+    frames.foreach { case (id, idx, w, h) =>
+      assert(idx % 2 == 0)
+      assert(w == (16 + 2 * (id % 4)).toInt && h == (12 + 2 * (id % 3)).toInt,
+        s"id=$id frame=$idx decoded ${w}x$h")
+    }
+    // sampled count is ceil(nf / 2) per doc
+    val byId = frames.groupBy(_._1).view.mapValues(_.length).toMap
+    Seq(0L, 3L, 7L, 11L).foreach { id =>
+      assert(byId(id) == ((2 + id % 5) + 1) / 2, s"id=$id")
+    }
+    // malformed containers are rejected without looping or throwing
+    assert(Multimodal.AviMjpeg.aviMeta("notanavi".getBytes).isEmpty)
+    assert(Multimodal.AviMjpeg.frameChunks("RIFFxxxxAVI ".getBytes).isEmpty)
+  }
+
   test("real image codec: PNG decode, proportional resize, re-decode") {
     import java.awt.image.BufferedImage
     import java.io.ByteArrayOutputStream
