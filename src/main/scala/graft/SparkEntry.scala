@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions
 import graft.ice.{IceTable, IceTableConfig}
-import graft.operators.{Bpe, Classifier, Cluster, Decontam, Dedup, Dsir, IvfIndex, LangModel, Mixing, Multimodal, Packing, Search, SemDedup, Shards, Similarity, Sketches, SpanDedup, UrlOps, Vocab}
+import graft.operators.{Bpe, Classifier, Cluster, Decontam, Dedup, Dsir, IvfIndex, LangModel, Mixing, Multimodal, Packing, Search, SemDedup, Sessions, Shards, Similarity, Sketches, SpanDedup, UrlOps, Vocab}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -806,6 +806,23 @@ object SparkEntry {
         round(max(col("duration_sec")), 6).as("max_dur"),
         count(lit(1)).as("cnt"))
       f.crossJoin(m)
+    }),
+    "sessionize_events" -> ((s, d) => {
+      // Gap-based sessionization (Sessions): 30-min sessions over the
+      // event stream, exact integer arithmetic. DuckDB's TIMESTAMP is
+      // micros (it truncates the parquet nanos), so the time axis here is
+      // nanos truncated to the microsecond — bit-identical on both
+      // engines. One user-key shuffle feeds both windows and the rollup.
+      val ev = Fixtures.raw(s, d, "events")
+        .withColumn("ts_us", col("ts") - pmod(col("ts"), lit(1000L)))
+      Sessions.sessionStats(ev, "user_id", "ts_us", "event_id",
+          gapNs = 1800000000000L)
+        .agg(count(lit(1)).as("sessions"),
+          sum("n_events").cast("bigint").as("events"),
+          max("span_ns").cast("bigint").as("max_span_ns"),
+          max("session_seq").cast("bigint").as("max_user_sessions"),
+          sum(when(col("n_events") === 1, 1L).otherwise(0L)).cast("bigint")
+            .as("single_event_sessions"))
     }),
     "llm_multimodal_pipeline" -> ((s, d) => {
       // full media pipeline: pack → resize (payload cap) → frame-sample;
@@ -1616,6 +1633,21 @@ object SparkEntry {
         "CAST(sum(2 + doc_id % 5) AS BIGINT) AS total_frames, " +
         "round((max(2 + doc_id % 5) * 100000) / 1000000.0, 6) AS max_dur, " +
         "count(*) AS cnt FROM documents WHERE doc_id < 500"),
+    // sessionization replay: lag marks starts, running sum numbers them,
+    // all in exact integer nanos
+    "sessionize_events" ->
+      ("WITH e AS (SELECT user_id, epoch_ns(ts) AS tns, event_id FROM events), " +
+        "m AS (SELECT user_id, tns, event_id, CASE WHEN lag(tns) OVER " +
+        "(PARTITION BY user_id ORDER BY tns, event_id) IS NULL OR tns - lag(tns) OVER " +
+        "(PARTITION BY user_id ORDER BY tns, event_id) > 1800000000000 THEN 1 ELSE 0 END AS st FROM e), " +
+        "q AS (SELECT user_id, tns, sum(st) OVER (PARTITION BY user_id " +
+        "ORDER BY tns, event_id ROWS UNBOUNDED PRECEDING) AS seq FROM m), " +
+        "sess AS (SELECT user_id, seq, count(*) AS n_events, max(tns) - min(tns) AS span " +
+        "FROM q GROUP BY user_id, seq) " +
+        "SELECT count(*) AS sessions, CAST(sum(n_events) AS BIGINT) AS events, " +
+        "CAST(max(span) AS BIGINT) AS max_span_ns, CAST(max(seq) AS BIGINT) AS max_user_sessions, " +
+        "CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS single_event_sessions " +
+        "FROM sess"),
     "llm_lang_quality" ->
       "SELECT count(*) AS total_docs, true AS quality_in_range, true AS lang_in_domain FROM documents",
     "llm_minhash_dedup" ->
