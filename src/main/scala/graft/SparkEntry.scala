@@ -1073,6 +1073,29 @@ object SparkEntry {
         Seq("spark", "query", "window"), k = 10)
         .orderBy(col("score").desc, col("doc_id"))
     }),
+    "llm_hybrid_search" -> ((s, d) => {
+      // Hybrid retrieval (Search.rrfFuse): BM25 top-20 (sparse) fused
+      // with exact-cosine top-20 for query vector 0 (dense) by
+      // reciprocal-rank fusion over the shared doc/vec id space. Both
+      // rankings replay bit-for-bit in DuckDB (proven separately by
+      // llm_bm25_search / llm_ann_bruteforce); this grades the fusion
+      // arithmetic and the final ordering.
+      import org.apache.spark.sql.expressions.Window
+      val docs = Fixtures.raw(s, d, "documents")
+      val emb = Fixtures.raw(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val sparse = Search.bm25TopK(docs, "doc_id", "text",
+          Seq("spark", "query", "window"), k = 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank"))
+      val q0 = emb.where(col("vec_id") === 0L)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val dense = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          q0, "qid", "qvec", k = 20, dim = 64)
+        .select(col("id").as("doc_id"), col("rank"))
+      Search.rrfFuse(Seq(sparse, dense), "doc_id", "rank", k0 = 60, k = 10)
+    }),
     "llm_vocab_coverage" -> ((s, d) => {
       // Vocabulary build + coverage (Vocab): top-25 vocabulary with the
       // deterministic (freq desc, term) tie-break, then corpus coverage
@@ -1824,6 +1847,33 @@ object SparkEntry {
         "FROM pd, st) " +
         "SELECT doc_id, round(score, 4) AS score FROM sc WHERE score > 0 " +
         "ORDER BY score DESC, doc_id LIMIT 10"),
+    // hybrid fusion replay: both rankings re-derived (bm25 + cosine),
+    // fused as floor(1e9 * sum(1/(60+rank)))
+    "llm_hybrid_search" ->
+      ("WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t FROM documents), " +
+        "pd AS (SELECT doc_id, count(*) AS dl, " +
+        "sum(CASE WHEN t = 'spark' THEN 1 ELSE 0 END) AS tf0, " +
+        "sum(CASE WHEN t = 'query' THEN 1 ELSE 0 END) AS tf1, " +
+        "sum(CASE WHEN t = 'window' THEN 1 ELSE 0 END) AS tf2 FROM tk GROUP BY doc_id), " +
+        "st AS (SELECT count(*) AS n, avg(dl) AS avgdl, " +
+        "sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0, " +
+        "sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1, " +
+        "sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM pd), " +
+        "sc AS (SELECT doc_id, " +
+        "((ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))) " +
+        "+ (ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)))) " +
+        "+ (ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score " +
+        "FROM pd, st), " +
+        "bm20 AS (SELECT doc_id, score FROM sc WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20), " +
+        "bm AS (SELECT doc_id, row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rank FROM bm20), " +
+        "dn AS (SELECT doc_id, rank FROM (SELECT c.vec_id AS doc_id, " +
+        "row_number() OVER (ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank " +
+        "FROM embeddings c, embeddings q WHERE q.vec_id = 0 AND c.vec_id != 0) WHERE rank <= 20), " +
+        "u AS (SELECT doc_id, 1.0 / (60 + rank) AS c FROM bm " +
+        "UNION ALL SELECT doc_id, 1.0 / (60 + rank) AS c FROM dn) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS lists_hit, " +
+        "CAST(floor(1000000000.0 * sum(c)) AS BIGINT) AS rrf_e9 " +
+        "FROM u GROUP BY doc_id ORDER BY rrf_e9 DESC, doc_id LIMIT 10"),
     "llm_vocab_coverage" ->
       ("WITH tk AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term FROM documents), " +
         "wc AS (SELECT term, count(*) AS freq FROM tk GROUP BY term), " +

@@ -87,6 +87,32 @@ object Search {
       .select(col(idCol), round(col("_score"), 4).as("score"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of ranked
+    * lists over a shared id space — the standard way to combine sparse
+    * (BM25) and dense (embedding) retrieval without score calibration:
+    * `fused(d) = Σ_lists 1/(k0 + rank_d)`. The inputs are top-k lists
+    * (metadata-scale), so this is cheap plan glue — the heavy lifting
+    * happened producing the rankings. The fused score is integer-scaled
+    * (`floor(1e9·s)`) after the order-free double sum, so any engine
+    * derives the identical value and ordering.
+    *
+    * @param lists ranked DataFrames each carrying (idCol, rankCol),
+    *              rank 1-based
+    * @return (idCol, lists_hit, rrf_e9), top-k by fused score desc, id asc
+    */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, rankCol: String,
+      k0: Int = 60, k: Int = 10): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranking")
+    val contrib = lists.map(l => l.select(col(idCol),
+      (lit(1.0) / (lit(k0.toDouble) + col(rankCol).cast("double"))).as("_c")))
+    contrib.reduce(_ unionByName _)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("lists_hit"),
+        floor(lit(1e9) * sum(col("_c"))).cast("long").as("rrf_e9"))
+      .orderBy(col("rrf_e9").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Term-frequency/inverse-document-frequency vector norm per doc for a
     * fixed vocabulary — the dense-scoring building block ([[bm25TopK]] is
     * the ranked retrieval surface). Returns (idCol, tfidf_norm) with ONE

@@ -127,4 +127,25 @@ class SearchVocabSpec extends SparkSpec {
     assert(math.abs(est - 700.0) / 700.0 < 0.05,
       s"merged HLL estimate $est vs exact 700")
   }
+
+  test("rrfFuse: closed-form fusion of two rankings, integer-exact") {
+    import spark.implicits._
+    // list A ranks docs 1,2,3; list B ranks 3,2,9
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
+    val b = Seq((3L, 1), (2L, 2), (9L, 3)).toDF("id", "rank")
+    val got = Search.rrfFuse(Seq(a, b), "id", "rank", k0 = 60, k = 10)
+      .as[(Long, Long, Long)].collect()
+    def e9(rs: Seq[Int]): Long =
+      math.floor(1e9 * rs.map(r => 1.0 / (60.0 + r)).sum).toLong
+    val expect = Map(
+      1L -> (1L, e9(Seq(1))), 2L -> (2L, e9(Seq(2, 2))),
+      3L -> (2L, e9(Seq(3, 1))), 9L -> (1L, e9(Seq(3))))
+    assert(got.length == 4)
+    got.foreach { case (id, hits, s) =>
+      assert(expect(id) == ((hits, s)), s"id=$id") }
+    // both-list docs outrank single-list docs; ordering is score desc
+    val order = got.map(_._1).toSeq
+    assert(order.take(2).toSet == Set(2L, 3L))
+    assert(got.map(_._3).toSeq == got.map(_._3).sortBy(-_).toSeq)
+  }
 }
