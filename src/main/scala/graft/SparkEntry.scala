@@ -414,6 +414,19 @@ object SparkEntry {
           col("cnt"), col("sum_qty"), col("lvl"))
         .orderBy(col("lvl"), col("flag"), col("status"))
     }),
+    "b27_cube" -> ((s, d) => {
+      // full CUBE lattice (all 4 grouping sets) with grouping() level ids
+      Fixtures.lineitemIce(s, d).read()
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity")).cast("bigint").as("sum_qty"),
+          (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+            .cast("bigint").as("lvl"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("cnt"), col("sum_qty"), col("lvl"))
+        .orderBy(col("lvl"), col("flag"), col("status"))
+    }),
     "b3_filename_virtual" -> ((s, d) => {
       // raw paths are run-specific, but the alive-file COUNT is pinned:
       // post-optimize it equals the partition (event-day) count
@@ -1722,6 +1735,11 @@ object SparkEntry {
         "count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty, " +
         "CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS lvl " +
         "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY lvl, flag, status"),
+    "b27_cube" ->
+      ("SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status, " +
+        "count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty, " +
+        "CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS lvl " +
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY lvl, flag, status"),
     // components must equal the (lang, source) shards exactly
     "llm_dedup_groups" ->
       ("WITH g AS (SELECT lang, source, count(*) AS cnt, min(doc_id) AS root " +
