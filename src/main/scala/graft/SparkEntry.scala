@@ -414,6 +414,19 @@ object SparkEntry {
           col("cnt"), col("sum_qty"), col("lvl"))
         .orderBy(col("lvl"), col("flag"), col("status"))
     }),
+    "b28_pivot" -> ((s, d) => {
+      // wide pivot: per-returnflag columns for each linestatus value
+      // (explicit value list keeps the plan static — one aggregate, no
+      // distinct-scan; the Catalyst pivot rewrite is CASE sums, the same
+      // shape any engine uses)
+      Fixtures.lineitemIce(s, d).read()
+        .groupBy(col("l_returnflag").as("flag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity")).cast("bigint"))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+        .orderBy("flag")
+    }),
     "b27_cube" -> ((s, d) => {
       // full CUBE lattice (all 4 grouping sets) with grouping() level ids
       Fixtures.lineitemIce(s, d).read()
@@ -1740,6 +1753,11 @@ object SparkEntry {
         "count(*) AS cnt, CAST(sum(l_quantity) AS BIGINT) AS sum_qty, " +
         "CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS lvl " +
         "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY lvl, flag, status"),
+    "b28_pivot" ->
+      ("SELECT l_returnflag AS flag, " +
+        "CAST(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS BIGINT) AS qty_f, " +
+        "CAST(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS BIGINT) AS qty_o " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY flag"),
     // components must equal the (lang, source) shards exactly
     "llm_dedup_groups" ->
       ("WITH g AS (SELECT lang, source, count(*) AS cnt, min(doc_id) AS root " +
