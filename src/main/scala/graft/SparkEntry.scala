@@ -1099,6 +1099,21 @@ object SparkEntry {
         Seq("spark", "query", "window"), k = 10)
         .orderBy(col("score").desc, col("doc_id"))
     }),
+    "llm_text_normalize" -> ((s, d) => {
+      // Web-text cleaning chain (TextFunctions.normalizeText): markup
+      // strip -> entity unescape -> smart-punctuation/NBSP/control
+      // normalization -> whitespace collapse, planted deterministically
+      // per doc and graded by per-doc md5 against DuckDB replaying the
+      // identical regexp chain.
+      Fixtures.raw(s, d, "documents")
+        .select(col("doc_id"),
+          md5(TextFunctions.normalizeText(concat(
+            col("text"),
+            lit("  <p id=\"x\">Q&amp;A</p> “smart” – ‘quotes’&nbsp;"),
+            col("doc_id").cast("string"),
+            lit("end")))).as("fp"))
+        .orderBy("doc_id")
+    }),
     "llm_hybrid_search" -> ((s, d) => {
       // Hybrid retrieval (Search.rrfFuse): BM25 top-20 (sparse) fused
       // with exact-cosine top-20 for query vector 0 (dense) by
@@ -1883,6 +1898,19 @@ object SparkEntry {
         "FROM pd, st) " +
         "SELECT doc_id, round(score, 4) AS score FROM sc WHERE score > 0 " +
         "ORDER BY score DESC, doc_id LIMIT 10"),
+    // the identical normalization chain, step for step, RE2-side
+    "llm_text_normalize" ->
+      ("SELECT doc_id, md5(trim(regexp_replace(" +
+        "regexp_replace(" +
+        "regexp_replace(regexp_replace(regexp_replace(" +
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        "regexp_replace(text || '  <p id=\"x\">Q&amp;A</p> “smart” – ‘quotes’&nbsp;' || CAST(doc_id AS VARCHAR) || 'end', " +
+        "'<[^>]+>', ' ', 'g'), " +
+        "'&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'), " +
+        "'&quot;', '\"', 'g'), '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'), " +
+        "'[‘’]', '''', 'g'), '[“”]', '\"', 'g'), '[–—]', '-', 'g'), " +
+        "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x{00a0}]', ' ', 'g'), " +
+        "'\\s+', ' ', 'g'))) AS fp FROM documents ORDER BY doc_id"),
     // hybrid fusion replay: both rankings re-derived (bm25 + cosine),
     // fused as floor(1e9 * sum(1/(60+rank)))
     "llm_hybrid_search" ->

@@ -245,4 +245,32 @@ object TextFunctions {
     piiPatterns.foldLeft(text) { case (acc, (pat, tag)) =>
       regexp_replace(acc, pat, tag)
     }
+
+  /** The web-text cleaning chain that runs before tokenization, in fixed
+    * order: (1) strip markup tags, (2) unescape the common HTML entities,
+    * (3) normalize curly quotes / long dashes / NBSP to their ASCII
+    * forms, (4) drop C0 control characters, (5) collapse runs of
+    * whitespace and trim. Every step is a chained `regexp_replace` with
+    * Java-regex/RE2-identical semantics (no backrefs, no lookaround), so
+    * the whole chain is codegen'd, map-only, and byte-replayable by the
+    * DuckDB oracle. Order matters and is part of the contract: entities
+    * unescape AFTER tag-stripping (so `&lt;b&gt;` survives as literal
+    * `<b>` text), whitespace collapses last. */
+  def normalizeText(text: Column): Column = {
+    val entity = Seq(
+      "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")
+    val untag = regexp_replace(text, "<[^>]+>", " ")
+    val unesc = entity.foldLeft(untag) { case (acc, (e, c)) =>
+      regexp_replace(acc, e, java.util.regex.Matcher.quoteReplacement(c))
+    }
+    val unsmart = regexp_replace(
+      regexp_replace(
+        regexp_replace(unesc, "[‘’]", "'"),
+        "[“”]", "\""),
+      "[–—]", "-")
+    val noCtl = regexp_replace(unsmart,
+      "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x{00a0}]", " ")
+    trim(regexp_replace(noCtl, "\\s+", " "))
+  }
 }
