@@ -34,7 +34,9 @@ object Bench {
     "b2_partition_columns", "b5_filter", "b6_group_agg", "b7_count_distinct",
     "b10_quantiles", "b11_topk", "b12_json_extract", "b15_datetime",
     "join_star_schema", "llm_exact_dedup", "llm_token_stats",
-    "llm_minhash_dedup", "llm_ann_bruteforce")
+    "llm_minhash_dedup", "llm_ann_bruteforce",
+    // round-6 flagship operators, so their cost is measured, not asserted
+    "llm_span_dedup", "llm_ann_pq", "llm_semantic_dedup", "sessionize_events")
 
   /** Recursively delete a bench-local temp table. Synthetic benches write
     * multi-GB tables; on hosts with slow disk, leaving them around evicts
