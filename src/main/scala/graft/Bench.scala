@@ -396,14 +396,34 @@ object Bench {
       "bloom_needle" -> bloomNeedle, "nobloom_needle" -> noBloomNeedle,
       "log_read_2000" -> logRead, "cleanup_800" -> cleanup)
     val sectionJson = sections.map { case (k, v) =>
-      s""""${k}_sec":${f(v.wallSec)},"${k}_cpu_sec":${f(v.cpuSec)}"""
+      s""""${k}_sec":${f(v.wallSec)}"""
     }.mkString(",")
+    val sectionCpuJson = sections.map { case (k, v) =>
+      s""""${k}_cpu_sec":${f(v.cpuSec)}"""
+    }.mkString(",")
+    val common =
+      s""""load_sec":${f(loadSec)},"insert_sec":${f(insertSec)},"merge_sec":${f(mergeSec)},"load_rows":$loadRows,"synthetic_insert_rows":$synthRows,"synthetic_insert_rows_per_sec":${(synthRows / synth.wallSec).toLong},$sectionJson,"bench_reps":$reps,"effective_parallelism":${f(effParallelism)},"cpu_total_sec":${f(totalCpuNs / 1e9)},"host_cpus":${Runtime.getRuntime.availableProcessors},"spark_cpus":$cpus,"scratch_medium":"${Fixtures.scratchMedium}","scratch_free_gb":${Fixtures.scratchFreeGb},"sf":"$sfDir""""
+    // Full telemetry (per-query and per-section CPU pairings) — for humans
+    // and for bench_out.json; NOT the machine-parsed line.
+    val detail =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"queries_cpu":$qCpuJson,"errors":$eJson,"load_cpu_sec":${f(loadCpuSec)},$sectionCpuJson,$common}"""
+    // The driver captures only the LAST ~2000 chars of stdout and parses
+    // the final complete JSON line inside that window. Round 6's single
+    // detail line grew past 2000 chars and the driver recorded
+    // `parsed: null` — the whole round's perf signal was lost. So the
+    // final line is a COMPACT summary with a hard length guard, and the
+    // CPU-pairing detail rides one line earlier + in bench_out.json.
+    val compact =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"errors":$eJson,$common}"""
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"queries_cpu":$qCpuJson,"errors":$eJson,"load_sec":${f(loadSec)},"load_cpu_sec":${f(loadCpuSec)},"insert_sec":${f(insertSec)},"merge_sec":${f(mergeSec)},"load_rows":$loadRows,"synthetic_insert_rows":$synthRows,"synthetic_insert_rows_per_sec":${(synthRows / synth.wallSec).toLong},$sectionJson,"bench_reps":$reps,"effective_parallelism":${f(effParallelism)},"host_cpus":${Runtime.getRuntime.availableProcessors},"spark_cpus":$cpus,"scratch_medium":"${Fixtures.scratchMedium}","scratch_free_gb":${Fixtures.scratchFreeGb},"sf":"$sfDir"}"""
+      if (compact.length <= 1800) compact
+      else // last-resort minimal shape: never lose the headline metric again
+        s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"errors":$eJson,"sf":"$sfDir"}"""
     // mirror to a file so the metric survives any stdout mangling
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_out.json"), line + "\n")
+      java.nio.file.Paths.get("bench_out.json"), detail + "\n" + line + "\n")
     catch { case _: Exception => () }
+    println(detail)
     println(line)
     spark.stop()
     // final unadorned stdout line AFTER Spark's shutdown noise (stderr):

@@ -26,9 +26,13 @@ import org.apache.spark.sql.functions._
 object Bpe {
 
   /** End-of-word sentinel appended to every symbol sequence; merges may
-    * absorb it (producing suffix tokens like `"ing</w>"`), which is what
-    * lets the encoder distinguish "in g" from "ing". */
-  val EndOfWord = "</w>"
+    * absorb it (producing suffix tokens like `"ing" + EndOfWord`), which is
+    * what lets the encoder distinguish "in g" from "ing". A single control
+    * character that tokenization strips from input (see [[wordFreqs]] /
+    * [[encode]]), so no document text can collide with it — a multi-char
+    * sentinel like `"</w>"` is forgeable by adjacent input chars and breaks
+    * the decode(encode(text)) round trip on real web text. */
+  val EndOfWord = ""
 
   /** A trained tokenizer: merge pairs in learned order (index = rank). */
   final case class Model(merges: Seq[(String, String)]) {
@@ -37,9 +41,12 @@ object Bpe {
     def vocabUpperBound(charVocab: Int): Int = charVocab + 1 + merges.size
   }
 
-  /** (word, freq) table for the corpus — the one corpus-sized scan. */
+  /** (word, freq) table for the corpus — the one corpus-sized scan. The
+    * sentinel char is stripped from input here (and in [[encode]]) so the
+    * symbol vocabulary can never contain a forged end-of-word. */
   def wordFreqs(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+    df.select(explode(TextFunctions.tokens(
+        translate(col(textCol), EndOfWord, ""))).as("word"))
       .where(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
@@ -156,7 +163,12 @@ object Bpe {
         rows.map { case (id, text) =>
           val words =
             if (text == null) Array.empty[String]
-            else text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+            // Locale.ROOT matches Spark's locale-independent lower() used
+            // at train time (a tr_TR default locale would map I -> dotless
+            // i and diverge from the trained vocabulary).
+            else text.replace(EndOfWord, "").trim
+              .toLowerCase(java.util.Locale.ROOT).split("\\s+")
+              .filter(_.nonEmpty)
           val toks = words.iterator.flatMap(encodeWord(_, ranks)).toSeq
           (id, toks, toks.size)
         }

@@ -24,14 +24,31 @@ object Classifier {
   /** Per-class metadata: token total and doc count (for the prior). */
   final case class ClassStats(tokens: Long, docs: Long)
 
-  /** Trained model: `wide` = (w, c_<class> ...) token-count table (stays
-    * distributed), per-class totals, vocabulary size, total docs. */
+  /** Trained model: `wide` = (w, c_0..c_K-1) token-count table keyed by
+    * CLASS INDEX (raw labels may contain '.', spaces, or backticks that
+    * break column resolution — labels live only in `classes`/`stats` and
+    * in cell values), per-class totals, vocabulary size, total docs.
+    * `wide` is persisted at train time; call [[NbModel.release]] when the
+    * model is no longer needed (long-lived sessions that train repeatedly
+    * otherwise accumulate cached tables in executor storage). */
   final case class NbModel(
       wide: DataFrame,
       classes: Seq[String],
       stats: Map[String, ClassStats],
       vocabSize: Long,
-      totalDocs: Long)
+      totalDocs: Long) {
+    def release(): Unit = { wide.unpersist(); () }
+  }
+
+  /** Column-safe `score_*` output names for raw labels: non-identifier
+    * chars become '_'; colliding sanitizations are disambiguated with the
+    * class index. Deterministic — same label set, same names. */
+  private[graft] def scoreNames(classes: Seq[String]): Seq[String] = {
+    val sanitized = classes.map(_.replaceAll("[^A-Za-z0-9_]", "_"))
+    sanitized.zipWithIndex.map { case (s, i) =>
+      if (sanitized.count(_ == s) > 1) s"score_${s}_$i" else s"score_$s"
+    }
+  }
 
   /** Train multinomial NB on (textCol, labelCol). Two aggregation scans:
     * per-(token, class) counts (pivoted wide over the collected class
@@ -43,8 +60,9 @@ object Classifier {
     val toks = df.select(col(labelCol).cast("string").as("_cls"),
       explode(TextFunctions.tokens(col(textCol))).as("_w"))
       .where(length(col("_w")) > 0)
-    val aggs = classes.map(c =>
-      sum(when(col("_cls") === c, 1L).otherwise(0L)).as(s"c_$c"))
+    val aggs = classes.zipWithIndex.map { case (c, i) =>
+      sum(when(col("_cls") === c, 1L).otherwise(0L)).as(s"c_$i")
+    }
     val wide = toks.groupBy(col("_w").as("w"))
       .agg(aggs.head, aggs.tail: _*)
       .persist()
@@ -62,9 +80,11 @@ object Classifier {
   /** Per-class posterior log10-score of one token row against the wide
     * count table: log10((c + 1) / (classTokens + V)). `c` is NULL for
     * out-of-vocabulary tokens — coalesced to 0, i.e. Laplace-smoothed. */
-  private def tokenScore(m: NbModel, cls: String): Column =
-    log10((coalesce(col(s"c_$cls"), lit(0L)).cast("double") + 1.0) /
+  private def tokenScore(m: NbModel, i: Int): Column = {
+    val cls = m.classes(i)
+    log10((coalesce(col(s"c_$i"), lit(0L)).cast("double") + 1.0) /
       lit(m.stats(cls).tokens.toDouble + m.vocabSize.toDouble))
+  }
 
   /** Classify each doc: argmax over classes of
     * `log10 P(class) + Σ_tokens log10 P(token | class)`.
@@ -76,18 +96,21 @@ object Classifier {
       explode(TextFunctions.tokens(col(textCol))).as("_w"))
       .where(length(col("_w")) > 0)
     val joined = toks.join(m.wide.withColumnRenamed("w", "_w"), Seq("_w"), "left")
-    val sums = m.classes.map(c =>
-      sum(tokenScore(m, c)).as(s"_s_$c"))
+    val sums = m.classes.indices.map(i =>
+      sum(tokenScore(m, i)).as(s"_s_$i"))
     val perDoc = joined.groupBy(idCol).agg(sums.head, sums.tail: _*)
+    val names = scoreNames(m.classes)
     val withPrior = df.select(col(idCol)).distinct()
       .join(perDoc, Seq(idCol), "left")
-      .select(col(idCol) +: m.classes.map { c =>
+      .select(col(idCol) +: m.classes.zipWithIndex.map { case (c, i) =>
         val prior = math.log10(m.stats(c).docs.toDouble / m.totalDocs.toDouble)
-        (coalesce(col(s"_s_$c"), lit(0.0)) + lit(prior)).as(s"score_$c")
+        (coalesce(col(s"_s_$i"), lit(0.0)) + lit(prior)).as(names(i))
       }: _*)
-    // argmax with deterministic tie-break on class name (struct compare)
-    val best = array_max(array(m.classes.map(c =>
-      struct(col(s"score_$c").as("s"), lit(c).as("c"))): _*))
+    // argmax with deterministic tie-break on class name (struct compare);
+    // the RAW label rides as a value, immune to column-name sanitization
+    val best = array_max(array(m.classes.zipWithIndex.map { case (c, i) =>
+      struct(col(names(i)).as("s"), lit(c).as("c"))
+    }: _*))
     withPrior.withColumn("pred", best.getField("c"))
   }
 }

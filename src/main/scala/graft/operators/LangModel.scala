@@ -28,8 +28,13 @@ import org.apache.spark.sql.functions._
 object LangModel {
 
   /** Trained model: unigram (w, c1) and bigram (w1, w2, c12) count tables
-    * plus the total token count. Tables stay distributed. */
-  final case class Model(unigrams: DataFrame, bigrams: DataFrame, total: Long)
+    * plus the total token count. Tables stay distributed; the unigram
+    * table is persisted at train time — call [[Model.release]] when done
+    * with the model so long-lived sessions that train repeatedly don't
+    * accumulate cached tables in executor storage. */
+  final case class Model(unigrams: DataFrame, bigrams: DataFrame, total: Long) {
+    def release(): Unit = { unigrams.unpersist(); () }
+  }
 
   /** Train on a corpus: one tokenization scan per count table. The
     * unigram table is persisted — scoring joins it twice (left and right

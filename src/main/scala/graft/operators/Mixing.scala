@@ -138,7 +138,12 @@ object Mixing {
       strataCol: String,
       total: Long,
       tau: Double = 0.5): Map[String, Long] = {
-    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("_c"))
+    // Cast to string (non-string strata columns are fine) and coalesce
+    // nulls to "" so a null stratum gets a real quota instead of an NPE
+    // here and a silent zero in sampleQuotas' literal-map lookup.
+    val counts = df
+      .groupBy(coalesce(col(strataCol).cast("string"), lit("")).as("_k"))
+      .agg(count(lit(1)).as("_c"))
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .sortBy(_._1)
@@ -183,9 +188,12 @@ object Mixing {
       strataCol: String,
       keyCol: String,
       quotas: Map[String, Long]): DataFrame = {
+    // same null/typing normalization as temperatureQuotas, so a quota
+    // keyed "" reaches null-stratum rows instead of silently dropping them
+    val key = coalesce(col(strataCol).cast("string"), lit(""))
     val quotaCol = quotas.toSeq.sortBy(_._1)
       .foldLeft(lit(0L)) { case (acc, (k, q)) =>
-        when(col(strataCol) === k, lit(q)).otherwise(acc)
+        when(key === k, lit(q)).otherwise(acc)
       }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(strataCol).orderBy(uniform(col(keyCol)), col(keyCol))

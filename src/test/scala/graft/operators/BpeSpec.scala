@@ -11,7 +11,7 @@ class BpeSpec extends SparkSpec {
     // merge order fully predictable with lexicographic tie-breaks.
     val df = Seq("low low low lower lowest").toDF("text")
     val m = Bpe.train(df, "text", numMerges = 3)
-    // (l,o) freq 5 wins round 1; then (lo,w) freq 5; then (low,</w>) 3.
+    // (l,o) freq 5 wins round 1; then (lo,w) freq 5; then (low,EOW) 3.
     assert(m.merges == Seq(("l", "o"), ("lo", "w"), ("low", Bpe.EndOfWord)))
   }
 
@@ -20,7 +20,8 @@ class BpeSpec extends SparkSpec {
     val m = Bpe.train(df, "text", numMerges = 3)
     val enc = Bpe.encode(df.withColumn("id", lit(0L)), "id", "text", m)
     val toks = enc.select("tokens").as[Seq[String]].head()
-    assert(toks == Seq("low</w>", "low</w>", "low</w>",
+    val lowEow = "low" + Bpe.EndOfWord
+    assert(toks == Seq(lowEow, lowEow, lowEow,
       "low", "e", "r", Bpe.EndOfWord, "low", "e", "s", "t", Bpe.EndOfWord))
     val dec = enc.select(Bpe.decode(col("tokens")).as("d")).as[String].head()
     assert(dec == "low low low lower lowest")
@@ -51,6 +52,26 @@ class BpeSpec extends SparkSpec {
       assert(n >= w, s"tokens >= words: $r")
       assert(n <= c + w, s"tokens <= chars + one sentinel per word: $r")
     }
+  }
+
+  test("text containing a literal </w> (or the sentinel char) round-trips") {
+    // Regression: with a forgeable multi-char sentinel, the chars
+    // '<','/','w','>' concatenate back to the sentinel in decode and the
+    // global replace corrupts the word. The control-char sentinel plus
+    // strip-at-tokenization makes both inputs safe.
+    val docs = Seq(
+      (0L, "markup remnant </w> and <w>tag</w> soup"),
+      (1L, "control" + Bpe.EndOfWord + "char inside"),
+      (2L, "plain words here")).toDF("doc_id", "text")
+    val m = Bpe.train(docs, "text", numMerges = 10)
+    val enc = Bpe.encode(docs, "doc_id", "text", m)
+    val got = enc.join(docs, "doc_id")
+      .select(col("doc_id"), Bpe.decode(col("tokens")).as("dec"),
+        concat_ws(" ", graft.functions.TextFunctions.tokens(
+          translate(col("text"), Bpe.EndOfWord, ""))).as("norm"))
+      .collect()
+    got.foreach(r =>
+      assert(r.getAs[String]("dec") == r.getAs[String]("norm"), r.toString))
   }
 
   test("stops early when no pair reaches minPairFreq") {

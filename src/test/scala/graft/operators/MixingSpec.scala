@@ -152,6 +152,24 @@ class MixingSpec extends SparkSpec {
     assert(z.toSeq == Seq(("b", 1L)))
   }
 
+  test("temperature mixing handles null and non-string strata") {
+    import spark.implicits._
+    // null strata: coalesced to "" — a real quota, not an NPE / silent 0
+    val withNull = Seq((Some("en"), 1L), (Some("en"), 2L), (Some("en"), 3L),
+      (Some("en"), 4L), (None, 5L), (None, 6L), (None, 7L), (None, 8L))
+      .toDF("lang", "id")
+    val q = Mixing.temperatureQuotas(withNull, "lang", total = 4, tau = 0.5)
+    assert(q == Map("" -> 2L, "en" -> 2L))
+    val drawn = Mixing.temperatureSample(withNull, "lang", "id", 4)
+      .collect().map(r => Option(r.getString(0)))
+    assert(drawn.length == 4 && drawn.count(_.isEmpty) == 2)
+    // non-string strata: cast, not getString-crash
+    val intStrata = Seq((1, 10L), (1, 11L), (2, 12L), (2, 13L)).toDF("s", "id")
+    val qi = Mixing.temperatureQuotas(intStrata, "s", total = 2)
+    assert(qi == Map("1" -> 1L, "2" -> 1L))
+    assert(Mixing.sampleQuotas(intStrata, "s", "id", qi).count() == 2L)
+  }
+
   test("capPerKey keeps the lowest-order rows per group, exactly") {
     import spark.implicits._
     // group sizes 1..6; cap at 3 keeps min(size, 3) lowest ids per group
