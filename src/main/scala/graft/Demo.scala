@@ -31,7 +31,7 @@ object Demo {
       sortOrder = Seq("ts", "event_id"),
       statsColumn = Some("ts"))) // log-side [min,max] per file → data skipping
 
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val events = Fixtures.raw(spark, sfDir, "events") // ts → epoch-nanos BIGINT
     println(s"== insert ${events.count()} events from $sfDir")
     val markers = table.insert(events)
     println(s"== wrote ${markers.length} data parts (one per day)")

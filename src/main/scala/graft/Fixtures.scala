@@ -16,9 +16,15 @@ object Fixtures {
   private def memo[T](key: String)(f: => T): T =
     cache.getOrElseUpdate(key, f).asInstanceOf[T]
 
-  /** events.parquet carries TIMESTAMP(NANOS); Spark 4 reads it only as
-    * epoch-nanos BIGINT (spark.sql.legacy.parquet.nanosAsLong, set in
-    * Verify/Bench). Convert to a usable timestamp column. */
+  /** The engine-wide contract for `events.ts` is epoch-nanos BIGINT (the
+    * numeric time axis every gap/as-of/window query computes on, and what
+    * DuckDB's `epoch_ns(ts)` yields on the oracle side). Early testdata
+    * drops carried TIMESTAMP(NANOS) — which Spark 4 can only read as
+    * epoch-nanos BIGINT (`spark.sql.legacy.parquet.nanosAsLong`) — while
+    * later drops carry TIMESTAMP(MICROS), which reads as TIMESTAMP_NTZ.
+    * [[raw]] normalizes both shapes to the BIGINT-nanos contract, so
+    * downstream code is identical either way. Session TZ is pinned to UTC
+    * in every main, making the NTZ conversion exact. */
   def evTs(c: Column): Column = timestamp_micros((c / 1000L).cast("long"))
 
   def ensureConf(spark: SparkSession): Unit =
@@ -27,7 +33,14 @@ object Fixtures {
 
   def raw(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     ensureConf(spark)
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name != "events") df
+    else df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(t) if t.typeName.startsWith("timestamp") =>
+        df.withColumn("ts",
+          (unix_micros(col("ts").cast("timestamp")) * 1000L).cast("long"))
+      case _ => df // already epoch-nanos BIGINT (nanosAsLong path)
+    }
   }
 
   /** Scratch dir for fixture/bench tables: prefer tmpfs (`/dev/shm`) when
@@ -246,6 +259,43 @@ object Fixtures {
             |from source_files group by user_id, event_type""".stripMargin)))
       table.insert(ev.where(col("event_id") % 2 === 0))
       table.insert(ev.where(col("event_id") % 2 === 1))
+      table.optimize(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+      table
+    }
+
+  /** Sketch-state MV (A12 variant): the ClickHouse uniqState/uniqMerge
+    * analog, with Datasketches HLL as the binary aggregate state. Custom
+    * insert collapses each batch to ONE hll_sketch_agg state per
+    * (event_type, day); custom merge re-unions states with hll_union_agg
+    * — so distinct-user estimates keep composing through arbitrary
+    * compaction without ever re-reading raw events. At 100 TB this is the
+    * only affordable shape for incremental count-distinct rollups: state
+    * size is fixed (~2^lgK bytes/group), merges touch sketch rows only. */
+  def eventsHllMv(spark: SparkSession, sfDir: String): IceTable =
+    memo(s"$sfDir#hllmv") {
+      val ev = raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      val table = new IceTable(spark, newRoot("hllmv"), IceTableConfig(
+        // routing runs on the PRE-rewrite rows (reference semantics: the
+        // part func buckets raw rows, then the custom insert SQL rewrites
+        // each bucket) — so the day comes from ts here and again as the
+        // MV's own `d` column in the insert SQL, by construction equal
+        partitionExpr = concat(lit("d="), date_format(evTs(col("ts")), "yyyy-MM-dd")),
+        sortOrder = Seq("event_type"),
+        customInsertSql = Some(
+          """select event_type,
+            |date_format(timestamp_micros(ts div 1000), 'yyyy-MM-dd') as d,
+            |hll_sketch_agg(user_id, 14) as users_hll,
+            |cast(count(*) as bigint) as cnt
+            |from _rows group by event_type, d""".stripMargin),
+        customMergeSql = Some(
+          """select event_type, d,
+            |hll_union_agg(users_hll, true) as users_hll,
+            |cast(sum(cnt) as bigint) as cnt
+            |from source_files group by event_type, d""".stripMargin)))
+      table.insert(ev.where(col("event_id") % 3 === 0))
+      table.insert(ev.where(col("event_id") % 3 === 1))
+      table.insert(ev.where(col("event_id") % 3 === 2))
       table.optimize(maxFileSize = 1_000_000_000L, maxFileCount = 100)
       table
     }
