@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions
 import graft.ice.{IceTable, IceTableConfig}
-import graft.operators.{Bpe, Classifier, Cluster, Decontam, Dedup, Dsir, IvfIndex, LangModel, Mixing, Multimodal, Packing, Search, SemDedup, Sessions, Shards, Similarity, Sketches, SpanDedup, UrlOps, Vocab}
+import graft.operators.{Bpe, Classifier, Cluster, Decontam, Dedup, Dsir, IvfIndex, LangModel, Mixing, Multimodal, Packing, Resample, Search, SemDedup, Sessions, Shards, Similarity, Sketches, SpanDedup, UrlOps, Vocab}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -849,6 +849,51 @@ object SparkEntry {
           max("session_seq").cast("bigint").as("max_user_sessions"),
           sum(when(col("n_events") === 1, 1L).otherwise(0L)).cast("bigint")
             .as("single_event_sessions"))
+    }),
+    "ts_gapfill" -> ((s, d) => {
+      // Time-series resample + gap fill (Resample): hourly event counts
+      // per type over a sparsified stream (user_id % 97 keeps ~1%, so the
+      // hourly grid has real holes), LOCF'd and linearly interpolated
+      // over each type's dense grid. All fill arithmetic derives from
+      // integer counts and integer bucket indices, so the e6-integerized
+      // checksums are bit-identical under DuckDB's replay. One agg
+      // shuffle + one grid join + two window scans per key.
+      val step = 3600000000000L // 1h in nanos
+      val ev = Fixtures.raw(s, d, "events")
+        .where(pmod(col("user_id"), lit(97)) === 0)
+      val res = Resample.resample(ev, "ts", step, Seq("event_type"),
+        Seq(count(lit(1)).cast("double").as("v")))
+      Resample.gapFill(res, "event_type", "v", step)
+        .groupBy("event_type").agg(
+          count(lit(1)).as("grid_n"),
+          sum("present").cast("bigint").as("observed_n"),
+          sum(floor(col("locf") * 1e6)).cast("bigint").as("locf_e6"),
+          sum(floor(col("interp") * 1e6)).cast("bigint").as("interp_e6"))
+        .orderBy("event_type")
+    }),
+    "a27_hll_mv" -> ((s, d) => {
+      // Sketch-state MV (Fixtures.eventsHllMv): three thirds inserted as
+      // per-(type, day) HLL states, compacted with hll_union_agg. The MV's
+      // per-type estimate (one more union across days) must land within
+      // 5% of the EXACT distinct-user count from raw events, and the
+      // summed cnt column must match raw count(*) exactly — proving the
+      // binary aggregate state survived insert → merge → read intact.
+      val mv = Fixtures.eventsHllMv(s, d).read()
+      val perType = mv.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("users_hll"), lit(true)))
+          .as("est"),
+          sum(col("cnt")).cast("bigint").as("cnt"))
+      val exact = Fixtures.raw(s, d, "events").groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("_exact"),
+          count(lit(1)).as("_cnt_raw"))
+      perType.join(exact, Seq("event_type"))
+        .select(col("event_type"),
+          col("_exact").cast("bigint").as("exact_users"),
+          col("cnt"),
+          (abs(col("est") - col("_exact")) <= col("_exact") * 0.05)
+            .as("est_ok"),
+          (col("cnt") === col("_cnt_raw")).as("cnt_ok"))
+        .orderBy("event_type")
     }),
     "llm_multimodal_pipeline" -> ((s, d) => {
       // full media pipeline: pack → resize (payload cap) → frame-sample;
@@ -1749,6 +1794,36 @@ object SparkEntry {
         "count(DISTINCT CASE WHEN L > 0 THEN doc_id END) AS media_cnt, " +
         "CAST(sum(LEAST(64, L) + CASE WHEN L > 128 THEN LEAST(64, L - 128) ELSE 0 END) AS BIGINT) AS frame_bytes " +
         "FROM (SELECT doc_id, LEAST(256, octet_length(encode(text))) AS L FROM documents)"),
+    // full DuckDB replay of the resample + gap-fill pipeline: same bucket
+    // truncation, same per-key dense grid (generate_series), same
+    // LOCF/interp windows, same operation order in the one double
+    // expression — so the e6 checksums match bit-for-bit
+    "ts_gapfill" ->
+      ("WITH r AS (SELECT event_type, epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS b, " +
+        "CAST(count(*) AS DOUBLE) AS v FROM events WHERE user_id % 97 = 0 GROUP BY 1, 2), " +
+        "s AS (SELECT event_type, min(b) AS mn, max(b) AS mx FROM r GROUP BY 1), " +
+        "g AS (SELECT event_type, unnest(generate_series(mn, mx, 3600000000000)) AS b FROM s), " +
+        "j AS (SELECT g.event_type, g.b, r.v FROM g LEFT JOIN r ON r.event_type = g.event_type AND r.b = g.b), " +
+        "w AS (SELECT event_type, b, v, " +
+        "last_value(v IGNORE NULLS) OVER pb AS pv, " +
+        "last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER pb AS pb_, " +
+        "first_value(v IGNORE NULLS) OVER nb AS nv, " +
+        "first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER nb AS nb_ " +
+        "FROM j WINDOW " +
+        "pb AS (PARTITION BY event_type ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "nb AS (PARTITION BY event_type ORDER BY b ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+        "SELECT event_type, count(*) AS grid_n, " +
+        "CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS observed_n, " +
+        "CAST(sum(floor(pv * 1000000.0)) AS BIGINT) AS locf_e6, " +
+        "CAST(sum(floor((CASE WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv " +
+        "WHEN nb_ = pb_ THEN pv ELSE pv + (nv - pv) * ((b - pb_) / (nb_ - pb_)) END) * 1000000.0)) AS BIGINT) AS interp_e6 " +
+        "FROM w GROUP BY event_type ORDER BY event_type"),
+    // estimate/state plumbing is proven Spark-side (est_ok/cnt_ok flags);
+    // the exact distinct and total counts replay directly
+    "a27_hll_mv" ->
+      ("SELECT event_type, count(DISTINCT user_id) AS exact_users, " +
+        "count(*) AS cnt, true AS est_ok, true AS cnt_ok " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "b25_window" ->
       ("WITH monthly AS (SELECT strftime(l_shipdate, '%Y-%m') AS m, count(*) AS cnt, " +
         "sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev0 FROM lineitem GROUP BY 1) " +
