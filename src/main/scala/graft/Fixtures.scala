@@ -300,6 +300,25 @@ object Fixtures {
       table
     }
 
+  /** Inverted-index pair (TextIndex): postings + stats-MV ice tables over
+    * the documents corpus, built incrementally (two batches) and then
+    * compacted — the persisted-search-index fixture for llm_bm25_index. */
+  def docsTextIndex(spark: SparkSession, sfDir: String): (IceTable, IceTable) =
+    memo(s"$sfDir#textindex") {
+      val docs = raw(spark, sfDir, "documents")
+      val index = new IceTable(spark, newRoot("tidx"),
+        graft.operators.TextIndex.indexConfig(buckets = 64))
+      val stats = new IceTable(spark, newRoot("tstat"),
+        graft.operators.TextIndex.statsConfig)
+      graft.operators.TextIndex.indexBatch(index, stats,
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
+      graft.operators.TextIndex.indexBatch(index, stats,
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+      index.optimize(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+      stats.optimize(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+      (index, stats)
+    }
+
   /** ReplacingMergeTree variant (A13): latest row per user survives. */
   def eventsReplacing(spark: SparkSession, sfDir: String): IceTable =
     memo(s"$sfDir#replacing") {

@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions
 import graft.ice.{IceTable, IceTableConfig}
-import graft.operators.{Bpe, Classifier, Cluster, Decontam, Dedup, Dsir, IvfIndex, LangModel, Mixing, Multimodal, Packing, Resample, Search, SemDedup, Sessions, Shards, Similarity, Sketches, SpanDedup, UrlOps, Vocab}
+import graft.operators.{Bpe, Classifier, Cluster, Decontam, Dedup, Dsir, IvfIndex, LangModel, Mixing, Multimodal, Packing, Resample, Search, SemDedup, Sessions, Shards, Similarity, Sketches, SpanDedup, TextIndex, UrlOps, Vocab}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1144,6 +1144,17 @@ object SparkEntry {
         Seq("spark", "query", "window"), k = 10)
         .orderBy(col("score").desc, col("doc_id"))
     }),
+    "llm_bm25_index" -> ((s, d) => {
+      // Persisted inverted index (TextIndex): postings + stats-MV ice
+      // tables built in two incremental batches then compacted; the query
+      // reads ONLY the 3 terms' hash-bucket partitions (log-side pruning)
+      // plus the O(1)-row stats MV — never the corpus — and must
+      // reproduce the full-scan BM25 (llm_bm25_search) bit-for-bit.
+      val (index, stats) = Fixtures.docsTextIndex(s, d)
+      TextIndex.bm25TopK(index, stats,
+        Seq("spark", "query", "window"), buckets = 64, k = 10)
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
     "llm_text_normalize" -> ((s, d) => {
       // Web-text cleaning chain (TextFunctions.normalizeText): markup
       // strip -> entity unescape -> smart-punctuation/NBSP/control
@@ -1953,26 +1964,11 @@ object SparkEntry {
     "llm_ann_quantized" ->
       ("SELECT count(*) AS n_vectors, true AS recon_ok, true AS recall_ok " +
         "FROM embeddings"),
-    // DuckDB replays BM25 end-to-end: same tokenization, same corpus
-    // stats, same EXPLICITLY ORDERED contribution sum (term 0 first —
-    // summation order is the only FP freedom), scores rounded to 4
-    "llm_bm25_search" ->
-      ("WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t FROM documents), " +
-        "pd AS (SELECT doc_id, count(*) AS dl, " +
-        "sum(CASE WHEN t = 'spark' THEN 1 ELSE 0 END) AS tf0, " +
-        "sum(CASE WHEN t = 'query' THEN 1 ELSE 0 END) AS tf1, " +
-        "sum(CASE WHEN t = 'window' THEN 1 ELSE 0 END) AS tf2 FROM tk GROUP BY doc_id), " +
-        "st AS (SELECT count(*) AS n, avg(dl) AS avgdl, " +
-        "sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0, " +
-        "sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1, " +
-        "sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM pd), " +
-        "sc AS (SELECT doc_id, " +
-        "((ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))) " +
-        "+ (ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)))) " +
-        "+ (ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score " +
-        "FROM pd, st) " +
-        "SELECT doc_id, round(score, 4) AS score FROM sc WHERE score > 0 " +
-        "ORDER BY score DESC, doc_id LIMIT 10"),
+    // DuckDB replays BM25 end-to-end (Bm25ReplaySql below): the
+    // index-backed path must land on the IDENTICAL ranking and scores as
+    // the full-scan form — one replay grades both
+    "llm_bm25_index" -> Bm25ReplaySql,
+    "llm_bm25_search" -> Bm25ReplaySql,
     // the identical normalization chain, step for step, RE2-side
     "llm_text_normalize" ->
       ("SELECT doc_id, md5(trim(regexp_replace(" +
@@ -2276,4 +2272,27 @@ object SparkEntry {
         "CAST(sum((cp * (cp + 1)) // 2) AS BIGINT) AS sum_epoch, " +
         "CAST(sum(doc_id * extra) AS BIGINT) AS sum_extra_ids " +
         "FROM c GROUP BY lang HAVING sum(cp) > 0 ORDER BY lang"))
+
+  // DuckDB replays BM25 end-to-end: same tokenization, same corpus
+  // stats, same EXPLICITLY ORDERED contribution sum (term 0 first —
+  // summation order is the only FP freedom), scores rounded to 4.
+  // Shared by llm_bm25_search (full-scan path) and llm_bm25_index (the
+  // persisted-index path, which must be bit-identical to it).
+  private val Bm25ReplaySql: String =
+    "WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t FROM documents), " +
+      "pd AS (SELECT doc_id, count(*) AS dl, " +
+      "sum(CASE WHEN t = 'spark' THEN 1 ELSE 0 END) AS tf0, " +
+      "sum(CASE WHEN t = 'query' THEN 1 ELSE 0 END) AS tf1, " +
+      "sum(CASE WHEN t = 'window' THEN 1 ELSE 0 END) AS tf2 FROM tk GROUP BY doc_id), " +
+      "st AS (SELECT count(*) AS n, avg(dl) AS avgdl, " +
+      "sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0, " +
+      "sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1, " +
+      "sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM pd), " +
+      "sc AS (SELECT doc_id, " +
+      "((ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))) " +
+      "+ (ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)))) " +
+      "+ (ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score " +
+      "FROM pd, st) " +
+      "SELECT doc_id, round(score, 4) AS score FROM sc WHERE score > 0 " +
+      "ORDER BY score DESC, doc_id LIMIT 10"
 }

@@ -195,6 +195,16 @@ final class IceTable(
     readFiles(snap, filesInPartitionRange(snap, lo, hi))
   }
 
+  /** Exact partition-SET read: the point-lookup analog of
+    * [[readPartitionRange]], for partition schemes keyed by hash bucket
+    * (e.g. [[graft.operators.TextIndex]], where a query's terms map to a
+    * handful of arbitrary buckets, not a contiguous range). Pure log-side
+    * pruning: only member partitions' files are ever listed. */
+  def readPartitions(parts: Set[String], maxTs: Long = Long.MaxValue): DataFrame = {
+    val snap = snapshot(maxTs)
+    readFiles(snap, snap.aliveFiles.filter(m => parts.contains(partitionOf(m.path))))
+  }
+
   /** Data skipping on the stats column (see `IceTableConfig.statsColumn`):
     * alive markers whose recorded [min, max] interval can intersect
     * [lo, hi]. Values compare per the log schema's type for the column —

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.ice.IceTable
+import org.apache.spark.sql.functions._
+
+class TextIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newRoot(): String =
+    java.nio.file.Files.createTempDirectory("tidx_spec").toString
+
+  private val docs = Seq(
+    (1L, "spark query engine runs the query plan"),
+    (2L, "window functions over a spark stream"),
+    (3L, "parquet files and row groups"),
+    (4L, "query optimizer with window pruning and spark shuffles"),
+    (5L, "")).toDF("doc_id", "text")
+
+  test("postings carry per-doc tf and denormalized dl; empty docs emit nothing") {
+    val p = TextIndex.postings(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(p((1L, "query")) == (2L, 7L)) // tf 2, doc length 7
+    assert(p((2L, "spark")) == (1L, 6L))
+    assert(!p.keys.exists(_._1 == 5L)) // token-less doc absent
+  }
+
+  test("index-backed BM25 is bit-identical to the full-scan form") {
+    val index = new IceTable(spark, newRoot(), TextIndex.indexConfig(buckets = 8))
+    val stats = new IceTable(spark, newRoot(), TextIndex.statsConfig)
+    // two incremental batches + compaction: the query must not care
+    TextIndex.indexBatch(index, stats, docs.where($"doc_id" <= 2), "doc_id", "text")
+    TextIndex.indexBatch(index, stats, docs.where($"doc_id" > 2), "doc_id", "text")
+    index.optimize(maxFileSize = 1L << 30, maxFileCount = 100)
+    stats.optimize(maxFileSize = 1L << 30, maxFileCount = 100)
+    val terms = Seq("spark", "query", "window")
+    val fromIndex = TextIndex.bm25TopK(index, stats, terms, buckets = 8, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fullScan = Search.bm25TopK(docs, "doc_id", "text", terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromIndex == fullScan)
+    assert(fromIndex.nonEmpty && fromIndex.map(_._1).contains(4L))
+  }
+
+  test("stats MV collapses to one row per batch and re-sums through merges") {
+    val stats = new IceTable(spark, newRoot(), TextIndex.statsConfig)
+    stats.insert(TextIndex.docStats(docs.where($"doc_id" <= 2), "doc_id", "text"))
+    stats.insert(TextIndex.docStats(docs.where($"doc_id" > 2), "doc_id", "text"))
+    assert(stats.read().count() == 2L) // one row per batch pre-merge
+    stats.optimize(maxFileSize = 1L << 30, maxFileCount = 100)
+    val r = stats.read().collect()
+    assert(r.length == 1) // merged to a single state row
+    // empty-text doc 5 counts with dl=1, matching the full-scan universe
+    assert(r.head.getLong(0) == 5L)
+    assert(r.head.getLong(1) == 7L + 6L + 5L + 8L + 1L)
+  }
+
+  test("a query reads only its terms' bucket partitions") {
+    val index = new IceTable(spark, newRoot(), TextIndex.indexConfig(buckets = 8))
+    val stats = new IceTable(spark, newRoot(), TextIndex.statsConfig)
+    TextIndex.indexBatch(index, stats, docs, "doc_id", "text")
+    val snap = index.snapshot()
+    val allParts = snap.aliveFiles.map(m => m.path.split("/")(1)).distinct
+    assert(allParts.length > 1) // corpus spans multiple buckets
+    // one term -> exactly the files of one bucket partition
+    val bkt = spark.range(1)
+      .select(TextIndex.bucketOf(lit("spark"), 8)).head().getLong(0)
+    val pruned = index.readPartitions(Set(s"b=$bkt"))
+    val prunedFiles = pruned.inputFiles.length
+    val bucketFiles = snap.aliveFiles.count(_.path.startsWith(s"_data/b=$bkt/"))
+    assert(prunedFiles == bucketFiles && prunedFiles < snap.aliveFiles.length)
+    // and the pruned read still contains every 'spark' posting
+    assert(pruned.where($"term" === "spark").count() == 3L)
+  }
+}
