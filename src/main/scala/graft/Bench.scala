@@ -36,7 +36,10 @@ object Bench {
     "join_star_schema", "llm_exact_dedup", "llm_token_stats",
     "llm_minhash_dedup", "llm_ann_bruteforce",
     // round-6 flagship operators, so their cost is measured, not asserted
-    "llm_span_dedup", "llm_ann_pq", "llm_semantic_dedup", "sessionize_events")
+    "llm_span_dedup", "llm_ann_pq", "llm_semantic_dedup", "sessionize_events",
+    // round-7: time-series gap fill and index-backed (partition-pruned)
+    // BM25 — the latter measured against llm_bm25_search-equivalent work
+    "ts_gapfill", "llm_bm25_index")
 
   /** Recursively delete a bench-local temp table. Synthetic benches write
     * multi-GB tables; on hosts with slow disk, leaving them around evicts

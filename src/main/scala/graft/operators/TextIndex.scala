@@ -97,24 +97,61 @@ object TextIndex {
     stats.insert(docStats(docs, idCol, textCol))
   }
 
+  /** Config for the delete-marker table: one (doc_id, dl) row per deleted
+    * document. A doc's postings are scattered across every bucket its
+    * terms hash to, so physical deletion would rewrite arbitrary
+    * partitions; the search-engine shape is a DELETE BITMAP — markers are
+    * appended (atomic, tiny), queries anti-join them out and subtract
+    * their (count, Σdl) from the corpus stats, and a periodic full
+    * reindex (or per-bucket rewrite job) garbage-collects for real. */
+  def deleteConfig: IceTableConfig = IceTableConfig(
+    partitionExpr = lit("all"),
+    sortOrder = Seq("doc_id"))
+
+  /** Mark documents deleted: one atomic append of their (doc_id, dl)
+    * rows (same universe rule as [[docStats]], so stats adjust exactly).
+    * Idempotence is the caller's contract — marking the same doc twice
+    * would double-subtract its dl (dedupe upstream or compact the marker
+    * table with a dedup merge). */
+  def deleteDocs(deletes: IceTable,
+      docs: DataFrame, idCol: String, textCol: String): Unit = {
+    deletes.insert(docStats(docs, idCol, textCol))
+    ()
+  }
+
   /** BM25 top-k from the index alone. Reads: the stats MV (O(#logs)
-    * rows), then ONLY the query terms' bucket partitions. Formula and
-    * float-operation order identical to [[Search.bm25TopK]]. */
+    * rows), the delete markers (small, broadcast anti-join) if any, then
+    * ONLY the query terms' bucket partitions. Formula and float-operation
+    * order identical to [[Search.bm25TopK]], so results match a
+    * freshly-built index over the surviving corpus bit-for-bit. */
   def bm25TopK(index: IceTable, stats: IceTable,
       terms: Seq[String], buckets: Int = 64, k: Int = 10,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      deletes: Option[IceTable] = None): DataFrame = {
     require(terms.nonEmpty, "query must have at least one term")
     val statsDf = stats.read()
     val spark = statsDf.sparkSession
     val sr = statsDf.agg(sum("n_docs").cast("long"), sum("sum_dl").cast("long")).head()
-    val n = sr.getLong(0)
-    val avgdl = sr.getLong(1).toDouble / n.toDouble
+    // deleted docs leave the stats universe exactly (their dl was
+    // recorded at delete time), keeping N/avgdl — and so every score —
+    // identical to a rebuild without them
+    val (delN, delDl, delDf) = deletes match {
+      case None => (0L, 0L, None)
+      case Some(t) =>
+        val d = t.read().select(col("doc_id"), col("dl"))
+        val r = d.agg(count(lit(1)).cast("long"), sum("dl").cast("long")).head()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1), Some(d))
+    }
+    val n = sr.getLong(0) - delN
+    val avgdl = (sr.getLong(1) - delDl).toDouble / n.toDouble
     // the terms' buckets, via the same engine hash the router used
     val parts = spark.range(1).select(terms.map(t =>
         bucketOf(lit(t), buckets)): _*).head()
       .toSeq.map(bkt => s"b=$bkt").toSet
-    val pruned = index.readPartitions(parts)
+    val pruned0 = index.readPartitions(parts)
       .where(col("term").isin(terms: _*))
+    val pruned = delDf.fold(pruned0)(d =>
+      pruned0.join(broadcast(d.select("doc_id")), Seq("doc_id"), "left_anti"))
     val dfByTerm = pruned.groupBy("term")
       .agg(countDistinct(col("doc_id")).as("_df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

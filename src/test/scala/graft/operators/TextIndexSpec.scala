@@ -55,6 +55,26 @@ class TextIndexSpec extends SparkSpec {
     assert(r.head.getLong(1) == 7L + 6L + 5L + 8L + 1L)
   }
 
+  test("delete markers: query equals a fresh index over the surviving corpus") {
+    val index = new IceTable(spark, newRoot(), TextIndex.indexConfig(buckets = 8))
+    val stats = new IceTable(spark, newRoot(), TextIndex.statsConfig)
+    val dels = new IceTable(spark, newRoot(), TextIndex.deleteConfig)
+    TextIndex.indexBatch(index, stats, docs, "doc_id", "text")
+    // delete the top-scoring doc 4; its postings stay on disk, markers win
+    TextIndex.deleteDocs(dels, docs.where($"doc_id" === 4), "doc_id", "text")
+    val terms = Seq("spark", "query", "window")
+    val got = TextIndex.bm25TopK(index, stats, terms, buckets = 8, k = 10,
+      deletes = Some(dels))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // oracle: full-scan BM25 over the corpus WITHOUT doc 4 — N, avgdl,
+    // df all shift, so bit-parity proves the stats retraction is exact
+    val expect = Search.bm25TopK(docs.where($"doc_id" =!= 4),
+      "doc_id", "text", terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expect)
+    assert(!got.map(_._1).contains(4L) && got.nonEmpty)
+  }
+
   test("a query reads only its terms' bucket partitions") {
     val index = new IceTable(spark, newRoot(), TextIndex.indexConfig(buckets = 8))
     val stats = new IceTable(spark, newRoot(), TextIndex.statsConfig)
