@@ -57,10 +57,21 @@ object Resample {
     * One aggregation shuffle (spans), one join shuffle (values onto the
     * grid), two window scans per key — no driver-side state. */
   def gapFill(resampled: DataFrame, keyCol: String, valueCol: String,
-      step: Long): DataFrame = {
+      step: Long, maxGridPerKey: Long = 10000000L): DataFrame = {
     val spans = resampled.groupBy(keyCol)
       .agg(min("bucket").as("_mn"), max("bucket").as("_mx"))
-    val grid = spans.select(col(keyCol),
+    // one key spanning years at a fine step would explode one enormous
+    // array on one executor: fail loudly (lazily, inside the plan) with
+    // the offending key instead of OOMing the task
+    val gridLen = (col("_mx") - col("_mn")) / lit(step) + 1
+    val guarded = spans.withColumn("_mn",
+      when(gridLen > maxGridPerKey, raise_error(concat(
+        lit(s"gapFill: grid exceeds $maxGridPerKey points for key "),
+        col(keyCol).cast("string"),
+        lit(" — widen step or split the key range")))
+        .cast("long"))
+        .otherwise(col("_mn")))
+    val grid = guarded.select(col(keyCol),
       explode(sequence(col("_mn"), col("_mx"), lit(step))).as("bucket"))
     val joined = grid.join(
       resampled.select(col(keyCol), col("bucket"), col(valueCol)),

@@ -62,6 +62,19 @@ class ResampleSpec extends SparkSpec {
     assert(!got.exists(r => r.isNullAt(1) || r.isNullAt(2)))
   }
 
+  test("gapFill refuses a grid beyond maxGridPerKey, naming the key") {
+    val res = Seq(("huge", 0L, 1.0), ("huge", 1000000L, 2.0))
+      .toDF("k", "bucket", "v")
+    val e = intercept[Exception] {
+      Resample.gapFill(res, "k", "v", 1L, maxGridPerKey = 1000L).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("huge")))
+    // under the cap, same inputs fill fine
+    assert(Resample.gapFill(res, "k", "v", 1000000L).count() == 2L)
+  }
+
   test("matches a brute-force oracle on random sparse series") {
     val rnd = new scala.util.Random(7)
     val rows = for (k <- Seq("x", "y", "z"); _ <- 1 to 30) yield

@@ -75,6 +75,32 @@ class TextIndexSpec extends SparkSpec {
     assert(!got.map(_._1).contains(4L) && got.nonEmpty)
   }
 
+  test("streaming index maintenance is exactly-once under batch replay") {
+    // the foreachBatch composition: postings and stats each commit with
+    // the micro-batch id (IceTable.insertBatch); a crash-replayed batch
+    // is detected from each table's own log fold and skipped, so the
+    // index never double-counts a document
+    val index = new IceTable(spark, newRoot(), TextIndex.indexConfig(buckets = 8))
+    val stats = new IceTable(spark, newRoot(), TextIndex.statsConfig)
+    def deliver(batch: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      index.insertBatch(TextIndex.postings(batch, "doc_id", "text"), "idx", id)
+      stats.insertBatch(TextIndex.docStats(batch, "doc_id", "text"), "st", id)
+      ()
+    }
+    deliver(docs.where($"doc_id" <= 2), 0)
+    deliver(docs.where($"doc_id" <= 2), 0) // at-least-once redelivery
+    deliver(docs.where($"doc_id" > 2), 1)
+    deliver(docs.where($"doc_id" > 2), 1)
+    val r = stats.read().agg(sum("n_docs"), sum("sum_dl")).head()
+    assert(r.getLong(0) == 5L && r.getLong(1) == 27L) // counted once each
+    val terms = Seq("spark", "query", "window")
+    val got = TextIndex.bm25TopK(index, stats, terms, buckets = 8, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val expect = Search.bm25TopK(docs, "doc_id", "text", terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expect)
+  }
+
   test("a query reads only its terms' bucket partitions") {
     val index = new IceTable(spark, newRoot(), TextIndex.indexConfig(buckets = 8))
     val stats = new IceTable(spark, newRoot(), TextIndex.statsConfig)
