@@ -217,6 +217,22 @@ object SparkEntry {
       s.table(sink).orderBy(col("event_type"))
     }),
 
+    "a28_format_read" -> ((s, d) => {
+      // the batch half of format("ice"): a standard reader-API load of
+      // the compacted events table, plus option("snapshotTs") time travel
+      // back to the first (even-ids-only) insert, plus a partition-column
+      // predicate resolved through the FileIndex — three contracts in one
+      // graded row
+      val fx = Fixtures.eventsIce(s, d)
+      val full = s.read.format("ice").option("path", fx.table.root).load()
+      val tt = s.read.format("ice").option("path", fx.table.root)
+        .option("snapshotTs", fx.betweenTs.toString).load()
+      full.agg(count(lit(1)).as("cnt"),
+          countDistinct(col("d")).as("days"))
+        .crossJoin(tt.agg(count(lit(1)).as("cnt_tt")))
+        .crossJoin(full.where(col("d") === "2024-01-01")
+          .agg(count(lit(1)).as("cnt_day1")))
+    }),
     "a22_http_roundtrip" -> ((s, d) => {
       // A22 end-to-end through the real HTTP edge: 500 events POST as
       // NDJSON to /insert, /flush commits them as ONE atomic ice insert,
@@ -869,6 +885,27 @@ object SparkEntry {
           sum("present").cast("bigint").as("observed_n"),
           sum(floor(col("locf") * 1e6)).cast("bigint").as("locf_e6"),
           sum(floor(col("interp") * 1e6)).cast("bigint").as("interp_e6"))
+        .orderBy("event_type")
+    }),
+    "ts_rolling" -> ((s, d) => {
+      // the monitoring-rollup chain: resample → gap fill → 24-bucket
+      // trailing rolling sum/avg/min/max over the LOCF'd series. Rolling
+      // runs on the dense grid (rows = steps), so the row window is a
+      // time window; all inputs are integer-derived, so the e6 checksums
+      // replay bit-exactly. One sort per key serves fill AND rolling.
+      val step = 3600000000000L
+      val ev = Fixtures.raw(s, d, "events")
+        .where(pmod(col("user_id"), lit(97)) === 0)
+      val res = Resample.resample(ev, "ts", step, Seq("event_type"),
+        Seq(count(lit(1)).cast("double").as("v")))
+      val filled = Resample.gapFill(res, "event_type", "v", step)
+      Resample.rolling(filled, "event_type", "locf", windowBuckets = 24)
+        .groupBy("event_type").agg(
+          sum(floor(col("roll_sum") * 1e6)).cast("bigint").as("rsum_e6"),
+          sum(floor(col("roll_avg") * 1e6)).cast("bigint").as("ravg_e6"),
+          sum(col("roll_min")).cast("bigint").as("rmin_sum"),
+          sum(col("roll_max")).cast("bigint").as("rmax_sum"),
+          max(col("roll_n")).cast("bigint").as("max_n"))
         .orderBy("event_type")
     }),
     "a27_hll_mv" -> ((s, d) => {
@@ -1637,6 +1674,13 @@ object SparkEntry {
     // the drained ice stream == the raw source, per event_type
     "a26_stream_source" ->
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
+    // batch format("ice"): full count, distinct partition days, time
+    // travel to the even-ids insert, partition-pruned day-1 count
+    "a28_format_read" ->
+      ("SELECT (SELECT count(*) FROM events) AS cnt, " +
+        "(SELECT count(DISTINCT strftime(ts, '%Y-%m-%d')) FROM events) AS days, " +
+        "(SELECT count(*) FROM events WHERE event_id % 2 = 0) AS cnt_tt, " +
+        "(SELECT count(*) FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-01') AS cnt_day1"),
     "b2_partition_columns" ->
       "SELECT strftime(ts, '%Y-%m-%d') AS d, count(*) AS cnt FROM events GROUP BY d ORDER BY d",
     "b4_projection" ->
@@ -1828,6 +1872,28 @@ object SparkEntry {
         "CAST(sum(floor(pv * 1000000.0)) AS BIGINT) AS locf_e6, " +
         "CAST(sum(floor((CASE WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv " +
         "WHEN nb_ = pb_ THEN pv ELSE pv + (nv - pv) * ((b - pb_) / (nb_ - pb_)) END) * 1000000.0)) AS BIGINT) AS interp_e6 " +
+        "FROM w GROUP BY event_type ORDER BY event_type"),
+    // the same replay chain as ts_gapfill, extended with the 24-bucket
+    // trailing window over the LOCF series
+    "ts_rolling" ->
+      ("WITH r AS (SELECT event_type, epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS b, " +
+        "CAST(count(*) AS DOUBLE) AS v FROM events WHERE user_id % 97 = 0 GROUP BY 1, 2), " +
+        "s AS (SELECT event_type, min(b) AS mn, max(b) AS mx FROM r GROUP BY 1), " +
+        "g AS (SELECT event_type, unnest(generate_series(mn, mx, 3600000000000)) AS b FROM s), " +
+        "j AS (SELECT g.event_type, g.b, r.v FROM g LEFT JOIN r ON r.event_type = g.event_type AND r.b = g.b), " +
+        "f AS (SELECT event_type, b, " +
+        "last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf " +
+        "FROM j), " +
+        "w AS (SELECT event_type, b, " +
+        "count(locf) OVER win AS roll_n, sum(locf) OVER win AS roll_sum, " +
+        "min(locf) OVER win AS roll_min, max(locf) OVER win AS roll_max " +
+        "FROM f WINDOW win AS (PARTITION BY event_type ORDER BY b ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)) " +
+        "SELECT event_type, " +
+        "CAST(sum(floor(roll_sum * 1000000.0)) AS BIGINT) AS rsum_e6, " +
+        "CAST(sum(floor((roll_sum / roll_n) * 1000000.0)) AS BIGINT) AS ravg_e6, " +
+        "CAST(sum(roll_min) AS BIGINT) AS rmin_sum, " +
+        "CAST(sum(roll_max) AS BIGINT) AS rmax_sum, " +
+        "CAST(max(roll_n) AS BIGINT) AS max_n " +
         "FROM w GROUP BY event_type ORDER BY event_type"),
     // estimate/state plumbing is proven Spark-side (est_ok/cnt_ok flags);
     // the exact distinct and total counts replay directly

@@ -47,6 +47,31 @@ object Resample {
       .agg(aggs.head, aggs.tail: _*)
       .withColumnRenamed("_bucket", "bucket")
 
+  /** Trailing rolling-window aggregates over a (key, bucket, value) grid:
+    * for each row, sum/min/max/avg and the observation count over the
+    * last `windowBuckets` grid points (current included). Meant to run on
+    * [[gapFill]] output (a DENSE grid, so "last k rows" = "last k steps";
+    * on a sparse series the row window would silently span gaps). One
+    * window scan per key partition — same exchange the fill already paid,
+    * so chaining resample → gapFill → rolling plans a single sort.
+    *
+    * Determinism: sum/min/max over integer-derived doubles are exact;
+    * `roll_avg` divides the exact sum by the window row count (one
+    * correctly-rounded division), so any engine replays the bits. */
+  def rolling(grid: DataFrame, keyCol: String, valueCol: String,
+      windowBuckets: Int): DataFrame = {
+    require(windowBuckets >= 1, "window must cover at least one bucket")
+    val w = Window.partitionBy(keyCol).orderBy("bucket")
+      .rowsBetween(-(windowBuckets - 1L), Window.currentRow)
+    val v = col(valueCol)
+    grid
+      .withColumn("roll_n", count(v).over(w))
+      .withColumn("roll_sum", sum(v).over(w))
+      .withColumn("roll_min", min(v).over(w))
+      .withColumn("roll_max", max(v).over(w))
+      .withColumn("roll_avg", col("roll_sum") / col("roll_n"))
+  }
+
   /** Gap-fill one value column of a [[resample]] output over each key's
     * dense grid. Adds:
     *  - `present`  — 1 where the bucket had observations, else 0

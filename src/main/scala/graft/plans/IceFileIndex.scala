@@ -187,23 +187,31 @@ object IceFileIndex {
     seen.toSeq
   }
 
-  /** Snapshot → catalog-grade DataFrame with queryable partition columns
-    * and optimizer-side file pruning. */
-  def dataFrame(spark: SparkSession, table: IceTable,
-      maxTs: Long = Long.MaxValue): DataFrame = {
+  /** Snapshot → the catalog-grade [[HadoopFsRelation]] (partition columns
+    * queryable, optimizer-side file pruning, zero plan-time object-store
+    * reads). Also the batch half of the `format("ice")` reader
+    * ([[graft.streaming.IceStreamProvider]] returns it from
+    * `createRelation`). */
+  def relation(spark: SparkSession, table: IceTable,
+      maxTs: Long = Long.MaxValue): HadoopFsRelation = {
     val snap = table.snapshot(maxTs)
     val pSchema = StructType(partitionKeys(table, snap)
       .map(StructField(_, StringType, nullable = true)))
     val index = new IceFileIndex(spark, table, snap, pSchema)
-    val relation = HadoopFsRelation(
+    HadoopFsRelation(
       location = index,
       partitionSchema = pSchema,
       dataSchema = snap.schema.toStructType,
       bucketSpec = None,
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
-    spark.baseRelationToDataFrame(relation)
   }
+
+  /** Snapshot → catalog-grade DataFrame with queryable partition columns
+    * and optimizer-side file pruning. */
+  def dataFrame(spark: SparkSession, table: IceTable,
+      maxTs: Long = Long.MaxValue): DataFrame =
+    spark.baseRelationToDataFrame(relation(spark, table, maxTs))
 
   /** Register the snapshot as a temp view: `spark.sql("... FROM name WHERE
     * d = '2024-01-01'")` prunes partitions in the optimizer (B21: the

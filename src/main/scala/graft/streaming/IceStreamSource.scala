@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.graft.StreamBridge
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming SOURCE over an ice table's transaction log:
@@ -39,9 +39,27 @@ import org.apache.spark.sql.types.StructType
   * Options: `path` (table root, required); `startingTimestamp` — `0`
   * (default) replays the table from the beginning, `latest` starts at the
   * current log head, any long starts strictly after that log timestamp.
+  *
+  * The SAME short name is also the BATCH reader:
+  * `spark.read.format("ice").option("path", root).load()` resolves a
+  * catalog-grade snapshot relation ([[graft.plans.IceFileIndex]]) —
+  * partition keys become queryable columns, WHERE clauses on them prune
+  * files in the optimizer, and `option("snapshotTs", ts)` is time travel
+  * (the strict `<` fold the reference documents). One format string,
+  * both halves of the surface, like every production lakehouse format.
   */
-class IceStreamProvider extends StreamSourceProvider with DataSourceRegister {
+class IceStreamProvider extends StreamSourceProvider with RelationProvider
+    with DataSourceRegister {
   override def shortName(): String = "ice"
+
+  /** Batch read: `spark.read.format("ice")` → pinned-snapshot relation. */
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val table = tableFor(sqlContext, parameters)
+    val maxTs = parameters.get("snapshotTs").map(_.toLong).getOrElse(Long.MaxValue)
+    graft.plans.IceFileIndex.relation(sqlContext.sparkSession, table, maxTs)
+  }
 
   private def tableFor(sqlContext: SQLContext, parameters: Map[String, String]): IceTable = {
     val root = parameters.getOrElse("path", throw new IllegalArgumentException(

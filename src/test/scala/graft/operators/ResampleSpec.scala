@@ -75,6 +75,25 @@ class ResampleSpec extends SparkSpec {
     assert(Resample.gapFill(res, "k", "v", 1000000L).count() == 2L)
   }
 
+  test("rolling: trailing window sum/avg/min/max with ramp-up head") {
+    val grid = Seq(("a", 0L, 1.0), ("a", 10L, 2.0), ("a", 20L, 4.0),
+      ("a", 30L, 8.0), ("b", 0L, 5.0)).toDF("k", "bucket", "v")
+    val got = Resample.rolling(grid, "k", "v", windowBuckets = 3)
+      .orderBy("k", "bucket")
+      .select("k", "roll_n", "roll_sum", "roll_min", "roll_max", "roll_avg")
+      .collect()
+    val a = got.filter(_.getString(0) == "a")
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(a.toSeq == Seq(
+      (1L, 1.0, 1.0, 1.0, 1.0),       // ramp-up: window covers 1 row
+      (2L, 3.0, 1.0, 2.0, 1.5),       // rows 1-2
+      (3L, 7.0, 1.0, 4.0, 7.0 / 3.0), // full window
+      (3L, 14.0, 2.0, 8.0, 14.0 / 3.0))) // slides off the first row
+    val b = got.filter(_.getString(0) == "b").head
+    assert(b.getLong(1) == 1L && b.getDouble(2) == 5.0)
+  }
+
   test("matches a brute-force oracle on random sparse series") {
     val rnd = new scala.util.Random(7)
     val rows = for (k <- Seq("x", "y", "z"); _ <- 1 to 30) yield

@@ -119,4 +119,35 @@ class IceStreamSourceSpec extends SparkSpec {
     assert(out.where(col("extra").isNull).count() == 5)
     assert(out.where(col("extra") === col("id") * 10).count() == 5)
   }
+
+  test("batch read: format(ice) load, partition pruning, snapshotTs travel") {
+    val table = newTable("iss_batch")
+    table.insert(rows(0 until 10)); Thread.sleep(3)
+    val between = System.currentTimeMillis(); Thread.sleep(3)
+    table.insert(rows(10 until 20))
+    table.optimize(maxFileSize = 1L << 30, maxFileCount = 100)
+
+    val df = spark.read.format("ice").option("path", table.root).load()
+    // the partition key is a real queryable column; the full row set
+    // matches the explicit-file-list read path
+    assert(df.columns.contains("u"))
+    assert(df.select("id").as[Long].collect().toSet == (0L until 20L).toSet)
+    // a partition predicate prunes FILES, not just rows
+    val pruned = df.where(col("u") === "u0")
+    val scanFileCounts: Seq[Long] =
+      pruned.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.totalNumberOfFiles
+      }
+    val prunedFiles = scanFileCounts.sum
+    val allFiles = table.snapshot().aliveFiles.length
+    assert(prunedFiles > 0 && prunedFiles < allFiles,
+      s"pruned=$prunedFiles all=$allFiles")
+    assert(pruned.select("id").as[Long].collect().toSet ==
+      (0L until 20L).filter(_ % 3 == 0).toSet)
+    // snapshotTs: the strict-< time-travel fold through the reader API
+    val tt = spark.read.format("ice").option("path", table.root)
+      .option("snapshotTs", between.toString).load()
+    assert(tt.select("id").as[Long].collect().toSet == (0L until 10L).toSet)
+  }
 }
