@@ -191,19 +191,34 @@ object Similarity {
     * [[IvfIndex]]. */
   private[operators] def trainCentroids(
       c: DataFrame, nlist: Int, lloydIterations: Int, dim: Int): DataFrame = {
-    var centroids = c
+    // The centroid table is nlist rows of dim doubles — metadata-scale —
+    // but it is referenced MANY times downstream (each Lloyd iteration's
+    // assignment, the final assignment, the probe side). As a lazy plan,
+    // every reference would re-derive the whole preceding Lloyd chain
+    // (the corpus-sized crossJoin + regroup, again and again); each
+    // iteration is therefore materialized to the driver and rebuilt as a
+    // literal DataFrame, so every downstream branch starts from values.
+    // Value-preserving (same rows), deterministic, and — unlike a
+    // localCheckpoint — immune to executor loss at cluster scale.
+    val spark = c.sparkSession
+    def materialize(df: DataFrame): DataFrame = {
+      val rows = df.collect().toSeq // nlist rows
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), df.schema)
+    }
+    var centroids = materialize(c
       .withColumn("_h", xxhash64(col("id")))
       .orderBy("_h").limit(nlist)
-      .select(monotonically_increasing_id().as("cid"), col("_v").as("_c"))
+      .select(monotonically_increasing_id().as("cid"), col("_v").as("_c")))
     (1 to lloydIterations).foreach { _ =>
       // element-wise mean per centroid: posexplode → avg per (cid, pos)
       val assigned = nearestCid(c, centroids, dim)
-      centroids = assigned
+      centroids = materialize(assigned
         .select(col("cid"), posexplode(col("_v")).as(Seq("_p", "_x")))
         .groupBy("cid", "_p").agg(avg(col("_x")).as("_m"))
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("_p"), col("_m")))).as("_pm"))
-        .select(col("cid"), transform(col("_pm"), e => e.getField("_m")).as("_c"))
+        .select(col("cid"), transform(col("_pm"), e => e.getField("_m")).as("_c")))
     }
     centroids
   }
@@ -328,11 +343,20 @@ object Similarity {
   private[operators] def pqTrain(
       c: DataFrame, m: Int, ksub: Int, iterations: Int, dim: Int): DataFrame = {
     val dsub = dim / m
+    val spark = c.sparkSession
+    // same lineage-truncation as trainCentroids: the codebook is m × ksub
+    // rows, but as a lazy plan each iteration (and the final encode/probe
+    // branches) would re-derive every preceding Lloyd pass over the
+    // corpus-sized subvector table — materialize the metadata-scale table
+    // per iteration so downstream references start from values
+    def materialize(df: DataFrame): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(df.collect().toSeq, 1), df.schema)
     val sub = subVectors(c, m, dsub, dim)
     val w = Window.partitionBy("_j").orderBy(xxhash64(col("id")), col("id"))
-    var codebook = sub.withColumn("_rn", row_number().over(w))
+    var codebook = materialize(sub.withColumn("_rn", row_number().over(w))
       .where(col("_rn") <= ksub)
-      .select(col("_j"), (col("_rn") - 1).cast("int").as("cid"), col("_s").as("_c"))
+      .select(col("_j"), (col("_rn") - 1).cast("int").as("cid"), col("_s").as("_c")))
     (1 to iterations).foreach { _ =>
       val means = assignCells(sub, codebook, dsub)
         .select(col("_j"), col("cid"), posexplode(col("_s")).as(Seq("_p", "_x")))
@@ -341,8 +365,8 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("_p"), col("_m")))).as("_pm"))
         .select(col("_j"), col("cid"),
           transform(col("_pm"), e => e.getField("_m")).as("_mc"))
-      codebook = codebook.join(means, Seq("_j", "cid"), "left")
-        .select(col("_j"), col("cid"), coalesce(col("_mc"), col("_c")).as("_c"))
+      codebook = materialize(codebook.join(means, Seq("_j", "cid"), "left")
+        .select(col("_j"), col("cid"), coalesce(col("_mc"), col("_c")).as("_c")))
     }
     codebook
   }
