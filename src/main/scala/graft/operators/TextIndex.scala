@@ -106,13 +106,16 @@ object TextIndex {
     * reindex (or per-bucket rewrite job) garbage-collects for real. */
   def deleteConfig: IceTableConfig = IceTableConfig(
     partitionExpr = lit("all"),
-    sortOrder = Seq("doc_id"))
+    sortOrder = Seq("doc_id"),
+    // deletes are idempotent: re-marking a doc collapses to one marker at
+    // compaction, and the query side dedups un-compacted repeats too
+    customMergeSql = Some(
+      "select doc_id, max(dl) as dl from source_files group by doc_id"))
 
   /** Mark documents deleted: one atomic append of their (doc_id, dl)
     * rows (same universe rule as [[docStats]], so stats adjust exactly).
-    * Idempotence is the caller's contract — marking the same doc twice
-    * would double-subtract its dl (dedupe upstream or compact the marker
-    * table with a dedup merge). */
+    * Idempotent end-to-end: repeated markers dedup at query time and
+    * collapse to one row at compaction. */
   def deleteDocs(deletes: IceTable,
       docs: DataFrame, idCol: String, textCol: String): Unit = {
     deletes.insert(docStats(docs, idCol, textCol))
@@ -139,6 +142,7 @@ object TextIndex {
       case None => (0L, 0L, None)
       case Some(t) =>
         val d = t.read().select(col("doc_id"), col("dl"))
+          .dropDuplicates("doc_id") // idempotent re-marking pre-compaction
         val r = d.agg(count(lit(1)).cast("long"), sum("dl").cast("long")).head()
         (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1), Some(d))
     }

@@ -60,8 +60,12 @@ class TextIndexSpec extends SparkSpec {
     val stats = new IceTable(spark, newRoot(), TextIndex.statsConfig)
     val dels = new IceTable(spark, newRoot(), TextIndex.deleteConfig)
     TextIndex.indexBatch(index, stats, docs, "doc_id", "text")
-    // delete the top-scoring doc 4; its postings stay on disk, markers win
+    // delete the top-scoring doc 4 — TWICE, then compact: markers must
+    // dedup (idempotent deletes), not double-subtract the doc's stats
     TextIndex.deleteDocs(dels, docs.where($"doc_id" === 4), "doc_id", "text")
+    TextIndex.deleteDocs(dels, docs.where($"doc_id" === 4), "doc_id", "text")
+    dels.optimize(maxFileSize = 1L << 30, maxFileCount = 100)
+    assert(dels.read().count() == 1L) // compaction collapsed the re-mark
     val terms = Seq("spark", "query", "window")
     val got = TextIndex.bm25TopK(index, stats, terms, buckets = 8, k = 10,
       deletes = Some(dels))
