@@ -669,6 +669,25 @@ object SparkEntry {
         .select(col("qid"), col("id"), col("rank").cast("bigint").as("rank"))
         .orderBy(col("qid"), col("rank"))
     }),
+    "llm_hard_negatives" -> ((s, d) => {
+      // contrastive-training negative mining (Similarity.hardNegatives):
+      // for 3 anchors, the top-5 most-similar vectors of a DIFFERENT
+      // language — labels ride from documents on the aligned doc_id.
+      // Graded rank-by-rank (+ the negative's label) vs the DuckDB replay.
+      val emb = Fixtures.raw(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val labeled = emb.join(
+        Fixtures.raw(s, d, "documents").select(col("doc_id").as("vec_id"), col("lang")),
+        Seq("vec_id"))
+      val anchors = labeled.where(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("lang").as("qlang"))
+      Similarity.hardNegatives(labeled, "vec_id", "embedding", "lang",
+          anchors, "qid", "qvec", "qlang", k = 5, dim = 64)
+        .select(col("qid"), col("id"), col("neg_label"),
+          col("rank").cast("bigint").as("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
     "llm_ann_lsh" -> ((s, d) => {
       // self-verifying: recall@10 vs the exact brute-force top-10, in-query
       annRecall(s, d, (emb, queries) =>
@@ -1764,6 +1783,17 @@ object SparkEntry {
       "SELECT count(DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS uniq_fp, count(*) AS total FROM documents",
     "llm_ann_bruteforce" ->
       "SELECT qid, id, rank FROM (SELECT q.vec_id AS qid, c.vec_id AS id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank FROM embeddings c, embeddings q WHERE q.vec_id IN (0, 1, 2) AND c.vec_id != q.vec_id) WHERE rank <= 10 ORDER BY qid, rank",
+    // same replay as bruteforce, with the anchor-label filter applied
+    // before ranking (c.vec_id != qid is implied: same id => same lang)
+    "llm_hard_negatives" ->
+      ("SELECT qid, id, neg_label, rank FROM (" +
+        "SELECT q.vec_id AS qid, c.vec_id AS id, cd.lang AS neg_label, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank " +
+        "FROM embeddings c JOIN documents cd ON cd.doc_id = c.vec_id, " +
+        "embeddings q JOIN documents qd ON qd.doc_id = q.vec_id " +
+        "WHERE q.vec_id IN (0, 1, 2) AND cd.lang != qd.lang) " +
+        "WHERE rank <= 5 ORDER BY qid, rank"),
     "llm_multimodal_meta" ->
       "SELECT CAST(sum(4 + doc_id % 13) AS BIGINT) AS sum_w, CAST(sum(3 + doc_id % 7) AS BIGINT) AS sum_h, count(*) AS cnt, true AS all_decoded FROM documents",
     // real resize parity: scale = 6 / max(w,h) computed in DOUBLE on both

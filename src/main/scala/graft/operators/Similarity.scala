@@ -83,6 +83,35 @@ object Similarity {
     topKPerQuery(scored, "qid", k).select("qid", "id", "sim", "rank")
   }
 
+  /** Hard-negative mining for contrastive / embedding training: for each
+    * anchor, the exact top-k most-similar corpus vectors whose LABEL
+    * differs from the anchor's (similar-but-wrong — the negatives that
+    * actually move a contrastive loss; random negatives are trivial at
+    * scale). Same shape as [[bruteForceTopK]] — broadcast anchors, one
+    * corpus scan, two-stage top-k — with the label filter applied BEFORE
+    * ranking, so rank k means "k-th hardest negative", not "k-th
+    * neighbor that happened to be negative".
+    *
+    * @return (qid, id, neg_label, sim, rank), rank 1..k by sim desc. */
+  def hardNegatives(
+      corpus: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, qlabelCol: String,
+      k: Int = 10, dim: Int = 0): DataFrame = {
+    val scored = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("_v"),
+        col(labelCol).as("neg_label"))
+      .withColumn("_nv", normN(col("_v"), dim))
+      .crossJoin(broadcast(
+        queries.select(col(qidCol).as("qid"), col(qvecCol).as("_q"),
+          col(qlabelCol).as("_ql"))
+          .withColumn("_nq", normN(col("_q"), dim))))
+      .where(col("neg_label") =!= col("_ql")) // negatives only
+      .withColumn("sim",
+        cosinePre(col("_v"), col("_q"), col("_nv"), col("_nq"), dim))
+    topKPerQuery(scored, "qid", k)
+      .select("qid", "id", "neg_label", "sim", "rank")
+  }
+
   /** Deterministic random hyperplanes: `tables` independent sign-bit
     * signatures of `bits` planes each, derived from a fixed seed so results
     * are reproducible across runs and match between build sides. */

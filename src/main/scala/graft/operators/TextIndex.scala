@@ -126,13 +126,19 @@ object TextIndex {
     * rows), the delete markers (small, broadcast anti-join) if any, then
     * ONLY the query terms' bucket partitions. Formula and float-operation
     * order identical to [[Search.bm25TopK]], so results match a
-    * freshly-built index over the surviving corpus bit-for-bit. */
+    * freshly-built index over the surviving corpus bit-for-bit.
+    *
+    * `asOfTs` time-travels the WHOLE query (postings, stats, deletes
+    * fold to the same log horizon — the tables commit atomically per
+    * batch, so any horizon is a consistent corpus): "what did this
+    * search return last Tuesday" is one parameter, no index rebuild. */
   def bm25TopK(index: IceTable, stats: IceTable,
       terms: Seq[String], buckets: Int = 64, k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75,
-      deletes: Option[IceTable] = None): DataFrame = {
+      deletes: Option[IceTable] = None,
+      asOfTs: Long = Long.MaxValue): DataFrame = {
     require(terms.nonEmpty, "query must have at least one term")
-    val statsDf = stats.read()
+    val statsDf = stats.read(asOfTs)
     val spark = statsDf.sparkSession
     val sr = statsDf.agg(sum("n_docs").cast("long"), sum("sum_dl").cast("long")).head()
     // deleted docs leave the stats universe exactly (their dl was
@@ -141,7 +147,7 @@ object TextIndex {
     val (delN, delDl, delDf) = deletes match {
       case None => (0L, 0L, None)
       case Some(t) =>
-        val d = t.read().select(col("doc_id"), col("dl"))
+        val d = t.read(asOfTs).select(col("doc_id"), col("dl"))
           .dropDuplicates("doc_id") // idempotent re-marking pre-compaction
         val r = d.agg(count(lit(1)).cast("long"), sum("dl").cast("long")).head()
         (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1), Some(d))
@@ -152,7 +158,7 @@ object TextIndex {
     val parts = spark.range(1).select(terms.map(t =>
         bucketOf(lit(t), buckets)): _*).head()
       .toSeq.map(bkt => s"b=$bkt").toSet
-    val pruned0 = index.readPartitions(parts)
+    val pruned0 = index.readPartitions(parts, asOfTs)
       .where(col("term").isin(terms: _*))
     val pruned = delDf.fold(pruned0)(d =>
       pruned0.join(broadcast(d.select("doc_id")), Seq("doc_id"), "left_anti"))

@@ -114,6 +114,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall@10 = $recall")
   }
 
+  test("hard negatives: top-k most-similar of a DIFFERENT label only") {
+    import spark.implicits._
+    // anchor (id 0, label A) at e0; same-label near-twin at e0 (must be
+    // excluded); different-label vectors at decreasing similarity
+    def vec(x: Double, y: Double) = Array(x, y, 0.0, 0.0)
+    val corpus = Seq(
+      (0L, vec(1, 0), "A"), (1L, vec(1, 0.01), "A"),
+      (2L, vec(1, 0.2), "B"), (3L, vec(1, 0.8), "B"),
+      (4L, vec(0, 1), "C")).toDF("id", "v", "l")
+    val anchors = corpus.where($"id" === 0)
+      .select($"id".as("qid"), $"v".as("qv"), $"l".as("ql"))
+    val got = Similarity.hardNegatives(corpus, "id", "v", "l",
+      anchors, "qid", "qv", "ql", k = 3)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getInt(4)))
+    // id 1 (same label) excluded despite being the nearest vector
+    assert(got.toSeq == Seq((2L, "B", 1), (3L, "B", 2), (4L, "C", 3)))
+  }
+
   test("int8 quantization: bounded reconstruction error, near-perfect recall") {
     val quant = Similarity.quantizeInt8(embeddings, "embedding")
     // every component reconstructs within scale/2 (round-to-nearest bound)

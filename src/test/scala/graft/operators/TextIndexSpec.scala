@@ -79,6 +79,29 @@ class TextIndexSpec extends SparkSpec {
     assert(!got.map(_._1).contains(4L) && got.nonEmpty)
   }
 
+  test("asOfTs time-travels the whole search to a consistent horizon") {
+    val index = new IceTable(spark, newRoot(), TextIndex.indexConfig(buckets = 8))
+    val stats = new IceTable(spark, newRoot(), TextIndex.statsConfig)
+    TextIndex.indexBatch(index, stats, docs.where($"doc_id" <= 2), "doc_id", "text")
+    Thread.sleep(3)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(3)
+    TextIndex.indexBatch(index, stats, docs.where($"doc_id" > 2), "doc_id", "text")
+    index.optimize(maxFileSize = 1L << 30, maxFileCount = 100)
+    val terms = Seq("spark", "query", "window")
+    // the as-of query must equal a full scan over ONLY the batch-1 corpus
+    // (N, avgdl, df all at the old horizon) even though the live table
+    // has since doubled and compacted
+    val got = TextIndex.bm25TopK(index, stats, terms, buckets = 8, k = 10,
+      asOfTs = mid)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val expect = Search.bm25TopK(docs.where($"doc_id" <= 2),
+      "doc_id", "text", terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expect && got.nonEmpty)
+    assert(!got.map(_._1).contains(4L)) // batch-2 docs invisible at mid
+  }
+
   test("streaming index maintenance is exactly-once under batch replay") {
     // the foreachBatch composition: postings and stats each commit with
     // the micro-batch id (IceTable.insertBatch); a crash-replayed batch
