@@ -319,6 +319,26 @@ object Fixtures {
       (index, stats)
     }
 
+  /** MinHash signature-index pair (SigIndex): band + signature ice tables
+    * over the documents corpus, built in two incremental appends then
+    * compacted — the continuous-crawl near-dup fixture for
+    * llm_minhash_index. */
+  def docsSigIndex(spark: SparkSession, sfDir: String): (IceTable, IceTable) =
+    memo(s"$sfDir#sigindex") {
+      val docs = raw(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+      val bands = new IceTable(spark, newRoot("sigb"),
+        graft.operators.SigIndex.bandConfig)
+      val sigs = new IceTable(spark, newRoot("sigs"),
+        graft.operators.SigIndex.sigConfig)
+      graft.operators.SigIndex.append(bands, sigs,
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
+      graft.operators.SigIndex.append(bands, sigs,
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+      bands.optimize(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+      sigs.optimize(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+      (bands, sigs)
+    }
+
   /** ReplacingMergeTree variant (A13): latest row per user survives. */
   def eventsReplacing(spark: SparkSession, sfDir: String): IceTable =
     memo(s"$sfDir#replacing") {

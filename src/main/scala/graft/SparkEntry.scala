@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions
 import graft.ice.{IceTable, IceTableConfig}
-import graft.operators.{Bpe, Classifier, Cluster, Decontam, Dedup, Dsir, IvfIndex, LangModel, Mixing, Multimodal, Packing, Resample, Search, SemDedup, Sessions, Shards, Similarity, Sketches, SpanDedup, TextIndex, UrlOps, Vocab}
+import graft.operators.{Bpe, Classifier, Cluster, Decontam, Dedup, Dsir, IvfIndex, LangModel, Mixing, Multimodal, Packing, Resample, Search, SemDedup, Sessions, Shards, SigIndex, Similarity, Sketches, SpanDedup, TextIndex, UrlOps, Vocab}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -668,6 +668,32 @@ object SparkEntry {
           queries, "qid", "qvec", k = 10, dim = 64)
         .select(col("qid"), col("id"), col("rank").cast("bigint").as("rank"))
         .orderBy(col("qid"), col("rank"))
+    }),
+    "llm_minhash_index" -> ((s, d) => {
+      // incremental NEAR-dup against the persisted signature index
+      // (SigIndex; Dedup.incrementalDedup is the exact-hash analog): a
+      // "new crawl batch" of 5 planted near-dups (the llm_minhash_dedup
+      // sources, text extended) and 5 novel docs (token order reversed —
+      // disjoint shingles) checks against ALL indexed history via one
+      // scan + broadcast band join. Every planted doc must hit its
+      // source; no novel doc may match anything.
+      val (bands, sigs) = Fixtures.docsSigIndex(s, d)
+      val longDocs = Fixtures.raw(s, d, "documents")
+        .where(col("n_chars") >= 200).orderBy(col("doc_id")).limit(10)
+      val planted = longDocs.limit(5)
+        .select((col("doc_id") + PlantOffset).as("doc_id"),
+          concat(col("text"), lit(" extra trailing words here")).as("text"))
+      val novel = longDocs.orderBy(col("doc_id").desc).limit(5)
+        .select((col("doc_id") + 2 * PlantOffset).as("doc_id"),
+          concat_ws(" ", reverse(TextFunctions.tokens(col("text")))).as("text"))
+      val matches = SigIndex.nearDupsAgainstIndex(bands, sigs,
+        planted.unionByName(novel), "doc_id", "text", threshold = 0.5)
+      matches.agg(
+        countDistinct(when(col("batch_id") < 2 * PlantOffset &&
+          col("hist_id") === col("batch_id") - PlantOffset,
+          col("batch_id"))).cast("bigint").as("planted_found"),
+        count(when(col("batch_id") >= 2 * PlantOffset, 1)).cast("bigint")
+          .as("novel_matched"))
     }),
     "llm_hard_negatives" -> ((s, d) => {
       // contrastive-training negative mining (Similarity.hardNegatives):
@@ -1783,6 +1809,10 @@ object SparkEntry {
       "SELECT count(DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS uniq_fp, count(*) AS total FROM documents",
     "llm_ann_bruteforce" ->
       "SELECT qid, id, rank FROM (SELECT q.vec_id AS qid, c.vec_id AS id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank FROM embeddings c, embeddings q WHERE q.vec_id IN (0, 1, 2) AND c.vec_id != q.vec_id) WHERE rank <= 10 ORDER BY qid, rank",
+    // recovery contract constants: all 5 planted near-dups hit their
+    // source through the persisted index, reversed-text novels hit nothing
+    "llm_minhash_index" ->
+      "SELECT CAST(5 AS BIGINT) AS planted_found, CAST(0 AS BIGINT) AS novel_matched",
     // same replay as bruteforce, with the anchor-label filter applied
     // before ranking (c.vec_id != qid is implied: same id => same lang)
     "llm_hard_negatives" ->
