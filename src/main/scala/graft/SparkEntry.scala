@@ -233,6 +233,24 @@ object SparkEntry {
         .crossJoin(full.where(col("d") === "2024-01-01")
           .agg(count(lit(1)).as("cnt_day1")))
     }),
+    "a29_format_write" -> ((s, d) => {
+      // the write half of format("ice"): two standard writer-API appends
+      // (partition routing + sort order via options) into a fresh table,
+      // read back through the same format — values prove the round trip,
+      // not just a row count
+      val ev = Fixtures.raw(s, d, "events")
+      val root = Fixtures.scratchDir("graft_fmtw")
+      def put(half: Int): Unit =
+        ev.where(pmod(col("event_id"), lit(2)) === half)
+          .write.format("ice").option("path", root)
+          .option("partitionExpr", "concat('t=', event_type)")
+          .option("sortOrder", "event_id").mode("append").save()
+      put(0); put(1)
+      s.read.format("ice").option("path", root).load()
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("t")).as("types"),
+          sum(col("event_id")).cast("bigint").as("sum_id"))
+    }),
     "a22_http_roundtrip" -> ((s, d) => {
       // A22 end-to-end through the real HTTP edge: 500 events POST as
       // NDJSON to /insert, /flush commits them as ONE atomic ice insert,
@@ -1719,6 +1737,10 @@ object SparkEntry {
     // the drained ice stream == the raw source, per event_type
     "a26_stream_source" ->
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
+    // writer-API round trip: the partition column comes back as `t`
+    "a29_format_write" ->
+      ("SELECT count(*) AS cnt, count(DISTINCT event_type) AS types, " +
+        "CAST(sum(event_id) AS BIGINT) AS sum_id FROM events"),
     // batch format("ice"): full count, distinct partition days, time
     // travel to the even-ids insert, partition-pruned day-1 count
     "a28_format_read" ->

@@ -6,7 +6,8 @@ import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.graft.StreamBridge
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming SOURCE over an ice table's transaction log:
@@ -49,7 +50,7 @@ import org.apache.spark.sql.types.StructType
   * both halves of the surface, like every production lakehouse format.
   */
 class IceStreamProvider extends StreamSourceProvider with RelationProvider
-    with DataSourceRegister {
+    with CreatableRelationProvider with DataSourceRegister {
   override def shortName(): String = "ice"
 
   /** Batch read: `spark.read.format("ice")` → pinned-snapshot relation. */
@@ -59,6 +60,45 @@ class IceStreamProvider extends StreamSourceProvider with RelationProvider
     val table = tableFor(sqlContext, parameters)
     val maxTs = parameters.get("snapshotTs").map(_.toLong).getOrElse(Long.MaxValue)
     graft.plans.IceFileIndex.relation(sqlContext.sparkSession, table, maxTs)
+  }
+
+  /** Batch WRITE: `df.write.format("ice").option("path", root).save()` —
+    * one atomic ice insert. Options: `partitionExpr` (a SQL expression
+    * producing the partition path string, e.g.
+    * `concat('d=', date_format(ts_col, 'yyyy-MM-dd'))`; default one
+    * `all` partition), `sortOrder` (comma-separated intra-file sort
+    * columns). SaveMode semantics against a log-based table:
+    * Append = insert (the native operation); ErrorIfExists errors iff the
+    * table already has commits; Ignore no-ops then; Overwrite is
+    * REJECTED — truncation of an MVCC table is an explicit maintenance
+    * decision (`removePartitions` / `rewritePartition`), not a write
+    * mode's side effect. */
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    val root = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "ice batch sink requires option 'path' (table root URI)"))
+    val partExpr = parameters.get("partitionExpr")
+      .map(org.apache.spark.sql.functions.expr).getOrElse(lit("all"))
+    val sortCols = parameters.get("sortOrder")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+    val table = new IceTable(sqlContext.sparkSession, root,
+      IceTableConfig(partitionExpr = partExpr, sortOrder = sortCols))
+    val exists = table.logio.currentLogFiles(root).nonEmpty
+    mode match {
+      case SaveMode.Overwrite =>
+        throw new UnsupportedOperationException(
+          "ice: SaveMode.Overwrite is not supported — truncate explicitly " +
+            "via removePartitions/rewritePartition, then Append")
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"ice: table at $root already has commits (SaveMode.ErrorIfExists)")
+      case SaveMode.Ignore if exists => () // no-op by contract
+      case _ => table.insert(data); ()
+    }
+    createRelation(sqlContext, parameters)
   }
 
   private def tableFor(sqlContext: SQLContext, parameters: Map[String, String]): IceTable = {

@@ -120,6 +120,27 @@ class IceStreamSourceSpec extends SparkSpec {
     assert(out.where(col("extra") === col("id") * 10).count() == 5)
   }
 
+  test("batch write: format(ice) save modes against the log") {
+    import org.apache.spark.sql.SaveMode
+    val root = tmpDir("iss_write")
+    def write(mode: SaveMode, ids: Range): Unit =
+      rows(ids).write.format("ice").option("path", root)
+        .option("partitionExpr", "concat('u=', user)")
+        .option("sortOrder", "id")
+        .mode(mode).save()
+    write(SaveMode.ErrorIfExists, 0 until 10) // empty table: allowed
+    write(SaveMode.Append, 10 until 20)
+    val back = spark.read.format("ice").option("path", root).load()
+    assert(back.select("id").as[Long].collect().toSet == (0L until 20L).toSet)
+    assert(back.where(col("u") === "u1").count() ==
+      (0 until 20).count(_ % 3 == 1))
+    // ErrorIfExists now fails; Ignore no-ops; Overwrite always rejected
+    intercept[IllegalStateException] { write(SaveMode.ErrorIfExists, 20 until 30) }
+    write(SaveMode.Ignore, 20 until 30)
+    assert(spark.read.format("ice").option("path", root).load().count() == 20L)
+    intercept[UnsupportedOperationException] { write(SaveMode.Overwrite, 0 until 5) }
+  }
+
   test("batch read: format(ice) load, partition pruning, snapshotTs travel") {
     val table = newTable("iss_batch")
     table.insert(rows(0 until 10)); Thread.sleep(3)
