@@ -203,6 +203,20 @@ object Fixtures {
       table
     }
 
+  /** Partition-evolution variant ([[IceTable.repartitionTable]]): the
+    * day-partitioned insert atomically rewritten to user-hash buckets. */
+  def eventsRepartitioned(spark: SparkSession, sfDir: String): IceTable =
+    memo(s"$sfDir#repart") {
+      val ev = raw(spark, sfDir, "events")
+      val table = new IceTable(spark, newRoot("repart"), IceTableConfig(
+        partitionExpr = concat(lit("d="), date_format(evTs(col("ts")), "yyyy-MM-dd")),
+        sortOrder = Seq("ts", "event_id")))
+      table.insert(ev)
+      table.repartitionTable(
+        concat(lit("u="), (col("user_id") % 8).cast("string")))
+      table
+    }
+
   /** Partition-removal variant (A16): first week dropped log-only. */
   def eventsRemoved(spark: SparkSession, sfDir: String): IceTable =
     memo(s"$sfDir#removed") {

@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[DotProduct].getName, name, usage)
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // SQL catalog surface: `SELECT ... FROM ice.<table>` (+ TIMESTAMP/
+    // VERSION AS OF time travel) against spark.graft.warehouse — see
+    // [[graft.plans.IceSqlResolution]]
+    e.injectResolutionRule(sp => new graft.plans.IceSqlResolution(sp))
     e.injectFunction((FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - codegen'd array dot product"),
       (es: Seq[Expression]) => DotProduct(es(0), es(1))))

@@ -251,6 +251,19 @@ object SparkEntry {
           countDistinct(col("t")).as("types"),
           sum(col("event_id")).cast("bigint").as("sum_id"))
     }),
+    "a30_repartition" -> ((s, d) => {
+      // partition evolution: the day-partitioned events table rewritten to
+      // user-hash buckets in ONE atomic merged-log commit
+      // (IceTable.repartitionTable); graded on the NEW virtual partition
+      // key + full-table metrics surviving the rewrite bit-for-bit
+      val t = Fixtures.eventsRepartitioned(s, d)
+      t.withPartitionColumn(t.read(), "u")
+        .groupBy(col("u"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("user_id")).cast("bigint").as("user_sum"),
+          countDistinct(col("event_id")).as("ids"))
+        .orderBy(col("u"))
+    }),
     "a22_http_roundtrip" -> ((s, d) => {
       // A22 end-to-end through the real HTTP edge: 500 events POST as
       // NDJSON to /insert, /flush commits them as ONE atomic ice insert,
@@ -447,6 +460,29 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("status"),
           col("cnt"), col("sum_qty"), col("lvl"))
         .orderBy(col("lvl"), col("flag"), col("status"))
+    }),
+    "b29_sql_catalog" -> ((s, d) => {
+      // pure-SQL access via the analyzer-resolved `graft.<name>` relation
+      // (IceSqlResolution through spark.sql.extensions): the WHERE on the
+      // virtual partition column prunes files inside the optimizer — the
+      // reference's DuckDB-macro / CH-parameterized-view surface (B21)
+      // without any file list spliced into SQL text
+      val t = Fixtures.eventsIce(s, d).table
+      val f = new java.io.File(t.root)
+      s.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      s.sql(s"""SELECT d, count(*) AS cnt, count(DISTINCT user_id) AS users
+        FROM graft.`${f.getName}`
+        WHERE d >= '2024-01-02' AND d <= '2024-01-06'
+        GROUP BY d ORDER BY d""")
+    }),
+    "b30_sql_time_travel" -> ((s, d) => {
+      // SQL time travel: TIMESTAMP AS OF <epoch-ms> pins the MVCC snapshot
+      // between the two fixture inserts — only even event_ids exist there
+      val fx = Fixtures.eventsIce(s, d)
+      val f = new java.io.File(fx.table.root)
+      s.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      s.sql(s"""SELECT count(*) AS cnt, count(DISTINCT event_id) AS ids
+        FROM graft.`${f.getName}` TIMESTAMP AS OF ${fx.betweenTs}""")
     }),
     "b28_pivot" -> ((s, d) => {
       // wide pivot: per-returnflag columns for each linestatus value
@@ -1748,6 +1784,12 @@ object SparkEntry {
         "(SELECT count(DISTINCT strftime(ts, '%Y-%m-%d')) FROM events) AS days, " +
         "(SELECT count(*) FROM events WHERE event_id % 2 = 0) AS cnt_tt, " +
         "(SELECT count(*) FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-01') AS cnt_day1"),
+    // partition evolution: the rewritten table's user-bucket partition key
+    // re-derived row-by-row from the raw source
+    "a30_repartition" ->
+      ("SELECT CAST(user_id % 8 AS VARCHAR) AS u, count(*) AS cnt, " +
+        "CAST(sum(user_id) AS BIGINT) AS user_sum, " +
+        "count(DISTINCT event_id) AS ids FROM events GROUP BY u ORDER BY u"),
     "b2_partition_columns" ->
       "SELECT strftime(ts, '%Y-%m-%d') AS d, count(*) AS cnt FROM events GROUP BY d ORDER BY d",
     "b4_projection" ->
@@ -2007,6 +2049,14 @@ object SparkEntry {
         "CAST(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS BIGINT) AS qty_f, " +
         "CAST(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS BIGINT) AS qty_o " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY flag"),
+    "b29_sql_catalog" ->
+      ("SELECT strftime(ts, '%Y-%m-%d') AS d, count(*) AS cnt, " +
+        "count(DISTINCT user_id) AS users FROM events " +
+        "WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-02' AND '2024-01-06' " +
+        "GROUP BY d ORDER BY d"),
+    "b30_sql_time_travel" ->
+      ("SELECT count(*) AS cnt, count(DISTINCT event_id) AS ids " +
+        "FROM events WHERE event_id % 2 = 0"),
     // components must equal the (lang, source) shards exactly
     "llm_dedup_groups" ->
       ("WITH g AS (SELECT lang, source, count(*) AS cnt, min(doc_id) AS root " +

@@ -36,6 +36,7 @@ object Verify {
       sys.env.getOrElse("SPARK_GRAFT_PREWARM_TIMEOUT_SEC", "1800").toLong.seconds
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -891,6 +891,64 @@ final class IceTable(
     byPart.length
   }
 
+  /** Partition evolution: rewrite the WHOLE table under a new partition
+    * function, atomically. The reference has no answer to "I partitioned
+    * by day but my queries filter by user" short of a manual re-ingest
+    * (the partition scheme is frozen at `part_func` — icedb/icedb.py:22);
+    * this is the lakehouse-native operation for it.
+    *
+    * Shape: one snapshot → one Spark job (the same shuffle-on-partition +
+    * sortWithinPartitions + partitionBy write as [[insert]]'s default
+    * path, under `newPartitionExpr`/`newSortOrder`) → ONE merged-log
+    * append that tombstones every pre-existing alive file, carries
+    * forward unexpired tombstones, and log-tombstones the source logs.
+    * A crash before the append publishes nothing (orphaned `_tmp` files
+    * only); time travel to any pre-rewrite timestamp still resolves the
+    * old layout — MVCC holds across the partition-scheme change.
+    *
+    * At scale this is the one unavoidable full shuffle (every row moves
+    * partitions by definition); there is no driver-side row handling and
+    * file markers/stats flow from the executors' footers as in insert.
+    *
+    * The handle's own `cfg.partitionExpr` still routes future inserts:
+    * after a repartition, construct the go-forward handle with the new
+    * config (the partition function is caller state here exactly as
+    * `part_func` is in the reference).
+    *
+    * @return number of data files written under the new scheme
+    */
+  def repartitionTable(
+      newPartitionExpr: Column,
+      newSortOrder: Seq[String] = cfg.sortOrder): Int = {
+    val snap = trySnapshot(now()).getOrElse(return 0)
+    if (snap.aliveFiles.isEmpty) return 0
+    val src = readFiles(snap, snap.aliveFiles)
+    // write through the standard insert machinery (clone with the new
+    // routing/sort config) but commit via the merge-style log rewrite
+    val writerTable = new IceTable(spark, root,
+      cfg.copy(partitionExpr = newPartitionExpr, sortOrder = newSortOrder,
+        customInsertSql = None, partitionFunc = None, formatRow = None,
+        preservePartition = false, shuffleOnInsert = true), clock)
+    val routed = src.withColumn(IceTable.RouteCol, newPartitionExpr)
+    val (written, _) = writerTable.insertDefault(routed)
+
+    val allAcc = snap.aliveFiles
+    val mergedLogFiles = allAcc.flatMap(_.virSourceLogFile).distinct.sorted
+    val ((mSchema, mMarkers, mTombstones), mCommits) =
+      logio.readLogForwardWithCommits(root, mergedLogFiles)
+    val mergedTime = now()
+    val accPaths = allAcc.map(_.path).toSet
+    val updated = mMarkers.map(m => m.copy(
+      tombstone = if (accPaths(m.path)) Some(mergedTime) else m.tombstone,
+      virSourceLogFile = None))
+    val newMarkers = written.map(_.copy(createdMs = mergedTime))
+    val newTombstones = mergedLogFiles.map(LogTombstone(_, mergedTime))
+    logio.append(root, 1, mSchema, updated ++ newMarkers,
+      mTombstones ++ newTombstones, merged = true,
+      timestamp = Some(mergedTime), streamCommits = mCommits)
+    newMarkers.length
+  }
+
   /** Multi-file variant of [[writeSingleFile]]: write `df` as-is (one file
     * per Spark partition; empty partitions produce nothing), finalize each
     * into `_data/{partition}/`, and record footer stats per file. */

@@ -29,16 +29,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r.getDouble(0) == 11.0)
       assert(r.getDouble(1) == 1.0)
       assert(r.getInt(2) == 2)
-      // a session built WITHOUT the extensions does not see the injected
-      // functions — injection must be per-session, never a write into the
-      // static builtin registry. (Not asserted on the shared base session:
-      // other suites legitimately register graft_dot there as a temp
-      // function, which would make the check order-dependent.)
-      SparkSession.clearDefaultSession()
-      SparkSession.clearActiveSession()
-      val plain = SparkSession.builder().master("local[4]").getOrCreate()
-      intercept[org.apache.spark.sql.AnalysisException](
-        plain.sql("SELECT graft_dot(array(1.0d), array(1.0d))").collect())
+      // injection must be per-session, never a write into the static
+      // builtin registry (spark.sql.extensions is a *static* conf: once
+      // the shared test SparkContext carries it, every session built on
+      // that context gets the functions, so a "plain session" negative
+      // probe is no longer expressible — assert the registry-global
+      // invariant directly instead)
+      assert(!org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

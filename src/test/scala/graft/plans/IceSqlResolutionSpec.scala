@@ -1,0 +1,91 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.ice.{IceTable, IceTableConfig}
+import org.apache.spark.sql.functions._
+
+/** SQL-surface resolution of ice tables (`ice.<name>`, time travel, and
+  * the INSERT guard) via the GraftExtensions-injected analyzer rule. */
+class IceSqlResolutionSpec extends SparkSpec {
+
+  private def mkTable(wh: String, name: String): IceTable = {
+    val t = new IceTable(spark, s"$wh/$name", IceTableConfig(
+      concat(lit("d="), col("d")), Seq("id")))
+    t.insert(spark.range(10).select(col("id"),
+      when(col("id") < 5, "2024-01-01").otherwise("2024-01-02").as("d")))
+    t
+  }
+
+  test("graft.<name> resolves to a snapshot relation with partition pruning") {
+    val wh = tmpDir("graft_sqlcat")
+    mkTable(wh, "ev")
+    spark.conf.set(IceSqlResolution.WarehouseKey, wh)
+    try {
+      val all = spark.sql("SELECT count(*) AS c FROM graft.ev").head.getLong(0)
+      assert(all === 10L)
+      // WHERE on the virtual partition column prunes files in the optimizer
+      val df = spark.sql(
+        "SELECT count(*) AS c FROM graft.ev WHERE d = '2024-01-01'")
+      assert(df.head.getLong(0) === 5L)
+      val scan = df.queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters"), scan)
+      // qualified column references work through the alias
+      assert(spark.sql("SELECT ev.id FROM graft.ev WHERE ev.id = 3").count() === 1L)
+    } finally spark.conf.unset(IceSqlResolution.WarehouseKey)
+  }
+
+  test("TIMESTAMP AS OF / VERSION AS OF pin MVCC snapshots") {
+    val wh = tmpDir("graft_sqltt")
+    val t = mkTable(wh, "tt")
+    Thread.sleep(2)
+    val between = System.currentTimeMillis()
+    Thread.sleep(2)
+    t.insert(spark.range(100, 103).select(col("id"), lit("2024-01-03").as("d")))
+    spark.conf.set(IceSqlResolution.WarehouseKey, wh)
+    try {
+      assert(spark.sql("SELECT count(*) AS c FROM graft.tt").head.getLong(0) === 13L)
+      // integral TIMESTAMP AS OF = epoch millis (the log's native unit)
+      assert(spark.sql(s"SELECT count(*) AS c FROM graft.tt TIMESTAMP AS OF $between")
+        .head.getLong(0) === 10L)
+      assert(spark.sql(s"SELECT count(*) AS c FROM graft.tt VERSION AS OF $between")
+        .head.getLong(0) === 10L)
+      // string timestamps cast in the session zone (UTC here)
+      val iso = java.time.Instant.ofEpochMilli(between)
+        .toString.replace("T", " ").replace("Z", "")
+      assert(spark.sql(s"SELECT count(*) AS c FROM graft.tt TIMESTAMP AS OF '$iso'")
+        .head.getLong(0) === 10L)
+    } finally spark.conf.unset(IceSqlResolution.WarehouseKey)
+  }
+
+  test("INSERT INTO graft.<name> is rejected (would bypass the log)") {
+    val wh = tmpDir("graft_sqlins")
+    mkTable(wh, "guard")
+    spark.conf.set(IceSqlResolution.WarehouseKey, wh)
+    try {
+      val e = intercept[Exception] {
+        spark.sql("INSERT INTO graft.guard VALUES (99, '2024-01-09')")
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("bypass the ice transaction log")), e)
+    } finally spark.conf.unset(IceSqlResolution.WarehouseKey)
+  }
+
+  test("unknown names and unset warehouse fall through to Spark's error") {
+    val wh = tmpDir("graft_sqlmiss")
+    spark.conf.set(IceSqlResolution.WarehouseKey, wh)
+    try intercept[Exception] { spark.sql("SELECT * FROM graft.nope").collect() }
+    finally spark.conf.unset(IceSqlResolution.WarehouseKey)
+    // with no warehouse configured the rule is inert
+    intercept[Exception] { spark.sql("SELECT * FROM graft.ev").collect() }
+  }
+
+  test("path traversal in a table identifier cannot escape the warehouse") {
+    val wh = tmpDir("graft_sqlsafe")
+    mkTable(wh, "inner")
+    spark.conf.set(IceSqlResolution.WarehouseKey, s"$wh/sub")
+    try intercept[Exception] {
+      spark.sql("SELECT * FROM graft.`../inner`").collect()
+    } finally spark.conf.unset(IceSqlResolution.WarehouseKey)
+  }
+}
