@@ -225,8 +225,22 @@ object Bench {
         require(snap.files.length == 4000,
           s"expected 4000 markers, got ${snap.files.length}")
       }
+      // checkpointed variant: same 2000-commit history, one checkpoint +
+      // 10 tail commits — the steady-state cold-read shape of a long-lived
+      // table (reference pays the full linear fold on every snapshot)
+      t.writeCheckpoint()
+      (0 until 10).foreach { i =>
+        t.logio.append(root, 1, sch,
+          Seq(FileMarker(s"_data/p=1/t$i.parquet", base + 3000 + i, 100L)),
+          timestamp = Some(base + 3000 + i))
+      }
+      val rc = timed()() {
+        val snap = t.snapshot()
+        require(snap.files.length == 4010,
+          s"expected 4010 markers, got ${snap.files.length}")
+      }
       rm(new java.io.File(root))
-      r
+      (r, rc)
     }
 
     // The reference's tombstone-cleanup benchmark, replicated: 800 merged
@@ -398,7 +412,8 @@ object Bench {
       "rowgroup_default_noindex" -> rowgroupDefaultNoIdx,
       "rowgroup8k_noindex" -> rowgroup8kNoIdx,
       "bloom_needle" -> bloomNeedle, "nobloom_needle" -> noBloomNeedle,
-      "log_read_2000" -> logRead, "cleanup_800" -> cleanup)
+      "log_read_2000" -> logRead._1, "log_read_2000_ckpt" -> logRead._2,
+      "cleanup_800" -> cleanup)
     val sectionJson = sections.map { case (k, v) =>
       s""""${k}_sec":${f(v.wallSec)}"""
     }.mkString(",")

@@ -203,6 +203,24 @@ object Fixtures {
       table
     }
 
+  /** Checkpointed variant: half the data committed, a snapshot checkpoint
+    * written, the rest committed, then compaction + cleanup (which
+    * auto-refreshes the checkpoint). Every read after this seeds its fold
+    * from the checkpoint and fetches only the tail logs. */
+  def eventsCheckpointed(spark: SparkSession, sfDir: String): IceTable =
+    memo(s"$sfDir#checkpointed") {
+      val ev = raw(spark, sfDir, "events")
+      val table = new IceTable(spark, newRoot("ckpt"), IceTableConfig(
+        partitionExpr = concat(lit("d="), date_format(evTs(col("ts")), "yyyy-MM-dd")),
+        sortOrder = Seq("ts", "event_id")))
+      table.insert(ev.where(col("event_id") % 2 === 0))
+      table.writeCheckpoint()
+      table.insert(ev.where(col("event_id") % 2 === 1))
+      table.optimize(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+      table.tombstoneCleanup(0) // deletes covered logs; refreshes checkpoint
+      table
+    }
+
   /** Partition-evolution variant ([[IceTable.repartitionTable]]): the
     * day-partitioned insert atomically rewritten to user-hash buckets. */
   def eventsRepartitioned(spark: SparkSession, sfDir: String): IceTable =

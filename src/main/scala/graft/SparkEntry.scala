@@ -130,6 +130,22 @@ object SparkEntry {
         .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("event_type"))
     }),
+    "a31_checkpoint" -> ((s, d) => {
+      // snapshot folds seed from the table's checkpoint (written mid-build,
+      // refreshed by cleanup); the in-query contract column proves the
+      // seeded fold is byte-equivalent to the raw whole-log fold
+      val t = Fixtures.eventsCheckpointed(s, d)
+      val seeded = t.snapshot()
+      val rawFold = t.logio.readAtMaxTime(t.root, seeded.timestamp, useCheckpoints = false)
+      val consistent =
+        seeded.files.map(m => (m.path, m.tombstone)).toSet ==
+          rawFold.files.map(m => (m.path, m.tombstone)).toSet &&
+        seeded.schema.toJson == rawFold.schema.toJson &&
+        t.logio.listCheckpoints(t.root).nonEmpty
+      t.read().groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+        .withColumn("ckpt_consistent", lit(consistent))
+        .orderBy(col("event_type"))
+    }),
     "a16_remove_partitions" -> ((s, d) => {
       Fixtures.eventsRemoved(s, d).read().agg(count(lit(1)).as("cnt"))
     }),
@@ -1738,6 +1754,9 @@ object SparkEntry {
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
     "a15_tombstone_cleanup" ->
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
+    "a31_checkpoint" ->
+      ("SELECT event_type, count(*) AS cnt, true AS ckpt_consistent " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "a16_remove_partitions" ->
       "SELECT count(*) AS cnt FROM events WHERE strftime(ts, '%Y-%m-%d') > '2024-01-07'",
     "a17_rewrite_partition" ->

@@ -116,14 +116,146 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration) {
   }
 
   /** Snapshot at max time: strict `<` filename-timestamp filter
-    * (reference: icedb/log.py:311-328). */
-  def readAtMaxTime(root: String, timestamp: Long): IceSnapshot = {
+    * (reference: icedb/log.py:311-328). When a checkpoint whose covered
+    * logs all pass the filter exists (and `useCheckpoints`), the fold is
+    * seeded from it and only the uncovered TAIL logs are fetched — the
+    * snapshot cost drops from O(all commits ever) to O(commits since last
+    * checkpoint), which is what keeps cold reads affordable on a table
+    * with 10⁵-10⁶ lifetime commits. Semantics are unchanged: the fold is
+    * associative (schema union, last-writer-wins markers, tombstone
+    * collect), so fold(ckptState, tail) == fold(all logs) as long as log
+    * timestamps are monotone per the commit protocol (append() bumps on
+    * collision; maintenance stamps with the current clock).
+    */
+  def readAtMaxTime(
+      root: String,
+      timestamp: Long,
+      useCheckpoints: Boolean = true): IceSnapshot = {
     val logs = currentLogFiles(root)
       .filter(p => IceLogIO.logFileInfo(p)._1 < timestamp)
     if (logs.isEmpty) throw new NoLogFilesException
-    val ((schema, markers, tombstones), commits) =
-      readLogForwardWithCommits(root, logs)
-    IceSnapshot(schema, markers, tombstones, logs, timestamp, commits)
+    val ckpt =
+      if (useCheckpoints) latestCheckpointBefore(root, timestamp) else None
+    ckpt match {
+      case Some(c) =>
+        val covered = c.coveredLogs.toSet
+        val tail = logs.filterNot(covered)
+        val totalSchema = new Schema
+        totalSchema.accumulate(c.schema.columns, c.schema.types)
+        val markers = mutable.LinkedHashMap.empty[String, FileMarker]
+        c.markers.foreach(m => markers(m.path) = m)
+        val tombstones = mutable.LinkedHashMap.empty[String, LogTombstone]
+        c.tombstones.foreach(t => tombstones(t.path) = t)
+        var commits = c.streamCommits
+        if (tail.nonEmpty) {
+          val fetched = fetchLogLines(root, tail.sorted)
+          tail.sorted.foreach { logFile =>
+            val lines = fetched(logFile)
+            val (schema, fileMs, tmbs) = parseLog(logFile, lines)
+            commits = LogMetadata.mergeCommits(
+              commits, LogMetadata.fromJson(lines(0)).streamCommits)
+            totalSchema.accumulate(schema.columns, schema.types)
+            tmbs.foreach(t => tombstones(t.path) = t)
+            fileMs.foreach(fm => markers(fm.path) = fm)
+          }
+        }
+        IceSnapshot(totalSchema, markers.values.toSeq,
+          tombstones.values.toSeq, logs, timestamp, commits)
+      case None =>
+        val ((schema, markers, tombstones), commits) =
+          readLogForwardWithCommits(root, logs)
+        IceSnapshot(schema, markers, tombstones, logs, timestamp, commits)
+    }
+  }
+
+  // ------------------------------------------------------------ checkpoints
+
+  def chkDir(root: String): Path = new Path(root, "_log/_chk")
+
+  /** Persist a folded snapshot as a checkpoint under `_log/_chk/` (a
+    * beyond-reference extension; normal log listing skips the subdirectory
+    * so non-checkpoint-aware readers are unaffected). File shape mirrors a
+    * log file with one extra line: metadata, covered-log array, schema,
+    * tombstones?, markers (markers keep `vsl` so merge's source-log
+    * rewrite works from a checkpoint-seeded snapshot). The checkpoint
+    * timestamp is the max covered log timestamp; writes are atomic and
+    * exclusive (an identical concurrent checkpoint simply loses the
+    * rename and is discarded). Returns the root-relative path, or None if
+    * a checkpoint for this exact ts+host already exists. */
+  def writeCheckpoint(root: String, snap: IceSnapshot): Option[String] = {
+    val covered = snap.logFiles.sorted
+    if (covered.isEmpty) return None
+    val ckptTs = covered.map(f => IceLogIO.logFileInfo(f)._1).max
+    val rel = s"_log/_chk/${ckptTs}_$pathSafeHostname.ckpt.jsonl"
+    val filesystem = fs(root)
+    val dest = new Path(root, rel)
+    if (filesystem.exists(dest)) return None
+    val tombstones = snap.tombstones
+    val meta = LogMetadata(
+      version = 1,
+      schemaLineIndex = 2,
+      fileLineIndex = if (tombstones.isEmpty) 3 else 3 + tombstones.length,
+      tombstoneLineIndex = if (tombstones.isEmpty) None else Some(3),
+      timestamp = ckptTs,
+      streamCommits = snap.streamCommits)
+    val lines = Seq(
+      meta.json,
+      Json.obj("logs" -> (covered: Any)),
+      snap.schema.toJson) ++
+      tombstones.map(_.json) ++ snap.files.map(_.json)
+    writeAtomic(filesystem, dest, lines.mkString("\n"))
+    Some(rel)
+  }
+
+  /** Root-relative checkpoint paths, sorted ascending by timestamp. */
+  def listCheckpoints(root: String): Seq[String] = {
+    val dir = chkDir(root)
+    val filesystem = fs(root)
+    if (!filesystem.exists(dir)) return Seq.empty
+    filesystem.listStatus(dir).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("."))
+      .map(st => s"_log/_chk/${st.getPath.getName}")
+      .sorted
+  }
+
+  def readCheckpoint(root: String, rel: String): IceCheckpoint = {
+    val lines = readLines(fs(root), new Path(root, rel))
+    val meta = LogMetadata.fromJson(lines(0))
+    val covered = Json.parseObject(lines(1))("logs") match {
+      case s: scala.collection.Seq[_] => s.map(_.toString).toSeq
+      case other => throw new java.io.IOException(
+        s"malformed checkpoint covered-log line: $other")
+    }
+    val schema = Schema.fromJson(lines(meta.schemaLineIndex))
+    val tombstones = meta.tombstoneLineIndex.toSeq.flatMap { tmbIdx =>
+      (tmbIdx until meta.fileLineIndex).map(i => LogTombstone.fromJson(lines(i)))
+    }
+    // markers restore their own `vsl` — NOT overridden with the checkpoint
+    // path (unlike parseLog): the marker's source is its original log
+    val markers = (meta.fileLineIndex until lines.length)
+      .map(i => FileMarker.fromJson(lines(i)))
+    IceCheckpoint(meta.timestamp, covered, schema, markers, tombstones,
+      meta.streamCommits)
+  }
+
+  /** Newest checkpoint whose covered logs ALL satisfy the strict `<`
+    * snapshot filter (covered-max ts < requested ts); unreadable or
+    * ineligible checkpoints are skipped, never fatal — a checkpoint is a
+    * cache, the raw fold is always the fallback. */
+  def latestCheckpointBefore(root: String, timestamp: Long): Option[IceCheckpoint] = {
+    val eligible = listCheckpoints(root)
+      .filter(p => IceLogIO.logFileInfo(p.stripSuffix(".ckpt.jsonl"))._1 < timestamp)
+    eligible.reverseIterator
+      .map(p => try Some(readCheckpoint(root, p)) catch { case _: Exception => None })
+      .collectFirst { case Some(c) => c }
+  }
+
+  /** Delete all but the newest `keep` checkpoints. */
+  def pruneCheckpoints(root: String, keep: Int): Seq[String] = {
+    val all = listCheckpoints(root)
+    val drop = all.dropRight(keep)
+    drop.foreach(p => delete(root, p))
+    drop
   }
 
   /** Append one log file: line order version-metadata, schema,

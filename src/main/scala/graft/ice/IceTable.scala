@@ -151,6 +151,30 @@ final class IceTable(
   def trySnapshot(maxTs: Long = Long.MaxValue): Option[IceSnapshot] =
     try Some(snapshot(maxTs)) catch { case _: NoLogFilesException => None }
 
+  /** Persist the current fold as a snapshot checkpoint (see
+    * [[IceLogIO.writeCheckpoint]]): subsequent [[snapshot]] calls fetch
+    * only logs committed after it instead of the whole history. Call it
+    * on whatever cadence bounds your tail (the reference's snapshot cost
+    * grew linearly with lifetime commits — perf-test-1.md:57-66; with a
+    * checkpoint per K commits, cold reads are O(K)). Keeps the newest
+    * `keep` checkpoints, prunes the rest. Returns the new checkpoint's
+    * root-relative path (None if one already covers this exact state).
+    *
+    * The fold here is RAW (checkpoint-blind): a checkpoint seeded from an
+    * older checkpoint would carry markers of data files that tombstone
+    * cleanup has since deleted — harmless for reads (they stay
+    * tombstoned) but a leak that would compound across generations. The
+    * canonical re-fold keeps each checkpoint exactly the live log state. */
+  def writeCheckpoint(keep: Int = 3): Option[String] = {
+    // now()+1: the snapshot filter is strict `<`, and a commit made in
+    // THIS millisecond (e.g. cleanup's consolidated log, which calls this
+    // right after appending) must be coverable
+    val rel = logio.writeCheckpoint(
+      root, logio.readAtMaxTime(root, now() + 1, useCheckpoints = false))
+    logio.pruneCheckpoints(root, keep)
+    rel
+  }
+
   /** Partition string of a data path: the segment between `_data/` and the
     * file name (reference: icedb/icedb.py:103-108). */
   def partitionOf(path: String): String = {
@@ -1114,6 +1138,11 @@ final class IceTable(
       streamCommits = cleanCommits)
 
     cleaned.foreach(p => logio.delete(root, p))
+
+    // checkpointed tables self-heal here: cleanup is the one op that makes
+    // an old checkpoint's marker set a (harmless but growing) superset of
+    // the live state, so refresh it while the fold is hot
+    if (logio.listCheckpoints(root).nonEmpty) writeCheckpoint()
 
     CleanupResult(cleaned.toSeq, logFilesToDelete.toSeq, dataFilesToDelete.toSeq)
   }

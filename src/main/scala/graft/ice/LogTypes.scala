@@ -35,12 +35,18 @@ final case class FileMarker(
     val withTmb = tombstone.fold(base)(t => base :+ ("tmb" -> (t: Any)))
     val withSt = stats.fold(withTmb)(s =>
       withTmb :+ ("st" -> (Seq(s._1, s._2): Any)))
+    val withStm =
+      if (multiStats.isEmpty) withSt
+      else withSt :+ ("stm" -> (scala.collection.immutable.ListMap(
+        multiStats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+          c -> (Seq(mn, mx): Any)
+        }: _*): Any))
+    // `vsl` appears only in CHECKPOINT files (IceLogIO.writeCheckpoint):
+    // every normal log append strips virSourceLogFile first, so reference
+    // log bytes are untouched. Checkpoint-seeded snapshots need the source
+    // log preserved because merge rewrites exactly its markers' source logs.
     Json.obj(
-      (if (multiStats.isEmpty) withSt
-       else withSt :+ ("stm" -> (scala.collection.immutable.ListMap(
-         multiStats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
-           c -> (Seq(mn, mx): Any)
-         }: _*): Any))): _*)
+      virSourceLogFile.fold(withStm)(v => withStm :+ ("vsl" -> (v: Any))): _*)
   }
   def alive: Boolean = tombstone.isEmpty
 }
@@ -53,6 +59,7 @@ object FileMarker {
       m("t").asInstanceOf[Long],
       m("b").asInstanceOf[Long],
       m.get("tmb").map(_.asInstanceOf[Long]),
+      virSourceLogFile = m.get("vsl").map(_.toString),
       stats = m.get("st").collect {
         case s: scala.collection.Seq[_] if s.length == 2 =>
           (s(0).toString, s(1).toString)
@@ -137,6 +144,20 @@ object LogMetadata {
       acc.updated(q, math.max(acc.getOrElse(q, Long.MinValue), id))
     }
 }
+
+/** A persisted fold of the log up to `ckptTs` (max covered log-file ts) —
+  * the beyond-reference snapshot accelerator (see
+  * [[IceLogIO.writeCheckpoint]]). `coveredLogs` is the exact log-file set
+  * folded in, so readers take `current logs minus covered` as the tail;
+  * logs deleted after coverage (tombstone cleanup) never need re-reading.
+  */
+final case class IceCheckpoint(
+    ckptTs: Long,
+    coveredLogs: Seq[String],
+    schema: Schema,
+    markers: Seq[FileMarker],
+    tombstones: Seq[LogTombstone],
+    streamCommits: Map[String, Long])
 
 /** Full MVCC state at a point in time (reference: icedb/log.py:311-328).
   *
