@@ -674,6 +674,30 @@ final class IceTable(
       maxFileCount: Int = 10,
       asc: Boolean = false,
       snapshotTs: Option[Long] = None): Option[MergeResult] = {
+    // Optimistic concurrency (beyond the reference's "bring your own
+    // exclusive lock", ARCHITECTURE.md:158-165): a commit-time conflict
+    // means another commit tombstoned our candidates first; retry from a
+    // FRESH snapshot (retrying an explicit stale snapshotTs would only
+    // re-conflict — the world it saw is gone).
+    var ts = snapshotTs
+    var attempts = 0
+    while (attempts < 5) {
+      try return mergeOnce(maxFileSize, maxFileCount, asc, ts)
+      catch {
+        case _: CommitConflictException =>
+          attempts += 1
+          ts = None
+      }
+    }
+    throw new CommitConflictException(
+      s"merge lost $attempts consecutive commit races; giving up")
+  }
+
+  private def mergeOnce(
+      maxFileSize: Long,
+      maxFileCount: Int,
+      asc: Boolean,
+      snapshotTs: Option[Long]): Option[MergeResult] = {
     val snap = trySnapshot(snapshotTs.getOrElse(now())).getOrElse(return None)
 
     // group *all* current markers (incl. tombstoned) like icedb.py:234-240
@@ -706,6 +730,39 @@ final class IceTable(
     None
   }
 
+  /** Commit-time validation under the table's JVM-wide commit lock: every
+    * `sources` path must still be ALIVE in a fresh fold (a concurrent
+    * merge/rewrite/removal that tombstoned one means our output would
+    * resurrect or duplicate its rows), and each source's log linkage is
+    * re-resolved from the fresh fold (a concurrent cleanup may have
+    * consolidated the original source logs away). `body` runs while the
+    * lock is held, so same-JVM commits are linearizable; cross-process
+    * writers keep the reference's external-lock contract, now narrowed to
+    * the validate→append window instead of the whole operation.
+    *
+    * `body` also receives the fresh fold's path→marker map: any marker a
+    * commit carries forward from a source log MUST be overlaid with its
+    * current copy first — the source-log copy can predate a concurrent
+    * commit's tombstone on a DIFFERENT path in the same log, and
+    * re-listing the stale copy in a newer log would resurrect that file.
+    */
+  private def withValidatedCommit[T](sources: Seq[FileMarker])(
+      body: (Seq[FileMarker], Map[String, FileMarker]) => T): T =
+    IceTable.commitLock(root).synchronized {
+      // Long.MaxValue, not now(): validation wants the absolute latest
+      // state. Same-millisecond commits get filename-bumped PAST the
+      // current clock reading (IceLogIO.append), and a time-filtered fold
+      // would miss exactly the commit we must not conflict with.
+      val cur = logio.readAtMaxTime(root, Long.MaxValue)
+      val byPath = cur.files.iterator.map(f => f.path -> f).toMap
+      val fresh = sources.map { m =>
+        byPath.get(m.path).filter(_.alive).getOrElse(
+          throw new CommitConflictException(
+            s"source file ${m.path} was tombstoned or removed by a concurrent commit"))
+      }
+      body(fresh, byPath)
+    }
+
   private def executeMerge(
       snap: IceSnapshot,
       partition: String,
@@ -728,37 +785,45 @@ final class IceTable(
     // Log rewrite (icedb/icedb.py:290-322): re-read exactly the source logs
     // of the merged markers, tombstone merged paths, carry forward untouched
     // markers and existing tombstones, tombstone the source logs, one `_m`
-    // append.
-    val mergedLogFiles = acc.flatMap(_.virSourceLogFile).distinct.sorted
-    val ((mSchema, mMarkers, mTombstones), mCommits) =
-      logio.readLogForwardWithCommits(root, mergedLogFiles)
-    // Deviation from the reference (which carries the source-log schema
-    // verbatim, icedb.py:291-293): a custom merge SQL may *reshape* columns
-    // (e.g. seed an aggregate state column); since our reads are driven by
-    // the log schema rather than parquet-footer unions, the merge output's
-    // schema must be accumulated add-only here (type conflicts still throw).
-    if (cfg.customMergeSql.isDefined) {
-      val out = Schema.fromStructType(merged.schema)
-      mSchema.accumulate(out.columns, out.types)
+    // append — with the sources revalidated alive under the commit lock (a
+    // conflict deletes the orphaned merge output and aborts).
+    try withValidatedCommit(acc) { (freshAcc, curByPath) =>
+      val mergedLogFiles = freshAcc.flatMap(_.virSourceLogFile).distinct.sorted
+      val ((mSchema, mMarkers0, mTombstones), mCommits) =
+        logio.readLogForwardWithCommits(root, mergedLogFiles)
+      val mMarkers = mMarkers0.map(m => curByPath.getOrElse(m.path, m))
+      // Deviation from the reference (which carries the source-log schema
+      // verbatim, icedb.py:291-293): a custom merge SQL may *reshape* columns
+      // (e.g. seed an aggregate state column); since our reads are driven by
+      // the log schema rather than parquet-footer unions, the merge output's
+      // schema must be accumulated add-only here (type conflicts still throw).
+      if (cfg.customMergeSql.isDefined) {
+        val out = Schema.fromStructType(merged.schema)
+        mSchema.accumulate(out.columns, out.types)
+      }
+      val mergedTime = now()
+      val accPaths = acc.map(_.path).toSet
+      val newMarker = preMarker.copy(createdMs = mergedTime)
+      val updated = mMarkers.map { m =>
+        // copy, not reconstruct: carried-forward markers keep their stats
+        m.copy(
+          tombstone = if (accPaths(m.path)) Some(mergedTime) else m.tombstone,
+          virSourceLogFile = None)
+      }
+      val newTombstones = mergedLogFiles.map(LogTombstone(_, mergedTime))
+      val (newLog, meta) = logio.append(
+        root, 1, mSchema,
+        updated :+ newMarker,
+        mTombstones ++ newTombstones,
+        merged = true,
+        timestamp = Some(mergedTime),
+        streamCommits = mCommits) // exactly-once records outlive the rewrite
+      MergeResult(newLog, newMarker, partition, acc, meta)
+    } catch {
+      case e: CommitConflictException =>
+        logio.delete(root, outRel)
+        throw e
     }
-    val mergedTime = now()
-    val accPaths = acc.map(_.path).toSet
-    val newMarker = preMarker.copy(createdMs = mergedTime)
-    val updated = mMarkers.map { m =>
-      // copy, not reconstruct: carried-forward markers keep their stats
-      m.copy(
-        tombstone = if (accPaths(m.path)) Some(mergedTime) else m.tombstone,
-        virSourceLogFile = None)
-    }
-    val newTombstones = mergedLogFiles.map(LogTombstone(_, mergedTime))
-    val (newLog, meta) = logio.append(
-      root, 1, mSchema,
-      updated :+ newMarker,
-      mTombstones ++ newTombstones,
-      merged = true,
-      timestamp = Some(mergedTime),
-      streamCommits = mCommits) // exactly-once records outlive the rewrite
-    MergeResult(newLog, newMarker, partition, acc, meta)
   }
 
   /** Run [[merge]] until no partition has anything left to merge (the
@@ -807,6 +872,7 @@ final class IceTable(
       maxFileCount: Int = 10): Int = {
     var total = 0
     var progressed = true
+    var conflicts = 0
     // Same snapshot floor as [[mergeAll]]: a round's commit can land in the
     // same millisecond the next round snapshots at, and the strict-< filter
     // would hide it — the same files would merge twice and a later round
@@ -840,10 +906,19 @@ final class IceTable(
             }
           }
         if (candidates.nonEmpty) {
-          val meta = commitMerges(snap, candidates)
-          floor = meta.timestamp + 1
-          total += candidates.length
-          progressed = true
+          // a lost commit race just re-plans the round from a fresh
+          // snapshot (bounded: each loss burns one of `conflicts`)
+          try {
+            val meta = commitMerges(snap, candidates)
+            floor = meta.timestamp + 1
+            total += candidates.length
+            progressed = true
+          } catch {
+            case e: CommitConflictException =>
+              conflicts += 1
+              if (conflicts >= 5) throw e
+              progressed = true
+          }
         }
       }
     }
@@ -898,21 +973,29 @@ final class IceTable(
 
     // one atomic log rewrite, same shape as [[commitMerges]]: tombstone
     // every source file, add the clustered markers, tombstone source logs
+    // — validated under the commit lock like every other rewrite
     val allAcc = byPart.flatMap(_._2)
-    val mergedLogFiles = allAcc.flatMap(_.virSourceLogFile).distinct.sorted
-    val ((mSchema, mMarkers, mTombstones), mCommits) =
-      logio.readLogForwardWithCommits(root, mergedLogFiles)
-    val mergedTime = now()
-    val accPaths = allAcc.map(_.path).toSet
-    val updated = mMarkers.map(m => m.copy(
-      tombstone = if (accPaths(m.path)) Some(mergedTime) else m.tombstone,
-      virSourceLogFile = None))
-    val newMarkers = results.flatten.map(_.copy(createdMs = mergedTime))
-    val newTombstones = mergedLogFiles.map(LogTombstone(_, mergedTime))
-    logio.append(root, 1, mSchema, updated ++ newMarkers,
-      mTombstones ++ newTombstones, merged = true,
-      timestamp = Some(mergedTime), streamCommits = mCommits)
-    byPart.length
+    try withValidatedCommit(allAcc) { (freshAcc, curByPath) =>
+      val mergedLogFiles = freshAcc.flatMap(_.virSourceLogFile).distinct.sorted
+      val ((mSchema, mMarkers0, mTombstones), mCommits) =
+        logio.readLogForwardWithCommits(root, mergedLogFiles)
+      val mMarkers = mMarkers0.map(m => curByPath.getOrElse(m.path, m))
+      val mergedTime = now()
+      val accPaths = allAcc.map(_.path).toSet
+      val updated = mMarkers.map(m => m.copy(
+        tombstone = if (accPaths(m.path)) Some(mergedTime) else m.tombstone,
+        virSourceLogFile = None))
+      val newMarkers = results.flatten.map(_.copy(createdMs = mergedTime))
+      val newTombstones = mergedLogFiles.map(LogTombstone(_, mergedTime))
+      logio.append(root, 1, mSchema, updated ++ newMarkers,
+        mTombstones ++ newTombstones, merged = true,
+        timestamp = Some(mergedTime), streamCommits = mCommits)
+      byPart.length
+    } catch {
+      case e: CommitConflictException =>
+        results.flatten.foreach(m => logio.delete(root, m.path))
+        throw e
+    }
   }
 
   /** Partition evolution: rewrite the WHOLE table under a new partition
@@ -957,20 +1040,27 @@ final class IceTable(
     val (written, _) = writerTable.insertDefault(routed)
 
     val allAcc = snap.aliveFiles
-    val mergedLogFiles = allAcc.flatMap(_.virSourceLogFile).distinct.sorted
-    val ((mSchema, mMarkers, mTombstones), mCommits) =
-      logio.readLogForwardWithCommits(root, mergedLogFiles)
-    val mergedTime = now()
-    val accPaths = allAcc.map(_.path).toSet
-    val updated = mMarkers.map(m => m.copy(
-      tombstone = if (accPaths(m.path)) Some(mergedTime) else m.tombstone,
-      virSourceLogFile = None))
-    val newMarkers = written.map(_.copy(createdMs = mergedTime))
-    val newTombstones = mergedLogFiles.map(LogTombstone(_, mergedTime))
-    logio.append(root, 1, mSchema, updated ++ newMarkers,
-      mTombstones ++ newTombstones, merged = true,
-      timestamp = Some(mergedTime), streamCommits = mCommits)
-    newMarkers.length
+    try withValidatedCommit(allAcc) { (freshAcc, curByPath) =>
+      val mergedLogFiles = freshAcc.flatMap(_.virSourceLogFile).distinct.sorted
+      val ((mSchema, mMarkers0, mTombstones), mCommits) =
+        logio.readLogForwardWithCommits(root, mergedLogFiles)
+      val mMarkers = mMarkers0.map(m => curByPath.getOrElse(m.path, m))
+      val mergedTime = now()
+      val accPaths = allAcc.map(_.path).toSet
+      val updated = mMarkers.map(m => m.copy(
+        tombstone = if (accPaths(m.path)) Some(mergedTime) else m.tombstone,
+        virSourceLogFile = None))
+      val newMarkers = written.map(_.copy(createdMs = mergedTime))
+      val newTombstones = mergedLogFiles.map(LogTombstone(_, mergedTime))
+      logio.append(root, 1, mSchema, updated ++ newMarkers,
+        mTombstones ++ newTombstones, merged = true,
+        timestamp = Some(mergedTime), streamCommits = mCommits)
+      newMarkers.length
+    } catch {
+      case e: CommitConflictException =>
+        written.foreach(m => logio.delete(root, m.path))
+        throw e
+    }
   }
 
   /** Multi-file variant of [[writeSingleFile]]: write `df` as-is (one file
@@ -1037,34 +1127,43 @@ final class IceTable(
     val newMarkers = results.map(_._1)
 
     // log rewrite over the union of all source logs (icedb.py:290-322
-    // semantics, one append instead of one per partition)
+    // semantics, one append instead of one per partition), with commit-time
+    // validation under the lock (see executeMerge) — on conflict every
+    // freshly-written merge output is deleted before aborting
     val allAcc = candidates.flatMap(_._2)
-    val mergedLogFiles = allAcc.flatMap(_.virSourceLogFile).distinct.sorted
-    val ((mSchema, mMarkers, mTombstones), mCommits) =
-      logio.readLogForwardWithCommits(root, mergedLogFiles)
-    if (cfg.customMergeSql.isDefined) {
-      // merge SQL may reshape columns; accumulate each output schema
-      // add-only (see executeMerge)
-      results.foreach { case (_, s) => mSchema.accumulate(s.columns, s.types) }
+    try withValidatedCommit(allAcc) { (freshAcc, curByPath) =>
+      val mergedLogFiles = freshAcc.flatMap(_.virSourceLogFile).distinct.sorted
+      val ((mSchema, mMarkers0, mTombstones), mCommits) =
+        logio.readLogForwardWithCommits(root, mergedLogFiles)
+      val mMarkers = mMarkers0.map(m => curByPath.getOrElse(m.path, m))
+      if (cfg.customMergeSql.isDefined) {
+        // merge SQL may reshape columns; accumulate each output schema
+        // add-only (see executeMerge)
+        results.foreach { case (_, s) => mSchema.accumulate(s.columns, s.types) }
+      }
+      val mergedTime = now()
+      val accPaths = allAcc.map(_.path).toSet
+      val updated = mMarkers.map { m =>
+        // copy, not reconstruct: carried-forward markers keep their stats
+        m.copy(
+          tombstone = if (accPaths(m.path)) Some(mergedTime) else m.tombstone,
+          virSourceLogFile = None)
+      }
+      val stamped = newMarkers.map(_.copy(createdMs = mergedTime))
+      val newTombstones = mergedLogFiles.map(LogTombstone(_, mergedTime))
+      val (_, meta) = logio.append(
+        root, 1, mSchema,
+        updated ++ stamped,
+        mTombstones ++ newTombstones,
+        merged = true,
+        timestamp = Some(mergedTime),
+        streamCommits = mCommits) // exactly-once records outlive the rewrite
+      meta
+    } catch {
+      case e: CommitConflictException =>
+        newMarkers.foreach(m => logio.delete(root, m.path))
+        throw e
     }
-    val mergedTime = now()
-    val accPaths = allAcc.map(_.path).toSet
-    val updated = mMarkers.map { m =>
-      // copy, not reconstruct: carried-forward markers keep their stats
-      m.copy(
-        tombstone = if (accPaths(m.path)) Some(mergedTime) else m.tombstone,
-        virSourceLogFile = None)
-    }
-    val stamped = newMarkers.map(_.copy(createdMs = mergedTime))
-    val newTombstones = mergedLogFiles.map(LogTombstone(_, mergedTime))
-    val (_, meta) = logio.append(
-      root, 1, mSchema,
-      updated ++ stamped,
-      mTombstones ++ newTombstones,
-      merged = true,
-      timestamp = Some(mergedTime),
-      streamCommits = mCommits) // exactly-once records outlive the rewrite
-    meta
   }
 
   // ----------------------------------------------------- maintenance (A15-17)
@@ -1075,7 +1174,11 @@ final class IceTable(
     * with the kept markers/tombstones, then deletes the cleaned source logs.
     * Deletes are optimistic (a crash may orphan data files, icedb.py:331).
     */
-  def tombstoneCleanup(minAgeMs: Long): CleanupResult = {
+  def tombstoneCleanup(minAgeMs: Long): CleanupResult =
+    IceTable.commitLock(root).synchronized {
+    // the whole delete→append→delete sequence holds the commit lock: a
+    // merge validating its sources must never interleave with cleanup
+    // deleting the logs those sources came from
     val nowMs = now()
     val snap = snapshot(nowMs)
     val mergeLogFiles = snap.logFiles.filter(p => IceLogIO.logFileInfo(p)._2)
@@ -1145,7 +1248,7 @@ final class IceTable(
     if (logio.listCheckpoints(root).nonEmpty) writeCheckpoint()
 
     CleanupResult(cleaned.toSeq, logFilesToDelete.toSeq, dataFilesToDelete.toSeq)
-  }
+    }
 
   /** A16 log-only partition drop (TTL / data deletion): the removal callback
     * picks from the unique alive-partition list; their markers get tombstones
@@ -1160,9 +1263,14 @@ final class IceTable(
     */
   def removePartitions(
       removalFunc: Seq[String] => Seq[String],
-      maxFiles: Int = 1000): (Option[String], Option[LogMetadata], Int) = {
+      maxFiles: Int = 1000): (Option[String], Option[LogMetadata], Int) =
+    IceTable.commitLock(root).synchronized {
+    // log-only op: the FULL current fold INSIDE the lock (no stale-source
+    // window, and filename-bumped same-ms commits stay visible), so it
+    // serializes cleanly against merge/rewrite commits
     val removeTime = now()
-    val snap = snapshot(removeTime)
+    val snap = snapshot(Long.MaxValue)
+    val curByPath = snap.files.iterator.map(f => f.path -> f).toMap
 
     val alive = snap.aliveFiles
     val partitions = alive.groupBy(f => partitionOf(f.path))
@@ -1184,11 +1292,14 @@ final class IceTable(
       }
     }
 
-    // carry forward every marker of the affected logs (tombstoned ones win)
+    // carry forward every marker of the affected logs (tombstoned ones win;
+    // non-tombstoned carries overlay to their CURRENT fold copy so a stale
+    // source-log copy can never resurrect a concurrently-tombstoned file)
     val ((_, carried, carriedTmb), rCommits) =
       logio.readLogForwardWithCommits(root, modifiedLogs.toSeq.sorted)
     val updated = carried.map(m =>
-      tombstoned.getOrElse(m.path, m).copy(virSourceLogFile = None))
+      tombstoned.getOrElse(m.path, curByPath.getOrElse(m.path, m))
+        .copy(virSourceLogFile = None))
 
     val logTombstones = modifiedLogs.toSeq.map(LogTombstone(_, removeTime))
     val (newLog, meta) = logio.append(
@@ -1198,7 +1309,7 @@ final class IceTable(
       timestamp = Some(removeTime),
       streamCommits = rCommits)
     (Some(newLog), Some(meta), deleted)
-  }
+    }
 
   /** A17 filtered partition rewrite (GDPR purge, retro-dedup): every alive
     * part in the target partition is piped through `filterSql` (source view
@@ -1237,28 +1348,48 @@ final class IceTable(
     }
 
     val rewrittenPaths = targets.map(_.path).toSet
-    val updated = snap.files.map { m =>
-      // copy, not reconstruct: carried-forward markers keep their stats
-      m.copy(
-        tombstone = if (rewrittenPaths(m.path)) Some(runTime) else m.tombstone,
-        virSourceLogFile = None)
+    try withValidatedCommit(targets) { (freshTargets, curByPath) =>
+      val commitTime = now()
+      val updated = snap.files.map { m0 =>
+        // current copy wins over the snapshot's (see withValidatedCommit),
+        // and carried-forward markers keep their stats
+        val m = curByPath.getOrElse(m0.path, m0)
+        m.copy(
+          tombstone = if (rewrittenPaths(m.path)) Some(commitTime) else m.tombstone,
+          virSourceLogFile = None)
+      }
+      val newTombstones = freshTargets.flatMap(_.virSourceLogFile).distinct
+        .map(LogTombstone(_, commitTime))
+      val (newLog, meta) = logio.append(
+        root, 1, snap.schema,
+        updated ++ newFiles,
+        snap.tombstones ++ newTombstones,
+        merged = true,
+        timestamp = Some(commitTime),
+        streamCommits = snap.streamCommits) // full-fold rewrite carries all
+      (Some(newLog), Some(meta), targets.map(_.path))
+    } catch {
+      case e: CommitConflictException =>
+        newFiles.foreach(m => logio.delete(root, m.path))
+        throw e
     }
-    val newTombstones = targets.flatMap(_.virSourceLogFile).distinct
-      .map(LogTombstone(_, runTime))
-    val (newLog, meta) = logio.append(
-      root, 1, snap.schema,
-      updated ++ newFiles,
-      snap.tombstones ++ newTombstones,
-      merged = true,
-      timestamp = Some(runTime),
-      streamCommits = snap.streamCommits) // full-fold rewrite carries all
-    (Some(newLog), Some(meta), targets.map(_.path))
   }
 }
 
 object IceTable {
   /** Internal routing column name; never written to data files. */
   private[ice] val RouteCol = "_ice_part"
+
+  /** Per-table-root commit lock (JVM-wide, like the log appender's
+    * reservation set): serializes the validate→append window of every
+    * mutating commit from THIS process, making same-JVM maintenance
+    * commits linearizable without the reference's table-wide external
+    * lock. Cross-process writers still need that external lock, but the
+    * race window shrinks from the whole operation to commit validation. */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[ice] def commitLock(root: String): Object =
+    commitLocks.computeIfAbsent(root, _ => new Object)
 
   private[graft] def statsTypeIsNumeric(t: String): Boolean =
     Set("BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT")

@@ -17,6 +17,13 @@ final class SchemaConflictException(
 
 final class NoLogFilesException extends RuntimeException("no log files found")
 
+/** A maintenance commit (merge/recluster/rewrite) found at commit time
+  * that a concurrent commit had already tombstoned or removed one of its
+  * source files — proceeding would resurrect or duplicate rows. Routine
+  * callers ([[IceTable.merge]], [[IceTable.optimize]]) catch this and
+  * retry from a fresh snapshot; explicit-snapshot callers see it thrown. */
+final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
 /** Accumulated union schema: insertion-ordered `column -> SQL type string`
   * map. Columns are add-only; a type change raises SchemaConflictException.
   * (reference: icedb/log.py:59-108, ARCHITECTURE.md:45-64)
