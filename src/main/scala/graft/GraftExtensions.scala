@@ -42,5 +42,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_hamming64",
         "graft_hamming64(a, b) - Hamming distance of two 64-bit fingerprints"),
       (es: Seq[Expression]) => BitwiseCount(BitwiseXor(es(0), es(1)))))
+    // Spark's runtime-join-filter bloom machinery exposed as first-class
+    // SQL (it has no public registration of its own); the binary filter
+    // round-trips through org.apache.spark.util.sketch.BloomFilter and
+    // graft.operators.BloomDedup
+    e.injectFunction((FunctionIdentifier("graft_bloom_agg"),
+      info("graft_bloom_agg",
+        "graft_bloom_agg(x, items, bits) - distributed bloom-filter build over a LONG column"),
+      (es: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          es(0), es(1), es(2))))
+    e.injectFunction((FunctionIdentifier("graft_might_contain"),
+      info("graft_might_contain",
+        "graft_might_contain(bloom, x) - membership probe against a serialized bloom filter"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1))))
   }
 }

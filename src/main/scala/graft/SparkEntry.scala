@@ -1466,6 +1466,30 @@ object SparkEntry {
           .as("matched"),
         round(max(col("tfidf_norm")), 4).as("max_norm"))
     }),
+    "llm_bloom_dedup" -> ((s, d) => {
+      // Bloom-membership dedup (BloomDedup): the corpus summarized as a
+      // distributed bloom_filter_agg; 10 planted redeliveries must drop
+      // (bloom hit → verified true dup), fresh docs keep (miss path or
+      // verified false positive). `bloom_pruned` is the in-query proof the
+      // bits actually shrink the verification join's left side.
+      val docs = Fixtures.raw(s, d, "documents")
+      val seenDocs = docs.where(col("doc_id") < 250)
+      val planted = seenDocs.orderBy("doc_id").limit(10)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val newBatch = docs.where(col("doc_id") >= 250)
+        .select(col("doc_id"), col("text")).unionByName(planted)
+      val total = newBatch.count()
+      val bits = operators.BloomDedup.build(
+        seenDocs, Seq("text"), expectedItems = 10000)
+      val hits = newBatch.where(
+        operators.BloomDedup.mightContain(bits, Seq("text"))).count()
+      operators.BloomDedup.dedupAgainst(newBatch, Seq("text"), "doc_id",
+          bits, operators.BloomDedup.hashes64(seenDocs, Seq("text")))
+        .agg(count(lit(1)).as("kept_docs"),
+          sum("doc_id").cast("bigint").as("sum_ids"))
+        .withColumn("dropped", lit(total) - col("kept_docs"))
+        .withColumn("bloom_pruned", lit(hits < total / 2))
+    }),
     "llm_incremental_dedup" -> ((s, d) => {
       // Incremental dedup (Dedup.incrementalDedup): new batch checked
       // against the persisted content-hash index of already-ingested docs
@@ -2288,6 +2312,16 @@ object SparkEntry {
         "SELECT count(*) AS n_docs, " +
         "CAST(sum(CASE WHEN norm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS matched, " +
         "round(max(norm), 4) AS max_norm FROM nm"),
+    "llm_bloom_dedup" ->
+      ("WITH newb AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250 " +
+        "UNION ALL SELECT doc_id + 1000000, text FROM " +
+        "(SELECT doc_id, text FROM documents WHERE doc_id < 250 ORDER BY doc_id LIMIT 10)), " +
+        "fresh AS (SELECT doc_id, text FROM newb WHERE text NOT IN " +
+        "(SELECT text FROM documents WHERE doc_id < 250)), " +
+        "kept AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER " +
+        "(PARTITION BY text ORDER BY doc_id) AS rn FROM fresh) WHERE rn = 1) " +
+        "SELECT count(*) AS kept_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids, " +
+        "(SELECT count(*) FROM newb) - count(*) AS dropped, true AS bloom_pruned FROM kept"),
     "llm_incremental_dedup" ->
       ("WITH seen AS (SELECT DISTINCT md5(text) AS hash FROM documents WHERE doc_id < 250), " +
         "newb AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250 " +

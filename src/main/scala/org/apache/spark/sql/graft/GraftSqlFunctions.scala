@@ -39,5 +39,14 @@ object GraftSqlFunctions {
       "built-in")
     registry.createOrReplaceTempFunction("graft_hamming64",
       (es: Seq[Expression]) => BitwiseCount(BitwiseXor(es(0), es(1))), "built-in")
+    // bloom build/probe (see GraftExtensions for the injected twins)
+    registry.createOrReplaceTempFunction("graft_bloom_agg",
+      (es: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          es(0), es(1), es(2)), "built-in")
+    registry.createOrReplaceTempFunction("graft_might_contain",
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1)),
+      "built-in")
   }
 }
