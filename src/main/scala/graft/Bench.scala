@@ -381,16 +381,22 @@ object Bench {
           repeat(md5(col("id").cast("string")), 4).as("payload")))
         (t, root)
       }
-      def timeNeedle(bloom: Boolean): Timed = {
+      def timeNeedle(bloom: Boolean): (Timed, Timed) = {
         val (t, root) = build(bloom)
         val needle = spark.range(1)
           .select(xxhash64(lit(424242L))).head.getLong(0)
-        def run(): Long = t.read().where(col("id") === needle)
+        // absent key: the membership-check workload (bloom's best case —
+        // every row group skips; the present case still decodes the one
+        // group holding the needle)
+        val ghost = spark.range(1)
+          .select(xxhash64(lit(987654321012L))).head.getLong(0)
+        def run(k: Long): Long = t.read().where(col("id") === k)
           .agg(count(lit(1)), max(col("payload"))).head.getLong(0)
-        run() // warmup (codegen)
-        val r = timed()() { require(run() >= 1L, "needle row must exist") }
+        run(needle) // warmup (codegen)
+        val hit = timed()() { require(run(needle) >= 1L, "needle row must exist") }
+        val miss = timed()() { require(run(ghost) == 0L, "ghost row must not exist") }
         rm(new java.io.File(root))
-        r
+        (hit, miss)
       }
       (timeNeedle(true), timeNeedle(false))
     }
@@ -411,7 +417,8 @@ object Bench {
       "rowgroup_default" -> rowgroupDefault, "rowgroup8k" -> rowgroup8k,
       "rowgroup_default_noindex" -> rowgroupDefaultNoIdx,
       "rowgroup8k_noindex" -> rowgroup8kNoIdx,
-      "bloom_needle" -> bloomNeedle, "nobloom_needle" -> noBloomNeedle,
+      "bloom_needle" -> bloomNeedle._1, "bloom_miss" -> bloomNeedle._2,
+      "nobloom_needle" -> noBloomNeedle._1, "nobloom_miss" -> noBloomNeedle._2,
       "log_read_2000" -> logRead._1, "log_read_2000_ckpt" -> logRead._2,
       "cleanup_800" -> cleanup)
     val sectionJson = sections.map { case (k, v) =>

@@ -462,12 +462,28 @@ final class IceTable(
   /** Apply the bloom-filter writer options (see
     * `IceTableConfig.bloomFilterColumns`). */
   private def withBloomOptions(
-      w: org.apache.spark.sql.DataFrameWriter[Row]): org.apache.spark.sql.DataFrameWriter[Row] =
-    cfg.bloomFilterColumns.foldLeft(w) { (acc, c) =>
+      w: org.apache.spark.sql.DataFrameWriter[Row]): org.apache.spark.sql.DataFrameWriter[Row] = {
+    val perCol = cfg.bloomFilterColumns.foldLeft(w) { (acc, c) =>
       val on = acc.option(s"parquet.bloom.filter.enabled#$c", "true")
       cfg.bloomFilterNdv.fold(on)(n =>
         on.option(s"parquet.bloom.filter.expected.ndv#$c", n))
     }
+    // parquet-mr silently TRUNCATES each bloom to
+    // `parquet.bloom.filter.max.bytes` (default 1 MB ≈ 8.4M bits). At the
+    // ndv the knob exists for (millions of keys per row group) a truncated
+    // filter's fpp collapses to tens of percent and row groups stop being
+    // skipped — measured: needle scans were no better than bloom-less
+    // files until the cap was raised. Size the cap to the optimal bit
+    // count for the declared ndv at 1% fpp (next power of two, parquet's
+    // internal granularity) so the declared sizing is actually honored.
+    cfg.bloomFilterNdv.fold(perCol) { n =>
+      val optimalBits = org.apache.parquet.column.values.bloomfilter
+        .BlockSplitBloomFilter.optimalNumOfBits(n, 0.01)
+      var bytes = 1L << 20
+      while (bytes * 8 < optimalBits) bytes <<= 1
+      perCol.option("parquet.bloom.filter.max.bytes", bytes)
+    }
+  }
 
   /** Custom insert SQL runs per partition over a `_rows` view, exactly like
     * the reference applies it to each partition's row batch

@@ -75,6 +75,27 @@ class BloomFilterSpec extends SparkSpec {
     assert(table.read().where(col("id") === needle).count() == expected)
   }
 
+  test("declared ndv is not silently truncated by parquet's 1MB cap") {
+    // Regression: parquet.bloom.filter.max.bytes defaults to 1 MB; an ndv
+    // in the millions needs several MB of bits at 1% fpp, and the silent
+    // truncation collapsed the fpp until row-group skipping stopped
+    // working. The writer must raise the cap to the declared sizing.
+    val ndv = 2_600_000L
+    val table = new IceTable(spark, tmpDir("bloom_size"), IceTableConfig(
+      partitionExpr = lit("all"),
+      sortOrder = Seq("ord"),
+      bloomFilterColumns = Seq("id"),
+      bloomFilterNdv = Some(ndv)))
+    table.insert((0 until 100000).map(i => (i.toLong * 2654435761L, i.toLong))
+      .toDF("id", "ord"))
+    val f = dataFiles(table.root).head
+    val bloom = bloomOf(f, "id").getOrElse(fail("no bloom written"))
+    val optimalBits = org.apache.parquet.column.values.bloomfilter
+      .BlockSplitBloomFilter.optimalNumOfBits(ndv, 0.01)
+    assert(bloom.getBitsetSize.toLong * 8 >= optimalBits,
+      s"bloom truncated: ${bloom.getBitsetSize} bytes < optimal ${optimalBits / 8}")
+  }
+
   test("merge preserves bloom filters on the compacted output") {
     val table = new IceTable(spark, tmpDir("bloom_merge"), IceTableConfig(
       partitionExpr = lit("all"),
