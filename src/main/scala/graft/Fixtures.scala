@@ -295,6 +295,28 @@ object Fixtures {
       table
     }
 
+  /** NOT-compacted aggregating table ([[IceTable.readFinal]] target):
+    * three overlapping seeded batches left unmerged, so only the
+    * merge-on-read path can produce final totals. */
+  def eventsAggHot(spark: SparkSession, sfDir: String): IceTable =
+    memo(s"$sfDir#agghot") {
+      val ev = raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val table = new IceTable(spark, newRoot("agghot"), IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(16))),
+        sortOrder = Seq("user_id"),
+        customInsertSql = Some(
+          """select user_id, event_type, cast(count(*) as bigint) as cnt
+            |from _rows group by user_id, event_type""".stripMargin),
+        customMergeSql = Some(
+          """select user_id, event_type, cast(sum(cnt) as bigint) as cnt
+            |from source_files group by user_id, event_type""".stripMargin)))
+      table.insert(ev.where(col("event_id") % 3 === 0))
+      table.insert(ev.where(col("event_id") % 3 === 1))
+      table.insert(ev.where(col("event_id") % 3 === 2))
+      table // deliberately NO optimize: the raw read holds partial states
+    }
+
   /** Sketch-state MV (A12 variant): the ClickHouse uniqState/uniqMerge
     * analog, with Datasketches HLL as the binary aggregate state. Custom
     * insert collapses each batch to ONE hll_sketch_agg state per

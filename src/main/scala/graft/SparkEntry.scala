@@ -157,6 +157,16 @@ object SparkEntry {
       df.agg(count(lit(1)).as("cnt"),
         sum(when(col("props").isNull, 1L).otherwise(0L)).as("null_props"))
     }),
+    "a32_final_read" -> ((s, d) => {
+      // merge-on-read FINAL: three unmerged seeded batches collapse at
+      // query time via the table's own merge SQL; n_groups pins the
+      // collapse (raw read holds MORE rows than distinct groups)
+      val t = Fixtures.eventsAggHot(s, d)
+      val fin = t.readFinal()
+      fin.groupBy(col("event_type")).agg(sum("cnt").cast("bigint").as("cnt"))
+        .withColumn("n_groups", lit(fin.count()))
+        .orderBy(col("event_type"))
+    }),
     "a12_agg_merge" -> ((s, d) => {
       Fixtures.eventsAgg(s, d).read()
         .groupBy(col("event_type")).agg(sum(col("cnt")).as("cnt"))
@@ -1789,6 +1799,10 @@ object SparkEntry {
       "SELECT count(*) AS cnt, CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS null_props FROM events",
     "a12_agg_merge" ->
       "SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
+    "a32_final_read" ->
+      ("SELECT event_type, CAST(count(*) AS BIGINT) AS cnt, " +
+        "(SELECT count(*) FROM (SELECT DISTINCT user_id, event_type FROM events)) AS n_groups " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "a12_mv" ->
       "SELECT count(*) AS raw_cnt, CAST(count(*) AS BIGINT) AS mv_cnt FROM events",
     "b18_union_seed" ->

@@ -86,6 +86,11 @@ final case class CleanupResult(
   * @param bloomFilterNdv expected distinct values per file for sizing the
   *   bloom bits (parquet sizes for ~1% fpp); unset uses parquet-mr's
   *   default cap.
+  * @param checkpointEveryCommits write a snapshot checkpoint
+  *   ([[IceTable.writeCheckpoint]]) whenever the log tail since the last
+  *   one reaches this many commits — bounds every reader's fold to
+  *   O(knob) log GETs under continuous ingest. None (default) = manual
+  *   checkpointing only.
   * @param sortOnMerge re-sort DEFAULT-merge output by `sortOrder` before
   *   writing. The reference's merge concatenates its sorted inputs
   *   (`select * from source_files`, icedb.py:271-276), so after a few
@@ -113,7 +118,8 @@ final case class IceTableConfig(
     statsColumns: Seq[String] = Seq.empty,
     bloomFilterColumns: Seq[String] = Seq.empty,
     bloomFilterNdv: Option[Long] = None,
-    sortOnMerge: Boolean = false)
+    sortOnMerge: Boolean = false,
+    checkpointEveryCommits: Option[Int] = None)
 
 /** The Parquet merge-engine table: MVCC JSONL log + immutable Parquet data
   * parts under one root URI (local fs or s3a — anything Hadoop FileSystem
@@ -193,6 +199,32 @@ final class IceTable(
     val snap = snapshot(maxTs)
     readFiles(snap, snap.aliveFiles)
   }
+
+  /** Merge-on-read (the ClickHouse `FINAL` shape): [[read]] with the
+    * table's custom merge SQL re-applied at query time, so not-yet-
+    * compacted aggregate/replacing/dedup state collapses to its final
+    * answer NOW instead of after the next merge. The reference documents
+    * the manual form of this — "you must re-apply the aggregation in the
+    * query" (README.md:655-687) — this automates it from the same
+    * `customMergeSql` string compaction uses, which is exactly the
+    * re-applicability (associativity) those merge shapes guarantee.
+    * Tables without custom merge SQL read as-is (concatenation IS final).
+    *
+    * Plan shape: one extra groupBy over the snapshot read — the same
+    * aggregation Catalyst would run for the manual query; partial
+    * aggregation still happens map-side, so the shuffle carries one row
+    * per (group, input partition), not raw data.
+    */
+  def readFinal(maxTs: Long = Long.MaxValue): DataFrame =
+    cfg.customMergeSql match {
+      case None => read(maxTs)
+      case Some(q) =>
+        // the returned DataFrame is lazy, so the uniquely-named view must
+        // outlive this call (it is session-temp; re-reads replace it)
+        val view = s"source_files_${UUID.randomUUID().toString.replace("-", "")}"
+        read(maxTs).createOrReplaceTempView(view)
+        spark.sql(q.replaceAll("\\bsource_files\\b", view))
+    }
 
   /** Read a specific marker subset under a snapshot's union schema. */
   def readFiles(snap: IceSnapshot, markers: Seq[FileMarker]): DataFrame = {
@@ -392,7 +424,24 @@ final class IceTable(
     // One PUT = the transaction (icedb/icedb.py:217-219).
     logio.append(root, 1, schema, markers, timestamp = Some(now()),
       streamCommits = streamCommits)
+    maybeCheckpoint()
     markers
+  }
+
+  /** Checkpoint-cadence hook (`cfg.checkpointEveryCommits`): after a
+    * commit, refresh the snapshot checkpoint once the uncovered tail has
+    * grown past the knob — the steady-ingest shape (HTTP batcher flushing
+    * every 3 s, streaming sink) that would otherwise re-fold an unbounded
+    * history on every snapshot. Cost when enabled: one `_log/_chk` LIST +
+    * one `_log` LIST per commit (filename arithmetic only); the fold runs
+    * only on the every-Nth commit that actually checkpoints. */
+  private def maybeCheckpoint(): Unit = cfg.checkpointEveryCommits.foreach { n =>
+    val latestCkptTs = logio.listCheckpoints(root).lastOption
+      .map(p => IceLogIO.logFileInfo(p.stripSuffix(".ckpt.jsonl"))._1)
+      .getOrElse(Long.MinValue)
+    val tail = logio.currentLogFiles(root)
+      .count(p => IceLogIO.logFileInfo(p)._1 > latestCkptTs)
+    if (tail >= n) writeCheckpoint()
   }
 
   /** Exactly-once micro-batch insert for Structured Streaming sinks
@@ -1277,6 +1326,54 @@ final class IceTable(
     * does, icedb.py:290-322). The fold is last-writer-wins by path, so alive/
     * file-count invariants are unchanged.
     */
+  /** Delete crash orphans: data files on disk that NO log marker (alive
+    * or tombstoned) references. The reference's commit protocol shares
+    * this failure mode — "a failure here may orphan files in S3"
+    * (icedb/icedb.py:331): insert/merge write+rename files FIRST, then
+    * commit the log, so a crash in between leaves invisible-but-billed
+    * objects forever. This is the offline reclaim pass.
+    *
+    * Safety: inserts are NOT serialized by the commit lock, so a file
+    * renamed into `_data/` but not yet logged looks orphaned for the
+    * length of one commit — `minAgeMs` (file mtime grace, default 1 h)
+    * must exceed any insert's write→commit window. Lock-held fold +
+    * full-state `files` check means nothing referenced is ever touched;
+    * stale `_tmp/` staging dirs are swept by the same grace rule.
+    *
+    * Cost: one recursive LIST of `_data/` — offline-maintenance priced,
+    * same as any object-store GC; never on a query path. */
+  def vacuumOrphans(minAgeMs: Long = 3_600_000L): Seq[String] =
+    IceTable.commitLock(root).synchronized {
+    val known: Set[String] =
+      trySnapshot(Long.MaxValue).map(_.files.map(_.path).toSet).getOrElse(Set.empty)
+    val fsys = fs
+    val cutoff = now() - minAgeMs
+    val rootStr = fsys.makeQualified(new Path(root)).toString.stripSuffix("/")
+    val deleted = Seq.newBuilder[String]
+    val dataDir = new Path(root, "_data")
+    if (fsys.exists(dataDir)) {
+      val it = fsys.listFiles(dataDir, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toString.stripPrefix(rootStr).stripPrefix("/")
+        if (st.isFile && !known(rel) && st.getModificationTime <= cutoff) {
+          fsys.delete(st.getPath, false)
+          deleted += rel
+        }
+      }
+    }
+    val tmpDir = new Path(root, "_tmp")
+    if (fsys.exists(tmpDir)) {
+      fsys.listStatus(tmpDir).foreach { st =>
+        if (st.getModificationTime <= cutoff) {
+          fsys.delete(st.getPath, true)
+          deleted += st.getPath.toString.stripPrefix(rootStr).stripPrefix("/")
+        }
+      }
+    }
+    deleted.result()
+    }
+
   def removePartitions(
       removalFunc: Seq[String] => Seq[String],
       maxFiles: Int = 1000): (Option[String], Option[LogMetadata], Int) =
