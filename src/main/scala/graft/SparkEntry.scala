@@ -1127,6 +1127,21 @@ object SparkEntry {
           sum("overlap").cast("bigint").as("total_overlap"),
           max("overlap").cast("bigint").as("max_overlap"))
     }),
+    "llm_bloom_decontam" -> ((s, d) => {
+      // Bloom-prefiltered decontamination (Decontam.contaminatedBloom):
+      // same contaminated set as the exact operator, proven by the
+      // in-query agrees_exact contract (both directions of exceptAll)
+      val docs = Fixtures.raw(s, d, "documents")
+      val bench = docs.where(col("doc_id") % 50 === 0)
+      val viaBloom = Decontam.contaminatedBloom(docs, bench, "doc_id", "text", n = 8)
+      val viaExact = Decontam.contaminated(docs, bench, "doc_id", "text", n = 8)
+      val agrees =
+        viaBloom.exceptAll(viaExact).isEmpty && viaExact.exceptAll(viaBloom).isEmpty
+      viaBloom.agg(count(lit(1)).as("contaminated_docs"),
+          sum("overlap").cast("bigint").as("total_overlap"),
+          max("overlap").cast("bigint").as("max_overlap"))
+        .withColumn("agrees_exact", lit(agrees))
+    }),
     "llm_pii_scrub" -> ((s, d) => {
       // PII redaction (TextFunctions.scrubPii): PII shapes planted
       // deterministically per doc, per-doc md5 of the scrubbed text
@@ -2167,6 +2182,14 @@ object SparkEntry {
         "ov AS (SELECT g.doc_id, count(DISTINCT g.gram) AS overlap FROM g JOIN b USING (gram) GROUP BY g.doc_id) " +
         "SELECT count(*) AS contaminated_docs, CAST(sum(overlap) AS BIGINT) AS total_overlap, " +
         "CAST(max(overlap) AS BIGINT) AS max_overlap FROM ov"),
+    "llm_bloom_decontam" ->
+      ("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM documents), " +
+        "g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')] " +
+        "ELSE list_transform(range(1, len(tk) - 6), i -> array_to_string(list_slice(tk, i, i + 7), ' ')) END)) AS gram FROM t), " +
+        "b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0), " +
+        "ov AS (SELECT g.doc_id, count(DISTINCT g.gram) AS overlap FROM g JOIN b USING (gram) GROUP BY g.doc_id) " +
+        "SELECT count(*) AS contaminated_docs, CAST(sum(overlap) AS BIGINT) AS total_overlap, " +
+        "CAST(max(overlap) AS BIGINT) AS max_overlap, true AS agrees_exact FROM ov"),
     // DuckDB replays the identical redaction chain (RE2 'g' flag = Java
     // replace-all); both engines emit lowercase-hex md5
     "llm_pii_scrub" ->

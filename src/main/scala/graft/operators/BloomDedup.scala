@@ -57,13 +57,22 @@ object BloomDedup {
       history: DataFrame,
       contentCols: Seq[String],
       expectedItems: Long,
+      fpp: Double = 0.01): Array[Byte] =
+    buildOverHashes(history, contentHash64(contentCols), expectedItems, fpp)
+
+  /** [[build]] over an arbitrary LONG hash column (e.g. n-gram hashes for
+    * [[Decontam.contaminatedBloom]]). */
+  def buildOverHashes(
+      df: DataFrame,
+      hashCol: Column,
+      expectedItems: Long,
       fpp: Double = 0.01): Array[Byte] = {
     val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
     val agg = new BloomFilterAggregate(
-      ColumnBridge.expression(contentHash64(contentCols)),
+      ColumnBridge.expression(hashCol),
       ColumnBridge.expression(lit(expectedItems)),
       ColumnBridge.expression(lit(numBits))).toAggregateExpression()
-    history.select(ColumnBridge.column(agg).as("bf"))
+    df.select(ColumnBridge.column(agg).as("bf"))
       .head.getAs[Array[Byte]]("bf")
   }
 
@@ -86,9 +95,13 @@ object BloomDedup {
     * literal bits): true ⇒ POSSIBLY seen (verify), false ⇒ definitely
     * never seen. */
   def mightContain(bloomBits: Array[Byte], contentCols: Seq[String]): Column =
+    mightContainHash(bloomBits, contentHash64(contentCols))
+
+  /** [[mightContain]] over an arbitrary LONG hash column. */
+  def mightContainHash(bloomBits: Array[Byte], hashCol: Column): Column =
     ColumnBridge.column(BloomFilterMightContain(
       ColumnBridge.expression(lit(bloomBits)),
-      ColumnBridge.expression(contentHash64(contentCols))))
+      ColumnBridge.expression(hashCol)))
 
   /** Incremental dedup of `newDf` against a corpus summarized by
     * `bloomBits`, with exact verification of hits against `seenHashes64`

