@@ -30,6 +30,38 @@ class LogFoldPropertiesSpec extends AnyFunSuite {
   private val genBatches: Gen[List[List[W]]] =
     Gen.listOfN(8, Gen.nonEmptyListOf(genWrite)).map(_.take(8))
 
+  test("checkpoint-seeded fold == raw fold under random append/checkpoint interleavings") {
+    // checkpoints are a pure cache: wherever they land in the commit
+    // stream, every subsequent snapshot must equal the raw whole-log fold
+    val genOps: Gen[List[(List[W], Boolean)]] =
+      Gen.listOfN(8, Gen.zip(Gen.nonEmptyListOf(genWrite), Gen.prob(0.4)))
+    check(Prop.forAll(genOps) { ops =>
+      val root = java.nio.file.Files.createTempDirectory("propckpt").toString
+      val schema = Schema("a" -> "BIGINT")
+      var ts = 1000L
+      var ok = true
+      ops.foreach { case (batch, ckpt) =>
+        ts += 1000
+        val markers = batch.map(w => FileMarker(w.path, ts, w.bytes, w.tombstone))
+        logio.append(root, 1, schema, markers, timestamp = Some(ts))
+        if (ckpt)
+          logio.writeCheckpoint(root, logio.readAtMaxTime(root, ts + 1, useCheckpoints = false))
+        val seeded = logio.readAtMaxTime(root, ts + 1)
+        val raw = logio.readAtMaxTime(root, ts + 1, useCheckpoints = false)
+        ok &&= seeded.files.map(m => (m.path, m.fileBytes, m.tombstone)).toSet ==
+          raw.files.map(m => (m.path, m.fileBytes, m.tombstone)).toSet
+        // time travel to every earlier boundary also agrees
+        val mid = 1000L + 1000L * (1 + scala.util.Random.nextInt(
+          math.max(1, ((ts - 1000L) / 1000L).toInt)))
+        val sMid = logio.readAtMaxTime(root, mid + 1)
+        val rMid = logio.readAtMaxTime(root, mid + 1, useCheckpoints = false)
+        ok &&= sMid.files.map(m => (m.path, m.tombstone)).toSet ==
+          rMid.files.map(m => (m.path, m.tombstone)).toSet
+      }
+      ok
+    })
+  }
+
   test("fold is last-writer-wins per path and time travel is monotonic") {
     check(Prop.forAll(genBatches) { batches =>
       val root = java.nio.file.Files.createTempDirectory("prop").toString
