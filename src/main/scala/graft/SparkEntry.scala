@@ -157,6 +157,21 @@ object SparkEntry {
       df.agg(count(lit(1)).as("cnt"),
         sum(when(col("props").isNull, 1L).otherwise(0L)).as("null_props"))
     }),
+    "a33_history" -> ((s, d) => {
+      // DESCRIBE HISTORY over the shared events fixture: two inserts (one
+      // file per event day each) then the single-commit optimize that
+      // compacts each day's pair into one file — every delta re-derivable
+      // from the raw events in DuckDB
+      import org.apache.spark.sql.expressions.Window
+      val t = Fixtures.eventsIce(s, d).table
+      t.history()
+        .withColumn("seq", row_number().over(
+          Window.orderBy(col("commit_ts"), col("log_file"))))
+        .select(col("seq"), col("merged"),
+          col("files_added").cast("bigint").as("files_added"),
+          col("files_tombstoned").cast("bigint").as("files_tombstoned"))
+        .orderBy(col("seq"))
+    }),
     "a32_final_read" -> ((s, d) => {
       // merge-on-read FINAL: three unmerged seeded batches collapse at
       // query time via the table's own merge SQL; n_groups pins the
@@ -1814,6 +1829,12 @@ object SparkEntry {
       "SELECT count(*) AS cnt, CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS null_props FROM events",
     "a12_agg_merge" ->
       "SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
+    "a33_history" ->
+      ("WITH d AS (SELECT count(DISTINCT strftime(ts, '%Y-%m-%d')) AS days FROM events) " +
+        "SELECT * FROM (" +
+        "SELECT 1 AS seq, false AS merged, days AS files_added, CAST(0 AS BIGINT) AS files_tombstoned FROM d " +
+        "UNION ALL SELECT 2, false, days, 0 FROM d " +
+        "UNION ALL SELECT 3, true, days, 2 * days FROM d) ORDER BY seq"),
     "a32_final_read" ->
       ("SELECT event_type, CAST(count(*) AS BIGINT) AS cnt, " +
         "(SELECT count(*) FROM (SELECT DISTINCT user_id, event_type FROM events)) AS n_groups " +

@@ -181,6 +181,46 @@ final class IceTable(
     rel
   }
 
+  /** Commit history as a DataFrame (the DESCRIBE HISTORY observability
+    * surface): one row per RETAINED log file, in commit order, with the
+    * delta each commit introduced against the fold of everything before
+    * it — files added (first appearance, alive), bytes added, files
+    * newly tombstoned, and log tombstones written. `merged` distinguishes
+    * compaction/maintenance commits (`_m` logs) from plain inserts; the
+    * format records no finer operation type (byte-compat with the
+    * reference). Tombstone cleanup DELETES old logs, so like any
+    * log-structured table the history window is what retention kept.
+    * Driver-side fold over the same KB-scale log the snapshot reads —
+    * no Spark job, no data-file I/O. */
+  def history(maxTs: Long = Long.MaxValue): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val logs = logio.currentLogFiles(root)
+      .filter(p => IceLogIO.logFileInfo(p)._1 < maxTs).sorted
+    val fetched = logio.fetchLogLines(root, logs)
+    var prior = Map.empty[String, FileMarker]
+    val rows = logs.map { lf =>
+      val (_, markers, tmbs) = logio.parseLog(lf, fetched(lf))
+      val (ts, merged) = IceLogIO.logFileInfo(lf)
+      var added = 0; var addedBytes = 0L; var tombstoned = 0
+      markers.foreach { m =>
+        val prev = prior.get(m.path)
+        if (prev.isEmpty && m.tombstone.isEmpty) { added += 1; addedBytes += m.fileBytes }
+        if (m.tombstone.nonEmpty && prev.exists(_.tombstone.isEmpty)) tombstoned += 1
+        prior = prior.updated(m.path, m)
+      }
+      org.apache.spark.sql.Row(
+        ts, lf, merged, added, addedBytes, tombstoned, tmbs.size)
+    }
+    spark.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("commit_ts", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("log_file", org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("merged", org.apache.spark.sql.types.BooleanType, nullable = false),
+      org.apache.spark.sql.types.StructField("files_added", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("bytes_added", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("files_tombstoned", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("log_tombstones", org.apache.spark.sql.types.IntegerType, nullable = false))))
+  }
+
   /** Partition string of a data path: the segment between `_data/` and the
     * file name (reference: icedb/icedb.py:103-108). */
   def partitionOf(path: String): String = {

@@ -75,6 +75,25 @@ class ReadFinalVacuumSpec extends SparkSpec {
     assert(t.vacuumOrphans(3_600_000L).exists(_.endsWith("orphan_new.parquet")))
   }
 
+  test("history() reports per-commit deltas in order") {
+    val t = new IceTable(spark, tmpDir("history"), IceTableConfig(
+      partitionExpr = concat(lit("p="), pmod(col("id"), lit(2))), sortOrder = Seq("id")))
+    t.insert(batch(0, 100))   // 2 files added
+    t.insert(batch(100, 200)) // 2 files added
+    t.optimize(maxFileSize = 1_000_000_000L, maxFileCount = 100) // 2 added, 4 tombstoned
+    t.removePartitions(parts => parts.filter(_ == "p=0")) // 0 added, 1 tombstoned
+    val h = t.history().orderBy("commit_ts", "log_file")
+      .select("merged", "files_added", "files_tombstoned")
+      .collect().map(r => (r.getBoolean(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(h == Seq(
+      (false, 2, 0), (false, 2, 0), (true, 2, 4), (true, 0, 1)), s"got $h")
+    // bytes added are positive on insert commits and deltas never count a
+    // re-listed carried marker as a new add
+    val bytes = t.history().orderBy("commit_ts").select("bytes_added")
+      .collect().map(_.getLong(0)).toSeq
+    assert(bytes.take(3).forall(_ > 0) && bytes.last == 0)
+  }
+
   test("checkpointEveryCommits refreshes the checkpoint on cadence") {
     val t = new IceTable(spark, tmpDir("ckpt_cadence"), IceTableConfig(
       partitionExpr = lit("p=all"), sortOrder = Seq("id"),
