@@ -87,6 +87,34 @@ object Demo {
       s"alive files now=${table.snapshot().aliveFiles.length}; " +
       s"rows unchanged=${table.read().count()}")
 
+    println("== snapshot checkpoint: seeded fold == raw fold, O(tail) reads")
+    println(s"   checkpoint=${table.writeCheckpoint().getOrElse("(already current)")}")
+    val seeded = table.snapshot()
+    val rawFold = table.logio.readAtMaxTime(table.root, seeded.timestamp,
+      useCheckpoints = false)
+    println(s"   seeded==raw: ${seeded.files.map(m => (m.path, m.tombstone)).toSet ==
+      rawFold.files.map(m => (m.path, m.tombstone)).toSet} " +
+      s"(markers=${seeded.files.length})")
+
+    println("== commit history (per-commit deltas from the log fold)")
+    table.history().orderBy("commit_ts").show(10, truncate = false)
+
+    println("== merge-on-read FINAL over an uncompacted aggregating table")
+    val aggT = new graft.ice.IceTable(spark,
+      java.nio.file.Files.createTempDirectory("demo_agg").toString,
+      graft.ice.IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(4))),
+        sortOrder = Seq("user_id"),
+        customInsertSql = Some("select user_id, cast(count(*) as bigint) as cnt " +
+          "from _rows group by user_id"),
+        customMergeSql = Some("select user_id, cast(sum(cnt) as bigint) as cnt " +
+          "from source_files group by user_id")))
+    aggT.insert(events.select("event_id", "user_id"))
+    aggT.insert(events.select("event_id", "user_id"))
+    println(s"   raw rows=${aggT.read().count()} final rows=${aggT.readFinal().count()} " +
+      s"final total=${aggT.readFinal().agg(sum("cnt")).head.getLong(0)} " +
+      s"(expect ${2 * events.count()})")
+
     println("== LLM pipeline ops over documents/embeddings")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
