@@ -119,9 +119,12 @@ object Scratch {
           .agg(count(lit(1)), max(col("payload"))).head.getLong(0) == 0))
       rm(new java.io.File(root))
     }
-    study("bloom1MB", bloom = true, None)
-    study("bloom8MB", bloom = true, Some(8L * 1024 * 1024))
-    study("nobloom ", bloom = false, None)
+    // NOTE: withBloomOptions now sizes parquet.bloom.filter.max.bytes from
+    // the declared ndv as a per-write option, which overrides the hadoop
+    // conf — so the interesting comparison is auto-sized vs bloom-less
+    // (the old 1MB-truncation case is only reachable without an ndv)
+    study("bloomAuto", bloom = true, None)
+    study("nobloom  ", bloom = false, None)
     spark.stop()
   }
 }

@@ -842,8 +842,8 @@ object SparkEntry {
       // same in-query recall bound vs exact brute force
       annRecall(s, d, (emb, queries) =>
         Similarity.pqTopK(emb, "vec_id", "embedding",
-          queries, "qid", "qvec", k = 10, m = 8, ksub = 16,
-          iterations = 2, dim = 64))
+          queries, "qid", "qvec", k = 10, m = 8, ksub = 32,
+          iterations = 3, dim = 64, rerankFactor = 10))
     }),
     "llm_cosine_neardup" -> ((s, d) => {
       // planted near-dups (ε on one component: cosine ≈ 1 ≫ 0.99, bucket

@@ -259,9 +259,12 @@ final class IceTable(
     cfg.customMergeSql match {
       case None => read(maxTs)
       case Some(q) =>
-        // the returned DataFrame is lazy, so the uniquely-named view must
-        // outlive this call (it is session-temp; re-reads replace it)
-        val view = s"source_files_${UUID.randomUUID().toString.replace("-", "")}"
+        // stable per-table view name: spark.sql analyzes EAGERLY, so the
+        // returned DataFrame keeps its resolved snapshot even after a later
+        // readFinal replaces the view — and a read-path API must not leak
+        // one catalog entry per call
+        val view = "source_files_final_" +
+          java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)
         read(maxTs).createOrReplaceTempView(view)
         spark.sql(q.replaceAll("\\bsource_files\\b", view))
     }
@@ -476,12 +479,19 @@ final class IceTable(
     * one `_log` LIST per commit (filename arithmetic only); the fold runs
     * only on the every-Nth commit that actually checkpoints. */
   private def maybeCheckpoint(): Unit = cfg.checkpointEveryCommits.foreach { n =>
-    val latestCkptTs = logio.listCheckpoints(root).lastOption
-      .map(p => IceLogIO.logFileInfo(p.stripSuffix(".ckpt.jsonl"))._1)
-      .getOrElse(Long.MinValue)
-    val tail = logio.currentLogFiles(root)
-      .count(p => IceLogIO.logFileInfo(p)._1 > latestCkptTs)
-    if (tail >= n) writeCheckpoint()
+    // best-effort cache maintenance AFTER a durable commit: a failure here
+    // (concurrent checkpoint racing the rename on a store where rename-to-
+    // existing throws, transient fold error) must never surface as an
+    // insert failure — the caller would retry an insert that SUCCEEDED
+    // and duplicate rows
+    try {
+      val latestCkptTs = logio.listCheckpoints(root).lastOption
+        .map(p => IceLogIO.logFileInfo(p.stripSuffix(".ckpt.jsonl"))._1)
+        .getOrElse(Long.MinValue)
+      val tail = logio.currentLogFiles(root)
+        .count(p => IceLogIO.logFileInfo(p)._1 > latestCkptTs)
+      if (tail >= n) writeCheckpoint()
+    } catch { case _: Exception => () }
   }
 
   /** Exactly-once micro-batch insert for Structured Streaming sinks
@@ -850,9 +860,17 @@ final class IceTable(
     * current copy first — the source-log copy can predate a concurrent
     * commit's tombstone on a DIFFERENT path in the same log, and
     * re-listing the stale copy in a newer log would resurrect that file.
+    *
+    * The third argument is the COMMIT TIMESTAMP the body must stamp its
+    * append with: `max(now, max folded log ts + 1)`. The fold is ordered
+    * by filename timestamp, and same-millisecond commits get
+    * filename-bumped PAST the wall clock (IceLogIO.append) — a commit
+    * stamped at bare now() could sort BEFORE a bump-chained log it just
+    * overlaid, whose re-listed alive copies would then win last-writer-
+    * wins over the commit's tombstones.
     */
   private def withValidatedCommit[T](sources: Seq[FileMarker])(
-      body: (Seq[FileMarker], Map[String, FileMarker]) => T): T =
+      body: (Seq[FileMarker], Map[String, FileMarker], Long) => T): T =
     IceTable.commitLock(root).synchronized {
       // Long.MaxValue, not now(): validation wants the absolute latest
       // state. Same-millisecond commits get filename-bumped PAST the
@@ -865,7 +883,52 @@ final class IceTable(
           throw new CommitConflictException(
             s"source file ${m.path} was tombstoned or removed by a concurrent commit"))
       }
-      body(fresh, byPath)
+      val maxLogTs = cur.logFiles.iterator
+        .map(p => IceLogIO.logFileInfo(p)._1).maxOption.getOrElse(0L)
+      body(fresh, byPath, math.max(now(), maxLogTs + 1))
+    }
+
+  /** The shared validated log-rewrite commit used by merge / optimize /
+    * recluster / repartition: under the commit lock, fold the CURRENT
+    * source logs of the revalidated `sources`, overlay carried markers
+    * with the latest state, tombstone the source paths, and append ONE
+    * merged log holding carried + new markers. On conflict the freshly
+    * written `newFiles` are deleted before rethrowing. Returns
+    * (new log path, metadata, commit-stamped new markers). */
+  private def validatedRewriteCommit(
+      sources: Seq[FileMarker],
+      newFiles: Seq[FileMarker],
+      accumulateSchemas: Seq[Schema] = Seq.empty)
+      : (String, LogMetadata, Seq[FileMarker]) =
+    try withValidatedCommit(sources) { (fresh, curByPath, commitTs) =>
+      val mergedLogFiles = fresh.flatMap(_.virSourceLogFile).distinct.sorted
+      val ((mSchema, mMarkers0, mTombstones), mCommits) =
+        logio.readLogForwardWithCommits(root, mergedLogFiles)
+      val mMarkers = mMarkers0.map(m => curByPath.getOrElse(m.path, m))
+      // a custom merge SQL may reshape columns (seed an aggregate state);
+      // reads are schema-driven, so the output schema accumulates add-only
+      accumulateSchemas.foreach(s => mSchema.accumulate(s.columns, s.types))
+      val accPaths = sources.map(_.path).toSet
+      val updated = mMarkers.map { m =>
+        // copy, not reconstruct: carried-forward markers keep their stats
+        m.copy(
+          tombstone = if (accPaths(m.path)) Some(commitTs) else m.tombstone,
+          virSourceLogFile = None)
+      }
+      val stamped = newFiles.map(_.copy(createdMs = commitTs))
+      val newTombstones = mergedLogFiles.map(LogTombstone(_, commitTs))
+      val (newLog, meta) = logio.append(
+        root, 1, mSchema,
+        updated ++ stamped,
+        mTombstones ++ newTombstones,
+        merged = true,
+        timestamp = Some(commitTs),
+        streamCommits = mCommits) // exactly-once records outlive the rewrite
+      (newLog, meta, stamped)
+    } catch {
+      case e: CommitConflictException =>
+        newFiles.foreach(m => logio.delete(root, m.path))
+        throw e
     }
 
   private def executeMerge(
@@ -892,43 +955,13 @@ final class IceTable(
     // markers and existing tombstones, tombstone the source logs, one `_m`
     // append — with the sources revalidated alive under the commit lock (a
     // conflict deletes the orphaned merge output and aborts).
-    try withValidatedCommit(acc) { (freshAcc, curByPath) =>
-      val mergedLogFiles = freshAcc.flatMap(_.virSourceLogFile).distinct.sorted
-      val ((mSchema, mMarkers0, mTombstones), mCommits) =
-        logio.readLogForwardWithCommits(root, mergedLogFiles)
-      val mMarkers = mMarkers0.map(m => curByPath.getOrElse(m.path, m))
-      // Deviation from the reference (which carries the source-log schema
-      // verbatim, icedb.py:291-293): a custom merge SQL may *reshape* columns
-      // (e.g. seed an aggregate state column); since our reads are driven by
-      // the log schema rather than parquet-footer unions, the merge output's
-      // schema must be accumulated add-only here (type conflicts still throw).
-      if (cfg.customMergeSql.isDefined) {
-        val out = Schema.fromStructType(merged.schema)
-        mSchema.accumulate(out.columns, out.types)
-      }
-      val mergedTime = now()
-      val accPaths = acc.map(_.path).toSet
-      val newMarker = preMarker.copy(createdMs = mergedTime)
-      val updated = mMarkers.map { m =>
-        // copy, not reconstruct: carried-forward markers keep their stats
-        m.copy(
-          tombstone = if (accPaths(m.path)) Some(mergedTime) else m.tombstone,
-          virSourceLogFile = None)
-      }
-      val newTombstones = mergedLogFiles.map(LogTombstone(_, mergedTime))
-      val (newLog, meta) = logio.append(
-        root, 1, mSchema,
-        updated :+ newMarker,
-        mTombstones ++ newTombstones,
-        merged = true,
-        timestamp = Some(mergedTime),
-        streamCommits = mCommits) // exactly-once records outlive the rewrite
-      MergeResult(newLog, newMarker, partition, acc, meta)
-    } catch {
-      case e: CommitConflictException =>
-        logio.delete(root, outRel)
-        throw e
-    }
+    // Deviation from the reference (which carries the source-log schema
+    // verbatim, icedb.py:291-293): a custom merge SQL may *reshape* columns;
+    // its output schema accumulates add-only (type conflicts still throw).
+    val (newLog, meta, stamped) = validatedRewriteCommit(acc, Seq(preMarker),
+      if (cfg.customMergeSql.isDefined) Seq(Schema.fromStructType(merged.schema))
+      else Seq.empty)
+    MergeResult(newLog, stamped.head, partition, acc, meta)
   }
 
   /** Run [[merge]] until no partition has anything left to merge (the
@@ -1080,27 +1113,8 @@ final class IceTable(
     // every source file, add the clustered markers, tombstone source logs
     // — validated under the commit lock like every other rewrite
     val allAcc = byPart.flatMap(_._2)
-    try withValidatedCommit(allAcc) { (freshAcc, curByPath) =>
-      val mergedLogFiles = freshAcc.flatMap(_.virSourceLogFile).distinct.sorted
-      val ((mSchema, mMarkers0, mTombstones), mCommits) =
-        logio.readLogForwardWithCommits(root, mergedLogFiles)
-      val mMarkers = mMarkers0.map(m => curByPath.getOrElse(m.path, m))
-      val mergedTime = now()
-      val accPaths = allAcc.map(_.path).toSet
-      val updated = mMarkers.map(m => m.copy(
-        tombstone = if (accPaths(m.path)) Some(mergedTime) else m.tombstone,
-        virSourceLogFile = None))
-      val newMarkers = results.flatten.map(_.copy(createdMs = mergedTime))
-      val newTombstones = mergedLogFiles.map(LogTombstone(_, mergedTime))
-      logio.append(root, 1, mSchema, updated ++ newMarkers,
-        mTombstones ++ newTombstones, merged = true,
-        timestamp = Some(mergedTime), streamCommits = mCommits)
-      byPart.length
-    } catch {
-      case e: CommitConflictException =>
-        results.flatten.foreach(m => logio.delete(root, m.path))
-        throw e
-    }
+    validatedRewriteCommit(allAcc, results.flatten)
+    byPart.length
   }
 
   /** Partition evolution: rewrite the WHOLE table under a new partition
@@ -1145,27 +1159,8 @@ final class IceTable(
     val (written, _) = writerTable.insertDefault(routed)
 
     val allAcc = snap.aliveFiles
-    try withValidatedCommit(allAcc) { (freshAcc, curByPath) =>
-      val mergedLogFiles = freshAcc.flatMap(_.virSourceLogFile).distinct.sorted
-      val ((mSchema, mMarkers0, mTombstones), mCommits) =
-        logio.readLogForwardWithCommits(root, mergedLogFiles)
-      val mMarkers = mMarkers0.map(m => curByPath.getOrElse(m.path, m))
-      val mergedTime = now()
-      val accPaths = allAcc.map(_.path).toSet
-      val updated = mMarkers.map(m => m.copy(
-        tombstone = if (accPaths(m.path)) Some(mergedTime) else m.tombstone,
-        virSourceLogFile = None))
-      val newMarkers = written.map(_.copy(createdMs = mergedTime))
-      val newTombstones = mergedLogFiles.map(LogTombstone(_, mergedTime))
-      logio.append(root, 1, mSchema, updated ++ newMarkers,
-        mTombstones ++ newTombstones, merged = true,
-        timestamp = Some(mergedTime), streamCommits = mCommits)
-      newMarkers.length
-    } catch {
-      case e: CommitConflictException =>
-        written.foreach(m => logio.delete(root, m.path))
-        throw e
-    }
+    val (_, _, stamped) = validatedRewriteCommit(allAcc, written)
+    stamped.length
   }
 
   /** Multi-file variant of [[writeSingleFile]]: write `df` as-is (one file
@@ -1236,39 +1231,9 @@ final class IceTable(
     // validation under the lock (see executeMerge) — on conflict every
     // freshly-written merge output is deleted before aborting
     val allAcc = candidates.flatMap(_._2)
-    try withValidatedCommit(allAcc) { (freshAcc, curByPath) =>
-      val mergedLogFiles = freshAcc.flatMap(_.virSourceLogFile).distinct.sorted
-      val ((mSchema, mMarkers0, mTombstones), mCommits) =
-        logio.readLogForwardWithCommits(root, mergedLogFiles)
-      val mMarkers = mMarkers0.map(m => curByPath.getOrElse(m.path, m))
-      if (cfg.customMergeSql.isDefined) {
-        // merge SQL may reshape columns; accumulate each output schema
-        // add-only (see executeMerge)
-        results.foreach { case (_, s) => mSchema.accumulate(s.columns, s.types) }
-      }
-      val mergedTime = now()
-      val accPaths = allAcc.map(_.path).toSet
-      val updated = mMarkers.map { m =>
-        // copy, not reconstruct: carried-forward markers keep their stats
-        m.copy(
-          tombstone = if (accPaths(m.path)) Some(mergedTime) else m.tombstone,
-          virSourceLogFile = None)
-      }
-      val stamped = newMarkers.map(_.copy(createdMs = mergedTime))
-      val newTombstones = mergedLogFiles.map(LogTombstone(_, mergedTime))
-      val (_, meta) = logio.append(
-        root, 1, mSchema,
-        updated ++ stamped,
-        mTombstones ++ newTombstones,
-        merged = true,
-        timestamp = Some(mergedTime),
-        streamCommits = mCommits) // exactly-once records outlive the rewrite
-      meta
-    } catch {
-      case e: CommitConflictException =>
-        newMarkers.foreach(m => logio.delete(root, m.path))
-        throw e
-    }
+    val (_, meta, _) = validatedRewriteCommit(allAcc, newMarkers,
+      if (cfg.customMergeSql.isDefined) results.map(_._2) else Seq.empty)
+    meta
   }
 
   // ----------------------------------------------------- maintenance (A15-17)
@@ -1349,8 +1314,10 @@ final class IceTable(
 
     // checkpointed tables self-heal here: cleanup is the one op that makes
     // an old checkpoint's marker set a (harmless but growing) superset of
-    // the live state, so refresh it while the fold is hot
-    if (logio.listCheckpoints(root).nonEmpty) writeCheckpoint()
+    // the live state, so refresh it while the fold is hot. Best-effort —
+    // the cleanup itself already committed durably (see maybeCheckpoint)
+    try if (logio.listCheckpoints(root).nonEmpty) writeCheckpoint()
+    catch { case _: Exception => () }
 
     CleanupResult(cleaned.toSeq, logFilesToDelete.toSeq, dataFilesToDelete.toSeq)
     }
@@ -1420,9 +1387,13 @@ final class IceTable(
     IceTable.commitLock(root).synchronized {
     // log-only op: the FULL current fold INSIDE the lock (no stale-source
     // window, and filename-bumped same-ms commits stay visible), so it
-    // serializes cleanly against merge/rewrite commits
-    val removeTime = now()
+    // serializes cleanly against merge/rewrite commits. The commit stamp
+    // is forced PAST every folded log for the same reason as
+    // withValidatedCommit: a bump-chained insert log outsorting this
+    // append would resurrect the removed partition.
     val snap = snapshot(Long.MaxValue)
+    val removeTime = math.max(now(), snap.logFiles.iterator
+      .map(p => IceLogIO.logFileInfo(p)._1).maxOption.getOrElse(0L) + 1)
     val curByPath = snap.files.iterator.map(f => f.path -> f).toMap
 
     val alive = snap.aliveFiles
@@ -1501,8 +1472,7 @@ final class IceTable(
     }
 
     val rewrittenPaths = targets.map(_.path).toSet
-    try withValidatedCommit(targets) { (freshTargets, curByPath) =>
-      val commitTime = now()
+    try withValidatedCommit(targets) { (freshTargets, curByPath, commitTime) =>
       val updated = snap.files.map { m0 =>
         // current copy wins over the snapshot's (see withValidatedCommit),
         // and carried-forward markers keep their stats

@@ -60,8 +60,11 @@ object Decontam {
       n: Int = 8, minOverlap: Int = 1,
       expectedGrams: Option[Long] = None,
       fpp: Double = 0.01): DataFrame = {
+    // the gram explode + distinct is the benchmark side's whole cost;
+    // localCheckpoint materializes it ONCE for the count, the bloom build,
+    // and the verification broadcast (three consumers otherwise)
     val bHashes = grams(benchmark, idCol, textCol, n)
-      .select(xxhash64(col("_g")).as("_h")).distinct()
+      .select(xxhash64(col("_g")).as("_h")).distinct().localCheckpoint()
     val items = expectedGrams.getOrElse(math.max(1L, bHashes.count()))
     val bits = BloomDedup.buildOverHashes(bHashes, col("_h"), items, fpp)
     val candidates = grams(corpus, idCol, textCol, n)
