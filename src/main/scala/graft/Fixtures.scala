@@ -203,6 +203,20 @@ object Fixtures {
       table
     }
 
+  /** Deletion-vector variant: rows marked deleted via one dv-table commit
+    * (NO data rewrite) — the merge-on-read fixture for a34_row_deletes. */
+  def eventsDv(spark: SparkSession, sfDir: String): IceTable =
+    memo(s"$sfDir#dv") {
+      val ev = raw(spark, sfDir, "events")
+      val table = new IceTable(spark, newRoot("dv"), IceTableConfig(
+        partitionExpr = concat(lit("d="), date_format(evTs(col("ts")), "yyyy-MM-dd")),
+        sortOrder = Seq("ts", "event_id")))
+      table.insert(ev.where(col("event_id") % 2 === 0))
+      table.insert(ev.where(col("event_id") % 2 === 1))
+      graft.ice.DeleteVectors.deleteWhere(table, pmod(col("user_id"), lit(10)) === 3)
+      table
+    }
+
   /** Checkpointed variant: half the data committed, a snapshot checkpoint
     * written, the rest committed, then compaction + cleanup (which
     * auto-refreshes the checkpoint). Every read after this seeds its fold

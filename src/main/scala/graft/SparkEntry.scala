@@ -157,6 +157,24 @@ object SparkEntry {
       df.agg(count(lit(1)).as("cnt"),
         sum(when(col("props").isNull, 1L).otherwise(0L)).as("null_props"))
     }),
+    "a34_row_deletes" -> ((s, d) => {
+      // merge-on-read position deletes (DeleteVectors): rows of user_id%10
+      // == 3 marked via one dv commit, excluded at read with zero data
+      // rewrite; the contract column proves materialize (copy-on-write of
+      // ONLY affected files) + vacuum then yield the identical answer
+      import graft.ice.DeleteVectors
+      val t = Fixtures.eventsDv(s, d)
+      val morTotals = DeleteVectors.read(t)
+        .agg(count(lit(1)), sum("user_id")).head
+      DeleteVectors.materialize(t)
+      DeleteVectors.vacuum(t)
+      val cowTotals = t.read().agg(count(lit(1)), sum("user_id")).head
+      DeleteVectors.read(t) // post-vacuum read path (dv empty of matches)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum("user_id").cast("bigint").as("sum_uid"))
+        .withColumn("mor_equals_cow", lit(morTotals == cowTotals))
+        .orderBy(col("event_type"))
+    }),
     "a33_history" -> ((s, d) => {
       // DESCRIBE HISTORY over the shared events fixture: two inserts (one
       // file per event day each) then the single-commit optimize that
@@ -1829,6 +1847,10 @@ object SparkEntry {
       "SELECT count(*) AS cnt, CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS null_props FROM events",
     "a12_agg_merge" ->
       "SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
+    "a34_row_deletes" ->
+      ("SELECT event_type, count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS sum_uid, " +
+        "true AS mor_equals_cow FROM events WHERE user_id % 10 != 3 " +
+        "GROUP BY event_type ORDER BY event_type"),
     "a33_history" ->
       ("WITH d AS (SELECT count(DISTINCT strftime(ts, '%Y-%m-%d')) AS days FROM events) " +
         "SELECT * FROM (" +

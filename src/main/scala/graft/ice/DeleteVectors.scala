@@ -1,0 +1,138 @@
+package graft.ice
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Row-level deletes without rewriting data: MERGE-ON-READ position
+  * deletes (the Delta deletion-vector / Iceberg v2 position-delete shape),
+  * a capability the reference simply lacks — its only row-removal tool is
+  * `rewrite_partition`, a copy-on-write of every file in the partition
+  * (icedb/icedb.py:503-589).
+  *
+  * Design: deleted positions live in a SECOND ice table under
+  * `{root}/_dv` with rows `(path, row_index)` — `path` root-relative,
+  * `row_index` the row's position within its immutable parquet file
+  * (Spark's `_metadata.row_index`). Both tables get the full MVCC
+  * treatment for free: a delete is one atomic dv-table commit, time
+  * travel works by pinning both snapshots, and dv compaction is ordinary
+  * merge with a dedup merge SQL.
+  *
+  * Read path: the main scan gains `_metadata` (file path + row index) and
+  * LEFT ANTI-joins the dv snapshot — dv rows are (path, long), orders of
+  * magnitude smaller than data, so the join broadcasts. Positions are
+  * stable because data files are immutable; a file rewritten by
+  * merge/recluster gets a NEW uuid path, so its dv rows simply stop
+  * matching (deleting them is [[vacuum]]'s job, not a correctness need).
+  *
+  * Cost shape at 100 TB: `deleteWhere` = one filtered scan emitting
+  * (path, row_index) pairs — bytes proportional to MATCHED rows, not
+  * table size, and no data file is touched. [[materialize]] is the
+  * copy-on-write escape hatch: it rewrites ONLY files that actually carry
+  * deletes (vs the reference's whole-partition rewrite), in one atomic
+  * validated commit.
+  */
+object DeleteVectors {
+
+  /** Open (or lay out) the deletion-vector side table for `main`. */
+  def dvTable(main: IceTable): IceTable =
+    new IceTable(main.spark, s"${main.root}/_dv", IceTableConfig(
+      partitionExpr = concat(lit("h="), pmod(xxhash64(col("path")), lit(16))),
+      sortOrder = Seq("path", "row_index"),
+      customMergeSql = Some(
+        "select path, row_index from source_files group by path, row_index")))
+
+  /** The main table's rows with root-relative `_dv_path` / `_dv_row`
+    * position columns attached. */
+  private def withPositions(main: IceTable, maxTs: Long): DataFrame = {
+    val snap = main.snapshot(maxTs)
+    val files = snap.aliveFiles
+    if (files.isEmpty) return main.readFiles(snap, files)
+      .withColumn("_dv_path", lit(null).cast("string"))
+      .withColumn("_dv_row", lit(null).cast("bigint"))
+    main.spark.read.schema(snap.schema.toStructType)
+      .parquet(files.map(m => s"${main.root}/${m.path}"): _*)
+      .withColumn("_dv_path",
+        regexp_extract(col("_metadata.file_path"), "_data/.*$", 0))
+      .withColumn("_dv_row", col("_metadata.row_index"))
+  }
+
+  /** Mark every row matching `cond` as deleted: one filtered scan of the
+    * main table, one atomic dv commit. Returns rows marked (0 commits
+    * nothing). Re-deleting already-marked rows is harmless (the read path
+    * is an anti-join; the dv merge SQL dedups at compaction). */
+  def deleteWhere(main: IceTable, cond: Column): Long = {
+    val hits = withPositions(main, Long.MaxValue).where(cond)
+      .select(col("_dv_path").as("path"), col("_dv_row").as("row_index"))
+    val dv = dvTable(main)
+    val staged = hits.localCheckpoint() // count + insert from one scan
+    val n = staged.count()
+    if (n > 0) dv.insert(staged)
+    n
+  }
+
+  /** Merge-on-read: the main table minus its deleted positions. */
+  def read(main: IceTable, maxTs: Long = Long.MaxValue): DataFrame = {
+    val dv = dvTable(main)
+    dv.trySnapshot(maxTs) match {
+      case None => main.read(maxTs)
+      case Some(dvSnap) if dvSnap.aliveFiles.isEmpty => main.read(maxTs)
+      case Some(dvSnap) =>
+        val deletes = dv.readFiles(dvSnap, dvSnap.aliveFiles)
+          .select(col("path").as("_dv_path"), col("row_index").as("_dv_row"))
+        // no broadcast hint: AQE broadcasts the (typically tiny) dv side
+        // on its own, but a pathological billion-row dv must be allowed
+        // to sort-merge instead of OOMing the executors
+        withPositions(main, maxTs)
+          .join(deletes, Seq("_dv_path", "_dv_row"), "left_anti")
+          .drop("_dv_path", "_dv_row")
+    }
+  }
+
+  /** Copy-on-write materialization: rewrite ONLY the files that carry
+    * deletes, dropping their deleted rows, in one atomic validated commit
+    * (conflicts with concurrent merges are detected and retried by the
+    * caller like any maintenance op). Stale dv rows for the replaced
+    * paths stop matching immediately; [[vacuum]] reclaims them. Returns
+    * the number of files rewritten. */
+  def materialize(main: IceTable): Int = {
+    val dv = dvTable(main)
+    val dvSnap = dv.trySnapshot().getOrElse(return 0)
+    if (dvSnap.aliveFiles.isEmpty) return 0
+    val deletes = dv.readFiles(dvSnap, dvSnap.aliveFiles)
+      .select("path", "row_index").distinct().localCheckpoint()
+    val affectedPaths = deletes.select("path").distinct()
+      .collect().map(_.getString(0)).toSet // file-count scale, not rows
+    val snap = main.snapshot()
+    val targets = snap.aliveFiles.filter(m => affectedPaths(m.path))
+    if (targets.isEmpty) return 0
+    val newFiles = targets.map { m =>
+      val kept = main.spark.read.schema(snap.schema.toStructType)
+        .parquet(s"${main.root}/${m.path}")
+        .withColumn("_dv_row", col("_metadata.row_index"))
+        .join(broadcast(deletes.where(col("path") === m.path)
+          .select(col("row_index").as("_dv_row"))), Seq("_dv_row"), "left_anti")
+        .drop("_dv_row")
+      val partition = main.partitionOf(m.path)
+      main.writeSingleFileFor(kept, partition)
+    }
+    main.validatedRewriteCommit(targets, newFiles)
+    targets.length
+  }
+
+  /** Drop dv rows whose file is no longer alive in the main table (after
+    * [[materialize]] or ordinary compaction): an atomic full rewrite of
+    * the dv table — which is position-pair sized, never data sized. */
+  def vacuum(main: IceTable): Long = {
+    val dv = dvTable(main)
+    val dvSnap = dv.trySnapshot().getOrElse(return 0L)
+    if (dvSnap.aliveFiles.isEmpty) return 0L
+    val alive = main.trySnapshot().map(_.aliveFiles.map(_.path)).getOrElse(Seq.empty)
+    import dv.spark.implicits._
+    val aliveDf = alive.toDF("path")
+    val before = dv.readFiles(dvSnap, dvSnap.aliveFiles)
+    val kept = before.join(broadcast(aliveDf), Seq("path"), "left_semi")
+    val dropped = before.count() - kept.count()
+    if (dropped > 0) dv.rewriteTable(kept)
+    dropped
+  }
+}

@@ -738,6 +738,24 @@ final class IceTable(
     if (cfg.sortOnMerge && cfg.customMergeSql.isEmpty) cfg.sortOrder.map(col)
     else Nil
 
+  /** Single-file write into a partition with a fresh uuid name (the
+    * per-file building block [[DeleteVectors.materialize]] shares). */
+  private[ice] def writeSingleFileFor(df: DataFrame, partition: String): FileMarker =
+    writeSingleFile(df, s"_data/$partition/${UUID.randomUUID()}.parquet")
+
+  /** Atomic full-content REPLACEMENT of the table with `newContent`
+    * (routed and sorted by this table's own config): the generalized form
+    * of [[repartitionTable]] used for rewrites whose change is the ROWS,
+    * not the partition scheme — e.g. deletion-vector vacuum. One write
+    * job + one validated merged-log commit. Returns files written. */
+  private[ice] def rewriteTable(newContent: DataFrame): Int = {
+    val snap = trySnapshot(Long.MaxValue).getOrElse(return 0)
+    val routed = newContent.withColumn(IceTable.RouteCol, cfg.partitionExpr)
+    val (written, _) = insertDefault(routed)
+    val (_, _, stamped) = validatedRewriteCommit(snap.aliveFiles, written)
+    stamped.length
+  }
+
   private def writeSingleFile(
       df: DataFrame, destRel: String,
       sortCols: Seq[Column] = Nil): FileMarker = {
@@ -895,7 +913,7 @@ final class IceTable(
     * merged log holding carried + new markers. On conflict the freshly
     * written `newFiles` are deleted before rethrowing. Returns
     * (new log path, metadata, commit-stamped new markers). */
-  private def validatedRewriteCommit(
+  private[ice] def validatedRewriteCommit(
       sources: Seq[FileMarker],
       newFiles: Seq[FileMarker],
       accumulateSchemas: Seq[Schema] = Seq.empty)

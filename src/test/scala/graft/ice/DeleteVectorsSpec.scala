@@ -1,0 +1,80 @@
+package graft.ice
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read position deletes ([[DeleteVectors]]): delete rows with
+  * one dv-table commit and no data rewrite, read them gone, time-travel
+  * to before the delete, materialize only the affected files, vacuum the
+  * stale positions. */
+class DeleteVectorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(name: String): IceTable =
+    new IceTable(spark, tmpDir(name), IceTableConfig(
+      partitionExpr = concat(lit("p="), (col("id") % 4).cast("string")),
+      sortOrder = Seq("id")))
+
+  private def batch(lo: Int, hi: Int) =
+    (lo until hi).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+
+  test("deleteWhere removes rows at read time without touching data files") {
+    val t = mkTable("dv_basic")
+    t.insert(batch(0, 400)); t.insert(batch(400, 800))
+    val filesBefore = t.snapshot().aliveFiles.map(m => m.path -> m.fileBytes).toMap
+    Thread.sleep(2)
+    val preDeleteTs = System.currentTimeMillis()
+    Thread.sleep(2)
+
+    val marked = DeleteVectors.deleteWhere(t, col("id") % 10 === 3)
+    assert(marked == 80, s"marked $marked")
+    // main table untouched: same files, same bytes, raw read unchanged
+    assert(t.snapshot().aliveFiles.map(m => m.path -> m.fileBytes).toMap == filesBefore)
+    assert(t.read().count() == 800)
+    // merge-on-read excludes exactly the marked rows
+    val r = DeleteVectors.read(t)
+    assert(r.count() == 720)
+    assert(r.where(col("id") % 10 === 3).count() == 0)
+    assert(r.agg(sum("id")).head.getLong(0) ==
+      (0L until 800L).filterNot(_ % 10 == 3).sum)
+    // time travel to before the delete still sees everything
+    assert(DeleteVectors.read(t, preDeleteTs).count() == 800)
+    // re-deleting is idempotent at read time
+    DeleteVectors.deleteWhere(t, col("id") % 10 === 3)
+    assert(DeleteVectors.read(t).count() == 720)
+  }
+
+  test("materialize rewrites only affected files; vacuum reclaims dv rows") {
+    val t = mkTable("dv_mat")
+    t.insert(batch(0, 400))   // 4 files (p=0..3)
+    t.insert(batch(400, 800)) // 4 more
+    // delete ids 0..39 → only rows in the FIRST insert's files
+    assert(DeleteVectors.deleteWhere(t, col("id") < 40) == 40)
+    val before = t.snapshot().aliveFiles.map(_.path).toSet
+    val rewritten = DeleteVectors.materialize(t)
+    assert(rewritten == 4, s"rewrote $rewritten") // first-insert files only
+    val after = t.snapshot().aliveFiles.map(_.path).toSet
+    assert((before intersect after).size == 4, "second insert's files must survive")
+    // data now physically excludes the deleted rows; dv rows are stale
+    assert(t.read().count() == 760)
+    assert(DeleteVectors.read(t).count() == 760)
+    val dropped = DeleteVectors.vacuum(t)
+    assert(dropped == 40, s"vacuumed $dropped")
+    assert(DeleteVectors.read(t).count() == 760)
+    // a fresh delete still works end-to-end after materialize+vacuum
+    assert(DeleteVectors.deleteWhere(t, col("id") === 100L) == 1)
+    assert(DeleteVectors.read(t).count() == 759)
+  }
+
+  test("dv table compaction dedups positions and answers stay stable") {
+    val t = mkTable("dv_compact")
+    t.insert(batch(0, 200))
+    DeleteVectors.deleteWhere(t, col("id") < 10)
+    DeleteVectors.deleteWhere(t, col("id") < 20) // overlap re-marks 0..9
+    val dv = DeleteVectors.dvTable(t)
+    assert(dv.read().count() == 30) // 10 duplicate positions pre-compaction
+    dv.optimize(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+    assert(dv.read().count() == 20) // dedup merge SQL collapsed them
+    assert(DeleteVectors.read(t).count() == 180)
+  }
+}
