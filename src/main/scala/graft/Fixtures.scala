@@ -217,6 +217,22 @@ object Fixtures {
       table
     }
 
+  /** DML variant: atomic copy-on-write UPDATE then DELETE applied to the
+    * assembled table (only affected files rewrite) — a35_row_update. */
+  def eventsMutated(spark: SparkSession, sfDir: String): IceTable =
+    memo(s"$sfDir#mutated") {
+      val ev = raw(spark, sfDir, "events")
+      val table = new IceTable(spark, newRoot("mutated"), IceTableConfig(
+        partitionExpr = concat(lit("d="), date_format(evTs(col("ts")), "yyyy-MM-dd")),
+        sortOrder = Seq("ts", "event_id")))
+      table.insert(ev.where(col("event_id") % 2 === 0))
+      table.insert(ev.where(col("event_id") % 2 === 1))
+      table.updateWhere(pmod(col("user_id"), lit(17)) === 5,
+        Seq("event_type" -> lit("redacted")))
+      table.deleteWhere(pmod(col("user_id"), lit(17)) === 6)
+      table
+    }
+
   /** Checkpointed variant: half the data committed, a snapshot checkpoint
     * written, the rest committed, then compaction + cleanup (which
     * auto-refreshes the checkpoint). Every read after this seeds its fold

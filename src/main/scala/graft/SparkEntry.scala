@@ -157,6 +157,15 @@ object SparkEntry {
       df.agg(count(lit(1)).as("cnt"),
         sum(when(col("props").isNull, 1L).otherwise(0L)).as("null_props"))
     }),
+    "a35_row_update" -> ((s, d) => {
+      // atomic CoW UPDATE + DELETE (IceTable.updateWhere/deleteWhere):
+      // user_id%17==5 redacted, user_id%17==6 deleted; every surviving
+      // value hash-checked against DuckDB replaying both mutations
+      Fixtures.eventsMutated(s, d).read()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum("event_id").cast("bigint").as("sum_id"))
+        .orderBy(col("event_type"))
+    }),
     "a34_row_deletes" -> ((s, d) => {
       // merge-on-read position deletes (DeleteVectors): rows of user_id%10
       // == 3 marked via one dv commit, excluded at read with zero data
@@ -1847,6 +1856,11 @@ object SparkEntry {
       "SELECT count(*) AS cnt, CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS null_props FROM events",
     "a12_agg_merge" ->
       "SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
+    "a35_row_update" ->
+      ("SELECT event_type, count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id FROM (" +
+        "SELECT CASE WHEN user_id % 17 = 5 THEN 'redacted' ELSE event_type END AS event_type, " +
+        "event_id FROM events WHERE user_id % 17 != 6) " +
+        "GROUP BY event_type ORDER BY event_type"),
     "a34_row_deletes" ->
       ("SELECT event_type, count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS sum_uid, " +
         "true AS mor_equals_cow FROM events WHERE user_id % 10 != 3 " +

@@ -738,6 +738,57 @@ final class IceTable(
     if (cfg.sortOnMerge && cfg.customMergeSql.isEmpty) cfg.sortOrder.map(col)
     else Nil
 
+  /** Row-level UPDATE (copy-on-write, atomic): rewrite ONLY the files
+    * containing rows that match `cond`, with `assignments` applied to the
+    * matching rows (non-matching rows in the same file are carried
+    * verbatim), committed in one validated merged-log append. Untouched
+    * files are never read past the match probe, so cost scales with the
+    * AFFECTED files — vs the reference, whose only row mutation is a
+    * whole-partition `rewrite_partition` (icedb.py:503-589). Returns the
+    * number of rows updated. For delete-heavy workloads prefer
+    * [[DeleteVectors.deleteWhere]] (merge-on-read, no rewrite at all);
+    * this is the atomic in-place form.
+    */
+  def updateWhere(cond: Column, assignments: Seq[(String, Column)]): Long =
+    mutateAffected(cond) { df =>
+      assignments.foldLeft(df) { case (acc, (c, v)) =>
+        acc.withColumn(c, when(cond, v).otherwise(col(c)))
+      }
+    }
+
+  /** Row-level DELETE (copy-on-write, atomic): the [[updateWhere]] shape
+    * with matching rows dropped instead of rewritten. Merge-on-read
+    * alternative: [[DeleteVectors.deleteWhere]]. Returns rows deleted. */
+  def deleteWhere(cond: Column): Long =
+    mutateAffected(cond)(df => df.where(!coalesce(cond, lit(false))))
+
+  /** Shared CoW row-mutation core: probe which alive files hold matching
+    * rows (one pushed-filter scan reading only `_metadata` + the columns
+    * `cond` needs), rewrite exactly those files through `transform`, and
+    * commit tombstones + replacements in one validated append. */
+  private def mutateAffected(cond: Column)(
+      transform: DataFrame => DataFrame): Long = {
+    val snap = trySnapshot(Long.MaxValue).getOrElse(return 0L)
+    if (snap.aliveFiles.isEmpty) return 0L
+    val schema = snap.schema.toStructType
+    val scan = spark.read.schema(schema)
+      .parquet(snap.aliveFiles.map(m => s"$root/${m.path}"): _*)
+    val hits = scan.where(cond)
+      .groupBy(regexp_extract(col("_metadata.file_path"), "_data/.*$", 0).as("_p"))
+      .agg(count(lit(1)).as("_n"))
+      .collect() // file-count scale: one row per AFFECTED file
+    if (hits.isEmpty) return 0L
+    val matched = hits.map(_.getLong(1)).sum
+    val affected = hits.map(_.getString(0)).toSet
+    val targets = snap.aliveFiles.filter(m => affected(m.path))
+    val newFiles = targets.map { m =>
+      val src = spark.read.schema(schema).parquet(s"$root/${m.path}")
+      writeSingleFileFor(transform(src), partitionOf(m.path))
+    }
+    validatedRewriteCommit(targets, newFiles)
+    matched
+  }
+
   /** Single-file write into a partition with a fresh uuid name (the
     * per-file building block [[DeleteVectors.materialize]] shares). */
   private[ice] def writeSingleFileFor(df: DataFrame, partition: String): FileMarker =
