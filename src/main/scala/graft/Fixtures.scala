@@ -233,6 +233,25 @@ object Fixtures {
       table
     }
 
+  /** Upsert variant: a modified slice + brand-new rows merged in atomically
+    * by event_id key (replacing semantics) — a36_upsert. */
+  def eventsUpserted(spark: SparkSession, sfDir: String): IceTable =
+    memo(s"$sfDir#upserted") {
+      val ev = raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val table = new IceTable(spark, newRoot("upserted"), IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(16))),
+        sortOrder = Seq("event_id")))
+      table.insert(ev.where(col("event_id") % 2 === 0))
+      table.insert(ev.where(col("event_id") % 2 === 1))
+      val slice = ev.where(pmod(col("user_id"), lit(13)) === 2)
+      val src = slice.withColumn("event_type", lit("upserted"))
+        .unionByName(slice.select((col("event_id") + 10000000L).as("event_id"),
+          col("user_id"), lit("new").as("event_type")))
+      table.upsert(src, Seq("event_id"))
+      table
+    }
+
   /** Checkpointed variant: half the data committed, a snapshot checkpoint
     * written, the rest committed, then compaction + cleanup (which
     * auto-refreshes the checkpoint). Every read after this seeds its fold

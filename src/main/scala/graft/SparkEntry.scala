@@ -157,6 +157,15 @@ object SparkEntry {
       df.agg(count(lit(1)).as("cnt"),
         sum(when(col("props").isNull, 1L).otherwise(0L)).as("null_props"))
     }),
+    "a36_upsert" -> ((s, d) => {
+      // MERGE INTO (IceTable.upsert, replacing semantics): a slice
+      // rewritten + brand-new keys appended in ONE commit; result ==
+      // (base where key not in src) union src, replayed by DuckDB
+      Fixtures.eventsUpserted(s, d).read()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum("event_id").cast("bigint").as("sum_id"))
+        .orderBy(col("event_type"))
+    }),
     "a35_row_update" -> ((s, d) => {
       // atomic CoW UPDATE + DELETE (IceTable.updateWhere/deleteWhere):
       // user_id%17==5 redacted, user_id%17==6 deleted; every surviving
@@ -1856,6 +1865,14 @@ object SparkEntry {
       "SELECT count(*) AS cnt, CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS null_props FROM events",
     "a12_agg_merge" ->
       "SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
+    "a36_upsert" ->
+      ("WITH src AS (SELECT event_id, user_id, 'upserted' AS event_type FROM events WHERE user_id % 13 = 2 " +
+        "UNION ALL SELECT event_id + 10000000, user_id, 'new' FROM events WHERE user_id % 13 = 2), " +
+        "merged AS (SELECT event_id, event_type FROM events " +
+        "WHERE event_id NOT IN (SELECT event_id FROM src) " +
+        "UNION ALL SELECT event_id, event_type FROM src) " +
+        "SELECT event_type, count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id " +
+        "FROM merged GROUP BY event_type ORDER BY event_type"),
     "a35_row_update" ->
       ("SELECT event_type, count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id FROM (" +
         "SELECT CASE WHEN user_id % 17 = 5 THEN 'redacted' ELSE event_type END AS event_type, " +

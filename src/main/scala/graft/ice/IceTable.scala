@@ -762,6 +762,63 @@ final class IceTable(
   def deleteWhere(cond: Column): Long =
     mutateAffected(cond)(df => df.where(!coalesce(cond, lit(false))))
 
+  /** MERGE INTO / upsert (replacing semantics, atomic): after the call
+    * the table holds `(rows whose key ∉ source) ∪ source` — matched keys
+    * are replaced by the source's rows, unmatched source rows append.
+    * Only files that actually contain matched keys rewrite (anti-join
+    * against the source's key set); the new source rows route through the
+    * normal partitioned insert write; replacements, additions, and
+    * tombstones land in ONE validated merged-log commit, so readers see
+    * the upsert atomically. This is the engine-native form of the
+    * reference's ReplacingMergeTree recipe (README.md:755-769), which
+    * only converges at some future compaction — here the table is
+    * immediately exact. Returns (rows replaced, rows inserted).
+    */
+  def upsert(source: DataFrame, keyCols: Seq[String]): (Long, Long) = {
+    require(keyCols.nonEmpty, "upsert requires at least one key column")
+    val srcStaged = source.localCheckpoint() // count + probe + write, one compute
+    val srcKeys = srcStaged.select(keyCols.map(col): _*).distinct()
+    val snapOpt = trySnapshot(Long.MaxValue)
+    val (targets, replaced, schema) = snapOpt match {
+      case None => (Seq.empty[FileMarker], 0L, srcStaged.schema)
+      case Some(snap) =>
+        val sch = snap.schema.toStructType
+        // the metadata column must project off the SCAN, before any join
+        // hides it
+        val scan = spark.read.schema(sch)
+          .parquet(snap.aliveFiles.map(m => s"$root/${m.path}"): _*)
+          .withColumn("_p",
+            regexp_extract(col("_metadata.file_path"), "_data/.*$", 0))
+        val hits = scan.join(srcKeys, keyCols, "left_semi")
+          .groupBy(col("_p"))
+          .agg(count(lit(1)).as("_n"))
+          .collect()
+        val affected = hits.map(_.getString(0)).toSet
+        (snap.aliveFiles.filter(m => affected(m.path)),
+          hits.map(_.getLong(1)).sum, sch)
+    }
+    val rewritten = targets.map { m =>
+      val kept = spark.read.schema(schema).parquet(s"$root/${m.path}")
+        .join(srcKeys, keyCols, "left_anti")
+      writeSingleFileFor(kept, partitionOf(m.path))
+    }
+    val routed = srcStaged.withColumn(IceTable.RouteCol, cfg.partitionExpr)
+    val (added, addedSchema) = insertDefault(routed)
+    if (targets.isEmpty) {
+      // nothing replaced → a pure addition: plain insert-shaped commit
+      // (no tombstones, so the validated-rewrite ordering machinery —
+      // which folds the source logs of its targets — has nothing to do)
+      val sch = new Schema
+      snapOpt.foreach(s => sch.accumulate(s.schema.columns, s.schema.types))
+      sch.accumulate(addedSchema.columns, addedSchema.types)
+      logio.append(root, 1, sch, added, timestamp = Some(now()))
+    } else {
+      // the source may carry evolved columns; accumulate add-only
+      validatedRewriteCommit(targets, rewritten ++ added, Seq(addedSchema))
+    }
+    (replaced, srcStaged.count())
+  }
+
   /** Shared CoW row-mutation core: probe which alive files hold matching
     * rows (one pushed-filter scan reading only `_metadata` + the columns
     * `cond` needs), rewrite exactly those files through `transform`, and
