@@ -233,6 +233,24 @@ object Fixtures {
       table
     }
 
+  /** SQL-DML variant: the table mutated through `spark.sql` UPDATE and
+    * DELETE statements via the graft catalog — b31_sql_dml. */
+  def eventsSqlDml(spark: SparkSession, sfDir: String): IceTable =
+    memo(s"$sfDir#sqldml") {
+      val ev = raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val table = new IceTable(spark, newRoot("sqldml"), IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(16))),
+        sortOrder = Seq("event_id")))
+      table.insert(ev)
+      val f = new java.io.File(table.root)
+      spark.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      spark.sql(s"UPDATE graft.`${f.getName}` SET event_type = 'redacted' " +
+        "WHERE user_id % 19 = 4").collect()
+      spark.sql(s"DELETE FROM graft.`${f.getName}` WHERE user_id % 19 = 5").collect()
+      table
+    }
+
   /** Upsert variant: a modified slice + brand-new rows merged in atomically
     * by event_id key (replacing semantics) — a36_upsert. */
   def eventsUpserted(spark: SparkSession, sfDir: String): IceTable =

@@ -538,6 +538,17 @@ object SparkEntry {
           col("cnt"), col("sum_qty"), col("lvl"))
         .orderBy(col("lvl"), col("flag"), col("status"))
     }),
+    "b31_sql_dml" -> ((s, d) => {
+      // SQL DML through the catalog (IceDeleteCommand/IceUpdateCommand):
+      // the fixture UPDATEd and DELETEd via spark.sql; every surviving
+      // value read back through the same catalog relation
+      val t = Fixtures.eventsSqlDml(s, d)
+      val f = new java.io.File(t.root)
+      s.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      s.sql(s"""SELECT event_type, count(*) AS cnt,
+        CAST(sum(event_id) AS BIGINT) AS sum_id
+        FROM graft.`${f.getName}` GROUP BY event_type ORDER BY event_type""")
+    }),
     "b29_sql_catalog" -> ((s, d) => {
       // pure-SQL access via the analyzer-resolved `graft.<name>` relation
       // (IceSqlResolution through spark.sql.extensions): the WHERE on the
@@ -2195,6 +2206,11 @@ object SparkEntry {
         "CAST(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS BIGINT) AS qty_f, " +
         "CAST(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS BIGINT) AS qty_o " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY flag"),
+    "b31_sql_dml" ->
+      ("SELECT event_type, count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id FROM (" +
+        "SELECT CASE WHEN user_id % 19 = 4 THEN 'redacted' ELSE event_type END AS event_type, " +
+        "event_id FROM events WHERE user_id % 19 != 5) " +
+        "GROUP BY event_type ORDER BY event_type"),
     "b29_sql_catalog" ->
       ("SELECT strftime(ts, '%Y-%m-%d') AS d, count(*) AS cnt, " +
         "count(DISTINCT user_id) AS users FROM events " +

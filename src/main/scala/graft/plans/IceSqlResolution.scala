@@ -5,7 +5,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, LogicalPlan, SubqueryAlias, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.types.{NumericType, TimestampType}
@@ -110,11 +110,44 @@ final class IceSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** A graft relation in either state: still-unresolved name, or the
+    * SubqueryAlias this same rule already produced (resolveOperators is
+    * bottom-up, so a DML node's child resolves BEFORE the node itself is
+    * visited). */
+  private object IceRel {
+    def unapply(p: LogicalPlan): Option[String] = p match {
+      case IceName(t) => Some(t)
+      case SubqueryAlias(org.apache.spark.sql.catalyst.AliasIdentifier(t, Seq(c)), _)
+          if c.equalsIgnoreCase(catalogName) => Some(t)
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case InsertIntoStatement(IceName(t), _, _, _, _, _, _) =>
       throw new UnsupportedOperationException(
         s"INSERT INTO $catalogName.$t would bypass the ice transaction log; " +
           "write with IceTable.insert or df.write.format(\"ice\")")
+    // SQL DML maps onto the engine's atomic CoW mutations. The raw
+    // (unresolved) expressions travel as SQL text and re-resolve against
+    // the table's own DataFrame inside the command — a LeafRunnableCommand
+    // must not carry unresolved attributes through CheckAnalysis. Caveat
+    // (documented): the catalog's bare table handle has no sortOrder /
+    // statsColumn config, so SQL-path rewrites produce unsorted, stats-less
+    // replacement files; the next compaction by a configured handle
+    // restores both.
+    case DeleteFromTable(IceRel(t), cond) if tableRoot(t).isDefined =>
+      IceDeleteCommand(tableRoot(t).get, s"$catalogName.$t", cond.sql)
+    case UpdateTable(IceRel(t), assignments, condOpt) if tableRoot(t).isDefined =>
+      val sets = assignments.map { a =>
+        val name = a.key match {
+          case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => ua.name
+          case other => other.sql.stripPrefix("`").stripSuffix("`")
+        }
+        name -> a.value.sql
+      }
+      IceUpdateCommand(tableRoot(t).get, s"$catalogName.$t",
+        sets, condOpt.map(_.sql).getOrElse("true"))
     case tt @ RelationTimeTravel(IceName(t), tsOpt, verOpt) =>
       val maxTs: Option[Long] = (tsOpt, verOpt) match {
         case (_, Some(v)) => v.toLongOption.map(_ + 1L)
@@ -131,4 +164,51 @@ object IceSqlResolution {
   val WarehouseKey = "spark.graft.warehouse"
   val CatalogKey = "spark.graft.catalog"
   private val SafeName = "[A-Za-z0-9_][A-Za-z0-9_.-]*".r.anchored
+
+  private[plans] def bareTable(
+      spark: SparkSession, root: String): IceTable =
+    new IceTable(spark, root, IceTableConfig(lit(""), Seq.empty))
+}
+
+/** `DELETE FROM graft.<t> WHERE ...` → [[IceTable.deleteWhere]] (atomic
+  * CoW of only the affected files). Returns one row: rows_deleted. */
+final case class IceDeleteCommand(root: String, ident: String, condSql: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference => AR}
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AR("rows_deleted", org.apache.spark.sql.types.LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val n = IceSqlResolution.bareTable(session, root)
+      .deleteWhere(org.apache.spark.sql.functions.expr(condSql))
+    Seq(org.apache.spark.sql.Row(n))
+  }
+}
+
+/** `UPDATE graft.<t> SET c = e[, ...] [WHERE ...]` →
+  * [[IceTable.updateWhere]]. Returns one row: rows_updated. */
+final case class IceUpdateCommand(
+    root: String, ident: String,
+    sets: Seq[(String, String)], condSql: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference => AR}
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AR("rows_updated", org.apache.spark.sql.types.LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    val t = IceSqlResolution.bareTable(session, root)
+    // a CoW rewrite keeps each file in its partition directory, so
+    // updating a column the partition path encodes would leave the
+    // path-derived value (which the catalog relation serves) stale —
+    // reject instead of silently diverging
+    val partKeys = t.trySnapshot(Long.MaxValue).toSeq
+      .flatMap(_.aliveFiles.map(m => t.partitionOf(m.path)))
+      .flatMap(_.split("/").toSeq).map(_.split("=", 2)(0)).toSet
+    sets.map(_._1).find(partKeys.contains).foreach { c =>
+      throw new UnsupportedOperationException(
+        s"UPDATE of partition key '$c' on $ident would not move rows between " +
+          "partitions; use IceTable.repartitionTable or rewritePartition")
+    }
+    val n = t.updateWhere(org.apache.spark.sql.functions.expr(condSql),
+      sets.map { case (c, e) => c -> org.apache.spark.sql.functions.expr(e) })
+    Seq(org.apache.spark.sql.Row(n))
+  }
 }

@@ -12,7 +12,8 @@ class IceSqlResolutionSpec extends SparkSpec {
     val t = new IceTable(spark, s"$wh/$name", IceTableConfig(
       concat(lit("d="), col("d")), Seq("id")))
     t.insert(spark.range(10).select(col("id"),
-      when(col("id") < 5, "2024-01-01").otherwise("2024-01-02").as("d")))
+      when(col("id") < 5, "2024-01-01").otherwise("2024-01-02").as("d"),
+      concat(lit("tag"), col("id")).as("v")))
     t
   }
 
@@ -68,6 +69,39 @@ class IceSqlResolutionSpec extends SparkSpec {
       def msgs(t: Throwable): Seq[String] =
         if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
       assert(msgs(e).exists(_.contains("bypass the ice transaction log")), e)
+    } finally spark.conf.unset(IceSqlResolution.WarehouseKey)
+  }
+
+  test("SQL DELETE and UPDATE run the atomic CoW mutations") {
+    val wh = tmpDir("graft_sqldml")
+    val t = mkTable(wh, "dml")
+    spark.conf.set(IceSqlResolution.WarehouseKey, wh)
+    try {
+      val upd = spark.sql(
+        "UPDATE graft.dml SET v = concat('upd', id) WHERE id >= 8").head.getLong(0)
+      assert(upd == 2L, s"updated $upd")
+      assert(spark.sql("SELECT count(*) c FROM graft.dml WHERE v LIKE 'upd%'")
+        .head.getLong(0) == 2L)
+      val del = spark.sql("DELETE FROM graft.dml WHERE id % 2 = 0").head.getLong(0)
+      assert(del == 5L, s"deleted $del")
+      assert(spark.sql("SELECT count(*) c FROM graft.dml").head.getLong(0) == 5L)
+      assert(spark.sql("SELECT sum(id) s FROM graft.dml").head.getLong(0) ==
+        Seq(1L, 3L, 5L, 7L, 9L).sum)
+      // the mutations went through the log: answers equal on the handle
+      assert(t.read().count() == 5L)
+      // UPDATE without WHERE touches everything
+      val all = spark.sql("UPDATE graft.dml SET v = 'x'").head.getLong(0)
+      assert(all == 5L)
+      assert(spark.sql("SELECT count(DISTINCT v) c FROM graft.dml")
+        .head.getLong(0) == 1L)
+      // updating a partition-key column is rejected (a CoW rewrite cannot
+      // move rows between partition directories)
+      val e = intercept[Exception] {
+        spark.sql("UPDATE graft.dml SET d = 'x' WHERE id = 1").collect()
+      }
+      def msgs(x: Throwable): Seq[String] =
+        if (x == null) Seq.empty else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+      assert(msgs(e).exists(_.contains("partition key")), e)
     } finally spark.conf.unset(IceSqlResolution.WarehouseKey)
   }
 
