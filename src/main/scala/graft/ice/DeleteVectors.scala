@@ -66,7 +66,12 @@ object DeleteVectors {
     val dv = dvTable(main)
     val staged = hits.localCheckpoint() // count + insert from one scan
     val n = staged.count()
-    if (n > 0) dv.insert(staged)
+    // the dv commit takes the MAIN root's commit lock: [[materialize]]
+    // validates dv staleness under that lock before replacing files, and
+    // a dv commit that could slip between its validation and the main
+    // commit would be silently lost (its rows would reference freshly
+    // tombstoned paths)
+    if (n > 0) IceTable.commitLock(main.root).synchronized { dv.insert(staged) }
     n
   }
 
@@ -95,28 +100,54 @@ object DeleteVectors {
     * paths stop matching immediately; [[vacuum]] reclaims them. Returns
     * the number of files rewritten. */
   def materialize(main: IceTable): Int = {
-    val dv = dvTable(main)
-    val dvSnap = dv.trySnapshot().getOrElse(return 0)
-    if (dvSnap.aliveFiles.isEmpty) return 0
-    val deletes = dv.readFiles(dvSnap, dvSnap.aliveFiles)
-      .select("path", "row_index").distinct().localCheckpoint()
-    val affectedPaths = deletes.select("path").distinct()
-      .collect().map(_.getString(0)).toSet // file-count scale, not rows
-    val snap = main.snapshot()
-    val targets = snap.aliveFiles.filter(m => affectedPaths(m.path))
-    if (targets.isEmpty) return 0
-    val newFiles = targets.map { m =>
-      val kept = main.spark.read.schema(snap.schema.toStructType)
-        .parquet(s"${main.root}/${m.path}")
-        .withColumn("_dv_row", col("_metadata.row_index"))
-        .join(broadcast(deletes.where(col("path") === m.path)
-          .select(col("row_index").as("_dv_row"))), Seq("_dv_row"), "left_anti")
-        .drop("_dv_row")
-      val partition = main.partitionOf(m.path)
-      main.writeSingleFileFor(kept, partition)
+    var attempts = 0
+    while (attempts < 5) {
+      val dv = dvTable(main)
+      val dvSnap = dv.trySnapshot().getOrElse(return 0)
+      if (dvSnap.aliveFiles.isEmpty) return 0
+      val deletes = dv.readFiles(dvSnap, dvSnap.aliveFiles)
+        .select("path", "row_index").distinct().localCheckpoint()
+      val applied = deletes.count()
+      val affectedPaths = deletes.select("path").distinct()
+        .collect().map(_.getString(0)).toSet // file-count scale, not rows
+      val snap = main.snapshot()
+      val targets = snap.aliveFiles.filter(m => affectedPaths(m.path))
+      if (targets.isEmpty) return 0
+      val newFiles: Seq[FileMarker] = {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: scala.concurrent.ExecutionContext = IceTable.insertPool
+        Await.result(Future.traverse(targets) { m =>
+          Future {
+            val kept = main.spark.read.schema(snap.schema.toStructType)
+              .parquet(s"${main.root}/${m.path}")
+              .withColumn("_dv_row", col("_metadata.row_index"))
+              .join(broadcast(deletes.where(col("path") === m.path)
+                .select(col("row_index").as("_dv_row"))), Seq("_dv_row"), "left_anti")
+              .drop("_dv_row")
+            main.writeSingleFileFor(kept, main.partitionOf(m.path))
+          }
+        }, Duration.Inf)
+      }
+      // dv-staleness gate under the MAIN commit lock (which every
+      // deleteWhere commit also takes): if rows were marked deleted after
+      // our dv snapshot, replacing the files now would strand those marks
+      // on dead paths — abandon this pass's outputs and re-apply
+      val committed = IceTable.commitLock(main.root).synchronized {
+        val latest = dv.trySnapshot().map(s =>
+          dv.readFiles(s, s.aliveFiles)
+            .select("path", "row_index").distinct().count()).getOrElse(0L)
+        if (latest == applied) {
+          main.validatedRewriteCommit(targets, newFiles)
+          true
+        } else false
+      }
+      if (committed) return targets.length
+      newFiles.foreach(m => main.logio.delete(main.root, m.path))
+      attempts += 1
     }
-    main.validatedRewriteCommit(targets, newFiles)
-    targets.length
+    throw new CommitConflictException(
+      "materialize lost 5 consecutive races against concurrent deleteWhere commits")
   }
 
   /** Drop dv rows whose file is no longer alive in the main table (after
@@ -129,8 +160,12 @@ object DeleteVectors {
     val alive = main.trySnapshot().map(_.aliveFiles.map(_.path)).getOrElse(Seq.empty)
     import dv.spark.implicits._
     val aliveDf = alive.toDF("path")
-    val before = dv.readFiles(dvSnap, dvSnap.aliveFiles)
+    // one dv scan: the kept set materializes once and serves the counts
+    // AND the rewrite (and a concurrent dv commit can no longer make the
+    // returned figure disagree with what was rewritten)
+    val before = dv.readFiles(dvSnap, dvSnap.aliveFiles).localCheckpoint()
     val kept = before.join(broadcast(aliveDf), Seq("path"), "left_semi")
+      .localCheckpoint()
     val dropped = before.count() - kept.count()
     if (dropped > 0) dv.rewriteTable(kept)
     dropped

@@ -439,9 +439,21 @@ final class IceTable(
     * the data files and the per-query batch id land in ONE atomic log PUT
     * (the exactly-once sink building block; use [[insertBatch]]). */
   def insert(df0: DataFrame, streamCommits: Map[String, Long]): Seq[FileMarker] = {
+    val (markers, schema) = writeRouted(routeRows(df0))
+    // One PUT = the transaction (icedb/icedb.py:217-219).
+    logio.append(root, 1, schema, markers, timestamp = Some(now()),
+      streamCommits = streamCommits)
+    maybeCheckpoint()
+    markers
+  }
+
+  /** The shared pre-insert pipeline — formatRow hook (A23), `_partition`
+    * fast path (icedb/icedb.py:191-196), `Row => String` partitionFunc
+    * (A2) or the declarative partitionExpr — so EVERY row-adding path
+    * ([[insert]], [[upsert]]'s appended rows) routes identically. */
+  private def routeRows(df0: DataFrame): DataFrame = {
     val df = cfg.formatRow.fold(df0)(f => f(df0)) // A23 pre-insert hook
     val hasPre = df.columns.contains("_partition")
-    // routing column; `_partition` fast path per icedb/icedb.py:191-196
     val routed0 =
       if (hasPre) df.withColumn(IceTable.RouteCol, col("_partition"))
       else cfg.partitionFunc match {
@@ -455,21 +467,16 @@ final class IceTable(
           df.withColumn(IceTable.RouteCol, u(struct(df.columns.map(col): _*)))
         case None => df.withColumn(IceTable.RouteCol, cfg.partitionExpr)
       }
-    val routed =
-      if (hasPre && !cfg.preservePartition) routed0.drop("_partition")
-      else routed0
+    if (hasPre && !cfg.preservePartition) routed0.drop("_partition")
+    else routed0
+  }
 
-    val (markers, schema) = cfg.customInsertSql match {
+  /** Write a routed batch (default or custom-insert-SQL shaped). */
+  private def writeRouted(routed: DataFrame): (Seq[FileMarker], Schema) =
+    cfg.customInsertSql match {
       case None      => insertDefault(routed)
       case Some(sql) => insertCustom(routed, sql)
     }
-
-    // One PUT = the transaction (icedb/icedb.py:217-219).
-    logio.append(root, 1, schema, markers, timestamp = Some(now()),
-      streamCommits = streamCommits)
-    maybeCheckpoint()
-    markers
-  }
 
   /** Checkpoint-cadence hook (`cfg.checkpointEveryCommits`): after a
     * commit, refresh the snapshot checkpoint once the uncovered tail has
@@ -748,12 +755,36 @@ final class IceTable(
     * number of rows updated. For delete-heavy workloads prefer
     * [[DeleteVectors.deleteWhere]] (merge-on-read, no rewrite at all);
     * this is the atomic in-place form.
+    *
+    * CONTRACT: do not assign to columns the partition function derives
+    * from. The rewrite keeps each file in its partition directory
+    * (partition strings are physical layout), so such an update would
+    * leave path-derived values — and every partition-pruning helper that
+    * assumes the derivation — stale. The SQL surface rejects assignments
+    * to literal partition-key names; a DERIVED column (e.g. `user_id`
+    * feeding `u=user_id%16`) cannot be detected from the table handle and
+    * stays the caller's responsibility, exactly like the reference's
+    * caller-owned `part_func`. Re-route with [[repartitionTable]] when a
+    * partition-deriving column must change.
     */
   def updateWhere(cond: Column, assignments: Seq[(String, Column)]): Long =
     mutateAffected(cond) { df =>
-      assignments.foldLeft(df) { case (acc, (c, v)) =>
-        acc.withColumn(c, when(cond, v).otherwise(col(c)))
-      }
+      // one SELECT, all expressions against the ORIGINAL columns — SQL
+      // UPDATE semantics. A withColumn chain would re-evaluate the
+      // condition (and later values) against already-updated columns:
+      // SET a = b, b = a must swap, and a predicate on an updated column
+      // must keep matching the pre-update value.
+      val assignMap = assignments.toMap
+      val unknown = assignMap.keySet -- df.columns
+      require(unknown.isEmpty,
+        s"updateWhere assignments reference unknown columns: ${unknown.mkString(", ")}")
+      val m = coalesce(cond, lit(false))
+      df.select(df.columns.map { c =>
+        assignMap.get(c) match {
+          case Some(v) => when(m, v).otherwise(col(c)).as(c)
+          case None    => col(c)
+        }
+      }: _*)
     }
 
   /** Row-level DELETE (copy-on-write, atomic): the [[updateWhere]] shape
@@ -776,8 +807,11 @@ final class IceTable(
     */
   def upsert(source: DataFrame, keyCols: Seq[String]): (Long, Long) = {
     require(keyCols.nonEmpty, "upsert requires at least one key column")
-    val srcStaged = source.localCheckpoint() // count + probe + write, one compute
-    val srcKeys = srcStaged.select(keyCols.map(col): _*).distinct()
+    val srcStaged = source.localCheckpoint() // probe + write from one compute
+    val srcCount = srcStaged.count()
+    // the key set is consumed once per affected file (anti-join) plus the
+    // probe — materialize its distinct ONCE, not once per consumer
+    val srcKeys = srcStaged.select(keyCols.map(col): _*).distinct().localCheckpoint()
     val snapOpt = trySnapshot(Long.MaxValue)
     val (targets, replaced, schema) = snapOpt match {
       case None => (Seq.empty[FileMarker], 0L, srcStaged.schema)
@@ -797,13 +831,25 @@ final class IceTable(
         (snap.aliveFiles.filter(m => affected(m.path)),
           hits.map(_.getLong(1)).sum, sch)
     }
-    val rewritten = targets.map { m =>
-      val kept = spark.read.schema(schema).parquet(s"$root/${m.path}")
-        .join(srcKeys, keyCols, "left_anti")
-      writeSingleFileFor(kept, partitionOf(m.path))
+    // per-file anti-join rewrites fan out on the bounded pool
+    val rewritten: Seq[FileMarker] = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext = IceTable.insertPool
+      Await.result(Future.traverse(targets) { m =>
+        Future {
+          val kept = spark.read.schema(schema).parquet(s"$root/${m.path}")
+            .join(srcKeys, keyCols, "left_anti")
+          writeSingleFileFor(kept, partitionOf(m.path))
+        }
+      }, Duration.Inf)
     }
-    val routed = srcStaged.withColumn(IceTable.RouteCol, cfg.partitionExpr)
-    val (added, addedSchema) = insertDefault(routed)
+    // new rows go through the SAME routing pipeline as insert (formatRow,
+    // `_partition` fast path, partitionFunc, custom insert SQL) — a bare
+    // partitionExpr would misplace rows on tables configured with any of
+    // those hooks
+    val (added, addedSchema) = writeRouted(routeRows(srcStaged))
+    if (targets.isEmpty && added.isEmpty) return (0L, srcCount) // no-op: no empty commits
     if (targets.isEmpty) {
       // nothing replaced → a pure addition: plain insert-shaped commit
       // (no tombstones, so the validated-rewrite ordering machinery —
@@ -816,7 +862,8 @@ final class IceTable(
       // the source may carry evolved columns; accumulate add-only
       validatedRewriteCommit(targets, rewritten ++ added, Seq(addedSchema))
     }
-    (replaced, srcStaged.count())
+    maybeCheckpoint()
+    (replaced, srcCount)
   }
 
   /** Shared CoW row-mutation core: probe which alive files hold matching
@@ -830,6 +877,15 @@ final class IceTable(
     val schema = snap.schema.toStructType
     val scan = spark.read.schema(schema)
       .parquet(snap.aliveFiles.map(m => s"$root/${m.path}"): _*)
+    // FAIL FAST on a type-changing mutation, before any file is written:
+    // the log schema drives every read, so a rewritten file whose column
+    // type diverged (e.g. SET bigint_col = 'text') would poison the table
+    val outSchema = Schema.fromStructType(
+      transform(scan.limit(0)).drop("_metadata").schema)
+    val probe = new Schema
+    probe.accumulate(
+      Schema.fromStructType(schema).columns, Schema.fromStructType(schema).types)
+    probe.accumulate(outSchema.columns, outSchema.types) // throws on conflict
     val hits = scan.where(cond)
       .groupBy(regexp_extract(col("_metadata.file_path"), "_data/.*$", 0).as("_p"))
       .agg(count(lit(1)).as("_n"))
@@ -838,18 +894,32 @@ final class IceTable(
     val matched = hits.map(_.getLong(1)).sum
     val affected = hits.map(_.getString(0)).toSet
     val targets = snap.aliveFiles.filter(m => affected(m.path))
-    val newFiles = targets.map { m =>
-      val src = spark.read.schema(schema).parquet(s"$root/${m.path}")
-      writeSingleFileFor(transform(src), partitionOf(m.path))
+    // per-file rewrites fan out on the bounded pool (leaf-only: one Spark
+    // job + a rename each), like rewritePartition — serial per-file jobs
+    // would make driver wall-clock linear in affected files
+    val newFiles: Seq[FileMarker] = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext = IceTable.insertPool
+      Await.result(Future.traverse(targets) { m =>
+        Future {
+          val src = spark.read.schema(schema).parquet(s"$root/${m.path}")
+          writeSingleFileFor(transform(src), partitionOf(m.path))
+        }
+      }, Duration.Inf)
     }
-    validatedRewriteCommit(targets, newFiles)
+    validatedRewriteCommit(targets, newFiles, Seq(outSchema))
     matched
   }
 
   /** Single-file write into a partition with a fresh uuid name (the
-    * per-file building block [[DeleteVectors.materialize]] shares). */
+    * per-file building block [[DeleteVectors.materialize]] shares).
+    * Re-sorts by the table's sortOrder: the source file was clustered,
+    * and a mutation's join/filter may not preserve that — losing it would
+    * silently widen row-group stats on exactly the rewritten files. */
   private[ice] def writeSingleFileFor(df: DataFrame, partition: String): FileMarker =
-    writeSingleFile(df, s"_data/$partition/${UUID.randomUUID()}.parquet")
+    writeSingleFile(df, s"_data/$partition/${UUID.randomUUID()}.parquet",
+      cfg.sortOrder.filter(df.columns.contains).map(col))
 
   /** Atomic full-content REPLACEMENT of the table with `newContent`
     * (routed and sorted by this table's own config): the generalized form

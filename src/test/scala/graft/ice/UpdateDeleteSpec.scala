@@ -57,6 +57,39 @@ class UpdateDeleteSpec extends SparkSpec {
     assert(t.read().select("id").distinct().count() == 400 - n)
   }
 
+  test("multi-assignment UPDATE evaluates everything against original columns") {
+    val t = new IceTable(spark, tmpDir("upd_multi"), IceTableConfig(
+      partitionExpr = lit("p=all"), sortOrder = Seq("id")))
+    t.insert(Seq((1L, 10L, 20L), (2L, 30L, 40L)).toDF("id", "a", "b"))
+    // swap a and b where a = 10: both assignments must read the ORIGINAL
+    // values, and the predicate on `a` must not see the updated column
+    val n = t.updateWhere(col("a") === 10L, Seq("a" -> col("b"), "b" -> col("a")))
+    assert(n == 1)
+    val r = t.read().where($"id" === 1L).head
+    assert(r.getAs[Long]("a") == 20L && r.getAs[Long]("b") == 10L,
+      s"swap failed: $r")
+    val untouched = t.read().where($"id" === 2L).head
+    assert(untouched.getAs[Long]("a") == 30L && untouched.getAs[Long]("b") == 40L)
+    // predicate-on-updated-column: SET a = -1 WHERE a >= 20 updates BOTH
+    // current a values >= 20 (the just-swapped 20 and 30)
+    assert(t.updateWhere(col("a") >= 20L, Seq("a" -> lit(-1L))) == 2)
+    assert(t.read().where($"a" === -1L).count() == 2)
+  }
+
+  test("type-changing and unknown-column assignments fail before any write") {
+    val t = new IceTable(spark, tmpDir("upd_type"), IceTableConfig(
+      partitionExpr = lit("p=all"), sortOrder = Seq("id")))
+    t.insert(Seq((1L, 10L)).toDF("id", "score"))
+    intercept[Exception] { // bigint -> string would poison the log schema
+      t.updateWhere(col("id") === 1L, Seq("score" -> lit("text")))
+    }
+    intercept[IllegalArgumentException] {
+      t.updateWhere(col("id") === 1L, Seq("nope" -> lit(1L)))
+    }
+    // table unchanged and still readable
+    assert(t.read().head.getAs[Long]("score") == 10L)
+  }
+
   test("null-safe delete condition never drops null-evaluating rows") {
     val t = new IceTable(spark, tmpDir("delnull"), IceTableConfig(
       partitionExpr = lit("p=all"), sortOrder = Seq("id")))

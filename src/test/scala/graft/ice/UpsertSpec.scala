@@ -52,6 +52,26 @@ class UpsertSpec extends SparkSpec {
     assert(t.read().select("id").distinct().count() == 100)
   }
 
+  test("empty-source upsert commits nothing; routing honors table hooks") {
+    val t = mkTable("ups_noop")
+    t.insert(batch(0, 40))
+    val logsBefore = t.logio.currentLogFiles(t.root).length
+    val (r, i) = t.upsert(batch(0, 0), Seq("id"))
+    assert(r == 0 && i == 0)
+    assert(t.logio.currentLogFiles(t.root).length == logsBefore, "no empty commit")
+
+    // a partitionFunc-configured table must route upserted rows through it
+    val tf = new IceTable(spark, tmpDir("ups_pf"), IceTableConfig(
+      partitionExpr = lit("unused"),
+      sortOrder = Seq("id"),
+      partitionFunc = Some(r => s"f=${r.getAs[Long]("id") % 2}")))
+    tf.insert(batch(0, 10))
+    tf.upsert(batch(10, 12), Seq("id"))
+    val parts = tf.snapshot().aliveFiles.map(m => tf.partitionOf(m.path)).toSet
+    assert(parts == Set("f=0", "f=1"), s"got $parts") // never "unused"
+    assert(tf.read().count() == 12)
+  }
+
   test("upsert with an evolved source schema grows the union schema") {
     val t = mkTable("ups_evolve")
     t.insert(batch(0, 100))
