@@ -33,13 +33,16 @@ import org.apache.spark.sql.functions._
   */
 object DeleteVectors {
 
+  /** The dv side table's config (shared with [[IceTable.dvPositions]]). */
+  private[ice] val dvConfig: IceTableConfig = IceTableConfig(
+    partitionExpr = concat(lit("h="), pmod(xxhash64(col("path")), lit(16))),
+    sortOrder = Seq("path", "row_index"),
+    customMergeSql = Some(
+      "select path, row_index from source_files group by path, row_index"))
+
   /** Open (or lay out) the deletion-vector side table for `main`. */
   def dvTable(main: IceTable): IceTable =
-    new IceTable(main.spark, s"${main.root}/_dv", IceTableConfig(
-      partitionExpr = concat(lit("h="), pmod(xxhash64(col("path")), lit(16))),
-      sortOrder = Seq("path", "row_index"),
-      customMergeSql = Some(
-        "select path, row_index from source_files group by path, row_index")))
+    new IceTable(main.spark, s"${main.root}/_dv", dvConfig)
 
   /** The main table's rows with root-relative `_dv_path` / `_dv_row`
     * position columns attached. */

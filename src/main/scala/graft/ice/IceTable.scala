@@ -278,6 +278,54 @@ final class IceTable(
       spark.read.schema(schema).parquet(markers.map(m => s"$root/${m.path}"): _*)
   }
 
+  /** Deleted (path, row_index) pairs for this table's deletion-vector
+    * side table, restricted to `paths` — None when no dv table exists or
+    * it is empty. One cheap `_dv/_log` existence probe; see
+    * [[DeleteVectors]]. */
+  private[ice] def dvPositions(paths: Seq[String]): Option[DataFrame] = {
+    val dvRoot = s"$root/_dv"
+    val probe = new Path(dvRoot, "_log")
+    val hasDv =
+      try probe.getFileSystem(hadoopConf).exists(probe)
+      catch { case _: Exception => false }
+    if (!hasDv) return None
+    val dv = new IceTable(spark, dvRoot, DeleteVectors.dvConfig, clock)
+    dv.trySnapshot(Long.MaxValue)
+      .filter(_.aliveFiles.nonEmpty)
+      .map { s =>
+        val all = dv.readFiles(s, s.aliveFiles)
+        // the path restriction is an optimization for small target lists
+        // (merge candidates); a 10⁵-entry isin would bloat the plan, and
+        // unrestricted rows simply never match the anti-join
+        val restricted =
+          if (paths.length <= 128) all.where(col("path").isin(paths: _*)) else all
+        restricted.select(col("path").as("_dv_path"), col("row_index").as("_dv_row"))
+      }
+  }
+
+  /** [[readFiles]] with this table's deletion vectors APPLIED — the read
+    * every file-REWRITING operation must use: a rewrite gives surviving
+    * rows new (path, position) identities, so any dv mark not applied at
+    * rewrite time would go stale and its deleted rows would resurrect.
+    * Merge/optimize/recluster/repartition/rewrite all read through this,
+    * which is what makes deletion vectors SURVIVE compaction (the merged
+    * output physically excludes deleted rows; the stale marks are
+    * vacuum's to reclaim). */
+  private[ice] def readFilesApplyingDeletes(
+      snap: IceSnapshot, markers: Seq[FileMarker]): DataFrame =
+    dvPositions(markers.map(_.path)) match {
+      case None => readFiles(snap, markers)
+      case Some(del) =>
+        if (markers.isEmpty) readFiles(snap, markers)
+        else spark.read.schema(snap.schema.toStructType)
+          .parquet(markers.map(m => s"$root/${m.path}"): _*)
+          .withColumn("_dv_path",
+            regexp_extract(col("_metadata.file_path"), "_data/.*$", 0))
+          .withColumn("_dv_row", col("_metadata.row_index"))
+          .join(del, Seq("_dv_path", "_dv_row"), "left_anti")
+          .drop("_dv_path", "_dv_row")
+    }
+
   /** A18 `get_files`: alive markers whose partition string is within the
     * lexicographic [lo, hi] range (reference: ch/user_scripts/main.go:44-73).
     * Pruning happens *before* Spark ever lists a file — at 100 TB this is
@@ -813,16 +861,24 @@ final class IceTable(
     // probe — materialize its distinct ONCE, not once per consumer
     val srcKeys = srcStaged.select(keyCols.map(col): _*).distinct().localCheckpoint()
     val snapOpt = trySnapshot(Long.MaxValue)
+    // deletion vectors apply to the probe AND the kept-row rewrites (see
+    // mutateAffected): a rewrite re-positions survivors, so unapplied
+    // marks would resurrect their rows
+    val del = snapOpt.flatMap(s => dvPositions(s.aliveFiles.map(_.path)))
+    def applyDv(df: DataFrame): DataFrame = del.fold(df)(d =>
+      df.join(d.withColumnRenamed("_dv_path", "_p").withColumnRenamed("_dv_row", "_r"),
+        Seq("_p", "_r"), "left_anti"))
     val (targets, replaced, schema) = snapOpt match {
       case None => (Seq.empty[FileMarker], 0L, srcStaged.schema)
       case Some(snap) =>
         val sch = snap.schema.toStructType
-        // the metadata column must project off the SCAN, before any join
-        // hides it
-        val scan = spark.read.schema(sch)
+        // the metadata columns must project off the SCAN, before any join
+        // hides them
+        val scan = applyDv(spark.read.schema(sch)
           .parquet(snap.aliveFiles.map(m => s"$root/${m.path}"): _*)
           .withColumn("_p",
             regexp_extract(col("_metadata.file_path"), "_data/.*$", 0))
+          .withColumn("_r", col("_metadata.row_index")))
         val hits = scan.join(srcKeys, keyCols, "left_semi")
           .groupBy(col("_p"))
           .agg(count(lit(1)).as("_n"))
@@ -838,7 +894,10 @@ final class IceTable(
       implicit val ec: scala.concurrent.ExecutionContext = IceTable.insertPool
       Await.result(Future.traverse(targets) { m =>
         Future {
-          val kept = spark.read.schema(schema).parquet(s"$root/${m.path}")
+          val kept = applyDv(spark.read.schema(schema).parquet(s"$root/${m.path}")
+              .withColumn("_p", lit(m.path))
+              .withColumn("_r", col("_metadata.row_index")))
+            .drop("_p", "_r")
             .join(srcKeys, keyCols, "left_anti")
           writeSingleFileFor(kept, partitionOf(m.path))
         }
@@ -886,9 +945,19 @@ final class IceTable(
     probe.accumulate(
       Schema.fromStructType(schema).columns, Schema.fromStructType(schema).types)
     probe.accumulate(outSchema.columns, outSchema.types) // throws on conflict
-    val hits = scan.where(cond)
-      .groupBy(regexp_extract(col("_metadata.file_path"), "_data/.*$", 0).as("_p"))
-      .agg(count(lit(1)).as("_n"))
+    // deletion vectors apply to BOTH the probe (don't count already-
+    // deleted rows as matches) and each per-file rewrite (a rewrite gives
+    // surviving rows new positions, so unapplied marks would go stale and
+    // resurrect their rows)
+    val del = dvPositions(snap.aliveFiles.map(_.path))
+    def applyDv(df: DataFrame): DataFrame = del.fold(df)(d =>
+      df.join(d.withColumnRenamed("_dv_path", "_p").withColumnRenamed("_dv_row", "_r"),
+        Seq("_p", "_r"), "left_anti"))
+    val probed = applyDv(scan
+      .withColumn("_p", regexp_extract(col("_metadata.file_path"), "_data/.*$", 0))
+      .withColumn("_r", col("_metadata.row_index")))
+    val hits = probed.where(cond)
+      .groupBy(col("_p")).agg(count(lit(1)).as("_n"))
       .collect() // file-count scale: one row per AFFECTED file
     if (hits.isEmpty) return 0L
     val matched = hits.map(_.getLong(1)).sum
@@ -903,7 +972,10 @@ final class IceTable(
       implicit val ec: scala.concurrent.ExecutionContext = IceTable.insertPool
       Await.result(Future.traverse(targets) { m =>
         Future {
-          val src = spark.read.schema(schema).parquet(s"$root/${m.path}")
+          val src = applyDv(spark.read.schema(schema).parquet(s"$root/${m.path}")
+            .withColumn("_p", lit(m.path))
+            .withColumn("_r", col("_metadata.row_index")))
+            .drop("_p", "_r")
           writeSingleFileFor(transform(src), partitionOf(m.path))
         }
       }, Duration.Inf)
@@ -1131,7 +1203,7 @@ final class IceTable(
       snap: IceSnapshot,
       partition: String,
       acc: Seq[FileMarker]): MergeResult = {
-    val src = readFiles(snap, acc)
+    val src = readFilesApplyingDeletes(snap, acc)
     // the `source_files` view name is rewritten to a unique name so
     // concurrent merges of *different* tables in one session never race
     // (merges of the SAME table still require the reference's external
@@ -1296,7 +1368,7 @@ final class IceTable(
     val results: Seq[Seq[FileMarker]] = Await.result(
       Future.traverse(byPart) { case (partition, ms) =>
         Future {
-          val src = readFiles(snap, ms)
+          val src = readFilesApplyingDeletes(snap, ms)
           val clustered =
             if (filesPer == 1) src.coalesce(1).sortWithinPartitions(clusterExpr)
             else src.repartitionByRange(filesPer, clusterExpr)
@@ -1344,7 +1416,7 @@ final class IceTable(
       newSortOrder: Seq[String] = cfg.sortOrder): Int = {
     val snap = trySnapshot(now()).getOrElse(return 0)
     if (snap.aliveFiles.isEmpty) return 0
-    val src = readFiles(snap, snap.aliveFiles)
+    val src = readFilesApplyingDeletes(snap, snap.aliveFiles)
     // write through the standard insert machinery (clone with the new
     // routing/sort config) but commit via the merge-style log rewrite
     val writerTable = new IceTable(spark, root,
@@ -1402,7 +1474,7 @@ final class IceTable(
     val results: Seq[(FileMarker, Schema)] = Await.result(
       Future.traverse(candidates) { case (partition, acc) =>
         Future {
-          val src = readFiles(snap, acc)
+          val src = readFilesApplyingDeletes(snap, acc)
           cfg.customMergeSql match {
             case None =>
               (writeSingleFile(src, s"_data/$partition/${UUID.randomUUID()}.parquet",
@@ -1657,7 +1729,7 @@ final class IceTable(
         Future.traverse(targets) { old =>
           Future {
             val view = s"_rows_${UUID.randomUUID().toString.replace("-", "")}"
-            readFiles(snap, Seq(old)).createOrReplaceTempView(view)
+            readFilesApplyingDeletes(snap, Seq(old)).createOrReplaceTempView(view)
             try {
               val result = spark.sql(filterSql.replaceAll("\\b_rows\\b", view))
               writeSingleFile(result,

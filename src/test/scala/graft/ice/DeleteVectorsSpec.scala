@@ -66,6 +66,40 @@ class DeleteVectorsSpec extends SparkSpec {
     assert(DeleteVectors.read(t).count() == 759)
   }
 
+  test("deletes survive compaction: merged output physically excludes them") {
+    val t = mkTable("dv_merge")
+    t.insert(batch(0, 200)); t.insert(batch(200, 400))
+    assert(DeleteVectors.deleteWhere(t, col("id") % 10 === 7) == 40)
+    // optimize rewrites every partition — the dv-aware merge read must
+    // drop the marked rows, not resurrect them into the merged files
+    t.optimize(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+    assert(t.read().count() == 360, "raw read after compaction")
+    assert(DeleteVectors.read(t).count() == 360)
+    assert(t.read().where(col("id") % 10 === 7).count() == 0)
+    // stale marks reclaim; further deletes still work
+    DeleteVectors.vacuum(t)
+    assert(DeleteVectors.deleteWhere(t, col("id") === 7L) == 0) // already gone
+    assert(DeleteVectors.deleteWhere(t, col("id") === 1L) == 1)
+    assert(DeleteVectors.read(t).count() == 359)
+  }
+
+  test("deletes survive CoW update/upsert of marked files") {
+    val t = mkTable("dv_dml")
+    t.insert(batch(0, 100))
+    assert(DeleteVectors.deleteWhere(t, col("id") < 8) == 8)
+    // update touches the same files; the rewrite must apply the marks
+    val updated = t.updateWhere(col("id").between(8, 11), Seq("v" -> lit("u")))
+    assert(updated == 4)
+    assert(t.read().count() == 92, "update rewrite must apply deletes")
+    assert(t.read().where(col("id") < 8).count() == 0)
+    // upsert of keys in the same files keeps the deletes applied too
+    val (replaced, inserted) = t.upsert(
+      (12 until 14).map(i => (i.toLong, "up")).toDF("id", "v"), Seq("id"))
+    assert(replaced == 2 && inserted == 2)
+    assert(t.read().count() == 92)
+    assert(t.read().where(col("id") < 8).count() == 0)
+  }
+
   test("dv table compaction dedups positions and answers stay stable") {
     val t = mkTable("dv_compact")
     t.insert(batch(0, 200))
