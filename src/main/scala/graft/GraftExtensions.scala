@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // VERSION AS OF time travel) against spark.graft.warehouse — see
     // [[graft.plans.IceSqlResolution]]
     e.injectResolutionRule(sp => new graft.plans.IceSqlResolution(sp))
+    // deletion-vector coherence for `spark.read.format("ice")` relations
+    // (every other surface applies the overlay itself) — see
+    // [[graft.plans.IceDvOverlay]]
+    e.injectResolutionRule(sp => new graft.plans.IceDvOverlay(sp))
     e.injectFunction((FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - codegen'd array dot product"),
       (es: Seq[Expression]) => DotProduct(es(0), es(1))))

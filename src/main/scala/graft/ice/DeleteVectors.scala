@@ -54,8 +54,7 @@ object DeleteVectors {
       .withColumn("_dv_row", lit(null).cast("bigint"))
     main.spark.read.schema(snap.schema.toStructType)
       .parquet(files.map(m => s"${main.root}/${m.path}"): _*)
-      .withColumn("_dv_path",
-        regexp_extract(col("_metadata.file_path"), "_data/.*$", 0))
+      .withColumn("_dv_path", main.relPathCol)
       .withColumn("_dv_row", col("_metadata.row_index"))
   }
 
@@ -78,23 +77,11 @@ object DeleteVectors {
     n
   }
 
-  /** Merge-on-read: the main table minus its deleted positions. */
-  def read(main: IceTable, maxTs: Long = Long.MaxValue): DataFrame = {
-    val dv = dvTable(main)
-    dv.trySnapshot(maxTs) match {
-      case None => main.read(maxTs)
-      case Some(dvSnap) if dvSnap.aliveFiles.isEmpty => main.read(maxTs)
-      case Some(dvSnap) =>
-        val deletes = dv.readFiles(dvSnap, dvSnap.aliveFiles)
-          .select(col("path").as("_dv_path"), col("row_index").as("_dv_row"))
-        // no broadcast hint: AQE broadcasts the (typically tiny) dv side
-        // on its own, but a pathological billion-row dv must be allowed
-        // to sort-merge instead of OOMing the executors
-        withPositions(main, maxTs)
-          .join(deletes, Seq("_dv_path", "_dv_row"), "left_anti")
-          .drop("_dv_path", "_dv_row")
-    }
-  }
+  /** Merge-on-read: the main table minus its deleted positions. Since
+    * round 8 [[IceTable.read]] applies deletion vectors itself (every read
+    * surface agrees), so this is a plain alias kept for API continuity. */
+  def read(main: IceTable, maxTs: Long = Long.MaxValue): DataFrame =
+    main.read(maxTs)
 
   /** Copy-on-write materialization: rewrite ONLY the files that carry
     * deletes, dropping their deleted rows, in one atomic validated commit
@@ -105,12 +92,16 @@ object DeleteVectors {
   def materialize(main: IceTable): Int = {
     var attempts = 0
     while (attempts < 5) {
+      // the stamp is captured BEFORE the dv snapshot is read; the commit
+      // below re-checks it under the main commit lock (the one every
+      // deleteWhere commit also takes), so marks landing after our read
+      // abort this pass instead of being stranded on tombstoned paths
+      val dvStampAtRead = main.dvStamp()
       val dv = dvTable(main)
       val dvSnap = dv.trySnapshot().getOrElse(return 0)
       if (dvSnap.aliveFiles.isEmpty) return 0
       val deletes = dv.readFiles(dvSnap, dvSnap.aliveFiles)
         .select("path", "row_index").distinct().localCheckpoint()
-      val applied = deletes.count()
       val affectedPaths = deletes.select("path").distinct()
         .collect().map(_.getString(0)).toSet // file-count scale, not rows
       val snap = main.snapshot()
@@ -132,45 +123,49 @@ object DeleteVectors {
           }
         }, Duration.Inf)
       }
-      // dv-staleness gate under the MAIN commit lock (which every
-      // deleteWhere commit also takes): if rows were marked deleted after
-      // our dv snapshot, replacing the files now would strand those marks
-      // on dead paths — abandon this pass's outputs and re-apply
-      val committed = IceTable.commitLock(main.root).synchronized {
-        val latest = dv.trySnapshot().map(s =>
-          dv.readFiles(s, s.aliveFiles)
-            .select("path", "row_index").distinct().count()).getOrElse(0L)
-        if (latest == applied) {
-          main.validatedRewriteCommit(targets, newFiles)
-          true
-        } else false
+      try {
+        // validatedRewriteCommit re-checks the dv stamp AND the sources
+        // under the lock, and deletes newFiles itself on conflict
+        main.validatedRewriteCommit(targets, newFiles,
+          dvStampAtRead = dvStampAtRead)
+        return targets.length
+      } catch {
+        case _: CommitConflictException => attempts += 1
       }
-      if (committed) return targets.length
-      newFiles.foreach(m => main.logio.delete(main.root, m.path))
-      attempts += 1
     }
     throw new CommitConflictException(
-      "materialize lost 5 consecutive races against concurrent deleteWhere commits")
+      "materialize lost 5 consecutive races against concurrent commits")
   }
 
   /** Drop dv rows whose file is no longer alive in the main table (after
-    * [[materialize]] or ordinary compaction): an atomic full rewrite of
-    * the dv table — which is position-pair sized, never data sized. */
-  def vacuum(main: IceTable): Long = {
-    val dv = dvTable(main)
-    val dvSnap = dv.trySnapshot().getOrElse(return 0L)
-    if (dvSnap.aliveFiles.isEmpty) return 0L
-    val alive = main.trySnapshot().map(_.aliveFiles.map(_.path)).getOrElse(Seq.empty)
-    import dv.spark.implicits._
-    val aliveDf = alive.toDF("path")
-    // one dv scan: the kept set materializes once and serves the counts
-    // AND the rewrite (and a concurrent dv commit can no longer make the
-    // returned figure disagree with what was rewritten)
-    val before = dv.readFiles(dvSnap, dvSnap.aliveFiles).localCheckpoint()
-    val kept = before.join(broadcast(aliveDf), Seq("path"), "left_semi")
-      .localCheckpoint()
-    val dropped = before.count() - kept.count()
-    if (dropped > 0) dv.rewriteTable(kept)
-    dropped
-  }
+    * [[materialize]] or ordinary compaction): an atomic rewrite of the dv
+    * table — which is position-pair sized, never data sized.
+    *
+    * Only the EXACT dv files the kept set was computed from are
+    * tombstoned (`rewriteTable(sources = dvSnap.aliveFiles)`): a dv file
+    * committed by a concurrent [[deleteWhere]] between our snapshot and
+    * the rewrite commit stays alive alongside the rewrite, so committed
+    * delete marks are never dropped. The whole read+commit additionally
+    * runs under the MAIN root's commit lock — the lock deleteWhere's dv
+    * commit and materialize's gate use — so the snapshot cannot go stale
+    * while we fold it (rewriteTable itself locks only the dv root, which
+    * deleteWhere never takes). */
+  def vacuum(main: IceTable): Long =
+    IceTable.commitLock(main.root).synchronized {
+      val dv = dvTable(main)
+      val dvSnap = dv.trySnapshot().getOrElse(return 0L)
+      if (dvSnap.aliveFiles.isEmpty) return 0L
+      val alive = main.trySnapshot().map(_.aliveFiles.map(_.path)).getOrElse(Seq.empty)
+      import dv.spark.implicits._
+      val aliveDf = alive.toDF("path")
+      // one dv scan: the kept set materializes once and serves the counts
+      // AND the rewrite (and a concurrent dv commit can no longer make the
+      // returned figure disagree with what was rewritten)
+      val before = dv.readFiles(dvSnap, dvSnap.aliveFiles).localCheckpoint()
+      val kept = before.join(broadcast(aliveDf), Seq("path"), "left_semi")
+        .localCheckpoint()
+      val dropped = before.count() - kept.count()
+      if (dropped > 0) dv.rewriteTable(kept, sources = Some(dvSnap.aliveFiles))
+      dropped
+    }
 }

@@ -79,11 +79,21 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration) {
   /** [[readLogForward]] plus the max-folded per-query stream-commit map
     * from the logs' metadata lines (exactly-once sink bookkeeping). */
   def readLogForwardWithCommits(root: String, logPaths: Seq[String])
-      : ((Schema, Seq[FileMarker], Seq[LogTombstone]), Map[String, Long]) = {
+      : ((Schema, Seq[FileMarker], Seq[LogTombstone]), Map[String, Long]) =
+    readLogForwardFull(root, logPaths) match {
+      case (state, commits, _) => (state, commits)
+    }
+
+  /** [[readLogForwardWithCommits]] plus the last-writer-wins persisted
+    * table config from the logs' metadata lines. */
+  def readLogForwardFull(root: String, logPaths: Seq[String])
+      : ((Schema, Seq[FileMarker], Seq[LogTombstone]), Map[String, Long],
+        Option[Map[String, Any]]) = {
     val totalSchema = new Schema
     val markers = mutable.LinkedHashMap.empty[String, FileMarker]
     val tombstones = mutable.LinkedHashMap.empty[String, LogTombstone]
     var commits = Map.empty[String, Long]
+    var tableCfg: Option[Map[String, Any]] = None
     val sorted = logPaths.sorted
 
     if (sorted.isEmpty) throw new NoLogFilesException
@@ -93,13 +103,14 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration) {
     sorted.foreach { logFile =>
       val lines = fetched(logFile)
       val (schema, fileMs, tmbs) = parseLog(logFile, lines)
-      commits = LogMetadata.mergeCommits(
-        commits, LogMetadata.fromJson(lines(0)).streamCommits)
+      val meta = LogMetadata.fromJson(lines(0))
+      commits = LogMetadata.mergeCommits(commits, meta.streamCommits)
+      meta.tableCfg.foreach(c => tableCfg = Some(c))
       totalSchema.accumulate(schema.columns, schema.types)
       tmbs.foreach(t => tombstones(t.path) = t)
       fileMs.foreach(fm => markers(fm.path) = fm)
     }
-    ((totalSchema, markers.values.toSeq, tombstones.values.toSeq), commits)
+    ((totalSchema, markers.values.toSeq, tombstones.values.toSeq), commits, tableCfg)
   }
 
   /** List current log files (root-relative paths), lexicographically
@@ -137,6 +148,16 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration) {
     val ckpt =
       if (useCheckpoints) latestCheckpointBefore(root, timestamp) else None
     ckpt match {
+      case Some(c) if logs.filterNot(c.coveredLogs.toSet)
+          .exists(p => IceLogIO.logFileInfo(p)._1 <= c.ckptTs) =>
+        // an uncovered log whose filename ts is <= the checkpoint's
+        // covered-max would fold AFTER the checkpoint state here but
+        // BEFORE some covered logs in the raw lexicographic fold (clock
+        // skew across writers); last-writer-wins could then diverge —
+        // fall back to the canonical raw fold, which is always correct
+        val ((schema, markers, tombstones), commits, cfg) =
+          readLogForwardFull(root, logs)
+        IceSnapshot(schema, markers, tombstones, logs, timestamp, commits, cfg)
       case Some(c) =>
         val covered = c.coveredLogs.toSet
         val tail = logs.filterNot(covered)
@@ -147,24 +168,26 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration) {
         val tombstones = mutable.LinkedHashMap.empty[String, LogTombstone]
         c.tombstones.foreach(t => tombstones(t.path) = t)
         var commits = c.streamCommits
+        var tableCfg = c.tableCfg
         if (tail.nonEmpty) {
           val fetched = fetchLogLines(root, tail.sorted)
           tail.sorted.foreach { logFile =>
             val lines = fetched(logFile)
             val (schema, fileMs, tmbs) = parseLog(logFile, lines)
-            commits = LogMetadata.mergeCommits(
-              commits, LogMetadata.fromJson(lines(0)).streamCommits)
+            val meta = LogMetadata.fromJson(lines(0))
+            commits = LogMetadata.mergeCommits(commits, meta.streamCommits)
+            meta.tableCfg.foreach(cfg => tableCfg = Some(cfg))
             totalSchema.accumulate(schema.columns, schema.types)
             tmbs.foreach(t => tombstones(t.path) = t)
             fileMs.foreach(fm => markers(fm.path) = fm)
           }
         }
         IceSnapshot(totalSchema, markers.values.toSeq,
-          tombstones.values.toSeq, logs, timestamp, commits)
+          tombstones.values.toSeq, logs, timestamp, commits, tableCfg)
       case None =>
-        val ((schema, markers, tombstones), commits) =
-          readLogForwardWithCommits(root, logs)
-        IceSnapshot(schema, markers, tombstones, logs, timestamp, commits)
+        val ((schema, markers, tombstones), commits, cfg) =
+          readLogForwardFull(root, logs)
+        IceSnapshot(schema, markers, tombstones, logs, timestamp, commits, cfg)
     }
   }
 
@@ -197,7 +220,8 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration) {
       fileLineIndex = if (tombstones.isEmpty) 3 else 3 + tombstones.length,
       tombstoneLineIndex = if (tombstones.isEmpty) None else Some(3),
       timestamp = ckptTs,
-      streamCommits = snap.streamCommits)
+      streamCommits = snap.streamCommits,
+      tableCfg = snap.tableConfig)
     val lines = Seq(
       meta.json,
       Json.obj("logs" -> (covered: Any)),
@@ -235,7 +259,7 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration) {
     val markers = (meta.fileLineIndex until lines.length)
       .map(i => FileMarker.fromJson(lines(i)))
     IceCheckpoint(meta.timestamp, covered, schema, markers, tombstones,
-      meta.streamCommits)
+      meta.streamCommits, meta.tableCfg)
   }
 
   /** Newest checkpoint whose covered logs ALL satisfy the strict `<`
@@ -269,7 +293,8 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration) {
       tombstones: Seq[LogTombstone] = Seq.empty,
       merged: Boolean = false,
       timestamp: Option[Long] = None,
-      streamCommits: Map[String, Long] = Map.empty): (String, LogMetadata) = {
+      streamCommits: Map[String, Long] = Map.empty,
+      tableCfg: Option[Map[String, Any]] = None): (String, LogMetadata) = {
     // The filename IS the commit identity: two commits in the same
     // millisecond from one writer would collide on `{ts}_{host}.jsonl`
     // (rename then fails — or silently replaces, store-dependent).
@@ -301,7 +326,8 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration) {
               fileLineIndex = if (tombstones.isEmpty) 2 else 2 + tombstones.length,
               tombstoneLineIndex = if (tombstones.isEmpty) None else Some(2),
               timestamp = ts,
-              streamCommits = streamCommits)
+              streamCommits = streamCommits,
+              tableCfg = tableCfg)
             val lines = Seq(meta.json, schema.toJson) ++
               tombstones.map(_.json) ++ files.map(_.json)
             writeAtomic(filesystem, dest, lines.mkString("\n"))

@@ -147,6 +147,14 @@ final class IceTable(
   private def fs = logio.fs(root)
   private def now(): Long = clock()
 
+  /** The JSON-able projection of this handle's config, persisted in every
+    * log commit's metadata line (None for a fully-default handle) so
+    * [[IceTable.open]] and the SQL catalog can reconstruct a functional
+    * handle — SQL-path DML then writes sorted, stats-bearing files instead
+    * of silently degrading pruning on the files it touches. */
+  private[graft] lazy val persistedCfg: Option[Map[String, Any]] =
+    IceTable.persistableCfg(cfg)
+
   // ---------------------------------------------------------------- snapshot
 
   /** MVCC snapshot at `maxTs` (strict `<` on log filename timestamps —
@@ -234,10 +242,18 @@ final class IceTable(
     * hangs off this. Explicit alive-file list (snapshot isolation — never
     * glob `_data/`) + explicit union schema (absent columns read as null,
     * matching the add-only union-schema contract, README.md:156-177,461-464).
-    */
+    *
+    * Deletion vectors are APPLIED: a row marked deleted by
+    * [[DeleteVectors.deleteWhere]] is invisible here, through the SQL
+    * catalog, and through [[DeleteVectors.read]] alike — the three read
+    * surfaces always agree, with or without a [[DeleteVectors.materialize]]
+    * in between. Tables with no dv side table pay one `_dv/_log` existence
+    * probe and keep their exact previous plan. The dv snapshot is pinned at
+    * the same `maxTs`, so time travel to before a delete still sees the
+    * rows. */
   def read(maxTs: Long = Long.MaxValue): DataFrame = {
     val snap = snapshot(maxTs)
-    readFiles(snap, snap.aliveFiles)
+    readFilesApplyingDeletes(snap, snap.aliveFiles, maxTs)
   }
 
   /** Merge-on-read (the ClickHouse `FINAL` shape): [[read]] with the
@@ -259,14 +275,16 @@ final class IceTable(
     cfg.customMergeSql match {
       case None => read(maxTs)
       case Some(q) =>
-        // stable per-table view name: spark.sql analyzes EAGERLY, so the
-        // returned DataFrame keeps its resolved snapshot even after a later
-        // readFinal replaces the view — and a read-path API must not leak
-        // one catalog entry per call
-        val view = "source_files_final_" +
-          java.lang.Long.toHexString(root.hashCode.toLong & 0xffffffffL)
+        // per-CALL unique view name, dropped as soon as spark.sql has
+        // analyzed (eagerly) against it: concurrent readFinal calls on the
+        // same table with different maxTs must never cross views (a stable
+        // per-table name + createOrReplaceTempView is not atomic with the
+        // sql() that reads it), and a read-path API must not leak catalog
+        // entries
+        val view = s"source_files_final_${UUID.randomUUID().toString.replace("-", "")}"
         read(maxTs).createOrReplaceTempView(view)
-        spark.sql(q.replaceAll("\\bsource_files\\b", view))
+        try spark.sql(q.replaceAll("\\bsource_files\\b", view))
+        finally spark.catalog.dropTempView(view)
     }
 
   /** Read a specific marker subset under a snapshot's union schema. */
@@ -278,11 +296,29 @@ final class IceTable(
       spark.read.schema(schema).parquet(markers.map(m => s"$root/${m.path}"): _*)
   }
 
+  /** This table's root as the filesystem qualifies it — the exact prefix
+    * `_metadata.file_path` carries for every file under the root. */
+  private[graft] lazy val qualifiedRoot: String =
+    fs.makeQualified(new Path(root)).toString
+
+  /** Root-relative path of the file a row came from (`_data/...`),
+    * recovered by stripping the qualified root prefix off
+    * `_metadata.file_path` — a length-based substring, NOT a pattern
+    * match, so a root that itself contains `_data/` as a path component
+    * cannot desynchronize these paths from the log's marker paths (every
+    * dv mark, marker equality check, and anti-join keys on this). */
+  private[graft] def relPathCol: Column = {
+    val prefixLen = qualifiedRoot.length + 1 // "+ 1" skips the joining '/'
+    col("_metadata.file_path")
+      .substr(lit(prefixLen + 1), length(col("_metadata.file_path")))
+  }
+
   /** Deleted (path, row_index) pairs for this table's deletion-vector
-    * side table, restricted to `paths` — None when no dv table exists or
-    * it is empty. One cheap `_dv/_log` existence probe; see
+    * side table at `maxTs`, restricted to `paths` — None when no dv table
+    * exists or it is empty. One cheap `_dv/_log` existence probe; see
     * [[DeleteVectors]]. */
-  private[ice] def dvPositions(paths: Seq[String]): Option[DataFrame] = {
+  private[graft] def dvPositions(
+      paths: Seq[String], maxTs: Long = Long.MaxValue): Option[DataFrame] = {
     val dvRoot = s"$root/_dv"
     val probe = new Path(dvRoot, "_log")
     val hasDv =
@@ -290,7 +326,7 @@ final class IceTable(
       catch { case _: Exception => false }
     if (!hasDv) return None
     val dv = new IceTable(spark, dvRoot, DeleteVectors.dvConfig, clock)
-    dv.trySnapshot(Long.MaxValue)
+    dv.trySnapshot(maxTs)
       .filter(_.aliveFiles.nonEmpty)
       .map { s =>
         val all = dv.readFiles(s, s.aliveFiles)
@@ -303,6 +339,27 @@ final class IceTable(
       }
   }
 
+  /** Fingerprint of the dv side table's commit state (None = no dv table).
+    * A rewrite captures this BEFORE reading any data; [[validatedRewriteCommit]]
+    * re-computes it under the commit lock and aborts on mismatch — so a
+    * [[DeleteVectors.deleteWhere]] that commits between a rewrite's data
+    * job and its commit can never be silently dropped (the rewrite's
+    * output was computed against the older dv state, and its tombstones
+    * would strand the fresh marks on dead paths). Driver-side metadata
+    * work only: one existence probe + one log listing. */
+  private[ice] def dvStamp(): Option[String] = {
+    val dvRoot = s"$root/_dv"
+    val probe = new Path(dvRoot, "_log")
+    val hasDv =
+      try probe.getFileSystem(hadoopConf).exists(probe)
+      catch { case _: Exception => false }
+    if (!hasDv) None
+    else {
+      val logs = logio.currentLogFiles(dvRoot)
+      Some(s"${logs.length}:${scala.util.hashing.MurmurHash3.orderedHash(logs)}")
+    }
+  }
+
   /** [[readFiles]] with this table's deletion vectors APPLIED — the read
     * every file-REWRITING operation must use: a rewrite gives surviving
     * rows new (path, position) identities, so any dv mark not applied at
@@ -312,15 +369,15 @@ final class IceTable(
     * output physically excludes deleted rows; the stale marks are
     * vacuum's to reclaim). */
   private[ice] def readFilesApplyingDeletes(
-      snap: IceSnapshot, markers: Seq[FileMarker]): DataFrame =
-    dvPositions(markers.map(_.path)) match {
+      snap: IceSnapshot, markers: Seq[FileMarker],
+      maxTs: Long = Long.MaxValue): DataFrame =
+    dvPositions(markers.map(_.path), maxTs) match {
       case None => readFiles(snap, markers)
       case Some(del) =>
         if (markers.isEmpty) readFiles(snap, markers)
         else spark.read.schema(snap.schema.toStructType)
           .parquet(markers.map(m => s"$root/${m.path}"): _*)
-          .withColumn("_dv_path",
-            regexp_extract(col("_metadata.file_path"), "_data/.*$", 0))
+          .withColumn("_dv_path", relPathCol)
           .withColumn("_dv_row", col("_metadata.row_index"))
           .join(del, Seq("_dv_path", "_dv_row"), "left_anti")
           .drop("_dv_path", "_dv_row")
@@ -339,7 +396,7 @@ final class IceTable(
 
   def readPartitionRange(lo: String, hi: String, maxTs: Long = Long.MaxValue): DataFrame = {
     val snap = snapshot(maxTs)
-    readFiles(snap, filesInPartitionRange(snap, lo, hi))
+    readFilesApplyingDeletes(snap, filesInPartitionRange(snap, lo, hi), maxTs)
   }
 
   /** Exact partition-SET read: the point-lookup analog of
@@ -349,7 +406,8 @@ final class IceTable(
     * pruning: only member partitions' files are ever listed. */
   def readPartitions(parts: Set[String], maxTs: Long = Long.MaxValue): DataFrame = {
     val snap = snapshot(maxTs)
-    readFiles(snap, snap.aliveFiles.filter(m => parts.contains(partitionOf(m.path))))
+    readFilesApplyingDeletes(snap,
+      snap.aliveFiles.filter(m => parts.contains(partitionOf(m.path))), maxTs)
   }
 
   /** Data skipping on the stats column (see `IceTableConfig.statsColumn`):
@@ -371,7 +429,7 @@ final class IceTable(
 
   def readStatsRange(lo: String, hi: String, maxTs: Long = Long.MaxValue): DataFrame = {
     val snap = snapshot(maxTs)
-    readFiles(snap, filesInStatsRange(snap, lo, hi))
+    readFilesApplyingDeletes(snap, filesInStatsRange(snap, lo, hi), maxTs)
   }
 
   /** A marker's recorded [min, max] for any stats column (primary or
@@ -406,7 +464,7 @@ final class IceTable(
       windows: Map[String, (Option[String], Option[String])],
       maxTs: Long = Long.MaxValue): DataFrame = {
     val snap = snapshot(maxTs)
-    readFiles(snap, filesMatchingStats(snap, windows))
+    readFilesApplyingDeletes(snap, filesMatchingStats(snap, windows), maxTs)
   }
 
   /** Incremental (CDC-style) file listing: markers committed by *insert*
@@ -490,7 +548,7 @@ final class IceTable(
     val (markers, schema) = writeRouted(routeRows(df0))
     // One PUT = the transaction (icedb/icedb.py:217-219).
     logio.append(root, 1, schema, markers, timestamp = Some(now()),
-      streamCommits = streamCommits)
+      streamCommits = streamCommits, tableCfg = persistedCfg)
     maybeCheckpoint()
     markers
   }
@@ -855,6 +913,7 @@ final class IceTable(
     */
   def upsert(source: DataFrame, keyCols: Seq[String]): (Long, Long) = {
     require(keyCols.nonEmpty, "upsert requires at least one key column")
+    val dvStampAtRead = dvStamp() // BEFORE any read — see validatedRewriteCommit
     val srcStaged = source.localCheckpoint() // probe + write from one compute
     val srcCount = srcStaged.count()
     // the key set is consumed once per affected file (anti-join) plus the
@@ -876,8 +935,7 @@ final class IceTable(
         // hides them
         val scan = applyDv(spark.read.schema(sch)
           .parquet(snap.aliveFiles.map(m => s"$root/${m.path}"): _*)
-          .withColumn("_p",
-            regexp_extract(col("_metadata.file_path"), "_data/.*$", 0))
+          .withColumn("_p", relPathCol)
           .withColumn("_r", col("_metadata.row_index")))
         val hits = scan.join(srcKeys, keyCols, "left_semi")
           .groupBy(col("_p"))
@@ -916,13 +974,63 @@ final class IceTable(
       val sch = new Schema
       snapOpt.foreach(s => sch.accumulate(s.schema.columns, s.schema.types))
       sch.accumulate(addedSchema.columns, addedSchema.types)
-      logio.append(root, 1, sch, added, timestamp = Some(now()))
+      logio.append(root, 1, sch, added, timestamp = Some(now()),
+        tableCfg = persistedCfg)
     } else {
       // the source may carry evolved columns; accumulate add-only
-      validatedRewriteCommit(targets, rewritten ++ added, Seq(addedSchema))
+      validatedRewriteCommit(targets, rewritten ++ added, Seq(addedSchema),
+        dvStampAtRead)
     }
     maybeCheckpoint()
     (replaced, srcCount)
+  }
+
+  /** `MERGE INTO ... WHEN MATCHED THEN DELETE`: atomically drop every row
+    * whose key appears in `source` (the key-set dual of [[deleteWhere]],
+    * whose predicate cannot reference another DataFrame). Only files that
+    * contain matches rewrite — per-file anti-join against the broadcastable
+    * distinct key set — and tombstones + replacements land in one
+    * validated merged-log commit. Returns rows deleted. */
+  def deleteKeys(source: DataFrame, keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "deleteKeys requires at least one key column")
+    val dvStampAtRead = dvStamp() // BEFORE any read — see validatedRewriteCommit
+    val srcKeys = source.select(keyCols.map(col): _*).distinct().localCheckpoint()
+    val snap = trySnapshot(Long.MaxValue).getOrElse(return 0L)
+    if (snap.aliveFiles.isEmpty) return 0L
+    val schema = snap.schema.toStructType
+    val del = dvPositions(snap.aliveFiles.map(_.path))
+    def applyDv(df: DataFrame): DataFrame = del.fold(df)(d =>
+      df.join(d.withColumnRenamed("_dv_path", "_p").withColumnRenamed("_dv_row", "_r"),
+        Seq("_p", "_r"), "left_anti"))
+    val scan = applyDv(spark.read.schema(schema)
+      .parquet(snap.aliveFiles.map(m => s"$root/${m.path}"): _*)
+      .withColumn("_p", relPathCol)
+      .withColumn("_r", col("_metadata.row_index")))
+    val hits = scan.join(srcKeys, keyCols, "left_semi")
+      .groupBy(col("_p")).agg(count(lit(1)).as("_n"))
+      .collect() // file-count scale: one row per AFFECTED file
+    if (hits.isEmpty) return 0L
+    val deleted = hits.map(_.getLong(1)).sum
+    val affected = hits.map(_.getString(0)).toSet
+    val targets = snap.aliveFiles.filter(m => affected(m.path))
+    val rewritten: Seq[FileMarker] = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext = IceTable.insertPool
+      Await.result(Future.traverse(targets) { m =>
+        Future {
+          val kept = applyDv(spark.read.schema(schema).parquet(s"$root/${m.path}")
+              .withColumn("_p", lit(m.path))
+              .withColumn("_r", col("_metadata.row_index")))
+            .drop("_p", "_r")
+            .join(srcKeys, keyCols, "left_anti")
+          writeSingleFileFor(kept, partitionOf(m.path))
+        }
+      }, Duration.Inf)
+    }
+    validatedRewriteCommit(targets, rewritten, Seq.empty, dvStampAtRead)
+    maybeCheckpoint()
+    deleted
   }
 
   /** Shared CoW row-mutation core: probe which alive files hold matching
@@ -931,6 +1039,7 @@ final class IceTable(
     * commit tombstones + replacements in one validated append. */
   private def mutateAffected(cond: Column)(
       transform: DataFrame => DataFrame): Long = {
+    val dvStampAtRead = dvStamp() // BEFORE any read — see validatedRewriteCommit
     val snap = trySnapshot(Long.MaxValue).getOrElse(return 0L)
     if (snap.aliveFiles.isEmpty) return 0L
     val schema = snap.schema.toStructType
@@ -954,7 +1063,7 @@ final class IceTable(
       df.join(d.withColumnRenamed("_dv_path", "_p").withColumnRenamed("_dv_row", "_r"),
         Seq("_p", "_r"), "left_anti"))
     val probed = applyDv(scan
-      .withColumn("_p", regexp_extract(col("_metadata.file_path"), "_data/.*$", 0))
+      .withColumn("_p", relPathCol)
       .withColumn("_r", col("_metadata.row_index")))
     val hits = probed.where(cond)
       .groupBy(col("_p")).agg(count(lit(1)).as("_n"))
@@ -980,7 +1089,7 @@ final class IceTable(
         }
       }, Duration.Inf)
     }
-    validatedRewriteCommit(targets, newFiles, Seq(outSchema))
+    validatedRewriteCommit(targets, newFiles, Seq(outSchema), dvStampAtRead)
     matched
   }
 
@@ -997,12 +1106,24 @@ final class IceTable(
     * (routed and sorted by this table's own config): the generalized form
     * of [[repartitionTable]] used for rewrites whose change is the ROWS,
     * not the partition scheme — e.g. deletion-vector vacuum. One write
-    * job + one validated merged-log commit. Returns files written. */
-  private[ice] def rewriteTable(newContent: DataFrame): Int = {
-    val snap = trySnapshot(Long.MaxValue).getOrElse(return 0)
+    * job + one validated merged-log commit. Returns files written.
+    *
+    * @param sources the EXACT alive-marker set `newContent` was computed
+    *   from; only these are tombstoned. A file committed concurrently
+    *   (between the caller's read and this commit) stays alive alongside
+    *   the rewrite instead of being silently dropped — the dv-vacuum race
+    *   shape. None = tombstone the freshest snapshot's alive set (callers
+    *   whose `newContent` derives from state they re-read here). */
+  private[ice] def rewriteTable(
+      newContent: DataFrame,
+      sources: Option[Seq[FileMarker]] = None): Int = {
+    val dvStampAtRead = dvStamp()
+    val acc = sources.orElse(trySnapshot(Long.MaxValue).map(_.aliveFiles))
+      .getOrElse(return 0)
     val routed = newContent.withColumn(IceTable.RouteCol, cfg.partitionExpr)
     val (written, _) = insertDefault(routed)
-    val (_, _, stamped) = validatedRewriteCommit(snap.aliveFiles, written)
+    val (_, _, stamped) = validatedRewriteCommit(acc, written,
+      dvStampAtRead = dvStampAtRead)
     stamped.length
   }
 
@@ -1138,7 +1259,8 @@ final class IceTable(
     * wins over the commit's tombstones.
     */
   private def withValidatedCommit[T](sources: Seq[FileMarker])(
-      body: (Seq[FileMarker], Map[String, FileMarker], Long) => T): T =
+      body: (Seq[FileMarker], Map[String, FileMarker], Long,
+        Option[Map[String, Any]]) => T): T =
     IceTable.commitLock(root).synchronized {
       // Long.MaxValue, not now(): validation wants the absolute latest
       // state. Same-millisecond commits get filename-bumped PAST the
@@ -1153,7 +1275,7 @@ final class IceTable(
       }
       val maxLogTs = cur.logFiles.iterator
         .map(p => IceLogIO.logFileInfo(p)._1).maxOption.getOrElse(0L)
-      body(fresh, byPath, math.max(now(), maxLogTs + 1))
+      body(fresh, byPath, math.max(now(), maxLogTs + 1), cur.tableConfig)
     }
 
   /** The shared validated log-rewrite commit used by merge / optimize /
@@ -1162,13 +1284,28 @@ final class IceTable(
     * with the latest state, tombstone the source paths, and append ONE
     * merged log holding carried + new markers. On conflict the freshly
     * written `newFiles` are deleted before rethrowing. Returns
-    * (new log path, metadata, commit-stamped new markers). */
+    * (new log path, metadata, commit-stamped new markers).
+    *
+    * @param dvStampAtRead the [[dvStamp]] the caller captured BEFORE
+    *   reading any data. Re-computed here under the commit lock (the same
+    *   lock every [[DeleteVectors.deleteWhere]] commit takes); a mismatch
+    *   means rows were marked deleted after this rewrite read its inputs —
+    *   committing would tombstone the paths those fresh marks point at and
+    *   silently resurrect the deleted rows in the rewritten files. Abort
+    *   with [[CommitConflictException]] so the caller retries from a fresh
+    *   snapshot. Tables with no dv side table compare None == None (one
+    *   existence probe). */
   private[ice] def validatedRewriteCommit(
       sources: Seq[FileMarker],
       newFiles: Seq[FileMarker],
-      accumulateSchemas: Seq[Schema] = Seq.empty)
+      accumulateSchemas: Seq[Schema] = Seq.empty,
+      dvStampAtRead: Option[String] = None)
       : (String, LogMetadata, Seq[FileMarker]) =
-    try withValidatedCommit(sources) { (fresh, curByPath, commitTs) =>
+    try withValidatedCommit(sources) { (fresh, curByPath, commitTs, curCfg) =>
+      if (dvStamp() != dvStampAtRead)
+        throw new CommitConflictException(
+          "deletion-vector state changed between this rewrite's data read " +
+            "and its commit; retry from a fresh snapshot")
       val mergedLogFiles = fresh.flatMap(_.virSourceLogFile).distinct.sorted
       val ((mSchema, mMarkers0, mTombstones), mCommits) =
         logio.readLogForwardWithCommits(root, mergedLogFiles)
@@ -1191,7 +1328,10 @@ final class IceTable(
         mTombstones ++ newTombstones,
         merged = true,
         timestamp = Some(commitTs),
-        streamCommits = mCommits) // exactly-once records outlive the rewrite
+        streamCommits = mCommits, // exactly-once records outlive the rewrite
+        // orElse: a rewrite's log may outlive (and its cleanup delete) the
+        // log that carried the config — a bare handle must not drop it
+        tableCfg = persistedCfg.orElse(curCfg))
       (newLog, meta, stamped)
     } catch {
       case e: CommitConflictException =>
@@ -1203,6 +1343,7 @@ final class IceTable(
       snap: IceSnapshot,
       partition: String,
       acc: Seq[FileMarker]): MergeResult = {
+    val dvStampAtRead = dvStamp() // BEFORE the dv-applying read
     val src = readFilesApplyingDeletes(snap, acc)
     // the `source_files` view name is rewritten to a unique name so
     // concurrent merges of *different* tables in one session never race
@@ -1228,7 +1369,8 @@ final class IceTable(
     // its output schema accumulates add-only (type conflicts still throw).
     val (newLog, meta, stamped) = validatedRewriteCommit(acc, Seq(preMarker),
       if (cfg.customMergeSql.isDefined) Seq(Schema.fromStructType(merged.schema))
-      else Seq.empty)
+      else Seq.empty,
+      dvStampAtRead)
     MergeResult(newLog, stamped.head, partition, acc, meta)
   }
 
@@ -1357,6 +1499,7 @@ final class IceTable(
       filesPer: Int = 1,
       partitions: Option[Set[String]] = None): Int = {
     require(filesPer >= 1, "filesPer must be >= 1")
+    val dvStampAtRead = dvStamp() // BEFORE the dv-applying reads
     val snap = trySnapshot(now()).getOrElse(return 0)
     val byPart = snap.aliveFiles.groupBy(f => partitionOf(f.path)).toSeq
       .filter { case (p, _) => partitions.forall(_.contains(p)) }
@@ -1381,7 +1524,7 @@ final class IceTable(
     // every source file, add the clustered markers, tombstone source logs
     // — validated under the commit lock like every other rewrite
     val allAcc = byPart.flatMap(_._2)
-    validatedRewriteCommit(allAcc, results.flatten)
+    validatedRewriteCommit(allAcc, results.flatten, dvStampAtRead = dvStampAtRead)
     byPart.length
   }
 
@@ -1414,6 +1557,7 @@ final class IceTable(
   def repartitionTable(
       newPartitionExpr: Column,
       newSortOrder: Seq[String] = cfg.sortOrder): Int = {
+    val dvStampAtRead = dvStamp() // BEFORE the dv-applying read
     val snap = trySnapshot(now()).getOrElse(return 0)
     if (snap.aliveFiles.isEmpty) return 0
     val src = readFilesApplyingDeletes(snap, snap.aliveFiles)
@@ -1427,7 +1571,8 @@ final class IceTable(
     val (written, _) = writerTable.insertDefault(routed)
 
     val allAcc = snap.aliveFiles
-    val (_, _, stamped) = validatedRewriteCommit(allAcc, written)
+    val (_, _, stamped) = validatedRewriteCommit(allAcc, written,
+      dvStampAtRead = dvStampAtRead)
     stamped.length
   }
 
@@ -1466,6 +1611,7 @@ final class IceTable(
   private def commitMerges(
       snap: IceSnapshot,
       candidates: Seq[(String, Seq[FileMarker])]): LogMetadata = {
+    val dvStampAtRead = dvStamp() // BEFORE the dv-applying reads
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext = IceTable.insertPool
@@ -1500,7 +1646,8 @@ final class IceTable(
     // freshly-written merge output is deleted before aborting
     val allAcc = candidates.flatMap(_._2)
     val (_, meta, _) = validatedRewriteCommit(allAcc, newMarkers,
-      if (cfg.customMergeSql.isDefined) results.map(_._2) else Seq.empty)
+      if (cfg.customMergeSql.isDefined) results.map(_._2) else Seq.empty,
+      dvStampAtRead)
     meta
   }
 
@@ -1576,7 +1723,10 @@ final class IceTable(
       logFilesToKeep.values.toSeq, // kept to preserve tombstones for min_age
       merged = true,
       timestamp = Some(now()),
-      streamCommits = cleanCommits)
+      streamCommits = cleanCommits,
+      // orElse: cleanup DELETES the source logs — the consolidated log must
+      // carry the persisted config forward even from a bare handle
+      tableCfg = persistedCfg.orElse(snap.tableConfig))
 
     cleaned.foreach(p => logio.delete(root, p))
 
@@ -1699,7 +1849,8 @@ final class IceTable(
       carriedTmb ++ logTombstones,
       merged = true,
       timestamp = Some(removeTime),
-      streamCommits = rCommits)
+      streamCommits = rCommits,
+      tableCfg = persistedCfg.orElse(snap.tableConfig))
     (Some(newLog), Some(meta), deleted)
     }
 
@@ -1740,7 +1891,7 @@ final class IceTable(
     }
 
     val rewrittenPaths = targets.map(_.path).toSet
-    try withValidatedCommit(targets) { (freshTargets, curByPath, commitTime) =>
+    try withValidatedCommit(targets) { (freshTargets, curByPath, commitTime, _) =>
       val updated = snap.files.map { m0 =>
         // current copy wins over the snapshot's (see withValidatedCommit),
         // and carried-forward markers keep their stats
@@ -1757,7 +1908,8 @@ final class IceTable(
         snap.tombstones ++ newTombstones,
         merged = true,
         timestamp = Some(commitTime),
-        streamCommits = snap.streamCommits) // full-fold rewrite carries all
+        streamCommits = snap.streamCommits, // full-fold rewrite carries all
+        tableCfg = persistedCfg.orElse(snap.tableConfig))
       (Some(newLog), Some(meta), targets.map(_.path))
     } catch {
       case e: CommitConflictException =>
@@ -1770,6 +1922,91 @@ final class IceTable(
 object IceTable {
   /** Internal routing column name; never written to data files. */
   private[ice] val RouteCol = "_ice_part"
+
+  /** Open the table at `root` reconstructing its persisted configuration
+    * from the log (see [[IceTableConfig]] → `persistedCfg`): sort order,
+    * partition expression, stats/bloom columns, merge SQL, codec — so a
+    * reader or DML caller that holds only the root gets the same write
+    * shape (sorted, stats-bearing files; pruning-enabled reads) as the
+    * handle that created the table. Closure hooks (`partitionFunc`,
+    * `formatRow`) cannot be persisted: when the log records one, the
+    * reconstructed handle poisons the corresponding path with a clear
+    * error instead of silently mis-routing rows. Empty/absent log →
+    * bare default config. */
+  def open(spark: SparkSession, root: String): IceTable = {
+    val io = new IceLogIO(pathSafeHostname, spark.sparkContext.hadoopConfiguration)
+    val cfg =
+      (try Some(io.readAtMaxTime(root, Long.MaxValue))
+       catch { case _: NoLogFilesException => None })
+        .flatMap(_.tableConfig).map(configFromPersisted)
+        .getOrElse(IceTableConfig(lit(""), Seq.empty))
+    new IceTable(spark, root, cfg)
+  }
+
+  /** [[IceTableConfig]] → the compact JSON map persisted in log metadata
+    * (only non-default fields; None when everything is default, so
+    * default-config tables keep reference-identical log bytes). */
+  private[graft] def persistableCfg(cfg: IceTableConfig): Option[Map[String, Any]] = {
+    val m = mutable.LinkedHashMap.empty[String, Any]
+    val prtSql =
+      try org.apache.spark.sql.graft.PlanBridge.eagerExpression(cfg.partitionExpr).sql
+      catch { case _: Exception => "" }
+    if (prtSql.nonEmpty && prtSql != "''") m("prt") = prtSql
+    if (cfg.sortOrder.nonEmpty) m("srt") = cfg.sortOrder
+    cfg.customInsertSql.foreach(v => m("ins") = v)
+    cfg.customMergeSql.foreach(v => m("mrg") = v)
+    cfg.statsColumn.foreach(v => m("stc") = v)
+    if (cfg.statsColumns.nonEmpty) m("sta") = cfg.statsColumns
+    if (cfg.bloomFilterColumns.nonEmpty) m("blc") = cfg.bloomFilterColumns
+    cfg.bloomFilterNdv.foreach(v => m("bln") = v)
+    if (cfg.compressionCodec != "snappy") m("cdc") = cfg.compressionCodec
+    if (cfg.parquetBlockBytes != 128L * 1024 * 1024) m("pbb") = cfg.parquetBlockBytes
+    if (cfg.preservePartition) m("pp") = true
+    if (!cfg.shuffleOnInsert) m("shf") = false
+    if (cfg.sortOnMerge) m("som") = true
+    cfg.rowGroupRows.foreach(v => m("rgr") = v)
+    cfg.checkpointEveryCommits.foreach(v => m("cpc") = v)
+    if (cfg.partitionFunc.nonEmpty) m("pf") = true
+    if (cfg.formatRow.nonEmpty) m("fr") = true
+    if (m.isEmpty) None else Some(m.toMap)
+  }
+
+  /** Inverse of [[persistableCfg]] (parsed-JSON typed values: Long for
+    * ints, Boolean, Vector for arrays). */
+  private[graft] def configFromPersisted(m: Map[String, Any]): IceTableConfig = {
+    def strs(k: String): Seq[String] = m.get(k).collect {
+      case s: scala.collection.Seq[_] => s.map(_.toString).toSeq
+    }.getOrElse(Seq.empty)
+    IceTableConfig(
+      partitionExpr = m.get("prt").map(s => expr(s.toString)).getOrElse(lit("")),
+      sortOrder = strs("srt"),
+      customInsertSql = m.get("ins").map(_.toString),
+      customMergeSql = m.get("mrg").map(_.toString),
+      compressionCodec = m.get("cdc").map(_.toString).getOrElse("snappy"),
+      parquetBlockBytes = m.get("pbb").map(_.asInstanceOf[Long])
+        .getOrElse(128L * 1024 * 1024),
+      preservePartition = m.get("pp").contains(true),
+      shuffleOnInsert = !m.get("shf").contains(false),
+      formatRow =
+        if (m.get("fr").contains(true)) Some((_: DataFrame) =>
+          throw new UnsupportedOperationException(
+            "this table records a formatRow hook, which cannot be persisted " +
+              "in the log; insert through the original configured handle"))
+        else None,
+      rowGroupRows = m.get("rgr").map(_.asInstanceOf[Long].toInt),
+      partitionFunc =
+        if (m.get("pf").contains(true)) Some((_: Row) =>
+          throw new UnsupportedOperationException(
+            "this table records a partitionFunc closure, which cannot be " +
+              "persisted in the log; insert through the original configured handle"))
+        else None,
+      statsColumn = m.get("stc").map(_.toString),
+      statsColumns = strs("sta"),
+      bloomFilterColumns = strs("blc"),
+      bloomFilterNdv = m.get("bln").map(_.asInstanceOf[Long]),
+      sortOnMerge = m.get("som").contains(true),
+      checkpointEveryCommits = m.get("cpc").map(_.asInstanceOf[Long].toInt))
+  }
 
   /** Per-table-root commit lock (JVM-wide, like the log appender's
     * reservation set): serializes the validate→append window of every

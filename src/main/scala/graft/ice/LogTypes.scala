@@ -106,7 +106,8 @@ final case class LogMetadata(
     fileLineIndex: Int,
     tombstoneLineIndex: Option[Int] = None,
     timestamp: Long = System.currentTimeMillis(),
-    streamCommits: Map[String, Long] = Map.empty) {
+    streamCommits: Map[String, Long] = Map.empty,
+    tableCfg: Option[Map[String, Any]] = None) {
 
   def json: String = {
     val base = Seq(
@@ -115,11 +116,20 @@ final case class LogMetadata(
       "f" -> (fileLineIndex: Any),
       "t" -> (timestamp: Any))
     val withTmb = tombstoneLineIndex.fold(base)(t => base :+ ("tmb" -> (t: Any)))
+    val withSc =
+      if (streamCommits.isEmpty) withTmb
+      // sorted: log bytes must not depend on map iteration order
+      else withTmb :+ ("sc" ->
+        (scala.collection.immutable.ListMap(streamCommits.toSeq.sortBy(_._1): _*): Any))
+    // "cfg": persisted table configuration (sort order, stats columns,
+    // partition expression SQL, merge SQL, ...) — a beyond-reference
+    // additive field like "sc"; readers that don't know it ignore it, and
+    // default-config tables never emit it (their log bytes are untouched).
+    // Last writer wins across the fold. Sorted keys: log bytes must not
+    // depend on map iteration order.
     Json.obj(
-      (if (streamCommits.isEmpty) withTmb
-       // sorted: log bytes must not depend on map iteration order
-       else withTmb :+ ("sc" ->
-         (scala.collection.immutable.ListMap(streamCommits.toSeq.sortBy(_._1): _*): Any))): _*)
+      tableCfg.filter(_.nonEmpty).fold(withSc)(c => withSc :+ ("cfg" ->
+        (scala.collection.immutable.ListMap(c.toSeq.sortBy(_._1): _*): Any))): _*)
   }
 }
 
@@ -135,7 +145,11 @@ object LogMetadata {
       streamCommits = m.get("sc").collect {
         case sc: scala.collection.Map[_, _] =>
           sc.map { case (k, v) => k.toString -> v.asInstanceOf[Long] }.toMap
-      }.getOrElse(Map.empty))
+      }.getOrElse(Map.empty),
+      tableCfg = m.get("cfg").collect {
+        case c: scala.collection.Map[_, _] =>
+          c.map { case (k, v) => k.toString -> v }.toMap
+      })
   }
 
   /** Max-merge of per-query committed batch ids (fold across logs). */
@@ -157,7 +171,8 @@ final case class IceCheckpoint(
     schema: Schema,
     markers: Seq[FileMarker],
     tombstones: Seq[LogTombstone],
-    streamCommits: Map[String, Long])
+    streamCommits: Map[String, Long],
+    tableCfg: Option[Map[String, Any]] = None)
 
 /** Full MVCC state at a point in time (reference: icedb/log.py:311-328).
   *
@@ -170,6 +185,7 @@ final case class IceSnapshot(
     tombstones: Seq[LogTombstone],
     logFiles: Seq[String],
     timestamp: Long,
-    streamCommits: Map[String, Long] = Map.empty) {
+    streamCommits: Map[String, Long] = Map.empty,
+    tableConfig: Option[Map[String, Any]] = None) {
   def aliveFiles: Seq[FileMarker] = files.filter(_.alive)
 }

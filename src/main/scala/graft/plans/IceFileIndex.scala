@@ -27,8 +27,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 final class IceFileIndex(
     spark: SparkSession,
-    table: IceTable,
-    snap: IceSnapshot,
+    val table: IceTable,
+    val snap: IceSnapshot,
     val partitionSchema: StructType) extends FileIndex {
 
   /** partition string → (values row, markers + file statuses), built once
@@ -44,10 +44,13 @@ final class IceFileIndex(
         }.toMap
         val row = InternalRow.fromSeq(partitionSchema.map(f =>
           UTF8String.fromString(kv.getOrElse(f.name, ""))))
-        // sizes come from the log markers — no S3 HEAD/LIST needed
+        // sizes come from the log markers — no S3 HEAD/LIST needed.
+        // Paths are FS-QUALIFIED (scheme + authority) so `_metadata
+        // .file_path` carries the same prefix as every other scan — the
+        // deletion-vector overlay strips `table.qualifiedRoot` off it
         val files = markers.map(m => m -> new FileStatus(
           m.fileBytes, false, 1, 128L * 1024 * 1024, m.createdMs,
-          new Path(table.root, m.path)))
+          new Path(table.qualifiedRoot + "/" + m.path)))
         (row, files)
       }
   }
@@ -193,8 +196,12 @@ object IceFileIndex {
     * ([[graft.streaming.IceStreamProvider]] returns it from
     * `createRelation`). */
   def relation(spark: SparkSession, table: IceTable,
-      maxTs: Long = Long.MaxValue): HadoopFsRelation = {
-    val snap = table.snapshot(maxTs)
+      maxTs: Long = Long.MaxValue): HadoopFsRelation =
+    relationFor(spark, table, table.snapshot(maxTs))
+
+  /** [[relation]] over an already-pinned snapshot. */
+  def relationFor(spark: SparkSession, table: IceTable,
+      snap: IceSnapshot): HadoopFsRelation = {
     val pSchema = StructType(partitionKeys(table, snap)
       .map(StructField(_, StringType, nullable = true)))
     val index = new IceFileIndex(spark, table, snap, pSchema)
@@ -208,10 +215,42 @@ object IceFileIndex {
   }
 
   /** Snapshot → catalog-grade DataFrame with queryable partition columns
-    * and optimizer-side file pruning. */
+    * and optimizer-side file pruning. Deletion vectors are APPLIED (same
+    * contract as [[graft.ice.IceTable.read]]): the SQL catalog, temp
+    * views, and the DataFrame API always agree after a
+    * [[graft.ice.DeleteVectors.deleteWhere]]. No-dv tables pay one
+    * existence probe and keep the bare relation plan. */
   def dataFrame(spark: SparkSession, table: IceTable,
-      maxTs: Long = Long.MaxValue): DataFrame =
-    spark.baseRelationToDataFrame(relation(spark, table, maxTs))
+      maxTs: Long = Long.MaxValue): DataFrame = {
+    val snap = table.snapshot(maxTs)
+    val df = spark.baseRelationToDataFrame(relationFor(spark, table, snap))
+    // baseRelationToDataFrame analyzes EAGERLY: when the session has the
+    // IceDvOverlay extension rule, the overlay is already in `df`'s
+    // analyzed plan — stacking a second anti-join here would both waste a
+    // join and fail analysis (the rule's projection hides `_metadata`).
+    // Only sessions WITHOUT the extension need the inline overlay.
+    val ruleActive = spark.sessionState.analyzer.extendedResolutionRules
+      .exists(_.isInstanceOf[IceDvOverlay])
+    if (ruleActive) df else overlayDeletes(table, snap, df)
+  }
+
+  /** LEFT ANTI-join `df` (a scan of `snap`'s files) against the table's
+    * deletion-vector positions pinned at the same snapshot time; identity
+    * when no dv table exists. The dv side is position-pair sized so AQE
+    * broadcasts it on its own — and a pathological dv is still allowed to
+    * sort-merge instead of OOMing. */
+  private[plans] def overlayDeletes(
+      table: IceTable, snap: IceSnapshot, df: DataFrame): DataFrame =
+    table.dvPositions(snap.aliveFiles.map(_.path), snap.timestamp) match {
+      case None => df
+      case Some(del) =>
+        val cols = df.columns.map(org.apache.spark.sql.functions.col).toSeq
+        df.withColumn("_dv_path", table.relPathCol)
+          .withColumn("_dv_row",
+            org.apache.spark.sql.functions.col("_metadata.row_index"))
+          .join(del, Seq("_dv_path", "_dv_row"), "left_anti")
+          .select(cols: _*)
+    }
 
   /** Register the snapshot as a temp view: `spark.sql("... FROM name WHERE
     * d = '2024-01-01'")` prunes partitions in the optimizer (B21: the

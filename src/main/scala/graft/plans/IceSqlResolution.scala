@@ -5,7 +5,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, LogicalPlan, SubqueryAlias, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.types.{NumericType, TimestampType}
@@ -78,7 +78,10 @@ final class IceSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def resolve(name: String, maxTs: Long): Option[LogicalPlan] =
     tableRoot(name).map { root =>
-      val t = new IceTable(spark, root, IceTableConfig(lit(""), Seq.empty))
+      // open(), not a bare handle: the persisted config restores the
+      // stats columns, so the SQL path gets the same log-side file
+      // skipping (IceFileIndex.statsWindows) as the DataFrame path
+      val t = IceTable.open(spark, root)
       val rel = IceFileIndex.dataFrame(spark, t, maxTs).queryExecution.analyzed
       SubqueryAlias(Seq(catalogName, name), rel)
     }
@@ -119,6 +122,9 @@ final class IceSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       case IceName(t) => Some(t)
       case SubqueryAlias(org.apache.spark.sql.catalyst.AliasIdentifier(t, Seq(c)), _)
           if c.equalsIgnoreCase(catalogName) => Some(t)
+      // user aliases peel: `MERGE INTO graft.t AS tgt` / `DELETE FROM
+      // graft.t x` wrap the relation in another SubqueryAlias
+      case SubqueryAlias(_, child) => unapply(child)
       case _ => None
     }
   }
@@ -131,11 +137,11 @@ final class IceSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     // SQL DML maps onto the engine's atomic CoW mutations. The raw
     // (unresolved) expressions travel as SQL text and re-resolve against
     // the table's own DataFrame inside the command — a LeafRunnableCommand
-    // must not carry unresolved attributes through CheckAnalysis. Caveat
-    // (documented): the catalog's bare table handle has no sortOrder /
-    // statsColumn config, so SQL-path rewrites produce unsorted, stats-less
-    // replacement files; the next compaction by a configured handle
-    // restores both.
+    // must not carry unresolved attributes through CheckAnalysis. The
+    // command opens the table via IceTable.open, which reconstructs the
+    // persisted sortOrder/stats config from the log — SQL-path rewrites
+    // produce the same sorted, stats-bearing files as the configured
+    // handle's own DML.
     case DeleteFromTable(IceRel(t), cond) if tableRoot(t).isDefined =>
       IceDeleteCommand(tableRoot(t).get, s"$catalogName.$t", cond.sql)
     case UpdateTable(IceRel(t), assignments, condOpt) if tableRoot(t).isDefined =>
@@ -148,6 +154,102 @@ final class IceSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       IceUpdateCommand(tableRoot(t).get, s"$catalogName.$t",
         sets, condOpt.map(_.sql).getOrElse("true"))
+    // `MERGE INTO graft.t USING src ON t.k = src.k WHEN MATCHED ... WHEN
+    // NOT MATCHED ...` → the engine's atomic key-based mutations
+    // (IceTable.upsert / deleteKeys). Intercepted as soon as the target
+    // resolved (this same bottom-up pass resolves it) so Spark's own
+    // merge machinery — which star-expands `SET *` against the relation's
+    // path-derived partition columns and then rejects V1 targets — never
+    // gets to run. The ON condition's key equalities are extracted from
+    // the still-unresolved attribute names by alias qualifier (or by
+    // unqualified same-name membership); the resolved source plan rides
+    // inside the command in a non-TreeNode box and re-wraps at execution.
+    case m @ MergeIntoTable(tgt @ IceRel(t), source, cond, matchedActions,
+        notMatchedActions, notMatchedBySourceActions, _)
+        if tableRoot(t).isDefined && source.resolved =>
+      import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo}
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, UpdateAction}
+      def fail(msg: String): Nothing =
+        throw new UnsupportedOperationException(s"MERGE INTO $catalogName.$t: $msg")
+      def lastName(e: Expression): Option[String] = e match {
+        case ua: UnresolvedAttribute => Some(ua.nameParts.last)
+        case ar: AttributeReference => Some(ar.name)
+        case _ => None
+      }
+      // star-equivalence: ResolveReferences may expand `SET *` / `INSERT *`
+      // into same-name assignment lists before this rule sees the node
+      def allSameName(assigns: Seq[Assignment]): Boolean = assigns.forall(a =>
+        (lastName(a.key), lastName(a.value)) match {
+          case (Some(k), Some(v)) => k.equalsIgnoreCase(v)
+          case _ => false
+        })
+      if (notMatchedBySourceActions.nonEmpty)
+        fail("WHEN NOT MATCHED BY SOURCE is not supported")
+      val insertUnmatched = notMatchedActions match {
+        case Seq(InsertStarAction(None)) => true
+        case Seq(InsertAction(None, assigns)) if allSameName(assigns) => true
+        case Seq() => false
+        case _ => fail("only an unconditional `WHEN NOT MATCHED THEN INSERT *` is supported")
+      }
+      val matchedMode = matchedActions match {
+        case Seq(UpdateStarAction(None)) => "update"
+        case Seq(UpdateAction(None, assigns, _)) if allSameName(assigns) => "update"
+        case Seq(DeleteAction(None)) =>
+          if (insertUnmatched) fail(
+            "WHEN MATCHED THEN DELETE combined with WHEN NOT MATCHED THEN " +
+              "INSERT would need two commits; run them as separate statements")
+          "delete"
+        case Seq() => "none"
+        case _ => fail("only unconditional `UPDATE SET *` or `DELETE` matched actions are supported")
+      }
+      if (matchedMode == "none" && !insertUnmatched) fail("no supported action")
+      // alias sets for deciding which side of an equality is which
+      def aliasesOf(p: LogicalPlan): Set[String] = p.collect {
+        case SubqueryAlias(id, _) => id.name.toLowerCase
+        case u: UnresolvedRelation => u.multipartIdentifier.last.toLowerCase
+      }.toSet
+      val tgtAliases = aliasesOf(tgt) + t.toLowerCase
+      val srcAliases = aliasesOf(source)
+      val tgtCols = tgt.output.map(_.name.toLowerCase).toSet
+      val srcCols = source.output.map(_.name.toLowerCase).toSet
+      def parts(e: Expression): Option[Seq[String]] = e match {
+        case ua: UnresolvedAttribute => Some(ua.nameParts)
+        case ar: AttributeReference => Some(ar.qualifier :+ ar.name)
+        case _ => None
+      }
+      def keyPairs(e: Expression): Seq[(String, String)] = e match {
+        case And(l, r) => keyPairs(l) ++ keyPairs(r)
+        case EqualTo(a, b) =>
+          val (ap, bp) = (parts(a), parts(b)) match {
+            case (Some(x), Some(y)) => (x, y)
+            case _ => fail("ON condition must be a conjunction of column equalities")
+          }
+          def qual(ps: Seq[String]): Option[String] =
+            if (ps.length > 1) Some(ps(ps.length - 2).toLowerCase) else None
+          (qual(ap), qual(bp)) match {
+            case (Some(qa), Some(qb))
+                if tgtAliases.contains(qa) && srcAliases.contains(qb) =>
+              Seq(ap.last -> bp.last)
+            case (Some(qa), Some(qb))
+                if srcAliases.contains(qa) && tgtAliases.contains(qb) =>
+              Seq(bp.last -> ap.last)
+            case (None, None)
+                if ap.last.equalsIgnoreCase(bp.last) &&
+                  tgtCols.contains(ap.last.toLowerCase) &&
+                  srcCols.contains(ap.last.toLowerCase) =>
+              Seq(ap.last -> bp.last)
+            case _ => fail(
+              s"cannot attribute ON equality `${ap.mkString(".")} = " +
+                s"${bp.mkString(".")}` to target/source; qualify both sides " +
+                "with their aliases")
+          }
+        case other => fail(
+          s"ON condition must be a conjunction of target/source column " +
+            s"equalities; got: ${other.sql}")
+      }
+      IceMergeCommand(tableRoot(t).get, s"$catalogName.$t",
+        new PlanBox(source), keyPairs(cond), matchedMode, insertUnmatched)
     case tt @ RelationTimeTravel(IceName(t), tsOpt, verOpt) =>
       val maxTs: Option[Long] = (tsOpt, verOpt) match {
         case (_, Some(v)) => v.toLongOption.map(_ + 1L)
@@ -165,9 +267,12 @@ object IceSqlResolution {
   val CatalogKey = "spark.graft.catalog"
   private val SafeName = "[A-Za-z0-9_][A-Za-z0-9_.-]*".r.anchored
 
+  /** Open a table handle for a DML command: reconstructs the persisted
+    * config (sort order, stats columns, partition expr, merge SQL) from
+    * the log so SQL-path rewrites match the configured handle's writes. */
   private[plans] def bareTable(
       spark: SparkSession, root: String): IceTable =
-    new IceTable(spark, root, IceTableConfig(lit(""), Seq.empty))
+    IceTable.open(spark, root)
 }
 
 /** `DELETE FROM graft.<t> WHERE ...` → [[IceTable.deleteWhere]] (atomic
@@ -184,6 +289,72 @@ final case class IceDeleteCommand(root: String, ident: String, condSql: String)
   }
 }
 
+/** Opaque (non-TreeNode) holder for a resolved source plan riding inside
+  * a LeafRunnableCommand: TreeNode's product-based transforms must not
+  * recurse into it (the command is a leaf; the plan re-wraps into a
+  * DataFrame only at execution). */
+final class PlanBox(val plan: LogicalPlan) extends Serializable
+
+/** `MERGE INTO graft.<t> USING src ON <key equalities> WHEN MATCHED THEN
+  * UPDATE SET * / DELETE [WHEN NOT MATCHED THEN INSERT *]` → one atomic
+  * engine commit:
+  *
+  *  - `UPDATE SET *` + `INSERT *` → [[IceTable.upsert]] (replace matched,
+  *    append unmatched — the full upsert)
+  *  - `UPDATE SET *` alone → upsert of the source restricted to keys that
+  *    exist in the target (nothing appends)
+  *  - `DELETE` alone → [[IceTable.deleteKeys]]
+  *  - `INSERT *` alone → insert of the source restricted to keys NOT in
+  *    the target
+  *
+  * Returns one row: (rows_matched, rows_copied). `keyPairs` maps target
+  * key column name → source column name (renamed to align before the
+  * key join). */
+final case class IceMergeCommand(
+    root: String, ident: String,
+    sourceBox: PlanBox,
+    keyPairs: Seq[(String, String)],
+    matchedMode: String,
+    insertUnmatched: Boolean)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference => AR}
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(
+      AR("rows_matched", org.apache.spark.sql.types.LongType, nullable = false)(),
+      AR("rows_copied", org.apache.spark.sql.types.LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions.col
+    val t = IceSqlResolution.bareTable(session, root)
+    var src = org.apache.spark.sql.graft.PlanBridge.ofRows(session, sourceBox.plan)
+    keyPairs.foreach { case (tn, sn) =>
+      if (sn != tn) src = src.withColumnRenamed(sn, tn)
+    }
+    val keys = keyPairs.map(_._1)
+    val targetKeys = () => t.trySnapshot(Long.MaxValue)
+      .map(_ => t.read().select(keys.map(col): _*).distinct())
+    val row = matchedMode match {
+      case "update" if insertUnmatched =>
+        val (matched, copied) = t.upsert(src, keys)
+        org.apache.spark.sql.Row(matched, copied)
+      case "update" =>
+        val restricted = targetKeys()
+          .map(tk => src.join(tk, keys, "left_semi")).getOrElse(src.limit(0))
+        val (matched, copied) = t.upsert(restricted, keys)
+        org.apache.spark.sql.Row(matched, copied)
+      case "delete" =>
+        org.apache.spark.sql.Row(t.deleteKeys(src, keys), 0L)
+      case _ => // insert-only merge
+        val fresh = targetKeys()
+          .map(tk => src.join(tk, keys, "left_anti")).getOrElse(src)
+        val staged = fresh.localCheckpoint()
+        val n = staged.count()
+        if (n > 0) t.insert(staged)
+        org.apache.spark.sql.Row(0L, n)
+    }
+    Seq(row)
+  }
+}
+
 /** `UPDATE graft.<t> SET c = e[, ...] [WHERE ...]` →
   * [[IceTable.updateWhere]]. Returns one row: rows_updated. */
 final case class IceUpdateCommand(
@@ -196,16 +367,28 @@ final case class IceUpdateCommand(
   override def run(session: SparkSession): Seq[org.apache.spark.sql.Row] = {
     val t = IceSqlResolution.bareTable(session, root)
     // a CoW rewrite keeps each file in its partition directory, so
-    // updating a column the partition path encodes would leave the
-    // path-derived value (which the catalog relation serves) stale —
-    // reject instead of silently diverging
-    val partKeys = t.trySnapshot(Long.MaxValue).toSeq
+    // updating a column the partition path encodes — or any column the
+    // partition EXPRESSION derives from — would leave the path-derived
+    // value (which the catalog relation serves) stale; reject instead of
+    // silently diverging. Two key sources: the Hive-style `k=` names
+    // observed in alive paths, and the column references of the table's
+    // persisted partition expression (which also covers an empty table
+    // and non-`k=v` partition schemes — the path-derived set alone is
+    // empty/meaningless there).
+    val pathKeys = t.trySnapshot(Long.MaxValue).toSeq
       .flatMap(_.aliveFiles.map(m => t.partitionOf(m.path)))
       .flatMap(_.split("/").toSeq).map(_.split("=", 2)(0)).toSet
+    val exprKeys =
+      try org.apache.spark.sql.graft.PlanBridge
+        .eagerExpression(t.cfg.partitionExpr)
+        .collect { case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          ua.name }.toSet
+      catch { case _: Exception => Set.empty[String] }
+    val partKeys = pathKeys ++ exprKeys
     sets.map(_._1).find(partKeys.contains).foreach { c =>
       throw new UnsupportedOperationException(
-        s"UPDATE of partition key '$c' on $ident would not move rows between " +
-          "partitions; use IceTable.repartitionTable or rewritePartition")
+        s"UPDATE of partition-deriving column '$c' on $ident would not move " +
+          "rows between partitions; use IceTable.repartitionTable or rewritePartition")
     }
     val n = t.updateWhere(org.apache.spark.sql.functions.expr(condSql),
       sets.map { case (c, e) => c -> org.apache.spark.sql.functions.expr(e) })

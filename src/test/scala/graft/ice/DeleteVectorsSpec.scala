@@ -28,9 +28,13 @@ class DeleteVectorsSpec extends SparkSpec {
 
     val marked = DeleteVectors.deleteWhere(t, col("id") % 10 === 3)
     assert(marked == 80, s"marked $marked")
-    // main table untouched: same files, same bytes, raw read unchanged
+    // main table untouched: same files, same bytes — but EVERY read
+    // surface applies the marks (round 8: read()/SQL/DeleteVectors.read
+    // agree with no materialize)
     assert(t.snapshot().aliveFiles.map(m => m.path -> m.fileBytes).toMap == filesBefore)
-    assert(t.read().count() == 800)
+    assert(t.read().count() == 720)
+    assert(t.readFiles(t.snapshot(), t.snapshot().aliveFiles).count() == 800,
+      "raw marker-subset read stays dv-blind by contract")
     // merge-on-read excludes exactly the marked rows
     val r = DeleteVectors.read(t)
     assert(r.count() == 720)
@@ -39,6 +43,7 @@ class DeleteVectorsSpec extends SparkSpec {
       (0L until 800L).filterNot(_ % 10 == 3).sum)
     // time travel to before the delete still sees everything
     assert(DeleteVectors.read(t, preDeleteTs).count() == 800)
+    assert(t.read(preDeleteTs).count() == 800)
     // re-deleting is idempotent at read time
     DeleteVectors.deleteWhere(t, col("id") % 10 === 3)
     assert(DeleteVectors.read(t).count() == 720)

@@ -101,7 +101,7 @@ class IceSqlResolutionSpec extends SparkSpec {
       }
       def msgs(x: Throwable): Seq[String] =
         if (x == null) Seq.empty else Option(x.getMessage).toSeq ++ msgs(x.getCause)
-      assert(msgs(e).exists(_.contains("partition key")), e)
+      assert(msgs(e).exists(_.contains("partition-deriving")), e)
     } finally spark.conf.unset(IceSqlResolution.WarehouseKey)
   }
 
