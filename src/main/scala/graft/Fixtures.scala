@@ -217,6 +217,48 @@ object Fixtures {
       table
     }
 
+  /** Deletion-vector VISIBILITY variant (a37): rows marked deleted via a
+    * dv commit and NEVER materialized — every read surface must still
+    * agree. Kept separate from [[eventsDv]] because a34 materializes that
+    * fixture; this one's dv table must stay populated. */
+  def eventsDvVis(spark: SparkSession, sfDir: String): IceTable =
+    memo(s"$sfDir#dvvis") {
+      val ev = raw(spark, sfDir, "events")
+      val table = new IceTable(spark, newRoot("dvvis"), IceTableConfig(
+        partitionExpr = concat(lit("d="), date_format(evTs(col("ts")), "yyyy-MM-dd")),
+        sortOrder = Seq("ts", "event_id")))
+      table.insert(ev.where(col("event_id") % 2 === 0))
+      table.insert(ev.where(col("event_id") % 2 === 1))
+      graft.ice.DeleteVectors.deleteWhere(table, pmod(col("user_id"), lit(10)) === 7)
+      table
+    }
+
+  /** SQL MERGE INTO variant (b32): the a36 upsert shape driven entirely
+    * through `spark.sql("MERGE INTO graft.<t> ...")` — matched keys
+    * replaced, unmatched appended, one atomic commit. */
+  def eventsSqlMerged(spark: SparkSession, sfDir: String): IceTable =
+    memo(s"$sfDir#sqlmerged") {
+      val ev = raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val table = new IceTable(spark, newRoot("sqlmerged"), IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(16))),
+        sortOrder = Seq("event_id")))
+      table.insert(ev)
+      val slice = ev.where(pmod(col("user_id"), lit(13)) === 2)
+      slice.withColumn("event_type", lit("upserted"))
+        .unionByName(slice.select((col("event_id") + 20000000L).as("event_id"),
+          col("user_id"), lit("new").as("event_type")))
+        .createOrReplaceTempView("b32_merge_src")
+      val f = new java.io.File(table.root)
+      spark.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      spark.sql(
+        s"""MERGE INTO graft.`${f.getName}` AS tgt USING b32_merge_src AS src
+           |ON tgt.event_id = src.event_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      table
+    }
+
   /** DML variant: atomic copy-on-write UPDATE then DELETE applied to the
     * assembled table (only affected files rewrite) — a35_row_update. */
   def eventsMutated(spark: SparkSession, sfDir: String): IceTable =

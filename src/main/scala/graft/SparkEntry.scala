@@ -175,6 +175,45 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), sum("event_id").cast("bigint").as("sum_id"))
         .orderBy(col("event_type"))
     }),
+    "a37_dv_visibility" -> ((s, d) => {
+      // dv coherence (round 8): rows deleted by ONE dv commit and never
+      // materialized are invisible through EVERY read surface —
+      // table.read(), DeleteVectors.read, SELECT FROM graft.<t>, and
+      // format("ice") — hash-matched against DuckDB's filtered answer.
+      // The contract columns prove the dv table still holds live marks
+      // (no materialize happened) and that all four surfaces agreed.
+      import graft.ice.DeleteVectors
+      val t = Fixtures.eventsDvVis(s, d)
+      val f = new java.io.File(t.root)
+      s.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      def tot(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)), sum("user_id")).head
+        (r.getLong(0), r.getLong(1))
+      }
+      val native = tot(t.read())
+      val mor = tot(DeleteVectors.read(t))
+      val sqlR = s.sql(
+        s"SELECT count(*) c, sum(user_id) u FROM graft.`${f.getName}`").head
+      val viaSql = (sqlR.getLong(0), sqlR.getLong(1))
+      val viaFormat = tot(s.read.format("ice").option("path", t.root).load())
+      val dvAlive = DeleteVectors.dvTable(t).read().count() > 0
+      val agree = native == mor && native == viaSql && native == viaFormat
+      t.read().groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum("user_id").cast("bigint").as("sum_uid"))
+        .withColumn("surfaces_agree", lit(agree && dvAlive))
+        .orderBy(col("event_type"))
+    }),
+    "b32_sql_merge" -> ((s, d) => {
+      // SQL MERGE INTO through the catalog (IceMergeCommand → upsert):
+      // matched keys replaced, unmatched appended, one atomic commit;
+      // DuckDB replays the post-state (same shape as a36, via SQL)
+      val t = Fixtures.eventsSqlMerged(s, d)
+      val f = new java.io.File(t.root)
+      s.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      s.sql(s"""SELECT event_type, count(*) AS cnt,
+        CAST(sum(event_id) AS BIGINT) AS sum_id
+        FROM graft.`${f.getName}` GROUP BY event_type ORDER BY event_type""")
+    }),
     "a34_row_deletes" -> ((s, d) => {
       // merge-on-read position deletes (DeleteVectors): rows of user_id%10
       // == 3 marked via one dv commit, excluded at read with zero data
@@ -1893,6 +1932,18 @@ object SparkEntry {
       ("SELECT event_type, count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS sum_uid, " +
         "true AS mor_equals_cow FROM events WHERE user_id % 10 != 3 " +
         "GROUP BY event_type ORDER BY event_type"),
+    "a37_dv_visibility" ->
+      ("SELECT event_type, count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS sum_uid, " +
+        "true AS surfaces_agree FROM events WHERE user_id % 10 != 7 " +
+        "GROUP BY event_type ORDER BY event_type"),
+    "b32_sql_merge" ->
+      ("WITH src AS (SELECT event_id, user_id, 'upserted' AS event_type FROM events WHERE user_id % 13 = 2 " +
+        "UNION ALL SELECT event_id + 20000000, user_id, 'new' FROM events WHERE user_id % 13 = 2), " +
+        "merged AS (SELECT event_id, event_type FROM events " +
+        "WHERE event_id NOT IN (SELECT event_id FROM src) " +
+        "UNION ALL SELECT event_id, event_type FROM src) " +
+        "SELECT event_type, count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id " +
+        "FROM merged GROUP BY event_type ORDER BY event_type"),
     "a33_history" ->
       ("WITH d AS (SELECT count(DISTINCT strftime(ts, '%Y-%m-%d')) AS days FROM events) " +
         "SELECT * FROM (" +

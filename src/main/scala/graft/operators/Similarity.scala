@@ -217,9 +217,23 @@ object Similarity {
     * seeds (the nlist rows with smallest xxhash64(id)), then
     * `lloydIterations` of assign + element-wise mean — every step a
     * DataFrame op. Returns (cid, _c). Shared by [[ivfTopK]] and
-    * [[IvfIndex]]. */
+    * [[IvfIndex]].
+    *
+    * TRAINS ON A BOUNDED SAMPLE, not the corpus: the `max(nlist·64,
+    * 4096)` rows with smallest xxhash64(id) (deterministic, one cheap
+    * top-N pass). Quantizer quality needs a representative sample, not
+    * every row — training on the full corpus would re-scan 100 TB
+    * `lloydIterations` times before any search started; this way the
+    * corpus is touched exactly ONCE afterwards, by the caller's final
+    * assignment pass. */
   private[operators] def trainCentroids(
       c: DataFrame, nlist: Int, lloydIterations: Int, dim: Int): DataFrame = {
+    val sampleCap = math.max(nlist * 64, 4096)
+    // eager truncation: each Lloyd pass re-references the sample, and a
+    // lazy plan would re-run the corpus top-N per iteration
+    val sample = c.withColumn("_h", xxhash64(col("id")))
+      .orderBy("_h").limit(sampleCap)
+      .select(col("id"), col("_v")).localCheckpoint()
     // The centroid table is nlist rows of dim doubles — metadata-scale —
     // but it is referenced MANY times downstream (each Lloyd iteration's
     // assignment, the final assignment, the probe side). As a lazy plan,
@@ -235,13 +249,13 @@ object Similarity {
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), df.schema)
     }
-    var centroids = materialize(c
+    var centroids = materialize(sample
       .withColumn("_h", xxhash64(col("id")))
       .orderBy("_h").limit(nlist)
       .select(monotonically_increasing_id().as("cid"), col("_v").as("_c")))
     (1 to lloydIterations).foreach { _ =>
       // element-wise mean per centroid: posexplode → avg per (cid, pos)
-      val assigned = nearestCid(c, centroids, dim)
+      val assigned = nearestCid(sample, centroids, dim)
       centroids = materialize(assigned
         .select(col("cid"), posexplode(col("_v")).as(Seq("_p", "_x")))
         .groupBy("cid", "_p").agg(avg(col("_x")).as("_m"))
@@ -373,6 +387,13 @@ object Similarity {
       c: DataFrame, m: Int, ksub: Int, iterations: Int, dim: Int): DataFrame = {
     val dsub = dim / m
     val spark = c.sparkSession
+    // bounded deterministic training sample (see trainCentroids): the
+    // codebook trains on the max(ksub·64, 4096) smallest-hash rows; the
+    // full corpus is then encoded exactly once by pqEncode
+    val sampleCap = math.max(ksub * 64, 4096)
+    val sample = c.withColumn("_h", xxhash64(col("id")))
+      .orderBy("_h").limit(sampleCap)
+      .select(col("id"), col("_v")).localCheckpoint()
     // same lineage-truncation as trainCentroids: the codebook is m × ksub
     // rows, but as a lazy plan each iteration (and the final encode/probe
     // branches) would re-derive every preceding Lloyd pass over the
@@ -381,7 +402,7 @@ object Similarity {
     def materialize(df: DataFrame): DataFrame =
       spark.createDataFrame(
         spark.sparkContext.parallelize(df.collect().toSeq, 1), df.schema)
-    val sub = subVectors(c, m, dsub, dim)
+    val sub = subVectors(sample, m, dsub, dim)
     val w = Window.partitionBy("_j").orderBy(xxhash64(col("id")), col("id"))
     var codebook = materialize(sub.withColumn("_rn", row_number().over(w))
       .where(col("_rn") <= ksub)
