@@ -427,24 +427,46 @@ object Bench {
     val sectionCpuJson = sections.map { case (k, v) =>
       s""""${k}_cpu_sec":${f(v.cpuSec)}"""
     }.mkString(",")
+    // Host-noise self-diagnosis (round 5 and round 7 both recorded ~2×
+    // uniform slowdowns that a same-session rerun disproved): the
+    // DRIVER-ONLY sections (log fold, cleanup) are single-threaded, so
+    // their wall ≈ cpu within a small factor on a quiet host; CPU steal
+    // inflates wall while cpu stays flat. Flag when either runs at
+    // wall > 3× cpu — the artifact then says "discount this round's
+    // absolute numbers" without anyone re-running.
+    def stealy(t: Timed): Boolean =
+      t.cpuSec > 0.005 && t.wallSec > 3.0 * t.cpuSec
+    val stealSuspect = stealy(logRead._1) || stealy(cleanup)
+    val loadAvg =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val common =
-      s""""load_sec":${f(loadSec)},"insert_sec":${f(insertSec)},"merge_sec":${f(mergeSec)},"load_rows":$loadRows,"synthetic_insert_rows":$synthRows,"synthetic_insert_rows_per_sec":${(synthRows / synth.wallSec).toLong},$sectionJson,"bench_reps":$reps,"effective_parallelism":${f(effParallelism)},"cpu_total_sec":${f(totalCpuNs / 1e9)},"host_cpus":${Runtime.getRuntime.availableProcessors},"spark_cpus":$cpus,"scratch_medium":"${Fixtures.scratchMedium}","scratch_free_gb":${Fixtures.scratchFreeGb},"sf":"$sfDir""""
+      s""""load_sec":${f(loadSec)},"insert_sec":${f(insertSec)},"merge_sec":${f(mergeSec)},"load_rows":$loadRows,"synthetic_insert_rows":$synthRows,"synthetic_insert_rows_per_sec":${(synthRows / synth.wallSec).toLong},$sectionJson,"bench_reps":$reps,"effective_parallelism":${f(effParallelism)},"cpu_total_sec":${f(totalCpuNs / 1e9)},"steal_suspect":$stealSuspect,"load_avg":${f(loadAvg)},"host_cpus":${Runtime.getRuntime.availableProcessors},"spark_cpus":$cpus,"scratch_medium":"${Fixtures.scratchMedium}","scratch_free_gb":${Fixtures.scratchFreeGb},"sf":"$sfDir""""
     // Full telemetry (per-query and per-section CPU pairings) — for humans
-    // and for bench_out.json; NOT the machine-parsed line.
+    // and for bench_out.json.
     val detail =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"queries_cpu":$qCpuJson,"errors":$eJson,"load_cpu_sec":${f(loadCpuSec)},$sectionCpuJson,$common}"""
     // The driver captures only the LAST ~2000 chars of stdout and parses
     // the final complete JSON line inside that window. Round 6's single
     // detail line grew past 2000 chars and the driver recorded
-    // `parsed: null` — the whole round's perf signal was lost. So the
-    // final line is a COMPACT summary with a hard length guard, and the
-    // CPU-pairing detail rides one line earlier + in bench_out.json.
+    // `parsed: null`; round 7's compact line survived but dropped
+    // `queries_cpu`, so the steal-attribution signal was missing from the
+    // ARTIFACT. The final line now carries queries_cpu too, degrading in
+    // steps (drop per-query cpu, then sections) under the length guard —
+    // the headline + steal_suspect always survive.
+    // slimmer `common` for the cpu-bearing line: static host diagnostics
+    // (cpu counts, scratch medium, row counts) live in `detail`/
+    // bench_out.json; every baseline-comparable number stays
+    val commonSlim =
+      s""""load_sec":${f(loadSec)},"insert_sec":${f(insertSec)},"merge_sec":${f(mergeSec)},"synthetic_insert_rows_per_sec":${(synthRows / synth.wallSec).toLong},$sectionJson,"effective_parallelism":${f(effParallelism)},"cpu_total_sec":${f(totalCpuNs / 1e9)},"steal_suspect":$stealSuspect,"load_avg":${f(loadAvg)},"spark_cpus":$cpus,"sf":"$sfDir""""
+    val withCpu =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"queries_cpu":$qCpuJson,"errors":$eJson,$commonSlim}"""
     val compact =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"errors":$eJson,$common}"""
     val line =
-      if (compact.length <= 1800) compact
+      if (withCpu.length <= 1900) withCpu
+      else if (compact.length <= 1900) compact
       else // last-resort minimal shape: never lose the headline metric again
-        s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"errors":$eJson,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"errors":$eJson,"steal_suspect":$stealSuspect,"sf":"$sfDir"}"""
     // mirror to a file so the metric survives any stdout mangling
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), detail + "\n" + line + "\n")
