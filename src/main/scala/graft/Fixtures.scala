@@ -89,7 +89,7 @@ object Fixtures {
     free
   }
 
-  private def newRoot(tag: String): String = scratchDir(s"graft_$tag")
+  private[graft] def newRoot(tag: String): String = scratchDir(s"graft_$tag")
 
   /** Build every fixture table concurrently (they are independent roots;
     * Spark schedules the jobs side by side). Verify calls this once so the

@@ -175,6 +175,52 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), sum("event_id").cast("bigint").as("sum_id"))
         .orderBy(col("event_type"))
     }),
+    "a38_format_row" -> ((s, d) => {
+      // A23 formatRow hook, oracle-graded: a whole-DataFrame pre-insert
+      // transform (reference format_row, examples/api-flask.py:156-162)
+      // normalizes event_type and derives a tag column BEFORE partition
+      // routing; DuckDB re-derives both from the raw events
+      val ev = Fixtures.raw(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val t = new graft.ice.IceTable(s, Fixtures.newRoot("a38fmt"),
+        graft.ice.IceTableConfig(
+          partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(8))),
+          sortOrder = Seq("event_id"),
+          formatRow = Some(df => df
+            .withColumn("event_type", upper(col("event_type")))
+            .withColumn("etype_tag",
+              concat(lit("t_"), lower(col("event_type")))))))
+      t.insert(ev)
+      t.read().groupBy(col("event_type"), col("etype_tag"))
+        .agg(count(lit(1)).as("cnt"),
+          sum("event_id").cast("bigint").as("sum_id"))
+        .orderBy(col("event_type"))
+    }),
+    "a39_schema_validation" -> ((s, d) => {
+      // A20 pre-flight schema validation, oracle-graded: a second insert
+      // whose event_id type conflicts (VARCHAR vs BIGINT) must throw
+      // BEFORE writing anything (reference SchemaConflictException,
+      // icedb/log.py:68-78); the table keeps exactly the first batch and
+      // the contract column proves rejection left no trace
+      val ev = Fixtures.raw(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val t = new graft.ice.IceTable(s, Fixtures.newRoot("a39val"),
+        graft.ice.IceTableConfig(
+          partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(8))),
+          sortOrder = Seq("event_id")))
+      t.insert(ev)
+      val filesBefore = t.snapshot().aliveFiles.map(_.path).toSet
+      val logsBefore = t.logio.currentLogFiles(t.root).length
+      val rejected =
+        try { t.insert(ev.withColumn("event_id", col("event_id").cast("string"))); false }
+        catch { case _: graft.ice.SchemaConflictException => true }
+      val untouched =
+        t.snapshot().aliveFiles.map(_.path).toSet == filesBefore &&
+          t.logio.currentLogFiles(t.root).length == logsBefore
+      t.read().agg(count(lit(1)).as("cnt"),
+          sum("event_id").cast("bigint").as("sum_id"))
+        .withColumn("rejected_cleanly", lit(rejected && untouched))
+    }),
     "a37_dv_visibility" -> ((s, d) => {
       // dv coherence (round 8): rows deleted by ONE dv commit and never
       // materialized are invisible through EVERY read surface —
@@ -1936,6 +1982,14 @@ object SparkEntry {
       ("SELECT event_type, count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS sum_uid, " +
         "true AS surfaces_agree FROM events WHERE user_id % 10 != 7 " +
         "GROUP BY event_type ORDER BY event_type"),
+    "a38_format_row" ->
+      ("SELECT upper(event_type) AS event_type, " +
+        "'t_' || lower(event_type) AS etype_tag, count(*) AS cnt, " +
+        "CAST(sum(event_id) AS BIGINT) AS sum_id FROM events " +
+        "GROUP BY 1, 2 ORDER BY 1"),
+    "a39_schema_validation" ->
+      ("SELECT count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id, " +
+        "true AS rejected_cleanly FROM events"),
     "b32_sql_merge" ->
       ("WITH src AS (SELECT event_id, user_id, 'upserted' AS event_type FROM events WHERE user_id % 13 = 2 " +
         "UNION ALL SELECT event_id + 20000000, user_id, 'new' FROM events WHERE user_id % 13 = 2), " +

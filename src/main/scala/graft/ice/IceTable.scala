@@ -541,14 +541,39 @@ final class IceTable(
     */
   def insert(df0: DataFrame): Seq[FileMarker] = insert(df0, Map.empty)
 
+  /** Accumulated schema as of this handle's last successful pre-flight —
+    * avoids re-folding the log on EVERY insert (a hot ingest loop would
+    * otherwise pay O(commits) log GETs per commit). Seeded from one
+    * snapshot fold on first use; conflicts from OTHER writers still
+    * surface at their own pre-flight or at read, as in the reference's
+    * per-process model. */
+  @volatile private var preflightSchema: Option[Schema] = None
+
+  /** A20 pre-flight: validate the batch's log schema against the table's
+    * accumulated schema BEFORE any file is written (reference
+    * `SchemaConflictException` at insert, icedb/log.py:68-78). Without
+    * this a conflicting commit would land in the log and poison every
+    * subsequent snapshot fold — fail fast instead, leaving the table
+    * untouched. Returns the accumulated schema including this batch. */
+  private def preflight(df0: DataFrame): Schema = {
+    val base = preflightSchema.orElse(trySnapshot(Long.MaxValue).map(_.schema))
+    val probe = new Schema
+    base.foreach(s => probe.accumulate(s.columns, s.types))
+    val b = getSchema(df0)
+    probe.accumulate(b.columns, b.types) // throws SchemaConflictException
+    probe
+  }
+
   /** [[insert]] whose log commit also records stream-commit bookkeeping —
     * the data files and the per-query batch id land in ONE atomic log PUT
     * (the exactly-once sink building block; use [[insertBatch]]). */
   def insert(df0: DataFrame, streamCommits: Map[String, Long]): Seq[FileMarker] = {
+    val probed = preflight(df0)
     val (markers, schema) = writeRouted(routeRows(df0))
     // One PUT = the transaction (icedb/icedb.py:217-219).
     logio.append(root, 1, schema, markers, timestamp = Some(now()),
       streamCommits = streamCommits, tableCfg = persistedCfg)
+    preflightSchema = Some(probed)
     maybeCheckpoint()
     markers
   }
