@@ -175,6 +175,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), sum("event_id").cast("bigint").as("sum_id"))
         .orderBy(col("event_type"))
     }),
+    "a40_manifest_export" -> ((s, d) => {
+      // foreign-engine manifest (ManifestExport): the snapshot's alive
+      // files + schema + dv files exported as static JSON (plus a
+      // DuckDB view definition) — here the table is read back THROUGH
+      // the manifest alone (no log fold), and the contract column pins
+      // the manifest's file set to the snapshot's exact alive set
+      import graft.ice.ManifestExport
+      val t = Fixtures.eventsIce(s, d).table
+      val dest = s"${t.root}/_export/manifest.json"
+      ManifestExport.writeManifest(t, dest)
+      val sql = ManifestExport.writeDuckDbView(
+        t, s"${t.root}/_export/view.sql", "events_view")
+      val (_, files, dels) = ManifestExport.readManifest(t, dest)
+      val aliveAbs = t.snapshot().aliveFiles
+        .map(m => s"${t.qualifiedRoot}/${m.path}").toSet
+      val exact = files.toSet == aliveAbs && dels.isEmpty &&
+        sql.contains("read_parquet") && sql.contains("union_by_name")
+      s.read.schema(t.snapshot().schema.toStructType).parquet(files: _*)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum("user_id").cast("bigint").as("sum_uid"))
+        .withColumn("manifest_exact", lit(exact))
+        .orderBy(col("event_type"))
+    }),
     "a38_format_row" -> ((s, d) => {
       // A23 formatRow hook, oracle-graded: a whole-DataFrame pre-insert
       // transform (reference format_row, examples/api-flask.py:156-162)
@@ -1982,6 +2005,9 @@ object SparkEntry {
       ("SELECT event_type, count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS sum_uid, " +
         "true AS surfaces_agree FROM events WHERE user_id % 10 != 7 " +
         "GROUP BY event_type ORDER BY event_type"),
+    "a40_manifest_export" ->
+      ("SELECT event_type, count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS sum_uid, " +
+        "true AS manifest_exact FROM events GROUP BY event_type ORDER BY event_type"),
     "a38_format_row" ->
       ("SELECT upper(event_type) AS event_type, " +
         "'t_' || lower(event_type) AS etype_tag, count(*) AS cnt, " +

@@ -1,0 +1,144 @@
+package graft.ice
+
+import org.apache.hadoop.fs.Path
+import java.nio.charset.StandardCharsets
+
+/** Foreign-engine access: export a snapshot's alive-file list as a static
+  * JSON manifest (plus a ready-to-run DuckDB view definition), so any
+  * parquet-reading engine can query a graft table WITHOUT folding the
+  * JSONL log itself.
+  *
+  * This is the answer to the reference's transparent-proxy / `get_files`
+  * integrations (README.md:28-31 "Query engines such as DuckDB,
+  * ClickHouse, ...", ch/user_scripts/main.go:44-73): where the reference
+  * ships a Go UDF per engine, a graft snapshot exports once and every
+  * engine reads the same manifest. The manifest is a point-in-time
+  * artifact — MVCC isolation holds for as long as tombstone cleanup's
+  * retention keeps the listed files (same contract as any reader pinning
+  * a snapshot; re-export to advance).
+  *
+  * Deletion vectors are exported too: `delete_files` lists the dv side
+  * table's alive parquet files of `(path, row_index)` marks, and the
+  * generated DuckDB view applies the anti-join via
+  * `file_row_number`/`filename`, so merge-on-read deletes are invisible
+  * to foreign readers exactly as they are to every Spark surface.
+  */
+object ManifestExport {
+
+  /** Write `<dest>` (a JSON file) describing the snapshot at `maxTs`:
+    * version, qualified root, snapshot timestamp, the union schema
+    * (log type-strings), each alive file's root-relative and absolute
+    * path with bytes/created-ms, and any deletion-vector files. Returns
+    * the number of data files listed. */
+  def writeManifest(
+      table: IceTable, dest: String, maxTs: Long = Long.MaxValue): Int = {
+    val snap = table.snapshot(maxTs)
+    val root = table.qualifiedRoot
+    val files = snap.aliveFiles.sortBy(_.path)
+    val dv = DeleteVectors.dvTable(table)
+    val dvFiles = dv.trySnapshot(maxTs).map(_.aliveFiles.sortBy(_.path))
+      .getOrElse(Seq.empty)
+    val lines = Seq(
+      Json.obj(
+        "version" -> 1,
+        "root" -> root,
+        "snapshot_ts" -> snap.timestamp,
+        "schema" -> snap.schema.pairs.toMap,
+        "files" -> files.map(m => Json.parseObject(Json.obj(
+          "path" -> m.path,
+          "absolute" -> s"$root/${m.path}",
+          "bytes" -> m.fileBytes,
+          "created_ms" -> m.createdMs)): Any),
+        "delete_files" -> dvFiles.map(m =>
+          s"${dv.qualifiedRoot}/${m.path}": Any)))
+    val p = new Path(dest)
+    val fs = p.getFileSystem(table.spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    files.length
+  }
+
+  /** The DuckDB SQL that queries the snapshot with NO graft code at all:
+    * a view over `read_parquet` of the manifest's absolute paths
+    * (union_by_name matches the add-only union-schema contract), with the
+    * deletion-vector anti-join applied when marks exist. Write it next to
+    * the manifest and `duckdb -c ".read manifest.sql"`. */
+  def duckDbViewSql(
+      table: IceTable, viewName: String, maxTs: Long = Long.MaxValue): String = {
+    val snap = table.snapshot(maxTs)
+    val root = table.qualifiedRoot
+    def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    val fileList = snap.aliveFiles.sortBy(_.path)
+      .map(m => lit(stripScheme(s"$root/${m.path}"))).mkString("[", ", ", "]")
+    val dv = DeleteVectors.dvTable(table)
+    val dvFiles = dv.trySnapshot(maxTs).map(_.aliveFiles.sortBy(_.path))
+      .getOrElse(Seq.empty)
+    if (dvFiles.isEmpty)
+      s"""CREATE OR REPLACE VIEW $viewName AS
+         |SELECT * FROM read_parquet($fileList, union_by_name=true);
+         |""".stripMargin
+    else {
+      val dvList = dvFiles
+        .map(m => lit(stripScheme(s"${dv.qualifiedRoot}/${m.path}")))
+        .mkString("[", ", ", "]")
+      s"""CREATE OR REPLACE VIEW $viewName AS
+         |SELECT * EXCLUDE (filename, file_row_number)
+         |FROM read_parquet($fileList, union_by_name=true,
+         |                  filename=true, file_row_number=true) t
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM read_parquet($dvList) d
+         |  WHERE ends_with(t.filename, d.path) AND t.file_row_number = d.row_index);
+         |""".stripMargin
+    }
+  }
+
+  /** Write [[duckDbViewSql]] to `<dest>`. Returns the SQL. */
+  def writeDuckDbView(
+      table: IceTable, dest: String, viewName: String,
+      maxTs: Long = Long.MaxValue): String = {
+    val sql = duckDbViewSql(table, viewName, maxTs)
+    val p = new Path(dest)
+    val fs = p.getFileSystem(table.spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(sql.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    sql
+  }
+
+  /** Parse a manifest written by [[writeManifest]]: (schema pairs,
+    * absolute data paths, absolute delete-file paths). */
+  def readManifest(table: IceTable, src: String)
+      : (Map[String, String], Seq[String], Seq[String]) = {
+    val p = new Path(src)
+    val fs = p.getFileSystem(table.spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val body =
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        StandardCharsets.UTF_8)
+      finally in.close()
+    val m = Json.parseObject(body.linesIterator.next())
+    val schema = m("schema") match {
+      case sm: scala.collection.Map[_, _] =>
+        sm.map { case (k, v) => k.toString -> v.toString }.toMap
+      case _ => Map.empty[String, String]
+    }
+    val files = m("files") match {
+      case fseq: scala.collection.Seq[_] => fseq.collect {
+        case fm: scala.collection.Map[_, _] =>
+          fm.asInstanceOf[scala.collection.Map[String, Any]]("absolute").toString
+      }.toSeq
+      case _ => Seq.empty
+    }
+    val dels = m("delete_files") match {
+      case dseq: scala.collection.Seq[_] => dseq.map(_.toString).toSeq
+      case _ => Seq.empty
+    }
+    (schema, files, dels)
+  }
+
+  /** DuckDB/localfs-friendly form of a `file:` URI (foreign engines want
+    * plain paths for local files; non-file schemes pass through). */
+  private def stripScheme(uri: String): String =
+    if (uri.startsWith("file:")) uri.stripPrefix("file:") else uri
+}
