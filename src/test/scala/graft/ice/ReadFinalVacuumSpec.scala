@@ -38,6 +38,39 @@ class ReadFinalVacuumSpec extends SparkSpec {
     assert(hot.read().count() > hot.readFinal().count())
   }
 
+  test("concurrent readFinal calls with different maxTs never cross views") {
+    val cfgAgg = IceTableConfig(
+      partitionExpr = lit("all"),
+      sortOrder = Seq("user_id"),
+      customInsertSql = Some(
+        "select user_id, cast(count(*) as bigint) as cnt from _rows group by user_id"),
+      customMergeSql = Some(
+        "select user_id, cast(sum(cnt) as bigint) as cnt from source_files group by user_id"))
+    val t = new IceTable(spark, tmpDir("final_conc"), cfgAgg)
+    t.insert(batch(0, 300))
+    Thread.sleep(2); val midTs = System.currentTimeMillis(); Thread.sleep(2)
+    t.insert(batch(300, 600))
+    val expectEarly = 300L
+    val expectLate = 600L
+    // per-call unique view names: the old stable-name scheme let thread
+    // A's spark.sql analyze against thread B's freshly-replaced view
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val rounds = (1 to 8).map { _ =>
+      val fEarly = Future(t.readFinal(midTs).agg(sum("cnt")).head.getLong(0))
+      val fLate = Future(t.readFinal().agg(sum("cnt")).head.getLong(0))
+      (Await.result(fEarly, 60.seconds), Await.result(fLate, 60.seconds))
+    }
+    rounds.foreach { case (early, late) =>
+      assert(early == expectEarly, s"early readFinal saw $early")
+      assert(late == expectLate, s"late readFinal saw $late")
+    }
+    // and no temp views leak from the read path
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("source_files_final_")))
+  }
+
   test("readFinal is identity without custom merge SQL") {
     val t = new IceTable(spark, tmpDir("final_plain"), IceTableConfig(
       partitionExpr = lit("p=all"), sortOrder = Seq("id")))
