@@ -259,6 +259,26 @@ object Fixtures {
       table
     }
 
+  /** SQL INSERT variant (b33): half the rows seeded through the API, the
+    * other half committed by `INSERT INTO graft.<t> SELECT ...` — the
+    * statement must route/sort through the table's persisted config and
+    * land in ONE log commit. */
+  def eventsSqlInserted(spark: SparkSession, sfDir: String): IceTable =
+    memo(s"$sfDir#sqlinserted") {
+      val ev = raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val table = new IceTable(spark, newRoot("sqlinserted"), IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(16))),
+        sortOrder = Seq("event_id")))
+      table.insert(ev.where(col("event_id") % 2 === 0))
+      ev.where(col("event_id") % 2 === 1).createOrReplaceTempView("b33_ins_src")
+      val f = new java.io.File(table.root)
+      spark.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      spark.sql(s"INSERT INTO graft.`${f.getName}` " +
+        "SELECT event_id, user_id, event_type FROM b33_ins_src").collect()
+      table
+    }
+
   /** DML variant: atomic copy-on-write UPDATE then DELETE applied to the
     * assembled table (only affected files rewrite) — a35_row_update. */
   def eventsMutated(spark: SparkSession, sfDir: String): IceTable =

@@ -272,6 +272,18 @@ object SparkEntry {
         .withColumn("surfaces_agree", lit(agree && dvAlive))
         .orderBy(col("event_type"))
     }),
+    "b33_sql_insert" -> ((s, d) => {
+      // `INSERT INTO graft.<t> SELECT ...` (IceInsertCommand): the SQL
+      // half must be indistinguishable from the API half — same routing,
+      // same sort, one atomic commit — and the whole table hash-matches
+      // DuckDB over the raw events
+      val t = Fixtures.eventsSqlInserted(s, d)
+      val f = new java.io.File(t.root)
+      s.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      s.sql(s"""SELECT event_type, count(*) AS cnt,
+        CAST(sum(event_id) AS BIGINT) AS sum_id
+        FROM graft.`${f.getName}` GROUP BY event_type ORDER BY event_type""")
+    }),
     "b32_sql_merge" -> ((s, d) => {
       // SQL MERGE INTO through the catalog (IceMergeCommand → upsert):
       // matched keys replaced, unmatched appended, one atomic commit;
@@ -2016,6 +2028,9 @@ object SparkEntry {
     "a39_schema_validation" ->
       ("SELECT count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id, " +
         "true AS rejected_cleanly FROM events"),
+    "b33_sql_insert" ->
+      ("SELECT event_type, count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "b32_sql_merge" ->
       ("WITH src AS (SELECT event_id, user_id, 'upserted' AS event_type FROM events WHERE user_id % 13 = 2 " +
         "UNION ALL SELECT event_id + 20000000, user_id, 'new' FROM events WHERE user_id % 13 = 2), " +

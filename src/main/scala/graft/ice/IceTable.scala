@@ -1888,6 +1888,7 @@ final class IceTable(
   def rewritePartition(
       targetPartition: String,
       filterSql: String): (Option[String], Option[LogMetadata], Seq[String]) = {
+    val dvStampAtRead = dvStamp() // BEFORE the dv-applying reads
     val runTime = now()
     val snap = snapshot(runTime)
 
@@ -1917,6 +1918,12 @@ final class IceTable(
 
     val rewrittenPaths = targets.map(_.path).toSet
     try withValidatedCommit(targets) { (freshTargets, curByPath, commitTime, _) =>
+      // same dv-staleness gate as validatedRewriteCommit: marks committed
+      // after our read would point at paths this commit tombstones
+      if (dvStamp() != dvStampAtRead)
+        throw new CommitConflictException(
+          "deletion-vector state changed between this rewrite's data read " +
+            "and its commit; retry from a fresh snapshot")
       val updated = snap.files.map { m0 =>
         // current copy wins over the snapshot's (see withValidatedCommit),
         // and carried-forward markers keep their stats

@@ -41,11 +41,13 @@ import org.apache.spark.sql.types.{NumericType, TimestampType}
   * treats `v` as a log timestamp in epoch millis, inclusive, matching
   * `IceTable.snapshot(v + 1)`'s strict-`<` fold.
   *
-  * Writes through this surface are rejected: an `INSERT INTO graft.t` would
-  * bypass the transaction log (Spark would drop parquet files into the
-  * table dir with no log commit — invisible at best, corrupting at worst).
-  * The supported write paths are `IceTable.insert` and
-  * `df.write.format("ice")`.
+  * The full SQL DML surface routes through the engine's atomic
+  * operations: `INSERT INTO` → [[IceTable.insert]] (one log commit, the
+  * table's persisted routing/sort config applied), `UPDATE`/`DELETE` →
+  * the CoW mutations, `MERGE INTO` → upsert/deleteKeys. `INSERT
+  * OVERWRITE` alone is rejected — truncating an MVCC table is an
+  * explicit maintenance decision (`removePartitions` /
+  * `rewritePartition`), never a write mode's side effect.
   *
   * Injected by [[graft.GraftExtensions]]; activates only when
   * `spark.graft.warehouse` is set, and leaves any name it cannot resolve
@@ -130,10 +132,22 @@ final class IceSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
-    case InsertIntoStatement(IceName(t), _, _, _, _, _, _) =>
-      throw new UnsupportedOperationException(
-        s"INSERT INTO $catalogName.$t would bypass the ice transaction log; " +
-          "write with IceTable.insert or df.write.format(\"ice\")")
+    // `INSERT INTO graft.t [(cols)] SELECT ... | VALUES ...` → ONE atomic
+    // engine insert through the transaction log (IceTable.open restores
+    // the table's routing/sort config, so SQL-inserted rows land in the
+    // same partition/sort shape as API inserts). INSERT OVERWRITE stays
+    // rejected: truncation of an MVCC table is an explicit maintenance
+    // decision (removePartitions / rewritePartition), not a write mode.
+    case ins @ InsertIntoStatement(IceRel(t), partSpec, userCols, query, overwrite, _, _)
+        if tableRoot(t).isDefined && query.resolved =>
+      if (overwrite) throw new UnsupportedOperationException(
+        s"INSERT OVERWRITE $catalogName.$t is not supported — truncate " +
+          "explicitly via removePartitions/rewritePartition, then INSERT")
+      if (partSpec.nonEmpty) throw new UnsupportedOperationException(
+        s"INSERT INTO $catalogName.$t PARTITION (...) is not supported — " +
+          "the table's partition expression routes rows itself")
+      IceInsertCommand(tableRoot(t).get, s"$catalogName.$t",
+        new PlanBox(query), userCols)
     // SQL DML maps onto the engine's atomic CoW mutations. The raw
     // (unresolved) expressions travel as SQL text and re-resolve against
     // the table's own DataFrame inside the command — a LeafRunnableCommand
@@ -352,6 +366,63 @@ final case class IceMergeCommand(
         org.apache.spark.sql.Row(0L, n)
     }
     Seq(row)
+  }
+}
+
+/** `INSERT INTO graft.<t> [(cols)] <query>` → one atomic
+  * [[IceTable.insert]] through the log. Column alignment: an explicit
+  * column list renames the query's outputs to it; otherwise, when the
+  * query's output arity matches the table's log schema, outputs map
+  * POSITIONALLY to the schema's column order (standard SQL INSERT
+  * semantics — `VALUES` tuples have no names of their own); otherwise
+  * the query's own output names are used verbatim (the engine's add-only
+  * union schema admits new columns). Returns one row: rows_inserted. */
+final case class IceInsertCommand(
+    root: String, ident: String,
+    queryBox: PlanBox,
+    userCols: Seq[String])
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference => AR}
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AR("rows_inserted", org.apache.spark.sql.types.LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions.col
+    val t = IceSqlResolution.bareTable(session, root)
+    val q = org.apache.spark.sql.graft.PlanBridge.ofRows(session, queryBox.plan)
+    val snapOpt = t.trySnapshot(Long.MaxValue)
+    val targetCols: Seq[String] =
+      if (userCols.nonEmpty) userCols
+      else snapOpt.map(_.schema.pairs.map(_._1).toSeq) match {
+        case Some(cols) =>
+          // standard SQL: positional mapping must cover every table column
+          require(cols.length == q.columns.length,
+            s"INSERT INTO $ident: table has ${cols.length} columns " +
+              s"(${cols.mkString(", ")}) but the query produces " +
+              s"${q.columns.length}; list the target columns explicitly")
+          cols
+        case None => Seq.empty // empty table: the query's own names seed it
+      }
+    // standard INSERT coercion: literals arrive at their own types
+    // (VALUES 99 is INT); cast each aligned column to the table's
+    // recorded type so the union-schema contract (conflict = error)
+    // never trips on a representation difference
+    val tableTypes: Map[String, org.apache.spark.sql.types.DataType] =
+      snapOpt.map(_.schema.toStructType.fields
+        .map(f => f.name -> f.dataType).toMap).getOrElse(Map.empty)
+    val aligned =
+      if (targetCols.isEmpty) q
+      else {
+        require(targetCols.length == q.columns.length,
+          s"INSERT INTO $ident: ${targetCols.length} target columns but " +
+            s"the query produces ${q.columns.length}")
+        q.toDF(targetCols: _*)
+          .select(targetCols.map(c =>
+            tableTypes.get(c).fold(col(c))(dt => col(c).cast(dt).as(c))): _*)
+      }
+    val staged = aligned.localCheckpoint()
+    val n = staged.count()
+    if (n > 0) t.insert(staged)
+    Seq(org.apache.spark.sql.Row(n))
   }
 }
 

@@ -58,17 +58,37 @@ class IceSqlResolutionSpec extends SparkSpec {
     } finally spark.conf.unset(IceSqlResolution.WarehouseKey)
   }
 
-  test("INSERT INTO graft.<name> is rejected (would bypass the log)") {
+  test("INSERT INTO graft.<name> commits through the log; OVERWRITE is rejected") {
     val wh = tmpDir("graft_sqlins")
-    mkTable(wh, "guard")
+    val t = mkTable(wh, "guard")
     spark.conf.set(IceSqlResolution.WarehouseKey, wh)
     try {
-      val e = intercept[Exception] {
-        spark.sql("INSERT INTO graft.guard VALUES (99, '2024-01-09')")
+      val logsBefore = t.logio.currentLogFiles(t.root).length
+      // positional VALUES map onto the table's log schema (id, d)
+      val r = spark.sql(
+        "INSERT INTO graft.guard VALUES (99, '2024-01-09', 'tag99'), (98, '2024-01-09', 'tag98')")
+        .collect()
+      assert(r.head.getLong(0) == 2L)
+      assert(t.logio.currentLogFiles(t.root).length == logsBefore + 1,
+        "one atomic log commit")
+      assert(spark.sql("SELECT count(*) c FROM graft.guard").head.getLong(0) == 12L)
+      assert(spark.sql("SELECT count(*) c FROM graft.guard WHERE d = '2024-01-09'")
+        .head.getLong(0) == 2L)
+      // explicit column list + SELECT source (v absent: union schema reads null)
+      spark.sql("INSERT INTO graft.guard (id, d) SELECT 97, '2024-01-09'").collect()
+      assert(spark.sql("SELECT count(*) c FROM graft.guard").head.getLong(0) == 13L)
+      // OVERWRITE = truncation; stays an explicit maintenance decision
+      // arity mismatch without a column list fails loudly (positional SQL)
+      val mis = intercept[Exception] {
+        spark.sql("INSERT INTO graft.guard VALUES (1, 'x')")
       }
-      def msgs(t: Throwable): Seq[String] =
-        if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-      assert(msgs(e).exists(_.contains("bypass the ice transaction log")), e)
+      val e = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE graft.guard VALUES (1, 'x', 'y')")
+      }
+      def msgs(x: Throwable): Seq[String] =
+        if (x == null) Seq.empty else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+      assert(msgs(e).exists(_.contains("INSERT OVERWRITE")), e)
+      assert(msgs(mis).exists(_.contains("list the target columns")), mis)
     } finally spark.conf.unset(IceSqlResolution.WarehouseKey)
   }
 
