@@ -1068,8 +1068,12 @@ object SparkEntry {
             (x, i) => x + when(i === 0, lit(0.001)).otherwise(lit(0.0)))
             .as("embedding"))
       val corpus = emb.unionByName(planted)
+      // localCheckpoint: the pair DAG (train + assign + rank + candidate
+      // joins) feeds BOTH the summary and keepCanonical (whose
+      // connected-components loop eagerly checkpoints its input) — as a
+      // lazy plan it would execute twice
       val pairs = SemDedup.semanticDupPairs(corpus, "vec_id", "embedding",
-        threshold = 0.99)
+        threshold = 0.99).localCheckpoint()
       val kept = Dedup.keepCanonical(corpus, "vec_id", pairs)
         .agg(count(lit(1)).as("kept"))
       plantedSummary(pairs, col("cosine") >= 0.99).crossJoin(kept)

@@ -226,44 +226,84 @@ object Similarity {
     * `lloydIterations` times before any search started; this way the
     * corpus is touched exactly ONCE afterwards, by the caller's final
     * assignment pass. */
+  /** Driver-side fetch of the deterministic training sample: the `cap`
+    * rows of (id, _v) with smallest xxhash64(id), as double arrays
+    * (element types may be float/double/int depending on the source
+    * parquet; null elements contribute 0 like the codegen'd dot). */
+  private def collectSample(c: DataFrame, cap: Int): Array[Array[Double]] =
+    c.withColumn("_h", xxhash64(col("id")))
+      .orderBy("_h", "id").limit(cap)
+      .select(col("_v")).collect()
+      .map(_.getSeq[Any](0).iterator.map {
+        case null => 0.0
+        case x: java.lang.Number => x.doubleValue()
+      }.toArray)
+
   private[operators] def trainCentroids(
       c: DataFrame, nlist: Int, lloydIterations: Int, dim: Int): DataFrame = {
-    val sampleCap = math.max(nlist * 64, 4096)
-    // eager truncation: each Lloyd pass re-references the sample, and a
-    // lazy plan would re-run the corpus top-N per iteration
-    val sample = c.withColumn("_h", xxhash64(col("id")))
-      .orderBy("_h").limit(sampleCap)
-      .select(col("id"), col("_v")).localCheckpoint()
-    // The centroid table is nlist rows of dim doubles — metadata-scale —
-    // but it is referenced MANY times downstream (each Lloyd iteration's
-    // assignment, the final assignment, the probe side). As a lazy plan,
-    // every reference would re-derive the whole preceding Lloyd chain
-    // (the corpus-sized crossJoin + regroup, again and again); each
-    // iteration is therefore materialized to the driver and rebuilt as a
-    // literal DataFrame, so every downstream branch starts from values.
-    // Value-preserving (same rows), deterministic, and — unlike a
-    // localCheckpoint — immune to executor loss at cluster scale.
     val spark = c.sparkSession
-    def materialize(df: DataFrame): DataFrame = {
-      val rows = df.collect().toSeq // nlist rows
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), df.schema)
+    val sampleCap = math.max(nlist * 64, 4096)
+    // ONE Spark job for the whole training: fetch the bounded sample
+    // (top-N by hash — a TakeOrdered, ~MBs), then run Lloyd entirely on
+    // the driver in plain Scala. The earlier DataFrame-shaped loop cost
+    // 2 plans + jobs PER iteration on data that is by construction
+    // driver-sized — pure scheduling overhead at any scale. Semantics
+    // unchanged: cosine assignment (0 for zero norms), ties to the
+    // smallest cid, element-wise means, empty clusters drop.
+    val rows: Array[Array[Double]] = collectSample(c, sampleCap)
+    if (rows.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cid",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("_c",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType)))))
+    val d = rows.head.length
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }; s
     }
-    var centroids = materialize(sample
-      .withColumn("_h", xxhash64(col("id")))
-      .orderBy("_h").limit(nlist)
-      .select(monotonically_increasing_id().as("cid"), col("_v").as("_c")))
+    // (cid, vec) — cids stay stable across iterations; empty cells drop
+    var cent: Array[(Long, Array[Double])] =
+      rows.take(nlist).zipWithIndex.map { case (v, i) => (i.toLong, v.clone()) }
+    val cnorm = () => cent.map { case (_, v) => math.sqrt(dot(v, v)) }
     (1 to lloydIterations).foreach { _ =>
-      // element-wise mean per centroid: posexplode → avg per (cid, pos)
-      val assigned = nearestCid(sample, centroids, dim)
-      centroids = materialize(assigned
-        .select(col("cid"), posexplode(col("_v")).as(Seq("_p", "_x")))
-        .groupBy("cid", "_p").agg(avg(col("_x")).as("_m"))
-        .groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("_p"), col("_m")))).as("_pm"))
-        .select(col("cid"), transform(col("_pm"), e => e.getField("_m")).as("_c")))
+      val cn = cnorm()
+      val sums = Array.fill(cent.length)(new Array[Double](d))
+      val counts = new Array[Long](cent.length)
+      rows.foreach { v =>
+        val nv = math.sqrt(dot(v, v))
+        var best = 0; var bestSim = Double.NegativeInfinity
+        var k = 0
+        while (k < cent.length) {
+          val den = nv * cn(k)
+          val sim = if (den == 0) 0.0 else dot(v, cent(k)._2) / den
+          // ties pick the smallest cid — strict > keeps the first winner
+          if (sim > bestSim) { bestSim = sim; best = k }
+          k += 1
+        }
+        val s = sums(best); var i = 0
+        while (i < d) { s(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cent = cent.indices.collect {
+        case k if counts(k) > 0 =>
+          (cent(k)._1, sums(k).map(_ / counts(k)))
+      }.toArray
     }
-    centroids
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      cent.map { case (cid, v) =>
+        org.apache.spark.sql.Row(cid, v.toSeq) }.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("_c",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType), nullable = false))))
   }
 
   def ivfTopK(
@@ -388,37 +428,69 @@ object Similarity {
     val dsub = dim / m
     val spark = c.sparkSession
     // bounded deterministic training sample (see trainCentroids): the
-    // codebook trains on the max(ksub·64, 4096) smallest-hash rows; the
-    // full corpus is then encoded exactly once by pqEncode
+    // codebook trains on the max(ksub·64, 4096) smallest-hash rows, and —
+    // like trainCentroids — runs Lloyd ENTIRELY on the driver in plain
+    // Scala: one Spark job (the top-N sample fetch) instead of 2 plans +
+    // jobs per iteration over driver-sized data. The full corpus is then
+    // encoded exactly once by pqEncode. Semantics unchanged: per-subspace
+    // seeds are the first ksub sample rows' slices, assignment minimizes
+    // ‖c‖²−2·s·c with ties to the smallest cell id, a cell that loses all
+    // members keeps its previous centroid.
     val sampleCap = math.max(ksub * 64, 4096)
-    val sample = c.withColumn("_h", xxhash64(col("id")))
-      .orderBy("_h").limit(sampleCap)
-      .select(col("id"), col("_v")).localCheckpoint()
-    // same lineage-truncation as trainCentroids: the codebook is m × ksub
-    // rows, but as a lazy plan each iteration (and the final encode/probe
-    // branches) would re-derive every preceding Lloyd pass over the
-    // corpus-sized subvector table — materialize the metadata-scale table
-    // per iteration so downstream references start from values
-    def materialize(df: DataFrame): DataFrame =
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(df.collect().toSeq, 1), df.schema)
-    val sub = subVectors(sample, m, dsub, dim)
-    val w = Window.partitionBy("_j").orderBy(xxhash64(col("id")), col("id"))
-    var codebook = materialize(sub.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") <= ksub)
-      .select(col("_j"), (col("_rn") - 1).cast("int").as("cid"), col("_s").as("_c")))
-    (1 to iterations).foreach { _ =>
-      val means = assignCells(sub, codebook, dsub)
-        .select(col("_j"), col("cid"), posexplode(col("_s")).as(Seq("_p", "_x")))
-        .groupBy("_j", "cid", "_p").agg(avg(col("_x")).as("_m"))
-        .groupBy("_j", "cid")
-        .agg(array_sort(collect_list(struct(col("_p"), col("_m")))).as("_pm"))
-        .select(col("_j"), col("cid"),
-          transform(col("_pm"), e => e.getField("_m")).as("_mc"))
-      codebook = materialize(codebook.join(means, Seq("_j", "cid"), "left")
-        .select(col("_j"), col("cid"), coalesce(col("_mc"), col("_c")).as("_c")))
+    val rows: Array[Array[Double]] = collectSample(c, sampleCap)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }; s
     }
-    codebook
+    def sliceOf(v: Array[Double], j: Int): Array[Double] =
+      java.util.Arrays.copyOfRange(v, j * dsub, math.min((j + 1) * dsub, v.length))
+    // codebook(j)(cid) — seeds from the first ksub sample rows
+    val nCells = math.min(ksub, rows.length)
+    val codebook: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => rows.take(nCells).map(v => sliceOf(v, j)))
+    (1 to iterations).foreach { _ =>
+      var j = 0
+      while (j < m) {
+        val cells = codebook(j)
+        val cc = cells.map(cv => dot(cv, cv))
+        val sums = Array.fill(cells.length)(new Array[Double](dsub))
+        val counts = new Array[Long](cells.length)
+        rows.foreach { v =>
+          val s = sliceOf(v, j)
+          var best = 0; var bestD = Double.PositiveInfinity
+          var k = 0
+          while (k < cells.length) {
+            val d2 = cc(k) - 2.0 * dot(s, cells(k))
+            if (d2 < bestD) { bestD = d2; best = k } // ties keep smallest cid
+            k += 1
+          }
+          val acc = sums(best); var i = 0
+          while (i < s.length) { acc(i) += s(i); i += 1 }
+          counts(best) += 1
+        }
+        var k = 0
+        while (k < cells.length) {
+          if (counts(k) > 0) cells(k) = sums(k).map(_ / counts(k))
+          k += 1 // empty cell keeps its previous centroid
+        }
+        j += 1
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val outRows = for {
+      j <- 0 until m
+      k <- codebook(j).indices
+    } yield org.apache.spark.sql.Row(j, k, codebook(j)(k).toSeq)
+    spark.createDataFrame(outRows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_j",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("_c",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType), nullable = false))))
   }
 
   /** Encode each vector as `m` codebook cell ids: (id, code, _nv) with
