@@ -45,9 +45,8 @@ object DeleteVectors {
     new IceTable(main.spark, s"${main.root}/_dv", dvConfig)
 
   /** The main table's rows with root-relative `_dv_path` / `_dv_row`
-    * position columns attached. */
-  private def withPositions(main: IceTable, maxTs: Long): DataFrame = {
-    val snap = main.snapshot(maxTs)
+    * position columns attached, over a PINNED snapshot. */
+  private def withPositions(main: IceTable, snap: IceSnapshot): DataFrame = {
     val files = snap.aliveFiles
     if (files.isEmpty) return main.readFiles(snap, files)
       .withColumn("_dv_path", lit(null).cast("string"))
@@ -61,20 +60,37 @@ object DeleteVectors {
   /** Mark every row matching `cond` as deleted: one filtered scan of the
     * main table, one atomic dv commit. Returns rows marked (0 commits
     * nothing). Re-deleting already-marked rows is harmless (the read path
-    * is an anti-join; the dv merge SQL dedups at compaction). */
+    * is an anti-join; the dv merge SQL dedups at compaction).
+    *
+    * The commit VALIDATES, under the main root's commit lock, that every
+    * file the computed marks reference is still alive: a compaction
+    * committing between our scan and our commit re-homes the matched rows
+    * into new files, and marks pointing at the tombstoned paths would
+    * never match again — the rows would silently resurrect (found by the
+    * racing deleteWhere-vs-optimize spec). On staleness the whole pass
+    * retries from a fresh snapshot; the rewrite side holds the mirrored
+    * guarantee via the dv stamp in validatedRewriteCommit. */
   def deleteWhere(main: IceTable, cond: Column): Long = {
-    val hits = withPositions(main, Long.MaxValue).where(cond)
-      .select(col("_dv_path").as("path"), col("_dv_row").as("row_index"))
     val dv = dvTable(main)
-    val staged = hits.localCheckpoint() // count + insert from one scan
-    val n = staged.count()
-    // the dv commit takes the MAIN root's commit lock: [[materialize]]
-    // validates dv staleness under that lock before replacing files, and
-    // a dv commit that could slip between its validation and the main
-    // commit would be silently lost (its rows would reference freshly
-    // tombstoned paths)
-    if (n > 0) IceTable.commitLock(main.root).synchronized { dv.insert(staged) }
-    n
+    var attempts = 0
+    while (attempts < 5) {
+      val snap = main.snapshot()
+      val hits = withPositions(main, snap).where(cond)
+        .select(col("_dv_path").as("path"), col("_dv_row").as("row_index"))
+      val staged = hits.localCheckpoint() // count + insert from one scan
+      val n = staged.count()
+      if (n == 0) return 0
+      val referenced = staged.select("path").distinct()
+        .collect().map(_.getString(0)) // file-count scale, not rows
+      val committed = IceTable.commitLock(main.root).synchronized {
+        val alive = main.snapshot().aliveFiles.map(_.path).toSet
+        if (referenced.forall(alive)) { dv.insert(staged); true } else false
+      }
+      if (committed) return n
+      attempts += 1
+    }
+    throw new CommitConflictException(
+      "deleteWhere lost 5 consecutive races against concurrent rewrites")
   }
 
   /** Merge-on-read: the main table minus its deleted positions. Since

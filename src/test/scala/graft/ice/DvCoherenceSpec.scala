@@ -106,6 +106,46 @@ class DvCoherenceSpec extends SparkSpec {
     assert(t.read().count() == 400 - (0 until 400).count(_ % 7 == 0))
   }
 
+  test("RACING deleteWhere vs optimize: every committed delete stays deleted") {
+    val t = mkTable("dvc_race")
+    t.insert(batch(0, 400)); t.insert(batch(400, 800))
+    val deleted = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val deleter = new Thread(() => {
+      try {
+        var i = 0L
+        while (i < 30) {
+          if (DeleteVectors.deleteWhere(t, col("id") === i * 7) == 1) deleted.add(i * 7)
+          i += 1
+        }
+      } catch { case e: Throwable => errors.add(e) } finally stop.set(true)
+    }, "dvc-deleter")
+    val optimizer = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          try t.optimize(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+          catch { case _: CommitConflictException => () } // retry next round
+          Thread.sleep(1)
+        }
+      } catch { case e: Throwable => errors.add(e) }
+    }, "dvc-optimizer")
+    deleter.start(); optimizer.start()
+    deleter.join(120000); optimizer.join(120000)
+    assert(errors.isEmpty, s"background failure: ${errors.peek()}")
+    // the stamp gate's guarantee: a delete whose commit SUCCEEDED is never
+    // resurrected by a concurrently-committed compaction
+    import scala.jdk.CollectionConverters._
+    val del = deleted.asScala.toSet
+    val remaining = t.read().select("id").collect().map(_.getLong(0)).toSet
+    val resurrected = del intersect remaining
+    assert(resurrected.isEmpty, s"resurrected rows: $resurrected")
+    assert(remaining.size == 800 - del.size)
+    // and a final optimize converges to the same answer
+    t.optimize(maxFileSize = 1_000_000_000L, maxFileCount = 100)
+    assert(t.read().count() == 800 - del.size)
+  }
+
   test("dv rewrite with explicit sources never drops marks committed after its snapshot") {
     val t = mkTable("dvc_vacrace")
     t.insert(batch(0, 100))
