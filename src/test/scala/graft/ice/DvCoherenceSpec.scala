@@ -146,6 +146,46 @@ class DvCoherenceSpec extends SparkSpec {
     assert(t.read().count() == 800 - del.size)
   }
 
+  test("RACING deleteWhere vs CoW updateWhere: deletes stay deleted, updates apply") {
+    val t = mkTable("dvc_race_dml")
+    t.insert(batch(0, 400)); t.insert(batch(400, 800))
+    val deleted = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val deleter = new Thread(() => {
+      try {
+        var i = 0L
+        while (i < 20) {
+          if (DeleteVectors.deleteWhere(t, col("id") === i * 11) == 1) deleted.add(i * 11)
+          i += 1
+        }
+      } catch { case e: Throwable => errors.add(e) } finally stop.set(true)
+    }, "dvc-dml-deleter")
+    val updater = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          try t.updateWhere(col("id") % 5 === 1, Seq("v" -> lit("u")))
+          catch { case _: CommitConflictException => () } // dv moved: retry
+          Thread.sleep(1)
+        }
+      } catch { case e: Throwable => errors.add(e) }
+    }, "dvc-dml-updater")
+    deleter.start(); updater.start()
+    deleter.join(120000); updater.join(120000)
+    assert(errors.isEmpty, s"background failure: ${errors.peek()}")
+    import scala.jdk.CollectionConverters._
+    val del = deleted.asScala.toSet
+    val remaining = t.read().select("id").collect().map(_.getLong(0)).toSet
+    assert((del intersect remaining).isEmpty,
+      s"resurrected: ${del intersect remaining}")
+    assert(remaining.size == 800 - del.size)
+    // a final quiesced update reaches every surviving id%5==1 row
+    t.updateWhere(col("id") % 5 === 1, Seq("v" -> lit("u")))
+    val unUpdated = t.read()
+      .where(col("id") % 5 === 1 && col("v") =!= "u").count()
+    assert(unUpdated == 0, s"$unUpdated survivors missed the update")
+  }
+
   test("dv rewrite with explicit sources never drops marks committed after its snapshot") {
     val t = mkTable("dvc_vacrace")
     t.insert(batch(0, 100))
