@@ -498,7 +498,12 @@ final class IceTable(
   /** Rows ingested in `(sinceTs, untilTs]` as a DataFrame (see
     * [[addedFiles]]) under the current union schema — late-added columns
     * read as null, so a consumer that restarts across a schema evolution
-    * sees one consistent shape. */
+    * sees one consistent shape.
+    *
+    * Deliberately deletion-vector-BLIND: this is the append-only
+    * changelog, and a row deleted AFTER it was ingested was still a real
+    * event in its window — retroactively filtering history would make a
+    * replayed window disagree with what the original consumer saw. */
   def readAdded(sinceTs: Long, untilTs: Long = Long.MaxValue): DataFrame = {
     val snap = snapshot()
     readFiles(snap, addedFiles(sinceTs, untilTs))
