@@ -142,6 +142,17 @@ final class IceTable(
     val cfg: IceTableConfig,
     clock: () => Long = () => System.currentTimeMillis()) {
 
+  // URI-safe root contract: `_metadata.file_path` is URL-ENCODED while
+  // Hadoop's qualified path string is raw, so a root (or partition value)
+  // containing a character the encoding changes — space, '%', '#', '?',
+  // non-ASCII — would silently desynchronize every (path, row) deletion
+  // mark, marker-path comparison, and manifest filename match. Reject
+  // loudly at the boundary instead; partition VALUES are checked at
+  // marker creation (they come from data).
+  require(IceTable.pathSafe(root),
+    s"table root contains characters whose URI encoding differs from the " +
+      s"raw path (space/%/#/?/non-ASCII): $root")
+
   private val hadoopConf = spark.sparkContext.hadoopConfiguration
   val logio = new IceLogIO(IceTable.pathSafeHostname, hadoopConf)
   private def fs = logio.fs(root)
@@ -573,7 +584,10 @@ final class IceTable(
     * the data files and the per-query batch id land in ONE atomic log PUT
     * (the exactly-once sink building block; use [[insertBatch]]). */
   def insert(df0: DataFrame, streamCommits: Map[String, Long]): Seq[FileMarker] = {
-    val probed = preflight(df0)
+    // validate the POST-formatRow shape: the hook may legitimately change
+    // column types (that is what lands in the files and the log), and
+    // pre-hook validation would reject batches the hook converts
+    val probed = preflight(cfg.formatRow.fold(df0)(f => f(df0)))
     val (markers, schema) = writeRouted(routeRows(df0))
     // One PUT = the transaction (icedb/icedb.py:217-219).
     logio.append(root, 1, schema, markers, timestamp = Some(now()),
@@ -782,6 +796,7 @@ final class IceTable(
       val dirName = d.getPath.getName
       val part = IceTable.unescapePathName(
         dirName.stripPrefix(s"${IceTable.RouteCol}="))
+      IceTable.requirePartitionSafe(part)
       f.listStatus(d.getPath)
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
         .foreach { st =>
@@ -1160,6 +1175,7 @@ final class IceTable(
   private def writeSingleFile(
       df: DataFrame, destRel: String,
       sortCols: Seq[Column] = Nil): FileMarker = {
+    IceTable.requirePartitionSafe(destRel)
     val tmp = s"$root/_tmp/${UUID.randomUUID()}"
     // sort AFTER the coalesce: sorting the inputs per-partition and then
     // coalescing would concatenate sorted runs, not produce a sorted file
@@ -1601,7 +1617,17 @@ final class IceTable(
     val (written, _) = writerTable.insertDefault(routed)
 
     val allAcc = snap.aliveFiles
-    val (_, _, stamped) = validatedRewriteCommit(allAcc, written,
+    // commit through a handle carrying the NEW partition/sort config (all
+    // other knobs kept): the rewrite's log metadata is last-writer-wins,
+    // so committing through `this` would re-stamp the OLD partition
+    // expression as authoritative — a later IceTable.open / SQL INSERT
+    // would route new rows under the pre-repartition scheme while the
+    // data sits under the new one. (The writer handle is NOT used here:
+    // it deliberately clears customInsertSql/formatRow for the data job,
+    // and those must stay recorded for future inserts.)
+    val commitTable = new IceTable(spark, root,
+      cfg.copy(partitionExpr = newPartitionExpr, sortOrder = newSortOrder), clock)
+    val (_, _, stamped) = commitTable.validatedRewriteCommit(allAcc, written,
       dvStampAtRead = dvStampAtRead)
     stamped.length
   }
@@ -1621,6 +1647,7 @@ final class IceTable(
     val parts = f.listStatus(new Path(tmp))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
+    IceTable.requirePartitionSafe(partition)
     val markers = parts.toSeq.map { st =>
       val rel = s"_data/$partition/${UUID.randomUUID()}.parquet"
       val dest = new Path(root, rel)
@@ -1960,6 +1987,18 @@ object IceTable {
   /** Internal routing column name; never written to data files. */
   private[ice] val RouteCol = "_ice_part"
 
+  /** Characters whose URI encoding is the identity (see the root-safety
+    * contract in the class): printable ASCII minus the URI-special
+    * space/%/#/? — everything `_metadata.file_path` renders verbatim. */
+  private[ice] def pathSafe(s: String): Boolean =
+    s.forall(c => c > ' ' && c <= '~' && c != '%' && c != '#' && c != '?')
+
+  private[ice] def requirePartitionSafe(partition: String): Unit =
+    require(pathSafe(partition),
+      s"partition path segment contains characters whose URI encoding " +
+        s"differs from the raw path (space/%/#/?/non-ASCII): '$partition' — " +
+        "sanitize the partition expression (e.g. regexp_replace) before writing")
+
   /** Open the table at `root` reconstructing its persisted configuration
     * from the log (see [[IceTableConfig]] → `persistedCfg`): sort order,
     * partition expression, stats/bloom columns, merge SQL, codec — so a
@@ -1970,14 +2009,22 @@ object IceTable {
     * reconstructed handle poisons the corresponding path with a clear
     * error instead of silently mis-routing rows. Empty/absent log →
     * bare default config. */
-  def open(spark: SparkSession, root: String): IceTable = {
+  def open(spark: SparkSession, root: String): IceTable =
+    openWithSnapshot(spark, root)._1
+
+  /** [[open]] that also returns the fold it already paid for (None when
+    * the table has no log yet) — callers that immediately need a
+    * current-time snapshot (the SQL catalog resolver) must not fold the
+    * log a second time. */
+  def openWithSnapshot(
+      spark: SparkSession, root: String): (IceTable, Option[IceSnapshot]) = {
     val io = new IceLogIO(pathSafeHostname, spark.sparkContext.hadoopConfiguration)
-    val cfg =
-      (try Some(io.readAtMaxTime(root, Long.MaxValue))
-       catch { case _: NoLogFilesException => None })
-        .flatMap(_.tableConfig).map(configFromPersisted)
-        .getOrElse(IceTableConfig(lit(""), Seq.empty))
-    new IceTable(spark, root, cfg)
+    val snap =
+      try Some(io.readAtMaxTime(root, Long.MaxValue))
+      catch { case _: NoLogFilesException => None }
+    val cfg = snap.flatMap(_.tableConfig).map(configFromPersisted)
+      .getOrElse(IceTableConfig(lit(""), Seq.empty))
+    (new IceTable(spark, root, cfg), snap)
   }
 
   /** [[IceTableConfig]] → the compact JSON map persisted in log metadata

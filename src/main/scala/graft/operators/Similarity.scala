@@ -286,7 +286,8 @@ object Similarity {
           k += 1
         }
         val s = sums(best); var i = 0
-        while (i < d) { s(i) += v(i); i += 1 }
+        val lim = math.min(d, v.length) // ragged/truncated rows contribute
+        while (i < lim) { s(i) += v(i); i += 1 } // their prefix, like dot()
         counts(best) += 1
       }
       cent = cent.indices.collect {

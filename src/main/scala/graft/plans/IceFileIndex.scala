@@ -221,8 +221,12 @@ object IceFileIndex {
     * [[graft.ice.DeleteVectors.deleteWhere]]. No-dv tables pay one
     * existence probe and keep the bare relation plan. */
   def dataFrame(spark: SparkSession, table: IceTable,
-      maxTs: Long = Long.MaxValue): DataFrame = {
-    val snap = table.snapshot(maxTs)
+      maxTs: Long = Long.MaxValue,
+      preSnap: Option[graft.ice.IceSnapshot] = None): DataFrame = {
+    // preSnap: a caller that just folded the log (IceTable.openWithSnapshot
+    // in the SQL resolver) passes its snapshot so resolution costs ONE
+    // fold, not two — only valid for the same maxTs it was folded at
+    val snap = preSnap.getOrElse(table.snapshot(maxTs))
     val df = spark.baseRelationToDataFrame(relationFor(spark, table, snap))
     // baseRelationToDataFrame analyzes EAGERLY: when the session has the
     // IceDvOverlay extension rule, the overlay is already in `df`'s

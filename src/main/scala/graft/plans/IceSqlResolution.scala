@@ -82,9 +82,14 @@ final class IceSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     tableRoot(name).map { root =>
       // open(), not a bare handle: the persisted config restores the
       // stats columns, so the SQL path gets the same log-side file
-      // skipping (IceFileIndex.statsWindows) as the DataFrame path
-      val t = IceTable.open(spark, root)
-      val rel = IceFileIndex.dataFrame(spark, t, maxTs).queryExecution.analyzed
+      // skipping (IceFileIndex.statsWindows) as the DataFrame path.
+      // openWithSnapshot: the config fold doubles as the relation's
+      // snapshot (when no time travel narrows it), so each table
+      // reference costs ONE log fold
+      val (t, snap) = IceTable.openWithSnapshot(spark, root)
+      val pre = if (maxTs == Long.MaxValue) snap else None
+      val rel = IceFileIndex.dataFrame(spark, t, maxTs, pre)
+        .queryExecution.analyzed
       SubqueryAlias(Seq(catalogName, name), rel)
     }
 
@@ -225,7 +230,23 @@ final class IceSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       }.toSet
       val tgtAliases = aliasesOf(tgt) + t.toLowerCase
       val srcAliases = aliasesOf(source)
-      val tgtCols = tgt.output.map(_.name.toLowerCase).toSet
+      // analyzer timing varies: the target child may still be the
+      // unresolved name when this fires (its output would be empty, and
+      // the unqualified same-name key branch below would spuriously
+      // reject) — fall back to the table's own log schema + path-derived
+      // partition keys
+      val tgtCols: Set[String] =
+        if (tgt.resolved) tgt.output.map(_.name.toLowerCase).toSet
+        else {
+          val ot = IceTable.open(spark, tableRoot(t).get)
+          val dataCols = ot.trySnapshot(Long.MaxValue).toSeq
+            .flatMap(_.schema.pairs.map(_._1.toLowerCase))
+          val partCols = ot.trySnapshot(Long.MaxValue).toSeq
+            .flatMap(_.aliveFiles.map(m => ot.partitionOf(m.path)))
+            .flatMap(_.split("/").toSeq).filter(_.contains("="))
+            .map(_.split("=", 2)(0).toLowerCase)
+          (dataCols ++ partCols).toSet
+        }
       val srcCols = source.output.map(_.name.toLowerCase).toSet
       def parts(e: Expression): Option[Seq[String]] = e match {
         case ua: UnresolvedAttribute => Some(ua.nameParts)
@@ -374,9 +395,11 @@ final case class IceMergeCommand(
   * column list renames the query's outputs to it; otherwise, when the
   * query's output arity matches the table's log schema, outputs map
   * POSITIONALLY to the schema's column order (standard SQL INSERT
-  * semantics — `VALUES` tuples have no names of their own); otherwise
-  * the query's own output names are used verbatim (the engine's add-only
-  * union schema admits new columns). Returns one row: rows_inserted. */
+  * semantics — `VALUES` tuples have no names of their own); an arity
+  * mismatch without a column list is rejected (list the target columns
+  * to insert a subset or evolve the schema). On an EMPTY table the
+  * query's own output names seed the schema. Returns one row:
+  * rows_inserted. */
 final case class IceInsertCommand(
     root: String, ident: String,
     queryBox: PlanBox,
@@ -446,17 +469,20 @@ final case class IceUpdateCommand(
     // persisted partition expression (which also covers an empty table
     // and non-`k=v` partition schemes — the path-derived set alone is
     // empty/meaningless there).
+    // lowercased both sides: Spark resolves column references
+    // case-insensitively, so `SET ID = ...` reaches the real `id` column
+    // and must hit the guard too
     val pathKeys = t.trySnapshot(Long.MaxValue).toSeq
       .flatMap(_.aliveFiles.map(m => t.partitionOf(m.path)))
-      .flatMap(_.split("/").toSeq).map(_.split("=", 2)(0)).toSet
+      .flatMap(_.split("/").toSeq).map(_.split("=", 2)(0).toLowerCase).toSet
     val exprKeys =
       try org.apache.spark.sql.graft.PlanBridge
         .eagerExpression(t.cfg.partitionExpr)
         .collect { case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-          ua.name }.toSet
+          ua.name.toLowerCase }.toSet
       catch { case _: Exception => Set.empty[String] }
     val partKeys = pathKeys ++ exprKeys
-    sets.map(_._1).find(partKeys.contains).foreach { c =>
+    sets.map(_._1).find(c => partKeys.contains(c.toLowerCase)).foreach { c =>
       throw new UnsupportedOperationException(
         s"UPDATE of partition-deriving column '$c' on $ident would not move " +
           "rows between partitions; use IceTable.repartitionTable or rewritePartition")

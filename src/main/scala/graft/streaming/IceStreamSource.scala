@@ -80,13 +80,24 @@ class IceStreamProvider extends StreamSourceProvider with RelationProvider
       data: org.apache.spark.sql.DataFrame): BaseRelation = {
     val root = parameters.getOrElse("path", throw new IllegalArgumentException(
       "ice batch sink requires option 'path' (table root URI)"))
-    val partExpr = parameters.get("partitionExpr")
-      .map(org.apache.spark.sql.functions.expr).getOrElse(lit("all"))
-    val sortCols = parameters.get("sortOrder")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
-    val table = new IceTable(sqlContext.sparkSession, root,
-      IceTableConfig(partitionExpr = partExpr, sortOrder = sortCols))
-    val exists = table.logio.currentLogFiles(root).nonEmpty
+    // an EXISTING table's persisted config is authoritative unless the
+    // caller explicitly reconfigures: a bare append must not stamp the
+    // provider defaults (partition 'all', no sort/stats) over the
+    // creator's config — the log fold is last-writer-wins, so that would
+    // silently re-route every later insert and drop stats skipping
+    val opened = IceTable.open(sqlContext.sparkSession, root)
+    val exists = opened.logio.currentLogFiles(root).nonEmpty
+    val base =
+      if (exists) opened.cfg
+      else IceTableConfig(partitionExpr = lit("all"), sortOrder = Seq.empty)
+    val withPart = parameters.get("partitionExpr")
+      .map(e => base.copy(partitionExpr = org.apache.spark.sql.functions.expr(e)))
+      .getOrElse(base)
+    val cfg = parameters.get("sortOrder")
+      .map(so => withPart.copy(
+        sortOrder = so.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+      .getOrElse(withPart)
+    val table = new IceTable(sqlContext.sparkSession, root, cfg)
     mode match {
       case SaveMode.Overwrite =>
         throw new UnsupportedOperationException(

@@ -107,6 +107,85 @@ class PersistedConfigSpec extends SparkSpec {
       (0 until 200).count(_ % 7 == 3))
   }
 
+  test("format(\"ice\") append does not clobber the persisted config") {
+    val dir = tmpDir("cfg_fmt_append")
+    val t = new IceTable(spark, dir, IceTableConfig(
+      partitionExpr = concat(lit("p="), (col("id") % 4).cast("string")),
+      sortOrder = Seq("id"), statsColumn = Some("id")))
+    t.insert(batch(0, 50))
+    // bare append: the existing table's config must stay authoritative
+    batch(50, 60).write.format("ice").option("path", dir)
+      .mode("append").save()
+    val reopened = IceTable.open(spark, dir)
+    assert(reopened.cfg.sortOrder == Seq("id"), "sortOrder clobbered")
+    assert(reopened.cfg.statsColumn.contains("id"), "stats clobbered")
+    // the appended rows routed under the PERSISTED partition scheme
+    val parts = reopened.snapshot().aliveFiles
+      .map(m => reopened.partitionOf(m.path)).toSet
+    assert(parts == Set("p=0", "p=1", "p=2", "p=3"), s"routed to $parts")
+    assert(reopened.read().count() == 60)
+    // explicit options still reconfigure deliberately
+    batch(60, 62).write.format("ice").option("path", dir)
+      .option("partitionExpr", "'q=' || cast(id % 2 as string)")
+      .mode("append").save()
+    val parts2 = IceTable.open(spark, dir).snapshot().aliveFiles
+      .map(m => reopened.partitionOf(m.path)).toSet
+    assert(parts2.exists(_.startsWith("q=")))
+  }
+
+  test("repartitionTable persists the NEW partition scheme") {
+    val dir = tmpDir("cfg_repart")
+    val t = new IceTable(spark, dir, IceTableConfig(
+      partitionExpr = concat(lit("p="), (col("id") % 2).cast("string")),
+      sortOrder = Seq("id")))
+    t.insert(batch(0, 100))
+    t.repartitionTable(concat(lit("q="), (col("id") % 8).cast("string")))
+    val reopened = IceTable.open(spark, dir)
+    // inserts through the reconstructed handle must route under the NEW
+    // scheme (the rewrite's log carries the new config, not the old one)
+    reopened.insert(batch(100, 108))
+    val parts = reopened.snapshot().aliveFiles
+      .map(m => reopened.partitionOf(m.path)).toSet
+    assert(parts.forall(_.startsWith("q=")), s"stale routing: $parts")
+    assert(reopened.read().count() == 108)
+  }
+
+  test("formatRow type conversion validates post-hook (reopened same-cfg handle)") {
+    val dir = tmpDir("cfg_fmt_preflight")
+    val cfg = IceTableConfig(
+      partitionExpr = lit("all"),
+      sortOrder = Seq("id"),
+      formatRow = Some(df => df.withColumn("v", col("v").cast("bigint"))))
+    val t = new IceTable(spark, dir, cfg)
+    import spark.implicits._
+    val strBatch = (0 until 10).map(i => (i.toLong, s"$i")).toDF("id", "v")
+    t.insert(strBatch) // v lands as BIGINT via the hook
+    // a SECOND handle (fresh preflight cache seeded from the log) must
+    // accept the same raw string batch: the hook converts it
+    val t2 = new IceTable(spark, dir, cfg)
+    t2.insert(strBatch)
+    assert(t2.read().count() == 20)
+    assert(t2.snapshot().schema.pairs.toMap[String, String].apply("v") == "BIGINT")
+  }
+
+  test("roots with URI-encodable characters are rejected loudly") {
+    val base = java.nio.file.Files.createTempDirectory("cfg bad root").toString
+    val e = intercept[IllegalArgumentException] {
+      new IceTable(spark, base, IceTableConfig(lit("all"), Seq.empty))
+    }
+    assert(e.getMessage.contains("URI encoding"), e.getMessage)
+    // and a partition VALUE with a space fails at write, not silently
+    val t = new IceTable(spark, tmpDir("cfg_badpart"), IceTableConfig(
+      partitionExpr = concat(lit("p="), col("v")), sortOrder = Seq("id")))
+    import spark.implicits._
+    val bad = Seq((1L, "a b")).toDF("id", "v")
+    val e2 = intercept[Exception] { t.insert(bad) }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e2).exists(_.contains("URI encoding")), e2)
+    assert(t.trySnapshot().isEmpty, "no commit must land")
+  }
+
   test("UPDATE of a partition-deriving column is rejected via persisted expr") {
     val dir = tmpDir("cfg_guard")
     val t = new IceTable(spark, dir, IceTableConfig(
