@@ -79,6 +79,22 @@ class SqlMergeSpec extends SparkSpec {
       "matched rows untouched")
   }
 
+  test("unqualified same-name ON keys resolve against the log schema") {
+    val (t, ident) = freshTable("merge_unq")
+    (95L until 105L).map(i => (i, "u")).toDF("id", "v")
+      .createOrReplaceTempView("merge_src_unq")
+    // no aliases anywhere: the key must come from name membership on both
+    // sides (target side = the table's log schema when still unresolved)
+    val r = spark.sql(
+      s"""MERGE INTO $ident USING merge_src_unq
+         |ON id = id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(r.head.getLong(0) == 5L) // 95..99 matched
+    assert(t.read().count() == 105)
+    assert(t.read().where(col("v") === "u").count() == 10)
+  }
+
   test("unsupported merge shapes are rejected loudly") {
     val (_, ident) = freshTable("merge_bad")
     (0L until 5L).map(i => (i, "x")).toDF("id", "v")
