@@ -1078,6 +1078,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("kept"))
       plantedSummary(pairs, col("cosine") >= 0.99).crossJoin(kept)
     }),
+    "llm_image_dedup" -> ((s, d) => {
+      // perceptual image dedup: REAL PNG payloads decoded, aHash over the
+      // pixels (8x8 area-sampled grayscale, mean threshold), banded
+      // hamming pairing — the multimodal twin of text simhash. 5 planted
+      // exact-content copies (same payload, shifted id) must pair at
+      // hamming 0, every emitted pair honors the bound, and the keep-set
+      // count is pinned (organic packPng images hash distinctly)
+      val media = Multimodal.packPng(Fixtures.raw(s, d, "documents"), "doc_id")
+      val planted = media.where(col("media_id") < 5)
+        .withColumn("media_id", col("media_id") + PlantOffset)
+      val all = media.unionByName(planted)
+      val pairs = Multimodal.imageDupPairs(all, maxHamming = 0).localCheckpoint()
+      val kept = Dedup.keepCanonical(
+        all.select(col("media_id")), "media_id", pairs
+          .select(col("idA"), col("idB")))
+        .agg(count(lit(1)).as("kept"))
+      plantedSummary(pairs, col("hamming") <= 0).crossJoin(kept)
+    }),
     "llm_multimodal_meta" -> ((s, d) => {
       // REAL codec graded: payloads are actual PNGs (dims a closed-form
       // function of doc_id), decoded with javax.imageio — the oracle pins
@@ -2197,6 +2215,10 @@ object SparkEntry {
         "WHERE rank <= 5 ORDER BY qid, rank"),
     "llm_multimodal_meta" ->
       "SELECT CAST(sum(4 + doc_id % 13) AS BIGINT) AS sum_w, CAST(sum(3 + doc_id % 7) AS BIGINT) AS sum_h, count(*) AS cnt, true AS all_decoded FROM documents",
+    // 5 planted copies collapse onto their sources: kept == corpus size
+    "llm_image_dedup" ->
+      ("SELECT CAST(5 AS BIGINT) AS planted_found, true AS all_pairs_valid, " +
+        "(SELECT count(*) FROM documents) AS kept"),
     // real resize parity: scale = 6 / max(w,h) computed in DOUBLE on both
     // sides, round-half-up matches for positive values
     "llm_multimodal_resize" ->

@@ -272,9 +272,23 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame =
+    hammingDupPairs64(simHashes(df, idCol, textCol), maxHamming, maxBucketSize)
+
+  /** Banded near-dup pairing over ANY 64-bit fingerprint column — the
+    * machinery behind [[simHashDupPairs]], also driving perceptual image
+    * dedup ([[Multimodal.imageDupPairs]]). Input: (`_id`, `_sim`) rows
+    * (`_sim` = the 64-bit fingerprint). Candidates share one of four
+    * 16-bit bands (pigeonhole: every pair within hamming 3 is guaranteed
+    * a clean band; 4-15 are found with decreasing probability), buckets
+    * are capped, and each bucket emits its i<j pairs with array
+    * expressions — one shuffle of (band, key, id, sim) longs total, no
+    * self-join, no payload bytes. */
+  def hammingDupPairs64(
+      hashed: DataFrame,
+      maxHamming: Int = 3,
       maxBucketSize: Int = 1000): DataFrame = {
-    val withSim = simHashes(df, idCol, textCol)
-    val banded = withSim
+    val banded = hashed
       .withColumn("_bk", explode(array((0 until 4).map(b => struct(
         lit(b).as("band"),
         shiftright(col("_sim"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)))

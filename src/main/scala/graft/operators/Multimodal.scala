@@ -156,7 +156,16 @@ object Multimodal {
           while (y < h) {
             var x = 0
             while (x < w) {
-              img.setRGB(x, y, ((id * 31 + x * 7 + y * 13) & 0xFFFFFF).toInt)
+              // deterministic splitmix-style pixel hash: the earlier
+              // affine generator (id*31 + 7x + 13y) produced gray
+              // GRADIENTS whose mean-thresholded aHash collided across
+              // hundreds of ids — per-image-distinct content is what
+              // makes the perceptual-dedup oracle meaningful, and the
+              // dimension oracles only read the header
+              var v = id * 0x9E3779B97F4A7C15L +
+                x * 0xC2B2AE3D27D4EB4FL + y * 0x165667B19E3779F9L
+              v ^= v >>> 29; v *= 0xBF58476D1CE4E5B9L; v ^= v >>> 32
+              img.setRGB(x, y, (v & 0xFFFFFF).toInt)
               x += 1
             }
             y += 1
@@ -231,6 +240,87 @@ object Multimodal {
         }
       }(enc)
   }
+
+  // --------------------------------------------- perceptual image dedup
+
+  private val aHashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("ahash", LongType, nullable = true)))
+
+  /** 64-bit average-hash (aHash) over REAL decoded pixels: grayscale
+    * area-pooled to an 8×8 grid, each cell thresholded at the grid mean —
+    * the standard perceptual fingerprint (robust to resize/re-encode,
+    * cheap enough for a full-corpus pass). Undecodable payloads hash to
+    * null. One `mapPartitions` over payload batches; the output is
+    * (media_id, ahash) — 16 bytes/row, so everything downstream of the
+    * decode moves longs, never pixels. */
+  def imageAHash(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(aHashSchema)
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val hash: java.lang.Long = JdkImageCodec.decode(payload).map { img =>
+            val w = img.getWidth; val h = img.getHeight
+            // per-CELL area sampling (not per-pixel binning): each of the
+            // 64 cells averages its source rectangle, clamped to at least
+            // one pixel — images narrower than the grid REPEAT pixels
+            // instead of leaving structurally-empty cells, whose fill
+            // pattern would otherwise dominate the hash (every same-sized
+            // image collided)
+            val cells = new Array[Double](64)
+            var cy = 0
+            while (cy < 8) {
+              val y0 = cy * h / 8; val y1 = math.max(y0 + 1, (cy + 1) * h / 8)
+              var cx = 0
+              while (cx < 8) {
+                val x0 = cx * w / 8; val x1 = math.max(x0 + 1, (cx + 1) * w / 8)
+                var sum = 0.0; var n = 0L
+                var y = y0
+                while (y < y1) {
+                  var x = x0
+                  while (x < x1) {
+                    val rgb = img.getRGB(x, y)
+                    sum += (((rgb >> 16) & 0xFF) * 299 +
+                      ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000.0
+                    n += 1; x += 1
+                  }
+                  y += 1
+                }
+                cells(cy * 8 + cx) = sum / n
+                cx += 1
+              }
+              cy += 1
+            }
+            val mean = cells.sum / 64.0
+            var bits = 0L
+            var i = 0
+            while (i < 64) {
+              if (cells(i) > mean) bits |= (1L << i)
+              i += 1
+            }
+            java.lang.Long.valueOf(bits)
+          }.orNull
+          Row(id, hash)
+        }
+      }(enc)
+  }
+
+  /** Near-duplicate IMAGE pairs: [[imageAHash]] fingerprints fed through
+    * the banded-hamming pair machinery ([[Dedup.hammingDupPairs64]]) —
+    * exact-content copies pair at hamming 0, resized/re-encoded variants
+    * within a few bits. Pixels ride only the map-side decode; the
+    * candidate shuffle is (band, key, id, hash) longs with the same
+    * hot-bucket cap as text simhash. Undecodable payloads never pair. */
+  def imageDupPairs(
+      media: DataFrame,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame =
+    Dedup.hammingDupPairs64(
+      imageAHash(media).where(col("ahash").isNotNull)
+        .select(col("media_id").as("_id"), col("ahash").as("_sim")),
+      maxHamming, maxBucketSize)
 
   private val audioSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
