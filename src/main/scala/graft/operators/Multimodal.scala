@@ -192,7 +192,16 @@ object Multimodal {
           val data = new Array[Byte](frames * 2)
           var i = 0
           while (i < frames) {
-            val v = (((id + i) % 256) - 128).toShort
+            // splitmix-hashed samples with a per-window random amplitude:
+            // the earlier uniform ramp gave every id the same flat energy
+            // envelope, which would make every audio fingerprint collide
+            // (frame-count oracles only read the header)
+            var hv = id * 0x9E3779B97F4A7C15L + (i >> 3) * 0xC2B2AE3D27D4EB4FL
+            hv ^= hv >>> 29; hv *= 0xBF58476D1CE4E5B9L; hv ^= hv >>> 32
+            val amp = ((hv & 0x7F) + 1).toInt // 1..128 per 8-sample window
+            var sv = id * 0x165667B19E3779F9L + i * 0x27D4EB2F165667C5L
+            sv ^= sv >>> 30; sv *= 0x94D049BB133111EBL; sv ^= sv >>> 31
+            val v = ((((sv & 0xFF) - 128) * amp) / 128 * 64).toShort
             data(2 * i) = (v & 0xff).toByte
             data(2 * i + 1) = ((v >> 8) & 0xff).toByte
             i += 1
@@ -320,6 +329,78 @@ object Multimodal {
     Dedup.hammingDupPairs64(
       imageAHash(media).where(col("ahash").isNotNull)
         .select(col("media_id").as("_id"), col("ahash").as("_sim")),
+      maxHamming, maxBucketSize)
+
+  private val audioFpSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("afp", LongType, nullable = true)))
+
+  /** 64-bit audio fingerprint over REAL decoded PCM: the sample stream
+    * (any format `javax.sound.sampled` reads; 16-bit frames interpreted
+    * per the container's byte order) is split into 64 equal windows, each
+    * window's RMS energy thresholded at the mean — the energy-envelope
+    * analog of the image aHash, robust to uniform gain changes.
+    * Undecodable payloads fingerprint to null. */
+  def audioFingerprint(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(audioFpSchema)
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val fp: java.lang.Long =
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(payload))
+              val fmt = ais.getFormat
+              val bytes = ais.readAllBytes()
+              val bps = fmt.getSampleSizeInBits / 8
+              val step = math.max(1, bps * fmt.getChannels)
+              val n = bytes.length / step
+              if (n == 0 || bps != 2) null
+              else {
+                val energy = new Array[Double](64)
+                val counts = new Array[Long](64)
+                var i = 0
+                while (i < n) {
+                  val off = i * step
+                  val v =
+                    if (fmt.isBigEndian)
+                      ((bytes(off) << 8) | (bytes(off + 1) & 0xFF)).toShort
+                    else
+                      ((bytes(off + 1) << 8) | (bytes(off) & 0xFF)).toShort
+                  val w = math.min(63, i * 64 / n)
+                  energy(w) += v.toDouble * v
+                  counts(w) += 1
+                  i += 1
+                }
+                val rms = Array.tabulate(64)(w =>
+                  if (counts(w) == 0) 0.0 else math.sqrt(energy(w) / counts(w)))
+                val mean = rms.sum / 64.0
+                var bits = 0L
+                var k = 0
+                while (k < 64) {
+                  if (rms(k) > mean) bits |= (1L << k)
+                  k += 1
+                }
+                java.lang.Long.valueOf(bits)
+              }
+            } catch { case _: Exception => null }
+          Row(id, fp)
+        }
+      }(enc)
+  }
+
+  /** Near-duplicate AUDIO pairs: [[audioFingerprint]] envelopes through
+    * the banded-hamming machinery ([[Dedup.hammingDupPairs64]]) — exact
+    * copies pair at hamming 0; PCM bytes ride only the map-side decode. */
+  def audioDupPairs(
+      media: DataFrame,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame =
+    Dedup.hammingDupPairs64(
+      audioFingerprint(media).where(col("afp").isNotNull)
+        .select(col("media_id").as("_id"), col("afp").as("_sim")),
       maxHamming, maxBucketSize)
 
   private val audioSchema: StructType = StructType(Seq(
