@@ -39,7 +39,10 @@ object Bench {
     "llm_span_dedup", "llm_ann_pq", "llm_semantic_dedup", "sessionize_events",
     // round-7: time-series gap fill and index-backed (partition-pruned)
     // BM25 — the latter measured against llm_bm25_search-equivalent work
-    "ts_gapfill", "llm_bm25_index")
+    "ts_gapfill", "llm_bm25_index",
+    // round-8: perceptual image dedup (decode-dominated — the multimodal
+    // cost profile the text queries never exercise)
+    "llm_image_dedup")
 
   /** Recursively delete a bench-local temp table. Synthetic benches write
     * multi-GB tables; on hosts with slow disk, leaving them around evicts
