@@ -1096,6 +1096,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("kept"))
       plantedSummary(pairs, col("hamming") <= 0).crossJoin(kept)
     }),
+    "llm_video_dedup" -> ((s, d) => {
+      // video fingerprint dedup: every sampled MJPEG frame REALLY decoded,
+      // per-frame aHash majority-voted into a temporal fingerprint, banded
+      // hamming pairing — the trio's third leg
+      val media = Multimodal.packAvi(Fixtures.raw(s, d, "documents"), "doc_id")
+      val planted = media.where(col("media_id") < 5)
+        .withColumn("media_id", col("media_id") + PlantOffset)
+      val all = media.unionByName(planted)
+      val pairs = Multimodal.videoDupPairs(all, maxHamming = 0).localCheckpoint()
+      val kept = Dedup.keepCanonical(
+        all.select(col("media_id")), "media_id",
+        pairs.select(col("idA"), col("idB")))
+        .agg(count(lit(1)).as("kept"))
+      plantedSummary(pairs, col("hamming") <= 0).crossJoin(kept)
+    }),
     "llm_audio_dedup" -> ((s, d) => {
       // audio fingerprint dedup: REAL WAV payloads decoded via
       // javax.sound.sampled, 64-window RMS energy envelope thresholded at
@@ -2233,6 +2248,9 @@ object SparkEntry {
       "SELECT CAST(sum(4 + doc_id % 13) AS BIGINT) AS sum_w, CAST(sum(3 + doc_id % 7) AS BIGINT) AS sum_h, count(*) AS cnt, true AS all_decoded FROM documents",
     // 5 planted copies collapse onto their sources: kept == corpus size
     "llm_audio_dedup" ->
+      ("SELECT CAST(5 AS BIGINT) AS planted_found, true AS all_pairs_valid, " +
+        "(SELECT count(*) FROM documents) AS kept"),
+    "llm_video_dedup" ->
       ("SELECT CAST(5 AS BIGINT) AS planted_found, true AS all_pairs_valid, " +
         "(SELECT count(*) FROM documents) AS kept"),
     "llm_image_dedup" ->

@@ -256,6 +256,49 @@ object Multimodal {
     StructField("media_id", LongType),
     StructField("ahash", LongType, nullable = true)))
 
+  /** The 64-bit average hash of one decoded image: grayscale area-pooled
+    * onto an 8×8 grid with per-CELL source rectangles (clamped to at
+    * least one pixel — images narrower than the grid REPEAT pixels
+    * instead of leaving structurally-empty cells, whose fill pattern
+    * would otherwise dominate the hash and collide every same-sized
+    * image), thresholded at the grid mean. Shared by the image and video
+    * fingerprints. */
+  private[operators] def aHashOf(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val cells = new Array[Double](64)
+    var cy = 0
+    while (cy < 8) {
+      val y0 = cy * h / 8; val y1 = math.max(y0 + 1, (cy + 1) * h / 8)
+      var cx = 0
+      while (cx < 8) {
+        val x0 = cx * w / 8; val x1 = math.max(x0 + 1, (cx + 1) * w / 8)
+        var sum = 0.0; var n = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xFF) * 299 +
+              ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000.0
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        cells(cy * 8 + cx) = sum / n
+        cx += 1
+      }
+      cy += 1
+    }
+    val mean = cells.sum / 64.0
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (cells(i) > mean) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
   /** 64-bit average-hash (aHash) over REAL decoded pixels: grayscale
     * area-pooled to an 8×8 grid, each cell thresholded at the grid mean —
     * the standard perceptual fingerprint (robust to resize/re-encode,
@@ -270,47 +313,8 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
-          val hash: java.lang.Long = JdkImageCodec.decode(payload).map { img =>
-            val w = img.getWidth; val h = img.getHeight
-            // per-CELL area sampling (not per-pixel binning): each of the
-            // 64 cells averages its source rectangle, clamped to at least
-            // one pixel — images narrower than the grid REPEAT pixels
-            // instead of leaving structurally-empty cells, whose fill
-            // pattern would otherwise dominate the hash (every same-sized
-            // image collided)
-            val cells = new Array[Double](64)
-            var cy = 0
-            while (cy < 8) {
-              val y0 = cy * h / 8; val y1 = math.max(y0 + 1, (cy + 1) * h / 8)
-              var cx = 0
-              while (cx < 8) {
-                val x0 = cx * w / 8; val x1 = math.max(x0 + 1, (cx + 1) * w / 8)
-                var sum = 0.0; var n = 0L
-                var y = y0
-                while (y < y1) {
-                  var x = x0
-                  while (x < x1) {
-                    val rgb = img.getRGB(x, y)
-                    sum += (((rgb >> 16) & 0xFF) * 299 +
-                      ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000.0
-                    n += 1; x += 1
-                  }
-                  y += 1
-                }
-                cells(cy * 8 + cx) = sum / n
-                cx += 1
-              }
-              cy += 1
-            }
-            val mean = cells.sum / 64.0
-            var bits = 0L
-            var i = 0
-            while (i < 64) {
-              if (cells(i) > mean) bits |= (1L << i)
-              i += 1
-            }
-            java.lang.Long.valueOf(bits)
-          }.orNull
+          val hash: java.lang.Long = JdkImageCodec.decode(payload)
+            .map(img => java.lang.Long.valueOf(aHashOf(img))).orNull
           Row(id, hash)
         }
       }(enc)
@@ -908,9 +912,16 @@ object Multimodal {
           val w = (16 + 2 * (id % 4)).toInt; val h = (12 + 2 * (id % 3)).toInt
           val frames = (0 until nf).map { f =>
             val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
-            for (y <- 0 until h; x <- 0 until w)
-              img.setRGB(x, y, (((x * 8 + f * 32) & 0xff) << 16) |
-                (((y * 8 + id.toInt % 64) & 0xff) << 8) | ((f * 40) & 0xff))
+            for (y <- 0 until h; x <- 0 until w) {
+              // splitmix-hashed block pattern (4x4 blocks survive JPEG):
+              // the old gradient differed across ids only by a uniform
+              // green offset, which a mean-thresholded perceptual hash is
+              // (correctly) blind to — every same-shape video collided
+              var v = id * 0x9E3779B97F4A7C15L + (x >> 2) * 0xC2B2AE3D27D4EB4FL +
+                (y >> 2) * 0x165667B19E3779F9L + f * 0x27D4EB2F165667C5L
+              v ^= v >>> 29; v *= 0xBF58476D1CE4E5B9L; v ^= v >>> 32
+              img.setRGB(x, y, (v & 0xFFFFFF).toInt)
+            }
             val buf = new ByteArrayOutputStream()
             ImageIO.write(img, "jpg", buf)
             buf.toByteArray
@@ -964,6 +975,55 @@ object Multimodal {
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("n_bytes", LongType)))
+
+  private val videoFpSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("vfp", LongType, nullable = true)))
+
+  /** 64-bit video fingerprint: the per-frame image aHash of every
+    * sampled frame (every Nth `00dc` chunk, REALLY JPEG-decoded),
+    * majority-voted bit-wise across frames — the temporal average of the
+    * perceptual hash, stable under exact copy and re-mux, tolerant of a
+    * single corrupt frame. Payloads that yield no decodable frame
+    * fingerprint to null. */
+  def videoFingerprint(media: DataFrame, everyN: Int = 2): DataFrame = {
+    val enc = RowEncoder.encoderFor(videoFpSchema)
+    media.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val hashes = AviMjpeg.frameChunks(r.getAs[Array[Byte]](1)).zipWithIndex
+            .collect { case (jpeg, i) if i % everyN == 0 => jpeg }
+            .flatMap(jpeg => JdkImageCodec.decode(jpeg).map(aHashOf))
+          val fp: java.lang.Long =
+            if (hashes.isEmpty) null
+            else {
+              var bits = 0L
+              var b = 0
+              while (b < 64) {
+                val ones = hashes.count(hv => ((hv >>> b) & 1L) == 1L)
+                if (2 * ones > hashes.length) bits |= (1L << b)
+                b += 1
+              }
+              java.lang.Long.valueOf(bits)
+            }
+          Row(id, fp)
+        }
+      }(enc)
+  }
+
+  /** Near-duplicate VIDEO pairs through the shared banded-hamming
+    * machinery — completes the multimodal dedup trio (image aHash, audio
+    * energy envelope, video temporal aHash). */
+  def videoDupPairs(
+      media: DataFrame,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000,
+      everyN: Int = 2): DataFrame =
+    Dedup.hammingDupPairs64(
+      videoFingerprint(media, everyN).where(col("vfp").isNotNull)
+        .select(col("media_id").as("_id"), col("vfp").as("_sim")),
+      maxHamming, maxBucketSize)
 
   /** REAL video frame sampling: walk the AVI container, take every Nth
     * `00dc` chunk, and DECODE it with ImageIO — (media_id, frame_index,
