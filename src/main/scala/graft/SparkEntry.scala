@@ -83,6 +83,27 @@ object SparkEntry {
         .cast("bigint").as("planted_found"),
       bool_and(pairOk).as("all_pairs_valid"))
 
+  /** Shared multimodal-dedup grading harness: fingerprint ONCE (the
+    * decode is the expensive pass), pair via the banded hamming
+    * machinery, then INDEPENDENTLY recompute each pair's hamming from the
+    * cached fingerprints (bit_count over xor) — the graded bound must not
+    * be the pairing code checking itself. Returns the plantedSummary ×
+    * keep-set row. */
+  private def fingerprintDedupSummary(
+      all: DataFrame, fps0: DataFrame, fpCol: String): DataFrame = {
+    val fps = fps0.where(col(fpCol).isNotNull)
+      .select(col("media_id").as("_id"), col(fpCol).as("_sim")).localCheckpoint()
+    val pairs = Dedup.hammingDupPairs64(fps, maxHamming = 0).localCheckpoint()
+    val checked = pairs
+      .join(fps.select(col("_id").as("idA"), col("_sim").as("_fa")), Seq("idA"))
+      .join(fps.select(col("_id").as("idB"), col("_sim").as("_fb")), Seq("idB"))
+      .withColumn("_rh", expr("bit_count(_fa ^ _fb)").cast("int"))
+    val kept = Dedup.keepCanonical(all.select(col("media_id")), "media_id",
+      pairs.select(col("idA"), col("idB"))).agg(count(lit(1)).as("kept"))
+    plantedSummary(checked,
+      col("_rh") === col("hamming") && col("_rh") <= 0).crossJoin(kept)
+  }
+
   /** Corpus + queries for the ANN family (shared by all three variants). */
   private def annInputs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val emb = Fixtures.raw(s, d, "embeddings")
@@ -1084,17 +1105,12 @@ object SparkEntry {
       // hamming pairing — the multimodal twin of text simhash. 5 planted
       // exact-content copies (same payload, shifted id) must pair at
       // hamming 0, every emitted pair honors the bound, and the keep-set
-      // count is pinned (organic packPng images hash distinctly)
+      // count is pinned (packPng dims floor at the 8x8 hash grid, so organic images hash distinctly)
       val media = Multimodal.packPng(Fixtures.raw(s, d, "documents"), "doc_id")
       val planted = media.where(col("media_id") < 5)
         .withColumn("media_id", col("media_id") + PlantOffset)
       val all = media.unionByName(planted)
-      val pairs = Multimodal.imageDupPairs(all, maxHamming = 0).localCheckpoint()
-      val kept = Dedup.keepCanonical(
-        all.select(col("media_id")), "media_id", pairs
-          .select(col("idA"), col("idB")))
-        .agg(count(lit(1)).as("kept"))
-      plantedSummary(pairs, col("hamming") <= 0).crossJoin(kept)
+      fingerprintDedupSummary(all, Multimodal.imageAHash(all), "ahash")
     }),
     "llm_video_dedup" -> ((s, d) => {
       // video fingerprint dedup: every sampled MJPEG frame REALLY decoded,
@@ -1104,12 +1120,7 @@ object SparkEntry {
       val planted = media.where(col("media_id") < 5)
         .withColumn("media_id", col("media_id") + PlantOffset)
       val all = media.unionByName(planted)
-      val pairs = Multimodal.videoDupPairs(all, maxHamming = 0).localCheckpoint()
-      val kept = Dedup.keepCanonical(
-        all.select(col("media_id")), "media_id",
-        pairs.select(col("idA"), col("idB")))
-        .agg(count(lit(1)).as("kept"))
-      plantedSummary(pairs, col("hamming") <= 0).crossJoin(kept)
+      fingerprintDedupSummary(all, Multimodal.videoFingerprint(all), "vfp")
     }),
     "llm_audio_dedup" -> ((s, d) => {
       // audio fingerprint dedup: REAL WAV payloads decoded via
@@ -1120,12 +1131,7 @@ object SparkEntry {
       val planted = media.where(col("media_id") < 5)
         .withColumn("media_id", col("media_id") + PlantOffset)
       val all = media.unionByName(planted)
-      val pairs = Multimodal.audioDupPairs(all, maxHamming = 0).localCheckpoint()
-      val kept = Dedup.keepCanonical(
-        all.select(col("media_id")), "media_id",
-        pairs.select(col("idA"), col("idB")))
-        .agg(count(lit(1)).as("kept"))
-      plantedSummary(pairs, col("hamming") <= 0).crossJoin(kept)
+      fingerprintDedupSummary(all, Multimodal.audioFingerprint(all), "afp")
     }),
     "llm_multimodal_meta" -> ((s, d) => {
       // REAL codec graded: payloads are actual PNGs (dims a closed-form
@@ -2245,7 +2251,7 @@ object SparkEntry {
         "WHERE q.vec_id IN (0, 1, 2) AND cd.lang != qd.lang) " +
         "WHERE rank <= 5 ORDER BY qid, rank"),
     "llm_multimodal_meta" ->
-      "SELECT CAST(sum(4 + doc_id % 13) AS BIGINT) AS sum_w, CAST(sum(3 + doc_id % 7) AS BIGINT) AS sum_h, count(*) AS cnt, true AS all_decoded FROM documents",
+      "SELECT CAST(sum(8 + doc_id % 13) AS BIGINT) AS sum_w, CAST(sum(8 + doc_id % 7) AS BIGINT) AS sum_h, count(*) AS cnt, true AS all_decoded FROM documents",
     // 5 planted copies collapse onto their sources: kept == corpus size
     "llm_audio_dedup" ->
       ("SELECT CAST(5 AS BIGINT) AS planted_found, true AS all_pairs_valid, " +
@@ -2261,7 +2267,7 @@ object SparkEntry {
     "llm_multimodal_resize" ->
       ("SELECT CAST(sum(CASE WHEN greatest(w, h) <= 6 THEN w ELSE greatest(1, CAST(round(w * (6.0 / greatest(w, h))) AS BIGINT)) END) AS BIGINT) AS sum_w, " +
         "CAST(sum(CASE WHEN greatest(w, h) <= 6 THEN h ELSE greatest(1, CAST(round(h * (6.0 / greatest(w, h))) AS BIGINT)) END) AS BIGINT) AS sum_h, " +
-        "count(*) AS cnt FROM (SELECT 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h FROM documents)"),
+        "count(*) AS cnt FROM (SELECT 8 + doc_id % 13 AS w, 8 + doc_id % 7 AS h FROM documents)"),
     "llm_multimodal_audio" ->
       ("SELECT CAST(sum(100 + doc_id % 50) AS BIGINT) AS total_frames, " +
         "CAST(8000 AS INTEGER) AS min_rate, CAST(8000 AS INTEGER) AS max_rate, " +
@@ -2282,8 +2288,8 @@ object SparkEntry {
     // the closed-form dims; sampled count = ceil(frames/2) per doc
     "llm_multimodal_video" ->
       ("SELECT CAST(sum((2 + doc_id % 5 + 1) // 2) AS BIGINT) AS sampled_frames, " +
-        "CAST(sum(((2 + doc_id % 5 + 1) // 2) * (16 + 2 * (doc_id % 4)) * (12 + 2 * (doc_id % 3))) AS BIGINT) AS sum_px, " +
-        "CAST(16 AS INTEGER) AS min_w, true AS all_decoded, " +
+        "CAST(sum(((2 + doc_id % 5 + 1) // 2) * (32 + 2 * (doc_id % 4)) * (24 + 2 * (doc_id % 3))) AS BIGINT) AS sum_px, " +
+        "CAST(32 AS INTEGER) AS min_w, true AS all_decoded, " +
         "CAST(sum(2 + doc_id % 5) AS BIGINT) AS total_frames, " +
         "round((max(2 + doc_id % 5) * 100000) / 1000000.0, 6) AS max_dur, " +
         "count(*) AS cnt FROM documents WHERE doc_id < 500"),

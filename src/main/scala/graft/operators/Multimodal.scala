@@ -27,6 +27,15 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** splitmix64-style finalizer shared by every synthetic content
+    * generator (pixel/sample/frame hashing — one place to tweak
+    * distinctness, which round 8 already had to do once per modality). */
+  private def mix64(v0: Long): Long = {
+    var v = v0
+    v ^= v >>> 29; v *= 0xBF58476D1CE4E5B9L
+    v ^= v >>> 32; v
+  }
+
   /** Media row contract: payload + media_type + open string metadata. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
@@ -138,8 +147,11 @@ object Multimodal {
   }
 
   /** Pack each row as a REAL PNG payload whose dimensions derive
-    * deterministically from the id — `w = 4 + id % 13`, `h = 3 + id % 7` —
+    * deterministically from the id — `w = 8 + id % 13`, `h = 8 + id % 7` —
     * so a decode of the actual image header has a closed-form oracle.
+    * Dimensions floor at the aHash grid (8×8): a sub-grid image carries
+    * fewer pixels than hash bits, and the 64-bit fingerprint degrades to
+    * ~2^(w·h) states — at 5000 docs the 4×3 variant actually collided.
     * Encoding happens inside `mapPartitions`, same contract as every
     * codec pass. */
   def packPng(df: DataFrame, idCol: String): DataFrame = {
@@ -149,22 +161,21 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
-          val w = (4 + id % 13).toInt
-          val h = (3 + id % 7).toInt
+          val w = (8 + id % 13).toInt
+          val h = (8 + id % 7).toInt
           val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
           var y = 0
           while (y < h) {
             var x = 0
             while (x < w) {
-              // deterministic splitmix-style pixel hash: the earlier
-              // affine generator (id*31 + 7x + 13y) produced gray
-              // GRADIENTS whose mean-thresholded aHash collided across
-              // hundreds of ids — per-image-distinct content is what
-              // makes the perceptual-dedup oracle meaningful, and the
-              // dimension oracles only read the header
-              var v = id * 0x9E3779B97F4A7C15L +
-                x * 0xC2B2AE3D27D4EB4FL + y * 0x165667B19E3779F9L
-              v ^= v >>> 29; v *= 0xBF58476D1CE4E5B9L; v ^= v >>> 32
+              // deterministic hashed pixels: the earlier affine generator
+              // (id*31 + 7x + 13y) produced gray GRADIENTS whose
+              // mean-thresholded aHash collided across hundreds of ids —
+              // per-image-distinct content is what makes the
+              // perceptual-dedup oracle meaningful, and the dimension
+              // oracles only read the header
+              val v = mix64(id * 0x9E3779B97F4A7C15L +
+                x * 0xC2B2AE3D27D4EB4FL + y * 0x165667B19E3779F9L)
               img.setRGB(x, y, (v & 0xFFFFFF).toInt)
               x += 1
             }
@@ -196,11 +207,9 @@ object Multimodal {
             // the earlier uniform ramp gave every id the same flat energy
             // envelope, which would make every audio fingerprint collide
             // (frame-count oracles only read the header)
-            var hv = id * 0x9E3779B97F4A7C15L + (i >> 3) * 0xC2B2AE3D27D4EB4FL
-            hv ^= hv >>> 29; hv *= 0xBF58476D1CE4E5B9L; hv ^= hv >>> 32
+            val hv = mix64(id * 0x9E3779B97F4A7C15L + (i >> 3) * 0xC2B2AE3D27D4EB4FL)
             val amp = ((hv & 0x7F) + 1).toInt // 1..128 per 8-sample window
-            var sv = id * 0x165667B19E3779F9L + i * 0x27D4EB2F165667C5L
-            sv ^= sv >>> 30; sv *= 0x94D049BB133111EBL; sv ^= sv >>> 31
+            val sv = mix64(id * 0x165667B19E3779F9L + i * 0x27D4EB2F165667C5L)
             val v = ((((sv & 0xFF) - 128) * amp) / 128 * 64).toShort
             data(2 * i) = (v & 0xff).toByte
             data(2 * i + 1) = ((v >> 8) & 0xff).toByte
@@ -356,6 +365,8 @@ object Multimodal {
             try {
               val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
                 new java.io.ByteArrayInputStream(payload))
+              // decode errors -> null fingerprint; anything else (a logic
+              // bug) must SURFACE, not silently exclude the clip from dedup
               val fmt = ais.getFormat
               val bytes = ais.readAllBytes()
               val bps = fmt.getSampleSizeInBits / 8
@@ -373,7 +384,7 @@ object Multimodal {
                       ((bytes(off) << 8) | (bytes(off + 1) & 0xFF)).toShort
                     else
                       ((bytes(off + 1) << 8) | (bytes(off) & 0xFF)).toShort
-                  val w = math.min(63, i * 64 / n)
+                  val w = math.min(63L, i.toLong * 64 / n).toInt // Long: >33M samples overflowed Int
                   energy(w) += v.toDouble * v
                   counts(w) += 1
                   i += 1
@@ -389,7 +400,10 @@ object Multimodal {
                 }
                 java.lang.Long.valueOf(bits)
               }
-            } catch { case _: Exception => null }
+            } catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => null
+              case _: java.io.IOException => null
+            }
           Row(id, fp)
         }
       }(enc)
@@ -881,7 +895,10 @@ object Multimodal {
   }
 
   /** Pack each row as a REAL playable MJPEG AVI: `2 + id % 5` frames of
-    * `(16 + 2·(id%4)) × (12 + 2·(id%3))` at 10 fps, every frame a true
+    * `(32 + 2·(id%4)) × (24 + 2·(id%3))` at 10 fps (large enough that the
+    * 4×4-block content keeps the per-frame aHash collision-free at
+    * corpus scale — smaller frames carried ~2^12-2^20 effective states
+    * and organically collided at 5000 docs), every frame a true
     * ImageIO-encoded JPEG of a deterministic gradient. Closed-form
     * oracle on dims/frames/duration; the frames themselves are graded by
     * really decoding them ([[sampleFramesAviReal]]). */
@@ -909,7 +926,7 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val nf = (2 + id % 5).toInt
-          val w = (16 + 2 * (id % 4)).toInt; val h = (12 + 2 * (id % 3)).toInt
+          val w = (32 + 2 * (id % 4)).toInt; val h = (24 + 2 * (id % 3)).toInt
           val frames = (0 until nf).map { f =>
             val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
             for (y <- 0 until h; x <- 0 until w) {
@@ -917,9 +934,8 @@ object Multimodal {
               // the old gradient differed across ids only by a uniform
               // green offset, which a mean-thresholded perceptual hash is
               // (correctly) blind to — every same-shape video collided
-              var v = id * 0x9E3779B97F4A7C15L + (x >> 2) * 0xC2B2AE3D27D4EB4FL +
-                (y >> 2) * 0x165667B19E3779F9L + f * 0x27D4EB2F165667C5L
-              v ^= v >>> 29; v *= 0xBF58476D1CE4E5B9L; v ^= v >>> 32
+              val v = mix64(id * 0x9E3779B97F4A7C15L + (x >> 2) * 0xC2B2AE3D27D4EB4FL +
+                (y >> 2) * 0x165667B19E3779F9L + f * 0x27D4EB2F165667C5L)
               img.setRGB(x, y, (v & 0xFFFFFF).toInt)
             }
             val buf = new ByteArrayOutputStream()

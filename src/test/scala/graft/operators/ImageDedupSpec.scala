@@ -22,6 +22,8 @@ class ImageDedupSpec extends SparkSpec {
       .where(col("idB") === col("idA") + 1000L && col("idA") < 5)
     assert(plantedPairs.count() == 5, "all planted copies recovered")
     assert(pairs.where(col("hamming") =!= 0).count() == 0)
+    assert(pairs.where(col("idA") < 40 && col("idB") < 40).count() == 0,
+      "organic fingerprint collision")
   }
 
   test("a resized re-encoded image stays within the hamming budget") {

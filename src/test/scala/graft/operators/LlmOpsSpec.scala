@@ -323,7 +323,7 @@ class LlmOpsSpec extends SparkSpec {
         ((r.getInt(1), r.getInt(2), r.getDouble(3), r.getLong(4)))).toMap
     Seq(0L, 3L, 7L, 11L).foreach { id =>
       val nf = 2 + id % 5
-      val exp = ((16 + 2 * (id % 4)).toInt, (12 + 2 * (id % 3)).toInt,
+      val exp = ((32 + 2 * (id % 4)).toInt, (24 + 2 * (id % 3)).toInt,
         nf * 100000L / 1e6, nf)
       assert(meta(id) == exp, s"id=$id: ${meta(id)}")
     }
@@ -333,7 +333,7 @@ class LlmOpsSpec extends SparkSpec {
     assert(frames.nonEmpty)
     frames.foreach { case (id, idx, w, h) =>
       assert(idx % 2 == 0)
-      assert(w == (16 + 2 * (id % 4)).toInt && h == (12 + 2 * (id % 3)).toInt,
+      assert(w == (32 + 2 * (id % 4)).toInt && h == (24 + 2 * (id % 3)).toInt,
         s"id=$id frame=$idx decoded ${w}x$h")
     }
     // sampled count is ceil(nf / 2) per doc
