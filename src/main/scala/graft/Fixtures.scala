@@ -139,6 +139,17 @@ object Fixtures {
     ()
   }
 
+  /** Packed PNG media over the documents table, materialized once: the
+    * image-dedup bench query measures DECODE + fingerprint + pairing, not
+    * the synthetic payload packing (which is fixture work, like every
+    * other table build). Payloads are tiny (tens of KB total). */
+  def mediaPng(spark: SparkSession, sfDir: String) =
+    memo(s"$sfDir#mediapng") {
+      graft.operators.Multimodal
+        .packPng(raw(spark, sfDir, "documents"), "doc_id")
+        .localCheckpoint()
+    }
+
   /** Z-order-clustered events: one logical partition, 16 files range-
     * partitioned on the Morton value of (user_id, event_id), per-file
     * min/max recorded for BOTH dimensions — range predicates on either

@@ -1106,7 +1106,7 @@ object SparkEntry {
       // exact-content copies (same payload, shifted id) must pair at
       // hamming 0, every emitted pair honors the bound, and the keep-set
       // count is pinned (packPng dims floor at the 8x8 hash grid, so organic images hash distinctly)
-      val media = Multimodal.packPng(Fixtures.raw(s, d, "documents"), "doc_id")
+      val media = Fixtures.mediaPng(s, d) // packing is fixture work
       val planted = media.where(col("media_id") < 5)
         .withColumn("media_id", col("media_id") + PlantOffset)
       val all = media.unionByName(planted)
