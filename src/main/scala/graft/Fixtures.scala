@@ -324,6 +324,47 @@ object Fixtures {
       table
     }
 
+  /** CREATE TABLE ... AS variant (b34): the table does not exist before
+    * the statement — one atomic CTAS commit seeds schema AND persists the
+    * PARTITIONED BY / SORTED BY config, so the reopened handle routes
+    * exactly like an API-configured one. */
+  def eventsSqlCtas(spark: SparkSession, sfDir: String): IceTable =
+    memo(s"$sfDir#sqlctas") {
+      raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .createOrReplaceTempView("b34_ctas_src")
+      val root = newRoot("sqlctas") // reserves a unique warehouse sibling
+      val f = new java.io.File(root)
+      spark.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      spark.sql(
+        s"""CREATE TABLE graft.`${f.getName}`
+           |PARTITIONED BY (concat('u=', pmod(user_id, 8)))
+           |SORTED BY (event_id)
+           |AS SELECT event_id, user_id, event_type FROM b34_ctas_src""".stripMargin)
+        .collect()
+      IceTable.open(spark, root)
+    }
+
+  /** SQL maintenance variant (b35): four small commits compacted by
+    * `OPTIMIZE graft.t` and their tombstones reclaimed by `VACUUM ...
+    * RETAIN 0 HOURS`, both through the parser surface — contents must be
+    * byte-identical before and after. */
+  def eventsSqlMaintained(spark: SparkSession, sfDir: String): IceTable =
+    memo(s"$sfDir#sqlmaint") {
+      val ev = raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val table = new IceTable(spark, newRoot("sqlmaint"), IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(4))),
+        sortOrder = Seq("event_id")))
+      (0 until 4).foreach(i =>
+        table.insert(ev.where(pmod(col("event_id"), lit(4)) === i)))
+      val f = new java.io.File(table.root)
+      spark.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      spark.sql(s"OPTIMIZE graft.`${f.getName}`").collect()
+      spark.sql(s"VACUUM graft.`${f.getName}` RETAIN 0 HOURS").collect()
+      table
+    }
+
   /** Upsert variant: a modified slice + brand-new rows merged in atomically
     * by event_id key (replacing semantics) — a36_upsert. */
   def eventsUpserted(spark: SparkSession, sfDir: String): IceTable =

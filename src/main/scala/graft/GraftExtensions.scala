@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // VERSION AS OF time travel) against spark.graft.warehouse — see
     // [[graft.plans.IceSqlResolution]]
     e.injectResolutionRule(sp => new graft.plans.IceSqlResolution(sp))
+    // DDL + maintenance statements Spark's grammar lacks (CREATE TABLE AS /
+    // DROP TABLE / SHOW TABLES / OPTIMIZE / VACUUM on `graft.` names) —
+    // see [[graft.plans.GraftSqlParser]]; non-graft SQL delegates untouched
+    e.injectParser((sp, delegate) => new graft.plans.GraftSqlParser(sp, delegate))
     // deletion-vector coherence for `spark.read.format("ice")` relations
     // (every other surface applies the overlay itself) — see
     // [[graft.plans.IceDvOverlay]]

@@ -679,6 +679,29 @@ object SparkEntry {
           col("cnt"), col("sum_qty"), col("lvl"))
         .orderBy(col("lvl"), col("flag"), col("status"))
     }),
+    "b34_sql_ctas" -> ((s, d) => {
+      // CREATE TABLE ... PARTITIONED BY ... SORTED BY ... AS <query>
+      // through the injected parser (GraftSqlParser → one atomic insert
+      // commit that also persists the routing/sort config); read back via
+      // the catalog relation
+      val t = Fixtures.eventsSqlCtas(s, d)
+      val f = new java.io.File(t.root)
+      s.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      s.sql(s"""SELECT event_type, count(*) AS cnt,
+        CAST(sum(event_id) AS BIGINT) AS sum_id
+        FROM graft.`${f.getName}` GROUP BY event_type ORDER BY event_type""")
+    }),
+    "b35_sql_maintenance" -> ((s, d) => {
+      // OPTIMIZE + VACUUM RETAIN 0 HOURS through the injected parser:
+      // compaction and tombstone cleanup are pure maintenance, so the
+      // post-maintenance answer must equal DuckDB over the raw source
+      val t = Fixtures.eventsSqlMaintained(s, d)
+      val f = new java.io.File(t.root)
+      s.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      s.sql(s"""SELECT event_type, count(*) AS cnt,
+        CAST(sum(event_id) AS BIGINT) AS sum_id
+        FROM graft.`${f.getName}` GROUP BY event_type ORDER BY event_type""")
+    }),
     "b31_sql_dml" -> ((s, d) => {
       // SQL DML through the catalog (IceDeleteCommand/IceUpdateCommand):
       // the fixture UPDATEd and DELETEd via spark.sql; every surviving
@@ -2088,6 +2111,12 @@ object SparkEntry {
       ("SELECT count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id, " +
         "true AS rejected_cleanly FROM events"),
     "b33_sql_insert" ->
+      ("SELECT event_type, count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "b34_sql_ctas" ->
+      ("SELECT event_type, count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "b35_sql_maintenance" ->
       ("SELECT event_type, count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
     "b32_sql_merge" ->

@@ -1,0 +1,325 @@
+package graft.plans
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.ice.{DeleteVectors, IceTable, IceTableConfig}
+
+/** SQL statements Spark's grammar has no spelling for — table lifecycle
+  * and maintenance against the `graft.` catalog — recognized ahead of the
+  * stock parser (the standard `injectParser` chain; everything else
+  * delegates untouched, so the extension can never change the meaning of
+  * a statement Spark already parses):
+  *
+  * {{{
+  *   CREATE TABLE graft.t [PARTITIONED BY (<expr>)] [SORTED BY (c1, ...)]
+  *     AS <query>                                -- atomic CTAS: one insert,
+  *                                               -- one log commit
+  *   DROP TABLE [IF EXISTS] graft.t              -- removes data + log
+  *   SHOW TABLES IN graft                        -- tables under the warehouse
+  *   OPTIMIZE graft.t                            -- full-table compaction
+  *   VACUUM graft.t [RETAIN <n> HOURS]           -- tombstone cleanup + dv vacuum
+  * }}}
+  *
+  * The reference drives the same lifecycle imperatively (create on first
+  * insert, `merge()` / `remove_inactive_parts` crons — icedb/icedb.py:223,
+  * 327); here each is one SQL statement routed to the engine's atomic
+  * operation, so a SQL-gateway user never needs a JVM handle. The catalog
+  * name follows `spark.graft.catalog` (default `graft`), the table root
+  * `spark.graft.warehouse` — same contract as [[IceSqlResolution]].
+  *
+  * Parsing is anchored on the statement keyword AND the catalog prefix:
+  * `OPTIMIZE delta_tbl` or `CREATE TABLE hive.t AS ...` fall through to
+  * the delegate unchanged.
+  */
+final class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  import GraftSqlParser._
+
+  private def catalogName: String =
+    spark.conf.getOption(IceSqlResolution.CatalogKey).getOrElse("graft")
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    parseGraftStatement(sqlText, catalogName, delegate)
+      .getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String) = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+
+  // `graft.name` or `graft.`name`` — the catalog prefix is spliced in per
+  // statement (quotemeta'd); names themselves are re-validated against
+  // IceSqlResolution.SafeName at execution, so an identifier can never
+  // traverse out of the warehouse
+  private def ident = """(?:`([^`]+)`|([A-Za-z0-9_.\-]+))"""
+  private def name(m: java.util.regex.Matcher, g: Int): String =
+    Option(m.group(g)).getOrElse(m.group(g + 1))
+
+  private def re(pattern: String) =
+    java.util.regex.Pattern.compile(
+      pattern, java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.DOTALL)
+
+  /** Recognize one of the graft statements; None = not ours. */
+  private[plans] def parseGraftStatement(
+      sqlText: String, catalog: String,
+      delegate: ParserInterface): Option[LogicalPlan] = {
+    val c = java.util.regex.Pattern.quote(catalog)
+
+    val optimizeRe = re(s"""\\s*OPTIMIZE\\s+$c\\.$ident\\s*;?\\s*""")
+    val vacuumRe = re(
+      s"""\\s*VACUUM\\s+$c\\.$ident(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS?)?\\s*;?\\s*""")
+    val dropRe = re(s"""\\s*DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?$c\\.$ident\\s*;?\\s*""")
+    val showRe = re(s"""\\s*SHOW\\s+TABLES\\s+(?:IN|FROM)\\s+$c\\s*;?\\s*""")
+    // only the statement head is regex-matched; the PARTITIONED BY /
+    // SORTED BY parenthesized bodies are scanned with a quote-aware
+    // balanced-paren walk (a partition expression like
+    // `concat('u=', pmod(user_id, 8))` nests arbitrarily)
+    val ctasHeadRe = re(s"""\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$c\\.$ident.*""")
+
+    val om = optimizeRe.matcher(sqlText)
+    if (om.matches()) return Some(GraftOptimizeCommand(name(om, 1)))
+
+    val vm = vacuumRe.matcher(sqlText)
+    if (vm.matches()) {
+      val retainMs = Option(vm.group(3)).map(_.toLong * 3600_000L)
+      return Some(GraftVacuumCommand(name(vm, 1), retainMs))
+    }
+
+    val dm = dropRe.matcher(sqlText)
+    if (dm.matches())
+      return Some(GraftDropTableCommand(name(dm, 2), ifExists = dm.group(1) != null))
+
+    if (showRe.matcher(sqlText).matches()) return Some(GraftShowTablesCommand())
+
+    val cm = ctasHeadRe.matcher(sqlText)
+    if (cm.matches()) {
+      // walk the clauses after the table name
+      val headEnd = {
+        val h = re(s"""\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$c\\.$ident""")
+          .matcher(sqlText)
+        h.lookingAt(); h.end()
+      }
+      var pos = headEnd
+      def skipWs(): Unit = while (pos < sqlText.length && sqlText.charAt(pos).isWhitespace) pos += 1
+      def takeKeyword(words: String*): Boolean = {
+        val save = pos
+        for (w <- words) {
+          skipWs()
+          if (!sqlText.regionMatches(true, pos, w, 0, w.length) ||
+            (pos + w.length < sqlText.length &&
+              Character.isLetterOrDigit(sqlText.charAt(pos + w.length)))) {
+            pos = save; return false
+          }
+          pos += w.length
+        }
+        true
+      }
+      def takeParenBody(): Option[String] = {
+        skipWs()
+        if (pos >= sqlText.length || sqlText.charAt(pos) != '(') None
+        else balancedParen(sqlText, pos).map { case (inner, after) =>
+          pos = after; inner
+        }
+      }
+      val partitionExprSql =
+        if (takeKeyword("PARTITIONED", "BY")) takeParenBody().map(_.trim).filter(_.nonEmpty)
+        else None
+      val sortCols =
+        if (takeKeyword("SORTED", "BY"))
+          takeParenBody().toSeq.flatMap(_.split(",").toSeq)
+            .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+        else Seq.empty
+      if (takeKeyword("AS")) {
+        val query = sqlText.substring(pos).trim
+        if (query.nonEmpty)
+          return Some(GraftCreateTableAsCommand(
+            name(cm, 2),
+            ifNotExists = cm.group(1) != null,
+            partitionExprSql = partitionExprSql,
+            sortCols = sortCols,
+            new PlanBox(delegate.parsePlan(query))))
+      }
+      throw new UnsupportedOperationException(
+        s"CREATE TABLE $catalog.<t> requires an AS <query>: an ice table's " +
+          "schema is seeded by its first insert (add-only union evolution), " +
+          "never declared up front")
+    }
+
+    None
+  }
+
+  /** `s(start)` must be `'('`; returns (inner text, index after the
+    * matching close paren), skipping parens inside single-quoted SQL
+    * strings (with `''` escapes passing through harmlessly). */
+  private def balancedParen(s: String, start: Int): Option[(String, Int)] = {
+    var depth = 0
+    var i = start
+    var inQuote = false
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (inQuote) { if (ch == '\'') inQuote = false }
+      else ch match {
+        case '\'' => inQuote = true
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return Some((s.substring(start + 1, i), i + 1))
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** Resolve `<warehouse>/<name>` for a DDL command at EXECUTION time
+    * (`requireLog` = the table must already exist). */
+  private def rootFor(
+      session: SparkSession, name: String, requireLog: Boolean): Option[String] = {
+    val w = session.conf.getOption(IceSqlResolution.WarehouseKey).filter(_.nonEmpty)
+      .getOrElse(throw new IllegalStateException(
+        s"set ${IceSqlResolution.WarehouseKey} to use graft DDL statements"))
+    if (!IceSqlResolution.safeName(name))
+      throw new IllegalArgumentException(s"unsafe graft table name: '$name'")
+    val root = s"$w/$name"
+    val log = new Path(root, "_log")
+    val exists =
+      try log.getFileSystem(session.sparkContext.hadoopConfiguration).exists(log)
+      catch { case _: Exception => false }
+    if (requireLog && !exists) None else Some(root)
+  }
+
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference => AR}
+  import org.apache.spark.sql.execution.command.LeafRunnableCommand
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  /** `CREATE TABLE graft.<t> [PARTITIONED BY (expr)] [SORTED BY (cols)]
+    * AS <query>` → one [[IceTable.insert]]: the data job and the schema
+    * seed land in ONE atomic log commit (a crash mid-CTAS publishes
+    * nothing), and the partition/sort config persists in that commit's
+    * metadata so every later handle — SQL or API — routes identically. */
+  final case class GraftCreateTableAsCommand(
+      name: String, ifNotExists: Boolean,
+      partitionExprSql: Option[String], sortCols: Seq[String],
+      queryBox: PlanBox) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(AR("rows_inserted", LongType, nullable = false)())
+    override def run(session: SparkSession): Seq[Row] = {
+      if (rootFor(session, name, requireLog = true).isDefined) {
+        if (ifNotExists) return Seq(Row(0L))
+        throw new IllegalStateException(
+          s"graft table '$name' already exists; DROP TABLE it first " +
+            "(CTAS never overwrites an MVCC table)")
+      }
+      val root = rootFor(session, name, requireLog = false).get
+      val cfg = IceTableConfig(
+        partitionExpr = partitionExprSql
+          .map(org.apache.spark.sql.functions.expr)
+          .getOrElse(org.apache.spark.sql.functions.lit("")),
+        sortOrder = sortCols)
+      val t = new IceTable(session, root, cfg)
+      val df = org.apache.spark.sql.graft.PlanBridge
+        .ofRows(session, queryBox.plan).localCheckpoint()
+      val n = df.count()
+      t.insert(df)
+      Seq(Row(n))
+    }
+  }
+
+  /** `DROP TABLE [IF EXISTS] graft.<t>`: removes the table directory —
+    * data, log, checkpoints, and any `_dv` side table. Destructive and
+    * non-MVCC by design (there is no log left to record it in); the
+    * SafeName guard means the path can never escape the warehouse. */
+  final case class GraftDropTableCommand(name: String, ifExists: Boolean)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(AR("dropped", LongType, nullable = false)())
+    override def run(session: SparkSession): Seq[Row] =
+      rootFor(session, name, requireLog = true) match {
+        case None =>
+          if (ifExists) Seq(Row(0L))
+          else throw new IllegalArgumentException(s"graft table '$name' does not exist")
+        case Some(root) =>
+          val p = new Path(root)
+          p.getFileSystem(session.sparkContext.hadoopConfiguration).delete(p, true)
+          Seq(Row(1L))
+      }
+  }
+
+  /** `SHOW TABLES IN graft`: every warehouse child with a `_log/` —
+    * driver-side listing, one row per table. */
+  final case class GraftShowTablesCommand() extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(AR("namespace", StringType, nullable = false)(),
+        AR("tableName", StringType, nullable = false)())
+    override def run(session: SparkSession): Seq[Row] = {
+      val w = session.conf.getOption(IceSqlResolution.WarehouseKey).filter(_.nonEmpty)
+        .getOrElse(throw new IllegalStateException(
+          s"set ${IceSqlResolution.WarehouseKey} to use graft DDL statements"))
+      val cat = session.conf.getOption(IceSqlResolution.CatalogKey).getOrElse("graft")
+      val wp = new Path(w)
+      val fs = wp.getFileSystem(session.sparkContext.hadoopConfiguration)
+      if (!fs.exists(wp)) return Seq.empty
+      fs.listStatus(wp).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(n => IceSqlResolution.safeName(n) &&
+          (try fs.exists(new Path(s"$w/$n", "_log")) catch { case _: Exception => false }))
+        .sorted
+        .map(n => Row(cat, n))
+    }
+  }
+
+  /** `OPTIMIZE graft.<t>` → [[IceTable.optimize]] (greedy full-table
+    * compaction, one atomic merged-log commit per round). */
+  final case class GraftOptimizeCommand(name: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(AR("merges", LongType, nullable = false)())
+    override def run(session: SparkSession): Seq[Row] =
+      rootFor(session, name, requireLog = true) match {
+        case None => throw new IllegalArgumentException(
+          s"graft table '$name' does not exist")
+        case Some(root) =>
+          Seq(Row(IceTable.open(session, root).optimize().toLong))
+      }
+  }
+
+  /** `VACUUM graft.<t> [RETAIN n HOURS]` → [[IceTable.tombstoneCleanup]]
+    * (default retention 7 days, the usual lakehouse floor) plus
+    * [[DeleteVectors.vacuum]] when a dv side table exists. */
+  final case class GraftVacuumCommand(name: String, retainMs: Option[Long])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AR("logs_cleaned", LongType, nullable = false)(),
+      AR("data_files_deleted", LongType, nullable = false)(),
+      AR("dv_marks_dropped", LongType, nullable = false)())
+    override def run(session: SparkSession): Seq[Row] =
+      rootFor(session, name, requireLog = true) match {
+        case None => throw new IllegalArgumentException(
+          s"graft table '$name' does not exist")
+        case Some(root) =>
+          val t = IceTable.open(session, root)
+          val r = t.tombstoneCleanup(retainMs.getOrElse(7L * 24 * 3600_000L))
+          val dvDropped = DeleteVectors.vacuum(t)
+          Seq(Row(r.cleanedLogFiles.length.toLong,
+            r.deletedDataFiles.length.toLong, dvDropped))
+      }
+  }
+}

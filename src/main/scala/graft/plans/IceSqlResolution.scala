@@ -302,6 +302,10 @@ object IceSqlResolution {
   val CatalogKey = "spark.graft.catalog"
   private val SafeName = "[A-Za-z0-9_][A-Za-z0-9_.-]*".r.anchored
 
+  /** Identifier restriction shared with the DDL parser: path-safe tokens
+    * only, so a SQL name can never traverse out of the warehouse. */
+  private[plans] def safeName(n: String): Boolean = SafeName.matches(n)
+
   /** Open a table handle for a DML command: reconstructs the persisted
     * config (sort order, stats columns, partition expr, merge SQL) from
     * the log so SQL-path rewrites match the configured handle's writes. */

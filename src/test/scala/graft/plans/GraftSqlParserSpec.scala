@@ -1,0 +1,122 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.ice.{DeleteVectors, IceTable, IceTableConfig}
+import org.apache.spark.sql.functions._
+
+/** The injected DDL/maintenance parser surface: CREATE TABLE AS, DROP
+  * TABLE, SHOW TABLES, OPTIMIZE, VACUUM on `graft.` names; everything
+  * else must reach the stock parser untouched. */
+class GraftSqlParserSpec extends SparkSpec {
+
+  private def freshWarehouse(): String = {
+    val w = tmpDir("graft_ddl_wh")
+    spark.conf.set(IceSqlResolution.WarehouseKey, w)
+    w
+  }
+
+  private def src() = {
+    import spark.implicits._
+    (1 to 100).map(i => (i.toLong, i % 7, s"t${i % 3}")).toDF("id", "u", "kind")
+  }
+
+  test("CTAS creates, routes by PARTITIONED BY, sorts by SORTED BY, persists config") {
+    val w = freshWarehouse()
+    src().createOrReplaceTempView("ctas_spec_src")
+    val out = spark.sql(
+      """CREATE TABLE graft.ctas1 PARTITIONED BY (concat('u=', u))
+        |SORTED BY (id) AS SELECT * FROM ctas_spec_src""".stripMargin).collect()
+    assert(out.head.getLong(0) === 100L)
+    // read back through the catalog
+    val n = spark.sql("SELECT count(*) AS c FROM graft.ctas1").head.getLong(0)
+    assert(n === 100L)
+    // partition routing: 7 u= dirs under _data
+    val dirs = new java.io.File(s"$w/ctas1/_data").listFiles().filter(_.isDirectory)
+    assert(dirs.map(_.getName).toSet === (0 until 7).map(i => s"u=$i").toSet)
+    // the persisted config survives a reopen: sortOrder + partitionExpr
+    val t = IceTable.open(spark, s"$w/ctas1")
+    assert(t.cfg.sortOrder === Seq("id"))
+    // inserting through the reopened handle routes to the same scheme
+    import spark.implicits._
+    t.insert(Seq((101L, 3, "t1")).toDF("id", "u", "kind"))
+    assert(spark.sql("SELECT count(*) AS c FROM graft.ctas1").head.getLong(0) === 101L)
+  }
+
+  test("CTAS on an existing table throws; IF NOT EXISTS is a no-op") {
+    freshWarehouse()
+    src().createOrReplaceTempView("ctas_spec_src2")
+    spark.sql("CREATE TABLE graft.ctas2 AS SELECT * FROM ctas_spec_src2").collect()
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.ctas2 AS SELECT * FROM ctas_spec_src2").collect()
+    }
+    assert(e.getMessage.contains("already exists"))
+    val out = spark.sql(
+      "CREATE TABLE IF NOT EXISTS graft.ctas2 AS SELECT * FROM ctas_spec_src2")
+      .collect()
+    assert(out.head.getLong(0) === 0L)
+    assert(spark.sql("SELECT count(*) AS c FROM graft.ctas2").head.getLong(0) === 100L)
+  }
+
+  test("schema-ful CREATE TABLE on the graft catalog gets a pointed error") {
+    freshWarehouse()
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql("CREATE TABLE graft.nope (id INT, s STRING)")
+    }
+    assert(e.getMessage.contains("AS <query>"))
+  }
+
+  test("DROP TABLE removes the table; IF EXISTS tolerates absence") {
+    val w = freshWarehouse()
+    src().createOrReplaceTempView("ctas_spec_src3")
+    spark.sql("CREATE TABLE graft.dropme AS SELECT * FROM ctas_spec_src3").collect()
+    assert(new java.io.File(s"$w/dropme/_log").isDirectory)
+    spark.sql("DROP TABLE graft.dropme").collect()
+    assert(!new java.io.File(s"$w/dropme").exists())
+    intercept[Exception] { spark.sql("DROP TABLE graft.dropme").collect() }
+    val out = spark.sql("DROP TABLE IF EXISTS graft.dropme").collect()
+    assert(out.head.getLong(0) === 0L)
+  }
+
+  test("SHOW TABLES IN graft lists exactly the warehouse's ice tables") {
+    val w = freshWarehouse()
+    src().createOrReplaceTempView("ctas_spec_src4")
+    spark.sql("CREATE TABLE graft.show_a AS SELECT * FROM ctas_spec_src4").collect()
+    spark.sql("CREATE TABLE graft.show_b AS SELECT * FROM ctas_spec_src4").collect()
+    new java.io.File(s"$w/not_a_table").mkdirs() // no _log: must not list
+    val rows = spark.sql("SHOW TABLES IN graft").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("graft", "show_a"), ("graft", "show_b")))
+  }
+
+  test("OPTIMIZE compacts through SQL; VACUUM RETAIN 0 HOURS reclaims; dv marks vacuumed") {
+    val w = freshWarehouse()
+    import spark.implicits._
+    val t = new IceTable(spark, s"$w/maint", IceTableConfig(
+      partitionExpr = concat(lit("u="), pmod(col("u"), lit(2))),
+      sortOrder = Seq("id")))
+    (0 until 3).foreach { i =>
+      t.insert((1 to 20).map(j => (i * 100L + j, j % 4)).toDF("id", "u"))
+    }
+    val before = t.snapshot().aliveFiles.length
+    assert(before === 6) // 3 commits x 2 partitions
+    // a dv mark that optimize carries and vacuum then reclaims
+    DeleteVectors.deleteWhere(t, col("id") === 1L)
+    val merged = spark.sql("OPTIMIZE graft.maint").head.getLong(0)
+    assert(merged >= 2) // one merge per partition at least
+    val after = t.snapshot().aliveFiles.length
+    assert(after < before)
+    // contents identical minus the deleted row
+    assert(t.read().count() === 59L)
+    val v = spark.sql("VACUUM graft.maint RETAIN 0 HOURS").head
+    assert(v.getLong(0) > 0) // logs consolidated
+    // optimize rewrote every marked file, so vacuum dropped the stale mark
+    assert(v.getLong(2) === 1L)
+    assert(t.read().count() === 59L)
+    assert(spark.sql("SELECT count(*) AS c FROM graft.maint").head.getLong(0) === 59L)
+  }
+
+  test("non-graft SQL is untouched; OPTIMIZE on other names still errors in the delegate") {
+    assert(spark.sql("SELECT 1 AS one").head.getInt(0) === 1)
+    intercept[Exception] { spark.sql("OPTIMIZE some_other_table") }
+  }
+}
