@@ -565,6 +565,15 @@ final class IceTable(
     * per-process model. */
   @volatile private var preflightSchema: Option[Schema] = None
 
+  /** Seed the pre-flight cache from a fold the caller already paid for
+    * ([[IceTable.openWithSnapshot]]) — the first insert through an
+    * opened handle then costs zero extra log reads. */
+  private[graft] def seedPreflight(s: Schema): Unit = {
+    val copy = new Schema
+    copy.accumulate(s.columns, s.types)
+    preflightSchema = Some(copy)
+  }
+
   /** A20 pre-flight: validate the batch's log schema against the table's
     * accumulated schema BEFORE any file is written (reference
     * `SchemaConflictException` at insert, icedb/log.py:68-78). Without
@@ -2024,7 +2033,9 @@ object IceTable {
       catch { case _: NoLogFilesException => None }
     val cfg = snap.flatMap(_.tableConfig).map(configFromPersisted)
       .getOrElse(IceTableConfig(lit(""), Seq.empty))
-    (new IceTable(spark, root, cfg), snap)
+    val t = new IceTable(spark, root, cfg)
+    snap.foreach(s => t.seedPreflight(s.schema)) // the fold already paid for
+    (t, snap)
   }
 
   /** [[IceTableConfig]] → the compact JSON map persisted in log metadata
@@ -2032,10 +2043,18 @@ object IceTable {
     * default-config tables keep reference-identical log bytes). */
   private[graft] def persistableCfg(cfg: IceTableConfig): Option[Map[String, Any]] = {
     val m = mutable.LinkedHashMap.empty[String, Any]
+    // None = conversion failed (NOT "default"): an expression with no SQL
+    // rendering must persist a loud poison flag, never silently vanish —
+    // an absent 'prt' reconstructs as lit("") and would re-route every
+    // SQL/reopened-handle insert into the single empty partition
     val prtSql =
-      try org.apache.spark.sql.graft.PlanBridge.eagerExpression(cfg.partitionExpr).sql
-      catch { case _: Exception => "" }
-    if (prtSql.nonEmpty && prtSql != "''") m("prt") = prtSql
+      try Some(org.apache.spark.sql.graft.PlanBridge.eagerExpression(cfg.partitionExpr).sql)
+      catch { case _: Exception => None }
+    prtSql match {
+      case Some(s) if s.nonEmpty && s != "''" => m("prt") = s
+      case Some(_) => // genuinely-default lit(""): nothing to persist
+      case None => m("prtx") = true // poison: see configFromPersisted
+    }
     if (cfg.sortOrder.nonEmpty) m("srt") = cfg.sortOrder
     cfg.customInsertSql.foreach(v => m("ins") = v)
     cfg.customMergeSql.foreach(v => m("mrg") = v)
@@ -2083,6 +2102,11 @@ object IceTable {
           throw new UnsupportedOperationException(
             "this table records a partitionFunc closure, which cannot be " +
               "persisted in the log; insert through the original configured handle"))
+        else if (m.get("prtx").contains(true)) Some((_: Row) =>
+          throw new UnsupportedOperationException(
+            "this table's partition expression has no SQL rendering and " +
+              "cannot be persisted in the log; insert through the original " +
+              "configured handle"))
         else None,
       statsColumn = m.get("stc").map(_.toString),
       statsColumns = strs("sta"),

@@ -239,6 +239,15 @@ object Similarity {
         case x: java.lang.Number => x.doubleValue()
       }.toArray)
 
+  /** The ONE driver-side dot product both Lloyd trainers use (ragged rows
+    * truncate to the shorter length, matching the codegen'd DotProduct's
+    * min-length contract). */
+  private def ddot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }; s
+  }
+
   private[operators] def trainCentroids(
       c: DataFrame, nlist: Int, lloydIterations: Int, dim: Int): DataFrame = {
     val spark = c.sparkSession
@@ -261,11 +270,7 @@ object Similarity {
             org.apache.spark.sql.types.ArrayType(
               org.apache.spark.sql.types.DoubleType)))))
     val d = rows.head.length
-    def dot(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { s += a(i) * b(i); i += 1 }; s
-    }
+    def dot(a: Array[Double], b: Array[Double]): Double = ddot(a, b)
     // (cid, vec) — cids stay stable across iterations; empty cells drop
     var cent: Array[(Long, Array[Double])] =
       rows.take(nlist).zipWithIndex.map { case (v, i) => (i.toLong, v.clone()) }
@@ -439,11 +444,7 @@ object Similarity {
     // members keeps its previous centroid.
     val sampleCap = math.max(ksub * 64, 4096)
     val rows: Array[Array[Double]] = collectSample(c, sampleCap)
-    def dot(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { s += a(i) * b(i); i += 1 }; s
-    }
+    def dot(a: Array[Double], b: Array[Double]): Double = ddot(a, b)
     def sliceOf(v: Array[Double], j: Int): Array[Double] =
       java.util.Arrays.copyOfRange(v, j * dsub, math.min((j + 1) * dsub, v.length))
     // codebook(j)(cid) — seeds from the first ksub sample rows

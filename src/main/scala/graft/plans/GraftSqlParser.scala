@@ -198,11 +198,7 @@ object GraftSqlParser {
         s"set ${IceSqlResolution.WarehouseKey} to use graft DDL statements"))
     if (!IceSqlResolution.safeName(name))
       throw new IllegalArgumentException(s"unsafe graft table name: '$name'")
-    val root = s"$w/$name"
-    val log = new Path(root, "_log")
-    val exists =
-      try log.getFileSystem(session.sparkContext.hadoopConfiguration).exists(log)
-      catch { case _: Exception => false }
+    val (root, exists) = IceSqlResolution.probeRootAt(session, w, name)
     if (requireLog && !exists) None else Some(root)
   }
 

@@ -69,11 +69,7 @@ final class IceSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
   private def tableRoot(name: String): Option[String] = warehouse.flatMap { w =>
     if (!SafeName.matches(name)) None
     else {
-      val root = s"$w/$name"
-      val log = new Path(root, "_log")
-      val ok =
-        try log.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(log)
-        catch { case _: Exception => false }
+      val (root, ok) = IceSqlResolution.probeRootAt(spark, w, name)
       if (ok) Some(root) else None
     }
   }
@@ -143,7 +139,7 @@ final class IceSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     // same partition/sort shape as API inserts). INSERT OVERWRITE stays
     // rejected: truncation of an MVCC table is an explicit maintenance
     // decision (removePartitions / rewritePartition), not a write mode.
-    case ins @ InsertIntoStatement(IceRel(t), partSpec, userCols, query, overwrite, _, _)
+    case ins @ InsertIntoStatement(IceRel(t), partSpec, userCols, query, overwrite, _, byName)
         if tableRoot(t).isDefined && query.resolved =>
       if (overwrite) throw new UnsupportedOperationException(
         s"INSERT OVERWRITE $catalogName.$t is not supported — truncate " +
@@ -152,7 +148,7 @@ final class IceSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
         s"INSERT INTO $catalogName.$t PARTITION (...) is not supported — " +
           "the table's partition expression routes rows itself")
       IceInsertCommand(tableRoot(t).get, s"$catalogName.$t",
-        new PlanBox(query), userCols)
+        new PlanBox(query), userCols, byName)
     // SQL DML maps onto the engine's atomic CoW mutations. The raw
     // (unresolved) expressions travel as SQL text and re-resolve against
     // the table's own DataFrame inside the command — a LeafRunnableCommand
@@ -306,6 +302,19 @@ object IceSqlResolution {
     * only, so a SQL name can never traverse out of the warehouse. */
   private[plans] def safeName(n: String): Boolean = SafeName.matches(n)
 
+  /** The ONE `<warehouse>/<name>` → (root, has-a-`_log`) probe, shared by
+    * the resolution rule and the DDL parser so the two surfaces can never
+    * disagree on whether a table exists. */
+  private[plans] def probeRootAt(
+      session: SparkSession, warehouse: String, name: String): (String, Boolean) = {
+    val root = s"$warehouse/$name"
+    val log = new Path(root, "_log")
+    val exists =
+      try log.getFileSystem(session.sparkContext.hadoopConfiguration).exists(log)
+      catch { case _: Exception => false }
+    (root, exists)
+  }
+
   /** Open a table handle for a DML command: reconstructs the persisted
     * config (sort order, stats columns, partition expr, merge SQL) from
     * the log so SQL-path rewrites match the configured handle's writes. */
@@ -394,31 +403,48 @@ final case class IceMergeCommand(
   }
 }
 
-/** `INSERT INTO graft.<t> [(cols)] <query>` → one atomic
-  * [[IceTable.insert]] through the log. Column alignment: an explicit
-  * column list renames the query's outputs to it; otherwise, when the
-  * query's output arity matches the table's log schema, outputs map
-  * POSITIONALLY to the schema's column order (standard SQL INSERT
-  * semantics — `VALUES` tuples have no names of their own); an arity
-  * mismatch without a column list is rejected (list the target columns
-  * to insert a subset or evolve the schema). On an EMPTY table the
-  * query's own output names seed the schema. Returns one row:
+/** `INSERT INTO graft.<t> [(cols)] [BY NAME] <query>` → one atomic
+  * [[IceTable.insert]] through the log. Column alignment: `BY NAME`
+  * matches the query's output names to the table's columns
+  * (case-insensitively, like Spark's resolver); an explicit column list
+  * renames the query's outputs to it; otherwise, when the query's output
+  * arity matches the table's log schema, outputs map POSITIONALLY to the
+  * schema's column order (standard SQL INSERT semantics — `VALUES`
+  * tuples have no names of their own); an arity mismatch without a
+  * column list is rejected (list the target columns to insert a subset
+  * or evolve the schema). On an EMPTY table the query's own output names
+  * seed the schema. Every aligned name is canonicalized to the table's
+  * recorded case (the log schema is exact-case; a case-variant duplicate
+  * column would be unreachable under Spark's case-insensitive
+  * resolution) and cast to the table's recorded type. Returns one row:
   * rows_inserted. */
 final case class IceInsertCommand(
     root: String, ident: String,
     queryBox: PlanBox,
-    userCols: Seq[String])
+    userCols: Seq[String],
+    byName: Boolean = false)
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.{AttributeReference => AR}
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     Seq(AR("rows_inserted", org.apache.spark.sql.types.LongType, nullable = false)())
   override def run(session: SparkSession): Seq[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.functions.col
-    val t = IceSqlResolution.bareTable(session, root)
+    // one log fold: the config fold doubles as the snapshot AND seeds the
+    // insert pre-flight cache (openWithSnapshot does both)
+    val (t, snapOpt) = graft.ice.IceTable.openWithSnapshot(session, root)
     val q = org.apache.spark.sql.graft.PlanBridge.ofRows(session, queryBox.plan)
-    val snapOpt = t.trySnapshot(Long.MaxValue)
+    // canonical-case + type lookup, keyed lowercased: SQL resolves column
+    // references case-insensitively, the log schema is exact-case
+    val canon: Map[String, (String, org.apache.spark.sql.types.DataType)] =
+      snapOpt.map(_.schema.toStructType.fields
+        .map(f => f.name.toLowerCase -> (f.name, f.dataType)).toMap)
+        .getOrElse(Map.empty)
     val targetCols: Seq[String] =
-      if (userCols.nonEmpty) userCols
+      if (byName) {
+        if (userCols.nonEmpty) throw new UnsupportedOperationException(
+          s"INSERT INTO $ident: a column list and BY NAME are mutually exclusive")
+        q.columns.toSeq // names canonicalize below
+      } else if (userCols.nonEmpty) userCols
       else snapOpt.map(_.schema.pairs.map(_._1).toSeq) match {
         case Some(cols) =>
           // standard SQL: positional mapping must cover every table column
@@ -432,19 +458,25 @@ final case class IceInsertCommand(
     // standard INSERT coercion: literals arrive at their own types
     // (VALUES 99 is INT); cast each aligned column to the table's
     // recorded type so the union-schema contract (conflict = error)
-    // never trips on a representation difference
-    val tableTypes: Map[String, org.apache.spark.sql.types.DataType] =
-      snapOpt.map(_.schema.toStructType.fields
-        .map(f => f.name -> f.dataType).toMap).getOrElse(Map.empty)
+    // never trips on a representation difference. Unknown names (schema
+    // evolution) keep their given case and type.
     val aligned =
       if (targetCols.isEmpty) q
       else {
         require(targetCols.length == q.columns.length,
           s"INSERT INTO $ident: ${targetCols.length} target columns but " +
             s"the query produces ${q.columns.length}")
-        q.toDF(targetCols: _*)
-          .select(targetCols.map(c =>
-            tableTypes.get(c).fold(col(c))(dt => col(c).cast(dt).as(c))): _*)
+        val canonical = targetCols.map(c => canon.get(c.toLowerCase) match {
+          case Some((exact, dt)) => (exact, Some(dt))
+          case None => (c, None)
+        })
+        require(canonical.map(_._1).distinct.length == canonical.length,
+          s"INSERT INTO $ident: duplicate target column after " +
+            s"case-insensitive resolution: ${canonical.map(_._1).mkString(", ")}")
+        q.toDF(canonical.map(_._1): _*)
+          .select(canonical.map { case (exact, dtOpt) =>
+            dtOpt.fold(col(s"`$exact`"))(dt => col(s"`$exact`").cast(dt).as(exact))
+          }: _*)
       }
     val staged = aligned.localCheckpoint()
     val n = staged.count()
@@ -476,15 +508,30 @@ final case class IceUpdateCommand(
     // lowercased both sides: Spark resolves column references
     // case-insensitively, so `SET ID = ...` reaches the real `id` column
     // and must hit the guard too
-    val pathKeys = t.trySnapshot(Long.MaxValue).toSeq
+    val pathSegs = t.trySnapshot(Long.MaxValue).toSeq
       .flatMap(_.aliveFiles.map(m => t.partitionOf(m.path)))
-      .flatMap(_.split("/").toSeq).map(_.split("=", 2)(0).toLowerCase).toSet
+      .flatMap(_.split("/").toSeq).filter(_.nonEmpty)
+    val pathKeys = pathSegs.filter(_.contains("="))
+      .map(_.split("=", 2)(0).toLowerCase).toSet
     val exprKeys =
       try org.apache.spark.sql.graft.PlanBridge
         .eagerExpression(t.cfg.partitionExpr)
         .collect { case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
           ua.name.toLowerCase }.toSet
       catch { case _: Exception => Set.empty[String] }
+    // a partitionFunc CLOSURE derives the path from columns this command
+    // cannot see (the closure isn't persistable; the opened handle holds
+    // only its poison stand-in) — the k=v names observed in paths are the
+    // ONLY trustworthy key source, so unless every observed segment is
+    // k=v-shaped (and at least one file exists to observe), reject every
+    // UPDATE rather than risk the silent divergence this guard exists to
+    // prevent
+    if (t.cfg.partitionFunc.nonEmpty &&
+        (pathSegs.isEmpty || !pathSegs.forall(_.contains("="))))
+      throw new UnsupportedOperationException(
+        s"UPDATE on $ident: the table's partition scheme is derived by a " +
+          "closure whose inputs are unknowable here; update through the " +
+          "original configured handle (IceTable.updateWhere)")
     val partKeys = pathKeys ++ exprKeys
     sets.map(_._1).find(c => partKeys.contains(c.toLowerCase)).foreach { c =>
       throw new UnsupportedOperationException(

@@ -85,8 +85,10 @@ class IceStreamProvider extends StreamSourceProvider with RelationProvider
     // provider defaults (partition 'all', no sort/stats) over the
     // creator's config — the log fold is last-writer-wins, so that would
     // silently re-route every later insert and drop stats skipping
-    val opened = IceTable.open(sqlContext.sparkSession, root)
-    val exists = opened.logio.currentLogFiles(root).nonEmpty
+    // one fold for config + existence + the insert pre-flight seed (the
+    // hot batcher path pays per-append log reads otherwise)
+    val (opened, snap) = IceTable.openWithSnapshot(sqlContext.sparkSession, root)
+    val exists = snap.isDefined
     val base =
       if (exists) opened.cfg
       else IceTableConfig(partitionExpr = lit("all"), sortOrder = Seq.empty)
@@ -98,6 +100,7 @@ class IceStreamProvider extends StreamSourceProvider with RelationProvider
         sortOrder = so.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
       .getOrElse(withPart)
     val table = new IceTable(sqlContext.sparkSession, root, cfg)
+    snap.foreach(s => table.seedPreflight(s.schema)) // same fold, no re-read
     mode match {
       case SaveMode.Overwrite =>
         throw new UnsupportedOperationException(

@@ -92,6 +92,55 @@ class IceSqlResolutionSpec extends SparkSpec {
     } finally spark.conf.unset(IceSqlResolution.WarehouseKey)
   }
 
+  test("INSERT BY NAME matches names, not positions; case-variant lists canonicalize") {
+    val wh = tmpDir("graft_sqlbyname")
+    val t = mkTable(wh, "byname")
+    spark.conf.set(IceSqlResolution.WarehouseKey, wh)
+    try {
+      // BY NAME with the query's outputs deliberately OUT of schema order:
+      // positional mapping would swap d and v
+      spark.sql("INSERT INTO graft.byname BY NAME " +
+        "SELECT 'tag50' AS v, '2024-01-05' AS d, 50 AS id").collect()
+      val r = spark.sql(
+        "SELECT id, d, v FROM graft.byname WHERE id = 50").head
+      assert(r.getLong(0) === 50L)
+      assert(r.getString(1) === "2024-01-05")
+      assert(r.getString(2) === "tag50")
+      // a case-variant column list resolves to the recorded exact-case
+      // column (and its type) instead of minting a new "ID" column
+      spark.sql("INSERT INTO graft.byname (ID, D) VALUES (51, '2024-01-05')").collect()
+      assert(spark.sql("SELECT count(*) c FROM graft.byname WHERE id = 51")
+        .head.getLong(0) === 1L)
+      val schemaCols = t.trySnapshot(Long.MaxValue).get.schema.pairs.map(_._1)
+      assert(!schemaCols.contains("ID"), s"case-variant duplicate landed: $schemaCols")
+      // BY NAME is incompatible with an explicit column list
+      val both = intercept[Exception] {
+        spark.sql("INSERT INTO graft.byname (id) BY NAME SELECT 1 AS id")
+      }
+      def msgs(x: Throwable): Seq[String] =
+        if (x == null) Seq.empty else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+      assert(msgs(both).exists(m => m.contains("mutually exclusive") ||
+        m.contains("BY NAME") || m.contains("PARSE")), both)
+    } finally spark.conf.unset(IceSqlResolution.WarehouseKey)
+  }
+
+  test("UPDATE on a partitionFunc-routed table is rejected (inputs unknowable)") {
+    val wh = tmpDir("graft_sqlpf")
+    val t = new IceTable(spark, s"$wh/pftbl", IceTableConfig(
+      partitionExpr = lit(""), sortOrder = Seq("id"),
+      partitionFunc = Some(r => s"p${r.getAs[Long]("id") % 2}"))) // non-k=v dirs
+    t.insert(spark.range(4).select(col("id"), lit("x").as("v")))
+    spark.conf.set(IceSqlResolution.WarehouseKey, wh)
+    try {
+      val e = intercept[Exception] {
+        spark.sql("UPDATE graft.pftbl SET v = 'y' WHERE id = 1").collect()
+      }
+      def msgs(x: Throwable): Seq[String] =
+        if (x == null) Seq.empty else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+      assert(msgs(e).exists(_.contains("closure")), e)
+    } finally spark.conf.unset(IceSqlResolution.WarehouseKey)
+  }
+
   test("SQL DELETE and UPDATE run the atomic CoW mutations") {
     val wh = tmpDir("graft_sqldml")
     val t = mkTable(wh, "dml")
