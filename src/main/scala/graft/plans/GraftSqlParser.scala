@@ -94,8 +94,17 @@ object GraftSqlParser {
     // `concat('u=', pmod(user_id, 8))` nests arbitrarily)
     val ctasHeadRe = re(s"""\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$c\\.$ident.*""")
 
+    val histRe = re(s"""\\s*(?:DESCRIBE|DESC)\\s+HISTORY\\s+$c\\.$ident\\s*;?\\s*""")
+    val descRe = re(s"""\\s*(?:DESCRIBE|DESC)\\s+(?:TABLE\\s+)?$c\\.$ident\\s*;?\\s*""")
+
     val om = optimizeRe.matcher(sqlText)
     if (om.matches()) return Some(GraftOptimizeCommand(name(om, 1)))
+
+    val hm = histRe.matcher(sqlText)
+    if (hm.matches()) return Some(GraftDescribeHistoryCommand(name(hm, 1)))
+
+    val dsm = descRe.matcher(sqlText)
+    if (dsm.matches()) return Some(GraftDescribeTableCommand(name(dsm, 1)))
 
     val vm = vacuumRe.matcher(sqlText)
     if (vm.matches()) {
@@ -281,6 +290,53 @@ object GraftSqlParser {
         .sorted
         .map(n => Row(cat, n))
     }
+  }
+
+  /** `DESCRIBE HISTORY graft.<t>` → [[IceTable.history]]: one row per
+    * log commit with files/bytes-added and tombstone deltas — the
+    * lakehouse `DESCRIBE HISTORY` shape over the reference's plain
+    * JSONL log listing. Metadata-scale (one row per commit). */
+  final case class GraftDescribeHistoryCommand(name: String)
+      extends LeafRunnableCommand {
+    import org.apache.spark.sql.types.{BooleanType, IntegerType}
+    override val output: Seq[Attribute] = Seq(
+      AR("commit_ts", LongType, nullable = false)(),
+      AR("log_file", StringType, nullable = false)(),
+      AR("merged", BooleanType, nullable = false)(),
+      AR("files_added", IntegerType, nullable = false)(),
+      AR("bytes_added", LongType, nullable = false)(),
+      AR("files_tombstoned", IntegerType, nullable = false)(),
+      AR("log_tombstones", IntegerType, nullable = false)())
+    override def run(session: SparkSession): Seq[Row] =
+      rootFor(session, name, requireLog = true) match {
+        case None => throw new IllegalArgumentException(
+          s"graft table '$name' does not exist")
+        case Some(root) =>
+          IceTable.open(session, root).history().collect().toSeq
+      }
+  }
+
+  /** `DESCRIBE [TABLE] graft.<t>`: the log's union schema plus the
+    * path-derived partition columns the catalog relation serves. */
+  final case class GraftDescribeTableCommand(name: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AR("col_name", StringType, nullable = false)(),
+      AR("data_type", StringType, nullable = false)(),
+      AR("comment", StringType, nullable = true)())
+    override def run(session: SparkSession): Seq[Row] =
+      rootFor(session, name, requireLog = true) match {
+        case None => throw new IllegalArgumentException(
+          s"graft table '$name' does not exist")
+        case Some(root) =>
+          val (t, snapOpt) = IceTable.openWithSnapshot(session, root)
+          val snap = snapOpt.getOrElse(
+            throw new IllegalArgumentException(s"graft table '$name' has no commits"))
+          val dataCols = snap.schema.pairs.map { case (n, ty) => Row(n, ty, null) }
+          val partCols = IceFileIndex.partitionKeys(t, snap)
+            .map(k => Row(k, "STRING", "partition (path-derived)"))
+          dataCols ++ partCols
+      }
   }
 
   /** `OPTIMIZE graft.<t>` → [[IceTable.optimize]] (greedy full-table

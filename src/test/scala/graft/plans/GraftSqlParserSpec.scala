@@ -115,6 +115,28 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) AS c FROM graft.maint").head.getLong(0) === 59L)
   }
 
+  test("DESCRIBE TABLE and DESCRIBE HISTORY read the log, not a Spark catalog") {
+    freshWarehouse()
+    src().createOrReplaceTempView("ctas_spec_src5")
+    spark.sql(
+      """CREATE TABLE graft.descme PARTITIONED BY (concat('u=', u))
+        |AS SELECT * FROM ctas_spec_src5""".stripMargin).collect()
+    val cols = spark.sql("DESCRIBE graft.descme").collect()
+      .map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(cols.map(_._1).containsSlice(Seq("id", "u", "kind")))
+    assert(cols.contains(("u", "partition (path-derived)")) ||
+      cols.exists(c => c._2 != null && c._2.contains("partition")),
+      s"partition column not surfaced: $cols")
+    // one CTAS commit + one more insert = two history rows
+    spark.sql("INSERT INTO graft.descme VALUES (200, 1, 't0')").collect()
+    val hist = spark.sql("DESCRIBE HISTORY graft.descme").collect()
+    assert(hist.length === 2)
+    assert(hist.map(_.getInt(3)).sum >= 2, "files_added accumulates")
+    // DESC alias works; unknown table errors
+    assert(spark.sql("DESC graft.descme").collect().nonEmpty)
+    intercept[Exception] { spark.sql("DESCRIBE HISTORY graft.missing").collect() }
+  }
+
   test("non-graft SQL is untouched; OPTIMIZE on other names still errors in the delegate") {
     assert(spark.sql("SELECT 1 AS one").head.getInt(0) === 1)
     intercept[Exception] { spark.sql("OPTIMIZE some_other_table") }
