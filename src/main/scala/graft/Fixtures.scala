@@ -324,6 +324,28 @@ object Fixtures {
       table
     }
 
+  /** Change-feed variant (a41): a window spanning an append, a CoW
+    * UPDATE (delete+insert pairs) and a merge-on-read delete; `sinceTs`
+    * excludes the seed insert. */
+  final case class EventsCdc(table: IceTable, sinceTs: Long)
+  def eventsChangeFeed(spark: SparkSession, sfDir: String): EventsCdc =
+    memo(s"$sfDir#cdc") {
+      import graft.ice.{DeleteVectors, IceLogIO}
+      val ev = raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val table = new IceTable(spark, newRoot("cdc"), IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(8))),
+        sortOrder = Seq("event_id")))
+      table.insert(ev.where(col("event_id") % 2 === 0))
+      val sinceTs = table.logio.currentLogFiles(table.root)
+        .map(f => IceLogIO.logFileInfo(f)._1).max
+      table.insert(ev.where(col("event_id") % 2 === 1))
+      table.updateWhere(pmod(col("user_id"), lit(23)) === 7,
+        Seq("event_type" -> lit("redacted")))
+      DeleteVectors.deleteWhere(table, pmod(col("user_id"), lit(23)) === 8)
+      EventsCdc(table, sinceTs)
+    }
+
   /** CREATE TABLE ... AS variant (b34): the table does not exist before
     * the statement — one atomic CTAS commit seeds schema AND persists the
     * PARTITIONED BY / SORTED BY config, so the reopened handle routes

@@ -196,6 +196,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), sum("event_id").cast("bigint").as("sum_id"))
         .orderBy(col("event_type"))
     }),
+    "a41_change_feed" -> ((s, d) => {
+      // row-level change-data feed (ChangeFeed): the window spans an
+      // append (inserts), a CoW UPDATE (delete+insert image pairs) and a
+      // merge-on-read dv delete; DuckDB re-derives the exact multiset of
+      // change images per type from the raw events
+      val fx = Fixtures.eventsChangeFeed(s, d)
+      graft.ice.ChangeFeed.between(fx.table, fx.sinceTs)
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum("event_id").cast("bigint").as("sum_id"),
+          countDistinct("event_type").as("types"))
+        .orderBy(col("_change_type"))
+    }),
     "a40_manifest_export" -> ((s, d) => {
       // foreign-engine manifest (ManifestExport): the snapshot's alive
       // files + schema + dv files exported as static JSON (plus a
@@ -2102,6 +2115,16 @@ object SparkEntry {
     "a40_manifest_export" ->
       ("SELECT event_type, count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS sum_uid, " +
         "true AS manifest_exact FROM events GROUP BY event_type ORDER BY event_type"),
+    "a41_change_feed" ->
+      ("WITH ev AS (SELECT event_id, user_id, event_type FROM events), " +
+        "changes AS (" +
+        "SELECT 'insert' AS _change_type, event_id, event_type FROM ev WHERE event_id % 2 = 1 " +
+        "UNION ALL SELECT 'insert', event_id, 'redacted' FROM ev WHERE user_id % 23 = 7 " +
+        "UNION ALL SELECT 'delete', event_id, event_type FROM ev WHERE user_id % 23 = 7 " +
+        "UNION ALL SELECT 'delete', event_id, event_type FROM ev WHERE user_id % 23 = 8) " +
+        "SELECT _change_type, count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id, " +
+        "count(DISTINCT event_type) AS types " +
+        "FROM changes GROUP BY 1 ORDER BY 1"),
     "a38_format_row" ->
       ("SELECT upper(event_type) AS event_type, " +
         "'t_' || lower(event_type) AS etype_tag, count(*) AS cnt, " +

@@ -1,0 +1,185 @@
+package graft.ice
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Row-level change-data feed over a window of commits — the Delta
+  * "change data feed" shape, derived entirely from the MVCC log + the
+  * immutable data files, with NO extra files written at commit time:
+  *
+  *  - an INSERT commit's rows appear as `_change_type = 'insert'`;
+  *  - a COPY-ON-WRITE rewrite (updateWhere / deleteWhere / upsert /
+  *    deleteKeys / SQL DML) appears as the exact multiset difference
+  *    between the rows it tombstoned and the rows it wrote — an UPDATE
+  *    is a ('delete', 'insert') pair at the same `_commit_ts`, and a
+  *    content-preserving rewrite (compaction, recluster, repartition,
+  *    dv materialize) contributes NOTHING;
+  *  - a MERGE-ON-READ delete ([[DeleteVectors.deleteWhere]]) appears as
+  *    `'delete'` rows at the dv commit's timestamp, with the deleted
+  *    row content recovered from the (immutable, still-present) marked
+  *    files. A later `materialize` does not re-report them: the rewrite
+  *    diff reads its tombstoned side with the dv state PINNED at the
+  *    rewrite's own commit time, so rows already reported dead cancel.
+  *
+  * Windows are `(sinceTs, untilTs]` on log-filename timestamps, matching
+  * [[IceTable.readAdded]]. Re-marking an already-deleted row never
+  * re-reports it (marks present at the window start, or emitted earlier
+  * in the window, are excluded).
+  *
+  * Scale shape: the driver folds ONLY metadata (one pass over the log,
+  * like [[IceTable.history]]); each commit in the window contributes one
+  * bounded Spark job over exactly the files that commit touched, and the
+  * rewrite diff is one `exceptAll` shuffle bounded by the rewritten
+  * volume — never a full-table scan. Meant to be consumed incrementally
+  * (CDC cadence: short windows, few commits each).
+  *
+  * Limits, stated loudly:
+  *  - per-commit attribution needs the window's source logs: a tombstone
+  *    cleanup CONSOLIDATES history (it is the one commit kind that
+  *    deletes log files, flagged `cln` in its metadata line), so windows
+  *    starting before the latest cleanup are rejected;
+  *  - deleted-row CONTENT needs the tombstoned files still on disk —
+  *    true until a cleanup's retention reclaims them (same contract as
+  *    Delta CDF after VACUUM); a reclaimed window fails on read, it
+  *    never silently under-reports.
+  */
+object ChangeFeed {
+
+  val ChangeTypeCol = "_change_type"
+  val CommitTsCol = "_commit_ts"
+
+  /** The change rows for `(sinceTs, untilTs]`. Output = the table's union
+    * schema at `untilTs` plus (`_change_type` string, `_commit_ts` long). */
+  def between(
+      table: IceTable, sinceTs: Long, untilTs: Long = Long.MaxValue): DataFrame = {
+    val spark = table.spark
+    val logs = table.logio.currentLogFiles(table.root).sorted
+    val snapOpt = table.trySnapshot(untilTs)
+    val snap = snapOpt.getOrElse(
+      return emptyFeed(spark))
+    def shaped(df: DataFrame, tpe: String, ts: Long): DataFrame =
+      df.withColumn(ChangeTypeCol, lit(tpe)).withColumn(CommitTsCol, lit(ts))
+
+    val fetched = table.logio.fetchLogLines(table.root, logs)
+    requireAttributable(
+      logs.map(f => LogMetadata.fromJson(fetched(f)(0))), sinceTs, table.root)
+
+    val parts = scala.collection.mutable.Buffer.empty[DataFrame]
+    var prior = Map.empty[String, FileMarker]
+    logs.foreach { lf =>
+      val (ts, merged) = IceLogIO.logFileInfo(lf)
+      val markers = table.logio.parseLog(lf, fetched(lf))._2
+      if (ts <= sinceTs || ts > untilTs) {
+        if (ts <= sinceTs) markers.foreach(m => prior = prior.updated(m.path, m))
+      } else {
+        val newAlive = markers.filter(m =>
+          m.tombstone.isEmpty && !prior.contains(m.path))
+        val newDead = markers.filter(m =>
+          m.tombstone.nonEmpty && prior.get(m.path).exists(_.tombstone.isEmpty))
+        markers.foreach(m => prior = prior.updated(m.path, m))
+        if (!merged) {
+          if (newAlive.nonEmpty)
+            parts += shaped(table.readFiles(snap, newAlive), "insert", ts)
+        } else if (newAlive.nonEmpty || newDead.nonEmpty) {
+          // rewrite diff. The tombstoned side applies the dv state AS OF
+          // THIS commit: marks the rewrite already applied were reported
+          // at their own dv commit and must cancel here, which makes pure
+          // compactions and dv materializations contribute zero rows.
+          // INCLUSIVE bound (ts + 1 against the strict-< fold): the
+          // rewrite's dv-stamp gate means every mark on the tombstoned
+          // paths was applied by it, including one sharing its commit
+          // millisecond — excluding that mark would fake a delete.
+          val removed = table.readFilesApplyingDeletes(snap, newDead, ts + 1)
+          val added = table.readFiles(snap, newAlive)
+          parts += shaped(removed.exceptAll(added), "delete", ts)
+          parts += shaped(added.exceptAll(removed), "insert", ts)
+        }
+      }
+    }
+
+    parts ++= dvDeleteParts(table, snap, sinceTs, untilTs, shaped)
+
+    if (parts.isEmpty) {
+      shaped(table.readFiles(snap, Seq.empty), "insert", 0L).limit(0)
+    } else parts.reduce(_ unionByName _)
+  }
+
+  /** `'delete'` rows from merge-on-read dv commits in the window. */
+  private def dvDeleteParts(
+      table: IceTable, snap: IceSnapshot, sinceTs: Long, untilTs: Long,
+      shaped: (DataFrame, String, Long) => DataFrame): Seq[DataFrame] = {
+    val dv = DeleteVectors.dvTable(table)
+    val dvLogs =
+      try dv.logio.currentLogFiles(dv.root).sorted
+      catch { case _: Exception => Seq.empty[String] }
+    if (dvLogs.isEmpty) return Seq.empty
+    val dvFetched = dv.logio.fetchLogLines(dv.root, dvLogs)
+    requireAttributable(
+      dvLogs.map(f => LogMetadata.fromJson(dvFetched(f)(0))), sinceTs, dv.root)
+
+    val windowLogs = dvLogs.filter { f =>
+      val (ts, merged) = IceLogIO.logFileInfo(f)
+      !merged && ts > sinceTs && ts <= untilTs
+    }
+    if (windowLogs.isEmpty) return Seq.empty
+
+    // marks already present at the window start never re-report (dv
+    // compaction preserves mark content, so this survives consolidation)
+    var seen: Option[DataFrame] = dv.trySnapshot(sinceTs + 1)
+      .filter(_.aliveFiles.nonEmpty)
+      .map(s => dv.readFiles(s, s.aliveFiles)
+        .select("path", "row_index").distinct().localCheckpoint())
+
+    windowLogs.map { lf =>
+      val ts = IceLogIO.logFileInfo(lf)._1
+      val markFiles = dv.logio.parseLog(lf, dvFetched(lf))._2
+        .filter(_.tombstone.isEmpty)
+      val marks0 = dv.readFiles(dv.snapshot(ts + 1), markFiles)
+        .select("path", "row_index").distinct()
+      val marks = seen.fold(marks0)(s =>
+        marks0.join(s, Seq("path", "row_index"), "left_anti")).localCheckpoint()
+      seen = Some(seen.fold(marks)(_ unionByName marks)
+        .distinct().localCheckpoint())
+      // the marked paths were alive in the main table when the mark
+      // committed: pin the main snapshot at the dv commit (inclusive —
+      // a main insert sharing the mark's millisecond still precedes it)
+      val affected = marks.select("path").distinct()
+        .collect().map(_.getString(0)).toSet // file-count scale
+      val mainAt = table.snapshot(ts + 1)
+      val markers = mainAt.aliveFiles.filter(m => affected(m.path))
+      val rows =
+        if (markers.isEmpty) table.readFiles(snap, Seq.empty) // all re-marks
+        else {
+          val dataCols = snap.schema.toStructType.fieldNames.toSeq
+          table.spark.read.schema(snap.schema.toStructType)
+            .parquet(markers.map(m => s"${table.root}/${m.path}"): _*)
+            .withColumn("_dv_path", table.relPathCol)
+            .withColumn("_dv_row", col("_metadata.row_index"))
+            .join(marks.select(col("path").as("_dv_path"),
+              col("row_index").as("_dv_row")), Seq("_dv_path", "_dv_row"))
+            .select(dataCols.map(c => col(s"`$c`")): _*)
+        }
+      shaped(rows, "delete", ts)
+    }
+  }
+
+  /** Reject windows whose per-commit history was consolidated away by a
+    * tombstone cleanup (`cln` commits delete their source logs). */
+  private def requireAttributable(
+      metas: Seq[LogMetadata], sinceTs: Long, root: String): Unit = {
+    val floor = metas.filter(_.cleaned).map(_.timestamp).maxOption.getOrElse(Long.MinValue)
+    require(sinceTs >= floor,
+      s"changeFeed($root): history at or before ts=$floor was consolidated " +
+        s"by tombstone cleanup; per-commit changes are reconstructible only " +
+        s"for windows starting at or after it (requested sinceTs=$sinceTs)")
+  }
+
+  private def emptyFeed(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField(ChangeTypeCol, StringType),
+        StructField(CommitTsCol, LongType))))
+  }
+}

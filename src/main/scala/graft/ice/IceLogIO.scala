@@ -294,7 +294,8 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration) {
       merged: Boolean = false,
       timestamp: Option[Long] = None,
       streamCommits: Map[String, Long] = Map.empty,
-      tableCfg: Option[Map[String, Any]] = None): (String, LogMetadata) = {
+      tableCfg: Option[Map[String, Any]] = None,
+      cleaned: Boolean = false): (String, LogMetadata) = {
     // The filename IS the commit identity: two commits in the same
     // millisecond from one writer would collide on `{ts}_{host}.jsonl`
     // (rename then fails — or silently replaces, store-dependent).
@@ -327,7 +328,8 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration) {
               tombstoneLineIndex = if (tombstones.isEmpty) None else Some(2),
               timestamp = ts,
               streamCommits = streamCommits,
-              tableCfg = tableCfg)
+              tableCfg = tableCfg,
+              cleaned = cleaned)
             val lines = Seq(meta.json, schema.toJson) ++
               tombstones.map(_.json) ++ files.map(_.json)
             writeAtomic(filesystem, dest, lines.mkString("\n"))

@@ -1792,7 +1792,8 @@ final class IceTable(
       streamCommits = cleanCommits,
       // orElse: cleanup DELETES the source logs — the consolidated log must
       // carry the persisted config forward even from a bare handle
-      tableCfg = persistedCfg.orElse(snap.tableConfig))
+      tableCfg = persistedCfg.orElse(snap.tableConfig),
+      cleaned = true) // ChangeFeed's attribution floor (see LogMetadata)
 
     cleaned.foreach(p => logio.delete(root, p))
 

@@ -107,14 +107,20 @@ final case class LogMetadata(
     tombstoneLineIndex: Option[Int] = None,
     timestamp: Long = System.currentTimeMillis(),
     streamCommits: Map[String, Long] = Map.empty,
-    tableCfg: Option[Map[String, Any]] = None) {
+    tableCfg: Option[Map[String, Any]] = None,
+    // "cln": true marks a tombstone-cleanup consolidation — the ONE commit
+    // kind that DELETES source log files, i.e. the point before which
+    // per-commit history can no longer be reconstructed (ChangeFeed's
+    // attribution floor). Additive beyond-reference field like "sc"/"cfg".
+    cleaned: Boolean = false) {
 
   def json: String = {
-    val base = Seq(
+    val base0 = Seq(
       "v" -> (version: Any),
       "sch" -> (schemaLineIndex: Any),
       "f" -> (fileLineIndex: Any),
       "t" -> (timestamp: Any))
+    val base = if (cleaned) base0 :+ ("cln" -> (true: Any)) else base0
     val withTmb = tombstoneLineIndex.fold(base)(t => base :+ ("tmb" -> (t: Any)))
     val withSc =
       if (streamCommits.isEmpty) withTmb
@@ -149,7 +155,8 @@ object LogMetadata {
       tableCfg = m.get("cfg").collect {
         case c: scala.collection.Map[_, _] =>
           c.map { case (k, v) => k.toString -> v }.toMap
-      })
+      },
+      cleaned = m.get("cln").contains(true))
   }
 
   /** Max-merge of per-query committed batch ids (fold across logs). */

@@ -1,0 +1,94 @@
+package graft.ice
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Row-level change-feed invariants: inserts, CoW update pairs,
+  * merge-on-read deletes, maintenance silence, re-delete silence,
+  * windowing, and the cleanup attribution floor. */
+class ChangeFeedSpec extends SparkSpec {
+
+  private def maxTs(t: IceTable): Long =
+    t.logio.currentLogFiles(t.root).map(f => IceLogIO.logFileInfo(f)._1).max
+
+  private def mk(): IceTable = {
+    import spark.implicits._
+    val t = new IceTable(spark, tmpDir("graft_cdc"), IceTableConfig(
+      partitionExpr = concat(lit("u="), pmod(col("u"), lit(2))),
+      sortOrder = Seq("id")))
+    t.insert((1 to 20).map(i => (i.toLong, i % 5, s"v$i")).toDF("id", "u", "v"))
+    t
+  }
+
+  private def byType(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    df.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("inserts, CoW update pairs, and MoR deletes report exactly once") {
+    import spark.implicits._
+    val t = mk()
+    val t0 = maxTs(t)
+    t.insert((21 to 25).map(i => (i.toLong, i % 5, s"v$i")).toDF("id", "u", "v"))
+    t.updateWhere(col("id") === 3L, Seq("v" -> lit("updated")))
+    DeleteVectors.deleteWhere(t, col("id") === 7L)
+    val feed = ChangeFeed.between(t, t0).cache()
+    assert(byType(feed) === Map("insert" -> 6L, "delete" -> 2L))
+    // the update is a (before, after) image pair at one commit ts
+    val images = feed.where(col("id") === 3L)
+      .select("_change_type", "v", "_commit_ts").collect()
+    assert(images.map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("delete", "v3"), ("insert", "updated")))
+    assert(images.map(_.getLong(2)).distinct.length === 1)
+    // the MoR delete carries the deleted row's content
+    val del7 = feed.where(col("id") === 7L).collect()
+    assert(del7.map(_.getAs[String]("_change_type")).toSeq === Seq("delete"))
+    assert(del7.head.getAs[String]("v") === "v7")
+    feed.unpersist()
+  }
+
+  test("maintenance is silent: compaction and dv materialize contribute zero rows") {
+    import spark.implicits._
+    val t = mk()
+    t.insert((21 to 30).map(i => (i.toLong, i % 5, s"v$i")).toDF("id", "u", "v"))
+    DeleteVectors.deleteWhere(t, col("id") === 5L)
+    // the window floor must clear the DV commit too (its log lives under
+    // _dv and is typically newer than the last main commit)
+    val t1 = math.max(maxTs(t), maxTs(DeleteVectors.dvTable(t)))
+    assert(t.optimize() > 0)
+    DeleteVectors.materialize(t)
+    DeleteVectors.vacuum(t)
+    assert(ChangeFeed.between(t, t1).count() === 0L,
+      "content-preserving rewrites must not appear in the feed")
+  }
+
+  test("re-marking an already-deleted row never re-reports it") {
+    val t = mk()
+    DeleteVectors.deleteWhere(t, col("id") === 2L)
+    val t1 = maxTs(DeleteVectors.dvTable(t))
+    DeleteVectors.deleteWhere(t, col("id") <= 2L) // re-marks 2, newly marks 1
+    val feed = ChangeFeed.between(t, t1)
+    assert(feed.select("id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  test("windows slice by commit ts; full-history window sees the seed insert") {
+    val t = mk()
+    val full = ChangeFeed.between(t, 0L)
+    assert(byType(full) === Map("insert" -> 20L))
+    assert(ChangeFeed.between(t, maxTs(t)).count() === 0L)
+  }
+
+  test("cleanup consolidation floors the feed; post-floor windows still work") {
+    import spark.implicits._
+    val t = mk()
+    t.insert((21 to 25).map(i => (i.toLong, i % 5, s"v$i")).toDF("id", "u", "v"))
+    t.optimize()
+    t.tombstoneCleanup(0L)
+    val floor = maxTs(t)
+    val e = intercept[IllegalArgumentException] { ChangeFeed.between(t, 0L) }
+    assert(e.getMessage.contains("consolidated"))
+    // from the floor on, the feed works and maintenance stays silent
+    assert(ChangeFeed.between(t, floor).count() === 0L)
+    t.insert(Seq((99L, 1, "v99")).toDF("id", "u", "v"))
+    assert(byType(ChangeFeed.between(t, floor)) === Map("insert" -> 1L))
+  }
+}
