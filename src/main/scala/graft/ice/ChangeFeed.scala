@@ -54,7 +54,11 @@ object ChangeFeed {
       table: IceTable, sinceTs: Long, untilTs: Long = Long.MaxValue): DataFrame = {
     val spark = table.spark
     val logs = table.logio.currentLogFiles(table.root).sorted
-    val snapOpt = table.trySnapshot(untilTs)
+    // the window is INCLUSIVE of untilTs but the snapshot fold is
+    // strict-<: fold at untilTs + 1 so a window ending exactly on the
+    // last commit still sees it (the streaming source's every batch)
+    val snapBound = if (untilTs == Long.MaxValue) untilTs else untilTs + 1
+    val snapOpt = table.trySnapshot(snapBound)
     val snap = snapOpt.getOrElse(
       return emptyFeed(spark))
     def shaped(df: DataFrame, tpe: String, ts: Long): DataFrame =

@@ -123,13 +123,19 @@ class IceStreamProvider extends StreamSourceProvider with RelationProvider
       IceTableConfig(partitionExpr = lit("all"), sortOrder = Seq.empty))
   }
 
+  private def wantsChangeFeed(parameters: Map[String, String]): Boolean =
+    parameters.get("changeFeed").exists(_.toBoolean)
+
   override def sourceSchema(
       sqlContext: SQLContext,
       schema: Option[StructType],
       providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      tableFor(sqlContext, parameters).snapshot().schema.toStructType))
+      parameters: Map[String, String]): (String, StructType) = {
+    val base = schema.getOrElse(
+      tableFor(sqlContext, parameters).snapshot().schema.toStructType)
+    (shortName(),
+      if (wantsChangeFeed(parameters)) IceChangeFeedSource.withMeta(base) else base)
+  }
 
   override def createSource(
       sqlContext: SQLContext,
@@ -141,7 +147,9 @@ class IceStreamProvider extends StreamSourceProvider with RelationProvider
     val pinned = schema.getOrElse(table.snapshot().schema.toStructType)
     val startTs = IceStreamSource.resolveStartTs(
       sqlContext, metadataPath, parameters, table)
-    new IceStreamSource(table, pinned, startTs)
+    if (wantsChangeFeed(parameters))
+      new IceChangeFeedSource(table, pinned, startTs)
+    else new IceStreamSource(table, pinned, startTs)
   }
 }
 
@@ -223,4 +231,73 @@ class IceStreamSource(table: IceTable, pinnedSchema: StructType, startTs: Long)
   override def stop(): Unit = ()
 
   override def toString: String = s"IceStreamSource[${table.root}]"
+}
+
+object IceChangeFeedSource {
+  import org.apache.spark.sql.types.{LongType, StringType, StructField}
+  /** The base schema plus the feed's (`_change_type`, `_commit_ts`). */
+  def withMeta(base: StructType): StructType =
+    StructType(base.fields.toSeq ++ Seq(
+      StructField(graft.ice.ChangeFeed.ChangeTypeCol, StringType, nullable = false),
+      StructField(graft.ice.ChangeFeed.CommitTsCol, LongType, nullable = false)))
+}
+
+/** Streaming CHANGE-DATA feed: `spark.readStream.format("ice")
+  * .option("path", root).option("changeFeed", "true").load()` tails
+  * [[graft.ice.ChangeFeed]] — every micro-batch is the exact row-level
+  * change multiset of `(start, end]`: inserts, copy-on-write UPDATE
+  * image pairs, and merge-on-read deletes with recovered content, while
+  * compaction windows are EMPTY batches (content-preserving rewrites
+  * cancel). Offsets cover the main log AND the `_dv` side log, so a
+  * merge-on-read delete advances the offset even though it commits no
+  * main-table log. Same retention caveat as the append source, one
+  * stronger: tombstone cleanup must lag the slowest consumer, or the
+  * attribution floor rejects the replayed window loudly (never silently
+  * under-reports). Schema is pinned at query start; late-evolved columns
+  * surface when the query restarts. */
+class IceChangeFeedSource(table: IceTable, baseSchema: StructType, startTs: Long)
+    extends Source {
+
+  private val pinned = IceChangeFeedSource.withMeta(baseSchema)
+
+  override def schema: StructType = pinned
+
+  /** Max ts across main AND dv logs (a MoR delete must advance the
+    * offset; merged logs included — empty windows are harmless). */
+  private def headTs: Option[Long] = {
+    val main = IceStreamSource.maxLogTs(table)
+    val dv =
+      try IceStreamSource.maxLogTs(graft.ice.DeleteVectors.dvTable(table))
+      catch { case _: Exception => None }
+    (main.toSeq ++ dv.toSeq).maxOption
+  }
+
+  override def getOffset: Option[Offset] =
+    headTs.filter(_ > startTs).map(LongOffset(_))
+
+  private def ts(o: Offset): Long = o match {
+    case LongOffset(v) => v
+    case s: SerializedOffset => s.json.trim.toLong
+    case other => other.json().trim.toLong
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val since = start.map(ts).getOrElse(startTs)
+    val spark = table.spark
+    val feed = graft.ice.ChangeFeed.between(table, since, ts(end))
+    val batch =
+      if (!pinned.fieldNames.forall(feed.columns.contains))
+        // no-log edge (ChangeFeed's 2-column empty shape): empty batch
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], pinned)
+      else
+        // pin the query-start schema: a column added mid-run stays
+        // invisible until restart (feed columns only ever grow)
+        feed.select(pinned.fieldNames.toSeq.map(c =>
+          org.apache.spark.sql.functions.col(s"`$c`")): _*)
+    StreamBridge.asStreamingBatch(batch)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"IceChangeFeedSource[${table.root}]"
 }

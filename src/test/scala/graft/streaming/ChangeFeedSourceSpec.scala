@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ice.{DeleteVectors, IceTable, IceTableConfig}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming change-data feed: `readStream.format("ice").option(
+  * "changeFeed", "true")` delivers row-level change batches — inserts,
+  * CoW update image pairs, MoR deletes — and stays silent through
+  * compaction. */
+class ChangeFeedSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newTable(tag: String): IceTable = {
+    val t = new IceTable(spark, tmpDir(tag), IceTableConfig(
+      partitionExpr = concat(lit("u="), pmod(col("id"), lit(2))),
+      sortOrder = Seq("id")))
+    t.insert((0 until 10).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    t
+  }
+
+  /** Drain via foreachBatch; returns (change_type, id, v) triples. */
+  private def drain(root: String, ckpt: String): Set[(String, Long, String)] = {
+    val got = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(String, Long, String)]()
+    val q = spark.readStream.format("ice")
+      .option("path", root).option("changeFeed", "true").load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("_change_type", "id", "v")
+          .as[(String, Long, String)].collect().foreach(got.add); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not drain in time")
+    import scala.jdk.CollectionConverters._
+    got.asScala.toSet
+  }
+
+  test("change batches carry inserts, update pairs, and MoR deletes; compaction is silent") {
+    val t = newTable("cfs_basic")
+    val ckpt = tmpDir("cfs_ckpt")
+
+    // initial replay: the seed insert
+    assert(drain(t.root, ckpt) ===
+      (0 until 10).map(i => ("insert", i.toLong, s"v$i")).toSet)
+
+    // CoW update + MoR delete + a compaction in one window
+    t.updateWhere(col("id") === 3L, Seq("v" -> lit("updated")))
+    Thread.sleep(3)
+    DeleteVectors.deleteWhere(t, col("id") === 7L)
+    Thread.sleep(3)
+    t.optimize(maxFileSize = 1L << 30, maxFileCount = 100)
+    Thread.sleep(3)
+    assert(drain(t.root, ckpt) === Set(
+      ("delete", 3L, "v3"), ("insert", 3L, "updated"),
+      ("delete", 7L, "v7")))
+
+    // a maintenance-only window delivers nothing
+    DeleteVectors.materialize(t)
+    DeleteVectors.vacuum(t)
+    Thread.sleep(3)
+    assert(drain(t.root, ckpt) === Set.empty[(String, Long, String)])
+  }
+
+  test("a MoR delete alone advances the offset (dv log counts toward the head)") {
+    val t = newTable("cfs_dv")
+    val ckpt = tmpDir("cfs_dv_ckpt")
+    drain(t.root, ckpt) // consume the seed
+    DeleteVectors.deleteWhere(t, col("id") === 4L)
+    Thread.sleep(3)
+    assert(drain(t.root, ckpt) === Set(("delete", 4L, "v4")))
+  }
+}
