@@ -240,6 +240,20 @@ final class IceTable(
       org.apache.spark.sql.types.StructField("log_tombstones", org.apache.spark.sql.types.IntegerType, nullable = false))))
   }
 
+  /** Persist THIS handle's configuration as the log's latest word
+    * WITHOUT writing any data: one empty commit carrying only the
+    * metadata line (markers and tombstones untouched — the fold's
+    * last-writer-wins `cfg` does the rest). The SQL `ALTER TABLE ...
+    * SORTED BY` building block. No-op caveat: a fully-default config
+    * persists no `cfg` field, so "alter back to all defaults" cannot be
+    * expressed this way — it would leave the previous word standing. */
+  def persistConfig(): Unit = IceTable.commitLock(root).synchronized {
+    val snap = snapshot()
+    logio.append(root, 1, snap.schema, Seq.empty,
+      timestamp = Some(now()), tableCfg = persistedCfg)
+    ()
+  }
+
   /** Partition string of a data path: the segment between `_data/` and the
     * file name (reference: icedb/icedb.py:103-108). */
   def partitionOf(path: String): String = {

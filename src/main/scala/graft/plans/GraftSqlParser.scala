@@ -103,6 +103,29 @@ object GraftSqlParser {
     val hm = histRe.matcher(sqlText)
     if (hm.matches()) return Some(GraftDescribeHistoryCommand(name(hm, 1)))
 
+    // ALTER TABLE graft.t SORTED BY (cols) | PARTITIONED BY (expr) —
+    // same balanced-paren walk as CTAS (partition exprs nest)
+    val alterHead = re(s"""\\s*ALTER\\s+TABLE\\s+$c\\.$ident\\s+(SORTED|PARTITIONED)\\s+BY\\s*\\(.*""")
+    val am = alterHead.matcher(sqlText)
+    if (am.matches()) {
+      val tableName = name(am, 1)
+      val kind = am.group(3).toUpperCase
+      val open = sqlText.indexOf('(', am.end(3))
+      val body = balancedParen(sqlText, open) match {
+        case Some((inner, after)) if sqlText.substring(after).trim.stripSuffix(";").trim.isEmpty =>
+          inner.trim
+        case _ => throw new UnsupportedOperationException(
+          s"ALTER TABLE $catalog.$tableName $kind BY requires one " +
+            "balanced parenthesized clause and nothing after it")
+      }
+      return Some(
+        if (kind == "SORTED")
+          GraftAlterSortCommand(tableName,
+            body.split(",").toSeq.map(_.trim.stripPrefix("`").stripSuffix("`"))
+              .filter(_.nonEmpty))
+        else GraftAlterPartitionCommand(tableName, body))
+    }
+
     val dsm = descRe.matcher(sqlText)
     if (dsm.matches()) return Some(GraftDescribeTableCommand(name(dsm, 1)))
 
@@ -290,6 +313,47 @@ object GraftSqlParser {
         .sorted
         .map(n => Row(cat, n))
     }
+  }
+
+  /** `ALTER TABLE graft.<t> SORTED BY (cols)` → one config-only commit
+    * ([[IceTable.persistConfig]]): every later insert — SQL or API —
+    * writes files clustered by the new order; existing files are
+    * untouched (re-sort them with OPTIMIZE / recluster). */
+  final case class GraftAlterSortCommand(name: String, sortCols: Seq[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(AR("sort_order", StringType, nullable = false)())
+    override def run(session: SparkSession): Seq[Row] =
+      rootFor(session, name, requireLog = true) match {
+        case None => throw new IllegalArgumentException(
+          s"graft table '$name' does not exist")
+        case Some(root) =>
+          val t = IceTable.open(session, root)
+          new IceTable(session, root, t.cfg.copy(sortOrder = sortCols))
+            .persistConfig()
+          Seq(Row(sortCols.mkString(", ")))
+      }
+  }
+
+  /** `ALTER TABLE graft.<t> PARTITIONED BY (expr)` → partition EVOLUTION
+    * ([[IceTable.repartitionTable]]): the whole table rewrites under the
+    * new scheme in one Spark job + one atomic merged-log commit that also
+    * persists the new expression; time travel to before the statement
+    * still resolves the old layout. */
+  final case class GraftAlterPartitionCommand(name: String, partitionExprSql: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(AR("files_written", LongType, nullable = false)())
+    override def run(session: SparkSession): Seq[Row] =
+      rootFor(session, name, requireLog = true) match {
+        case None => throw new IllegalArgumentException(
+          s"graft table '$name' does not exist")
+        case Some(root) =>
+          val t = IceTable.open(session, root)
+          val n = t.repartitionTable(
+            org.apache.spark.sql.functions.expr(partitionExprSql))
+          Seq(Row(n.toLong))
+      }
   }
 
   /** `DESCRIBE HISTORY graft.<t>` → [[IceTable.history]]: one row per

@@ -115,6 +115,33 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) AS c FROM graft.maint").head.getLong(0) === 59L)
   }
 
+  test("ALTER TABLE SORTED BY persists; PARTITIONED BY evolves the layout atomically") {
+    val w = freshWarehouse()
+    src().createOrReplaceTempView("ctas_spec_src6")
+    spark.sql(
+      """CREATE TABLE graft.alterme PARTITIONED BY (concat('u=', u))
+        |AS SELECT * FROM ctas_spec_src6""".stripMargin).collect()
+    // sort-order change is config-only: a later insert sorts by the new order
+    spark.sql("ALTER TABLE graft.alterme SORTED BY (kind, id)").collect()
+    assert(IceTable.open(spark, s"$w/alterme").cfg.sortOrder === Seq("kind", "id"))
+    // partition evolution: one atomic rewrite; content identical, new dirs
+    val files = spark.sql(
+      "ALTER TABLE graft.alterme PARTITIONED BY (concat('k=', kind))")
+      .head.getLong(0)
+    assert(files > 0)
+    val dirs = new java.io.File(s"$w/alterme/_data").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("k=")).toSet
+    assert(dirs === Set("k=t0", "k=t1", "k=t2"))
+    assert(spark.sql("SELECT count(*) c FROM graft.alterme").head.getLong(0) === 100L)
+    // the evolved scheme + sort order persist through reopen
+    val t = IceTable.open(spark, s"$w/alterme")
+    assert(t.cfg.sortOrder === Seq("kind", "id"))
+    import spark.implicits._
+    t.insert(Seq((200L, 9, "t9")).toDF("id", "u", "kind"))
+    assert(new java.io.File(s"$w/alterme/_data/k=t9").isDirectory,
+      "post-evolution insert must route under the NEW scheme")
+  }
+
   test("DESCRIBE TABLE and DESCRIBE HISTORY read the log, not a Spark catalog") {
     freshWarehouse()
     src().createOrReplaceTempView("ctas_spec_src5")
