@@ -69,6 +69,10 @@ object ChangeFeed {
       logs.map(f => LogMetadata.fromJson(fetched(f)(0))), sinceTs, table.root)
 
     val parts = scala.collection.mutable.Buffer.empty[DataFrame]
+    // ALL insert commits in the window collapse into ONE scan (+ one
+    // broadcast (path → commit_ts) join) — a wide window over thousands
+    // of appends must not build a thousand-part union plan
+    val insertMarkers = scala.collection.mutable.Buffer.empty[(FileMarker, Long)]
     var prior = Map.empty[String, FileMarker]
     logs.foreach { lf =>
       val (ts, merged) = IceLogIO.logFileInfo(lf)
@@ -82,8 +86,7 @@ object ChangeFeed {
           m.tombstone.nonEmpty && prior.get(m.path).exists(_.tombstone.isEmpty))
         markers.foreach(m => prior = prior.updated(m.path, m))
         if (!merged) {
-          if (newAlive.nonEmpty)
-            parts += shaped(table.readFiles(snap, newAlive), "insert", ts)
+          newAlive.foreach(m => insertMarkers += ((m, ts)))
         } else if (newAlive.nonEmpty || newDead.nonEmpty) {
           // rewrite diff. The tombstoned side applies the dv state AS OF
           // THIS commit: marks the rewrite already applied were reported
@@ -99,6 +102,19 @@ object ChangeFeed {
           parts += shaped(added.exceptAll(removed), "insert", ts)
         }
       }
+    }
+
+    if (insertMarkers.nonEmpty) {
+      import spark.implicits._
+      val pathTs = insertMarkers.toSeq
+        .map { case (m, ts) => (m.path, ts) }.toDF("_cf_path", CommitTsCol)
+      parts += spark.read.schema(snap.schema.toStructType)
+        .parquet(insertMarkers.map(_._1).toSeq
+          .map(m => s"${table.root}/${m.path}"): _*)
+        .withColumn("_cf_path", table.relPathCol)
+        .join(broadcast(pathTs), Seq("_cf_path"))
+        .drop("_cf_path")
+        .withColumn(ChangeTypeCol, lit("insert"))
     }
 
     parts ++= dvDeleteParts(table, snap, sinceTs, untilTs, shaped)
