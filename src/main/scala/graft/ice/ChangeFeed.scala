@@ -76,9 +76,15 @@ object ChangeFeed {
     var prior = Map.empty[String, FileMarker]
     logs.foreach { lf =>
       val (ts, merged) = IceLogIO.logFileInfo(lf)
+      val meta = LogMetadata.fromJson(fetched(lf)(0))
       val markers = table.logio.parseLog(lf, fetched(lf))._2
-      if (ts <= sinceTs || ts > untilTs) {
-        if (ts <= sinceTs) markers.foreach(m => prior = prior.updated(m.path, m))
+      if (ts <= sinceTs || ts > untilTs || meta.cleanedHorizon.nonEmpty) {
+        // a cleanup CONSOLIDATION re-lists markers whose source logs it
+        // deleted — logically pre-horizon state, content-preserving by
+        // construction — so it only updates the prior map, never diffs
+        // (the floor check above guarantees sinceTs covers its horizon)
+        if (ts <= sinceTs || meta.cleanedHorizon.nonEmpty)
+          markers.foreach(m => prior = prior.updated(m.path, m))
       } else {
         val newAlive = markers.filter(m =>
           m.tombstone.isEmpty && !prior.contains(m.path))
@@ -129,9 +135,10 @@ object ChangeFeed {
       table: IceTable, snap: IceSnapshot, sinceTs: Long, untilTs: Long,
       shaped: (DataFrame, String, Long) => DataFrame): Seq[DataFrame] = {
     val dv = DeleteVectors.dvTable(table)
-    val dvLogs =
-      try dv.logio.currentLogFiles(dv.root).sorted
-      catch { case _: Exception => Seq.empty[String] }
+    // no-dv-table is the non-throwing empty list; a REAL listing failure
+    // must propagate — swallowing it would silently drop the window's
+    // delete events while the insert side commits the offset
+    val dvLogs = dv.logio.currentLogFiles(dv.root).sorted
     if (dvLogs.isEmpty) return Seq.empty
     val dvFetched = dv.logio.fetchLogLines(dv.root, dvLogs)
     requireAttributable(
@@ -184,10 +191,13 @@ object ChangeFeed {
   }
 
   /** Reject windows whose per-commit history was consolidated away by a
-    * tombstone cleanup (`cln` commits delete their source logs). */
+    * tombstone cleanup. The floor is the max CONSOLIDATION HORIZON (the
+    * newest log a cleanup deleted), NOT the cleanup commit's own
+    * timestamp — a consumer caught up past the horizon keeps working
+    * even though the cleanup commit is newer than its offset. */
   private def requireAttributable(
       metas: Seq[LogMetadata], sinceTs: Long, root: String): Unit = {
-    val floor = metas.filter(_.cleaned).map(_.timestamp).maxOption.getOrElse(Long.MinValue)
+    val floor = metas.flatMap(_.cleanedHorizon).maxOption.getOrElse(Long.MinValue)
     require(sinceTs >= floor,
       s"changeFeed($root): history at or before ts=$floor was consolidated " +
         s"by tombstone cleanup; per-commit changes are reconstructible only " +

@@ -295,7 +295,7 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration) {
       timestamp: Option[Long] = None,
       streamCommits: Map[String, Long] = Map.empty,
       tableCfg: Option[Map[String, Any]] = None,
-      cleaned: Boolean = false): (String, LogMetadata) = {
+      cleanedHorizon: Option[Long] = None): (String, LogMetadata) = {
     // The filename IS the commit identity: two commits in the same
     // millisecond from one writer would collide on `{ts}_{host}.jsonl`
     // (rename then fails — or silently replaces, store-dependent).
@@ -329,7 +329,7 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration) {
               timestamp = ts,
               streamCommits = streamCommits,
               tableCfg = tableCfg,
-              cleaned = cleaned)
+              cleanedHorizon = cleanedHorizon)
             val lines = Seq(meta.json, schema.toJson) ++
               tombstones.map(_.json) ++ files.map(_.json)
             writeAtomic(filesystem, dest, lines.mkString("\n"))

@@ -582,11 +582,8 @@ final class IceTable(
   /** Seed the pre-flight cache from a fold the caller already paid for
     * ([[IceTable.openWithSnapshot]]) — the first insert through an
     * opened handle then costs zero extra log reads. */
-  private[graft] def seedPreflight(s: Schema): Unit = {
-    val copy = new Schema
-    copy.accumulate(s.columns, s.types)
-    preflightSchema = Some(copy)
-  }
+  private[graft] def seedPreflight(s: Schema): Unit =
+    preflightSchema = Some(s.copy())
 
   /** A20 pre-flight: validate the batch's log schema against the table's
     * accumulated schema BEFORE any file is written (reference
@@ -1648,8 +1645,13 @@ final class IceTable(
     // data sits under the new one. (The writer handle is NOT used here:
     // it deliberately clears customInsertSql/formatRow for the data job,
     // and those must stay recorded for future inserts.)
+    // partitionFunc cleared: the new DECLARATIVE expression supersedes any
+    // closure (or unpersistable-expr poison) — leaving the flag standing
+    // would poison every reopened handle's inserts even though the table
+    // now has a perfectly persistable scheme
     val commitTable = new IceTable(spark, root,
-      cfg.copy(partitionExpr = newPartitionExpr, sortOrder = newSortOrder), clock)
+      cfg.copy(partitionExpr = newPartitionExpr, sortOrder = newSortOrder,
+        partitionFunc = None), clock)
     val (_, _, stamped) = commitTable.validatedRewriteCommit(allAcc, written,
       dvStampAtRead = dvStampAtRead)
     stamped.length
@@ -1797,6 +1799,13 @@ final class IceTable(
     logFilesToDelete.foreach(p => logio.delete(root, p))
     dataFilesToDelete.foreach(p => logio.delete(root, p))
 
+    // the consolidation horizon: max filename ts of every log this
+    // cleanup DELETES (consolidated merged logs + expired tombstoned
+    // logs). ChangeFeed consumers caught up past it are unaffected;
+    // windows reaching at-or-below it are rejected (see LogMetadata.cln)
+    val horizon = (cleaned.toSeq ++ logFilesToDelete.toSeq)
+      .map(p => IceLogIO.logFileInfo(p)._1).maxOption
+
     logio.append(
       root, 1, schema,
       dataFilesToKeep.values.toSeq,
@@ -1807,7 +1816,7 @@ final class IceTable(
       // orElse: cleanup DELETES the source logs — the consolidated log must
       // carry the persisted config forward even from a bare handle
       tableCfg = persistedCfg.orElse(snap.tableConfig),
-      cleaned = true) // ChangeFeed's attribution floor (see LogMetadata)
+      cleanedHorizon = horizon)
 
     cleaned.foreach(p => logio.delete(root, p))
 

@@ -108,11 +108,14 @@ final case class LogMetadata(
     timestamp: Long = System.currentTimeMillis(),
     streamCommits: Map[String, Long] = Map.empty,
     tableCfg: Option[Map[String, Any]] = None,
-    // "cln": true marks a tombstone-cleanup consolidation — the ONE commit
-    // kind that DELETES source log files, i.e. the point before which
-    // per-commit history can no longer be reconstructed (ChangeFeed's
-    // attribution floor). Additive beyond-reference field like "sc"/"cfg".
-    cleaned: Boolean = false) {
+    // "cln": marks a tombstone-cleanup consolidation — the ONE commit kind
+    // that DELETES source log files — and carries the CONSOLIDATION
+    // HORIZON: the max filename timestamp of the logs it deleted. History
+    // at or before the horizon can no longer be reconstructed per-commit
+    // (ChangeFeed's attribution floor); a consumer caught up past the
+    // horizon is unaffected, even though the cleanup commit itself is
+    // newer. Additive beyond-reference field like "sc"/"cfg".
+    cleanedHorizon: Option[Long] = None) {
 
   def json: String = {
     val base0 = Seq(
@@ -120,7 +123,7 @@ final case class LogMetadata(
       "sch" -> (schemaLineIndex: Any),
       "f" -> (fileLineIndex: Any),
       "t" -> (timestamp: Any))
-    val base = if (cleaned) base0 :+ ("cln" -> (true: Any)) else base0
+    val base = cleanedHorizon.fold(base0)(h => base0 :+ ("cln" -> (h: Any)))
     val withTmb = tombstoneLineIndex.fold(base)(t => base :+ ("tmb" -> (t: Any)))
     val withSc =
       if (streamCommits.isEmpty) withTmb
@@ -156,7 +159,7 @@ object LogMetadata {
         case c: scala.collection.Map[_, _] =>
           c.map { case (k, v) => k.toString -> v }.toMap
       },
-      cleaned = m.get("cln").contains(true))
+      cleanedHorizon = m.get("cln").map(_.asInstanceOf[Long]))
   }
 
   /** Max-merge of per-query committed batch ids (fold across logs). */

@@ -77,12 +77,12 @@ object GraftSqlParser {
     java.util.regex.Pattern.compile(
       pattern, java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.DOTALL)
 
-  /** Recognize one of the graft statements; None = not ours. */
-  private[plans] def parseGraftStatement(
-      sqlText: String, catalog: String,
-      delegate: ParserInterface): Option[LogicalPlan] = {
-    val c = java.util.regex.Pattern.quote(catalog)
-
+  /** The per-catalog compiled statement patterns — built once and cached
+    * (this parser fronts EVERY spark.sql call in the session, including
+    * non-graft SQL, so per-parse Pattern.compile would tax the whole
+    * workload; the catalog name virtually never changes). */
+  private final class Patterns(catalog: String) {
+    private val c = java.util.regex.Pattern.quote(catalog)
     val optimizeRe = re(s"""\\s*OPTIMIZE\\s+$c\\.$ident\\s*;?\\s*""")
     val vacuumRe = re(
       s"""\\s*VACUUM\\s+$c\\.$ident(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS?)?\\s*;?\\s*""")
@@ -93,9 +93,24 @@ object GraftSqlParser {
     // balanced-paren walk (a partition expression like
     // `concat('u=', pmod(user_id, 8))` nests arbitrarily)
     val ctasHeadRe = re(s"""\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$c\\.$ident.*""")
-
+    val ctasNameRe = re(s"""\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$c\\.$ident""")
     val histRe = re(s"""\\s*(?:DESCRIBE|DESC)\\s+HISTORY\\s+$c\\.$ident\\s*;?\\s*""")
     val descRe = re(s"""\\s*(?:DESCRIBE|DESC)\\s+(?:TABLE\\s+)?$c\\.$ident\\s*;?\\s*""")
+    val alterHeadRe = re(
+      s"""\\s*ALTER\\s+TABLE\\s+$c\\.$ident\\s+(SORTED|PARTITIONED)\\s+BY\\s*\\(.*""")
+  }
+
+  private val compiledPatterns =
+    new java.util.concurrent.ConcurrentHashMap[String, Patterns]()
+  private def patternsFor(catalog: String): Patterns =
+    compiledPatterns.computeIfAbsent(catalog, new Patterns(_))
+
+  /** Recognize one of the graft statements; None = not ours. */
+  private[plans] def parseGraftStatement(
+      sqlText: String, catalog: String,
+      delegate: ParserInterface): Option[LogicalPlan] = {
+    val p = patternsFor(catalog)
+    import p._
 
     val om = optimizeRe.matcher(sqlText)
     if (om.matches()) return Some(GraftOptimizeCommand(name(om, 1)))
@@ -105,8 +120,7 @@ object GraftSqlParser {
 
     // ALTER TABLE graft.t SORTED BY (cols) | PARTITIONED BY (expr) —
     // same balanced-paren walk as CTAS (partition exprs nest)
-    val alterHead = re(s"""\\s*ALTER\\s+TABLE\\s+$c\\.$ident\\s+(SORTED|PARTITIONED)\\s+BY\\s*\\(.*""")
-    val am = alterHead.matcher(sqlText)
+    val am = alterHeadRe.matcher(sqlText)
     if (am.matches()) {
       val tableName = name(am, 1)
       val kind = am.group(3).toUpperCase
@@ -145,8 +159,7 @@ object GraftSqlParser {
     if (cm.matches()) {
       // walk the clauses after the table name
       val headEnd = {
-        val h = re(s"""\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$c\\.$ident""")
-          .matcher(sqlText)
+        val h = ctasNameRe.matcher(sqlText)
         h.lookingAt(); h.end()
       }
       var pos = headEnd
@@ -171,14 +184,21 @@ object GraftSqlParser {
           pos = after; inner
         }
       }
-      val partitionExprSql =
-        if (takeKeyword("PARTITIONED", "BY")) takeParenBody().map(_.trim).filter(_.nonEmpty)
-        else None
-      val sortCols =
-        if (takeKeyword("SORTED", "BY"))
-          takeParenBody().toSeq.flatMap(_.split(",").toSeq)
+      // the two optional clauses accept either order
+      var partitionExprSql: Option[String] = None
+      var sortCols: Seq[String] = Seq.empty
+      var progressed = true
+      while (progressed) {
+        progressed = false
+        if (partitionExprSql.isEmpty && takeKeyword("PARTITIONED", "BY")) {
+          partitionExprSql = takeParenBody().map(_.trim).filter(_.nonEmpty)
+          progressed = true
+        } else if (sortCols.isEmpty && takeKeyword("SORTED", "BY")) {
+          sortCols = takeParenBody().toSeq.flatMap(_.split(",").toSeq)
             .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
-        else Seq.empty
+          progressed = true
+        }
+      }
       if (takeKeyword("AS")) {
         val query = sqlText.substring(pos).trim
         if (query.nonEmpty)

@@ -145,10 +145,15 @@ class IceStreamProvider extends StreamSourceProvider with RelationProvider
       parameters: Map[String, String]): Source = {
     val table = tableFor(sqlContext, parameters)
     val pinned = schema.getOrElse(table.snapshot().schema.toStructType)
+    val cdc = wantsChangeFeed(parameters)
+    // `latest` must be the head THIS source's offsets advance over: for a
+    // change feed that includes the _dv log (a MoR delete committed just
+    // before start is history, not a first-batch event)
+    val headFn: IceTable => Option[Long] =
+      if (cdc) IceChangeFeedSource.headTs else IceStreamSource.maxLogTs
     val startTs = IceStreamSource.resolveStartTs(
-      sqlContext, metadataPath, parameters, table)
-    if (wantsChangeFeed(parameters))
-      new IceChangeFeedSource(table, pinned, startTs)
+      sqlContext, metadataPath, parameters, table, headFn)
+    if (cdc) new IceChangeFeedSource(table, pinned, startTs)
     else new IceStreamSource(table, pinned, startTs)
   }
 }
@@ -163,6 +168,20 @@ object IceStreamSource {
     else Some(logs.map(f => IceLogIO.logFileInfo(f)._1).max)
   }
 
+  /** Never expose an offset inside the STILL-OPEN millisecond: a commit
+    * whose filename shares the head's ms can land after the head was
+    * read (a merged log never filename-collides with a non-merged one,
+    * so the appender's same-ms bump does not serialize them; a second
+    * host never collides by construction but shares the clock contract)
+    * — consuming through that ms would skip the late commit FOREVER.
+    * Capping at now-1 means every served window lies wholly in the past,
+    * where new commit timestamps (`max(now, maxLog+1)`) can no longer
+    * land. Bumped-into-the-future logs are simply served once the clock
+    * passes them — a delay, never a loss. */
+  def settledOffset(head: Option[Long], startTs: Long): Option[Offset] =
+    head.map(h => math.min(h, System.currentTimeMillis() - 1))
+      .filter(_ > startTs).map(LongOffset(_))
+
   /** Resolve the start timestamp ONCE per checkpoint, not once per
     * (re)start: `latest` captured at first start is persisted under the
     * source's metadata path, so a query restarted tomorrow resumes from
@@ -173,7 +192,8 @@ object IceStreamSource {
       sqlContext: SQLContext,
       metadataPath: String,
       parameters: Map[String, String],
-      table: IceTable): Long = {
+      table: IceTable,
+      headFn: IceTable => Option[Long] = maxLogTs): Long = {
     import org.apache.hadoop.fs.Path
     val p = new Path(metadataPath, "ice-start-ts")
     val fs = p.getFileSystem(sqlContext.sparkSession.sparkContext.hadoopConfiguration)
@@ -185,7 +205,7 @@ object IceStreamSource {
     if (fs.exists(p)) read()
     else {
       val computed = parameters.get("startingTimestamp") match {
-        case Some("latest") => maxLogTs(table).getOrElse(0L)
+        case Some("latest") => headFn(table).getOrElse(0L)
         case Some(v) => v.toLong
         case None => 0L
       }
@@ -205,7 +225,7 @@ class IceStreamSource(table: IceTable, pinnedSchema: StructType, startTs: Long)
   override def schema: StructType = pinnedSchema
 
   override def getOffset: Option[Offset] =
-    IceStreamSource.maxLogTs(table).filter(_ > startTs).map(LongOffset(_))
+    IceStreamSource.settledOffset(IceStreamSource.maxLogTs(table), startTs)
 
   private def ts(o: Offset): Long = o match {
     case LongOffset(v) => v
@@ -240,6 +260,17 @@ object IceChangeFeedSource {
     StructType(base.fields.toSeq ++ Seq(
       StructField(graft.ice.ChangeFeed.ChangeTypeCol, StringType, nullable = false),
       StructField(graft.ice.ChangeFeed.CommitTsCol, LongType, nullable = false)))
+
+  /** Max ts across main AND dv logs (a MoR delete must advance the
+    * offset; merged logs included — empty windows are harmless). A
+    * missing `_dv` dir is the non-throwing empty list; a REAL listing
+    * failure propagates — swallowing it would emit a batch missing its
+    * delete events while the engine commits the offset past them. */
+  def headTs(table: IceTable): Option[Long] = {
+    val main = IceStreamSource.maxLogTs(table)
+    val dv = IceStreamSource.maxLogTs(graft.ice.DeleteVectors.dvTable(table))
+    (main.toSeq ++ dv.toSeq).maxOption
+  }
 }
 
 /** Streaming CHANGE-DATA feed: `spark.readStream.format("ice")
@@ -262,18 +293,8 @@ class IceChangeFeedSource(table: IceTable, baseSchema: StructType, startTs: Long
 
   override def schema: StructType = pinned
 
-  /** Max ts across main AND dv logs (a MoR delete must advance the
-    * offset; merged logs included — empty windows are harmless). */
-  private def headTs: Option[Long] = {
-    val main = IceStreamSource.maxLogTs(table)
-    val dv =
-      try IceStreamSource.maxLogTs(graft.ice.DeleteVectors.dvTable(table))
-      catch { case _: Exception => None }
-    (main.toSeq ++ dv.toSeq).maxOption
-  }
-
   override def getOffset: Option[Offset] =
-    headTs.filter(_ > startTs).map(LongOffset(_))
+    IceStreamSource.settledOffset(IceChangeFeedSource.headTs(table), startTs)
 
   private def ts(o: Offset): Long = o match {
     case LongOffset(v) => v

@@ -77,18 +77,24 @@ class ChangeFeedSpec extends SparkSpec {
     assert(ChangeFeed.between(t, maxTs(t)).count() === 0L)
   }
 
-  test("cleanup consolidation floors the feed; post-floor windows still work") {
+  test("cleanup floors at the consolidation HORIZON, not its own commit ts") {
     import spark.implicits._
     val t = mk()
     t.insert((21 to 25).map(i => (i.toLong, i % 5, s"v$i")).toDF("id", "u", "v"))
     t.optimize()
+    val horizon = maxTs(t) // the merged log the cleanup will consolidate
+    Thread.sleep(3)
     t.tombstoneCleanup(0L)
-    val floor = maxTs(t)
+    val cleanupTs = maxTs(t)
+    assert(cleanupTs > horizon)
     val e = intercept[IllegalArgumentException] { ChangeFeed.between(t, 0L) }
     assert(e.getMessage.contains("consolidated"))
-    // from the floor on, the feed works and maintenance stays silent
-    assert(ChangeFeed.between(t, floor).count() === 0L)
+    // a consumer caught up to the horizon — but BEHIND the cleanup
+    // commit — keeps working: the consolidation itself contributes
+    // nothing (it is content-preserving), so this must NOT brick the feed
+    assert(ChangeFeed.between(t, horizon).count() === 0L)
     t.insert(Seq((99L, 1, "v99")).toDF("id", "u", "v"))
-    assert(byType(ChangeFeed.between(t, floor)) === Map("insert" -> 1L))
+    assert(byType(ChangeFeed.between(t, horizon)) === Map("insert" -> 1L))
+    assert(byType(ChangeFeed.between(t, cleanupTs)) === Map("insert" -> 1L))
   }
 }

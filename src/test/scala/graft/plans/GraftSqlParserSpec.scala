@@ -42,6 +42,18 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) AS c FROM graft.ctas1").head.getLong(0) === 101L)
   }
 
+  test("CTAS accepts SORTED BY before PARTITIONED BY (either clause order)") {
+    val w = freshWarehouse()
+    src().createOrReplaceTempView("ctas_spec_src_rev")
+    spark.sql(
+      """CREATE TABLE graft.ctasrev SORTED BY (id)
+        |PARTITIONED BY (concat('u=', u)) AS SELECT * FROM ctas_spec_src_rev"""
+        .stripMargin).collect()
+    val t = IceTable.open(spark, s"$w/ctasrev")
+    assert(t.cfg.sortOrder === Seq("id"))
+    assert(new java.io.File(s"$w/ctasrev/_data/u=3").isDirectory)
+  }
+
   test("CTAS on an existing table throws; IF NOT EXISTS is a no-op") {
     freshWarehouse()
     src().createOrReplaceTempView("ctas_spec_src2")
