@@ -178,9 +178,22 @@ object IceStreamSource {
     * where new commit timestamps (`max(now, maxLog+1)`) can no longer
     * land. Bumped-into-the-future logs are simply served once the clock
     * passes them — a delay, never a loss. */
-  def settledOffset(head: Option[Long], startTs: Long): Option[Offset] =
+  def settledOffset(head: Option[Long], startTs: Long): Option[Long] =
     head.map(h => math.min(h, System.currentTimeMillis() - 1))
-      .filter(_ > startTs).map(LongOffset(_))
+      .filter(_ > startTs)
+
+  /** Monotone wrapper for a source's served offsets: a backwards clock
+    * step (NTP) must never shrink the exposed offset — Spark requires
+    * non-decreasing offsets, and the now-1 settling cap is clock-derived.
+    * (Commit stamps themselves are already monotone via `max(now,
+    * last+1)`.) */
+  final class MonotoneOffset {
+    private var last = Long.MinValue
+    def apply(v: Option[Long]): Option[Long] = synchronized {
+      v.foreach(x => last = math.max(last, x))
+      if (last == Long.MinValue) None else Some(last)
+    }
+  }
 
   /** Resolve the start timestamp ONCE per checkpoint, not once per
     * (re)start: `latest` captured at first start is persisted under the
@@ -224,8 +237,11 @@ class IceStreamSource(table: IceTable, pinnedSchema: StructType, startTs: Long)
 
   override def schema: StructType = pinnedSchema
 
+  private val monotone = new IceStreamSource.MonotoneOffset
+
   override def getOffset: Option[Offset] =
-    IceStreamSource.settledOffset(IceStreamSource.maxLogTs(table), startTs)
+    monotone(IceStreamSource.settledOffset(
+      IceStreamSource.maxLogTs(table), startTs)).map(LongOffset(_))
 
   private def ts(o: Offset): Long = o match {
     case LongOffset(v) => v
@@ -293,8 +309,11 @@ class IceChangeFeedSource(table: IceTable, baseSchema: StructType, startTs: Long
 
   override def schema: StructType = pinned
 
+  private val monotone = new IceStreamSource.MonotoneOffset
+
   override def getOffset: Option[Offset] =
-    IceStreamSource.settledOffset(IceChangeFeedSource.headTs(table), startTs)
+    monotone(IceStreamSource.settledOffset(
+      IceChangeFeedSource.headTs(table), startTs)).map(LongOffset(_))
 
   private def ts(o: Offset): Long = o match {
     case LongOffset(v) => v
