@@ -1393,6 +1393,25 @@ object SparkEntry {
         sum(when(col("symr") > 0.3, 1L).otherwise(0L))
           .cast("bigint").as("flag_symbols"))
     }),
+    "llm_semantic_decontam" -> ((s, d) => {
+      // SEMANTIC decontamination (Decontam.contaminatedSemantic): the
+      // corpus (vec_id >= 8) is seeded with scaled COPIES of the 8 eval
+      // embeddings (x2: cosine exactly 1, proving scale invariance);
+      // only those planted leaks reach cosine 0.99 (the organic corpus
+      // has no 0.99 pairs at small SF), and DuckDB re-derives every
+      // flagged (id, cosine) with list_inner_product — bit-parity per
+      // b24's float->double + sequential-accumulation contract
+      val emb = Fixtures.raw(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val eval = emb.where(col("vec_id") < 8)
+      val planted = eval.select((col("vec_id") + PlantOffset).as("vec_id"),
+        transform(col("embedding"), x => x * 2).as("embedding"))
+      val corpus = emb.where(col("vec_id") >= 8).unionByName(planted)
+      Decontam.contaminatedSemantic(corpus, eval, "vec_id", "embedding",
+          minCosine = 0.99)
+        .select(col("vec_id"), round(col("max_cosine"), 6).as("cos6"))
+        .orderBy(col("vec_id"))
+    }),
     "llm_decontam" -> ((s, d) => {
       // Benchmark decontamination (Decontam): corpus docs sharing an
       // 8-gram with the eval set (here: every 50th doc, so the planted
@@ -2531,6 +2550,14 @@ object SparkEntry {
         "CAST(sum(CASE WHEN dupf > 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS flag_dup_sentences, " +
         "CAST(sum(CASE WHEN NOT (mwl BETWEEN 2.0 AND 12.0) THEN 1 ELSE 0 END) AS BIGINT) AS flag_word_shape, " +
         "CAST(sum(CASE WHEN symr > 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS flag_symbols FROM r"),
+    "llm_semantic_decontam" ->
+      ("WITH eval AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 8), " +
+        "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id >= 8 " +
+        "UNION ALL SELECT vec_id + 1000000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2) FROM embeddings WHERE vec_id < 8), " +
+        "cos AS (SELECT c.vec_id, max(list_inner_product(c.v, eval.e) / " +
+        "(sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(eval.e, eval.e)))) AS mc " +
+        "FROM corpus c CROSS JOIN eval GROUP BY c.vec_id) " +
+        "SELECT vec_id, round(mc, 6) AS cos6 FROM cos WHERE mc >= 0.99 ORDER BY vec_id"),
     "llm_decontam" ->
       ("WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk FROM documents), " +
         "g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')] " +

@@ -76,4 +76,47 @@ object Decontam {
       .where(col("overlap") >= minOverlap)
       .select(col("_id").as(idCol), col("overlap"))
   }
+
+  /** SEMANTIC decontamination: corpus documents whose embedding reaches
+    * cosine >= `minCosine` against ANY benchmark embedding — the
+    * embedding-space complement of the n-gram passes above, catching the
+    * paraphrased / translated / reformatted eval leakage that shares no
+    * verbatim n-gram with the benchmark.
+    *
+    * Scale shape: the benchmark is eval-set-sized, so its (vector, norm)
+    * rows BROADCAST; the corpus side is ONE scan through a broadcast
+    * nested-loop join with the codegen'd dot product, and the per-doc
+    * max aggregates with map-side partials — the 100 TB corpus is never
+    * shuffled beyond one (id, max) row per doc. Zero-norm vectors on
+    * either side produce NULL cosines (guarded division — ANSI mode
+    * would otherwise raise DIVIDE_BY_ZERO), which fail the threshold and
+    * are never flagged.
+    *
+    * Returns contaminated `(idCol, max_cosine)`. */
+  def contaminatedSemantic(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, vecCol: String,
+      minCosine: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("_id"), col(vecCol).as("_cv"))
+      .withColumn("_cn", sqrt(Similarity.dotN(col("_cv"), col("_cv"), 0)))
+    val b = benchmark.select(col(vecCol).as("_bv"))
+      .withColumn("_bn", sqrt(Similarity.dotN(col("_bv"), col("_bv"), 0)))
+    c.crossJoin(broadcast(b))
+      .withColumn("_cos",
+        when(col("_cn") > 0 && col("_bn") > 0,
+          Similarity.dotN(col("_cv"), col("_bv"), 0) / (col("_cn") * col("_bn"))))
+      .groupBy("_id").agg(max(col("_cos")).as("max_cosine"))
+      .where(col("max_cosine") >= minCosine)
+      .select(col("_id").as(idCol), col("max_cosine"))
+  }
+
+  /** The corpus minus its semantically contaminated documents. */
+  def decontaminateSemantic(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, vecCol: String,
+      minCosine: Double): DataFrame =
+    corpus.join(
+      contaminatedSemantic(corpus, benchmark, idCol, vecCol, minCosine)
+        .select(idCol),
+      Seq(idCol), "left_anti")
 }

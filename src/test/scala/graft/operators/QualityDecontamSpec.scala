@@ -82,4 +82,27 @@ class QualityDecontamSpec extends SparkSpec {
     assert(bloom == exact, s"bloom=$bloom exact=$exact")
     assert(exact.keySet == (0 until 300 by 50).map(_.toLong).toSet)
   }
+
+  test("contaminatedSemantic flags embedding leaks, is scale-invariant, skips zero norms") {
+    // eval = 2 orthogonal unit vectors; corpus = a scaled eval copy
+    // (cosine 1), a paraphrase-like near copy (cos ~0.995), an unrelated
+    // orthogonal doc, and a zero vector (NaN cosine must never flag)
+    val eval = Seq(
+      (0L, Array(1.0, 0.0, 0.0, 0.0)),
+      (1L, Array(0.0, 1.0, 0.0, 0.0))).toDF("id", "v")
+    val corpus = Seq(
+      (10L, Array(3.0, 0.0, 0.0, 0.0)),      // eval 0 scaled: cos = 1
+      (11L, Array(1.0, 0.1, 0.0, 0.0)),      // near copy: cos ~ 0.995
+      (12L, Array(0.0, 0.0, 1.0, 0.0)),      // orthogonal: cos 0
+      (13L, Array(0.0, 0.0, 0.0, 0.0))).toDF("id", "v") // zero norm
+    val flagged = Decontam
+      .contaminatedSemantic(corpus, eval, "id", "v", minCosine = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(flagged.keySet === Set(10L, 11L))
+    assert(math.abs(flagged(10L) - 1.0) < 1e-12)
+    val kept = Decontam
+      .decontaminateSemantic(corpus, eval, "id", "v", minCosine = 0.99)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(12L, 13L))
+  }
 }
