@@ -98,15 +98,20 @@ object Decontam {
       idCol: String, vecCol: String,
       minCosine: Double): DataFrame = {
     val c = corpus.select(col(idCol).as("_id"), col(vecCol).as("_cv"))
-      .withColumn("_cn", sqrt(Similarity.dotN(col("_cv"), col("_cv"), 0)))
+      .withColumn("_cn", Similarity.normN(col("_cv"), 0))
     val b = benchmark.select(col(vecCol).as("_bv"))
-      .withColumn("_bn", sqrt(Similarity.dotN(col("_bv"), col("_bv"), 0)))
+      .withColumn("_bn", Similarity.normN(col("_bv"), 0))
     c.crossJoin(broadcast(b))
       .withColumn("_cos",
         when(col("_cn") > 0 && col("_bn") > 0,
           Similarity.dotN(col("_cv"), col("_bv"), 0) / (col("_cn") * col("_bn"))))
+      // threshold BEFORE the aggregate: contamination is rare by
+      // construction, so the shuffle carries only qualifying (id, cos)
+      // rows, never one row per corpus doc (max >= t iff some cosine
+      // >= t, and the max over qualifying cosines IS the overall max
+      // for every flagged doc — result-identical, NULLs drop either way)
+      .where(col("_cos") >= minCosine)
       .groupBy("_id").agg(max(col("_cos")).as("max_cosine"))
-      .where(col("max_cosine") >= minCosine)
       .select(col("_id").as(idCol), col("max_cosine"))
   }
 

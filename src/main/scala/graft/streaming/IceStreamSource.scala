@@ -186,9 +186,18 @@ object IceStreamSource {
     * step (NTP) must never shrink the exposed offset — Spark requires
     * non-decreasing offsets, and the now-1 settling cap is clock-derived.
     * (Commit stamps themselves are already monotone via `max(now,
-    * last+1)`.) */
+    * last+1)`.) [[observe]] additionally seeds the floor from getBatch's
+    * checkpoint-recovered offsets, so a RESTART into a stepped-back
+    * clock keeps the committed position once the engine replays its
+    * uncommitted batch. Residual edge (documented, same as Spark's own
+    * file source): a restart with everything committed AND a backwards
+    * clock can serve one regressed empty batch before getBatch re-seeds;
+    * that costs duplicate delivery of the regressed span, never loss. */
   final class MonotoneOffset {
     private var last = Long.MinValue
+    def observe(v: Option[Long]): Unit = synchronized {
+      v.foreach(x => last = math.max(last, x))
+    }
     def apply(v: Option[Long]): Option[Long] = synchronized {
       v.foreach(x => last = math.max(last, x))
       if (last == Long.MinValue) None else Some(last)
@@ -250,6 +259,7 @@ class IceStreamSource(table: IceTable, pinnedSchema: StructType, startTs: Long)
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    monotone.observe(start.map(ts)); monotone.observe(Some(ts(end)))
     val since = start.map(ts).getOrElse(startTs)
     val spark = table.spark
     val files = table.addedFiles(since, ts(end))
@@ -322,6 +332,7 @@ class IceChangeFeedSource(table: IceTable, baseSchema: StructType, startTs: Long
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    monotone.observe(start.map(ts)); monotone.observe(Some(ts(end)))
     val since = start.map(ts).getOrElse(startTs)
     val spark = table.spark
     val feed = graft.ice.ChangeFeed.between(table, since, ts(end))

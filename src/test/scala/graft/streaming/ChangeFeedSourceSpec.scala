@@ -64,6 +64,18 @@ class ChangeFeedSourceSpec extends SparkSpec {
     assert(drain(t.root, ckpt) === Set.empty[(String, Long, String)])
   }
 
+  test("MonotoneOffset never shrinks and seeds from observed checkpoint offsets") {
+    val m = new IceStreamSource.MonotoneOffset
+    assert(m(None) === None)
+    assert(m(Some(100L)) === Some(100L))
+    assert(m(Some(90L)) === Some(100L)) // backwards clock: floor holds
+    assert(m(None) === Some(100L)) // a later None never un-serves the floor
+    assert(m(Some(110L)) === Some(110L))
+    val seeded = new IceStreamSource.MonotoneOffset
+    seeded.observe(Some(500L)) // getBatch recovery seed
+    assert(seeded(Some(450L)) === Some(500L))
+  }
+
   test("a MoR delete alone advances the offset (dv log counts toward the head)") {
     val t = newTable("cfs_dv")
     val ckpt = tmpDir("cfs_dv_ckpt")
