@@ -433,6 +433,25 @@ object SparkEntry {
         countDistinct(col("event_id")).as("uniq"))
         .withColumn("last_batch", lit(lastBatch))
     }),
+    "a42_stream_change_feed" -> ((s, d) => {
+      // the streaming form of a41: readStream.format("ice") with
+      // changeFeed=true drains the SAME change multiset (inserts, CoW
+      // UPDATE image pairs, MoR deletes; maintenance silent) as batch
+      // ChangeFeed.between over the full history, and DuckDB re-derives
+      // it — seed insert + second insert are both inserts here (window
+      // from zero), so the expected multiset is base ∪ update images
+      val fx = Fixtures.eventsChangeFeed(s, d)
+      val sink = "icecdc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = s.readStream.format("ice").option("path", fx.table.root)
+        .option("changeFeed", "true").load()
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum("event_id").cast("bigint").as("sum_id"))
+        .writeStream.format("memory").queryName(sink).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).orderBy(col("_change_type"))
+    }),
     "a26_stream_source" -> ((s, d) => {
       // the reader-side dual of a25: readStream.format("ice") tails the
       // events table's log from zero. The CDC contract (non-merged logs
@@ -2134,6 +2153,15 @@ object SparkEntry {
     "a40_manifest_export" ->
       ("SELECT event_type, count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS sum_uid, " +
         "true AS manifest_exact FROM events GROUP BY event_type ORDER BY event_type"),
+    "a42_stream_change_feed" ->
+      ("WITH ev AS (SELECT event_id, user_id FROM events), " +
+        "changes AS (" +
+        "SELECT 'insert' AS _change_type, event_id FROM ev " +
+        "UNION ALL SELECT 'insert', event_id FROM ev WHERE user_id % 23 = 7 " +
+        "UNION ALL SELECT 'delete', event_id FROM ev WHERE user_id % 23 = 7 " +
+        "UNION ALL SELECT 'delete', event_id FROM ev WHERE user_id % 23 = 8) " +
+        "SELECT _change_type, count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id " +
+        "FROM changes GROUP BY 1 ORDER BY 1"),
     "a41_change_feed" ->
       ("WITH ev AS (SELECT event_id, user_id, event_type FROM events), " +
         "changes AS (" +
