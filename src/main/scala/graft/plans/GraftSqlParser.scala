@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -21,6 +21,10 @@ import graft.ice.{DeleteVectors, IceTable, IceTableConfig}
   *                                               -- one log commit
   *   DROP TABLE [IF EXISTS] graft.t              -- removes data + log
   *   SHOW TABLES IN graft                        -- tables under the warehouse
+  *   DESCRIBE [TABLE] graft.t                    -- union schema + partition cols
+  *   DESCRIBE HISTORY graft.t                    -- per-commit deltas
+  *   ALTER TABLE graft.t SORTED BY (c1, ...)     -- config-only commit
+  *   ALTER TABLE graft.t PARTITIONED BY (<expr>) -- atomic partition evolution
   *   OPTIMIZE graft.t                            -- full-table compaction
   *   VACUUM graft.t [RETAIN <n> HOURS]           -- tombstone cleanup + dv vacuum
   * }}}
