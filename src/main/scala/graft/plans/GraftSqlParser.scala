@@ -26,6 +26,7 @@ import graft.ice.{DeleteVectors, IceTable, IceTableConfig}
   *   ALTER TABLE graft.t SORTED BY (c1, ...)     -- config-only commit
   *   ALTER TABLE graft.t PARTITIONED BY (<expr>) -- atomic partition evolution
   *   OPTIMIZE graft.t                            -- full-table compaction
+  *   OPTIMIZE graft.t ZORDER BY (c1, ...)        -- Z-value recluster
   *   VACUUM graft.t [RETAIN <n> HOURS]           -- tombstone cleanup + dv vacuum
   * }}}
   *
@@ -88,6 +89,8 @@ object GraftSqlParser {
   private final class Patterns(catalog: String) {
     private val c = java.util.regex.Pattern.quote(catalog)
     val optimizeRe = re(s"""\\s*OPTIMIZE\\s+$c\\.$ident\\s*;?\\s*""")
+    val optimizeZRe = re(
+      s"""\\s*OPTIMIZE\\s+$c\\.$ident\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\)\\s*;?\\s*""")
     val vacuumRe = re(
       s"""\\s*VACUUM\\s+$c\\.$ident(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS?)?\\s*;?\\s*""")
     val dropRe = re(s"""\\s*DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?$c\\.$ident\\s*;?\\s*""")
@@ -118,6 +121,12 @@ object GraftSqlParser {
 
     val om = optimizeRe.matcher(sqlText)
     if (om.matches()) return Some(GraftOptimizeCommand(name(om, 1)))
+
+    val ozm = optimizeZRe.matcher(sqlText)
+    if (ozm.matches())
+      return Some(GraftOptimizeZOrderCommand(name(ozm, 1),
+        ozm.group(3).split(",").toSeq
+          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)))
 
     val hm = histRe.matcher(sqlText)
     if (hm.matches()) return Some(GraftDescribeHistoryCommand(name(hm, 1)))
@@ -438,6 +447,58 @@ object GraftSqlParser {
           s"graft table '$name' does not exist")
         case Some(root) =>
           Seq(Row(IceTable.open(session, root).optimize().toLong))
+      }
+  }
+
+  /** `OPTIMIZE graft.<t> ZORDER BY (c1, ...)` → [[IceTable.recluster]]
+    * with a Z-value over the named NUMERIC columns: each dimension scales
+    * into `[0, 2^bits)` from its observed min/max (one cheap aggregate —
+    * exact bounds affect clustering quality, never correctness), the
+    * interleaved Z-value range-partitions the rewrite, and every
+    * partition commits in ONE atomic merged-log append. Multi-column
+    * stats skipping then prunes on EVERY named dimension. */
+  final case class GraftOptimizeZOrderCommand(name: String, cols: Seq[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(AR("partitions_reclustered", LongType, nullable = false)())
+    override def run(session: SparkSession): Seq[Row] =
+      rootFor(session, name, requireLog = true) match {
+        case None => throw new IllegalArgumentException(
+          s"graft table '$name' does not exist")
+        case Some(root) =>
+          import org.apache.spark.sql.functions.{col, max => fmax, min => fmin}
+          require(cols.nonEmpty, "ZORDER BY needs at least one column")
+          val (t, snapOpt) = IceTable.openWithSnapshot(session, root)
+          val snap = snapOpt.getOrElse(return Seq(Row(0L)))
+          val types = snap.schema.toStructType.fields
+            .map(f => f.name.toLowerCase -> f.dataType).toMap
+          val canon = cols.map { c =>
+            val dt = types.getOrElse(c.toLowerCase,
+              throw new IllegalArgumentException(
+                s"ZORDER BY column '$c' is not in the table schema"))
+            if (!dt.isInstanceOf[org.apache.spark.sql.types.NumericType])
+              throw new UnsupportedOperationException(
+                s"ZORDER BY column '$c' is $dt; Z-ordering needs numeric " +
+                  "dimensions (hash or encode strings into one first)")
+            snap.schema.toStructType.fields
+              .find(_.name.equalsIgnoreCase(c)).get.name
+          }
+          if (snap.aliveFiles.isEmpty) return Seq(Row(0L))
+          // observed per-dimension bounds: ONE aggregate scan (the
+          // recluster rewrites everything anyway, this is noise)
+          val aggExprs = canon.flatMap(c => Seq(
+            fmin(col(s"`$c`")).cast("double"), fmax(col(s"`$c`")).cast("double")))
+          val stats = t.read().agg(aggExprs.head, aggExprs.tail: _*).head
+          if (stats.isNullAt(0)) return Seq(Row(0L)) // zero surviving rows
+          val bits = math.max(1, math.min(12, 62 / canon.length))
+          val dims = canon.zipWithIndex.map { case (c, i) =>
+            val lo = stats.getDouble(2 * i)
+            val hi0 = stats.getDouble(2 * i + 1)
+            val hi = if (hi0 > lo) hi0 else lo + 1.0 // constant column
+            graft.functions.ZOrder.scaled(col(s"`$c`"), lo, hi, bits)
+          }
+          val z = graft.functions.ZOrder.zvalue(bits, dims: _*)
+          Seq(Row(t.recluster(z).toLong))
       }
   }
 

@@ -127,6 +127,35 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) AS c FROM graft.maint").head.getLong(0) === 59L)
   }
 
+  test("OPTIMIZE ZORDER BY reclusters on the named dimensions; content identical") {
+    val w = freshWarehouse()
+    import spark.implicits._
+    val t = new IceTable(spark, s"$w/zopt", IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq.empty,
+      statsColumns = Seq("x", "y")))
+    val n = 32
+    // two commits of row-major data: x-range pruning is useless pre-recluster
+    val rows = for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong)
+    t.insert(rows.filter(_._1 < n / 2).toDF("x", "y"))
+    t.insert(rows.filter(_._1 >= n / 2).toDF("x", "y"))
+    val parts = spark.sql("OPTIMIZE graft.zopt ZORDER BY (x, y)").head.getLong(0)
+    assert(parts === 1L) // one ("all") partition reclustered
+    assert(spark.sql("SELECT count(*) c FROM graft.zopt").head.getLong(0) === (n * n).toLong)
+    assert(spark.sql("SELECT count(DISTINCT x || '-' || y) c FROM graft.zopt")
+      .head.getLong(0) === (n * n).toLong)
+    // rejects non-numeric and unknown dimensions loudly
+    val t2 = new IceTable(spark, s"$w/zbad", IceTableConfig(lit("all"), Seq.empty))
+    t2.insert(Seq((1L, "a")).toDF("x", "s"))
+    val e1 = intercept[Exception] {
+      spark.sql("OPTIMIZE graft.zbad ZORDER BY (s)").collect()
+    }
+    assert(e1.getMessage.contains("numeric"))
+    val e2 = intercept[Exception] {
+      spark.sql("OPTIMIZE graft.zbad ZORDER BY (nope)").collect()
+    }
+    assert(e2.getMessage.contains("not in the table schema"))
+  }
+
   test("ALTER TABLE SORTED BY persists; PARTITIONED BY evolves the layout atomically") {
     val w = freshWarehouse()
     src().createOrReplaceTempView("ctas_spec_src6")
