@@ -387,6 +387,44 @@ object Fixtures {
       table
     }
 
+  /** SQL Z-order variant (b36): `OPTIMIZE ... ZORDER BY` through the
+    * parser — a pure recluster, so contents must equal the raw source. */
+  def eventsSqlZordered(spark: SparkSession, sfDir: String): IceTable =
+    memo(s"$sfDir#sqlzorder") {
+      val ev = raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val table = new IceTable(spark, newRoot("sqlzorder"), IceTableConfig(
+        partitionExpr = lit("all"), sortOrder = Seq.empty,
+        statsColumns = Seq("event_id", "user_id")))
+      table.insert(ev.where(col("event_id") % 2 === 0))
+      table.insert(ev.where(col("event_id") % 2 === 1))
+      val f = new java.io.File(table.root)
+      spark.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      spark.sql(s"OPTIMIZE graft.`${f.getName}` ZORDER BY (event_id, user_id)")
+        .collect()
+      table
+    }
+
+  /** SQL ALTER variant (b37): sort-order change (config-only commit) then
+    * partition evolution (atomic whole-table rewrite) through the parser
+    * — both content-preserving, so contents must equal the raw source. */
+  def eventsSqlAltered(spark: SparkSession, sfDir: String): IceTable =
+    memo(s"$sfDir#sqlalter") {
+      val ev = raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val table = new IceTable(spark, newRoot("sqlalter"), IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(16))),
+        sortOrder = Seq("event_id")))
+      table.insert(ev)
+      val f = new java.io.File(table.root)
+      spark.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      spark.sql(s"ALTER TABLE graft.`${f.getName}` SORTED BY (user_id, event_id)")
+        .collect()
+      spark.sql(s"ALTER TABLE graft.`${f.getName}` " +
+        "PARTITIONED BY (concat('t=', event_type))").collect()
+      table
+    }
+
   /** Upsert variant: a modified slice + brand-new rows merged in atomically
     * by event_id key (replacing semantics) — a36_upsert. */
   def eventsUpserted(spark: SparkSession, sfDir: String): IceTable =

@@ -734,6 +734,29 @@ object SparkEntry {
         CAST(sum(event_id) AS BIGINT) AS sum_id
         FROM graft.`${f.getName}` GROUP BY event_type ORDER BY event_type""")
     }),
+    "b36_sql_zorder" -> ((s, d) => {
+      // OPTIMIZE ... ZORDER BY through the parser (GraftOptimizeZOrderCommand
+      // → recluster): a pure rewrite, so DuckDB over the raw source is
+      // the exact answer; the virtual partition column proves the catalog
+      // relation survives the recluster
+      val t = Fixtures.eventsSqlZordered(s, d)
+      val f = new java.io.File(t.root)
+      s.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      s.sql(s"""SELECT event_type, count(*) AS cnt,
+        CAST(sum(event_id) AS BIGINT) AS sum_id
+        FROM graft.`${f.getName}` GROUP BY event_type ORDER BY event_type""")
+    }),
+    "b37_sql_alter" -> ((s, d) => {
+      // ALTER TABLE SORTED BY (config-only) then PARTITIONED BY (atomic
+      // evolution) through the parser: both content-preserving, and the
+      // post-evolution catalog read serves the NEW t= partition scheme
+      val t = Fixtures.eventsSqlAltered(s, d)
+      val f = new java.io.File(t.root)
+      s.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      s.sql(s"""SELECT t AS event_type, count(*) AS cnt,
+        CAST(sum(event_id) AS BIGINT) AS sum_id
+        FROM graft.`${f.getName}` GROUP BY t ORDER BY t""")
+    }),
     "b31_sql_dml" -> ((s, d) => {
       // SQL DML through the catalog (IceDeleteCommand/IceUpdateCommand):
       // the fixture UPDATEd and DELETEd via spark.sql; every surviving
@@ -2187,6 +2210,12 @@ object SparkEntry {
       ("SELECT event_type, count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
     "b35_sql_maintenance" ->
+      ("SELECT event_type, count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "b36_sql_zorder" ->
+      ("SELECT event_type, count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "b37_sql_alter" ->
       ("SELECT event_type, count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
     "b32_sql_merge" ->
