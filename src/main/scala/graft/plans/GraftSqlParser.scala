@@ -466,36 +466,42 @@ object GraftSqlParser {
         case None => throw new IllegalArgumentException(
           s"graft table '$name' does not exist")
         case Some(root) =>
-          import org.apache.spark.sql.functions.{col, max => fmax, min => fmin}
+          import org.apache.spark.sql.functions.{col, count => fcount, lit => flit, max => fmax, min => fmin}
           require(cols.nonEmpty, "ZORDER BY needs at least one column")
+          require(cols.length <= 31,
+            s"too many ZORDER BY columns (${cols.length}; max 31 — the " +
+              "interleaved Z-value carries 62 bits)")
           val (t, snapOpt) = IceTable.openWithSnapshot(session, root)
           val snap = snapOpt.getOrElse(return Seq(Row(0L)))
-          val types = snap.schema.toStructType.fields
-            .map(f => f.name.toLowerCase -> f.dataType).toMap
+          if (snap.aliveFiles.isEmpty) return Seq(Row(0L))
+          val fields = snap.schema.toStructType.fields
           val canon = cols.map { c =>
-            val dt = types.getOrElse(c.toLowerCase,
+            val f = fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
               throw new IllegalArgumentException(
                 s"ZORDER BY column '$c' is not in the table schema"))
-            if (!dt.isInstanceOf[org.apache.spark.sql.types.NumericType])
+            if (!f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
               throw new UnsupportedOperationException(
-                s"ZORDER BY column '$c' is $dt; Z-ordering needs numeric " +
-                  "dimensions (hash or encode strings into one first)")
-            snap.schema.toStructType.fields
-              .find(_.name.equalsIgnoreCase(c)).get.name
+                s"ZORDER BY column '$c' is ${f.dataType}; Z-ordering needs " +
+                  "numeric dimensions (hash or encode strings into one first)")
+            f.name
           }
-          if (snap.aliveFiles.isEmpty) return Seq(Row(0L))
-          // observed per-dimension bounds: ONE aggregate scan (the
-          // recluster rewrites everything anyway, this is noise)
-          val aggExprs = canon.flatMap(c => Seq(
+          // observed per-dimension bounds + surviving-row count: ONE
+          // aggregate scan (the recluster rewrites everything anyway)
+          val aggExprs = fcount(flit(1)) +: canon.flatMap(c => Seq(
             fmin(col(s"`$c`")).cast("double"), fmax(col(s"`$c`")).cast("double")))
           val stats = t.read().agg(aggExprs.head, aggExprs.tail: _*).head
-          if (stats.isNullAt(0)) return Seq(Row(0L)) // zero surviving rows
-          val bits = math.max(1, math.min(12, 62 / canon.length))
+          if (stats.getLong(0) == 0L) return Seq(Row(0L)) // zero surviving rows
+          val bits = math.min(12, 62 / canon.length) // >= 2 (<= 31 dims)
           val dims = canon.zipWithIndex.map { case (c, i) =>
-            val lo = stats.getDouble(2 * i)
-            val hi0 = stats.getDouble(2 * i + 1)
-            val hi = if (hi0 > lo) hi0 else lo + 1.0 // constant column
-            graft.functions.ZOrder.scaled(col(s"`$c`"), lo, hi, bits)
+            // an all-null or constant dimension contributes nothing to the
+            // ordering: emit a constant 0 instead of scaling (scaled needs
+            // hi > lo, and `lo + 1.0` is a double no-op past 2^53 — the
+            // engine's own epoch-nanos magnitudes)
+            val (loI, hiI) = (1 + 2 * i, 2 + 2 * i)
+            if (stats.isNullAt(loI) || !(stats.getDouble(hiI) > stats.getDouble(loI)))
+              flit(0L)
+            else graft.functions.ZOrder.scaled(
+              col(s"`$c`"), stats.getDouble(loI), stats.getDouble(hiI), bits)
           }
           val z = graft.functions.ZOrder.zvalue(bits, dims: _*)
           Seq(Row(t.recluster(z).toLong))

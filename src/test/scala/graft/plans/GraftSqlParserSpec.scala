@@ -154,6 +154,14 @@ class GraftSqlParserSpec extends SparkSpec {
       spark.sql("OPTIMIZE graft.zbad ZORDER BY (nope)").collect()
     }
     assert(e2.getMessage.contains("not in the table schema"))
+    // all-null and constant (incl. epoch-nanos-magnitude) dimensions are
+    // tolerated as no-contribution constants, never NPEs or scaled errors
+    val t3 = new IceTable(spark, s"$w/zedge", IceTableConfig(lit("all"), Seq.empty))
+    t3.insert(Seq((1L, Some(1700000000000000000L)), (2L, Some(1700000000000000000L)),
+      (3L, Option.empty[Long])).toDF("x", "ts"))
+    val parts3 = spark.sql("OPTIMIZE graft.zedge ZORDER BY (ts, x)").head.getLong(0)
+    assert(parts3 === 1L)
+    assert(spark.sql("SELECT count(*) c FROM graft.zedge").head.getLong(0) === 3L)
   }
 
   test("ALTER TABLE SORTED BY persists; PARTITIONED BY evolves the layout atomically") {
