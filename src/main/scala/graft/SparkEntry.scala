@@ -1435,6 +1435,19 @@ object SparkEntry {
         sum(when(col("symr") > 0.3, 1L).otherwise(0L))
           .cast("bigint").as("flag_symbols"))
     }),
+    "llm_token_budget" -> ((s, d) => {
+      // token-budget corpus selection (Mixing.selectTokenBudget): fill
+      // HALF the corpus's total token volume with the longest documents
+      // first (priority = token count, ties by doc_id, RANGE-frame
+      // semantics) — DuckDB replays the same running-sum cut exactly
+      val docs = Fixtures.raw(s, d, "documents")
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("tk"))
+      val budget = docs.agg(sum(col("tk")).cast("long")).head.getLong(0) / 2
+      Mixing.selectTokenBudget(docs, "doc_id", "tk", "tk", budget)
+        .agg(count(lit(1)).as("kept_docs"),
+          sum("tk").cast("bigint").as("kept_tokens"),
+          sum("doc_id").cast("bigint").as("sum_ids"))
+    }),
     "llm_semantic_decontam" -> ((s, d) => {
       // SEMANTIC decontamination (Decontam.contaminatedSemantic): the
       // corpus (vec_id >= 8) is seeded with scaled COPIES of the 8 eval
@@ -2607,6 +2620,12 @@ object SparkEntry {
         "CAST(sum(CASE WHEN dupf > 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS flag_dup_sentences, " +
         "CAST(sum(CASE WHEN NOT (mwl BETWEEN 2.0 AND 12.0) THEN 1 ELSE 0 END) AS BIGINT) AS flag_word_shape, " +
         "CAST(sum(CASE WHEN symr > 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS flag_symbols FROM r"),
+    "llm_token_budget" ->
+      ("WITH d AS (SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS tk FROM documents), " +
+        "b AS (SELECT CAST(sum(tk) // 2 AS BIGINT) AS budget FROM d), " +
+        "r AS (SELECT doc_id, tk, sum(tk) OVER (ORDER BY tk DESC, doc_id) AS run FROM d) " +
+        "SELECT count(*) AS kept_docs, CAST(sum(tk) AS BIGINT) AS kept_tokens, " +
+        "CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM r, b WHERE run <= budget"),
     "llm_semantic_decontam" ->
       ("WITH eval AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 8), " +
         "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id >= 8 " +

@@ -246,4 +246,55 @@ object Mixing {
       .where(col("_rn") <= maxPerKey)
       .drop("_rn")
   }
+
+  /** Fill a TOKEN budget in priority order: keep exactly the documents
+    * whose INCLUSIVE running token total — in (`priorityCol` DESC,
+    * `idCol` ASC) order — fits `budget`. The "select the best N tokens"
+    * corpus-assembly pass: [[sampleExact]] pins a row count,
+    * `temperatureMix` a source mixture; this pins the TOKEN volume the
+    * training run will actually consume.
+    *
+    * Distributed two-phase prefix sum (the [[Packing.withStreamStart]]
+    * shape, keyed on priority instead of a unique id): range-bucket on
+    * the (negated) priority, per-bucket token sums fold to driver-side
+    * offsets (bucket-count scale, never row data), and within-bucket
+    * running sums run as parallel windows — no global single-partition
+    * window at any point, so the plan survives 100 TB. Equal
+    * (priority, id) pairs share a running total (SQL RANGE-frame
+    * semantics, identical in any engine that replays the selection).
+    * Null priorities or token counts are the caller's to clean first. */
+  def selectTokenBudget(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      priorityCol: String,
+      budget: Long,
+      numBuckets: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val buckets =
+      if (numBuckets > 0) numBuckets
+      else spark.sessionState.conf.numShufflePartitions
+    val key = col(priorityCol).cast("double") * lit(-1.0) // asc == priority desc
+    val mm = df.agg(min(key), max(key)).head
+    if (mm.isNullAt(0)) return df.limit(0) // empty input
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val span = math.max(hi - lo, 1e-9)
+    val bucketExpr = least(lit(buckets - 1), greatest(lit(0),
+      floor((key - lit(lo)) / lit(span) * lit(buckets)).cast("int")))
+    val b = df.withColumn("_tb_b", bucketExpr)
+    // per-bucket sums -> exclusive driver-side prefix (bucket-count scale)
+    val sums = b.groupBy("_tb_b").agg(sum(col(tokensCol)).cast("long").as("_s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until buckets)
+      .scanLeft(0L)((acc, i) => acc + sums.getOrElse(i, 0L))
+    import spark.implicits._
+    val offDf = (0 until buckets).map(i => (i, offsets(i))).toDF("_tb_b", "_tb_off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_tb_b").orderBy(key, col(idCol))
+    b.join(broadcast(offDf), "_tb_b")
+      .withColumn("_tb_run",
+        col("_tb_off") + sum(col(tokensCol)).over(w)) // inclusive running sum
+      .where(col("_tb_run") <= budget)
+      .drop("_tb_b", "_tb_off", "_tb_run")
+  }
 }

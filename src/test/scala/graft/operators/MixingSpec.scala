@@ -180,4 +180,28 @@ class MixingSpec extends SparkSpec {
       yield (s"g$g", g * 100L + i)).toSet
     assert(capped == expect)
   }
+
+  test("selectTokenBudget fills the budget in priority order, inclusive cut") {
+    import spark.implicits._
+    // priorities 10,9,...,1 with 10 tokens each; budget 35 → the top 3
+    // fit (30), the 4th would overshoot (40 > 35)
+    val df = (1 to 10).map(i => (i.toLong, 10L, i.toLong)).toDF("id", "tk", "prio")
+    val kept = Mixing.selectTokenBudget(df, "id", "tk", "prio", budget = 35L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(10L, 9L, 8L))
+    // exact-fit budget keeps the boundary row (inclusive running total)
+    val kept40 = Mixing.selectTokenBudget(df, "id", "tk", "prio", budget = 40L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept40 === Set(10L, 9L, 8L, 7L))
+    // ties on priority break by ascending id; buckets never split a tie
+    val ties = (1 to 8).map(i => (i.toLong, 10L, 5L)).toDF("id", "tk", "prio")
+    val keptTies = Mixing.selectTokenBudget(ties, "id", "tk", "prio", budget = 30L,
+        numBuckets = 4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(keptTies === Set(1L, 2L, 3L))
+    // zero budget → nothing; empty input → empty
+    assert(Mixing.selectTokenBudget(df, "id", "tk", "prio", 0L).count() === 0L)
+    assert(Mixing.selectTokenBudget(df.limit(0), "id", "tk", "prio", 100L)
+      .count() === 0L)
+  }
 }
