@@ -46,17 +46,18 @@ object Similarity {
   private def cosinePre(a: Column, b: Column, na: Column, nb: Column, dim: Int): Column =
     when(na * nb === 0, lit(0.0)).otherwise(dotN(a, b, dim) / (na * nb))
 
-  /** Two-stage distributed top-k: per (query, input-partition) local top-k,
-    * then global top-k over the k-per-partition survivors. Keeps the final
-    * per-query shuffle at `numPartitions * k` rows instead of `N`. */
+  /** Distributed top-k per query: ONE `row_number` window + rank filter.
+    * Catalyst's `InferWindowGroupLimit` rewrites this into a partial
+    * (pre-shuffle, per input partition) `WindowGroupLimit` followed by a
+    * final one, so the per-query exchange carries at most
+    * `numPartitions × k` rows — exactly the two-stage shape this method
+    * used to hand-roll with a second window (which cost an extra
+    * exchange + sort per call for nothing the optimizer doesn't already
+    * do; at 4 top-k calls inside pqTopK that was 4 wasted exchanges). */
   private def topKPerQuery(scored: DataFrame, qidCol: String, k: Int): DataFrame = {
-    val local = Window.partitionBy(col(qidCol), spark_partition_id())
-      .orderBy(col("sim").desc, col("id"))
     val global = Window.partitionBy(col(qidCol))
       .orderBy(col("sim").desc, col("id"))
     scored
-      .withColumn("_lrank", row_number().over(local))
-      .where(col("_lrank") <= k).drop("_lrank")
       .withColumn("rank", row_number().over(global))
       .where(col("rank") <= k)
   }
@@ -394,33 +395,6 @@ object Similarity {
 
   // ------------------------------------------------ product quantization
 
-  /** Split (id, _v) rows into `m` contiguous subvectors: (id, _nv, _j, _s)
-    * with `_j` ∈ [0, m) and `_s` of length dsub. The full-vector norm
-    * rides along so downstream aggregates never re-join the corpus. */
-  private def subVectors(df: DataFrame, m: Int, dsub: Int, dim: Int): DataFrame =
-    df.select(col("id"), normN(col("_v"), dim).as("_nv"),
-        posexplode(transform(sequence(lit(0), lit(m - 1)),
-          j => slice(col("_v"), j * dsub + 1, lit(dsub)))).as(Seq("_j", "_s")))
-
-  /** Nearest codebook cell per (id, subspace). argmin‖s−c‖² =
-    * argmin(‖c‖² − 2·s·c): ‖s‖² is constant across candidates, so the
-    * subvector self-dot is never computed, and ‖c‖² comes precomputed on
-    * the broadcast side. The argmin is a `min_by` hash aggregate —
-    * map-side partial combine collapses the ksub candidate rows per
-    * (id, subspace) before any exchange (same rationale as
-    * [[nearestCid]]). Ties pick the smallest cell id. */
-  private def assignCells(sub: DataFrame, codebook: DataFrame, dsub: Int): DataFrame = {
-    val cb = codebook.withColumn("_cc", dotN(col("_c"), col("_c"), dsub))
-    sub.join(broadcast(cb), Seq("_j"))
-      .withColumn("_d2", col("_cc") - lit(2.0) * dotN(col("_s"), col("_c"), dsub))
-      .groupBy("id", "_j")
-      .agg(min_by(struct(col("cid"), col("_s")),
-          struct(col("_d2"), col("cid"))).as("_best"),
-        first(col("_nv")).as("_nv"))
-      .select(col("id"), col("_j"), col("_best._s").as("_s"),
-        col("_best.cid").as("cid"), col("_nv"))
-  }
-
   /** Per-subspace Lloyd codebooks for product quantization, trained
     * JOINTLY: one DataFrame holds every (subspace, subvector) pair, so
     * each iteration is ONE broadcast-assign plus ONE regrouped mean for
@@ -429,10 +403,14 @@ object Similarity {
     * smallest xxhash64(id)); a cell that loses all members keeps its
     * previous centroid instead of vanishing. Returns (_j, cid, _c):
     * m × ksub rows — broadcast-sized by construction. */
-  private[operators] def pqTrain(
-      c: DataFrame, m: Int, ksub: Int, iterations: Int, dim: Int): DataFrame = {
+  /** Driver-side PQ codebook: `result(j)(k)` = cell k of subspace j —
+    * the form [[pqEncode]]'s native expression and [[pqTopK]]'s LUT
+    * construction consume directly. [[pqTrain]] wraps it as a DataFrame
+    * for callers that persist or inspect the codebook. */
+  private[graft] def pqTrainArrays(
+      c: DataFrame, m: Int, ksub: Int, iterations: Int,
+      dim: Int): Array[Array[Array[Double]]] = {
     val dsub = dim / m
-    val spark = c.sparkSession
     // bounded deterministic training sample (see trainCentroids): the
     // codebook trains on the max(ksub·64, 4096) smallest-hash rows, and —
     // like trainCentroids — runs Lloyd ENTIRELY on the driver in plain
@@ -445,8 +423,12 @@ object Similarity {
     val sampleCap = math.max(ksub * 64, 4096)
     val rows: Array[Array[Double]] = collectSample(c, sampleCap)
     def dot(a: Array[Double], b: Array[Double]): Double = ddot(a, b)
+    // both indices clamped: a sampled vector shorter than j·dsub yields an
+    // EMPTY slice (the ragged-rows-contribute-their-prefix contract), not
+    // an IllegalArgumentException from from > to
     def sliceOf(v: Array[Double], j: Int): Array[Double] =
-      java.util.Arrays.copyOfRange(v, j * dsub, math.min((j + 1) * dsub, v.length))
+      java.util.Arrays.copyOfRange(v,
+        math.min(j * dsub, v.length), math.min((j + 1) * dsub, v.length))
     // codebook(j)(cid) — seeds from the first ksub sample rows
     val nCells = math.min(ksub, rows.length)
     val codebook: Array[Array[Array[Double]]] =
@@ -479,6 +461,15 @@ object Similarity {
         j += 1
       }
     }
+    codebook
+  }
+
+  /** DataFrame view of [[pqTrainArrays]]: (_j, cid, _c) — m × ksub rows,
+    * broadcast-sized by construction. */
+  private[graft] def pqTrain(
+      c: DataFrame, m: Int, ksub: Int, iterations: Int, dim: Int): DataFrame = {
+    val spark = c.sparkSession
+    val codebook = pqTrainArrays(c, m, ksub, iterations, dim)
     import scala.jdk.CollectionConverters._
     val outRows = for {
       j <- 0 until m
@@ -500,17 +491,46 @@ object Similarity {
     * float64 original is 8·dim, a 32× compression (vs 4× for
     * [[quantizeInt8]]). At 100 TB this is what makes the ANN corpus fit
     * in executor memory; the exact norm rides along so ADC scores can be
-    * cosine-normalized without touching the original vectors. */
-  private[operators] def pqEncode(
-      c: DataFrame, codebook: DataFrame, m: Int, dim: Int): DataFrame = {
-    val dsub = dim / m
-    assignCells(subVectors(c, m, dsub, dim), codebook, dsub)
-      .groupBy("id")
-      .agg(array_sort(collect_list(struct(col("_j"), col("cid")))).as("_jc"),
-        first(col("_nv")).as("_nv"))
-      .select(col("id"),
-        transform(col("_jc"), e => e.getField("cid").cast("smallint")).as("code"),
-        col("_nv"))
+    * cosine-normalized without touching the original vectors.
+    *
+    * The encode is MAP-ONLY: one codegen'd expression per row
+    * ([[graft.functions.VectorExpressions.pqEncodeNative]]) against the
+    * collected (m × ksub — driver-sized by construction) codebook. The
+    * previous posexplode → broadcast join → two hash aggregates pipeline
+    * multiplied every corpus row m× and paid two exchanges for what is a
+    * pure per-row function. */
+  private[graft] def pqEncode(
+      c: DataFrame, codebook: DataFrame, m: Int, dim: Int): DataFrame =
+    pqEncodeWith(c, collectCodebook(codebook, m), dim)
+
+  /** (_j, cid, _c) codebook rows → `result(j)(k)`; requires the cid space
+    * dense per subspace (pqTrain's output shape) so the emitted code IS
+    * the cell id. */
+  private def collectCodebook(
+      codebook: DataFrame, m: Int): Array[Array[Array[Double]]] = {
+    val rows = codebook.select("_j", "cid", "_c").collect()
+    val byJ = rows.groupBy(_.getInt(0))
+    Array.tabulate(m) { j =>
+      val cells = byJ.getOrElse(j, Array.empty).sortBy(_.getInt(1))
+      require(cells.zipWithIndex.forall { case (r, i) => r.getInt(1) == i },
+        s"pq codebook subspace $j: cell ids must be dense 0..n-1")
+      cells.map(_.getSeq[Any](2).iterator.map {
+        case null => 0.0
+        case x: java.lang.Number => x.doubleValue()
+      }.toArray)
+    }
+  }
+
+  private def pqEncodeWith(
+      c: DataFrame, codebook: Array[Array[Array[Double]]], dim: Int): DataFrame = {
+    val cbSeq: Seq[Seq[Seq[Double]]] =
+      codebook.iterator.map(_.iterator.map(_.toSeq).toSeq).toSeq
+    c.select(col("id"),
+        graft.functions.VectorExpressions
+          .pqEncodeNative(col("_v"), cbSeq).as("code"),
+        normN(col("_v"), dim).as("_nv"))
+      .where(col("code").isNotNull) // null vectors drop, as the old
+      // explode-based pipeline dropped them (posexplode of null emits 0 rows)
   }
 
   /** PQ ANN with asymmetric-distance scoring and exact re-rank — the
@@ -534,34 +554,52 @@ object Similarity {
       dim: Int = 64, rerankFactor: Int = 4): DataFrame = {
     require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
     val dsub = dim / m
+    val spark = corpus.sparkSession
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("_v"))
-    val codebook = pqTrain(c, m, ksub, iterations, dim)
-    val codes = pqEncode(c, codebook, m, dim)
+    val codebook = pqTrainArrays(c, m, ksub, iterations, dim)
+    // ONE map-only pass over the corpus produces the compressed rows
+    val codes = pqEncodeWith(c, codebook, dim)
 
-    // per-query ADC lookup tables: LUT[j][cid] = q_subvec_j · cell
+    // per-query ADC lookup tables: LUT[j][cid] = q_subvec_j · cell. The
+    // queries are the broadcast side by contract (nq·m·ksub doubles), so
+    // the LUTs are computed ON THE DRIVER from the (already driver-sized)
+    // codebook — the previous DataFrame pipeline spent a posexplode, a
+    // join and two collect_list aggregations building what is a nested
+    // loop over driver data.
     val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("_q"))
-    val luts = subVectors(q.select(col("qid").as("id"), col("_q").as("_v")),
-        m, dsub, dim)
-      .join(broadcast(codebook), Seq("_j"))
-      .withColumn("_w", dotN(col("_s"), col("_c"), dsub))
-      .groupBy("id", "_j")
-      .agg(array_sort(collect_list(struct(col("cid"), col("_w")))).as("_cw"),
-        first(col("_nv")).as("_nq"))
-      .select(col("id"), col("_j"), col("_nq"),
-        transform(col("_cw"), e => e.getField("_w")).as("_row"))
-      .groupBy("id")
-      .agg(array_sort(collect_list(struct(col("_j"), col("_row")))).as("_jr"),
-        first(col("_nq")).as("_nq"))
-      .select(col("id").as("qid"),
-        transform(col("_jr"), e => e.getField("_row")).as("_lut"), col("_nq"))
+    val qidType = q.schema("qid").dataType
+    val lutRows = q.collect().toSeq.map { r =>
+      val qid = r.get(0)
+      val qv: Array[Double] =
+        if (r.isNullAt(1)) Array.empty
+        else r.getSeq[Any](1).iterator.map {
+          case null => 0.0
+          case x: java.lang.Number => x.doubleValue()
+        }.toArray
+      val lut: Seq[Seq[Double]] = (0 until m).map { j =>
+        val off = j * dsub
+        val end = math.min(off + dsub, qv.length)
+        codebook(j).toSeq.map { cell =>
+          var s = 0.0; var i = off
+          while (i < end) { s += qv(i) * cell(i - off); i += 1 }
+          s
+        }
+      }
+      org.apache.spark.sql.Row(qid, lut, math.sqrt(ddot(qv, qv)))
+    }
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val luts = spark.createDataFrame(lutRows.asJava, StructType(Seq(
+      StructField("qid", qidType),
+      StructField("_lut", ArrayType(ArrayType(DoubleType))),
+      StructField("_nq", DoubleType))))
 
-    // ADC scan: sum of m lookups per (code, query) pair, cosine-normalized
+    // ADC scan: one codegen'd lookup-sum per (code, query) pair,
+    // cosine-normalized by the stored exact norms
     val adc = codes.crossJoin(broadcast(luts))
       .where(col("id") =!= col("qid"))
-      .withColumn("_adc",
-        aggregate(zip_with(col("code"), col("_lut"),
-          (cc, row) => element_at(row, cc.cast("int") + 1)),
-          lit(0.0d), (acc, x) => acc + x))
+      .withColumn("_adc", graft.functions.VectorExpressions
+        .adcDotNative(col("code"), col("_lut")))
       .withColumn("sim", when(col("_nv") * col("_nq") === 0, lit(0.0))
         .otherwise(col("_adc") / (col("_nv") * col("_nq"))))
     val shortlist = topKPerQuery(adc, "qid", k * rerankFactor)
