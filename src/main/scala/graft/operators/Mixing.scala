@@ -255,14 +255,21 @@ object Mixing {
     * training run will actually consume.
     *
     * Distributed two-phase prefix sum (the [[Packing.withStreamStart]]
-    * shape, keyed on priority instead of a unique id): range-bucket on
-    * the (negated) priority, per-bucket token sums fold to driver-side
-    * offsets (bucket-count scale, never row data), and within-bucket
-    * running sums run as parallel windows — no global single-partition
-    * window at any point, so the plan survives 100 TB. Equal
+    * shape, keyed on the selection order instead of a unique id):
+    * range-bucket on the COMPOSITE (negated priority, id) selection key —
+    * boundaries are order statistics of a bounded deterministic sample,
+    * so a constant or low-cardinality priority column (round 8's
+    * degenerate case: every row in one value-range bucket → a single-task
+    * global window) still splits into parallel buckets by id. Per-bucket
+    * token sums fold to driver-side offsets (bucket-count scale, never
+    * row data) and within-bucket running sums run as parallel windows —
+    * no global single-partition window for ANY input distribution. Equal
     * (priority, id) pairs share a running total (SQL RANGE-frame
-    * semantics, identical in any engine that replays the selection).
-    * Null priorities or token counts are the caller's to clean first. */
+    * semantics, identical in any engine that replays the selection) and
+    * are never split across buckets (bucket id is a pure function of the
+    * pair's value). Null priorities or token counts are REJECTED loudly:
+    * a null priority would sort first (asc nulls-first on the negated
+    * key) and silently consume budget as highest priority. */
   def selectTokenBudget(
       df: DataFrame,
       idCol: String,
@@ -271,24 +278,24 @@ object Mixing {
       budget: Long,
       numBuckets: Int = 0): DataFrame = {
     val spark = df.sparkSession
-    val buckets =
-      if (numBuckets > 0) numBuckets
-      else spark.sessionState.conf.numShufflePartitions
     val key = col(priorityCol).cast("double") * lit(-1.0) // asc == priority desc
-    val mm = df.agg(min(key), max(key)).head
-    if (mm.isNullAt(0)) return df.limit(0) // empty input
-    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
-    val span = math.max(hi - lo, 1e-9)
-    val bucketExpr = least(lit(buckets - 1), greatest(lit(0),
-      floor((key - lit(lo)) / lit(span) * lit(buckets)).cast("int")))
-    val b = df.withColumn("_tb_b", bucketExpr)
+    val stats = df.agg(
+      sum(when(col(priorityCol).isNull.or(col(tokensCol).isNull), 1L)
+        .otherwise(0L)),
+      count(lit(1))).head
+    if (stats.getLong(1) == 0L) return df.limit(0) // empty input
+    require(stats.getLong(0) == 0L,
+      s"selectTokenBudget: ${stats.getLong(0)} rows have a null " +
+        s"$priorityCol or $tokensCol — filter or default them first " +
+        s"(a null priority would silently rank highest)")
+    val b = tokenBudgetBucketed(df, idCol, tokensCol, priorityCol, numBuckets)
     // per-bucket sums -> exclusive driver-side prefix (bucket-count scale)
     val sums = b.groupBy("_tb_b").agg(sum(col(tokensCol)).cast("long").as("_s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until buckets)
-      .scanLeft(0L)((acc, i) => acc + sums.getOrElse(i, 0L))
+    val nb = sums.keySet.maxOption.getOrElse(0) + 1
+    val offsets = (0 until nb).scanLeft(0L)((acc, i) => acc + sums.getOrElse(i, 0L))
     import spark.implicits._
-    val offDf = (0 until buckets).map(i => (i, offsets(i))).toDF("_tb_b", "_tb_off")
+    val offDf = (0 until nb).map(i => (i, offsets(i))).toDF("_tb_b", "_tb_off")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_tb_b").orderBy(key, col(idCol))
     b.join(broadcast(offDf), "_tb_b")
@@ -296,5 +303,50 @@ object Mixing {
         col("_tb_off") + sum(col(tokensCol)).over(w)) // inclusive running sum
       .where(col("_tb_run") <= budget)
       .drop("_tb_b", "_tb_off", "_tb_run")
+  }
+
+  /** The bucketing half of [[selectTokenBudget]], exposed for tests: adds
+    * `_tb_b`, an Int bucket id that is (a) a pure function of the row's
+    * (priority, id) value — equal pairs never split, both plan executions
+    * see identical assignments — and (b) ordered: every row of bucket i
+    * precedes every row of bucket i+1 in (priority DESC, id ASC) order.
+    *
+    * Boundaries come from a bounded deterministic sample (the smallest-
+    * xxhash64 rows, the [[Similarity]] trainer trick), sorted by the
+    * selection order and sliced at even ranks — order statistics that
+    * adapt to ANY distribution, including a constant priority where a
+    * value-range split has zero information and collapses. */
+  private[graft] def tokenBudgetBucketed(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      priorityCol: String,
+      numBuckets: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val buckets =
+      if (numBuckets > 0) numBuckets
+      else spark.sessionState.conf.numShufflePartitions
+    val key = col(priorityCol).cast("double") * lit(-1.0)
+    val sampleCap = math.max(buckets * 64, 1024)
+    // ordered (key, id) sample: hash-pick (deterministic, ~uniform), then
+    // re-sort the <=cap survivors by the selection order for slicing
+    val sample = df
+      .select(key.as("_k"), col(idCol).as("_i"))
+      .withColumn("_h", xxhash64(col("_i"), col("_k")))
+      .orderBy(col("_h"), col("_k"), col("_i")).limit(sampleCap)
+      .select("_k", "_i")
+      .orderBy(col("_k"), col("_i"))
+      .collect()
+    val step = math.max(1, sample.length / buckets)
+    val bnds: Seq[(Double, Any)] = (1 until buckets)
+      .map(_ * step).filter(_ < sample.length)
+      .map(i => (sample(i).getDouble(0), sample(i).get(1)))
+      .distinct
+    val bucketExpr = bnds.zipWithIndex.foldRight(lit(bnds.length)) {
+      case (((bk, bi), idx), els) =>
+        when(key < lit(bk) or (key === lit(bk) and col(idCol) <= lit(bi)),
+          lit(idx)).otherwise(els)
+    }
+    df.withColumn("_tb_b", bucketExpr)
   }
 }

@@ -204,4 +204,26 @@ class MixingSpec extends SparkSpec {
     assert(Mixing.selectTokenBudget(df.limit(0), "id", "tk", "prio", 100L)
       .count() === 0L)
   }
+
+  test("selectTokenBudget: constant priority buckets in parallel, nulls rejected") {
+    val const = (1 to 1000).map(i => (i.toLong, 1L, 7L)).toDF("id", "tk", "prio")
+    // constant priority → pure id order; budget 100 keeps ids 1..100
+    val kept = Mixing.selectTokenBudget(const, "id", "tk", "prio", budget = 100L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === (1L to 100L).toSet)
+    // the round-8 scale defect: value-range buckets over a CONSTANT
+    // priority collapsed every row into one bucket (a single-task global
+    // window); order-statistic boundaries on (priority, id) split by id
+    val nBuckets = Mixing
+      .tokenBudgetBucketed(const, "id", "tk", "prio", numBuckets = 8)
+      .select(countDistinct(col("_tb_b"))).head.getLong(0)
+    assert(nBuckets > 1L, s"constant priority must still spread (got $nBuckets bucket)")
+    // a null priority would rank highest on the negated key — reject loudly
+    val withNull = const.union(spark.sql(
+      "SELECT CAST(2000 AS BIGINT) id, CAST(1 AS BIGINT) tk, CAST(NULL AS BIGINT) prio"))
+    val e = intercept[IllegalArgumentException] {
+      Mixing.selectTokenBudget(withNull, "id", "tk", "prio", 100L)
+    }
+    assert(e.getMessage.contains("null"))
+  }
 }
