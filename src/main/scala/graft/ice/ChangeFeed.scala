@@ -49,7 +49,18 @@ object ChangeFeed {
   val CommitTsCol = "_commit_ts"
 
   /** The change rows for `(sinceTs, untilTs]`. Output = the table's union
-    * schema at `untilTs` plus (`_change_type` string, `_commit_ts` long). */
+    * schema at `untilTs` plus (`_change_type` string, `_commit_ts` long).
+    *
+    * ANCHOR DISCIPLINE for incremental (chained-window) consumption:
+    * `sinceTs` must be a SETTLED bound — one the producer can no longer
+    * commit at or before. The streaming source guarantees this via its
+    * now-1 offset cap; batch callers must chain windows through
+    * [[betweenSettled]] (or [[IceChangeFeedSource.headTs]]-derived
+    * offsets), NOT through `max(log ts)`: a dv delete committing in the
+    * same millisecond as a max-log-ts anchor lands at `ts == sinceTs`,
+    * folds into the window-start baseline, and is never emitted by any
+    * window. A one-shot full read (`sinceTs = 0`, `untilTs` defaulted)
+    * has no next window and needs no settling. */
   def between(
       table: IceTable, sinceTs: Long, untilTs: Long = Long.MaxValue): DataFrame = {
     val spark = table.spark
@@ -60,7 +71,7 @@ object ChangeFeed {
     val snapBound = if (untilTs == Long.MaxValue) untilTs else untilTs + 1
     val snapOpt = table.trySnapshot(snapBound)
     val snap = snapOpt.getOrElse(
-      return emptyFeed(spark))
+      return emptyFeed(table))
     def shaped(df: DataFrame, tpe: String, ts: Long): DataFrame =
       df.withColumn(ChangeTypeCol, lit(tpe)).withColumn(CommitTsCol, lit(ts))
 
@@ -123,17 +134,29 @@ object ChangeFeed {
         .withColumn(ChangeTypeCol, lit("insert"))
     }
 
-    parts ++= dvDeleteParts(table, snap, sinceTs, untilTs, shaped)
+    parts ++= dvDeleteParts(table, snap, sinceTs, untilTs)
 
     if (parts.isEmpty) {
       shaped(table.readFiles(snap, Seq.empty), "insert", 0L).limit(0)
     } else parts.reduce(_ unionByName _)
   }
 
-  /** `'delete'` rows from merge-on-read dv commits in the window. */
+  /** `'delete'` rows from merge-on-read dv commits in the window.
+    *
+    * ALL window dv commits collapse into a BOUNDED number of jobs — the
+    * same discipline as the insert-collapse in [[between]]: one scan over
+    * the union of the window's mark files (joined to a broadcast
+    * (mark file → commit ts) map), one anti-join against the window-start
+    * `seen` baseline with a first-report `min(ts)` per mark, and one scan
+    * over the union of affected main files that joins the marks back for
+    * the deleted row content. A backfill window over 10³ dv commits used
+    * to run 10³ sequential per-commit jobs with a growing `seen` union;
+    * now commit count only widens the two scans' file lists. Per-commit
+    * aliveness pinning stays exact: it is a DRIVER-side metadata check
+    * (one log fold per distinct commit ts), never a Spark job. */
   private def dvDeleteParts(
-      table: IceTable, snap: IceSnapshot, sinceTs: Long, untilTs: Long,
-      shaped: (DataFrame, String, Long) => DataFrame): Seq[DataFrame] = {
+      table: IceTable, snap: IceSnapshot, sinceTs: Long,
+      untilTs: Long): Seq[DataFrame] = {
     val dv = DeleteVectors.dvTable(table)
     // no-dv-table is the non-throwing empty list; a REAL listing failure
     // must propagate — swallowing it would silently drop the window's
@@ -149,45 +172,63 @@ object ChangeFeed {
       !merged && ts > sinceTs && ts <= untilTs
     }
     if (windowLogs.isEmpty) return Seq.empty
+    val spark = table.spark
 
+    // (mark file → commit ts) across ALL window dv commits. A non-merged
+    // dv log only ever lists files IT added, so paths never repeat.
+    val markFileTs: Seq[(String, Long)] = windowLogs.flatMap { lf =>
+      val ts = IceLogIO.logFileInfo(lf)._1
+      dv.logio.parseLog(lf, dvFetched(lf))._2
+        .filter(_.tombstone.isEmpty).map(m => (m.path, ts))
+    }
+    if (markFileTs.isEmpty) return Seq.empty
+    val maxTs = markFileTs.iterator.map(_._2).max
+    val dvSchema = dv.snapshot(maxTs + 1).schema.toStructType
+
+    import spark.implicits._
+    val fileTs = markFileTs.toDF("_mf", "_mts")
+    // one scan over every window mark file; a mark re-marked by several
+    // commits reports ONCE, at its first in-window commit (min ts) —
+    // exactly what the old per-commit loop's growing `seen` achieved
+    val marksAll = spark.read.schema(dvSchema)
+      .parquet(markFileTs.map { case (p, _) => s"${dv.root}/$p" }: _*)
+      .withColumn("_mf", dv.relPathCol)
+      .join(broadcast(fileTs), Seq("_mf"))
+      .groupBy(col("path"), col("row_index"))
+      .agg(min(col("_mts")).as("_mts"))
     // marks already present at the window start never re-report (dv
     // compaction preserves mark content, so this survives consolidation)
-    var seen: Option[DataFrame] = dv.trySnapshot(sinceTs + 1)
+    val seen = dv.trySnapshot(sinceTs + 1)
       .filter(_.aliveFiles.nonEmpty)
-      .map(s => dv.readFiles(s, s.aliveFiles)
-        .select("path", "row_index").distinct().localCheckpoint())
+      .map(s => dv.readFiles(s, s.aliveFiles).select("path", "row_index").distinct())
+    val fresh = seen.fold(marksAll)(s =>
+      marksAll.join(s, Seq("path", "row_index"), "left_anti"))
+      .localCheckpoint() // one bounded job; reused by the collect + the read
 
-    windowLogs.map { lf =>
-      val ts = IceLogIO.logFileInfo(lf)._1
-      val markFiles = dv.logio.parseLog(lf, dvFetched(lf))._2
-        .filter(_.tombstone.isEmpty)
-      val marks0 = dv.readFiles(dv.snapshot(ts + 1), markFiles)
-        .select("path", "row_index").distinct()
-      val marks = seen.fold(marks0)(s =>
-        marks0.join(s, Seq("path", "row_index"), "left_anti")).localCheckpoint()
-      seen = Some(seen.fold(marks)(_ unionByName marks)
-        .distinct().localCheckpoint())
-      // the marked paths were alive in the main table when the mark
-      // committed: pin the main snapshot at the dv commit (inclusive —
-      // a main insert sharing the mark's millisecond still precedes it)
-      val affected = marks.select("path").distinct()
-        .collect().map(_.getString(0)).toSet // file-count scale
-      val mainAt = table.snapshot(ts + 1)
-      val markers = mainAt.aliveFiles.filter(m => affected(m.path))
-      val rows =
-        if (markers.isEmpty) table.readFiles(snap, Seq.empty) // all re-marks
-        else {
-          val dataCols = snap.schema.toStructType.fieldNames.toSeq
-          table.spark.read.schema(snap.schema.toStructType)
-            .parquet(markers.map(m => s"${table.root}/${m.path}"): _*)
-            .withColumn("_dv_path", table.relPathCol)
-            .withColumn("_dv_row", col("_metadata.row_index"))
-            .join(marks.select(col("path").as("_dv_path"),
-              col("row_index").as("_dv_row")), Seq("_dv_path", "_dv_row"))
-            .select(dataCols.map(c => col(s"`$c`")): _*)
-        }
-      shaped(rows, "delete", ts)
-    }
+    // the marked paths were alive in the main table when their mark
+    // committed: pin the main snapshot at each distinct dv commit ts
+    // (inclusive — a main insert sharing the mark's millisecond still
+    // precedes it). Driver-side metadata folds, file-count scale.
+    val pathTs = fresh.select("path", "_mts").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val aliveAt = scala.collection.mutable.Map.empty[Long, Set[String]]
+    def alive(ts: Long): Set[String] = aliveAt.getOrElseUpdate(
+      ts, table.snapshot(ts + 1).aliveFiles.map(_.path).toSet)
+    val readable = pathTs.filter { case (p, ts) => alive(ts)(p) }
+      .map(_._1).distinct
+    if (readable.isEmpty) return Seq.empty // all re-marks
+
+    val dataCols = snap.schema.toStructType.fieldNames.toSeq
+    val rows = spark.read.schema(snap.schema.toStructType)
+      .parquet(readable.map(p => s"${table.root}/$p").toIndexedSeq: _*)
+      .withColumn("_dv_path", table.relPathCol)
+      .withColumn("_dv_row", col("_metadata.row_index"))
+      .join(fresh.select(col("path").as("_dv_path"),
+        col("row_index").as("_dv_row"), col("_mts")), Seq("_dv_path", "_dv_row"))
+      .select(dataCols.map(c => col(s"`$c`")) :+ col("_mts"): _*)
+      .withColumn(ChangeTypeCol, lit("delete"))
+      .withColumnRenamed("_mts", CommitTsCol)
+    Seq(rows)
   }
 
   /** Reject windows whose per-commit history was consolidated away by a
@@ -204,12 +245,34 @@ object ChangeFeed {
         s"for windows starting at or after it (requested sinceTs=$sinceTs)")
   }
 
-  private def emptyFeed(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+  /** Changes since `sinceTs` up to a SETTLED `now − 1` bound, returned
+    * alongside that bound — the batch twin of the streaming source's
+    * offset discipline ([[graft.streaming.IceStreamSource.settledOffset]]).
+    * Chain incremental consumption through the returned bound
+    * (`next sinceTs = this untilTs`): commits landing in the still-open
+    * millisecond fall past the bound and surface in the NEXT window,
+    * where a raw `max(log ts)` anchor would fold a same-millisecond dv
+    * delete into the baseline and lose it forever. */
+  def betweenSettled(table: IceTable, sinceTs: Long): (DataFrame, Long) = {
+    val until = System.currentTimeMillis() - 1
+    (between(table, sinceTs, until), until)
+  }
+
+  /** Empty feed with the right shape: the table's accumulated union
+    * schema plus the two meta columns whenever the table has ANY log
+    * (so consumers that union consecutive windows or bind the schema
+    * once survive an empty window at the bound), meta-only when the
+    * table has no log at all. */
+  private def emptyFeed(table: IceTable): DataFrame = {
     import org.apache.spark.sql.types._
+    val spark = table.spark
+    val meta = Seq(
+      StructField(ChangeTypeCol, StringType),
+      StructField(CommitTsCol, LongType))
+    val fields = table.trySnapshot(Long.MaxValue)
+      .map(_.schema.toStructType.fields.toSeq ++ meta).getOrElse(meta)
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(
-        StructField(ChangeTypeCol, StringType),
-        StructField(CommitTsCol, LongType))))
+      StructType(fields))
   }
 }

@@ -77,6 +77,53 @@ class ChangeFeedSpec extends SparkSpec {
     assert(ChangeFeed.between(t, maxTs(t)).count() === 0L)
   }
 
+  test("many dv commits in one window collapse: per-commit ts exact, re-marks silent") {
+    val t = mk()
+    val t0 = math.max(maxTs(t),
+      t.logio.currentLogFiles(DeleteVectors.dvTable(t).root)
+        .map(f => IceLogIO.logFileInfo(f)._1).maxOption.getOrElse(Long.MinValue))
+    // five separate dv commits; the middle ones re-mark earlier victims
+    DeleteVectors.deleteWhere(t, col("id") === 2L)
+    val dvTs1 = maxTs(DeleteVectors.dvTable(t))
+    DeleteVectors.deleteWhere(t, col("id") === 4L)
+    DeleteVectors.deleteWhere(t, col("id") <= 4L) // re-marks 2,4; news 1,3
+    DeleteVectors.deleteWhere(t, col("id") === 6L)
+    DeleteVectors.deleteWhere(t, col("id").isin(6L, 8L)) // re-marks 6; news 8
+    val feed = ChangeFeed.between(t, t0).cache()
+    // each victim reports exactly once, with content, as a delete
+    assert(byType(feed) === Map("delete" -> 6L))
+    assert(feed.select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 2L, 3L, 4L, 6L, 8L))
+    // first-report attribution: id=2 carries its FIRST commit's ts, not
+    // the re-mark's
+    val ts2 = feed.where(col("id") === 2L).select("_commit_ts").head.getLong(0)
+    assert(ts2 === dvTs1)
+    // commit timestamps are distinct per dv commit, not flattened to one
+    assert(feed.select("_commit_ts").distinct().count() === 5L)
+    feed.unpersist()
+  }
+
+  test("betweenSettled chains windows without losing a boundary commit") {
+    import spark.implicits._
+    val t = mk()
+    Thread.sleep(3) // the settled now-1 bound must pass the seed commit
+    val (w1, until1) = ChangeFeed.betweenSettled(t, 0L)
+    assert(byType(w1) === Map("insert" -> 20L))
+    Thread.sleep(3) // let the settled bound pass the seed commits
+    t.insert(Seq((50L, 1, "v50")).toDF("id", "u", "v"))
+    DeleteVectors.deleteWhere(t, col("id") === 50L)
+    Thread.sleep(3)
+    val (w2, until2) = ChangeFeed.betweenSettled(t, until1)
+    assert(until2 > until1)
+    assert(byType(w2) === Map("insert" -> 1L, "delete" -> 1L))
+    // nothing left after the chained windows
+    val (w3, _) = ChangeFeed.betweenSettled(t, until2)
+    assert(w3.count() === 0L)
+    // the empty window still carries the full feed schema (table columns
+    // + meta), so consumers that union windows survive it
+    assert(w3.columns.toSet === w1.columns.toSet)
+  }
+
   test("cleanup floors at the consolidation HORIZON, not its own commit ts") {
     import spark.implicits._
     val t = mk()
