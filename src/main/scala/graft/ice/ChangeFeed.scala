@@ -231,6 +231,25 @@ object ChangeFeed {
     Seq(rows)
   }
 
+  /** The consolidation floor across the main AND `_dv` logs: the newest
+    * log timestamp any tombstone cleanup consolidated away. Windows must
+    * start at or after it ([[between]] rejects earlier ones loudly);
+    * recovery paths ([[graft.streaming.IceChangeFeedSource]]'s
+    * `allowHorizonSkip`, or a manual restart) resume from here.
+    * `Long.MinValue` when no cleanup ever ran. */
+  def consolidationFloor(table: IceTable): Long = {
+    def floorOf(t: IceTable): Long = {
+      val logs = t.logio.currentLogFiles(t.root)
+      if (logs.isEmpty) Long.MinValue
+      else {
+        val fetched = t.logio.fetchLogLines(t.root, logs)
+        logs.flatMap(f => LogMetadata.fromJson(fetched(f)(0)).cleanedHorizon)
+          .maxOption.getOrElse(Long.MinValue)
+      }
+    }
+    math.max(floorOf(table), floorOf(DeleteVectors.dvTable(table)))
+  }
+
   /** Reject windows whose per-commit history was consolidated away by a
     * tombstone cleanup. The floor is the max CONSOLIDATION HORIZON (the
     * newest log a cleanup deleted), NOT the cleanup commit's own

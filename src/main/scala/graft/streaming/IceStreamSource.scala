@@ -39,7 +39,11 @@ import org.apache.spark.sql.types.StructType
   *
   * Options: `path` (table root, required); `startingTimestamp` — `0`
   * (default) replays the table from the beginning, `latest` starts at the
-  * current log head, any long starts strictly after that log timestamp.
+  * current log head, any long starts strictly after that log timestamp;
+  * `changeFeed` — `true` switches to the row-level change feed
+  * ([[IceChangeFeedSource]]); `allowHorizonSkip` — change-feed only,
+  * opt-in recovery when a tombstone cleanup overtakes the consumer (see
+  * [[IceChangeFeedSource]]'s recovery notes).
   *
   * The SAME short name is also the BATCH reader:
   * `spark.read.format("ice").option("path", root).load()` resolves a
@@ -153,7 +157,8 @@ class IceStreamProvider extends StreamSourceProvider with RelationProvider
       if (cdc) IceChangeFeedSource.headTs else IceStreamSource.maxLogTs
     val startTs = IceStreamSource.resolveStartTs(
       sqlContext, metadataPath, parameters, table, headFn)
-    if (cdc) new IceChangeFeedSource(table, pinned, startTs)
+    if (cdc) new IceChangeFeedSource(table, pinned, startTs,
+      allowHorizonSkip = parameters.get("allowHorizonSkip").exists(_.toBoolean))
     else new IceStreamSource(table, pinned, startTs)
   }
 }
@@ -311,8 +316,25 @@ object IceChangeFeedSource {
   * stronger: tombstone cleanup must lag the slowest consumer, or the
   * attribution floor rejects the replayed window loudly (never silently
   * under-reports). Schema is pinned at query start; late-evolved columns
-  * surface when the query restarts. */
-class IceChangeFeedSource(table: IceTable, baseSchema: StructType, startTs: Long)
+  * surface when the query restarts.
+  *
+  * RECOVERY after a tombstone cleanup overtakes the consumer (the next
+  * batch throws "history ... was consolidated", permanently — the
+  * checkpointed offset is below the floor on every restart). Two
+  * documented paths:
+  *  - restart the query with a FRESH checkpoint directory and
+  *    `option("startingTimestamp", f)` where
+  *    `f >= ChangeFeed.consolidationFloor(table)` (`"latest"` also
+  *    works) — explicit, at the cost of abandoning the old checkpoint;
+  *  - opt in to `option("allowHorizonSkip", "true")`: a batch whose
+  *    start fell below the floor resumes FROM the floor and prepends one
+  *    GAP MARKER row — `_change_type = "gap"`, `_commit_ts` = the floor,
+  *    all data columns null — so the skipped span is visible in-band,
+  *    never silently dropped. Changes after the floor arrive exactly as
+  *    usual.
+  */
+class IceChangeFeedSource(table: IceTable, baseSchema: StructType, startTs: Long,
+    allowHorizonSkip: Boolean = false)
     extends Source {
 
   private val pinned = IceChangeFeedSource.withMeta(baseSchema)
@@ -333,19 +355,36 @@ class IceChangeFeedSource(table: IceTable, baseSchema: StructType, startTs: Long
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     monotone.observe(start.map(ts)); monotone.observe(Some(ts(end)))
-    val since = start.map(ts).getOrElse(startTs)
+    val since0 = start.map(ts).getOrElse(startTs)
     val spark = table.spark
+    // horizon-skip recovery: resume from the consolidation floor and say
+    // so in-band. The floor read costs one metadata fetch and happens
+    // only under the opt-in.
+    val floor =
+      if (allowHorizonSkip) graft.ice.ChangeFeed.consolidationFloor(table)
+      else Long.MinValue
+    val skipped = allowHorizonSkip && since0 < floor
+    val since = if (skipped) floor else since0
     val feed = graft.ice.ChangeFeed.between(table, since, ts(end))
     val batch =
       if (!pinned.fieldNames.forall(feed.columns.contains))
-        // no-log edge (ChangeFeed's 2-column empty shape): empty batch
+        // no-log edge (ChangeFeed's meta-only empty shape): empty batch
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], pinned)
       else
         // pin the query-start schema: a column added mid-run stays
         // invisible until restart (feed columns only ever grow)
         feed.select(pinned.fieldNames.toSeq.map(c =>
           org.apache.spark.sql.functions.col(s"`$c`")): _*)
-    StreamBridge.asStreamingBatch(batch)
+    val withGap =
+      if (!skipped) batch
+      else {
+        val gapRow = Row.fromSeq(
+          baseSchema.fields.toSeq.map(_ => null) ++ Seq("gap", floor))
+        spark.createDataFrame(
+          java.util.Collections.singletonList(gapRow), pinned)
+          .unionByName(batch)
+      }
+    StreamBridge.asStreamingBatch(withGap)
   }
 
   override def stop(): Unit = ()
