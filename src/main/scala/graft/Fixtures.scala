@@ -425,6 +425,70 @@ object Fixtures {
       table
     }
 
+  /** RESTORE variant (b38): evens committed (the restore target), then
+    * odds + a CoW update + a MoR delete on top, then `RESTORE TABLE … TO
+    * TIMESTAMP AS OF` rolls the VISIBLE state back to exactly the evens —
+    * reviving CoW-tombstoned files and dropping the post-bound dv marks —
+    * while time travel to the pre-restore head still sees the mutated
+    * layout (both layouts live in one log). */
+  final case class EventsRestored(table: IceTable, preRestoreTs: Long)
+  def eventsSqlRestored(spark: SparkSession, sfDir: String): EventsRestored =
+    memo(s"$sfDir#sqlrestore") {
+      import graft.ice.{DeleteVectors, IceLogIO}
+      val ev = raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val table = new IceTable(spark, newRoot("sqlrestore"), IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(8))),
+        sortOrder = Seq("event_id")))
+      table.insert(ev.where(col("event_id") % 2 === 0))
+      val restoreTs = table.logio.currentLogFiles(table.root)
+        .map(f => IceLogIO.logFileInfo(f)._1).max
+      table.insert(ev.where(col("event_id") % 2 === 1))
+      table.updateWhere(pmod(col("user_id"), lit(29)) === 3,
+        Seq("event_type" -> lit("redacted")))
+      DeleteVectors.deleteWhere(table,
+        col("event_id") % 2 === 0 && pmod(col("user_id"), lit(10)) === 3)
+      val dvRoot = DeleteVectors.dvTable(table).root
+      val preRestoreTs = (table.logio.currentLogFiles(table.root) ++
+        table.logio.currentLogFiles(dvRoot))
+        .map(f => IceLogIO.logFileInfo(f)._1).max
+      val f = new java.io.File(table.root)
+      spark.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      spark.sql(
+        s"RESTORE TABLE graft.`${f.getName}` TO TIMESTAMP AS OF $restoreTs")
+        .collect()
+      EventsRestored(table, preRestoreTs)
+    }
+
+  /** Declared-schema CREATE + ADD COLUMN variant (b39): the table is born
+    * EMPTY via `CREATE TABLE graft.t (cols…)` (schema-only commit, config
+    * persisted), filled by SQL INSERT, evolved with `ALTER TABLE … ADD
+    * COLUMNS`, and the post-evolution INSERT carries the new columns
+    * while pre-evolution rows read them as null. */
+  def eventsSqlAddColumn(spark: SparkSession, sfDir: String): IceTable =
+    memo(s"$sfDir#sqladdcol") {
+      raw(spark, sfDir, "events")
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"), col("event_type"))
+        .createOrReplaceTempView("b39_addcol_src")
+      val root = newRoot("sqladdcol")
+      val f = new java.io.File(root)
+      spark.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      spark.sql(s"CREATE TABLE graft.`${f.getName}` " +
+        "(event_id BIGINT, user_id BIGINT, event_type STRING) " +
+        "PARTITIONED BY (concat('u=', user_id % 16)) SORTED BY (event_id)")
+        .collect()
+      spark.sql(s"INSERT INTO graft.`${f.getName}` SELECT * FROM b39_addcol_src")
+        .collect()
+      spark.sql(s"ALTER TABLE graft.`${f.getName}` " +
+        "ADD COLUMNS (score DOUBLE, tag STRING)").collect()
+      spark.sql(s"INSERT INTO graft.`${f.getName}` " +
+        "SELECT event_id + 100000000, user_id, 'scored', " +
+        "CAST(event_id % 7 AS DOUBLE), 'tagged' " +
+        "FROM b39_addcol_src WHERE user_id % 50 = 1").collect()
+      IceTable.open(spark, root)
+    }
+
   /** Upsert variant: a modified slice + brand-new rows merged in atomically
     * by event_id key (replacing semantics) — a36_upsert. */
   def eventsUpserted(spark: SparkSession, sfDir: String): IceTable =

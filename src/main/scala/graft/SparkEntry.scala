@@ -757,6 +757,33 @@ object SparkEntry {
         CAST(sum(event_id) AS BIGINT) AS sum_id
         FROM graft.`${f.getName}` GROUP BY t ORDER BY t""")
     }),
+    "b38_sql_restore" -> ((s, d) => {
+      // RESTORE TABLE through the parser: the visible state hash-matches
+      // the as-of read (evens only, original event_type, dv deletes
+      // rolled back), while TIMESTAMP AS OF at the pre-restore head still
+      // sees the mutated layout — both proven in one query
+      val fx = Fixtures.eventsSqlRestored(s, d)
+      val f = new java.io.File(fx.table.root)
+      s.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      s.sql(s"""SELECT event_type, count(*) AS cnt,
+        CAST(sum(event_id) AS BIGINT) AS sum_id,
+        (SELECT count(*) FROM graft.`${f.getName}`
+           TIMESTAMP AS OF ${fx.preRestoreTs}) AS pre_restore_cnt
+        FROM graft.`${f.getName}` GROUP BY event_type ORDER BY event_type""")
+    }),
+    "b39_sql_add_column" -> ((s, d) => {
+      // declared-schema CREATE TABLE (empty) + ALTER TABLE ADD COLUMNS:
+      // pre-evolution rows read the new columns as null, the
+      // post-evolution insert fills them
+      val t = Fixtures.eventsSqlAddColumn(s, d)
+      val f = new java.io.File(t.root)
+      s.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      s.sql(s"""SELECT count(*) AS cnt,
+        CAST(sum(CASE WHEN score IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_scores,
+        CAST(count(tag) AS BIGINT) AS tagged,
+        CAST(sum(score) AS DOUBLE) AS score_sum
+        FROM graft.`${f.getName}`""")
+    }),
     "b31_sql_dml" -> ((s, d) => {
       // SQL DML through the catalog (IceDeleteCommand/IceUpdateCommand):
       // the fixture UPDATEd and DELETEd via spark.sql; every surviving
@@ -2231,6 +2258,17 @@ object SparkEntry {
     "b37_sql_alter" ->
       ("SELECT event_type, count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id " +
         "FROM events GROUP BY event_type ORDER BY event_type"),
+    "b38_sql_restore" ->
+      ("SELECT event_type, count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id, " +
+        "(SELECT count(*) FROM events) - (SELECT count(*) FROM events " +
+        "WHERE event_id % 2 = 0 AND user_id % 10 = 3) AS pre_restore_cnt " +
+        "FROM events WHERE event_id % 2 = 0 GROUP BY event_type ORDER BY event_type"),
+    "b39_sql_add_column" ->
+      ("WITH base AS (SELECT count(*) AS n FROM events), " +
+        "extra AS (SELECT count(*) AS m, CAST(sum(event_id % 7) AS DOUBLE) AS ss " +
+        "FROM events WHERE user_id % 50 = 1) " +
+        "SELECT n + m AS cnt, CAST(n AS BIGINT) AS null_scores, " +
+        "CAST(m AS BIGINT) AS tagged, ss AS score_sum FROM base, extra"),
     "b32_sql_merge" ->
       ("WITH src AS (SELECT event_id, user_id, 'upserted' AS event_type FROM events WHERE user_id % 13 = 2 " +
         "UNION ALL SELECT event_id + 20000000, user_id, 'new' FROM events WHERE user_id % 13 = 2), " +

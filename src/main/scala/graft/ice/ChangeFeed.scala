@@ -97,8 +97,12 @@ object ChangeFeed {
         if (ts <= sinceTs || meta.cleanedHorizon.nonEmpty)
           markers.foreach(m => prior = prior.updated(m.path, m))
       } else {
+        // newly-alive = alive now AND (absent or tombstoned) before: the
+        // second disjunct is RESTORE reviving a tombstoned file — its rows
+        // re-enter the visible state and must diff as inserts (carried
+        // re-lists of still-alive markers stay excluded either way)
         val newAlive = markers.filter(m =>
-          m.tombstone.isEmpty && !prior.contains(m.path))
+          m.tombstone.isEmpty && prior.get(m.path).forall(_.tombstone.nonEmpty))
         val newDead = markers.filter(m =>
           m.tombstone.nonEmpty && prior.get(m.path).exists(_.tombstone.isEmpty))
         markers.foreach(m => prior = prior.updated(m.path, m))

@@ -1889,6 +1889,85 @@ final class IceTable(
     deleted.result()
     }
 
+  /** Create an EMPTY table with a DECLARED schema: one schema-only log
+    * commit (zero file markers) that also persists this handle's
+    * partition/sort config — the SQL `CREATE TABLE graft.t (cols…)`
+    * building block. The add-only union contract is unchanged: later
+    * inserts may ADD columns but never retype a declared one (the same
+    * [[SchemaConflictException]] as everywhere else). The reference
+    * seeds schema only on first insert; a declared empty table is what
+    * lets SQL gateways `CREATE` + grant before any data lands. */
+  def createEmpty(schema: Schema): Unit = IceTable.commitLock(root).synchronized {
+    require(trySnapshot().isEmpty, s"ice table at $root already has commits")
+    logio.append(root, 1, schema, Seq.empty,
+      timestamp = Some(now()), tableCfg = persistedCfg)
+    ()
+  }
+
+  /** `ALTER TABLE … ADD COLUMN(s)`: one schema-only commit accumulating
+    * the new `(name, SQL type string)` columns into the union schema.
+    * Declaring before data arrives pins the TYPE up front (a later insert
+    * with a different type fails pre-flight instead of forking the
+    * schema); existing files simply read the new columns as null, exactly
+    * like insert-driven evolution (A6). Re-adding an existing column is
+    * an error either way — matching types would be a silent no-op the
+    * caller probably didn't mean, conflicting ones are rejected by the
+    * union contract. Returns the new union schema. */
+  def addColumns(cols: Seq[(String, String)]): Schema =
+    IceTable.commitLock(root).synchronized {
+    val snap = snapshot()
+    val s = snap.schema.copy()
+    cols.foreach { case (c, t) =>
+      if (s.contains(c)) throw new IllegalArgumentException(
+        s"ADD COLUMN '$c': column already exists with type ${s(c)}")
+      s.accumulate(Seq(c), Seq(t))
+    }
+    logio.append(root, 1, s, Seq.empty, timestamp = Some(now()),
+      tableCfg = persistedCfg.orElse(snap.tableConfig))
+    s
+  }
+
+  /** RESTORE: one LOG-ONLY merged commit returning the table's visible
+    * state to what [[read]] saw at `maxTs` (the same strict-`<` bound as
+    * time travel) — the rollback counterpart of reading old snapshots,
+    * which the reference gets for free by querying at an old max time
+    * (icedb/log.py:311-328) but has no way to make the CURRENT state.
+    * Mechanics: files alive now but not as-of get tombstones; files
+    * tombstoned now but alive as-of are re-listed alive (their bytes are
+    * immutable and still on disk until a cleanup's retention reclaims
+    * them — a reclaimed restore target fails loudly below, never
+    * silently partially restores). The restore is itself a commit: time
+    * travel BEFORE it still sees the pre-restore layout, and the change
+    * feed reports the diff like any rewrite. Schema stays the current
+    * union (add-only — revived files read later columns as null).
+    * Returns (files revived, files tombstoned). */
+  def restoreTo(maxTs: Long): (Int, Int) = IceTable.commitLock(root).synchronized {
+    val snap = snapshot(Long.MaxValue)
+    val restoreTime = math.max(now(), snap.logFiles.iterator
+      .map(p => IceLogIO.logFileInfo(p)._1).maxOption.getOrElse(0L) + 1)
+    val asOf = trySnapshot(maxTs).getOrElse(throw new IllegalArgumentException(
+      s"restoreTo($root): no commits at or before ts=${maxTs - 1} to restore to"))
+    val curByPath = snap.files.iterator.map(m => m.path -> m).toMap
+    val curAlive = snap.aliveFiles.map(_.path).toSet
+    val asOfAlive = asOf.aliveFiles
+    val asOfSet = asOfAlive.map(_.path).toSet
+    asOfAlive.filterNot(m => curByPath.contains(m.path)).foreach { m =>
+      throw new IllegalStateException(
+        s"restoreTo($root): file ${m.path} from the target snapshot was " +
+          "reclaimed by tombstone cleanup; that history is gone " +
+          "(retention must outlive intended restore windows)")
+    }
+    val toTombstone = snap.aliveFiles.filterNot(m => asOfSet(m.path))
+      .map(_.copy(tombstone = Some(restoreTime), virSourceLogFile = None))
+    val toRevive = asOfAlive.filterNot(m => curAlive(m.path))
+      .map(m => curByPath(m.path).copy(tombstone = None, virSourceLogFile = None))
+    if (toTombstone.isEmpty && toRevive.isEmpty) return (0, 0)
+    logio.append(root, 1, snap.schema, toRevive ++ toTombstone,
+      merged = true, timestamp = Some(restoreTime),
+      tableCfg = persistedCfg.orElse(snap.tableConfig))
+    (toRevive.length, toTombstone.length)
+  }
+
   def removePartitions(
       removalFunc: Seq[String] => Seq[String],
       maxFiles: Int = 1000): (Option[String], Option[LogMetadata], Int) =

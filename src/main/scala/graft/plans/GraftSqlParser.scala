@@ -19,12 +19,19 @@ import graft.ice.{DeleteVectors, IceTable, IceTableConfig}
   *   CREATE TABLE graft.t [PARTITIONED BY (<expr>)] [SORTED BY (c1, ...)]
   *     AS <query>                                -- atomic CTAS: one insert,
   *                                               -- one log commit
+  *   CREATE TABLE graft.t (c1 TYPE, ...)         -- EMPTY table, declared
+  *     [PARTITIONED BY (<expr>)] [SORTED BY (…)] -- schema: one schema-only
+  *                                               -- commit, config persisted
   *   DROP TABLE [IF EXISTS] graft.t              -- removes data + log
   *   SHOW TABLES IN graft                        -- tables under the warehouse
   *   DESCRIBE [TABLE] graft.t                    -- union schema + partition cols
   *   DESCRIBE HISTORY graft.t                    -- per-commit deltas
   *   ALTER TABLE graft.t SORTED BY (c1, ...)     -- config-only commit
   *   ALTER TABLE graft.t PARTITIONED BY (<expr>) -- atomic partition evolution
+  *   ALTER TABLE graft.t ADD COLUMN[S] (c TYPE, ...) -- union-schema evolution
+  *   RESTORE TABLE graft.t TO TIMESTAMP AS OF t  -- log-only rollback commit
+  *   RESTORE TABLE graft.t TO VERSION AS OF v    -- (v = log ts, inclusive —
+  *                                               --  the read side's spelling)
   *   OPTIMIZE graft.t                            -- full-table compaction
   *   OPTIMIZE graft.t ZORDER BY (c1, ...)        -- Z-value recluster
   *   VACUUM graft.t [RETAIN <n> HOURS]           -- tombstone cleanup + dv vacuum
@@ -105,6 +112,13 @@ object GraftSqlParser {
     val descRe = re(s"""\\s*(?:DESCRIBE|DESC)\\s+(?:TABLE\\s+)?$c\\.$ident\\s*;?\\s*""")
     val alterHeadRe = re(
       s"""\\s*ALTER\\s+TABLE\\s+$c\\.$ident\\s+(SORTED|PARTITIONED)\\s+BY\\s*\\(.*""")
+    val alterAddRe = re(
+      s"""\\s*ALTER\\s+TABLE\\s+$c\\.$ident\\s+ADD\\s+COLUMNS?\\s+(.+?)\\s*;?\\s*""")
+    // RESTORE accepts the engine's native integral epoch-millis spelling;
+    // TIMESTAMP and VERSION are synonyms here exactly as on the read side
+    // (IceSqlResolution: VERSION AS OF v treats v as a log ts, inclusive)
+    val restoreRe = re(
+      s"""\\s*RESTORE\\s+TABLE\\s+$c\\.$ident\\s+TO\\s+(?:TIMESTAMP|VERSION)\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""")
   }
 
   private val compiledPatterns =
@@ -130,6 +144,31 @@ object GraftSqlParser {
 
     val hm = histRe.matcher(sqlText)
     if (hm.matches()) return Some(GraftDescribeHistoryCommand(name(hm, 1)))
+
+    val rm = restoreRe.matcher(sqlText)
+    if (rm.matches())
+      // inclusive at ms granularity ⇒ +1 against the strict-< fold, the
+      // read side's evalMaxTs convention
+      return Some(GraftRestoreCommand(name(rm, 1), rm.group(3).toLong + 1L))
+
+    // ALTER TABLE graft.t ADD COLUMN[S] (c TYPE, ...) | c TYPE — the
+    // column list parses through the delegate's own schema grammar
+    val aam = alterAddRe.matcher(sqlText)
+    if (aam.matches()) {
+      val body0 = aam.group(3).trim
+      val body =
+        if (body0.startsWith("(")) balancedParen(body0, 0) match {
+          case Some((inner, after)) if body0.substring(after).trim.isEmpty => inner
+          case _ => throw new UnsupportedOperationException(
+            "ALTER TABLE … ADD COLUMNS requires one balanced parenthesized " +
+              "column list and nothing after it")
+        }
+        else body0
+      val st = delegate.parseTableSchema(body)
+      return Some(GraftAlterAddColumnsCommand(name(aam, 1),
+        st.fields.toSeq.map(f =>
+          f.name -> graft.ice.SchemaTypes.toTypeString(f.dataType))))
+    }
 
     // ALTER TABLE graft.t SORTED BY (cols) | PARTITIONED BY (expr) —
     // same balanced-paren walk as CTAS (partition exprs nest)
@@ -197,6 +236,9 @@ object GraftSqlParser {
           pos = after; inner
         }
       }
+      // optional DECLARED column list — immediately after the name, like
+      // standard DDL: `CREATE TABLE graft.t (a BIGINT, b VARCHAR) ...`
+      val colListSql = takeParenBody().map(_.trim).filter(_.nonEmpty)
       // the two optional clauses accept either order
       var partitionExprSql: Option[String] = None
       var sortCols: Seq[String] = Seq.empty
@@ -213,6 +255,9 @@ object GraftSqlParser {
         }
       }
       if (takeKeyword("AS")) {
+        if (colListSql.isDefined) throw new UnsupportedOperationException(
+          s"CREATE TABLE $catalog.<t>: CTAS derives its schema from the " +
+            "query — drop the declared column list or the AS clause")
         val query = sqlText.substring(pos).trim
         if (query.nonEmpty)
           return Some(GraftCreateTableAsCommand(
@@ -222,10 +267,21 @@ object GraftSqlParser {
             sortCols = sortCols,
             new PlanBox(delegate.parsePlan(query))))
       }
+      colListSql.foreach { cols =>
+        if (sqlText.substring(pos).trim.stripSuffix(";").trim.isEmpty) {
+          val st = delegate.parseTableSchema(cols)
+          return Some(GraftCreateTableCommand(
+            name(cm, 2),
+            ifNotExists = cm.group(1) != null,
+            partitionExprSql = partitionExprSql,
+            sortCols = sortCols,
+            st.fields.toSeq.map(f =>
+              f.name -> graft.ice.SchemaTypes.toTypeString(f.dataType))))
+        }
+      }
       throw new UnsupportedOperationException(
-        s"CREATE TABLE $catalog.<t> requires an AS <query>: an ice table's " +
-          "schema is seeded by its first insert (add-only union evolution), " +
-          "never declared up front")
+        s"CREATE TABLE $catalog.<t> needs either AS <query> (CTAS) or a " +
+          "declared column list `(name TYPE, ...)` for an empty table")
     }
 
     None
@@ -303,6 +359,82 @@ object GraftSqlParser {
       t.insert(df)
       Seq(Row(n))
     }
+  }
+
+  /** `CREATE TABLE graft.<t> (c TYPE, ...) [PARTITIONED BY (expr)]
+    * [SORTED BY (cols)]` → [[IceTable.createEmpty]]: one schema-only log
+    * commit; the declared types pin the add-only union schema before any
+    * data lands, and the partition/sort config persists in the same
+    * commit so every later insert — SQL or API — routes identically. */
+  final case class GraftCreateTableCommand(
+      name: String, ifNotExists: Boolean,
+      partitionExprSql: Option[String], sortCols: Seq[String],
+      cols: Seq[(String, String)]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(AR("created", LongType, nullable = false)())
+    override def run(session: SparkSession): Seq[Row] = {
+      if (rootFor(session, name, requireLog = true).isDefined) {
+        if (ifNotExists) return Seq(Row(0L))
+        throw new IllegalStateException(
+          s"graft table '$name' already exists; DROP TABLE it first")
+      }
+      val root = rootFor(session, name, requireLog = false).get
+      val cfg = IceTableConfig(
+        partitionExpr = partitionExprSql
+          .map(org.apache.spark.sql.functions.expr)
+          .getOrElse(org.apache.spark.sql.functions.lit("")),
+        sortOrder = sortCols)
+      new IceTable(session, root, cfg)
+        .createEmpty(graft.ice.Schema(cols: _*))
+      Seq(Row(1L))
+    }
+  }
+
+  /** `ALTER TABLE graft.<t> ADD COLUMN[S] (c TYPE, ...)` →
+    * [[IceTable.addColumns]]: one schema-only union-evolution commit;
+    * existing files read the new columns as null. */
+  final case class GraftAlterAddColumnsCommand(
+      name: String, cols: Seq[(String, String)]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(AR("added_columns", StringType, nullable = false)())
+    override def run(session: SparkSession): Seq[Row] =
+      rootFor(session, name, requireLog = true) match {
+        case None => throw new IllegalArgumentException(
+          s"graft table '$name' does not exist")
+        case Some(root) =>
+          IceTable.open(session, root).addColumns(cols)
+          Seq(Row(cols.map { case (c, t) => s"$c $t" }.mkString(", ")))
+      }
+  }
+
+  /** `RESTORE TABLE graft.<t> TO TIMESTAMP|VERSION AS OF <ms>` →
+    * [[IceTable.restoreTo]] on the main table AND the `_dv` side table
+    * (post-bound merge-on-read deletes must roll back with the data, or
+    * the restored read would still hide their rows). A bound predating
+    * the first dv commit restores the dv state to "no marks" — every
+    * current mark file tombstones. */
+  final case class GraftRestoreCommand(name: String, bound: Long)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AR("files_revived", LongType, nullable = false)(),
+      AR("files_tombstoned", LongType, nullable = false)(),
+      AR("dv_files_changed", LongType, nullable = false)())
+    override def run(session: SparkSession): Seq[Row] =
+      rootFor(session, name, requireLog = true) match {
+        case None => throw new IllegalArgumentException(
+          s"graft table '$name' does not exist")
+        case Some(root) =>
+          val t = IceTable.open(session, root)
+          val (revived, tombstoned) = t.restoreTo(bound)
+          val dv = DeleteVectors.dvTable(t)
+          val dvChanged: Long =
+            if (dv.logio.currentLogFiles(dv.root).isEmpty) 0L
+            else if (dv.trySnapshot(bound).isEmpty)
+              // dv table postdates the bound entirely: drop every mark
+              dv.removePartitions(parts => parts, maxFiles = Int.MaxValue)._3.toLong
+            else { val (a, b) = dv.restoreTo(bound); (a + b).toLong }
+          Seq(Row(revived.toLong, tombstoned.toLong, dvChanged))
+      }
   }
 
   /** `DROP TABLE [IF EXISTS] graft.<t>`: removes the table directory —

@@ -69,12 +69,107 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) AS c FROM graft.ctas2").head.getLong(0) === 100L)
   }
 
-  test("schema-ful CREATE TABLE on the graft catalog gets a pointed error") {
-    freshWarehouse()
-    val e = intercept[UnsupportedOperationException] {
-      spark.sql("CREATE TABLE graft.nope (id INT, s STRING)")
+  test("declared-schema CREATE TABLE: empty typed table; inserts route and type-check") {
+    val w = freshWarehouse()
+    val out = spark.sql(
+      """CREATE TABLE graft.decl (id BIGINT, u INT, kind STRING)
+        |PARTITIONED BY (concat('u=', u)) SORTED BY (id)""".stripMargin).collect()
+    assert(out.head.getLong(0) === 1L)
+    // empty but queryable, with the declared schema visible
+    assert(spark.sql("SELECT count(*) AS c FROM graft.decl").head.getLong(0) === 0L)
+    assert(spark.sql("DESCRIBE graft.decl").collect().map(_.getString(0)).toSeq
+      .containsSlice(Seq("id", "u", "kind")))
+    // inserts route under the persisted partition scheme
+    spark.sql("INSERT INTO graft.decl VALUES (1, 3, 't0')").collect()
+    assert(new java.io.File(s"$w/decl/_data/u=3").isDirectory)
+    assert(spark.sql("SELECT count(*) AS c FROM graft.decl").head.getLong(0) === 1L)
+    // the declared type pins: a conflicting later insert fails pre-flight
+    import spark.implicits._
+    val t = IceTable.open(spark, s"$w/decl")
+    intercept[Exception] {
+      t.insert(Seq((1.5, 1, "k")).toDF("id", "u", "kind"))
     }
-    assert(e.getMessage.contains("AS <query>"))
+    // IF NOT EXISTS no-ops; plain re-create errors
+    assert(spark.sql("CREATE TABLE IF NOT EXISTS graft.decl (id BIGINT)")
+      .head.getLong(0) === 0L)
+    intercept[Exception] { spark.sql("CREATE TABLE graft.decl (id BIGINT)").collect() }
+    // declared list + AS is contradictory and rejected pointedly
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql("CREATE TABLE graft.declx (id INT) AS SELECT 1")
+    }
+    assert(e.getMessage.contains("CTAS"))
+    // bare CREATE with neither form still gets the pointed error
+    val e2 = intercept[UnsupportedOperationException] {
+      spark.sql("CREATE TABLE graft.decly")
+    }
+    assert(e2.getMessage.contains("AS <query>"))
+  }
+
+  test("ALTER TABLE ADD COLUMNS evolves the union schema; old files read null") {
+    val w = freshWarehouse()
+    src().createOrReplaceTempView("addcol_src")
+    spark.sql("CREATE TABLE graft.addc AS SELECT * FROM addcol_src").collect()
+    val out = spark.sql(
+      "ALTER TABLE graft.addc ADD COLUMNS (score DOUBLE, tag STRING)").collect()
+    assert(out.head.getString(0) === "score DOUBLE, tag VARCHAR")
+    // every pre-evolution row reads the new columns as null
+    assert(spark.sql("SELECT count(*) c FROM graft.addc WHERE score IS NULL")
+      .head.getLong(0) === 100L)
+    // bare single-column spelling
+    spark.sql("ALTER TABLE graft.addc ADD COLUMN extra BIGINT").collect()
+    assert(spark.sql("DESCRIBE graft.addc").collect().map(_.getString(0))
+      .contains("extra"))
+    // re-adding any existing column errors
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.addc ADD COLUMN id BIGINT").collect()
+    }
+    assert(e.getMessage.contains("already exists"))
+    // the declared type pins future inserts (A20 pre-flight)
+    import spark.implicits._
+    val t = IceTable.open(spark, s"$w/addc")
+    intercept[Exception] {
+      t.insert(Seq((200L, 1, "t0", "not-a-double", "x", 1L))
+        .toDF("id", "u", "kind", "score", "tag", "extra"))
+    }
+  }
+
+  test("RESTORE TABLE rolls back to the as-of state; time travel sees both layouts") {
+    val w = freshWarehouse()
+    import spark.implicits._
+    val t = new IceTable(spark, s"$w/rest", IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("id")))
+    t.insert((1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    val ts1 = t.logio.currentLogFiles(t.root)
+      .map(f => graft.ice.IceLogIO.logFileInfo(f)._1).max
+    Thread.sleep(3)
+    t.insert((11 to 15).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    t.updateWhere(col("id") === 3L, Seq("v" -> lit("changed")))
+    DeleteVectors.deleteWhere(t, col("id") === 5L)
+    val preTs = (t.logio.currentLogFiles(t.root) ++
+      t.logio.currentLogFiles(DeleteVectors.dvTable(t).root))
+      .map(f => graft.ice.IceLogIO.logFileInfo(f)._1).max
+    Thread.sleep(3)
+    val out = spark.sql(s"RESTORE TABLE graft.rest TO TIMESTAMP AS OF $ts1").head
+    assert(out.getLong(0) > 0 || out.getLong(1) > 0) // revived/tombstoned
+    assert(out.getLong(2) > 0) // the dv mark rolled back too
+    // post-restore state == the as-of read, byte for byte
+    val restored = t.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(restored === (1 to 10).map(i => (i.toLong, s"v$i")))
+    assert(t.read().orderBy("id").collect().toSeq ===
+      t.read(ts1 + 1).orderBy("id").collect().toSeq)
+    // time travel to the pre-restore head still sees the mutated layout
+    val pre = t.read(preTs + 1).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(pre.length === 14) // 15 rows minus the MoR-deleted id=5
+    assert(pre.contains((3L, "changed")) && !pre.exists(_._1 == 5L))
+    // a second restore to the same bound is a no-op; VERSION spelling parses
+    val again = spark.sql(s"RESTORE TABLE graft.rest TO VERSION AS OF $ts1").head
+    assert(again.getLong(0) === 0L && again.getLong(1) === 0L)
+    // restoring to before the first commit errors loudly
+    intercept[Exception] {
+      spark.sql("RESTORE TABLE graft.rest TO TIMESTAMP AS OF 1").collect()
+    }
   }
 
   test("DROP TABLE removes the table; IF EXISTS tolerates absence") {
