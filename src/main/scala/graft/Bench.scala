@@ -13,8 +13,10 @@ import org.apache.spark.sql.SparkSession
   * host can throttle or starve the JVM mid-run (round 5 saw the SAME binary
   * swing 30-70× per query between two runs). Three defenses, so a noisy
   * host is VISIBLE in the artifact instead of corrupting it:
-  *   - every timed section is the minimum of `SPARK_GRAFT_BENCH_REPS`
-  *     (default 3) repetitions — the minimum estimates the un-stolen cost;
+  *   - every timed section is the MEDIAN of `SPARK_GRAFT_BENCH_REPS`
+  *     (default 3) repetitions — the typical cost, robust to one-sided
+  *     steal spikes, and comparable across rounds (`bench_reps` +
+  *     `rep_stat` ride in the parsed line so the artifact says so);
   *   - every wall time is paired with the JVM's process-CPU time over the
   *     same interval (`cpu` map / `*_cpu_sec`): under host CPU steal, wall
   *     inflates while CPU stays flat, so wall≫cpu with low parallelism is
@@ -76,10 +78,14 @@ object Bench {
   private val reps: Int =
     sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3)
 
-  /** min-of-reps wall time, with the process-CPU delta of the SAME
-    * (fastest) repetition. `setup` runs untimed before each rep — for
-    * sections whose body consumes its input (a fresh table per insert, a
-    * rebuilt log dir per cleanup). */
+  /** MEDIAN-of-reps wall time, with the process-CPU delta of the SAME
+    * (median) repetition — the per-query medians are what made the r6/r7
+    * host-noise episodes diagnosable from the artifact alone (a min hides
+    * how often the host stole; the median is the typical cost, and
+    * one-sided steal spikes still can't drag it up past reps/2 bad runs).
+    * `setup` runs untimed before each rep — for sections whose body
+    * consumes its input (a fresh table per insert, a rebuilt log dir per
+    * cleanup). */
   private def timed[A](nReps: Int = reps)(setup: => Unit = ())(body: => A): Timed = {
     val runs = (0 until math.max(1, nReps)).map { _ =>
       setup
@@ -90,8 +96,8 @@ object Bench {
       totalWallNs += w; if (c >= 0) totalCpuNs += c
       (w, c)
     }
-    val best = runs.minBy(_._1)
-    Timed(best._1 / 1e9, if (best._2 < 0) -1.0 else best._2 / 1e9)
+    val med = runs.sortBy(_._1)(Ordering[Long])((runs.length - 1) / 2)
+    Timed(med._1 / 1e9, if (med._2 < 0) -1.0 else med._2 / 1e9)
   }
 
   private def f(v: Double): String = "%.4f".format(v)
@@ -460,7 +466,7 @@ object Bench {
     // (cpu counts, scratch medium, row counts) live in `detail`/
     // bench_out.json; every baseline-comparable number stays
     val commonSlim =
-      s""""load_sec":${f(loadSec)},"insert_sec":${f(insertSec)},"merge_sec":${f(mergeSec)},"synthetic_insert_rows_per_sec":${(synthRows / synth.wallSec).toLong},$sectionJson,"effective_parallelism":${f(effParallelism)},"cpu_total_sec":${f(totalCpuNs / 1e9)},"steal_suspect":$stealSuspect,"load_avg":${f(loadAvg)},"spark_cpus":$cpus,"sf":"$sfDir""""
+      s""""load_sec":${f(loadSec)},"insert_sec":${f(insertSec)},"merge_sec":${f(mergeSec)},"synthetic_insert_rows_per_sec":${(synthRows / synth.wallSec).toLong},$sectionJson,"bench_reps":$reps,"rep_stat":"median","effective_parallelism":${f(effParallelism)},"cpu_total_sec":${f(totalCpuNs / 1e9)},"steal_suspect":$stealSuspect,"load_avg":${f(loadAvg)},"spark_cpus":$cpus,"sf":"$sfDir""""
     val withCpu =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"queries_cpu":$qCpuJson,"errors":$eJson,$commonSlim}"""
     val compact =

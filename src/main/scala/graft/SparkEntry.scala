@@ -178,6 +178,22 @@ object SparkEntry {
       df.agg(count(lit(1)).as("cnt"),
         sum(when(col("props").isNull, 1L).otherwise(0L)).as("null_props"))
     }),
+    "a5_schema_introspect" -> ((s, d) => {
+      // A5 schema introspection, oracle-graded: getSchema's type-string
+      // map for the events batch (one row per column), with an in-query
+      // proof that the LOG's accumulated union schema agrees — DuckDB
+      // re-derives the same map from its own DESCRIBE of the identical
+      // (ts-normalized) projection, since the log's type vocabulary IS
+      // DuckDB's (reference: icedb/log.py:59-108)
+      val t = Fixtures.eventsIce(s, d).table
+      val preflight = t.getSchema(Fixtures.raw(s, d, "events")).pairs
+      val accumulated = t.snapshot().schema.pairs
+      import s.implicits._
+      preflight.toDF("col_name", "col_type")
+        .withColumn("accumulated_matches",
+          lit(preflight.toSet == accumulated.toSet))
+        .orderBy("col_name")
+    }),
     "a36_upsert" -> ((s, d) => {
       // MERGE INTO (IceTable.upsert, replacing semantics): a slice
       // rewritten + brand-new keys appended in ONE commit; result ==
@@ -208,6 +224,25 @@ object SparkEntry {
           sum("event_id").cast("bigint").as("sum_id"),
           countDistinct("event_type").as("types"))
         .orderBy(col("_change_type"))
+    }),
+    "a43_cdc_apply" -> ((s, d) => {
+      // CDC consumer (CdcApply): a differently-partitioned replica is
+      // initial-synced then caught up through the change feed across an
+      // append, a CoW update, and a merge-on-read delete; the result is
+      // the REPLICA's read, with an in-query proof it equals the source
+      // bidirectionally — DuckDB re-derives the final state from events
+      val fx = Fixtures.eventsCdcApply(s, d)
+      val src = fx.source.read().localCheckpoint()
+      // exceptAll is positional: align the replica to the source's
+      // column order before diffing
+      val tgt = fx.target.read().select(src.columns.map(col): _*)
+        .localCheckpoint()
+      val drift = src.exceptAll(tgt).count() + tgt.exceptAll(src).count()
+      tgt.groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum("event_id").cast("bigint").as("sum_id"))
+        .withColumn("in_sync", lit(drift == 0L))
+        .orderBy("event_type")
     }),
     "a40_manifest_export" -> ((s, d) => {
       // foreign-engine manifest (ManifestExport): the snapshot's alive
@@ -2235,6 +2270,12 @@ object SparkEntry {
         "SELECT _change_type, count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id, " +
         "count(DISTINCT event_type) AS types " +
         "FROM changes GROUP BY 1 ORDER BY 1"),
+    "a43_cdc_apply" ->
+      ("WITH final AS (SELECT event_id, " +
+        "CASE WHEN user_id % 23 = 7 THEN 'redacted' ELSE event_type END AS event_type " +
+        "FROM events WHERE user_id % 23 <> 8) " +
+        "SELECT event_type, count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id, " +
+        "true AS in_sync FROM final GROUP BY 1 ORDER BY 1"),
     "a38_format_row" ->
       ("SELECT upper(event_type) AS event_type, " +
         "'t_' || lower(event_type) AS etype_tag, count(*) AS cnt, " +
@@ -2289,6 +2330,13 @@ object SparkEntry {
         "FROM events GROUP BY event_type ORDER BY event_type"),
     "a12_mv" ->
       "SELECT count(*) AS raw_cnt, CAST(count(*) AS BIGINT) AS mv_cnt FROM events",
+    // DuckDB's DESCRIBE of the same ts-normalized projection reproduces
+    // the engine's type-string map verbatim (shared vocabulary)
+    "a5_schema_introspect" ->
+      ("SELECT column_name AS col_name, column_type AS col_type, " +
+        "true AS accumulated_matches " +
+        "FROM (DESCRIBE SELECT epoch_ns(ts) AS ts, * EXCLUDE (ts) FROM events) " +
+        "ORDER BY col_name"),
     "b18_union_seed" ->
       "SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
     "b7_approx_uniq" ->

@@ -32,31 +32,40 @@ object ManifestExport {
     * the number of data files listed. */
   def writeManifest(
       table: IceTable, dest: String, maxTs: Long = Long.MaxValue): Int = {
+    val (json, nFiles) = manifestJson(table, maxTs)
+    val p = new Path(dest)
+    val fs = p.getFileSystem(table.spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write((json + "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    nFiles
+  }
+
+  /** The manifest JSON itself (one line) plus the data-file count —
+    * shared by [[writeManifest]] and the LIVE `GET /manifest` endpoint
+    * ([[graft.sources.IceHttpApi]]), so a static export and the served
+    * form are byte-identical for the same snapshot. */
+  def manifestJson(
+      table: IceTable, maxTs: Long = Long.MaxValue): (String, Int) = {
     val snap = table.snapshot(maxTs)
     val root = table.qualifiedRoot
     val files = snap.aliveFiles.sortBy(_.path)
     val dv = DeleteVectors.dvTable(table)
     val dvFiles = dv.trySnapshot(maxTs).map(_.aliveFiles.sortBy(_.path))
       .getOrElse(Seq.empty)
-    val lines = Seq(
-      Json.obj(
-        "version" -> 1,
-        "root" -> root,
-        "snapshot_ts" -> snap.timestamp,
-        "schema" -> snap.schema.pairs.toMap,
-        "files" -> files.map(m => Json.parseObject(Json.obj(
-          "path" -> m.path,
-          "absolute" -> s"$root/${m.path}",
-          "bytes" -> m.fileBytes,
-          "created_ms" -> m.createdMs)): Any),
-        "delete_files" -> dvFiles.map(m =>
-          s"${dv.qualifiedRoot}/${m.path}": Any)))
-    val p = new Path(dest)
-    val fs = p.getFileSystem(table.spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write((lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    files.length
+    val json = Json.obj(
+      "version" -> 1,
+      "root" -> root,
+      "snapshot_ts" -> snap.timestamp,
+      "schema" -> snap.schema.pairs.toMap,
+      "files" -> files.map(m => Json.parseObject(Json.obj(
+        "path" -> m.path,
+        "absolute" -> s"$root/${m.path}",
+        "bytes" -> m.fileBytes,
+        "created_ms" -> m.createdMs)): Any),
+      "delete_files" -> dvFiles.map(m =>
+        s"${dv.qualifiedRoot}/${m.path}": Any))
+    (json, files.length)
   }
 
   /** The DuckDB SQL that queries the snapshot with NO graft code at all:

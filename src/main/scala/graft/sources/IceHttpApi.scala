@@ -19,6 +19,17 @@ import scala.collection.mutable
   *  - `GET /query?sql=...` — runs Spark SQL with the current snapshot
   *    registered as table `ice`; returns CSV (the reference's text/CSV
   *    output shapes, B23).
+  *  - `GET /manifest[?ts=<epoch-ms>]` — the LIVE form of
+  *    [[graft.ice.ManifestExport]]: the current (or time-traveled)
+  *    snapshot's alive-file manifest as JSON, byte-identical to a static
+  *    export of the same snapshot. A foreign engine polls this and reads
+  *    the listed parquet directly — no log fold, no Spark involvement
+  *    beyond this server (the reference's s3-proxy / ClickHouse
+  *    `get_files` integration surface, README.md:29-31,
+  *    ch/user_scripts/main.go:44-73, served instead of linked).
+  *  - `GET /manifest.sql?view=<name>[&ts=<epoch-ms>]` — the ready-to-run
+  *    DuckDB view over that snapshot (dv anti-join included):
+  *    `curl … | duckdb` is a live foreign-engine query path.
   *
   * The buffer is driver-memory-bounded by design — it is an ingestion
   * *edge*; the data plane stays in Spark jobs. For production-scale
@@ -76,6 +87,21 @@ final class IceHttpApi(
         ex.getResponseHeaders.set("X-Row-Limit", maxQueryRows.toString)
       }
       (200, (header +: rows.toSeq).mkString("\n"))
+    })
+    server.createContext("/manifest", (ex: HttpExchange) => handle(ex) {
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      def param(k: String): Option[String] = q.split("&").collectFirst {
+        case kv if kv.startsWith(s"$k=") =>
+          java.net.URLDecoder.decode(kv.drop(k.length + 1), "UTF-8")
+      }
+      val ts = param("ts").flatMap(_.toLongOption).getOrElse(Long.MaxValue)
+      if (ex.getRequestURI.getPath.endsWith("/manifest.sql") ||
+          ex.getRequestURI.getPath.endsWith("manifest.sql")) {
+        val view = param("view").getOrElse("ice_snapshot")
+        require(view.matches("[A-Za-z_][A-Za-z0-9_]*"),
+          s"unsafe view name: '$view'")
+        (200, graft.ice.ManifestExport.duckDbViewSql(table, view, ts))
+      } else (200, graft.ice.ManifestExport.manifestJson(table, ts)._1)
     })
     // non-daemon worker threads would outlive stop() and pin the JVM:
     // keep the pool so stop() can shut it down
