@@ -346,6 +346,40 @@ object Fixtures {
       EventsCdc(table, sinceTs)
     }
 
+  final case class CdcReplica(source: IceTable, target: IceTable)
+
+  /** CDC consumer fixture (CdcApply): a source table seeded, then
+    * replicated into a DIFFERENTLY-partitioned target via initial sync,
+    * then mutated (append + CoW update + merge-on-read delete) and
+    * caught up incrementally — the target must equal the source's final
+    * state without ever reading the source's files directly. */
+  def eventsCdcApply(spark: SparkSession, sfDir: String): CdcReplica =
+    memo(s"$sfDir#cdcapply") {
+      import graft.ice.{CdcApply, DeleteVectors}
+      val ev = raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val source = new IceTable(spark, newRoot("cdcsrc"), IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(8))),
+        sortOrder = Seq("event_id")))
+      // the replica's layout is its own business: different partition
+      // axis + sort prove replication carries ROWS, not files
+      val target = new IceTable(spark, newRoot("cdctgt"), IceTableConfig(
+        partitionExpr = concat(lit("e="), substring(col("event_type"), 1, 2)),
+        sortOrder = Seq("user_id")))
+      source.insert(ev.where(col("event_id") % 2 === 0))
+      val seeded = CdcApply.applyTo(source, target, Seq("event_id"))
+      require(seeded.initialSync, "first apply must seed")
+      source.insert(ev.where(col("event_id") % 2 === 1))
+      source.updateWhere(pmod(col("user_id"), lit(23)) === 7,
+        Seq("event_type" -> lit("redacted")))
+      DeleteVectors.deleteWhere(source, pmod(col("user_id"), lit(23)) === 8)
+      // settled bounds are now-1: let the last commit's millisecond pass
+      // so one catch-up loop suffices
+      Thread.sleep(5)
+      CdcApply.catchUp(source, target, Seq("event_id"))
+      CdcReplica(source, target)
+    }
+
   /** CREATE TABLE ... AS variant (b34): the table does not exist before
     * the statement — one atomic CTAS commit seeds schema AND persists the
     * PARTITIONED BY / SORTED BY config, so the reopened handle routes

@@ -1,0 +1,132 @@
+package graft.ice
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** CDC consumer invariants: initial sync, incremental windows collapse
+  * to one final change per key, replay convergence, maintenance
+  * silence, idle polls write nothing, and reseed generations. */
+class CdcApplySpec extends SparkSpec {
+
+  private val keys = Seq("id")
+
+  private def mkSource(): IceTable = {
+    import spark.implicits._
+    val t = new IceTable(spark, tmpDir("cdca_src"), IceTableConfig(
+      partitionExpr = concat(lit("u="), pmod(col("u"), lit(2))),
+      sortOrder = Seq("id")))
+    t.insert((1 to 20).map(i => (i.toLong, i % 5, s"v$i")).toDF("id", "u", "v"))
+    t
+  }
+
+  private def mkTarget(): IceTable =
+    new IceTable(spark, tmpDir("cdca_tgt"), IceTableConfig(
+      partitionExpr = concat(lit("m="), pmod(col("id"), lit(3))),
+      sortOrder = Seq("u")))
+
+  private def rows(t: IceTable): Set[(Long, Int, String)] =
+    t.read().select("id", "u", "v").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+
+  private def settle(): Unit = Thread.sleep(3)
+
+  test("initial sync then incremental append/update/delete converge the replica") {
+    import spark.implicits._
+    val src = mkSource()
+    val tgt = mkTarget()
+    val seed = CdcApply.applyTo(src, tgt, keys)
+    assert(seed.initialSync && seed.upserted === 20L)
+    assert(rows(tgt) === rows(src))
+    assert(CdcApply.watermark(tgt).contains(seed.watermark))
+
+    src.insert(Seq((21L, 1, "v21"), (22L, 2, "v22")).toDF("id", "u", "v"))
+    src.updateWhere(col("id") === 3L, Seq("v" -> lit("updated")))
+    DeleteVectors.deleteWhere(src, col("id") === 7L)
+    settle()
+    val r = CdcApply.catchUp(src, tgt, keys)
+    assert(r.deleted === 1L)
+    // finals per key: 21,22 inserted + id=3's update pair collapsed to
+    // its insert half
+    assert(r.upserted === 3L)
+    assert(rows(tgt) === rows(src))
+    assert(rows(tgt).exists(_ == ((3L, 3, "updated"))) &&
+      !rows(tgt).exists(_._1 == 7L))
+  }
+
+  test("insert-then-delete inside one window never reaches the replica") {
+    import spark.implicits._
+    val src = mkSource()
+    val tgt = mkTarget()
+    CdcApply.applyTo(src, tgt, keys)
+    src.insert(Seq((99L, 0, "ghost")).toDF("id", "u", "v"))
+    src.deleteWhere(col("id") === 99L)
+    src.insert(Seq((50L, 0, "keep")).toDF("id", "u", "v"))
+    settle()
+    val r = CdcApply.catchUp(src, tgt, keys)
+    assert(!rows(tgt).exists(_._1 == 99L))
+    assert(rows(tgt).exists(_ == ((50L, 0, "keep"))))
+    assert(rows(tgt) === rows(src))
+    assert(r.deleted <= 1L) // ghost's delete may or may not find a row
+  }
+
+  test("delete-then-reinsert inside one window lands the reinserted content") {
+    import spark.implicits._
+    val src = mkSource()
+    val tgt = mkTarget()
+    CdcApply.applyTo(src, tgt, keys)
+    src.deleteWhere(col("id") === 4L)
+    src.insert(Seq((4L, 4, "reborn")).toDF("id", "u", "v"))
+    settle()
+    CdcApply.catchUp(src, tgt, keys)
+    assert(rows(tgt).exists(_ == ((4L, 4, "reborn"))))
+    assert(rows(tgt) === rows(src))
+  }
+
+  test("maintenance between windows is silent and idle polls write no commits") {
+    val src = mkSource()
+    val tgt = mkTarget()
+    CdcApply.applyTo(src, tgt, keys)
+    settle()
+    assert(src.optimize() >= 0)
+    settle()
+    val logsBefore = tgt.logio.currentLogFiles(tgt.root).size
+    val r = CdcApply.applyTo(src, tgt, keys)
+    assert(r.upserted === 0L && r.deleted === 0L)
+    assert(tgt.logio.currentLogFiles(tgt.root).size === logsBefore,
+      "an empty window must not commit to the target log")
+    assert(rows(tgt) === rows(src))
+  }
+
+  test("replaying an already-applied state converges instead of duplicating") {
+    import spark.implicits._
+    val src = mkSource()
+    val tgt = mkTarget()
+    CdcApply.applyTo(src, tgt, keys)
+    src.insert(Seq((30L, 0, "x")).toDF("id", "u", "v"))
+    settle()
+    CdcApply.catchUp(src, tgt, keys)
+    // crash-replay stand-in: a NEW generation has no watermark, so it
+    // re-runs initial sync over the already-populated replica — upsert
+    // must replace, not duplicate
+    val gen2 = CdcApply.reseed("default")
+    assert(gen2 === "default#gen1" && CdcApply.reseed(gen2) === "default#gen2")
+    val r = CdcApply.applyTo(src, tgt, keys, gen2)
+    assert(r.initialSync)
+    assert(tgt.read().count() === src.read().count())
+    assert(rows(tgt) === rows(src))
+  }
+
+  test("schema evolution in the window reaches the replica") {
+    import spark.implicits._
+    val src = mkSource()
+    val tgt = mkTarget()
+    CdcApply.applyTo(src, tgt, keys)
+    src.insert(Seq((40L, 1, "v40", "extra")).toDF("id", "u", "v", "w"))
+    settle()
+    CdcApply.catchUp(src, tgt, keys)
+    val w = tgt.read().where(col("id") === 40L).select("w").collect()
+    assert(w.map(_.getString(0)).toSeq === Seq("extra"))
+    assert(tgt.read().where(col("id") === 1L).select("w")
+      .collect().head.isNullAt(0))
+  }
+}
