@@ -100,43 +100,69 @@ object CdcApply {
 
       case Some(wm) =>
         val (feed, until) = ChangeFeed.betweenSettled(source, wm)
-        // collapse the window: latest commit wins per key; an update's
-        // same-ts image pair resolves to its insert half. One shuffle,
-        // window-bounded. localCheckpoint: finals feed BOTH the delete
-        // and the upsert branch — never recompute the feed's log-diff
-        // DAG twice (and never let the second branch see a different
-        // "current time" through it)
-        val pri = when(col(ChangeFeed.ChangeTypeCol) === "insert", 1).otherwise(0)
-        val w = Window.partitionBy(keyCols.map(col): _*)
-          .orderBy(col(ChangeFeed.CommitTsCol).desc, pri.desc)
-        val finals = feed
-          .withColumn("_cdc_rn", row_number().over(w))
-          .where(col("_cdc_rn") === 1)
-          .drop("_cdc_rn")
-          .localCheckpoint()
-        val counts: Map[String, Long] = finals
-          .groupBy(ChangeFeed.ChangeTypeCol).count().collect()
-          .map((r: Row) => r.getString(0) -> r.getLong(1)).toMap
-        if (counts.isEmpty)
-          // nothing changed: leave the watermark alone so an idle poll
-          // loop writes NOTHING to the target log (the unmoved bound
-          // just means the next window re-folds a little more metadata;
-          // replay of an already-applied prefix is idempotent anyway)
-          return ApplyResult(wm, 0L, 0L, initialSync = false)
-        val deleted =
-          if (counts.getOrElse("delete", 0L) == 0L) 0L
-          else target.deleteKeys(
-            finals.where(col(ChangeFeed.ChangeTypeCol) === "delete")
-              .select(keyCols.map(col): _*), keyCols)
-        val upserted =
-          if (counts.getOrElse("insert", 0L) == 0L) 0L
-          else target.upsert(
-            finals.where(col(ChangeFeed.ChangeTypeCol) === "insert")
-              .drop(ChangeFeed.ChangeTypeCol, ChangeFeed.CommitTsCol),
-            keyCols)._2
-        commitWatermark(target, replicaId, until)
-        ApplyResult(until, upserted, deleted, initialSync = false)
+        applyChanges(feed, target, keyCols) match {
+          case None =>
+            // nothing changed: leave the watermark alone so an idle poll
+            // loop writes NOTHING to the target log (the unmoved bound
+            // just means the next window re-folds a little more
+            // metadata; replay of an already-applied prefix is
+            // idempotent anyway)
+            ApplyResult(wm, 0L, 0L, initialSync = false)
+          case Some((upserted, deleted)) =>
+            commitWatermark(target, replicaId, until)
+            ApplyResult(until, upserted, deleted, initialSync = false)
+        }
     }
+  }
+
+  /** The apply core: collapse a change frame (`_change_type` +
+    * `_commit_ts` + data columns, any window or micro-batch) to ONE
+    * final change per key, then apply. None = the frame was empty
+    * (callers decide whether to move their own bookkeeping); otherwise
+    * (upserted, deleted). Idempotent: re-applying the same frame
+    * converges. Also the foreachBatch body of the STREAMING replica
+    * ([[graft.streaming.Streams.cdcReplicaSink]]), whose offsets live in
+    * the Structured Streaming checkpoint instead of the watermark
+    * record. A `'gap'` marker row (horizon-skip recovery) means changes
+    * were irrecoverably missed — applying it would silently fork the
+    * replica, so it throws; re-seed instead. */
+  def applyChanges(
+      changes: DataFrame,
+      target: IceTable,
+      keyCols: Seq[String]): Option[(Long, Long)] = {
+    require(keyCols.nonEmpty, "applyChanges requires at least one key column")
+    // collapse: latest commit wins per key; an update's same-ts image
+    // pair resolves to its insert half. One shuffle, window-bounded.
+    // localCheckpoint: finals feed BOTH the delete and the upsert branch
+    // — never recompute the upstream (log-diff or stream) DAG twice
+    val pri = when(col(ChangeFeed.ChangeTypeCol) === "insert", 1).otherwise(0)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(ChangeFeed.CommitTsCol).desc, pri.desc)
+    val finals = changes
+      .withColumn("_cdc_rn", row_number().over(w))
+      .where(col("_cdc_rn") === 1)
+      .drop("_cdc_rn")
+      .localCheckpoint()
+    val counts: Map[String, Long] = finals
+      .groupBy(ChangeFeed.ChangeTypeCol).count().collect()
+      .map((r: Row) => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return None
+    require(!counts.contains("gap"),
+      "change frame contains a horizon-skip gap marker: changes before " +
+        "the consolidation floor are unrecoverable, the replica must be " +
+        "re-seeded (CdcApply.reseed / a fresh initial sync)")
+    val deleted =
+      if (counts.getOrElse("delete", 0L) == 0L) 0L
+      else target.deleteKeys(
+        finals.where(col(ChangeFeed.ChangeTypeCol) === "delete")
+          .select(keyCols.map(col): _*), keyCols)
+    val upserted =
+      if (counts.getOrElse("insert", 0L) == 0L) 0L
+      else target.upsert(
+        finals.where(col(ChangeFeed.ChangeTypeCol) === "insert")
+          .drop(ChangeFeed.ChangeTypeCol, ChangeFeed.CommitTsCol),
+        keyCols)._2
+    Some((upserted, deleted))
   }
 
   /** Run [[applyTo]] until a window comes back empty — catch-up /

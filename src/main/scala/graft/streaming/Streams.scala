@@ -173,4 +173,43 @@ object Streams {
         ()
       }
       .start()
+
+  /** CONTINUOUS replication: tail the source's streaming change feed and
+    * apply every micro-batch onto the replica — the streaming form of
+    * [[graft.ice.CdcApply.applyTo]]. Offsets live in the Structured
+    * Streaming checkpoint (no watermark record on the target); a crash
+    * replays the last batch, and [[graft.ice.CdcApply.applyChanges]] is
+    * idempotent, so the replica converges — the same effectively-once
+    * contract as the batch path. The replica must START in sync with the
+    * stream's first offset: either an empty target with the stream
+    * reading from `startingTimestamp = 0`, or a
+    * [[graft.ice.CdcApply.applyTo]] initial sync with the stream started
+    * from that watermark. A horizon-skip gap marker in a batch fails the
+    * query loudly (a forked replica is worse than a dead stream).
+    *
+    * Scale shape: each micro-batch is one window-bounded collapse
+    * shuffle plus affected-file-bounded rewrites — batch size, never
+    * table size. */
+  def cdcReplicaSink(
+      source: IceTable,
+      target: IceTable,
+      keyCols: Seq[String],
+      checkpoint: String,
+      startingTimestamp: Long = 0L,
+      trigger: Trigger = Trigger.ProcessingTime("3 seconds")): StreamingQuery =
+    source.spark.readStream
+      .format("ice")
+      .option("path", source.root)
+      .option("changeFeed", "true")
+      .option("startingTimestamp", startingTimestamp.toString)
+      .load()
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ice.CdcApply.applyChanges(batch, target, keyCols)
+        ()
+      }
+      .start()
 }
