@@ -37,6 +37,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (every other surface applies the overlay itself) — see
     // [[graft.plans.IceDvOverlay]]
     e.injectResolutionRule(sp => new graft.plans.IceDvOverlay(sp))
+    // `SELECT ... FROM table_changes('t', since[, until])` — the change
+    // feed's SQL spelling (Delta's CDF TVF shape). A registry TVF, not a
+    // resolution rule: ResolveFunctions fails unknown TVFs before
+    // extension resolution rules run
+    e.injectTableFunction((FunctionIdentifier("table_changes"),
+      info("table_changes",
+        "table_changes(table, since[, until]) - row-level changes of a graft table in (since, until], epoch millis"),
+      (es: Seq[Expression]) => graft.plans.IceSqlResolution.tableChangesPlan(es)))
     e.injectFunction((FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - codegen'd array dot product"),
       (es: Seq[Expression]) => DotProduct(es(0), es(1))))

@@ -244,6 +244,20 @@ object SparkEntry {
         .withColumn("in_sync", lit(drift == 0L))
         .orderBy("event_type")
     }),
+    "b40_sql_changes" -> ((s, d) => {
+      // SQL spelling of the change feed: the Delta-CDF-shaped
+      // table_changes('t', since) TVF resolves through IceSqlResolution
+      // to ChangeFeed.between's (since, until] window — same change
+      // multiset as a41, reached purely from SQL
+      val fx = Fixtures.eventsChangeFeed(s, d)
+      val f = new java.io.File(fx.table.root)
+      s.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      s.sql(s"""SELECT _change_type, count(*) AS cnt,
+          CAST(sum(event_id) AS BIGINT) AS sum_id,
+          count(DISTINCT event_type) AS types
+        FROM table_changes('${f.getName}', ${fx.sinceTs})
+        GROUP BY _change_type ORDER BY _change_type""")
+    }),
     "a40_manifest_export" -> ((s, d) => {
       // foreign-engine manifest (ManifestExport): the snapshot's alive
       // files + schema + dv files exported as static JSON (plus a
@@ -2261,6 +2275,16 @@ object SparkEntry {
         "SELECT _change_type, count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id " +
         "FROM changes GROUP BY 1 ORDER BY 1"),
     "a41_change_feed" ->
+      ("WITH ev AS (SELECT event_id, user_id, event_type FROM events), " +
+        "changes AS (" +
+        "SELECT 'insert' AS _change_type, event_id, event_type FROM ev WHERE event_id % 2 = 1 " +
+        "UNION ALL SELECT 'insert', event_id, 'redacted' FROM ev WHERE user_id % 23 = 7 " +
+        "UNION ALL SELECT 'delete', event_id, event_type FROM ev WHERE user_id % 23 = 7 " +
+        "UNION ALL SELECT 'delete', event_id, event_type FROM ev WHERE user_id % 23 = 8) " +
+        "SELECT _change_type, count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id, " +
+        "count(DISTINCT event_type) AS types " +
+        "FROM changes GROUP BY 1 ORDER BY 1"),
+    "b40_sql_changes" ->
       ("WITH ev AS (SELECT event_id, user_id, event_type FROM events), " +
         "changes AS (" +
         "SELECT 'insert' AS _change_type, event_id, event_type FROM ev WHERE event_id % 2 = 1 " +

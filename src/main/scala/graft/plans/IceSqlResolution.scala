@@ -49,6 +49,11 @@ import org.apache.spark.sql.types.{NumericType, TimestampType}
   * explicit maintenance decision (`removePartitions` /
   * `rewritePartition`), never a write mode's side effect.
   *
+  * The change feed has a SQL spelling too:
+  * `SELECT * FROM table_changes('t', since_ms[, until_ms])` resolves to
+  * [[graft.ice.ChangeFeed.between]]'s `(since, until]` window — Delta's
+  * CDF table-valued function shape.
+  *
   * Injected by [[graft.GraftExtensions]]; activates only when
   * `spark.graft.warehouse` is set, and leaves any name it cannot resolve
   * untouched so Spark's normal missing-table error still fires.
@@ -321,6 +326,54 @@ object IceSqlResolution {
   private[plans] def bareTable(
       spark: SparkSession, root: String): IceTable =
     IceTable.open(spark, root)
+
+  /** Builder for the `table_changes('t', since[, until])` table-valued
+    * function (registered by [[graft.GraftExtensions]] — a registry TVF,
+    * not a resolution-rule rewrite, because the analyzer's
+    * ResolveFunctions fails unknown TVFs before extension rules run):
+    * Delta's CDF TVF shape over [[graft.ice.ChangeFeed.between]]'s
+    * `(since, until]` window. Bounds take integral epoch millis (the
+    * log's native unit, passed through raw — ChangeFeed owns the window
+    * inclusivity discipline) or anything castable to timestamp. Only the
+    * driver-side log fold runs at resolution; the data stays a
+    * distributed plan. */
+  private[graft] def tableChangesPlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val spark = SparkSession.active
+    def fail(msg: String) = throw new IllegalArgumentException(
+      s"table_changes(table, since[, until]): $msg")
+    if (args.length < 2 || args.length > 3)
+      fail(s"expected 2 or 3 arguments, got ${args.length}")
+    val catalog = spark.conf.getOption(CatalogKey).getOrElse("graft")
+    val warehouse = spark.conf.getOption(WarehouseKey).filter(_.nonEmpty)
+      .getOrElse(fail(s"$WarehouseKey is not set"))
+    val name = args.head match {
+      case e if e.foldable && e.dataType == org.apache.spark.sql.types.StringType =>
+        Option(e.eval()).map(_.toString).getOrElse(fail("table name is null"))
+      case _ => fail("the table name must be a string literal")
+    }
+    val bare = name.split("\\.", 2) match { // optional `graft.` prefix peels
+      case Array(c, x) if c.equalsIgnoreCase(catalog) => x
+      case _ => name
+    }
+    if (!safeName(bare)) fail(s"unsafe table name: '$bare'")
+    val (root, ok) = probeRootAt(spark, warehouse, bare)
+    if (!ok) fail(s"graft table '$bare' does not exist")
+    def tsMs(e: Expression, what: String): Long = e.dataType match {
+      case _: NumericType =>
+        Option(e.eval()).map(v => new java.math.BigDecimal(v.toString).longValue)
+          .getOrElse(fail(s"$what is null"))
+      case _ =>
+        val zone = spark.sessionState.conf.sessionLocalTimeZone
+        Option(Cast(e, TimestampType, Some(zone)).eval())
+          .map(_.asInstanceOf[Long] / 1000L)
+          .getOrElse(fail(s"$what is not a timestamp"))
+    }
+    val since = tsMs(args(1), "since")
+    val until = args.lift(2).map(tsMs(_, "until")).getOrElse(Long.MaxValue)
+    val df = graft.ice.ChangeFeed.between(IceTable.open(spark, root), since, until)
+    SubqueryAlias(Seq(catalog, "table_changes"), df.queryExecution.analyzed)
+  }
 }
 
 /** `DELETE FROM graft.<t> WHERE ...` → [[IceTable.deleteWhere]] (atomic

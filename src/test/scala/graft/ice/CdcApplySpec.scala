@@ -116,6 +116,40 @@ class CdcApplySpec extends SparkSpec {
     assert(rows(tgt) === rows(src))
   }
 
+  test("randomized DML sequences converge the replica at every sync point") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L) // deterministic
+    val src = mkSource()
+    val tgt = mkTarget()
+    CdcApply.applyTo(src, tgt, keys)
+    var nextId = 100L
+    (1 to 4).foreach { round =>
+      // 3 random ops per window from {append, update, CoW delete, MoR
+      // delete, compact}; compaction must be change-feed-silent
+      (1 to 3).foreach { _ =>
+        rnd.nextInt(5) match {
+          case 0 =>
+            src.insert(Seq((nextId, rnd.nextInt(5), s"n$nextId"))
+              .toDF("id", "u", "v"))
+            nextId += 1
+          case 1 =>
+            val pick = 1L + rnd.nextInt(20)
+            src.updateWhere(col("id") === pick,
+              Seq("v" -> lit(s"r$round-$pick")))
+          case 2 =>
+            src.deleteWhere(col("id") === (1L + rnd.nextInt(20)))
+          case 3 =>
+            DeleteVectors.deleteWhere(src, col("id") === (1L + rnd.nextInt(20)))
+          case 4 =>
+            src.optimize()
+        }
+      }
+      settle()
+      CdcApply.catchUp(src, tgt, keys)
+      assert(rows(tgt) === rows(src), s"diverged after window $round")
+    }
+  }
+
   test("schema evolution in the window reaches the replica") {
     import spark.implicits._
     val src = mkSource()

@@ -191,4 +191,37 @@ class IceSqlResolutionSpec extends SparkSpec {
       spark.sql("SELECT * FROM graft.`../inner`").collect()
     } finally spark.conf.unset(IceSqlResolution.WarehouseKey)
   }
+
+  test("table_changes('t', since[, until]) is the change feed in SQL") {
+    import graft.ice.{ChangeFeed, DeleteVectors, IceLogIO}
+    val wh = tmpDir("graft_sqlcdc")
+    val t = mkTable(wh, "cf")
+    val since = t.logio.currentLogFiles(t.root)
+      .map(f => IceLogIO.logFileInfo(f)._1).max
+    t.insert(spark.range(100, 103).select(col("id"),
+      lit("2024-01-03").as("d"), lit("new").as("v")))
+    t.updateWhere(col("id") === 2L, Seq("v" -> lit("upd")))
+    DeleteVectors.deleteWhere(t, col("id") === 7L)
+    spark.conf.set(IceSqlResolution.WarehouseKey, wh)
+    try {
+      val got = spark.sql(
+        s"SELECT _change_type, count(*) AS c FROM table_changes('cf', $since) GROUP BY 1")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // 3 appends + the update's insert image; the update's delete image
+      // + the MoR delete
+      assert(got === Map("insert" -> 4L, "delete" -> 2L))
+      // matches the API form exactly
+      assert(spark.sql(s"SELECT * FROM table_changes('graft.cf', $since)").count()
+        === ChangeFeed.between(t, since).count())
+      // an until bound excludes later commits; filters/projection compose
+      val upd = spark.sql(
+        s"SELECT v FROM table_changes('cf', $since) " +
+          "WHERE _change_type = 'insert' AND id = 2").collect()
+      assert(upd.map(_.getString(0)).toSeq === Seq("upd"))
+      // an unknown table leaves the TVF unresolved -> analyzer error
+      intercept[Exception] {
+        spark.sql(s"SELECT * FROM table_changes('nope', 0)").collect()
+      }
+    } finally spark.conf.unset(IceSqlResolution.WarehouseKey)
+  }
 }
