@@ -712,6 +712,38 @@ object Fixtures {
       (index, stats)
     }
 
+  /** Feed-synced text index (TextIndex.syncFromFeed): the corpus lives in
+    * an ice table, the index follows its CHANGE FEED — initial build,
+    * then a DML window (CoW update appending query terms, MoR delete,
+    * fresh inserts) applied incrementally; the query must match a
+    * from-scratch BM25 over the final corpus. Mutations mirror
+    * SparkEntry.Bm25SyncReplaySql exactly. */
+  def docsTextIndexSync(
+      spark: SparkSession, sfDir: String): (IceTable, IceTable, IceTable) =
+    memo(s"$sfDir#textsync") {
+      import graft.ice.DeleteVectors
+      import graft.operators.TextIndex
+      val docs = raw(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+      val src = new IceTable(spark, newRoot("tsyncsrc"), IceTableConfig(
+        partitionExpr = concat(lit("p="), pmod(col("doc_id"), lit(8))),
+        sortOrder = Seq("doc_id")))
+      src.insert(docs)
+      val index = new IceTable(spark, newRoot("tsynci"),
+        TextIndex.indexConfig(buckets = 64))
+      val stats = new IceTable(spark, newRoot("tsyncs"), TextIndex.statsConfig)
+      val dels = new IceTable(spark, newRoot("tsyncd"), TextIndex.deleteConfig)
+      TextIndex.syncFromFeed(src, index, stats, dels, "doc_id", "text")
+      src.updateWhere(pmod(col("doc_id"), lit(41)) === 3,
+        Seq("text" -> concat(col("text"), lit(" spark spark window"))))
+      DeleteVectors.deleteWhere(src, pmod(col("doc_id"), lit(37)) === 5)
+      src.insert(docs.where(pmod(col("doc_id"), lit(53)) === 1)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          lit("spark window fresh doc").as("text")))
+      Thread.sleep(5) // settled bounds are now-1
+      TextIndex.syncFromFeed(src, index, stats, dels, "doc_id", "text")
+      (index, stats, dels)
+    }
+
   /** MinHash signature-index pair (SigIndex): band + signature ice tables
     * over the documents corpus, built in two incremental appends then
     * compacted — the continuous-crawl near-dup fixture for

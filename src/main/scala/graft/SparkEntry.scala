@@ -1759,6 +1759,19 @@ object SparkEntry {
         Seq("spark", "query", "window"), buckets = 64, k = 10)
         .orderBy(col("score").desc, col("doc_id"))
     }),
+    "llm_bm25_sync" -> ((s, d) => {
+      // Feed-maintained index (TextIndex.syncFromFeed): the corpus table
+      // took a CoW update + MoR delete + fresh inserts AFTER the initial
+      // build; the index followed the change feed incrementally (gen-
+      // scoped delete markers retire exactly the replaced versions) and
+      // must reproduce a from-scratch BM25 over the final corpus
+      // bit-for-bit — DuckDB replays that final corpus directly
+      val (index, stats, dels) = Fixtures.docsTextIndexSync(s, d)
+      TextIndex.bm25TopK(index, stats,
+        Seq("spark", "query", "window"), buckets = 64, k = 10,
+        deletes = Some(dels))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
     "llm_text_normalize" -> ((s, d) => {
       // Web-text cleaning chain (TextFunctions.normalizeText): markup
       // strip -> entity unescape -> smart-punctuation/NBSP/control
@@ -2817,6 +2830,7 @@ object SparkEntry {
     // the full-scan form — one replay grades both
     "llm_bm25_index" -> Bm25ReplaySql,
     "llm_bm25_search" -> Bm25ReplaySql,
+    "llm_bm25_sync" -> Bm25SyncReplaySql,
     // the identical normalization chain, step for step, RE2-side
     "llm_text_normalize" ->
       ("SELECT doc_id, md5(trim(regexp_replace(" +
@@ -3134,10 +3148,12 @@ object SparkEntry {
   // DuckDB replays BM25 end-to-end: same tokenization, same corpus
   // stats, same EXPLICITLY ORDERED contribution sum (term 0 first —
   // summation order is the only FP freedom), scores rounded to 4.
-  // Shared by llm_bm25_search (full-scan path) and llm_bm25_index (the
-  // persisted-index path, which must be bit-identical to it).
-  private val Bm25ReplaySql: String =
-    "WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t FROM documents), " +
+  // Shared by llm_bm25_search (full-scan path), llm_bm25_index (the
+  // persisted-index path, which must be bit-identical to it), and
+  // llm_bm25_sync (the feed-maintained index over a MUTATED corpus —
+  // same replay, different corpus CTE).
+  private def bm25ReplayBody(corpus: String): String =
+    "tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t FROM " + corpus + "), " +
       "pd AS (SELECT doc_id, count(*) AS dl, " +
       "sum(CASE WHEN t = 'spark' THEN 1 ELSE 0 END) AS tf0, " +
       "sum(CASE WHEN t = 'query' THEN 1 ELSE 0 END) AS tf1, " +
@@ -3153,4 +3169,18 @@ object SparkEntry {
       "FROM pd, st) " +
       "SELECT doc_id, round(score, 4) AS score FROM sc WHERE score > 0 " +
       "ORDER BY score DESC, doc_id LIMIT 10"
+
+  private val Bm25ReplaySql: String = "WITH " + bm25ReplayBody("documents")
+
+  // The feed-synced index's corpus after the fixture's DML: docs with
+  // user_id-free deterministic mutations — %41==3 got ' spark spark
+  // window' appended, %37==5 were MoR-deleted, and fresh docs entered at
+  // doc_id+10000000 (mirrors Fixtures.docsTextIndexSync exactly).
+  private val Bm25SyncReplaySql: String =
+    "WITH corpus AS (" +
+      "SELECT doc_id, CASE WHEN doc_id % 41 = 3 THEN text || ' spark spark window' ELSE text END AS text " +
+      "FROM documents WHERE doc_id % 37 <> 5 " +
+      "UNION ALL SELECT doc_id + 10000000, 'spark window fresh doc' " +
+      "FROM documents WHERE doc_id % 53 = 1), " +
+      bm25ReplayBody("corpus")
 }

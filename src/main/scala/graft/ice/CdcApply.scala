@@ -55,8 +55,13 @@ object CdcApply {
 
   /** The replica's last applied settled bound, if it has ever synced. */
   def watermark(target: IceTable, replicaId: String = "default"): Option[Long] =
-    target.trySnapshot(Long.MaxValue)
-      .flatMap(_.streamCommits.get(wmKey(replicaId)))
+    readMark(target, wmKey(replicaId))
+
+  /** The raw mark channel, for OTHER feed consumers (e.g. the text-index
+    * sync) that keep their own progress on one of their tables under
+    * their own key namespace. */
+  private[graft] def readMark(t: IceTable, key: String): Option[Long] =
+    t.trySnapshot(Long.MaxValue).flatMap(_.streamCommits.get(key))
 
   /** Recovery after a source cleanup consolidated history past the
     * watermark (the next [[applyTo]] throws unattributable): stream
@@ -192,12 +197,15 @@ object CdcApply {
     * the log format has no objection; the fold sees no markers and one
     * (idempotent) schema re-accumulation. */
   private def commitWatermark(
-      target: IceTable, replicaId: String, until: Long): Unit = {
+      target: IceTable, replicaId: String, until: Long): Unit =
+    commitMark(target, wmKey(replicaId), until)
+
+  private[graft] def commitMark(t: IceTable, key: String, ts: Long): Unit = {
     val sch = new Schema
-    target.trySnapshot(Long.MaxValue)
+    t.trySnapshot(Long.MaxValue)
       .foreach(s => sch.accumulate(s.schema.columns, s.schema.types))
-    target.logio.append(target.root, 1, sch, Seq.empty,
-      streamCommits = Map(wmKey(replicaId) -> until),
-      tableCfg = target.persistedCfg)
+    t.logio.append(t.root, 1, sch, Seq.empty,
+      streamCommits = Map(key -> ts),
+      tableCfg = t.persistedCfg)
   }
 }

@@ -25,9 +25,12 @@ import org.apache.spark.sql.functions._
   *  - incremental by construction: new batches append postings + one
   *    stats row; no read-modify-write of existing index data, so ingest
   *    never contends with queries (MVCC snapshots) and compaction is the
-  *    ordinary background merge. Append-only corpus semantics: re-ingesting
-  *    a changed document requires a partition rewrite of its old postings
-  *    (the GDPR path), exactly like any lakehouse upsert.
+  *    ordinary background merge. Mutating corpora stay incremental too:
+  *    [[syncFromFeed]] follows the corpus table's row-level change feed
+  *    — updates and deletes become appended delete MARKERS (gen-scoped,
+  *    see [[deleteConfig]]) plus fresh postings, never a rewrite of
+  *    existing index partitions; a periodic per-bucket rewrite (the GDPR
+  *    path) garbage-collects dead versions for real.
   *
   * Scoring reproduces [[Search.bm25TopK]] operation-for-operation (same
   * idf, same saturation, same explicitly ordered contribution sum, same
@@ -41,10 +44,17 @@ object TextIndex {
     pmod(xxhash64(term), lit(buckets.toLong))
 
   /** Config for the postings table: hash-bucket partitions, postings
-    * sorted (term, doc_id) within each file for row-group locality. */
+    * sorted (term, doc_id) within each file for row-group locality.
+    * The merge SQL is a replacing-dedup on the version key — postings
+    * duplicated by a crash-replayed [[syncFromFeed]] window are
+    * byte-identical, so compaction collapses them for real (the query
+    * side drops them on read until then). */
   def indexConfig(buckets: Int = 64): IceTableConfig = IceTableConfig(
     partitionExpr = concat(lit("b="), bucketOf(col("term"), buckets)),
-    sortOrder = Seq("term", "doc_id"))
+    sortOrder = Seq("term", "doc_id"),
+    customMergeSql = Some(
+      """select term, doc_id, gen, max(tf) as tf, max(dl) as dl
+        |from source_files group by term, doc_id, gen""".stripMargin))
 
   /** Config for the stats MV: one row per ingest batch at insert, one row
     * total after any merge — the uniqState/uniqMerge pattern with plain
@@ -61,17 +71,30 @@ object TextIndex {
         |cast(sum(sum_dl) as bigint) as sum_dl
         |from source_files""".stripMargin))
 
-  /** (term, doc_id, tf, dl) postings for one batch: one tokenization
+  /** (term, doc_id, tf, dl, gen) postings for one batch: one tokenization
     * scan, one (doc, term) aggregation, dl denormalized onto every
     * posting via a per-doc window. Empty terms are junk and excluded
-    * from the index (they can never be queried). */
-  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * from the index (they can never be queried).
+    *
+    * `gen` is the VERSION GENERATION (a commit timestamp for feed-driven
+    * maintenance, 0 for plain append-only batches): a delete marker with
+    * a larger gen kills these postings, one with the same gen does not —
+    * which is what lets an updated document re-enter the index without
+    * the marker shooting down its own replacement. */
+  def postings(docs: DataFrame, idCol: String, textCol: String,
+      gen: Long = 0L): DataFrame =
+    postingsWithGen(docs, idCol, textCol, lit(gen))
+
+  private def postingsWithGen(docs: DataFrame, idCol: String,
+      textCol: String, genCol: Column): DataFrame = {
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      genCol.cast("long").as("gen"),
       explode(TextFunctions.tokens(col(textCol))).as("term"))
       .where(length(col("term")) > 0)
-    val perTerm = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val perTerm = toks.groupBy("doc_id", "gen", "term").agg(count(lit(1)).as("tf"))
     perTerm.withColumn("dl",
-      sum("tf").over(Window.partitionBy("doc_id")).cast("long"))
+        sum("tf").over(Window.partitionBy("doc_id", "gen")).cast("long"))
+      .select("doc_id", "term", "tf", "dl", "gen") // gen last: batch callers
   }
 
   /** One (doc_id, dl) row per doc — the batch input for the stats MV
@@ -92,8 +115,9 @@ object TextIndex {
   /** Index one batch of documents: postings append + stats append, each
     * its own atomic commit. */
   def indexBatch(index: IceTable, stats: IceTable,
-      docs: DataFrame, idCol: String, textCol: String): Unit = {
-    index.insert(postings(docs, idCol, textCol))
+      docs: DataFrame, idCol: String, textCol: String,
+      gen: Long = 0L): Unit = {
+    index.insert(postings(docs, idCol, textCol, gen))
     stats.insert(docStats(docs, idCol, textCol))
   }
 
@@ -107,19 +131,114 @@ object TextIndex {
   def deleteConfig: IceTableConfig = IceTableConfig(
     partitionExpr = lit("all"),
     sortOrder = Seq("doc_id"),
-    // deletes are idempotent: re-marking a doc collapses to one marker at
-    // compaction, and the query side dedups un-compacted repeats too
+    // deletes are idempotent PER VERSION: re-marking a (doc, gen)
+    // collapses to one marker at compaction, and the query side dedups
+    // un-compacted repeats too; distinct gens of one doc are distinct
+    // dead versions and each subtracts its own dl from the stats
     customMergeSql = Some(
-      "select doc_id, max(dl) as dl from source_files group by doc_id"))
+      "select doc_id, gen, max(dl) as dl from source_files group by doc_id, gen"))
 
-  /** Mark documents deleted: one atomic append of their (doc_id, dl)
-    * rows (same universe rule as [[docStats]], so stats adjust exactly).
+  /** Mark document VERSIONS deleted: one atomic append of their
+    * (doc_id, dl, gen) rows (same universe rule as [[docStats]], so
+    * stats adjust exactly). A marker kills postings of the same doc with
+    * a STRICTLY SMALLER gen — the default `Long.MaxValue` keeps the old
+    * "kill everything for this doc" behavior for append-only corpora.
     * Idempotent end-to-end: repeated markers dedup at query time and
     * collapse to one row at compaction. */
   def deleteDocs(deletes: IceTable,
-      docs: DataFrame, idCol: String, textCol: String): Unit = {
-    deletes.insert(docStats(docs, idCol, textCol))
+      docs: DataFrame, idCol: String, textCol: String,
+      gen: Long = Long.MaxValue): Unit = {
+    deletes.insert(docStats(docs, idCol, textCol).withColumn("gen", lit(gen)))
     ()
+  }
+
+  /** Keep the index CURRENT as its corpus table mutates — DML-driven
+    * incremental maintenance over the row-level change feed, so a 100 TB
+    * corpus never needs a full reindex after updates/deletes:
+    *
+    *  - first call = INITIAL BUILD: the corpus snapshot at a settled
+    *    bound indexes wholesale (gen = that bound, pinned on the deletes
+    *    table BEFORE building so a crash-replay rebuilds the byte-same
+    *    batch);
+    *  - each later call reads the changes since the recorded watermark
+    *    and applies EVERY image as a version event: each insert image
+    *    becomes that version's postings + stats row (gen = its commit
+    *    ts), each delete image becomes one delete marker (gen = its
+    *    commit ts, dl from the recovered deleted content). Births and
+    *    deaths always balance — a version that lives and dies inside one
+    *    window adds and subtracts the same dl, and its postings die to
+    *    the doc's later-gen marker — so N/avgdl/scores equal a fresh
+    *    rebuild of the surviving corpus.
+    *
+    * The strict `p.gen < m.gen` kill rule in [[bm25TopK]] is what makes
+    * a marker retire every OLDER version while the update's OWN postings
+    * (same commit ts) survive. Compactions/reclusters of the corpus are
+    * feed-silent and cost nothing here.
+    *
+    * Effectively-once: each of the three appends is an
+    * [[graft.ice.IceTable.insertBatch]] keyed by the window bound, and
+    * the STATS batch record — committed last — IS the watermark, so
+    * stats (the only non-idempotent aggregate) move atomically with
+    * window completion. A crash between appends replays the window:
+    * already-applied marker/posting rows re-appear as byte-identical
+    * duplicates, which the query side drops (dropDuplicates on version
+    * keys) and compaction collapses for real ([[indexConfig]]'s merge
+    * SQL). Key-unique corpus contract (same as upsert): re-inserting a
+    * live doc_id without deleting it first is undefined.
+    *
+    * Returns (version births indexed, version deaths retired). */
+  def syncFromFeed(source: IceTable, index: IceTable, stats: IceTable,
+      deletes: IceTable, idCol: String, textCol: String,
+      replicaId: String = "default"): (Long, Long) = {
+    import graft.ice.{CdcApply, ChangeFeed}
+    val key = s"_idx_sync:$replicaId"
+    CdcApply.readMark(stats, key) match {
+      case None =>
+        // pin the initial bound FIRST: a crash mid-build replays with
+        // the SAME bound, so the rebuilt batch is byte-identical and
+        // insertBatch/dedup make the retry convergent
+        val until = CdcApply.readMark(deletes, s"$key:init").getOrElse {
+          val u = System.currentTimeMillis() - 1
+          CdcApply.commitMark(deletes, s"$key:init", u)
+          u
+        }
+        val n = source.trySnapshot(until + 1) match {
+          case None => 0L
+          case Some(_) =>
+            val docs = source.read(until + 1).localCheckpoint()
+            index.insertBatch(postings(docs, idCol, textCol, gen = until),
+              key, until)
+            val c = docs.count()
+            stats.insertBatch(docStats(docs, idCol, textCol), key, until)
+            c
+        }
+        if (n == 0) CdcApply.commitMark(stats, key, until)
+        (n, 0L)
+      case Some(wm) =>
+        val (feed, until) = ChangeFeed.betweenSettled(source, wm)
+        val f = feed.localCheckpoint()
+        val ins = f.where(col(ChangeFeed.ChangeTypeCol) === "insert")
+        val del = f.where(col(ChangeFeed.ChangeTypeCol) === "delete")
+        val nIns = ins.count()
+        val nDel = del.count()
+        if (nIns == 0 && nDel == 0) return (0L, 0L) // idle: commit nothing
+        if (nDel > 0) {
+          // the marker's dl comes from the DELETED content (the feed
+          // recovers it), so stats subtract exactly the indexed version
+          val t = TextFunctions.tokens(col(textCol))
+          deletes.insertBatch(del.where(t.isNotNull)
+            .select(col(idCol).cast("long").as("doc_id"),
+              size(t).cast("long").as("dl"),
+              col(ChangeFeed.CommitTsCol).as("gen")), key, until)
+        }
+        if (nIns > 0)
+          index.insertBatch(
+            postingsWithGen(ins, idCol, textCol, col(ChangeFeed.CommitTsCol)),
+            key, until)
+        // LAST: the stats batch record doubles as the watermark
+        stats.insertBatch(docStats(ins, idCol, textCol), key, until)
+        (nIns, nDel)
+    }
   }
 
   /** BM25 top-k from the index alone. Reads: the stats MV (O(#logs)
@@ -145,10 +264,17 @@ object TextIndex {
     // recorded at delete time), keeping N/avgdl — and so every score —
     // identical to a rebuild without them
     val (delN, delDl, delDf) = deletes match {
+      // a deletes table whose only commits are watermark records (e.g.
+      // syncFromFeed's `:init` pin before any marker) has no columns yet
       case None => (0L, 0L, None)
+      case Some(t) if !t.read(asOfTs).columns.contains("doc_id") =>
+        (0L, 0L, None)
       case Some(t) =>
-        val d = t.read(asOfTs).select(col("doc_id"), col("dl"))
-          .dropDuplicates("doc_id") // idempotent re-marking pre-compaction
+        val d = t.read(asOfTs).select(col("doc_id"), col("dl"),
+            coalesce(col("gen"), lit(Long.MaxValue)).as("gen"))
+          // idempotent re-marking pre-compaction; distinct gens of one
+          // doc are distinct dead VERSIONS, each subtracts its own dl
+          .dropDuplicates("doc_id", "gen")
         val r = d.agg(count(lit(1)).cast("long"), sum("dl").cast("long")).head()
         (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1), Some(d))
     }
@@ -158,10 +284,25 @@ object TextIndex {
     val parts = spark.range(1).select(terms.map(t =>
         bucketOf(lit(t), buckets)): _*).head()
       .toSeq.map(bkt => s"b=$bkt").toSet
-    val pruned0 = index.readPartitions(parts, asOfTs)
+    val pruned0raw = index.readPartitions(parts, asOfTs)
       .where(col("term").isin(terms: _*))
-    val pruned = delDf.fold(pruned0)(d =>
-      pruned0.join(broadcast(d.select("doc_id")), Seq("doc_id"), "left_anti"))
+    // postings written before the gen column existed read as null →
+    // gen 0; the version-key dedup drops crash-replay duplicates that
+    // compaction has not collapsed yet (K query terms' rows only —
+    // never a corpus-scale dedup)
+    val pruned0 = pruned0raw.withColumn("gen",
+        if (pruned0raw.columns.contains("gen"))
+          coalesce(col("gen"), lit(0L)) else lit(0L))
+      .dropDuplicates("term", "doc_id", "gen")
+    // a marker kills postings of the same doc with a STRICTLY smaller
+    // gen: an updated document's fresh postings (gen = the update's
+    // commit ts, equal to its marker's) survive their own marker
+    val pruned = delDf.fold(pruned0) { d =>
+      val mk = broadcast(d.groupBy("doc_id").agg(max("gen").as("_mgen")))
+      pruned0.join(mk,
+        pruned0("doc_id") === mk("doc_id") && pruned0("gen") < mk("_mgen"),
+        "left_anti")
+    }
     val dfByTerm = pruned.groupBy("term")
       .agg(countDistinct(col("doc_id")).as("_df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -128,6 +128,70 @@ class TextIndexSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("syncFromFeed keeps the index bit-identical to a full scan as the corpus mutates") {
+    import graft.ice.{DeleteVectors, IceTableConfig}
+    val src = new IceTable(spark, newRoot(), IceTableConfig(
+      partitionExpr = concat(lit("p="), pmod(col("doc_id"), lit(2))),
+      sortOrder = Seq("doc_id")))
+    src.insert(docs)
+    val index = new IceTable(spark, newRoot(), TextIndex.indexConfig(buckets = 8))
+    val stats = new IceTable(spark, newRoot(), TextIndex.statsConfig)
+    val dels = new IceTable(spark, newRoot(), TextIndex.deleteConfig)
+    assert(TextIndex.syncFromFeed(src, index, stats, dels, "doc_id", "text")
+      === ((5L, 0L)))
+    val terms = Seq("spark", "query", "window")
+    def fromIndex = TextIndex.bm25TopK(index, stats, terms, buckets = 8,
+        k = 10, deletes = Some(dels))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def fullScan = Search.bm25TopK(src.read(), "doc_id", "text", terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromIndex == fullScan)
+
+    // churn window: a doc updated TWICE (the middle version must cancel
+    // to zero), a MoR delete, a fresh insert, and an insert-then-delete
+    // (born and dead inside the window)
+    src.updateWhere($"doc_id" === 2L,
+      Seq("text" -> lit("window window spark revised text")))
+    src.updateWhere($"doc_id" === 2L,
+      Seq("text" -> lit("spark window twice updated query")))
+    DeleteVectors.deleteWhere(src, $"doc_id" === 4L)
+    src.insert(Seq((6L, "fresh spark window doc entering the corpus"))
+      .toDF("doc_id", "text"))
+    src.insert(Seq((7L, "ghost spark doc")).toDF("doc_id", "text"))
+    src.deleteWhere($"doc_id" === 7L)
+    Thread.sleep(3) // settled bounds are now-1
+    val (births, deaths) = TextIndex.syncFromFeed(
+      src, index, stats, dels, "doc_id", "text")
+    // births: doc2's two update versions + doc6 + doc7; deaths: doc2's
+    // original + its first update version + doc4 + doc7
+    assert(births === 4L && deaths === 4L)
+    assert(fromIndex == fullScan)
+    // the retired top-scorer is really gone, the new version scores
+    assert(!fromIndex.map(_._1).contains(4L))
+
+    // index-side maintenance never changes answers (merge SQL collapses
+    // version duplicates, stats re-sum)
+    index.optimize(maxFileSize = 1L << 30, maxFileCount = 100)
+    stats.optimize(maxFileSize = 1L << 30, maxFileCount = 100)
+    dels.optimize(maxFileSize = 1L << 30, maxFileCount = 100)
+    assert(fromIndex == fullScan)
+
+    // idle sync: nothing changed, no commits written anywhere
+    val logs = Seq(index, stats, dels)
+      .map(t => t.logio.currentLogFiles(t.root).size)
+    assert(TextIndex.syncFromFeed(src, index, stats, dels, "doc_id", "text")
+      === ((0L, 0L)))
+    assert(Seq(index, stats, dels)
+      .map(t => t.logio.currentLogFiles(t.root).size) === logs)
+
+    // corpus compaction is feed-silent: sync after optimize is idle too
+    src.optimize(maxFileSize = 1L << 30, maxFileCount = 100)
+    Thread.sleep(3)
+    assert(TextIndex.syncFromFeed(src, index, stats, dels, "doc_id", "text")
+      === ((0L, 0L)))
+    assert(fromIndex == fullScan)
+  }
+
   test("a query reads only its terms' bucket partitions") {
     val index = new IceTable(spark, newRoot(), TextIndex.indexConfig(buckets = 8))
     val stats = new IceTable(spark, newRoot(), TextIndex.statsConfig)
