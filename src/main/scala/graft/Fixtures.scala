@@ -744,6 +744,38 @@ object Fixtures {
       (index, stats, dels)
     }
 
+  /** Feed-synced signature index (SigIndex.syncFromFeed): the corpus
+    * lives in an ice table; after the initial build, long docs with
+    * `doc_id % 31 == 7` are REWRITTEN to reversed-token text (their
+    * shingle sets break — old signatures must retire) and those with
+    * `% 31 == 8` are MoR-deleted; the index follows the change feed.
+    * Probes against the ORIGINAL texts prove retirement; probes against
+    * untouched docs prove the index still finds live content. */
+  def docsSigIndexSync(spark: SparkSession, sfDir: String)
+      : (IceTable, IceTable, IceTable) =
+    memo(s"$sfDir#sigsync") {
+      import graft.ice.DeleteVectors
+      import graft.operators.SigIndex
+      val docs = raw(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+      val src = new IceTable(spark, newRoot("sigsyncsrc"), IceTableConfig(
+        partitionExpr = concat(lit("p="), pmod(col("doc_id"), lit(8))),
+        sortOrder = Seq("doc_id")))
+      src.insert(docs)
+      val bands = new IceTable(spark, newRoot("sigsyncb"), SigIndex.bandConfig)
+      val sigs = new IceTable(spark, newRoot("sigsyncg"), SigIndex.sigConfig)
+      val marks = new IceTable(spark, newRoot("sigsyncm"), SigIndex.marksConfig)
+      SigIndex.syncFromFeed(src, bands, sigs, marks, "doc_id", "text")
+      val long = length(col("text")) >= 400
+      src.updateWhere(long && pmod(col("doc_id"), lit(31)) === 7,
+        Seq("text" -> concat_ws(" ",
+          reverse(graft.functions.TextFunctions.tokens(col("text"))))))
+      DeleteVectors.deleteWhere(src,
+        long && pmod(col("doc_id"), lit(31)) === 8)
+      Thread.sleep(5) // settled bounds are now-1
+      SigIndex.syncFromFeed(src, bands, sigs, marks, "doc_id", "text")
+      (bands, sigs, marks)
+    }
+
   /** MinHash signature-index pair (SigIndex): band + signature ice tables
     * over the documents corpus, built in two incremental appends then
     * compacted — the continuous-crawl near-dup fixture for

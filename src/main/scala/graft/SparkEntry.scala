@@ -1772,6 +1772,35 @@ object SparkEntry {
         deletes = Some(dels))
         .orderBy(col("score").desc, col("doc_id"))
     }),
+    "llm_minhash_sync" -> ((s, d) => {
+      // Feed-synced signature index (SigIndex.syncFromFeed): after the
+      // corpus table rewrote %31==7 long docs (reversed tokens) and
+      // MoR-deleted %31==8, probes built from the ORIGINAL texts must
+      // no longer match their retired sources, while probes of untouched
+      // %31==9 docs must still find theirs
+      val (bands, sigs, marks) = Fixtures.docsSigIndexSync(s, d)
+      val docs = Fixtures.raw(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+      val long = length(col("text")) >= 400
+      val retiredProbes = docs
+        .where(long && (pmod(col("doc_id"), lit(31)) === 7 ||
+          pmod(col("doc_id"), lit(31)) === 8))
+        .select((col("doc_id") + PlantOffset).as("doc_id"),
+          concat(col("text"), lit(" extra trailing words here")).as("text"))
+      val liveProbes = docs
+        .where(long && pmod(col("doc_id"), lit(31)) === 9)
+        .select((col("doc_id") + 2 * PlantOffset).as("doc_id"),
+          concat(col("text"), lit(" extra trailing words here")).as("text"))
+      val m = SigIndex.nearDupsAgainstIndex(bands, sigs,
+        retiredProbes.unionByName(liveProbes), "doc_id", "text",
+        threshold = 0.5, marks = Some(marks)).cache()
+      val found = m.where(col("batch_id") - lit(2 * PlantOffset) === col("hist_id"))
+        .select(countDistinct("batch_id")).head.getLong(0)
+      val retired = m.where(col("batch_id") - lit(PlantOffset) === col("hist_id"))
+        .count()
+      import s.implicits._
+      Seq((found, retired)).toDF("planted_found", "retired_matched")
+    }),
     "llm_text_normalize" -> ((s, d) => {
       // Web-text cleaning chain (TextFunctions.normalizeText): markup
       // strip -> entity unescape -> smart-punctuation/NBSP/control
@@ -2503,6 +2532,12 @@ object SparkEntry {
     // source through the persisted index, reversed-text novels hit nothing
     "llm_minhash_index" ->
       "SELECT CAST(5 AS BIGINT) AS planted_found, CAST(0 AS BIGINT) AS novel_matched",
+    // every untouched %31==9 long doc's probe finds its source; probes
+    // of rewritten/deleted sources find NOTHING (their signatures retired)
+    "llm_minhash_sync" ->
+      ("SELECT CAST((SELECT count(*) FROM documents " +
+        "WHERE length(text) >= 400 AND doc_id % 31 = 9) AS BIGINT) AS planted_found, " +
+        "CAST(0 AS BIGINT) AS retired_matched"),
     // same replay as bruteforce, with the anchor-label filter applied
     // before ranking (c.vec_id != qid is implied: same id => same lang)
     "llm_hard_negatives" ->

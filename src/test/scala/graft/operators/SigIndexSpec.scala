@@ -66,4 +66,60 @@ class SigIndexSpec extends SparkSpec {
       .collect().map(r => r.getLong(1))
     assert(got.length == 10 && got.toSet == (1L to 10L).toSet) // smallest ids kept
   }
+
+  test("syncFromFeed: updates and deletes retire old signatures; the live corpus matches") {
+    import graft.ice.{DeleteVectors, IceTable, IceTableConfig}
+    val src = new IceTable(spark, newRoot(), IceTableConfig(
+      partitionExpr = concat(lit("p="), pmod(col("doc_id"), lit(2))),
+      sortOrder = Seq("doc_id")))
+    src.insert(history)
+    val bands = new IceTable(spark, newRoot(), SigIndex.bandConfig)
+    val sigs = new IceTable(spark, newRoot(), SigIndex.sigConfig)
+    val marks = new IceTable(spark, newRoot(), SigIndex.marksConfig)
+    assert(SigIndex.syncFromFeed(src, bands, sigs, marks, "doc_id", "text")
+      === ((3L, 0L)))
+    val probe = Seq(
+      // near-dup of doc 1's ORIGINAL text
+      (100L, "the quick brown fox jumps over the lazy dog near the river shore"),
+      // near-dup of doc 2's text
+      (101L, "spark executes distributed dataframe queries with catalyst and codegen"))
+      .toDF("doc_id", "text")
+    def hits = SigIndex.nearDupsAgainstIndex(bands, sigs, probe,
+        "doc_id", "text", threshold = 0.5, marks = Some(marks))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits === Set((100L, 1L), (101L, 2L)))
+
+    // doc 1 rewritten to unrelated content (CoW update), doc 2 deleted
+    // (MoR): both old signatures must retire; the new doc 1 matches a
+    // new probe
+    src.updateWhere($"doc_id" === 1L,
+      Seq("text" -> lit("weather balloons measure stratospheric pressure gradients daily")))
+    DeleteVectors.deleteWhere(src, $"doc_id" === 2L)
+    Thread.sleep(3)
+    val (births, deaths) = SigIndex.syncFromFeed(
+      src, bands, sigs, marks, "doc_id", "text")
+    assert(births === 1L && deaths === 2L)
+    assert(hits === Set.empty) // both old versions retired
+    val probe2 = Seq(
+      (200L, "weather balloons measure stratospheric pressure gradients hourly"))
+      .toDF("doc_id", "text")
+    assert(SigIndex.nearDupsAgainstIndex(bands, sigs, probe2,
+        "doc_id", "text", threshold = 0.5, marks = Some(marks))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((200L, 1L)))
+
+    // compaction collapses sync duplicates without changing answers
+    bands.optimize(maxFileSize = 1L << 30, maxFileCount = 100)
+    sigs.optimize(maxFileSize = 1L << 30, maxFileCount = 100)
+    marks.optimize(maxFileSize = 1L << 30, maxFileCount = 100)
+    assert(hits === Set.empty)
+
+    // idle sync commits nothing
+    val logs = Seq(bands, sigs, marks)
+      .map(t => t.logio.currentLogFiles(t.root).size)
+    assert(SigIndex.syncFromFeed(src, bands, sigs, marks, "doc_id", "text")
+      === ((0L, 0L)))
+    assert(Seq(bands, sigs, marks)
+      .map(t => t.logio.currentLogFiles(t.root).size) === logs)
+  }
 }
