@@ -180,12 +180,15 @@ object CdcApply {
       replicaId: String = "default",
       maxWindows: Int = 1000): ApplyResult = {
     var acc = applyTo(source, target, keyCols, replicaId)
+    // loop on the LAST round's outcome, not the accumulator — the sum
+    // stays positive forever once anything applied
+    var last = acc
     var rounds = 1
-    while ((acc.upserted > 0 || acc.deleted > 0 || acc.initialSync) &&
+    while ((last.upserted > 0 || last.deleted > 0 || last.initialSync) &&
         rounds < maxWindows) {
-      val r = applyTo(source, target, keyCols, replicaId)
-      acc = ApplyResult(r.watermark, acc.upserted + r.upserted,
-        acc.deleted + r.deleted, acc.initialSync)
+      last = applyTo(source, target, keyCols, replicaId)
+      acc = ApplyResult(last.watermark, acc.upserted + last.upserted,
+        acc.deleted + last.deleted, acc.initialSync)
       rounds += 1
     }
     acc

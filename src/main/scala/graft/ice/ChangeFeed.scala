@@ -84,6 +84,7 @@ object ChangeFeed {
     // broadcast (path → commit_ts) join) — a wide window over thousands
     // of appends must not build a thousand-part union plan
     val insertMarkers = scala.collection.mutable.Buffer.empty[(FileMarker, Long)]
+    val rewriteAlive = scala.collection.mutable.Set.empty[String]
     var prior = Map.empty[String, FileMarker]
     logs.foreach { lf =>
       val (ts, merged) = IceLogIO.logFileInfo(lf)
@@ -109,6 +110,7 @@ object ChangeFeed {
         if (!merged) {
           newAlive.foreach(m => insertMarkers += ((m, ts)))
         } else if (newAlive.nonEmpty || newDead.nonEmpty) {
+          rewriteAlive ++= newAlive.map(_.path)
           // rewrite diff. The tombstoned side applies the dv state AS OF
           // THIS commit: marks the rewrite already applied were reported
           // at their own dv commit and must cancel here, which makes pure
@@ -138,7 +140,11 @@ object ChangeFeed {
         .withColumn(ChangeTypeCol, lit("insert"))
     }
 
-    parts ++= dvDeleteParts(table, snap, sinceTs, untilTs)
+    // main paths whose rows re-entered via the window's own rewrite
+    // diffs — the dv resurrect side must not re-emit them
+    val mainNewlyAlive: Set[String] =
+      insertMarkers.iterator.map(_._1.path).toSet ++ rewriteAlive
+    parts ++= dvDeleteParts(table, snap, sinceTs, untilTs, mainNewlyAlive)
 
     if (parts.isEmpty) {
       shaped(table.readFiles(snap, Seq.empty), "insert", 0L).limit(0)
@@ -160,7 +166,7 @@ object ChangeFeed {
     * (one log fold per distinct commit ts), never a Spark job. */
   private def dvDeleteParts(
       table: IceTable, snap: IceSnapshot, sinceTs: Long,
-      untilTs: Long): Seq[DataFrame] = {
+      untilTs: Long, mainNewlyAlive: Set[String]): Seq[DataFrame] = {
     val dv = DeleteVectors.dvTable(table)
     // no-dv-table is the non-throwing empty list; a REAL listing failure
     // must propagate — swallowing it would silently drop the window's
@@ -171,6 +177,15 @@ object ChangeFeed {
     requireAttributable(
       dvLogs.map(f => LogMetadata.fromJson(dvFetched(f)(0))), sinceTs, dv.root)
 
+    dvMarkParts(table, snap, sinceTs, untilTs, dv, dvLogs, dvFetched) ++
+      dvResurrectParts(table, snap, sinceTs, untilTs, dv, dvLogs, dvFetched,
+        mainNewlyAlive)
+  }
+
+  private def dvMarkParts(
+      table: IceTable, snap: IceSnapshot, sinceTs: Long, untilTs: Long,
+      dv: IceTable, dvLogs: Seq[String],
+      dvFetched: Map[String, Array[String]]): Seq[DataFrame] = {
     val windowLogs = dvLogs.filter { f =>
       val (ts, merged) = IceLogIO.logFileInfo(f)
       !merged && ts > sinceTs && ts <= untilTs
@@ -233,6 +248,80 @@ object ChangeFeed {
       .withColumn(ChangeTypeCol, lit("delete"))
       .withColumnRenamed("_mts", CommitTsCol)
     Seq(rows)
+  }
+
+  /** `'insert'` rows for UN-deletes: mark files RETIRED in the window
+    * (RESTORE's dv rollback is the producer that matters) resurrect the
+    * rows they covered. A retired pair emits only if, at the retirement
+    * commit: (a) no OTHER alive mark still covers it — which silences dv
+    * COMPACTION, whose merged re-list keeps an alive copy of every pair
+    * it retires; (b) its main file is alive — which silences [[
+    * DeleteVectors.vacuum]], whose retired marks point at dead files;
+    * and (c) its main file did not re-enter via the window's own main-
+    * side diffs — revived files already emitted their rows. One bounded
+    * job per distinct retirement commit ts (restores are rare,
+    * maintenance-grade events; a window holds at most a few). */
+  private def dvResurrectParts(
+      table: IceTable, snap: IceSnapshot, sinceTs: Long, untilTs: Long,
+      dv: IceTable, dvLogs: Seq[String],
+      dvFetched: Map[String, Array[String]],
+      mainNewlyAlive: Set[String]): Seq[DataFrame] = {
+    var prior = Map.empty[String, FileMarker]
+    val dead = scala.collection.mutable.Buffer.empty[(FileMarker, Long)]
+    dvLogs.foreach { lf =>
+      val ts = IceLogIO.logFileInfo(lf)._1
+      val meta = LogMetadata.fromJson(dvFetched(lf)(0))
+      val markers = dv.logio.parseLog(lf, dvFetched(lf))._2
+      if (ts <= sinceTs || ts > untilTs || meta.cleanedHorizon.nonEmpty) {
+        if (ts <= sinceTs || meta.cleanedHorizon.nonEmpty)
+          markers.foreach(m => prior = prior.updated(m.path, m))
+      } else {
+        markers.filter(m => m.tombstone.nonEmpty &&
+            prior.get(m.path).exists(_.tombstone.isEmpty))
+          .foreach(m => dead += ((m, ts)))
+        markers.foreach(m => prior = prior.updated(m.path, m))
+      }
+    }
+    if (dead.isEmpty) return Seq.empty
+    val spark = table.spark
+    val dvSchema = dv.snapshot(Long.MaxValue).schema.toStructType
+    dead.groupBy(_._2).toSeq.sortBy(_._1).map { case (ts, files) =>
+      val retired = spark.read.schema(dvSchema)
+        .parquet(files.toSeq.map { case (m, _) => s"${dv.root}/${m.path}" }: _*)
+        .select("path", "row_index").distinct()
+      // (a) pairs still covered by an alive mark at ts stay dead
+      val uncovered = dv.trySnapshot(ts + 1)
+        .filter(_.aliveFiles.nonEmpty)
+        .map(s => dv.readFiles(s, s.aliveFiles)
+          .select("path", "row_index").distinct())
+        .fold(retired)(alive => retired.join(alive,
+          Seq("path", "row_index"), "left_anti"))
+      // (b) only rows of files alive in main at ts; (c) minus files the
+      // window's main diffs already re-emitted. Driver-side metadata
+      // fold; the allowed-path set joins as a broadcast frame (file-
+      // count scale — an isin literal list would not survive 10^5 files)
+      val aliveMain = table.snapshot(ts + 1).aliveFiles.map(_.path).toSet
+      import spark.implicits._
+      val allowed = (aliveMain -- mainNewlyAlive).toSeq.toDF("path")
+      val wanted = uncovered.join(broadcast(allowed), Seq("path"))
+        .localCheckpoint()
+      val paths = wanted.select("path").distinct()
+        .collect().map(_.getString(0)) // file-count scale
+      val dataCols = snap.schema.toStructType.fieldNames.toSeq
+      if (paths.isEmpty)
+        table.readFiles(snap, Seq.empty)
+          .withColumn(ChangeTypeCol, lit("insert"))
+          .withColumn(CommitTsCol, lit(ts)).limit(0)
+      else spark.read.schema(snap.schema.toStructType)
+        .parquet(paths.map(p => s"${table.root}/$p").toIndexedSeq: _*)
+        .withColumn("_dv_path", table.relPathCol)
+        .withColumn("_dv_row", col("_metadata.row_index"))
+        .join(wanted.select(col("path").as("_dv_path"),
+          col("row_index").as("_dv_row")), Seq("_dv_path", "_dv_row"))
+        .select(dataCols.map(c => col(s"`$c`")): _*)
+        .withColumn(ChangeTypeCol, lit("insert"))
+        .withColumn(CommitTsCol, lit(ts))
+    }
   }
 
   /** The consolidation floor across the main AND `_dv` logs: the newest

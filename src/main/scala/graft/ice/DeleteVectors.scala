@@ -84,7 +84,21 @@ object DeleteVectors {
         .collect().map(_.getString(0)) // file-count scale, not rows
       val committed = IceTable.commitLock(main.root).synchronized {
         val alive = main.snapshot().aliveFiles.map(_.path).toSet
-        if (referenced.forall(alive)) { dv.insert(staged); true } else false
+        if (referenced.forall(alive)) {
+          // the mark covers rows of main commits up to NOW — commit the
+          // dv log STRICTLY after the newest main commit, so a same-
+          // millisecond insert-then-delete collapses to delete at the
+          // key level (the main and _dv logs are separate directories;
+          // the appender's same-ms bump cannot serialize across them).
+          // An insert that lands AFTER this fold is not covered by the
+          // mark, and keeps a later-or-equal ts — insert-wins ties then
+          // resolve it alive, also correct.
+          val mainMax = main.logio.currentLogFiles(main.root)
+            .map(f => IceLogIO.logFileInfo(f)._1).maxOption
+            .getOrElse(Long.MinValue)
+          dv.insertFloored(staged, Map.empty, mainMax + 1)
+          true
+        } else false
       }
       if (committed) return n
       attempts += 1

@@ -603,14 +603,26 @@ final class IceTable(
   /** [[insert]] whose log commit also records stream-commit bookkeeping —
     * the data files and the per-query batch id land in ONE atomic log PUT
     * (the exactly-once sink building block; use [[insertBatch]]). */
-  def insert(df0: DataFrame, streamCommits: Map[String, Long]): Seq[FileMarker] = {
+  def insert(df0: DataFrame, streamCommits: Map[String, Long]): Seq[FileMarker] =
+    insertFloored(df0, streamCommits, Long.MinValue)
+
+  /** [[insert]] with a commit-timestamp FLOOR: the commit lands at
+    * `max(now, minTs)`. Used by the dv appender to order a delete-mark
+    * commit STRICTLY after every main commit whose rows it covers, so
+    * key-level change-feed consumers (CdcApply's collapse, the index
+    * syncs' gen kill) resolve a same-millisecond insert-then-MoR-delete
+    * as delete-wins instead of resurrecting the row. */
+  private[graft] def insertFloored(
+      df0: DataFrame, streamCommits: Map[String, Long],
+      minTs: Long): Seq[FileMarker] = {
     // validate the POST-formatRow shape: the hook may legitimately change
     // column types (that is what lands in the files and the log), and
     // pre-hook validation would reject batches the hook converts
     val probed = preflight(cfg.formatRow.fold(df0)(f => f(df0)))
     val (markers, schema) = writeRouted(routeRows(df0))
     // One PUT = the transaction (icedb/icedb.py:217-219).
-    logio.append(root, 1, schema, markers, timestamp = Some(now()),
+    logio.append(root, 1, schema, markers,
+      timestamp = Some(math.max(now(), minTs)),
       streamCommits = streamCommits, tableCfg = persistedCfg)
     preflightSchema = Some(probed)
     maybeCheckpoint()

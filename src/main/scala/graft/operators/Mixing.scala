@@ -279,19 +279,23 @@ object Mixing {
       numBuckets: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val key = col(priorityCol).cast("double") * lit(-1.0) // asc == priority desc
-    val stats = df.agg(
-      sum(when(col(priorityCol).isNull.or(col(tokensCol).isNull), 1L)
-        .otherwise(0L)),
-      count(lit(1))).head
-    if (stats.getLong(1) == 0L) return df.limit(0) // empty input
-    require(stats.getLong(0) == 0L,
-      s"selectTokenBudget: ${stats.getLong(0)} rows have a null " +
+    val b = tokenBudgetBucketed(df, idCol, tokensCol, priorityCol, numBuckets)
+    // per-bucket sums -> exclusive driver-side prefix (bucket-count
+    // scale). The null-input validation rides THIS aggregation instead
+    // of a dedicated scan (null keys fall into the otherwise-bucket, so
+    // no row escapes the check) — one pass, not two, over the corpus
+    val sums0 = b.groupBy("_tb_b").agg(
+        sum(col(tokensCol)).cast("long").as("_s"),
+        sum(when(col(priorityCol).isNull.or(col(tokensCol).isNull), 1L)
+          .otherwise(0L)).as("_nulls"))
+      .collect()
+    if (sums0.isEmpty) return df.limit(0) // empty input
+    val nulls = sums0.map(_.getLong(2)).sum
+    require(nulls == 0L,
+      s"selectTokenBudget: $nulls rows have a null " +
         s"$priorityCol or $tokensCol — filter or default them first " +
         s"(a null priority would silently rank highest)")
-    val b = tokenBudgetBucketed(df, idCol, tokensCol, priorityCol, numBuckets)
-    // per-bucket sums -> exclusive driver-side prefix (bucket-count scale)
-    val sums = b.groupBy("_tb_b").agg(sum(col(tokensCol)).cast("long").as("_s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sums = sums0.map(r => r.getInt(0) -> r.getLong(1)).toMap
     val nb = sums.keySet.maxOption.getOrElse(0) + 1
     val offsets = (0 until nb).scanLeft(0L)((acc, i) => acc + sums.getOrElse(i, 0L))
     import spark.implicits._
@@ -332,6 +336,10 @@ object Mixing {
     // re-sort the <=cap survivors by the selection order for slicing
     val sample = df
       .select(key.as("_k"), col(idCol).as("_i"))
+      // boundaries come from non-null keys only; null-priority rows land
+      // in the otherwise-bucket and are rejected by the caller's check
+      // (which must FIRE, not be preempted by an NPE slicing a null key)
+      .where(col("_k").isNotNull)
       .withColumn("_h", xxhash64(col("_i"), col("_k")))
       .orderBy(col("_h"), col("_k"), col("_i")).limit(sampleCap)
       .select("_k", "_i")

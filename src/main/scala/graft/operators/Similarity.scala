@@ -578,8 +578,11 @@ object Similarity {
         }.toArray
       val lut: Seq[Seq[Double]] = (0 until m).map { j =>
         val off = j * dsub
-        val end = math.min(off + dsub, qv.length)
+        val end0 = math.min(off + dsub, qv.length)
         codebook(j).toSeq.map { cell =>
+          // ragged cells (trained from short sample vectors, the
+          // prefix-contract) bound the sum too — never index past them
+          val end = math.min(end0, off + cell.length)
           var s = 0.0; var i = off
           while (i < end) { s += qv(i) * cell(i - off); i += 1 }
           s

@@ -150,6 +150,21 @@ class CdcApplySpec extends SparkSpec {
     }
   }
 
+  test("a dv delete commits strictly after the newest main commit it covers") {
+    import spark.implicits._
+    def maxTs(t: IceTable): Long = t.logio.currentLogFiles(t.root)
+      .map(f => IceLogIO.logFileInfo(f)._1).max
+    val src = mkSource() // insert commits "now"
+    // NO sleep: the mark lands in the same wall millisecond as the
+    // insert it covers; the appender must still order it strictly later,
+    // or a key-level collapse (insert-wins ties) would resurrect the row
+    DeleteVectors.deleteWhere(src, col("id") === 1L)
+    assert(maxTs(DeleteVectors.dvTable(src)) > maxTs(src))
+    val tgt = mkTarget()
+    CdcApply.applyTo(src, tgt, keys)
+    assert(!rows(tgt).exists(_._1 == 1L))
+  }
+
   test("schema evolution in the window reaches the replica") {
     import spark.implicits._
     val src = mkSource()

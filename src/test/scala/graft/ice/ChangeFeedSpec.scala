@@ -144,4 +144,48 @@ class ChangeFeedSpec extends SparkSpec {
     assert(byType(ChangeFeed.between(t, horizon)) === Map("insert" -> 1L))
     assert(byType(ChangeFeed.between(t, cleanupTs)) === Map("insert" -> 1L))
   }
+
+  test("RESTORE's dv rollback resurrects rows in the feed; dv maintenance stays silent") {
+    import spark.implicits._
+    val t = mk()
+    val wh = new java.io.File(t.root).getParent
+    val name = new java.io.File(t.root).getName
+    Thread.sleep(2)
+    val preTs = System.currentTimeMillis()
+    Thread.sleep(2)
+    DeleteVectors.deleteWhere(t, col("id") === 7L)
+    val w1End = math.max(maxTs(t), maxTs(DeleteVectors.dvTable(t)))
+    assert(byType(ChangeFeed.between(t, 0L, w1End)) === Map("insert" -> 20L,
+      "delete" -> 1L))
+    // a replica synced AFTER the delete (no id 7) must converge across
+    // the rollback purely through the feed
+    val tgt = new IceTable(spark, tmpDir("graft_cdc_tgt"), IceTableConfig(
+      partitionExpr = concat(lit("m="), pmod(col("id"), lit(3))),
+      sortOrder = Seq("u")))
+    CdcApply.applyTo(t, tgt, Seq("id"))
+    assert(tgt.read().where(col("id") === 7L).count() === 0L)
+
+    spark.conf.set(graft.plans.IceSqlResolution.WarehouseKey, wh)
+    try spark.sql(s"RESTORE TABLE graft.`$name` TO TIMESTAMP AS OF $preTs").collect()
+    finally spark.conf.unset(graft.plans.IceSqlResolution.WarehouseKey)
+    // the un-delete is a feed event: one insert image with the row content
+    val w2 = ChangeFeed.between(t, w1End).cache()
+    assert(byType(w2) === Map("insert" -> 1L))
+    assert(w2.where(col("id") === 7L).select("v").head.getString(0) === "v7")
+    w2.unpersist()
+    Thread.sleep(3)
+    CdcApply.catchUp(t, tgt, Seq("id"))
+    assert(tgt.read().where(col("id") === 7L).count() === 1L)
+
+    // dv maintenance is still silent: a fresh delete, then mark
+    // compaction + materialize + vacuum contribute nothing
+    DeleteVectors.deleteWhere(t, col("id") === 8L)
+    val w3End = math.max(maxTs(t), maxTs(DeleteVectors.dvTable(t)))
+    assert(DeleteVectors.dvTable(t).optimize(
+      maxFileSize = 1L << 30, maxFileCount = 100) >= 0)
+    DeleteVectors.materialize(t)
+    DeleteVectors.vacuum(t)
+    assert(ChangeFeed.between(t, w3End).count() === 0L,
+      "mark compaction / materialize / vacuum must not resurrect")
+  }
 }
