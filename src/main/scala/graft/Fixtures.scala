@@ -776,6 +776,38 @@ object Fixtures {
       (bands, sigs, marks)
     }
 
+  final case class IvfSync(src: IceTable, root: String)
+
+  /** Feed-synced IVF ANN index (IvfIndex.syncFromFeed): the embeddings
+    * corpus lives in an ice table; after the initial build, `%31==2`
+    * vectors are negated (CoW update — they move across the space),
+    * `%23==5` are MoR-deleted, and fresh twins of `%29==1` enter at
+    * vec_id+1000000. The synced index must search the FINAL corpus:
+    * recall vs brute force over the live table, zero deleted ids. */
+  def embeddingsIvfSync(spark: SparkSession, sfDir: String): IvfSync =
+    memo(s"$sfDir#ivfsync") {
+      import graft.ice.DeleteVectors
+      import graft.operators.IvfIndex
+      val emb = raw(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val src = new IceTable(spark, newRoot("ivfsyncsrc"), IceTableConfig(
+        partitionExpr = concat(lit("p="), pmod(col("vec_id"), lit(8))),
+        sortOrder = Seq("vec_id")))
+      src.insert(emb)
+      val root = newRoot("ivfsyncidx")
+      IvfIndex.syncFromFeed(src, root, "vec_id", "embedding",
+        nlist = 8, lloydIterations = 2, dim = 64)
+      src.updateWhere(pmod(col("vec_id"), lit(31)) === 2,
+        Seq("embedding" -> transform(col("embedding"), x => -x)))
+      DeleteVectors.deleteWhere(src, pmod(col("vec_id"), lit(23)) === 5)
+      src.insert(emb.where(pmod(col("vec_id"), lit(29)) === 1)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding")))
+      Thread.sleep(5) // settled bounds are now-1
+      IvfIndex.syncFromFeed(src, root, "vec_id", "embedding",
+        nlist = 8, lloydIterations = 2, dim = 64)
+      IvfSync(src, root)
+    }
+
   /** MinHash signature-index pair (SigIndex): band + signature ice tables
     * over the documents corpus, built in two incremental appends then
     * compacted — the continuous-crawl near-dup fixture for

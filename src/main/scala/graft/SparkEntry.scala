@@ -1178,6 +1178,30 @@ object SparkEntry {
         IvfIndex.search(t, queries, "qid", "qvec", k = 10, nprobe = 5, dim = 64)
       })
     }),
+    "llm_ann_sync" -> ((s, d) => {
+      // Feed-synced IVF index (IvfIndex.syncFromFeed): after the corpus
+      // table negated %31==2 vectors, MoR-deleted %23==5, and appended
+      // fresh twins, the index followed the change feed via NATIVE
+      // upsert/deleteKeys (no markers); search must track the live
+      // corpus — recall vs brute force over src.read(), zero deleted ids
+      val fx = Fixtures.embeddingsIvfSync(s, d)
+      val live = fx.src.read()
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        .localCheckpoint()
+      val queries = live.where(col("vec_id").isin(0L, 1L, 3L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val bf = Similarity.bruteForceTopK(live, "vec_id", "embedding",
+          queries, "qid", "qvec", k = 10, dim = 64)
+        .select(col("qid"), col("id"), lit(1L).as("_bf"))
+      IvfIndex.search(IvfIndex.open(s, fx.root), queries, "qid", "qvec",
+          k = 10, nprobe = 6, dim = 64)
+        .select(col("qid"), col("id"))
+        .join(bf, Seq("qid", "id"), "left")
+        .agg(countDistinct(col("qid")).as("n_queries"),
+          (sum(coalesce(col("_bf"), lit(0L))) >= lit(18L)).as("recall_ok"),
+          (sum(when(col("id") % 23 === 5 && col("id") < 1000000L, 1L)
+            .otherwise(0L)) === 0L).as("no_deleted"))
+    }),
     "llm_ann_pq" -> ((s, d) => {
       // product quantization: the 32×-compressed ANN scan (8×16 codebooks,
       // ADC lookup-table scoring, exact re-rank of the 4k shortlist) —
@@ -2629,6 +2653,8 @@ object SparkEntry {
       "SELECT CAST(3 AS BIGINT) AS n_queries, true AS recall_ok",
     "llm_ann_ivf_index" ->
       "SELECT CAST(3 AS BIGINT) AS n_queries, true AS recall_ok",
+    "llm_ann_sync" ->
+      "SELECT CAST(3 AS BIGINT) AS n_queries, true AS recall_ok, true AS no_deleted",
     "llm_ann_pq" ->
       "SELECT CAST(3 AS BIGINT) AS n_queries, true AS recall_ok",
     "b17_uuid" ->

@@ -85,6 +85,98 @@ object IvfIndex {
     index.insert(assigned)
   }
 
+  /** Keep the IVF index CURRENT as its corpus table mutates — the ANN
+    * member of the feed-sync trilogy ([[TextIndex.syncFromFeed]],
+    * [[SigIndex.syncFromFeed]]), and the SIMPLEST: the index is ONE ice
+    * table whose rows are keyed by (id, role), so updates and deletes
+    * are the engine's own native [[IceTable.upsert]]/[[
+    * IceTable.deleteKeys]] — no generation markers, no query-side kill
+    * rule; [[search]] just reads the current snapshot.
+    *
+    * Per window (CdcApply's collapse): ONE final change per id — the
+    * latest insert image re-assigns the vector to the EXISTING centroids
+    * and upserts (the old row leaves whatever list partition it lived
+    * in, the new one routes to its list), a final delete removes the
+    * row. Centroids never retrain on sync (the IVF contract — rebuild
+    * when recall degrades).
+    *
+    * Effectively-once: the initial build pins its bound first and
+    * commits as ONE `insertBatch` (training is deterministic, so a
+    * crash-replayed build is byte-identical and skips); incremental
+    * windows are idempotent upsert/deleteKeys with the watermark mark
+    * committed last. Scale note: the upsert/delete probe is a
+    * column-pruned (key columns + metadata only) scan of the index —
+    * bounded rewrites, but a very hot sync cadence on a huge index
+    * would motivate an id→cid lookup side table.
+    *
+    * Returns (index, vectors upserted, vectors deleted). */
+  def syncFromFeed(source: IceTable, indexRoot: String,
+      idCol: String, vecCol: String,
+      nlist: Int = 16, lloydIterations: Int = 2, dim: Int = 0,
+      replicaId: String = "default"): (IceTable, Long, Long) = {
+    import graft.ice.{CdcApply, ChangeFeed}
+    import org.apache.spark.sql.expressions.Window
+    val spark = source.spark
+    val index = indexTable(spark, indexRoot)
+    val key = s"_ivf_sync:$replicaId"
+    CdcApply.readMark(index, key) match {
+      case None =>
+        val until = CdcApply.readMark(index, s"$key:init").getOrElse {
+          val u = System.currentTimeMillis() - 1
+          CdcApply.commitMark(index, s"$key:init", u)
+          u
+        }
+        val n = source.trySnapshot(until + 1) match {
+          case None => CdcApply.commitMark(index, key, until); 0L
+          case Some(_) =>
+            val c = source.read(until + 1).select(col(idCol).as("id"),
+              col(vecCol).cast("array<double>").as("_v")).localCheckpoint()
+            val centroids = Similarity.trainCentroids(c, nlist, lloydIterations, dim)
+            val assigned = Similarity.nearestCid(c, centroids, dim)
+              .select(col("id"), col("_v").as("vec"),
+                col("cid").cast("int").as("cid"), lit("d").as("role"))
+            val centroidRows = centroids
+              .select(col("cid").cast("long").as("id"), col("_c").as("vec"),
+                col("cid").cast("int").as("cid"), lit("c").as("role"))
+            index.insertBatch(assigned.unionByName(centroidRows), key, until)
+            c.count()
+        }
+        (index, n, 0L)
+      case Some(wm) =>
+        val (feed, until) = ChangeFeed.betweenSettled(source, wm)
+        val pri = when(col(ChangeFeed.ChangeTypeCol) === "insert", 1).otherwise(0)
+        val w = Window.partitionBy(col(idCol))
+          .orderBy(col(ChangeFeed.CommitTsCol).desc, pri.desc)
+        val finals = feed.withColumn("_rn", row_number().over(w))
+          .where(col("_rn") === 1).drop("_rn")
+          .localCheckpoint()
+        val nIns = finals.where(col(ChangeFeed.ChangeTypeCol) === "insert").count()
+        val nDel = finals.where(col(ChangeFeed.ChangeTypeCol) === "delete").count()
+        if (nIns == 0 && nDel == 0) return (index, 0L, 0L) // idle: no commits
+        val deleted =
+          if (nDel == 0) 0L
+          else index.deleteKeys(
+            finals.where(col(ChangeFeed.ChangeTypeCol) === "delete")
+              .select(col(idCol).as("id"), lit("d").as("role")),
+            Seq("id", "role"))
+        val upserted =
+          if (nIns == 0) 0L
+          else {
+            val snap = index.snapshot()
+            val centroids = loadCentroids(index, snap)
+            val c = finals.where(col(ChangeFeed.ChangeTypeCol) === "insert")
+              .select(col(idCol).as("id"),
+                col(vecCol).cast("array<double>").as("_v"))
+            val assigned = Similarity.nearestCid(c, centroids, dim)
+              .select(col("id"), col("_v").as("vec"),
+                col("cid").cast("int").as("cid"), lit("d").as("role"))
+            index.upsert(assigned, Seq("id", "role"))._2
+          }
+        CdcApply.commitMark(index, key, until)
+        (index, upserted, deleted)
+    }
+  }
+
   private def loadCentroids(index: IceTable, snap: IceSnapshot): DataFrame = {
     val files = snap.aliveFiles.filter(m =>
       index.partitionOf(m.path).startsWith(CentroidPart))

@@ -75,4 +75,59 @@ class IvfIndexSpec extends SparkSpec {
       .orderBy($"rank").select("id").as[Long].collect()
     assert(top.head == 999999L, s"expected appended twin first, got ${top.toSeq}")
   }
+
+  test("syncFromFeed: native upsert/deleteKeys follow the corpus table's DML") {
+    import graft.ice.{DeleteVectors, IceTable, IceTableConfig}
+    val src = new IceTable(spark, tmpDir("ivfsync_src"), IceTableConfig(
+      partitionExpr = concat(lit("p="), pmod(col("vec_id"), lit(4))),
+      sortOrder = Seq("vec_id")))
+    src.insert(embeddings)
+    val root = tmpDir("ivfsync_idx")
+    val (index, built, _) = IvfIndex.syncFromFeed(src, root,
+      "vec_id", "embedding", nlist = 8, lloydIterations = 2, dim = 64)
+    assert(built === embeddings.count())
+
+    // probe = vector 0's twin: finds vec 0 before the mutations
+    val q0 = embeddings.where($"vec_id" === 0L)
+      .select(lit(7000L).as("qid"), $"embedding".as("qvec"))
+    def topIds(q: org.apache.spark.sql.DataFrame) =
+      IvfIndex.search(index, q, "qid", "qvec", k = 5, nprobe = 8, dim = 64)
+        .orderBy($"rank").select("id").as[Long].collect().toSeq
+    assert(topIds(q0).head === 0L)
+
+    // DML: vec 0's embedding REPLACED by vec 1's negation (moves across
+    // space), vec 2 MoR-deleted, a twin of vec 3 appended
+    val neg1 = embeddings.where($"vec_id" === 1L)
+      .select(transform($"embedding", x => -x).as("e")).head.getSeq[Double](0)
+    src.updateWhere($"vec_id" === 0L,
+      Seq("embedding" -> typedLit(neg1)))
+    DeleteVectors.deleteWhere(src, $"vec_id" === 2L)
+    src.insert(embeddings.where($"vec_id" === 3L)
+      .select(lit(888888L).as("vec_id"), $"embedding"))
+    Thread.sleep(3)
+    val (_, ups, dels) = IvfIndex.syncFromFeed(src, root,
+      "vec_id", "embedding", nlist = 8, lloydIterations = 2, dim = 64)
+    assert(ups === 2L && dels === 1L)
+
+    // deleted vector is gone from results entirely
+    val q2 = embeddings.where($"vec_id" === 2L)
+      .select(lit(7002L).as("qid"), $"embedding".as("qvec"))
+    assert(!topIds(q2).contains(2L))
+    // vec 0 moved: its OLD location no longer returns it...
+    assert(topIds(q0).head != 0L)
+    // ...and its NEW location (≈ -vec1) does
+    val qNeg = Seq((7001L, neg1)).toDF("qid", "qvec")
+    assert(topIds(qNeg).head === 0L)
+    // the appended twin of vec 3 ranks at/above its source
+    val q3 = embeddings.where($"vec_id" === 3L)
+      .select(lit(7003L).as("qid"), $"embedding".as("qvec"))
+    assert(topIds(q3).take(2).toSet === Set(3L, 888888L))
+
+    // idle sync commits nothing
+    val logs = index.logio.currentLogFiles(index.root).size
+    val (_, u2, d2) = IvfIndex.syncFromFeed(src, root,
+      "vec_id", "embedding", nlist = 8, lloydIterations = 2, dim = 64)
+    assert(u2 === 0L && d2 === 0L)
+    assert(index.logio.currentLogFiles(index.root).size === logs)
+  }
 }
