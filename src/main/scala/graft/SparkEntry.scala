@@ -244,6 +244,33 @@ object SparkEntry {
         .withColumn("in_sync", lit(drift == 0L))
         .orderBy("event_type")
     }),
+    "b41_sql_show_create" -> ((s, d) => {
+      // SHOW CREATE TABLE: the persisted config rendered as ONE
+      // round-trippable statement — executing it under a new name
+      // reproduces the partition routing and sort config exactly
+      val t = Fixtures.eventsSqlCtas(s, d)
+      val f = new java.io.File(t.root)
+      s.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      val stmt = s.sql(s"SHOW CREATE TABLE graft.`${f.getName}`")
+        .head.getString(0)
+      val clone = s"${f.getName}_sc"
+      s.sql(s"DROP TABLE IF EXISTS graft.`$clone`").collect()
+      s.sql(stmt.replace(s"graft.`${f.getName}`", s"graft.`$clone`")).collect()
+      val t2 = graft.ice.IceTable.open(s, s"${f.getParent}/$clone")
+      val sameCfg =
+        t2.snapshot().tableConfig.flatMap(_.get("prt")) ==
+          t.snapshot().tableConfig.flatMap(_.get("prt")) &&
+        t2.snapshot().tableConfig.flatMap(_.get("srt")).map(_.toString) ==
+          t.snapshot().tableConfig.flatMap(_.get("srt")).map(_.toString)
+      import s.implicits._
+      Seq((
+        stmt.contains("PARTITIONED BY ("),
+        stmt.contains("SORTED BY (`event_id`)"),
+        sameCfg,
+        stmt.linesIterator.next.count(_ == '`') / 2 - 1 // schema col count
+      )).toDF("has_partition", "has_sort", "roundtrip_ok", "n_cols")
+        .withColumn("n_cols", col("n_cols").cast("bigint"))
+    }),
     "b40_sql_changes" -> ((s, d) => {
       // SQL spelling of the change feed: the Delta-CDF-shaped
       // table_changes('t', since) TVF resolves through IceSqlResolution
@@ -2350,6 +2377,9 @@ object SparkEntry {
         "SELECT _change_type, count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id, " +
         "count(DISTINCT event_type) AS types " +
         "FROM changes GROUP BY 1 ORDER BY 1"),
+    "b41_sql_show_create" ->
+      ("SELECT true AS has_partition, true AS has_sort, true AS roundtrip_ok, " +
+        "CAST(3 AS BIGINT) AS n_cols"),
     "b40_sql_changes" ->
       ("WITH ev AS (SELECT event_id, user_id, event_type FROM events), " +
         "changes AS (" +

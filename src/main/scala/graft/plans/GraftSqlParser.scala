@@ -24,6 +24,7 @@ import graft.ice.{DeleteVectors, IceTable, IceTableConfig}
   *                                               -- commit, config persisted
   *   DROP TABLE [IF EXISTS] graft.t              -- removes data + log
   *   SHOW TABLES IN graft                        -- tables under the warehouse
+  *   SHOW CREATE TABLE graft.t                   -- round-trippable DDL + config
   *   DESCRIBE [TABLE] graft.t                    -- union schema + partition cols
   *   DESCRIBE HISTORY graft.t                    -- per-commit deltas
   *   ALTER TABLE graft.t SORTED BY (c1, ...)     -- config-only commit
@@ -102,6 +103,7 @@ object GraftSqlParser {
       s"""\\s*VACUUM\\s+$c\\.$ident(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS?)?\\s*;?\\s*""")
     val dropRe = re(s"""\\s*DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?$c\\.$ident\\s*;?\\s*""")
     val showRe = re(s"""\\s*SHOW\\s+TABLES\\s+(?:IN|FROM)\\s+$c\\s*;?\\s*""")
+    val showCreateRe = re(s"""\\s*SHOW\\s+CREATE\\s+TABLE\\s+$c\\.$ident\\s*;?\\s*""")
     // only the statement head is regex-matched; the PARTITIONED BY /
     // SORTED BY parenthesized bodies are scanned with a quote-aware
     // balanced-paren walk (a partition expression like
@@ -206,6 +208,9 @@ object GraftSqlParser {
       return Some(GraftDropTableCommand(name(dm, 2), ifExists = dm.group(1) != null))
 
     if (showRe.matcher(sqlText).matches()) return Some(GraftShowTablesCommand())
+
+    val scm = showCreateRe.matcher(sqlText)
+    if (scm.matches()) return Some(GraftShowCreateTableCommand(name(scm, 1)))
 
     val cm = ctasHeadRe.matcher(sqlText)
     if (cm.matches()) {
@@ -454,6 +459,70 @@ object GraftSqlParser {
           val p = new Path(root)
           p.getFileSystem(session.sparkContext.hadoopConfiguration).delete(p, true)
           Seq(Row(1L))
+      }
+  }
+
+  /** `SHOW CREATE TABLE graft.<t>`: the union schema (log type
+    * vocabulary) plus the persisted PARTITIONED BY / SORTED BY clauses,
+    * as ONE statement this parser round-trips — executing the returned
+    * text under a new name reproduces the table's routing and sort
+    * config. Config with no DDL clause (merge/insert SQL, stats/bloom
+    * columns, codec knobs) renders as trailing `-- config:` comment
+    * lines: visible, honest, and harmless to re-execution. Closure
+    * hooks (partitionFunc/formatRow) and non-SQL partition expressions
+    * surface as loud comments too — the statement cannot reproduce a
+    * closure, and silence would mis-route. */
+  final case class GraftShowCreateTableCommand(name: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(AR("createtab_stmt", StringType, nullable = false)())
+    override def run(session: SparkSession): Seq[Row] =
+      rootFor(session, name, requireLog = true) match {
+        case None => throw new IllegalArgumentException(
+          s"graft table '$name' does not exist")
+        case Some(root) =>
+          val snap = IceTable.open(session, root).snapshot()
+          val cat = session.conf.getOption(IceSqlResolution.CatalogKey)
+            .getOrElse("graft")
+          val cfg: Map[String, Any] = snap.tableConfig.getOrElse(Map.empty)
+          def strs(k: String): Seq[String] = cfg.get(k).collect {
+            case s: scala.collection.Seq[_] => s.map(_.toString).toSeq
+          }.getOrElse(Seq.empty)
+          // Spark DDL type spellings (the CREATE grammar's vocabulary —
+          // bare VARCHAR would not re-parse), via the same log-type →
+          // Spark mapping every read path uses
+          val cols = snap.schema.toStructType.fields
+            .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+          val sb = new StringBuilder(s"CREATE TABLE $cat.`$name` ($cols)")
+          cfg.get("prt").foreach(p => sb.append(s"\nPARTITIONED BY ($p)"))
+          val srt = strs("srt")
+          if (srt.nonEmpty)
+            sb.append(s"\nSORTED BY (${srt.map(c => s"`$c`").mkString(", ")})")
+          val comments = Seq(
+            cfg.get("ins").map(v => s"custom insert sql: $v"),
+            cfg.get("mrg").map(v => s"custom merge sql: $v"),
+            cfg.get("stc").map(v => s"stats column: $v"),
+            Option(strs("sta")).filter(_.nonEmpty)
+              .map(v => s"stats columns: ${v.mkString(", ")}"),
+            Option(strs("blc")).filter(_.nonEmpty)
+              .map(v => s"bloom filter columns: ${v.mkString(", ")}"),
+            cfg.get("bln").map(v => s"bloom filter ndv: $v"),
+            cfg.get("cdc").map(v => s"compression codec: $v"),
+            cfg.get("pbb").map(v => s"parquet block bytes: $v"),
+            cfg.get("rgr").map(v => s"row group rows: $v"),
+            cfg.get("cpc").map(v => s"checkpoint every commits: $v"),
+            cfg.get("pp").collect { case true => "preserve _partition column" },
+            cfg.get("shf").collect { case false => "shuffle on insert: off" },
+            cfg.get("som").collect { case true => "sort on merge" },
+            cfg.get("pf").collect { case true =>
+              "partitionFunc CLOSURE (not reproducible from SQL)" },
+            cfg.get("fr").collect { case true =>
+              "formatRow CLOSURE (not reproducible from SQL)" },
+            cfg.get("prtx").collect { case true =>
+              "partition expression has NO SQL rendering (not reproducible)" })
+            .flatten
+          comments.foreach(cmt => sb.append(s"\n-- config: $cmt"))
+          Seq(Row(sb.toString))
       }
   }
 

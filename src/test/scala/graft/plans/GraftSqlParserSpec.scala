@@ -312,4 +312,37 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(spark.sql("SELECT 1 AS one").head.getInt(0) === 1)
     intercept[Exception] { spark.sql("OPTIMIZE some_other_table") }
   }
+
+  test("SHOW CREATE TABLE round-trips: executing the statement reproduces the config") {
+    val w = freshWarehouse()
+    src().createOrReplaceTempView("sct_src")
+    spark.sql(
+      """CREATE TABLE graft.sct1 PARTITIONED BY (concat('u=', pmod(u, 4)))
+        |SORTED BY (id) AS SELECT * FROM sct_src""".stripMargin).collect()
+    val stmt = spark.sql("SHOW CREATE TABLE graft.sct1").head.getString(0)
+    assert(stmt.startsWith("CREATE TABLE graft.`sct1` ("), stmt)
+    assert(stmt.contains("PARTITIONED BY (") && stmt.contains("SORTED BY (`id`)"),
+      stmt)
+    assert(stmt.contains("`id` BIGINT") && stmt.contains("`kind` STRING"), stmt)
+    // round trip: the emitted statement recreates an equivalent table
+    spark.sql(stmt.replace("graft.`sct1`", "graft.`sct2`")).collect()
+    spark.sql("INSERT INTO graft.sct2 SELECT * FROM sct_src").collect()
+    val t1 = IceTable.open(spark, s"$w/sct1")
+    val t2 = IceTable.open(spark, s"$w/sct2")
+    assert(t2.snapshot().tableConfig.flatMap(_.get("prt")) ===
+      t1.snapshot().tableConfig.flatMap(_.get("prt")))
+    assert(t2.snapshot().tableConfig.flatMap(_.get("srt")).map(_.toString) ===
+      t1.snapshot().tableConfig.flatMap(_.get("srt")).map(_.toString))
+    // identical routing: same partition directory set
+    def parts(t: IceTable) = t.snapshot().aliveFiles
+      .map(m => t.partitionOf(m.path)).toSet
+    assert(parts(t2) === parts(t1))
+    // non-DDL config surfaces as comment lines, loudly
+    val mv = new IceTable(spark, s"$w/sct_mv", IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Nil,
+      customMergeSql = Some("select count(*) as c from source_files")))
+    mv.insert(src().selectExpr("id"))
+    val mvStmt = spark.sql("SHOW CREATE TABLE graft.sct_mv").head.getString(0)
+    assert(mvStmt.contains("-- config: custom merge sql:"), mvStmt)
+  }
 }
