@@ -2043,7 +2043,23 @@ final class IceTable(
     */
   def rewritePartition(
       targetPartition: String,
-      filterSql: String): (Option[String], Option[LogMetadata], Seq[String]) = {
+      filterSql: String): (Option[String], Option[LogMetadata], Seq[String]) =
+    rewritePartitionWith(targetPartition) { df =>
+      val view = s"_rows_${UUID.randomUUID().toString.replace("-", "")}"
+      df.createOrReplaceTempView(view)
+      try spark.sql(filterSql.replaceAll("\\b_rows\\b", view))
+      finally spark.catalog.dropTempView(view)
+    }
+
+  /** [[rewritePartition]] with a DataFrame transform instead of a filter
+    * SQL string — for purges that need a JOIN (a user-id delete list, an
+    * index GC against its marker table), which no self-contained filter
+    * expression can say. Same contract: the transform must not create
+    * new columns (the current schema is carried to the new log), and
+    * each alive part pipes through it into one new file. */
+  def rewritePartitionWith(targetPartition: String)(
+      transform: DataFrame => DataFrame)
+      : (Option[String], Option[LogMetadata], Seq[String]) = {
     val dvStampAtRead = dvStamp() // BEFORE the dv-applying reads
     val runTime = now()
     val snap = snapshot(runTime)
@@ -2061,13 +2077,9 @@ final class IceTable(
       Await.result(
         Future.traverse(targets) { old =>
           Future {
-            val view = s"_rows_${UUID.randomUUID().toString.replace("-", "")}"
-            readFilesApplyingDeletes(snap, Seq(old)).createOrReplaceTempView(view)
-            try {
-              val result = spark.sql(filterSql.replaceAll("\\b_rows\\b", view))
-              writeSingleFile(result,
-                s"_data/$targetPartition/${UUID.randomUUID()}.parquet")
-            } finally spark.catalog.dropTempView(view)
+            val result = transform(readFilesApplyingDeletes(snap, Seq(old)))
+            writeSingleFile(result,
+              s"_data/$targetPartition/${UUID.randomUUID()}.parquet")
           }
         }, Duration.Inf)
     }

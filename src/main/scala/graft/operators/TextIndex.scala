@@ -241,6 +241,48 @@ object TextIndex {
     }
   }
 
+  /** Physically drop RETIRED postings — the GC half of the marker
+    * design: [[syncFromFeed]] retires versions logically (gen-scoped
+    * markers the query kill-rule honors), this reclaims their bytes.
+    * Each bucket partition rewrites through the SAME kill anti-join the
+    * query applies, so results cannot change — only scan width and
+    * storage shrink. Markers themselves are KEPT: they are
+    * (doc_id, gen, dl) rows — doc-count scale, collapsed by compaction —
+    * and still carry the stats subtraction; deleting them would need an
+    * atomic cross-table stats correction the format does not have, for
+    * a table that is already small.
+    *
+    * Scale shape: one [[graft.ice.IceTable.rewritePartitionWith]] per
+    * bucket (bounded, resumable — pass a subset of buckets to spread GC
+    * over maintenance windows), marker max-gens broadcast. Returns
+    * buckets rewritten. */
+  def gcPostings(index: IceTable, deletes: IceTable,
+      onlyBuckets: Option[Set[String]] = None): Int = {
+    val d = deletes.read()
+    if (!d.columns.contains("doc_id")) return 0 // no markers ever
+    val mk = broadcast(d.select(col("doc_id"), col("dl"),
+        coalesce(col("gen"), lit(Long.MaxValue)).as("gen"))
+      .groupBy("doc_id").agg(max("gen").as("_mgen")))
+    val parts = index.snapshot().aliveFiles
+      .map(m => index.partitionOf(m.path)).distinct
+      .filter(p => onlyBuckets.forall(_.contains(p)))
+    var rewritten = 0
+    parts.foreach { p =>
+      val (log, _, _) = index.rewritePartitionWith(p) { df0 =>
+        // left_anti keeps df0's columns untouched (rewrite contract);
+        // pre-gen rows compare as gen 0 without being mutated
+        val genExpr =
+          if (df0.columns.contains("gen")) coalesce(df0("gen"), lit(0L))
+          else lit(0L)
+        df0.join(mk,
+          df0("doc_id") === mk("doc_id") && genExpr < mk("_mgen"),
+          "left_anti")
+      }
+      if (log.nonEmpty) rewritten += 1
+    }
+    rewritten
+  }
+
   /** BM25 top-k from the index alone. Reads: the stats MV (O(#logs)
     * rows), the delete markers (small, broadcast anti-join) if any, then
     * ONLY the query terms' bucket partitions. Formula and float-operation

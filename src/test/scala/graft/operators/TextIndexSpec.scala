@@ -190,6 +190,17 @@ class TextIndexSpec extends SparkSpec {
     assert(TextIndex.syncFromFeed(src, index, stats, dels, "doc_id", "text")
       === ((0L, 0L)))
     assert(fromIndex == fullScan)
+
+    // GC physically drops retired postings; answers cannot change
+    val before = index.read().count()
+    assert(TextIndex.gcPostings(index, dels) > 0)
+    val after = index.read().count()
+    assert(after < before, s"GC must shrink the index ($before -> $after)")
+    // surviving rows = exactly the live versions' postings
+    val live = TextIndex.postings(
+      src.read(), "doc_id", "text").count()
+    assert(after === live)
+    assert(fromIndex == fullScan)
   }
 
   test("a query reads only its terms' bucket partitions") {
