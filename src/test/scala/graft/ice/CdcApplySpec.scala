@@ -150,6 +150,33 @@ class CdcApplySpec extends SparkSpec {
     }
   }
 
+  test("a replica polling DURING a concurrent writer converges to the final state") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val src = mkSource()
+    val tgt = mkTarget()
+    CdcApply.applyTo(src, tgt, keys)
+    val writer = Future {
+      (30 to 45).foreach { i =>
+        src.insert(Seq((i.toLong, i % 5, s"w$i")).toDF("id", "u", "v"))
+        if (i % 4 == 0)
+          src.updateWhere(col("id") === (i - 2L), Seq("v" -> lit(s"u$i")))
+        if (i % 5 == 0) src.deleteWhere(col("id") === (i - 1L))
+      }
+    }
+    // poll while the writer runs: every window must apply cleanly even
+    // though commits land mid-poll (settled bounds guarantee no commit
+    // is split across windows)
+    while (!writer.isCompleted)
+      CdcApply.applyTo(src, tgt, keys)
+    Await.result(writer, 120.seconds)
+    settle()
+    CdcApply.catchUp(src, tgt, keys)
+    assert(rows(tgt) === rows(src))
+  }
+
   test("a dv delete commits strictly after the newest main commit it covers") {
     import spark.implicits._
     def maxTs(t: IceTable): Long = t.logio.currentLogFiles(t.root)
