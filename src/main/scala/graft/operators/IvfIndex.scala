@@ -163,10 +163,30 @@ object IvfIndex {
           if (nIns == 0) 0L
           else {
             val snap = index.snapshot()
-            val centroids = loadCentroids(index, snap)
             val c = finals.where(col(ChangeFeed.ChangeTypeCol) === "insert")
               .select(col(idCol).as("id"),
                 col(vecCol).cast("array<double>").as("_v"))
+            val hasCentroids = snap.aliveFiles.exists(m =>
+              index.partitionOf(m.path).startsWith(CentroidPart))
+            // Late bootstrap: the initial build ran over an EMPTY corpus
+            // (table created after the index, or the same-ms race where
+            // the init bound settled before the first commit became
+            // visible) and committed only the watermark. Everything live
+            // is then inside this window's collapsed inserts, so training
+            // on them IS the full build. Centroids commit FIRST: a crash
+            // before the vector upsert replays this window, finds them,
+            // and takes the ordinary path (training is deterministic, so
+            // the replayed assignment matches).
+            val centroids =
+              if (hasCentroids) loadCentroids(index, snap)
+              else {
+                val trained =
+                  Similarity.trainCentroids(c, nlist, lloydIterations, dim)
+                index.insert(trained.select(
+                  col("cid").cast("long").as("id"), col("_c").as("vec"),
+                  col("cid").cast("int").as("cid"), lit("c").as("role")))
+                trained
+              }
             val assigned = Similarity.nearestCid(c, centroids, dim)
               .select(col("id"), col("_v").as("vec"),
                 col("cid").cast("int").as("cid"), lit("d").as("role"))

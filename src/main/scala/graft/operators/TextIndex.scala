@@ -258,14 +258,29 @@ object TextIndex {
     * buckets rewritten. */
   def gcPostings(index: IceTable, deletes: IceTable,
       onlyBuckets: Option[Set[String]] = None): Int = {
-    val d = deletes.read()
+    // a deletes table with no commits at all (index built without a
+    // syncFromFeed `:init` pin) has no markers to GC
+    val d = try deletes.read() catch {
+      case _: graft.ice.NoLogFilesException => return 0
+    }
     if (!d.columns.contains("doc_id")) return 0 // no markers ever
-    val mk = broadcast(d.select(col("doc_id"), col("dl"),
-        coalesce(col("gen"), lit(Long.MaxValue)).as("gen"))
-      .groupBy("doc_id").agg(max("gen").as("_mgen")))
+    val mk = killSet(d)
+    // Pre-probe: ONE column-pruned scan (doc_id, gen + the partition
+    // string) finds the buckets that actually hold retired rows, so a
+    // no-op GC — or a second run right after the first — rewrites
+    // nothing instead of churning a full copy of every bucket.
+    val probe = index.withPartitionColumn(index.read(), "b")
+    val probeGen =
+      if (probe.columns.contains("gen")) coalesce(probe("gen"), lit(0L))
+      else lit(0L)
+    val hit = probe.join(mk,
+        probe("doc_id") === mk("doc_id") && probeGen < mk("_mgen"),
+        "left_semi")
+      .select(col("b")).distinct()
+      .collect().map(r => s"b=${r.get(0)}").toSet // bucket-count scale
     val parts = index.snapshot().aliveFiles
       .map(m => index.partitionOf(m.path)).distinct
-      .filter(p => onlyBuckets.forall(_.contains(p)))
+      .filter(p => onlyBuckets.forall(_.contains(p)) && hit.contains(p))
     var rewritten = 0
     parts.foreach { p =>
       val (log, _, _) = index.rewritePartitionWith(p) { df0 =>
@@ -282,6 +297,15 @@ object TextIndex {
     }
     rewritten
   }
+
+  /** The broadcast (doc_id, _mgen) kill set — the ONE definition of
+    * which generations a marker retires, shared by the query kill-rule
+    * ([[bm25TopK]]) and the physical GC ([[gcPostings]]) so they cannot
+    * diverge. Null gen (a whole-doc delete) kills every generation. */
+  private def killSet(d: DataFrame): DataFrame =
+    broadcast(d.select(col("doc_id"),
+        coalesce(col("gen"), lit(Long.MaxValue)).as("gen"))
+      .groupBy("doc_id").agg(max("gen").as("_mgen")))
 
   /** BM25 top-k from the index alone. Reads: the stats MV (O(#logs)
     * rows), the delete markers (small, broadcast anti-join) if any, then
@@ -340,7 +364,7 @@ object TextIndex {
     // gen: an updated document's fresh postings (gen = the update's
     // commit ts, equal to its marker's) survive their own marker
     val pruned = delDf.fold(pruned0) { d =>
-      val mk = broadcast(d.groupBy("doc_id").agg(max("gen").as("_mgen")))
+      val mk = killSet(d)
       pruned0.join(mk,
         pruned0("doc_id") === mk("doc_id") && pruned0("gen") < mk("_mgen"),
         "left_anti")

@@ -130,8 +130,16 @@ object GraftSqlParser {
 
   /** Recognize one of the graft statements; None = not ours. */
   private[plans] def parseGraftStatement(
-      sqlText: String, catalog: String,
+      rawSql: String, catalog: String,
       delegate: ParserInterface): Option[LogicalPlan] = {
+    // Strip `-- …` line comments (outside string literals) before
+    // recognition: SHOW CREATE TABLE renders non-DDL config as trailing
+    // `-- config:` lines, and its round-trip contract is that the
+    // emitted statement re-executes. Comments are semantically void, so
+    // dropping them from the CTAS query tail is harmless too; the
+    // delegate still receives the ORIGINAL text when we return None.
+    val sqlText =
+      if (rawSql.contains("--")) stripLineComments(rawSql) else rawSql
     val p = patternsFor(catalog)
     import p._
 
@@ -290,6 +298,28 @@ object GraftSqlParser {
     }
 
     None
+  }
+
+  /** `-- …`-to-end-of-line removal, single-quote-aware (`'a--b'` keeps
+    * its dashes; `''` escapes pass through as two quote toggles,
+    * harmlessly). Used only on the graft-recognition copy of a
+    * statement — never on text handed to the delegate parser. */
+  private def stripLineComments(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    var inQuote = false
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (inQuote) {
+        if (ch == '\'') inQuote = false
+        sb.append(ch); i += 1
+      } else if (ch == '\'') {
+        inQuote = true; sb.append(ch); i += 1
+      } else if (ch == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        while (i < s.length && s.charAt(i) != '\n') i += 1
+      } else { sb.append(ch); i += 1 }
+    }
+    sb.toString
   }
 
   /** `s(start)` must be `'('`; returns (inner text, index after the

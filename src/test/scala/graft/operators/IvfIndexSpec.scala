@@ -130,4 +130,34 @@ class IvfIndexSpec extends SparkSpec {
     assert(u2 === 0L && d2 === 0L)
     assert(index.logio.currentLogFiles(index.root).size === logs)
   }
+
+  test("syncFromFeed bootstraps late when the init build saw an empty corpus") {
+    import graft.ice.{IceTable, IceTableConfig}
+    // source table EXISTS but has no commits when the index first syncs —
+    // the empty-table bootstrap (or the same-ms init race). The watermark
+    // commits with zero centroids; the next window must self-heal by
+    // training on its own inserts, not wedge forever.
+    val src = new IceTable(spark, tmpDir("ivfboot_src"), IceTableConfig(
+      partitionExpr = concat(lit("p="), pmod(col("vec_id"), lit(4))),
+      sortOrder = Seq("vec_id")))
+    val root = tmpDir("ivfboot_idx")
+    val (index, built0, _) = IvfIndex.syncFromFeed(src, root,
+      "vec_id", "embedding", nlist = 8, lloydIterations = 2, dim = 64)
+    assert(built0 === 0L)
+
+    src.insert(embeddings)
+    Thread.sleep(3)
+    val (_, ups, dels) = IvfIndex.syncFromFeed(src, root,
+      "vec_id", "embedding", nlist = 8, lloydIterations = 2, dim = 64)
+    assert(ups === embeddings.count() && dels === 0L)
+    // centroids exist now and the index answers
+    assert(index.snapshot().aliveFiles.exists(m =>
+      index.partitionOf(m.path).startsWith("r=c")))
+    val q0 = embeddings.where($"vec_id" === 0L)
+      .select(lit(9000L).as("qid"), $"embedding".as("qvec"))
+    val top = IvfIndex.search(index, q0, "qid", "qvec",
+      k = 5, nprobe = 8, dim = 64)
+      .orderBy($"rank").select("id").as[Long].collect().toSeq
+    assert(top.head === 0L)
+  }
 }

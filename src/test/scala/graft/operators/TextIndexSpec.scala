@@ -201,6 +201,23 @@ class TextIndexSpec extends SparkSpec {
       src.read(), "doc_id", "text").count()
     assert(after === live)
     assert(fromIndex == fullScan)
+
+    // a second GC right away is a NO-OP: the pre-probe finds no bucket
+    // holding retired rows, so nothing rewrites and no commits land
+    val logsAfterGc = index.logio.currentLogFiles(index.root).size
+    assert(TextIndex.gcPostings(index, dels) === 0)
+    assert(index.logio.currentLogFiles(index.root).size === logsAfterGc)
+  }
+
+  test("gcPostings is a no-op against a deletes table with no commits") {
+    import graft.ice.IceTableConfig
+    val index = new IceTable(spark, newRoot(), TextIndex.indexConfig(buckets = 8))
+    val stats = new IceTable(spark, newRoot(), TextIndex.statsConfig)
+    TextIndex.indexBatch(index, stats, docs, "doc_id", "text")
+    // a deletes table that was never written — not even an `:init` pin
+    val dels = new IceTable(spark, newRoot(),
+      IceTableConfig(partitionExpr = lit("all"), sortOrder = Nil))
+    assert(TextIndex.gcPostings(index, dels) === 0)
   }
 
   test("a query reads only its terms' bucket partitions") {

@@ -344,5 +344,19 @@ class GraftSqlParserSpec extends SparkSpec {
     mv.insert(src().selectExpr("id"))
     val mvStmt = spark.sql("SHOW CREATE TABLE graft.sct_mv").head.getString(0)
     assert(mvStmt.contains("-- config: custom merge sql:"), mvStmt)
+    // …and a statement CARRYING those comment lines still executes: the
+    // parser strips `--` comments before recognition, so the emitted DDL
+    // is re-executable verbatim (the round-trip contract), with the
+    // commented config intentionally NOT re-applied — it's documentation
+    spark.sql(mvStmt.replace("graft.`sct_mv`", "graft.`sct_mv2`")).collect()
+    spark.sql("INSERT INTO graft.sct_mv2 SELECT id FROM sct_src").collect()
+    val mv2 = IceTable.open(spark, s"$w/sct_mv2")
+    assert(parts(mv2) === Set("all"))
+    assert(mv2.snapshot().tableConfig.forall(!_.contains("mrg")))
+    // dashes INSIDE string literals are data, not comments
+    spark.sql(
+      """CREATE TABLE graft.sctd PARTITIONED BY (concat('d--', pmod(id, 2)))
+        |AS SELECT id FROM sct_src -- trailing note""".stripMargin).collect()
+    assert(parts(IceTable.open(spark, s"$w/sctd")) === Set("d--0", "d--1"))
   }
 }
