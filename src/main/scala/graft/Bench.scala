@@ -116,6 +116,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // 23 queries × many codegen stages blow straight through the
+      // 100-entry default generated-class cache: every timed rep then
+      // re-janinos (and re-JITs) stages its own warmup already compiled —
+      // measured +20-30 s CPU on llm_minhash_dedup alone. A workload this
+      // wide should raise it in production too; entries are cheap
+      // (generated-class refs) next to recompiling them.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       // shuffle/spill files follow the scratch policy (tmpfs when present):
       // on hosts that throttle buffered disk writers, shuffle writes would
       // otherwise bill writeback stalls to every shuffling section

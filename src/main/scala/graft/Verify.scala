@@ -42,6 +42,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS): read as epoch-nanos BIGINT
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // 150+ distinct query plans: keep their generated classes cached
+      // instead of re-compiling past the 100-entry default (see Bench)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
