@@ -45,6 +45,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("table_changes",
         "table_changes(table, since[, until]) - row-level changes of a graft table in (since, until], epoch millis"),
       (es: Seq[Expression]) => graft.plans.IceSqlResolution.tableChangesPlan(es)))
+    // Iceberg-style metadata tables, same TVF shape (see
+    // [[graft.ice.MetaTables]]): alive files with footer row counts,
+    // per-partition rollups, and commit history — all time-travelable
+    // via the optional second argument
+    graft.ice.MetaTables.Names.foreach { meta =>
+      e.injectTableFunction((FunctionIdentifier(s"table_$meta"),
+        info(s"table_$meta",
+          s"table_$meta(table[, asOf]) - the $meta metadata relation of a graft table"),
+        (es: Seq[Expression]) => graft.plans.IceSqlResolution.metaTablePlan(meta, es)))
+    }
     e.injectFunction((FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - codegen'd array dot product"),
       (es: Seq[Expression]) => DotProduct(es(0), es(1))))

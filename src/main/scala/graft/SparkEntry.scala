@@ -271,6 +271,28 @@ object SparkEntry {
       )).toDF("has_partition", "has_sort", "roundtrip_ok", "n_cols")
         .withColumn("n_cols", col("n_cols").cast("bigint"))
     }),
+    "b42_meta_partitions" -> ((s, d) => {
+      // Iceberg-style metadata relation as a TVF. Graded by AGREEMENT
+      // WITH THE DATA: per-partition physical row counts come from
+      // parquet FOOTERS only (no data pages), yet must hash-match
+      // DuckDB's group-by over the rows themselves
+      val t = Fixtures.lineitemIce(s, d)
+      val f = new java.io.File(t.root)
+      s.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      s.sql(s"""SELECT partition, row_count
+        FROM table_partitions('${f.getName}') ORDER BY partition""")
+    }),
+    "b43_meta_files" -> ((s, d) => {
+      // the files metadata relation: footer row counts and log-marker
+      // partitions must reconcile EXACTLY with the table's content
+      val t = Fixtures.lineitemIce(s, d)
+      val f = new java.io.File(t.root)
+      s.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      s.sql(s"""SELECT CAST(sum(row_count) AS BIGINT) AS total_rows,
+          count(DISTINCT partition) AS n_parts,
+          CAST(min(row_count) > 0 AS BOOLEAN) AS all_nonempty
+        FROM table_files('${f.getName}')""")
+    }),
     "b40_sql_changes" -> ((s, d) => {
       // SQL spelling of the change feed: the Delta-CDF-shaped
       // table_changes('t', since) TVF resolves through IceSqlResolution
@@ -2380,6 +2402,13 @@ object SparkEntry {
     "b41_sql_show_create" ->
       ("SELECT true AS has_partition, true AS has_sort, true AS roundtrip_ok, " +
         "CAST(3 AS BIGINT) AS n_cols"),
+    "b42_meta_partitions" ->
+      ("SELECT concat('m=', strftime(l_shipdate, '%Y-%m')) AS partition, " +
+        "count(*) AS row_count FROM lineitem GROUP BY 1 ORDER BY 1"),
+    "b43_meta_files" ->
+      ("SELECT count(*) AS total_rows, " +
+        "count(DISTINCT strftime(l_shipdate, '%Y-%m')) AS n_parts, " +
+        "true AS all_nonempty FROM lineitem"),
     "b40_sql_changes" ->
       ("WITH ev AS (SELECT event_id, user_id, event_type FROM events), " +
         "changes AS (" +

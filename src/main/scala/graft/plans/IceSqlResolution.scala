@@ -344,35 +344,70 @@ object IceSqlResolution {
       s"table_changes(table, since[, until]): $msg")
     if (args.length < 2 || args.length > 3)
       fail(s"expected 2 or 3 arguments, got ${args.length}")
+    val (catalog, root) = tvfRoot(spark, args.head, fail)
+    val since = tvfTsMs(spark, args(1), "since", fail)
+    val until = args.lift(2).map(tvfTsMs(spark, _, "until", fail))
+      .getOrElse(Long.MaxValue)
+    val df = graft.ice.ChangeFeed.between(IceTable.open(spark, root), since, until)
+    SubqueryAlias(Seq(catalog, "table_changes"), df.queryExecution.analyzed)
+  }
+
+  /** Builder for the metadata-table TVFs `table_files('t'[, asOf])` /
+    * `table_partitions` / `table_history` (see [[graft.ice.MetaTables]]).
+    * TVFs, not 3-part relations (`graft.t.files`): the session catalog's
+    * ResolveRelations rejects multi-part namespaces BEFORE extension
+    * resolution rules could see the name — the same analyzer-ordering
+    * constraint that made table_changes a TVF. The optional second
+    * argument time-travels the metadata (inclusive ms, like
+    * `TIMESTAMP AS OF`). */
+  private[graft] def metaTablePlan(meta: String,
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val spark = SparkSession.active
+    def fail(msg: String) = throw new IllegalArgumentException(
+      s"table_$meta(table[, asOf]): $msg")
+    if (args.isEmpty || args.length > 2)
+      fail(s"expected 1 or 2 arguments, got ${args.length}")
+    val (catalog, root) = tvfRoot(spark, args.head, fail)
+    val maxTs = args.lift(1).map(tvfTsMs(spark, _, "asOf", fail) + 1L)
+      .getOrElse(Long.MaxValue)
+    val df = graft.ice.MetaTables.relation(
+      IceTable.open(spark, root), meta, maxTs)
+    SubqueryAlias(Seq(catalog, s"table_$meta"), df.queryExecution.analyzed)
+  }
+
+  /** Shared TVF helpers: resolve the table-name literal to a warehouse
+    * root (optional `graft.` prefix peels; path-safe names only), and
+    * evaluate a numeric-or-timestamp literal to epoch millis. */
+  private def tvfRoot(spark: SparkSession, nameArg: Expression,
+      fail: String => Nothing): (String, String) = {
     val catalog = spark.conf.getOption(CatalogKey).getOrElse("graft")
     val warehouse = spark.conf.getOption(WarehouseKey).filter(_.nonEmpty)
       .getOrElse(fail(s"$WarehouseKey is not set"))
-    val name = args.head match {
+    val name = nameArg match {
       case e if e.foldable && e.dataType == org.apache.spark.sql.types.StringType =>
         Option(e.eval()).map(_.toString).getOrElse(fail("table name is null"))
       case _ => fail("the table name must be a string literal")
     }
-    val bare = name.split("\\.", 2) match { // optional `graft.` prefix peels
+    val bare = name.split("\\.", 2) match {
       case Array(c, x) if c.equalsIgnoreCase(catalog) => x
       case _ => name
     }
     if (!safeName(bare)) fail(s"unsafe table name: '$bare'")
     val (root, ok) = probeRootAt(spark, warehouse, bare)
     if (!ok) fail(s"graft table '$bare' does not exist")
-    def tsMs(e: Expression, what: String): Long = e.dataType match {
-      case _: NumericType =>
-        Option(e.eval()).map(v => new java.math.BigDecimal(v.toString).longValue)
-          .getOrElse(fail(s"$what is null"))
-      case _ =>
-        val zone = spark.sessionState.conf.sessionLocalTimeZone
-        Option(Cast(e, TimestampType, Some(zone)).eval())
-          .map(_.asInstanceOf[Long] / 1000L)
-          .getOrElse(fail(s"$what is not a timestamp"))
-    }
-    val since = tsMs(args(1), "since")
-    val until = args.lift(2).map(tsMs(_, "until")).getOrElse(Long.MaxValue)
-    val df = graft.ice.ChangeFeed.between(IceTable.open(spark, root), since, until)
-    SubqueryAlias(Seq(catalog, "table_changes"), df.queryExecution.analyzed)
+    (catalog, root)
+  }
+
+  private def tvfTsMs(spark: SparkSession, e: Expression, what: String,
+      fail: String => Nothing): Long = e.dataType match {
+    case _: NumericType =>
+      Option(e.eval()).map(v => new java.math.BigDecimal(v.toString).longValue)
+        .getOrElse(fail(s"$what is null"))
+    case _ =>
+      val zone = spark.sessionState.conf.sessionLocalTimeZone
+      Option(Cast(e, TimestampType, Some(zone)).eval())
+        .map(_.asInstanceOf[Long] / 1000L)
+        .getOrElse(fail(s"$what is not a timestamp"))
   }
 }
 
