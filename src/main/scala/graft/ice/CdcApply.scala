@@ -93,7 +93,7 @@ object CdcApply {
         // initial sync at a settled bound: commits after `until` belong
         // to the first incremental window, commits at or before it are
         // all in this snapshot — no seam
-        val until = System.currentTimeMillis() - 1
+        val until = ChangeFeed.settledNow(source)
         val n = source.trySnapshot(until + 1) match {
           case None => 0L // source empty: an empty replica is in sync
           case Some(_) =>

@@ -366,9 +366,18 @@ object ChangeFeed {
     * where a raw `max(log ts)` anchor would fold a same-millisecond dv
     * delete into the baseline and lose it forever. */
   def betweenSettled(table: IceTable, sinceTs: Long): (DataFrame, Long) = {
-    val until = System.currentTimeMillis() - 1
+    val until = settledNow(table)
     (between(table, sinceTs, until), until)
   }
+
+  /** The settled inclusive bound for `table`'s feed right now: wall now-1
+    * capped below every in-flight same-process commit of the main or
+    * `_dv` log ([[IceLogIO.settledTs]]) — a commit fixes its ts before
+    * its file is visible, and a bound inside that gap would silently
+    * lose the commit from every window. Also the safe INITIAL pin for a
+    * consumer's baseline. */
+  def settledNow(table: IceTable): Long =
+    IceLogIO.settledTs(Seq(table.root, s"${table.root}/_dv"))
 
   /** Empty feed with the right shape: the table's accumulated union
     * schema plus the two meta columns whenever the table has ANY log

@@ -306,42 +306,51 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration) {
     // write race; cross-process races on the same host are left to the
     // store's rename atomicity, as in the reference.
     val filesystem = fs(root)
-    var ts = timestamp.getOrElse(System.currentTimeMillis())
-    var attempts = 0
-    while (attempts < 1000) {
-      val fileId = s"$ts${if (merged) "_m" else ""}_$pathSafeHostname"
-      val rel = s"_log/$fileId.jsonl"
-      val dest = new Path(root, rel)
-      val reserved = IceLogIO.reserve(root, fileId)
-      if (reserved) {
-        // the reservation only needs to cover the check-then-write window:
-        // once the file is durably on disk the exists() check takes over,
-        // and on any other outcome the id must be freed — a held entry per
-        // commit for the JVM's lifetime is a memory leak in a long-running
-        // ingest service
-        try {
-          if (!filesystem.exists(dest)) {
-            val meta = LogMetadata(
-              version,
-              schemaLineIndex = 1,
-              fileLineIndex = if (tombstones.isEmpty) 2 else 2 + tombstones.length,
-              tombstoneLineIndex = if (tombstones.isEmpty) None else Some(2),
-              timestamp = ts,
-              streamCommits = streamCommits,
-              tableCfg = tableCfg,
-              cleanedHorizon = cleanedHorizon)
-            val lines = Seq(meta.json, schema.toJson) ++
-              tombstones.map(_.json) ++ files.map(_.json)
-            writeAtomic(filesystem, dest, lines.mkString("\n"))
-            return (rel, meta)
-          }
-        } finally IceLogIO.unreserve(root, fileId)
+    val entryNow = System.currentTimeMillis()
+    // in-flight floor: callers that pre-registered via registerCommitFloor
+    // (validated rewrites, restore) hold their own entry too — a second
+    // one here is harmless and keeps the no-caller-registration paths
+    // covered from the moment the ts is fixed until the file is visible
+    val regTs = IceLogIO.registerCommitFloor(
+      root, math.min(timestamp.getOrElse(entryNow), entryNow))
+    try {
+      var ts = timestamp.getOrElse(entryNow)
+      var attempts = 0
+      while (attempts < 1000) {
+        val fileId = s"$ts${if (merged) "_m" else ""}_$pathSafeHostname"
+        val rel = s"_log/$fileId.jsonl"
+        val dest = new Path(root, rel)
+        val reserved = IceLogIO.reserve(root, fileId)
+        if (reserved) {
+          // the reservation only needs to cover the check-then-write window:
+          // once the file is durably on disk the exists() check takes over,
+          // and on any other outcome the id must be freed — a held entry per
+          // commit for the JVM's lifetime is a memory leak in a long-running
+          // ingest service
+          try {
+            if (!filesystem.exists(dest)) {
+              val meta = LogMetadata(
+                version,
+                schemaLineIndex = 1,
+                fileLineIndex = if (tombstones.isEmpty) 2 else 2 + tombstones.length,
+                tombstoneLineIndex = if (tombstones.isEmpty) None else Some(2),
+                timestamp = ts,
+                streamCommits = streamCommits,
+                tableCfg = tableCfg,
+                cleanedHorizon = cleanedHorizon)
+              val lines = Seq(meta.json, schema.toJson) ++
+                tombstones.map(_.json) ++ files.map(_.json)
+              writeAtomic(filesystem, dest, lines.mkString("\n"))
+              return (rel, meta)
+            }
+          } finally IceLogIO.unreserve(root, fileId)
+        }
+        ts += 1
+        attempts += 1
       }
-      ts += 1
-      attempts += 1
-    }
-    throw new java.io.IOException(
-      s"could not find a free log timestamp after $attempts attempts")
+      throw new java.io.IOException(
+        s"could not find a free log timestamp after $attempts attempts")
+    } finally IceLogIO.endCommit(root, regTs)
   }
 
   def delete(root: String, relPath: String): Boolean =
@@ -385,6 +394,64 @@ object IceLogIO {
 
   private def unreserve(root: String, fileId: String): Unit =
     reservedIds.remove(s"$root#$fileId")
+
+  // ---------------- same-JVM in-flight commit registry -------------------
+  //
+  // A commit's timestamp is FIXED some time before its log file becomes
+  // VISIBLE (the rewrite fold, marker stamping, and the atomic write all
+  // happen in between). A settled-bound consumer (change feed, streaming
+  // source) computing `now-1` inside that window would consume PAST the
+  // chosen ts and then exclude the commit from every later window — a
+  // silently lost change (caught by CdcApplySpec's concurrent
+  // writer+poller). Writers therefore register a LOWER BOUND of their
+  // eventual filename ts before any of that work, and settled bounds cap
+  // below the oldest in-flight registration. Same-JVM only, matching the
+  // engine's concurrency contract everywhere (same-process linearizable;
+  // cross-process writers need the external lock, as in the reference).
+  private val inFlightLock = new Object
+  private val inFlightTs =
+    new java.util.HashMap[String, java.util.TreeMap[java.lang.Long, Integer]]()
+  private var settledClock = 0L
+
+  /** Register `ts` as a lower bound of a commit that is about to be
+    * written to `root` (append only ever bumps timestamps UP). MUST be
+    * paired with [[endCommit]] after the log file is visible (or the
+    * attempt failed). */
+  private[graft] def registerCommitFloor(root: String, ts: Long): Long = {
+    inFlightLock.synchronized {
+      val m = inFlightTs.computeIfAbsent(root,
+        (_: String) => new java.util.TreeMap[java.lang.Long, Integer])
+      m.merge(ts, Integer.valueOf(1), (a, b) => Integer.valueOf(a + b))
+    }
+    ts
+  }
+
+  private[graft] def endCommit(root: String, ts: Long): Unit =
+    inFlightLock.synchronized {
+      val m = inFlightTs.get(root)
+      if (m != null) {
+        val c = m.get(ts)
+        if (c != null) {
+          if (c <= 1) m.remove(ts) else m.put(ts, Integer.valueOf(c - 1))
+        }
+        if (m.isEmpty) inFlightTs.remove(root)
+      }
+    }
+
+  /** The settled timestamp across `roots`: every commit from THIS process
+    * with filename ts at or below the returned value is already VISIBLE
+    * (its append returned), and no new same-process commit can land at or
+    * below it — safe as an inclusive feed/offset bound. The clock is
+    * monotone-guarded so one backwards NTP step cannot re-open a served
+    * window. */
+  def settledTs(roots: Seq[String]): Long = inFlightLock.synchronized {
+    settledClock = math.max(settledClock, System.currentTimeMillis())
+    val floor = roots.iterator.map { r =>
+      val m = inFlightTs.get(r)
+      if (m == null || m.isEmpty) Long.MaxValue else m.firstKey.longValue
+    }.min
+    math.min(settledClock - 1, floor - 1)
+  }
 
   /** Shared bounded pool for concurrent log GETs (daemon threads). */
   private[ice] lazy val ioPool: ExecutionContext =

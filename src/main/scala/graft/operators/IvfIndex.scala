@@ -122,7 +122,7 @@ object IvfIndex {
     CdcApply.readMark(index, key) match {
       case None =>
         val until = CdcApply.readMark(index, s"$key:init").getOrElse {
-          val u = System.currentTimeMillis() - 1
+          val u = ChangeFeed.settledNow(source)
           CdcApply.commitMark(index, s"$key:init", u)
           u
         }

@@ -138,7 +138,7 @@ object SigIndex {
       case None =>
         // pin the initial bound FIRST — crash-replay rebuilds byte-same
         val until = CdcApply.readMark(marks, s"$key:init").getOrElse {
-          val u = System.currentTimeMillis() - 1
+          val u = graft.ice.ChangeFeed.settledNow(source)
           CdcApply.commitMark(marks, s"$key:init", u)
           u
         }

@@ -198,7 +198,7 @@ object TextIndex {
         // the SAME bound, so the rebuilt batch is byte-identical and
         // insertBatch/dedup make the retry convergent
         val until = CdcApply.readMark(deletes, s"$key:init").getOrElse {
-          val u = System.currentTimeMillis() - 1
+          val u = graft.ice.ChangeFeed.settledNow(source)
           CdcApply.commitMark(deletes, s"$key:init", u)
           u
         }

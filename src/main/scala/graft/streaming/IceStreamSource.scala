@@ -179,13 +179,19 @@ object IceStreamSource {
     * so the appender's same-ms bump does not serialize them; a second
     * host never collides by construction but shares the clock contract)
     * — consuming through that ms would skip the late commit FOREVER.
-    * Capping at now-1 means every served window lies wholly in the past,
-    * where new commit timestamps (`max(now, maxLog+1)`) can no longer
-    * land. Bumped-into-the-future logs are simply served once the clock
-    * passes them — a delay, never a loss. */
-  def settledOffset(head: Option[Long], startTs: Long): Option[Long] =
-    head.map(h => math.min(h, System.currentTimeMillis() - 1))
-      .filter(_ > startTs)
+    * Capping at the settled bound ([[graft.ice.IceLogIO.settledTs]]:
+    * now-1, AND below every in-flight same-process commit of the table
+    * or its `_dv` log — a commit fixes its ts before its file is
+    * visible, and serving that gap would lose it) means every served
+    * window lies wholly in the settled past. Bumped-into-the-future
+    * logs are simply served once the clock passes them — a delay,
+    * never a loss. */
+  def settledOffset(table: graft.ice.IceTable,
+      head: Option[Long], startTs: Long): Option[Long] = {
+    val settled = graft.ice.IceLogIO.settledTs(
+      Seq(table.root, s"${table.root}/_dv"))
+    head.map(h => math.min(h, settled)).filter(_ > startTs)
+  }
 
   /** Monotone wrapper for a source's served offsets: a backwards clock
     * step (NTP) must never shrink the exposed offset — Spark requires
@@ -254,7 +260,7 @@ class IceStreamSource(table: IceTable, pinnedSchema: StructType, startTs: Long)
   private val monotone = new IceStreamSource.MonotoneOffset
 
   override def getOffset: Option[Offset] =
-    monotone(IceStreamSource.settledOffset(
+    monotone(IceStreamSource.settledOffset(table,
       IceStreamSource.maxLogTs(table), startTs)).map(LongOffset(_))
 
   private def ts(o: Offset): Long = o match {
@@ -344,7 +350,7 @@ class IceChangeFeedSource(table: IceTable, baseSchema: StructType, startTs: Long
   private val monotone = new IceStreamSource.MonotoneOffset
 
   override def getOffset: Option[Offset] =
-    monotone(IceStreamSource.settledOffset(
+    monotone(IceStreamSource.settledOffset(table,
       IceChangeFeedSource.headTs(table), startTs)).map(LongOffset(_))
 
   private def ts(o: Offset): Long = o match {

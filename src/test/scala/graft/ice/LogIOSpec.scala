@@ -72,4 +72,29 @@ class LogIOSpec extends AnyFunSuite {
     fs.create(new org.apache.hadoop.fs.Path(root, "_log/.tmp.partial.jsonl"), true).close()
     assert(logio.currentLogFiles(root).forall(!_.contains(".tmp.")))
   }
+
+  test("settled bound holds below an in-flight commit until it is visible") {
+    val root = newRoot()
+    // no in-flight commits: the bound is just the settled clock
+    val free = IceLogIO.settledTs(Seq(root))
+    assert(free <= System.currentTimeMillis() - 1)
+    // a writer fixes its commit ts (the rewrite path's shape) — from this
+    // moment until the log file is visible, no settled bound may reach it
+    val ts = IceLogIO.registerCommitFloor(root, System.currentTimeMillis())
+    Thread.sleep(5) // the clock passes the commit ts while it is in flight
+    assert(IceLogIO.settledTs(Seq(root)) === ts - 1) // pinned, not clock-driven
+    // a second root is independent
+    assert(IceLogIO.settledTs(Seq(newRoot())) >= ts - 1)
+    // once visible the bound advances past the commit with the clock
+    IceLogIO.endCommit(root, ts)
+    Thread.sleep(2)
+    assert(IceLogIO.settledTs(Seq(root)) >= ts)
+    // duplicate registrations at one ts release one at a time
+    IceLogIO.registerCommitFloor(root, ts)
+    IceLogIO.registerCommitFloor(root, ts)
+    IceLogIO.endCommit(root, ts)
+    assert(IceLogIO.settledTs(Seq(root)) === ts - 1)
+    IceLogIO.endCommit(root, ts)
+    assert(IceLogIO.settledTs(Seq(root)) >= ts)
+  }
 }
