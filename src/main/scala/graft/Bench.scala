@@ -44,7 +44,10 @@ object Bench {
     "ts_gapfill", "llm_bm25_index",
     // round-8: perceptual image dedup (decode-dominated — the multimodal
     // cost profile the text queries never exercise)
-    "llm_image_dedup")
+    "llm_image_dedup",
+    // round-9: the co-located bucketed join — the exchange-free
+    // fact-to-fact shape measured against join_star_schema's shuffling one
+    "b44_bucket_join")
 
   /** Recursively delete a bench-local temp table. Synthetic benches write
     * multi-GB tables; on hosts with slow disk, leaving them around evicts

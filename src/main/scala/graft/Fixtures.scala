@@ -967,6 +967,23 @@ object Fixtures {
 
   // ---------------------------------------------------------- lineitem ice
 
+  /** orders + lineitem CO-BUCKETED on the order key (8 buckets each,
+    * Spark-compatible placement): the co-located-join fixture — joins
+    * and aggregations on the key plan with ZERO shuffle exchanges
+    * (IceTableConfig.bucketBy). */
+  def bucketedPair(spark: SparkSession, sfDir: String): (IceTable, IceTable) =
+    memo(s"$sfDir#bucketed_pair") {
+      val ot = new IceTable(spark, newRoot("bkt_orders"), IceTableConfig(
+        partitionExpr = lit(""), sortOrder = Seq("o_orderkey"),
+        bucketBy = Some((8, Seq("o_orderkey")))))
+      ot.insert(raw(spark, sfDir, "orders"))
+      val lt = new IceTable(spark, newRoot("bkt_lineitem"), IceTableConfig(
+        partitionExpr = lit(""), sortOrder = Seq("l_orderkey"),
+        bucketBy = Some((8, Seq("l_orderkey")))))
+      lt.insert(raw(spark, sfDir, "lineitem"))
+      (ot, lt)
+    }
+
   /** lineitem through the engine, hive-partitioned by ship month (83
     * partitions) and clustered by (shipdate, orderkey) for row-group
     * pruning. */

@@ -293,6 +293,21 @@ object SparkEntry {
           CAST(min(row_count) > 0 AS BOOLEAN) AS all_nonempty
         FROM table_files('${f.getName}')""")
     }),
+    "b44_bucket_join" -> ((s, d) => {
+      // CO-LOCATED fact-to-fact join: both tables bucketed on the order
+      // key (IceTableConfig.bucketBy → BucketSpec on the relation), so
+      // the join plans with ZERO shuffle exchanges — only bucket-aligned
+      // local sorts. The exchange-free plan itself is asserted in
+      // BucketedTableSpec/PlanAuditSpec and dumped in PLANS.md
+      val (ot, lt) = Fixtures.bucketedPair(s, d)
+      val o = graft.plans.IceFileIndex.dataFrame(s, ot)
+      val l = graft.plans.IceFileIndex.dataFrame(s, lt)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity")).cast("bigint").as("sum_qty"))
+        .orderBy(col("o_orderstatus"))
+    }),
     "b40_sql_changes" -> ((s, d) => {
       // SQL spelling of the change feed: the Delta-CDF-shaped
       // table_changes('t', since) TVF resolves through IceSqlResolution
@@ -2409,6 +2424,11 @@ object SparkEntry {
       ("SELECT count(*) AS total_rows, " +
         "count(DISTINCT strftime(l_shipdate, '%Y-%m')) AS n_parts, " +
         "true AS all_nonempty FROM lineitem"),
+    "b44_bucket_join" ->
+      ("SELECT o_orderstatus, count(*) AS cnt, " +
+        "CAST(sum(l_quantity) AS BIGINT) AS sum_qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY 1 ORDER BY 1"),
     "b40_sql_changes" ->
       ("WITH ev AS (SELECT event_id, user_id, event_type FROM events), " +
         "changes AS (" +

@@ -91,6 +91,23 @@ final case class CleanupResult(
   *   one reaches this many commits — bounds every reader's fold to
   *   O(knob) log GETs under continuous ingest. None (default) = manual
   *   checkpointing only.
+  * @param bucketBy `(numBuckets, columns)`: HASH-BUCKET the table on these
+  *   columns, Spark-bucketing-compatible — rows route to
+  *   `<partition>/bkt=<pmod(hash(cols), n)>` (the exact
+  *   `HashPartitioning.partitionIdExpression` placement) and data files
+  *   carry Spark's `_%05d` bucket tag, so the read relation exposes a
+  *   `BucketSpec` and joins/aggregations between tables bucketed the same
+  *   way on the bucket columns run WITHOUT A SHUFFLE — the co-located
+  *   join, the single biggest exchange eliminated at 100 TB (two 50 TB
+  *   fact tables join with zero data movement; only bucket-aligned local
+  *   sorts remain). Compaction preserves the invariant for free: merges
+  *   group by partition directory, and the bucket is a directory level.
+  *   Bucketing is fixed at table creation (like Spark/Hive bucketed
+  *   tables): changing `n` or the columns over existing data would break
+  *   placement. Correctness NEVER depends on the spec — a snapshot
+  *   containing any untagged file (e.g. written by a pre-bucketing
+  *   handle) degrades to an ordinary shuffling scan, loudly via
+  *   `explain`, not wrongly.
   * @param sortOnMerge re-sort DEFAULT-merge output by `sortOrder` before
   *   writing. The reference's merge concatenates its sorted inputs
   *   (`select * from source_files`, icedb.py:271-276), so after a few
@@ -119,7 +136,8 @@ final case class IceTableConfig(
     bloomFilterColumns: Seq[String] = Seq.empty,
     bloomFilterNdv: Option[Long] = None,
     sortOnMerge: Boolean = false,
-    checkpointEveryCommits: Option[Int] = None)
+    checkpointEveryCommits: Option[Int] = None,
+    bucketBy: Option[(Int, Seq[String])] = None)
 
 /** The Parquet merge-engine table: MVCC JSONL log + immutable Parquet data
   * parts under one root URI (local fs or s3a — anything Hadoop FileSystem
@@ -649,8 +667,57 @@ final class IceTable(
           df.withColumn(IceTable.RouteCol, u(struct(df.columns.map(col): _*)))
         case None => df.withColumn(IceTable.RouteCol, cfg.partitionExpr)
       }
-    if (hasPre && !cfg.preservePartition) routed0.drop("_partition")
-    else routed0
+    val routed1 =
+      if (hasPre && !cfg.preservePartition) routed0.drop("_partition")
+      else routed0
+    // bucketed tables: the bucket is one more partition-path level, so
+    // every downstream mechanism (one file per route, per-directory
+    // merge/rewrite, pruning) keeps the bucket invariant without knowing
+    // about it. Placement MUST equal HashPartitioning's
+    // partitionIdExpression — pmod(murmur3(cols, seed 42), n), which is
+    // exactly functions.hash — or the scan-side BucketSpec would lie.
+    cfg.bucketBy match {
+      case None => routed1
+      case Some((n, cols)) =>
+        val bkt = concat(lit("bkt="),
+          pmod(hash(cols.map(col): _*), lit(n)).cast("string"))
+        routed1.withColumn(IceTable.RouteCol,
+          when(col(IceTable.RouteCol) === "", bkt)
+            .otherwise(concat(col(IceTable.RouteCol), lit("/"), bkt)))
+    }
+  }
+
+  /** The read-side [[org.apache.spark.sql.catalyst.catalog.BucketSpec]]
+    * for this snapshot: present only when the table is configured
+    * bucketed AND every alive file carries a parseable in-range bucket
+    * tag. Correctness never depends on it — the spec only lets the
+    * planner elide exchanges; an untagged file (pre-bucketing writer, or
+    * a foreign file) degrades the snapshot to an ordinary shuffling scan
+    * instead of a wrong bucketed one. File names are already driver-side
+    * metadata, so the check costs no IO. */
+  private[graft] def bucketSpecFor(
+      snap: IceSnapshot): Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] =
+    cfg.bucketBy.flatMap { case (n, cols) =>
+      val allTagged = snap.aliveFiles.forall { m =>
+        val name = m.path.substring(m.path.lastIndexOf('/') + 1)
+        IceTable.bucketIdOfFile(name).exists(id => id >= 0 && id < n)
+      }
+      if (allTagged)
+        Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(n, cols, Nil))
+      else None
+    }
+
+  /** Relative data-file path for a new file in `partition`: bucketed
+    * tables tag the name with Spark's `_%05d` bucket suffix (what
+    * `FileSourceScanExec` parses back via `.*_(\d+)(?:\..*)?$`) so the
+    * relation's `BucketSpec` can map each file to its bucket. */
+  private[ice] def dataFileRel(partition: String): String = {
+    val base = UUID.randomUUID().toString
+    val tagged =
+      if (cfg.bucketBy.isEmpty) base
+      else IceTable.BucketSeg.findFirstMatchIn(partition)
+        .map(mm => f"${base}_${mm.group(1).toInt}%05d").getOrElse(base)
+    s"_data/$partition/$tagged.parquet"
   }
 
   /** Write a routed batch (default or custom-insert-SQL shaped). */
@@ -804,7 +871,7 @@ final class IceTable(
           try {
             val result = ss.sql(sql.replaceAll("\\b_rows\\b", view))
             val s = Schema.fromStructType(result.schema)
-            (s, writeSingleFile(result, s"_data/$p/${UUID.randomUUID()}.parquet"))
+            (s, writeSingleFile(result, dataFileRel(p)))
           } finally ss.catalog.dropTempView(view)
         }
       }, Duration.Inf)
@@ -832,7 +899,7 @@ final class IceTable(
       f.listStatus(d.getPath)
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
         .foreach { st =>
-          val rel = s"_data/$part/${UUID.randomUUID()}.parquet"
+          val rel = dataFileRel(part)
           val dest = new Path(root, rel)
           f.mkdirs(dest.getParent)
           if (!f.rename(st.getPath, dest))
@@ -950,7 +1017,17 @@ final class IceTable(
     * caller-owned `part_func`. Re-route with [[repartitionTable]] when a
     * partition-deriving column must change.
     */
-  def updateWhere(cond: Column, assignments: Seq[(String, Column)]): Long =
+  def updateWhere(cond: Column, assignments: Seq[(String, Column)]): Long = {
+    // bucket columns are placement: a CoW rewrite keeps rows in their
+    // file (= their bkt= directory), so assigning one would strand rows
+    // in the wrong bucket and silently corrupt co-located joins
+    cfg.bucketBy.foreach { case (_, bCols) =>
+      val touched = assignments.map(_._1)
+        .filter(a => bCols.exists(_.equalsIgnoreCase(a)))
+      require(touched.isEmpty,
+        s"updateWhere cannot assign bucket column(s) ${touched.mkString(", ")}" +
+          " of a bucketed table; delete + re-insert the rows instead")
+    }
     mutateAffected(cond) { df =>
       // one SELECT, all expressions against the ORIGINAL columns — SQL
       // UPDATE semantics. A withColumn chain would re-evaluate the
@@ -969,6 +1046,7 @@ final class IceTable(
         }
       }: _*)
     }
+  }
 
   /** Row-level DELETE (copy-on-write, atomic): the [[updateWhere]] shape
     * with matching rows dropped instead of rewritten. Merge-on-read
@@ -990,6 +1068,16 @@ final class IceTable(
     */
   def upsert(source: DataFrame, keyCols: Seq[String]): (Long, Long) = {
     require(keyCols.nonEmpty, "upsert requires at least one key column")
+    // a matched row is REPLACED in its file (= its bkt= directory): the
+    // replacement must provably share its bucket, i.e. every bucket
+    // column must be part of the match key
+    cfg.bucketBy.foreach { case (_, bCols) =>
+      val missing = bCols.filterNot(b => keyCols.exists(_.equalsIgnoreCase(b)))
+      require(missing.isEmpty,
+        "upsert on a bucketed table requires every bucket column in the " +
+          s"key (missing: ${missing.mkString(", ")}); otherwise a matched " +
+          "row's replacement could land stranded in the wrong bucket")
+    }
     val dvStampAtRead = dvStamp() // BEFORE any read — see validatedRewriteCommit
     val srcStaged = source.localCheckpoint() // probe + write from one compute
     val srcCount = srcStaged.count()
@@ -1176,7 +1264,7 @@ final class IceTable(
     * and a mutation's join/filter may not preserve that — losing it would
     * silently widen row-group stats on exactly the rewritten files. */
   private[ice] def writeSingleFileFor(df: DataFrame, partition: String): FileMarker =
-    writeSingleFile(df, s"_data/$partition/${UUID.randomUUID()}.parquet",
+    writeSingleFile(df, dataFileRel(partition),
       cfg.sortOrder.filter(df.columns.contains).map(col))
 
   /** Atomic full-content REPLACEMENT of the table with `newContent`
@@ -1353,7 +1441,14 @@ final class IceTable(
       }
       val maxLogTs = cur.logFiles.iterator
         .map(p => IceLogIO.logFileInfo(p)._1).maxOption.getOrElse(0L)
-      body(fresh, byPath, math.max(now(), maxLogTs + 1), cur.tableConfig)
+      // the body folds source logs BETWEEN fixing commitTs and appending —
+      // register the ts as in flight for that whole window so a concurrent
+      // settled-bound consumer cannot serve a window past it and lose the
+      // rewrite's change events (IceLogIO registry)
+      val commitTs = IceLogIO.registerCommitFloor(
+        root, math.max(now(), maxLogTs + 1))
+      try body(fresh, byPath, commitTs, cur.tableConfig)
+      finally IceLogIO.endCommit(root, commitTs)
     }
 
   /** The shared validated log-rewrite commit used by merge / optimize /
@@ -1434,7 +1529,7 @@ final class IceTable(
         src.createOrReplaceTempView(view)
         spark.sql(q.replaceAll("\\bsource_files\\b", view))
     }
-    val outRel = s"_data/$partition/${UUID.randomUUID()}.parquet"
+    val outRel = dataFileRel(partition)
     val preMarker = writeSingleFile(merged, outRel, mergeSortCols)
 
     // Log rewrite (icedb/icedb.py:290-322): re-read exactly the source logs
@@ -1686,7 +1781,7 @@ final class IceTable(
       .sortBy(_.getPath.getName)
     IceTable.requirePartitionSafe(partition)
     val markers = parts.toSeq.map { st =>
-      val rel = s"_data/$partition/${UUID.randomUUID()}.parquet"
+      val rel = dataFileRel(partition)
       val dest = new Path(root, rel)
       f.mkdirs(dest.getParent)
       if (!f.rename(st.getPath, dest))
@@ -1717,7 +1812,7 @@ final class IceTable(
           val src = readFilesApplyingDeletes(snap, acc)
           cfg.customMergeSql match {
             case None =>
-              (writeSingleFile(src, s"_data/$partition/${UUID.randomUUID()}.parquet",
+              (writeSingleFile(src, dataFileRel(partition),
                 mergeSortCols),
                 Schema.fromStructType(src.schema))
             case Some(q) =>
@@ -1726,7 +1821,7 @@ final class IceTable(
               try {
                 val merged = spark.sql(q.replaceAll("\\bsource_files\\b", view))
                 // write executes the plan, so the view can drop right after
-                (writeSingleFile(merged, s"_data/$partition/${UUID.randomUUID()}.parquet"),
+                (writeSingleFile(merged, dataFileRel(partition)),
                   Schema.fromStructType(merged.schema))
               } finally spark.catalog.dropTempView(view)
           }
@@ -1955,8 +2050,12 @@ final class IceTable(
     * Returns (files revived, files tombstoned). */
   def restoreTo(maxTs: Long): (Int, Int) = IceTable.commitLock(root).synchronized {
     val snap = snapshot(Long.MaxValue)
-    val restoreTime = math.max(now(), snap.logFiles.iterator
-      .map(p => IceLogIO.logFileInfo(p)._1).maxOption.getOrElse(0L) + 1)
+    // registered in flight for the whole marker-diff window: a restore
+    // EMITS change events (resurrect inserts) replicas must not lose
+    val restoreTime = IceLogIO.registerCommitFloor(root,
+      math.max(now(), snap.logFiles.iterator
+        .map(p => IceLogIO.logFileInfo(p)._1).maxOption.getOrElse(0L) + 1))
+    try {
     val asOf = trySnapshot(maxTs).getOrElse(throw new IllegalArgumentException(
       s"restoreTo($root): no commits at or before ts=${maxTs - 1} to restore to"))
     val curByPath = snap.files.iterator.map(m => m.path -> m).toMap
@@ -1978,6 +2077,7 @@ final class IceTable(
       merged = true, timestamp = Some(restoreTime),
       tableCfg = persistedCfg.orElse(snap.tableConfig))
     (toRevive.length, toTombstone.length)
+    } finally IceLogIO.endCommit(root, restoreTime)
   }
 
   def removePartitions(
@@ -2079,7 +2179,7 @@ final class IceTable(
           Future {
             val result = transform(readFilesApplyingDeletes(snap, Seq(old)))
             writeSingleFile(result,
-              s"_data/$targetPartition/${UUID.randomUUID()}.parquet")
+              dataFileRel(targetPartition))
           }
         }, Duration.Inf)
     }
@@ -2196,6 +2296,7 @@ object IceTable {
     if (cfg.sortOnMerge) m("som") = true
     cfg.rowGroupRows.foreach(v => m("rgr") = v)
     cfg.checkpointEveryCommits.foreach(v => m("cpc") = v)
+    cfg.bucketBy.foreach { case (n, cols) => m("bkn") = n; m("bkc") = cols }
     if (cfg.partitionFunc.nonEmpty) m("pf") = true
     if (cfg.formatRow.nonEmpty) m("fr") = true
     if (m.isEmpty) None else Some(m.toMap)
@@ -2240,8 +2341,24 @@ object IceTable {
       bloomFilterColumns = strs("blc"),
       bloomFilterNdv = m.get("bln").map(_.asInstanceOf[Long]),
       sortOnMerge = m.get("som").contains(true),
-      checkpointEveryCommits = m.get("cpc").map(_.asInstanceOf[Long].toInt))
+      checkpointEveryCommits = m.get("cpc").map(_.asInstanceOf[Long].toInt),
+      bucketBy = m.get("bkn").map(n =>
+        (n.asInstanceOf[Long].toInt, strs("bkc"))))
   }
+
+  /** The `bkt=<id>` LAST path segment a bucketed table's router appends. */
+  private[ice] val BucketSeg = """(?:^|/)bkt=(\d+)$""".r
+
+  /** Spark's bucketed-file-name parse (`BucketingUtils`' regex,
+    * re-stated here because that object is `private[sql]`): the `_%05d`
+    * tag [[IceTable.dataFileRel]] writes must round-trip through the
+    * scan's own parser. */
+  private val BucketFileName = """.*_(\d+)(?:\..*)?$""".r
+  private[graft] def bucketIdOfFile(fileName: String): Option[Int] =
+    fileName match {
+      case BucketFileName(id) => Some(id.toInt)
+      case _ => None
+    }
 
   /** Per-table-root commit lock (JVM-wide, like the log appender's
     * reservation set): serializes the validate→append window of every

@@ -22,6 +22,10 @@ import graft.ice.{DeleteVectors, IceTable, IceTableConfig}
   *   CREATE TABLE graft.t (c1 TYPE, ...)         -- EMPTY table, declared
   *     [PARTITIONED BY (<expr>)] [SORTED BY (…)] -- schema: one schema-only
   *                                               -- commit, config persisted
+  *   ... [CLUSTERED BY (c1, ...) INTO n BUCKETS] -- hash-bucketed layout on
+  *                                               -- either CREATE form:
+  *                                               -- co-located joins
+  *                                               -- (IceTableConfig.bucketBy)
   *   DROP TABLE [IF EXISTS] graft.t              -- removes data + log
   *   SHOW TABLES IN graft                        -- tables under the warehouse
   *   SHOW CREATE TABLE graft.t                   -- round-trippable DDL + config
@@ -252,9 +256,10 @@ object GraftSqlParser {
       // optional DECLARED column list — immediately after the name, like
       // standard DDL: `CREATE TABLE graft.t (a BIGINT, b VARCHAR) ...`
       val colListSql = takeParenBody().map(_.trim).filter(_.nonEmpty)
-      // the two optional clauses accept either order
+      // the optional clauses accept any order
       var partitionExprSql: Option[String] = None
       var sortCols: Seq[String] = Seq.empty
+      var bucketBy: Option[(Int, Seq[String])] = None
       var progressed = true
       while (progressed) {
         progressed = false
@@ -264,6 +269,22 @@ object GraftSqlParser {
         } else if (sortCols.isEmpty && takeKeyword("SORTED", "BY")) {
           sortCols = takeParenBody().toSeq.flatMap(_.split(",").toSeq)
             .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+          progressed = true
+        } else if (bucketBy.isEmpty && takeKeyword("CLUSTERED", "BY")) {
+          // Spark's own bucketing DDL: CLUSTERED BY (cols) INTO n BUCKETS
+          // → IceTableConfig.bucketBy (co-located joins, see IceTable)
+          val bCols = takeParenBody().toSeq.flatMap(_.split(",").toSeq)
+            .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+          def bad() = throw new UnsupportedOperationException(
+            s"CREATE TABLE $catalog.<t>: CLUSTERED BY requires " +
+              "`(col, ...) INTO <n> BUCKETS`")
+          if (bCols.isEmpty || !takeKeyword("INTO")) bad()
+          skipWs()
+          val numStart = pos
+          while (pos < sqlText.length && sqlText.charAt(pos).isDigit) pos += 1
+          val num = sqlText.substring(numStart, pos)
+          if (num.isEmpty || !takeKeyword("BUCKETS")) bad()
+          bucketBy = Some((num.toInt, bCols))
           progressed = true
         }
       }
@@ -278,6 +299,7 @@ object GraftSqlParser {
             ifNotExists = cm.group(1) != null,
             partitionExprSql = partitionExprSql,
             sortCols = sortCols,
+            bucketBy = bucketBy,
             new PlanBox(delegate.parsePlan(query))))
       }
       colListSql.foreach { cols =>
@@ -288,6 +310,7 @@ object GraftSqlParser {
             ifNotExists = cm.group(1) != null,
             partitionExprSql = partitionExprSql,
             sortCols = sortCols,
+            bucketBy = bucketBy,
             st.fields.toSeq.map(f =>
               f.name -> graft.ice.SchemaTypes.toTypeString(f.dataType))))
         }
@@ -371,6 +394,7 @@ object GraftSqlParser {
   final case class GraftCreateTableAsCommand(
       name: String, ifNotExists: Boolean,
       partitionExprSql: Option[String], sortCols: Seq[String],
+      bucketBy: Option[(Int, Seq[String])],
       queryBox: PlanBox) extends LeafRunnableCommand {
     override val output: Seq[Attribute] =
       Seq(AR("rows_inserted", LongType, nullable = false)())
@@ -386,7 +410,8 @@ object GraftSqlParser {
         partitionExpr = partitionExprSql
           .map(org.apache.spark.sql.functions.expr)
           .getOrElse(org.apache.spark.sql.functions.lit("")),
-        sortOrder = sortCols)
+        sortOrder = sortCols,
+        bucketBy = bucketBy)
       val t = new IceTable(session, root, cfg)
       val df = org.apache.spark.sql.graft.PlanBridge
         .ofRows(session, queryBox.plan).localCheckpoint()
@@ -404,6 +429,7 @@ object GraftSqlParser {
   final case class GraftCreateTableCommand(
       name: String, ifNotExists: Boolean,
       partitionExprSql: Option[String], sortCols: Seq[String],
+      bucketBy: Option[(Int, Seq[String])],
       cols: Seq[(String, String)]) extends LeafRunnableCommand {
     override val output: Seq[Attribute] =
       Seq(AR("created", LongType, nullable = false)())
@@ -418,7 +444,8 @@ object GraftSqlParser {
         partitionExpr = partitionExprSql
           .map(org.apache.spark.sql.functions.expr)
           .getOrElse(org.apache.spark.sql.functions.lit("")),
-        sortOrder = sortCols)
+        sortOrder = sortCols,
+        bucketBy = bucketBy)
       new IceTable(session, root, cfg)
         .createEmpty(graft.ice.Schema(cols: _*))
       Seq(Row(1L))
@@ -528,6 +555,10 @@ object GraftSqlParser {
           val srt = strs("srt")
           if (srt.nonEmpty)
             sb.append(s"\nSORTED BY (${srt.map(c => s"`$c`").mkString(", ")})")
+          cfg.get("bkn").foreach { n =>
+            val bc = strs("bkc").map(c => s"`$c`").mkString(", ")
+            sb.append(s"\nCLUSTERED BY ($bc) INTO $n BUCKETS")
+          }
           val comments = Seq(
             cfg.get("ins").map(v => s"custom insert sql: $v"),
             cfg.get("mrg").map(v => s"custom merge sql: $v"),

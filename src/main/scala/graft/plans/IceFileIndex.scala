@@ -187,7 +187,11 @@ object IceFileIndex {
         if (i > 0) seen += seg.substring(0, i)
       }
     }
-    seen.toSeq
+    // the bucket directory level of a bucketed table is routing detail
+    // (surfaced through the relation's BucketSpec), not a queryable
+    // partition column — exposing it would also collide across joined
+    // bucketed tables
+    if (table.cfg.bucketBy.isDefined) (seen - "bkt").toSeq else seen.toSeq
   }
 
   /** Snapshot → the catalog-grade [[HadoopFsRelation]] (partition columns
@@ -209,7 +213,9 @@ object IceFileIndex {
       location = index,
       partitionSchema = pSchema,
       dataSchema = snap.schema.toStructType,
-      bucketSpec = None,
+      // co-located joins/aggs on the bucket columns plan WITHOUT an
+      // exchange when the table is bucketed (see IceTableConfig.bucketBy)
+      bucketSpec = table.bucketSpecFor(snap),
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
   }

@@ -626,6 +626,15 @@ final case class IceUpdateCommand(
         s"UPDATE of partition-deriving column '$c' on $ident would not move " +
           "rows between partitions; use IceTable.repartitionTable or rewritePartition")
     }
+    // bucket columns are placement too (the bkt= level + file tag);
+    // the engine-level updateWhere guard would also trip, but failing
+    // here names the SQL statement
+    val bucketKeys = t.cfg.bucketBy.toSeq.flatMap(_._2).map(_.toLowerCase).toSet
+    sets.map(_._1).find(c => bucketKeys.contains(c.toLowerCase)).foreach { c =>
+      throw new UnsupportedOperationException(
+        s"UPDATE of bucket column '$c' on $ident would strand rows in the " +
+          "wrong bucket; DELETE + INSERT the rows instead")
+    }
     val n = t.updateWhere(org.apache.spark.sql.functions.expr(condSql),
       sets.map { case (c, e) => c -> org.apache.spark.sql.functions.expr(e) })
     Seq(org.apache.spark.sql.Row(n))

@@ -359,4 +359,37 @@ class GraftSqlParserSpec extends SparkSpec {
         |AS SELECT id FROM sct_src -- trailing note""".stripMargin).collect()
     assert(parts(IceTable.open(spark, s"$w/sctd")) === Set("d--0", "d--1"))
   }
+
+  test("CLUSTERED BY INTO BUCKETS: SQL-created bucketed tables join without a shuffle") {
+    val w = freshWarehouse()
+    src().createOrReplaceTempView("bkt_src")
+    spark.sql(
+      """CREATE TABLE graft.bkt1 SORTED BY (id)
+        |CLUSTERED BY (id) INTO 4 BUCKETS AS SELECT * FROM bkt_src""".stripMargin)
+      .collect()
+    val t1 = IceTable.open(spark, s"$w/bkt1")
+    assert(t1.cfg.bucketBy === Some((4, Seq("id"))))
+    spark.sql(
+      """CREATE TABLE graft.bkt2 CLUSTERED BY (id) INTO 4 BUCKETS
+        |AS SELECT id, u AS u2 FROM bkt_src""".stripMargin).collect()
+    // co-located join through PURE SQL: no hash-partitioning exchange
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.sql(
+        "SELECT count(*) AS c FROM graft.bkt1 a JOIN graft.bkt2 b ON a.id = b.id")
+      assert(j.head.getLong(0) === 100L)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    // SHOW CREATE renders the clause and the emitted statement round-trips
+    val stmt = spark.sql("SHOW CREATE TABLE graft.bkt1").head.getString(0)
+    assert(stmt.contains("CLUSTERED BY (`id`) INTO 4 BUCKETS"), stmt)
+    spark.sql(stmt.replace("graft.`bkt1`", "graft.`bkt3`")).collect()
+    spark.sql("INSERT INTO graft.bkt3 SELECT * FROM bkt_src").collect()
+    val t3 = IceTable.open(spark, s"$w/bkt3")
+    assert(t3.cfg.bucketBy === Some((4, Seq("id"))))
+    assert(t3.bucketSpecFor(t3.snapshot()).isDefined)
+  }
 }
