@@ -353,6 +353,32 @@ object Fixtures {
     * then mutated (append + CoW update + merge-on-read delete) and
     * caught up incrementally — the target must equal the source's final
     * state without ever reading the source's files directly. */
+  final case class WapFixture(table: IceTable, isolated: Boolean)
+
+  /** WAP branch fixture: main seeded with the even-fifth of events, a
+    * branch forked, the odd-fifth inserted + a CoW delete applied ON THE
+    * BRANCH (main count provably unchanged meanwhile — `isolated`), then
+    * published fast-forward and dropped. Final table =
+    * events where event_id % 5 IN (0,1) AND user_id % 7 <> 0. */
+  def wapBranch(spark: SparkSession, sfDir: String): WapFixture =
+    memo(s"$sfDir#wap") {
+      import graft.ice.Branch
+      val ev = raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val t = new IceTable(spark, newRoot("wap_main"), IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(4))),
+        sortOrder = Seq("event_id")))
+      t.insert(ev.where(col("event_id") % 5 === 0))
+      val base = t.read().count()
+      val b = Branch.create(t, "wap")
+      b.insert(ev.where(col("event_id") % 5 === 1))
+      b.deleteWhere(pmod(col("user_id"), lit(7)) === 0)
+      val isolated = t.read().count() == base
+      Branch.publish(t, "wap")
+      Branch.drop(t, "wap")
+      WapFixture(t, isolated)
+    }
+
   def eventsCdcApply(spark: SparkSession, sfDir: String): CdcReplica =
     memo(s"$sfDir#cdcapply") {
       import graft.ice.{CdcApply, DeleteVectors}

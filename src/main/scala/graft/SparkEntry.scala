@@ -244,6 +244,18 @@ object SparkEntry {
         .withColumn("in_sync", lit(drift == 0L))
         .orderBy("event_type")
     }),
+    "a44_wap_branch" -> ((s, d) => {
+      // WAP branch: metadata-only fork → isolated insert + CoW delete on
+      // the branch (main provably unchanged meanwhile — the carried
+      // boolean) → ONE atomic fast-forward publish; DuckDB replays the
+      // published state from the raw events
+      val fx = Fixtures.wapBranch(s, d)
+      fx.table.read().groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("event_id")).cast("bigint").as("sum_id"))
+        .withColumn("main_isolated", lit(fx.isolated))
+        .orderBy(col("event_type"))
+    }),
     "b41_sql_show_create" -> ((s, d) => {
       // SHOW CREATE TABLE: the persisted config rendered as ONE
       // round-trippable statement — executing it under a new name
@@ -2445,6 +2457,11 @@ object SparkEntry {
         "FROM events WHERE user_id % 23 <> 8) " +
         "SELECT event_type, count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id, " +
         "true AS in_sync FROM final GROUP BY 1 ORDER BY 1"),
+    "a44_wap_branch" ->
+      ("SELECT event_type, count(*) AS cnt, " +
+        "CAST(sum(event_id) AS BIGINT) AS sum_id, true AS main_isolated " +
+        "FROM events WHERE event_id % 5 IN (0, 1) AND user_id % 7 <> 0 " +
+        "GROUP BY 1 ORDER BY 1"),
     "a38_format_row" ->
       ("SELECT upper(event_type) AS event_type, " +
         "'t_' || lower(event_type) AS etype_tag, count(*) AS cnt, " +

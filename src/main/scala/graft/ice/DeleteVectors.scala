@@ -71,6 +71,12 @@ object DeleteVectors {
     * retries from a fresh snapshot; the rewrite side holds the mirrored
     * guarantee via the dv stamp in validatedRewriteCommit. */
   def deleteWhere(main: IceTable, cond: Column): Long = {
+    // the `_dv` side table is keyed by the SHARED root, so a dv delete
+    // through a branch handle would leak into main reads immediately —
+    // branches use the CoW IceTable.deleteWhere, isolated by construction
+    require(main.logRel == "_log",
+      "merge-on-read deletes are not branch-isolated; use the branch " +
+        "handle's copy-on-write deleteWhere instead")
     val dv = dvTable(main)
     var attempts = 0
     while (attempts < 5) {

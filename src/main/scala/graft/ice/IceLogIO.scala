@@ -21,11 +21,16 @@ import scala.concurrent.{Await, ExecutionContext, Future}
   * `_data/`); the bucket+prefix of the reference collapses into the root
   * URI.
   */
-final class IceLogIO(pathSafeHostname: String, conf: Configuration) {
+final class IceLogIO(pathSafeHostname: String, conf: Configuration,
+    logRel: String = "_log") {
+  // `logRel` relocates the whole log (commits + checkpoints) under an
+  // alternate directory of the SAME root — the branch mechanism
+  // ([[Branch]]): data files stay root-relative `_data/...` and shared,
+  // only the fold's source of truth moves.
 
   def fs(root: String): FileSystem = new Path(root).getFileSystem(conf)
 
-  def logDir(root: String): Path = new Path(root, "_log")
+  def logDir(root: String): Path = new Path(root, logRel)
 
   /** Concurrent GET of log files → raw lines, keyed by root-relative path.
     *
@@ -122,7 +127,7 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration) {
     filesystem.listStatus(dir).toSeq
       .filter(st => st.isFile && !st.getPath.getName.startsWith(".") &&
         !st.getPath.getName.startsWith("_"))
-      .map(st => s"_log/${st.getPath.getName}")
+      .map(st => s"$logRel/${st.getPath.getName}")
       .sorted
   }
 
@@ -193,7 +198,7 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration) {
 
   // ------------------------------------------------------------ checkpoints
 
-  def chkDir(root: String): Path = new Path(root, "_log/_chk")
+  def chkDir(root: String): Path = new Path(root, s"$logRel/_chk")
 
   /** Persist a folded snapshot as a checkpoint under `_log/_chk/` (a
     * beyond-reference extension; normal log listing skips the subdirectory
@@ -209,7 +214,7 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration) {
     val covered = snap.logFiles.sorted
     if (covered.isEmpty) return None
     val ckptTs = covered.map(f => IceLogIO.logFileInfo(f)._1).max
-    val rel = s"_log/_chk/${ckptTs}_$pathSafeHostname.ckpt.jsonl"
+    val rel = s"$logRel/_chk/${ckptTs}_$pathSafeHostname.ckpt.jsonl"
     val filesystem = fs(root)
     val dest = new Path(root, rel)
     if (filesystem.exists(dest)) return None
@@ -238,7 +243,7 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration) {
     if (!filesystem.exists(dir)) return Seq.empty
     filesystem.listStatus(dir).toSeq
       .filter(st => st.isFile && !st.getPath.getName.startsWith("."))
-      .map(st => s"_log/_chk/${st.getPath.getName}")
+      .map(st => s"$logRel/_chk/${st.getPath.getName}")
       .sorted
   }
 
@@ -318,7 +323,7 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration) {
       var attempts = 0
       while (attempts < 1000) {
         val fileId = s"$ts${if (merged) "_m" else ""}_$pathSafeHostname"
-        val rel = s"_log/$fileId.jsonl"
+        val rel = s"$logRel/$fileId.jsonl"
         val dest = new Path(root, rel)
         val reserved = IceLogIO.reserve(root, fileId)
         if (reserved) {

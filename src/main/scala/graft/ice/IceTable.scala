@@ -158,7 +158,11 @@ final class IceTable(
     val spark: SparkSession,
     val root: String,
     val cfg: IceTableConfig,
-    clock: () => Long = () => System.currentTimeMillis()) {
+    clock: () => Long = () => System.currentTimeMillis(),
+    private[ice] val logRel: String = "_log") {
+  // `logRel`: which log directory under `root` this handle folds and
+  // commits to — "_log" for the table itself, `_branch/<name>/_log` for
+  // a branch handle ([[Branch]]); data files are shared either way.
 
   // URI-safe root contract: `_metadata.file_path` is URL-ENCODED while
   // Hadoop's qualified path string is raw, so a root (or partition value)
@@ -172,7 +176,7 @@ final class IceTable(
       s"raw path (space/%/#/?/non-ASCII): $root")
 
   private val hadoopConf = spark.sparkContext.hadoopConfiguration
-  val logio = new IceLogIO(IceTable.pathSafeHostname, hadoopConf)
+  val logio = new IceLogIO(IceTable.pathSafeHostname, hadoopConf, logRel)
   private def fs = logio.fs(root)
   private def now(): Long = clock()
 
@@ -791,7 +795,7 @@ final class IceTable(
       df: DataFrame, clusterExpr: Column, numFiles: Int): Seq[FileMarker] = {
     val noShuffle =
       if (!cfg.shuffleOnInsert) this
-      else new IceTable(spark, root, cfg.copy(shuffleOnInsert = false), clock)
+      else new IceTable(spark, root, cfg.copy(shuffleOnInsert = false), clock, logRel)
     noShuffle.insert(df.repartitionByRange(numFiles, clusterExpr))
   }
 
@@ -1739,7 +1743,7 @@ final class IceTable(
     val writerTable = new IceTable(spark, root,
       cfg.copy(partitionExpr = newPartitionExpr, sortOrder = newSortOrder,
         customInsertSql = None, partitionFunc = None, formatRow = None,
-        preservePartition = false, shuffleOnInsert = true), clock)
+        preservePartition = false, shuffleOnInsert = true), clock, logRel)
     val routed = src.withColumn(IceTable.RouteCol, newPartitionExpr)
     val (written, _) = writerTable.insertDefault(routed)
 
@@ -1758,7 +1762,7 @@ final class IceTable(
     // now has a perfectly persistable scheme
     val commitTable = new IceTable(spark, root,
       cfg.copy(partitionExpr = newPartitionExpr, sortOrder = newSortOrder,
-        partitionFunc = None), clock)
+        partitionFunc = None), clock, logRel)
     val (_, _, stamped) = commitTable.validatedRewriteCommit(allAcc, written,
       dvStampAtRead = dvStampAtRead)
     stamped.length
@@ -1966,8 +1970,20 @@ final class IceTable(
     * same as any object-store GC; never on a query path. */
   def vacuumOrphans(minAgeMs: Long = 3_600_000L): Seq[String] =
     IceTable.commitLock(root).synchronized {
+    // a branch handle folds only ITS log — sweeping from one would treat
+    // every main-only file as an orphan
+    require(logRel == "_log",
+      "vacuumOrphans must run on the main table handle, not a branch")
     val known: Set[String] =
-      trySnapshot(Long.MaxValue).map(_.files.map(_.path).toSet).getOrElse(Set.empty)
+      trySnapshot(Long.MaxValue).map(_.files.map(_.path).toSet).getOrElse(Set.empty) ++
+        // branch logs reference shared `_data/` files main's log knows
+        // nothing about (Branch): their data must survive the orphan sweep
+        // for as long as the branch exists — dropping the branch is what
+        // releases them
+        Branch.list(this).flatMap { b =>
+          Branch.open(this, b).trySnapshot(Long.MaxValue)
+            .map(_.files.map(_.path)).getOrElse(Seq.empty)
+        }
     val fsys = fs
     val cutoff = now() - minAgeMs
     val rootStr = fsys.makeQualified(new Path(root)).toString.stripSuffix("/")

@@ -34,6 +34,10 @@ import graft.ice.{DeleteVectors, IceTable, IceTableConfig}
   *   ALTER TABLE graft.t SORTED BY (c1, ...)     -- config-only commit
   *   ALTER TABLE graft.t PARTITIONED BY (<expr>) -- atomic partition evolution
   *   ALTER TABLE graft.t ADD COLUMN[S] (c TYPE, ...) -- union-schema evolution
+  *   ALTER TABLE graft.t CREATE BRANCH b         -- WAP fork (metadata-only)
+  *   ALTER TABLE graft.t PUBLISH BRANCH b        -- fast-forward, one commit
+  *   ALTER TABLE graft.t DROP BRANCH b           -- release the branch
+  *   SHOW BRANCHES IN graft.t                    -- live branch names
   *   RESTORE TABLE graft.t TO TIMESTAMP AS OF t  -- log-only rollback commit
   *   RESTORE TABLE graft.t TO VERSION AS OF v    -- (v = log ts, inclusive —
   *                                               --  the read side's spelling)
@@ -125,6 +129,11 @@ object GraftSqlParser {
     // (IceSqlResolution: VERSION AS OF v treats v as a log ts, inclusive)
     val restoreRe = re(
       s"""\\s*RESTORE\\s+TABLE\\s+$c\\.$ident\\s+TO\\s+(?:TIMESTAMP|VERSION)\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""")
+    // WAP branches (Iceberg's ALTER TABLE spellings): see graft.ice.Branch
+    val branchRe = re(
+      s"""\\s*ALTER\\s+TABLE\\s+$c\\.$ident\\s+(CREATE|PUBLISH|DROP)\\s+BRANCH\\s+([A-Za-z0-9_-]+)\\s*;?\\s*""")
+    val showBranchesRe = re(
+      s"""\\s*SHOW\\s+BRANCHES\\s+(?:IN|FROM)\\s+$c\\.$ident\\s*;?\\s*""")
   }
 
   private val compiledPatterns =
@@ -164,6 +173,14 @@ object GraftSqlParser {
       // inclusive at ms granularity ⇒ +1 against the strict-< fold, the
       // read side's evalMaxTs convention
       return Some(GraftRestoreCommand(name(rm, 1), rm.group(3).toLong + 1L))
+
+    val brm = branchRe.matcher(sqlText)
+    if (brm.matches())
+      return Some(GraftBranchCommand(name(brm, 1),
+        brm.group(3).toUpperCase, brm.group(4)))
+
+    val sbm = showBranchesRe.matcher(sqlText)
+    if (sbm.matches()) return Some(GraftShowBranchesCommand(name(sbm, 1)))
 
     // ALTER TABLE graft.t ADD COLUMN[S] (c TYPE, ...) | c TYPE — the
     // column list parses through the delegate's own schema grammar
@@ -475,6 +492,48 @@ object GraftSqlParser {
     * the restored read would still hide their rows). A bound predating
     * the first dv commit restores the dv state to "no marks" — every
     * current mark file tombstones. */
+  /** `ALTER TABLE graft.<t> CREATE|PUBLISH|DROP BRANCH <b>` — the WAP
+    * loop in SQL (see [[graft.ice.Branch]]): CREATE forks metadata-only,
+    * writes go to the branch through its API handle (or a registered
+    * view), PUBLISH fast-forwards main atomically, DROP releases the
+    * branch's files to the orphan sweep. */
+  final case class GraftBranchCommand(name: String, op: String, branch: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AR("files_added", LongType, nullable = false)(),
+      AR("files_tombstoned", LongType, nullable = false)())
+    override def run(session: SparkSession): Seq[Row] =
+      rootFor(session, name, requireLog = true) match {
+        case None => throw new IllegalArgumentException(
+          s"graft table '$name' does not exist")
+        case Some(root) =>
+          val t = IceTable.open(session, root)
+          op match {
+            case "CREATE" =>
+              graft.ice.Branch.create(t, branch); Seq(Row(0L, 0L))
+            case "PUBLISH" =>
+              val (a, r) = graft.ice.Branch.publish(t, branch)
+              Seq(Row(a.toLong, r.toLong))
+            case "DROP" =>
+              graft.ice.Branch.drop(t, branch); Seq(Row(0L, 0L))
+          }
+      }
+  }
+
+  /** `SHOW BRANCHES IN graft.<t>` — live branch names. */
+  final case class GraftShowBranchesCommand(name: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(AR("branch", StringType, nullable = false)())
+    override def run(session: SparkSession): Seq[Row] =
+      rootFor(session, name, requireLog = true) match {
+        case None => throw new IllegalArgumentException(
+          s"graft table '$name' does not exist")
+        case Some(root) =>
+          graft.ice.Branch.list(IceTable.open(session, root)).map(Row(_))
+      }
+  }
+
   final case class GraftRestoreCommand(name: String, bound: Long)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(

@@ -1,0 +1,107 @@
+package graft.ice
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** WAP branches: metadata-only fork, isolated writes (insert + CoW DML +
+  * compaction), fast-forward publish as one atomic diff commit, conflict
+  * rejection, vacuum safety, and drop. */
+class BranchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(tag: String): IceTable = {
+    val t = new IceTable(spark, tmpDir(tag), IceTableConfig(
+      partitionExpr = concat(lit("p="), pmod(col("id"), lit(2))),
+      sortOrder = Seq("id")))
+    t.insert(spark.range(20).select(col("id"), (col("id") * 10).as("v")))
+    t
+  }
+
+  test("create is metadata-only; branch sees base; writes are isolated both ways") {
+    val main = mkTable("br_iso")
+    val filesBefore = main.snapshot().aliveFiles.map(_.path).toSet
+    val b = Branch.create(main, "audit")
+    // zero data copy: the branch's alive set IS main's file set
+    assert(b.snapshot().aliveFiles.map(_.path).toSet === filesBefore)
+    assert(b.read().count() === 20L)
+
+    // branch writes: insert + CoW update + CoW delete
+    b.insert(spark.range(20, 30).select(col("id"), (col("id") * 10).as("v")))
+    b.updateWhere(col("id") === 1L, Seq("v" -> lit(-1L)))
+    b.deleteWhere(col("id") === 2L)
+    assert(b.read().count() === 29L)
+    assert(b.read().where(col("v") === -1L).count() === 1L)
+    // main unchanged — and a concurrent main write is invisible to the branch
+    assert(main.read().count() === 20L)
+    assert(main.read().where(col("v") === -1L).count() === 0L)
+    Thread.sleep(3)
+    main.insert(Seq((900L, 0L)).toDF("id", "v"))
+    assert(b.read().count() === 29L)
+    assert(Branch.list(main) === Seq("audit"))
+  }
+
+  test("fast-forward publish lands the exact branch state on main atomically") {
+    val main = mkTable("br_pub")
+    val b = Branch.create(main, "wap")
+    b.insert(spark.range(20, 25).select(col("id"), (col("id") * 10).as("v")))
+    b.deleteWhere(col("id") < 3L)
+    b.optimize(maxFileSize = 1L << 30, maxFileCount = 100) // branch compaction
+    val expect = b.read().select("id", "v").as[(Long, Long)].collect().toSet
+    val logsBefore = main.logio.currentLogFiles(main.root).size
+    val (added, removed) = Branch.publish(main, "wap")
+    assert(added > 0 && removed > 0)
+    // ONE commit, and main now reads exactly the branch state
+    assert(main.logio.currentLogFiles(main.root).size === logsBefore + 1)
+    assert(main.read().select("id", "v").as[(Long, Long)].collect().toSet === expect)
+    // time travel still sees the pre-publish main
+    val prePublish = main.history().orderBy(col("commit_ts"))
+      .select("commit_ts").as[Long].collect()
+    assert(main.read(prePublish.head + 1).count() === 20L)
+    Branch.drop(main, "wap")
+    assert(Branch.list(main).isEmpty)
+  }
+
+  test("publish conflicts when main moved; dv deletes reject branch handles") {
+    val main = mkTable("br_conflict")
+    val b = Branch.create(main, "stale")
+    b.insert(Seq((100L, 1L)).toDF("id", "v"))
+    Thread.sleep(3)
+    main.insert(Seq((200L, 2L)).toDF("id", "v")) // main moves first
+    intercept[CommitConflictException] { Branch.publish(main, "stale") }
+    assert(main.read().count() === 21L) // conflict left main untouched
+    val e = intercept[IllegalArgumentException] {
+      DeleteVectors.deleteWhere(b, col("id") === 1L)
+    }
+    assert(e.getMessage.contains("branch"))
+    intercept[IllegalArgumentException] { Branch.create(b, "nested") }
+  }
+
+  test("orphan vacuum spares live-branch files; drop releases them") {
+    val main = mkTable("br_vacuum")
+    val b = Branch.create(main, "keepme")
+    b.insert(spark.range(50, 60).select(col("id"), (col("id") * 10).as("v")))
+    val branchOnly = b.snapshot().aliveFiles.map(_.path).toSet --
+      main.snapshot().aliveFiles.map(_.path).toSet
+    assert(branchOnly.nonEmpty)
+    // an aggressive sweep (zero grace) must not touch live-branch files
+    assert(main.vacuumOrphans(minAgeMs = 0L).isEmpty)
+    assert(b.read().count() === 30L)
+    // after drop they are unreferenced and the sweep reclaims them
+    Branch.drop(main, "keepme")
+    val swept = main.vacuumOrphans(minAgeMs = 0L).toSet
+    assert(branchOnly.subsetOf(swept))
+    assert(main.read().count() === 20L)
+    intercept[IllegalArgumentException] { b.vacuumOrphans(minAgeMs = 0L) }
+  }
+
+  test("exactly-once batch ids survive the publish (WAP ingestion replay)") {
+    val main = mkTable("br_eo")
+    val b = Branch.create(main, "ingest")
+    assert(b.insertBatch(Seq((500L, 5L)).toDF("id", "v"), "wapq", 7L))
+    assert(!b.insertBatch(Seq((500L, 5L)).toDF("id", "v"), "wapq", 7L))
+    Branch.publish(main, "ingest")
+    // the batch-id record carried into main: a replay against MAIN skips
+    assert(!main.insertBatch(Seq((500L, 5L)).toDF("id", "v"), "wapq", 7L))
+    assert(main.read().where(col("id") === 500L).count() === 1L)
+  }
+}

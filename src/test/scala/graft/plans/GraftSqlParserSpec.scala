@@ -360,6 +360,28 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(parts(IceTable.open(spark, s"$w/sctd")) === Set("d--0", "d--1"))
   }
 
+  test("SQL branch WAP loop: CREATE / SHOW / PUBLISH / DROP BRANCH") {
+    import spark.implicits._
+    val w = freshWarehouse()
+    src().createOrReplaceTempView("br_src")
+    spark.sql(
+      """CREATE TABLE graft.brt PARTITIONED BY (concat('u=', pmod(u, 4)))
+        |AS SELECT * FROM br_src""".stripMargin).collect()
+    spark.sql("ALTER TABLE graft.brt CREATE BRANCH audit").collect()
+    assert(spark.sql("SHOW BRANCHES IN graft.brt")
+      .as[String].collect().toSeq === Seq("audit"))
+    // write through the branch API handle; main (via SQL) stays pinned
+    val main = IceTable.open(spark, s"$w/brt")
+    val b = graft.ice.Branch.open(main, "audit")
+    b.insert((200 to 219).map(i => (i.toLong, i % 7, "new")).toDF("id", "u", "kind"))
+    assert(spark.sql("SELECT count(*) AS c FROM graft.brt").head.getLong(0) === 100L)
+    val pub = spark.sql("ALTER TABLE graft.brt PUBLISH BRANCH audit").head
+    assert(pub.getLong(0) > 0L)
+    assert(spark.sql("SELECT count(*) AS c FROM graft.brt").head.getLong(0) === 120L)
+    spark.sql("ALTER TABLE graft.brt DROP BRANCH audit").collect()
+    assert(spark.sql("SHOW BRANCHES IN graft.brt").count() === 0L)
+  }
+
   test("CLUSTERED BY INTO BUCKETS: SQL-created bucketed tables join without a shuffle") {
     val w = freshWarehouse()
     src().createOrReplaceTempView("bkt_src")
