@@ -53,6 +53,19 @@ object Branch {
   /** streamCommits key recording the main log head the branch forked at. */
   private[ice] val BaseKey = "_branch_base"
 
+  /** streamCommits key recording the `_dv` log head at fork: merge-on-read
+    * deletes land in a SEPARATE log the main-head check cannot see, yet a
+    * publish that swaps a base file for a branch rewrite would silently
+    * resurrect rows a post-fork dv delete killed (branch rewrites carry
+    * no dv marks). The dv head is therefore part of the fast-forward
+    * base. */
+  private[ice] val DvBaseKey = "_branch_base_dv"
+
+  /** Max `_dv` log filename ts, 0 when the dv table has no commits. */
+  private def dvHead(main: IceTable): Long =
+    main.logio.currentLogFiles(s"${main.root}/_dv").iterator
+      .map(p => IceLogIO.logFileInfo(p)._1).maxOption.getOrElse(0L)
+
   private val SafeBranch = "[A-Za-z0-9_-]{1,64}".r.anchored
   private def requireSafe(name: String): Unit =
     require(SafeBranch.matches(name), s"unsafe branch name: '$name'")
@@ -80,7 +93,8 @@ object Branch {
         snap.aliveFiles.map(_.copy(virSourceLogFile = None)),
         merged = true,
         streamCommits = LogMetadata.mergeCommits(
-          snap.streamCommits, Map(BaseKey -> baseTs)),
+          snap.streamCommits,
+          Map(BaseKey -> baseTs, DvBaseKey -> dvHead(main))),
         tableCfg = snap.tableConfig)
       b
     }
@@ -125,6 +139,15 @@ object Branch {
       val baseTs = bSnap.streamCommits.getOrElse(BaseKey,
         throw new IllegalStateException(
           s"branch '$name' carries no base record — not created by Branch.create?"))
+      // plain inserts do not take the commit lock: one may have FIXED a
+      // ts but not yet be visible to the fold below. Any in-flight main
+      // commit conflicts (retry when it lands — the head check then sees
+      // it); a commit starting after this check gets a later ts and
+      // serializes AFTER the publish
+      if (IceLogIO.hasInFlight(main.root))
+        throw new CommitConflictException(
+          s"publish of branch '$name': a main-table commit is in flight; " +
+            "retry once it lands")
       val mSnap = main.snapshot(Long.MaxValue)
       val mainHead = mSnap.logFiles.iterator
         .map(p => IceLogIO.logFileInfo(p)._1).max
@@ -132,6 +155,16 @@ object Branch {
         s"branch '$name' forked at main head $baseTs but main is now at " +
           s"$mainHead: fast-forward publish only — re-create the branch " +
           "from the current head and replay its writes")
+      // dv commits live in their own log: a post-fork merge-on-read
+      // delete would be silently UNDONE by publishing a branch rewrite
+      // of the file it marks (the rewrite carries no dv positions) —
+      // same fast-forward rule, separate head
+      val dvBase = bSnap.streamCommits.getOrElse(DvBaseKey, 0L)
+      val dvNow = dvHead(main)
+      if (dvNow != dvBase) throw new CommitConflictException(
+        s"branch '$name' forked at dv head $dvBase but the _dv log is now " +
+          s"at $dvNow: merge-on-read deletes landed on main after the " +
+          "fork — re-create the branch from the current head and replay")
       // registered in flight for the whole diff window (IceLogIO registry):
       // the publish EMITS change events replicas must not lose
       val pubTs = IceLogIO.registerCommitFloor(main.root,
@@ -146,7 +179,7 @@ object Branch {
         if (added.isEmpty && removed.isEmpty) return (0, 0)
         main.logio.append(main.root, 1, bSnap.schema, added ++ removed,
           merged = true, timestamp = Some(pubTs),
-          streamCommits = bSnap.streamCommits - BaseKey,
+          streamCommits = bSnap.streamCommits - BaseKey - DvBaseKey,
           tableCfg = bSnap.tableConfig.orElse(mSnap.tableConfig))
         (added.length, removed.length)
       } finally IceLogIO.endCommit(main.root, pubTs)

@@ -317,7 +317,7 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration,
     // one here is harmless and keeps the no-caller-registration paths
     // covered from the moment the ts is fixed until the file is visible
     val regTs = IceLogIO.registerCommitFloor(
-      root, math.min(timestamp.getOrElse(entryNow), entryNow))
+      root, math.min(timestamp.getOrElse(entryNow), entryNow), logRel)
     try {
       var ts = timestamp.getOrElse(entryNow)
       var attempts = 0
@@ -355,7 +355,7 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration,
       }
       throw new java.io.IOException(
         s"could not find a free log timestamp after $attempts attempts")
-    } finally IceLogIO.endCommit(root, regTs)
+    } finally IceLogIO.endCommit(root, regTs, logRel)
   }
 
   def delete(root: String, relPath: String): Boolean =
@@ -418,41 +418,58 @@ object IceLogIO {
     new java.util.HashMap[String, java.util.TreeMap[java.lang.Long, Integer]]()
   private var settledClock = 0L
 
+  /** Registrations are keyed by (root, log directory): a branch handle's
+    * in-flight rewrite must not pin the MAIN feed's settled bound (its
+    * commit lands in `_branch/<name>/_log`, invisible to main windows). */
+  private def inFlightKey(root: String, logRel: String) = s"$root#$logRel"
+
   /** Register `ts` as a lower bound of a commit that is about to be
-    * written to `root` (append only ever bumps timestamps UP). MUST be
-    * paired with [[endCommit]] after the log file is visible (or the
-    * attempt failed). */
-  private[graft] def registerCommitFloor(root: String, ts: Long): Long = {
+    * written to `root`'s `logRel` directory (append only ever bumps
+    * timestamps UP). MUST be paired with [[endCommit]] after the log
+    * file is visible (or the attempt failed). */
+  private[graft] def registerCommitFloor(
+      root: String, ts: Long, logRel: String = "_log"): Long = {
     inFlightLock.synchronized {
-      val m = inFlightTs.computeIfAbsent(root,
+      val m = inFlightTs.computeIfAbsent(inFlightKey(root, logRel),
         (_: String) => new java.util.TreeMap[java.lang.Long, Integer])
       m.merge(ts, Integer.valueOf(1), (a, b) => Integer.valueOf(a + b))
     }
     ts
   }
 
-  private[graft] def endCommit(root: String, ts: Long): Unit =
+  private[graft] def endCommit(
+      root: String, ts: Long, logRel: String = "_log"): Unit =
     inFlightLock.synchronized {
-      val m = inFlightTs.get(root)
+      val key = inFlightKey(root, logRel)
+      val m = inFlightTs.get(key)
       if (m != null) {
         val c = m.get(ts)
         if (c != null) {
           if (c <= 1) m.remove(ts) else m.put(ts, Integer.valueOf(c - 1))
         }
-        if (m.isEmpty) inFlightTs.remove(root)
+        if (m.isEmpty) inFlightTs.remove(key)
       }
     }
 
-  /** The settled timestamp across `roots`: every commit from THIS process
-    * with filename ts at or below the returned value is already VISIBLE
-    * (its append returned), and no new same-process commit can land at or
-    * below it — safe as an inclusive feed/offset bound. The clock is
-    * monotone-guarded so one backwards NTP step cannot re-open a served
-    * window. */
+  /** Whether any same-process commit to `root`'s `logRel` log is
+    * currently in flight (registered, file not yet visible) — the
+    * fast-forward publish pre-check. */
+  private[graft] def hasInFlight(root: String, logRel: String = "_log"): Boolean =
+    inFlightLock.synchronized {
+      val m = inFlightTs.get(inFlightKey(root, logRel))
+      m != null && !m.isEmpty
+    }
+
+  /** The settled timestamp across `roots`' MAIN (`_log`) directories:
+    * every commit from THIS process with filename ts at or below the
+    * returned value is already VISIBLE (its append returned), and no new
+    * same-process commit can land at or below it — safe as an inclusive
+    * feed/offset bound. The clock is monotone-guarded so one backwards
+    * NTP step cannot re-open a served window. */
   def settledTs(roots: Seq[String]): Long = inFlightLock.synchronized {
     settledClock = math.max(settledClock, System.currentTimeMillis())
     val floor = roots.iterator.map { r =>
-      val m = inFlightTs.get(r)
+      val m = inFlightTs.get(inFlightKey(r, "_log"))
       if (m == null || m.isEmpty) Long.MaxValue else m.firstKey.longValue
     }.min
     math.min(settledClock - 1, floor - 1)

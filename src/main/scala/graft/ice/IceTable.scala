@@ -175,6 +175,14 @@ final class IceTable(
     s"table root contains characters whose URI encoding differs from the " +
       s"raw path (space/%/#/?/non-ASCII): $root")
 
+  cfg.bucketBy.foreach { case (n, cols) =>
+    // 0 buckets routes every row to pmod(hash, 0) = null — reject at the
+    // handle, before a single misplaced file can persist the broken spec
+    require(n >= 1 && cols.nonEmpty,
+      s"bucketBy requires a positive bucket count and at least one " +
+        s"column, got ($n, $cols)")
+  }
+
   private val hadoopConf = spark.sparkContext.hadoopConfiguration
   val logio = new IceLogIO(IceTable.pathSafeHostname, hadoopConf, logRel)
   private def fs = logio.fs(root)
@@ -1450,9 +1458,9 @@ final class IceTable(
       // settled-bound consumer cannot serve a window past it and lose the
       // rewrite's change events (IceLogIO registry)
       val commitTs = IceLogIO.registerCommitFloor(
-        root, math.max(now(), maxLogTs + 1))
+        root, math.max(now(), maxLogTs + 1), logRel)
       try body(fresh, byPath, commitTs, cur.tableConfig)
-      finally IceLogIO.endCommit(root, commitTs)
+      finally IceLogIO.endCommit(root, commitTs, logRel)
     }
 
   /** The shared validated log-rewrite commit used by merge / optimize /
@@ -2070,7 +2078,8 @@ final class IceTable(
     // EMITS change events (resurrect inserts) replicas must not lose
     val restoreTime = IceLogIO.registerCommitFloor(root,
       math.max(now(), snap.logFiles.iterator
-        .map(p => IceLogIO.logFileInfo(p)._1).maxOption.getOrElse(0L) + 1))
+        .map(p => IceLogIO.logFileInfo(p)._1).maxOption.getOrElse(0L) + 1),
+      logRel)
     try {
     val asOf = trySnapshot(maxTs).getOrElse(throw new IllegalArgumentException(
       s"restoreTo($root): no commits at or before ts=${maxTs - 1} to restore to"))
@@ -2093,7 +2102,7 @@ final class IceTable(
       merged = true, timestamp = Some(restoreTime),
       tableCfg = persistedCfg.orElse(snap.tableConfig))
     (toRevive.length, toTombstone.length)
-    } finally IceLogIO.endCommit(root, restoreTime)
+    } finally IceLogIO.endCommit(root, restoreTime, logRel)
   }
 
   def removePartitions(

@@ -301,7 +301,13 @@ object GraftSqlParser {
           while (pos < sqlText.length && sqlText.charAt(pos).isDigit) pos += 1
           val num = sqlText.substring(numStart, pos)
           if (num.isEmpty || !takeKeyword("BUCKETS")) bad()
-          bucketBy = Some((num.toInt, bCols))
+          // 0 buckets would route every row to pmod(h, 0) = null; an
+          // absurd count is a typo, not a layout
+          val n = num.toLongOption.filter(v => v >= 1L && v <= (1L << 20))
+            .getOrElse(throw new UnsupportedOperationException(
+              s"CREATE TABLE $catalog.<t>: bucket count must be in " +
+                s"[1, ${1 << 20}], got '$num'"))
+          bucketBy = Some((n.toInt, bCols))
           progressed = true
         }
       }
@@ -340,21 +346,22 @@ object GraftSqlParser {
     None
   }
 
-  /** `-- …`-to-end-of-line removal, single-quote-aware (`'a--b'` keeps
-    * its dashes; `''` escapes pass through as two quote toggles,
-    * harmlessly). Used only on the graft-recognition copy of a
-    * statement — never on text handed to the delegate parser. */
+  /** `-- …`-to-end-of-line removal, quote-aware for all three SQL quote
+    * characters (`'a--b'`, `"a--b"` string literals and `` `a--b` ``
+    * identifiers keep their dashes; doubled-quote escapes pass through
+    * as two toggles, harmlessly). Used only on the graft-recognition
+    * copy of a statement — never on text handed to the delegate parser. */
   private def stripLineComments(s: String): String = {
     val sb = new StringBuilder(s.length)
     var i = 0
-    var inQuote = false
+    var quote: Char = 0
     while (i < s.length) {
       val ch = s.charAt(i)
-      if (inQuote) {
-        if (ch == '\'') inQuote = false
+      if (quote != 0) {
+        if (ch == quote) quote = 0
         sb.append(ch); i += 1
-      } else if (ch == '\'') {
-        inQuote = true; sb.append(ch); i += 1
+      } else if (ch == '\'' || ch == '"' || ch == '`') {
+        quote = ch; sb.append(ch); i += 1
       } else if (ch == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
         while (i < s.length && s.charAt(i) != '\n') i += 1
       } else { sb.append(ch); i += 1 }
@@ -515,7 +522,12 @@ object GraftSqlParser {
               val (a, r) = graft.ice.Branch.publish(t, branch)
               Seq(Row(a.toLong, r.toLong))
             case "DROP" =>
-              graft.ice.Branch.drop(t, branch); Seq(Row(0L, 0L))
+              // silent success on a typo'd name would leave the REAL
+              // branch pinning its files against vacuumOrphans forever
+              if (!graft.ice.Branch.drop(t, branch))
+                throw new IllegalArgumentException(
+                  s"branch '$branch' of graft table '$name' does not exist")
+              Seq(Row(0L, 0L))
           }
       }
   }

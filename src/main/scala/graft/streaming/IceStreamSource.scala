@@ -71,7 +71,9 @@ class IceStreamProvider extends StreamSourceProvider with RelationProvider
     * producing the partition path string, e.g.
     * `concat('d=', date_format(ts_col, 'yyyy-MM-dd'))`; default one
     * `all` partition), `sortOrder` (comma-separated intra-file sort
-    * columns). SaveMode semantics against a log-based table:
+    * columns), `bucketBy` (`"<n>:<col>[,<col>...]"` — the co-located-join
+    * hash-bucket layout, [[IceTableConfig.bucketBy]]). SaveMode semantics
+    * against a log-based table:
     * Append = insert (the native operation); ErrorIfExists errors iff the
     * table already has commits; Ignore no-ops then; Overwrite is
     * REJECTED — truncation of an MVCC table is an explicit maintenance
@@ -99,10 +101,22 @@ class IceStreamProvider extends StreamSourceProvider with RelationProvider
     val withPart = parameters.get("partitionExpr")
       .map(e => base.copy(partitionExpr = org.apache.spark.sql.functions.expr(e)))
       .getOrElse(base)
-    val cfg = parameters.get("sortOrder")
+    val withSort = parameters.get("sortOrder")
       .map(so => withPart.copy(
         sortOrder = so.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
       .getOrElse(withPart)
+    // `bucketBy` = "<n>:<col>[,<col>...]" — the co-located-join layout
+    // (IceTableConfig.bucketBy) from the writer-option surface
+    val cfg = parameters.get("bucketBy").map { spec =>
+      spec.split(":", 2) match {
+        case Array(n, cols) if n.trim.toIntOption.exists(_ >= 1) &&
+            cols.split(",").exists(_.trim.nonEmpty) =>
+          withSort.copy(bucketBy = Some((n.trim.toInt,
+            cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)))
+        case _ => throw new IllegalArgumentException(
+          s"ice: option 'bucketBy' must be '<n>:<col>[,<col>...]', got '$spec'")
+      }
+    }.getOrElse(withSort)
     val table = new IceTable(sqlContext.sparkSession, root, cfg)
     snap.foreach(s => table.seedPreflight(s.schema)) // same fold, no re-read
     mode match {

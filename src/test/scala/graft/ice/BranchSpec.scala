@@ -76,6 +76,18 @@ class BranchSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Branch.create(b, "nested") }
   }
 
+  test("publish conflicts when a merge-on-read delete landed on main post-fork") {
+    val main = mkTable("br_dvrace")
+    val b = Branch.create(main, "dvrace")
+    // the branch REWRITES base files (no dv marks travel with a rewrite)
+    b.optimize(maxFileSize = 1L << 30, maxFileCount = 100)
+    Thread.sleep(3)
+    DeleteVectors.deleteWhere(main, col("id") === 5L) // post-fork MoR delete
+    // publishing the rewrite would silently resurrect row 5 — conflict
+    intercept[CommitConflictException] { Branch.publish(main, "dvrace") }
+    assert(main.read().where(col("id") === 5L).count() === 0L)
+  }
+
   test("orphan vacuum spares live-branch files; drop releases them") {
     val main = mkTable("br_vacuum")
     val b = Branch.create(main, "keepme")

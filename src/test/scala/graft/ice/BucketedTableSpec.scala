@@ -135,6 +135,21 @@ class BucketedTableSpec extends SparkSpec {
     }
   }
 
+  test("format(\"ice\") writer option bucketBy creates a bucketed table") {
+    val root = tmpDir("bkt_fmt")
+    rows(60, "a").write.format("ice").option("path", root)
+      .option("bucketBy", "4:k").option("sortOrder", "k")
+      .mode("append").save()
+    val t = IceTable.open(spark, root)
+    assert(t.cfg.bucketBy === Some((4, Seq("k"))))
+    assert(t.bucketSpecFor(t.snapshot()).isDefined)
+    val bad = intercept[IllegalArgumentException] {
+      rows(5, "x").write.format("ice").option("path", tmpDir("bkt_bad"))
+        .option("bucketBy", "0:k").mode("append").save()
+    }
+    assert(bad.getMessage.contains("bucketBy"))
+  }
+
   test("persisted config round-trips; untagged files degrade gracefully") {
     val t = bucketed("bkt_persist")
     t.insert(rows(50, "a"))

@@ -380,6 +380,11 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) AS c FROM graft.brt").head.getLong(0) === 120L)
     spark.sql("ALTER TABLE graft.brt DROP BRANCH audit").collect()
     assert(spark.sql("SHOW BRANCHES IN graft.brt").count() === 0L)
+    // a typo'd DROP must fail loudly, not leave the real branch pinned
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("ALTER TABLE graft.brt DROP BRANCH audti").collect()
+    }
+    assert(e.getMessage.contains("does not exist"))
   }
 
   test("CLUSTERED BY INTO BUCKETS: SQL-created bucketed tables join without a shuffle") {
@@ -413,5 +418,25 @@ class GraftSqlParserSpec extends SparkSpec {
     val t3 = IceTable.open(spark, s"$w/bkt3")
     assert(t3.cfg.bucketBy === Some((4, Seq("id"))))
     assert(t3.bucketSpecFor(t3.snapshot()).isDefined)
+    // 0 buckets would route every row to pmod(h, 0) = null — rejected
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql(
+        "CREATE TABLE graft.bkt0 CLUSTERED BY (id) INTO 0 BUCKETS AS SELECT * FROM bkt_src")
+    }
+    assert(e.getMessage.contains("bucket count"))
+  }
+
+  test("comment stripping is quote-aware for double quotes and backticks") {
+    val w = freshWarehouse()
+    src().createOrReplaceTempView("q_src")
+    // a double-quoted string literal carrying '--' must survive the
+    // pre-recognition comment strip of a graft CTAS
+    spark.sql(
+      """CREATE TABLE graft.sctq AS
+        |SELECT "x--y" AS s, id FROM q_src -- trailing note""".stripMargin)
+      .collect()
+    assert(spark.sql("SELECT s FROM graft.sctq LIMIT 1")
+      .head.getString(0) === "x--y")
+    assert(IceTable.open(spark, s"$w/sctq").read().count() === 100L)
   }
 }
