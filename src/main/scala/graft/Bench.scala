@@ -430,7 +430,33 @@ object Bench {
     val effParallelism =
       if (totalWallNs > 0 && totalCpuNs > 0) totalCpuNs.toDouble / totalWallNs
       else -1.0
+    // The bucketing payoff, isolated: the SAME orders ⋈ lineitem join on
+    // the SAME rows, co-located (BucketSpec relations — zero shuffle
+    // exchanges) vs shuffling (plain snapshot reads of the same bucketed
+    // files, no spec). Broadcast disabled so both sides take the
+    // sort-merge path the comparison is about.
+    val (joinColocated, joinShuffled) = {
+      import org.apache.spark.sql.functions.col
+      val (ot, lt) = Fixtures.bucketedPair(spark, sfDir)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val co = timed()() {
+          graft.plans.IceFileIndex.dataFrame(spark, lt)
+            .join(graft.plans.IceFileIndex.dataFrame(spark, ot),
+              col("l_orderkey") === col("o_orderkey"))
+            .groupBy(col("o_orderstatus")).count().collect()
+        }
+        val sh = timed()() {
+          lt.read().join(ot.read(), col("l_orderkey") === col("o_orderkey"))
+            .groupBy(col("o_orderstatus")).count().collect()
+        }
+        (co, sh)
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+    }
+
     val sections = Seq(
+      "join_colocated" -> joinColocated, "join_shuffled" -> joinShuffled,
       "synthetic_insert" -> synth, "insert_noshuffle" -> insertNoShuffle,
       "optimize_2000" -> optimize2000,
       "rowgroup_default" -> rowgroupDefault, "rowgroup8k" -> rowgroup8k,
