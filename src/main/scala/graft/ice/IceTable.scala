@@ -682,22 +682,28 @@ final class IceTable(
     val routed1 =
       if (hasPre && !cfg.preservePartition) routed0.drop("_partition")
       else routed0
-    // bucketed tables: the bucket is one more partition-path level, so
-    // every downstream mechanism (one file per route, per-directory
-    // merge/rewrite, pruning) keeps the bucket invariant without knowing
-    // about it. Placement MUST equal HashPartitioning's
-    // partitionIdExpression — pmod(murmur3(cols, seed 42), n), which is
-    // exactly functions.hash — or the scan-side BucketSpec would lie.
+    appendBucketRoute(routed1)
+  }
+
+  /** Append the bucket path segment to an already-computed route column —
+    * shared by [[routeRows]] and partition evolution
+    * ([[repartitionTable]]), so a bucketed table can never silently lose
+    * its layout on a reroute. The bucket is one more partition-path
+    * level: every downstream mechanism (one file per route, per-directory
+    * merge/rewrite, pruning) keeps the invariant without knowing about
+    * it. Placement MUST equal HashPartitioning's partitionIdExpression —
+    * pmod(murmur3(cols, seed 42), n), which is exactly functions.hash —
+    * or the scan-side BucketSpec would lie. */
+  private def appendBucketRoute(routed: DataFrame): DataFrame =
     cfg.bucketBy match {
-      case None => routed1
+      case None => routed
       case Some((n, cols)) =>
         val bkt = concat(lit("bkt="),
           pmod(hash(cols.map(col): _*), lit(n)).cast("string"))
-        routed1.withColumn(IceTable.RouteCol,
+        routed.withColumn(IceTable.RouteCol,
           when(col(IceTable.RouteCol) === "", bkt)
             .otherwise(concat(col(IceTable.RouteCol), lit("/"), bkt)))
     }
-  }
 
   /** The read-side [[org.apache.spark.sql.catalyst.catalog.BucketSpec]]
     * for this snapshot: present only when the table is configured
@@ -1752,7 +1758,8 @@ final class IceTable(
       cfg.copy(partitionExpr = newPartitionExpr, sortOrder = newSortOrder,
         customInsertSql = None, partitionFunc = None, formatRow = None,
         preservePartition = false, shuffleOnInsert = true), clock, logRel)
-    val routed = src.withColumn(IceTable.RouteCol, newPartitionExpr)
+    val routed = writerTable.appendBucketRoute(
+      src.withColumn(IceTable.RouteCol, newPartitionExpr))
     val (written, _) = writerTable.insertDefault(routed)
 
     val allAcc = snap.aliveFiles

@@ -150,6 +150,41 @@ class BucketedTableSpec extends SparkSpec {
     assert(bad.getMessage.contains("bucketBy"))
   }
 
+  test("partition evolution keeps the bucket layout; dv deletes compose") {
+    val a = new IceTable(spark, tmpDir("bkt_evolve"), IceTableConfig(
+      partitionExpr = concat(lit("p="), pmod(col("k"), lit(2))),
+      sortOrder = Seq("k"),
+      bucketBy = Some((4, Seq("k")))))
+    a.insert(rows(200, "a"))
+    // evolve the USER partition axis: the bucket level must survive the
+    // full-table reroute, not silently fall off
+    a.repartitionTable(concat(lit("q="), pmod(col("k"), lit(3))))
+    val snap = a.snapshot()
+    assert(a.bucketSpecFor(snap).isDefined)
+    snap.aliveFiles.foreach { m =>
+      val p = a.partitionOf(m.path)
+      assert(p.startsWith("q=") && p.contains("/bkt="), p)
+    }
+    // merge-on-read delete on a bucketed table: the dv overlay rides the
+    // bucketed relation, and the co-located join still has no shuffle.
+    // The dv side broadcasts at production defaults (position-pair sized)
+    // and a broadcast anti-join PRESERVES the bucket partitioning — so
+    // force ONLY the outer join to sort-merge (a targeted hint), not the
+    // overlay
+    DeleteVectors.deleteWhere(a, col("k") < 20)
+    assert(rel(a).count() === 180L)
+    val b = bucketed("bkt_evolve2")
+    b.insert(rows(100, "b"))
+    rel(a).createOrReplaceTempView("bkt_dv_a")
+    rel(b).withColumnRenamed("v", "w").createOrReplaceTempView("bkt_dv_b")
+    val j = spark.sql(
+      "SELECT /*+ MERGE(bkt_dv_b) */ * FROM bkt_dv_a JOIN bkt_dv_b USING (k)")
+    val plan = finalPlan(j)
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(j.count() === 80L) // keys 20..99 survive on a
+  }
+
   test("persisted config round-trips; untagged files degrade gracefully") {
     val t = bucketed("bkt_persist")
     t.insert(rows(50, "a"))
