@@ -75,6 +75,12 @@ object Branch {
 
   private def branchLogRel(name: String) = s"_branch/$name/_log"
 
+  /** Validated log-directory path for branch `name` — the
+    * `format("ice")` surface's `option("branch", ...)` hook. */
+  private[graft] def logRelFor(name: String): String = {
+    requireSafe(name); branchLogRel(name)
+  }
+
   /** Fork `name` from main's CURRENT snapshot: one metadata-only merged
     * commit in the branch log re-listing the alive markers (stats and
     * create times carried), plus the base head ts for the fast-forward

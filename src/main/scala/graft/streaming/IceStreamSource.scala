@@ -43,7 +43,10 @@ import org.apache.spark.sql.types.StructType
   * `changeFeed` — `true` switches to the row-level change feed
   * ([[IceChangeFeedSource]]); `allowHorizonSkip` — change-feed only,
   * opt-in recovery when a tombstone cleanup overtakes the consumer (see
-  * [[IceChangeFeedSource]]'s recovery notes).
+  * [[IceChangeFeedSource]]'s recovery notes); `branch` — read (or batch
+  * write) a WAP branch's log instead of main ([[graft.ice.Branch]]; a
+  * branch write requires the branch to already exist — writes never
+  * imply a fork).
   *
   * The SAME short name is also the BATCH reader:
   * `spark.read.format("ice").option("path", root).load()` resolves a
@@ -86,6 +89,27 @@ class IceStreamProvider extends StreamSourceProvider with RelationProvider
       data: org.apache.spark.sql.DataFrame): BaseRelation = {
     val root = parameters.getOrElse("path", throw new IllegalArgumentException(
       "ice batch sink requires option 'path' (table root URI)"))
+    // WRITE to a WAP branch: the branch must already exist (Branch.create
+    // records the fast-forward base — a write must never imply a fork),
+    // and its persisted config is authoritative (no layout options here)
+    parameters.get("branch").foreach { name =>
+      Seq("partitionExpr", "sortOrder", "bucketBy").find(parameters.contains)
+        .foreach(o => throw new IllegalArgumentException(
+          s"ice: option '$o' cannot be combined with 'branch' — a branch " +
+            "inherits its table's persisted config"))
+      val main = IceTable.open(sqlContext.sparkSession, root)
+      val b = graft.ice.Branch.open(main, name)
+      if (b.trySnapshot(Long.MaxValue).isEmpty)
+        throw new IllegalArgumentException(
+          s"ice: branch '$name' does not exist — Branch.create it first " +
+            "(a write must not silently fork)")
+      mode match {
+        case SaveMode.Overwrite => throw new UnsupportedOperationException(
+          "ice: SaveMode.Overwrite is not supported on a branch either")
+        case _ => b.insert(data)
+      }
+      return createRelation(sqlContext, parameters)
+    }
     // an EXISTING table's persisted config is authoritative unless the
     // caller explicitly reconfigures: a bare append must not stamp the
     // provider defaults (partition 'all', no sort/stats) over the
@@ -136,9 +160,13 @@ class IceStreamProvider extends StreamSourceProvider with RelationProvider
   private def tableFor(sqlContext: SQLContext, parameters: Map[String, String]): IceTable = {
     val root = parameters.getOrElse("path", throw new IllegalArgumentException(
       "ice stream source requires option 'path' (table root URI)"))
+    // `branch` reads a WAP branch's log instead of main (graft.ice.Branch)
+    val logRel = parameters.get("branch")
+      .map(graft.ice.Branch.logRelFor).getOrElse("_log")
     // config is write-side only; reads need just the root + log
     new IceTable(sqlContext.sparkSession, root,
-      IceTableConfig(partitionExpr = lit("all"), sortOrder = Seq.empty))
+      IceTableConfig(partitionExpr = lit("all"), sortOrder = Seq.empty),
+      logRel = logRel)
   }
 
   private def wantsChangeFeed(parameters: Map[String, String]): Boolean =

@@ -106,6 +106,34 @@ class BranchSpec extends SparkSpec {
     intercept[IllegalArgumentException] { b.vacuumOrphans(minAgeMs = 0L) }
   }
 
+  test("format(\"ice\") reads and writes branches via option(\"branch\")") {
+    val main = mkTable("br_fmt")
+    Branch.create(main, "fio")
+    spark.range(100, 105).select(col("id"), (col("id") * 10).as("v"))
+      .write.format("ice").option("path", main.root)
+      .option("branch", "fio").mode("append").save()
+    val br = spark.read.format("ice").option("path", main.root)
+      .option("branch", "fio").load()
+    assert(br.count() === 25L)
+    assert(spark.read.format("ice")
+      .option("path", main.root).load().count() === 20L)
+    // a write must never imply a fork: nonexistent branch fails loudly
+    val e = intercept[IllegalArgumentException] {
+      spark.range(1).select(col("id"), col("id").as("v"))
+        .write.format("ice").option("path", main.root)
+        .option("branch", "nope").mode("append").save()
+    }
+    assert(e.getMessage.contains("does not exist"))
+    // layout options cannot silently override the branch's config
+    val e2 = intercept[IllegalArgumentException] {
+      spark.range(1).select(col("id"), col("id").as("v"))
+        .write.format("ice").option("path", main.root)
+        .option("branch", "fio").option("sortOrder", "v")
+        .mode("append").save()
+    }
+    assert(e2.getMessage.contains("branch"))
+  }
+
   test("exactly-once batch ids survive the publish (WAP ingestion replay)") {
     val main = mkTable("br_eo")
     val b = Branch.create(main, "ingest")
