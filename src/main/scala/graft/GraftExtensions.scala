@@ -49,6 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // [[graft.ice.MetaTables]]): alive files with footer row counts,
     // per-partition rollups, and commit history — all time-travelable
     // via the optional second argument
+    e.injectTableFunction((FunctionIdentifier("table_stats"),
+      info("table_stats",
+        "table_stats(table) - the latest ANALYZE column statistics of a graft table"),
+      (es: Seq[Expression]) => graft.plans.IceSqlResolution.tableStatsPlan(es)))
     graft.ice.MetaTables.Names.foreach { meta =>
       e.injectTableFunction((FunctionIdentifier(s"table_$meta"),
         info(s"table_$meta",

@@ -320,6 +320,19 @@ object SparkEntry {
           sum(col("l_quantity")).cast("bigint").as("sum_qty"))
         .orderBy(col("o_orderstatus"))
     }),
+    "b45_analyze" -> ((s, d) => {
+      // ANALYZE TABLE → persisted column statistics, read back through
+      // the table_stats TVF: EXACT ndv/null/min/max must hash-match
+      // DuckDB computing the same over the raw rows (production default
+      // is the one-pass HLL++ ndv — the 100 TB path; EXACT grades it)
+      val t = Fixtures.lineitemIce(s, d)
+      val f = new java.io.File(t.root)
+      s.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      s.sql(s"ANALYZE TABLE graft.`${f.getName}` COMPUTE STATISTICS " +
+        "FOR COLUMNS l_orderkey, l_returnflag EXACT").collect()
+      s.sql(s"""SELECT column, ndv, null_count, min, max, row_count
+        FROM table_stats('${f.getName}') ORDER BY column""")
+    }),
     "b40_sql_changes" -> ((s, d) => {
       // SQL spelling of the change feed: the Delta-CDF-shaped
       // table_changes('t', since) TVF resolves through IceSqlResolution
@@ -2441,6 +2454,19 @@ object SparkEntry {
         "CAST(sum(l_quantity) AS BIGINT) AS sum_qty " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY 1 ORDER BY 1"),
+    "b45_analyze" ->
+      ("WITH s AS (" +
+        "SELECT 'l_orderkey' AS \"column\", count(DISTINCT l_orderkey) AS ndv, " +
+        "CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count, " +
+        "CAST(min(l_orderkey) AS VARCHAR) AS min, CAST(max(l_orderkey) AS VARCHAR) AS max, " +
+        "count(*) AS row_count FROM lineitem " +
+        "UNION ALL " +
+        "SELECT 'l_returnflag', count(DISTINCT l_returnflag), " +
+        "CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT), " +
+        "CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR), " +
+        "count(*) FROM lineitem) " +
+        "SELECT \"column\", ndv, null_count, min, max, row_count FROM s " +
+        "ORDER BY \"column\""),
     "b40_sql_changes" ->
       ("WITH ev AS (SELECT event_id, user_id, event_type FROM events), " +
         "changes AS (" +

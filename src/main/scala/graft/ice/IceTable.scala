@@ -832,13 +832,29 @@ final class IceTable(
     (collectTempParts(tmp), schema)
   }
 
+  /** Latest ANALYZE ndv per column (lowercased), read once per handle —
+    * the bloom auto-sizing input when `bloomFilterNdv` is not set. */
+  @volatile private var analyzedNdv: Option[Map[String, Long]] = None
+  private def statsNdv(c: String): Option[Long] = {
+    if (analyzedNdv.isEmpty)
+      analyzedNdv = Some(TableStats.read(this)
+        .map(_.columns.map(cs => cs.column.toLowerCase -> cs.ndv).toMap)
+        .getOrElse(Map.empty))
+    analyzedNdv.get.get(c.toLowerCase)
+  }
+
   /** Apply the bloom-filter writer options (see
-    * `IceTableConfig.bloomFilterColumns`). */
+    * `IceTableConfig.bloomFilterColumns`). An explicit `bloomFilterNdv`
+    * wins; otherwise the latest [[TableStats.analyze]] ndv of each
+    * column sizes its filter (a table-level ndv is an upper bound per
+    * file — oversized blooms cost bits, never false negatives). */
   private def withBloomOptions(
       w: org.apache.spark.sql.DataFrameWriter[Row]): org.apache.spark.sql.DataFrameWriter[Row] = {
+    def ndvFor(c: String): Option[Long] =
+      cfg.bloomFilterNdv.orElse(statsNdv(c))
     val perCol = cfg.bloomFilterColumns.foldLeft(w) { (acc, c) =>
       val on = acc.option(s"parquet.bloom.filter.enabled#$c", "true")
-      cfg.bloomFilterNdv.fold(on)(n =>
+      ndvFor(c).fold(on)(n =>
         on.option(s"parquet.bloom.filter.expected.ndv#$c", n))
     }
     // parquet-mr silently TRUNCATES each bloom to
@@ -849,7 +865,8 @@ final class IceTable(
     // files until the cap was raised. Size the cap to the optimal bit
     // count for the declared ndv at 1% fpp (next power of two, parquet's
     // internal granularity) so the declared sizing is actually honored.
-    cfg.bloomFilterNdv.fold(perCol) { n =>
+    val maxNdv = cfg.bloomFilterColumns.flatMap(ndvFor).maxOption
+    maxNdv.fold(perCol) { n =>
       val optimalBits = org.apache.parquet.column.values.bloomfilter
         .BlockSplitBloomFilter.optimalNumOfBits(n, 0.01)
       var bytes = 1L << 20

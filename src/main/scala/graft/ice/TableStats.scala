@@ -1,0 +1,169 @@
+package graft.ice
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ANALYZE-style TABLE STATISTICS, persisted beside the log.
+  *
+  * One scan computes the table row count and, per requested column,
+  * (ndv, null_count, min, max) — ndv via HyperLogLog++
+  * (`approx_count_distinct`, the 100 TB path: one pass, no
+  * per-column shuffle) or exactly on request. The result lands as ONE
+  * JSON object under `{root}/{log}/_stats/{ts}_{host}.stats.json` —
+  * the checkpoint pattern: a `_`-prefixed subpath the log listing
+  * ignores, written atomically, latest-by-timestamp wins, surviving
+  * every log rewrite because it is not part of the fold at all.
+  *
+  * Consumers:
+  *  - `table_stats('t')` (SQL TVF) / [[read]] — one row per column;
+  *  - [[IceTable.insert]]'s bloom-filter sizing: when
+  *    `bloomFilterColumns` is configured without an explicit
+  *    `bloomFilterNdv`, the latest analyzed ndv of the column sizes the
+  *    filter (an upper bound per file — a bloom sized for more keys
+  *    than a file holds only costs bits, never false negatives).
+  *
+  * Reference analog: none — the reference delegates planning entirely
+  * to its engines; this is the `ANALYZE TABLE` surface those engines
+  * have natively. */
+object TableStats {
+
+  final case class ColumnStats(
+      column: String, ndv: Long, nullCount: Long,
+      min: String, max: String)
+  final case class Stats(
+      analyzedAtMs: Long, rowCount: Long, exact: Boolean,
+      columns: Seq[ColumnStats])
+
+  private def statsDir(t: IceTable): Path =
+    new Path(t.logio.logDir(t.root), "_stats")
+
+  /** Compute and persist statistics over the CURRENT snapshot. Columns
+    * default to every scalar column of the union schema (arrays/structs
+    * and binary payloads are skipped — min/max over them is
+    * meaningless). Returns the persisted stats. */
+  def analyze(t: IceTable, columns: Seq[String] = Seq.empty,
+      exact: Boolean = false): Stats = {
+    val df = t.read()
+    val scalar = df.schema.fields.filter(f => f.dataType match {
+      case _: org.apache.spark.sql.types.ArrayType => false
+      case _: org.apache.spark.sql.types.StructType => false
+      case _: org.apache.spark.sql.types.MapType => false
+      case org.apache.spark.sql.types.BinaryType => false
+      case _ => true
+    }).map(_.name).toSeq
+    val cols =
+      if (columns.isEmpty) scalar
+      else {
+        val missing = columns.filterNot(c =>
+          df.columns.exists(_.equalsIgnoreCase(c)))
+        require(missing.isEmpty,
+          s"analyze: unknown column(s) ${missing.mkString(", ")}")
+        columns
+      }
+    val aggs = count(lit(1)).as("_n") +: cols.flatMap { c =>
+      Seq(
+        (if (exact) countDistinct(col(c))
+         else approx_count_distinct(col(c))).as(s"_ndv_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nul_$c"),
+        min(col(c)).cast("string").as(s"_min_$c"),
+        max(col(c)).cast("string").as(s"_max_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    def str(name: String): String = {
+      val i = row.fieldIndex(name)
+      if (row.isNullAt(i)) "" else row.getString(i)
+    }
+    val stats = Stats(
+      analyzedAtMs = System.currentTimeMillis(),
+      rowCount = row.getLong(row.fieldIndex("_n")),
+      exact = exact,
+      columns = cols.map(c => ColumnStats(c,
+        ndv = row.getLong(row.fieldIndex(s"_ndv_$c")),
+        nullCount = row.getLong(row.fieldIndex(s"_nul_$c")),
+        min = str(s"_min_$c"), max = str(s"_max_$c"))))
+    write(t, stats)
+    stats
+  }
+
+  private def write(t: IceTable, s: Stats): Unit = {
+    val fs = t.logio.fs(t.root)
+    val dir = statsDir(t)
+    fs.mkdirs(dir)
+    val dest = new Path(dir,
+      s"${s.analyzedAtMs}_${IceTable.pathSafeHostname}.stats.json")
+    val json = Json.obj(
+      "ts" -> (s.analyzedAtMs: Any),
+      "rows" -> (s.rowCount: Any),
+      "exact" -> (s.exact: Any),
+      "cols" -> (s.columns.map(c => Map(
+        "c" -> c.column, "ndv" -> c.ndv, "nul" -> c.nullCount,
+        "min" -> c.min, "max" -> c.max)): Any))
+    val tmp = new Path(dir, s".tmp.${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"failed to persist table stats at $dest")
+    }
+  }
+
+  /** Latest persisted stats, if the table was ever analyzed. */
+  def read(t: IceTable): Option[Stats] = {
+    val fs = t.logio.fs(t.root)
+    val dir = statsDir(t)
+    if (!fs.exists(dir)) return None
+    val latest = fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".stats.json"))
+      .map(_.getPath).sortBy(_.getName).lastOption
+    latest.map { p =>
+      val in = fs.open(p)
+      val raw = try {
+        val b = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { b.write(buf, 0, n); n = in.read(buf) }
+        b.toString("UTF-8")
+      } finally in.close()
+      val m = Json.parseObject(raw)
+      def long(v: Any): Long = v match {
+        case l: java.lang.Long => l
+        case d: java.lang.Double => d.toLong
+        case other => other.toString.toLong
+      }
+      Stats(
+        analyzedAtMs = long(m("ts")),
+        rowCount = long(m("rows")),
+        exact = m.get("exact").contains(true),
+        columns = m("cols").asInstanceOf[Seq[Any]].map { cAny =>
+          val c = cAny.asInstanceOf[scala.collection.Map[String, Any]]
+          def s(k: String): String =
+            c.get(k).filter(_ != null).map(_.toString).getOrElse("")
+          ColumnStats(c("c").toString, long(c("ndv")), long(c("nul")),
+            s("min"), s("max"))
+        }.toSeq)
+    }
+  }
+
+  /** One (column, ndv, null_count, min, max) row per analyzed column,
+    * plus the table row count — the `table_stats('t')` TVF body. */
+  def asDataFrame(t: IceTable): DataFrame = {
+    val spark = t.spark
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("column", StringType, nullable = false),
+      StructField("ndv", LongType, nullable = false),
+      StructField("null_count", LongType, nullable = false),
+      StructField("min", StringType, nullable = true),
+      StructField("max", StringType, nullable = true),
+      StructField("row_count", LongType, nullable = false),
+      StructField("analyzed_at_ms", LongType, nullable = false),
+      StructField("exact", BooleanType, nullable = false)))
+    val rows = read(t).toSeq.flatMap(s => s.columns.map(c =>
+      org.apache.spark.sql.Row(c.column, c.ndv, c.nullCount,
+        c.min, c.max, s.rowCount, s.analyzedAtMs, s.exact)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+}

