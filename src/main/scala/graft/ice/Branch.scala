@@ -108,14 +108,21 @@ object Branch {
 
   /** A handle onto branch `name`: same root, the branch's log directory,
     * config restored from the branch log when it has one. */
-  def open(main: IceTable, name: String): IceTable = {
+  def open(main: IceTable, name: String): IceTable =
+    openExisting(main, name).getOrElse {
+      new IceTable(main.spark, main.root, main.cfg,
+        logRel = branchLogRel(name))
+    }
+
+  /** [[open]] that also answers EXISTENCE with the same single log fold
+    * (None = the branch has no commits, i.e. was never created). */
+  def openExisting(main: IceTable, name: String): Option[IceTable] = {
     requireMain(main); requireSafe(name)
     val rel = branchLogRel(name)
     val probe = new IceTable(main.spark, main.root, main.cfg, logRel = rel)
-    probe.trySnapshot(Long.MaxValue).flatMap(_.tableConfig) match {
-      case Some(c) => new IceTable(main.spark, main.root,
-        IceTable.configFromPersisted(c), logRel = rel)
-      case None => probe
+    probe.trySnapshot(Long.MaxValue).map { snap =>
+      snap.tableConfig.map(c => new IceTable(main.spark, main.root,
+        IceTable.configFromPersisted(c), logRel = rel)).getOrElse(probe)
     }
   }
 

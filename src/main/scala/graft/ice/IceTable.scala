@@ -832,14 +832,21 @@ final class IceTable(
     (collectTempParts(tmp), schema)
   }
 
-  /** Latest ANALYZE ndv per column (lowercased), read once per handle —
-    * the bloom auto-sizing input when `bloomFilterNdv` is not set. */
+  /** Latest ANALYZE ndv per column (lowercased) — the bloom auto-sizing
+    * input when `bloomFilterNdv` is not set. A PRESENT result is cached
+    * per handle; absence is re-probed (one small LIST per insert, the
+    * maybeCheckpoint cost class) so the first ANALYZE is picked up by
+    * long-lived writer handles, and [[TableStats]] invalidates the
+    * cache on the handle it analyzed through. */
   @volatile private var analyzedNdv: Option[Map[String, Long]] = None
+  private[ice] def invalidateStatsCache(): Unit = analyzedNdv = None
   private def statsNdv(c: String): Option[Long] = {
-    if (analyzedNdv.isEmpty)
-      analyzedNdv = Some(TableStats.read(this)
+    if (analyzedNdv.isEmpty) {
+      val read = TableStats.read(this)
         .map(_.columns.map(cs => cs.column.toLowerCase -> cs.ndv).toMap)
-        .getOrElse(Map.empty))
+      read.foreach(m => analyzedNdv = Some(m))
+      if (read.isEmpty) return None
+    }
     analyzedNdv.get.get(c.toLowerCase)
   }
 
@@ -1320,7 +1327,8 @@ final class IceTable(
     val dvStampAtRead = dvStamp()
     val acc = sources.orElse(trySnapshot(Long.MaxValue).map(_.aliveFiles))
       .getOrElse(return 0)
-    val routed = newContent.withColumn(IceTable.RouteCol, cfg.partitionExpr)
+    val routed = appendBucketRoute(
+      newContent.withColumn(IceTable.RouteCol, cfg.partitionExpr))
     val (written, _) = insertDefault(routed)
     val (_, _, stamped) = validatedRewriteCommit(acc, written,
       dvStampAtRead = dvStampAtRead)

@@ -30,7 +30,7 @@ object TableStats {
 
   final case class ColumnStats(
       column: String, ndv: Long, nullCount: Long,
-      min: String, max: String)
+      min: Option[String], max: Option[String])
   final case class Stats(
       analyzedAtMs: Long, rowCount: Long, exact: Boolean,
       columns: Seq[ColumnStats])
@@ -65,14 +65,19 @@ object TableStats {
       Seq(
         (if (exact) countDistinct(col(c))
          else approx_count_distinct(col(c))).as(s"_ndv_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nul_$c"),
+        // coalesce: sum over ZERO rows is SQL NULL, and an analyzed
+        // snapshot can legitimately be empty (all rows dv-deleted)
+        coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"_nul_$c"),
         min(col(c)).cast("string").as(s"_min_$c"),
         max(col(c)).cast("string").as(s"_max_$c"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    def str(name: String): String = {
+    // None = no non-null values — distinguishable from a legitimate
+    // empty-string minimum
+    def str(name: String): Option[String] = {
       val i = row.fieldIndex(name)
-      if (row.isNullAt(i)) "" else row.getString(i)
+      if (row.isNullAt(i)) None else Some(row.getString(i))
     }
     val stats = Stats(
       analyzedAtMs = System.currentTimeMillis(),
@@ -90,23 +95,39 @@ object TableStats {
     val fs = t.logio.fs(t.root)
     val dir = statsDir(t)
     fs.mkdirs(dir)
-    val dest = new Path(dir,
-      s"${s.analyzedAtMs}_${IceTable.pathSafeHostname}.stats.json")
     val json = Json.obj(
       "ts" -> (s.analyzedAtMs: Any),
       "rows" -> (s.rowCount: Any),
       "exact" -> (s.exact: Any),
       "cols" -> (s.columns.map(c => Map(
         "c" -> c.column, "ndv" -> c.ndv, "nul" -> c.nullCount,
-        "min" -> c.min, "max" -> c.max)): Any))
+        "min" -> c.min.orNull, "max" -> c.max.orNull)): Any))
     val tmp = new Path(dir, s".tmp.${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (!fs.rename(tmp, dest)) {
-      fs.delete(tmp, false)
-      throw new java.io.IOException(s"failed to persist table stats at $dest")
+    // same-ms re-analysis bumps the filename like the log appender
+    var ts = s.analyzedAtMs
+    var renamed = false
+    var attempts = 0
+    while (!renamed && attempts < 1000) {
+      val dest = new Path(dir,
+        s"${ts}_${IceTable.pathSafeHostname}.stats.json")
+      if (!fs.exists(dest) && fs.rename(tmp, dest)) renamed = true
+      else { ts += 1; attempts += 1 }
     }
+    if (!renamed) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"failed to persist table stats under $dir")
+    }
+    // GC superseded analyses: keep the two newest (the winner plus one
+    // for readers concurrently holding the previous listing) — a
+    // scheduled ANALYZE would otherwise grow the directory forever
+    val all = fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".stats.json"))
+      .map(_.getPath).sortBy(_.getName)
+    all.dropRight(2).foreach(p => fs.delete(p, false))
+    t.invalidateStatsCache()
   }
 
   /** Latest persisted stats, if the table was ever analyzed. */
@@ -138,8 +159,8 @@ object TableStats {
         exact = m.get("exact").contains(true),
         columns = m("cols").asInstanceOf[Seq[Any]].map { cAny =>
           val c = cAny.asInstanceOf[scala.collection.Map[String, Any]]
-          def s(k: String): String =
-            c.get(k).filter(_ != null).map(_.toString).getOrElse("")
+          def s(k: String): Option[String] =
+            c.get(k).filter(_ != null).map(_.toString)
           ColumnStats(c("c").toString, long(c("ndv")), long(c("nul")),
             s("min"), s("max"))
         }.toSeq)
@@ -162,7 +183,7 @@ object TableStats {
       StructField("exact", BooleanType, nullable = false)))
     val rows = read(t).toSeq.flatMap(s => s.columns.map(c =>
       org.apache.spark.sql.Row(c.column, c.ndv, c.nullCount,
-        c.min, c.max, s.rowCount, s.analyzedAtMs, s.exact)))
+        c.min.orNull, c.max.orNull, s.rowCount, s.analyzedAtMs, s.exact)))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)
   }

@@ -182,10 +182,18 @@ object GraftSqlParser {
 
     val anm = analyzeRe.matcher(sqlText)
     if (anm.matches()) {
-      val cols = Option(anm.group(3)).toSeq.flatMap(_.split(",").toSeq)
+      // ambiguity guard: for `FOR COLUMNS k, exact` the lazy cols group
+      // backtracks to "k," and the EXACT flag eats the trailing column —
+      // a comma-terminated cols group means EXACT was really a column
+      var colsRaw = Option(anm.group(3))
+      var exact = anm.group(4) != null
+      if (exact && colsRaw.exists(_.trim.endsWith(","))) {
+        colsRaw = colsRaw.map(_ + " exact")
+        exact = false
+      }
+      val cols = colsRaw.toSeq.flatMap(_.split(",").toSeq)
         .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
-      return Some(GraftAnalyzeCommand(name(anm, 1), cols,
-        exact = anm.group(4) != null))
+      return Some(GraftAnalyzeCommand(name(anm, 1), cols, exact))
     }
 
     val brm = branchRe.matcher(sqlText)

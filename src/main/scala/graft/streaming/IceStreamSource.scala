@@ -98,15 +98,20 @@ class IceStreamProvider extends StreamSourceProvider with RelationProvider
           s"ice: option '$o' cannot be combined with 'branch' — a branch " +
             "inherits its table's persisted config"))
       val main = IceTable.open(sqlContext.sparkSession, root)
-      val b = graft.ice.Branch.open(main, name)
-      if (b.trySnapshot(Long.MaxValue).isEmpty)
+      val b = graft.ice.Branch.openExisting(main, name).getOrElse(
         throw new IllegalArgumentException(
           s"ice: branch '$name' does not exist — Branch.create it first " +
-            "(a write must not silently fork)")
+            "(a write must not silently fork)"))
+      // same SaveMode contract as the main-table path: a branch by
+      // definition already has commits, so ErrorIfExists errors and
+      // Ignore no-ops — only Append writes
       mode match {
         case SaveMode.Overwrite => throw new UnsupportedOperationException(
           "ice: SaveMode.Overwrite is not supported on a branch either")
-        case _ => b.insert(data)
+        case SaveMode.ErrorIfExists => throw new IllegalStateException(
+          s"ice: branch '$name' already has commits (SaveMode.ErrorIfExists)")
+        case SaveMode.Ignore => ()
+        case _ => b.insert(data); ()
       }
       return createRelation(sqlContext, parameters)
     }

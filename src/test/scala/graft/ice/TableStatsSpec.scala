@@ -26,7 +26,7 @@ class TableStatsSpec extends SparkSpec {
     assert(s.rowCount === 1000L)
     val k = s.columns.find(_.column == "k").get
     assert(k.ndv === 97L && k.nullCount === 0L)
-    assert(k.min === "0" && k.max === "96")
+    assert(k.min === Some("0") && k.max === Some("96"))
     val sv = s.columns.find(_.column == "s").get
     // id%50 ∈ {0,10,20,30,40} only occurs on id%10==0 rows (nulled), so
     // exactly 45 of the 50 candidate values exist
@@ -42,6 +42,20 @@ class TableStatsSpec extends SparkSpec {
     val s2 = TableStats.analyze(t, Seq("k"), exact = true)
     assert(s2.rowCount === 1500L)
     assert(TableStats.read(t).map(_.rowCount) === Some(1500L))
+    // back-to-back same-millisecond analyses both persist (filename bump)
+    TableStats.analyze(t, Seq("k"))
+    TableStats.analyze(t, Seq("k"))
+    assert(TableStats.read(t).isDefined)
+  }
+
+  test("analyze over an empty snapshot persists zero stats, null-free") {
+    val t = mkTable("ts_empty")
+    DeleteVectors.deleteWhere(t, lit(true))
+    val s = TableStats.analyze(t, Seq("k"), exact = true)
+    assert(s.rowCount === 0L)
+    val k = s.columns.head
+    assert(k.ndv === 0L && k.nullCount === 0L)
+    assert(k.min.isEmpty && k.max.isEmpty) // None, not ""
   }
 
   test("default columns skip arrays; HLL ndv is within 10%; validation") {
