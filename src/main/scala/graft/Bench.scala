@@ -424,6 +424,14 @@ object Bench {
       .mkString("{", ",", "}")
     val qCpuJson = times.map { case (k, v) => s""""$k":${f(v.cpuSec)}""" }
       .mkString("{", ",", "}")
+    // reduced-precision maps for the LENGTH-GUARDED final line (the full
+    // 4-decimal detail line keeps bench_out.json exact): ms wall and
+    // centisecond cpu keep queries_cpu inside the driver's parse window
+    // as the query count grows
+    val qJsonSlim = times.map { case (k, v) =>
+      s""""$k":${"%.3f".format(v.wallSec)}""" }.mkString("{", ",", "}")
+    val qCpuJsonSlim = times.map { case (k, v) =>
+      s""""$k":${"%.2f".format(v.cpuSec)}""" }.mkString("{", ",", "}")
     val eJson = errors.map { case (k, v) => s""""$k":"$v"""" }
       .mkString("{", ",", "}")
     val total = times.values.map(_.wallSec).sum
@@ -469,6 +477,9 @@ object Bench {
     val sectionJson = sections.map { case (k, v) =>
       s""""${k}_sec":${f(v.wallSec)}"""
     }.mkString(",")
+    val sectionJsonSlim = sections.map { case (k, v) =>
+      s""""${k}_sec":${"%.2f".format(v.wallSec)}"""
+    }.mkString(",")
     val sectionCpuJson = sections.map { case (k, v) =>
       s""""${k}_cpu_sec":${f(v.cpuSec)}"""
     }.mkString(",")
@@ -501,10 +512,13 @@ object Bench {
     // slimmer `common` for the cpu-bearing line: static host diagnostics
     // (cpu counts, scratch medium, row counts) live in `detail`/
     // bench_out.json; every baseline-comparable number stays
+    // fixture-load timings and 4-decimal sections live in `detail`; the
+    // guarded line keeps every baseline-comparable number at centisecond
+    // precision so queries_cpu always fits the parse window
     val commonSlim =
-      s""""load_sec":${f(loadSec)},"insert_sec":${f(insertSec)},"merge_sec":${f(mergeSec)},"synthetic_insert_rows_per_sec":${(synthRows / synth.wallSec).toLong},$sectionJson,"bench_reps":$reps,"rep_stat":"median","effective_parallelism":${f(effParallelism)},"cpu_total_sec":${f(totalCpuNs / 1e9)},"steal_suspect":$stealSuspect,"load_avg":${f(loadAvg)},"spark_cpus":$cpus,"sf":"$sfDir""""
+      s""""synthetic_insert_rows_per_sec":${(synthRows / synth.wallSec).toLong},$sectionJsonSlim,"bench_reps":$reps,"rep_stat":"median","effective_parallelism":${"%.2f".format(effParallelism)},"cpu_total_sec":${"%.1f".format(totalCpuNs / 1e9)},"steal_suspect":$stealSuspect,"load_avg":${"%.1f".format(loadAvg)},"spark_cpus":$cpus,"sf":"$sfDir""""
     val withCpu =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"queries_cpu":$qCpuJson,"errors":$eJson,$commonSlim}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJsonSlim,"queries_cpu":$qCpuJsonSlim,"errors":$eJson,$commonSlim}"""
     val compact =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"errors":$eJson,$common}"""
     val line =
