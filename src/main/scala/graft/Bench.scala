@@ -446,6 +446,9 @@ object Bench {
     val (joinColocated, joinShuffled) = {
       import org.apache.spark.sql.functions.col
       val (ot, lt) = Fixtures.bucketedPair(spark, sfDir)
+      // restore the PRIOR value, not a hardcoded default — later sections
+      // must run under whatever threshold the session was built with
+      val savedBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
         val co = timed()() {
@@ -460,7 +463,7 @@ object Bench {
         }
         (co, sh)
       } finally
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10L * 1024 * 1024)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBcast)
     }
 
     val sections = Seq(

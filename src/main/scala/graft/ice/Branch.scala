@@ -161,6 +161,15 @@ object Branch {
         throw new CommitConflictException(
           s"publish of branch '$name': a main-table commit is in flight; " +
             "retry once it lands")
+      // same guard for the `_dv` log: today DeleteVectors.deleteWhere
+      // commits inside commitLock(main.root) so it cannot race us, but
+      // that invariant lives in another file — a future dv write path
+      // committing outside the lock would fix a ts invisible to the
+      // dvNow head check below and be silently undone by this publish
+      if (IceLogIO.hasInFlight(s"${main.root}/_dv"))
+        throw new CommitConflictException(
+          s"publish of branch '$name': a _dv commit is in flight; " +
+            "retry once it lands")
       val mSnap = main.snapshot(Long.MaxValue)
       val mainHead = mSnap.logFiles.iterator
         .map(p => IceLogIO.logFileInfo(p)._1).max

@@ -84,7 +84,16 @@ object ChangeFeed {
     // broadcast (path → commit_ts) join) — a wide window over thousands
     // of appends must not build a thousand-part union plan
     val insertMarkers = scala.collection.mutable.Buffer.empty[(FileMarker, Long)]
-    val rewriteAlive = scala.collection.mutable.Set.empty[String]
+    // merged-commit REVIVES (prior tombstoned → alive, i.e. RESTORE): the
+    // rewrite diff re-emits the revived file's FULL rows (dv state is not
+    // applied on the added side), so a dv-mark retirement at ts >= the
+    // revive must not resurrect those rows a second time. Keyed by the
+    // EARLIEST revive ts — ordering matters: a retirement earlier in the
+    // window (while the file was still dead in main) is silenced by the
+    // aliveness pin instead, and a plain in-window INSERT file must never
+    // be excluded (its dv deletes were emitted at their own commits, so
+    // their retirements must be emitted too).
+    val reviveFullTs = scala.collection.mutable.Map.empty[String, Long]
     var prior = Map.empty[String, FileMarker]
     logs.foreach { lf =>
       val (ts, merged) = IceLogIO.logFileInfo(lf)
@@ -106,11 +115,14 @@ object ChangeFeed {
           m.tombstone.isEmpty && prior.get(m.path).forall(_.tombstone.nonEmpty))
         val newDead = markers.filter(m =>
           m.tombstone.nonEmpty && prior.get(m.path).exists(_.tombstone.isEmpty))
+        val revived = if (merged) newAlive.filter(m =>
+          prior.get(m.path).exists(_.tombstone.nonEmpty)) else Seq.empty
         markers.foreach(m => prior = prior.updated(m.path, m))
         if (!merged) {
           newAlive.foreach(m => insertMarkers += ((m, ts)))
         } else if (newAlive.nonEmpty || newDead.nonEmpty) {
-          rewriteAlive ++= newAlive.map(_.path)
+          revived.foreach(m =>
+            if (!reviveFullTs.contains(m.path)) reviveFullTs(m.path) = ts)
           // rewrite diff. The tombstoned side applies the dv state AS OF
           // THIS commit: marks the rewrite already applied were reported
           // at their own dv commit and must cancel here, which makes pure
@@ -140,11 +152,7 @@ object ChangeFeed {
         .withColumn(ChangeTypeCol, lit("insert"))
     }
 
-    // main paths whose rows re-entered via the window's own rewrite
-    // diffs — the dv resurrect side must not re-emit them
-    val mainNewlyAlive: Set[String] =
-      insertMarkers.iterator.map(_._1.path).toSet ++ rewriteAlive
-    parts ++= dvDeleteParts(table, snap, sinceTs, untilTs, mainNewlyAlive)
+    parts ++= dvDeleteParts(table, snap, sinceTs, untilTs, reviveFullTs.toMap)
 
     if (parts.isEmpty) {
       shaped(table.readFiles(snap, Seq.empty), "insert", 0L).limit(0)
@@ -166,7 +174,7 @@ object ChangeFeed {
     * (one log fold per distinct commit ts), never a Spark job. */
   private def dvDeleteParts(
       table: IceTable, snap: IceSnapshot, sinceTs: Long,
-      untilTs: Long, mainNewlyAlive: Set[String]): Seq[DataFrame] = {
+      untilTs: Long, reviveFullTs: Map[String, Long]): Seq[DataFrame] = {
     val dv = DeleteVectors.dvTable(table)
     // no-dv-table is the non-throwing empty list; a REAL listing failure
     // must propagate — swallowing it would silently drop the window's
@@ -179,7 +187,7 @@ object ChangeFeed {
 
     dvMarkParts(table, snap, sinceTs, untilTs, dv, dvLogs, dvFetched) ++
       dvResurrectParts(table, snap, sinceTs, untilTs, dv, dvLogs, dvFetched,
-        mainNewlyAlive)
+        reviveFullTs)
   }
 
   private def dvMarkParts(
@@ -257,15 +265,20 @@ object ChangeFeed {
     * COMPACTION, whose merged re-list keeps an alive copy of every pair
     * it retires; (b) its main file is alive — which silences [[
     * DeleteVectors.vacuum]], whose retired marks point at dead files;
-    * and (c) its main file did not re-enter via the window's own main-
-    * side diffs — revived files already emitted their rows. One bounded
-    * job per distinct retirement commit ts (restores are rare,
+    * and (c) its main file was not REVIVED in full by a merged main-side
+    * diff at a commit ts <= this retirement — a restore-revive re-emits
+    * the whole file (dv unapplied), so resurrecting again would double-
+    * count. (c) is deliberately ORDERING-AWARE and revive-only: a plain
+    * in-window insert file's dv deletes were all emitted at their own
+    * commits, so its retirements must emit (excluding them would net the
+    * window to delete-wins while the table holds the rows alive). One
+    * bounded job per distinct retirement commit ts (restores are rare,
     * maintenance-grade events; a window holds at most a few). */
   private def dvResurrectParts(
       table: IceTable, snap: IceSnapshot, sinceTs: Long, untilTs: Long,
       dv: IceTable, dvLogs: Seq[String],
       dvFetched: Map[String, Array[String]],
-      mainNewlyAlive: Set[String]): Seq[DataFrame] = {
+      reviveFullTs: Map[String, Long]): Seq[DataFrame] = {
     var prior = Map.empty[String, FileMarker]
     val dead = scala.collection.mutable.Buffer.empty[(FileMarker, Long)]
     dvLogs.foreach { lf =>
@@ -296,13 +309,16 @@ object ChangeFeed {
           .select("path", "row_index").distinct())
         .fold(retired)(alive => retired.join(alive,
           Seq("path", "row_index"), "left_anti"))
-      // (b) only rows of files alive in main at ts; (c) minus files the
-      // window's main diffs already re-emitted. Driver-side metadata
-      // fold; the allowed-path set joins as a broadcast frame (file-
-      // count scale — an isin literal list would not survive 10^5 files)
+      // (b) only rows of files alive in main at ts; (c) minus files a
+      // merged revive already re-emitted IN FULL at or before ts.
+      // Driver-side metadata fold; the allowed-path set joins as a
+      // broadcast frame (file-count scale — an isin literal list would
+      // not survive 10^5 files)
       val aliveMain = table.snapshot(ts + 1).aliveFiles.map(_.path).toSet
+      val reEmitted = reviveFullTs.collect {
+        case (p, rts) if rts <= ts => p }.toSet
       import spark.implicits._
-      val allowed = (aliveMain -- mainNewlyAlive).toSeq.toDF("path")
+      val allowed = (aliveMain -- reEmitted).toSeq.toDF("path")
       val wanted = uncovered.join(broadcast(allowed), Seq("path"))
         .localCheckpoint()
       val paths = wanted.select("path").distinct()

@@ -371,17 +371,31 @@ object GraftSqlParser {
   /** `-- …`-to-end-of-line removal, quote-aware for all three SQL quote
     * characters (`'a--b'`, `"a--b"` string literals and `` `a--b` ``
     * identifiers keep their dashes; doubled-quote escapes pass through
-    * as two toggles, harmlessly). Used only on the graft-recognition
-    * copy of a statement — never on text handed to the delegate parser. */
+    * as two toggles, harmlessly) AND bracketed-comment-aware: `--`
+    * inside a slash-star block comment stays put (Spark block comments
+    * NEST, so a depth counter, not a flag), else a "see -- ticket"
+    * note inside a block comment would truncate mid-comment and leave
+    * the comment unterminated. That matters because embedded query
+    * text (CTAS bodies, ADD COLUMNS lists) is substring'd from THIS
+    * stripped copy before it reaches the delegate parser. */
   private def stripLineComments(s: String): String = {
     val sb = new StringBuilder(s.length)
     var i = 0
     var quote: Char = 0
+    var block = 0
     while (i < s.length) {
       val ch = s.charAt(i)
       if (quote != 0) {
         if (ch == quote) quote = 0
         sb.append(ch); i += 1
+      } else if (block > 0) {
+        if (ch == '*' && i + 1 < s.length && s.charAt(i + 1) == '/') {
+          block -= 1; sb.append("*/"); i += 2
+        } else if (ch == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+          block += 1; sb.append("/*"); i += 2
+        } else { sb.append(ch); i += 1 }
+      } else if (ch == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        block = 1; sb.append("/*"); i += 2
       } else if (ch == '\'' || ch == '"' || ch == '`') {
         quote = ch; sb.append(ch); i += 1
       } else if (ch == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {

@@ -188,4 +188,54 @@ class ChangeFeedSpec extends SparkSpec {
     assert(ChangeFeed.between(t, w3End).count() === 0L,
       "mark compaction / materialize / vacuum must not resurrect")
   }
+
+  test("single window insert → dv delete → RESTORE emits the resurrect insert") {
+    // regression (ADVICE r9): the resurrect exclusion used to cover every
+    // in-window insert file, so a window holding a file's insert (t1), a
+    // MoR delete of its rows (t2), and a RESTORE retiring the marks (t3,
+    // main side a no-op) netted to delete-wins while the table held the
+    // rows alive — forking CDC replicas. The exclusion is now revive-only
+    // and ordering-aware.
+    import spark.implicits._
+    val t = mk()
+    val wh = new java.io.File(t.root).getParent
+    val name = new java.io.File(t.root).getName
+    val t0 = maxTs(t) // window starts AFTER the seed insert
+    // replica seeded NOW (initial sync = the seed snapshot), so catchUp
+    // below consumes the problem window purely through the feed
+    val tgt = new IceTable(spark, tmpDir("graft_cdc_tgt2"), IceTableConfig(
+      partitionExpr = concat(lit("m="), pmod(col("id"), lit(3))),
+      sortOrder = Seq("u")))
+    Thread.sleep(2)
+    assert(CdcApply.applyTo(t, tgt, Seq("id")).initialSync)
+    Thread.sleep(2)
+    t.insert((21 to 25).map(i => (i.toLong, i % 5, s"v$i")).toDF("id", "u", "v"))
+    Thread.sleep(2)
+    val preTs = System.currentTimeMillis() // between the insert and the delete
+    Thread.sleep(2)
+    DeleteVectors.deleteWhere(t, col("id") === 22L)
+    val delTs = maxTs(DeleteVectors.dvTable(t))
+    spark.conf.set(graft.plans.IceSqlResolution.WarehouseKey, wh)
+    try spark.sql(s"RESTORE TABLE graft.`$name` TO TIMESTAMP AS OF $preTs").collect()
+    finally spark.conf.unset(graft.plans.IceSqlResolution.WarehouseKey)
+
+    val feed = ChangeFeed.between(t, t0).cache()
+    // 5 inserts at t1, the delete at t2, AND the resurrect insert at t3
+    assert(byType(feed) === Map("insert" -> 6L, "delete" -> 1L))
+    val ev22 = feed.where(col("id") === 22L)
+      .select("_change_type", "_commit_ts", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sortBy(_._2)
+    assert(ev22.map(_._1).toSeq === Seq("insert", "delete", "insert"),
+      "the retirement must re-emit the row: the window's LAST event for a " +
+        "live row must be an insert")
+    assert(ev22.last._2 > delTs && ev22.forall(_._3 == "v22"))
+    feed.unpersist()
+
+    // replay convergence: the replica consumes this window through the
+    // feed and must hold the row (the pre-fix feed dropped it)
+    Thread.sleep(3)
+    CdcApply.catchUp(t, tgt, Seq("id"))
+    assert(tgt.read().where(col("id") === 22L).count() === 1L)
+    assert(tgt.read().count() === t.read().count())
+  }
 }

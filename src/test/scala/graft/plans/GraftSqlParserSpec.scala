@@ -439,4 +439,20 @@ class GraftSqlParserSpec extends SparkSpec {
       .head.getString(0) === "x--y")
     assert(IceTable.open(spark, s"$w/sctq").read().count() === 100L)
   }
+
+  test("comment stripping leaves '--' inside /* */ block comments intact") {
+    val w = freshWarehouse()
+    src().createOrReplaceTempView("q_src2")
+    // '--' inside a bracketed comment must NOT truncate to end-of-line:
+    // the CTAS body is substring'd from the stripped copy, so a naive
+    // strip leaves an unterminated /* and the delegate parse fails
+    spark.sql(
+      """CREATE TABLE graft.sctb AS
+        |SELECT id /* see -- ticket 42 */, id * 2 AS dbl
+        |FROM q_src2 /* nested /* block -- too */ ok */ WHERE id < 10""".stripMargin)
+      .collect()
+    assert(spark.sql("SELECT count(*) FROM graft.sctb").head.getLong(0) === 9L)
+    assert(spark.sql("SELECT max(dbl) FROM graft.sctb").head.getLong(0) === 18L)
+    assert(IceTable.open(spark, s"$w/sctb").read().count() === 9L)
+  }
 }
