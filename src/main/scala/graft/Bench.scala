@@ -27,6 +27,47 @@ import org.apache.spark.sql.SparkSession
   * `scratch_medium` records whether temp tables hit tmpfs or disk — the
   * reference baselines are disk-based, so a RAM-backed run must say so.
   */
+/** Fixed-work single-thread calibration probe — the contention detector
+  * the wall≫cpu steal heuristic cannot be (round 9: co-tenant cache/
+  * memory-bandwidth pressure inflated CPU and wall TOGETHER, 920 vs 536
+  * CPU-s for identical work, so the ratio looked healthy while the
+  * artifact was ~2× inflated). A sequential-dependency xorshift loop of a
+  * known iteration count takes a fixed number of core-cycles; its wall
+  * time moves ONLY when this thread is descheduled or starved of the
+  * core — exactly the co-tenant signal. Spec-verified to inflate under
+  * synthetic load (BenchProbeSpec). */
+private[graft] object BenchProbe {
+  /** ~40 ms of unvectorizable work on an unloaded modern core. */
+  val Iterations: Long = 25_000_000L
+
+  /** Clean-host reference, measured on this class of host (idle median
+    * 0.050 s post-JIT — ~2 ns/iteration, the dependency-chain floor of
+    * this core class); override with SPARK_GRAFT_PROBE_CLEAN_SEC when
+    * deploying to different silicon. */
+  val CleanSec: Double =
+    sys.env.get("SPARK_GRAFT_PROBE_CLEAN_SEC").flatMap(_.toDoubleOption)
+      .getOrElse(0.050)
+
+  /** A probe flags contention past 1.3× the clean-host value. */
+  val SuspectFactor = 1.3
+
+  def run(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    val t0 = System.nanoTime()
+    while (i < Iterations) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (x == 42L) println("") // sink: the loop must not be elided
+    sec
+  }
+
+  /** JIT the loop before any recorded sample. */
+  def warmup(): Unit = { run(); run(); () }
+}
+
 object Bench {
   /** Headline shapes mirroring BASELINE.md's query classes: full-scan agg,
     * group-by, pruned count, top-k, quantiles, distinct, join, and the LLM
@@ -81,6 +122,12 @@ object Bench {
   private val reps: Int =
     sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3)
 
+  /** One calibration-probe sample per timed repetition (collected OUTSIDE
+    * the rep's measured window): the run-wide median is `probe_sec` in
+    * the artifact, and `contention_suspect` fires when it exceeds the
+    * clean-host value — see [[BenchProbe]]. */
+  private val probeSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+
   /** MEDIAN-of-reps wall time, with the process-CPU delta of the SAME
     * (median) repetition — the per-query medians are what made the r6/r7
     * host-noise episodes diagnosable from the artifact alone (a min hides
@@ -97,6 +144,7 @@ object Bench {
       val w = System.nanoTime() - w0
       val c = if (c0 < 0) -1L else processCpu() - c0
       totalWallNs += w; if (c >= 0) totalCpuNs += c
+      probeSamples += BenchProbe.run() // outside the measured window
       (w, c)
     }
     val med = runs.sortBy(_._1)(Ordering[Long])((runs.length - 1) / 2)
@@ -132,6 +180,7 @@ object Bench {
       .config("spark.local.dir", Fixtures.scratchDir("graft_local"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    BenchProbe.warmup() // JIT the calibration loop before any sample
 
     // Ingest warmup: build the SAME fixtures at sf0.001 first. Each
     // distinct insert/merge plan pays one-time codegen (janino) of ~2-3s;
@@ -257,6 +306,46 @@ object Bench {
         val snap = t.snapshot()
         require(snap.files.length == 4010,
           s"expected 4010 markers, got ${snap.files.length}")
+      }
+      rm(new java.io.File(root))
+      (r, rc)
+    }
+
+    // One notch up the log-fold scale: 20,000 logs / 40,000 markers — the
+    // 100 TB tables live at 10⁵-10⁶ markers and the reference documents
+    // LINEAR fold growth, so this section exists to catch any accidental
+    // O(n²) in the fold or checkpoint path while it is still a bench
+    // number, not a production incident. The checkpointed variant must
+    // stay FLAT vs log_read_2000_ckpt (the fold reads one checkpoint +
+    // 10 tail logs regardless of history length).
+    val logRead20k = {
+      import graft.ice.{FileMarker, IceTable, IceTableConfig, Schema}
+      import org.apache.spark.sql.functions.lit
+      val root = Fixtures.scratchDir("graft_logbench20k")
+      val t = new IceTable(spark, root, IceTableConfig(lit("p=1"), Seq.empty))
+      val sch = Schema("ts" -> "BIGINT")
+      val base = 1700000000000L
+      (0 until 20000).foreach { i =>
+        t.logio.append(root, 1, sch,
+          Seq(FileMarker(s"_data/p=1/a$i.parquet", base + i, 100L),
+            FileMarker(s"_data/p=1/b$i.parquet", base + i, 100L)),
+          timestamp = Some(base + i))
+      }
+      val r = timed()() {
+        val snap = t.snapshot()
+        require(snap.files.length == 40000,
+          s"expected 40000 markers, got ${snap.files.length}")
+      }
+      t.writeCheckpoint()
+      (0 until 10).foreach { i =>
+        t.logio.append(root, 1, sch,
+          Seq(FileMarker(s"_data/p=1/t$i.parquet", base + 30000 + i, 100L)),
+          timestamp = Some(base + 30000 + i))
+      }
+      val rc = timed()() {
+        val snap = t.snapshot()
+        require(snap.files.length == 40010,
+          s"expected 40010 markers, got ${snap.files.length}")
       }
       rm(new java.io.File(root))
       (r, rc)
@@ -476,6 +565,8 @@ object Bench {
       "bloom_needle" -> bloomNeedle._1, "bloom_miss" -> bloomNeedle._2,
       "nobloom_needle" -> noBloomNeedle._1, "nobloom_miss" -> noBloomNeedle._2,
       "log_read_2000" -> logRead._1, "log_read_2000_ckpt" -> logRead._2,
+      "log_read_20000" -> logRead20k._1,
+      "log_read_20000_ckpt" -> logRead20k._2,
       "cleanup_800" -> cleanup)
     val sectionJson = sections.map { case (k, v) =>
       s""""${k}_sec":${f(v.wallSec)}"""
@@ -496,10 +587,19 @@ object Bench {
     def stealy(t: Timed): Boolean =
       t.cpuSec > 0.005 && t.wallSec > 3.0 * t.cpuSec
     val stealSuspect = stealy(logRead._1) || stealy(cleanup)
+    // Contention the steal heuristic cannot see (round 9: CPU and wall
+    // inflated together, ratio looked healthy, artifact was ~2× off):
+    // the run-wide median of the fixed-work probe samples — one taken
+    // after every timed repetition — against the clean-host value.
+    val probeSec =
+      if (probeSamples.isEmpty) -1.0
+      else probeSamples.sorted.apply((probeSamples.length - 1) / 2)
+    val contentionSuspect =
+      probeSec > BenchProbe.CleanSec * BenchProbe.SuspectFactor
     val loadAvg =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val common =
-      s""""load_sec":${f(loadSec)},"insert_sec":${f(insertSec)},"merge_sec":${f(mergeSec)},"load_rows":$loadRows,"synthetic_insert_rows":$synthRows,"synthetic_insert_rows_per_sec":${(synthRows / synth.wallSec).toLong},$sectionJson,"bench_reps":$reps,"effective_parallelism":${f(effParallelism)},"cpu_total_sec":${f(totalCpuNs / 1e9)},"steal_suspect":$stealSuspect,"load_avg":${f(loadAvg)},"host_cpus":${Runtime.getRuntime.availableProcessors},"spark_cpus":$cpus,"scratch_medium":"${Fixtures.scratchMedium}","scratch_free_gb":${Fixtures.scratchFreeGb},"sf":"$sfDir""""
+      s""""load_sec":${f(loadSec)},"insert_sec":${f(insertSec)},"merge_sec":${f(mergeSec)},"load_rows":$loadRows,"synthetic_insert_rows":$synthRows,"synthetic_insert_rows_per_sec":${(synthRows / synth.wallSec).toLong},$sectionJson,"bench_reps":$reps,"effective_parallelism":${f(effParallelism)},"cpu_total_sec":${f(totalCpuNs / 1e9)},"steal_suspect":$stealSuspect,"probe_sec":${f(probeSec)},"contention_suspect":$contentionSuspect,"load_avg":${f(loadAvg)},"host_cpus":${Runtime.getRuntime.availableProcessors},"spark_cpus":$cpus,"scratch_medium":"${Fixtures.scratchMedium}","scratch_free_gb":${Fixtures.scratchFreeGb},"sf":"$sfDir""""
     // Full telemetry (per-query and per-section CPU pairings) — for humans
     // and for bench_out.json.
     val detail =
@@ -519,7 +619,7 @@ object Bench {
     // guarded line keeps every baseline-comparable number at centisecond
     // precision so queries_cpu always fits the parse window
     val commonSlim =
-      s""""synthetic_insert_rows_per_sec":${(synthRows / synth.wallSec).toLong},$sectionJsonSlim,"bench_reps":$reps,"rep_stat":"median","effective_parallelism":${"%.2f".format(effParallelism)},"cpu_total_sec":${"%.1f".format(totalCpuNs / 1e9)},"steal_suspect":$stealSuspect,"load_avg":${"%.1f".format(loadAvg)},"spark_cpus":$cpus,"sf":"$sfDir""""
+      s""""synthetic_insert_rows_per_sec":${(synthRows / synth.wallSec).toLong},$sectionJsonSlim,"bench_reps":$reps,"rep_stat":"median","effective_parallelism":${"%.2f".format(effParallelism)},"cpu_total_sec":${"%.1f".format(totalCpuNs / 1e9)},"steal_suspect":$stealSuspect,"probe_sec":${"%.3f".format(probeSec)},"contention_suspect":$contentionSuspect,"load_avg":${"%.1f".format(loadAvg)},"spark_cpus":$cpus,"sf":"$sfDir""""
     val withCpu =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJsonSlim,"queries_cpu":$qCpuJsonSlim,"errors":$eJson,$commonSlim}"""
     val compact =
@@ -528,7 +628,7 @@ object Bench {
       if (withCpu.length <= 1900) withCpu
       else if (compact.length <= 1900) compact
       else // last-resort minimal shape: never lose the headline metric again
-        s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"errors":$eJson,"steal_suspect":$stealSuspect,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"errors":$eJson,"steal_suspect":$stealSuspect,"contention_suspect":$contentionSuspect,"sf":"$sfDir"}"""
     // mirror to a file so the metric survives any stdout mangling
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), detail + "\n" + line + "\n")

@@ -379,6 +379,87 @@ object Fixtures {
       WapFixture(t, isolated)
     }
 
+  final case class SqlBranchFixture(table: IceTable, apiMatch: Boolean,
+      branchIsolated: Boolean, timeTravelOk: Boolean)
+
+  /** Branch DML through SQL (b46): the full WAP loop expressed as SQL —
+    * CREATE BRANCH, then INSERT / UPDATE / DELETE / MERGE targeting
+    * ``graft.`t@wap` ``, validated against an API-path twin (same ops via
+    * Branch handles — the states must match row-for-row), then PUBLISH
+    * BRANCH and a time-travel read of the pre-publish main. Final main =
+    * events(id%5 ∈ {0,1}) with user%23==7 redacted, minus user%23==8,
+    * with id%10==0 replaced by 'merged' rows (the MERGE re-inserts ones
+    * the DELETE removed). */
+  def sqlBranchDml(spark: SparkSession, sfDir: String): SqlBranchFixture =
+    memo(s"$sfDir#sqlbranch") {
+      import graft.ice.Branch
+      val ev = raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      def mk(tag: String) = new IceTable(spark, newRoot(tag), IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(4))),
+        sortOrder = Seq("event_id")))
+      val t = mk("sqlbr_main")
+      t.insert(ev.where(col("event_id") % 5 === 0))
+      val baseCount = t.read().count()
+      val seedCount = baseCount
+      // API twin: the same mutation sequence through Branch handles
+      val t2 = mk("sqlbr_twin")
+      t2.insert(ev.where(col("event_id") % 5 === 0))
+      val b2 = Branch.create(t2, "wap")
+      b2.insert(ev.where(col("event_id") % 5 === 1))
+      b2.updateWhere(pmod(col("user_id"), lit(23)) === 7,
+        Seq("event_type" -> lit("redacted")))
+      b2.deleteWhere(pmod(col("user_id"), lit(23)) === 8)
+      val mergeSrc = ev.where(col("event_id") % 10 === 0)
+        .withColumn("event_type", lit("merged"))
+      b2.upsert(mergeSrc, Seq("event_id"))
+
+      val f = new java.io.File(t.root)
+      val (name, wh) = (f.getName, f.getParent)
+      val saved = spark.conf.getOption(graft.plans.IceSqlResolution.WarehouseKey)
+      spark.conf.set(graft.plans.IceSqlResolution.WarehouseKey, wh)
+      try {
+        spark.sql(s"ALTER TABLE graft.`$name` CREATE BRANCH wap").collect()
+        ev.where(col("event_id") % 5 === 1).createOrReplaceTempView("sqlbr_new")
+        spark.sql(s"INSERT INTO graft.`$name@wap` SELECT * FROM sqlbr_new")
+          .collect()
+        spark.sql(s"UPDATE graft.`$name@wap` SET event_type = 'redacted' " +
+          "WHERE user_id % 23 = 7").collect()
+        spark.sql(s"DELETE FROM graft.`$name@wap` WHERE user_id % 23 = 8")
+          .collect()
+        mergeSrc.createOrReplaceTempView("sqlbr_merge")
+        spark.sql(s"""MERGE INTO graft.`$name@wap` tgt USING sqlbr_merge src
+          ON tgt.event_id = src.event_id
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""").collect()
+        // SQL-written branch state == the API twin's, row for row
+        def setOf(df: org.apache.spark.sql.DataFrame) = df
+          .select("event_id", "user_id", "event_type").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+        val sqlBranch = setOf(
+          spark.sql(s"SELECT * FROM graft.`$name@wap`"))
+        val apiMatch = sqlBranch == setOf(Branch.open(t2, "wap").read()) &&
+          sqlBranch.nonEmpty
+        // main untouched until publish
+        val branchIsolated = t.read().count() == baseCount
+        Thread.sleep(3)
+        val preTs = System.currentTimeMillis()
+        Thread.sleep(3)
+        spark.sql(s"ALTER TABLE graft.`$name` PUBLISH BRANCH wap").collect()
+        spark.sql(s"ALTER TABLE graft.`$name` DROP BRANCH wap").collect()
+        // publish landed the exact branch state; time travel still sees
+        // the pre-publish main
+        val timeTravelOk = setOf(t.read()) == sqlBranch &&
+          t.read(preTs + 1).count() == seedCount
+        SqlBranchFixture(t, apiMatch, branchIsolated, timeTravelOk)
+      } finally saved match {
+        case Some(v) =>
+          spark.conf.set(graft.plans.IceSqlResolution.WarehouseKey, v)
+        case None =>
+          spark.conf.unset(graft.plans.IceSqlResolution.WarehouseKey)
+      }
+    }
+
   def eventsCdcApply(spark: SparkSession, sfDir: String): CdcReplica =
     memo(s"$sfDir#cdcapply") {
       import graft.ice.{CdcApply, DeleteVectors}
@@ -1008,6 +1089,20 @@ object Fixtures {
         bucketBy = Some((8, Seq("l_orderkey")))))
       lt.insert(raw(spark, sfDir, "lineitem"))
       (ot, lt)
+    }
+
+  /** orders through the engine, single-partition and ANALYZE'd: the CBO
+    * fixture — its catalog relation carries persisted rowCount / ndv /
+    * min-max / null-count plan statistics (IceFileIndex.dataFrame +
+    * StatsBridge), so cost-based broadcast decisions and join reordering
+    * plan from analyzed numbers. */
+  def cboOrders(spark: SparkSession, sfDir: String): IceTable =
+    memo(s"$sfDir#cbo_orders") {
+      val t = new IceTable(spark, newRoot("cbo_orders"), IceTableConfig(
+        partitionExpr = lit(""), sortOrder = Seq("o_orderkey")))
+      t.insert(raw(spark, sfDir, "orders"))
+      graft.ice.TableStats.analyze(t)
+      t
     }
 
   /** lineitem through the engine, hive-partitioned by ship month (83

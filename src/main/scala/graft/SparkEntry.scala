@@ -333,6 +333,88 @@ object SparkEntry {
       s.sql(s"""SELECT column, ndv, null_count, min, max, row_count
         FROM table_stats('${f.getName}') ORDER BY column""")
     }),
+    "b46_sql_branch_dml" -> ((s, d) => {
+      // the WAP loop end-to-end in SQL: CREATE BRANCH, then INSERT /
+      // UPDATE / DELETE / MERGE against graft.`t@wap`, hash-matched
+      // against the API-path twin, published fast-forward, time travel
+      // still sees the pre-publish main. DuckDB replays the final state
+      // from the raw events; the booleans pin the SQL≡API equivalence,
+      // isolation, and the time-travel read.
+      val fx = Fixtures.sqlBranchDml(s, d)
+      fx.table.read().groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("event_id")).cast("bigint").as("sum_id"))
+        .withColumn("sql_api_match", lit(fx.apiMatch))
+        .withColumn("branch_isolated", lit(fx.branchIsolated))
+        .withColumn("time_travel_ok", lit(fx.timeTravelOk))
+        .orderBy(col("event_type"))
+    }),
+    "b47_cbo_join" -> ((s, d) => {
+      // CBO planning from PERSISTED statistics: the ANALYZE'd orders
+      // fixture's catalog relation carries rowCount/ndv/min-max
+      // (StatsBridge), so under spark.sql.cbo.enabled the filtered
+      // dimension estimates at rows/ndv(o_custkey) ≈ a handful of rows —
+      // far below its file-size estimate — and a threshold between the
+      // two plans the join as BroadcastHashJoin; with CBO off the same
+      // shape sort-merges. Both plans are probed pre-AQE so the flip is
+      // purely the optimizer reading persisted stats, never runtime
+      // sizes. The booleans pin the flip; the aggregate grades the data.
+      // At 100 TB this is ANALYZE'd dimensions broadcasting without hints.
+      val ot = Fixtures.cboOrders(s, d)
+      val lt = Fixtures.lineitemIce(s, d)
+      def shape(): org.apache.spark.sql.DataFrame =
+        graft.plans.IceFileIndex.dataFrame(s, lt)
+          .join(graft.plans.IceFileIndex.dataFrame(s, ot)
+            .where(col("o_custkey") === 7L),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("cnt"),
+            dec(sum(dec(col("l_quantity")))).cast("double").as("qty"))
+          .orderBy(col("o_orderstatus"))
+      def withCbo[T](cbo: Boolean, threshold: String)(body: => T): T = {
+        val savedCbo = s.conf.get("spark.sql.cbo.enabled", "false")
+        val savedTh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        s.conf.set("spark.sql.cbo.enabled", cbo.toString)
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        try body
+        finally {
+          s.conf.set("spark.sql.cbo.enabled", savedCbo)
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", savedTh)
+        }
+      }
+      // SELF-CALIBRATING threshold: the optimizer's own size estimate of
+      // the join's dim subtree under each mode (column-pruned file bytes
+      // without CBO, rows/ndv with), with the probe threshold placed
+      // between them — robust at any scale factor and parquet layout
+      def dimEstimate(cbo: Boolean): BigInt =
+        withCbo(cbo, "-1") {
+          graft.plans.IceFileIndex.dataFrame(s, ot)
+            .where(col("o_custkey") === 7L)
+            .select(col("o_orderkey"), col("o_orderstatus"))
+            .queryExecution.optimizedPlan.stats.sizeInBytes
+        }
+      val eOn = dimEstimate(cbo = true)
+      val eOff = dimEstimate(cbo = false)
+      val threshold = ((eOn + eOff) / 2).toString
+      // node-typed probe, not a string match (long plan strings truncate)
+      def joinKinds(cbo: Boolean): Set[String] =
+        withCbo(cbo, threshold) {
+          shape().queryExecution.sparkPlan.collect {
+            case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+              "broadcast"
+            case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+              "sortmerge"
+          }.toSet
+        }
+      // the stats must actually separate the estimates, and the SAME
+      // threshold must then split the plans — the flip is purely the
+      // optimizer reading persisted statistics
+      val cboBroadcast = eOn * 4 <= eOff && joinKinds(cbo = true)("broadcast")
+      val nocboSmj = joinKinds(cbo = false)("sortmerge")
+      shape()
+        .withColumn("cbo_broadcast", lit(cboBroadcast))
+        .withColumn("nocbo_smj", lit(nocboSmj))
+    }),
     "b40_sql_changes" -> ((s, d) => {
       // SQL spelling of the change feed: the Delta-CDF-shaped
       // table_changes('t', since) TVF resolves through IceSqlResolution
@@ -2467,6 +2549,29 @@ object SparkEntry {
         "count(*) FROM lineitem) " +
         "SELECT \"column\", ndv, null_count, min, max, row_count FROM s " +
         "ORDER BY \"column\""),
+    // DuckDB replays the SQL-DML'd, published branch state from raw
+    // events; the booleans pin SQL≡API state equality, pre-publish
+    // isolation, and the time-travel read
+    "b46_sql_branch_dml" ->
+      ("WITH base AS (SELECT event_id, user_id, event_type FROM events " +
+        "WHERE event_id % 5 IN (0, 1)), " +
+        "red AS (SELECT event_id, user_id, " +
+        "CASE WHEN user_id % 23 = 7 THEN 'redacted' ELSE event_type END AS event_type " +
+        "FROM base WHERE user_id % 23 <> 8), " +
+        "fin AS (SELECT event_id, user_id, event_type FROM red WHERE event_id % 10 <> 0 " +
+        "UNION ALL SELECT event_id, user_id, 'merged' FROM events WHERE event_id % 10 = 0) " +
+        "SELECT event_type, count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id, " +
+        "true AS sql_api_match, true AS branch_isolated, true AS time_travel_ok " +
+        "FROM fin GROUP BY event_type ORDER BY event_type"),
+    // the aggregate is the DuckDB-checkable part; the booleans pin that
+    // persisted ANALYZE stats flipped the join to broadcast under CBO
+    // while the same plan sort-merges without them
+    "b47_cbo_join" ->
+      ("SELECT o_orderstatus, count(*) AS cnt, " +
+        "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS qty, " +
+        "true AS cbo_broadcast, true AS nocbo_smj " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE o_custkey = 7 GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     "b40_sql_changes" ->
       ("WITH ev AS (SELECT event_id, user_id, event_type FROM events), " +
         "changes AS (" +

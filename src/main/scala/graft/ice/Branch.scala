@@ -36,9 +36,12 @@ import org.apache.hadoop.fs.Path
   *    [[IceTable.vacuumOrphans]] folds every live branch's log before
   *    sweeping, and [[drop]] is what releases a branch's files to the
   *    next sweep;
-  *  - main-side tombstone CLEANUP can reclaim files a long-lived branch
-  *    still references (the same retention contract as time travel and
-  *    streaming consumers): keep branches shorter than retention;
+  *  - main-side tombstone CLEANUP treats every live branch as a
+  *    retention PIN: a file a branch's log still references is never
+  *    reclaimed, however aggressive `min_age_ms` is — its tombstoned
+  *    marker is carried forward, and the first cleanup after [[drop]]
+  *    reclaims it normally (the same fold-every-branch rule as
+  *    [[IceTable.vacuumOrphans]]);
   *  - merge-on-read deletes are NOT branch-isolated (the `_dv` side
   *    table is keyed by the shared root) — [[DeleteVectors.deleteWhere]]
   *    rejects branch handles; use the branch's CoW

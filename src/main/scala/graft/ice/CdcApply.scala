@@ -22,9 +22,11 @@ import org.apache.spark.sql.functions._
   *      makes [[IceTable.insertBatch]] exactly-once, so it survives
   *      compaction and cleanup log rewrites.
   *
-  * A missing watermark triggers an INITIAL SYNC: the source snapshot at
-  * a settled bound is upserted wholesale (idempotent on replay), and
-  * incremental windows chain from that bound.
+  * A missing watermark triggers an INITIAL SYNC: a truly fresh target
+  * (no commits) takes the DIRECT INSERT path — no key-join against an
+  * empty replica — while a target with prior commits (including a
+  * crash-replay of the initial insert itself) upserts the snapshot
+  * wholesale (idempotent); incremental windows chain from that bound.
   *
   * Effectively-once, not atomically-once: the delete/upsert/watermark
   * commits are separate, but every step is an idempotent function of
@@ -96,6 +98,16 @@ object CdcApply {
         val until = ChangeFeed.settledNow(source)
         val n = source.trySnapshot(until + 1) match {
           case None => 0L // source empty: an empty replica is in sync
+          case Some(_) if target.trySnapshot(Long.MaxValue).isEmpty =>
+            // FRESH replica (no commits at all): the snapshot routes
+            // straight to insert — a key-join against an empty target
+            // would shuffle the whole corpus for nothing. A crash after
+            // this insert but before the watermark leaves commits on the
+            // target, so the retry takes the upsert branch and converges.
+            val rows = source.read(until + 1).localCheckpoint()
+            val c = rows.count()
+            target.insert(rows)
+            c
           case Some(_) =>
             val rows = source.read(until + 1)
             target.upsert(rows, keyCols)._2 // idempotent on crash-replay

@@ -838,17 +838,22 @@ final class IceTable(
     * maybeCheckpoint cost class) so the first ANALYZE is picked up by
     * long-lived writer handles, and [[TableStats]] invalidates the
     * cache on the handle it analyzed through. */
-  @volatile private var analyzedNdv: Option[Map[String, Long]] = None
-  private[ice] def invalidateStatsCache(): Unit = analyzedNdv = None
-  private def statsNdv(c: String): Option[Long] = {
-    if (analyzedNdv.isEmpty) {
+  @volatile private var analyzedStats: Option[TableStats.Stats] = None
+  private[ice] def invalidateStatsCache(): Unit = analyzedStats = None
+  /** Latest persisted ANALYZE stats through the per-handle cache —
+    * also the CBO input of catalog relations ([[graft.plans
+    * .IceFileIndex.dataFrame]] attaches rowCount/ndv/min/max so join
+    * reordering and broadcast decisions plan from analyzed numbers). */
+  private[graft] def cachedStats: Option[TableStats.Stats] = {
+    if (analyzedStats.isEmpty) {
       val read = TableStats.read(this)
-        .map(_.columns.map(cs => cs.column.toLowerCase -> cs.ndv).toMap)
-      read.foreach(m => analyzedNdv = Some(m))
-      if (read.isEmpty) return None
+      read.foreach(s => analyzedStats = Some(s))
     }
-    analyzedNdv.get.get(c.toLowerCase)
+    analyzedStats
   }
+  private def statsNdv(c: String): Option[Long] =
+    cachedStats.flatMap(
+      _.columns.find(_.column.equalsIgnoreCase(c)).map(_.ndv))
 
   /** Apply the bloom-filter writer options (see
     * `IceTableConfig.bloomFilterColumns`). An explicit `bloomFilterNdv`
@@ -1901,6 +1906,25 @@ final class IceTable(
     val snap = snapshot(nowMs)
     val mergeLogFiles = snap.logFiles.filter(p => IceLogIO.logFileInfo(p)._2)
 
+    // files OTHER live log heads still reference must survive
+    // reclamation even past min_age: branches share the `_data/` pool
+    // (Branch), so a long-lived branch + aggressive retention would
+    // otherwise silently break the branch — a live branch is a retention
+    // PIN, exactly as in vacuumOrphans, and dropping it releases the
+    // files to the NEXT cleanup (their tombstoned markers are kept
+    // below, so nothing is lost). Symmetrically, cleanup on a BRANCH
+    // handle pins main's files. One log fold per live branch —
+    // maintenance-priced metadata I/O.
+    val branchPinned: Set[String] = {
+      val mainH = if (logRel == "_log") this
+        else new IceTable(spark, root, cfg)
+      val others = (if (logRel == "_log") Seq.empty[IceTable] else Seq(mainH)) ++
+        Branch.list(mainH).map(Branch.open(mainH, _))
+          .filterNot(_.logRel == logRel)
+      others.flatMap(_.trySnapshot(Long.MaxValue)
+        .map(_.files.map(_.path)).getOrElse(Seq.empty)).toSet
+    }
+
     val logFilesToDelete = mutable.LinkedHashSet.empty[String]
     val logFilesToKeep = mutable.LinkedHashMap.empty[String, LogTombstone]
     val dataFilesToDelete = mutable.LinkedHashSet.empty[String]
@@ -1936,10 +1960,12 @@ final class IceTable(
         // fall back to the *current* fold's tombstone for this path
         // (icedb.py:375-381)
         val tombstone = fm.tombstone.orElse(currentTombstones.get(fm.path))
-        if (tombstone.exists(_ <= expired)) {
+        if (tombstone.exists(_ <= expired) && !branchPinned(fm.path)) {
           dataFilesToDelete += fm.path
           dataFilesToKeep.remove(fm.path)
         } else {
+          // branch-pinned expired files keep their tombstoned marker, so
+          // the cleanup after the branch drops reclaims them normally
           dataFilesToKeep(fm.path) = fm.copy(virSourceLogFile = None)
         }
       }

@@ -28,9 +28,12 @@ import org.apache.spark.sql.functions._
   * have natively. */
 object TableStats {
 
+  /** avgLen/maxLen are byte lengths, tracked for string columns only
+    * (fixed-width types use their Catalyst defaultSize at plan time). */
   final case class ColumnStats(
       column: String, ndv: Long, nullCount: Long,
-      min: Option[String], max: Option[String])
+      min: Option[String], max: Option[String],
+      avgLen: Option[Long] = None, maxLen: Option[Long] = None)
   final case class Stats(
       analyzedAtMs: Long, rowCount: Long, exact: Boolean,
       columns: Seq[ColumnStats])
@@ -61,6 +64,8 @@ object TableStats {
           s"analyze: unknown column(s) ${missing.mkString(", ")}")
         columns
       }
+    val stringCols = df.schema.fields.filter(
+      _.dataType == org.apache.spark.sql.types.StringType).map(_.name).toSet
     val aggs = count(lit(1)).as("_n") +: cols.flatMap { c =>
       Seq(
         (if (exact) countDistinct(col(c))
@@ -70,7 +75,12 @@ object TableStats {
         coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
           .as(s"_nul_$c"),
         min(col(c)).cast("string").as(s"_min_$c"),
-        max(col(c)).cast("string").as(s"_max_$c"))
+        max(col(c)).cast("string").as(s"_max_$c")) ++
+        // byte lengths for strings: CBO's row-width input (same single scan)
+        (if (stringCols(c)) Seq(
+          ceil(avg(octet_length(col(c)))).cast("long").as(s"_alen_$c"),
+          max(octet_length(col(c))).cast("long").as(s"_mlen_$c"))
+         else Seq.empty)
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     // None = no non-null values — distinguishable from a legitimate
@@ -79,6 +89,11 @@ object TableStats {
       val i = row.fieldIndex(name)
       if (row.isNullAt(i)) None else Some(row.getString(i))
     }
+    def lng(name: String): Option[Long] = {
+      if (!row.schema.fieldNames.contains(name)) return None
+      val i = row.fieldIndex(name)
+      if (row.isNullAt(i)) None else Some(row.getLong(i))
+    }
     val stats = Stats(
       analyzedAtMs = System.currentTimeMillis(),
       rowCount = row.getLong(row.fieldIndex("_n")),
@@ -86,7 +101,8 @@ object TableStats {
       columns = cols.map(c => ColumnStats(c,
         ndv = row.getLong(row.fieldIndex(s"_ndv_$c")),
         nullCount = row.getLong(row.fieldIndex(s"_nul_$c")),
-        min = str(s"_min_$c"), max = str(s"_max_$c"))))
+        min = str(s"_min_$c"), max = str(s"_max_$c"),
+        avgLen = lng(s"_alen_$c"), maxLen = lng(s"_mlen_$c"))))
     write(t, stats)
     stats
   }
@@ -101,7 +117,8 @@ object TableStats {
       "exact" -> (s.exact: Any),
       "cols" -> (s.columns.map(c => Map(
         "c" -> c.column, "ndv" -> c.ndv, "nul" -> c.nullCount,
-        "min" -> c.min.orNull, "max" -> c.max.orNull)): Any))
+        "min" -> c.min.orNull, "max" -> c.max.orNull) ++
+        c.avgLen.map("alen" -> _) ++ c.maxLen.map("mlen" -> _)): Any))
     val tmp = new Path(dir, s".tmp.${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -162,7 +179,9 @@ object TableStats {
           def s(k: String): Option[String] =
             c.get(k).filter(_ != null).map(_.toString)
           ColumnStats(c("c").toString, long(c("ndv")), long(c("nul")),
-            s("min"), s("max"))
+            s("min"), s("max"),
+            avgLen = c.get("alen").filter(_ != null).map(long),
+            maxLen = c.get("mlen").filter(_ != null).map(long))
         }.toSeq)
     }
   }

@@ -43,6 +43,24 @@ object TextIndex {
   def bucketOf(term: Column, buckets: Int): Column =
     pmod(xxhash64(term), lit(buckets.toLong))
 
+  /** [[bucketOf]] evaluated DRIVER-SIDE — the same xxhash64(seed 42) +
+    * pmod the router wrote partitions with, as a folded catalyst literal
+    * instead of a one-row Spark job (a serving-path point lookup must not
+    * pay a job scheduling just to learn which buckets to prune to).
+    * Operation-identity with the Column form is spec-pinned
+    * (TextIndexSpec). */
+  private[operators] def bucketOfLocal(term: String, buckets: Int): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    // seed 42 = functions.xxhash64's fixed seed (XxHash64 companion)
+    val h = XxHash64(Seq(Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(term),
+        org.apache.spark.sql.types.StringType)), 42L)
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[Long]
+    val m = h % buckets
+    if (m < 0) m + buckets else m
+  }
+
   /** Config for the postings table: hash-bucket partitions, postings
     * sorted (term, doc_id) within each file for row-group locality.
     * The merge SQL is a replacing-dedup on the version key — postings
@@ -313,6 +331,14 @@ object TextIndex {
     * order identical to [[Search.bm25TopK]], so results match a
     * freshly-built index over the surviving corpus bit-for-bit.
     *
+    * SERVING-PATH latency shape: building the query is ZERO Spark jobs
+    * (spec-pinned) — bucket routing is a driver-side hash
+    * ([[bucketOfLocal]]), and every global the score needs (N, avgdl,
+    * per-term document frequency) is a one-row aggregate broadcast-
+    * cross-joined into the SAME DAG the caller's single action executes.
+    * The old shape paid four sequential driver actions per query (stats
+    * head, delete head, a one-row bucket job, a per-term df collect).
+    *
     * `asOfTs` time-travels the WHOLE query (postings, stats, deletes
     * fold to the same log horizon — the tables commit atomically per
     * batch, so any horizon is a consistent corpus): "what did this
@@ -324,32 +350,38 @@ object TextIndex {
       asOfTs: Long = Long.MaxValue): DataFrame = {
     require(terms.nonEmpty, "query must have at least one term")
     val statsDf = stats.read(asOfTs)
-    val spark = statsDf.sparkSession
-    val sr = statsDf.agg(sum("n_docs").cast("long"), sum("sum_dl").cast("long")).head()
     // deleted docs leave the stats universe exactly (their dl was
     // recorded at delete time), keeping N/avgdl — and so every score —
     // identical to a rebuild without them
-    val (delN, delDl, delDf) = deletes match {
+    val delDf: Option[DataFrame] = deletes match {
       // a deletes table whose only commits are watermark records (e.g.
       // syncFromFeed's `:init` pin before any marker) has no columns yet
-      case None => (0L, 0L, None)
-      case Some(t) if !t.read(asOfTs).columns.contains("doc_id") =>
-        (0L, 0L, None)
+      case None => None
+      case Some(t) if !t.read(asOfTs).columns.contains("doc_id") => None
       case Some(t) =>
-        val d = t.read(asOfTs).select(col("doc_id"), col("dl"),
+        Some(t.read(asOfTs).select(col("doc_id"), col("dl"),
             coalesce(col("gen"), lit(Long.MaxValue)).as("gen"))
           // idempotent re-marking pre-compaction; distinct gens of one
           // doc are distinct dead VERSIONS, each subtracts its own dl
-          .dropDuplicates("doc_id", "gen")
-        val r = d.agg(count(lit(1)).cast("long"), sum("dl").cast("long")).head()
-        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1), Some(d))
+          .dropDuplicates("doc_id", "gen"))
     }
-    val n = sr.getLong(0) - delN
-    val avgdl = (sr.getLong(1) - delDl).toDouble / n.toDouble
-    // the terms' buckets, via the same engine hash the router used
-    val parts = spark.range(1).select(terms.map(t =>
-        bucketOf(lit(t), buckets)): _*).head()
-      .toSeq.map(bkt => s"b=$bkt").toSet
+    // corpus stats as a ONE-ROW frame instead of driver actions; the
+    // arithmetic mirrors the old driver-side ops exactly (long
+    // subtraction, then double division) so scores stay bit-identical
+    val statsAgg = statsDf.agg(
+      coalesce(sum("n_docs"), lit(0L)).cast("long").as("_sn"),
+      coalesce(sum("sum_dl"), lit(0L)).cast("long").as("_sdl"))
+    val corpus = delDf match {
+      case None => statsAgg.select(col("_sn").as("_n"), col("_sdl").as("_tdl"))
+      case Some(d) =>
+        val da = d.agg(count(lit(1)).cast("long").as("_dn"),
+          coalesce(sum("dl"), lit(0L)).cast("long").as("_ddl"))
+        statsAgg.crossJoin(da).select(
+          (col("_sn") - col("_dn")).as("_n"),
+          (col("_sdl") - col("_ddl")).as("_tdl"))
+    }
+    // the terms' buckets, via the same hash the router used — driver-side
+    val parts = terms.map(t => s"b=${bucketOfLocal(t, buckets)}").toSet
     val pruned0raw = index.readPartitions(parts, asOfTs)
       .where(col("term").isin(terms: _*))
     // postings written before the gen column existed read as null →
@@ -369,24 +401,33 @@ object TextIndex {
         pruned0("doc_id") === mk("doc_id") && pruned0("gen") < mk("_mgen"),
         "left_anti")
     }
-    val dfByTerm = pruned.groupBy("term")
-      .agg(countDistinct(col("doc_id")).as("_df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val idf = terms.map { t =>
-      val dfi = dfByTerm.getOrElse(t, 0L).toDouble
-      math.log(1.0 + (n - dfi + 0.5) / (dfi + 0.5))
-    }
     val aggs = max(col("dl")).as("_dl") +:
       terms.zipWithIndex.map { case (t, i) =>
         sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"_tf$i")
       }
     val perDoc = pruned.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    // per-term document frequency folds into the same DAG: a doc matched
+    // term i iff its _tf{i} > 0, so df_i is a one-row aggregate of perDoc
+    // (replaces the old per-term collect; a missing term sums to 0 like
+    // the old map's getOrElse)
+    val dfAggs = terms.indices.map(i =>
+      coalesce(sum(when(col(s"_tf$i") > 0L, 1L).otherwise(0L)), lit(0L))
+        .cast("double").as(s"_dfv$i"))
+    val dfAgg = perDoc.agg(dfAggs.head, dfAggs.tail: _*)
+    // one broadcast row: N, avgdl, df_0..df_{K-1}
+    val globals = broadcast(corpus.crossJoin(dfAgg).select(
+      col("_n").cast("double").as("_nd") +:
+        (col("_tdl").cast("double") / col("_n").cast("double")).as("_avgdl") +:
+        terms.indices.map(i => col(s"_dfv$i")): _*))
+    val scored = perDoc.crossJoin(globals)
     val score = terms.indices.map { i =>
       val tf = col(s"_tf$i").cast("double")
-      lit(idf(i)) * tf * (k1 + 1.0) /
-        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / lit(avgdl)))
+      val dfi = col(s"_dfv$i")
+      val idf = log(lit(1.0) + (col("_nd") - dfi + lit(0.5)) / (dfi + lit(0.5)))
+      idf * tf * (k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl")))
     }.reduceLeft(_ + _)
-    perDoc.select(col("doc_id"), score.as("_score"))
+    scored.select(col("doc_id"), score.as("_score"))
       .where(col("_score") > 0)
       .orderBy(col("_score").desc, col("doc_id"))
       .limit(k)

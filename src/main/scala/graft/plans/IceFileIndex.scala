@@ -233,7 +233,29 @@ object IceFileIndex {
     // in the SQL resolver) passes its snapshot so resolution costs ONE
     // fold, not two — only valid for the same maxTs it was folded at
     val snap = preSnap.getOrElse(table.snapshot(maxTs))
-    val df = spark.baseRelationToDataFrame(relationFor(spark, table, snap))
+    val rel = relationFor(spark, table, snap)
+    // persisted ANALYZE statistics ride the relation as catalog plan
+    // stats so CBO join reordering / broadcast decisions use analyzed
+    // rowCount + ndv/min/max/nullCount (inert while cbo.enabled=false:
+    // the attached sizeInBytes IS the bare relation's file-bytes sum).
+    // The standard ANALYZE staleness contract applies — estimates from
+    // the last analysis, exact only until the table moves.
+    val df = table.cachedStats match {
+      case Some(st) =>
+        val types = snap.schema.toStructType.fields
+          .map(f => f.name -> f.dataType).toMap
+        val colStats = st.columns.flatMap { cs =>
+          types.get(cs.column).map(dt => cs.column ->
+            org.apache.spark.sql.graft.StatsBridge.columnStat(
+              cs.column, dt, cs.ndv, cs.nullCount, cs.min, cs.max,
+              cs.avgLen, cs.maxLen))
+        }.toMap
+        org.apache.spark.sql.graft.StatsBridge.planWithStats(
+          spark, rel, new Path(table.root).getName,
+          sizeInBytes = BigInt(snap.aliveFiles.map(_.fileBytes).sum),
+          rowCount = Some(BigInt(st.rowCount)), colStats)
+      case None => spark.baseRelationToDataFrame(rel)
+    }
     // baseRelationToDataFrame analyzes EAGERLY: when the session has the
     // IceDvOverlay extension rule, the overlay is already in `df`'s
     // analyzed plan — stacking a second anti-join here would both waste a

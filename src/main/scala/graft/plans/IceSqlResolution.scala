@@ -49,6 +49,14 @@ import org.apache.spark.sql.types.{NumericType, TimestampType}
   * explicit maintenance decision (`removePartitions` /
   * `rewritePartition`), never a write mode's side effect.
   *
+  * Every read and DML form also accepts a WAP-branch target spelled
+  * ``graft.`t@branch` `` (backticked — `@` is not a bare-identifier
+  * character), resolving through [[graft.ice.Branch]] handles to the
+  * branch's own log: the write-audit-publish loop is expressible
+  * end-to-end in SQL (`ALTER TABLE … CREATE BRANCH b`, DML on
+  * ``graft.`t@b` ``, validate with SELECTs, `… PUBLISH BRANCH b`). The
+  * branch must already exist — DML never creates one implicitly.
+  *
   * The change feed has a SQL spelling too:
   * `SELECT * FROM table_changes('t', since_ms[, until_ms])` resolves to
   * [[graft.ice.ChangeFeed.between]]'s `(since, until]` window — Delta's
@@ -70,27 +78,52 @@ final class IceSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** `<warehouse>/<name>` if it looks like an ice table (has a `_log/`
     * dir); names are restricted to path-safe tokens so SQL identifiers
-    * can never traverse out of the warehouse. */
-  private def tableRoot(name: String): Option[String] = warehouse.flatMap { w =>
-    if (!SafeName.matches(name)) None
-    else {
-      val (root, ok) = IceSqlResolution.probeRootAt(spark, w, name)
-      if (ok) Some(root) else None
+    * can never traverse out of the warehouse. A `t@branch` name (spelled
+    * backticked in SQL: ``graft.`t@audit` ``) additionally requires the
+    * branch's own log directory — the WAP loop's reads AND writes are
+    * then expressible end-to-end in SQL. Returns (root, branch-or-""). */
+  private def tableTarget(name: String): Option[(String, String)] =
+    warehouse.flatMap { w =>
+      val (base, branch) = IceSqlResolution.splitBranch(name)
+      if (!SafeName.matches(base)) None
+      else if (branch.exists(b => !IceSqlResolution.safeBranch(b))) None
+      else {
+        val (root, ok) = IceSqlResolution.probeRootAt(spark, w, base)
+        if (!ok) None
+        else branch match {
+          case None => Some((root, ""))
+          case Some(b) =>
+            val blog = new Path(root, s"_branch/$b/_log")
+            val exists = try blog.getFileSystem(
+                spark.sparkContext.hadoopConfiguration).exists(blog)
+              catch { case _: Exception => false }
+            if (exists) Some((root, b)) else None
+        }
+      }
     }
-  }
+
+  private def tableRoot(name: String): Option[String] =
+    tableTarget(name).map(_._1)
 
   private def resolve(name: String, maxTs: Long): Option[LogicalPlan] =
-    tableRoot(name).map { root =>
+    tableTarget(name).map { case (root, branch) =>
       // open(), not a bare handle: the persisted config restores the
       // stats columns, so the SQL path gets the same log-side file
       // skipping (IceFileIndex.statsWindows) as the DataFrame path.
       // openWithSnapshot: the config fold doubles as the relation's
       // snapshot (when no time travel narrows it), so each table
       // reference costs ONE log fold
-      val (t, snap) = IceTable.openWithSnapshot(spark, root)
-      val pre = if (maxTs == Long.MaxValue) snap else None
-      val rel = IceFileIndex.dataFrame(spark, t, maxTs, pre)
-        .queryExecution.analyzed
+      val rel =
+        if (branch.isEmpty) {
+          val (t, snap) = IceTable.openWithSnapshot(spark, root)
+          val pre = if (maxTs == Long.MaxValue) snap else None
+          IceFileIndex.dataFrame(spark, t, maxTs, pre)
+            .queryExecution.analyzed
+        } else {
+          val t = IceSqlResolution.openTarget(spark, root, branch)
+          IceFileIndex.dataFrame(spark, t, maxTs, None)
+            .queryExecution.analyzed
+        }
       SubqueryAlias(Seq(catalogName, name), rel)
     }
 
@@ -145,15 +178,16 @@ final class IceSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     // rejected: truncation of an MVCC table is an explicit maintenance
     // decision (removePartitions / rewritePartition), not a write mode.
     case ins @ InsertIntoStatement(IceRel(t), partSpec, userCols, query, overwrite, _, byName)
-        if tableRoot(t).isDefined && query.resolved =>
+        if tableTarget(t).isDefined && query.resolved =>
       if (overwrite) throw new UnsupportedOperationException(
         s"INSERT OVERWRITE $catalogName.$t is not supported — truncate " +
           "explicitly via removePartitions/rewritePartition, then INSERT")
       if (partSpec.nonEmpty) throw new UnsupportedOperationException(
         s"INSERT INTO $catalogName.$t PARTITION (...) is not supported — " +
           "the table's partition expression routes rows itself")
-      IceInsertCommand(tableRoot(t).get, s"$catalogName.$t",
-        new PlanBox(query), userCols, byName)
+      val (insRoot, insBranch) = tableTarget(t).get
+      IceInsertCommand(insRoot, s"$catalogName.$t",
+        new PlanBox(query), userCols, byName, insBranch)
     // SQL DML maps onto the engine's atomic CoW mutations. The raw
     // (unresolved) expressions travel as SQL text and re-resolve against
     // the table's own DataFrame inside the command — a LeafRunnableCommand
@@ -162,9 +196,10 @@ final class IceSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     // persisted sortOrder/stats config from the log — SQL-path rewrites
     // produce the same sorted, stats-bearing files as the configured
     // handle's own DML.
-    case DeleteFromTable(IceRel(t), cond) if tableRoot(t).isDefined =>
-      IceDeleteCommand(tableRoot(t).get, s"$catalogName.$t", cond.sql)
-    case UpdateTable(IceRel(t), assignments, condOpt) if tableRoot(t).isDefined =>
+    case DeleteFromTable(IceRel(t), cond) if tableTarget(t).isDefined =>
+      val (dRoot, dBranch) = tableTarget(t).get
+      IceDeleteCommand(dRoot, s"$catalogName.$t", cond.sql, dBranch)
+    case UpdateTable(IceRel(t), assignments, condOpt) if tableTarget(t).isDefined =>
       val sets = assignments.map { a =>
         val name = a.key match {
           case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => ua.name
@@ -172,8 +207,9 @@ final class IceSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         name -> a.value.sql
       }
-      IceUpdateCommand(tableRoot(t).get, s"$catalogName.$t",
-        sets, condOpt.map(_.sql).getOrElse("true"))
+      val (uRoot, uBranch) = tableTarget(t).get
+      IceUpdateCommand(uRoot, s"$catalogName.$t",
+        sets, condOpt.map(_.sql).getOrElse("true"), uBranch)
     // `MERGE INTO graft.t USING src ON t.k = src.k WHEN MATCHED ... WHEN
     // NOT MATCHED ...` → the engine's atomic key-based mutations
     // (IceTable.upsert / deleteKeys). Intercepted as soon as the target
@@ -186,7 +222,7 @@ final class IceSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     // inside the command in a non-TreeNode box and re-wraps at execution.
     case m @ MergeIntoTable(tgt @ IceRel(t), source, cond, matchedActions,
         notMatchedActions, notMatchedBySourceActions, _)
-        if tableRoot(t).isDefined && source.resolved =>
+        if tableTarget(t).isDefined && source.resolved =>
       import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo}
       import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
       import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, UpdateAction}
@@ -239,7 +275,8 @@ final class IceSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       val tgtCols: Set[String] =
         if (tgt.resolved) tgt.output.map(_.name.toLowerCase).toSet
         else {
-          val ot = IceTable.open(spark, tableRoot(t).get)
+          val (mRoot0, mBranch0) = tableTarget(t).get
+          val ot = IceSqlResolution.openTarget(spark, mRoot0, mBranch0)
           val dataCols = ot.trySnapshot(Long.MaxValue).toSeq
             .flatMap(_.schema.pairs.map(_._1.toLowerCase))
           val partCols = ot.trySnapshot(Long.MaxValue).toSeq
@@ -284,8 +321,10 @@ final class IceSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
           s"ON condition must be a conjunction of target/source column " +
             s"equalities; got: ${other.sql}")
       }
-      IceMergeCommand(tableRoot(t).get, s"$catalogName.$t",
-        new PlanBox(source), keyPairs(cond), matchedMode, insertUnmatched)
+      val (mRoot, mBranch) = tableTarget(t).get
+      IceMergeCommand(mRoot, s"$catalogName.$t",
+        new PlanBox(source), keyPairs(cond), matchedMode, insertUnmatched,
+        mBranch)
     case tt @ RelationTimeTravel(IceName(t), tsOpt, verOpt) =>
       val maxTs: Option[Long] = (tsOpt, verOpt) match {
         case (_, Some(v)) => v.toLongOption.map(_ + 1L)
@@ -307,6 +346,29 @@ object IceSqlResolution {
     * only, so a SQL name can never traverse out of the warehouse. */
   private[plans] def safeName(n: String): Boolean = SafeName.matches(n)
 
+  private val SafeBranch = "[A-Za-z0-9_-]{1,64}".r.anchored
+  private[plans] def safeBranch(b: String): Boolean = SafeBranch.matches(b)
+
+  /** ``t@branch`` name split (the branch-DML spelling; SQL writes it
+    * backticked: ``graft.`t@audit` ``). No `@` → (name, None). */
+  private[plans] def splitBranch(name: String): (String, Option[String]) =
+    name.split("@", 2) match {
+      case Array(base, br) if br.nonEmpty => (base, Some(br))
+      case _ => (name, None)
+    }
+
+  /** The DML target handle: the main table, or the named WAP branch
+    * (which must exist — DML never creates branches implicitly; its
+    * persisted config is restored from the branch log, so branch-side
+    * SQL writes route/sort exactly like API writes). */
+  private[plans] def openTarget(
+      session: SparkSession, root: String, branch: String): IceTable =
+    if (branch.isEmpty) IceTable.open(session, root)
+    else graft.ice.Branch.openExisting(IceTable.open(session, root), branch)
+      .getOrElse(throw new IllegalArgumentException(
+        s"branch '$branch' does not exist on $root — create it first " +
+          "(ALTER TABLE ... CREATE BRANCH)"))
+
   /** The ONE `<warehouse>/<name>` → (root, has-a-`_log`) probe, shared by
     * the resolution rule and the DDL parser so the two surfaces can never
     * disagree on whether a table exists. */
@@ -319,13 +381,6 @@ object IceSqlResolution {
       catch { case _: Exception => false }
     (root, exists)
   }
-
-  /** Open a table handle for a DML command: reconstructs the persisted
-    * config (sort order, stats columns, partition expr, merge SQL) from
-    * the log so SQL-path rewrites match the configured handle's writes. */
-  private[plans] def bareTable(
-      spark: SparkSession, root: String): IceTable =
-    IceTable.open(spark, root)
 
   /** Builder for the `table_changes('t', since[, until])` table-valued
     * function (registered by [[graft.GraftExtensions]] — a registry TVF,
@@ -426,13 +481,14 @@ object IceSqlResolution {
 
 /** `DELETE FROM graft.<t> WHERE ...` → [[IceTable.deleteWhere]] (atomic
   * CoW of only the affected files). Returns one row: rows_deleted. */
-final case class IceDeleteCommand(root: String, ident: String, condSql: String)
+final case class IceDeleteCommand(root: String, ident: String, condSql: String,
+    branch: String = "")
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.{AttributeReference => AR}
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     Seq(AR("rows_deleted", org.apache.spark.sql.types.LongType, nullable = false)())
   override def run(session: SparkSession): Seq[org.apache.spark.sql.Row] = {
-    val n = IceSqlResolution.bareTable(session, root)
+    val n = IceSqlResolution.openTarget(session, root, branch)
       .deleteWhere(org.apache.spark.sql.functions.expr(condSql))
     Seq(org.apache.spark.sql.Row(n))
   }
@@ -464,7 +520,8 @@ final case class IceMergeCommand(
     sourceBox: PlanBox,
     keyPairs: Seq[(String, String)],
     matchedMode: String,
-    insertUnmatched: Boolean)
+    insertUnmatched: Boolean,
+    branch: String = "")
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.{AttributeReference => AR}
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
@@ -473,7 +530,7 @@ final case class IceMergeCommand(
       AR("rows_copied", org.apache.spark.sql.types.LongType, nullable = false)())
   override def run(session: SparkSession): Seq[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.functions.col
-    val t = IceSqlResolution.bareTable(session, root)
+    val t = IceSqlResolution.openTarget(session, root, branch)
     var src = org.apache.spark.sql.graft.PlanBridge.ofRows(session, sourceBox.plan)
     keyPairs.foreach { case (tn, sn) =>
       if (sn != tn) src = src.withColumnRenamed(sn, tn)
@@ -523,7 +580,8 @@ final case class IceInsertCommand(
     root: String, ident: String,
     queryBox: PlanBox,
     userCols: Seq[String],
-    byName: Boolean = false)
+    byName: Boolean = false,
+    branch: String = "")
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.{AttributeReference => AR}
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
@@ -532,7 +590,12 @@ final case class IceInsertCommand(
     import org.apache.spark.sql.functions.col
     // one log fold: the config fold doubles as the snapshot AND seeds the
     // insert pre-flight cache (openWithSnapshot does both)
-    val (t, snapOpt) = graft.ice.IceTable.openWithSnapshot(session, root)
+    val (t, snapOpt) =
+      if (branch.isEmpty) graft.ice.IceTable.openWithSnapshot(session, root)
+      else {
+        val bt = IceSqlResolution.openTarget(session, root, branch)
+        (bt, bt.trySnapshot(Long.MaxValue))
+      }
     val q = org.apache.spark.sql.graft.PlanBridge.ofRows(session, queryBox.plan)
     // canonical-case + type lookup, keyed lowercased: SQL resolves column
     // references case-insensitively, the log schema is exact-case
@@ -590,13 +653,14 @@ final case class IceInsertCommand(
   * [[IceTable.updateWhere]]. Returns one row: rows_updated. */
 final case class IceUpdateCommand(
     root: String, ident: String,
-    sets: Seq[(String, String)], condSql: String)
+    sets: Seq[(String, String)], condSql: String,
+    branch: String = "")
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.{AttributeReference => AR}
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     Seq(AR("rows_updated", org.apache.spark.sql.types.LongType, nullable = false)())
   override def run(session: SparkSession): Seq[org.apache.spark.sql.Row] = {
-    val t = IceSqlResolution.bareTable(session, root)
+    val t = IceSqlResolution.openTarget(session, root, branch)
     // a CoW rewrite keeps each file in its partition directory, so
     // updating a column the partition path encodes — or any column the
     // partition EXPRESSION derives from — would leave the path-derived

@@ -1,0 +1,236 @@
+package graft.sources
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.ice.IceTable
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.Executors
+
+/** The reference's "S3 proxy" integration surface
+  * (/root/reference/README.md:29-31): a VIRTUAL BUCKET any S3-speaking
+  * engine can point at with zero client code — `ListObjectsV2` returns
+  * exactly the current snapshot's alive data files, `GET`/`HEAD` stream
+  * the immutable parquet bytes (with `Range` support, which parquet
+  * readers need for footer-first access) — so a foreign engine's
+  * `s3('…/**/*.parquet')` glob reads a CONSISTENT MVCC snapshot without
+  * knowing the log exists. The manifest endpoints ([[IceHttpApi]]) are
+  * the "client fetches a file list" integration; this is the "client
+  * changes nothing at all" one.
+  *
+  * Shape and scale:
+  *  - LIST is ONE driver-side log fold (the same cost as any snapshot),
+  *    never a filesystem listing — sizes come from the markers;
+  *  - the listing is paged S3-style (`max-keys`, `continuation-token` =
+  *    last key returned, start-after semantics), so 10⁵-file snapshots
+  *    page exactly like a real bucket;
+  *  - GET streams straight from storage with zero buffering of the whole
+  *    object; ranged reads send only the requested window.
+  *
+  * Consistency contract: each LIST pins the snapshot AT THAT REQUEST;
+  * data files are immutable, so a GET of a listed key stays valid across
+  * later commits until a tombstone cleanup's retention reclaims it (the
+  * same read-after-list window every MVCC manifest consumer gets). GETs
+  * are served for any on-disk `_data/` path, so a list-then-read race
+  * with compaction never 404s mid-query.
+  *
+  * Merge-on-read caveat, stated loudly: the proxy serves the FILE layer.
+  * A table with LIVE deletion-vector marks over-serves the dv-dead rows
+  * (raw parquet cannot carry an anti-join); run
+  * [[graft.ice.DeleteVectors.materialize]] before exposing such a table,
+  * or hand dv-aware clients the `/manifest.sql` view instead.
+  *
+  * Reference analog: README.md:29-31 sketches the same proxy idea over
+  * its log; implementation here is original (JDK HttpServer, no deps).
+  */
+final class IceS3Proxy(table: IceTable, maxKeysCap: Int = 1000) {
+
+  private var server: HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
+
+  /** The virtual bucket name = the table's directory name. */
+  val bucket: String = new java.io.File(table.root).getName
+
+  def start(port: Int = 0): InetSocketAddress = synchronized {
+    server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/", (ex: HttpExchange) => route(ex))
+    pool = Executors.newFixedThreadPool(4)
+    server.setExecutor(pool)
+    server.start()
+    server.getAddress
+  }
+
+  def stop(): Unit = synchronized {
+    if (server != null) server.stop(0)
+    if (pool != null) pool.shutdownNow()
+  }
+
+  // ------------------------------------------------------------- routing
+
+  private def route(ex: HttpExchange): Unit = {
+    try {
+      val path = ex.getRequestURI.getPath.stripPrefix("/")
+      val (bkt, key) = path.split("/", 2) match {
+        case Array(b) => (b, "")
+        case Array(b, k) => (b, k)
+      }
+      if (bkt != bucket)
+        respondXml(ex, 404, errorXml("NoSuchBucket", s"no such bucket: $bkt"))
+      else if (key.isEmpty) ex.getRequestMethod match {
+        case "HEAD" => respondBytes(ex, 200, Array.empty, head = true)
+        case _ => listObjects(ex)
+      }
+      else ex.getRequestMethod match {
+        case "HEAD" => getObject(ex, key, headOnly = true)
+        case "GET" => getObject(ex, key, headOnly = false)
+        case m => respondXml(ex, 405,
+          errorXml("MethodNotAllowed", s"method $m not allowed"))
+      }
+    } catch {
+      case e: Exception =>
+        respondXml(ex, 500, errorXml("InternalError",
+          Option(e.getMessage).getOrElse(e.getClass.getName)))
+    } finally ex.close()
+  }
+
+  // ---------------------------------------------------------------- LIST
+
+  private def queryParam(ex: HttpExchange, k: String): Option[String] =
+    Option(ex.getRequestURI.getQuery).getOrElse("").split("&").collectFirst {
+      case kv if kv.startsWith(s"$k=") =>
+        java.net.URLDecoder.decode(kv.drop(k.length + 1), "UTF-8")
+    }
+
+  private def listObjects(ex: HttpExchange): Unit = {
+    val prefix = queryParam(ex, "prefix").getOrElse("")
+    val startAfter = queryParam(ex, "continuation-token")
+      .orElse(queryParam(ex, "start-after")).getOrElse("")
+    val maxKeys = math.min(maxKeysCap,
+      queryParam(ex, "max-keys").flatMap(_.toIntOption).getOrElse(1000))
+    // ONE log fold; keys sorted so paging is deterministic
+    val snap = table.snapshot(Long.MaxValue)
+    val all = snap.aliveFiles.map(m => (m.path, m.fileBytes, m.createdMs))
+      .filter { case (p, _, _) => p.startsWith(prefix) }
+      .sortBy(_._1)
+    val afterFiltered =
+      if (startAfter.isEmpty) all else all.dropWhile(_._1 <= startAfter)
+    val page = afterFiltered.take(maxKeys)
+    val truncated = afterFiltered.length > maxKeys
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+      .withZone(java.time.ZoneOffset.UTC)
+    val contents = page.map { case (p, bytes, ms) =>
+      s"<Contents><Key>${xmlEscape(p)}</Key>" +
+        s"<LastModified>${fmt.format(java.time.Instant.ofEpochMilli(ms))}</LastModified>" +
+        s"""<ETag>&quot;${java.lang.Long.toHexString(ms ^ bytes)}&quot;</ETag>""" +
+        s"<Size>$bytes</Size><StorageClass>STANDARD</StorageClass></Contents>"
+    }.mkString
+    val next =
+      if (truncated)
+        s"<NextContinuationToken>${xmlEscape(page.last._1)}</NextContinuationToken>"
+      else ""
+    respondXml(ex, 200,
+      """<?xml version="1.0" encoding="UTF-8"?>""" +
+        """<ListBucketResult xmlns="http://s3.amazonaws.com/doc/2006-03-01/">""" +
+        s"<Name>${xmlEscape(bucket)}</Name><Prefix>${xmlEscape(prefix)}</Prefix>" +
+        s"<KeyCount>${page.length}</KeyCount><MaxKeys>$maxKeys</MaxKeys>" +
+        s"<IsTruncated>$truncated</IsTruncated>$next$contents</ListBucketResult>")
+  }
+
+  // ----------------------------------------------------------------- GET
+
+  private def getObject(ex: HttpExchange, key: String, headOnly: Boolean): Unit = {
+    // traversal-proof: only normalized keys under _data/ are servable
+    val norm = java.nio.file.Paths.get(key).normalize().toString
+    if (norm != key || !key.startsWith("_data/") || key.contains("..")) {
+      respondXml(ex, 404, errorXml("NoSuchKey", s"no such key: $key")); return
+    }
+    val fs = table.logio.fs(table.root)
+    val p = new org.apache.hadoop.fs.Path(table.root, key)
+    val st =
+      try fs.getFileStatus(p)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          respondXml(ex, 404, errorXml("NoSuchKey", s"no such key: $key"))
+          return
+      }
+    val len = st.getLen
+    ex.getResponseHeaders.set("Accept-Ranges", "bytes")
+    ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
+    val range = Option(ex.getRequestHeaders.getFirst("Range"))
+      .flatMap(parseRange(_, len))
+    if (headOnly) {
+      // sendResponseHeaders(_, -1) sends no body; advertise the length
+      ex.getResponseHeaders.set("Content-Length-Hint", len.toString)
+      ex.sendResponseHeaders(200, -1)
+      return
+    }
+    val (off, n, code) = range match {
+      case Some((a, b)) =>
+        ex.getResponseHeaders.set("Content-Range", s"bytes $a-$b/$len")
+        (a, b - a + 1, 206)
+      case None => (0L, len, 200)
+    }
+    ex.sendResponseHeaders(code, n)
+    val in = fs.open(p)
+    try {
+      if (off > 0) in.seek(off)
+      val out = ex.getResponseBody
+      val buf = new Array[Byte](64 * 1024)
+      var remaining = n
+      while (remaining > 0) {
+        val r = in.read(buf, 0, math.min(buf.length, remaining).toInt)
+        if (r < 0) remaining = 0
+        else { out.write(buf, 0, r); remaining -= r }
+      }
+    } finally in.close()
+  }
+
+  /** `bytes=a-b` / `bytes=a-` / `bytes=-suffix` → inclusive (start, end),
+    * None for unparseable (serve the full object, per RFC 7233). */
+  private def parseRange(h: String, len: Long): Option[(Long, Long)] = {
+    if (!h.startsWith("bytes=") || len == 0) return None
+    h.stripPrefix("bytes=").split("-", 2) match {
+      case Array("", suf) => suf.toLongOption.collect {
+        case n if n > 0 => (math.max(0L, len - n), len - 1)
+      }
+      case Array(a, "") => a.toLongOption.collect {
+        case s if s < len => (s, len - 1)
+      }
+      case Array(a, b) => (a.toLongOption, b.toLongOption) match {
+        case (Some(s), Some(e)) if s <= e && s < len =>
+          Some((s, math.min(e, len - 1)))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  // ------------------------------------------------------------- helpers
+
+  private def xmlEscape(s: String): String = s.flatMap {
+    case '<' => "&lt;"
+    case '>' => "&gt;"
+    case '&' => "&amp;"
+    case '"' => "&quot;"
+    case c => c.toString
+  }
+
+  private def errorXml(code: String, msg: String): String =
+    s"""<?xml version="1.0" encoding="UTF-8"?><Error><Code>$code</Code>""" +
+      s"<Message>${xmlEscape(msg)}</Message></Error>"
+
+  private def respondXml(ex: HttpExchange, code: Int, body: String): Unit = {
+    ex.getResponseHeaders.set("Content-Type", "application/xml")
+    respondBytes(ex, code, body.getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def respondBytes(ex: HttpExchange, code: Int, bytes: Array[Byte],
+      head: Boolean = false): Unit =
+    try {
+      if (head) ex.sendResponseHeaders(code, -1)
+      else {
+        ex.sendResponseHeaders(code, math.max(bytes.length.toLong, 0L))
+        ex.getResponseBody.write(bytes)
+      }
+    } catch { case _: java.io.IOException => () }
+}

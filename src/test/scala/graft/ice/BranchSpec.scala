@@ -106,6 +106,43 @@ class BranchSpec extends SparkSpec {
     intercept[IllegalArgumentException] { b.vacuumOrphans(minAgeMs = 0L) }
   }
 
+  test("tombstone cleanup never reclaims files a live branch references") {
+    val main = mkTable("br_clean")
+    val preFiles = main.snapshot().aliveFiles.map(_.path).toSet
+    val b = Branch.create(main, "pin")
+    // main-side CoW delete tombstones the shared files; the branch still
+    // reads them
+    Thread.sleep(3)
+    main.deleteWhere(col("id") >= 0L)
+    assert(main.read().count() === 0L && b.read().count() === 20L)
+    Thread.sleep(3)
+    // an aggressive cleanup (zero grace) must NOT delete branch-pinned
+    // bytes — before the fix this silently broke the branch
+    val r1 = main.tombstoneCleanup(0L)
+    assert(r1.cleanedLogFiles.nonEmpty)
+    assert(preFiles.intersect(r1.deletedDataFiles.toSet).isEmpty,
+      "cleanup reclaimed files a live branch references")
+    assert(b.read().count() === 20L, "branch must still read after cleanup")
+    assert(b.read().agg(sum(col("v"))).head.getLong(0) === (0L until 20L).map(_ * 10).sum)
+
+    // publish semantics survive: main moved past the fork (the delete +
+    // the cleanup), so fast-forward must conflict
+    intercept[CommitConflictException] { Branch.publish(main, "pin") }
+
+    // dropping the branch releases the pin: the NEXT cleanup reclaims
+    // the (still-tombstoned, carried-forward) files for real
+    Branch.drop(main, "pin")
+    Thread.sleep(3)
+    val r2 = main.tombstoneCleanup(0L)
+    assert(preFiles.subsetOf(r2.deletedDataFiles.toSet),
+      s"post-drop cleanup must reclaim: got ${r2.deletedDataFiles}")
+    val fs = main.logio.fs(main.root)
+    preFiles.foreach(p => assert(
+      !fs.exists(new org.apache.hadoop.fs.Path(s"${main.root}/$p")),
+      s"bytes of $p must be gone after post-drop cleanup"))
+    assert(main.read().count() === 0L)
+  }
+
   test("format(\"ice\") reads and writes branches via option(\"branch\")") {
     val main = mkTable("br_fmt")
     Branch.create(main, "fio")

@@ -53,6 +53,46 @@ class CdcApplySpec extends SparkSpec {
       !rows(tgt).exists(_._1 == 7L))
   }
 
+  test("fresh-replica initial sync is a direct insert: no join in any plan") {
+    import spark.implicits._
+    val src = mkSource()
+    val tgt = mkTarget()
+    // every action the sync runs must be join-free: a fresh replica's
+    // snapshot copy used to route through upsert's key-join against an
+    // empty target — at 100 TB that is a full-corpus shuffle for nothing
+    val joins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        joins.addAndGet(qe.executedPlan.collect {
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+        }.size); ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(ql)
+    try {
+      val seed = CdcApply.applyTo(src, tgt, keys)
+      org.apache.spark.graft.TestListenerBus.waitUntilEmpty(spark.sparkContext)
+      assert(seed.initialSync && seed.upserted === 20L)
+      assert(joins.get() === 0, s"initial sync ran ${joins.get()} join(s)")
+    } finally spark.listenerManager.unregister(ql)
+    assert(rows(tgt) === rows(src))
+
+    // crash-replay shape: commits exist but the watermark was never
+    // written — the retry must take the (idempotent) upsert branch and
+    // converge without duplicating rows
+    val tgt2 = mkTarget()
+    tgt2.insert(src.read().limit(5)) // "crashed" partial initial insert
+    assert(CdcApply.watermark(tgt2).isEmpty)
+    val retry = CdcApply.applyTo(src, tgt2, keys)
+    assert(retry.initialSync)
+    assert(rows(tgt2) === rows(src), "replay must converge, not duplicate")
+  }
+
   test("insert-then-delete inside one window never reaches the replica") {
     import spark.implicits._
     val src = mkSource()

@@ -71,6 +71,91 @@ class TableStatsSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown column"))
   }
 
+  test("string columns persist byte-length stats (avgLen/maxLen)") {
+    val t = mkTable("ts_len")
+    val s = TableStats.analyze(t)
+    val sv = s.columns.find(_.column == "s").get
+    // values are "v0".."v49": avg length between 2 and 3, max 3
+    assert(sv.maxLen === Some(3L))
+    assert(sv.avgLen.exists(l => l >= 2L && l <= 3L))
+    // numeric columns carry no length stats (fixed width at plan time)
+    assert(s.columns.find(_.column == "k").get.avgLen.isEmpty)
+    // round-trips through the persisted JSON
+    val back = TableStats.read(IceTable.open(spark, t.root)).get
+    assert(back.columns.find(_.column == "s").get.maxLen === Some(3L))
+  }
+
+  test("persisted stats flip a sort-merge join to broadcast under CBO") {
+    import graft.plans.IceFileIndex
+    val dim = new IceTable(spark, tmpDir("cbo_dim"), IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("id")))
+    dim.insert(spark.range(20000).select(col("id"),
+      pmod(col("id"), lit(1000)).as("cat"),
+      concat(lit("payload_"), col("id"), lit("_x" * 8)).as("p")))
+    val fact = new IceTable(spark, tmpDir("cbo_fact"), IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("fid")))
+    fact.insert(spark.range(50000).select(col("id").as("fid"),
+      pmod(col("id"), lit(20000)).as("did")))
+    TableStats.analyze(dim) // fact deliberately NOT analyzed
+
+    def withCbo[T](cbo: Boolean, threshold: String)(body: => T): T = {
+      val savedCbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+      val savedTh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      try body
+      finally {
+        spark.conf.set("spark.sql.cbo.enabled", savedCbo)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedTh)
+      }
+    }
+    // self-calibrating threshold between the two modes' own estimates of
+    // the join's dim subtree (column-pruned file bytes without CBO,
+    // rows/ndv with) — SF/layout independent. sparkPlan is pre-AQE, so
+    // the flip is the OPTIMIZER reading persisted stats, never runtime
+    // sizes.
+    def dimEstimate(cbo: Boolean): BigInt = withCbo(cbo, "-1") {
+      IceFileIndex.dataFrame(spark, dim).where(col("cat") === 7)
+        .select(col("id"), col("cat"))
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+    }
+    val eOn = dimEstimate(cbo = true)
+    val eOff = dimEstimate(cbo = false)
+    assert(eOn * 4 <= eOff,
+      s"analyzed estimate ($eOn) must be far below the file-size one ($eOff)")
+    val threshold = ((eOn + eOff) / 2).toString
+    def joinKinds(cbo: Boolean): Set[String] = withCbo(cbo, threshold) {
+      IceFileIndex.dataFrame(spark, fact)
+        .join(IceFileIndex.dataFrame(spark, dim).where(col("cat") === 7),
+          col("did") === col("id"))
+        .groupBy(col("cat")).count()
+        .queryExecution.sparkPlan.collect {
+          case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+            "broadcast"
+          case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+            "sortmerge"
+        }.toSet
+    }
+    assert(joinKinds(cbo = true) === Set("broadcast"),
+      "analyzed dim must broadcast under CBO")
+    assert(joinKinds(cbo = false) === Set("sortmerge"),
+      "without CBO the file-size estimate must sort-merge")
+
+    // the relation itself surfaces the persisted rowCount to the planner
+    val savedCbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val st = IceFileIndex.dataFrame(spark, dim)
+        .queryExecution.optimizedPlan.stats
+      assert(st.rowCount.contains(BigInt(20000)))
+    } finally spark.conf.set("spark.sql.cbo.enabled", savedCbo)
+
+    // stats are estimates only — results are identical either way
+    assert(IceFileIndex.dataFrame(spark, fact)
+      .join(IceFileIndex.dataFrame(spark, dim).where(col("cat") === 7),
+        col("did") === col("id")).count() === 50L)
+  }
+
   test("table_stats TVF + ANALYZE statement; never-analyzed is empty") {
     val t = mkTable("ts_sql")
     val f = new java.io.File(t.root)

@@ -237,4 +237,45 @@ class TextIndexSpec extends SparkSpec {
     // and the pruned read still contains every 'spark' posting
     assert(pruned.where($"term" === "spark").count() == 3L)
   }
+
+  test("driver-side bucket routing equals the engine hash for every bucket count") {
+    // bucketOfLocal must stay operation-identical to the Column form the
+    // router writes partitions with — a drift would silently prune to the
+    // WRONG buckets and return empty results
+    val terms = Seq("spark", "query", "window", "ätze", "", "a b", "7",
+      "pneumonoultramicroscopic")
+    for (buckets <- Seq(2, 8, 64, 1000)) {
+      val engine = spark.range(1).select(terms.map(t =>
+        TextIndex.bucketOf(lit(t), buckets)): _*).head().toSeq
+      val local = terms.map(t => TextIndex.bucketOfLocal(t, buckets))
+      assert(engine === local, s"buckets=$buckets")
+    }
+  }
+
+  test("building a bm25TopK query launches ZERO Spark jobs (serving latency)") {
+    val index = new IceTable(spark, newRoot(), TextIndex.indexConfig(buckets = 8))
+    val stats = new IceTable(spark, newRoot(), TextIndex.statsConfig)
+    val dels = new IceTable(spark, newRoot(), TextIndex.deleteConfig)
+    TextIndex.indexBatch(index, stats, docs, "doc_id", "text")
+    TextIndex.deleteDocs(dels, docs.where($"doc_id" === 3L), "doc_id", "text")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val q = TextIndex.bm25TopK(index, stats, Seq("spark", "query"),
+        buckets = 8, k = 10, deletes = Some(dels))
+      org.apache.spark.graft.TestListenerBus.waitUntilEmpty(spark.sparkContext)
+      // the old shape paid 4 driver actions before the caller's own: a
+      // stats head, a deletes head, a one-row bucket job, a df collect
+      assert(jobs.get() === 0,
+        s"query construction must be job-free, saw ${jobs.get()}")
+      // ...and the single caller action still computes correct scores
+      assert(q.collect().map(_.getLong(0)).toSet === Set(1L, 2L, 4L))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

@@ -387,6 +387,54 @@ class GraftSqlParserSpec extends SparkSpec {
     assert(e.getMessage.contains("does not exist"))
   }
 
+  test("branch DML through SQL: INSERT/UPDATE/DELETE/MERGE on graft.`t@branch`") {
+    import spark.implicits._
+    freshWarehouse()
+    src().createOrReplaceTempView("brdml_src")
+    spark.sql(
+      """CREATE TABLE graft.brd PARTITIONED BY (concat('u=', pmod(u, 4)))
+        |AS SELECT * FROM brdml_src""".stripMargin).collect()
+    spark.sql("ALTER TABLE graft.brd CREATE BRANCH wap").collect()
+
+    // the full DML surface targets the branch; main stays pinned at 100
+    assert(spark.sql("INSERT INTO graft.`brd@wap` " +
+      "SELECT id + 1000, id % 7, 'new' FROM brdml_src WHERE id <= 10")
+      .head.getLong(0) === 10L)
+    assert(spark.sql("UPDATE graft.`brd@wap` SET kind = 'flag' WHERE id = 5")
+      .head.getLong(0) === 1L)
+    assert(spark.sql("DELETE FROM graft.`brd@wap` WHERE id >= 90 AND id < 100")
+      .head.getLong(0) === 10L)
+    Seq((1L, 1, "merged"), (5000L, 0, "merged"))
+      .toDF("id", "u", "kind").createOrReplaceTempView("brdml_m")
+    spark.sql("""MERGE INTO graft.`brd@wap` tgt USING brdml_m src
+      ON tgt.id = src.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""").collect()
+
+    // branch reads (bare + time-travel-free) see the DML; main does not
+    assert(spark.sql("SELECT count(*) FROM graft.`brd@wap`")
+      .head.getLong(0) === 100L + 10L - 10L + 1L)
+    assert(spark.sql("SELECT kind FROM graft.`brd@wap` WHERE id = 1")
+      .head.getString(0) === "merged")
+    assert(spark.sql("SELECT kind FROM graft.`brd@wap` WHERE id = 5")
+      .head.getString(0) === "flag")
+    assert(spark.sql("SELECT count(*) FROM graft.brd").head.getLong(0) === 100L)
+
+    // publish lands the exact branch state on main
+    spark.sql("ALTER TABLE graft.brd PUBLISH BRANCH wap").collect()
+    assert(spark.sql("SELECT count(*) FROM graft.brd").head.getLong(0) === 101L)
+    assert(spark.sql("SELECT kind FROM graft.brd WHERE id = 5000")
+      .head.getString(0) === "merged")
+    spark.sql("ALTER TABLE graft.brd DROP BRANCH wap").collect()
+
+    // DML on a non-existent branch fails loudly (never creates one)
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM graft.`brd@nope` WHERE id = 1").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("table or view not found") ||
+      e.getMessage.contains("nope"))
+  }
+
   test("CLUSTERED BY INTO BUCKETS: SQL-created bucketed tables join without a shuffle") {
     val w = freshWarehouse()
     src().createOrReplaceTempView("bkt_src")
