@@ -460,6 +460,71 @@ object Fixtures {
       }
     }
 
+  final case class S3ProxyFixture(mirrorDir: String, bytesIdentical: Boolean,
+      pagedOk: Boolean)
+
+  /** S3-proxy fixture (a45): serve an ice table as a virtual bucket, then
+    * act as the FOREIGN ENGINE — paged ListObjectsV2 (max-keys=2) + plain
+    * GETs over HTTP, nothing else — mirroring every object to a local
+    * directory. The graded query reads the MIRROR as bare parquet;
+    * `bytesIdentical` pins that every transferred object matched the
+    * source byte-for-byte, `pagedOk` that the listing actually paged and
+    * reproduced the snapshot manifest exactly. */
+  def s3Proxy(spark: SparkSession, sfDir: String): S3ProxyFixture =
+    memo(s"$sfDir#s3proxy") {
+      val ev = raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .where(col("event_id") % 4 === 0)
+      val t = new IceTable(spark, newRoot("s3px"), IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(4))),
+        sortOrder = Seq("event_id")))
+      t.insert(ev)
+      val proxy = new graft.sources.IceS3Proxy(t)
+      val addr = proxy.start()
+      try {
+        val base = s"http://localhost:${addr.getPort}/${proxy.bucket}"
+        val client = java.net.http.HttpClient.newHttpClient()
+        def fetch(url: String): Array[Byte] = {
+          val r = client.send(
+            java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+              .GET().build(),
+            java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+          require(r.statusCode() == 200, s"GET $url -> ${r.statusCode()}")
+          r.body()
+        }
+        var keys = Vector.empty[String]
+        var token = ""
+        var pages = 0
+        var done = false
+        while (!done) {
+          val url = s"$base?list-type=2&max-keys=2" +
+            (if (token.nonEmpty) s"&continuation-token=" +
+              java.net.URLEncoder.encode(token, "UTF-8") else "")
+          val xml = new String(fetch(url), "UTF-8")
+          keys ++= "<Key>([^<]+)</Key>".r.findAllMatchIn(xml).map(_.group(1))
+          pages += 1
+          val next = "<NextContinuationToken>([^<]+)</NextContinuationToken>".r
+            .findFirstMatchIn(xml).map(_.group(1))
+          done = next.isEmpty
+          next.foreach(token = _)
+        }
+        val mirror = java.nio.file.Paths.get(newRoot("s3px_mirror"))
+        var identical = true
+        keys.foreach { k =>
+          val body = fetch(s"$base/$k")
+          val dest = mirror.resolve(k)
+          java.nio.file.Files.createDirectories(dest.getParent)
+          java.nio.file.Files.write(dest, body)
+          identical &&= java.util.Arrays.equals(body,
+            java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(s"${t.root}/$k")))
+        }
+        val pagedOk = pages > 1 &&
+          keys.sorted == t.snapshot().aliveFiles.map(_.path).sorted
+        S3ProxyFixture(s"$mirror/_data", identical, pagedOk)
+      } finally proxy.stop()
+    }
+
   def eventsCdcApply(spark: SparkSession, sfDir: String): CdcReplica =
     memo(s"$sfDir#cdcapply") {
       import graft.ice.{CdcApply, DeleteVectors}

@@ -333,6 +333,23 @@ object SparkEntry {
       s.sql(s"""SELECT column, ndv, null_count, min, max, row_count
         FROM table_stats('${f.getName}') ORDER BY column""")
     }),
+    "a45_s3_proxy" -> ((s, d) => {
+      // the reference's s3-proxy surface (README.md:29-31) end-to-end: a
+      // foreign engine that speaks ONLY paged ListObjectsV2 + GET reads
+      // the snapshot with zero graft code — the graded frame is the
+      // MIRROR those plain HTTP fetches produced, read as bare parquet;
+      // DuckDB replays the content from the raw source. bytes_identical
+      // pins byte-exact transfer, paged_ok that the listing paged and
+      // equals the snapshot manifest.
+      val fx = Fixtures.s3Proxy(s, d)
+      s.read.parquet(fx.mirrorDir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("event_id")).cast("bigint").as("sum_id"))
+        .withColumn("bytes_identical", lit(fx.bytesIdentical))
+        .withColumn("paged_ok", lit(fx.pagedOk))
+        .orderBy(col("event_type"))
+    }),
     "b46_sql_branch_dml" -> ((s, d) => {
       // the WAP loop end-to-end in SQL: CREATE BRANCH, then INSERT /
       // UPDATE / DELETE / MERGE against graft.`t@wap`, hash-matched
@@ -2549,6 +2566,13 @@ object SparkEntry {
         "count(*) FROM lineitem) " +
         "SELECT \"column\", ndv, null_count, min, max, row_count FROM s " +
         "ORDER BY \"column\""),
+    // DuckDB replays the proxied-mirror content from the raw events; the
+    // booleans pin byte-exact transfer and manifest-exact paged listing
+    "a45_s3_proxy" ->
+      ("SELECT event_type, count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id, " +
+        "true AS bytes_identical, true AS paged_ok " +
+        "FROM events WHERE event_id % 4 = 0 " +
+        "GROUP BY event_type ORDER BY event_type"),
     // DuckDB replays the SQL-DML'd, published branch state from raw
     // events; the booleans pin SQL≡API state equality, pre-publish
     // isolation, and the time-travel read

@@ -119,13 +119,22 @@ object Branch {
 
   /** [[open]] that also answers EXISTENCE with the same single log fold
     * (None = the branch has no commits, i.e. was never created). */
-  def openExisting(main: IceTable, name: String): Option[IceTable] = {
+  def openExisting(main: IceTable, name: String): Option[IceTable] =
+    openExistingWithSnapshot(main, name).map(_._1)
+
+  /** [[openExisting]] that also RETURNS the fold it paid — the SQL
+    * resolver threads it through as the relation's snapshot so each
+    * branch reference costs ONE fold, exactly like the main-table arm
+    * (the snapshot is log-content-derived, so it is valid for the
+    * config-restored handle too). */
+  private[graft] def openExistingWithSnapshot(
+      main: IceTable, name: String): Option[(IceTable, IceSnapshot)] = {
     requireMain(main); requireSafe(name)
     val rel = branchLogRel(name)
     val probe = new IceTable(main.spark, main.root, main.cfg, logRel = rel)
     probe.trySnapshot(Long.MaxValue).map { snap =>
-      snap.tableConfig.map(c => new IceTable(main.spark, main.root,
-        IceTable.configFromPersisted(c), logRel = rel)).getOrElse(probe)
+      (snap.tableConfig.map(c => new IceTable(main.spark, main.root,
+        IceTable.configFromPersisted(c), logRel = rel)).getOrElse(probe), snap)
     }
   }
 

@@ -104,10 +104,11 @@ object CdcApply {
             // would shuffle the whole corpus for nothing. A crash after
             // this insert but before the watermark leaves commits on the
             // target, so the retry takes the upsert branch and converges.
-            val rows = source.read(until + 1).localCheckpoint()
-            val c = rows.count()
-            target.insert(rows)
-            c
+            // The count reads the freshly-committed replica (parquet
+            // row-group metadata — no data pages), never a checkpoint of
+            // the whole corpus just to count it.
+            target.insert(source.read(until + 1))
+            target.read().count()
           case Some(_) =>
             val rows = source.read(until + 1)
             target.upsert(rows, keyCols)._2 // idempotent on crash-replay

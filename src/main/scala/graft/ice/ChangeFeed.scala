@@ -281,14 +281,30 @@ object ChangeFeed {
       reviveFullTs: Map[String, Long]): Seq[DataFrame] = {
     var prior = Map.empty[String, FileMarker]
     val dead = scala.collection.mutable.Buffer.empty[(FileMarker, Long)]
+    // dv mark file → ts its marks were BORN (first listed alive); marks
+    // from pre-window or consolidated state count as born-before-
+    // everything (0). The resurrect exclusion below compares this against
+    // the revive ts: only marks that already existed AT the revive had
+    // their dead rows re-emitted by it (the revive's added side reads the
+    // file raw), so only THEIR retirements would double-count
+    val markBorn = scala.collection.mutable.Map.empty[String, Long]
     dvLogs.foreach { lf =>
       val ts = IceLogIO.logFileInfo(lf)._1
       val meta = LogMetadata.fromJson(dvFetched(lf)(0))
       val markers = dv.logio.parseLog(lf, dvFetched(lf))._2
       if (ts <= sinceTs || ts > untilTs || meta.cleanedHorizon.nonEmpty) {
-        if (ts <= sinceTs || meta.cleanedHorizon.nonEmpty)
-          markers.foreach(m => prior = prior.updated(m.path, m))
+        if (ts <= sinceTs || meta.cleanedHorizon.nonEmpty) {
+          markers.foreach { m =>
+            if (m.tombstone.isEmpty && !markBorn.contains(m.path))
+              markBorn(m.path) = 0L
+            prior = prior.updated(m.path, m)
+          }
+        }
       } else {
+        markers.foreach { m =>
+          if (m.tombstone.isEmpty && !markBorn.contains(m.path))
+            markBorn(m.path) = ts
+        }
         markers.filter(m => m.tombstone.nonEmpty &&
             prior.get(m.path).exists(_.tombstone.isEmpty))
           .foreach(m => dead += ((m, ts)))
@@ -298,10 +314,20 @@ object ChangeFeed {
     if (dead.isEmpty) return Seq.empty
     val spark = table.spark
     val dvSchema = dv.snapshot(Long.MaxValue).schema.toStructType
+    import spark.implicits._
     dead.groupBy(_._2).toSeq.sortBy(_._1).map { case (ts, files) =>
+      // each retired pair carries the EARLIEST born ts among its retired
+      // covering mark files: if any covering mark predates the revive,
+      // the revive already re-emitted the row, and the later marks were
+      // re-marks the feed never reported
+      val bornDf = files.toSeq.map { case (m, _) =>
+        (m.path, markBorn.getOrElse(m.path, 0L)) }.toDF("_mf", "_born")
       val retired = spark.read.schema(dvSchema)
         .parquet(files.toSeq.map { case (m, _) => s"${dv.root}/${m.path}" }: _*)
-        .select("path", "row_index").distinct()
+        .withColumn("_mf", dv.relPathCol)
+        .join(broadcast(bornDf), Seq("_mf"))
+        .groupBy(col("path"), col("row_index"))
+        .agg(min(col("_born")).as("_born"))
       // (a) pairs still covered by an alive mark at ts stay dead
       val uncovered = dv.trySnapshot(ts + 1)
         .filter(_.aliveFiles.nonEmpty)
@@ -309,17 +335,21 @@ object ChangeFeed {
           .select("path", "row_index").distinct())
         .fold(retired)(alive => retired.join(alive,
           Seq("path", "row_index"), "left_anti"))
-      // (b) only rows of files alive in main at ts; (c) minus files a
-      // merged revive already re-emitted IN FULL at or before ts.
-      // Driver-side metadata fold; the allowed-path set joins as a
-      // broadcast frame (file-count scale — an isin literal list would
-      // not survive 10^5 files)
+      // (b) only rows of files alive in main at ts; (c) minus pairs a
+      // merged revive already re-emitted IN FULL — ordering-aware on BOTH
+      // ends: the revive must precede this retirement (rts <= ts) AND the
+      // mark must have existed at the revive (_born <= rts); a mark
+      // created after the revive had its delete emitted at its own commit,
+      // so its retirement must emit. Driver-side metadata fold; both join
+      // sides are broadcast frames (file-count scale — an isin literal
+      // list would not survive 10^5 files)
       val aliveMain = table.snapshot(ts + 1).aliveFiles.map(_.path).toSet
-      val reEmitted = reviveFullTs.collect {
-        case (p, rts) if rts <= ts => p }.toSet
-      import spark.implicits._
-      val allowed = (aliveMain -- reEmitted).toSeq.toDF("path")
+      val allowed = aliveMain.toSeq.toDF("path")
+      val reviveDf = reviveFullTs.toSeq
+        .filter { case (_, rts) => rts <= ts }.toDF("path", "_rts")
       val wanted = uncovered.join(broadcast(allowed), Seq("path"))
+        .join(broadcast(reviveDf), Seq("path"), "left")
+        .where(col("_rts").isNull || col("_born") > col("_rts"))
         .localCheckpoint()
       val paths = wanted.select("path").distinct()
         .collect().map(_.getString(0)) // file-count scale

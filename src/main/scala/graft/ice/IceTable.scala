@@ -839,15 +839,28 @@ final class IceTable(
     * long-lived writer handles, and [[TableStats]] invalidates the
     * cache on the handle it analyzed through. */
   @volatile private var analyzedStats: Option[TableStats.Stats] = None
-  private[ice] def invalidateStatsCache(): Unit = analyzedStats = None
+  // 0, not Long.MinValue: `now - MinValue` overflows negative and the
+  // probe would never fire
+  @volatile private var statsProbedAtMs: Long = 0L
+  private[ice] def invalidateStatsCache(): Unit = {
+    analyzedStats = None; statsProbedAtMs = 0L
+  }
   /** Latest persisted ANALYZE stats through the per-handle cache —
     * also the CBO input of catalog relations ([[graft.plans
     * .IceFileIndex.dataFrame]] attaches rowCount/ndv/min/max so join
-    * reordering and broadcast decisions plan from analyzed numbers). */
+    * reordering and broadcast decisions plan from analyzed numbers).
+    * ABSENCE is cached too, re-probed at most once a minute: this sits
+    * on the hot read path (every catalog relation build), and a
+    * never-analyzed table must not pay an object-store LIST per query —
+    * while a first ANALYZE by another process still surfaces within the
+    * re-probe window. [[TableStats]] invalidates the analyzing handle
+    * directly. */
   private[graft] def cachedStats: Option[TableStats.Stats] = {
-    if (analyzedStats.isEmpty) {
+    val nowMs = System.currentTimeMillis()
+    if (analyzedStats.isEmpty && nowMs - statsProbedAtMs > 60_000L) {
       val read = TableStats.read(this)
       read.foreach(s => analyzedStats = Some(s))
+      statsProbedAtMs = nowMs
     }
     analyzedStats
   }

@@ -239,8 +239,11 @@ object IceFileIndex {
     // rowCount + ndv/min/max/nullCount (inert while cbo.enabled=false:
     // the attached sizeInBytes IS the bare relation's file-bytes sum).
     // The standard ANALYZE staleness contract applies — estimates from
-    // the last analysis, exact only until the table moves.
-    val df = table.cachedStats match {
+    // the last analysis, exact only until the table moves. Time-traveled
+    // reads get NO stats: pairing the current analysis's rowCount with an
+    // as-of file set is not staleness but a cross-version contradiction
+    // (a grown table would refuse to broadcast its tiny historical self).
+    val df = (if (maxTs == Long.MaxValue) table.cachedStats else None) match {
       case Some(st) =>
         val types = snap.schema.toStructType.fields
           .map(f => f.name -> f.dataType).toMap

@@ -113,17 +113,11 @@ final class IceSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       // openWithSnapshot: the config fold doubles as the relation's
       // snapshot (when no time travel narrows it), so each table
       // reference costs ONE log fold
-      val rel =
-        if (branch.isEmpty) {
-          val (t, snap) = IceTable.openWithSnapshot(spark, root)
-          val pre = if (maxTs == Long.MaxValue) snap else None
-          IceFileIndex.dataFrame(spark, t, maxTs, pre)
-            .queryExecution.analyzed
-        } else {
-          val t = IceSqlResolution.openTarget(spark, root, branch)
-          IceFileIndex.dataFrame(spark, t, maxTs, None)
-            .queryExecution.analyzed
-        }
+      val (t, snapOpt) = IceSqlResolution.openTargetWithSnapshot(
+        spark, root, branch)
+      val pre = if (maxTs == Long.MaxValue) snapOpt else None
+      val rel = IceFileIndex.dataFrame(spark, t, maxTs, pre)
+        .queryExecution.analyzed
       SubqueryAlias(Seq(catalogName, name), rel)
     }
 
@@ -364,7 +358,21 @@ object IceSqlResolution {
   private[plans] def openTarget(
       session: SparkSession, root: String, branch: String): IceTable =
     if (branch.isEmpty) IceTable.open(session, root)
-    else graft.ice.Branch.openExisting(IceTable.open(session, root), branch)
+    else openTargetWithSnapshot(session, root, branch)._1
+
+  /** [[openTarget]] that also returns the fold it paid, so the branch
+    * log folds ONCE per reference (it used to fold in openExisting and
+    * again for the relation snapshot). The main log still folds once too
+    * on the branch spelling — deliberately: it restores main's persisted
+    * config as the fallback for branch logs that carry none, so a
+    * branch-side SQL write can never silently lose the routing layout. */
+  private[plans] def openTargetWithSnapshot(
+      session: SparkSession, root: String,
+      branch: String): (IceTable, Option[graft.ice.IceSnapshot]) =
+    if (branch.isEmpty) IceTable.openWithSnapshot(session, root)
+    else graft.ice.Branch
+      .openExistingWithSnapshot(IceTable.open(session, root), branch)
+      .map { case (t, s) => (t, Some(s)) }
       .getOrElse(throw new IllegalArgumentException(
         s"branch '$branch' does not exist on $root — create it first " +
           "(ALTER TABLE ... CREATE BRANCH)"))

@@ -104,8 +104,10 @@ final class IceS3Proxy(table: IceTable, maxKeysCap: Int = 1000) {
     val prefix = queryParam(ex, "prefix").getOrElse("")
     val startAfter = queryParam(ex, "continuation-token")
       .orElse(queryParam(ex, "start-after")).getOrElse("")
-    val maxKeys = math.min(maxKeysCap,
-      queryParam(ex, "max-keys").flatMap(_.toIntOption).getOrElse(1000))
+    // clamp like S3: max-keys=0 (or negative) is a valid request that
+    // returns an empty, non-truncated listing — never a 500
+    val maxKeys = math.max(0, math.min(maxKeysCap,
+      queryParam(ex, "max-keys").flatMap(_.toIntOption).getOrElse(1000)))
     // ONE log fold; keys sorted so paging is deterministic
     val snap = table.snapshot(Long.MaxValue)
     val all = snap.aliveFiles.map(m => (m.path, m.fileBytes, m.createdMs))
@@ -114,7 +116,7 @@ final class IceS3Proxy(table: IceTable, maxKeysCap: Int = 1000) {
     val afterFiltered =
       if (startAfter.isEmpty) all else all.dropWhile(_._1 <= startAfter)
     val page = afterFiltered.take(maxKeys)
-    val truncated = afterFiltered.length > maxKeys
+    val truncated = maxKeys > 0 && afterFiltered.length > maxKeys
     val fmt = java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
       .withZone(java.time.ZoneOffset.UTC)
@@ -159,8 +161,11 @@ final class IceS3Proxy(table: IceTable, maxKeysCap: Int = 1000) {
     val range = Option(ex.getRequestHeaders.getFirst("Range"))
       .flatMap(parseRange(_, len))
     if (headOnly) {
-      // sendResponseHeaders(_, -1) sends no body; advertise the length
-      ex.getResponseHeaders.set("Content-Length-Hint", len.toString)
+      // JDK 15+ (JDK-8242274): for a HEAD request the server honors a
+      // handler-set Content-Length header with responseLength -1 (no
+      // body) — the real size is exactly what S3 clients HEAD for
+      // (object size before ranged footer reads)
+      ex.getResponseHeaders.set("Content-Length", len.toString)
       ex.sendResponseHeaders(200, -1)
       return
     }

@@ -189,6 +189,48 @@ class ChangeFeedSpec extends SparkSpec {
       "mark compaction / materialize / vacuum must not resurrect")
   }
 
+  test("revive → NEW dv delete → RESTORE still emits the resurrect (born-after-revive)") {
+    // the exclusion must be mark-CREATION-aware: a revive only re-emitted
+    // rows dead under marks that EXISTED at the revive; a mark born after
+    // it had its delete emitted at its own commit, so its retirement must
+    // resurrect — keying on retirement-vs-revive ts alone silenced this
+    import spark.implicits._
+    val t = mk()
+    val wh = new java.io.File(t.root).getParent
+    val name = new java.io.File(t.root).getName
+    Thread.sleep(2)
+    val preDelete = System.currentTimeMillis()
+    Thread.sleep(2)
+    t.deleteWhere(lit(true)) // CoW: tombstones every file
+    val w0 = maxTs(t)
+    Thread.sleep(2)
+    spark.conf.set(graft.plans.IceSqlResolution.WarehouseKey, wh)
+    try {
+      // t1 (in-window): RESTORE revives the seed files — full re-emit
+      spark.sql(s"RESTORE TABLE graft.`$name` TO TIMESTAMP AS OF $preDelete")
+        .collect()
+      Thread.sleep(2)
+      val preMark = System.currentTimeMillis()
+      Thread.sleep(2)
+      // t2: a NEW mark, born after the revive — its delete is emitted
+      DeleteVectors.deleteWhere(t, col("id") === 7L)
+      val delTs = maxTs(DeleteVectors.dvTable(t))
+      // t3: retire the t2 mark (main side is a no-op restore)
+      spark.sql(s"RESTORE TABLE graft.`$name` TO TIMESTAMP AS OF $preMark")
+        .collect()
+      val feed = ChangeFeed.between(t, w0).cache()
+      assert(byType(feed) === Map("insert" -> 21L, "delete" -> 1L))
+      val ev7 = feed.where(col("id") === 7L)
+        .select("_change_type", "_commit_ts").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+      assert(ev7.map(_._1).toSeq === Seq("insert", "delete", "insert"),
+        s"born-after-revive retirement must resurrect; got ${ev7.toSeq}")
+      assert(ev7(1)._2 === delTs && ev7(2)._2 > delTs)
+      feed.unpersist()
+      assert(t.read().count() === 20L)
+    } finally spark.conf.unset(graft.plans.IceSqlResolution.WarehouseKey)
+  }
+
   test("single window insert → dv delete → RESTORE emits the resurrect insert") {
     // regression (ADVICE r9): the resurrect exclusion used to cover every
     // in-window insert file, so a window holding a file's insert (t1), a

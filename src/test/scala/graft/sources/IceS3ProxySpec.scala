@@ -93,9 +93,24 @@ class IceS3ProxySpec extends SparkSpec {
         .select("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
       assert(replayed === direct && replayed.size === 90)
 
+      // HEAD advertises the real object size (clients HEAD for length
+      // before ranged footer reads)
+      val k0 = keys.head
+      val hd = client.send(HttpRequest.newBuilder(URI.create(s"$base/$k0"))
+        .method("HEAD", HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(hd.statusCode() === 200 && hd.body().isEmpty)
+      assert(hd.headers().firstValueAsLong("Content-Length").orElse(-1L) ===
+        snapFiles.find(_.path == k0).get.fileBytes)
+
+      // max-keys=0 is a valid empty listing, never a 500
+      val mk0 = get(s"$base?list-type=2&max-keys=0")
+      assert(mk0.statusCode() === 200)
+      val mk0Xml = new String(mk0.body(), "UTF-8")
+      assert(keysOf(mk0Xml).isEmpty && mk0Xml.contains("<IsTruncated>false<"))
+
       // ranged GET (parquet readers fetch the footer first): the last 4
       // bytes of any parquet file are the PAR1 magic
-      val k0 = keys.head
       val tail = get(s"$base/$k0", "Range" -> "bytes=-4")
       assert(tail.statusCode() === 206)
       assert(new String(tail.body(), "US-ASCII") === "PAR1")
