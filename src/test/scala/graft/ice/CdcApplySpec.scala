@@ -190,6 +190,64 @@ class CdcApplySpec extends SparkSpec {
     }
   }
 
+  test("randomized DML + RESTORE sequences converge the replica at every sync point") {
+    // RESTORE is the op whose feed semantics carry the most ordering
+    // subtlety (revive re-emits, mark retirements resurrect, exclusions
+    // are creation-ts-aware) — stress it mixed with every other mutation
+    // kind, asserting replica convergence after every window
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L) // deterministic
+    val src = mkSource()
+    val tgt = mkTarget()
+    val wh = new java.io.File(src.root).getParent
+    val name = new java.io.File(src.root).getName
+    CdcApply.applyTo(src, tgt, keys)
+    var nextId = 200L
+    val points = scala.collection.mutable.Buffer.empty[Long]
+    spark.conf.set(graft.plans.IceSqlResolution.WarehouseKey, wh)
+    try {
+      (1 to 6).foreach { round =>
+        Thread.sleep(3)
+        points += System.currentTimeMillis()
+        Thread.sleep(3)
+        def restoreTo(pt: Long): Unit =
+          spark.sql(
+            s"RESTORE TABLE graft.`$name` TO TIMESTAMP AS OF $pt").collect()
+        (1 to 3).foreach { _ =>
+          rnd.nextInt(6) match {
+            case 0 =>
+              src.insert(Seq((nextId, rnd.nextInt(5), s"n$nextId"))
+                .toDF("id", "u", "v"))
+              nextId += 1
+            case 1 =>
+              src.updateWhere(col("id") === (1L + rnd.nextInt(20)),
+                Seq("v" -> lit(s"r$round")))
+            case 2 =>
+              src.deleteWhere(col("id") === (1L + rnd.nextInt(20)))
+            case 3 =>
+              DeleteVectors.deleteWhere(src, col("id") === (1L + rnd.nextInt(20)))
+            case 4 =>
+              src.optimize()
+            case 5 =>
+              restoreTo(points(rnd.nextInt(points.length)))
+          }
+        }
+        if (round == 3) {
+          // forced resurrect shape regardless of the random draws:
+          // MoR-delete then restore to just before it, in one window
+          Thread.sleep(2)
+          val pt = System.currentTimeMillis()
+          Thread.sleep(2)
+          DeleteVectors.deleteWhere(src, col("id") === 2L)
+          restoreTo(pt)
+        }
+        settle()
+        CdcApply.catchUp(src, tgt, keys)
+        assert(rows(tgt) === rows(src), s"diverged after window $round")
+      }
+    } finally spark.conf.unset(graft.plans.IceSqlResolution.WarehouseKey)
+  }
+
   test("a replica polling DURING a concurrent writer converges to the final state") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
