@@ -24,7 +24,10 @@ import org.apache.spark.sql.functions._
   * Windows are `(sinceTs, untilTs]` on log-filename timestamps, matching
   * [[IceTable.readAdded]]. Re-marking an already-deleted row never
   * re-reports it (marks present at the window start, or emitted earlier
-  * in the window, are excluded).
+  * in the window, are excluded) — UNLESS the row became visible again in
+  * between (a mark retirement or a revive re-emitted it), in which case
+  * every visible→dead transition reports: the feed is the exact event
+  * log of row visibility.
   *
   * Scale shape: the driver folds ONLY metadata (one pass over the log,
   * like [[IceTable.history]]); each commit in the window contributes one
@@ -84,16 +87,12 @@ object ChangeFeed {
     // broadcast (path → commit_ts) join) — a wide window over thousands
     // of appends must not build a thousand-part union plan
     val insertMarkers = scala.collection.mutable.Buffer.empty[(FileMarker, Long)]
-    // merged-commit REVIVES (prior tombstoned → alive, i.e. RESTORE): the
-    // rewrite diff re-emits the revived file's FULL rows (dv state is not
-    // applied on the added side), so a dv-mark retirement at ts >= the
-    // revive must not resurrect those rows a second time. Keyed by the
-    // EARLIEST revive ts — ordering matters: a retirement earlier in the
-    // window (while the file was still dead in main) is silenced by the
-    // aliveness pin instead, and a plain in-window INSERT file must never
-    // be excluded (its dv deletes were emitted at their own commits, so
-    // their retirements must be emitted too).
-    val reviveFullTs = scala.collection.mutable.Map.empty[String, Long]
+    // merged-commit REVIVES (prior tombstoned → alive, i.e. RESTORE),
+    // with their commit ts: rows they make visible again are emitted by
+    // the rewrite diff below (dv-applied — see there), and dvMarkParts
+    // needs the (path, ts) list so a RE-MARK of a revived row later in
+    // the same window still reports its delete (visibility transitions)
+    val reviveAt = scala.collection.mutable.Buffer.empty[(String, Long)]
     var prior = Map.empty[String, FileMarker]
     logs.foreach { lf =>
       val (ts, merged) = IceLogIO.logFileInfo(lf)
@@ -121,18 +120,26 @@ object ChangeFeed {
         if (!merged) {
           newAlive.foreach(m => insertMarkers += ((m, ts)))
         } else if (newAlive.nonEmpty || newDead.nonEmpty) {
-          revived.foreach(m =>
-            if (!reviveFullTs.contains(m.path)) reviveFullTs(m.path) = ts)
-          // rewrite diff. The tombstoned side applies the dv state AS OF
-          // THIS commit: marks the rewrite already applied were reported
-          // at their own dv commit and must cancel here, which makes pure
-          // compactions and dv materializations contribute zero rows.
+          revived.foreach(m => reviveAt += ((m.path, ts)))
+          // rewrite diff. BOTH sides apply the dv state AS OF THIS commit
+          // — every emission respects row visibility at its own commit:
+          //  - tombstoned side: marks the rewrite already applied were
+          //    reported at their own dv commit and must cancel here,
+          //    which makes pure compactions and dv materializations
+          //    contribute zero rows (their outputs carry no marks, so
+          //    dv-applying the added side is a no-op for them);
+          //  - added side: a RESTORE-revived file may still sit under
+          //    ALIVE marks (e.g. restore of only the main log, or the
+          //    dv-side restore committing at its own later ts) — those
+          //    rows are NOT visible in the table, and emitting them raw
+          //    would resurrect them on every replica; when the marks
+          //    retire later, dvResurrectParts emits them at that commit.
           // INCLUSIVE bound (ts + 1 against the strict-< fold): the
           // rewrite's dv-stamp gate means every mark on the tombstoned
           // paths was applied by it, including one sharing its commit
           // millisecond — excluding that mark would fake a delete.
           val removed = table.readFilesApplyingDeletes(snap, newDead, ts + 1)
-          val added = table.readFiles(snap, newAlive)
+          val added = table.readFilesApplyingDeletes(snap, newAlive, ts + 1)
           parts += shaped(removed.exceptAll(added), "delete", ts)
           parts += shaped(added.exceptAll(removed), "insert", ts)
         }
@@ -152,7 +159,7 @@ object ChangeFeed {
         .withColumn(ChangeTypeCol, lit("insert"))
     }
 
-    parts ++= dvDeleteParts(table, snap, sinceTs, untilTs, reviveFullTs.toMap)
+    parts ++= dvDeleteParts(table, snap, sinceTs, untilTs, reviveAt.toSeq)
 
     if (parts.isEmpty) {
       shaped(table.readFiles(snap, Seq.empty), "insert", 0L).limit(0)
@@ -171,10 +178,17 @@ object ChangeFeed {
     * to run 10³ sequential per-commit jobs with a growing `seen` union;
     * now commit count only widens the two scans' file lists. Per-commit
     * aliveness pinning stays exact: it is a DRIVER-side metadata check
-    * (one log fold per distinct commit ts), never a Spark job. */
+    * (one log fold per distinct commit ts), never a Spark job.
+    *
+    * Rows RE-visible mid-window (a retirement the resurrect side emitted,
+    * or a revive's dv-applied re-emit) take an exact per-pair transition
+    * fold instead of the first-report collapse — restore-scale data, so
+    * the event stream broadcasts — emitting every visible→dead
+    * transition: a dead→alive→dead window must net to dead on a replica,
+    * and a mark→retire→re-mark one must emit both deletes. */
   private def dvDeleteParts(
       table: IceTable, snap: IceSnapshot, sinceTs: Long,
-      untilTs: Long, reviveFullTs: Map[String, Long]): Seq[DataFrame] = {
+      untilTs: Long, reviveAt: Seq[(String, Long)]): Seq[DataFrame] = {
     val dv = DeleteVectors.dvTable(table)
     // no-dv-table is the non-throwing empty list; a REAL listing failure
     // must propagate — swallowing it would silently drop the window's
@@ -185,15 +199,20 @@ object ChangeFeed {
     requireAttributable(
       dvLogs.map(f => LogMetadata.fromJson(dvFetched(f)(0))), sinceTs, dv.root)
 
-    dvMarkParts(table, snap, sinceTs, untilTs, dv, dvLogs, dvFetched) ++
-      dvResurrectParts(table, snap, sinceTs, untilTs, dv, dvLogs, dvFetched,
-        reviveFullTs)
+    // resurrects FIRST: their emitted (pair, ts) sets are the visibility
+    // events the mark side needs to report RE-marks of re-visible rows
+    val (resurrectParts, resurrectEvents) =
+      dvResurrectParts(table, snap, sinceTs, untilTs, dv, dvLogs, dvFetched)
+    dvMarkParts(table, snap, sinceTs, untilTs, dv, dvLogs, dvFetched,
+      reviveAt, resurrectEvents) ++ resurrectParts
   }
 
   private def dvMarkParts(
       table: IceTable, snap: IceSnapshot, sinceTs: Long, untilTs: Long,
       dv: IceTable, dvLogs: Seq[String],
-      dvFetched: Map[String, Array[String]]): Seq[DataFrame] = {
+      dvFetched: Map[String, Array[String]],
+      reviveAt: Seq[(String, Long)],
+      resurrectEvents: Option[DataFrame]): Seq[DataFrame] = {
     val windowLogs = dvLogs.filter { f =>
       val (ts, merged) = IceLogIO.logFileInfo(f)
       !merged && ts > sinceTs && ts <= untilTs
@@ -214,23 +233,94 @@ object ChangeFeed {
 
     import spark.implicits._
     val fileTs = markFileTs.toDF("_mf", "_mts")
-    // one scan over every window mark file; a mark re-marked by several
-    // commits reports ONCE, at its first in-window commit (min ts) —
-    // exactly what the old per-commit loop's growing `seen` achieved
-    val marksAll = spark.read.schema(dvSchema)
+    // one scan over every window mark file: one row per (pair, covering
+    // mark commit)
+    val markEvents = spark.read.schema(dvSchema)
       .parquet(markFileTs.map { case (p, _) => s"${dv.root}/$p" }: _*)
       .withColumn("_mf", dv.relPathCol)
       .join(broadcast(fileTs), Seq("_mf"))
-      .groupBy(col("path"), col("row_index"))
-      .agg(min(col("_mts")).as("_mts"))
+      .select(col("path"), col("row_index"), col("_mts"))
     // marks already present at the window start never re-report (dv
     // compaction preserves mark content, so this survives consolidation)
     val seen = dv.trySnapshot(sinceTs + 1)
       .filter(_.aliveFiles.nonEmpty)
       .map(s => dv.readFiles(s, s.aliveFiles).select("path", "row_index").distinct())
-    val fresh = seen.fold(marksAll)(s =>
-      marksAll.join(s, Seq("path", "row_index"), "left_anti"))
-      .localCheckpoint() // one bounded job; reused by the collect + the read
+
+    // VISIBILITY EVENTS: rows that became visible again mid-window — a
+    // mark retirement the resurrect side emitted, or a RESTORE revive
+    // whose diff re-emitted the pair (only pairs NOT dv-dead at the
+    // revive: the diff applies dv as of its own commit). A later RE-mark
+    // of such a pair must report its delete even though the pair was
+    // "seen" dead at the window start (or already reported earlier in
+    // the window) — without this, a dead→alive→dead window nets to
+    // alive on every replica. Restore-scale data: both event sets
+    // broadcast.
+    val reviveEvents: Option[DataFrame] = if (reviveAt.isEmpty) None else {
+      val revDf = reviveAt.toDF("_rp", "_rts")
+      val candidates = markEvents.select(col("path"), col("row_index"))
+        .distinct()
+        .join(broadcast(revDf), col("path") === col("_rp"))
+        .select(col("path"), col("row_index"), col("_rts"))
+      // per distinct revive commit: drop pairs still dv-dead at it
+      val byTs = reviveAt.map(_._2).distinct.map { rts =>
+        val atRevive = candidates.where(col("_rts") === rts)
+        dv.trySnapshot(rts + 1)
+          .filter(_.aliveFiles.nonEmpty)
+          .map(s => atRevive.join(
+            dv.readFiles(s, s.aliveFiles).select("path", "row_index").distinct(),
+            Seq("path", "row_index"), "left_anti"))
+          .getOrElse(atRevive)
+      }
+      Some(byTs.reduce(_ unionByName _))
+    }
+    val visibleEvents: Option[DataFrame] = (resurrectEvents, reviveEvents) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b) => a.orElse(b)
+    }
+
+    val fresh = (visibleEvents match {
+      case None =>
+        // no mid-window visibility changes: a pair reports ONCE, at its
+        // first in-window mark commit (min ts), and window-start marks
+        // never re-report — exactly the old per-commit loop's `seen`
+        val agg = markEvents.groupBy(col("path"), col("row_index"))
+          .agg(min(col("_mts")).as("_mts"))
+        seen.fold(agg)(s => agg.join(s, Seq("path", "row_index"), "left_anti"))
+      case Some(vis) =>
+        val visB = broadcast(vis.select(
+          col("path"), col("row_index"), col("_rts")).localCheckpoint())
+        // pairs with NO visibility event keep the simple rule
+        val plain = markEvents
+          .join(visB, Seq("path", "row_index"), "left_anti")
+          .groupBy(col("path"), col("row_index"))
+          .agg(min(col("_mts")).as("_mts"))
+        val plainFresh = seen.fold(plain)(s =>
+          plain.join(s, Seq("path", "row_index"), "left_anti"))
+        // pairs WITH visibility events: emit each alive→dead transition.
+        // Event stream per pair = marks (kind 1) ∪ visibility (kind 0)
+        // ordered by ts (visibility first on a tie — dv commit-ts bumping
+        // makes ties across commits impossible anyway); a mark emits iff
+        // the previous event is a visibility one, or it is the first
+        // event and the pair was NOT dead at the window start.
+        val touched = markEvents.join(visB, Seq("path", "row_index"), "left_semi")
+        val evs = touched.select(col("path"), col("row_index"),
+            col("_mts").as("_ts"), lit(1).as("_k"))
+          .unionByName(visB.select(col("path"), col("row_index"),
+            col("_rts").as("_ts"), lit(0).as("_k")))
+        val evs2 = seen.fold(evs.withColumn("_dead0", lit(false)))(s =>
+          evs.join(s.withColumn("_dead0", lit(true)),
+              Seq("path", "row_index"), "left")
+            .withColumn("_dead0", coalesce(col("_dead0"), lit(false))))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("path"), col("row_index"))
+          .orderBy(col("_ts"), col("_k"))
+        val transitions = evs2
+          .withColumn("_prev", lag(col("_k"), 1).over(w))
+          .where(col("_k") === 1 &&
+            ((col("_prev").isNull && !col("_dead0")) || col("_prev") === 0))
+          .select(col("path"), col("row_index"), col("_ts").as("_mts"))
+        plainFresh.unionByName(transitions)
+    }).localCheckpoint() // one bounded job; reused by the collect + the read
 
     // the marked paths were alive in the main table when their mark
     // committed: pin the main snapshot at each distinct dv commit ts
@@ -263,71 +353,47 @@ object ChangeFeed {
     * rows they covered. A retired pair emits only if, at the retirement
     * commit: (a) no OTHER alive mark still covers it — which silences dv
     * COMPACTION, whose merged re-list keeps an alive copy of every pair
-    * it retires; (b) its main file is alive — which silences [[
-    * DeleteVectors.vacuum]], whose retired marks point at dead files;
-    * and (c) its main file was not REVIVED in full by a merged main-side
-    * diff at a commit ts <= this retirement — a restore-revive re-emits
-    * the whole file (dv unapplied), so resurrecting again would double-
-    * count. (c) is deliberately ORDERING-AWARE and revive-only: a plain
-    * in-window insert file's dv deletes were all emitted at their own
-    * commits, so its retirements must emit (excluding them would net the
-    * window to delete-wins while the table holds the rows alive). One
-    * bounded job per distinct retirement commit ts (restores are rare,
-    * maintenance-grade events; a window holds at most a few). */
+    * it retires; and (b) its main file is alive — which silences [[
+    * DeleteVectors.vacuum]], whose retired marks point at dead files.
+    * No revive special-casing is needed: the main-side rewrite diff
+    * applies dv state as of ITS commit, so a revive never re-emits rows
+    * still dead under marks — every dead row re-enters the feed exactly
+    * once, at the commit that retires its mark. One bounded job per
+    * distinct retirement commit ts (restores are rare, maintenance-grade
+    * events; a window holds at most a few).
+    *
+    * Also returns the emitted (path, row_index, ts) event set — the
+    * mark side's visibility input for re-mark transition reporting. */
   private def dvResurrectParts(
       table: IceTable, snap: IceSnapshot, sinceTs: Long, untilTs: Long,
       dv: IceTable, dvLogs: Seq[String],
-      dvFetched: Map[String, Array[String]],
-      reviveFullTs: Map[String, Long]): Seq[DataFrame] = {
+      dvFetched: Map[String, Array[String]])
+      : (Seq[DataFrame], Option[DataFrame]) = {
     var prior = Map.empty[String, FileMarker]
     val dead = scala.collection.mutable.Buffer.empty[(FileMarker, Long)]
-    // dv mark file → ts its marks were BORN (first listed alive); marks
-    // from pre-window or consolidated state count as born-before-
-    // everything (0). The resurrect exclusion below compares this against
-    // the revive ts: only marks that already existed AT the revive had
-    // their dead rows re-emitted by it (the revive's added side reads the
-    // file raw), so only THEIR retirements would double-count
-    val markBorn = scala.collection.mutable.Map.empty[String, Long]
     dvLogs.foreach { lf =>
       val ts = IceLogIO.logFileInfo(lf)._1
       val meta = LogMetadata.fromJson(dvFetched(lf)(0))
       val markers = dv.logio.parseLog(lf, dvFetched(lf))._2
       if (ts <= sinceTs || ts > untilTs || meta.cleanedHorizon.nonEmpty) {
-        if (ts <= sinceTs || meta.cleanedHorizon.nonEmpty) {
-          markers.foreach { m =>
-            if (m.tombstone.isEmpty && !markBorn.contains(m.path))
-              markBorn(m.path) = 0L
-            prior = prior.updated(m.path, m)
-          }
-        }
+        if (ts <= sinceTs || meta.cleanedHorizon.nonEmpty)
+          markers.foreach(m => prior = prior.updated(m.path, m))
       } else {
-        markers.foreach { m =>
-          if (m.tombstone.isEmpty && !markBorn.contains(m.path))
-            markBorn(m.path) = ts
-        }
         markers.filter(m => m.tombstone.nonEmpty &&
             prior.get(m.path).exists(_.tombstone.isEmpty))
           .foreach(m => dead += ((m, ts)))
         markers.foreach(m => prior = prior.updated(m.path, m))
       }
     }
-    if (dead.isEmpty) return Seq.empty
+    if (dead.isEmpty) return (Seq.empty, None)
     val spark = table.spark
     val dvSchema = dv.snapshot(Long.MaxValue).schema.toStructType
     import spark.implicits._
-    dead.groupBy(_._2).toSeq.sortBy(_._1).map { case (ts, files) =>
-      // each retired pair carries the EARLIEST born ts among its retired
-      // covering mark files: if any covering mark predates the revive,
-      // the revive already re-emitted the row, and the later marks were
-      // re-marks the feed never reported
-      val bornDf = files.toSeq.map { case (m, _) =>
-        (m.path, markBorn.getOrElse(m.path, 0L)) }.toDF("_mf", "_born")
+    val events = scala.collection.mutable.Buffer.empty[DataFrame]
+    val parts = dead.groupBy(_._2).toSeq.sortBy(_._1).map { case (ts, files) =>
       val retired = spark.read.schema(dvSchema)
         .parquet(files.toSeq.map { case (m, _) => s"${dv.root}/${m.path}" }: _*)
-        .withColumn("_mf", dv.relPathCol)
-        .join(broadcast(bornDf), Seq("_mf"))
-        .groupBy(col("path"), col("row_index"))
-        .agg(min(col("_born")).as("_born"))
+        .select("path", "row_index").distinct()
       // (a) pairs still covered by an alive mark at ts stay dead
       val uncovered = dv.trySnapshot(ts + 1)
         .filter(_.aliveFiles.nonEmpty)
@@ -335,22 +401,15 @@ object ChangeFeed {
           .select("path", "row_index").distinct())
         .fold(retired)(alive => retired.join(alive,
           Seq("path", "row_index"), "left_anti"))
-      // (b) only rows of files alive in main at ts; (c) minus pairs a
-      // merged revive already re-emitted IN FULL — ordering-aware on BOTH
-      // ends: the revive must precede this retirement (rts <= ts) AND the
-      // mark must have existed at the revive (_born <= rts); a mark
-      // created after the revive had its delete emitted at its own commit,
-      // so its retirement must emit. Driver-side metadata fold; both join
-      // sides are broadcast frames (file-count scale — an isin literal
-      // list would not survive 10^5 files)
+      // (b) only rows of files alive in main at ts. Driver-side metadata
+      // fold; the allowed-path set joins as a broadcast frame (file-
+      // count scale — an isin literal list would not survive 10^5 files)
       val aliveMain = table.snapshot(ts + 1).aliveFiles.map(_.path).toSet
       val allowed = aliveMain.toSeq.toDF("path")
-      val reviveDf = reviveFullTs.toSeq
-        .filter { case (_, rts) => rts <= ts }.toDF("path", "_rts")
       val wanted = uncovered.join(broadcast(allowed), Seq("path"))
-        .join(broadcast(reviveDf), Seq("path"), "left")
-        .where(col("_rts").isNull || col("_born") > col("_rts"))
         .localCheckpoint()
+      events += wanted.select(col("path"), col("row_index"),
+        lit(ts).as("_rts"))
       val paths = wanted.select("path").distinct()
         .collect().map(_.getString(0)) // file-count scale
       val dataCols = snap.schema.toStructType.fieldNames.toSeq
@@ -368,6 +427,7 @@ object ChangeFeed {
         .withColumn(ChangeTypeCol, lit("insert"))
         .withColumn(CommitTsCol, lit(ts))
     }
+    (parts, events.reduceOption(_ unionByName _))
   }
 
   /** The consolidation floor across the main AND `_dv` logs: the newest

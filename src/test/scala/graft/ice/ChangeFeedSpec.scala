@@ -231,6 +231,89 @@ class ChangeFeedSpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.IceSqlResolution.WarehouseKey)
   }
 
+  test("re-mark after an in-window resurrect reports the delete (dead→alive→dead)") {
+    // pair dead at the window START, resurrected mid-window (restore
+    // retires its mark), then MoR-deleted AGAIN: the `seen` baseline must
+    // not suppress the second delete — the window must net to DEAD
+    import spark.implicits._
+    val t = mk()
+    val wh = new java.io.File(t.root).getParent
+    val name = new java.io.File(t.root).getName
+    Thread.sleep(2)
+    val preMark = System.currentTimeMillis()
+    Thread.sleep(2)
+    DeleteVectors.deleteWhere(t, col("id") === 7L) // dead BEFORE the window
+    val w0 = math.max(maxTs(t), maxTs(DeleteVectors.dvTable(t)))
+    spark.conf.set(graft.plans.IceSqlResolution.WarehouseKey, wh)
+    try {
+      spark.sql(s"RESTORE TABLE graft.`$name` TO TIMESTAMP AS OF $preMark")
+        .collect() // retires the mark: resurrect insert
+      DeleteVectors.deleteWhere(t, col("id") === 7L) // RE-mark: must report
+      val feed = ChangeFeed.between(t, w0).cache()
+      assert(byType(feed) === Map("insert" -> 1L, "delete" -> 1L))
+      val ev = feed.where(col("id") === 7L)
+        .select("_change_type", "_commit_ts").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+      assert(ev.map(_._1).toSeq === Seq("insert", "delete"),
+        s"window must net to dead; got ${ev.toSeq}")
+      feed.unpersist()
+      assert(t.read().where(col("id") === 7L).count() === 0L)
+    } finally spark.conf.unset(graft.plans.IceSqlResolution.WarehouseKey)
+  }
+
+  test("mark → retire → re-mark inside one window emits BOTH deletes") {
+    import spark.implicits._
+    val t = mk()
+    val wh = new java.io.File(t.root).getParent
+    val name = new java.io.File(t.root).getName
+    val w0 = maxTs(t)
+    Thread.sleep(2)
+    val preMark = System.currentTimeMillis()
+    Thread.sleep(2)
+    DeleteVectors.deleteWhere(t, col("id") === 7L) // t1: delete emitted
+    spark.conf.set(graft.plans.IceSqlResolution.WarehouseKey, wh)
+    try {
+      spark.sql(s"RESTORE TABLE graft.`$name` TO TIMESTAMP AS OF $preMark")
+        .collect() // t_a: resurrect insert
+      DeleteVectors.deleteWhere(t, col("id") === 7L) // t2: must emit AGAIN
+      val feed = ChangeFeed.between(t, w0).cache()
+      assert(byType(feed) === Map("insert" -> 1L, "delete" -> 2L))
+      val ev = feed.where(col("id") === 7L)
+        .select("_change_type").collect().map(_.getString(0))
+      assert(ev.count(_ == "delete") === 2 && ev.count(_ == "insert") === 1)
+      feed.unpersist()
+      assert(t.read().where(col("id") === 7L).count() === 0L)
+    } finally spark.conf.unset(graft.plans.IceSqlResolution.WarehouseKey)
+  }
+
+  test("a revive never re-emits rows still dead under ALIVE marks") {
+    // main-only revive semantics: restore to a point where mark M1 was
+    // already alive — M1 survives the dv-side restore, so the revived
+    // file's dv-dead row must NOT re-enter the feed (the table hides it;
+    // emitting it raw would resurrect it on every replica)
+    import spark.implicits._
+    val t = mk()
+    val wh = new java.io.File(t.root).getParent
+    val name = new java.io.File(t.root).getName
+    DeleteVectors.deleteWhere(t, col("id") === 7L) // M1
+    Thread.sleep(2)
+    val betweenPt = System.currentTimeMillis() // M1 alive here
+    Thread.sleep(2)
+    t.deleteWhere(lit(true)) // CoW: tombstones every file
+    val w0 = math.max(maxTs(t), maxTs(DeleteVectors.dvTable(t)))
+    spark.conf.set(graft.plans.IceSqlResolution.WarehouseKey, wh)
+    try {
+      spark.sql(s"RESTORE TABLE graft.`$name` TO TIMESTAMP AS OF $betweenPt")
+        .collect() // revives the files; M1 stays ALIVE
+      assert(t.read().count() === 19L) // table hides id 7
+      val feed = ChangeFeed.between(t, w0).cache()
+      assert(byType(feed) === Map("insert" -> 19L),
+        "the revive must re-emit only VISIBLE rows")
+      assert(feed.where(col("id") === 7L).count() === 0L)
+      feed.unpersist()
+    } finally spark.conf.unset(graft.plans.IceSqlResolution.WarehouseKey)
+  }
+
   test("single window insert → dv delete → RESTORE emits the resurrect insert") {
     // regression (ADVICE r9): the resurrect exclusion used to cover every
     // in-window insert file, so a window holding a file's insert (t1), a
