@@ -121,25 +121,30 @@ object ChangeFeed {
           newAlive.foreach(m => insertMarkers += ((m, ts)))
         } else if (newAlive.nonEmpty || newDead.nonEmpty) {
           revived.foreach(m => reviveAt += ((m.path, ts)))
-          // rewrite diff. BOTH sides apply the dv state AS OF THIS commit
-          // — every emission respects row visibility at its own commit:
-          //  - tombstoned side: marks the rewrite already applied were
-          //    reported at their own dv commit and must cancel here,
-          //    which makes pure compactions and dv materializations
-          //    contribute zero rows (their outputs carry no marks, so
-          //    dv-applying the added side is a no-op for them);
-          //  - added side: a RESTORE-revived file may still sit under
-          //    ALIVE marks (e.g. restore of only the main log, or the
-          //    dv-side restore committing at its own later ts) — those
-          //    rows are NOT visible in the table, and emitting them raw
-          //    would resurrect them on every replica; when the marks
-          //    retire later, dvResurrectParts emits them at that commit.
-          // INCLUSIVE bound (ts + 1 against the strict-< fold): the
-          // rewrite's dv-stamp gate means every mark on the tombstoned
-          // paths was applied by it, including one sharing its commit
-          // millisecond — excluding that mark would fake a delete.
+          // rewrite diff. BOTH sides apply dv state — every emission
+          // respects row visibility at its own commit:
+          //  - tombstoned side, INCLUSIVE bound (ts + 1 against the
+          //    strict-< fold): the rewrite's dv-stamp gate means every
+          //    mark on the tombstoned paths was applied by it, including
+          //    one sharing its commit millisecond (dv NEW marks floor
+          //    strictly past covered main commits) — excluding that mark
+          //    would fake a delete. This keeps pure compactions and dv
+          //    materializations at zero contribution;
+          //  - added side, STRICT bound (ts): a RESTORE-revived file may
+          //    still sit under ALIVE marks (restore of only the main
+          //    log, or the dv-side restore committing later) — those
+          //    rows are NOT visible and emitting them raw would
+          //    resurrect them on every replica; and the bound must be
+          //    strict because the dv-side RETIREMENT is not floored
+          //    against main commits, so it CAN share the revive's
+          //    millisecond — an inclusive bound would see the mark
+          //    already retired, emit the row here, and dvResurrectParts
+          //    would emit it again at the retirement (double insert).
+          //    Strict ts routes a same-ms retirement through the
+          //    resurrect side exactly once. New files carry no marks, so
+          //    either bound is a no-op for them.
           val removed = table.readFilesApplyingDeletes(snap, newDead, ts + 1)
-          val added = table.readFilesApplyingDeletes(snap, newAlive, ts + 1)
+          val added = table.readFilesApplyingDeletes(snap, newAlive, ts)
           parts += shaped(removed.exceptAll(added), "delete", ts)
           parts += shaped(added.exceptAll(removed), "insert", ts)
         }
@@ -213,19 +218,36 @@ object ChangeFeed {
       dvFetched: Map[String, Array[String]],
       reviveAt: Seq[(String, Long)],
       resurrectEvents: Option[DataFrame]): Seq[DataFrame] = {
-    val windowLogs = dvLogs.filter { f =>
-      val (ts, merged) = IceLogIO.logFileInfo(f)
-      !merged && ts > sinceTs && ts <= untilTs
-    }
-    if (windowLogs.isEmpty) return Seq.empty
     val spark = table.spark
 
-    // (mark file → commit ts) across ALL window dv commits. A non-merged
-    // dv log only ever lists files IT added, so paths never repeat.
-    val markFileTs: Seq[(String, Long)] = windowLogs.flatMap { lf =>
-      val ts = IceLogIO.logFileInfo(lf)._1
-      dv.logio.parseLog(lf, dvFetched(lf))._2
-        .filter(_.tombstone.isEmpty).map(m => (m.path, ts))
+    // (mark file → commit ts) across ALL window dv commits that KILL
+    // visibility: a non-merged log's own new mark files, plus mark
+    // REVIVALS — a merged dv commit (dv-side RESTORE) re-listing a
+    // previously-retired mark file alive re-kills its pairs and must
+    // report exactly like a re-mark (dv compaction's content-preserving
+    // re-lists have an alive prior and stay silent). One path can carry
+    // several commit ts (created, retired, revived in one window).
+    val markFileTs: Seq[(String, Long)] = {
+      var prior = Map.empty[String, FileMarker]
+      val out = Seq.newBuilder[(String, Long)]
+      dvLogs.foreach { lf =>
+        val (ts, merged) = IceLogIO.logFileInfo(lf)
+        val meta = LogMetadata.fromJson(dvFetched(lf)(0))
+        val markers = dv.logio.parseLog(lf, dvFetched(lf))._2
+        val inWindow = ts > sinceTs && ts <= untilTs &&
+          meta.cleanedHorizon.isEmpty
+        if (inWindow) markers.foreach { m =>
+          if (m.tombstone.isEmpty &&
+              (if (merged) prior.get(m.path).exists(_.tombstone.nonEmpty)
+               else prior.get(m.path).forall(_.tombstone.nonEmpty)))
+            out += ((m.path, ts))
+        }
+        if (!inWindow && (ts <= sinceTs || meta.cleanedHorizon.nonEmpty))
+          markers.foreach(m => prior = prior.updated(m.path, m))
+        else if (inWindow)
+          markers.foreach(m => prior = prior.updated(m.path, m))
+      }
+      out.result()
     }
     if (markFileTs.isEmpty) return Seq.empty
     val maxTs = markFileTs.iterator.map(_._2).max
@@ -233,10 +255,12 @@ object ChangeFeed {
 
     import spark.implicits._
     val fileTs = markFileTs.toDF("_mf", "_mts")
-    // one scan over every window mark file: one row per (pair, covering
-    // mark commit)
+    // one scan over every window mark file (distinct paths — the ts join
+    // fans a revived file out to each of its kill commits): one row per
+    // (pair, killing commit)
     val markEvents = spark.read.schema(dvSchema)
-      .parquet(markFileTs.map { case (p, _) => s"${dv.root}/$p" }: _*)
+      .parquet(markFileTs.map { case (p, _) => s"${dv.root}/$p" }
+        .distinct: _*)
       .withColumn("_mf", dv.relPathCol)
       .join(broadcast(fileTs), Seq("_mf"))
       .select(col("path"), col("row_index"), col("_mts"))
@@ -249,22 +273,26 @@ object ChangeFeed {
     // VISIBILITY EVENTS: rows that became visible again mid-window — a
     // mark retirement the resurrect side emitted, or a RESTORE revive
     // whose diff re-emitted the pair (only pairs NOT dv-dead at the
-    // revive: the diff applies dv as of its own commit). A later RE-mark
-    // of such a pair must report its delete even though the pair was
-    // "seen" dead at the window start (or already reported earlier in
-    // the window) — without this, a dead→alive→dead window nets to
+    // revive — STRICT pin, matching the diff's added side). A later
+    // RE-mark of such a pair must report its delete even though the pair
+    // was "seen" dead at the window start (or already reported earlier
+    // in the window) — without this, a dead→alive→dead window nets to
     // alive on every replica. Restore-scale data: both event sets
-    // broadcast.
+    // broadcast. markEvents checkpoints FIRST on this path — it feeds
+    // the revive candidates, the plain rule, and the transition fold,
+    // and must stay ONE scan over the window's mark files.
+    val visActive = reviveAt.nonEmpty || resurrectEvents.nonEmpty
+    val me = if (visActive) markEvents.localCheckpoint() else markEvents
     val reviveEvents: Option[DataFrame] = if (reviveAt.isEmpty) None else {
       val revDf = reviveAt.toDF("_rp", "_rts")
-      val candidates = markEvents.select(col("path"), col("row_index"))
+      val candidates = me.select(col("path"), col("row_index"))
         .distinct()
         .join(broadcast(revDf), col("path") === col("_rp"))
         .select(col("path"), col("row_index"), col("_rts"))
       // per distinct revive commit: drop pairs still dv-dead at it
       val byTs = reviveAt.map(_._2).distinct.map { rts =>
         val atRevive = candidates.where(col("_rts") === rts)
-        dv.trySnapshot(rts + 1)
+        dv.trySnapshot(rts)
           .filter(_.aliveFiles.nonEmpty)
           .map(s => atRevive.join(
             dv.readFiles(s, s.aliveFiles).select("path", "row_index").distinct(),
@@ -283,14 +311,14 @@ object ChangeFeed {
         // no mid-window visibility changes: a pair reports ONCE, at its
         // first in-window mark commit (min ts), and window-start marks
         // never re-report — exactly the old per-commit loop's `seen`
-        val agg = markEvents.groupBy(col("path"), col("row_index"))
+        val agg = me.groupBy(col("path"), col("row_index"))
           .agg(min(col("_mts")).as("_mts"))
         seen.fold(agg)(s => agg.join(s, Seq("path", "row_index"), "left_anti"))
       case Some(vis) =>
         val visB = broadcast(vis.select(
           col("path"), col("row_index"), col("_rts")).localCheckpoint())
         // pairs with NO visibility event keep the simple rule
-        val plain = markEvents
+        val plain = me
           .join(visB, Seq("path", "row_index"), "left_anti")
           .groupBy(col("path"), col("row_index"))
           .agg(min(col("_mts")).as("_mts"))
@@ -302,7 +330,7 @@ object ChangeFeed {
         // makes ties across commits impossible anyway); a mark emits iff
         // the previous event is a visibility one, or it is the first
         // event and the pair was NOT dead at the window start.
-        val touched = markEvents.join(visB, Seq("path", "row_index"), "left_semi")
+        val touched = me.join(visB, Seq("path", "row_index"), "left_semi")
         val evs = touched.select(col("path"), col("row_index"),
             col("_mts").as("_ts"), lit(1).as("_k"))
           .unionByName(visB.select(col("path"), col("row_index"),

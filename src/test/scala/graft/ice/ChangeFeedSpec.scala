@@ -286,6 +286,42 @@ class ChangeFeedSpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.IceSqlResolution.WarehouseKey)
   }
 
+  test("a dv-side mark REVIVAL re-kills its rows in the feed") {
+    // mark (delete) → restore retires it (insert) → SECOND restore to a
+    // point where the mark was alive re-lists it via a merged dv commit:
+    // the pair dies again and the feed must say so — mark revivals are
+    // kill events exactly like re-marks
+    import spark.implicits._
+    val t = mk()
+    val wh = new java.io.File(t.root).getParent
+    val name = new java.io.File(t.root).getName
+    val w0 = maxTs(t)
+    Thread.sleep(2)
+    val preMark = System.currentTimeMillis()
+    Thread.sleep(2)
+    DeleteVectors.deleteWhere(t, col("id") === 7L) // t1: delete
+    Thread.sleep(2)
+    val markAlivePt = System.currentTimeMillis() // mark alive here
+    Thread.sleep(2)
+    spark.conf.set(graft.plans.IceSqlResolution.WarehouseKey, wh)
+    try {
+      spark.sql(s"RESTORE TABLE graft.`$name` TO TIMESTAMP AS OF $preMark")
+        .collect() // t2: retires the mark → resurrect insert
+      spark.sql(s"RESTORE TABLE graft.`$name` TO TIMESTAMP AS OF $markAlivePt")
+        .collect() // t3: REVIVES the mark (merged dv commit) → delete
+      assert(t.read().where(col("id") === 7L).count() === 0L)
+      val feed = ChangeFeed.between(t, w0).cache()
+      assert(byType(feed) === Map("insert" -> 1L, "delete" -> 2L),
+        "the revival must emit a second delete")
+      val ev = feed.where(col("id") === 7L)
+        .select("_change_type", "_commit_ts").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+      assert(ev.map(_._1).toSeq === Seq("delete", "insert", "delete"),
+        s"got ${ev.toSeq}")
+      feed.unpersist()
+    } finally spark.conf.unset(graft.plans.IceSqlResolution.WarehouseKey)
+  }
+
   test("a revive never re-emits rows still dead under ALIVE marks") {
     // main-only revive semantics: restore to a point where mark M1 was
     // already alive — M1 survives the dv-side restore, so the revived
