@@ -106,7 +106,9 @@ object CdcApply {
             // target, so the retry takes the upsert branch and converges.
             // The count reads the freshly-committed replica (parquet
             // row-group metadata — no data pages), never a checkpoint of
-            // the whole corpus just to count it.
+            // the whole corpus just to count it. Replicas are
+            // single-consumer by contract; a foreign writer racing this
+            // window could only skew the REPORTED count, never the data.
             target.insert(source.read(until + 1))
             target.read().count()
           case Some(_) =>

@@ -832,38 +832,20 @@ final class IceTable(
     (collectTempParts(tmp), schema)
   }
 
-  /** Latest ANALYZE ndv per column (lowercased) — the bloom auto-sizing
-    * input when `bloomFilterNdv` is not set. A PRESENT result is cached
-    * per handle; absence is re-probed (one small LIST per insert, the
-    * maybeCheckpoint cost class) so the first ANALYZE is picked up by
-    * long-lived writer handles, and [[TableStats]] invalidates the
-    * cache on the handle it analyzed through. */
-  @volatile private var analyzedStats: Option[TableStats.Stats] = None
-  // 0, not Long.MinValue: `now - MinValue` overflows negative and the
-  // probe would never fire
-  @volatile private var statsProbedAtMs: Long = 0L
-  private[ice] def invalidateStatsCache(): Unit = {
-    analyzedStats = None; statsProbedAtMs = 0L
-  }
-  /** Latest persisted ANALYZE stats through the per-handle cache —
-    * also the CBO input of catalog relations ([[graft.plans
-    * .IceFileIndex.dataFrame]] attaches rowCount/ndv/min/max so join
-    * reordering and broadcast decisions plan from analyzed numbers).
-    * ABSENCE is cached too, re-probed at most once a minute: this sits
-    * on the hot read path (every catalog relation build), and a
-    * never-analyzed table must not pay an object-store LIST per query —
-    * while a first ANALYZE by another process still surfaces within the
-    * re-probe window. [[TableStats]] invalidates the analyzing handle
-    * directly. */
-  private[graft] def cachedStats: Option[TableStats.Stats] = {
-    val nowMs = System.currentTimeMillis()
-    if (analyzedStats.isEmpty && nowMs - statsProbedAtMs > 60_000L) {
-      val read = TableStats.read(this)
-      read.foreach(s => analyzedStats = Some(s))
-      statsProbedAtMs = nowMs
-    }
-    analyzedStats
-  }
+  /** Latest persisted ANALYZE stats through the PROCESS-WIDE cache
+    * ([[IceTable.statsCacheFor]]) — the bloom auto-sizing input and the
+    * CBO input of catalog relations ([[graft.plans.IceFileIndex
+    * .dataFrame]] attaches rowCount/ndv/min/max so join reordering and
+    * broadcast decisions plan from analyzed numbers). Process-wide
+    * because the SQL resolver constructs a FRESH handle per table
+    * reference — a per-handle cache would re-pay the object-store LIST
+    * on every query of a never-analyzed table. [[TableStats]]
+    * invalidates on write; a first ANALYZE by ANOTHER process surfaces
+    * within the one-minute absence re-probe window. */
+  private[ice] def invalidateStatsCache(): Unit =
+    IceTable.invalidateStatsCacheFor(root, logRel)
+  private[graft] def cachedStats: Option[TableStats.Stats] =
+    IceTable.statsCacheFor(this)
   private def statsNdv(c: String): Option[Long] =
     cachedStats.flatMap(
       _.columns.find(_.column.equalsIgnoreCase(c)).map(_.ndv))
@@ -2466,6 +2448,36 @@ object IceTable {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[ice] def commitLock(root: String): Object =
     commitLocks.computeIfAbsent(root, _ => new Object)
+
+  /** Process-wide ANALYZE-stats cache, keyed `(root, logRel)`: present
+    * results cached until invalidated, ABSENCE cached for one minute
+    * (timestamp 0, not MinValue — `now - MinValue` overflows and the
+    * probe never fires). A generation counter closes the
+    * probe-vs-invalidate race: a probe that started before an ANALYZE's
+    * invalidation must not cache its stale None over it. */
+  private final case class StatsEntry(
+      stats: Option[TableStats.Stats], probedAtMs: Long)
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StatsEntry]()
+  private val statsCacheGen = new java.util.concurrent.atomic.AtomicLong()
+  private def statsKey(root: String, logRel: String) = s"$root#$logRel"
+  private[ice] def invalidateStatsCacheFor(root: String, logRel: String): Unit = {
+    statsCacheGen.incrementAndGet()
+    statsCache.remove(statsKey(root, logRel))
+    ()
+  }
+  private[ice] def statsCacheFor(t: IceTable): Option[TableStats.Stats] = {
+    val key = statsKey(t.root, t.logRel)
+    val nowMs = System.currentTimeMillis()
+    val cur = statsCache.get(key)
+    if (cur != null && (cur.stats.isDefined || nowMs - cur.probedAtMs <= 60_000L))
+      return cur.stats
+    val gen = statsCacheGen.get()
+    val read = TableStats.read(t)
+    if (statsCacheGen.get() == gen)
+      statsCache.put(key, StatsEntry(read, nowMs))
+    read
+  }
 
   private[graft] def statsTypeIsNumeric(t: String): Boolean =
     Set("BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT")

@@ -164,9 +164,18 @@ final class IceS3Proxy(table: IceTable, maxKeysCap: Int = 1000) {
       // JDK 15+ (JDK-8242274): for a HEAD request the server honors a
       // handler-set Content-Length header with responseLength -1 (no
       // body) — the real size is exactly what S3 clients HEAD for
-      // (object size before ranged footer reads)
-      ex.getResponseHeaders.set("Content-Length", len.toString)
-      ex.sendResponseHeaders(200, -1)
+      // (object size before ranged footer reads). A ranged HEAD answers
+      // like the ranged GET it sizes: 206 + Content-Range + the range's
+      // own length.
+      range match {
+        case Some((a, b)) =>
+          ex.getResponseHeaders.set("Content-Range", s"bytes $a-$b/$len")
+          ex.getResponseHeaders.set("Content-Length", (b - a + 1).toString)
+          ex.sendResponseHeaders(206, -1)
+        case None =>
+          ex.getResponseHeaders.set("Content-Length", len.toString)
+          ex.sendResponseHeaders(200, -1)
+      }
       return
     }
     val (off, n, code) = range match {

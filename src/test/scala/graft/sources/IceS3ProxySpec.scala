@@ -102,6 +102,15 @@ class IceS3ProxySpec extends SparkSpec {
       assert(hd.statusCode() === 200 && hd.body().isEmpty)
       assert(hd.headers().firstValueAsLong("Content-Length").orElse(-1L) ===
         snapFiles.find(_.path == k0).get.fileBytes)
+      // ranged HEAD sizes like the ranged GET it describes
+      val hdr = client.send(HttpRequest.newBuilder(URI.create(s"$base/$k0"))
+        .method("HEAD", HttpRequest.BodyPublishers.noBody())
+        .header("Range", "bytes=0-15").build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(hdr.statusCode() === 206)
+      assert(hdr.headers().firstValueAsLong("Content-Length").orElse(-1L) === 16L)
+      assert(hdr.headers().firstValue("Content-Range").orElse("")
+        .startsWith("bytes 0-15/"))
 
       // max-keys=0 is a valid empty listing, never a 500
       val mk0 = get(s"$base?list-type=2&max-keys=0")
