@@ -27,15 +27,29 @@ import org.apache.spark.sql.SparkSession
   * `scratch_medium` records whether temp tables hit tmpfs or disk — the
   * reference baselines are disk-based, so a RAM-backed run must say so.
   */
-/** Fixed-work single-thread calibration probe — the contention detector
-  * the wall≫cpu steal heuristic cannot be (round 9: co-tenant cache/
-  * memory-bandwidth pressure inflated CPU and wall TOGETHER, 920 vs 536
-  * CPU-s for identical work, so the ratio looked healthy while the
-  * artifact was ~2× inflated). A sequential-dependency xorshift loop of a
-  * known iteration count takes a fixed number of core-cycles; its wall
-  * time moves ONLY when this thread is descheduled or starved of the
-  * core — exactly the co-tenant signal. Spec-verified to inflate under
-  * synthetic load (BenchProbeSpec). */
+/** Fixed-work calibration probes — the contention detectors the wall≫cpu
+  * steal heuristic cannot be (rounds 9 AND 10: co-tenant cache/memory-
+  * bandwidth pressure inflated CPU and wall TOGETHER — r10's artifact
+  * carried 1724 CPU-s for work a clean host does in 501, and the ratio
+  * looked healthy throughout).
+  *
+  * Two probes, because r10 proved one is not enough:
+  *   - [[run]] — a sequential-dependency xorshift spin loop of known
+  *     iteration count. Register/L1-resident, so its wall moves ONLY when
+  *     this thread is descheduled or starved of a core: the time-slice /
+  *     CPU-oversubscription signal. r10 showed it is BLIND to
+  *     memory-bandwidth and SMT co-tenant pressure (probe moved 5% while
+  *     32-wide CPU tripled).
+  *   - [[runBandwidth]] — N threads each streaming a fixed number of
+  *     passes over a private array sized ≥4× a core's L2 (8 MiB vs the
+  *     2 MiB/core on this host class), touching one long per cache line.
+  *     The working set defeats every private cache, so the sample's wall
+  *     is DRAM-bandwidth- and SMT-port-bound — exactly the shared
+  *     resources a co-tenant contends. Fixed traffic (N·passes·8 MiB)
+  *     means wall inflation ≈ bandwidth loss.
+  * Both are spec-verified to inflate under their own class of synthetic
+  * load and to stay flat under the other's where the physics says so
+  * (BenchProbeSpec). */
 private[graft] object BenchProbe {
   /** ~40 ms of unvectorizable work on an unloaded modern core. */
   val Iterations: Long = 25_000_000L
@@ -64,8 +78,75 @@ private[graft] object BenchProbe {
     sec
   }
 
-  /** JIT the loop before any recorded sample. */
-  def warmup(): Unit = { run(); run(); () }
+  // ---------------------------------------------- bandwidth probe (v2)
+
+  /** Enough threads to demand real shared-resource capacity without
+    * commandeering the whole socket mid-bench. */
+  val BwThreads = 8
+  /** 64 MiB of longs per thread — the aggregate 512 MiB working set is
+    * ~2× this host class's 260 MiB shared L3, so the steady-state stream
+    * runs out of DRAM. (First cut used 8 MiB/thread = "4× L2", which the
+    * 260 MiB L3 swallowed whole: the probe measured LLC hit bandwidth
+    * and barely moved under 1 GiB of co-tenant traffic.) */
+  val BwWordsPerThread: Int = 8 << 20
+  /** Passes per sample: 8 threads × 64 MiB × 3 = 1.5 GiB of traffic,
+    * ~15-30 ms against ~100 GB/s of clean DRAM bandwidth. */
+  val BwPasses = 3
+  /** Clean-host reference for the bandwidth sample: idle medians on this
+    * host class measured 0.025-0.029 s across calibration runs (individual
+    * samples spread 0.024-0.040 — even "idle", the sandbox sees co-tenant
+    * pulses, which is why the artifact flags on the run-wide MEDIAN of
+    * many samples, never one). Override with SPARK_GRAFT_BW_CLEAN_SEC. */
+  val BwCleanSec: Double =
+    sys.env.get("SPARK_GRAFT_BW_CLEAN_SEC").flatMap(_.toDoubleOption)
+      .getOrElse(0.026)
+  /** Bandwidth fluctuates more than core scheduling on a quiet host, so
+    * the suspect threshold sits a notch higher than the spin probe's. */
+  val BwSuspectFactor = 1.5
+
+  // lazily-allocated persistent working sets: allocation and first-touch
+  // page faults happen once (in warmup), never inside a sample
+  private lazy val bwArrays: Array[Array[Long]] =
+    Array.fill(BwThreads)(Array.tabulate(BwWordsPerThread)(_.toLong))
+
+  /** One fixed-work bandwidth sample: all threads start on a barrier,
+    * the sample is the wall time until the LAST thread finishes — the
+    * shared-bandwidth number, not the luckiest thread's. */
+  def runBandwidth(): Double = {
+    val start = new java.util.concurrent.CyclicBarrier(BwThreads + 1)
+    val done = new java.util.concurrent.CountDownLatch(BwThreads)
+    val sink = new java.util.concurrent.atomic.AtomicLong(0L)
+    val threads = (0 until BwThreads).map { ti =>
+      val t = new Thread(() => {
+        val a = bwArrays(ti)
+        start.await()
+        var pass = 0
+        while (pass < BwPasses) {
+          var i = 0
+          // one read-modify-write per 64-byte cache line: each touch
+          // costs a fill AND a writeback, doubling the bus traffic per
+          // element over a pure read stream — the sample stays
+          // bandwidth-bound, not ALU- or MLP-bound
+          while (i < a.length) { a(i) += 1L; i += 8 }
+          pass += 1
+        }
+        sink.addAndGet(a(0)) // consume: the stream must not be elided
+        done.countDown()
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    start.await()
+    val t0 = System.nanoTime()
+    done.await()
+    val sec = (System.nanoTime() - t0) / 1e9
+    threads.foreach(_.join(1000))
+    if (sink.get == 42L) println("")
+    sec
+  }
+
+  /** JIT both loops and fault in the bandwidth arrays before any
+    * recorded sample. */
+  def warmup(): Unit = { run(); run(); runBandwidth(); runBandwidth(); () }
 }
 
 object Bench {
@@ -122,11 +203,14 @@ object Bench {
   private val reps: Int =
     sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3)
 
-  /** One calibration-probe sample per timed repetition (collected OUTSIDE
-    * the rep's measured window): the run-wide median is `probe_sec` in
-    * the artifact, and `contention_suspect` fires when it exceeds the
-    * clean-host value — see [[BenchProbe]]. */
+  /** One sample of EACH calibration probe per timed repetition (collected
+    * OUTSIDE the rep's measured window): the run-wide medians are
+    * `probe_sec` / `bw_probe_sec` in the artifact, and
+    * `contention_suspect` fires when either exceeds its clean-host value
+    * or the run's CPU exceeds the recorded per-query baselines — see
+    * [[BenchProbe]]. */
   private val probeSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+  private val bwProbeSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
 
   /** MEDIAN-of-reps wall time, with the process-CPU delta of the SAME
     * (median) repetition — the per-query medians are what made the r6/r7
@@ -145,6 +229,7 @@ object Bench {
       val c = if (c0 < 0) -1L else processCpu() - c0
       totalWallNs += w; if (c >= 0) totalCpuNs += c
       probeSamples += BenchProbe.run() // outside the measured window
+      bwProbeSamples += BenchProbe.runBandwidth()
       (w, c)
     }
     val med = runs.sortBy(_._1)(Ordering[Long])((runs.length - 1) / 2)
@@ -513,14 +598,6 @@ object Bench {
       .mkString("{", ",", "}")
     val qCpuJson = times.map { case (k, v) => s""""$k":${f(v.cpuSec)}""" }
       .mkString("{", ",", "}")
-    // reduced-precision maps for the LENGTH-GUARDED final line (the full
-    // 4-decimal detail line keeps bench_out.json exact): ms wall and
-    // centisecond cpu keep queries_cpu inside the driver's parse window
-    // as the query count grows
-    val qJsonSlim = times.map { case (k, v) =>
-      s""""$k":${"%.3f".format(v.wallSec)}""" }.mkString("{", ",", "}")
-    val qCpuJsonSlim = times.map { case (k, v) =>
-      s""""$k":${"%.2f".format(v.cpuSec)}""" }.mkString("{", ",", "}")
     val eJson = errors.map { case (k, v) => s""""$k":"$v"""" }
       .mkString("{", ",", "}")
     val total = times.values.map(_.wallSec).sum
@@ -594,41 +671,85 @@ object Bench {
     val probeSec =
       if (probeSamples.isEmpty) -1.0
       else probeSamples.sorted.apply((probeSamples.length - 1) / 2)
-    val contentionSuspect =
-      probeSec > BenchProbe.CleanSec * BenchProbe.SuspectFactor
+    val bwProbeSec =
+      if (bwProbeSamples.isEmpty) -1.0
+      else bwProbeSamples.sorted.apply((bwProbeSamples.length - 1) / 2)
+    // Third signal (r10 post-mortem): per-query CPU-seconds baselines
+    // recorded on a clean host, committed in the repo
+    // (bench_cpu_baseline.json). CPU-seconds for fixed work are steal-
+    // immune but NOT contention-immune — cache/bandwidth pressure makes
+    // the same instructions retire slower — so a run-wide CPU ratio ≫ 1
+    // against the clean baseline is direct evidence the run's absolute
+    // numbers are inflated, even when both probes miss (they sample
+    // between reps; a co-tenant can pulse during them).
+    val cpuThisRun: Map[String, Double] =
+      times.map { case (k, v) => k -> v.cpuSec }.toMap ++
+        sections.map { case (k, v) => k -> v.cpuSec }.toMap
+    val cpuBaseline: Map[String, Double] = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_CPU_BASELINE",
+        "bench_cpu_baseline.json")
+      try {
+        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+        """"([^"]+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Exception => Map.empty }
+    }
+    // only sections big enough that scheduler noise can't fake a ratio
+    val cpuComparable = cpuBaseline.filter { case (k, b) =>
+      b >= 0.5 && cpuThisRun.get(k).exists(_ > 0) }
+    val cpuRatio =
+      if (cpuComparable.isEmpty) -1.0
+      else cpuComparable.map { case (k, _) => cpuThisRun(k) }.sum /
+        cpuComparable.values.sum
+    val CpuRatioSuspectFactor = 1.5
+    val spinSuspect = probeSec > BenchProbe.CleanSec * BenchProbe.SuspectFactor
+    val bwSuspect =
+      bwProbeSec > BenchProbe.BwCleanSec * BenchProbe.BwSuspectFactor
+    val cpuRatioSuspect = cpuRatio > CpuRatioSuspectFactor
+    val contentionSuspect = spinSuspect || bwSuspect || cpuRatioSuspect
     val loadAvg =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val common =
-      s""""load_sec":${f(loadSec)},"insert_sec":${f(insertSec)},"merge_sec":${f(mergeSec)},"load_rows":$loadRows,"synthetic_insert_rows":$synthRows,"synthetic_insert_rows_per_sec":${(synthRows / synth.wallSec).toLong},$sectionJson,"bench_reps":$reps,"effective_parallelism":${f(effParallelism)},"cpu_total_sec":${f(totalCpuNs / 1e9)},"steal_suspect":$stealSuspect,"probe_sec":${f(probeSec)},"contention_suspect":$contentionSuspect,"load_avg":${f(loadAvg)},"host_cpus":${Runtime.getRuntime.availableProcessors},"spark_cpus":$cpus,"scratch_medium":"${Fixtures.scratchMedium}","scratch_free_gb":${Fixtures.scratchFreeGb},"sf":"$sfDir""""
+      s""""load_sec":${f(loadSec)},"insert_sec":${f(insertSec)},"merge_sec":${f(mergeSec)},"load_rows":$loadRows,"synthetic_insert_rows":$synthRows,"synthetic_insert_rows_per_sec":${(synthRows / synth.wallSec).toLong},$sectionJson,"bench_reps":$reps,"rep_stat":"median","effective_parallelism":${f(effParallelism)},"cpu_total_sec":${f(totalCpuNs / 1e9)},"steal_suspect":$stealSuspect,"probe_sec":${f(probeSec)},"bw_probe_sec":${f(bwProbeSec)},"cpu_ratio":${f(cpuRatio)},"contention_suspect":$contentionSuspect,"load_avg":${f(loadAvg)},"host_cpus":${Runtime.getRuntime.availableProcessors},"spark_cpus":$cpus,"scratch_medium":"${Fixtures.scratchMedium}","scratch_free_gb":${Fixtures.scratchFreeGb},"sf":"$sfDir""""
     // Full telemetry (per-query and per-section CPU pairings) — for humans
     // and for bench_out.json.
     val detail =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"queries_cpu":$qCpuJson,"errors":$eJson,"load_cpu_sec":${f(loadCpuSec)},$sectionCpuJson,$common}"""
     // The driver captures only the LAST ~2000 chars of stdout and parses
-    // the final complete JSON line inside that window. Round 6's single
-    // detail line grew past 2000 chars and the driver recorded
-    // `parsed: null`; round 7's compact line survived but dropped
-    // `queries_cpu`, so the steal-attribution signal was missing from the
-    // ARTIFACT. The final line now carries queries_cpu too, degrading in
-    // steps (drop per-query cpu, then sections) under the length guard —
-    // the headline + steal_suspect always survive.
-    // slimmer `common` for the cpu-bearing line: static host diagnostics
-    // (cpu counts, scratch medium, row counts) live in `detail`/
-    // bench_out.json; every baseline-comparable number stays
-    // fixture-load timings and 4-decimal sections live in `detail`; the
-    // guarded line keeps every baseline-comparable number at centisecond
-    // precision so queries_cpu always fits the parse window
-    val commonSlim =
-      s""""synthetic_insert_rows_per_sec":${(synthRows / synth.wallSec).toLong},$sectionJsonSlim,"bench_reps":$reps,"rep_stat":"median","effective_parallelism":${"%.2f".format(effParallelism)},"cpu_total_sec":${"%.1f".format(totalCpuNs / 1e9)},"steal_suspect":$stealSuspect,"probe_sec":${"%.3f".format(probeSec)},"contention_suspect":$contentionSuspect,"load_avg":${"%.1f".format(loadAvg)},"spark_cpus":$cpus,"sf":"$sfDir""""
-    val withCpu =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJsonSlim,"queries_cpu":$qCpuJsonSlim,"errors":$eJson,$commonSlim}"""
-    val compact =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"errors":$eJson,$common}"""
-    val line =
-      if (withCpu.length <= 1900) withCpu
-      else if (compact.length <= 1900) compact
-      else // last-resort minimal shape: never lose the headline metric again
-        s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"errors":$eJson,"steal_suspect":$stealSuspect,"contention_suspect":$contentionSuspect,"sf":"$sfDir"}"""
+    // the final complete JSON line inside that window. The degradation
+    // history: r6 the line outgrew the window (`parsed: null`); r7 and r10
+    // the fallback dropped `queries_cpu`/`rep_stat` — the exact fields a
+    // noise post-mortem needs — while KEEPING static host diagnostics.
+    // The assembly is now priority-ordered: a mandatory core that always
+    // carries queries + queries_cpu + rep_stat + errors + every contention
+    // signal, then optional fragments shed LOWEST-VALUE-FIRST (static host
+    // diagnostics before fixture timings before per-section walls), then
+    // precision reduction on the query maps — so `queries_cpu` survives
+    // every fallback and only diagnostics a clean re-run could reproduce
+    // ever leave the line. bench_out.json always holds the full detail.
+    def qMap(dec: Int): String = times.map { case (k, v) =>
+      s""""$k":${s"%.${dec}f".format(v.wallSec)}""" }.mkString("{", ",", "}")
+    def qCpuMap(dec: Int): String = times.map { case (k, v) =>
+      s""""$k":${s"%.${dec}f".format(v.cpuSec)}""" }.mkString("{", ",", "}")
+    def core(dec: Int): String =
+      s""""metric":"total","value":${f(total)},"unit":"sec","queries":${qMap(dec + 1)},"queries_cpu":${qCpuMap(dec)},"rep_stat":"median","bench_reps":$reps,"errors":$eJson,"steal_suspect":$stealSuspect,"probe_sec":${"%.3f".format(probeSec)},"bw_probe_sec":${"%.3f".format(bwProbeSec)},"cpu_ratio":${"%.2f".format(cpuRatio)},"contention_suspect":$contentionSuspect,"sf":"$sfDir""""
+    // optional fragments, FIRST-listed sheds FIRST
+    val optional = Seq(
+      // static host diagnostics: identical on every run of this host
+      s""""load_avg":${"%.1f".format(loadAvg)},"host_cpus":${Runtime.getRuntime.availableProcessors},"spark_cpus":$cpus,"scratch_medium":"${Fixtures.scratchMedium}","load_rows":$loadRows""",
+      // fixture-load timings: baseline-adjacent but reproducible offline
+      s""""insert_sec":${"%.2f".format(insertSec)},"merge_sec":${"%.2f".format(mergeSec)},"synthetic_insert_rows_per_sec":${(synthRows / synth.wallSec).toLong}""",
+      // run-wide shape diagnostics
+      s""""effective_parallelism":${"%.2f".format(effParallelism)},"cpu_total_sec":${"%.1f".format(totalCpuNs / 1e9)}""",
+      // per-section walls: the baseline-comparable numbers — shed LAST
+      sectionJsonSlim)
+    // try: all fragments at 2-dec cpu, then shed fragments lowest-value-
+    // first, then drop cpu precision to 1 decimal with no fragments
+    val candidates =
+      (0 to optional.length).map { dropped =>
+        (Seq(core(2)) ++ optional.drop(dropped)).mkString("{", ",", "}")
+      } :+ s"{${core(1)}}"
+    val line = candidates.find(_.length <= 1900).getOrElse(candidates.last)
     // mirror to a file so the metric survives any stdout mangling
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), detail + "\n" + line + "\n")

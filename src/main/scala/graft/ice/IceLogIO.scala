@@ -357,6 +357,12 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration,
     val regTs = IceLogIO.registerCommitFloor(
       root, math.min(timestamp.getOrElse(entryNow), entryNow), logRel)
     try {
+      // cross-process fencing (TableLock): when this process holds the
+      // table lease, verify it was not stolen after a TTL expiry (throws
+      // CommitConflictException before anything becomes visible) and
+      // stamp the lease's fencing token into the commit metadata; the
+      // lock-free insert path costs one map probe and stamps nothing
+      val fenceTok = TableLock.checkAndFence(root)
       var ts = timestamp.getOrElse(entryNow)
       var attempts = 0
       while (attempts < 1000) {
@@ -380,7 +386,8 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration,
                 timestamp = ts,
                 streamCommits = streamCommits,
                 tableCfg = tableCfg,
-                cleanedHorizon = cleanedHorizon)
+                cleanedHorizon = cleanedHorizon,
+                fence = fenceTok)
               val lines = Seq(meta.json, schema.toJson) ++
                 tombstones.map(_.json) ++ files.map(_.json)
               writeAtomic(filesystem, dest, lines.mkString("\n"))

@@ -277,7 +277,7 @@ final class IceTable(
     * SORTED BY` building block. No-op caveat: a fully-default config
     * persists no `cfg` field, so "alter back to all defaults" cannot be
     * expressed this way — it would leave the previous word standing. */
-  def persistConfig(): Unit = IceTable.commitLock(root).synchronized {
+  def persistConfig(): Unit = IceTable.withTableLock(root) {
     val snap = snapshot()
     logio.append(root, 1, snap.schema, Seq.empty,
       timestamp = Some(now()), tableCfg = persistedCfg)
@@ -1470,7 +1470,7 @@ final class IceTable(
   private def withValidatedCommit[T](sources: Seq[FileMarker])(
       body: (Seq[FileMarker], Map[String, FileMarker], Long,
         Option[Map[String, Any]]) => T): T =
-    IceTable.commitLock(root).synchronized {
+    IceTable.withTableLock(root) {
       // Long.MaxValue, not now(): validation wants the absolute latest
       // state. Same-millisecond commits get filename-bumped PAST the
       // current clock reading (IceLogIO.append), and a time-filtered fold
@@ -1893,7 +1893,7 @@ final class IceTable(
     * Deletes are optimistic (a crash may orphan data files, icedb.py:331).
     */
   def tombstoneCleanup(minAgeMs: Long): CleanupResult =
-    IceTable.commitLock(root).synchronized {
+    IceTable.withTableLock(root) {
     // the whole delete→append→delete sequence holds the commit lock: a
     // merge validating its sources must never interleave with cleanup
     // deleting the logs those sources came from
@@ -2030,7 +2030,7 @@ final class IceTable(
     * Cost: one recursive LIST of `_data/` — offline-maintenance priced,
     * same as any object-store GC; never on a query path. */
   def vacuumOrphans(minAgeMs: Long = 3_600_000L): Seq[String] =
-    IceTable.commitLock(root).synchronized {
+    IceTable.withTableLock(root) {
     // a branch handle folds only ITS log — sweeping from one would treat
     // every main-only file as an orphan
     require(logRel == "_log",
@@ -2081,7 +2081,7 @@ final class IceTable(
     * [[SchemaConflictException]] as everywhere else). The reference
     * seeds schema only on first insert; a declared empty table is what
     * lets SQL gateways `CREATE` + grant before any data lands. */
-  def createEmpty(schema: Schema): Unit = IceTable.commitLock(root).synchronized {
+  def createEmpty(schema: Schema): Unit = IceTable.withTableLock(root) {
     require(trySnapshot().isEmpty, s"ice table at $root already has commits")
     logio.append(root, 1, schema, Seq.empty,
       timestamp = Some(now()), tableCfg = persistedCfg)
@@ -2098,7 +2098,7 @@ final class IceTable(
     * caller probably didn't mean, conflicting ones are rejected by the
     * union contract. Returns the new union schema. */
   def addColumns(cols: Seq[(String, String)]): Schema =
-    IceTable.commitLock(root).synchronized {
+    IceTable.withTableLock(root) {
     val snap = snapshot()
     val s = snap.schema.copy()
     cols.foreach { case (c, t) =>
@@ -2125,7 +2125,7 @@ final class IceTable(
     * feed reports the diff like any rewrite. Schema stays the current
     * union (add-only — revived files read later columns as null).
     * Returns (files revived, files tombstoned). */
-  def restoreTo(maxTs: Long): (Int, Int) = IceTable.commitLock(root).synchronized {
+  def restoreTo(maxTs: Long): (Int, Int) = IceTable.withTableLock(root) {
     val snap = snapshot(Long.MaxValue)
     // registered in flight for the whole marker-diff window: a restore
     // EMITS change events (resurrect inserts) replicas must not lose
@@ -2161,7 +2161,7 @@ final class IceTable(
   def removePartitions(
       removalFunc: Seq[String] => Seq[String],
       maxFiles: Int = 1000): (Option[String], Option[LogMetadata], Int) =
-    IceTable.commitLock(root).synchronized {
+    IceTable.withTableLock(root) {
     // log-only op: the FULL current fold INSIDE the lock (no stale-source
     // window, and filename-bumped same-ms commits stay visible), so it
     // serializes cleanly against merge/rewrite commits. The commit stamp
@@ -2444,6 +2444,29 @@ object IceTable {
     * commits linearizable without the reference's table-wide external
     * lock. Cross-process writers still need that external lock, but the
     * race window shrinks from the whole operation to commit validation. */
+  /** The table's commit critical section: the JVM-wide monitor (same-JVM
+    * linearization, reentrant) plus — on the OUTERMOST entry only — the
+    * cross-process lease ([[TableLock]]): create-if-absent lock file, TTL
+    * steal, fencing token stamped into every append made while held.
+    * Reentrancy is tracked per root with a depth counter; only one thread
+    * can be inside per root (the monitor guarantees it), so the counter
+    * needs no further synchronization. */
+  private val lockDepths = new java.util.concurrent.ConcurrentHashMap[String, Integer]
+  private[ice] def withTableLock[T](root: String)(body: => T): T =
+    commitLock(root).synchronized {
+      val d: Int = Option(lockDepths.get(root)).fold(0)(_.intValue)
+      if (d == 0 && TableLock.enabled) TableLock.acquire(root)
+      lockDepths.put(root, d + 1)
+      try body
+      finally {
+        val nd = lockDepths.get(root) - 1
+        if (nd == 0) {
+          lockDepths.remove(root)
+          if (TableLock.enabled) TableLock.release(root)
+        } else lockDepths.put(root, nd)
+      }
+    }
+
   private val commitLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[ice] def commitLock(root: String): Object =

@@ -115,7 +115,14 @@ final case class LogMetadata(
     // (ChangeFeed's attribution floor); a consumer caught up past the
     // horizon is unaffected, even though the cleanup commit itself is
     // newer. Additive beyond-reference field like "sc"/"cfg".
-    cleanedHorizon: Option[Long] = None) {
+    cleanedHorizon: Option[Long] = None,
+    // "fnc": the cross-process fencing token the commit ran under
+    // (TableLock) — present only on commits made while a table lease was
+    // held (rewrites, dv marks, restore, maintenance), strictly
+    // increasing across lease acquisitions, so the log records which
+    // lease every fenced commit belonged to. Additive beyond-reference
+    // field; lock-free inserts never emit it.
+    fence: Option[Long] = None) {
 
   def json: String = {
     val base0 = Seq(
@@ -123,7 +130,8 @@ final case class LogMetadata(
       "sch" -> (schemaLineIndex: Any),
       "f" -> (fileLineIndex: Any),
       "t" -> (timestamp: Any))
-    val base = cleanedHorizon.fold(base0)(h => base0 :+ ("cln" -> (h: Any)))
+    val baseC = cleanedHorizon.fold(base0)(h => base0 :+ ("cln" -> (h: Any)))
+    val base = fence.fold(baseC)(n => baseC :+ ("fnc" -> (n: Any)))
     val withTmb = tombstoneLineIndex.fold(base)(t => base :+ ("tmb" -> (t: Any)))
     val withSc =
       if (streamCommits.isEmpty) withTmb
@@ -159,7 +167,8 @@ object LogMetadata {
         case c: scala.collection.Map[_, _] =>
           c.map { case (k, v) => k.toString -> v }.toMap
       },
-      cleanedHorizon = m.get("cln").map(_.asInstanceOf[Long]))
+      cleanedHorizon = m.get("cln").map(_.asInstanceOf[Long]),
+      fence = m.get("fnc").map(_.asInstanceOf[Long]))
   }
 
   /** Max-merge of per-query committed batch ids (fold across logs). */
