@@ -460,16 +460,22 @@ object Fixtures {
       }
     }
 
-  final case class S3ProxyFixture(mirrorDir: String, bytesIdentical: Boolean,
+  final case class S3ProxyFixture(dataUri: String, bytesIdentical: Boolean,
       pagedOk: Boolean)
 
-  /** S3-proxy fixture (a45): serve an ice table as a virtual bucket, then
-    * act as the FOREIGN ENGINE — paged ListObjectsV2 (max-keys=2) + plain
-    * GETs over HTTP, nothing else — mirroring every object to a local
-    * directory. The graded query reads the MIRROR as bare parquet;
-    * `bytesIdentical` pins that every transferred object matched the
-    * source byte-for-byte, `pagedOk` that the listing actually paged and
-    * reproduced the snapshot manifest exactly. */
+  /** S3-proxy fixture (a45): serve an ice table as a virtual bucket and
+    * read it back DIRECTLY off the live endpoint — `s3g://bucket/_data`
+    * through [[graft.sources.GraftS3FileSystem]], a client that speaks
+    * only the S3 REST protocol (paged delimiter LIST + HEAD + ranged
+    * GET). The graded frame's every byte crosses the wire protocol at
+    * query time: Spark's file index walks the bucket via delimiter
+    * listings (page size 2, so paging is real) and its parquet reader's
+    * footer/chunk seeks become live ranged GETs — no mirror, no graft
+    * log code on the read path. The proxy stays up for the session (the
+    * graded query re-reads the endpoint on every run).
+    * `bytesIdentical` separately pins byte-exact transfer (plain GETs
+    * against source files), `pagedOk` that a raw max-keys=2 LIST walk
+    * reproduces the snapshot manifest exactly. */
   def s3Proxy(spark: SparkSession, sfDir: String): S3ProxyFixture =
     memo(s"$sfDir#s3proxy") {
       val ev = raw(spark, sfDir, "events")
@@ -481,48 +487,50 @@ object Fixtures {
       t.insert(ev)
       val proxy = new graft.sources.IceS3Proxy(t)
       val addr = proxy.start()
-      try {
-        val base = s"http://localhost:${addr.getPort}/${proxy.bucket}"
-        val client = java.net.http.HttpClient.newHttpClient()
-        def fetch(url: String): Array[Byte] = {
-          val r = client.send(
-            java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
-              .GET().build(),
-            java.net.http.HttpResponse.BodyHandlers.ofByteArray())
-          require(r.statusCode() == 200, s"GET $url -> ${r.statusCode()}")
-          r.body()
-        }
-        var keys = Vector.empty[String]
-        var token = ""
-        var pages = 0
-        var done = false
-        while (!done) {
-          val url = s"$base?list-type=2&max-keys=2" +
-            (if (token.nonEmpty) s"&continuation-token=" +
-              java.net.URLEncoder.encode(token, "UTF-8") else "")
-          val xml = new String(fetch(url), "UTF-8")
-          keys ++= "<Key>([^<]+)</Key>".r.findAllMatchIn(xml).map(_.group(1))
-          pages += 1
-          val next = "<NextContinuationToken>([^<]+)</NextContinuationToken>".r
-            .findFirstMatchIn(xml).map(_.group(1))
-          done = next.isEmpty
-          next.foreach(token = _)
-        }
-        val mirror = java.nio.file.Paths.get(newRoot("s3px_mirror"))
-        var identical = true
-        keys.foreach { k =>
-          val body = fetch(s"$base/$k")
-          val dest = mirror.resolve(k)
-          java.nio.file.Files.createDirectories(dest.getParent)
-          java.nio.file.Files.write(dest, body)
-          identical &&= java.util.Arrays.equals(body,
-            java.nio.file.Files.readAllBytes(
-              java.nio.file.Paths.get(s"${t.root}/$k")))
-        }
-        val pagedOk = pages > 1 &&
-          keys.sorted == t.snapshot().aliveFiles.map(_.path).sorted
-        S3ProxyFixture(s"$mirror/_data", identical, pagedOk)
-      } finally proxy.stop()
+      sys.addShutdownHook(proxy.stop())
+      val base = s"http://localhost:${addr.getPort}/${proxy.bucket}"
+      val client = java.net.http.HttpClient.newHttpClient()
+      def fetch(url: String): Array[Byte] = {
+        val r = client.send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+            .GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+        require(r.statusCode() == 200, s"GET $url -> ${r.statusCode()}")
+        r.body()
+      }
+      // raw protocol walk (independent of the FileSystem client): paged
+      // flat LIST must reproduce the snapshot manifest, and every object
+      // must transfer byte-for-byte
+      var keys = Vector.empty[String]
+      var token = ""
+      var pages = 0
+      var done = false
+      while (!done) {
+        val url = s"$base?list-type=2&max-keys=2" +
+          (if (token.nonEmpty) s"&continuation-token=" +
+            java.net.URLEncoder.encode(token, "UTF-8") else "")
+        val xml = new String(fetch(url), "UTF-8")
+        keys ++= "<Key>([^<]+)</Key>".r.findAllMatchIn(xml).map(_.group(1))
+        pages += 1
+        val next = "<NextContinuationToken>([^<]+)</NextContinuationToken>".r
+          .findFirstMatchIn(xml).map(_.group(1))
+        done = next.isEmpty
+        next.foreach(token = _)
+      }
+      val identical = keys.forall { k =>
+        java.util.Arrays.equals(fetch(s"$base/$k"),
+          java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(s"${t.root}/$k")))
+      }
+      val pagedOk = pages > 1 &&
+        keys.sorted == t.snapshot().aliveFiles.map(_.path).sorted
+      // register the s3g:// protocol client for the direct read
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.s3g.impl", classOf[graft.sources.GraftS3FileSystem].getName)
+      hc.set("fs.s3g.impl.disable.cache", "true")
+      hc.set("fs.s3g.endpoint", s"http://localhost:${addr.getPort}")
+      hc.setInt("fs.s3g.list.max.keys", 2)
+      S3ProxyFixture(s"s3g://${proxy.bucket}/_data", identical, pagedOk)
     }
 
   def eventsCdcApply(spark: SparkSession, sfDir: String): CdcReplica =

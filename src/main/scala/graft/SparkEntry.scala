@@ -334,15 +334,17 @@ object SparkEntry {
         FROM table_stats('${f.getName}') ORDER BY column""")
     }),
     "a45_s3_proxy" -> ((s, d) => {
-      // the reference's s3-proxy surface (README.md:29-31) end-to-end: a
-      // foreign engine that speaks ONLY paged ListObjectsV2 + GET reads
-      // the snapshot with zero graft code — the graded frame is the
-      // MIRROR those plain HTTP fetches produced, read as bare parquet;
-      // DuckDB replays the content from the raw source. bytes_identical
-      // pins byte-exact transfer, paged_ok that the listing paged and
-      // equals the snapshot manifest.
+      // the reference's s3-proxy surface (README.md:29-31) end-to-end: the
+      // graded frame is read DIRECTLY off the live proxy endpoint through
+      // a client speaking only the S3 REST protocol (s3g:// — paged
+      // delimiter LIST + HEAD + ranged GET; GraftS3FileSystem), so
+      // Spark's own parquet reader is the foreign engine and every graded
+      // byte crossed the wire at query time. DuckDB replays the content
+      // from the raw source. bytes_identical pins byte-exact transfer
+      // (plain GETs vs source files), paged_ok that a raw max-keys=2
+      // LIST walk equals the snapshot manifest.
       val fx = Fixtures.s3Proxy(s, d)
-      s.read.parquet(fx.mirrorDir)
+      s.read.parquet(fx.dataUri)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"),
           sum(col("event_id")).cast("bigint").as("sum_id"))

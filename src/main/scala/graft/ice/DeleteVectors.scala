@@ -201,7 +201,19 @@ object DeleteVectors {
       val kept = before.join(broadcast(aliveDf), Seq("path"), "left_semi")
         .localCheckpoint()
       val dropped = before.count() - kept.count()
-      if (dropped > 0) dv.rewriteTable(kept, sources = Some(dvSnap.aliveFiles))
+      // RETIREMENT ts floors strictly past every main commit, mirroring
+      // deleteWhere's insertFloored: a retirement sharing the millisecond
+      // of the main rewrite that tombstoned its target (materialize then
+      // vacuum inside one ms) would otherwise be visible to the change
+      // feed's removed-side dv bound (inclusive ts+1) while the added
+      // side excludes it — the feed would emit a duplicate delete for
+      // rows that were already dead. Floored, the retirement sorts
+      // strictly after the rewrite on the feed's time axis and routes
+      // through the resurrect/transition machinery exactly once.
+      val mainMax = main.logio.currentLogFiles(main.root)
+        .map(f => IceLogIO.logFileInfo(f)._1).maxOption.getOrElse(0L)
+      if (dropped > 0) dv.rewriteTable(kept, sources = Some(dvSnap.aliveFiles),
+        tsFloor = mainMax + 1)
       dropped
     }
 }

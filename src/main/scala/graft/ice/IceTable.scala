@@ -1323,7 +1323,8 @@ final class IceTable(
     *   whose `newContent` derives from state they re-read here). */
   private[ice] def rewriteTable(
       newContent: DataFrame,
-      sources: Option[Seq[FileMarker]] = None): Int = {
+      sources: Option[Seq[FileMarker]] = None,
+      tsFloor: Long = 0L): Int = {
     val dvStampAtRead = dvStamp()
     val acc = sources.orElse(trySnapshot(Long.MaxValue).map(_.aliveFiles))
       .getOrElse(return 0)
@@ -1331,7 +1332,7 @@ final class IceTable(
       newContent.withColumn(IceTable.RouteCol, cfg.partitionExpr))
     val (written, _) = insertDefault(routed)
     val (_, _, stamped) = validatedRewriteCommit(acc, written,
-      dvStampAtRead = dvStampAtRead)
+      dvStampAtRead = dvStampAtRead, tsFloor = tsFloor)
     stamped.length
   }
 
@@ -1467,7 +1468,8 @@ final class IceTable(
     * overlaid, whose re-listed alive copies would then win last-writer-
     * wins over the commit's tombstones.
     */
-  private def withValidatedCommit[T](sources: Seq[FileMarker])(
+  private def withValidatedCommit[T](sources: Seq[FileMarker],
+      tsFloor: Long = 0L)(
       body: (Seq[FileMarker], Map[String, FileMarker], Long,
         Option[Map[String, Any]]) => T): T =
     IceTable.withTableLock(root) {
@@ -1489,7 +1491,7 @@ final class IceTable(
       // settled-bound consumer cannot serve a window past it and lose the
       // rewrite's change events (IceLogIO registry)
       val commitTs = IceLogIO.registerCommitFloor(
-        root, math.max(now(), maxLogTs + 1), logRel)
+        root, math.max(math.max(now(), maxLogTs + 1), tsFloor), logRel)
       try body(fresh, byPath, commitTs, cur.tableConfig)
       finally IceLogIO.endCommit(root, commitTs, logRel)
     }
@@ -1515,9 +1517,10 @@ final class IceTable(
       sources: Seq[FileMarker],
       newFiles: Seq[FileMarker],
       accumulateSchemas: Seq[Schema] = Seq.empty,
-      dvStampAtRead: Option[String] = None)
+      dvStampAtRead: Option[String] = None,
+      tsFloor: Long = 0L)
       : (String, LogMetadata, Seq[FileMarker]) =
-    try withValidatedCommit(sources) { (fresh, curByPath, commitTs, curCfg) =>
+    try withValidatedCommit(sources, tsFloor) { (fresh, curByPath, commitTs, curCfg) =>
       if (dvStamp() != dvStampAtRead)
         throw new CommitConflictException(
           "deletion-vector state changed between this rewrite's data read " +

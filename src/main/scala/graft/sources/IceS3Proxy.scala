@@ -108,34 +108,71 @@ final class IceS3Proxy(table: IceTable, maxKeysCap: Int = 1000) {
     // returns an empty, non-truncated listing — never a 500
     val maxKeys = math.max(0, math.min(maxKeysCap,
       queryParam(ex, "max-keys").flatMap(_.toIntOption).getOrElse(1000)))
+    val delimiter = queryParam(ex, "delimiter").filter(_.nonEmpty)
+    // snapshot time travel: `?ts=<epoch-ms>` lists the bucket AS OF that
+    // time (the same strict-`<` bound as IceTable.snapshot / the manifest
+    // endpoint) — a foreign engine replays any historical layout with a
+    // query parameter and zero graft code
+    val asOfTs = queryParam(ex, "ts").flatMap(_.toLongOption)
+      .getOrElse(Long.MaxValue)
     // ONE log fold; keys sorted so paging is deterministic
-    val snap = table.snapshot(Long.MaxValue)
+    val snap = table.snapshot(asOfTs)
     val all = snap.aliveFiles.map(m => (m.path, m.fileBytes, m.createdMs))
       .filter { case (p, _, _) => p.startsWith(prefix) }
       .sortBy(_._1)
+    // S3 delimiter semantics: keys with `delimiter` past the prefix roll
+    // up into one CommonPrefixes entry each (the "directory" view a
+    // hierarchical client pages with); rolled-up prefixes count toward
+    // max-keys exactly like keys, and paging walks the MERGED sorted
+    // stream of both entry kinds
+    sealed trait Entry { def sortKey: String }
+    final case class KeyE(p: String, bytes: Long, ms: Long) extends Entry {
+      def sortKey: String = p }
+    final case class PrefixE(p: String) extends Entry { def sortKey: String = p }
+    val entries: Seq[Entry] = delimiter match {
+      case None => all.map((KeyE.apply _).tupled)
+      case Some(d) =>
+        val grouped = all.map { case (p, bytes, ms) =>
+          val rest = p.drop(prefix.length)
+          val i = rest.indexOf(d)
+          if (i < 0) KeyE(p, bytes, ms)
+          else PrefixE(prefix + rest.take(i + d.length))
+        }
+        // dedup rolled-up prefixes, keep first occurrence order (sorted)
+        val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+        grouped.filter {
+          case PrefixE(p) => seen.add(p)
+          case _ => true
+        }
+    }
     val afterFiltered =
-      if (startAfter.isEmpty) all else all.dropWhile(_._1 <= startAfter)
+      if (startAfter.isEmpty) entries
+      else entries.dropWhile(_.sortKey <= startAfter)
     val page = afterFiltered.take(maxKeys)
     val truncated = maxKeys > 0 && afterFiltered.length > maxKeys
     val fmt = java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
       .withZone(java.time.ZoneOffset.UTC)
-    val contents = page.map { case (p, bytes, ms) =>
+    val contents = page.collect { case KeyE(p, bytes, ms) =>
       s"<Contents><Key>${xmlEscape(p)}</Key>" +
         s"<LastModified>${fmt.format(java.time.Instant.ofEpochMilli(ms))}</LastModified>" +
         s"""<ETag>&quot;${java.lang.Long.toHexString(ms ^ bytes)}&quot;</ETag>""" +
         s"<Size>$bytes</Size><StorageClass>STANDARD</StorageClass></Contents>"
     }.mkString
+    val prefixes = page.collect { case PrefixE(p) =>
+      s"<CommonPrefixes><Prefix>${xmlEscape(p)}</Prefix></CommonPrefixes>"
+    }.mkString
     val next =
       if (truncated)
-        s"<NextContinuationToken>${xmlEscape(page.last._1)}</NextContinuationToken>"
+        s"<NextContinuationToken>${xmlEscape(page.last.sortKey)}</NextContinuationToken>"
       else ""
     respondXml(ex, 200,
       """<?xml version="1.0" encoding="UTF-8"?>""" +
         """<ListBucketResult xmlns="http://s3.amazonaws.com/doc/2006-03-01/">""" +
         s"<Name>${xmlEscape(bucket)}</Name><Prefix>${xmlEscape(prefix)}</Prefix>" +
+        delimiter.fold("")(d => s"<Delimiter>${xmlEscape(d)}</Delimiter>") +
         s"<KeyCount>${page.length}</KeyCount><MaxKeys>$maxKeys</MaxKeys>" +
-        s"<IsTruncated>$truncated</IsTruncated>$next$contents</ListBucketResult>")
+        s"<IsTruncated>$truncated</IsTruncated>$next$contents$prefixes</ListBucketResult>")
   }
 
   // ----------------------------------------------------------------- GET
@@ -159,7 +196,21 @@ final class IceS3Proxy(table: IceTable, maxKeysCap: Int = 1000) {
     ex.getResponseHeaders.set("Accept-Ranges", "bytes")
     ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
     val range = Option(ex.getRequestHeaders.getFirst("Range"))
-      .flatMap(parseRange(_, len))
+      .map(parseRange(_, len)).getOrElse(RangeIgnore) match {
+      case RangeUnsatisfiable =>
+        // S3 / RFC 7233: syntactically valid but unsatisfiable (start
+        // past EOF, end before start, zero-length suffix) is 416
+        // InvalidRange with the total size in Content-Range — serving
+        // the full object here would hand a client reading against a
+        // stale cached length the whole file as if it were the window
+        ex.getResponseHeaders.set("Content-Range", s"bytes */$len")
+        if (headOnly) { ex.sendResponseHeaders(416, -1); return }
+        respondXml(ex, 416, errorXml("InvalidRange",
+          s"the requested range is not satisfiable (object size $len)"))
+        return
+      case RangeAt(a, b) => Some((a, b))
+      case RangeIgnore => None // malformed header: ignored, full object
+    }
     if (headOnly) {
       // JDK 15+ (JDK-8242274): for a HEAD request the server honors a
       // handler-set Content-Length header with responseLength -1 (no
@@ -199,23 +250,37 @@ final class IceS3Proxy(table: IceTable, maxKeysCap: Int = 1000) {
     } finally in.close()
   }
 
-  /** `bytes=a-b` / `bytes=a-` / `bytes=-suffix` → inclusive (start, end),
-    * None for unparseable (serve the full object, per RFC 7233). */
-  private def parseRange(h: String, len: Long): Option[(Long, Long)] = {
-    if (!h.startsWith("bytes=") || len == 0) return None
+  private sealed trait RangeResult
+  private final case class RangeAt(start: Long, end: Long) extends RangeResult
+  /** Syntactically valid, cannot be satisfied against this object → 416. */
+  private case object RangeUnsatisfiable extends RangeResult
+  /** Malformed header → ignored, full object at 200 (RFC 7233 §3.1). */
+  private case object RangeIgnore extends RangeResult
+
+  /** `bytes=a-b` / `bytes=a-` / `bytes=-suffix` → inclusive (start, end).
+    * The satisfiability split matters to real clients: a parquet reader
+    * footer-seeking past a stale cached length must get 416 (and re-HEAD),
+    * never silently the whole object. */
+  private def parseRange(h: String, len: Long): RangeResult = {
+    if (!h.startsWith("bytes=")) return RangeIgnore
     h.stripPrefix("bytes=").split("-", 2) match {
-      case Array("", suf) => suf.toLongOption.collect {
-        case n if n > 0 => (math.max(0L, len - n), len - 1)
+      case Array("", suf) => suf.toLongOption match {
+        case Some(n) if n > 0 && len > 0 => RangeAt(math.max(0L, len - n), len - 1)
+        case Some(_) => RangeUnsatisfiable // zero suffix, or empty object
+        case None => RangeIgnore
       }
-      case Array(a, "") => a.toLongOption.collect {
-        case s if s < len => (s, len - 1)
+      case Array(a, "") => a.toLongOption match {
+        case Some(s) if s < len => RangeAt(s, len - 1)
+        case Some(_) => RangeUnsatisfiable // start at/past EOF
+        case None => RangeIgnore
       }
       case Array(a, b) => (a.toLongOption, b.toLongOption) match {
         case (Some(s), Some(e)) if s <= e && s < len =>
-          Some((s, math.min(e, len - 1)))
-        case _ => None
+          RangeAt(s, math.min(e, len - 1))
+        case (Some(_), Some(_)) => RangeUnsatisfiable // inverted or past EOF
+        case _ => RangeIgnore
       }
-      case _ => None
+      case _ => RangeIgnore
     }
   }
 

@@ -140,4 +140,85 @@ class IceS3ProxySpec extends SparkSpec {
       assert(get(s"$base/_data/p=1/ghost.parquet").statusCode() === 404)
     } finally proxy.stop()
   }
+
+  test("416 unsatisfiable ranges, delimiter listing, ?ts= time travel, direct s3g:// read") {
+    val t = new IceTable(spark, tmpDir("s3proxy2"),
+      IceTableConfig(
+        partitionExpr = concat(lit("p="), pmod(col("id"), lit(3))),
+        sortOrder = Seq("id")))
+    t.insert((1 to 60).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    Thread.sleep(5)
+    val tsAfterFirst = System.currentTimeMillis() // strict-< snapshot bound
+    Thread.sleep(5)
+    t.insert((61 to 90).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    val proxy = new IceS3Proxy(t)
+    val addr = proxy.start()
+    val base = s"http://localhost:${addr.getPort}/${proxy.bucket}"
+    val hc = spark.sparkContext.hadoopConfiguration
+    try {
+      val k0 = t.snapshot().aliveFiles.head.path
+      val len = t.snapshot().aliveFiles.head.fileBytes
+
+      // ---- RFC 7233 / S3 416 semantics (a stale cached length must not
+      // silently receive the whole object as if it were the window)
+      val pastEof = get(s"$base/$k0", "Range" -> s"bytes=${len + 10}-")
+      assert(pastEof.statusCode() === 416)
+      assert(pastEof.headers().firstValue("Content-Range").orElse("") ===
+        s"bytes */$len")
+      assert(new String(pastEof.body(), "UTF-8").contains("InvalidRange"))
+      val inverted = get(s"$base/$k0", "Range" -> "bytes=5-2")
+      assert(inverted.statusCode() === 416)
+      val zeroSuffix = get(s"$base/$k0", "Range" -> "bytes=-0")
+      assert(zeroSuffix.statusCode() === 416)
+      // malformed header: ignored per RFC — full object at 200
+      val malformed = get(s"$base/$k0", "Range" -> "bytes=abc")
+      assert(malformed.statusCode() === 200 && malformed.body().length === len)
+      // HEAD answers the same unsatisfiable verdict, bodiless
+      val headBad = client.send(HttpRequest.newBuilder(URI.create(s"$base/$k0"))
+        .method("HEAD", HttpRequest.BodyPublishers.noBody())
+        .header("Range", s"bytes=${len * 2}-${len * 3}").build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(headBad.statusCode() === 416 && headBad.body().isEmpty)
+
+      // ---- delimiter listing: partitions roll up into CommonPrefixes
+      val dl = new String(
+        get(s"$base?list-type=2&prefix=_data/&delimiter=/").body(), "UTF-8")
+      val prefixes = "<CommonPrefixes><Prefix>([^<]+)</Prefix>".r
+        .findAllMatchIn(dl).map(_.group(1)).toSeq
+      assert(prefixes.sorted ===
+        Seq("_data/p=0/", "_data/p=1/", "_data/p=2/"))
+      assert(keysOf(dl).isEmpty, "delimiter roll-up must emit no direct keys")
+
+      // ---- ?ts= snapshot time travel on LIST: the listing AS OF the
+      // first commit is exactly that snapshot's manifest
+      val early = keysOf(new String(
+        get(s"$base?list-type=2&ts=$tsAfterFirst").body(), "UTF-8"))
+      assert(early.sorted === t.snapshot(tsAfterFirst).aliveFiles.map(_.path).sorted)
+      assert(early.nonEmpty &&
+        early.size < t.snapshot().aliveFiles.size)
+
+      // ---- the direct foreign read: Spark's parquet reader over the
+      // s3g:// protocol client — delimiter LIST walk + HEAD + ranged GETs
+      // against the LIVE endpoint, page size 2 so paging is exercised
+      hc.set("fs.s3g.impl", classOf[GraftS3FileSystem].getName)
+      hc.set("fs.s3g.impl.disable.cache", "true")
+      hc.set("fs.s3g.endpoint", s"http://localhost:${addr.getPort}")
+      hc.setInt("fs.s3g.list.max.keys", 2)
+      val viaProxy = spark.read.parquet(s"s3g://${proxy.bucket}/_data")
+        .select("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val direct = t.read()
+        .select("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(viaProxy === direct && viaProxy.size === 90)
+
+      // time-traveled direct read: the FS pins every LIST to the as-of
+      // snapshot, so the whole query sees the first commit only
+      hc.set("fs.s3g.snapshot.ts", tsAfterFirst.toString)
+      val viaProxyEarly = spark.read.parquet(s"s3g://${proxy.bucket}/_data")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(viaProxyEarly === (1 to 60).map(_.toLong).toSet)
+    } finally {
+      hc.unset("fs.s3g.snapshot.ts")
+      proxy.stop()
+    }
+  }
 }
