@@ -320,6 +320,72 @@ object Bench {
       }
     }
 
+    // ---- sf1 tier: scale-cliff watch. sf0.1's inputs fit in page cache,
+    // so spills/skew/shuffle-volume cliffs hide; the heaviest headline
+    // queries run ONCE at 10× data. /root/testdata has no sf1 drop, so
+    // absent SPARK_GRAFT_SF1_DIR the tier is SYNTHESIZED from sfDir:
+    // 10 key-offset replicas (join integrity preserved — lineitem and
+    // orders offset o_orderkey together, dims stay 1×), and documents
+    // get a per-replica salt token woven into every 3rd word so
+    // cross-replica shingle Jaccard ≈ 0 — minhash volume scales 10×
+    // without fabricating a 100× candidate-pair blowup the base
+    // distribution doesn't have. Reported in bench_out.json only
+    // (queries_sf1 + sf1_synth_sec/sf1_load_sec); the parsed line stays
+    // the sf0.1 contract.
+    val sf1Names = Seq("b6_group_agg", "b10_quantiles", "b11_topk",
+      "join_star_schema", "llm_minhash_dedup")
+    val sf1Times = scala.collection.mutable.LinkedHashMap.empty[String, Timed]
+    var sf1SynthSec = -1.0
+    var sf1LoadSec = -1.0
+    try {
+      val sf1Dir = sys.env.get("SPARK_GRAFT_SF1_DIR")
+        .orElse(Option("/root/testdata/sf1")
+          .filter(p => new java.io.File(p).isDirectory))
+        .getOrElse {
+          import org.apache.spark.sql.functions._
+          val dest = Fixtures.scratchDir("graft_sf1")
+          val t0 = System.nanoTime()
+          val nRep = 10
+          val off = 10_000_000L
+          def reps10(name: String, mutate: (org.apache.spark.sql.DataFrame, Int) =>
+              org.apache.spark.sql.DataFrame): Unit = {
+            val base = Fixtures.raw(spark, sfDir, name)
+            (0 until nRep).map(i => mutate(base, i)).reduce(_ unionByName _)
+              .write.mode("overwrite").parquet(s"$dest/$name.parquet")
+          }
+          reps10("lineitem", (df, i) =>
+            df.withColumn("l_orderkey", col("l_orderkey") + lit(off * i)))
+          reps10("orders", (df, i) =>
+            df.withColumn("o_orderkey", col("o_orderkey") + lit(off * i)))
+          Fixtures.raw(spark, sfDir, "customer")
+            .write.mode("overwrite").parquet(s"$dest/customer.parquet")
+          reps10("documents", (df, i) =>
+            if (i == 0) df // replica 0 verbatim: the planted-dup probe's keys
+            else df.withColumn("doc_id", col("doc_id") + lit(off * i))
+              .withColumn("text", concat_ws(" ",
+                transform(split(col("text"), " "), (w, ix) =>
+                  when(ix % 3 === 0, concat(lit(s"q${i}x"), w)).otherwise(w)))))
+          sf1SynthSec = (System.nanoTime() - t0) / 1e9
+          dest
+        }
+      val tl0 = System.nanoTime()
+      Fixtures.lineitemIce(spark, sf1Dir) // the tier's own ingest, timed apart
+      sf1LoadSec = (System.nanoTime() - tl0) / 1e9
+      sf1Names.foreach { name =>
+        // reps=1 by design (the tier watches for cliffs, not variance);
+        // codegen is already warm — the sf0.1 pass compiled these exact
+        // plan shapes
+        try sf1Times(name) = timed(nReps = 1)() { qs(name)(spark, sf1Dir).count() }
+        catch { case e: Throwable =>
+          errors(s"sf1_$name") = Option(e.getMessage)
+            .getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\n\\r]", " ").take(200)
+        }
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] sf1 tier failed: ${e.getMessage}")
+    }
+
     // The reference's own synthetic ingest benchmark, replicated: 6M small
     // rows into 16 partitions (perf_tests/local_testing/README.md:10-24,
     // 690k rows/s there). Same row shape (ts, user_id, event, properties
@@ -713,8 +779,10 @@ object Bench {
       s""""load_sec":${f(loadSec)},"insert_sec":${f(insertSec)},"merge_sec":${f(mergeSec)},"load_rows":$loadRows,"synthetic_insert_rows":$synthRows,"synthetic_insert_rows_per_sec":${(synthRows / synth.wallSec).toLong},$sectionJson,"bench_reps":$reps,"rep_stat":"median","effective_parallelism":${f(effParallelism)},"cpu_total_sec":${f(totalCpuNs / 1e9)},"steal_suspect":$stealSuspect,"probe_sec":${f(probeSec)},"bw_probe_sec":${f(bwProbeSec)},"cpu_ratio":${f(cpuRatio)},"contention_suspect":$contentionSuspect,"load_avg":${f(loadAvg)},"host_cpus":${Runtime.getRuntime.availableProcessors},"spark_cpus":$cpus,"scratch_medium":"${Fixtures.scratchMedium}","scratch_free_gb":${Fixtures.scratchFreeGb},"sf":"$sfDir""""
     // Full telemetry (per-query and per-section CPU pairings) — for humans
     // and for bench_out.json.
+    val sf1Json = sf1Times.map { case (k, v) =>
+      s""""$k":${f(v.wallSec)}""" }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"queries_cpu":$qCpuJson,"errors":$eJson,"load_cpu_sec":${f(loadCpuSec)},$sectionCpuJson,$common}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"queries_cpu":$qCpuJson,"queries_sf1":$sf1Json,"sf1_synth_sec":${f(sf1SynthSec)},"sf1_load_sec":${f(sf1LoadSec)},"errors":$eJson,"load_cpu_sec":${f(loadCpuSec)},$sectionCpuJson,$common}"""
     // The driver captures only the LAST ~2000 chars of stdout and parses
     // the final complete JSON line inside that window. The degradation
     // history: r6 the line outgrew the window (`parsed: null`); r7 and r10

@@ -460,6 +460,72 @@ object Fixtures {
       }
     }
 
+  final case class SqlBranchTravelFixture(table: IceTable,
+      travelOk: Boolean, changesOk: Boolean)
+
+  /** b49: branch TIME TRAVEL and table_changes through pure SQL — the
+    * WAP validation loop's read side. A branch takes two SQL mutations
+    * with a timestamp captured between them; then
+    * `graft.`t@wap` TIMESTAMP AS OF ts` must hash-match the API branch
+    * handle's own time-traveled read (and differ from the branch head,
+    * proving the travel narrowed), and `table_changes('t@wap', since)`
+    * must match the API change feed over the same branch window. */
+  def sqlBranchTravel(spark: SparkSession, sfDir: String): SqlBranchTravelFixture =
+    memo(s"$sfDir#sqlbrtravel") {
+      import graft.ice.{Branch, ChangeFeed}
+      val ev = raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val t = new IceTable(spark, newRoot("sqlbrt"), IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(4))),
+        sortOrder = Seq("event_id")))
+      t.insert(ev.where(col("event_id") % 7 === 0))
+      val f = new java.io.File(t.root)
+      val saved = spark.conf.getOption(graft.plans.IceSqlResolution.WarehouseKey)
+      spark.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      try {
+        val name = f.getName
+        spark.sql(s"ALTER TABLE graft.`$name` CREATE BRANCH wap").collect()
+        // ms-granularity fences around each commit: the feed window is
+        // (since, until] and the snapshot fold strict-<, so a same-ms
+        // commit would straddle the bound
+        Thread.sleep(3); val sinceTs = System.currentTimeMillis(); Thread.sleep(3)
+        ev.where(col("event_id") % 7 === 1).createOrReplaceTempView("sqlbrt_new")
+        spark.sql(s"INSERT INTO graft.`$name@wap` SELECT * FROM sqlbrt_new")
+          .collect()
+        Thread.sleep(3); val midTs = System.currentTimeMillis(); Thread.sleep(3)
+        spark.sql(s"UPDATE graft.`$name@wap` SET event_type = 'redacted' " +
+          "WHERE user_id % 4 = 1").collect()
+
+        def setOf(df: org.apache.spark.sql.DataFrame) = df
+          .select("event_id", "user_id", "event_type").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+        val br = Branch.open(t, "wap")
+        // SQL branch time travel ≡ API branch read at the same bound,
+        // and ≠ the branch head (the update really is outside the bound)
+        val sqlAsOf = setOf(spark.sql(
+          s"SELECT * FROM graft.`$name@wap` TIMESTAMP AS OF $midTs"))
+        val travelOk = sqlAsOf == setOf(br.read(midTs + 1)) &&
+          sqlAsOf != setOf(br.read()) && sqlAsOf.nonEmpty
+        // SQL table_changes on the branch spelling ≡ the API feed over
+        // the same (since, now] window, change-type and all
+        def feedSet(df: org.apache.spark.sql.DataFrame) = df
+          .select("_change_type", "event_id", "user_id", "event_type")
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+          .groupBy(identity).view.mapValues(_.length).toMap
+        val sqlFeed = feedSet(spark.sql(
+          s"SELECT * FROM table_changes('$name@wap', $sinceTs)"))
+        val changesOk =
+          sqlFeed == feedSet(ChangeFeed.between(br, sinceTs)) && sqlFeed.nonEmpty
+        SqlBranchTravelFixture(t, travelOk, changesOk)
+      } finally saved match {
+        case Some(v) =>
+          spark.conf.set(graft.plans.IceSqlResolution.WarehouseKey, v)
+        case None =>
+          spark.conf.unset(graft.plans.IceSqlResolution.WarehouseKey)
+      }
+    }
+
   final case class S3ProxyFixture(dataUri: String, bytesIdentical: Boolean,
       pagedOk: Boolean)
 
@@ -1176,6 +1242,26 @@ object Fixtures {
       t.insert(raw(spark, sfDir, "orders"))
       graft.ice.TableStats.analyze(t)
       t
+    }
+
+  /** CBO join-REORDER triple: customer + lineitem ANALYZE'd alongside
+    * [[cboOrders]], so `JoinReorderDP` has persisted rowCount/ndv for
+    * every leaf of a 3-table join (the DP rule only fires when ALL
+    * items carry row counts). Dedicated roots — attaching catalog stats
+    * to the shared fixtures would perturb every other query's plans. */
+  def cboTriple(spark: SparkSession, sfDir: String)
+      : (IceTable, IceTable, IceTable) =
+    memo(s"$sfDir#cbo_triple") {
+      val c = new IceTable(spark, newRoot("cbo_cust"), IceTableConfig(
+        partitionExpr = lit(""), sortOrder = Seq("c_custkey")))
+      c.insert(raw(spark, sfDir, "customer"))
+      graft.ice.TableStats.analyze(c)
+      val l = new IceTable(spark, newRoot("cbo_li"), IceTableConfig(
+        partitionExpr = lit(""), sortOrder = Seq("l_orderkey")))
+      l.insert(raw(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity")))
+      graft.ice.TableStats.analyze(l)
+      (c, cboOrders(spark, sfDir), l)
     }
 
   /** lineitem through the engine, hive-partitioned by ship month (83

@@ -434,6 +434,63 @@ object SparkEntry {
         .withColumn("cbo_broadcast", lit(cboBroadcast))
         .withColumn("nocbo_smj", lit(nocboSmj))
     }),
+    "b48_cbo_reorder" -> ((s, d) => {
+      // CBO phase 2 — join REORDER from persisted statistics: a 3-table
+      // join written in the worst syntactic order (fact ⋈ fact-sized
+      // orders first, selective customer last). JoinReorderDP only fires
+      // when EVERY leaf carries a rowCount, all from our ANALYZE
+      // persistence — with it, ndv(c_nationkey)≈25 estimates the filtered
+      // customer at ~1/25 of its rows, so the cheapest tree joins
+      // orders⋈customer first and the big lineitem side last. The probe
+      // is node-typed leaf ORDER in the optimized logical plan (CBO off
+      // keeps the syntactic order; on, it must differ). At 100 TB this is
+      // ANALYZE'd dimensions re-rooting a star join without rewrites.
+      val (ct, ot, lt) = Fixtures.cboTriple(s, d)
+      def shape(): org.apache.spark.sql.DataFrame =
+        graft.plans.IceFileIndex.dataFrame(s, lt)
+          .join(graft.plans.IceFileIndex.dataFrame(s, ot),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(graft.plans.IceFileIndex.dataFrame(s, ct)
+            .where(col("c_nationkey") === 3),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("cnt"),
+            dec(sum(dec(col("l_quantity")))).cast("double").as("qty"))
+          .orderBy(col("c_mktsegment"))
+      def withReorder[T](on: Boolean)(body: => T): T = {
+        val saved = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+          .map(k => k -> s.conf.get(k, "false"))
+        saved.foreach { case (k, _) => s.conf.set(k, on.toString) }
+        try body finally saved.foreach { case (k, v) => s.conf.set(k, v) }
+      }
+      def leaves(on: Boolean): Seq[String] = withReorder(on) {
+        org.apache.spark.sql.graft.StatsBridge.leafTables(shape())
+      }
+      val off = leaves(on = false)
+      val on = leaves(on = true)
+      // CBO off must preserve the syntactic order (lineitem first,
+      // customer last); on must produce a genuinely different tree
+      val reordered = off.size == 3 && on.size == 3 && off != on &&
+        off.head.startsWith("graft_cbo_li") && off.last.startsWith("graft_cbo_cust")
+      shape().withColumn("reordered", lit(reordered))
+    }),
+    "b49_sql_branch_travel" -> ((s, d) => {
+      // WAP validation in pure SQL, read side: the branch spelling now
+      // composes with TIMESTAMP AS OF and table_changes(), so a writer
+      // can diff and audit its branch window without the API. The
+      // booleans pin SQL ≡ API for both (and that the travel genuinely
+      // narrowed past the second mutation); the aggregate grades the
+      // branch head, which DuckDB replays from the raw events.
+      val fx = Fixtures.sqlBranchTravel(s, d)
+      val f = new java.io.File(fx.table.root)
+      s.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      s.sql(s"""SELECT event_type, count(*) AS cnt,
+          CAST(sum(event_id) AS BIGINT) AS sum_id
+        FROM graft.`${f.getName}@wap`
+        GROUP BY event_type ORDER BY event_type""")
+        .withColumn("travel_ok", lit(fx.travelOk))
+        .withColumn("changes_ok", lit(fx.changesOk))
+    }),
     "b40_sql_changes" -> ((s, d) => {
       // SQL spelling of the change feed: the Delta-CDF-shaped
       // table_changes('t', since) TVF resolves through IceSqlResolution
@@ -2598,6 +2655,26 @@ object SparkEntry {
         "true AS cbo_broadcast, true AS nocbo_smj " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "WHERE o_custkey = 7 GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+    // the aggregate is the DuckDB-checkable part; the boolean pins that
+    // with persisted rowCount/ndv on every leaf, CBO's JoinReorderDP
+    // moved the selective customer dimension off the syntactic tail
+    "b48_cbo_reorder" ->
+      ("SELECT c_mktsegment, count(*) AS cnt, " +
+        "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS qty, " +
+        "true AS reordered " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_nationkey = 3 GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    // DuckDB replays the branch head (seed ∪ insert batch, update
+    // applied); the booleans pin SQL branch TIMESTAMP AS OF and
+    // table_changes('t@wap', …) hash-matching their API twins
+    "b49_sql_branch_travel" ->
+      ("WITH br AS (SELECT event_id, user_id, " +
+        "CASE WHEN user_id % 4 = 1 THEN 'redacted' ELSE event_type END AS event_type " +
+        "FROM events WHERE event_id % 7 = 0 OR event_id % 7 = 1) " +
+        "SELECT event_type, count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id, " +
+        "true AS travel_ok, true AS changes_ok " +
+        "FROM br GROUP BY event_type ORDER BY event_type"),
     "b40_sql_changes" ->
       ("WITH ev AS (SELECT event_id, user_id, event_type FROM events), " +
         "changes AS (" +

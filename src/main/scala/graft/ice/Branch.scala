@@ -90,7 +90,7 @@ object Branch {
     * check. Returns the branch handle. */
   def create(main: IceTable, name: String): IceTable = {
     requireMain(main); requireSafe(name)
-    IceTable.withTableLock(main.root) {
+    IceTable.withTableLock(main.root, main.hadoopConf) {
       val b = open(main, name)
       if (b.trySnapshot(Long.MaxValue).isDefined)
         throw new IllegalStateException(s"branch '$name' already exists")
@@ -157,7 +157,7 @@ object Branch {
     * left intact — [[drop]] it when done. */
   def publish(main: IceTable, name: String): (Int, Int) = {
     requireMain(main)
-    IceTable.withTableLock(main.root) {
+    IceTable.withTableLock(main.root, main.hadoopConf) {
       val b = open(main, name)
       val bSnap = b.trySnapshot(Long.MaxValue).getOrElse(
         throw new IllegalStateException(s"branch '$name' does not exist"))

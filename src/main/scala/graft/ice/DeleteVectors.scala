@@ -88,7 +88,7 @@ object DeleteVectors {
       if (n == 0) return 0
       val referenced = staged.select("path").distinct()
         .collect().map(_.getString(0)) // file-count scale, not rows
-      val committed = IceTable.withTableLock(main.root) {
+      val committed = IceTable.withTableLock(main.root, main.hadoopConf) {
         val alive = main.snapshot().aliveFiles.map(_.path).toSet
         if (referenced.forall(alive)) {
           // the mark covers rows of main commits up to NOW — commit the
@@ -187,7 +187,7 @@ object DeleteVectors {
     * while we fold it (rewriteTable itself locks only the dv root, which
     * deleteWhere never takes). */
   def vacuum(main: IceTable): Long =
-    IceTable.withTableLock(main.root) {
+    IceTable.withTableLock(main.root, main.hadoopConf) {
       val dv = dvTable(main)
       val dvSnap = dv.trySnapshot().getOrElse(return 0L)
       if (dvSnap.aliveFiles.isEmpty) return 0L

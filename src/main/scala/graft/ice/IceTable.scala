@@ -183,7 +183,7 @@ final class IceTable(
         s"column, got ($n, $cols)")
   }
 
-  private val hadoopConf = spark.sparkContext.hadoopConfiguration
+  private[ice] val hadoopConf = spark.sparkContext.hadoopConfiguration
   val logio = new IceLogIO(IceTable.pathSafeHostname, hadoopConf, logRel)
   private def fs = logio.fs(root)
   private def now(): Long = clock()
@@ -277,7 +277,7 @@ final class IceTable(
     * SORTED BY` building block. No-op caveat: a fully-default config
     * persists no `cfg` field, so "alter back to all defaults" cannot be
     * expressed this way — it would leave the previous word standing. */
-  def persistConfig(): Unit = IceTable.withTableLock(root) {
+  def persistConfig(): Unit = IceTable.withTableLock(root, hadoopConf) {
     val snap = snapshot()
     logio.append(root, 1, snap.schema, Seq.empty,
       timestamp = Some(now()), tableCfg = persistedCfg)
@@ -1472,7 +1472,7 @@ final class IceTable(
       tsFloor: Long = 0L)(
       body: (Seq[FileMarker], Map[String, FileMarker], Long,
         Option[Map[String, Any]]) => T): T =
-    IceTable.withTableLock(root) {
+    IceTable.withTableLock(root, hadoopConf) {
       // Long.MaxValue, not now(): validation wants the absolute latest
       // state. Same-millisecond commits get filename-bumped PAST the
       // current clock reading (IceLogIO.append), and a time-filtered fold
@@ -1896,7 +1896,7 @@ final class IceTable(
     * Deletes are optimistic (a crash may orphan data files, icedb.py:331).
     */
   def tombstoneCleanup(minAgeMs: Long): CleanupResult =
-    IceTable.withTableLock(root) {
+    IceTable.withTableLock(root, hadoopConf) {
     // the whole delete→append→delete sequence holds the commit lock: a
     // merge validating its sources must never interleave with cleanup
     // deleting the logs those sources came from
@@ -1971,6 +1971,12 @@ final class IceTable(
       cleaned += logFile
     }
 
+    // fence BEFORE the destructive phase, not just at the append: if the
+    // lease was TTL-stolen during the (possibly long) fold above, the new
+    // holder may already be validating against these very files — the
+    // ownership re-check aborts the deletes instead of racing the thief
+    // (and renews the lease mtime for the batch that follows)
+    TableLock.checkAndFence(root)
     logFilesToDelete.foreach(p => logio.delete(root, p))
     dataFilesToDelete.foreach(p => logio.delete(root, p))
 
@@ -1993,6 +1999,9 @@ final class IceTable(
       tableCfg = persistedCfg.orElse(snap.tableConfig),
       cleanedHorizon = horizon)
 
+    // same guard for the source-log deletes (the consolidation append just
+    // fenced, but fencing is cheap and this batch is what loses data)
+    TableLock.checkAndFence(root)
     cleaned.foreach(p => logio.delete(root, p))
 
     // checkpointed tables self-heal here: cleanup is the one op that makes
@@ -2033,7 +2042,7 @@ final class IceTable(
     * Cost: one recursive LIST of `_data/` — offline-maintenance priced,
     * same as any object-store GC; never on a query path. */
   def vacuumOrphans(minAgeMs: Long = 3_600_000L): Seq[String] =
-    IceTable.withTableLock(root) {
+    IceTable.withTableLock(root, hadoopConf) {
     // a branch handle folds only ITS log — sweeping from one would treat
     // every main-only file as an orphan
     require(logRel == "_log",
@@ -2052,6 +2061,17 @@ final class IceTable(
     val cutoff = now() - minAgeMs
     val rootStr = fsys.makeQualified(new Path(root)).toString.stripSuffix("/")
     val deleted = Seq.newBuilder[String]
+    // destructive deletes run fenced: re-verify lease ownership before the
+    // sweep and every batch of deletes — a TTL steal mid-walk (the
+    // recursive list can stall >TTL on big stores) must abort the sweep,
+    // not race the new holder's commits. The check also renews the lease.
+    var sinceFence = 0
+    def fencedDelete(p: Path, recursive: Boolean): Unit = {
+      if (sinceFence == 0) TableLock.checkAndFence(root)
+      sinceFence = (sinceFence + 1) % 256
+      fsys.delete(p, recursive)
+      ()
+    }
     val dataDir = new Path(root, "_data")
     if (fsys.exists(dataDir)) {
       val it = fsys.listFiles(dataDir, true)
@@ -2059,7 +2079,7 @@ final class IceTable(
         val st = it.next()
         val rel = st.getPath.toString.stripPrefix(rootStr).stripPrefix("/")
         if (st.isFile && !known(rel) && st.getModificationTime <= cutoff) {
-          fsys.delete(st.getPath, false)
+          fencedDelete(st.getPath, recursive = false)
           deleted += rel
         }
       }
@@ -2068,9 +2088,22 @@ final class IceTable(
     if (fsys.exists(tmpDir)) {
       fsys.listStatus(tmpDir).foreach { st =>
         if (st.getModificationTime <= cutoff) {
-          fsys.delete(st.getPath, true)
+          fencedDelete(st.getPath, recursive = true)
           deleted += st.getPath.toString.stripPrefix(rootStr).stripPrefix("/")
         }
+      }
+    }
+    // lock-machinery debris: steal/release graveyards and failed fence
+    // temps ([[TableLock]]) are root-level one-off files that would
+    // otherwise accumulate forever; they are dead the moment they exist,
+    // so age them out with the same cutoff
+    fsys.listStatus(new Path(root)).foreach { st =>
+      val n = st.getPath.getName
+      if ((n.startsWith(".graft.lock.stale.") ||
+            n.startsWith(".graft.fence.tmp.")) &&
+          st.getModificationTime <= cutoff) {
+        fencedDelete(st.getPath, recursive = false)
+        deleted += n
       }
     }
     deleted.result()
@@ -2084,7 +2117,7 @@ final class IceTable(
     * [[SchemaConflictException]] as everywhere else). The reference
     * seeds schema only on first insert; a declared empty table is what
     * lets SQL gateways `CREATE` + grant before any data lands. */
-  def createEmpty(schema: Schema): Unit = IceTable.withTableLock(root) {
+  def createEmpty(schema: Schema): Unit = IceTable.withTableLock(root, hadoopConf) {
     require(trySnapshot().isEmpty, s"ice table at $root already has commits")
     logio.append(root, 1, schema, Seq.empty,
       timestamp = Some(now()), tableCfg = persistedCfg)
@@ -2101,7 +2134,7 @@ final class IceTable(
     * caller probably didn't mean, conflicting ones are rejected by the
     * union contract. Returns the new union schema. */
   def addColumns(cols: Seq[(String, String)]): Schema =
-    IceTable.withTableLock(root) {
+    IceTable.withTableLock(root, hadoopConf) {
     val snap = snapshot()
     val s = snap.schema.copy()
     cols.foreach { case (c, t) =>
@@ -2128,7 +2161,7 @@ final class IceTable(
     * feed reports the diff like any rewrite. Schema stays the current
     * union (add-only — revived files read later columns as null).
     * Returns (files revived, files tombstoned). */
-  def restoreTo(maxTs: Long): (Int, Int) = IceTable.withTableLock(root) {
+  def restoreTo(maxTs: Long): (Int, Int) = IceTable.withTableLock(root, hadoopConf) {
     val snap = snapshot(Long.MaxValue)
     // registered in flight for the whole marker-diff window: a restore
     // EMITS change events (resurrect inserts) replicas must not lose
@@ -2164,7 +2197,7 @@ final class IceTable(
   def removePartitions(
       removalFunc: Seq[String] => Seq[String],
       maxFiles: Int = 1000): (Option[String], Option[LogMetadata], Int) =
-    IceTable.withTableLock(root) {
+    IceTable.withTableLock(root, hadoopConf) {
     // log-only op: the FULL current fold INSIDE the lock (no stale-source
     // window, and filename-bumped same-ms commits stay visible), so it
     // serializes cleanly against merge/rewrite commits. The commit stamp
@@ -2455,10 +2488,14 @@ object IceTable {
     * can be inside per root (the monitor guarantees it), so the counter
     * needs no further synchronization. */
   private val lockDepths = new java.util.concurrent.ConcurrentHashMap[String, Integer]
-  private[ice] def withTableLock[T](root: String)(body: => T): T =
+  private[ice] def withTableLock[T](root: String,
+      conf: org.apache.hadoop.conf.Configuration)(body: => T): T =
     commitLock(root).synchronized {
       val d: Int = Option(lockDepths.get(root)).fold(0)(_.intValue)
-      if (d == 0 && TableLock.enabled) TableLock.acquire(root)
+      if (d == 0 && TableLock.enabled)
+        // the TABLE'S Hadoop configuration: lock/fence I/O must resolve
+        // the same (possibly credentialed) FileSystem the commits use
+        TableLock.acquire(root, conf = conf)
       lockDepths.put(root, d + 1)
       try body
       finally {

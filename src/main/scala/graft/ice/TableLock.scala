@@ -81,9 +81,12 @@ object TableLock {
     * THREAD ran under the lease and get fenced; a concurrent lock-free
     * insert from another thread of the same process is neither stamped
     * nor failed. Read by [[checkAndFence]] on every log append; absent
-    * key (the insert path) costs one map probe. */
+    * key (the insert path) costs one map probe. The [[LockIO]] rides
+    * along so release/verify I/O reuses the SAME FileSystem the lease
+    * was acquired through (same Hadoop Configuration — credentials,
+    * endpoint overrides, fs impl bindings), never a default-config one. */
   private val held =
-    new java.util.concurrent.ConcurrentHashMap[String, (Lease, Thread)]
+    new java.util.concurrent.ConcurrentHashMap[String, (Lease, Thread, LockIO)]
 
   // ------------------------------------------------------------ lock I/O
 
@@ -99,6 +102,16 @@ object TableLock {
     def delete(): Unit
     def readFence(): Long
     def writeFence(v: Long): Unit
+    /** Release iff `owner` still holds the lock, by ATOMIC RENAME to a
+      * private graveyard name followed by a content check — never a bare
+      * check-then-delete of the shared path. If the renamed file turns
+      * out to be a thief's (the lease was TTL-stolen between the owner
+      * check and the rename), restore it; a failed restore (someone
+      * re-created the path in the gap) leaves the displaced thief to
+      * fail its own [[checkAndFence]] — a safe abort, never a lost
+      * update. Best-effort on I/O errors: an unreleased lock expires on
+      * its TTL. */
+    def releaseIfOwner(owner: String): Unit
   }
 
   private final class NioLockIO(rootDir: NioPath) extends LockIO {
@@ -142,11 +155,24 @@ object TableLock {
       Files.move(tmp, fence, StandardCopyOption.REPLACE_EXISTING,
         StandardCopyOption.ATOMIC_MOVE)
     }
+    def releaseIfOwner(owner: String): Unit =
+      try {
+        if (read().flatMap(ownerOf).contains(owner)) {
+          val grave = rootDir.resolve(
+            s".graft.lock.stale.${java.util.UUID.randomUUID()}")
+          Files.move(lock, grave, StandardCopyOption.ATOMIC_MOVE)
+          val got = new String(Files.readAllBytes(grave), StandardCharsets.UTF_8)
+          if (ownerOf(got).contains(owner)) { Files.deleteIfExists(grave); () }
+          else
+            try { Files.move(grave, lock, StandardCopyOption.ATOMIC_MOVE); () }
+            catch { case _: Exception => Files.deleteIfExists(grave); () }
+        }
+      } catch { case _: Exception => () }
   }
 
-  private final class HadoopLockIO(root: String) extends LockIO {
+  private final class HadoopLockIO(root: String,
+      conf: org.apache.hadoop.conf.Configuration) extends LockIO {
     import org.apache.hadoop.fs.{FileSystem, Path}
-    private val conf = new org.apache.hadoop.conf.Configuration()
     private val fs: FileSystem = new Path(root).getFileSystem(conf)
     private val lock = new Path(root, ".graft.lock")
     private val fence = new Path(root, ".graft.fence")
@@ -194,13 +220,34 @@ object TableLock {
       if (!fs.rename(tmp, fence)) { fs.delete(fence, false); fs.rename(tmp, fence) }
       ()
     }
+    def releaseIfOwner(owner: String): Unit =
+      try {
+        if (read().flatMap(ownerOf).contains(owner)) {
+          val grave =
+            new Path(root, s".graft.lock.stale.${java.util.UUID.randomUUID()}")
+          if (fs.rename(lock, grave)) {
+            val in = fs.open(grave)
+            val got = try new String(
+              org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+              StandardCharsets.UTF_8) finally in.close()
+            if (ownerOf(got).contains(owner)) { fs.delete(grave, false); () }
+            else if (!fs.rename(grave, lock)) { fs.delete(grave, false); () }
+          }
+        }
+      } catch { case _: Exception => () }
   }
 
-  private def io(root: String): LockIO =
+  /** The lock/fence I/O resolves its FileSystem through the TABLE'S Hadoop
+    * configuration (threaded from [[IceTable.withTableLock]]), not a
+    * default `new Configuration()` — on stores needing credentials,
+    * endpoint overrides, or fs impl bindings, the lease must hit the same
+    * store the commits do. */
+  private def io(root: String,
+      conf: org.apache.hadoop.conf.Configuration): LockIO =
     if (!root.contains("://")) new NioLockIO(Paths.get(root))
     else if (root.startsWith("file:"))
       new NioLockIO(Paths.get(java.net.URI.create(root)))
-    else new HadoopLockIO(root)
+    else new HadoopLockIO(root, conf)
 
   // ------------------------------------------------------------- leasing
 
@@ -214,26 +261,42 @@ object TableLock {
   private def ttlOf(content: String): Option[Long] =
     """"ttl"\s*:\s*(\d+)""".r.findFirstMatchIn(content).map(_.group(1).toLong)
 
+  private def defaultConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
   /** Acquire the cross-process lease for `root`, spinning with jittered
     * backoff up to `timeoutMs` and stealing leases whose mtime is older
     * than their TTL. Throws [[CommitConflictException]] on timeout — the
-    * caller's commit must not proceed unfenced. */
+    * caller's commit must not proceed unfenced. `conf` is the table's
+    * Hadoop configuration (the lease must hit the same store the commits
+    * do); the default only covers direct test callers. */
   def acquire(root: String, ttlMs: Long = DefaultTtlMs,
-      timeoutMs: Long = AcquireTimeoutMs): Lease = {
-    val lio = io(root)
+      timeoutMs: Long = AcquireTimeoutMs,
+      conf: org.apache.hadoop.conf.Configuration = defaultConf()): Lease = {
+    val lio = io(root, conf)
     val deadline = System.currentTimeMillis() + timeoutMs
     val rnd = new java.util.Random()
     while (true) {
       val nowMs = System.currentTimeMillis()
-      // fence BEFORE create: the counter read must not see our own bump
-      val fence = lio.readFence() + 1
-      if (lio.tryCreate(leaseJson(ownerId, fence, nowMs, ttlMs))) {
-        // persist the issued token while holding the lock: the next
-        // acquirer (clean or stealing) reads it and goes strictly higher
-        try lio.writeFence(fence)
-        catch { case e: Exception => lio.delete(); throw e }
+      // the lock file carries owner/ttl; the token is assigned AFTER the
+      // create is won (f:-1 = "pending") — reading the counter before
+      // the create would race another acquirer into a duplicate token
+      if (lio.tryCreate(leaseJson(ownerId, -1L, nowMs, ttlMs))) {
+        // fence AFTER winning the create: under mutual exclusion the
+        // persisted value is exactly the last ISSUED token (every holder
+        // writes its own before releasing or being stealable), so +1 is
+        // strictly higher and unique — no two leases can share a token
+        val fence =
+          try {
+            val f = lio.readFence() + 1
+            lio.writeFence(f)
+            f
+          } catch { case e: Exception => lio.delete(); throw e }
         val lease = Lease(root, ownerId, fence, nowMs, ttlMs)
-        held.put(root, (lease, Thread.currentThread()))
+        held.put(root, (lease, Thread.currentThread(), lio))
         return lease
       }
       // held by someone: stale if its mtime exceeded the HOLDER'S declared
@@ -259,13 +322,11 @@ object TableLock {
   }
 
   /** Release `root`'s lease if this process still owns it (a stolen lock
-    * belongs to the thief — never delete theirs). */
+    * belongs to the thief — never delete theirs). Rename-arbitrated, not
+    * check-then-delete: see [[LockIO.releaseIfOwner]]. */
   def release(root: String): Unit = {
     val entry = held.remove(root)
-    if (entry != null) {
-      val lio = io(root)
-      if (lio.read().flatMap(ownerOf).contains(entry._1.owner)) lio.delete()
-    }
+    if (entry != null) entry._3.releaseIfOwner(entry._1.owner)
   }
 
   /** Called by [[IceLogIO.append]] on EVERY log write: when this process
@@ -281,7 +342,7 @@ object TableLock {
     if (entry == null || (entry._2 ne Thread.currentThread())) None
     else {
       val lease = entry._1
-      val lio = io(root)
+      val lio = entry._3
       val owner = lio.read().flatMap(ownerOf)
       if (!owner.contains(lease.owner))
         throw new CommitConflictException(

@@ -407,11 +407,12 @@ object IceSqlResolution {
       s"table_changes(table, since[, until]): $msg")
     if (args.length < 2 || args.length > 3)
       fail(s"expected 2 or 3 arguments, got ${args.length}")
-    val (catalog, root) = tvfRoot(spark, args.head, fail)
+    val (catalog, root, branch) = tvfRoot(spark, args.head, fail)
     val since = tvfTsMs(spark, args(1), "since", fail)
     val until = args.lift(2).map(tvfTsMs(spark, _, "until", fail))
       .getOrElse(Long.MaxValue)
-    val df = graft.ice.ChangeFeed.between(IceTable.open(spark, root), since, until)
+    val df = graft.ice.ChangeFeed.between(
+      openTarget(spark, root, branch), since, until)
     SubqueryAlias(Seq(catalog, "table_changes"), df.queryExecution.analyzed)
   }
 
@@ -430,11 +431,11 @@ object IceSqlResolution {
       s"table_$meta(table[, asOf]): $msg")
     if (args.isEmpty || args.length > 2)
       fail(s"expected 1 or 2 arguments, got ${args.length}")
-    val (catalog, root) = tvfRoot(spark, args.head, fail)
+    val (catalog, root, branch) = tvfRoot(spark, args.head, fail)
     val maxTs = args.lift(1).map(tvfTsMs(spark, _, "asOf", fail) + 1L)
       .getOrElse(Long.MaxValue)
     val df = graft.ice.MetaTables.relation(
-      IceTable.open(spark, root), meta, maxTs)
+      openTarget(spark, root, branch), meta, maxTs)
     SubqueryAlias(Seq(catalog, s"table_$meta"), df.queryExecution.analyzed)
   }
 
@@ -446,7 +447,9 @@ object IceSqlResolution {
     def fail(msg: String) = throw new IllegalArgumentException(
       s"table_stats(table): $msg")
     if (args.length != 1) fail(s"expected 1 argument, got ${args.length}")
-    val (catalog, root) = tvfRoot(spark, args.head, fail)
+    val (catalog, root, branch) = tvfRoot(spark, args.head, fail)
+    if (branch.nonEmpty) fail(
+      "ANALYZE statistics are table-level; branches carry none")
     val df = graft.ice.TableStats.asDataFrame(IceTable.open(spark, root))
     SubqueryAlias(Seq(catalog, "table_stats"), df.queryExecution.analyzed)
   }
@@ -454,8 +457,12 @@ object IceSqlResolution {
   /** Shared TVF helpers: resolve the table-name literal to a warehouse
     * root (optional `graft.` prefix peels; path-safe names only), and
     * evaluate a numeric-or-timestamp literal to epoch millis. */
+  /** TVF table argument → (catalog, root, branch-or-""). Accepts the
+    * same `t@branch` spelling as relation names, so the WAP loop's
+    * validation queries (`table_changes('t@wap', …)`,
+    * `table_files('t@wap')`) stay in pure SQL. */
   private def tvfRoot(spark: SparkSession, nameArg: Expression,
-      fail: String => Nothing): (String, String) = {
+      fail: String => Nothing): (String, String, String) = {
     val catalog = spark.conf.getOption(CatalogKey).getOrElse("graft")
     val warehouse = spark.conf.getOption(WarehouseKey).filter(_.nonEmpty)
       .getOrElse(fail(s"$WarehouseKey is not set"))
@@ -468,10 +475,13 @@ object IceSqlResolution {
       case Array(c, x) if c.equalsIgnoreCase(catalog) => x
       case _ => name
     }
-    if (!safeName(bare)) fail(s"unsafe table name: '$bare'")
-    val (root, ok) = probeRootAt(spark, warehouse, bare)
-    if (!ok) fail(s"graft table '$bare' does not exist")
-    (catalog, root)
+    val (base, branchOpt) = splitBranch(bare)
+    if (!safeName(base)) fail(s"unsafe table name: '$base'")
+    branchOpt.foreach(b =>
+      if (!safeBranch(b)) fail(s"unsafe branch name: '$b'"))
+    val (root, ok) = probeRootAt(spark, warehouse, base)
+    if (!ok) fail(s"graft table '$base' does not exist")
+    (catalog, root, branchOpt.getOrElse(""))
   }
 
   private def tvfTsMs(spark: SparkSession, e: Expression, what: String,

@@ -41,7 +41,32 @@ final class GraftS3FileSystem extends FileSystem {
   private var pageSize: Int = 1000
   private var snapshotTs: Option[Long] = None
   private var workDir: Path = _
-  private val http = HttpClient.newHttpClient()
+  private def http = GraftS3FileSystem.http
+
+  /** Every request this client makes (LIST/HEAD/ranged GET) is idempotent,
+    * so connection-level failures retry with short backoff — the same
+    * contract every production S3 client ships (reference icedb/s3.py
+    * retry config). The concrete failure this absorbs at scale: dozens of
+    * task threads keep hundreds of pooled keep-alive sockets open, the
+    * server reaps idle ones past its cap, and a client reusing a
+    * just-reaped socket sees "EOF reached while reading" — transient by
+    * construction, a fresh connection succeeds. */
+  private def send[T](req: HttpRequest,
+      handler: HttpResponse.BodyHandler[T]): HttpResponse[T] = {
+    var attempt = 0
+    while (true) {
+      try return http.send(req, handler)
+      catch {
+        case e: java.io.IOException =>
+          attempt += 1
+          if (attempt >= 4) throw e
+          Thread.sleep(10L * attempt)
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt(); throw new java.io.IOException(e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   override def initialize(name: URI, conf: Configuration): Unit = {
     super.initialize(name, conf)
@@ -74,7 +99,7 @@ final class GraftS3FileSystem extends FileSystem {
   // ----------------------------------------------------------- metadata
 
   private def headObject(key: String): Option[Long] = {
-    val r = http.send(
+    val r = send(
       HttpRequest.newBuilder(url(key))
         .method("HEAD", HttpRequest.BodyPublishers.noBody()).build(),
       HttpResponse.BodyHandlers.discarding())
@@ -94,7 +119,7 @@ final class GraftS3FileSystem extends FileSystem {
     delimiter.foreach(d =>
       q ++= s"&delimiter=${java.net.URLEncoder.encode(d, "UTF-8")}")
     snapshotTs.foreach(ts => q ++= s"&ts=$ts")
-    val r = http.send(
+    val r = send(
       HttpRequest.newBuilder(url("", q.toString)).GET().build(),
       HttpResponse.BodyHandlers.ofString())
     if (r.statusCode() != 200)
@@ -186,7 +211,7 @@ final class GraftS3FileSystem extends FileSystem {
     private def fetch(start: Long, n: Long): Array[Byte] = {
       val end = math.min(start + n, len) - 1
       if (end < start) return Array.emptyByteArray
-      val r = http.send(
+      val r = send(
         HttpRequest.newBuilder(url(key))
           .header("Range", s"bytes=$start-$end").GET().build(),
         HttpResponse.BodyHandlers.ofByteArray())
@@ -245,4 +270,12 @@ final class GraftS3FileSystem extends FileSystem {
   override def mkdirs(f: Path, permission: FsPermission): Boolean = throw ro
   override def setWorkingDirectory(d: Path): Unit = { workDir = d }
   override def getWorkingDirectory: Path = workDir
+}
+
+object GraftS3FileSystem {
+  /** One process-wide client: with `fs.s3g.impl.disable.cache=true` every
+    * task-side `Path.getFileSystem` builds a fresh FileSystem instance —
+    * a per-instance HttpClient would multiply connection pools by task
+    * count and flood the endpoint with idle keep-alive sockets. */
+  private val http: HttpClient = HttpClient.newHttpClient()
 }

@@ -53,7 +53,12 @@ final class IceS3Proxy(table: IceTable, maxKeysCap: Int = 1000) {
   def start(port: Int = 0): InetSocketAddress = synchronized {
     server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/", (ex: HttpExchange) => route(ex))
-    pool = Executors.newFixedThreadPool(4)
+    // daemon workers: a proxy left running (fixtures register a shutdown
+    // hook, not an eager stop) must never pin the JVM open after main
+    // returns — non-daemon pool threads did exactly that to Verify
+    pool = Executors.newFixedThreadPool(8, r => {
+      val t = new Thread(r, "s3-proxy"); t.setDaemon(true); t
+    })
     server.setExecutor(pool)
     server.start()
     server.getAddress
@@ -87,8 +92,15 @@ final class IceS3Proxy(table: IceTable, maxKeysCap: Int = 1000) {
       }
     } catch {
       case e: Exception =>
-        respondXml(ex, 500, errorXml("InternalError",
+        // headers may already be on the wire (a failure mid-stream):
+        // sending a second status line would throw inside the handler and
+        // kill the keep-alive connection for the NEXT request too — log
+        // and close instead; the truncated body already signals failure
+        System.err.println(s"[s3-proxy] ${ex.getRequestMethod} " +
+          s"${ex.getRequestURI}: ${e.getClass.getName}: ${e.getMessage}")
+        try respondXml(ex, 500, errorXml("InternalError",
           Option(e.getMessage).getOrElse(e.getClass.getName)))
+        catch { case _: Exception => () }
     } finally ex.close()
   }
 
@@ -192,6 +204,15 @@ final class IceS3Proxy(table: IceTable, maxKeysCap: Int = 1000) {
           respondXml(ex, 404, errorXml("NoSuchKey", s"no such key: $key"))
           return
       }
+    // a real bucket has no directories: a key that resolves to a
+    // filesystem DIRECTORY (a partition level like `_data/u=0`) is not an
+    // object. Answering 200 here made hierarchical clients treat the
+    // directory as a data file, then die mid-GET on open("…/u=0") — they
+    // must get 404 and fall back to a delimiter LIST like they would on S3
+    if (st.isDirectory) {
+      respondXml(ex, 404, errorXml("NoSuchKey", s"not an object: $key"))
+      return
+    }
     val len = st.getLen
     ex.getResponseHeaders.set("Accept-Ranges", "bytes")
     ex.getResponseHeaders.set("Content-Type", "application/octet-stream")

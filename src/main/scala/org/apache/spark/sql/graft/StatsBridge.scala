@@ -63,4 +63,15 @@ object StatsBridge {
       stats = Some(CatalogStatistics(sizeInBytes, rowCount, colStats)))
     PlanBridge.ofRows(spark, LogicalRelation(relation, ct))
   }
+
+  /** Ordered catalog idents of `df`'s optimized plan's
+    * [[LogicalRelation]] leaves — the node-typed join-ORDER probe for
+    * reorder assertions ([[LogicalRelation]] is `private[sql]`, so the
+    * walk lives in the bridge; plan-string matching truncates and is
+    * banned). Leaves without a catalog table report as "?". */
+  def leafTables(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation =>
+        lr.catalogTable.map(_.identifier.table).getOrElse("?")
+    }
 }

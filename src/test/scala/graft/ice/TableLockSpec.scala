@@ -65,6 +65,28 @@ class TableLockSpec extends SparkSpec {
     assert(fenced.forall(_.fence.get > 0))
   }
 
+  test("release leaves no debris; vacuumOrphans sweeps aged lock graveyards") {
+    val root = tmpDir("lockgrave")
+    val t = new IceTable(spark, root, IceTableConfig(lit("p=1"), Seq.empty))
+    t.insert(spark.range(3).select(col("id").as("k"), col("id").as("v")))
+    // a clean acquire/release cycle must not accumulate graveyard files
+    TableLock.acquire(root); TableLock.release(root)
+    def debris() = new java.io.File(root).list().toSeq.filter(n =>
+      n.startsWith(".graft.lock.stale.") || n.startsWith(".graft.fence.tmp."))
+    assert(debris().isEmpty, s"release left: ${debris()}")
+    // steal/crash debris (simulated) ages out through vacuumOrphans
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, ".graft.lock.stale.deadbeef"), "x")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, ".graft.fence.tmp.deadbeef"), "9")
+    Thread.sleep(5)
+    t.vacuumOrphans(minAgeMs = 1)
+    assert(debris().isEmpty, s"vacuum kept: ${debris()}")
+    // the live fence counter survives the sweep (it is no debris)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, ".graft.fence")))
+  }
+
   test("two processes racing CoW updates: serialized or conflicted, never lost") {
     val root = tmpDir("lock2proc")
     val t = new IceTable(spark, root, IceTableConfig(lit("p=1"), Seq.empty))

@@ -221,4 +221,26 @@ class IceS3ProxySpec extends SparkSpec {
       proxy.stop()
     }
   }
+
+  test("directory keys are not objects: GET/HEAD of a partition level 404s") {
+    // a real bucket has no directories; answering 200 for `_data/p=1`
+    // made hierarchical clients treat the partition directory as a data
+    // file and die mid-GET (the r11 a45 regression at sf0.01)
+    val t = mk()
+    val proxy = new IceS3Proxy(t)
+    val addr = proxy.start()
+    val base = s"http://localhost:${addr.getPort}/${proxy.bucket}"
+    try {
+      assert(get(s"$base/_data/p=1").statusCode() === 404)
+      val head = client.send(
+        HttpRequest.newBuilder(URI.create(s"$base/_data/p=1"))
+          .method("HEAD", HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.discarding())
+      assert(head.statusCode() === 404)
+      // …while a real object under the same prefix still serves
+      val k = t.snapshot().aliveFiles.map(_.path)
+        .find(_.startsWith("_data/p=1/")).get
+      assert(get(s"$base/$k").statusCode() === 200)
+    } finally proxy.stop()
+  }
 }
