@@ -599,6 +599,41 @@ object Fixtures {
       S3ProxyFixture(s"s3g://${proxy.bucket}/_data", identical, pagedOk)
     }
 
+  final case class S3RetryFixture(dataUri: String, retriesExercised: Boolean)
+
+  /** a46: the S3 client's RETRY contract (reference icedb/s3.py wires
+    * `Retry(3)` into its client config; A19) graded end-to-end — the
+    * proxy runs in chaos mode (every 2nd data GET truncated mid-body,
+    * capped at 3 injections: the cap sits BELOW the client's 4-attempt
+    * budget, so success is deterministic while ≥1 retry is guaranteed).
+    * A probe read must survive the truncations and count exactly the
+    * inserted rows; the graded aggregate then re-reads the same flaky
+    * endpoint live. */
+  def s3Retry(spark: SparkSession, sfDir: String): S3RetryFixture =
+    memo(s"$sfDir#s3retry") {
+      val ev = raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .where(col("event_id") % 4 === 1)
+      val t = new IceTable(spark, newRoot("s3rt"), IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(4))),
+        sortOrder = Seq("event_id")))
+      t.insert(ev)
+      val proxy = new graft.sources.IceS3Proxy(t, chaosEveryN = 2, chaosMax = 3)
+      val addr = proxy.start()
+      sys.addShutdownHook(proxy.stop())
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.s3g.impl", classOf[graft.sources.GraftS3FileSystem].getName)
+      hc.set("fs.s3g.impl.disable.cache", "true")
+      // per-bucket endpoint: must not clobber the a45 proxy's global one
+      hc.set(s"fs.s3g.endpoint.${proxy.bucket}",
+        s"http://localhost:${addr.getPort}")
+      val uri = s"s3g://${proxy.bucket}/_data"
+      val expected = ev.count()
+      val got = spark.read.parquet(uri).count()
+      S3RetryFixture(uri,
+        retriesExercised = proxy.chaosHits > 0 && got == expected)
+    }
+
   def eventsCdcApply(spark: SparkSession, sfDir: String): CdcReplica =
     memo(s"$sfDir#cdcapply") {
       import graft.ice.{CdcApply, DeleteVectors}

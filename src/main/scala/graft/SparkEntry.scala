@@ -352,6 +352,24 @@ object SparkEntry {
         .withColumn("paged_ok", lit(fx.pagedOk))
         .orderBy(col("event_type"))
     }),
+    "a46_s3_retry" -> ((s, d) => {
+      // A19, the reference's S3 retry contract (icedb/s3.py Retry(3)),
+      // graded END-TO-END: the proxy truncates every 2nd data GET
+      // mid-body (3 injections, below the client's 4-attempt budget) and
+      // the s3g client's idempotent retries must still deliver the exact
+      // rows. retries_exercised pins that truncations really happened AND
+      // a full probe read counted every inserted row through them; the
+      // aggregate itself re-reads the flaky endpoint live, so a broken
+      // retry path fails the dump outright. DuckDB replays from the raw
+      // source.
+      val fx = Fixtures.s3Retry(s, d)
+      s.read.parquet(fx.dataUri)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("event_id")).cast("bigint").as("sum_id"))
+        .withColumn("retries_exercised", lit(fx.retriesExercised))
+        .orderBy(col("event_type"))
+    }),
     "b46_sql_branch_dml" -> ((s, d) => {
       // the WAP loop end-to-end in SQL: CREATE BRANCH, then INSERT /
       // UPDATE / DELETE / MERGE against graft.`t@wap`, hash-matched
@@ -2631,6 +2649,14 @@ object SparkEntry {
       ("SELECT event_type, count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id, " +
         "true AS bytes_identical, true AS paged_ok " +
         "FROM events WHERE event_id % 4 = 0 " +
+        "GROUP BY event_type ORDER BY event_type"),
+    // DuckDB replays the content from the raw source; the boolean pins
+    // that the proxy really truncated GETs and the client's retries
+    // still counted every row
+    "a46_s3_retry" ->
+      ("SELECT event_type, count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id, " +
+        "true AS retries_exercised " +
+        "FROM events WHERE event_id % 4 = 1 " +
         "GROUP BY event_type ORDER BY event_type"),
     // DuckDB replays the SQL-DML'd, published branch state from raw
     // events; the booleans pin SQL≡API state equality, pre-publish

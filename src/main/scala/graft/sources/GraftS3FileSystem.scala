@@ -72,8 +72,12 @@ final class GraftS3FileSystem extends FileSystem {
     super.initialize(name, conf)
     setConf(conf)
     fsUri = URI.create(s"${name.getScheme}://${name.getAuthority}")
-    endpoint = Option(conf.get("fs.s3g.endpoint")).getOrElse(
-      throw new IllegalArgumentException("fs.s3g.endpoint is required"))
+    // per-bucket endpoint override first (two live proxies in one session
+    // — e.g. a table endpoint and a chaos-mode endpoint — must not fight
+    // over one global key), then the session-wide default
+    endpoint = Option(conf.get(s"fs.s3g.endpoint.${name.getAuthority}"))
+      .orElse(Option(conf.get("fs.s3g.endpoint"))).getOrElse(
+        throw new IllegalArgumentException("fs.s3g.endpoint is required"))
       .stripSuffix("/")
     pageSize = conf.getInt("fs.s3g.list.max.keys", 1000)
     snapshotTs = Option(conf.get("fs.s3g.snapshot.ts")).flatMap(_.toLongOption)

@@ -42,10 +42,22 @@ import java.util.concurrent.Executors
   * Reference analog: README.md:29-31 sketches the same proxy idea over
   * its log; implementation here is original (JDK HttpServer, no deps).
   */
-final class IceS3Proxy(table: IceTable, maxKeysCap: Int = 1000) {
+final class IceS3Proxy(table: IceTable, maxKeysCap: Int = 1000,
+    chaosEveryN: Int = 0, chaosMax: Int = Int.MaxValue) {
 
   private var server: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
+
+  /** Fault injection for client retry tests: when `chaosEveryN` > 0,
+    * every Nth data GET is truncated mid-body (half the declared bytes,
+    * then the exchange is torn down) — the connection-level failure class
+    * (reaped keep-alives, mid-transfer resets) every production S3 client
+    * must absorb with idempotent retries (reference icedb/s3.py's
+    * `retries=Retry(3)` config; our [[GraftS3FileSystem.send]]). */
+  private val chaosCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** How many GETs were deliberately truncated (test observability). */
+  def chaosHits: Int = chaosInjected.get()
+  private val chaosInjected = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** The virtual bucket name = the table's directory name. */
   val bucket: String = new java.io.File(table.root).getName
@@ -257,12 +269,22 @@ final class IceS3Proxy(table: IceTable, maxKeysCap: Int = 1000) {
       case None => (0L, len, 200)
     }
     ex.sendResponseHeaders(code, n)
+    // fault injection: declare n bytes, deliver ⌈n/2⌉, tear the exchange
+    // down — the client sees a mid-transfer EOF and must retry. Capped at
+    // `chaosMax` total injections; a cap BELOW the client's retry budget
+    // makes overall success deterministic even if every injection lands
+    // on one fetch's successive attempts
+    val chaos = chaosEveryN > 0 &&
+      chaosCounter.incrementAndGet() % chaosEveryN == 0 &&
+      chaosInjected.get() < chaosMax
+    val toSend = if (chaos) { chaosInjected.incrementAndGet(); (n + 1) / 2 }
+      else n
     val in = fs.open(p)
     try {
       if (off > 0) in.seek(off)
       val out = ex.getResponseBody
       val buf = new Array[Byte](64 * 1024)
-      var remaining = n
+      var remaining = toSend
       while (remaining > 0) {
         val r = in.read(buf, 0, math.min(buf.length, remaining).toInt)
         if (r < 0) remaining = 0

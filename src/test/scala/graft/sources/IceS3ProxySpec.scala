@@ -243,4 +243,23 @@ class IceS3ProxySpec extends SparkSpec {
       assert(get(s"$base/$k").statusCode() === 200)
     } finally proxy.stop()
   }
+
+  test("chaos mode: truncated GETs are absorbed by the client's retries") {
+    // every 2nd data GET is torn down mid-body (3 injections, below the
+    // 4-attempt budget): the read must survive with exact rows, and the
+    // injections must really have happened
+    val t = mk()
+    val proxy = new IceS3Proxy(t, chaosEveryN = 2, chaosMax = 3)
+    val addr = proxy.start()
+    val hc = spark.sparkContext.hadoopConfiguration
+    try {
+      hc.set("fs.s3g.impl", classOf[GraftS3FileSystem].getName)
+      hc.set("fs.s3g.impl.disable.cache", "true")
+      hc.set(s"fs.s3g.endpoint.${proxy.bucket}",
+        s"http://localhost:${addr.getPort}")
+      val n = spark.read.parquet(s"s3g://${proxy.bucket}/_data").count()
+      assert(n === 90)
+      assert(proxy.chaosHits > 0, "chaos must actually have injected failures")
+    } finally proxy.stop()
+  }
 }
