@@ -1299,6 +1299,21 @@ object Fixtures {
       (c, cboOrders(spark, sfDir), l)
     }
 
+  /** b50: histogram-CBO fixture — events (event_id, user_id, value) in a
+    * dedicated root. `value` is strongly right-skewed (p50 ≈ 35 against
+    * max ≈ 490), exactly where a uniform min/max interpolation
+    * mis-estimates range selectivity by the skew factor and an
+    * equi-height histogram does not. Analyses run inside the query (the
+    * estimate flip is the graded behavior). */
+  def cboEvents(spark: SparkSession, sfDir: String): IceTable =
+    memo(s"$sfDir#cbo_events") {
+      val t = new IceTable(spark, newRoot("cbo_ev"), IceTableConfig(
+        partitionExpr = lit(""), sortOrder = Seq("event_id")))
+      t.insert(raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("value")))
+      t
+    }
+
   /** lineitem through the engine, hive-partitioned by ship month (83
     * partitions) and clustered by (shipdate, orderkey) for row-group
     * pruning. */

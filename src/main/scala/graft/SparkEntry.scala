@@ -492,6 +492,44 @@ object SparkEntry {
         off.head.startsWith("graft_cbo_li") && off.last.startsWith("graft_cbo_cust")
       shape().withColumn("reordered", lit(reordered))
     }),
+    "b50_cbo_histogram" -> ((s, d) => {
+      // CBO phase 3 — EQUI-HEIGHT HISTOGRAMS from persisted ANALYZE: on
+      // the right-skewed `value` column (p50 ≈ 35, max ≈ 490), a range
+      // filter's uniform min/max interpolation under-estimates `value <=
+      // 100` at ~20% where the truth is ~87%; re-analyzing WITH HISTOGRAM
+      // (the SQL spelling, through the parser) must pull the optimizer's
+      // rowCount estimate within 2× of truth while the uniform estimate
+      // stays off by >50%. At 100 TB this is the difference between
+      // broadcasting a "small" filtered side that is actually 4× larger
+      // and planning from the data's real shape.
+      val t = Fixtures.cboEvents(s, d)
+      def estimate(): BigInt = {
+        val saved = s.conf.get("spark.sql.cbo.enabled", "false")
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        try graft.plans.IceFileIndex.dataFrame(s, t)
+          .where(col("value") <= 100.0)
+          .queryExecution.optimizedPlan.stats.rowCount.getOrElse(BigInt(-1))
+        finally s.conf.set("spark.sql.cbo.enabled", saved)
+      }
+      graft.ice.TableStats.analyze(t, Seq("event_id", "value"))
+      val uniformEst = estimate()
+      val f = new java.io.File(t.root)
+      s.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      s.sql(s"ANALYZE TABLE graft.`${f.getName}` COMPUTE STATISTICS " +
+        "FOR COLUMNS event_id, value WITH HISTOGRAM").collect()
+      val histEst = estimate()
+      val filtered = graft.plans.IceFileIndex.dataFrame(s, t)
+        .where(col("value") <= 100.0)
+      val trueN = BigInt(filtered.count())
+      val histCloser = (histEst - trueN).abs < (uniformEst - trueN).abs
+      val histTight = histEst * 2 >= trueN && histEst <= trueN * 2
+      val uniformLoose = (uniformEst - trueN).abs * 2 > trueN
+      filtered.agg(count(lit(1)).as("cnt"),
+          sum(col("event_id")).cast("bigint").as("sum_id"))
+        .withColumn("hist_closer", lit(histCloser))
+        .withColumn("hist_tight", lit(histTight))
+        .withColumn("uniform_loose", lit(uniformLoose))
+    }),
     "b49_sql_branch_travel" -> ((s, d) => {
       // WAP validation in pure SQL, read side: the branch spelling now
       // composes with TIMESTAMP AS OF and table_changes(), so a writer
@@ -2691,6 +2729,13 @@ object SparkEntry {
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey " +
         "WHERE c_nationkey = 3 GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    // the aggregate is the DuckDB-checkable part; the booleans pin that
+    // the persisted equi-height histogram pulled the optimizer's range
+    // estimate within 2× of truth where the uniform estimate was off
+    "b50_cbo_histogram" ->
+      ("SELECT count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id, " +
+        "true AS hist_closer, true AS hist_tight, true AS uniform_loose " +
+        "FROM events WHERE value <= 100"),
     // DuckDB replays the branch head (seed ∪ insert batch, update
     // applied); the booleans pin SQL branch TIMESTAMP AS OF and
     // table_changes('t@wap', …) hash-matching their API twins

@@ -33,7 +33,12 @@ object TableStats {
   final case class ColumnStats(
       column: String, ndv: Long, nullCount: Long,
       min: Option[String], max: Option[String],
-      avgLen: Option[Long] = None, maxLen: Option[Long] = None)
+      avgLen: Option[Long] = None, maxLen: Option[Long] = None,
+      bins: Option[Seq[HistBin]] = None)
+  /** One equi-height histogram bin: [lo, hi] value window with its ndv.
+    * Bin height (rows per bin) is not stored — it is exactly
+    * `(rowCount - nullCount) / bins.size` by construction. */
+  final case class HistBin(lo: Double, hi: Double, ndv: Long)
   final case class Stats(
       analyzedAtMs: Long, rowCount: Long, exact: Boolean,
       columns: Seq[ColumnStats])
@@ -45,8 +50,16 @@ object TableStats {
     * default to every scalar column of the union schema (arrays/structs
     * and binary payloads are skipped — min/max over them is
     * meaningless). Returns the persisted stats. */
+  /** `histogramColumns`: numeric/date columns additionally get an
+    * EQUI-HEIGHT histogram (CBO's selectivity input for range predicates
+    * on skewed data — a uniform min/max interpolation on an exponential
+    * column mis-estimates by the skew factor). Costs two extra scans,
+    * exactly like Spark's own `ANALYZE`: one `percentile_approx` pass for
+    * the bin endpoints, one [[org.apache.spark.sql.graft.StatsBridge
+    * .ndvForIntervals]] pass for per-bin ndv. */
   def analyze(t: IceTable, columns: Seq[String] = Seq.empty,
-      exact: Boolean = false): Stats = {
+      exact: Boolean = false, histogramColumns: Seq[String] = Seq.empty,
+      histogramBins: Int = 64): Stats = {
     val df = t.read()
     val scalar = df.schema.fields.filter(f => f.dataType match {
       case _: org.apache.spark.sql.types.ArrayType => false
@@ -94,6 +107,48 @@ object TableStats {
       val i = row.fieldIndex(name)
       if (row.isNullAt(i)) None else Some(row.getLong(i))
     }
+    // histograms: two more scans over just the requested columns
+    val histByCol: Map[String, Seq[HistBin]] =
+      if (histogramColumns.isEmpty) Map.empty
+      else {
+        val hCols = histogramColumns.distinct
+        val bad = hCols.filterNot(c => df.schema.fields.exists(f =>
+          f.name.equalsIgnoreCase(c) && (f.dataType match {
+            case _: org.apache.spark.sql.types.NumericType => true
+            case org.apache.spark.sql.types.DateType => true
+            case org.apache.spark.sql.types.TimestampType => true
+            case _ => false
+          })))
+        require(bad.isEmpty,
+          s"analyze: histogram column(s) not numeric/date: ${bad.mkString(", ")}")
+        val unanalyzed = hCols.filterNot(h =>
+          cols.exists(_.equalsIgnoreCase(h)))
+        require(unanalyzed.isEmpty, "analyze: histogram column(s) not in " +
+          s"the analyzed column set: ${unanalyzed.mkString(", ")}")
+        val qs = (0 to histogramBins).map(_.toDouble / histogramBins)
+        val pctAggs = hCols.map(c => percentile_approx(
+          col(c).cast("double"), lit(qs.toArray), lit(10000)).as(s"_pct_$c"))
+        val pctRow = df.agg(pctAggs.head, pctAggs.tail: _*).head()
+        val endpoints: Map[String, Seq[Double]] = hCols.flatMap { c =>
+          val i = pctRow.fieldIndex(s"_pct_$c")
+          if (pctRow.isNullAt(i)) None // all-null column: no histogram
+          else Some(c -> pctRow.getSeq[Double](i))
+        }.toMap
+        if (endpoints.isEmpty) Map.empty
+        else {
+          val hc2 = endpoints.keys.toSeq
+          val ndvAggs = hc2.map(c => org.apache.spark.sql.graft.StatsBridge
+            .ndvForIntervals(col(c), endpoints(c)).as(s"_indv_$c"))
+          val ndvRow = df.agg(ndvAggs.head, ndvAggs.tail: _*).head()
+          hc2.map { c =>
+            val eps = endpoints(c)
+            val ndvs = ndvRow.getSeq[Long](ndvRow.fieldIndex(s"_indv_$c"))
+            c -> eps.sliding(2).toSeq.zip(ndvs).map {
+              case (Seq(lo, hi), n) => HistBin(lo, hi, n)
+            }
+          }.toMap
+        }
+      }
     val stats = Stats(
       analyzedAtMs = System.currentTimeMillis(),
       rowCount = row.getLong(row.fieldIndex("_n")),
@@ -102,7 +157,8 @@ object TableStats {
         ndv = row.getLong(row.fieldIndex(s"_ndv_$c")),
         nullCount = row.getLong(row.fieldIndex(s"_nul_$c")),
         min = str(s"_min_$c"), max = str(s"_max_$c"),
-        avgLen = lng(s"_alen_$c"), maxLen = lng(s"_mlen_$c"))))
+        avgLen = lng(s"_alen_$c"), maxLen = lng(s"_mlen_$c"),
+        bins = histByCol.get(c))))
     write(t, stats)
     stats
   }
@@ -118,7 +174,9 @@ object TableStats {
       "cols" -> (s.columns.map(c => Map(
         "c" -> c.column, "ndv" -> c.ndv, "nul" -> c.nullCount,
         "min" -> c.min.orNull, "max" -> c.max.orNull) ++
-        c.avgLen.map("alen" -> _) ++ c.maxLen.map("mlen" -> _)): Any))
+        c.avgLen.map("alen" -> _) ++ c.maxLen.map("mlen" -> _) ++
+        c.bins.map(bs => "hist" -> bs.map(b =>
+          Map("l" -> b.lo, "h" -> b.hi, "n" -> b.ndv)))): Any))
     val tmp = new Path(dir, s".tmp.${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -178,10 +236,19 @@ object TableStats {
           val c = cAny.asInstanceOf[scala.collection.Map[String, Any]]
           def s(k: String): Option[String] =
             c.get(k).filter(_ != null).map(_.toString)
+          def dbl(v: Any): Double = v match {
+            case d: java.lang.Double => d
+            case l: java.lang.Long => l.toDouble
+            case other => other.toString.toDouble
+          }
           ColumnStats(c("c").toString, long(c("ndv")), long(c("nul")),
             s("min"), s("max"),
             avgLen = c.get("alen").filter(_ != null).map(long),
-            maxLen = c.get("mlen").filter(_ != null).map(long))
+            maxLen = c.get("mlen").filter(_ != null).map(long),
+            bins = c.get("hist").map(_.asInstanceOf[Seq[Any]].map { bAny =>
+              val b = bAny.asInstanceOf[scala.collection.Map[String, Any]]
+              HistBin(dbl(b("l")), dbl(b("h")), long(b("n")))
+            }.toSeq))
         }.toSeq)
     }
   }
@@ -199,10 +266,12 @@ object TableStats {
       StructField("max", StringType, nullable = true),
       StructField("row_count", LongType, nullable = false),
       StructField("analyzed_at_ms", LongType, nullable = false),
-      StructField("exact", BooleanType, nullable = false)))
+      StructField("exact", BooleanType, nullable = false),
+      StructField("hist_bins", LongType, nullable = false)))
     val rows = read(t).toSeq.flatMap(s => s.columns.map(c =>
       org.apache.spark.sql.Row(c.column, c.ndv, c.nullCount,
-        c.min.orNull, c.max.orNull, s.rowCount, s.analyzedAtMs, s.exact)))
+        c.min.orNull, c.max.orNull, s.rowCount, s.analyzedAtMs, s.exact,
+        c.bins.map(_.size.toLong).getOrElse(0L))))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)
   }

@@ -134,7 +134,7 @@ object GraftSqlParser {
     // ANALYZE TABLE (Spark's own spelling + a non-standard EXACT suffix
     // for small tables / grading; default ndv is HLL++, the 100 TB path)
     val analyzeRe = re(
-      s"""\\s*ANALYZE\\s+TABLE\\s+$c\\.$ident\\s+COMPUTE\\s+STATISTICS(?:\\s+FOR\\s+COLUMNS\\s+([^;]+?))?(\\s+EXACT)?\\s*;?\\s*""")
+      s"""\\s*ANALYZE\\s+TABLE\\s+$c\\.$ident\\s+COMPUTE\\s+STATISTICS(?:\\s+FOR\\s+COLUMNS\\s+([^;]+?))?(\\s+EXACT)?(\\s+WITH\\s+HISTOGRAM)?\\s*;?\\s*""")
     // WAP branches (Iceberg's ALTER TABLE spellings): see graft.ice.Branch
     val branchRe = re(
       s"""\\s*ALTER\\s+TABLE\\s+$c\\.$ident\\s+(CREATE|PUBLISH|DROP)\\s+BRANCH\\s+([A-Za-z0-9_-]+)\\s*;?\\s*""")
@@ -193,7 +193,8 @@ object GraftSqlParser {
       }
       val cols = colsRaw.toSeq.flatMap(_.split(",").toSeq)
         .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
-      return Some(GraftAnalyzeCommand(name(anm, 1), cols, exact))
+      return Some(GraftAnalyzeCommand(name(anm, 1), cols, exact,
+        histogram = anm.group(5) != null))
     }
 
     val brm = branchRe.matcher(sqlText)
@@ -536,11 +537,15 @@ object GraftSqlParser {
     * the first dv commit restores the dv state to "no marks" — every
     * current mark file tombstones. */
   /** `ANALYZE TABLE graft.<t> COMPUTE STATISTICS [FOR COLUMNS c, ...]
-    * [EXACT]` → [[graft.ice.TableStats.analyze]]: one scan, stats
-    * persisted beside the log, consumed by `table_stats('t')` and the
-    * bloom-filter auto-sizing. Returns the analyzed column rows. */
+    * [EXACT] [WITH HISTOGRAM]` → [[graft.ice.TableStats.analyze]]: one
+    * scan, stats persisted beside the log, consumed by `table_stats('t')`
+    * and the bloom-filter auto-sizing. WITH HISTOGRAM additionally builds
+    * equi-height histograms over the numeric/date columns of the FOR
+    * COLUMNS list (CBO range-selectivity on skewed data). Returns the
+    * analyzed column rows. */
   final case class GraftAnalyzeCommand(
-      name: String, cols: Seq[String], exact: Boolean)
+      name: String, cols: Seq[String], exact: Boolean,
+      histogram: Boolean = false)
       extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(
       AR("column", StringType, nullable = false)(),
@@ -552,8 +557,25 @@ object GraftSqlParser {
         case None => throw new IllegalArgumentException(
           s"graft table '$name' does not exist")
         case Some(root) =>
+          val t = IceTable.open(session, root)
+          val histCols =
+            if (!histogram) Seq.empty
+            else {
+              // numeric/date subset of the requested (or all-scalar) list
+              val schema = t.read().schema
+              val requested =
+                if (cols.nonEmpty) cols
+                else schema.fields.map(_.name).toSeq
+              requested.filter(c => schema.fields.exists(f =>
+                f.name.equalsIgnoreCase(c) && (f.dataType match {
+                  case _: org.apache.spark.sql.types.NumericType => true
+                  case org.apache.spark.sql.types.DateType => true
+                  case org.apache.spark.sql.types.TimestampType => true
+                  case _ => false
+                })))
+            }
           val s = graft.ice.TableStats.analyze(
-            IceTable.open(session, root), cols, exact)
+            t, cols, exact, histogramColumns = histCols)
           s.columns.map(c => Row(c.column, c.ndv, c.nullCount, s.rowCount))
       }
   }

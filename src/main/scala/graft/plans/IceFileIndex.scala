@@ -248,10 +248,19 @@ object IceFileIndex {
         val types = snap.schema.toStructType.fields
           .map(f => f.name -> f.dataType).toMap
         val colStats = st.columns.flatMap { cs =>
-          types.get(cs.column).map(dt => cs.column ->
-            org.apache.spark.sql.graft.StatsBridge.columnStat(
+          types.get(cs.column).map { dt =>
+            // equi-height histogram (if analyzed): bin height is exactly
+            // non-null rows / bins by construction, so it is recomputed
+            // here rather than persisted
+            val hist = cs.bins.filter(_.nonEmpty).map { bs =>
+              org.apache.spark.sql.graft.StatsBridge.histogram(
+                math.max(0L, st.rowCount - cs.nullCount).toDouble / bs.size,
+                bs.map(b => (b.lo, b.hi, b.ndv)))
+            }
+            cs.column -> org.apache.spark.sql.graft.StatsBridge.columnStat(
               cs.column, dt, cs.ndv, cs.nullCount, cs.min, cs.max,
-              cs.avgLen, cs.maxLen))
+              cs.avgLen, cs.maxLen, hist)
+          }
         }.toMap
         org.apache.spark.sql.graft.StatsBridge.planWithStats(
           spark, rel, new Path(table.root).getName,

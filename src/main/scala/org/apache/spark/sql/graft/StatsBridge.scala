@@ -1,8 +1,11 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics, CatalogStorageFormat, CatalogTable, CatalogTableType}
+import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.ApproxCountDistinctForIntervals
+import org.apache.spark.sql.catalyst.plans.logical.{Histogram, HistogramBin}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.types.{BooleanType, DataType, DateType, NumericType, TimestampNTZType, TimestampType}
@@ -26,10 +29,27 @@ object StatsBridge {
     * is dropped — a malformed bound would otherwise throw mid-planning
     * on every query touching the relation. String/binary bounds are
     * never attached (Catalyst plan stats do not model them). */
+  /** One-pass per-interval ndv aggregate over `c` against sorted DOUBLE
+    * `endpoints` — the same internal aggregate Spark's own
+    * `ANALYZE ... FOR COLUMNS` uses to build equi-height histograms
+    * ([[ApproxCountDistinctForIntervals]] is catalyst-internal; this is
+    * its in-package exposure). Returns `endpoints.length - 1` ndvs. */
+  def ndvForIntervals(c: Column, endpoints: Seq[Double]): Column =
+    ColumnBridge.column(
+      ApproxCountDistinctForIntervals(
+        ColumnBridge.expression(c.cast("double")),
+        CreateArray(endpoints.map(Literal(_))), 0.05, 0, 0)
+        .toAggregateExpression())
+
+  /** Catalyst equi-height histogram from (lo, hi, ndv) bins. */
+  def histogram(height: Double, bins: Seq[(Double, Double, Long)]): Histogram =
+    Histogram(height, bins.map(b => HistogramBin(b._1, b._2, b._3)).toArray)
+
   def columnStat(
       name: String, dt: DataType, ndv: Long, nullCount: Long,
       min: Option[String], max: Option[String],
-      avgLen: Option[Long], maxLen: Option[Long]): CatalogColumnStat = {
+      avgLen: Option[Long], maxLen: Option[Long],
+      histogram: Option[Histogram] = None): CatalogColumnStat = {
     def ok(v: Option[String]): Option[String] = dt match {
       case _: NumericType | DateType | TimestampType | TimestampNTZType |
           BooleanType =>
@@ -42,7 +62,7 @@ object StatsBridge {
       min = ok(min), max = ok(max),
       nullCount = Some(BigInt(nullCount)),
       avgLen = avgLen, maxLen = maxLen,
-      histogram = None, version = 1)
+      histogram = histogram, version = 1)
   }
 
   /** `relation` as a DataFrame whose [[LogicalRelation]] carries a

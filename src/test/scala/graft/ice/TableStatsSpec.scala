@@ -156,6 +156,43 @@ class TableStatsSpec extends SparkSpec {
         col("did") === col("id")).count() === 50L)
   }
 
+  test("equi-height histogram: persisted, round-trips, sharpens skewed estimates") {
+    val t = new IceTable(spark, tmpDir("ts_hist"), IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("id")))
+    // strongly right-skewed: v = id^2 / 1000 over id<1000 — half the rows
+    // sit under max/4, where a uniform interpolation puts a quarter
+    t.insert(spark.range(1000).select(col("id"),
+      (col("id") * col("id") / 1000.0).as("v")))
+    val s = TableStats.analyze(t, Seq("id", "v"),
+      histogramColumns = Seq("v"), histogramBins = 16)
+    val vs = s.columns.find(_.column == "v").get
+    assert(vs.bins.exists(_.size === 16))
+    val bins = vs.bins.get
+    assert(bins.head.lo <= bins.head.hi && bins.last.hi >= 990.0)
+    assert(bins.sliding(2).forall { case Seq(a, b) => a.hi <= b.lo + 1e-9 })
+    // persisted: a fresh handle reads the same bins back
+    val back = TableStats.read(new IceTable(spark, t.root,
+      IceTableConfig(lit("all"), Seq("id")))).get
+    assert(back.columns.find(_.column == "v").get.bins.get === bins)
+    // the estimate flip: uniform puts `v <= max/4` at ~25%; the histogram
+    // knows it is ~half. Compare optimizer rowCounts under CBO.
+    def estimate(): BigInt = {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      try graft.plans.IceFileIndex.dataFrame(spark, t)
+        .where(col("v") <= 249.0)
+        .queryExecution.optimizedPlan.stats.rowCount.getOrElse(BigInt(-1))
+      finally spark.conf.set("spark.sql.cbo.enabled", "false")
+    }
+    val histEst = estimate()
+    TableStats.analyze(t, Seq("id", "v")) // re-analyze WITHOUT histogram
+    val uniformEst = estimate()
+    val trueN = BigInt(499) // id^2/1000 <= 249 ⇔ id <= 499
+    assert((histEst - trueN).abs < (uniformEst - trueN).abs,
+      s"hist $histEst should beat uniform $uniformEst against true $trueN")
+    assert(histEst * 2 >= trueN && histEst <= trueN * 2,
+      s"hist estimate $histEst not within 2x of $trueN")
+  }
+
   test("table_stats TVF + ANALYZE statement; never-analyzed is empty") {
     val t = mkTable("ts_sql")
     val f = new java.io.File(t.root)
