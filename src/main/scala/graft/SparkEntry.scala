@@ -492,6 +492,63 @@ object SparkEntry {
         off.head.startsWith("graft_cbo_li") && off.last.startsWith("graft_cbo_cust")
       shape().withColumn("reordered", lit(reordered))
     }),
+    "b51_skew_join" -> ((s, d) => {
+      // skew-salted join (Skew.saltedJoin): 90% of rows share one hot key
+      // — the classic power-law shape that stalls a plain shuffle join on
+      // one straggler task at cluster scale. Salting spreads the hot key
+      // over 8 buckets (the dim side replicates 8×); the result must
+      // hash-match the UNSALTED join DuckDB computes, proving the rewrite
+      // is semantics-preserving, not just faster.
+      val ev = Fixtures.raw(s, d, "events")
+        .select(col("event_id"), col("user_id"))
+        .withColumn("k",
+          when(pmod(col("user_id"), lit(100)) < 90, lit(0L))
+            .otherwise(pmod(col("user_id"), lit(100))))
+      val dim = ev.select(col("k")).distinct()
+        .withColumn("label", col("k") * 7)
+      graft.operators.Skew.saltedJoin(ev, dim, Seq("k"), buckets = 8)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("event_id")).cast("bigint").as("sum_id"))
+        .orderBy(col("label"))
+    }),
+    "b52_runtime_filter" -> ((s, d) => {
+      // runtime BLOOM-FILTER pushdown (InjectRuntimeFilter): a selective
+      // dimension filter materializes a bloom filter over the join keys
+      // and applies it MAP-SIDE on the fact scan before the shuffle — at
+      // 100 TB this drops the shuffled fact volume to the matching keys'
+      // fraction without bucketing or DPP. Broadcast is disabled so the
+      // join shuffles (the case runtime filters exist for); the boolean
+      // pins a node-typed BloomFilterMightContain in the executed plan.
+      val lt = Fixtures.lineitemIce(s, d)
+      val ot = Fixtures.cboOrders(s, d)
+      def shape(): org.apache.spark.sql.DataFrame =
+        graft.plans.IceFileIndex.dataFrame(s, lt)
+          .join(graft.plans.IceFileIndex.dataFrame(s, ot)
+            .where(col("o_custkey") === 7L),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("l_quantity")).cast("bigint").as("sum_qty"))
+          .orderBy(col("o_orderstatus"))
+      val keys = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold")
+      val saved = keys.map(k => k -> s.conf.getOption(k))
+      s.conf.set(keys(0), "true")
+      s.conf.set(keys(1), "0")
+      s.conf.set(keys(2), "-1")
+      try {
+        val injected = shape().queryExecution.sparkPlan.flatMap(_.expressions)
+          .exists(_.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]))
+        shape().withColumn("bloom_injected", lit(injected))
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
     "b50_cbo_histogram" -> ((s, d) => {
       // CBO phase 3 — EQUI-HEIGHT HISTOGRAMS from persisted ANALYZE: on
       // the right-skewed `value` column (p50 ≈ 35, max ≈ 490), a range
@@ -2729,6 +2786,21 @@ object SparkEntry {
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey " +
         "WHERE c_nationkey = 3 GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    // the salted rewrite must be invisible in the result: DuckDB computes
+    // the PLAIN join over the same skewed key
+    "b51_skew_join" ->
+      ("WITH ev AS (SELECT event_id, user_id, " +
+        "CASE WHEN user_id % 100 < 90 THEN 0 ELSE user_id % 100 END AS k FROM events), " +
+        "dim AS (SELECT DISTINCT k, k * 7 AS label FROM ev) " +
+        "SELECT label, count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id " +
+        "FROM ev JOIN dim USING (k) GROUP BY label ORDER BY label"),
+    // the aggregate is the DuckDB-checkable part; the boolean pins the
+    // node-typed bloom filter in the shuffling plan
+    "b52_runtime_filter" ->
+      ("SELECT o_orderstatus, count(*) AS cnt, " +
+        "CAST(sum(l_quantity) AS BIGINT) AS sum_qty, true AS bloom_injected " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE o_custkey = 7 GROUP BY o_orderstatus ORDER BY o_orderstatus"),
     // the aggregate is the DuckDB-checkable part; the booleans pin that
     // the persisted equi-height histogram pulled the optimizer's range
     // estimate within 2× of truth where the uniform estimate was off
