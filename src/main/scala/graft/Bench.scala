@@ -335,8 +335,13 @@ object Bench {
     val sf1Names = Seq("b6_group_agg", "b10_quantiles", "b11_topk",
       "join_star_schema", "llm_minhash_dedup")
     val sf1Times = scala.collection.mutable.LinkedHashMap.empty[String, Timed]
+    // sf1 failures stay OUT of `errors` (which rides the parsed contract
+    // line): the experimental tier must not degrade a green sf0.1 run
+    val sf1Errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var sf1SynthSec = -1.0
     var sf1LoadSec = -1.0
+    var sf1Synthesized: Option[String] = None
+    var sf1Table: Option[String] = None
     try {
       val sf1Dir = sys.env.get("SPARK_GRAFT_SF1_DIR")
         .orElse(Option("/root/testdata/sf1")
@@ -366,10 +371,12 @@ object Bench {
                 transform(split(col("text"), " "), (w, ix) =>
                   when(ix % 3 === 0, concat(lit(s"q${i}x"), w)).otherwise(w)))))
           sf1SynthSec = (System.nanoTime() - t0) / 1e9
+          sf1Synthesized = Some(dest)
           dest
         }
       val tl0 = System.nanoTime()
-      Fixtures.lineitemIce(spark, sf1Dir) // the tier's own ingest, timed apart
+      // the tier's own ingest, timed apart
+      sf1Table = Some(Fixtures.lineitemIce(spark, sf1Dir).root)
       sf1LoadSec = (System.nanoTime() - tl0) / 1e9
       sf1Names.foreach { name =>
         // reps=1 by design (the tier watches for cliffs, not variance);
@@ -377,13 +384,23 @@ object Bench {
         // plan shapes
         try sf1Times(name) = timed(nReps = 1)() { qs(name)(spark, sf1Dir).count() }
         catch { case e: Throwable =>
-          errors(s"sf1_$name") = Option(e.getMessage)
+          sf1Errors(name) = Option(e.getMessage)
             .getOrElse(e.getClass.getName)
             .replaceAll("[\"\\n\\r]", " ").take(200)
         }
       }
     } catch { case e: Throwable =>
+      sf1Errors("tier") = Option(e.getMessage).getOrElse(e.getClass.getName)
+        .replaceAll("[\"\\n\\r]", " ").take(200)
       System.err.println(s"[bench] sf1 tier failed: ${e.getMessage}")
+    } finally {
+      // free the tier's scratch before the synthetic sections write their
+      // tens of GB — leftover gigabytes on tmpfs shrink headroom toward
+      // ENOSPC and add writeback pressure to the timings that follow
+      (sf1Synthesized.toSeq ++ sf1Table.toSeq).foreach { d =>
+        try org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(d))
+        catch { case _: Exception => () }
+      }
     }
 
     // The reference's own synthetic ingest benchmark, replicated: 6M small
@@ -781,8 +798,10 @@ object Bench {
     // and for bench_out.json.
     val sf1Json = sf1Times.map { case (k, v) =>
       s""""$k":${f(v.wallSec)}""" }.mkString("{", ",", "}")
+    val sf1ErrJson = sf1Errors.map { case (k, v) =>
+      s""""$k":"$v"""" }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"queries_cpu":$qCpuJson,"queries_sf1":$sf1Json,"sf1_synth_sec":${f(sf1SynthSec)},"sf1_load_sec":${f(sf1LoadSec)},"errors":$eJson,"load_cpu_sec":${f(loadCpuSec)},$sectionCpuJson,$common}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"queries_cpu":$qCpuJson,"queries_sf1":$sf1Json,"sf1_errors":$sf1ErrJson,"sf1_synth_sec":${f(sf1SynthSec)},"sf1_load_sec":${f(sf1LoadSec)},"errors":$eJson,"load_cpu_sec":${f(loadCpuSec)},$sectionCpuJson,$common}"""
     // The driver captures only the LAST ~2000 chars of stdout and parses
     // the final complete JSON line inside that window. The degradation
     // history: r6 the line outgrew the window (`parsed: null`); r7 and r10

@@ -540,10 +540,18 @@ object SparkEntry {
       s.conf.set(keys(1), "0")
       s.conf.set(keys(2), "-1")
       try {
-        val injected = shape().queryExecution.sparkPlan.flatMap(_.expressions)
+        // probe AND execute inside the conf window: a lazily-returned
+        // frame would re-plan after the finally restores the session
+        // confs, and the boolean would attest a plan that never ran
+        val df = shape()
+        val injected = df.queryExecution.sparkPlan.flatMap(_.expressions)
           .exists(_.exists(
             _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]))
-        shape().withColumn("bloom_injected", lit(injected))
+        val rows = df.withColumn("bloom_injected", lit(injected)).collect()
+        val schema = df.schema.add("bloom_injected",
+          org.apache.spark.sql.types.BooleanType, nullable = false)
+        s.createDataFrame(
+          java.util.Arrays.asList(rows: _*), schema)
       } finally saved.foreach {
         case (k, Some(v)) => s.conf.set(k, v)
         case (k, None) => s.conf.unset(k)

@@ -2096,8 +2096,13 @@ final class IceTable(
     // lock-machinery debris: steal/release graveyards and failed fence
     // temps ([[TableLock]]) are root-level one-off files that would
     // otherwise accumulate forever; they are dead the moment they exist,
-    // so age them out with the same cutoff
-    fsys.listStatus(new Path(root)).foreach { st =>
+    // so age them out with the same cutoff. Guarded like the other
+    // sweeps: with the lock disabled nothing ever created the root dir
+    val rootPath = new Path(root)
+    val rootListing =
+      if (fsys.exists(rootPath)) fsys.listStatus(rootPath)
+      else Array.empty[org.apache.hadoop.fs.FileStatus]
+    rootListing.foreach { st =>
       val n = st.getPath.getName
       if ((n.startsWith(".graft.lock.stale.") ||
             n.startsWith(".graft.fence.tmp.")) &&

@@ -50,7 +50,7 @@ object TableStats {
     * default to every scalar column of the union schema (arrays/structs
     * and binary payloads are skipped — min/max over them is
     * meaningless). Returns the persisted stats. */
-  /** `histogramColumns`: numeric/date columns additionally get an
+  /** `histogramColumns`: NUMERIC columns additionally get an
     * EQUI-HEIGHT histogram (CBO's selectivity input for range predicates
     * on skewed data — a uniform min/max interpolation on an exponential
     * column mis-estimates by the skew factor). Costs two extra scans,
@@ -111,16 +111,21 @@ object TableStats {
     val histByCol: Map[String, Seq[HistBin]] =
       if (histogramColumns.isEmpty) Map.empty
       else {
+        require(histogramBins >= 1,
+          s"analyze: histogramBins must be >= 1, got $histogramBins")
+        // NUMERIC columns only: the endpoint pass casts to double (a cast
+        // Spark forbids for DATE), and Catalyst's estimator reads
+        // timestamp predicates in internal MICROSECONDS — a seconds-based
+        // histogram would misestimate by 1e6×. Date/time histograms need
+        // their own unit mapping; refuse rather than silently mislead.
         val hCols = histogramColumns.distinct
         val bad = hCols.filterNot(c => df.schema.fields.exists(f =>
           f.name.equalsIgnoreCase(c) && (f.dataType match {
             case _: org.apache.spark.sql.types.NumericType => true
-            case org.apache.spark.sql.types.DateType => true
-            case org.apache.spark.sql.types.TimestampType => true
             case _ => false
           })))
         require(bad.isEmpty,
-          s"analyze: histogram column(s) not numeric/date: ${bad.mkString(", ")}")
+          s"analyze: histogram column(s) not numeric: ${bad.mkString(", ")}")
         val unanalyzed = hCols.filterNot(h =>
           cols.exists(_.equalsIgnoreCase(h)))
         require(unanalyzed.isEmpty, "analyze: histogram column(s) not in " +
@@ -158,7 +163,11 @@ object TableStats {
         nullCount = row.getLong(row.fieldIndex(s"_nul_$c")),
         min = str(s"_min_$c"), max = str(s"_max_$c"),
         avgLen = lng(s"_alen_$c"), maxLen = lng(s"_mlen_$c"),
-        bins = histByCol.get(c))))
+        // case-insensitive like the validation above — an exact-match
+        // lookup would silently drop a case-differing histogram request
+        bins = histByCol.collectFirst {
+          case (k, v) if k.equalsIgnoreCase(c) => v
+        })))
     write(t, stats)
     stats
   }

@@ -43,6 +43,8 @@ import graft.ice.{DeleteVectors, IceTable, IceTableConfig}
   *                                               --  the read side's spelling)
   *   ANALYZE TABLE graft.t COMPUTE STATISTICS    -- persisted column stats
   *     [FOR COLUMNS c1, ...] [EXACT]             -- (HLL++ ndv by default)
+  *     [WITH HISTOGRAM]                          -- equi-height histograms
+  *                                               -- (numeric columns)
   *   OPTIMIZE graft.t                            -- full-table compaction
   *   OPTIMIZE graft.t ZORDER BY (c1, ...)        -- Z-value recluster
   *   VACUUM graft.t [RETAIN <n> HOURS]           -- tombstone cleanup + dv vacuum
@@ -540,7 +542,7 @@ object GraftSqlParser {
     * [EXACT] [WITH HISTOGRAM]` → [[graft.ice.TableStats.analyze]]: one
     * scan, stats persisted beside the log, consumed by `table_stats('t')`
     * and the bloom-filter auto-sizing. WITH HISTOGRAM additionally builds
-    * equi-height histograms over the numeric/date columns of the FOR
+    * equi-height histograms over the numeric columns of the FOR
     * COLUMNS list (CBO range-selectivity on skewed data). Returns the
     * analyzed column rows. */
   final case class GraftAnalyzeCommand(
@@ -566,11 +568,11 @@ object GraftSqlParser {
               val requested =
                 if (cols.nonEmpty) cols
                 else schema.fields.map(_.name).toSeq
+              // NUMERIC only — TableStats refuses date/timestamp
+              // histograms (estimator-unit mismatch; see its scaladoc)
               requested.filter(c => schema.fields.exists(f =>
                 f.name.equalsIgnoreCase(c) && (f.dataType match {
                   case _: org.apache.spark.sql.types.NumericType => true
-                  case org.apache.spark.sql.types.DateType => true
-                  case org.apache.spark.sql.types.TimestampType => true
                   case _ => false
                 })))
             }

@@ -274,11 +274,21 @@ final class IceS3Proxy(table: IceTable, maxKeysCap: Int = 1000,
     // `chaosMax` total injections; a cap BELOW the client's retry budget
     // makes overall success deterministic even if every injection lands
     // on one fetch's successive attempts
+    // atomic claim of a chaos slot: a check-then-increment would let two
+    // concurrent handlers both observe cap-1 and overshoot the cap — the
+    // determinism argument above needs the cap to be exact
+    def claimChaosSlot(): Boolean = {
+      var cur = chaosInjected.get()
+      while (cur < chaosMax) {
+        if (chaosInjected.compareAndSet(cur, cur + 1)) return true
+        cur = chaosInjected.get()
+      }
+      false
+    }
     val chaos = chaosEveryN > 0 &&
       chaosCounter.incrementAndGet() % chaosEveryN == 0 &&
-      chaosInjected.get() < chaosMax
-    val toSend = if (chaos) { chaosInjected.incrementAndGet(); (n + 1) / 2 }
-      else n
+      claimChaosSlot()
+    val toSend = if (chaos) (n + 1) / 2 else n
     val in = fs.open(p)
     try {
       if (off > 0) in.seek(off)
