@@ -798,10 +798,12 @@ object Bench {
     // and for bench_out.json.
     val sf1Json = sf1Times.map { case (k, v) =>
       s""""$k":${f(v.wallSec)}""" }.mkString("{", ",", "}")
+    val sf1CpuJson = sf1Times.map { case (k, v) =>
+      s""""$k":${f(v.cpuSec)}""" }.mkString("{", ",", "}")
     val sf1ErrJson = sf1Errors.map { case (k, v) =>
       s""""$k":"$v"""" }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"queries_cpu":$qCpuJson,"queries_sf1":$sf1Json,"sf1_errors":$sf1ErrJson,"sf1_synth_sec":${f(sf1SynthSec)},"sf1_load_sec":${f(sf1LoadSec)},"errors":$eJson,"load_cpu_sec":${f(loadCpuSec)},$sectionCpuJson,$common}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"queries_cpu":$qCpuJson,"queries_sf1":$sf1Json,"queries_sf1_cpu":$sf1CpuJson,"sf1_errors":$sf1ErrJson,"sf1_synth_sec":${f(sf1SynthSec)},"sf1_load_sec":${f(sf1LoadSec)},"errors":$eJson,"load_cpu_sec":${f(loadCpuSec)},$sectionCpuJson,$common}"""
     // The driver captures only the LAST ~2000 chars of stdout and parses
     // the final complete JSON line inside that window. The degradation
     // history: r6 the line outgrew the window (`parsed: null`); r7 and r10

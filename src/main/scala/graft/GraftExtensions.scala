@@ -37,6 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (every other surface applies the overlay itself) — see
     // [[graft.plans.IceDvOverlay]]
     e.injectResolutionRule(sp => new graft.plans.IceDvOverlay(sp))
+    // metadata-only count(*): groupless filterless counts over ice
+    // relations answer from the log's per-file row counts with zero
+    // data-file I/O — see [[org.apache.spark.sql.graft.MetadataOnlyCount]]
+    e.injectOptimizerRule(sp =>
+      new org.apache.spark.sql.graft.MetadataOnlyCount(sp))
     // `SELECT ... FROM table_changes('t', since[, until])` — the change
     // feed's SQL spelling (Delta's CDF TVF shape). A registry TVF, not a
     // resolution rule: ResolveFunctions fails unknown TVFs before

@@ -492,6 +492,27 @@ object SparkEntry {
         off.head.startsWith("graft_cbo_li") && off.last.startsWith("graft_cbo_cust")
       shape().withColumn("reordered", lit(reordered))
     }),
+    "b53_meta_count" -> ((s, d) => {
+      // metadata-only count(*): every written file's physical row count
+      // rides its log marker (`rc`, from the footer at write time), so a
+      // groupless filterless count answers from the snapshot fold alone —
+      // planned as a LocalRelation, ZERO data-file I/O, zero tasks. At
+      // 100 TB this is the difference between a full-corpus scan and a
+      // KB-scale metadata fold. The booleans pin BOTH directions: the
+      // bare count really is metadata-only, and a filtered count still
+      // scans (Filter blocks the rewrite — correctness over speed).
+      val t = Fixtures.lineitemIce(s, d)
+      val base = graft.plans.IceFileIndex.dataFrame(s, t)
+      val cnt = base.agg(count(lit(1)).as("cnt"))
+      def isLocal(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.optimizedPlan
+          .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+      val metaOnly = isLocal(cnt)
+      val filteredScans = !isLocal(
+        base.where(col("l_quantity") > 25).agg(count(lit(1)).as("cnt")))
+      cnt.withColumn("metadata_only", lit(metaOnly))
+        .withColumn("filtered_scans", lit(filteredScans))
+    }),
     "b51_skew_join" -> ((s, d) => {
       // skew-salted join (Skew.saltedJoin): 90% of rows share one hot key
       // — the classic power-law shape that stalls a plain shuffle join on
@@ -2794,6 +2815,11 @@ object SparkEntry {
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey " +
         "WHERE c_nationkey = 3 GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    // DuckDB counts the raw rows; the booleans pin the LocalRelation
+    // rewrite on the bare count and the scan fallback under a filter
+    "b53_meta_count" ->
+      ("SELECT count(*) AS cnt, true AS metadata_only, true AS filtered_scans " +
+        "FROM lineitem"),
     // the salted rewrite must be invisible in the result: DuckDB computes
     // the PLAIN join over the same skewed key
     "b51_skew_join" ->

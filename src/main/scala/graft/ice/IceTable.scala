@@ -950,23 +950,24 @@ final class IceTable(
         }
     }
     f.delete(tmpPath, true)
-    // footer stats fan out on the bounded pool (leaf-only reads): a
-    // 10³-partition insert against an object store would otherwise pay
-    // 10³ sequential footer GETs on the driver
-    val statsByRel: Map[String, Map[String, (String, String)]] =
-      if (statsCols.isEmpty) Map.empty
-      else {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
-        implicit val ec: scala.concurrent.ExecutionContext = IceTable.insertPool
-        Await.result(
-          Future.traverse(renamed.toSeq) { case (rel, dest, _) =>
-            Future(rel -> footerStatsAll(dest))
-          }, Duration.Inf).toMap
-      }
+    // footer reads (row count + stats) fan out on the bounded pool
+    // (leaf-only reads): a 10³-partition insert against an object store
+    // would otherwise pay 10³ sequential footer GETs on the driver
+    val infoByRel: Map[String, (Option[Long], Map[String, (String, String)])] = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext = IceTable.insertPool
+      Await.result(
+        Future.traverse(renamed.toSeq) { case (rel, dest, _) =>
+          Future(rel -> footerInfo(dest))
+        }, Duration.Inf).toMap
+    }
     renamed.toSeq.map { case (rel, _, len) =>
-      val (primary, extra) = splitStats(statsByRel.getOrElse(rel, Map.empty))
-      FileMarker(rel, now(), len, stats = primary, multiStats = extra)
+      val (rc, statsAll) = infoByRel.getOrElse(rel,
+        (Option.empty[Long], Map.empty[String, (String, String)]))
+      val (primary, extra) = splitStats(statsAll)
+      FileMarker(rel, now(), len, stats = primary, multiStats = extra,
+        rowCount = rc)
     }
   }
 
@@ -979,13 +980,29 @@ final class IceTable(
     * is omitted when absent/non-primitive or any row group lacks stats for
     * it — the marker then stays conservatively un-prunable on that column
     * (other columns still record). */
-  private def footerStatsAll(dest: Path): Map[String, (String, String)] = {
-    val cols = statsCols
-    if (cols.isEmpty) return Map.empty
+  /** ONE footer open per written file: physical row count (for the `rc`
+    * marker field — metadata-only `count(*)` at read time) plus the
+    * configured columns' `[min, max]`. The row count comes from the same
+    * footer the stats do, so tables with stats configured pay nothing
+    * extra; stats-less tables pay one footer read per NEW file at write
+    * time — the file was just written, its footer is hot. */
+  private def footerInfo(dest: Path)
+      : (Option[Long], Map[String, (String, String)]) = {
     try {
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(dest, hadoopConf))
-      try {
+      try (Some(reader.getRecordCount), footerStatsAll(reader))
+      finally reader.close()
+    } catch { case _: Exception => (None, Map.empty) }
+  }
+
+  private def footerStatsAll(
+      reader: org.apache.parquet.hadoop.ParquetFileReader)
+      : Map[String, (String, String)] = {
+    val cols = statsCols
+    if (cols.isEmpty) return Map.empty
+    try {
+      {
         val wanted = cols.toSet
         val min = mutable.Map.empty[String, Comparable[Any]]
         val max = mutable.Map.empty[String, Comparable[Any]]
@@ -1014,7 +1031,7 @@ final class IceTable(
         if (!nonEmpty) Map.empty
         else cols.filter(c => !bad(c) && min.contains(c))
           .map(c => c -> (statString(min(c)), statString(max(c)))).toMap
-      } finally reader.close()
+      }
     } catch { case _: Exception => Map.empty }
   }
 
@@ -1361,9 +1378,10 @@ final class IceTable(
     if (!f.rename(file.getPath, dest))
       throw new java.io.IOException(s"failed to finalize $dest")
     f.delete(new Path(tmp), true)
-    val (primary, extra) = splitStats(footerStatsAll(dest))
+    val (rc, statsAll) = footerInfo(dest)
+    val (primary, extra) = splitStats(statsAll)
     FileMarker(destRel, now(), f.getFileStatus(dest).getLen,
-      stats = primary, multiStats = extra)
+      stats = primary, multiStats = extra, rowCount = rc)
   }
 
   // ------------------------------------------------------------- merge (A10)
@@ -1833,9 +1851,10 @@ final class IceTable(
       f.mkdirs(dest.getParent)
       if (!f.rename(st.getPath, dest))
         throw new java.io.IOException(s"failed to finalize $dest")
-      val (primary, extra) = splitStats(footerStatsAll(dest))
+      val (rc, statsAll) = footerInfo(dest)
+      val (primary, extra) = splitStats(statsAll)
       FileMarker(rel, now(), f.getFileStatus(dest).getLen,
-        stats = primary, multiStats = extra)
+        stats = primary, multiStats = extra, rowCount = rc)
     }
     f.delete(new Path(tmp), true)
     markers

@@ -28,11 +28,18 @@ final case class FileMarker(
     tombstone: Option[Long] = None,
     virSourceLogFile: Option[String] = None,
     stats: Option[(String, String)] = None,
-    multiStats: Map[String, (String, String)] = Map.empty) {
+    multiStats: Map[String, (String, String)] = Map.empty,
+    /** `"rc"`: the file's PHYSICAL row count from its parquet footer,
+      * captured at write time — the metadata-only `count(*)` input.
+      * Optional like `st`/`stm`: reference-written logs (and pre-field
+      * history) parse as None, and any alive rc-less file disables the
+      * fast count rather than corrupting it. */
+    rowCount: Option[Long] = None) {
 
   def json: String = {
     val base = Seq("p" -> (path: Any), "b" -> (fileBytes: Any), "t" -> (createdMs: Any))
-    val withTmb = tombstone.fold(base)(t => base :+ ("tmb" -> (t: Any)))
+    val withRc = rowCount.fold(base)(n => base :+ ("rc" -> (n: Any)))
+    val withTmb = tombstone.fold(withRc)(t => withRc :+ ("tmb" -> (t: Any)))
     val withSt = stats.fold(withTmb)(s =>
       withTmb :+ ("st" -> (Seq(s._1, s._2): Any)))
     val withStm =
@@ -60,6 +67,7 @@ object FileMarker {
       m("b").asInstanceOf[Long],
       m.get("tmb").map(_.asInstanceOf[Long]),
       virSourceLogFile = m.get("vsl").map(_.toString),
+      rowCount = m.get("rc").map(_.asInstanceOf[Long]),
       stats = m.get("st").collect {
         case s: scala.collection.Seq[_] if s.length == 2 =>
           (s(0).toString, s(1).toString)

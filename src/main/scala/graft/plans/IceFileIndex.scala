@@ -173,6 +173,18 @@ final class IceFileIndex(
   override def refresh(): Unit = ()
 
   override def sizeInBytes: Long = snap.aliveFiles.map(_.fileBytes).sum
+
+  /** Sum of the alive files' recorded physical row counts, defined only
+    * when EVERY alive marker carries one — the metadata-only `count(*)`
+    * input ([[org.apache.spark.sql.graft.MetadataOnlyCount]]). A single
+    * rc-less file (reference-written log, pre-field history) disables
+    * the fast path rather than corrupting it; an empty snapshot is a
+    * legitimate zero. */
+  def metadataRowCount: Option[Long] = {
+    val fs = snap.aliveFiles
+    if (fs.forall(_.rowCount.isDefined)) Some(fs.iterator.flatMap(_.rowCount).sum)
+    else None
+  }
 }
 
 object IceFileIndex {
