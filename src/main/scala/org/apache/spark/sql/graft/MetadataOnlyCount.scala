@@ -36,8 +36,25 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   */
 final class MetadataOnlyCount(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  /** `count(1)` / `count(*)`-shaped aggregate expression (non-distinct,
-    * unfiltered, literal child — row-count semantics, never null-aware). */
+  /** Per-output-column value producer given the metadata count `n`:
+    * `count(1)` / `count(*)` (non-distinct, unfiltered, literal child —
+    * row-count semantics, never null-aware) yields `n`; a FOLDABLE
+    * aggregate-free constant (CollapseProject folds `withColumn(lit(…))`
+    * INTO the aggregate list) yields its evaluated value; anything else
+    * blocks the rewrite. */
+  private def valueFor(
+      e: org.apache.spark.sql.catalyst.expressions.NamedExpression,
+      n: Long): Option[Any] =
+    e match {
+      case Alias(AggregateExpression(Count(Seq(_: Literal)), Complete, false, None, _), _) =>
+        Some(n)
+      case Alias(child, _)
+          if child.foldable && child.deterministic &&
+            !child.exists(_.isInstanceOf[AggregateExpression]) =>
+        Some(child.eval())
+      case _ => None
+    }
+
   private def isCountStar(e: org.apache.spark.sql.catalyst.expressions.NamedExpression): Boolean =
     e match {
       case Alias(AggregateExpression(Count(Seq(_: Literal)), Complete, false, None, _), _) => true
@@ -54,14 +71,16 @@ final class MetadataOnlyCount(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(Nil, aggExprs, child, _)
-        if aggExprs.nonEmpty && aggExprs.forall(isCountStar) =>
+        if aggExprs.exists(isCountStar) &&
+          aggExprs.forall(e => valueFor(e, 0L).isDefined) =>
       stripCountNeutral(child) match {
         case lr: LogicalRelation => lr.relation match {
           case h: HadoopFsRelation => h.location match {
             case ix: graft.plans.IceFileIndex => ix.metadataRowCount match {
               case Some(n) =>
                 LocalRelation(agg.output,
-                  Seq(InternalRow.fromSeq(aggExprs.map(_ => n))))
+                  Seq(InternalRow.fromSeq(
+                    aggExprs.map(e => valueFor(e, n).get))))
               case None => agg
             }
             case _ => agg

@@ -34,6 +34,12 @@ class MetaCountSpec extends SparkSpec {
     val df = countPlan(t)
     assert(isMetaOnly(df), df.queryExecution.optimizedPlan.toString)
     assert(df.head.getLong(0) === 150L)
+    // CollapseProject folds withColumn constants INTO the aggregate list;
+    // constant aliases must not block the rewrite
+    val withConst = countPlan(t).withColumn("tag", lit(true))
+    assert(isMetaOnly(withConst), withConst.queryExecution.optimizedPlan.toString)
+    val r = withConst.head
+    assert(r.getLong(0) === 150L && r.getBoolean(1))
     // compaction rewrites carry row counts too
     t.optimize()
     val df2 = countPlan(t)
