@@ -1299,6 +1299,21 @@ object Fixtures {
       (c, cboOrders(spark, sfDir), l)
     }
 
+  /** b54: metadata min/max fixture — an events subset with per-file
+    * footer stats recorded for (event_id, value), so groupless min/max
+    * over those columns answers from the log markers alone. */
+  def metaStatsEvents(spark: SparkSession, sfDir: String): IceTable =
+    memo(s"$sfDir#metastats") {
+      val t = new IceTable(spark, newRoot("metast"), IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(4))),
+        sortOrder = Seq("event_id"),
+        statsColumns = Seq("event_id", "value")))
+      t.insert(raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .where(col("event_id") % 4 === 2))
+      t
+    }
+
   /** b50: histogram-CBO fixture — events (event_id, user_id, value) in a
     * dedicated root. `value` is strongly right-skewed (p50 ≈ 35 against
     * max ≈ 490), exactly where a uniform min/max interpolation

@@ -513,6 +513,30 @@ object SparkEntry {
       cnt.withColumn("metadata_only", lit(metaOnly))
         .withColumn("filtered_scans", lit(filteredScans))
     }),
+    "b54_meta_minmax" -> ((s, d) => {
+      // metadata-only min/max: with per-file footer stats in the log
+      // markers (statsColumns), groupless min/max over exact-numeric
+      // covered columns folds to a LocalRelation alongside count(*) —
+      // the `max(event_time)` freshness probe at 100 TB costs one
+      // KB-scale metadata fold, zero data I/O. Filters / uncovered
+      // columns / dv overlays fall back to a scan by plan shape.
+      val t = Fixtures.metaStatsEvents(s, d)
+      val base = graft.plans.IceFileIndex.dataFrame(s, t)
+      // no cast around the aggregates: a Cast-wrapped Max is not the
+      // bare metadata shape and would (correctly) block the rewrite
+      val aggd = base.agg(count(lit(1)).as("cnt"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        max(col("value")).as("max_val"))
+      val metaOnly = aggd.queryExecution.optimizedPlan
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+      // an UNCOVERED column (user_id has no stats) must scan
+      val uncoveredScans = !base.agg(max(col("user_id")))
+        .queryExecution.optimizedPlan
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+      aggd.withColumn("metadata_only", lit(metaOnly))
+        .withColumn("uncovered_scans", lit(uncoveredScans))
+    }),
     "b51_skew_join" -> ((s, d) => {
       // skew-salted join (Skew.saltedJoin): 90% of rows share one hot key
       // — the classic power-law shape that stalls a plain shuffle join on
@@ -2815,6 +2839,13 @@ object SparkEntry {
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "JOIN customer ON o_custkey = c_custkey " +
         "WHERE c_nationkey = 3 GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    // DuckDB replays min/max/count from the raw rows; the booleans pin
+    // the LocalRelation rewrite on covered columns and the scan fallback
+    // on an uncovered one
+    "b54_meta_minmax" ->
+      ("SELECT count(*) AS cnt, min(event_id) AS min_id, max(event_id) AS max_id, " +
+        "max(\"value\") AS max_val, true AS metadata_only, true AS uncovered_scans " +
+        "FROM events WHERE event_id % 4 = 2"),
     // DuckDB counts the raw rows; the booleans pin the LocalRelation
     // rewrite on the bare count and the scan fallback under a filter
     "b53_meta_count" ->

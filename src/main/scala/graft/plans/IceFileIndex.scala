@@ -185,6 +185,29 @@ final class IceFileIndex(
     if (fs.forall(_.rowCount.isDefined)) Some(fs.iterator.flatMap(_.rowCount).sum)
     else None
   }
+
+  /** Numeric-compared (min, max) of `colName` across the alive files'
+    * footer stats markers, defined iff EVERY alive file records stats for
+    * that column (a file whose rows are all-null there records none —
+    * blocking is the conservative, correct answer; footer min/max skip
+    * nulls exactly like SQL `min`/`max`). Values returned as the stored
+    * strings; the caller owns typed reconstruction. Empty snapshot →
+    * None (SQL yields NULL there — let the scan say so). */
+  def metadataMinMax(colName: String): Option[(String, String)] = {
+    val fs = snap.aliveFiles
+    if (fs.isEmpty) return None
+    def statOf(m: graft.ice.FileMarker): Option[(String, String)] =
+      if (table.cfg.statsColumn.contains(colName)) m.stats
+      else m.multiStats.get(colName)
+    val all = fs.map(statOf)
+    if (all.exists(_.isEmpty)) return None
+    try {
+      val parsed = all.flatten.map { case (mn, mx) =>
+        (BigDecimal(mn) -> mn, BigDecimal(mx) -> mx)
+      }
+      Some((parsed.minBy(_._1._1)._1._2, parsed.maxBy(_._2._1)._2._2))
+    } catch { case _: NumberFormatException => None }
+  }
 }
 
 object IceFileIndex {

@@ -2,11 +2,12 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 
 /** Metadata-only `count(*)`: a groupless, filterless count over an ice
   * snapshot relation is answered from the LOG ALONE — every insert /
@@ -42,12 +43,36 @@ final class MetadataOnlyCount(spark: SparkSession) extends Rule[LogicalPlan] {
     * aggregate-free constant (CollapseProject folds `withColumn(lit(…))`
     * INTO the aggregate list) yields its evaluated value; anything else
     * blocks the rewrite. */
+  /** Typed reconstruction of a marker's footer-stat string for the
+    * EXACT numeric types (footer min/max are exact there; strings can be
+    * TRUNCATED by the parquet writer and dates/timestamps are stored in
+    * physical units — both refused). */
+  private def typedStat(s: String,
+      dt: org.apache.spark.sql.types.DataType): Option[Any] =
+    try dt match {
+      case LongType => Some(s.toLong)
+      case IntegerType => Some(s.toInt)
+      case ShortType => Some(s.toShort)
+      case ByteType => Some(s.toByte)
+      case DoubleType => Some(s.toDouble)
+      case FloatType => Some(s.toFloat)
+      case _ => None
+    } catch { case _: NumberFormatException => None }
+
   private def valueFor(
       e: org.apache.spark.sql.catalyst.expressions.NamedExpression,
-      n: Long): Option[Any] =
+      n: => Option[Long],
+      ix: graft.plans.IceFileIndex): Option[Any] =
     e match {
       case Alias(AggregateExpression(Count(Seq(_: Literal)), Complete, false, None, _), _) =>
-        Some(n)
+        n
+      // min/max over a stats-covered EXACT-numeric column: the fold's
+      // markers already hold every file's footer [min, max] — at 100 TB
+      // `max(event_ts)`-style freshness probes cost zero data I/O
+      case Alias(AggregateExpression(Min(a: AttributeReference), Complete, false, None, _), _) =>
+        ix.metadataMinMax(a.name).flatMap(mm => typedStat(mm._1, a.dataType))
+      case Alias(AggregateExpression(Max(a: AttributeReference), Complete, false, None, _), _) =>
+        ix.metadataMinMax(a.name).flatMap(mm => typedStat(mm._2, a.dataType))
       case Alias(child, _)
           if child.foldable && child.deterministic &&
             !child.exists(_.isInstanceOf[AggregateExpression]) =>
@@ -55,9 +80,13 @@ final class MetadataOnlyCount(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  private def isCountStar(e: org.apache.spark.sql.catalyst.expressions.NamedExpression): Boolean =
+  /** A metadata-answerable aggregate (cheap pre-filter before the
+    * relation is even resolved). */
+  private def isMetadataAgg(e: org.apache.spark.sql.catalyst.expressions.NamedExpression): Boolean =
     e match {
       case Alias(AggregateExpression(Count(Seq(_: Literal)), Complete, false, None, _), _) => true
+      case Alias(AggregateExpression(Min(_: AttributeReference), Complete, false, None, _), _) => true
+      case Alias(AggregateExpression(Max(_: AttributeReference), Complete, false, None, _), _) => true
       case _ => false
     }
 
@@ -71,18 +100,17 @@ final class MetadataOnlyCount(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(Nil, aggExprs, child, _)
-        if aggExprs.exists(isCountStar) &&
-          aggExprs.forall(e => valueFor(e, 0L).isDefined) =>
+        if aggExprs.exists(isMetadataAgg) =>
       stripCountNeutral(child) match {
         case lr: LogicalRelation => lr.relation match {
           case h: HadoopFsRelation => h.location match {
-            case ix: graft.plans.IceFileIndex => ix.metadataRowCount match {
-              case Some(n) =>
+            case ix: graft.plans.IceFileIndex =>
+              lazy val n = ix.metadataRowCount
+              val values = aggExprs.map(e => valueFor(e, n, ix))
+              if (values.forall(_.isDefined))
                 LocalRelation(agg.output,
-                  Seq(InternalRow.fromSeq(
-                    aggExprs.map(e => valueFor(e, n).get))))
-              case None => agg
-            }
+                  Seq(InternalRow.fromSeq(values.map(_.get))))
+              else agg
             case _ => agg
           }
           case _ => agg

@@ -76,6 +76,32 @@ class MetaCountSpec extends SparkSpec {
     assert(df.head.getLong(0) === 90L)
   }
 
+  test("min/max over stats-covered numeric columns fold to metadata") {
+    val t = new IceTable(spark, tmpDir("mc_minmax"), IceTableConfig(
+      partitionExpr = concat(lit("p="), pmod(col("id"), lit(3))),
+      sortOrder = Seq("id"), statsColumns = Seq("id", "x")))
+    t.insert((1 to 100).map(i => (i.toLong, i * 0.5, s"v$i")).toDF("id", "x", "v"))
+    t.insert((101 to 120).map(i => (i.toLong, i * 0.5, s"v$i")).toDF("id", "x", "v"))
+    val df = graft.plans.IceFileIndex.dataFrame(spark, t)
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"),
+        max(col("x")).as("mxx"), count(lit(1)).as("cnt"))
+    assert(isMetaOnly(df), df.queryExecution.optimizedPlan.toString)
+    val r = df.head
+    assert(r.getLong(0) === 1L && r.getLong(1) === 120L &&
+      r.getDouble(2) === 60.0 && r.getLong(3) === 120L)
+    // merged files re-record stats: still metadata after compaction
+    t.optimize()
+    val df2 = graft.plans.IceFileIndex.dataFrame(spark, t)
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+    assert(isMetaOnly(df2))
+    assert(df2.head.getLong(1) === 120L)
+    // an UNCOVERED column (v: no stats; also non-numeric) must scan
+    val un = graft.plans.IceFileIndex.dataFrame(spark, t)
+      .agg(max(col("v")).as("m"))
+    assert(!isMetaOnly(un))
+    assert(un.head.getString(0) === "v99")
+  }
+
   test("legacy rc-less markers disable the fast path, not the answer") {
     val t = mk("mc_legacy")
     // simulate a reference-written log: strip the rc field from every
