@@ -929,6 +929,31 @@ object SparkEntry {
       s.table(sink).orderBy(col("event_type"))
     }),
 
+    "a47_stream_windows" -> ((s, d) => {
+      // the event-time streaming surface graded end-to-end: the events
+      // table streamed through format("ice"), watermarked, tumbling
+      // hourly windows per type (Streams.windowedCounts), drained with
+      // AvailableNow into a memory sink in complete mode — the final
+      // window set must equal DuckDB replaying epoch-aligned hourly
+      // windows over the raw events. Complete mode so the tail windows
+      // the watermark has not closed still emit (the drain is bounded).
+      val t = Fixtures.eventsIce(s, d).table
+      val src = s.readStream.format("ice").option("path", t.root).load()
+        .withColumn("ev_ts", Fixtures.evTs(col("ts")))
+      val win = graft.streaming.Streams.windowedCounts(
+        src, "ev_ts", "event_type",
+        windowDuration = "1 hour", watermark = "2 hours")
+      val sink = "winsink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = win.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(col("event_type"), unix_millis(col("win_start")).as("win_ms"),
+          col("cnt"))
+        .orderBy(col("event_type"), col("win_ms"))
+    }),
+
     "a28_format_read" -> ((s, d) => {
       // the batch half of format("ice"): a standard reader-API load of
       // the compacted events table, plus option("snapshotTs") time travel
@@ -2990,6 +3015,14 @@ object SparkEntry {
     // the drained ice stream == the raw source, per event_type
     "a26_stream_source" ->
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
+    // hourly tumbling event-time windows, epoch-aligned exactly like
+    // Spark's window(); the micros truncation (evTs) is invisible at
+    // hour granularity
+    "a47_stream_windows" ->
+      ("SELECT event_type, " +
+        "(epoch_ns(ts)//1000000) - ((epoch_ns(ts)//1000000) % 3600000) AS win_ms, " +
+        "count(*) AS cnt FROM events " +
+        "GROUP BY event_type, win_ms ORDER BY event_type, win_ms"),
     // writer-API round trip: the partition column comes back as `t`
     "a29_format_write" ->
       ("SELECT count(*) AS cnt, count(DISTINCT event_type) AS types, " +
