@@ -661,6 +661,125 @@ object Fixtures {
       CdcReplica(source, target)
     }
 
+  final case class ConstraintFixture(table: IceTable, rejectedCleanly: Boolean,
+    sqlAltered: Boolean)
+
+  /** CHECK constraints (b55): a config-level constraint enforced on
+    * every write path — one declared at create time, one added through
+    * `ALTER TABLE … ADD CONSTRAINT` (which validates the EXISTING rows
+    * first). A violating insert and a violating UPDATE through a
+    * REOPENED handle (enforcement comes from the log's persisted word,
+    * not the original in-memory config) must both reject BEFORE any
+    * file lands — the carried boolean proves the table is unchanged. */
+  def eventsConstrained(spark: SparkSession, sfDir: String): ConstraintFixture =
+    memo(s"$sfDir#constrained") {
+      val ev = raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val root = newRoot("chktbl")
+      val f = new java.io.File(root)
+      spark.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      val t = new IceTable(spark, root, IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(8))),
+        sortOrder = Seq("event_id"),
+        checkConstraints = Seq("valid_id" -> "event_id >= 0")))
+      t.insert(ev)
+      val sqlAltered =
+        spark.sql(s"ALTER TABLE graft.`${f.getName}` ADD CONSTRAINT " +
+          "known_type CHECK (event_type IS NOT NULL)")
+          .head.getString(0).contains("known_type")
+      val re = IceTable.open(spark, root)
+      val badInsert =
+        try { re.insert(ev.limit(5).withColumn("event_id", lit(-1L))); false }
+        catch { case _: IllegalArgumentException => true }
+      val badUpdate =
+        try {
+          re.updateWhere(pmod(col("user_id"), lit(23)) === 7,
+            Seq("event_type" -> lit(null).cast("string")))
+          false
+        } catch { case _: IllegalArgumentException => true }
+      ConstraintFixture(re, rejectedCleanly = badInsert && badUpdate, sqlAltered)
+    }
+
+  final case class StreamDedupFixture(target: IceTable, dupsDropped: Boolean)
+
+  /** Streaming key-dedup (a49): an at-least-once feed (a third of the
+    * events delivered twice) streamed through `format("ice")`,
+    * deduplicated with WATERMARK-BOUNDED state
+    * ([[graft.streaming.Streams.dedupWithinWatermark]] — state evicts as
+    * event time passes, the only shape that survives an unbounded feed),
+    * landed exactly-once into a second ice table. The target must equal
+    * the ORIGINAL events exactly; the carried boolean proves the source
+    * really contained duplicates. */
+  def eventsStreamDedup(spark: SparkSession, sfDir: String): StreamDedupFixture =
+    memo(s"$sfDir#streamdedup") {
+      val ev = raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      val src = new IceTable(spark, newRoot("sdsrc"), IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(8))),
+        sortOrder = Seq("event_id")))
+      src.insert(ev.unionAll(ev.where(pmod(col("user_id"), lit(3)) === 0)))
+      val tgt = new IceTable(spark, newRoot("sdtgt"), IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(8))),
+        sortOrder = Seq("event_id")))
+      val stream = spark.readStream.format("ice")
+        .option("path", src.root).load()
+        .withColumn("ev_ts", evTs(col("ts")))
+      // horizon ≥ the data's event-time span: at test scale nothing may
+      // drop as late; production tunes `delay` to its redelivery window
+      val deduped = graft.streaming.Streams.dedupWithinWatermark(
+        stream, Seq("event_id"), "ev_ts", delay = "3650 days").drop("ev_ts")
+      val q = graft.streaming.Streams.iceSinkExactlyOnce(
+        deduped, tgt, checkpoint = newRoot("sdckpt"), queryName = "sdq",
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+      StreamDedupFixture(tgt,
+        dupsDropped = src.read().count() > tgt.read().count())
+    }
+
+  final case class MvSyncFixture(base: IceTable, mv: IceTable,
+    spec: graft.operators.MvSync.MvSpec, rebaseConsistent: Boolean)
+
+  /** Incremental materialized view (a48): a GROUP BY
+    * count/sum/min/max view over an events-backed base is seeded, then
+    * maintained through an append window (partials only), a CoW
+    * redaction update (cross-group move: old groups reset, `redacted`
+    * accumulates), and a merge-on-read delete (retraction resets) —
+    * never re-aggregating the base. A final [[graft.operators.MvSync.rebase]]
+    * collapses the generations; the carried boolean proves the read is
+    * IDENTICAL before and after. The oracle re-derives the final state
+    * from the raw events. */
+  def eventsMvSync(spark: SparkSession, sfDir: String): MvSyncFixture =
+    memo(s"$sfDir#mvsync") {
+      import graft.ice.DeleteVectors
+      import graft.operators.MvSync
+      val ev = raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      // partition axis independent of the updated column (updateWhere's
+      // contract: never assign a partition-deriving column)
+      val base = new IceTable(spark, newRoot("mvbase"), IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(8))),
+        sortOrder = Seq("event_id")))
+      val spec = MvSync.MvSpec(groupCols = Seq("event_type"),
+        sumCols = Seq("user_id"), minMaxCols = Seq("event_id"))
+      val mv = MvSync.create(spark, newRoot("mvagg"), spec)
+      base.insert(ev.where(col("event_id") % 2 === 0))
+      Thread.sleep(5)
+      MvSync.syncFromFeed(base, mv, spec) // initial: full aggregation
+      base.insert(ev.where(col("event_id") % 2 === 1))
+      Thread.sleep(5)
+      MvSync.syncFromFeed(base, mv, spec) // insert-only: partials
+      base.updateWhere(pmod(col("user_id"), lit(23)) === 7,
+        Seq("event_type" -> lit("redacted")))
+      DeleteVectors.deleteWhere(base, pmod(col("user_id"), lit(23)) === 8)
+      Thread.sleep(5)
+      MvSync.syncFromFeed(base, mv, spec) // retraction resets + partials
+      val before = MvSync.read(mv, spec).localCheckpoint(true)
+      MvSync.rebase(base, mv, spec)
+      val after = MvSync.read(mv, spec).select(before.columns.map(col): _*)
+      val drift = before.exceptAll(after).count() + after.exceptAll(before).count()
+      MvSyncFixture(base, mv, spec, rebaseConsistent = drift == 0L)
+    }
+
   /** CREATE TABLE ... AS variant (b34): the table does not exist before
     * the statement — one atomic CTAS commit seeds schema AND persists the
     * PARTITIONED BY / SORTED BY config, so the reopened handle routes

@@ -256,6 +256,49 @@ object SparkEntry {
         .withColumn("main_isolated", lit(fx.isolated))
         .orderBy(col("event_type"))
     }),
+    "a48_mv_incremental" -> ((s, d) => {
+      // Incremental materialized view (MvSync): a count/sum/min/max
+      // GROUP BY view maintained purely from the row-level change feed
+      // across an append window, a CoW redaction update, and a
+      // merge-on-read delete — the base is never re-aggregated
+      // (retracted groups alone rescan). A final rebase collapses the
+      // partial generations; the carried boolean proves the read is
+      // identical before and after. DuckDB re-derives the aggregation
+      // from the raw events.
+      val fx = Fixtures.eventsMvSync(s, d)
+      graft.operators.MvSync.read(fx.mv, fx.spec)
+        .select(col("event_type"), col("cnt"),
+          col("sum_user_id").cast("bigint").as("sum_user_id"),
+          col("min_event_id"), col("max_event_id"))
+        .withColumn("rebase_consistent", lit(fx.rebaseConsistent))
+        .orderBy("event_type")
+    }),
+    "a49_stream_dedup" -> ((s, d) => {
+      // Watermark-bounded streaming dedup: an at-least-once feed (a
+      // third of the events redelivered) through format("ice") →
+      // dropDuplicatesWithinWatermark → exactly-once ice sink. The
+      // landed table must equal the ORIGINAL events; the boolean proves
+      // duplicates were actually present and dropped.
+      val fx = Fixtures.eventsStreamDedup(s, d)
+      fx.target.read().agg(
+          count(lit(1)).as("cnt"),
+          countDistinct(col("event_id")).as("uniq"),
+          sum(col("event_id")).cast("bigint").as("sum_id"))
+        .withColumn("dups_dropped", lit(fx.dupsDropped))
+    }),
+    "b55_check_constraint" -> ((s, d) => {
+      // CHECK constraints: declared at create + added via ALTER (with
+      // existing-row validation), persisted in the log, enforced on a
+      // REOPENED handle's insert AND update — both violations rejected
+      // with zero files written, so the aggregates equal the raw events
+      val fx = Fixtures.eventsConstrained(s, d)
+      fx.table.read().agg(
+          count(lit(1)).as("cnt"),
+          sum(col("event_id")).cast("bigint").as("sum_id"),
+          count(when(col("event_type").isNull, 1)).as("null_types"))
+        .withColumn("rejected_cleanly", lit(fx.rejectedCleanly))
+        .withColumn("sql_altered", lit(fx.sqlAltered))
+    }),
     "b41_sql_show_create" -> ((s, d) => {
       // SHOW CREATE TABLE: the persisted config rendered as ONE
       // round-trippable statement — executing it under a new name
@@ -2924,6 +2967,22 @@ object SparkEntry {
         "FROM events WHERE user_id % 23 <> 8) " +
         "SELECT event_type, count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id, " +
         "true AS in_sync FROM final GROUP BY 1 ORDER BY 1"),
+    "a48_mv_incremental" ->
+      ("WITH final AS (SELECT event_id, user_id, " +
+        "CASE WHEN user_id % 23 = 7 THEN 'redacted' ELSE event_type END AS event_type " +
+        "FROM events WHERE user_id % 23 <> 8) " +
+        "SELECT event_type, count(*) AS cnt, " +
+        "CAST(sum(user_id) AS BIGINT) AS sum_user_id, " +
+        "min(event_id) AS min_event_id, max(event_id) AS max_event_id, " +
+        "true AS rebase_consistent FROM final GROUP BY 1 ORDER BY 1"),
+    "b55_check_constraint" ->
+      ("SELECT count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id, " +
+        "count(CASE WHEN event_type IS NULL THEN 1 END) AS null_types, " +
+        "true AS rejected_cleanly, true AS sql_altered FROM events"),
+    "a49_stream_dedup" ->
+      ("SELECT count(*) AS cnt, count(DISTINCT event_id) AS uniq, " +
+        "CAST(sum(event_id) AS BIGINT) AS sum_id, true AS dups_dropped " +
+        "FROM events"),
     "a44_wap_branch" ->
       ("SELECT event_type, count(*) AS cnt, " +
         "CAST(sum(event_id) AS BIGINT) AS sum_id, true AS main_isolated " +

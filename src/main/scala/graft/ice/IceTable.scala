@@ -137,7 +137,8 @@ final case class IceTableConfig(
     bloomFilterNdv: Option[Long] = None,
     sortOnMerge: Boolean = false,
     checkpointEveryCommits: Option[Int] = None,
-    bucketBy: Option[(Int, Seq[String])] = None)
+    bucketBy: Option[(Int, Seq[String])] = None,
+    checkConstraints: Seq[(String, String)] = Nil)
 
 /** The Parquet merge-engine table: MVCC JSONL log + immutable Parquet data
   * parts under one root URI (local fs or s3a — anything Hadoop FileSystem
@@ -282,6 +283,43 @@ final class IceTable(
     logio.append(root, 1, snap.schema, Seq.empty,
       timestamp = Some(now()), tableCfg = persistedCfg)
     ()
+  }
+
+  /** ALTER-style CHECK addition: validate every EXISTING row satisfies
+    * the predicate (one full scan — the Delta `ADD CONSTRAINT` contract:
+    * a constraint is a guarantee over the whole table, not just future
+    * writes), then persist it as a config-only commit. Returns the
+    * constraint-bearing handle; writes through the OLD handle do not
+    * enforce the new constraint, but any handle reopened from the log
+    * does. */
+  def addCheckConstraint(name: String, sql: String): IceTable = {
+    require(!cfg.checkConstraints.exists(_._1.equalsIgnoreCase(name)),
+      s"constraint `$name` already exists")
+    val t2 = new IceTable(spark, root,
+      cfg.copy(checkConstraints = cfg.checkConstraints :+ (name -> sql)),
+      clock, logRel)
+    if (trySnapshot(Long.MaxValue).isDefined)
+      t2.enforceConstraints(read(), "ADD CONSTRAINT")
+    t2.persistConfig()
+    t2
+  }
+
+  /** Drop a CHECK constraint by name: one config-only commit. */
+  def dropCheckConstraint(name: String): IceTable = {
+    require(cfg.checkConstraints.exists(_._1.equalsIgnoreCase(name)),
+      s"constraint `$name` does not exist")
+    val t2 = new IceTable(spark, root,
+      cfg.copy(checkConstraints =
+        cfg.checkConstraints.filterNot(_._1.equalsIgnoreCase(name))),
+      clock, logRel)
+    // persistConfig's no-op caveat: an all-defaults config persists no
+    // cfg word, leaving the PREVIOUS (constraint-bearing) word standing
+    require(IceTable.persistableCfg(t2.cfg).isDefined,
+      "dropping the last constraint of an otherwise-default-config table " +
+        "cannot be persisted (the log keeps last-writer-wins config words); " +
+        "set any non-default config field first")
+    t2.persistConfig()
+    t2
   }
 
   /** Partition string of a data path: the segment between `_data/` and the
@@ -630,6 +668,35 @@ final class IceTable(
     probe
   }
 
+  /** CHECK-constraint pre-flight: count violating rows per constraint in
+    * ONE aggregation pass over the batch and reject it — BEFORE any file
+    * is written — if any constraint has one. SQL CHECK semantics: a NULL
+    * predicate passes. Columns a constraint references that are absent
+    * from this batch evaluate as null (they read back as null under the
+    * union-schema contract, so that is the truth being checked). Free
+    * when the table has no constraints. */
+  private def enforceConstraints(df: DataFrame, op: String): Unit =
+    if (cfg.checkConstraints.nonEmpty) {
+      val present = df.columns.map(_.toLowerCase).toSet
+      val parsed = cfg.checkConstraints.map { case (n, s) => (n, s, expr(s)) }
+      val missing = parsed.flatMap(p =>
+        org.apache.spark.sql.graft.PlanBridge.eagerExpression(p._3).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if !present.contains(a.name.toLowerCase) => a.name
+        }).distinct
+      val probe = missing.foldLeft(df)((d, c) => d.withColumn(c, lit(null)))
+      val counts = parsed.map { case (n, _, e) =>
+        sum(when(coalesce(e, lit(true)) === false, 1L).otherwise(0L)).as(n)
+      }
+      val row = probe.agg(counts.head, counts.tail: _*).head
+      parsed.zipWithIndex.foreach { case ((name, sql, _), i) =>
+        val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+        if (bad > 0L) throw new IllegalArgumentException(
+          s"CHECK constraint `$name` ($sql) violated by $bad row(s); " +
+            s"$op rejected, table unchanged")
+      }
+    }
+
   /** [[insert]] whose log commit also records stream-commit bookkeeping —
     * the data files and the per-query batch id land in ONE atomic log PUT
     * (the exactly-once sink building block; use [[insertBatch]]). */
@@ -648,7 +715,9 @@ final class IceTable(
     // validate the POST-formatRow shape: the hook may legitimately change
     // column types (that is what lands in the files and the log), and
     // pre-hook validation would reject batches the hook converts
-    val probed = preflight(cfg.formatRow.fold(df0)(f => f(df0)))
+    val shaped = cfg.formatRow.fold(df0)(f => f(df0))
+    val probed = preflight(shaped)
+    enforceConstraints(shaped, "INSERT")
     val (markers, schema) = writeRouted(routeRows(df0))
     // One PUT = the transaction (icedb/icedb.py:217-219).
     logio.append(root, 1, schema, markers,
@@ -1098,12 +1167,17 @@ final class IceTable(
       require(unknown.isEmpty,
         s"updateWhere assignments reference unknown columns: ${unknown.mkString(", ")}")
       val m = coalesce(cond, lit(false))
-      df.select(df.columns.map { c =>
+      val projection = df.columns.map { c =>
         assignMap.get(c) match {
           case Some(v) => when(m, v).otherwise(col(c)).as(c)
           case None    => col(c)
         }
-      }: _*)
+      }
+      // CHECK pre-flight on the post-update image of the MATCHED rows
+      // only (carried rows were validated when they landed) — affected-
+      // files-scale, before any rewrite commits
+      enforceConstraints(df.where(m).select(projection: _*), "UPDATE")
+      df.select(projection: _*)
     }
   }
 
@@ -1139,6 +1213,9 @@ final class IceTable(
     }
     val dvStampAtRead = dvStamp() // BEFORE any read — see validatedRewriteCommit
     val srcStaged = source.localCheckpoint() // probe + write from one compute
+    // every source row lands (replacement or append): CHECK it up front,
+    // before any rewrite or insert commits
+    enforceConstraints(srcStaged, "MERGE")
     val srcCount = srcStaged.count()
     // the key set is consumed once per affected file (anti-join) plus the
     // probe — materialize its distinct ONCE, not once per consumer
@@ -2435,6 +2512,10 @@ object IceTable {
     cfg.rowGroupRows.foreach(v => m("rgr") = v)
     cfg.checkpointEveryCommits.foreach(v => m("cpc") = v)
     cfg.bucketBy.foreach { case (n, cols) => m("bkn") = n; m("bkc") = cols }
+    if (cfg.checkConstraints.nonEmpty) {
+      m("chn") = cfg.checkConstraints.map(_._1)
+      m("chx") = cfg.checkConstraints.map(_._2)
+    }
     if (cfg.partitionFunc.nonEmpty) m("pf") = true
     if (cfg.formatRow.nonEmpty) m("fr") = true
     if (m.isEmpty) None else Some(m.toMap)
@@ -2481,7 +2562,8 @@ object IceTable {
       sortOnMerge = m.get("som").contains(true),
       checkpointEveryCommits = m.get("cpc").map(_.asInstanceOf[Long].toInt),
       bucketBy = m.get("bkn").map(n =>
-        (n.asInstanceOf[Long].toInt, strs("bkc"))))
+        (n.asInstanceOf[Long].toInt, strs("bkc"))),
+      checkConstraints = strs("chn").zip(strs("chx")))
   }
 
   /** The `bkt=<id>` LAST path segment a bucketed table's router appends. */

@@ -140,6 +140,12 @@ object GraftSqlParser {
     // WAP branches (Iceberg's ALTER TABLE spellings): see graft.ice.Branch
     val branchRe = re(
       s"""\\s*ALTER\\s+TABLE\\s+$c\\.$ident\\s+(CREATE|PUBLISH|DROP)\\s+BRANCH\\s+([A-Za-z0-9_-]+)\\s*;?\\s*""")
+    // CHECK constraints (Delta's ALTER TABLE spellings): the predicate
+    // body is a balanced-paren walk like partition expressions
+    val constraintAddRe = re(
+      s"""\\s*ALTER\\s+TABLE\\s+$c\\.$ident\\s+ADD\\s+CONSTRAINT\\s+([A-Za-z0-9_]+)\\s+CHECK\\s*\\(.*""")
+    val constraintDropRe = re(
+      s"""\\s*ALTER\\s+TABLE\\s+$c\\.$ident\\s+DROP\\s+CONSTRAINT\\s+([A-Za-z0-9_]+)\\s*;?\\s*""")
     val showBranchesRe = re(
       s"""\\s*SHOW\\s+BRANCHES\\s+(?:IN|FROM)\\s+$c\\.$ident\\s*;?\\s*""")
   }
@@ -206,6 +212,24 @@ object GraftSqlParser {
 
     val sbm = showBranchesRe.matcher(sqlText)
     if (sbm.matches()) return Some(GraftShowBranchesCommand(name(sbm, 1)))
+
+    // ALTER TABLE graft.t ADD CONSTRAINT n CHECK (pred) | DROP CONSTRAINT n
+    val cam = constraintAddRe.matcher(sqlText)
+    if (cam.matches()) {
+      val open = sqlText.indexOf('(', cam.end(3))
+      val body = balancedParen(sqlText, open) match {
+        case Some((inner, after))
+            if sqlText.substring(after).trim.stripSuffix(";").trim.isEmpty =>
+          inner.trim
+        case _ => throw new UnsupportedOperationException(
+          "ALTER TABLE … ADD CONSTRAINT requires one balanced " +
+            "parenthesized CHECK predicate and nothing after it")
+      }
+      return Some(GraftAddConstraintCommand(name(cam, 1), cam.group(3), body))
+    }
+    val cdm = constraintDropRe.matcher(sqlText)
+    if (cdm.matches())
+      return Some(GraftDropConstraintCommand(name(cdm, 1), cdm.group(3)))
 
     // ALTER TABLE graft.t ADD COLUMN[S] (c TYPE, ...) | c TYPE — the
     // column list parses through the delegate's own schema grammar
@@ -737,6 +761,13 @@ object GraftSqlParser {
               "partition expression has NO SQL rendering (not reproducible)" })
             .flatten
           comments.foreach(cmt => sb.append(s"\n-- config: $cmt"))
+          // CHECK constraints re-apply via their own ALTER statements —
+          // loud comments carrying the exact spelling, since the CREATE
+          // grammar has no CHECK clause
+          strs("chn").zip(strs("chx")).foreach { case (n, x) =>
+            sb.append(s"\n-- constraint: ALTER TABLE $cat.`$name` " +
+              s"ADD CONSTRAINT $n CHECK ($x)")
+          }
           Seq(Row(sb.toString))
       }
   }
@@ -781,6 +812,42 @@ object GraftSqlParser {
           new IceTable(session, root, t.cfg.copy(sortOrder = sortCols))
             .persistConfig()
           Seq(Row(sortCols.mkString(", ")))
+      }
+  }
+
+  /** `ALTER TABLE graft.<t> ADD CONSTRAINT n CHECK (pred)` →
+    * [[IceTable.addCheckConstraint]]: existing rows are validated (one
+    * scan — a constraint is a whole-table guarantee), then the predicate
+    * persists as a config-only commit; every write path (SQL or API,
+    * any reopened handle) pre-flights batches against it BEFORE any
+    * file lands. */
+  final case class GraftAddConstraintCommand(
+      name: String, cName: String, checkSql: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(AR("constraint", StringType, nullable = false)())
+    override def run(session: SparkSession): Seq[Row] =
+      rootFor(session, name, requireLog = true) match {
+        case None => throw new IllegalArgumentException(
+          s"graft table '$name' does not exist")
+        case Some(root) =>
+          IceTable.open(session, root).addCheckConstraint(cName, checkSql)
+          Seq(Row(s"$cName CHECK ($checkSql)"))
+      }
+  }
+
+  /** `ALTER TABLE graft.<t> DROP CONSTRAINT n` → one config-only commit. */
+  final case class GraftDropConstraintCommand(name: String, cName: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(AR("constraint", StringType, nullable = false)())
+    override def run(session: SparkSession): Seq[Row] =
+      rootFor(session, name, requireLog = true) match {
+        case None => throw new IllegalArgumentException(
+          s"graft table '$name' does not exist")
+        case Some(root) =>
+          IceTable.open(session, root).dropCheckConstraint(cName)
+          Seq(Row(cName))
       }
   }
 

@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.ice.{DeleteVectors, IceTable, IceTableConfig}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class MvSyncSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val spec = MvSync.MvSpec(
+    groupCols = Seq("grp"), sumCols = Seq("v"), minMaxCols = Seq("v"))
+
+  private def newBase(): IceTable =
+    new IceTable(spark, tmpDir("mvsync_base"), IceTableConfig(
+      partitionExpr = concat(lit("p="), pmod(col("id"), lit(4))),
+      sortOrder = Seq("id")))
+
+  private def newMv(): IceTable =
+    MvSync.create(spark, tmpDir("mvsync_mv"), spec)
+
+  /** Oracle: full aggregation of the base's current state. */
+  private def expected(base: IceTable): DataFrame =
+    base.read().groupBy("grp").agg(
+      count(lit(1)).as("cnt"), sum("v").as("sum_v"),
+      min("v").as("min_v"), max("v").as("max_v"))
+
+  private def drift(a: DataFrame, b: DataFrame): Long = {
+    val bb = b.select(a.columns.map(col): _*)
+    a.exceptAll(bb).count() + bb.exceptAll(a).count()
+  }
+
+  private def settle(): Unit = Thread.sleep(5)
+
+  test("initial sync seeds the view with one full aggregation") {
+    val base = newBase(); val mv = newMv()
+    base.insert(Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L))
+      .toDF("id", "grp", "v"))
+    settle()
+    val (p, r) = MvSync.syncFromFeed(base, mv, spec)
+    assert(p == 0L && r == 2L)
+    assert(drift(MvSync.read(mv, spec), expected(base)) == 0L)
+  }
+
+  test("insert-only windows append partials, no resets, no base rescan") {
+    val base = newBase(); val mv = newMv()
+    base.insert(Seq((1L, "a", 10L)).toDF("id", "grp", "v"))
+    settle(); MvSync.syncFromFeed(base, mv, spec)
+    base.insert(Seq((2L, "a", 7L), (3L, "c", 3L)).toDF("id", "grp", "v"))
+    settle()
+    val (p, r) = MvSync.syncFromFeed(base, mv, spec)
+    assert(p == 2L && r == 0L)
+    assert(drift(MvSync.read(mv, spec), expected(base)) == 0L)
+    // physical shape: one reset generation + one partial generation
+    assert(mv.read().where(!col("is_reset")).count() == 2L)
+  }
+
+  test("deleting the group minimum resets the group exactly") {
+    val base = newBase(); val mv = newMv()
+    base.insert(Seq((1L, "a", 1L), (2L, "a", 50L), (3L, "b", 9L))
+      .toDF("id", "grp", "v"))
+    settle(); MvSync.syncFromFeed(base, mv, spec)
+    // id=1 carries a's minimum: min/max are NOT self-maintainable here
+    DeleteVectors.deleteWhere(base, col("id") === 1L)
+    settle()
+    val (p, r) = MvSync.syncFromFeed(base, mv, spec)
+    assert(p == 0L && r == 1L) // only group a rescanned
+    val got = MvSync.read(mv, spec).where($"grp" === "a").head
+    assert(got.getAs[Long]("cnt") == 1L && got.getAs[Long]("min_v") == 50L)
+    assert(drift(MvSync.read(mv, spec), expected(base)) == 0L)
+  }
+
+  test("CoW update that moves a row across groups resets old, appends new") {
+    val base = newBase(); val mv = newMv()
+    base.insert(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "grp", "v"))
+    settle(); MvSync.syncFromFeed(base, mv, spec)
+    base.updateWhere(col("id") === 1L, Seq("grp" -> lit("b")))
+    settle()
+    val (p, r) = MvSync.syncFromFeed(base, mv, spec)
+    assert(p == 1L && r == 1L) // b gains a partial, a resets (to cnt=0)
+    val view = MvSync.read(mv, spec)
+    assert(view.where($"grp" === "a").isEmpty) // fully-retracted group drops
+    assert(drift(view, expected(base)) == 0L)
+  }
+
+  test("a fully deleted group vanishes and a later re-insert revives it") {
+    val base = newBase(); val mv = newMv()
+    base.insert(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "grp", "v"))
+    settle(); MvSync.syncFromFeed(base, mv, spec)
+    base.deleteWhere(col("grp") === "a")
+    settle(); MvSync.syncFromFeed(base, mv, spec)
+    assert(MvSync.read(mv, spec).where($"grp" === "a").isEmpty)
+    base.insert(Seq((9L, "a", 99L)).toDF("id", "grp", "v"))
+    settle(); MvSync.syncFromFeed(base, mv, spec)
+    val got = MvSync.read(mv, spec).where($"grp" === "a").head
+    assert(got.getAs[Long]("cnt") == 1L && got.getAs[Long]("sum_v") == 99L)
+    assert(drift(MvSync.read(mv, spec), expected(base)) == 0L)
+  }
+
+  test("null group keys retract null-safely") {
+    val base = newBase(); val mv = newMv()
+    base.insert(Seq((1L, null.asInstanceOf[String], 4L), (2L, null.asInstanceOf[String], 6L),
+      (3L, "x", 1L)).toDF("id", "grp", "v"))
+    settle(); MvSync.syncFromFeed(base, mv, spec)
+    DeleteVectors.deleteWhere(base, col("id") === 1L)
+    settle()
+    val (_, r) = MvSync.syncFromFeed(base, mv, spec)
+    assert(r == 1L)
+    val got = MvSync.read(mv, spec).where($"grp".isNull).head
+    assert(got.getAs[Long]("cnt") == 1L && got.getAs[Long]("sum_v") == 6L)
+    assert(drift(MvSync.read(mv, spec), expected(base)) == 0L)
+  }
+
+  test("idle window commits nothing; watermark advances only on activity") {
+    val base = newBase(); val mv = newMv()
+    base.insert(Seq((1L, "a", 10L)).toDF("id", "grp", "v"))
+    settle(); MvSync.syncFromFeed(base, mv, spec)
+    val logs = mv.history().count()
+    assert(MvSync.syncFromFeed(base, mv, spec) == ((0L, 0L)))
+    assert(mv.history().count() == logs)
+  }
+
+  test("rebase collapses generations, read identical before and after") {
+    val base = newBase(); val mv = newMv()
+    base.insert(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "grp", "v"))
+    settle(); MvSync.syncFromFeed(base, mv, spec)
+    base.insert(Seq((3L, "a", 30L)).toDF("id", "grp", "v"))
+    settle(); MvSync.syncFromFeed(base, mv, spec)
+    DeleteVectors.deleteWhere(base, col("id") === 2L)
+    settle(); MvSync.syncFromFeed(base, mv, spec)
+    val before = MvSync.read(mv, spec).localCheckpoint(true)
+    assert(mv.read().count() > 2L) // fragmented: 3 generations
+    val n = MvSync.rebase(base, mv, spec)
+    assert(n == 1L) // only group a is live
+    assert(mv.read().count() == 1L) // superseded rows reclaimed
+    assert(drift(MvSync.read(mv, spec), before) == 0L)
+    // the view keeps syncing after a rebase
+    base.insert(Seq((4L, "c", 7L)).toDF("id", "grp", "v"))
+    settle(); MvSync.syncFromFeed(base, mv, spec)
+    assert(drift(MvSync.read(mv, spec), expected(base)) == 0L)
+  }
+
+  test("compaction folds within a (group, gen, is_reset) cell only") {
+    val base = newBase(); val mv = newMv()
+    base.insert(Seq((1L, "a", 10L)).toDF("id", "grp", "v"))
+    settle(); MvSync.syncFromFeed(base, mv, spec)
+    base.insert(Seq((2L, "a", 5L)).toDF("id", "grp", "v"))
+    settle(); MvSync.syncFromFeed(base, mv, spec)
+    val before = MvSync.read(mv, spec).localCheckpoint(true)
+    mv.optimize()
+    // distinct generations survive the merge (cross-gen fold would break
+    // the newest-reset-wins read rule)
+    assert(mv.read().select("gen").distinct().count() == 2L)
+    assert(drift(MvSync.read(mv, spec), before) == 0L)
+  }
+}
