@@ -661,6 +661,92 @@ object Fixtures {
       CdcReplica(source, target)
     }
 
+  final case class TxnFixture(t1: IceTable, t2: IceTable, atomic: Boolean)
+
+  /** Atomic multi-table commit (a50): two differently-shaped tables are
+    * seeded with half the events each, then ONE transaction stages the
+    * other half into both — invisible on every surface until the single
+    * marker PUT, then visible on both at once. A second transaction
+    * stages garbage into both and ABORTS — it must never surface. The
+    * carried boolean proves the pending stage was invisible and the
+    * commit flipped both tables together. */
+  def eventsTxn(spark: SparkSession, sfDir: String): TxnFixture =
+    memo(s"$sfDir#txn") {
+      import graft.ice.IceTransaction
+      val ev = raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val parent = newRoot("txnpair")
+      val t1 = new IceTable(spark, s"$parent/t1", IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(8))),
+        sortOrder = Seq("event_id")))
+      val t2 = new IceTable(spark, s"$parent/t2", IceTableConfig(
+        partitionExpr = concat(lit("e="), substring(col("event_type"), 1, 2)),
+        sortOrder = Seq("user_id")))
+      t1.insert(ev.where(col("event_id") % 2 === 0))
+      t2.insert(ev.where(col("event_id") % 2 === 0))
+      val preT1 = t1.read().count(); val preT2 = t2.read().count()
+      val txn = IceTransaction.begin(spark)
+      txn.insert(t1, ev.where(col("event_id") % 2 === 1))
+      txn.insert(t2, ev.where(col("event_id") % 2 === 1))
+      val pendingInvisible =
+        t1.read().count() == preT1 && t2.read().count() == preT2
+      txn.commit()
+      val committedBoth =
+        t1.read().count() > preT1 && t2.read().count() > preT2
+      // an aborted transaction must never surface anywhere
+      val bad = IceTransaction.begin(spark)
+      bad.insert(t1, ev.limit(7).withColumn("event_id",
+        col("event_id") + 10_000_000L))
+      bad.insert(t2, ev.limit(7).withColumn("event_id",
+        col("event_id") + 10_000_000L))
+      bad.abort()
+      val abortClean =
+        t1.read().where(col("event_id") >= 10_000_000L).isEmpty &&
+          t2.read().where(col("event_id") >= 10_000_000L).isEmpty
+      TxnFixture(t1, t2,
+        atomic = pendingInvisible && committedBoth && abortClean)
+    }
+
+  final case class SqlMvFixture(viewName: String, dmlRejected: Boolean)
+
+  /** SQL materialized view (b56): `CREATE MATERIALIZED VIEW` compiles
+    * the GROUP BY into a persisted view spec and seeds it; the base then
+    * takes an append + a CoW redaction update + a MoR delete; one
+    * `REFRESH MATERIALIZED VIEW` follows all three incrementally (the
+    * base is never re-aggregated — retracted groups alone rescan);
+    * `SELECT ... FROM graft.<view>` resolves to the folded view. The
+    * carried boolean proves direct DML on the view is rejected. */
+  def eventsSqlMv(spark: SparkSession, sfDir: String): SqlMvFixture =
+    memo(s"$sfDir#sqlmv") {
+      import graft.ice.DeleteVectors
+      val ev = raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val root = newRoot("mvsqlbase")
+      val f = new java.io.File(root)
+      spark.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      val base = new IceTable(spark, root, IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(8))),
+        sortOrder = Seq("event_id")))
+      base.insert(ev.where(col("event_id") % 2 === 0))
+      Thread.sleep(5)
+      val view = s"${f.getName}_v"
+      spark.sql(s"""CREATE MATERIALIZED VIEW graft.`$view` AS
+        SELECT event_type, count(*) AS cnt, sum(user_id) AS sum_uid,
+               min(event_id) AS min_id, max(event_id) AS max_id,
+               avg(user_id) AS avg_uid
+        FROM graft.`${f.getName}` GROUP BY event_type""").collect()
+      base.insert(ev.where(col("event_id") % 2 === 1))
+      base.updateWhere(pmod(col("user_id"), lit(23)) === 7,
+        Seq("event_type" -> lit("redacted")))
+      DeleteVectors.deleteWhere(base, pmod(col("user_id"), lit(23)) === 8)
+      Thread.sleep(5)
+      spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$view`").collect()
+      val dmlRejected =
+        try { spark.sql(s"INSERT INTO graft.`$view` VALUES ('x', 1, 1, 1, 1, 1.0)"); false }
+        catch { case e: Exception => e.getMessage.contains("MATERIALIZED VIEW") }
+      SqlMvFixture(view, dmlRejected)
+    }
+
   final case class ConstraintFixture(table: IceTable, rejectedCleanly: Boolean,
     sqlAltered: Boolean)
 

@@ -286,6 +286,34 @@ object SparkEntry {
           sum(col("event_id")).cast("bigint").as("sum_id"))
         .withColumn("dups_dropped", lit(fx.dupsDropped))
     }),
+    "a50_multi_table_txn" -> ((s, d) => {
+      // Atomic multi-table commit (IceTransaction): the odd half of the
+      // events lands in BOTH tables through one staged transaction —
+      // invisible everywhere until the single marker PUT, all-at-once
+      // after; an aborted transaction never surfaces. Both tables must
+      // independently reconcile with the raw events.
+      val fx = Fixtures.eventsTxn(s, d)
+      val a = fx.t1.read().agg(count(lit(1)).as("cnt"),
+        sum(col("event_id")).cast("bigint").as("sum_key"))
+        .withColumn("src", lit("t1"))
+      val b = fx.t2.read().agg(count(lit(1)).as("cnt"),
+        sum(col("user_id")).cast("bigint").as("sum_key"))
+        .withColumn("src", lit("t2"))
+      a.unionByName(b).withColumn("atomic", lit(fx.atomic))
+        .select("src", "cnt", "sum_key", "atomic").orderBy("src")
+    }),
+    "b56_sql_mv" -> ((s, d) => {
+      // SQL materialized view: CREATE MATERIALIZED VIEW compiles the
+      // GROUP BY into a persisted spec; one REFRESH follows an append, a
+      // CoW redaction update, and a MoR delete incrementally; SELECT
+      // resolves to the folded view (never the raw partials). DuckDB
+      // re-derives the aggregation from the raw events.
+      val fx = Fixtures.eventsSqlMv(s, d)
+      s.sql(s"""SELECT event_type, cnt, CAST(sum_uid AS BIGINT) AS sum_uid,
+          min_id, max_id, avg_uid FROM graft.`${fx.viewName}`""")
+        .withColumn("dml_rejected", lit(fx.dmlRejected))
+        .orderBy("event_type")
+    }),
     "b55_check_constraint" -> ((s, d) => {
       // CHECK constraints: declared at create + added via ALTER (with
       // existing-row validation), persisted in the log, enforced on a
@@ -2975,6 +3003,20 @@ object SparkEntry {
         "CAST(sum(user_id) AS BIGINT) AS sum_user_id, " +
         "min(event_id) AS min_event_id, max(event_id) AS max_event_id, " +
         "true AS rebase_consistent FROM final GROUP BY 1 ORDER BY 1"),
+    "a50_multi_table_txn" ->
+      ("SELECT 't1' AS src, count(*) AS cnt, " +
+        "CAST(sum(event_id) AS BIGINT) AS sum_key, true AS atomic FROM events " +
+        "UNION ALL SELECT 't2', count(*), CAST(sum(user_id) AS BIGINT), true " +
+        "FROM events ORDER BY 1"),
+    "b56_sql_mv" ->
+      ("WITH final AS (SELECT event_id, user_id, " +
+        "CASE WHEN user_id % 23 = 7 THEN 'redacted' ELSE event_type END AS event_type " +
+        "FROM events WHERE user_id % 23 <> 8) " +
+        "SELECT event_type, count(*) AS cnt, " +
+        "CAST(sum(user_id) AS BIGINT) AS sum_uid, " +
+        "min(event_id) AS min_id, max(event_id) AS max_id, " +
+        "avg(user_id) AS avg_uid, true AS dml_rejected " +
+        "FROM final GROUP BY 1 ORDER BY 1"),
     "b55_check_constraint" ->
       ("SELECT count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id, " +
         "count(CASE WHEN event_type IS NULL THEN 1 END) AS null_types, " +

@@ -21,7 +21,7 @@ import scala.concurrent.{Await, ExecutionContext, Future}
   * `_data/`); the bucket+prefix of the reference collapses into the root
   * URI.
   */
-final class IceLogIO(pathSafeHostname: String, conf: Configuration,
+final class IceLogIO(pathSafeHostname: String, private[ice] val conf: Configuration,
     logRel: String = "_log") {
   // `logRel` relocates the whole log (commits + checkpoints) under an
   // alternate directory of the SAME root — the branch mechanism
@@ -132,6 +132,16 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration,
   def currentLogFiles(root: String): Seq[String] = {
     val dir = logDir(root)
     val filesystem = fs(root)
+    // a `_x<txnId>`-tagged commit belongs to a multi-table transaction
+    // (IceTransaction): it exists in `_log/` from stage time but joins
+    // EVERY listing-derived view (snapshots, checkpoints, feeds, streams,
+    // maintenance) only once its transaction's single commit marker
+    // lands — the one listing-level gate that makes the cross-table
+    // commit atomic for all readers
+    def visible(n: String): Boolean = IceLogIO.txnIdOf(n) match {
+      case None => true
+      case Some(id) => IceLogIO.txnConfirmed(this, root, id)
+    }
     if ("file".equalsIgnoreCase(filesystem.getUri.getScheme)) {
       val p = java.nio.file.Paths.get(dir.toUri.getPath)
       if (!java.nio.file.Files.isDirectory(p)) return Seq.empty
@@ -140,7 +150,7 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration,
       try ds.forEach { e =>
         val n = e.getFileName.toString
         if (!n.startsWith(".") && !n.startsWith("_") &&
-            java.nio.file.Files.isRegularFile(e))
+            java.nio.file.Files.isRegularFile(e) && visible(n))
           out += s"$logRel/$n"
       } finally ds.close()
       return out.result().sorted
@@ -148,9 +158,30 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration,
     if (!filesystem.exists(dir)) return Seq.empty
     filesystem.listStatus(dir).toSeq
       .filter(st => st.isFile && !st.getPath.getName.startsWith(".") &&
-        !st.getPath.getName.startsWith("_"))
+        !st.getPath.getName.startsWith("_") && visible(st.getPath.getName))
       .map(st => s"$logRel/${st.getPath.getName}")
       .sorted
+  }
+
+  /** Root-relative paths of STAGED (txn-tagged, still-unconfirmed) log
+    * files — the vacuum sweep's input: their referenced data files are
+    * protected while the transaction is young, reclaimed with the staged
+    * log once it expires unconfirmed. */
+  private[ice] def stagedLogFiles(root: String): Seq[(String, String)] = {
+    val dir = logDir(root)
+    val filesystem = fs(root)
+    if (!filesystem.exists(dir)) return Seq.empty
+    filesystem.listStatus(dir).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_"))
+      .flatMap { st =>
+        val n = st.getPath.getName
+        IceLogIO.txnIdOf(n) match {
+          case Some(id) if !IceLogIO.txnConfirmed(this, root, id) =>
+            Some((s"$logRel/$n", id))
+          case _ => None
+        }
+      }
   }
 
   /** Snapshot at max time: strict `<` filename-timestamp filter
@@ -338,7 +369,8 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration,
       timestamp: Option[Long] = None,
       streamCommits: Map[String, Long] = Map.empty,
       tableCfg: Option[Map[String, Any]] = None,
-      cleanedHorizon: Option[Long] = None): (String, LogMetadata) = {
+      cleanedHorizon: Option[Long] = None,
+      txnTag: Option[String] = None): (String, LogMetadata) = {
     // The filename IS the commit identity: two commits in the same
     // millisecond from one writer would collide on `{ts}_{host}.jsonl`
     // (rename then fails — or silently replaces, store-dependent).
@@ -366,7 +398,11 @@ final class IceLogIO(pathSafeHostname: String, conf: Configuration,
       var ts = timestamp.getOrElse(entryNow)
       var attempts = 0
       while (attempts < 1000) {
-        val fileId = s"$ts${if (merged) "_m" else ""}_$pathSafeHostname"
+        // the txn tag suffixes the name: STAGED commits are listed by
+        // currentLogFiles only once their transaction's commit marker
+        // exists (IceLogIO.txnConfirmed) — the multi-table atomicity hook
+        val fileId = s"$ts${if (merged) "_m" else ""}_$pathSafeHostname" +
+          txnTag.fold("")(t => s"_x$t")
         val rel = s"$logRel/$fileId.jsonl"
         val dest = new Path(root, rel)
         val reserved = IceLogIO.reserve(root, fileId)
@@ -529,6 +565,53 @@ object IceLogIO {
         t.setDaemon(true)
         t
       }))
+
+  // ------------------------------------------- multi-table transactions
+  // A staged commit's filename carries `_x<txnId>`; the transaction's
+  // single marker file lives at `<parent-of-root>/_txn/<txnId>.commit`.
+  // One marker PUT is the atomic commit point for every staged table.
+
+  // exactly 16 hex chars (IceTransaction.newId) so a hostname that
+  // happens to end in `_x…` can never be misread as a staged commit
+  private val TxnName = """_x([0-9a-f]{16})\.jsonl$""".r
+
+  /** Transaction id of a staged log filename, None for ordinary logs. */
+  private[ice] def txnIdOf(name: String): Option[String] =
+    if (!name.contains("_x")) None
+    else TxnName.findFirstMatchIn(name).map(_.group(1))
+
+  /** `<parent-of-root>/_txn/<id>.commit` — derivable from the root alone,
+    * which is what lets every reader check it with no side channel. All
+    * tables in one transaction must share a parent directory. */
+  private[ice] def txnMarkerPath(root: String, id: String): Path = {
+    val parent = Option(new Path(root).getParent).getOrElse(new Path("/"))
+    new Path(new Path(parent, "_txn"), s"$id.commit")
+  }
+
+  /** Confirmed = the commit marker exists. Positive results cache
+    * process-wide (a marker never un-commits); pending ids re-probe on
+    * every listing until confirmed, so the steady-state cost is zero and
+    * the pending-state cost is one existence probe per distinct open
+    * transaction per listing. */
+  private val confirmedTxns =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[ice] def txnConfirmed(io: IceLogIO, root: String, id: String): Boolean = {
+    val marker = txnMarkerPath(root, id)
+    val key = marker.toString
+    if (confirmedTxns.contains(key)) return true
+    val ok =
+      try marker.getFileSystem(io.conf).exists(marker)
+      catch { case _: Exception => false }
+    if (ok) confirmedTxns.add(key)
+    ok
+  }
+
+  /** Prime the confirmed cache right after a marker PUT (same-process
+    * readers skip the first probe). */
+  private[ice] def primeTxnConfirmed(marker: Path): Unit = {
+    confirmedTxns.add(marker.toString); ()
+  }
 
   /** Filename codec: `{ts}[_m]_{hostname}.jsonl` → (ts, merged)
     * (reference: icedb/log.py:360-371). */

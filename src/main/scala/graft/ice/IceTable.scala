@@ -138,7 +138,8 @@ final case class IceTableConfig(
     sortOnMerge: Boolean = false,
     checkpointEveryCommits: Option[Int] = None,
     bucketBy: Option[(Int, Seq[String])] = None,
-    checkConstraints: Seq[(String, String)] = Nil)
+    checkConstraints: Seq[(String, String)] = Nil,
+    mvDef: Option[String] = None)
 
 /** The Parquet merge-engine table: MVCC JSONL log + immutable Parquet data
   * parts under one root URI (local fs or s3a — anything Hadoop FileSystem
@@ -726,6 +727,24 @@ final class IceTable(
     preflightSchema = Some(probed)
     maybeCheckpoint()
     markers
+  }
+
+  /** Stage one insert for a multi-table transaction
+    * ([[IceTransaction]]): data files and a `_x<txnId>`-tagged log file
+    * land now, but NO reader sees them until the transaction's single
+    * commit marker lands. Pre-flight (schema + CHECK constraints) runs
+    * exactly like [[insert]]; the preflight CACHE is deliberately not
+    * updated (an aborted transaction must not leave phantom columns that
+    * change later batches' validation). Returns (markers, staged ts). */
+  private[ice] def stageTxnInsert(
+      df0: DataFrame, txnId: String): (Seq[FileMarker], Long) = {
+    val shaped = cfg.formatRow.fold(df0)(f => f(df0))
+    preflight(shaped)
+    enforceConstraints(shaped, "INSERT")
+    val (markers, schema) = writeRouted(routeRows(df0))
+    val (_, meta) = logio.append(root, 1, schema, markers,
+      tableCfg = persistedCfg, txnTag = Some(txnId))
+    (markers, meta.timestamp)
   }
 
   /** The shared pre-insert pipeline — formatRow hook (A23), `_partition`
@@ -2168,13 +2187,37 @@ final class IceTable(
       fsys.delete(p, recursive)
       ()
     }
+    // multi-table transactions (IceTransaction): a PENDING stage's data
+    // files are invisible to the snapshot (`known` misses them) but must
+    // survive the sweep while the transaction is young; an expired
+    // unconfirmed stage — aborted or crashed — is reclaimed wholesale,
+    // tagged log plus its referenced data. The cut uses the TXN TTL (at
+    // least), matching commit()'s own refusal past it: reclaim and
+    // commit can never race on a sane clock.
+    val stagedCut = now() - math.max(minAgeMs, IceTransaction.TtlMs)
+    val (expiredStages, liveStages) = logio.stagedLogFiles(root)
+      .partition { case (rel, _) => IceLogIO.logFileInfo(rel)._1 <= stagedCut }
+    def stagedMarkers(rel: String): Seq[FileMarker] =
+      try logio.parseLog(rel, logio.fetchLogLines(root, Seq(rel))(rel))._2
+      catch { case _: Exception => Seq.empty }
+    val protectedStaged: Set[String] =
+      liveStages.flatMap { case (rel, _) => stagedMarkers(rel).map(_.path) }.toSet
+    expiredStages.foreach { case (rel, _) =>
+      stagedMarkers(rel).foreach { m =>
+        fencedDelete(new Path(root, m.path), recursive = false)
+        deleted += m.path
+      }
+      fencedDelete(new Path(root, rel), recursive = false)
+      deleted += rel
+    }
     val dataDir = new Path(root, "_data")
     if (fsys.exists(dataDir)) {
       val it = fsys.listFiles(dataDir, true)
       while (it.hasNext) {
         val st = it.next()
         val rel = st.getPath.toString.stripPrefix(rootStr).stripPrefix("/")
-        if (st.isFile && !known(rel) && st.getModificationTime <= cutoff) {
+        if (st.isFile && !known(rel) && !protectedStaged(rel) &&
+            st.getModificationTime <= cutoff) {
           fencedDelete(st.getPath, recursive = false)
           deleted += rel
         }
@@ -2516,6 +2559,7 @@ object IceTable {
       m("chn") = cfg.checkConstraints.map(_._1)
       m("chx") = cfg.checkConstraints.map(_._2)
     }
+    cfg.mvDef.foreach(v => m("mvd") = v)
     if (cfg.partitionFunc.nonEmpty) m("pf") = true
     if (cfg.formatRow.nonEmpty) m("fr") = true
     if (m.isEmpty) None else Some(m.toMap)
@@ -2563,7 +2607,8 @@ object IceTable {
       checkpointEveryCommits = m.get("cpc").map(_.asInstanceOf[Long].toInt),
       bucketBy = m.get("bkn").map(n =>
         (n.asInstanceOf[Long].toInt, strs("bkc"))),
-      checkConstraints = strs("chn").zip(strs("chx")))
+      checkConstraints = strs("chn").zip(strs("chx")),
+      mvDef = m.get("mvd").map(_.toString))
   }
 
   /** The `bkt=<id>` LAST path segment a bucketed table's router appends. */

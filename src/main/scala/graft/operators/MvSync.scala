@@ -77,11 +77,73 @@ object MvSync {
         minMaxCols.flatMap(c => Seq(minCol(c), maxCol(c))))
   }
 
+  /** One output column of a SQL-defined view: `kind` ∈ cnt | sum | min |
+    * max | avg, `col` the aggregated source column ("" for cnt). */
+  case class MvOutput(alias: String, kind: String, col: String)
+
+  /** A SQL-defined materialized view: source TABLE NAME (warehouse-
+    * resolved, so the definition travels with the log), group columns,
+    * and the SELECT's output list. Persisted as one JSON string in the
+    * MV table's config word (`mvd`), so any reopened handle — and the
+    * catalog resolution rule — can reconstruct both the maintenance
+    * [[MvSpec]] and the user-facing projection. */
+  case class MvViewDef(source: String, groupCols: Seq[String],
+      outputs: Seq[MvOutput]) {
+    def spec: MvSpec = MvSpec(
+      groupCols,
+      sumCols = outputs.collect {
+        case o if o.kind == "sum" || o.kind == "avg" => o.col }.distinct,
+      minMaxCols = outputs.collect {
+        case o if o.kind == "min" || o.kind == "max" => o.col }.distinct)
+    def encode: String = graft.ice.Json.obj(
+      "src" -> source, "g" -> groupCols,
+      "o" -> outputs.map(o => Seq(o.alias, o.kind, o.col)))
+  }
+
+  object MvViewDef {
+    def decode(s: String): MvViewDef = {
+      val m = graft.ice.Json.parseObject(s)
+      def strs(v: Any): Seq[String] = v match {
+        case xs: scala.collection.Seq[_] => xs.map(_.toString).toSeq
+        case _ => Seq.empty
+      }
+      MvViewDef(
+        m("src").toString,
+        strs(m("g")),
+        m("o") match {
+          case xs: scala.collection.Seq[_] => xs.map { e =>
+            val f = strs(e); MvOutput(f(0), f(1), f(2))
+          }.toSeq
+          case _ => Seq.empty
+        })
+    }
+  }
+
+  /** The user-facing shape of a SQL-defined view: [[read]]'s folded
+    * state projected to the SELECT's aliases (avg derives as sum/cnt —
+    * the partials never store a non-reaggregable mean). */
+  def readView(mv: IceTable, d: MvViewDef,
+      maxTs: Long = Long.MaxValue): DataFrame = {
+    val folded = read(mv, d.spec, maxTs)
+    val cols = d.groupCols.map(col) ++ d.outputs.map { o =>
+      (o.kind match {
+        case "cnt" => col("cnt")
+        case "sum" => col(d.spec.sumCol(o.col))
+        case "avg" => col(d.spec.sumCol(o.col)) / col("cnt")
+        case "min" => col(d.spec.minCol(o.col))
+        case "max" => col(d.spec.maxCol(o.col))
+        case k => throw new IllegalArgumentException(s"unknown MV aggregate kind $k")
+      }).as(o.alias)
+    }
+    folded.select(cols: _*)
+  }
+
   /** Table config for the MV: compaction folds within a
     * `(group, gen, is_reset)` cell — `cnt`/sums re-sum, min/max re-fold —
     * which is associative under any subset-of-files merge. */
   def mvConfig(spec: MvSpec,
-      partitionExpr: Column = lit("all")): IceTableConfig = {
+      partitionExpr: Column = lit("all"),
+      viewDef: Option[MvViewDef] = None): IceTableConfig = {
     val keys = (spec.groupCols ++ Seq("gen", "is_reset"))
       .map(c => s"`$c`").mkString(", ")
     val folds = (s"sum(`cnt`) as cnt" +:
@@ -93,13 +155,15 @@ object MvSync {
       partitionExpr = partitionExpr,
       sortOrder = spec.groupCols,
       customMergeSql = Some(
-        s"select $keys, $folds from source_files group by $keys"))
+        s"select $keys, $folds from source_files group by $keys"),
+      mvDef = viewDef.map(_.encode))
   }
 
   def create(spark: org.apache.spark.sql.SparkSession, root: String,
       spec: MvSpec,
-      partitionExpr: Column = lit("all")): IceTable =
-    new IceTable(spark, root, mvConfig(spec, partitionExpr))
+      partitionExpr: Column = lit("all"),
+      viewDef: Option[MvViewDef] = None): IceTable =
+    new IceTable(spark, root, mvConfig(spec, partitionExpr, viewDef))
 
   /** Null-safe equality on the group columns between two ALIASED
     * relations (both sides of every join here share lineage through the
@@ -132,8 +196,10 @@ object MvSync {
               .localCheckpoint(true)
             try {
               val n = resets.count()
-              if (n == 0) CdcApply.commitMark(mv, key, until)
-              else mv.insertBatch(resets, key, until)
+              // insert even when empty: the commit carries the view's
+              // COLUMN SCHEMA, so read()/readView() work before the
+              // first group materializes
+              mv.insertBatch(resets, key, until)
               (0L, n)
             } finally { resets.unpersist(); () }
         }
@@ -142,31 +208,68 @@ object MvSync {
         val (feed, until) = ChangeFeed.betweenSettled(source, wm)
         val f = feed.localCheckpoint()
         if (f.isEmpty) return (0L, 0L) // idle window: commit nothing
-        val retracted = f
-          .where(col(ChangeFeed.ChangeTypeCol) === "delete")
-          .select(groupCols: _*).distinct().localCheckpoint(true)
-        val inserts = f.where(col(ChangeFeed.ChangeTypeCol) === "insert")
-        // partials: insert-only groups accumulate; a group with any
-        // retraction is covered exactly by its reset (the recompute at
-        // until+1 already includes this window's inserts)
-        val insAlive =
-          if (retracted.isEmpty) inserts
-          else inserts.alias("_mvi").join(broadcast(retracted.alias("_mvt")),
-            groupCond("_mvi", "_mvt", spec.groupCols), "left_anti")
-        val partials = insAlive
-          .groupBy(groupCols: _*).agg(spec.aggExprs.head, spec.aggExprs.tail: _*)
-          .withColumn("gen", lit(until))
-          .withColumn("is_reset", lit(false))
-        val resets = resetRows(source, retracted, spec, until, maxPruneGroups)
-        val delta = partials.unionByName(resets).localCheckpoint(true)
+        val delta = windowDelta(source, spec, f, until, maxPruneGroups)
         try {
           val nPart = delta.where(!col("is_reset")).count()
           val nReset = delta.where(col("is_reset")).count()
           if (nPart + nReset == 0) CdcApply.commitMark(mv, key, until)
           else mv.insertBatch(delta, key, until)
           (nPart, nReset)
-        } finally { delta.unpersist(); retracted.unpersist(); () }
+        } finally { delta.unpersist(); () }
     }
+  }
+
+  /** The per-window delta at generation `gen`: insert-only groups
+    * accumulate as partials; any group with a retraction in the window
+    * is covered exactly by its reset (the recompute at `gen + 1` already
+    * includes the window's own inserts). Returned eagerly checkpointed —
+    * the caller unpersists. */
+  private[graft] def windowDelta(source: IceTable, spec: MvSpec,
+      feed: DataFrame, gen: Long, maxPruneGroups: Int): DataFrame = {
+    val groupCols = spec.groupCols.map(col)
+    val retracted = feed
+      .where(col(ChangeFeed.ChangeTypeCol) === "delete")
+      .select(groupCols: _*).distinct().localCheckpoint(true)
+    try {
+      val inserts = feed.where(col(ChangeFeed.ChangeTypeCol) === "insert")
+      val insAlive =
+        if (retracted.isEmpty) inserts
+        else inserts.alias("_mvi").join(broadcast(retracted.alias("_mvt")),
+          groupCond("_mvi", "_mvt", spec.groupCols), "left_anti")
+      val partials = insAlive
+        .groupBy(groupCols: _*).agg(spec.aggExprs.head, spec.aggExprs.tail: _*)
+        .withColumn("gen", lit(gen))
+        .withColumn("is_reset", lit(false))
+      val resets = resetRows(source, retracted, spec, gen, maxPruneGroups)
+      partials.unionByName(resets).localCheckpoint(true)
+    } finally { retracted.unpersist(); () }
+  }
+
+  /** One STREAMING micro-batch of the source's change feed applied to
+    * the MV — the foreachBatch body of
+    * [[graft.streaming.Streams.mvSyncSink]]. Generation = the batch's
+    * max commit ts; retraction resets time-travel the source back to
+    * that instant, so they are exact even when later commits already
+    * exist by the time the batch processes. Exactly-once: the delta and
+    * the `(queryName, batchId)` record commit in ONE atomic log PUT
+    * ([[IceTable.insertBatch]]); a crash-replayed batch is skipped. A
+    * horizon-skip gap marker fails loudly — a view silently missing a
+    * window is worse than a dead stream. */
+  def applyFeedBatch(source: IceTable, mv: IceTable, spec: MvSpec,
+      batch: DataFrame, batchId: Long, queryName: String = "_mv_stream",
+      maxPruneGroups: Int = 1000): Unit = {
+    val b = batch.localCheckpoint()
+    try {
+      if (b.isEmpty) return
+      require(b.where(col(ChangeFeed.ChangeTypeCol) === "gap").isEmpty,
+        "change-feed batch contains a horizon-skip gap marker: changes " +
+          "before the feed floor are unrecoverable — rebuild the view " +
+          "(drop + initial sync) instead of silently diverging")
+      val gen = b.agg(max(col(ChangeFeed.CommitTsCol))).head.getLong(0)
+      val delta = windowDelta(source, spec, b, gen, maxPruneGroups)
+      try { mv.insertBatch(delta, queryName, batchId); () }
+      finally { delta.unpersist(); () }
+    } finally { b.unpersist(); () }
   }
 
   /** Exact recompute of the retracted groups from the base as of
@@ -206,8 +309,9 @@ object MvSync {
   /** The view's current contents: per group, the newest reset plus every
     * strictly-later partial, folded. Groups whose live row count is zero
     * are dropped. One exchange on the group key, MV-sized. */
-  def read(mv: IceTable, spec: MvSpec): DataFrame = {
-    val rows = mv.read()
+  def read(mv: IceTable, spec: MvSpec,
+      maxTs: Long = Long.MaxValue): DataFrame = {
+    val rows = mv.read(maxTs)
     require(rows.columns.contains("gen"),
       s"materialized view at ${mv.root} has no synced state yet")
     val w = Window.partitionBy(spec.groupCols.map(col): _*)

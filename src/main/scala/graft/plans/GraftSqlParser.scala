@@ -140,6 +140,11 @@ object GraftSqlParser {
     // WAP branches (Iceberg's ALTER TABLE spellings): see graft.ice.Branch
     val branchRe = re(
       s"""\\s*ALTER\\s+TABLE\\s+$c\\.$ident\\s+(CREATE|PUBLISH|DROP)\\s+BRANCH\\s+([A-Za-z0-9_-]+)\\s*;?\\s*""")
+    // SQL-defined incremental materialized views (graft.operators.MvSync)
+    val createMvRe = re(
+      s"""\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$c\\.$ident\\s+AS\\s+(.+?)\\s*;?\\s*""")
+    val refreshMvRe = re(
+      s"""\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+$c\\.$ident\\s*;?\\s*""")
     // CHECK constraints (Delta's ALTER TABLE spellings): the predicate
     // body is a balanced-paren walk like partition expressions
     val constraintAddRe = re(
@@ -212,6 +217,17 @@ object GraftSqlParser {
 
     val sbm = showBranchesRe.matcher(sqlText)
     if (sbm.matches()) return Some(GraftShowBranchesCommand(name(sbm, 1)))
+
+    // CREATE MATERIALIZED VIEW graft.m AS SELECT … FROM graft.t GROUP BY …
+    // | REFRESH MATERIALIZED VIEW graft.m — incremental maintenance
+    // (MvSync): the definition is validated and compiled AT PARSE TIME
+    // into a persisted view spec
+    val mvm = createMvRe.matcher(sqlText)
+    if (mvm.matches())
+      return Some(GraftCreateMvCommand(name(mvm, 2), mvm.group(1) != null,
+        extractMvDef(mvm.group(4), catalog, delegate)))
+    val rfm = refreshMvRe.matcher(sqlText)
+    if (rfm.matches()) return Some(GraftRefreshMvCommand(name(rfm, 1)))
 
     // ALTER TABLE graft.t ADD CONSTRAINT n CHECK (pred) | DROP CONSTRAINT n
     val cam = constraintAddRe.matcher(sqlText)
@@ -478,6 +494,76 @@ object GraftSqlParser {
     * seed land in ONE atomic log commit (a crash mid-CTAS publishes
     * nothing), and the partition/sort config persists in that commit's
     * metadata so every later handle — SQL or API — routes identically. */
+  /** Compile the CREATE MATERIALIZED VIEW query into a persistable view
+    * definition: exactly `SELECT <group cols + aliased aggregates> FROM
+    * <catalog>.<table> GROUP BY <cols>` with count(*) / sum / min / max /
+    * avg — the shapes [[graft.operators.MvSync]] maintains incrementally.
+    * Anything else fails AT PARSE TIME with a reason. */
+  private def extractMvDef(query: String, catalog: String,
+      delegate: ParserInterface): graft.operators.MvSync.MvViewDef = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, SubqueryAlias}
+    import graft.operators.MvSync.{MvOutput, MvViewDef}
+    def fail(msg: String): Nothing = throw new UnsupportedOperationException(
+      "CREATE MATERIALIZED VIEW supports a single-table GROUP BY with " +
+        s"count(*) / sum / min / max / avg outputs; $msg")
+    def sourceOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String =
+      p match {
+        case u: UnresolvedRelation => u.multipartIdentifier match {
+          case Seq(cat, t) if cat.equalsIgnoreCase(catalog) => t
+          case other => fail(
+            s"FROM must reference $catalog.<table>, got ${other.mkString(".")}")
+        }
+        case SubqueryAlias(_, child) => sourceOf(child)
+        case other => fail(s"FROM must be a bare table reference, got ${other.nodeName}")
+      }
+    delegate.parsePlan(query) match {
+      case Aggregate(groups, aggs, child, _) =>
+        val src = sourceOf(child)
+        val gcols = groups.map {
+          case a: UnresolvedAttribute => a.name
+          case other => fail(s"GROUP BY must list plain columns, got $other")
+        }
+        val outputs = aggs.flatMap {
+          case a: UnresolvedAttribute =>
+            if (!gcols.exists(_.equalsIgnoreCase(a.name)))
+              fail(s"non-aggregate output `${a.name}` is not in GROUP BY")
+            None // group columns pass through under their own names
+          case Alias(f: UnresolvedFunction, aliasName) =>
+            if (f.isDistinct)
+              fail("DISTINCT aggregates are not incrementally maintainable")
+            val kind = f.nameParts.last.toLowerCase match {
+              case "count" => "cnt"
+              case "sum" => "sum"
+              case "min" => "min"
+              case "max" => "max"
+              case "avg" | "mean" => "avg"
+              case other => fail(s"unsupported aggregate `$other`")
+            }
+            val colName =
+              if (kind == "cnt") f.arguments match {
+                case Seq(_: UnresolvedStar) => ""
+                case Seq(Literal(_, _)) => ""
+                case _ => fail("count must be count(*) or count(1)")
+              }
+              else f.arguments match {
+                case Seq(a: UnresolvedAttribute) => a.name
+                case _ => fail(
+                  s"${f.nameParts.last} must take exactly one plain column")
+              }
+            Some(MvOutput(aliasName, kind, colName))
+          case _: UnresolvedFunction =>
+            fail("alias every aggregate output (… AS name)")
+          case other => fail(s"unsupported output expression $other")
+        }
+        if (outputs.isEmpty) fail("at least one aggregate output is required")
+        MvViewDef(src, gcols, outputs)
+      case other => fail(
+        s"the query must be exactly SELECT … FROM … GROUP BY …, got ${other.nodeName}")
+    }
+  }
+
   final case class GraftCreateTableAsCommand(
       name: String, ifNotExists: Boolean,
       partitionExprSql: Option[String], sortCols: Seq[String],
@@ -758,7 +844,10 @@ object GraftSqlParser {
             cfg.get("fr").collect { case true =>
               "formatRow CLOSURE (not reproducible from SQL)" },
             cfg.get("prtx").collect { case true =>
-              "partition expression has NO SQL rendering (not reproducible)" })
+              "partition expression has NO SQL rendering (not reproducible)" },
+            cfg.get("mvd").map(v =>
+              "MATERIALIZED VIEW definition (reads fold incrementally-" +
+                s"maintained partials): $v"))
             .flatten
           comments.foreach(cmt => sb.append(s"\n-- config: $cmt"))
           // CHECK constraints re-apply via their own ALTER statements —
@@ -812,6 +901,62 @@ object GraftSqlParser {
           new IceTable(session, root, t.cfg.copy(sortOrder = sortCols))
             .persistConfig()
           Seq(Row(sortCols.mkString(", ")))
+      }
+  }
+
+  /** `CREATE MATERIALIZED VIEW graft.<m> AS SELECT …` → an MV table
+    * ([[graft.operators.MvSync]]) whose config word persists the view
+    * definition, seeded with one initial full aggregation. Reading
+    * `graft.<m>` resolves to the FOLDED view (IceSqlResolution);
+    * `REFRESH MATERIALIZED VIEW` advances it incrementally from the
+    * source's change feed. */
+  final case class GraftCreateMvCommand(name: String, ifNotExists: Boolean,
+      d: graft.operators.MvSync.MvViewDef) extends LeafRunnableCommand {
+    import graft.operators.MvSync
+    override val output: Seq[Attribute] =
+      Seq(AR("groups_seeded", LongType, nullable = false)())
+    override def run(session: SparkSession): Seq[Row] = {
+      if (rootFor(session, name, requireLog = true).isDefined) {
+        if (ifNotExists) return Seq(Row(0L))
+        throw new IllegalStateException(
+          s"graft table '$name' already exists; DROP TABLE it first")
+      }
+      val srcRoot = rootFor(session, d.source, requireLog = true).getOrElse(
+        throw new IllegalArgumentException(
+          s"source table '${d.source}' does not exist"))
+      val src = IceTable.open(session, srcRoot)
+      val root = rootFor(session, name, requireLog = false).get
+      val mv = MvSync.create(session, root, d.spec, viewDef = Some(d))
+      val (_, seeded) = MvSync.syncFromFeed(src, mv, d.spec)
+      Seq(Row(seeded))
+    }
+  }
+
+  /** `REFRESH MATERIALIZED VIEW graft.<m>` → one incremental
+    * [[graft.operators.MvSync.syncFromFeed]] window: count/sum deltas
+    * appended, delete-touched groups recomputed, exactly-once. */
+  final case class GraftRefreshMvCommand(name: String)
+      extends LeafRunnableCommand {
+    import graft.operators.MvSync
+    override val output: Seq[Attribute] = Seq(
+      AR("partial_groups", LongType, nullable = false)(),
+      AR("reset_groups", LongType, nullable = false)())
+    override def run(session: SparkSession): Seq[Row] =
+      rootFor(session, name, requireLog = true) match {
+        case None => throw new IllegalArgumentException(
+          s"graft materialized view '$name' does not exist")
+        case Some(root) =>
+          val mv = IceTable.open(session, root)
+          val d = mv.cfg.mvDef.map(MvSync.MvViewDef.decode).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft table '$name' is not a materialized view"))
+          val srcRoot = rootFor(session, d.source, requireLog = true).getOrElse(
+            throw new IllegalArgumentException(
+              s"source table '${d.source}' of materialized view '$name' " +
+                "no longer exists"))
+          val (p, r) = MvSync.syncFromFeed(
+            IceTable.open(session, srcRoot), mv, d.spec)
+          Seq(Row(p, r))
       }
   }
 
@@ -915,7 +1060,12 @@ object GraftSqlParser {
           val dataCols = snap.schema.pairs.map { case (n, ty) => Row(n, ty, null) }
           val partCols = IceFileIndex.partitionKeys(t, snap)
             .map(k => Row(k, "STRING", "partition (path-derived)"))
-          dataCols ++ partCols
+          val constraints = t.cfg.checkConstraints.map { case (n, x) =>
+            Row(s"# constraint $n", "CHECK", x)
+          }
+          val mvRow = t.cfg.mvDef.toSeq.map(d =>
+            Row("# materialized view", "MV", d))
+          dataCols ++ partCols ++ constraints ++ mvRow
       }
   }
 

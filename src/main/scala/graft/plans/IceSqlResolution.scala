@@ -115,9 +115,19 @@ final class IceSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       // reference costs ONE log fold
       val (t, snapOpt) = IceSqlResolution.openTargetWithSnapshot(
         spark, root, branch)
-      val pre = if (maxTs == Long.MaxValue) snapOpt else None
-      val rel = IceFileIndex.dataFrame(spark, t, maxTs, pre)
-        .queryExecution.analyzed
+      val rel = t.cfg.mvDef match {
+        // a materialized view reads as its FOLDED definition (the
+        // newest-reset-wins fold + the SELECT's projection), never as
+        // the raw partial rows; time travel folds the MV's own history
+        case Some(enc) =>
+          graft.operators.MvSync.readView(t,
+              graft.operators.MvSync.MvViewDef.decode(enc), maxTs)
+            .queryExecution.analyzed
+        case None =>
+          val pre = if (maxTs == Long.MaxValue) snapOpt else None
+          IceFileIndex.dataFrame(spark, t, maxTs, pre)
+            .queryExecution.analyzed
+      }
       SubqueryAlias(Seq(catalogName, name), rel)
     }
 
@@ -360,6 +370,22 @@ object IceSqlResolution {
     if (branch.isEmpty) IceTable.open(session, root)
     else openTargetWithSnapshot(session, root, branch)._1
 
+  /** [[openTarget]] for DML statements: a materialized view's contents
+    * are derived state — direct mutation would silently diverge it from
+    * its definition, so the mutable spelling rejects MV tables. */
+  private[plans] def openMutable(
+      session: SparkSession, root: String, branch: String): IceTable = {
+    val t = openTarget(session, root, branch)
+    requireNotMv(t)
+    t
+  }
+
+  private[plans] def requireNotMv(t: IceTable): Unit =
+    require(t.cfg.mvDef.isEmpty,
+      s"${t.root} is a MATERIALIZED VIEW maintained from its source's " +
+        "change feed — mutate the SOURCE table and run REFRESH " +
+        "MATERIALIZED VIEW instead of writing to the view")
+
   /** [[openTarget]] that also returns the fold it paid, so the branch
     * log folds ONCE per reference (it used to fold in openExisting and
     * again for the relation snapshot). The main log still folds once too
@@ -506,7 +532,7 @@ final case class IceDeleteCommand(root: String, ident: String, condSql: String,
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     Seq(AR("rows_deleted", org.apache.spark.sql.types.LongType, nullable = false)())
   override def run(session: SparkSession): Seq[org.apache.spark.sql.Row] = {
-    val n = IceSqlResolution.openTarget(session, root, branch)
+    val n = IceSqlResolution.openMutable(session, root, branch)
       .deleteWhere(org.apache.spark.sql.functions.expr(condSql))
     Seq(org.apache.spark.sql.Row(n))
   }
@@ -548,7 +574,7 @@ final case class IceMergeCommand(
       AR("rows_copied", org.apache.spark.sql.types.LongType, nullable = false)())
   override def run(session: SparkSession): Seq[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.functions.col
-    val t = IceSqlResolution.openTarget(session, root, branch)
+    val t = IceSqlResolution.openMutable(session, root, branch)
     var src = org.apache.spark.sql.graft.PlanBridge.ofRows(session, sourceBox.plan)
     keyPairs.foreach { case (tn, sn) =>
       if (sn != tn) src = src.withColumnRenamed(sn, tn)
@@ -614,6 +640,7 @@ final case class IceInsertCommand(
         val bt = IceSqlResolution.openTarget(session, root, branch)
         (bt, bt.trySnapshot(Long.MaxValue))
       }
+    IceSqlResolution.requireNotMv(t)
     val q = org.apache.spark.sql.graft.PlanBridge.ofRows(session, queryBox.plan)
     // canonical-case + type lookup, keyed lowercased: SQL resolves column
     // references case-insensitively, the log schema is exact-case
@@ -678,7 +705,7 @@ final case class IceUpdateCommand(
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     Seq(AR("rows_updated", org.apache.spark.sql.types.LongType, nullable = false)())
   override def run(session: SparkSession): Seq[org.apache.spark.sql.Row] = {
-    val t = IceSqlResolution.openTarget(session, root, branch)
+    val t = IceSqlResolution.openMutable(session, root, branch)
     // a CoW rewrite keeps each file in its partition directory, so
     // updating a column the partition path encodes — or any column the
     // partition EXPRESSION derives from — would leave the path-derived

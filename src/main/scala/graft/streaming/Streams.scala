@@ -190,6 +190,42 @@ object Streams {
     * Scale shape: each micro-batch is one window-bounded collapse
     * shuffle plus affected-file-bounded rewrites — batch size, never
     * table size. */
+  /** CONTINUOUS incremental view maintenance: tail the source's change
+    * feed and fold every micro-batch into the MV — the streaming form of
+    * [[graft.operators.MvSync.syncFromFeed]]. Count/sum land as
+    * append-only delta partials; delete-touched groups recompute exactly
+    * against the source AS OF the batch's own generation (time travel),
+    * so the view converges no matter how far the stream lags the table.
+    * Start shapes (the [[cdcReplicaSink]] contract): an EMPTY view with
+    * `startingTimestamp = 0` (the replayed feed builds it from scratch),
+    * or a [[graft.operators.MvSync.syncFromFeed]]-seeded view with the
+    * stream started from its watermark. Exactly-once per batch via
+    * [[IceTable.insertBatch]]; a gap marker fails the query loudly. */
+  def mvSyncSink(
+      source: IceTable,
+      mv: IceTable,
+      spec: graft.operators.MvSync.MvSpec,
+      checkpoint: String,
+      startingTimestamp: Long = 0L,
+      queryName: String = "_mv_stream",
+      trigger: Trigger = Trigger.ProcessingTime("3 seconds")): StreamingQuery =
+    source.spark.readStream
+      .format("ice")
+      .option("path", source.root)
+      .option("changeFeed", "true")
+      .option("startingTimestamp", startingTimestamp.toString)
+      .load()
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.MvSync.applyFeedBatch(
+          source, mv, spec, batch, id, queryName)
+        ()
+      }
+      .start()
+
   def cdcReplicaSink(
       source: IceTable,
       target: IceTable,

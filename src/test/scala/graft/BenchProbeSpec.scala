@@ -22,6 +22,29 @@ class BenchProbeSpec extends AnyFunSuite {
   private def median(xs: Seq[Double]): Double =
     xs.sorted.apply((xs.length - 1) / 2)
 
+  /** Whole-system CPU utilization right now (0..1): the probes' idle-vs-
+    * loaded contrast is only measurable on a quiet box. Co-tenant load is
+    * precisely what the probes exist to DETECT at bench time — here it
+    * makes the experiment itself invalid, so the sensitivity tests cancel
+    * rather than fail (the r10/r11 official benches were poisoned by
+    * exactly this kind of noise). */
+  private def systemCpuLoad(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        os.getCpuLoad // prime the interval
+        Thread.sleep(300)
+        val l = os.getCpuLoad
+        if (l.isNaN) 0.0 else l
+      case _ => 0.0
+    }
+
+  private def requireQuietHost(): Unit = {
+    val l = systemCpuLoad()
+    assume(l < 0.20,
+      f"system CPU already at ${l * 100}%.0f%% before the experiment — " +
+        "co-tenant load makes idle-vs-loaded sensitivity unmeasurable")
+  }
+
   /** Run one sensitivity measurement up to `attempts` times until `ok`
     * holds; if it never does AND the final idle baseline sat well above
     * the clean reference, CANCEL (the host is visibly co-tenanted — the
@@ -52,6 +75,7 @@ class BenchProbeSpec extends AnyFunSuite {
   }
 
   test("spin probe inflates under CPU oversubscription, relative to idle") {
+    requireQuietHost()
     BenchProbe.warmup()
     def measure(): (Double, Double) = {
       val idle = median(Seq.fill(7)(BenchProbe.run()))
@@ -89,6 +113,7 @@ class BenchProbeSpec extends AnyFunSuite {
   }
 
   test("bandwidth probe inflates under co-tenant memory traffic, relative to idle") {
+    requireQuietHost()
     BenchProbe.warmup()
     // co-tenant memory pressure WITHOUT CPU oversubscription (hogs + probe
     // threads < cores): each hog runs a 64 MiB→64 MiB copy stream — src

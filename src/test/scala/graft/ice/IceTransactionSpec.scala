@@ -1,0 +1,145 @@
+package graft.ice
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Atomic multi-table commits: staged inserts are invisible on every
+  * read surface until the single marker PUT, then visible on all tables
+  * at once; aborted/crashed stages reclaim. */
+class IceTransactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pair(): (IceTable, IceTable, String) = {
+    val parent = tmpDir("txn_wh")
+    val t1 = new IceTable(spark, s"$parent/t1", IceTableConfig(
+      partitionExpr = concat(lit("p="), pmod(col("id"), lit(2))),
+      sortOrder = Seq("id")))
+    val t2 = new IceTable(spark, s"$parent/t2", IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("id")))
+    (t1, t2, parent)
+  }
+
+  test("staged inserts are invisible everywhere until ONE marker commits both") {
+    val (t1, t2, parent) = pair()
+    t1.insert(Seq((1L, "seed")).toDF("id", "v"))
+    t2.insert(Seq((100L, "seed")).toDF("id", "v"))
+    val txn = IceTransaction.begin(spark)
+    txn.insert(t1, Seq((2L, "txn"), (3L, "txn")).toDF("id", "v"))
+    txn.insert(t2, Seq((200L, "txn")).toDF("id", "v"))
+    // pending: no reader surface sees the stage
+    assert(t1.read().count() == 1L && t2.read().count() == 1L)
+    assert(t1.history().count() == 1L)
+    assert(ChangeFeed.between(t1, 0L).count() == 1L)
+    // the staged bytes DO exist — visibility is the only thing deferred
+    assert(new java.io.File(s"${t1.root}/_log").listFiles()
+      .exists(_.getName.contains("_x" + txn.id)))
+    txn.commit()
+    assert(t1.read().count() == 3L && t2.read().count() == 2L)
+    assert(t1.read().where($"v" === "txn").count() == 2L)
+    // the marker is one file beside the tables
+    assert(new java.io.File(s"$parent/_txn").listFiles().count(
+      _.getName == s"${txn.id}.commit") == 1)
+    // feeds see the committed rows too
+    assert(ChangeFeed.between(t1, 0L).count() == 3L)
+  }
+
+  test("abort deletes the staged log and data; nothing was ever visible") {
+    val (t1, t2, _) = pair()
+    t1.insert(Seq((1L, "seed")).toDF("id", "v"))
+    val txn = IceTransaction.begin(spark)
+    txn.insert(t1, Seq((2L, "txn")).toDF("id", "v"))
+    txn.insert(t2, Seq((9L, "txn")).toDF("id", "v"))
+    txn.abort()
+    assert(t1.read().count() == 1L)
+    intercept[Exception](txn.commit()) // aborted: cannot commit
+    assert(!new java.io.File(s"${t1.root}/_log").listFiles()
+      .exists(_.getName.contains("_x")))
+    // t2 never had a confirmed commit at all
+    assert(t2.trySnapshot(Long.MaxValue).isEmpty)
+  }
+
+  test("a crashed (never-committed) stage is invisible and vacuum reclaims it after the TTL") {
+    val (t1, _, _) = pair()
+    t1.insert(Seq((1L, "seed")).toDF("id", "v"))
+    val txn = IceTransaction.begin(spark)
+    txn.insert(t1, Seq((2L, "txn")).toDF("id", "v"))
+    // simulate the crash: drop the handle, never commit/abort
+    assert(t1.read().count() == 1L)
+    // young stage: vacuum must NOT touch it (data protected)
+    val young = t1.vacuumOrphans(minAgeMs = 0L)
+    assert(!young.exists(_.contains("_x")))
+    assert(t1.read().count() == 1L)
+    // an expired stage (clock advanced past the TTL) reclaims wholesale
+    val future = new IceTable(spark, t1.root, t1.cfg,
+      clock = () => System.currentTimeMillis() + 2 * IceTransaction.TtlMs)
+    val swept = future.vacuumOrphans(minAgeMs = 0L)
+    assert(swept.exists(_.endsWith(".jsonl")) && swept.exists(_.contains("_data/")))
+    assert(t1.read().count() == 1L)
+    assert(!new java.io.File(s"${t1.root}/_log").listFiles()
+      .exists(_.getName.contains("_x")))
+  }
+
+  test("a stage survives an interleaved checkpoint: confirmed later, still folded") {
+    val (t1, _, _) = pair()
+    t1.insert(Seq((1L, "seed")).toDF("id", "v"))
+    val txn = IceTransaction.begin(spark)
+    txn.insert(t1, Seq((2L, "txn")).toDF("id", "v"))
+    // a normal commit + checkpoint land AFTER the stage's ts
+    Thread.sleep(2)
+    t1.insert(Seq((3L, "later")).toDF("id", "v"))
+    assert(t1.writeCheckpoint().isDefined)
+    assert(t1.read().count() == 2L) // checkpoint covers only confirmed logs
+    txn.commit()
+    // the staged commit's ts precedes the checkpoint, but coverage is a
+    // SET, not a threshold: current-minus-covered folds it in
+    assert(t1.read().count() == 3L)
+    assert(t1.read().where($"v" === "txn").count() == 1L)
+  }
+
+  test("no settled feed window closes past an open transaction (in-process)") {
+    val (t1, _, _) = pair()
+    t1.insert(Seq((1L, "seed")).toDF("id", "v"))
+    Thread.sleep(3)
+    val wm0 = ChangeFeed.settledNow(t1)
+    val txn = IceTransaction.begin(spark)
+    txn.insert(t1, Seq((2L, "txn")).toDF("id", "v"))
+    Thread.sleep(3)
+    // while pending, the settled bound stays below the staged ts
+    val (feed1, until1) = ChangeFeed.betweenSettled(t1, wm0)
+    assert(feed1.count() == 0L)
+    txn.commit()
+    Thread.sleep(3)
+    val (feed2, until2) = ChangeFeed.betweenSettled(t1, until1)
+    assert(until2 > until1)
+    assert(feed2.where(col("v") === "txn").count() == 1L)
+  }
+
+  test("pre-flight failures inside a transaction leave it pending and clean") {
+    val (t1, _, _) = pair()
+    val parent = new java.io.File(t1.root).getParent
+    val tc = new IceTable(spark, s"$parent/t3", IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("id"),
+      checkConstraints = Seq("pos" -> "id > 0")))
+    tc.insert(Seq((1L, "a")).toDF("id", "v"))
+    val txn = IceTransaction.begin(spark)
+    intercept[IllegalArgumentException] {
+      txn.insert(tc, Seq((-5L, "bad")).toDF("id", "v"))
+    }
+    // still pending: a corrected batch stages and commits fine
+    txn.insert(tc, Seq((2L, "good")).toDF("id", "v"))
+    txn.commit()
+    assert(tc.read().count() == 2L)
+  }
+
+  test("tables in different parent directories are rejected") {
+    val (t1, _, _) = pair()
+    val (t2other, _, _) = pair() // different parent
+    t1.insert(Seq((1L, "a")).toDF("id", "v"))
+    val txn = IceTransaction.begin(spark)
+    txn.insert(t1, Seq((2L, "b")).toDF("id", "v"))
+    intercept[IllegalArgumentException] {
+      txn.insert(t2other, Seq((3L, "c")).toDF("id", "v"))
+    }
+    txn.abort()
+  }
+}

@@ -140,6 +140,30 @@ class MvSyncSpec extends SparkSpec {
     assert(drift(MvSync.read(mv, spec), expected(base)) == 0L)
   }
 
+  test("mvSyncSink: the streaming form converges across restarts and DML") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = newBase(); val mv = newMv()
+    val ckpt = tmpDir("mvsync_ckpt")
+    base.insert(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "grp", "v"))
+    Thread.sleep(5)
+    // empty view + feed from zero: the replayed feed builds it
+    val q1 = graft.streaming.Streams.mvSyncSink(base, mv, spec, ckpt,
+      trigger = Trigger.AvailableNow())
+    q1.awaitTermination()
+    assert(drift(MvSync.read(mv, spec), expected(base)) == 0L)
+    // mutate all three ways, then resume from the SAME checkpoint
+    base.insert(Seq((3L, "a", 7L)).toDF("id", "grp", "v"))
+    base.updateWhere(col("id") === 2L, Seq("v" -> lit(99L)))
+    DeleteVectors.deleteWhere(base, col("id") === 1L)
+    Thread.sleep(5)
+    val q2 = graft.streaming.Streams.mvSyncSink(base, mv, spec, ckpt,
+      trigger = Trigger.AvailableNow())
+    q2.awaitTermination()
+    assert(drift(MvSync.read(mv, spec), expected(base)) == 0L)
+    val a = MvSync.read(mv, spec).where($"grp" === "a").head
+    assert(a.getAs[Long]("cnt") == 1L && a.getAs[Long]("sum_v") == 7L)
+  }
+
   test("compaction folds within a (group, gen, is_reset) cell only") {
     val base = newBase(); val mv = newMv()
     base.insert(Seq((1L, "a", 10L)).toDF("id", "grp", "v"))

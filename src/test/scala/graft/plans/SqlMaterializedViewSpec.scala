@@ -1,0 +1,133 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.ice.{DeleteVectors, IceTable, IceTableConfig}
+import org.apache.spark.sql.functions._
+
+/** The SQL face of incremental materialized views:
+  * CREATE MATERIALIZED VIEW / REFRESH MATERIALIZED VIEW, catalog reads
+  * resolving to the folded view, and the derived-state write guard. */
+class SqlMaterializedViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshWarehouse(): String = {
+    val w = tmpDir("graft_mv_wh")
+    spark.conf.set(IceSqlResolution.WarehouseKey, w)
+    w
+  }
+
+  private def seedBase(w: String, name: String): IceTable = {
+    val t = new IceTable(spark, s"$w/$name", IceTableConfig(
+      partitionExpr = concat(lit("p="), pmod(col("id"), lit(2))),
+      sortOrder = Seq("id")))
+    t.insert(Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L))
+      .toDF("id", "grp", "v"))
+    t
+  }
+
+  private def settle(): Unit = Thread.sleep(5)
+
+  test("CREATE seeds, SELECT folds, REFRESH follows insert/update/delete") {
+    val w = freshWarehouse()
+    val base = seedBase(w, "mvbase1")
+    settle()
+    val seeded = spark.sql(
+      """CREATE MATERIALIZED VIEW graft.mv1 AS
+        |SELECT grp, count(*) AS cnt, sum(v) AS total, min(v) AS lo,
+        |       max(v) AS hi, avg(v) AS mean
+        |FROM graft.mvbase1 GROUP BY grp""".stripMargin).head.getLong(0)
+    assert(seeded == 2L)
+    def viewRows() = spark.sql(
+      "SELECT grp, cnt, total, lo, hi, mean FROM graft.mv1 ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(viewRows() == Seq(("a", 2L, 30L, 10L, 20L, 15.0), ("b", 1L, 5L, 5L, 5L, 5.0)))
+    // mutate the base three ways, refresh once
+    base.insert(Seq((4L, "b", 7L)).toDF("id", "grp", "v"))
+    base.updateWhere(col("id") === 2L, Seq("v" -> lit(100L)))
+    DeleteVectors.deleteWhere(base, col("id") === 1L)
+    settle()
+    val r = spark.sql("REFRESH MATERIALIZED VIEW graft.mv1").head
+    assert(r.getLong(1) >= 1L) // at least group a reset (update + delete)
+    assert(viewRows() == Seq(("a", 1L, 100L, 100L, 100L, 100.0),
+      ("b", 2L, 12L, 5L, 7L, 6.0)))
+    // the view must agree with a fresh aggregation of the base, always
+    val truth = spark.sql(
+      """SELECT grp, count(*) AS cnt, sum(v) AS total, min(v) AS lo,
+        |       max(v) AS hi, avg(v) AS mean
+        |FROM graft.mvbase1 GROUP BY grp ORDER BY grp""".stripMargin).collect().toSeq
+    assert(spark.sql(
+      "SELECT grp, cnt, total, lo, hi, mean FROM graft.mv1 ORDER BY grp")
+      .collect().toSeq == truth)
+  }
+
+  test("direct DML on a materialized view is rejected loudly") {
+    val w = freshWarehouse()
+    seedBase(w, "mvbase2")
+    settle()
+    spark.sql("""CREATE MATERIALIZED VIEW graft.mv2 AS
+      SELECT grp, count(*) AS cnt FROM graft.mvbase2 GROUP BY grp""")
+    val e1 = intercept[Exception] {
+      spark.sql("INSERT INTO graft.mv2 VALUES ('x', 1)")
+    }
+    assert(e1.getMessage.contains("MATERIALIZED VIEW"))
+    val e2 = intercept[Exception] {
+      spark.sql("DELETE FROM graft.mv2 WHERE cnt = 1")
+    }
+    assert(e2.getMessage.contains("MATERIALIZED VIEW"))
+    // the API-level sync keeps working against the SQL-created view
+    val mv = IceTable.open(spark, s"$w/mv2")
+    assert(mv.cfg.mvDef.isDefined)
+  }
+
+  test("unsupported definitions fail at parse time with a reason") {
+    freshWarehouse()
+    def rejects(q: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(q))
+      assert(e.getMessage.contains(needle), s"$q → ${e.getMessage}")
+    }
+    rejects("CREATE MATERIALIZED VIEW graft.m AS SELECT grp, count(DISTINCT v) AS c FROM graft.t GROUP BY grp",
+      "DISTINCT")
+    rejects("CREATE MATERIALIZED VIEW graft.m AS SELECT grp, count(*) FROM graft.t GROUP BY grp",
+      "alias")
+    rejects("CREATE MATERIALIZED VIEW graft.m AS SELECT grp, count(*) AS c FROM parquet.`/x` GROUP BY grp",
+      "FROM must")
+    rejects("CREATE MATERIALIZED VIEW graft.m AS SELECT grp FROM graft.t",
+      "GROUP BY")
+    rejects("CREATE MATERIALIZED VIEW graft.m AS SELECT grp, other, count(*) AS c FROM graft.t GROUP BY grp",
+      "not in GROUP BY")
+  }
+
+  test("IF NOT EXISTS is a no-op on an existing view; re-create rejected") {
+    val w = freshWarehouse()
+    seedBase(w, "mvbase3")
+    settle()
+    spark.sql("""CREATE MATERIALIZED VIEW graft.mv3 AS
+      SELECT grp, count(*) AS cnt FROM graft.mvbase3 GROUP BY grp""")
+    assert(spark.sql("""CREATE MATERIALIZED VIEW IF NOT EXISTS graft.mv3 AS
+      SELECT grp, count(*) AS cnt FROM graft.mvbase3 GROUP BY grp""")
+      .head.getLong(0) == 0L)
+    intercept[Exception] {
+      spark.sql("""CREATE MATERIALIZED VIEW graft.mv3 AS
+        SELECT grp, count(*) AS cnt FROM graft.mvbase3 GROUP BY grp""")
+    }
+  }
+
+  test("time travel folds the view's own history") {
+    val w = freshWarehouse()
+    val base = seedBase(w, "mvbase4")
+    settle()
+    spark.sql("""CREATE MATERIALIZED VIEW graft.mv4 AS
+      SELECT grp, count(*) AS cnt FROM graft.mvbase4 GROUP BY grp""")
+    val tsAfterSeed = System.currentTimeMillis()
+    Thread.sleep(5)
+    base.insert(Seq((9L, "a", 1L)).toDF("id", "grp", "v"))
+    settle()
+    spark.sql("REFRESH MATERIALIZED VIEW graft.mv4")
+    assert(spark.sql("SELECT cnt FROM graft.mv4 WHERE grp = 'a'")
+      .head.getLong(0) == 3L)
+    assert(spark.sql(
+      s"SELECT cnt FROM graft.mv4 TIMESTAMP AS OF $tsAfterSeed WHERE grp = 'a'")
+      .head.getLong(0) == 2L)
+  }
+}
