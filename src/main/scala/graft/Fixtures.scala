@@ -707,7 +707,8 @@ object Fixtures {
         atomic = pendingInvisible && committedBoth && abortClean)
     }
 
-  final case class SqlMvFixture(viewName: String, dmlRejected: Boolean)
+  final case class SqlMvFixture(viewName: String, mvRoot: String,
+    dmlRejected: Boolean)
 
   /** SQL materialized view (b56): `CREATE MATERIALIZED VIEW` compiles
     * the GROUP BY into a persisted view spec and seeds it; the base then
@@ -744,7 +745,7 @@ object Fixtures {
       val dmlRejected =
         try { spark.sql(s"INSERT INTO graft.`$view` VALUES ('x', 1, 1, 1, 1, 1.0)"); false }
         catch { case e: Exception => e.getMessage.contains("MATERIALIZED VIEW") }
-      SqlMvFixture(view, dmlRejected)
+      SqlMvFixture(view, s"${f.getParent}/$view", dmlRejected)
     }
 
   final case class ConstraintFixture(table: IceTable, rejectedCleanly: Boolean,

@@ -314,6 +314,38 @@ object SparkEntry {
         .withColumn("dml_rejected", lit(fx.dmlRejected))
         .orderBy("event_type")
     }),
+    "b57_mv_manifest" -> ((s, d) => {
+      // The MV's foreign-engine path: the exported manifest + generated
+      // DuckDB SQL expose the FOLDED view (newest-reset-wins + the
+      // definition's projection), never the raw delta partials. Graded
+      // by reading the view back from the manifest's bare FILE LIST
+      // alone — no log fold — through the same fold algebra; the result
+      // must equal DuckDB's re-derivation from the raw events, and the
+      // boolean pins the exported SQL's fold shape + exact file set.
+      import graft.ice.{IceTable, ManifestExport}
+      import graft.operators.MvSync
+      val fx = Fixtures.eventsSqlMv(s, d)
+      val mv = IceTable.open(s, fx.mvRoot)
+      val dest = s"${mv.root}/_export/manifest.json"
+      ManifestExport.writeManifest(mv, dest)
+      val sql = ManifestExport.writeDuckDbView(
+        mv, s"${mv.root}/_export/view.sql", "mv_view")
+      val (_, files, dels) = ManifestExport.readManifest(mv, dest)
+      val vd = MvSync.MvViewDef.decode(mv.cfg.mvDef.get)
+      val aliveAbs = mv.snapshot().aliveFiles
+        .map(m => s"${mv.qualifiedRoot}/${m.path}").toSet
+      val sqlOk = files.toSet == aliveAbs && dels.isEmpty &&
+        sql.contains("_rgen") && sql.contains("HAVING sum(cnt) > 0") &&
+        sql.contains("read_parquet")
+      val folded = MvSync.projectView(MvSync.foldPartials(
+        s.read.schema(mv.snapshot().schema.toStructType).parquet(files: _*),
+        vd.spec), vd)
+      folded.select(col("event_type"), col("cnt"),
+          col("sum_uid").cast("bigint").as("sum_uid"),
+          col("min_id"), col("max_id"), col("avg_uid"))
+        .withColumn("fold_sql_exported", lit(sqlOk))
+        .orderBy("event_type")
+    }),
     "b55_check_constraint" -> ((s, d) => {
       // CHECK constraints: declared at create + added via ALTER (with
       // existing-row validation), persisted in the log, enforced on a
@@ -3016,6 +3048,15 @@ object SparkEntry {
         "CAST(sum(user_id) AS BIGINT) AS sum_uid, " +
         "min(event_id) AS min_id, max(event_id) AS max_id, " +
         "avg(user_id) AS avg_uid, true AS dml_rejected " +
+        "FROM final GROUP BY 1 ORDER BY 1"),
+    "b57_mv_manifest" ->
+      ("WITH final AS (SELECT event_id, user_id, " +
+        "CASE WHEN user_id % 23 = 7 THEN 'redacted' ELSE event_type END AS event_type " +
+        "FROM events WHERE user_id % 23 <> 8) " +
+        "SELECT event_type, count(*) AS cnt, " +
+        "CAST(sum(user_id) AS BIGINT) AS sum_uid, " +
+        "min(event_id) AS min_id, max(event_id) AS max_id, " +
+        "avg(user_id) AS avg_uid, true AS fold_sql_exported " +
         "FROM final GROUP BY 1 ORDER BY 1"),
     "b55_check_constraint" ->
       ("SELECT count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id, " +

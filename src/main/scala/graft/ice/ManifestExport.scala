@@ -83,23 +83,73 @@ object ManifestExport {
     val dv = DeleteVectors.dvTable(table)
     val dvFiles = dv.trySnapshot(maxTs).map(_.aliveFiles.sortBy(_.path))
       .getOrElse(Seq.empty)
-    if (dvFiles.isEmpty)
-      s"""CREATE OR REPLACE VIEW $viewName AS
-         |SELECT * FROM read_parquet($fileList, union_by_name=true);
-         |""".stripMargin
-    else {
-      val dvList = dvFiles
-        .map(m => lit(stripScheme(s"${dv.qualifiedRoot}/${m.path}")))
-        .mkString("[", ", ", "]")
-      s"""CREATE OR REPLACE VIEW $viewName AS
-         |SELECT * EXCLUDE (filename, file_row_number)
-         |FROM read_parquet($fileList, union_by_name=true,
-         |                  filename=true, file_row_number=true) t
-         |WHERE NOT EXISTS (
-         |  SELECT 1 FROM read_parquet($dvList) d
-         |  WHERE ends_with(t.filename, d.path) AND t.file_row_number = d.row_index);
-         |""".stripMargin
+    val rawBody =
+      if (dvFiles.isEmpty)
+        s"SELECT * FROM read_parquet($fileList, union_by_name=true)"
+      else {
+        val dvList = dvFiles
+          .map(m => lit(stripScheme(s"${dv.qualifiedRoot}/${m.path}")))
+          .mkString("[", ", ", "]")
+        s"""SELECT * EXCLUDE (filename, file_row_number)
+           |FROM read_parquet($fileList, union_by_name=true,
+           |                  filename=true, file_row_number=true) t
+           |WHERE NOT EXISTS (
+           |  SELECT 1 FROM read_parquet($dvList) d
+           |  WHERE ends_with(t.filename, d.path) AND t.file_row_number = d.row_index)""".stripMargin
+      }
+    val body = table.cfg.mvDef match {
+      case None => rawBody
+      case Some(enc) => mvFoldSql(rawBody,
+        graft.operators.MvSync.MvViewDef.decode(enc))
     }
+    s"""CREATE OR REPLACE VIEW $viewName AS
+       |$body;
+       |""".stripMargin
+  }
+
+  /** For a MATERIALIZED VIEW table, foreign engines must see the FOLDED
+    * view, never the raw delta partials — this wraps the raw-file select
+    * in the exact newest-reset-wins algebra
+    * [[graft.operators.MvSync.read]] applies (latest reset generation
+    * per group, plus strictly-later partials, summed/min/maxed, empty
+    * groups dropped) followed by the definition's output projection,
+    * spelled in DuckDB SQL. */
+  private def mvFoldSql(
+      rawBody: String, d: graft.operators.MvSync.MvViewDef): String = {
+    val spec = d.spec
+    def q(c: String) = s""""${c.replace("\"", "\"\"")}""""
+    val gCols = d.groupCols.map(q).mkString(", ")
+    val folds = (s"sum(cnt) AS cnt" +:
+      (spec.sumCols.map(c => s"sum(${q(spec.sumCol(c))}) AS ${q(spec.sumCol(c))}") ++
+        spec.minMaxCols.flatMap(c => Seq(
+          s"min(${q(spec.minCol(c))}) AS ${q(spec.minCol(c))}",
+          s"max(${q(spec.maxCol(c))}) AS ${q(spec.maxCol(c))}")))).mkString(", ")
+    val outs = (d.groupCols.map(q) ++ d.outputs.map { o =>
+      val e = o.kind match {
+        case "cnt" => "cnt"
+        case "sum" => q(spec.sumCol(o.col))
+        // Spark's sum/cnt division is double arithmetic; match it exactly
+        case "avg" => s"CAST(${q(spec.sumCol(o.col))} AS DOUBLE) / CAST(cnt AS DOUBLE)"
+        case "min" => q(spec.minCol(o.col))
+        case "max" => q(spec.maxCol(o.col))
+        case k => throw new IllegalArgumentException(s"unknown MV aggregate kind $k")
+      }
+      s"$e AS ${q(o.alias)}"
+    }).mkString(", ")
+    s"""WITH _raw AS (
+       |$rawBody),
+       |_rg AS (
+       |  SELECT *, max(CASE WHEN is_reset THEN gen END)
+       |    OVER (PARTITION BY $gCols) AS _rgen
+       |  FROM _raw),
+       |_live AS (
+       |  SELECT * FROM _rg
+       |  WHERE (is_reset AND gen = _rgen)
+       |     OR ((NOT is_reset) AND gen > coalesce(_rgen, -9223372036854775807 - 1))),
+       |_fold AS (
+       |  SELECT $gCols, $folds FROM _live
+       |  GROUP BY $gCols HAVING sum(cnt) > 0)
+       |SELECT $outs FROM _fold""".stripMargin
   }
 
   /** Write [[duckDbViewSql]] to `<dest>`. Returns the SQL. */

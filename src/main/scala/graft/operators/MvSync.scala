@@ -123,20 +123,8 @@ object MvSync {
     * state projected to the SELECT's aliases (avg derives as sum/cnt —
     * the partials never store a non-reaggregable mean). */
   def readView(mv: IceTable, d: MvViewDef,
-      maxTs: Long = Long.MaxValue): DataFrame = {
-    val folded = read(mv, d.spec, maxTs)
-    val cols = d.groupCols.map(col) ++ d.outputs.map { o =>
-      (o.kind match {
-        case "cnt" => col("cnt")
-        case "sum" => col(d.spec.sumCol(o.col))
-        case "avg" => col(d.spec.sumCol(o.col)) / col("cnt")
-        case "min" => col(d.spec.minCol(o.col))
-        case "max" => col(d.spec.maxCol(o.col))
-        case k => throw new IllegalArgumentException(s"unknown MV aggregate kind $k")
-      }).as(o.alias)
-    }
-    folded.select(cols: _*)
-  }
+      maxTs: Long = Long.MaxValue): DataFrame =
+    projectView(read(mv, d.spec, maxTs), d)
 
   /** Table config for the MV: compaction folds within a
     * `(group, gen, is_reset)` cell — `cnt`/sums re-sum, min/max re-fold —
@@ -210,8 +198,11 @@ object MvSync {
         if (f.isEmpty) return (0L, 0L) // idle window: commit nothing
         val delta = windowDelta(source, spec, f, until, maxPruneGroups)
         try {
-          val nPart = delta.where(!col("is_reset")).count()
-          val nReset = delta.where(col("is_reset")).count()
+          // one job for both counts (the checkpointed delta is tiny)
+          val byKind = delta.groupBy(col("is_reset")).count()
+            .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+          val nPart = byKind.getOrElse(false, 0L)
+          val nReset = byKind.getOrElse(true, 0L)
           if (nPart + nReset == 0) CdcApply.commitMark(mv, key, until)
           else mv.insertBatch(delta, key, until)
           (nPart, nReset)
@@ -314,6 +305,14 @@ object MvSync {
     val rows = mv.read(maxTs)
     require(rows.columns.contains("gen"),
       s"materialized view at ${mv.root} has no synced state yet")
+    foldPartials(rows, spec)
+  }
+
+  /** The newest-reset-wins fold over raw partial rows from ANY source —
+    * the snapshot read ([[read]]), or a manifest's bare file list
+    * ([[graft.ice.ManifestExport]] exports the same algebra as DuckDB
+    * SQL, so foreign engines see the folded view too). */
+  def foldPartials(rows: DataFrame, spec: MvSpec): DataFrame = {
     val w = Window.partitionBy(spec.groupCols.map(col): _*)
     val rgen = max(when(col("is_reset"), col("gen"))).over(w)
     val live = rows.withColumn("_rgen", rgen).where(
@@ -328,6 +327,23 @@ object MvSync {
     live.groupBy(spec.groupCols.map(col): _*)
       .agg(folds.head, folds.tail: _*)
       .where(col("cnt") > 0)
+  }
+
+  /** Project a folded frame to a view definition's output aliases —
+    * [[readView]]'s projection, reusable over [[foldPartials]] of any
+    * partial-row source. */
+  def projectView(folded: DataFrame, d: MvViewDef): DataFrame = {
+    val cols = d.groupCols.map(col) ++ d.outputs.map { o =>
+      (o.kind match {
+        case "cnt" => col("cnt")
+        case "sum" => col(d.spec.sumCol(o.col))
+        case "avg" => col(d.spec.sumCol(o.col)) / col("cnt")
+        case "min" => col(d.spec.minCol(o.col))
+        case "max" => col(d.spec.maxCol(o.col))
+        case k => throw new IllegalArgumentException(s"unknown MV aggregate kind $k")
+      }).as(o.alias)
+    }
+    folded.select(cols: _*)
   }
 
   /** Re-base the fragmented view onto one fresh reset generation: a full
