@@ -717,12 +717,12 @@ object Bench {
 
     // Incremental view maintenance, quantified apples-to-apples: both
     // paths END with the same materialized count/sum/min/max GROUP BY
-    // view over a 6M-row base. The non-incremental refresh is
+    // view over a 24M-row base. The non-incremental refresh is
     // MvSync.rebase — full base re-aggregation + view rewrite, what any
     // engine without IVM pays per refresh and what scales with the BASE —
-    // vs MvSync.syncFromFeed after a 1% append window, which scales with
-    // the WINDOW (delta partials only; the MV and the base stay unread).
-    // The folded read rides along.
+    // vs MvSync.syncFromFeed after a 0.1% append window, which scales
+    // with the WINDOW (delta partials only; the MV and the base stay
+    // unread). The folded read rides along.
     val (mvFullReagg, mvRefreshDelta, mvRead) = {
       import graft.ice.{IceTable, IceTableConfig}
       import graft.operators.MvSync

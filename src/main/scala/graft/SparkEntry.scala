@@ -309,6 +309,10 @@ object SparkEntry {
       // resolves to the folded view (never the raw partials). DuckDB
       // re-derives the aggregation from the raw events.
       val fx = Fixtures.eventsSqlMv(s, d)
+      // re-point the warehouse: a memo-hit fixture skips its conf-set,
+      // and other SQL queries move WarehouseKey between runs
+      s.conf.set(graft.plans.IceSqlResolution.WarehouseKey,
+        new java.io.File(fx.mvRoot).getParent)
       s.sql(s"""SELECT event_type, cnt, CAST(sum_uid AS BIGINT) AS sum_uid,
           min_id, max_id, avg_uid FROM graft.`${fx.viewName}`""")
         .withColumn("dml_rejected", lit(fx.dmlRejected))

@@ -571,9 +571,13 @@ object IceLogIO {
   // single marker file lives at `<parent-of-root>/_txn/<txnId>.commit`.
   // One marker PUT is the atomic commit point for every staged table.
 
-  // exactly 16 hex chars (IceTransaction.newId) so a hostname that
-  // happens to end in `_x…` can never be misread as a staged commit
-  private val TxnName = """_x([0-9a-f]{16})\.jsonl$""".r
+  // FULLY-ANCHORED parse: ts, optional _m, then the hostname — which the
+  // sanitizer restricts to [A-Za-z0-9.-], so it can never CONTAIN an
+  // underscore — then the tag. A host literally named `x<16hex>` writes
+  // `{ts}_x<16hex>.jsonl`, which this pattern rejects (no second
+  // underscore): only a real `{ts}_{host}_x{id}` staged name matches.
+  private val TxnName =
+    """^[0-9]+(?:_m)?_[A-Za-z0-9.\-]+_x([0-9a-f]{16})\.jsonl$""".r
 
   /** Transaction id of a staged log filename, None for ordinary logs. */
   private[ice] def txnIdOf(name: String): Option[String] =
@@ -600,9 +604,12 @@ object IceLogIO {
     val marker = txnMarkerPath(root, id)
     val key = marker.toString
     if (confirmedTxns.contains(key)) return true
-    val ok =
-      try marker.getFileSystem(io.conf).exists(marker)
-      catch { case _: Exception => false }
+    // a probe FAILURE must propagate, never default to "unconfirmed":
+    // defaulting would hide half a committed transaction from one
+    // table's listing (breaking the cross-table atomicity the marker
+    // exists for) and — worse — let the vacuum classify a COMMITTED
+    // stage as reclaimable and delete its data
+    val ok = marker.getFileSystem(io.conf).exists(marker)
     if (ok) confirmedTxns.add(key)
     ok
   }

@@ -2197,9 +2197,11 @@ final class IceTable(
     val stagedCut = now() - math.max(minAgeMs, IceTransaction.TtlMs)
     val (expiredStages, liveStages) = logio.stagedLogFiles(root)
       .partition { case (rel, _) => IceLogIO.logFileInfo(rel)._1 <= stagedCut }
+    // a read/parse failure on a staged log PROPAGATES and aborts the
+    // sweep: returning "no markers" here would silently drop a live
+    // stage's data files from the protection set and reclaim them
     def stagedMarkers(rel: String): Seq[FileMarker] =
-      try logio.parseLog(rel, logio.fetchLogLines(root, Seq(rel))(rel))._2
-      catch { case _: Exception => Seq.empty }
+      logio.parseLog(rel, logio.fetchLogLines(root, Seq(rel))(rel))._2
     val protectedStaged: Set[String] =
       liveStages.flatMap { case (rel, _) => stagedMarkers(rel).map(_.path) }.toSet
     expiredStages.foreach { case (rel, _) =>

@@ -102,9 +102,18 @@ final class IceTransaction private (
     * (an expired transaction may already have been vacuum-reclaimed). */
   def commit(): Unit = synchronized {
     requirePending("commit")
-    require(System.currentTimeMillis() - beganAt < IceTransaction.TtlMs,
-      s"transaction $id exceeded its ${IceTransaction.TtlMs} ms TTL and " +
-        "may have been vacuum-reclaimed; abort and retry")
+    if (System.currentTimeMillis() - beganAt >= IceTransaction.TtlMs) {
+      // the stage may already be vacuum-reclaimed: the transaction is
+      // dead. Release the settled-floor pins NOW (a floor held past this
+      // throw would wedge every change-feed window for the staged tables
+      // for the JVM's lifetime); the staged files are the vacuum's job.
+      state = Aborted
+      staged.foreach { case (t, _, ts) => IceLogIO.endCommit(t.root, ts) }
+      throw new IllegalStateException(
+        s"transaction $id exceeded its ${IceTransaction.TtlMs} ms TTL and " +
+          "may have been vacuum-reclaimed; it is now aborted — retry with " +
+          "a fresh transaction")
+    }
     if (staged.nonEmpty) {
       val marker = IceLogIO.txnMarkerPath(staged.head._1.root, id)
       val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)

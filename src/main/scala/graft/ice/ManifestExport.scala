@@ -121,6 +121,7 @@ object ManifestExport {
     val gCols = d.groupCols.map(q).mkString(", ")
     val folds = (s"sum(cnt) AS cnt" +:
       (spec.sumCols.map(c => s"sum(${q(spec.sumCol(c))}) AS ${q(spec.sumCol(c))}") ++
+        spec.countCols.map(c => s"sum(${q(spec.cntCol(c))}) AS ${q(spec.cntCol(c))}") ++
         spec.minMaxCols.flatMap(c => Seq(
           s"min(${q(spec.minCol(c))}) AS ${q(spec.minCol(c))}",
           s"max(${q(spec.maxCol(c))}) AS ${q(spec.maxCol(c))}")))).mkString(", ")
@@ -128,8 +129,12 @@ object ManifestExport {
       val e = o.kind match {
         case "cnt" => "cnt"
         case "sum" => q(spec.sumCol(o.col))
-        // Spark's sum/cnt division is double arithmetic; match it exactly
-        case "avg" => s"CAST(${q(spec.sumCol(o.col))} AS DOUBLE) / CAST(cnt AS DOUBLE)"
+        // avg = sum / NON-NULL count, double arithmetic to match Spark;
+        // an all-null group yields NULL, never a divide-by-zero
+        case "avg" =>
+          val nn = q(spec.cntCol(o.col))
+          s"CASE WHEN $nn = 0 THEN NULL ELSE " +
+            s"CAST(${q(spec.sumCol(o.col))} AS DOUBLE) / CAST($nn AS DOUBLE) END"
         case "min" => q(spec.minCol(o.col))
         case "max" => q(spec.maxCol(o.col))
         case k => throw new IllegalArgumentException(s"unknown MV aggregate kind $k")

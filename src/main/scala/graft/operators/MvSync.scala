@@ -61,19 +61,25 @@ object MvSync {
   case class MvSpec(
       groupCols: Seq[String],
       sumCols: Seq[String] = Nil,
-      minMaxCols: Seq[String] = Nil) {
+      minMaxCols: Seq[String] = Nil,
+      // per-column NON-NULL counts — what avg divides by (avg(x) is
+      // sum(x)/count(x), not sum(x)/count(*): a null x must not deflate
+      // the mean)
+      countCols: Seq[String] = Nil) {
     require(groupCols.nonEmpty, "MvSpec needs at least one group column")
     def sumCol(c: String): String = s"sum_$c"
     def minCol(c: String): String = s"min_$c"
     def maxCol(c: String): String = s"max_$c"
+    def cntCol(c: String): String = s"cnt_$c"
     /** Aggregates of `src` rows into one partial/reset row per group. */
     private[operators] def aggExprs: Seq[Column] =
       count(lit(1)).as("cnt") +:
         (sumCols.map(c => sum(col(c)).as(sumCol(c))) ++
+          countCols.map(c => count(col(c)).as(cntCol(c))) ++
           minMaxCols.flatMap(c => Seq(
             min(col(c)).as(minCol(c)), max(col(c)).as(maxCol(c)))))
     private[operators] def valueCols: Seq[String] =
-      "cnt" +: (sumCols.map(sumCol) ++
+      "cnt" +: (sumCols.map(sumCol) ++ countCols.map(cntCol) ++
         minMaxCols.flatMap(c => Seq(minCol(c), maxCol(c))))
   }
 
@@ -94,7 +100,9 @@ object MvSync {
       sumCols = outputs.collect {
         case o if o.kind == "sum" || o.kind == "avg" => o.col }.distinct,
       minMaxCols = outputs.collect {
-        case o if o.kind == "min" || o.kind == "max" => o.col }.distinct)
+        case o if o.kind == "min" || o.kind == "max" => o.col }.distinct,
+      countCols = outputs.collect {
+        case o if o.kind == "avg" => o.col }.distinct)
     def encode: String = graft.ice.Json.obj(
       "src" -> source, "g" -> groupCols,
       "o" -> outputs.map(o => Seq(o.alias, o.kind, o.col)))
@@ -136,6 +144,7 @@ object MvSync {
       .map(c => s"`$c`").mkString(", ")
     val folds = (s"sum(`cnt`) as cnt" +:
       (spec.sumCols.map(c => s"sum(`${spec.sumCol(c)}`) as ${spec.sumCol(c)}") ++
+        spec.countCols.map(c => s"sum(`${spec.cntCol(c)}`) as ${spec.cntCol(c)}") ++
         spec.minMaxCols.flatMap(c => Seq(
           s"min(`${spec.minCol(c)}`) as ${spec.minCol(c)}",
           s"max(`${spec.maxCol(c)}`) as ${spec.maxCol(c)}")))).mkString(", ")
@@ -321,6 +330,7 @@ object MvSync {
           lit(Long.MinValue))))
     val folds = sum(col("cnt")).as("cnt") +:
       (spec.sumCols.map(c => sum(col(spec.sumCol(c))).as(spec.sumCol(c))) ++
+        spec.countCols.map(c => sum(col(spec.cntCol(c))).as(spec.cntCol(c))) ++
         spec.minMaxCols.flatMap(c => Seq(
           min(col(spec.minCol(c))).as(spec.minCol(c)),
           max(col(spec.maxCol(c))).as(spec.maxCol(c)))))
@@ -337,7 +347,12 @@ object MvSync {
       (o.kind match {
         case "cnt" => col("cnt")
         case "sum" => col(d.spec.sumCol(o.col))
-        case "avg" => col(d.spec.sumCol(o.col)) / col("cnt")
+        // avg = sum / NON-NULL count (all-null group → null, not an
+        // ANSI divide-by-zero)
+        case "avg" =>
+          val nn = col(d.spec.cntCol(o.col))
+          when(nn === 0, lit(null))
+            .otherwise(col(d.spec.sumCol(o.col)) / nn)
         case "min" => col(d.spec.minCol(o.col))
         case "max" => col(d.spec.maxCol(o.col))
         case k => throw new IllegalArgumentException(s"unknown MV aggregate kind $k")

@@ -115,18 +115,23 @@ final class IceSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       // reference costs ONE log fold
       val (t, snapOpt) = IceSqlResolution.openTargetWithSnapshot(
         spark, root, branch)
+      val pre = if (maxTs == Long.MaxValue) snapOpt else None
+      val raw = IceFileIndex.dataFrame(spark, t, maxTs, pre)
       val rel = t.cfg.mvDef match {
         // a materialized view reads as its FOLDED definition (the
         // newest-reset-wins fold + the SELECT's projection), never as
-        // the raw partial rows; time travel folds the MV's own history
+        // the raw partial rows; time travel folds the MV's own history.
+        // The fold is applied over the SAME relation the snapshot fold
+        // above already paid for — no second log fold per reference
         case Some(enc) =>
-          graft.operators.MvSync.readView(t,
-              graft.operators.MvSync.MvViewDef.decode(enc), maxTs)
+          val vd = graft.operators.MvSync.MvViewDef.decode(enc)
+          if (!raw.columns.contains("gen")) throw new IllegalStateException(
+            s"materialized view '$name' has no synced state yet — " +
+              "REFRESH MATERIALIZED VIEW after its source has commits")
+          graft.operators.MvSync.projectView(
+              graft.operators.MvSync.foldPartials(raw, vd.spec), vd)
             .queryExecution.analyzed
-        case None =>
-          val pre = if (maxTs == Long.MaxValue) snapOpt else None
-          IceFileIndex.dataFrame(spark, t, maxTs, pre)
-            .queryExecution.analyzed
+        case None => raw.queryExecution.analyzed
       }
       SubqueryAlias(Seq(catalogName, name), rel)
     }

@@ -174,22 +174,6 @@ object Streams {
       }
       .start()
 
-  /** CONTINUOUS replication: tail the source's streaming change feed and
-    * apply every micro-batch onto the replica — the streaming form of
-    * [[graft.ice.CdcApply.applyTo]]. Offsets live in the Structured
-    * Streaming checkpoint (no watermark record on the target); a crash
-    * replays the last batch, and [[graft.ice.CdcApply.applyChanges]] is
-    * idempotent, so the replica converges — the same effectively-once
-    * contract as the batch path. The replica must START in sync with the
-    * stream's first offset: either an empty target with the stream
-    * reading from `startingTimestamp = 0`, or a
-    * [[graft.ice.CdcApply.applyTo]] initial sync with the stream started
-    * from that watermark. A horizon-skip gap marker in a batch fails the
-    * query loudly (a forked replica is worse than a dead stream).
-    *
-    * Scale shape: each micro-batch is one window-bounded collapse
-    * shuffle plus affected-file-bounded rewrites — batch size, never
-    * table size. */
   /** CONTINUOUS incremental view maintenance: tail the source's change
     * feed and fold every micro-batch into the MV — the streaming form of
     * [[graft.operators.MvSync.syncFromFeed]]. Count/sum land as
@@ -226,6 +210,22 @@ object Streams {
       }
       .start()
 
+  /** CONTINUOUS replication: tail the source's streaming change feed and
+    * apply every micro-batch onto the replica — the streaming form of
+    * [[graft.ice.CdcApply.applyTo]]. Offsets live in the Structured
+    * Streaming checkpoint (no watermark record on the target); a crash
+    * replays the last batch, and [[graft.ice.CdcApply.applyChanges]] is
+    * idempotent, so the replica converges — the same effectively-once
+    * contract as the batch path. The replica must START in sync with the
+    * stream's first offset: either an empty target with the stream
+    * reading from `startingTimestamp = 0`, or a
+    * [[graft.ice.CdcApply.applyTo]] initial sync with the stream started
+    * from that watermark. A horizon-skip gap marker in a batch fails the
+    * query loudly (a forked replica is worse than a dead stream).
+    *
+    * Scale shape: each micro-batch is one window-bounded collapse
+    * shuffle plus affected-file-bounded rewrites — batch size, never
+    * table size. */
   def cdcReplicaSink(
       source: IceTable,
       target: IceTable,

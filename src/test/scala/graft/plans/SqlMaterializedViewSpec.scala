@@ -61,6 +61,31 @@ class SqlMaterializedViewSpec extends SparkSpec {
       .collect().toSeq == truth)
   }
 
+  test("avg over a nullable column divides by the NON-NULL count") {
+    val w = freshWarehouse()
+    val t = new IceTable(spark, s"$w/mvnull", IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("id")))
+    t.insert(Seq((1L, "a", Some(10L)), (2L, "a", None),
+      (3L, "a", Some(20L)), (4L, "b", None)).toDF("id", "grp", "v"))
+    settle()
+    spark.sql("""CREATE MATERIALIZED VIEW graft.mvnull_v AS
+      SELECT grp, count(*) AS cnt, avg(v) AS mean
+      FROM graft.mvnull GROUP BY grp""")
+    val truth = spark.sql(
+      "SELECT grp, count(*) AS cnt, avg(v) AS mean FROM graft.mvnull " +
+        "GROUP BY grp ORDER BY grp").collect().toSeq
+    val got = spark.sql(
+      "SELECT grp, cnt, mean FROM graft.mvnull_v ORDER BY grp").collect().toSeq
+    assert(got == truth) // a: 15.0 over TWO non-null rows; b: null, not 0/1
+    assert(got.head.getDouble(2) == 15.0 && got(1).isNullAt(2))
+    // and the incremental path keeps the invariant: retract the null row
+    DeleteVectors.deleteWhere(t, col("id") === 2L)
+    settle()
+    spark.sql("REFRESH MATERIALIZED VIEW graft.mvnull_v")
+    assert(spark.sql("SELECT mean FROM graft.mvnull_v WHERE grp = 'a'")
+      .head.getDouble(0) == 15.0)
+  }
+
   test("direct DML on a materialized view is rejected loudly") {
     val w = freshWarehouse()
     seedBase(w, "mvbase2")
