@@ -113,7 +113,10 @@ object GraftSqlParser {
       s"""\\s*OPTIMIZE\\s+$c\\.$ident\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\)\\s*;?\\s*""")
     val vacuumRe = re(
       s"""\\s*VACUUM\\s+$c\\.$ident(?:\\s+RETAIN\\s+(\\d+)\\s+HOURS?)?\\s*;?\\s*""")
-    val dropRe = re(s"""\\s*DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?$c\\.$ident\\s*;?\\s*""")
+    // DROP MATERIALIZED VIEW is an alias of DROP TABLE: an MV is an ice
+    // table whose config word carries the view definition
+    val dropRe = re(
+      s"""\\s*DROP\\s+(?:TABLE|MATERIALIZED\\s+VIEW)\\s+(IF\\s+EXISTS\\s+)?$c\\.$ident\\s*;?\\s*""")
     val showRe = re(s"""\\s*SHOW\\s+TABLES\\s+(?:IN|FROM)\\s+$c\\s*;?\\s*""")
     val showCreateRe = re(s"""\\s*SHOW\\s+CREATE\\s+TABLE\\s+$c\\.$ident\\s*;?\\s*""")
     // only the statement head is regex-matched; the PARTITIONED BY /

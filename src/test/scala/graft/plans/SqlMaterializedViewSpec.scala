@@ -138,6 +138,19 @@ class SqlMaterializedViewSpec extends SparkSpec {
     }
   }
 
+  test("DROP MATERIALIZED VIEW removes the view like DROP TABLE") {
+    val w = freshWarehouse()
+    seedBase(w, "mvbase5")
+    settle()
+    spark.sql("""CREATE MATERIALIZED VIEW graft.mv5 AS
+      SELECT grp, count(*) AS cnt FROM graft.mvbase5 GROUP BY grp""")
+    assert(spark.sql("SELECT count(*) FROM graft.mv5").head.getLong(0) == 2L)
+    spark.sql("DROP MATERIALIZED VIEW graft.mv5")
+    intercept[Exception](spark.sql("SELECT count(*) FROM graft.mv5").collect())
+    // idempotent spelling parity with DROP TABLE
+    spark.sql("DROP MATERIALIZED VIEW IF EXISTS graft.mv5").collect()
+  }
+
   test("time travel folds the view's own history") {
     val w = freshWarehouse()
     val base = seedBase(w, "mvbase4")
