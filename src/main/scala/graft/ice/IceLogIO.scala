@@ -495,8 +495,14 @@ object IceLogIO {
   // engine's concurrency contract everywhere (same-process linearizable;
   // cross-process writers need the external lock, as in the reference).
   private val inFlightLock = new Object
+  // per (root, logRel): filename-ts floor -> multiset of holder DEADLINES
+  // (Long.MaxValue for ordinary commits, which always endCommit in a
+  // finally; a finite deadline marks an IceTransaction's stage pin, which
+  // auto-expires if the transaction is abandoned — commit() refuses past
+  // the same TTL, so an expired pin can never hide a commit that still
+  // lands)
   private val inFlightTs =
-    new java.util.HashMap[String, java.util.TreeMap[java.lang.Long, Integer]]()
+    new java.util.HashMap[String, java.util.TreeMap[java.lang.Long, java.util.ArrayList[java.lang.Long]]]()
   private var settledClock = 0L
 
   /** Registrations are keyed by (root, log directory): a branch handle's
@@ -507,30 +513,54 @@ object IceLogIO {
   /** Register `ts` as a lower bound of a commit that is about to be
     * written to `root`'s `logRel` directory (append only ever bumps
     * timestamps UP). MUST be paired with [[endCommit]] after the log
-    * file is visible (or the attempt failed). */
+    * file is visible (or the attempt failed). A finite `deadline` makes
+    * the registration SELF-EXPIRING: past it the floor no longer pins
+    * settled bounds even if the holder never calls endCommit (the
+    * abandoned-transaction shape). */
   private[graft] def registerCommitFloor(
-      root: String, ts: Long, logRel: String = "_log"): Long = {
+      root: String, ts: Long, logRel: String = "_log",
+      deadline: Long = Long.MaxValue): Long = {
     inFlightLock.synchronized {
       val m = inFlightTs.computeIfAbsent(inFlightKey(root, logRel),
-        (_: String) => new java.util.TreeMap[java.lang.Long, Integer])
-      m.merge(ts, Integer.valueOf(1), (a, b) => Integer.valueOf(a + b))
+        (_: String) => new java.util.TreeMap[java.lang.Long, java.util.ArrayList[java.lang.Long]])
+      m.computeIfAbsent(ts, (_: java.lang.Long) => new java.util.ArrayList[java.lang.Long])
+        .add(java.lang.Long.valueOf(deadline))
     }
     ts
   }
 
   private[graft] def endCommit(
-      root: String, ts: Long, logRel: String = "_log"): Unit =
+      root: String, ts: Long, logRel: String = "_log",
+      deadline: Long = Long.MaxValue): Unit =
     inFlightLock.synchronized {
       val key = inFlightKey(root, logRel)
       val m = inFlightTs.get(key)
       if (m != null) {
-        val c = m.get(ts)
-        if (c != null) {
-          if (c <= 1) m.remove(ts) else m.put(ts, Integer.valueOf(c - 1))
+        val ds = m.get(ts)
+        if (ds != null) {
+          // remove THIS holder's deadline; fall back to any entry so a
+          // mismatched pairing still decrements the multiset
+          if (!ds.remove(java.lang.Long.valueOf(deadline)) && !ds.isEmpty)
+            ds.remove(ds.size() - 1)
+          if (ds.isEmpty) m.remove(ts)
         }
         if (m.isEmpty) inFlightTs.remove(key)
       }
     }
+
+  /** Drop registrations whose deadline has lapsed (callers hold
+    * inFlightLock). An abandoned IceTransaction's pins release here the
+    * first time any settled bound is computed past its TTL. */
+  private def purgeExpired(
+      m: java.util.TreeMap[java.lang.Long, java.util.ArrayList[java.lang.Long]],
+      now: Long): Unit = {
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      e.getValue.removeIf((d: java.lang.Long) => d.longValue <= now)
+      if (e.getValue.isEmpty) it.remove()
+    }
+  }
 
   /** Whether any same-process commit to `root`'s `logRel` log is
     * currently in flight (registered, file not yet visible) — the
@@ -538,6 +568,7 @@ object IceLogIO {
   private[graft] def hasInFlight(root: String, logRel: String = "_log"): Boolean =
     inFlightLock.synchronized {
       val m = inFlightTs.get(inFlightKey(root, logRel))
+      if (m != null) purgeExpired(m, System.currentTimeMillis())
       m != null && !m.isEmpty
     }
 
@@ -548,10 +579,16 @@ object IceLogIO {
     * feed/offset bound. The clock is monotone-guarded so one backwards
     * NTP step cannot re-open a served window. */
   def settledTs(roots: Seq[String]): Long = inFlightLock.synchronized {
-    settledClock = math.max(settledClock, System.currentTimeMillis())
+    val now = System.currentTimeMillis()
+    settledClock = math.max(settledClock, now)
     val floor = roots.iterator.map { r =>
       val m = inFlightTs.get(inFlightKey(r, "_log"))
-      if (m == null || m.isEmpty) Long.MaxValue else m.firstKey.longValue
+      if (m == null) Long.MaxValue
+      else {
+        purgeExpired(m, now)
+        if (m.isEmpty) { inFlightTs.remove(inFlightKey(r, "_log")); Long.MaxValue }
+        else m.firstKey.longValue
+      }
     }.min
     math.min(settledClock - 1, floor - 1)
   }
@@ -590,6 +627,21 @@ object IceLogIO {
   private[ice] def txnMarkerPath(root: String, id: String): Path = {
     val parent = Option(new Path(root).getParent).getOrElse(new Path("/"))
     new Path(new Path(parent, "_txn"), s"$id.commit")
+  }
+
+  /** `<parent-of-root>/_txn/<id>.abort` — the vacuum's RECLAIM-INTENT
+    * marker. Written (create-if-absent) BEFORE any expired stage is
+    * touched; [[IceTransaction.commit]] checks it right after its own
+    * marker PUT. On a strongly-consistent store exactly one side wins:
+    * if the vacuum's post-intent commit-marker probe saw no marker, the
+    * commit PUT came later and its abort probe sees the intent (commit
+    * self-aborts, marker deleted); if the commit's abort probe saw no
+    * intent, the intent came later and the vacuum's probe sees the
+    * commit marker (reclaim skipped, intent deleted). A skewed clock can
+    * therefore KILL a transaction, never partially commit one. */
+  private[ice] def txnAbortPath(root: String, id: String): Path = {
+    val parent = Option(new Path(root).getParent).getOrElse(new Path("/"))
+    new Path(new Path(parent, "_txn"), s"$id.abort")
   }
 
   /** Confirmed = the commit marker exists. Positive results cache

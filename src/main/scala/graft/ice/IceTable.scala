@@ -735,16 +735,18 @@ final class IceTable(
     * commit marker lands. Pre-flight (schema + CHECK constraints) runs
     * exactly like [[insert]]; the preflight CACHE is deliberately not
     * updated (an aborted transaction must not leave phantom columns that
-    * change later batches' validation). Returns (markers, staged ts). */
+    * change later batches' validation). Returns (markers, staged ts,
+    * root-relative staged log path — commit() re-verifies it still
+    * exists after the marker PUT). */
   private[ice] def stageTxnInsert(
-      df0: DataFrame, txnId: String): (Seq[FileMarker], Long) = {
+      df0: DataFrame, txnId: String): (Seq[FileMarker], Long, String) = {
     val shaped = cfg.formatRow.fold(df0)(f => f(df0))
     preflight(shaped)
     enforceConstraints(shaped, "INSERT")
     val (markers, schema) = writeRouted(routeRows(df0))
-    val (_, meta) = logio.append(root, 1, schema, markers,
+    val (rel, meta) = logio.append(root, 1, schema, markers,
       tableCfg = persistedCfg, txnTag = Some(txnId))
-    (markers, meta.timestamp)
+    (markers, meta.timestamp, rel)
   }
 
   /** The shared pre-insert pipeline — formatRow hook (A23), `_partition`
@@ -1175,29 +1177,34 @@ final class IceTable(
         s"updateWhere cannot assign bucket column(s) ${touched.mkString(", ")}" +
           " of a bucketed table; delete + re-insert the rows instead")
     }
-    mutateAffected(cond) { df =>
-      // one SELECT, all expressions against the ORIGINAL columns — SQL
-      // UPDATE semantics. A withColumn chain would re-evaluate the
-      // condition (and later values) against already-updated columns:
-      // SET a = b, b = a must swap, and a predicate on an updated column
-      // must keep matching the pre-update value.
+    // one SELECT, all expressions against the ORIGINAL columns — SQL
+    // UPDATE semantics. A withColumn chain would re-evaluate the
+    // condition (and later values) against already-updated columns:
+    // SET a = b, b = a must swap, and a predicate on an updated column
+    // must keep matching the pre-update value.
+    def project(df: DataFrame): DataFrame = {
       val assignMap = assignments.toMap
       val unknown = assignMap.keySet -- df.columns
       require(unknown.isEmpty,
         s"updateWhere assignments reference unknown columns: ${unknown.mkString(", ")}")
       val m = coalesce(cond, lit(false))
-      val projection = df.columns.map { c =>
+      df.select(df.columns.map { c =>
         assignMap.get(c) match {
           case Some(v) => when(m, v).otherwise(col(c)).as(c)
           case None    => col(c)
         }
-      }
-      // CHECK pre-flight on the post-update image of the MATCHED rows
-      // only (carried rows were validated when they landed) — affected-
-      // files-scale, before any rewrite commits
-      enforceConstraints(df.where(m).select(projection: _*), "UPDATE")
-      df.select(projection: _*)
+      }: _*)
     }
+    // CHECK pre-flight on the post-update image of the MATCHED rows only
+    // (carried rows were validated when they landed). Runs ONCE over the
+    // affected-file scan, before ANY per-file rewrite writes — not inside
+    // the per-file transform, where it would cost one eager job per file
+    // and could fail after other files' (uncommitted) rewrites landed.
+    mutateAffected(cond,
+      precheck =
+        if (cfg.checkConstraints.isEmpty) None
+        else Some(df => enforceConstraints(
+          project(df.where(coalesce(cond, lit(false)))), "UPDATE")))(project)
   }
 
   /** Row-level DELETE (copy-on-write, atomic): the [[updateWhere]] shape
@@ -1357,7 +1364,8 @@ final class IceTable(
     * rows (one pushed-filter scan reading only `_metadata` + the columns
     * `cond` needs), rewrite exactly those files through `transform`, and
     * commit tombstones + replacements in one validated append. */
-  private def mutateAffected(cond: Column)(
+  private def mutateAffected(cond: Column,
+      precheck: Option[DataFrame => Unit] = None)(
       transform: DataFrame => DataFrame): Long = {
     val dvStampAtRead = dvStamp() // BEFORE any read — see validatedRewriteCommit
     val snap = trySnapshot(Long.MaxValue).getOrElse(return 0L)
@@ -1392,6 +1400,14 @@ final class IceTable(
     val matched = hits.map(_.getLong(1)).sum
     val affected = hits.map(_.getString(0)).toSet
     val targets = snap.aliveFiles.filter(m => affected(m.path))
+    // caller's one-shot validation pass (e.g. updateWhere's CHECK
+    // pre-flight) over the AFFECTED files only, before any rewrite
+    // writes a byte
+    precheck.foreach(check => check(applyDv(
+      spark.read.schema(schema).parquet(targets.map(m => s"$root/${m.path}"): _*)
+        .withColumn("_p", relPathCol)
+        .withColumn("_r", col("_metadata.row_index")))
+      .drop("_p", "_r")))
     // per-file rewrites fan out on the bounded pool (leaf-only: one Spark
     // job + a rename each), like rewritePartition — serial per-file jobs
     // would make driver wall-clock linear in affected files
@@ -2192,8 +2208,10 @@ final class IceTable(
     // survive the sweep while the transaction is young; an expired
     // unconfirmed stage — aborted or crashed — is reclaimed wholesale,
     // tagged log plus its referenced data. The cut uses the TXN TTL (at
-    // least), matching commit()'s own refusal past it: reclaim and
-    // commit can never race on a sane clock.
+    // least), matching commit()'s own refusal past it; the abort-intent
+    // handshake below makes the reclaim-vs-commit decision race-free
+    // even under cross-process clock skew (skew can kill a transaction,
+    // never partially commit one).
     val stagedCut = now() - math.max(minAgeMs, IceTransaction.TtlMs)
     val (expiredStages, liveStages) = logio.stagedLogFiles(root)
       .partition { case (rel, _) => IceLogIO.logFileInfo(rel)._1 <= stagedCut }
@@ -2204,13 +2222,36 @@ final class IceTable(
       logio.parseLog(rel, logio.fetchLogLines(root, Seq(rel))(rel))._2
     val protectedStaged: Set[String] =
       liveStages.flatMap { case (rel, _) => stagedMarkers(rel).map(_.path) }.toSet
-    expiredStages.foreach { case (rel, _) =>
-      stagedMarkers(rel).foreach { m =>
+    // abort-intent handshake (see IceLogIO.txnAbortPath + IceTransaction
+    // .commit): per expired txn, PUT the reclaim intent FIRST, then
+    // re-probe the commit marker — a marker that landed since the staged
+    // listing means the transaction confirmed late (our clock, not
+    // theirs, called it expired): skip the reclaim and withdraw the
+    // intent. A commit PUT any later than our probe is guaranteed to see
+    // the intent and self-abort, so past this gate the stage is
+    // permanently dead and reclaim cannot race a commit.
+    val reclaimable = expiredStages.groupBy(_._2).filter { case (txnId, _) =>
+      val intent = IceLogIO.txnAbortPath(root, txnId)
+      val marker = IceLogIO.txnMarkerPath(root, txnId)
+      val mfs = intent.getFileSystem(hadoopConf)
+      try { val o = mfs.create(intent, false); o.close() }
+      catch { case _: java.io.IOException => () } // intent already exists
+      if (mfs.exists(marker)) { // confirmed late: withdraw, don't reclaim
+        try mfs.delete(intent, false) catch { case _: Exception => () }
+        false
+      } else true
+    }
+    reclaimable.values.flatten.foreach { case (rel, _) =>
+      // read the marker list, then delete the staged LOG first — it is
+      // the visibility anchor, so the data-file deletes below only ever
+      // touch never-visible files
+      val ms = stagedMarkers(rel)
+      fencedDelete(new Path(root, rel), recursive = false)
+      deleted += rel
+      ms.foreach { m =>
         fencedDelete(new Path(root, m.path), recursive = false)
         deleted += m.path
       }
-      fencedDelete(new Path(root, rel), recursive = false)
-      deleted += rel
     }
     val dataDir = new Path(root, "_data")
     if (fsys.exists(dataDir)) {
@@ -2250,6 +2291,29 @@ final class IceTable(
           st.getModificationTime <= cutoff) {
         fencedDelete(st.getPath, recursive = false)
         deleted += n
+      }
+    }
+    // reclaim-intent debris: `.abort` markers in the shared `_txn/`
+    // directory are dead the moment their transaction's TTL has long
+    // passed (commit marker present → the withdraw crashed; absent → the
+    // txn is dead). Aging one out is safe even against a zombie commit:
+    // its staged-log re-verification still detects the reclaimed stage.
+    // `.commit` markers are NEVER swept — staged logs stay tagged for
+    // life, so their marker is load-bearing until tombstone cleanup
+    // removes the logs themselves.
+    // NEVER this sweep's own intents: with a skewed clock they would be
+    // younger than any cutoff computed from it, and collecting one
+    // before the racing commit probes it would reopen the handshake
+    val ownIntents = reclaimable.keySet.map(id => s"$id.abort")
+    val txnDir = IceLogIO.txnAbortPath(root, "gc").getParent
+    if (fsys.exists(txnDir)) {
+      fsys.listStatus(txnDir).foreach { st =>
+        if (st.getPath.getName.endsWith(".abort") &&
+            !ownIntents(st.getPath.getName) &&
+            st.getModificationTime <= math.min(cutoff, stagedCut)) {
+          fencedDelete(st.getPath, recursive = false)
+          deleted += st.getPath.getName
+        }
       }
     }
     deleted.result()

@@ -50,7 +50,8 @@ import scala.collection.mutable
   * small PUT regardless of table count or data volume.
   */
 final class IceTransaction private (
-    val spark: SparkSession, val id: String) {
+    val spark: SparkSession, val id: String,
+    ttlMs: Long = IceTransaction.TtlMs) {
 
   private sealed trait State
   private case object Pending extends State
@@ -58,10 +59,17 @@ final class IceTransaction private (
   private case object Aborted extends State
 
   @volatile private var state: State = Pending
-  // (table, staged markers, staged ts) in stage order
-  private val staged = mutable.Buffer.empty[(IceTable, Seq[FileMarker], Long)]
+  // (table, staged markers, staged ts, staged log rel) in stage order
+  private val staged =
+    mutable.Buffer.empty[(IceTable, Seq[FileMarker], Long, String)]
   private var parentDir: Option[Path] = None
   private val beganAt = System.currentTimeMillis()
+  // every settled-floor pin this transaction takes is tagged with this
+  // deadline, so an ABANDONED transaction (never commit()/abort()) stops
+  // pinning change-feed/streaming windows the moment its TTL lapses —
+  // the same instant commit() starts refusing, so an expired pin can
+  // never hide a commit that still lands
+  private val floorDeadline = beganAt + ttlMs
 
   private def requirePending(op: String): Unit =
     require(state == Pending, s"cannot $op: transaction $id is $state")
@@ -80,18 +88,20 @@ final class IceTransaction private (
           s"(marker location): ${q} vs ${p}")
     }
     // hold the settled floor from the moment the staged ts exists until
-    // commit/abort: no in-process feed window may close past it
-    val regTs = IceLogIO.registerCommitFloor(table.root, System.currentTimeMillis())
+    // commit/abort (or, if abandoned, until the TTL deadline lapses):
+    // no in-process feed window may close past it
+    val regTs = IceLogIO.registerCommitFloor(
+      table.root, System.currentTimeMillis(), deadline = floorDeadline)
     var ok = false
     try {
-      val (markers, ts) = table.stageTxnInsert(df, id)
+      val (markers, ts, logRelPath) = table.stageTxnInsert(df, id)
       // re-pin at the ACTUAL staged ts (append may have bumped forward);
       // the entry registered above covered the gap
-      IceLogIO.registerCommitFloor(table.root, ts)
-      staged += ((table, markers, ts))
+      IceLogIO.registerCommitFloor(table.root, ts, deadline = floorDeadline)
+      staged += ((table, markers, ts, logRelPath))
       ok = true
     } finally {
-      IceLogIO.endCommit(table.root, regTs)
+      IceLogIO.endCommit(table.root, regTs, deadline = floorDeadline)
       if (!ok) () // staged nothing; the pre-registration is already ended
     }
     this
@@ -99,18 +109,40 @@ final class IceTransaction private (
 
   /** The atomic commit point: one marker PUT makes every staged insert
     * visible to every reader at once. Refuses past [[IceTransaction.TtlMs]]
-    * (an expired transaction may already have been vacuum-reclaimed). */
+    * (an expired transaction may already have been vacuum-reclaimed).
+    *
+    * The TTL self-check alone is a clock-lease COMPROMISE: a skewed clock
+    * (or a pause between the check and the PUT) could land the marker
+    * while a vacuum is mid-reclaim. Two post-PUT verifications close it:
+    *
+    *  1. '''abort-intent handshake''' ([[IceLogIO.txnAbortPath]]): the
+    *     vacuum PUTs `<id>.abort` before touching any expired stage, and
+    *     re-probes the commit marker after; commit probes the intent
+    *     right after its own PUT. On a strongly-consistent store exactly
+    *     one side wins — if the intent is present here, the vacuum's
+    *     post-intent probe could not have seen our marker, so it is (or
+    *     will be) reclaiming: delete our marker and die.
+    *  2. '''staged-log re-verification''': every staged log must still
+    *     exist after the PUT — belt-and-braces against a reclaim that
+    *     predates the handshake (e.g. an aged-out intent marker).
+    *
+    * Either failure deletes the marker and throws: a skewed clock can
+    * KILL a transaction (all-invisible, files left to the vacuum), never
+    * partially commit one. */
   def commit(): Unit = synchronized {
     requirePending("commit")
-    if (System.currentTimeMillis() - beganAt >= IceTransaction.TtlMs) {
+    def releaseFloors(): Unit =
+      staged.foreach { case (t, _, ts, _) =>
+        IceLogIO.endCommit(t.root, ts, deadline = floorDeadline) }
+    if (System.currentTimeMillis() - beganAt >= ttlMs) {
       // the stage may already be vacuum-reclaimed: the transaction is
       // dead. Release the settled-floor pins NOW (a floor held past this
       // throw would wedge every change-feed window for the staged tables
-      // for the JVM's lifetime); the staged files are the vacuum's job.
+      // until its deadline lapses); the staged files are the vacuum's job.
       state = Aborted
-      staged.foreach { case (t, _, ts) => IceLogIO.endCommit(t.root, ts) }
+      releaseFloors()
       throw new IllegalStateException(
-        s"transaction $id exceeded its ${IceTransaction.TtlMs} ms TTL and " +
+        s"transaction $id exceeded its ${ttlMs} ms TTL and " +
           "may have been vacuum-reclaimed; it is now aborted — retry with " +
           "a fresh transaction")
     }
@@ -122,10 +154,30 @@ final class IceTransaction private (
         "id" -> id, "t" -> System.currentTimeMillis(),
         "tables" -> staged.map(_._1.root).distinct).getBytes("UTF-8"))
       finally out.close()
+      def die(reason: String): Nothing = {
+        // un-commit while the reclaim is still holding the other side of
+        // the handshake; without the delete, later probes would cache a
+        // marker whose stage is gone
+        try fs.delete(marker, false) catch { case _: Exception => () }
+        state = Aborted
+        releaseFloors()
+        throw new IllegalStateException(
+          s"transaction $id was reclaimed by a concurrent vacuum " +
+            s"($reason); it is now aborted — nothing became visible. " +
+            "Retry with a fresh transaction (check cross-process clock " +
+            s"skew: the stage was classified older than the " +
+            s"${IceTransaction.TtlMs} ms TTL)")
+      }
+      val abortIntent = IceLogIO.txnAbortPath(staged.head._1.root, id)
+      if (fs.exists(abortIntent)) die("reclaim-intent marker present")
+      staged.foreach { case (t, _, _, rel) =>
+        if (!t.logio.fs(t.root).exists(new Path(t.root, rel)))
+          die(s"staged log $rel missing from ${t.root}")
+      }
       IceLogIO.primeTxnConfirmed(marker)
     }
     state = Committed
-    staged.foreach { case (t, _, ts) => IceLogIO.endCommit(t.root, ts) }
+    releaseFloors()
   }
 
   /** Discard every staged insert: delete the tagged logs and their data
@@ -134,14 +186,11 @@ final class IceTransaction private (
   def abort(): Unit = synchronized {
     requirePending("abort")
     state = Aborted
-    staged.foreach { case (t, markers, ts) =>
-      IceLogIO.endCommit(t.root, ts)
+    staged.foreach { case (t, markers, ts, rel) =>
+      IceLogIO.endCommit(t.root, ts, deadline = floorDeadline)
       try {
         val fsys = t.logio.fs(t.root)
-        t.logio.stagedLogFiles(t.root).collect {
-          case (rel, sid) if sid == id =>
-            fsys.delete(new Path(t.root, rel), false)
-        }
+        fsys.delete(new Path(t.root, rel), false)
         markers.foreach(m =>
           fsys.delete(new Path(t.root, m.path), false))
       } catch { case _: Exception => () } // vacuum finishes the job
@@ -158,6 +207,11 @@ object IceTransaction {
 
   def begin(spark: SparkSession): IceTransaction =
     new IceTransaction(spark, newId())
+
+  /** Test seam: a transaction with a shortened TTL (floor deadline +
+    * commit refusal move together, exactly like the production value). */
+  private[ice] def beginWithTtl(spark: SparkSession, ttlMs: Long): IceTransaction =
+    new IceTransaction(spark, newId(), ttlMs)
 
   private def newId(): String = {
     val u = java.util.UUID.randomUUID()

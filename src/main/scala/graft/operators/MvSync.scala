@@ -170,6 +170,18 @@ object MvSync {
     cols.map(c => col(s"$lAlias.`$c`") <=> col(s"$rAlias.`$c`"))
       .reduce(_ && _)
 
+  /** The maintenance paths aggregate the source's RAW rows — a source
+    * that is itself an MV would feed its partial/reset bookkeeping
+    * (gen/is_reset, superseded generations) into the aggregates and
+    * silently corrupt the view. Reject it everywhere, like the DML
+    * surface does. */
+  private def requireNotMvSource(source: IceTable): Unit =
+    require(source.cfg.mvDef.isEmpty,
+      s"table at ${source.root} is itself a materialized view: an MV " +
+        "cannot be the source of another MV (its raw rows are partial/" +
+        "reset bookkeeping, not data) — define the second view over the " +
+        "original base table instead")
+
   /** Advance the MV to the base table's current settled state. First call
     * seeds the view with one full aggregation (every group a reset row);
     * later calls process only the feed window since the stored watermark.
@@ -177,6 +189,7 @@ object MvSync {
   def syncFromFeed(source: IceTable, mv: IceTable, spec: MvSpec,
       replicaId: String = "default",
       maxPruneGroups: Int = 1000): (Long, Long) = {
+    requireNotMvSource(source)
     val key = s"_mv_sync:$replicaId"
     val groupCols = spec.groupCols.map(col)
 
@@ -204,18 +217,20 @@ object MvSync {
       case Some(wm) =>
         val (feed, until) = ChangeFeed.betweenSettled(source, wm)
         val f = feed.localCheckpoint()
-        if (f.isEmpty) return (0L, 0L) // idle window: commit nothing
-        val delta = windowDelta(source, spec, f, until, maxPruneGroups)
         try {
-          // one job for both counts (the checkpointed delta is tiny)
-          val byKind = delta.groupBy(col("is_reset")).count()
-            .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
-          val nPart = byKind.getOrElse(false, 0L)
-          val nReset = byKind.getOrElse(true, 0L)
-          if (nPart + nReset == 0) CdcApply.commitMark(mv, key, until)
-          else mv.insertBatch(delta, key, until)
-          (nPart, nReset)
-        } finally { delta.unpersist(); () }
+          if (f.isEmpty) return (0L, 0L) // idle window: commit nothing
+          val delta = windowDelta(source, spec, f, until, maxPruneGroups)
+          try {
+            // one job for both counts (the checkpointed delta is tiny)
+            val byKind = delta.groupBy(col("is_reset")).count()
+              .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+            val nPart = byKind.getOrElse(false, 0L)
+            val nReset = byKind.getOrElse(true, 0L)
+            if (nPart + nReset == 0) CdcApply.commitMark(mv, key, until)
+            else mv.insertBatch(delta, key, until)
+            (nPart, nReset)
+          } finally { delta.unpersist(); () }
+        } finally { f.unpersist(); () }
     }
   }
 
@@ -258,6 +273,7 @@ object MvSync {
   def applyFeedBatch(source: IceTable, mv: IceTable, spec: MvSpec,
       batch: DataFrame, batchId: Long, queryName: String = "_mv_stream",
       maxPruneGroups: Int = 1000): Unit = {
+    requireNotMvSource(source)
     val b = batch.localCheckpoint()
     try {
       if (b.isEmpty) return
@@ -369,13 +385,34 @@ object MvSync {
     * newest-reset-wins means the first commit alone already serves the
     * compacted state. Returns the number of live groups. */
   def rebase(source: IceTable, mv: IceTable, spec: MvSpec,
-      replicaId: String = "default"): Long = {
+      replicaId: String = "default",
+      settleTimeoutMs: Long = 30_000L): Long = {
+    requireNotMvSource(source)
     val key = s"_mv_sync:$replicaId"
     val wm = CdcApply.readMark(mv, key).getOrElse(
       throw new IllegalStateException(
         s"materialized view at ${mv.root} was never synced"))
+    // the rebase generation must be STRICTLY past the watermark, so wait
+    // for the settled clock to pass it — with exponential backoff and a
+    // bound, because an open IceTransaction (or any registered commit
+    // floor) on the source can pin settledNow for its whole lifetime; a
+    // 1 ms spin against a pinned floor would burn a driver core for
+    // minutes. Bail with the cause instead: the caller can rebase after
+    // the transaction resolves.
+    val waitStart = System.currentTimeMillis()
+    var sleepMs = 1L
     var until = ChangeFeed.settledNow(source)
-    while (until <= wm) { Thread.sleep(1); until = ChangeFeed.settledNow(source) }
+    while (until <= wm) {
+      if (System.currentTimeMillis() - waitStart >= settleTimeoutMs)
+        throw new IllegalStateException(
+          s"rebase of ${mv.root}: the source's settled clock ($until) has " +
+            s"not passed the sync watermark ($wm) after ${settleTimeoutMs} " +
+            "ms — an open transaction or in-flight commit on the source is " +
+            "pinning the settled bound; retry after it commits or aborts")
+      Thread.sleep(sleepMs)
+      sleepMs = math.min(sleepMs * 2, 100L)
+      until = ChangeFeed.settledNow(source)
+    }
     val resets = source.read(until + 1)
       .groupBy(spec.groupCols.map(col): _*)
       .agg(spec.aggExprs.head, spec.aggExprs.tail: _*)

@@ -131,6 +131,85 @@ class IceTransactionSpec extends SparkSpec {
     assert(tc.read().count() == 2L)
   }
 
+  test("a vacuum reclaim interleaved between stage and commit yields NONE-visible, never partial") {
+    // the clock-skew shape the TTL self-check alone cannot close: the
+    // vacuum's clock says the stage is expired while the committer's
+    // clock says it is fresh. The abort-intent handshake must make the
+    // commit self-abort — all-or-nothing, with the intent marker proving
+    // the ordering.
+    val (t1, t2, parent) = pair()
+    t1.insert(Seq((1L, "seed")).toDF("id", "v"))
+    t2.insert(Seq((100L, "seed")).toDF("id", "v"))
+    val txn = IceTransaction.begin(spark)
+    txn.insert(t1, Seq((2L, "txn")).toDF("id", "v"))
+    txn.insert(t2, Seq((200L, "txn")).toDF("id", "v"))
+    // a vacuum whose clock is 2×TTL ahead classifies the young stage as
+    // expired and reclaims t1's half (t2's table is swept by ITS vacuum,
+    // which we deliberately do not run — the asymmetric half-reclaimed
+    // state is exactly the dangerous input)
+    val skewed = new IceTable(spark, t1.root, t1.cfg,
+      clock = () => System.currentTimeMillis() + 2 * IceTransaction.TtlMs)
+    val swept = skewed.vacuumOrphans(minAgeMs = 0L)
+    assert(swept.exists(_.contains("_x" + txn.id)), "stage log reclaimed")
+    // the reclaim left its intent marker beside the would-be commit marker
+    assert(new java.io.File(s"$parent/_txn/${txn.id}.abort").exists())
+    // commit's own clock says the transaction is young — without the
+    // handshake the marker PUT would surface t2's stage WITHOUT t1's
+    val ex = intercept[IllegalStateException](txn.commit())
+    assert(ex.getMessage.contains("reclaimed"))
+    // NONE visible: both tables still read their seeds only, and the
+    // commit marker was withdrawn
+    assert(t1.read().count() == 1L && t2.read().count() == 1L)
+    assert(!new java.io.File(s"$parent/_txn/${txn.id}.commit").exists())
+    // the failed commit released its settled-floor pins: feed windows
+    // for both tables advance past the staged ts instead of wedging
+    Thread.sleep(3)
+    assert(ChangeFeed.settledNow(t1) > System.currentTimeMillis() - 1000L)
+    // and a retry transaction works
+    val retry = IceTransaction.begin(spark)
+    retry.insert(t1, Seq((3L, "retry")).toDF("id", "v"))
+    retry.insert(t2, Seq((300L, "retry")).toDF("id", "v"))
+    retry.commit()
+    assert(t1.read().count() == 2L && t2.read().count() == 2L)
+  }
+
+  test("a late-confirming transaction beats a racing vacuum: reclaim skipped, intent withdrawn") {
+    val (t1, _, parent) = pair()
+    t1.insert(Seq((1L, "seed")).toDF("id", "v"))
+    val txn = IceTransaction.begin(spark)
+    txn.insert(t1, Seq((2L, "txn")).toDF("id", "v"))
+    txn.commit() // marker lands FIRST
+    // a skewed vacuum now classifies the (confirmed) stage — it must see
+    // the commit marker on its post-intent probe and keep everything.
+    // txnConfirmed's positive cache makes stagedLogFiles skip it outright;
+    // either path ends with the stage intact and no lingering intent.
+    val skewed = new IceTable(spark, t1.root, t1.cfg,
+      clock = () => System.currentTimeMillis() + 2 * IceTransaction.TtlMs)
+    val swept = skewed.vacuumOrphans(minAgeMs = 0L)
+    assert(!swept.exists(_.contains("_x" + txn.id)))
+    assert(t1.read().count() == 2L)
+    assert(!new java.io.File(s"$parent/_txn/${txn.id}.abort").exists())
+  }
+
+  test("an ABANDONED transaction's settled-floor pins auto-expire at its TTL") {
+    val (t1, _, _) = pair()
+    t1.insert(Seq((1L, "seed")).toDF("id", "v"))
+    Thread.sleep(3)
+    val wm0 = ChangeFeed.settledNow(t1)
+    val txn = IceTransaction.beginWithTtl(spark, ttlMs = 150L)
+    txn.insert(t1, Seq((2L, "txn")).toDF("id", "v"))
+    Thread.sleep(3)
+    // while young, the pin holds: no window closes past the staged ts
+    assert(ChangeFeed.betweenSettled(t1, wm0)._1.count() == 0L)
+    // abandon it (no commit, no abort). Past the TTL the pin lapses and
+    // settled bounds flow again — the staged rows stay invisible (no
+    // marker), so nothing is lost, and commit() refuses from now on.
+    Thread.sleep(200L)
+    val (_, until1) = ChangeFeed.betweenSettled(t1, wm0)
+    assert(until1 > wm0)
+    intercept[IllegalStateException](txn.commit())
+  }
+
   test("tables in different parent directories are rejected") {
     val (t1, _, _) = pair()
     val (t2other, _, _) = pair() // different parent

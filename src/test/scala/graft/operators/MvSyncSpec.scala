@@ -140,6 +140,40 @@ class MvSyncSpec extends SparkSpec {
     assert(drift(MvSync.read(mv, spec), expected(base)) == 0L)
   }
 
+  test("rebase against a pinned commit floor times out with the cause, then succeeds") {
+    val base = newBase(); val mv = newMv()
+    base.insert(Seq((1L, "a", 10L), (2L, "b", 4L)).toDF("id", "grp", "v"))
+    // an open multi-table transaction pins the source's settled bound…
+    val txn = graft.ice.IceTransaction.begin(spark)
+    txn.insert(base, Seq((3L, "a", 7L)).toDF("id", "grp", "v"))
+    settle()
+    MvSync.syncFromFeed(base, mv, spec) // wm lands just below the pin
+    // …so rebase cannot find a generation strictly past the watermark:
+    // it must back off and bail with the cause, not spin the driver
+    val t0 = System.currentTimeMillis()
+    val ex = intercept[IllegalStateException](
+      MvSync.rebase(base, mv, spec, settleTimeoutMs = 250L))
+    assert(ex.getMessage.contains("pinning"))
+    assert(System.currentTimeMillis() - t0 >= 250L)
+    // once the transaction resolves, the same rebase goes through
+    txn.abort()
+    settle()
+    assert(MvSync.rebase(base, mv, spec) == 2L)
+    assert(drift(MvSync.read(mv, spec), expected(base)) == 0L)
+  }
+
+  test("an MV cannot be the source of another MV (raw partials are not data)") {
+    val base = newBase()
+    val vd = MvSync.MvViewDef("base", Seq("grp"),
+      Seq(MvSync.MvOutput("n", "cnt", ""), MvSync.MvOutput("s", "sum", "v")))
+    val mv = MvSync.create(spark, tmpDir("mvsync_mv"), vd.spec, viewDef = Some(vd))
+    base.insert(Seq((1L, "a", 10L)).toDF("id", "grp", "v"))
+    settle(); MvSync.syncFromFeed(base, mv, vd.spec)
+    val mv2 = MvSync.create(spark, tmpDir("mvsync_mv2"), vd.spec)
+    intercept[IllegalArgumentException](MvSync.syncFromFeed(mv, mv2, vd.spec))
+    intercept[IllegalArgumentException](MvSync.rebase(mv, mv2, vd.spec))
+  }
+
   test("mvSyncSink: the streaming form converges across restarts and DML") {
     import org.apache.spark.sql.streaming.Trigger
     val base = newBase(); val mv = newMv()
