@@ -748,6 +748,67 @@ object Fixtures {
       SqlMvFixture(view, s"${f.getParent}/$view", dmlRejected)
     }
 
+  final case class SqlTxnFixture(whDir: String, atomic: Boolean)
+
+  /** SQL multi-table transaction (b59): the reference's MV double-write
+    * pattern (`examples/materialized-view.py:91-98` — every batch lands
+    * in the raw table AND an aggregate rollup) done ATOMICALLY at the
+    * SQL boundary. Two `BEGIN TRANSACTION; INSERT raw; INSERT agg;
+    * COMMIT` blocks land the even then odd halves of the events in both
+    * tables through one marker PUT each; a ROLLBACK block stages garbage
+    * into both and must never surface; a block whose SECOND insert fails
+    * must leave the first invisible too. The carried boolean pins all
+    * three behaviors. */
+  def eventsSqlTxn(spark: SparkSession, sfDir: String): SqlTxnFixture =
+    memo(s"$sfDir#sqltxn") {
+      val ev = raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val wh = newRoot("sqltxnwh")
+      new java.io.File(wh).mkdirs()
+      spark.conf.set(graft.plans.IceSqlResolution.WarehouseKey, wh)
+      spark.sql("""CREATE TABLE graft.txr (event_id BIGINT, user_id BIGINT,
+        event_type STRING) PARTITIONED BY (concat('u=', pmod(user_id, 8)))
+        SORTED BY (event_id)""").collect()
+      spark.sql("""CREATE TABLE graft.txa (event_type STRING, cnt BIGINT,
+        sum_uid BIGINT)""").collect()
+      def doubleWrite(terminator: String): Array[org.apache.spark.sql.Row] =
+        spark.sql(s"""BEGIN TRANSACTION;
+          INSERT INTO graft.txr SELECT event_id, user_id, event_type
+            FROM txn_batch;
+          INSERT INTO graft.txa SELECT event_type, count(*),
+            CAST(sum(user_id) AS BIGINT) FROM txn_batch GROUP BY event_type;
+          $terminator""").collect()
+      ev.where(col("event_id") % 2 === 0).createOrReplaceTempView("txn_batch")
+      val c1 = doubleWrite("COMMIT")
+      ev.where(col("event_id") % 2 === 1).createOrReplaceTempView("txn_batch")
+      val c2 = doubleWrite("COMMIT")
+      val committed = (c1 ++ c2).forall(_.getString(2) == "committed")
+      def rawCount() =
+        spark.sql("SELECT count(*) FROM graft.txr").head.getLong(0)
+      val preRaw = rawCount()
+      // ROLLBACK: both stages really ran (rows_staged > 0), nothing surfaced
+      ev.limit(7).withColumn("event_id", col("event_id") + 10_000_000L)
+        .createOrReplaceTempView("txn_batch")
+      val rb = doubleWrite("ROLLBACK")
+      val rolledBack = rb.forall(_.getString(2) == "rolled_back") &&
+        rb.map(_.getLong(1)).sum > 0
+      // a mid-block failure (agg insert arity mismatch) must also leave
+      // the first, already-staged insert invisible
+      val failedCleanly =
+        try {
+          spark.sql("""BEGIN TRANSACTION;
+            INSERT INTO graft.txr SELECT event_id, user_id, event_type
+              FROM txn_batch;
+            INSERT INTO graft.txa SELECT 1;
+            COMMIT""").collect()
+          false
+        } catch { case _: Exception => true }
+      val clean = rawCount() == preRaw &&
+        spark.sql("""SELECT count(*) FROM graft.txr
+          WHERE event_id >= 10000000""").head.getLong(0) == 0L
+      SqlTxnFixture(wh, atomic = committed && rolledBack && failedCleanly && clean)
+    }
+
   final case class ConstraintFixture(table: IceTable, rejectedCleanly: Boolean,
     sqlAltered: Boolean)
 

@@ -318,6 +318,21 @@ object SparkEntry {
         .withColumn("dml_rejected", lit(fx.dmlRejected))
         .orderBy("event_type")
     }),
+    "b59_sql_txn" -> ((s, d) => {
+      // SQL multi-table transaction: BEGIN TRANSACTION; INSERT INTO raw;
+      // INSERT INTO agg; COMMIT — the reference's MV double-write done
+      // atomically (one marker PUT flips both tables); ROLLBACK and
+      // mid-block failures surface nothing. Both tables must reconcile
+      // with the raw events; the boolean pins the rollback/failure paths.
+      val fx = Fixtures.eventsSqlTxn(s, d)
+      s.conf.set(graft.plans.IceSqlResolution.WarehouseKey, fx.whDir)
+      val agg = s.sql("""SELECT 'agg' AS src, CAST(sum(cnt) AS BIGINT) AS cnt,
+        CAST(sum(sum_uid) AS BIGINT) AS sum_key FROM graft.txa""")
+      val rawT = s.sql("""SELECT 'raw' AS src, count(*) AS cnt,
+        CAST(sum(event_id) AS BIGINT) AS sum_key FROM graft.txr""")
+      agg.unionByName(rawT).withColumn("atomic", lit(fx.atomic))
+        .orderBy("src")
+    }),
     "b57_mv_manifest" -> ((s, d) => {
       // The MV's foreign-engine path: the exported manifest + generated
       // DuckDB SQL expose the FOLDED view (newest-reset-wins + the
@@ -3053,6 +3068,11 @@ object SparkEntry {
         "min(event_id) AS min_id, max(event_id) AS max_id, " +
         "avg(user_id) AS avg_uid, true AS dml_rejected " +
         "FROM final GROUP BY 1 ORDER BY 1"),
+    "b59_sql_txn" ->
+      ("SELECT 'agg' AS src, count(*) AS cnt, " +
+        "CAST(sum(user_id) AS BIGINT) AS sum_key, true AS atomic FROM events " +
+        "UNION ALL SELECT 'raw', count(*), CAST(sum(event_id) AS BIGINT), " +
+        "true FROM events ORDER BY 1"),
     "b57_mv_manifest" ->
       ("WITH final AS (SELECT event_id, user_id, " +
         "CASE WHEN user_id % 23 = 7 THEN 'redacted' ELSE event_type END AS event_type " +

@@ -156,6 +156,11 @@ object GraftSqlParser {
       s"""\\s*ALTER\\s+TABLE\\s+$c\\.$ident\\s+DROP\\s+CONSTRAINT\\s+([A-Za-z0-9_]+)\\s*;?\\s*""")
     val showBranchesRe = re(
       s"""\\s*SHOW\\s+BRANCHES\\s+(?:IN|FROM)\\s+$c\\.$ident\\s*;?\\s*""")
+    // multi-table transactions at the SQL boundary (IceTransaction):
+    // BEGIN TRANSACTION; INSERT INTO graft.t …; …; COMMIT | ROLLBACK —
+    // only the head is regexed; the block body splits on top-level `;`
+    // and each inner statement parses through the delegate's own grammar
+    val txnHeadRe = re(s"""\\s*BEGIN\\s+TRANSACTION\\s*;.*""")
   }
 
   private val compiledPatterns =
@@ -212,6 +217,15 @@ object GraftSqlParser {
       return Some(GraftAnalyzeCommand(name(anm, 1), cols, exact,
         histogram = anm.group(5) != null))
     }
+
+    // BEGIN TRANSACTION; INSERT INTO graft.t1 …; INSERT INTO graft.t2 …;
+    // COMMIT — every staged insert becomes visible through ONE marker PUT
+    // (IceTransaction), so a SQL gateway gets cross-table atomicity (the
+    // reference's MV double-write pattern, examples/materialized-view.py:
+    // 91-98, done atomically). ROLLBACK stages then discards: nothing
+    // ever surfaces.
+    if (txnHeadRe.matcher(sqlText).matches())
+      return Some(parseTxnBlock(sqlText, catalog, delegate))
 
     val brm = branchRe.matcher(sqlText)
     if (brm.matches())
@@ -449,6 +463,72 @@ object GraftSqlParser {
       } else { sb.append(ch); i += 1 }
     }
     sb.toString
+  }
+
+  /** Split on top-level `;` only — semicolons inside `'…'` / `"…"`
+    * string literals and `` `…` `` quoted identifiers stay put (doubled
+    * quotes pass through as two toggles, harmlessly). */
+  private def splitStatements(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (quote != 0) { if (ch == quote) quote = 0; sb.append(ch) }
+      else if (ch == '\'' || ch == '"' || ch == '`') { quote = ch; sb.append(ch) }
+      else if (ch == ';') { out += sb.toString; sb.clear() }
+      else sb.append(ch)
+      i += 1
+    }
+    out += sb.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Compile a `BEGIN TRANSACTION; …; COMMIT|ROLLBACK` block: every
+    * inner statement must be an `INSERT INTO <catalog>.<t>` (the
+    * multi-table ingest shape [[graft.ice.IceTransaction]] supports —
+    * mutations stay single-table atomic via their own validated
+    * commits), parsed through the DELEGATE's own INSERT grammar so
+    * column lists / BY NAME / VALUES all behave exactly like the
+    * standalone statement. Fails at parse time with a reason: the head
+    * keyword pair is unambiguous (Spark has no BEGIN TRANSACTION), so
+    * falling through to the delegate would only trade a clear error for
+    * an opaque one. */
+  private def parseTxnBlock(sqlText: String, catalog: String,
+      delegate: ParserInterface): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
+    def fail(msg: String): Nothing = throw new UnsupportedOperationException(
+      s"BEGIN TRANSACTION block: $msg (supported shape: BEGIN TRANSACTION; " +
+        s"INSERT INTO $catalog.<t> <query>; …; COMMIT | ROLLBACK)")
+    val stmts = splitStatements(sqlText)
+    if (stmts.length < 3) fail("needs at least one INSERT and a terminator")
+    val rollback = stmts.last.toUpperCase match {
+      case "COMMIT" => false
+      case "ROLLBACK" => true
+      case other => fail(s"must end with COMMIT or ROLLBACK, got '$other'")
+    }
+    val inserts = stmts.slice(1, stmts.length - 1).map { s =>
+      delegate.parsePlan(s) match {
+        case InsertIntoStatement(rel: UnresolvedRelation, partSpec, userCols,
+            query, overwrite, _, byName) =>
+          rel.multipartIdentifier match {
+            case Seq(cat, t) if cat.equalsIgnoreCase(catalog) =>
+              if (overwrite) fail(s"INSERT OVERWRITE $catalog.$t is not " +
+                "supported inside a transaction")
+              if (partSpec.nonEmpty) fail(s"INSERT INTO $catalog.$t " +
+                "PARTITION (...) is not supported — the table's partition " +
+                "expression routes rows itself")
+              (t, userCols, byName, new PlanBox(query))
+            case other => fail(s"every statement must target the $catalog " +
+              s"catalog, got ${other.mkString(".")}")
+          }
+        case _ => fail(s"unsupported statement '${s.take(60)}…' — only " +
+          "INSERT INTO is transactional across tables")
+      }
+    }
+    GraftTransactionCommand(inserts, rollback)
   }
 
   /** `s(start)` must be `'('`; returns (inner text, index after the
@@ -928,6 +1008,9 @@ object GraftSqlParser {
         throw new IllegalArgumentException(
           s"source table '${d.source}' does not exist"))
       val src = IceTable.open(session, srcRoot)
+      // reject BEFORE the view table is created, so a refused definition
+      // leaves no half-made MV behind (MvSync re-checks at every sync)
+      IceSqlResolution.requireNotMv(src)
       val root = rootFor(session, name, requireLog = false).get
       val mv = MvSync.create(session, root, d.spec, viewDef = Some(d))
       val (_, seeded) = MvSync.syncFromFeed(src, mv, d.spec)
@@ -961,6 +1044,49 @@ object GraftSqlParser {
             IceTable.open(session, srcRoot), mv, d.spec)
           Seq(Row(p, r))
       }
+  }
+
+  /** `BEGIN TRANSACTION; INSERT INTO graft.<t> …; …; COMMIT|ROLLBACK` →
+    * one [[graft.ice.IceTransaction]]: every insert stages (data files +
+    * a txn-tagged log now, visible to no reader), then ONE marker PUT
+    * flips them all at once — or ROLLBACK / any failure discards the
+    * stage and nothing ever surfaces. Column alignment per statement is
+    * [[IceInsertCommand.align]], identical to the standalone INSERT.
+    * Returns one row per insert: (table, rows_staged, outcome). */
+  final case class GraftTransactionCommand(
+      inserts: Seq[(String, Seq[String], Boolean, PlanBox)],
+      rollback: Boolean) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AR("table", StringType, nullable = false)(),
+      AR("rows_staged", LongType, nullable = false)(),
+      AR("outcome", StringType, nullable = false)())
+    override def run(session: SparkSession): Seq[Row] = {
+      val txn = graft.ice.IceTransaction.begin(session)
+      val stagedCounts =
+        try inserts.map { case (name, userCols, byName, box) =>
+          val root = rootFor(session, name, requireLog = true).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft table '$name' does not exist"))
+          val (t, snapOpt) = IceTable.openWithSnapshot(session, root)
+          IceSqlResolution.requireNotMv(t)
+          val q = org.apache.spark.sql.graft.PlanBridge.ofRows(session, box.plan)
+          val staged = IceInsertCommand
+            .align(snapOpt, q, s"graft.$name", userCols, byName)
+            .localCheckpoint()
+          val n = staged.count()
+          txn.insert(t, staged)
+          (name, n)
+        } catch { case e: Throwable =>
+          // a failed stage (schema conflict, CHECK violation, missing
+          // table) aborts the WHOLE block: partial-success would be the
+          // exact anomaly the transaction exists to prevent
+          try txn.abort() catch { case _: Exception => () }
+          throw e
+        }
+      if (rollback) txn.abort() else txn.commit()
+      val outcome = if (rollback) "rolled_back" else "committed"
+      stagedCounts.map { case (n, c) => Row(n, c, outcome) }
+    }
   }
 
   /** `ALTER TABLE graft.<t> ADD CONSTRAINT n CHECK (pred)` →

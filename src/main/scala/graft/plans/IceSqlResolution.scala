@@ -636,7 +636,6 @@ final case class IceInsertCommand(
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     Seq(AR("rows_inserted", org.apache.spark.sql.types.LongType, nullable = false)())
   override def run(session: SparkSession): Seq[org.apache.spark.sql.Row] = {
-    import org.apache.spark.sql.functions.col
     // one log fold: the config fold doubles as the snapshot AND seeds the
     // insert pre-flight cache (openWithSnapshot does both)
     val (t, snapOpt) =
@@ -647,6 +646,26 @@ final case class IceInsertCommand(
       }
     IceSqlResolution.requireNotMv(t)
     val q = org.apache.spark.sql.graft.PlanBridge.ofRows(session, queryBox.plan)
+    val staged = IceInsertCommand
+      .align(snapOpt, q, ident, userCols, byName).localCheckpoint()
+    val n = staged.count()
+    if (n > 0) t.insert(staged)
+    Seq(org.apache.spark.sql.Row(n))
+  }
+}
+
+object IceInsertCommand {
+  /** SQL INSERT column alignment against a table snapshot (shared by the
+    * single-statement command and the BEGIN TRANSACTION block): `BY NAME`
+    * matching, explicit column lists, positional mapping, canonical-case
+    * resolution, and per-column casts to the recorded types — the rules
+    * documented on [[IceInsertCommand]]. */
+  private[plans] def align(
+      snapOpt: Option[graft.ice.IceSnapshot],
+      q: org.apache.spark.sql.DataFrame,
+      ident: String, userCols: Seq[String],
+      byName: Boolean): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
     // canonical-case + type lookup, keyed lowercased: SQL resolves column
     // references case-insensitively, the log schema is exact-case
     val canon: Map[String, (String, org.apache.spark.sql.types.DataType)] =
@@ -674,28 +693,23 @@ final case class IceInsertCommand(
     // recorded type so the union-schema contract (conflict = error)
     // never trips on a representation difference. Unknown names (schema
     // evolution) keep their given case and type.
-    val aligned =
-      if (targetCols.isEmpty) q
-      else {
-        require(targetCols.length == q.columns.length,
-          s"INSERT INTO $ident: ${targetCols.length} target columns but " +
-            s"the query produces ${q.columns.length}")
-        val canonical = targetCols.map(c => canon.get(c.toLowerCase) match {
-          case Some((exact, dt)) => (exact, Some(dt))
-          case None => (c, None)
-        })
-        require(canonical.map(_._1).distinct.length == canonical.length,
-          s"INSERT INTO $ident: duplicate target column after " +
-            s"case-insensitive resolution: ${canonical.map(_._1).mkString(", ")}")
-        q.toDF(canonical.map(_._1): _*)
-          .select(canonical.map { case (exact, dtOpt) =>
-            dtOpt.fold(col(s"`$exact`"))(dt => col(s"`$exact`").cast(dt).as(exact))
-          }: _*)
-      }
-    val staged = aligned.localCheckpoint()
-    val n = staged.count()
-    if (n > 0) t.insert(staged)
-    Seq(org.apache.spark.sql.Row(n))
+    if (targetCols.isEmpty) q
+    else {
+      require(targetCols.length == q.columns.length,
+        s"INSERT INTO $ident: ${targetCols.length} target columns but " +
+          s"the query produces ${q.columns.length}")
+      val canonical = targetCols.map(c => canon.get(c.toLowerCase) match {
+        case Some((exact, dt)) => (exact, Some(dt))
+        case None => (c, None)
+      })
+      require(canonical.map(_._1).distinct.length == canonical.length,
+        s"INSERT INTO $ident: duplicate target column after " +
+          s"case-insensitive resolution: ${canonical.map(_._1).mkString(", ")}")
+      q.toDF(canonical.map(_._1): _*)
+        .select(canonical.map { case (exact, dtOpt) =>
+          dtOpt.fold(col(s"`$exact`"))(dt => col(s"`$exact`").cast(dt).as(exact))
+        }: _*)
+    }
   }
 }
 
