@@ -748,6 +748,55 @@ object Fixtures {
       SqlMvFixture(view, s"${f.getParent}/$view", dmlRejected)
     }
 
+  final case class SqlMvDistinctFixture(viewName: String, whDir: String,
+    exportRefused: Boolean)
+
+  /** SQL MV with `count(DISTINCT …)` (b58): the view's distinct-user
+    * aggregate maintains as mergeable HLL sketch state — window partials
+    * union, delete-touched groups recompute their sketch exactly from
+    * the base (the min/max reset rule), and OPTIMIZE folds sketches
+    * within a `(group, gen, is_reset)` cell via hll_union_agg. The base
+    * takes an append + a CoW redaction (groups change!) + a MoR delete,
+    * then one REFRESH. The carried boolean pins the foreign-engine
+    * contract: a DuckDB view export must REFUSE (HLL binaries don't
+    * fold outside the engine) rather than silently drop the column. */
+  def eventsSqlMvDistinct(spark: SparkSession, sfDir: String): SqlMvDistinctFixture =
+    memo(s"$sfDir#sqlmvdcnt") {
+      import graft.ice.DeleteVectors
+      val ev = raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val root = newRoot("mvdcntbase")
+      val f = new java.io.File(root)
+      spark.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      val base = new IceTable(spark, root, IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(8))),
+        sortOrder = Seq("event_id")))
+      base.insert(ev.where(col("event_id") % 2 === 0))
+      Thread.sleep(5)
+      val view = s"${f.getName}_v"
+      spark.sql(s"""CREATE MATERIALIZED VIEW graft.`$view` AS
+        SELECT event_type, count(*) AS cnt,
+               count(DISTINCT user_id) AS uniq_users
+        FROM graft.`${f.getName}` GROUP BY event_type""").collect()
+      base.insert(ev.where(col("event_id") % 2 === 1))
+      base.updateWhere(pmod(col("user_id"), lit(23)) === 7,
+        Seq("event_type" -> lit("redacted")))
+      DeleteVectors.deleteWhere(base, pmod(col("user_id"), lit(23)) === 8)
+      Thread.sleep(5)
+      spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$view`").collect()
+      // compaction folds the binary sketch state within cells
+      spark.sql(s"OPTIMIZE graft.`$view`").collect()
+      val exportRefused =
+        try {
+          graft.ice.ManifestExport.writeDuckDbView(
+            IceTable.open(spark, s"${f.getParent}/$view"),
+            s"${f.getParent}/$view/_export/view.sql", "mv_view")
+          false
+        } catch { case e: UnsupportedOperationException =>
+          e.getMessage.contains("HLL") }
+      SqlMvDistinctFixture(view, f.getParent, exportRefused)
+    }
+
   final case class SqlTxnFixture(whDir: String, atomic: Boolean)
 
   /** SQL multi-table transaction (b59): the reference's MV double-write

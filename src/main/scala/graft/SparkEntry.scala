@@ -318,6 +318,37 @@ object SparkEntry {
         .withColumn("dml_rejected", lit(fx.dmlRejected))
         .orderBy("event_type")
     }),
+    "b58_mv_distinct" -> ((s, d) => {
+      // count(DISTINCT) in a SQL materialized view, maintained as
+      // mergeable HLL sketch state across insert / group-moving update /
+      // MoR delete + an OPTIMIZE fold. Graded a27-style: the EXACT
+      // distinct count (recomputed from the final base state) travels as
+      // a column, the sketch estimate enters through the est_ok bound
+      // (exact in the sparse regime, ±2% beyond); cnt must match
+      // exactly. The boolean also pins that DuckDB view export REFUSES
+      // (HLL binaries don't fold in foreign engines).
+      val fx = Fixtures.eventsSqlMvDistinct(s, d)
+      s.conf.set(graft.plans.IceSqlResolution.WarehouseKey, fx.whDir)
+      val mv = s.sql(
+        s"SELECT event_type, cnt, uniq_users FROM graft.`${fx.viewName}`")
+      val fin = Fixtures.raw(s, d, "events")
+        .where(pmod(col("user_id"), lit(23)) =!= 8)
+        .withColumn("event_type",
+          when(pmod(col("user_id"), lit(23)) === 7, lit("redacted"))
+            .otherwise(col("event_type")))
+      val exact = fin.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("_exact"),
+          count(lit(1)).as("_cnt"))
+      mv.join(exact, Seq("event_type"))
+        .select(col("event_type"),
+          col("_exact").cast("bigint").as("exact_users"),
+          col("cnt"),
+          (abs(col("uniq_users") - col("_exact")) <= col("_exact") * 0.02)
+            .as("est_ok"),
+          (col("cnt") === col("_cnt")).as("cnt_ok"))
+        .withColumn("export_refused", lit(fx.exportRefused))
+        .orderBy("event_type")
+    }),
     "b59_sql_txn" -> ((s, d) => {
       // SQL multi-table transaction: BEGIN TRANSACTION; INSERT INTO raw;
       // INSERT INTO agg; COMMIT — the reference's MV double-write done
@@ -3068,6 +3099,13 @@ object SparkEntry {
         "min(event_id) AS min_id, max(event_id) AS max_id, " +
         "avg(user_id) AS avg_uid, true AS dml_rejected " +
         "FROM final GROUP BY 1 ORDER BY 1"),
+    "b58_mv_distinct" ->
+      ("WITH final AS (SELECT event_id, user_id, " +
+        "CASE WHEN user_id % 23 = 7 THEN 'redacted' ELSE event_type END AS event_type " +
+        "FROM events WHERE user_id % 23 <> 8) " +
+        "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, " +
+        "count(*) AS cnt, true AS est_ok, true AS cnt_ok, " +
+        "true AS export_refused FROM final GROUP BY 1 ORDER BY 1"),
     "b59_sql_txn" ->
       ("SELECT 'agg' AS src, count(*) AS cnt, " +
         "CAST(sum(user_id) AS BIGINT) AS sum_key, true AS atomic FROM events " +

@@ -117,6 +117,14 @@ object ManifestExport {
   private def mvFoldSql(
       rawBody: String, d: graft.operators.MvSync.MvViewDef): String = {
     val spec = d.spec
+    // count(distinct) partials are DataSketches HLL binaries — a foreign
+    // engine without the sketch library cannot fold them. Refuse with the
+    // columns named rather than export a view that silently drops them.
+    if (spec.distinctCols.nonEmpty) throw new UnsupportedOperationException(
+      "cannot export a DuckDB view for a materialized view with " +
+        s"count(DISTINCT ${spec.distinctCols.mkString(", ")}): the " +
+        "partial state is DataSketches HLL, which DuckDB cannot fold — " +
+        "read the view through the engine, or export the folded RESULT")
     def q(c: String) = s""""${c.replace("\"", "\"\"")}""""
     val gCols = d.groupCols.map(q).mkString(", ")
     val folds = (s"sum(cnt) AS cnt" +:

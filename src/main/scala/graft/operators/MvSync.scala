@@ -57,7 +57,8 @@ import org.apache.spark.sql.functions._
 object MvSync {
 
   /** View definition: `groupCols` keys, `sumCols` summed (count is always
-    * maintained), `minMaxCols` tracked as min+max. */
+    * maintained), `minMaxCols` tracked as min+max, `distinctCols` tracked
+    * as mergeable HLL sketch state (`count(distinct)`). */
   case class MvSpec(
       groupCols: Seq[String],
       sumCols: Seq[String] = Nil,
@@ -65,26 +66,38 @@ object MvSync {
       // per-column NON-NULL counts — what avg divides by (avg(x) is
       // sum(x)/count(x), not sum(x)/count(*): a null x must not deflate
       // the mean)
-      countCols: Seq[String] = Nil) {
+      countCols: Seq[String] = Nil,
+      // count(distinct c): the partial is a BINARY DataSketches HLL
+      // sketch per window (hll_sketch_agg), the fold an hll_union_agg —
+      // associative under any subset-of-rows merge, exactly like sum.
+      // Retraction is covered by the same reset rule as min/max: a
+      // sketch cannot subtract, so delete-touched groups recompute their
+      // sketch from the base (the reset row's hll replaces, never unions
+      // across, older generations — newest-reset-wins)
+      distinctCols: Seq[String] = Nil) {
     require(groupCols.nonEmpty, "MvSpec needs at least one group column")
     def sumCol(c: String): String = s"sum_$c"
     def minCol(c: String): String = s"min_$c"
     def maxCol(c: String): String = s"max_$c"
     def cntCol(c: String): String = s"cnt_$c"
+    def hllCol(c: String): String = s"hll_$c"
     /** Aggregates of `src` rows into one partial/reset row per group. */
     private[operators] def aggExprs: Seq[Column] =
       count(lit(1)).as("cnt") +:
         (sumCols.map(c => sum(col(c)).as(sumCol(c))) ++
           countCols.map(c => count(col(c)).as(cntCol(c))) ++
           minMaxCols.flatMap(c => Seq(
-            min(col(c)).as(minCol(c)), max(col(c)).as(maxCol(c)))))
+            min(col(c)).as(minCol(c)), max(col(c)).as(maxCol(c)))) ++
+          distinctCols.map(c => hll_sketch_agg(col(c)).as(hllCol(c))))
     private[operators] def valueCols: Seq[String] =
       "cnt" +: (sumCols.map(sumCol) ++ countCols.map(cntCol) ++
-        minMaxCols.flatMap(c => Seq(minCol(c), maxCol(c))))
+        minMaxCols.flatMap(c => Seq(minCol(c), maxCol(c))) ++
+        distinctCols.map(hllCol))
   }
 
   /** One output column of a SQL-defined view: `kind` ∈ cnt | sum | min |
-    * max | avg, `col` the aggregated source column ("" for cnt). */
+    * max | avg | dcnt (= `count(distinct col)`, HLL-state maintained),
+    * `col` the aggregated source column ("" for cnt). */
   case class MvOutput(alias: String, kind: String, col: String)
 
   /** A SQL-defined materialized view: source TABLE NAME (warehouse-
@@ -102,7 +115,9 @@ object MvSync {
       minMaxCols = outputs.collect {
         case o if o.kind == "min" || o.kind == "max" => o.col }.distinct,
       countCols = outputs.collect {
-        case o if o.kind == "avg" => o.col }.distinct)
+        case o if o.kind == "avg" => o.col }.distinct,
+      distinctCols = outputs.collect {
+        case o if o.kind == "dcnt" => o.col }.distinct)
     def encode: String = graft.ice.Json.obj(
       "src" -> source, "g" -> groupCols,
       "o" -> outputs.map(o => Seq(o.alias, o.kind, o.col)))
@@ -147,7 +162,10 @@ object MvSync {
         spec.countCols.map(c => s"sum(`${spec.cntCol(c)}`) as ${spec.cntCol(c)}") ++
         spec.minMaxCols.flatMap(c => Seq(
           s"min(`${spec.minCol(c)}`) as ${spec.minCol(c)}",
-          s"max(`${spec.maxCol(c)}`) as ${spec.maxCol(c)}")))).mkString(", ")
+          s"max(`${spec.maxCol(c)}`) as ${spec.maxCol(c)}")) ++
+        spec.distinctCols.map(c =>
+          s"hll_union_agg(`${spec.hllCol(c)}`) as ${spec.hllCol(c)}")))
+      .mkString(", ")
     IceTableConfig(
       partitionExpr = partitionExpr,
       sortOrder = spec.groupCols,
@@ -349,7 +367,9 @@ object MvSync {
         spec.countCols.map(c => sum(col(spec.cntCol(c))).as(spec.cntCol(c))) ++
         spec.minMaxCols.flatMap(c => Seq(
           min(col(spec.minCol(c))).as(spec.minCol(c)),
-          max(col(spec.maxCol(c))).as(spec.maxCol(c)))))
+          max(col(spec.maxCol(c))).as(spec.maxCol(c)))) ++
+        spec.distinctCols.map(c =>
+          hll_union_agg(col(spec.hllCol(c)), lit(false)).as(spec.hllCol(c))))
     live.groupBy(spec.groupCols.map(col): _*)
       .agg(folds.head, folds.tail: _*)
       .where(col("cnt") > 0)
@@ -371,6 +391,13 @@ object MvSync {
             .otherwise(col(d.spec.sumCol(o.col)) / nn)
         case "min" => col(d.spec.minCol(o.col))
         case "max" => col(d.spec.maxCol(o.col))
+        // count(distinct): estimate off the unioned sketch state. Exact
+        // while the sketch is in its sparse (coupon) regime — small
+        // per-group cardinalities — and ±~2% beyond. An all-null group
+        // never sketched anything (hll_sketch_agg skips nulls → null
+        // state): coalesce to 0, matching ANSI count(distinct)
+        case "dcnt" =>
+          coalesce(hll_sketch_estimate(col(d.spec.hllCol(o.col))), lit(0L))
         case k => throw new IllegalArgumentException(s"unknown MV aggregate kind $k")
       }).as(o.alias)
     }

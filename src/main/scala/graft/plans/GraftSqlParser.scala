@@ -613,9 +613,21 @@ object GraftSqlParser {
             if (!gcols.exists(_.equalsIgnoreCase(a.name)))
               fail(s"non-aggregate output `${a.name}` is not in GROUP BY")
             None // group columns pass through under their own names
+          case Alias(f: UnresolvedFunction, aliasName) if f.isDistinct =>
+            // count(DISTINCT c) maintains as mergeable HLL sketch state
+            // (partial = hll_sketch_agg per window, fold = hll_union_agg;
+            // retraction by the min/max reset rule). Other DISTINCT
+            // aggregates have no mergeable partial form.
+            if (f.nameParts.last.toLowerCase != "count")
+              fail("only count(DISTINCT col) is incrementally " +
+                "maintainable (as HLL sketch state)")
+            f.arguments match {
+              case Seq(a: UnresolvedAttribute) =>
+                Some(MvOutput(aliasName, "dcnt", a.name))
+              case _ => fail("count(DISTINCT …) must take exactly one " +
+                "plain column")
+            }
           case Alias(f: UnresolvedFunction, aliasName) =>
-            if (f.isDistinct)
-              fail("DISTINCT aggregates are not incrementally maintainable")
             val kind = f.nameParts.last.toLowerCase match {
               case "count" => "cnt"
               case "sum" => "sum"

@@ -86,6 +86,48 @@ class SqlMaterializedViewSpec extends SparkSpec {
       .head.getDouble(0) == 15.0)
   }
 
+  test("count(DISTINCT) maintains as HLL state: union on insert, reset on delete, exact at small cardinality") {
+    val w = freshWarehouse()
+    val base = seedBase(w, "mvdbase")
+    settle()
+    val seeded = spark.sql(
+      """CREATE MATERIALIZED VIEW graft.mvd AS
+        |SELECT grp, count(*) AS cnt, count(DISTINCT v) AS uniq
+        |FROM graft.mvdbase GROUP BY grp""".stripMargin).head.getLong(0)
+    assert(seeded == 2L)
+    def viewRows() = spark.sql(
+      "SELECT grp, cnt, uniq FROM graft.mvd ORDER BY grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viewRows() == Seq(("a", 2L, 2L), ("b", 1L, 1L)))
+    // insert-only window: sketches UNION (v=10 repeats in 'a' — distinct
+    // must not double-count; 'b' gains a new value)
+    base.insert(Seq((4L, "a", 10L), (5L, "b", 7L), (6L, "b", 7L))
+      .toDF("id", "grp", "v"))
+    settle()
+    spark.sql("REFRESH MATERIALIZED VIEW graft.mvd").collect()
+    assert(viewRows() == Seq(("a", 3L, 2L), ("b", 3L, 2L)))
+    // delete the only row carrying v=20 from 'a': a sketch cannot
+    // subtract, so the group must RESET — recomputed exactly
+    DeleteVectors.deleteWhere(base, col("id") === 2L)
+    settle()
+    spark.sql("REFRESH MATERIALIZED VIEW graft.mvd").collect()
+    assert(viewRows() == Seq(("a", 2L, 1L), ("b", 3L, 2L)))
+    // compaction folds the binary state within cells; read unchanged
+    spark.sql("OPTIMIZE graft.mvd").collect()
+    assert(viewRows() == Seq(("a", 2L, 1L), ("b", 3L, 2L)))
+    // the foreign-engine export refuses: HLL binaries don't fold outside
+    val mv = IceTable.open(spark, s"$w/mvd")
+    val e = intercept[UnsupportedOperationException](
+      graft.ice.ManifestExport.writeDuckDbView(mv, s"$w/mvd/_e.sql", "x"))
+    assert(e.getMessage.contains("HLL"))
+    // only count supports DISTINCT
+    val e2 = intercept[UnsupportedOperationException](spark.sql(
+      """CREATE MATERIALIZED VIEW graft.mvd2 AS
+        |SELECT grp, sum(DISTINCT v) AS s FROM graft.mvdbase GROUP BY grp"""
+        .stripMargin))
+    assert(e2.getMessage.contains("count(DISTINCT"))
+  }
+
   test("direct DML on a materialized view is rejected loudly") {
     val w = freshWarehouse()
     seedBase(w, "mvbase2")
@@ -111,8 +153,12 @@ class SqlMaterializedViewSpec extends SparkSpec {
       val e = intercept[Exception](spark.sql(q))
       assert(e.getMessage.contains(needle), s"$q → ${e.getMessage}")
     }
-    rejects("CREATE MATERIALIZED VIEW graft.m AS SELECT grp, count(DISTINCT v) AS c FROM graft.t GROUP BY grp",
-      "DISTINCT")
+    // count(DISTINCT col) is supported (HLL state); other DISTINCT
+    // aggregates and expression args are not
+    rejects("CREATE MATERIALIZED VIEW graft.m AS SELECT grp, avg(DISTINCT v) AS c FROM graft.t GROUP BY grp",
+      "count(DISTINCT")
+    rejects("CREATE MATERIALIZED VIEW graft.m AS SELECT grp, count(DISTINCT v + 1) AS c FROM graft.t GROUP BY grp",
+      "plain column")
     rejects("CREATE MATERIALIZED VIEW graft.m AS SELECT grp, count(*) FROM graft.t GROUP BY grp",
       "alias")
     rejects("CREATE MATERIALIZED VIEW graft.m AS SELECT grp, count(*) AS c FROM parquet.`/x` GROUP BY grp",
