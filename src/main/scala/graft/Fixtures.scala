@@ -797,6 +797,43 @@ object Fixtures {
       SqlMvDistinctFixture(view, f.getParent, exportRefused)
     }
 
+  final case class SqlMvWhereFixture(viewName: String, whDir: String)
+
+  /** Filtered, expression-grouped SQL MV (b60): `WHERE event_type <>
+    * 'redacted'` with a `pmod(user_id, 10)` group KEY — the predicate is
+    * applied identically to the seed scan and every feed window's insert
+    * AND delete images, and the derived key is materialized as a stored
+    * column. The redaction UPDATE moves rows OUT of the filter (their
+    * delete images retract, their insert images never land); the MoR
+    * delete retracts under the filter; one REFRESH follows all of it. */
+  def eventsSqlMvWhere(spark: SparkSession, sfDir: String): SqlMvWhereFixture =
+    memo(s"$sfDir#sqlmvwhere") {
+      import graft.ice.DeleteVectors
+      val ev = raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val root = newRoot("mvwherebase")
+      val f = new java.io.File(root)
+      spark.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      val base = new IceTable(spark, root, IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(8))),
+        sortOrder = Seq("event_id")))
+      base.insert(ev.where(col("event_id") % 2 === 0))
+      Thread.sleep(5)
+      val view = s"${f.getName}_v"
+      spark.sql(s"""CREATE MATERIALIZED VIEW graft.`$view` AS
+        SELECT pmod(user_id, 10) AS ub, count(*) AS cnt,
+               sum(event_id) AS sum_id, max(event_id) AS max_id
+        FROM graft.`${f.getName}` WHERE event_type <> 'redacted'
+        GROUP BY pmod(user_id, 10)""").collect()
+      base.insert(ev.where(col("event_id") % 2 === 1))
+      base.updateWhere(pmod(col("user_id"), lit(23)) === 7,
+        Seq("event_type" -> lit("redacted")))
+      DeleteVectors.deleteWhere(base, pmod(col("user_id"), lit(23)) === 8)
+      Thread.sleep(5)
+      spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$view`").collect()
+      SqlMvWhereFixture(view, f.getParent)
+    }
+
   final case class SqlTxnFixture(whDir: String, atomic: Boolean)
 
   /** SQL multi-table transaction (b59): the reference's MV double-write

@@ -349,6 +349,17 @@ object SparkEntry {
         .withColumn("export_refused", lit(fx.exportRefused))
         .orderBy("event_type")
     }),
+    "b60_mv_where" -> ((s, d) => {
+      // Filtered, expression-grouped SQL MV: WHERE follows UPDATE/DELETE
+      // through the change feed (a redaction moves rows OUT of the
+      // filter; their delete images retract, their insert images never
+      // land) and pmod(user_id, 10) is a stored derived group key.
+      // DuckDB re-derives the same filtered aggregation from raw events.
+      val fx = Fixtures.eventsSqlMvWhere(s, d)
+      s.conf.set(graft.plans.IceSqlResolution.WarehouseKey, fx.whDir)
+      s.sql(s"""SELECT ub, cnt, CAST(sum_id AS BIGINT) AS sum_id, max_id
+          FROM graft.`${fx.viewName}`""").orderBy("ub")
+    }),
     "b59_sql_txn" -> ((s, d) => {
       // SQL multi-table transaction: BEGIN TRANSACTION; INSERT INTO raw;
       // INSERT INTO agg; COMMIT — the reference's MV double-write done
@@ -3099,6 +3110,13 @@ object SparkEntry {
         "min(event_id) AS min_id, max(event_id) AS max_id, " +
         "avg(user_id) AS avg_uid, true AS dml_rejected " +
         "FROM final GROUP BY 1 ORDER BY 1"),
+    "b60_mv_where" ->
+      ("WITH final AS (SELECT event_id, user_id, " +
+        "CASE WHEN user_id % 23 = 7 THEN 'redacted' ELSE event_type END AS event_type " +
+        "FROM events WHERE user_id % 23 <> 8) " +
+        "SELECT user_id % 10 AS ub, count(*) AS cnt, " +
+        "CAST(sum(event_id) AS BIGINT) AS sum_id, max(event_id) AS max_id " +
+        "FROM final WHERE event_type <> 'redacted' GROUP BY 1 ORDER BY 1"),
     "b58_mv_distinct" ->
       ("WITH final AS (SELECT event_id, user_id, " +
         "CASE WHEN user_id % 23 = 7 THEN 'redacted' ELSE event_type END AS event_type " +

@@ -74,13 +74,34 @@ object MvSync {
       // sketch cannot subtract, so delete-touched groups recompute their
       // sketch from the base (the reset row's hll replaces, never unions
       // across, older generations — newest-reset-wins)
-      distinctCols: Seq[String] = Nil) {
+      distinctCols: Seq[String] = Nil,
+      // EXPRESSION group keys: (alias in groupCols) -> SQL expression
+      // over base columns, materialized as a derived column by [[prepare]]
+      // before every aggregation (seed, window delta, resets, rebase).
+      // The MV stores the derived value under the alias, so reads and
+      // folds never re-evaluate the expression
+      derivedGroups: Seq[(String, String)] = Nil,
+      // WHERE predicate over base columns, applied by [[prepare]] to the
+      // seed scan AND to every feed window — insert and delete images
+      // filter IDENTICALLY, so a row that never passed the filter also
+      // never retracts, and an update moving a row across the filter
+      // boundary arrives as delete(old image) + insert(new image), each
+      // judged on its own values
+      filterSql: Option[String] = None) {
     require(groupCols.nonEmpty, "MvSpec needs at least one group column")
     def sumCol(c: String): String = s"sum_$c"
     def minCol(c: String): String = s"min_$c"
     def maxCol(c: String): String = s"max_$c"
     def cntCol(c: String): String = s"cnt_$c"
     def hllCol(c: String): String = s"hll_$c"
+    /** Filter + derived-group-column projection of any base/feed frame —
+      * the single choke point that keeps every maintenance path's view
+      * of "the rows this MV aggregates" identical. */
+    private[operators] def prepare(df: DataFrame): DataFrame = {
+      val filtered = filterSql.fold(df)(p => df.where(expr(p)))
+      derivedGroups.foldLeft(filtered) { case (d, (name, sql)) =>
+        d.withColumn(name, expr(sql)) }
+    }
     /** Aggregates of `src` rows into one partial/reset row per group. */
     private[operators] def aggExprs: Seq[Column] =
       count(lit(1)).as("cnt") +:
@@ -101,13 +122,17 @@ object MvSync {
   case class MvOutput(alias: String, kind: String, col: String)
 
   /** A SQL-defined materialized view: source TABLE NAME (warehouse-
-    * resolved, so the definition travels with the log), group columns,
-    * and the SELECT's output list. Persisted as one JSON string in the
-    * MV table's config word (`mvd`), so any reopened handle — and the
-    * catalog resolution rule — can reconstruct both the maintenance
-    * [[MvSpec]] and the user-facing projection. */
+    * resolved, so the definition travels with the log), group columns
+    * (plain names, or aliases of `groupExprs` entries), the SELECT's
+    * output list, an optional WHERE predicate, and the expression group
+    * keys. Persisted as one JSON string in the MV table's config word
+    * (`mvd`), so any reopened handle — and the catalog resolution rule —
+    * can reconstruct both the maintenance [[MvSpec]] and the user-facing
+    * projection. */
   case class MvViewDef(source: String, groupCols: Seq[String],
-      outputs: Seq[MvOutput]) {
+      outputs: Seq[MvOutput],
+      filterSql: Option[String] = None,
+      groupExprs: Seq[(String, String)] = Nil) {
     def spec: MvSpec = MvSpec(
       groupCols,
       sumCols = outputs.collect {
@@ -117,10 +142,19 @@ object MvSync {
       countCols = outputs.collect {
         case o if o.kind == "avg" => o.col }.distinct,
       distinctCols = outputs.collect {
-        case o if o.kind == "dcnt" => o.col }.distinct)
-    def encode: String = graft.ice.Json.obj(
-      "src" -> source, "g" -> groupCols,
-      "o" -> outputs.map(o => Seq(o.alias, o.kind, o.col)))
+        case o if o.kind == "dcnt" => o.col }.distinct,
+      derivedGroups = groupExprs,
+      filterSql = filterSql)
+    def encode: String = {
+      val base = Seq[(String, Any)](
+        "src" -> source, "g" -> groupCols,
+        "o" -> outputs.map(o => Seq(o.alias, o.kind, o.col)))
+      val withW = filterSql.fold(base)(w => base :+ ("w" -> w))
+      val withGe =
+        if (groupExprs.isEmpty) withW
+        else withW :+ ("ge" -> groupExprs.map { case (a, e) => Seq(a, e) })
+      graft.ice.Json.obj(withGe: _*)
+    }
   }
 
   object MvViewDef {
@@ -128,6 +162,12 @@ object MvSync {
       val m = graft.ice.Json.parseObject(s)
       def strs(v: Any): Seq[String] = v match {
         case xs: scala.collection.Seq[_] => xs.map(_.toString).toSeq
+        case _ => Seq.empty
+      }
+      def pairs(v: Any): Seq[(String, String)] = v match {
+        case xs: scala.collection.Seq[_] => xs.map { e =>
+          val f = strs(e); (f(0), f(1))
+        }.toSeq
         case _ => Seq.empty
       }
       MvViewDef(
@@ -138,7 +178,9 @@ object MvSync {
             val f = strs(e); MvOutput(f(0), f(1), f(2))
           }.toSeq
           case _ => Seq.empty
-        })
+        },
+        filterSql = m.get("w").map(_.toString),
+        groupExprs = m.get("ge").map(pairs).getOrElse(Nil))
     }
   }
 
@@ -217,7 +259,7 @@ object MvSync {
         source.trySnapshot(until + 1) match {
           case None => CdcApply.commitMark(mv, key, until); (0L, 0L)
           case Some(_) =>
-            val resets = source.read(until + 1)
+            val resets = spec.prepare(source.read(until + 1))
               .groupBy(groupCols: _*).agg(spec.aggExprs.head, spec.aggExprs.tail: _*)
               .withColumn("gen", lit(until))
               .withColumn("is_reset", lit(true))
@@ -260,11 +302,16 @@ object MvSync {
   private[graft] def windowDelta(source: IceTable, spec: MvSpec,
       feed: DataFrame, gen: Long, maxPruneGroups: Int): DataFrame = {
     val groupCols = spec.groupCols.map(col)
-    val retracted = feed
+    // WHERE + derived group keys apply to the feed ONCE, before the
+    // insert/delete split: both image kinds filter identically (a row
+    // that never passed the filter never retracts either), and the
+    // derived key is computed on each image's own values
+    val fprep = spec.prepare(feed)
+    val retracted = fprep
       .where(col(ChangeFeed.ChangeTypeCol) === "delete")
       .select(groupCols: _*).distinct().localCheckpoint(true)
     try {
-      val inserts = feed.where(col(ChangeFeed.ChangeTypeCol) === "insert")
+      val inserts = fprep.where(col(ChangeFeed.ChangeTypeCol) === "insert")
       val insAlive =
         if (retracted.isEmpty) inserts
         else inserts.alias("_mvi").join(broadcast(retracted.alias("_mvt")),
@@ -315,7 +362,7 @@ object MvSync {
   private def resetRows(source: IceTable, retracted: DataFrame,
       spec: MvSpec, until: Long, maxPruneGroups: Int): DataFrame = {
     val groupCols = spec.groupCols.map(col)
-    val base = source.read(until + 1)
+    val base = spec.prepare(source.read(until + 1))
     def semiJoined: DataFrame =
       base.alias("_mvb").join(broadcast(retracted.alias("_mvt")),
         groupCond("_mvb", "_mvt", spec.groupCols), "left_semi")
@@ -440,7 +487,7 @@ object MvSync {
       sleepMs = math.min(sleepMs * 2, 100L)
       until = ChangeFeed.settledNow(source)
     }
-    val resets = source.read(until + 1)
+    val resets = spec.prepare(source.read(until + 1))
       .groupBy(spec.groupCols.map(col): _*)
       .agg(spec.aggExprs.head, spec.aggExprs.tail: _*)
       .withColumn("gen", lit(until))

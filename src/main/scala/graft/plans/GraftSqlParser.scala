@@ -578,37 +578,68 @@ object GraftSqlParser {
     * nothing), and the partition/sort config persists in that commit's
     * metadata so every later handle — SQL or API — routes identically. */
   /** Compile the CREATE MATERIALIZED VIEW query into a persistable view
-    * definition: exactly `SELECT <group cols + aliased aggregates> FROM
-    * <catalog>.<table> GROUP BY <cols>` with count(*) / sum / min / max /
-    * avg — the shapes [[graft.operators.MvSync]] maintains incrementally.
-    * Anything else fails AT PARSE TIME with a reason. */
+    * definition: `SELECT <group cols/exprs + aliased aggregates> FROM
+    * <catalog>.<table> [WHERE <pred>] GROUP BY <cols or exprs>` with
+    * count(*) / sum / min / max / avg / count(distinct) outputs — the
+    * shapes [[graft.operators.MvSync]] maintains incrementally. A GROUP
+    * BY expression must appear ALIASED in the SELECT list (the alias
+    * names the stored derived column). Anything else fails AT PARSE TIME
+    * with a reason. */
   private def extractMvDef(query: String, catalog: String,
       delegate: ParserInterface): graft.operators.MvSync.MvViewDef = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
-    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, SubqueryAlias}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, SubqueryAlias}
     import graft.operators.MvSync.{MvOutput, MvViewDef}
     def fail(msg: String): Nothing = throw new UnsupportedOperationException(
-      "CREATE MATERIALIZED VIEW supports a single-table GROUP BY with " +
-        s"count(*) / sum / min / max / avg outputs; $msg")
-    def sourceOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String =
+      "CREATE MATERIALIZED VIEW supports a single-table [WHERE +] GROUP " +
+        s"BY with count(*) / sum / min / max / avg / count(distinct) " +
+        s"outputs; $msg")
+    // (source table, WHERE predicate SQL) — the filter sits between the
+    // Aggregate and the relation; its raw SQL re-resolves against the
+    // base inside MvSpec.prepare on every maintenance path
+    def sourceOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : (String, Option[String]) =
       p match {
         case u: UnresolvedRelation => u.multipartIdentifier match {
-          case Seq(cat, t) if cat.equalsIgnoreCase(catalog) => t
+          case Seq(cat, t) if cat.equalsIgnoreCase(catalog) => (t, None)
           case other => fail(
             s"FROM must reference $catalog.<table>, got ${other.mkString(".")}")
         }
+        case Filter(cond, child) =>
+          val (t, inner) = sourceOf(child)
+          if (inner.nonEmpty) fail("at most one WHERE clause is supported")
+          (t, Some(cond.sql))
         case SubqueryAlias(_, child) => sourceOf(child)
         case other => fail(s"FROM must be a bare table reference, got ${other.nodeName}")
       }
     delegate.parsePlan(query) match {
       case Aggregate(groups, aggs, child, _) =>
-        val src = sourceOf(child)
-        val gcols = groups.map {
-          case a: UnresolvedAttribute => a.name
-          case other => fail(s"GROUP BY must list plain columns, got $other")
+        val (src, whereSql) = sourceOf(child)
+        // expression group keys: a non-attribute GROUP BY entry must
+        // appear ALIASED in the SELECT list with the same expression
+        // text; the alias becomes the stored derived column's name
+        def aliasFor(e: Expression): String =
+          aggs.collectFirst {
+            case Alias(ae, name) if ae.sql == e.sql => name
+          }.getOrElse(fail(
+            s"GROUP BY expression ${e.sql} must appear aliased in the " +
+              "SELECT list (e.g. SELECT <expr> AS k … GROUP BY <expr>)"))
+        val gcolsAndExprs = groups.map {
+          case a: UnresolvedAttribute => (a.name, None)
+          case _: Literal => fail("GROUP BY ordinals are not supported — " +
+            "repeat the expression or name the column")
+          case e => (aliasFor(e), Some(e.sql))
         }
+        val gcols = gcolsAndExprs.map(_._1)
+        val gexprs = gcolsAndExprs.collect { case (n, Some(s)) => (n, s) }
+        val gexprAliases = gexprs.map(_._1).toSet
         val outputs = aggs.flatMap {
+          // an aliased copy of a GROUP BY expression passes through as
+          // the derived group column itself
+          case Alias(ae, name) if gexprAliases.contains(name) &&
+              gexprs.exists { case (n, s) => n == name && s == ae.sql } =>
+            None
           case a: UnresolvedAttribute =>
             if (!gcols.exists(_.equalsIgnoreCase(a.name)))
               fail(s"non-aggregate output `${a.name}` is not in GROUP BY")
@@ -653,9 +684,9 @@ object GraftSqlParser {
           case other => fail(s"unsupported output expression $other")
         }
         if (outputs.isEmpty) fail("at least one aggregate output is required")
-        MvViewDef(src, gcols, outputs)
+        MvViewDef(src, gcols, outputs, whereSql, gexprs)
       case other => fail(
-        s"the query must be exactly SELECT … FROM … GROUP BY …, got ${other.nodeName}")
+        s"the query must be exactly SELECT … FROM … [WHERE …] GROUP BY …, got ${other.nodeName}")
     }
   }
 

@@ -128,6 +128,57 @@ class SqlMaterializedViewSpec extends SparkSpec {
     assert(e2.getMessage.contains("count(DISTINCT"))
   }
 
+  test("WHERE + expression group keys: filter follows DML, derived key moves rows across groups") {
+    val w = freshWarehouse()
+    val base = new IceTable(spark, s"$w/mvwbase", IceTableConfig(
+      partitionExpr = concat(lit("p="), pmod(col("id"), lit(2))),
+      sortOrder = Seq("id")))
+    base.insert(Seq((1L, "a", 10L), (2L, "a", 21L), (3L, "b", 5L),
+      (4L, "skip", 7L)).toDF("id", "grp", "v"))
+    settle()
+    val seeded = spark.sql(
+      """CREATE MATERIALIZED VIEW graft.mvw AS
+        |SELECT pmod(v, 2) AS parity, count(*) AS cnt, sum(v) AS total
+        |FROM graft.mvwbase WHERE grp <> 'skip'
+        |GROUP BY pmod(v, 2)""".stripMargin).head.getLong(0)
+    assert(seeded == 2L) // (4, 'skip', 7) filtered out of the seed
+    def viewRows() = spark.sql(
+      "SELECT parity, cnt, total FROM graft.mvw ORDER BY parity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viewRows() == Seq((0L, 1L, 10L), (1L, 2L, 26L)))
+    // append: one filtered row, one landing in parity 1
+    base.insert(Seq((5L, "c", 9L), (6L, "skip", 100L)).toDF("id", "grp", "v"))
+    settle()
+    spark.sql("REFRESH MATERIALIZED VIEW graft.mvw").collect()
+    assert(viewRows() == Seq((0L, 1L, 10L), (1L, 3L, 35L)))
+    // an UPDATE that moves a row ACROSS the filter boundary: (2, a, 21)
+    // becomes grp='skip' → its delete image passed the filter (retracts
+    // parity 1), its insert image does not (never lands)
+    base.updateWhere(col("id") === 2L, Seq("grp" -> lit("skip")))
+    // and one that changes the DERIVED KEY: v 10 → 11 moves parity 0 → 1
+    base.updateWhere(col("id") === 1L, Seq("v" -> lit(11L)))
+    settle()
+    spark.sql("REFRESH MATERIALIZED VIEW graft.mvw").collect()
+    // parity 0 is now empty → dropped; parity 1 holds v ∈ {5, 9, 11}
+    assert(viewRows() == Seq((1L, 3L, 25L)))
+    // MoR delete under the filter: row 3 (v=5, parity 1) retracts
+    DeleteVectors.deleteWhere(base, col("id") === 3L)
+    settle()
+    spark.sql("REFRESH MATERIALIZED VIEW graft.mvw").collect()
+    assert(viewRows() == Seq((1L, 2L, 20L)))
+    // the definition round-trips through the persisted config word
+    val vd = graft.operators.MvSync.MvViewDef.decode(
+      IceTable.open(spark, s"$w/mvw").cfg.mvDef.get)
+    assert(vd.filterSql.exists(_.contains("skip")))
+    assert(vd.groupExprs.map(_._1) == Seq("parity"))
+    // a GROUP BY expression missing from the SELECT list fails at parse
+    val e = intercept[UnsupportedOperationException](spark.sql(
+      """CREATE MATERIALIZED VIEW graft.mvw2 AS
+        |SELECT count(*) AS cnt FROM graft.mvwbase GROUP BY pmod(v, 2)"""
+        .stripMargin))
+    assert(e.getMessage.contains("aliased"))
+  }
+
   test("direct DML on a materialized view is rejected loudly") {
     val w = freshWarehouse()
     seedBase(w, "mvbase2")
