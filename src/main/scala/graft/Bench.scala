@@ -342,7 +342,11 @@ object Bench {
     var sf1LoadSec = -1.0
     var sf1Synthesized: Option[String] = None
     var sf1Table: Option[String] = None
-    try {
+    // bisect/debug knob: SPARK_GRAFT_SKIP_SF1=1 drops the tier entirely
+    // (it writes + deletes tens of GB right before the synthetic
+    // sections — the A/B that isolates its cache/GC shadow on them)
+    val skipSf1 = sys.env.get("SPARK_GRAFT_SKIP_SF1").contains("1")
+    try if (!skipSf1) {
       val sf1Dir = sys.env.get("SPARK_GRAFT_SF1_DIR")
         .orElse(Option("/root/testdata/sf1")
           .filter(p => new java.io.File(p).isDirectory))

@@ -48,6 +48,19 @@ import graft.ice.{DeleteVectors, IceTable, IceTableConfig}
   *   OPTIMIZE graft.t                            -- full-table compaction
   *   OPTIMIZE graft.t ZORDER BY (c1, ...)        -- Z-value recluster
   *   VACUUM graft.t [RETAIN <n> HOURS]           -- tombstone cleanup + dv vacuum
+  *   CREATE MATERIALIZED VIEW graft.m AS
+  *     SELECT g, count(*) AS c, ... FROM graft.t -- incremental MV (MvSync):
+  *     [WHERE pred] GROUP BY g                   -- count/sum/min/max/avg/
+  *                                               -- count(DISTINCT) outputs,
+  *                                               -- aliased expression group
+  *                                               -- keys, WHERE pushed into
+  *                                               -- every maintenance path
+  *   REFRESH MATERIALIZED VIEW graft.m           -- one feed-window advance
+  *   DROP MATERIALIZED VIEW graft.m              -- alias of DROP TABLE
+  *   BEGIN TRANSACTION;                          -- multi-table atomicity:
+  *     INSERT INTO graft.t1 <query>;             -- all inserts stage, ONE
+  *     INSERT INTO graft.t2 <query>;             -- marker PUT flips them
+  *   COMMIT | ROLLBACK                           -- together (IceTransaction)
   * }}}
   *
   * The reference drives the same lifecycle imperatively (create on first
