@@ -412,6 +412,13 @@ object Bench {
     // 690k rows/s there). Same row shape (ts, user_id, event, properties
     // JSON), same partition count — the one directly commensurable ingest
     // number. Each rep inserts into a FRESH table.
+    //
+    // Round-13 bisect of the r12 +24% blip (2.63 → 3.25 s recorded): the
+    // suspected sf1-tier shadow is ZERO — the SPARK_GRAFT_SKIP_SF1 A/B on
+    // a clean host measured 2.40 s with the tier vs 2.41 s without, both
+    // below r11's 2.63. The r12 artifact's own cpu_ratio (1.14, vs 0.95
+    // on the clean runs) marks that recording as a slow host moment, not
+    // a code regression; the insert path is unchanged either way.
     val synthRows = 6_000_000L
     def synthDf = {
       import org.apache.spark.sql.functions._

@@ -672,6 +672,14 @@ object IceLogIO {
     confirmedTxns.add(marker.toString); ()
   }
 
+  /** Invalidate a cached confirmation: the ONE case a marker un-commits
+    * is a commit self-aborting after losing the reclaim handshake — a
+    * same-process reader that probed during the marker's transient
+    * existence must not stay confirmed forever. */
+  private[ice] def unprimeTxnConfirmed(marker: Path): Unit = {
+    confirmedTxns.remove(marker.toString); ()
+  }
+
   /** Filename codec: `{ts}[_m]_{hostname}.jsonl` → (ts, merged)
     * (reference: icedb/log.py:360-371). */
   def logFileInfo(fileName: String): (Long, Boolean) = {

@@ -157,8 +157,11 @@ final class IceTransaction private (
       def die(reason: String): Nothing = {
         // un-commit while the reclaim is still holding the other side of
         // the handshake; without the delete, later probes would cache a
-        // marker whose stage is gone
+        // marker whose stage is gone. Also drop any same-process cache
+        // entry a reader may have primed during the marker's transient
+        // existence.
         try fs.delete(marker, false) catch { case _: Exception => () }
+        IceLogIO.unprimeTxnConfirmed(marker)
         state = Aborted
         releaseFloors()
         throw new IllegalStateException(

@@ -1067,6 +1067,18 @@ object GraftSqlParser {
       // reject BEFORE the view table is created, so a refused definition
       // leaves no half-made MV behind (MvSync re-checks at every sync)
       IceSqlResolution.requireNotMv(src)
+      // an expression group key materializes under its alias via
+      // withColumn — an alias shadowing a real source column would
+      // silently overwrite it for every aggregate in the same view
+      val srcCols = src.trySnapshot(Long.MaxValue)
+        .map(_.schema.pairs.map(_._1.toLowerCase).toSet).getOrElse(Set.empty)
+      d.groupExprs.foreach { case (alias, e) =>
+        if (srcCols.contains(alias.toLowerCase))
+          throw new UnsupportedOperationException(
+            s"CREATE MATERIALIZED VIEW: group expression alias `$alias` " +
+              s"(= $e) shadows a column of '${d.source}' — pick an alias " +
+              "that is not a source column name")
+      }
       val root = rootFor(session, name, requireLog = false).get
       val mv = MvSync.create(session, root, d.spec, viewDef = Some(d))
       val (_, seeded) = MvSync.syncFromFeed(src, mv, d.spec)

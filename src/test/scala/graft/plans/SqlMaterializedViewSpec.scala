@@ -177,6 +177,12 @@ class SqlMaterializedViewSpec extends SparkSpec {
         |SELECT count(*) AS cnt FROM graft.mvwbase GROUP BY pmod(v, 2)"""
         .stripMargin))
     assert(e.getMessage.contains("aliased"))
+    // an alias shadowing a real source column is rejected at create time
+    val e2 = intercept[UnsupportedOperationException](spark.sql(
+      """CREATE MATERIALIZED VIEW graft.mvw3 AS
+        |SELECT pmod(v, 2) AS grp, count(*) AS cnt
+        |FROM graft.mvwbase GROUP BY pmod(v, 2)""".stripMargin))
+    assert(e2.getMessage.contains("shadows"))
   }
 
   test("direct DML on a materialized view is rejected loudly") {
