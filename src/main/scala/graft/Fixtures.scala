@@ -834,6 +834,68 @@ object Fixtures {
       SqlMvWhereFixture(view, f.getParent)
     }
 
+  final case class SqlMvJoinFixture(viewName: String, whDir: String,
+    factOnlyDelta: Boolean)
+
+  /** Star-join SQL MV (b61): `fact JOIN dim ON … GROUP BY d.cat` — fact
+    * deltas join the PINNED dim snapshot (a fact-only append refreshes
+    * with zero resets: true IVM), unmatched fact rows stay out (inner
+    * join), and a DIMENSION mutation is detected by commit version and
+    * triggers a full reseed — including cnt=0 retractions for groups the
+    * dim move emptied. The dim maps event_type → its first letter; the
+    * redaction UPDATE moves rows to an event_type with NO dim row (they
+    * leave the view), then a dim insert for 'redacted' brings them back
+    * under a new group. */
+  def eventsSqlMvJoin(spark: SparkSession, sfDir: String): SqlMvJoinFixture =
+    memo(s"$sfDir#sqlmvjoin") {
+      import graft.ice.DeleteVectors
+      val ev = raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val root = newRoot("mvjoinfact")
+      val f = new java.io.File(root)
+      spark.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      val fact = new IceTable(spark, root, IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(8))),
+        sortOrder = Seq("event_id")))
+      fact.insert(ev.where(col("event_id") % 2 === 0))
+      val dimName = s"${f.getName}_dim"
+      val dim = new IceTable(spark, s"${f.getParent}/$dimName", IceTableConfig(
+        partitionExpr = lit("all"), sortOrder = Seq("et")))
+      dim.insert(ev.select(col("event_type").as("et")).distinct()
+        .withColumn("cat", upper(substring(col("et"), 1, 1))))
+      Thread.sleep(5)
+      val view = s"${f.getName}_v"
+      spark.sql(s"""CREATE MATERIALIZED VIEW graft.`$view` AS
+        SELECT d.cat AS cat, count(*) AS cnt, sum(f.user_id) AS sum_uid,
+               max(f.event_id) AS max_id
+        FROM graft.`${f.getName}` f JOIN graft.`$dimName` d
+          ON f.event_type = d.et
+        GROUP BY d.cat""").collect()
+      // insert-only fact window first: a true window delta lands as
+      // partials with ZERO resets — the IVM claim, pinned as a boolean
+      // (a reseed would emit everything as resets)
+      fact.insert(ev.where(col("event_id") % 2 === 1))
+      Thread.sleep(5)
+      val r1 = spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$view`").head
+      val factOnlyDelta = r1.getLong(0) > 0L && r1.getLong(1) == 0L
+      // then the retraction window: redaction update (moves rows to an
+      // event_type with NO dim row → they leave the view) + MoR delete
+      fact.updateWhere(pmod(col("user_id"), lit(23)) === 7,
+        Seq("event_type" -> lit("redacted")))
+      DeleteVectors.deleteWhere(fact, pmod(col("user_id"), lit(23)) === 8)
+      Thread.sleep(5)
+      spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$view`").collect()
+      // dim mutation: 'redacted' gains a dim row under category 'R' — the
+      // version change forces a reseed that brings those rows back
+      dim.insert {
+        import spark.implicits._
+        Seq(("redacted", "R")).toDF("et", "cat")
+      }
+      Thread.sleep(5)
+      spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$view`").collect()
+      SqlMvJoinFixture(view, f.getParent, factOnlyDelta)
+    }
+
   final case class SqlTxnFixture(whDir: String, atomic: Boolean)
 
   /** SQL multi-table transaction (b59): the reference's MV double-write

@@ -360,6 +360,20 @@ object SparkEntry {
       s.sql(s"""SELECT ub, cnt, CAST(sum_id AS BIGINT) AS sum_id, max_id
           FROM graft.`${fx.viewName}`""").orderBy("ub")
     }),
+    "b61_mv_join" -> ((s, d) => {
+      // Star-join SQL MV: fact deltas (append / group-moving update /
+      // MoR delete) join the pinned dim incrementally — the refresh
+      // emits window partials, never a reseed — while a DIM insert is
+      // version-detected and reseeds, bringing previously-unmatched
+      // 'redacted' rows in under their new category. DuckDB re-derives
+      // the join aggregation from raw events + the same derived dim.
+      val fx = Fixtures.eventsSqlMvJoin(s, d)
+      s.conf.set(graft.plans.IceSqlResolution.WarehouseKey, fx.whDir)
+      s.sql(s"""SELECT cat, cnt, CAST(sum_uid AS BIGINT) AS sum_uid, max_id
+          FROM graft.`${fx.viewName}`""")
+        .withColumn("fact_delta_incremental", lit(fx.factOnlyDelta))
+        .orderBy("cat")
+    }),
     "b59_sql_txn" -> ((s, d) => {
       // SQL multi-table transaction: BEGIN TRANSACTION; INSERT INTO raw;
       // INSERT INTO agg; COMMIT — the reference's MV double-write done
@@ -3110,6 +3124,18 @@ object SparkEntry {
         "min(event_id) AS min_id, max(event_id) AS max_id, " +
         "avg(user_id) AS avg_uid, true AS dml_rejected " +
         "FROM final GROUP BY 1 ORDER BY 1"),
+    "b61_mv_join" ->
+      ("WITH final AS (SELECT event_id, user_id, " +
+        "CASE WHEN user_id % 23 = 7 THEN 'redacted' ELSE event_type END AS event_type " +
+        "FROM events WHERE user_id % 23 <> 8), " +
+        "dim AS (SELECT DISTINCT event_type AS et, " +
+        "upper(substring(event_type, 1, 1)) AS cat FROM events " +
+        "UNION ALL SELECT 'redacted', 'R') " +
+        "SELECT d.cat AS cat, count(*) AS cnt, " +
+        "CAST(sum(f.user_id) AS BIGINT) AS sum_uid, max(f.event_id) AS max_id, " +
+        "true AS fact_delta_incremental " +
+        "FROM final f JOIN dim d ON f.event_type = d.et " +
+        "GROUP BY 1 ORDER BY 1"),
     "b60_mv_where" ->
       ("WITH final AS (SELECT event_id, user_id, " +
         "CASE WHEN user_id % 23 = 7 THEN 'redacted' ELSE event_type END AS event_type " +

@@ -56,6 +56,18 @@ import org.apache.spark.sql.functions._
   */
 object MvSync {
 
+  /** A star-join enrichment baked into a view definition: every
+    * maintenance aggregation joins the FACT rows (base scan or feed
+    * images, aliased `factAlias`) with the dimension table (aliased
+    * `dimAlias`) on `condSql`, INNER — unmatched fact rows leave the
+    * view, exactly like the defining query. The fact side is the
+    * maintained (feed-driven) side; dimension mutations are detected by
+    * commit version and trigger a full reseed (one fresh reset
+    * generation — dim-change cost is dim-change-sized × view-sized,
+    * never continuous). */
+  case class MvJoinDim(dimTable: String, factAlias: String,
+      dimAlias: String, condSql: String)
+
   /** View definition: `groupCols` keys, `sumCols` summed (count is always
     * maintained), `minMaxCols` tracked as min+max, `distinctCols` tracked
     * as mergeable HLL sketch state (`count(distinct)`). */
@@ -87,29 +99,62 @@ object MvSync {
       // never retracts, and an update moving a row across the filter
       // boundary arrives as delete(old image) + insert(new image), each
       // judged on its own values
-      filterSql: Option[String] = None) {
+      filterSql: Option[String] = None,
+      // star-join enrichment: fact rows join the dimension snapshot
+      // before filter/derive/aggregate on every maintenance path; the
+      // dim DataFrame itself is a runtime argument (a pinned snapshot),
+      // threaded by the caller — the spec stores only the shape
+      joinDim: Option[MvJoinDim] = None) {
     require(groupCols.nonEmpty, "MvSpec needs at least one group column")
-    def sumCol(c: String): String = s"sum_$c"
-    def minCol(c: String): String = s"min_$c"
-    def maxCol(c: String): String = s"max_$c"
-    def cntCol(c: String): String = s"cnt_$c"
-    def hllCol(c: String): String = s"hll_$c"
-    /** Filter + derived-group-column projection of any base/feed frame —
-      * the single choke point that keeps every maintenance path's view
-      * of "the rows this MV aggregates" identical. */
-    private[operators] def prepare(df: DataFrame): DataFrame = {
-      val filtered = filterSql.fold(df)(p => df.where(expr(p)))
-      derivedGroups.foldLeft(filtered) { case (d, (name, sql)) =>
+    // value-column names: aggregate args may be alias-qualified in a
+    // join view (`f.v`, `d.x`); a dot inside a stored column name would
+    // read back as a struct-field path, so sanitize
+    private def safe(c: String): String = c.replace('.', '_')
+    def sumCol(c: String): String = s"sum_${safe(c)}"
+    def minCol(c: String): String = s"min_${safe(c)}"
+    def maxCol(c: String): String = s"max_${safe(c)}"
+    def cntCol(c: String): String = s"cnt_${safe(c)}"
+    def hllCol(c: String): String = s"hll_${safe(c)}"
+    /** Join + filter + derived-group-column projection of any fact
+      * base/feed frame — the single choke point that keeps every
+      * maintenance path's view of "the rows this MV aggregates"
+      * identical. `dim` must be supplied (a pinned dimension snapshot)
+      * exactly when [[joinDim]] is set. */
+    private[operators] def prepare(
+        df: DataFrame, dim: Option[DataFrame] = None): DataFrame = {
+      val joined = joinDim match {
+        case None => df
+        case Some(j) =>
+          val d = dim.getOrElse(throw new IllegalArgumentException(
+            s"view joins dimension '${j.dimTable}' — a pinned dim " +
+              "snapshot must be supplied to every maintenance call"))
+          df.alias(j.factAlias)
+            .join(d.alias(j.dimAlias), expr(j.condSql), "inner")
+      }
+      val filtered = filterSql.fold(joined)(p => joined.where(expr(p)))
+      val derived = derivedGroups.foldLeft(filtered) { case (d, (name, sql)) =>
         d.withColumn(name, expr(sql)) }
+      // ALIAS-QUALIFIED aggregate args (`f.v` in a join view) resolve
+      // only while the join aliases are in scope — downstream stages
+      // re-alias the prepared frame (the window-delta anti join), so
+      // materialize each as a plain sanitized column here and aggregate
+      // over that
+      (sumCols ++ countCols ++ minMaxCols ++ distinctCols)
+        .filter(_.contains('.')).distinct
+        .foldLeft(derived) { (d, c) => d.withColumn(safe(c), expr(c)) }
     }
+    // aggregate-arg reference: qualified args read their materialized
+    // plain column (see prepare); plain args read themselves
+    private def argCol(c: String): Column =
+      if (c.contains('.')) col(safe(c)) else col(c)
     /** Aggregates of `src` rows into one partial/reset row per group. */
     private[operators] def aggExprs: Seq[Column] =
       count(lit(1)).as("cnt") +:
-        (sumCols.map(c => sum(col(c)).as(sumCol(c))) ++
-          countCols.map(c => count(col(c)).as(cntCol(c))) ++
+        (sumCols.map(c => sum(argCol(c)).as(sumCol(c))) ++
+          countCols.map(c => count(argCol(c)).as(cntCol(c))) ++
           minMaxCols.flatMap(c => Seq(
-            min(col(c)).as(minCol(c)), max(col(c)).as(maxCol(c)))) ++
-          distinctCols.map(c => hll_sketch_agg(col(c)).as(hllCol(c))))
+            min(argCol(c)).as(minCol(c)), max(argCol(c)).as(maxCol(c)))) ++
+          distinctCols.map(c => hll_sketch_agg(argCol(c)).as(hllCol(c))))
     private[operators] def valueCols: Seq[String] =
       "cnt" +: (sumCols.map(sumCol) ++ countCols.map(cntCol) ++
         minMaxCols.flatMap(c => Seq(minCol(c), maxCol(c))) ++
@@ -132,7 +177,8 @@ object MvSync {
   case class MvViewDef(source: String, groupCols: Seq[String],
       outputs: Seq[MvOutput],
       filterSql: Option[String] = None,
-      groupExprs: Seq[(String, String)] = Nil) {
+      groupExprs: Seq[(String, String)] = Nil,
+      dim: Option[MvJoinDim] = None) {
     def spec: MvSpec = MvSpec(
       groupCols,
       sumCols = outputs.collect {
@@ -144,7 +190,8 @@ object MvSync {
       distinctCols = outputs.collect {
         case o if o.kind == "dcnt" => o.col }.distinct,
       derivedGroups = groupExprs,
-      filterSql = filterSql)
+      filterSql = filterSql,
+      joinDim = dim)
     def encode: String = {
       val base = Seq[(String, Any)](
         "src" -> source, "g" -> groupCols,
@@ -153,7 +200,9 @@ object MvSync {
       val withGe =
         if (groupExprs.isEmpty) withW
         else withW :+ ("ge" -> groupExprs.map { case (a, e) => Seq(a, e) })
-      graft.ice.Json.obj(withGe: _*)
+      val withJ = dim.fold(withGe)(j => withGe :+
+        ("j" -> Seq(j.dimTable, j.factAlias, j.dimAlias, j.condSql)))
+      graft.ice.Json.obj(withJ: _*)
     }
   }
 
@@ -180,7 +229,10 @@ object MvSync {
           case _ => Seq.empty
         },
         filterSql = m.get("w").map(_.toString),
-        groupExprs = m.get("ge").map(pairs).getOrElse(Nil))
+        groupExprs = m.get("ge").map(pairs).getOrElse(Nil),
+        dim = m.get("j").map { v =>
+          val f = strs(v); MvJoinDim(f(0), f(1), f(2), f(3))
+        })
     }
   }
 
@@ -245,52 +297,101 @@ object MvSync {
   /** Advance the MV to the base table's current settled state. First call
     * seeds the view with one full aggregation (every group a reset row);
     * later calls process only the feed window since the stored watermark.
+    * For a join view ([[MvSpec.joinDim]]) the caller supplies a PINNED
+    * dimension snapshot and its commit version: a version change since
+    * the last sync triggers a full reseed (one fresh reset generation —
+    * readers are correct throughout via newest-reset-wins), because fact
+    * deltas joined against a moved dimension would mix join states.
     * Returns (partial-group rows appended, groups reset). */
   def syncFromFeed(source: IceTable, mv: IceTable, spec: MvSpec,
       replicaId: String = "default",
-      maxPruneGroups: Int = 1000): (Long, Long) = {
+      maxPruneGroups: Int = 1000,
+      dim: Option[DataFrame] = None,
+      dimVersion: Option[Long] = None): (Long, Long) = {
     requireNotMvSource(source)
+    spec.joinDim.foreach { j =>
+      require(dim.nonEmpty && dimVersion.nonEmpty,
+        s"view joins dimension '${j.dimTable}': pass the pinned dim " +
+          "snapshot and its commit version to every sync") }
     val key = s"_mv_sync:$replicaId"
+    val dimKey = s"_mv_dim:$replicaId"
     val groupCols = spec.groupCols.map(col)
+
+    // one full aggregation landing as a reset generation at `until`;
+    // the initial seed and the dim-change reseed share it exactly.
+    // `retractStale`: groups live in the CURRENT view but absent from
+    // the recompute (a dim move can empty a group without any fact
+    // delta) must land cnt=0 resets IN THE SAME atomic commit — a
+    // vanished group would otherwise keep serving its old reset forever.
+    def fullResetSeed(until: Long, retractStale: Boolean): Long = {
+      val fresh = spec.prepare(source.read(until + 1), dim)
+        .groupBy(groupCols: _*).agg(spec.aggExprs.head, spec.aggExprs.tail: _*)
+      val withStale =
+        if (!retractStale) fresh
+        else {
+          val staleKeys = read(mv, spec).select(groupCols: _*)
+            .alias("_mvo").join(fresh.alias("_mvn"),
+              groupCond("_mvo", "_mvn", spec.groupCols), "left_anti")
+          // typed null value columns via the outer join against fresh
+          // (no match by construction), cnt coalesced to the retraction 0
+          val stale = staleKeys.alias("_mvl").join(fresh.alias("_mvr"),
+              groupCond("_mvl", "_mvr", spec.groupCols), "left")
+            .select(spec.groupCols.map(c => col(s"_mvl.`$c`").as(c)) ++
+              (coalesce(col("_mvr.`cnt`"), lit(0L)).as("cnt") +:
+                spec.valueCols.drop(1).map(v => col(s"_mvr.`$v`").as(v))): _*)
+          fresh.unionByName(stale)
+        }
+      val resets = withStale
+        .withColumn("gen", lit(until))
+        .withColumn("is_reset", lit(true))
+        .localCheckpoint(true)
+      try {
+        val n = resets.count()
+        // insert even when empty: the commit carries the view's COLUMN
+        // SCHEMA, so read()/readView() work before any group exists
+        mv.insertBatch(resets, key, until)
+        // the dim mark commits separately AFTER: a crash in between
+        // replays as "dim changed" → an extra (idempotent) reseed,
+        // never a missed one
+        dimVersion.foreach(v => CdcApply.commitMark(mv, dimKey, v))
+        n
+      } finally { resets.unpersist(); () }
+    }
 
     CdcApply.readMark(mv, key) match {
       case None =>
         val until = ChangeFeed.settledNow(source)
         source.trySnapshot(until + 1) match {
           case None => CdcApply.commitMark(mv, key, until); (0L, 0L)
-          case Some(_) =>
-            val resets = spec.prepare(source.read(until + 1))
-              .groupBy(groupCols: _*).agg(spec.aggExprs.head, spec.aggExprs.tail: _*)
-              .withColumn("gen", lit(until))
-              .withColumn("is_reset", lit(true))
-              .localCheckpoint(true)
-            try {
-              val n = resets.count()
-              // insert even when empty: the commit carries the view's
-              // COLUMN SCHEMA, so read()/readView() work before the
-              // first group materializes
-              mv.insertBatch(resets, key, until)
-              (0L, n)
-            } finally { resets.unpersist(); () }
+          case Some(_) => (0L, fullResetSeed(until, retractStale = false))
         }
 
       case Some(wm) =>
-        val (feed, until) = ChangeFeed.betweenSettled(source, wm)
-        val f = feed.localCheckpoint()
-        try {
-          if (f.isEmpty) return (0L, 0L) // idle window: commit nothing
-          val delta = windowDelta(source, spec, f, until, maxPruneGroups)
+        if (spec.joinDim.nonEmpty && CdcApply.readMark(mv, dimKey) != dimVersion) {
+          // the dimension moved: fact deltas would join the NEW dim while
+          // standing partials joined the OLD one — recompute every group
+          // at a fresh settled bound (covers any pending fact window too)
+          val until = awaitSettledPast(source, wm,
+            what = s"dim-change reseed of ${mv.root}")
+          (0L, fullResetSeed(until, retractStale = true))
+        } else {
+          val (feed, until) = ChangeFeed.betweenSettled(source, wm)
+          val f = feed.localCheckpoint()
           try {
-            // one job for both counts (the checkpointed delta is tiny)
-            val byKind = delta.groupBy(col("is_reset")).count()
-              .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
-            val nPart = byKind.getOrElse(false, 0L)
-            val nReset = byKind.getOrElse(true, 0L)
-            if (nPart + nReset == 0) CdcApply.commitMark(mv, key, until)
-            else mv.insertBatch(delta, key, until)
-            (nPart, nReset)
-          } finally { delta.unpersist(); () }
-        } finally { f.unpersist(); () }
+            if (f.isEmpty) return (0L, 0L) // idle window: commit nothing
+            val delta = windowDelta(source, spec, f, until, maxPruneGroups, dim)
+            try {
+              // one job for both counts (the checkpointed delta is tiny)
+              val byKind = delta.groupBy(col("is_reset")).count()
+                .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+              val nPart = byKind.getOrElse(false, 0L)
+              val nReset = byKind.getOrElse(true, 0L)
+              if (nPart + nReset == 0) CdcApply.commitMark(mv, key, until)
+              else mv.insertBatch(delta, key, until)
+              (nPart, nReset)
+            } finally { delta.unpersist(); () }
+          } finally { f.unpersist(); () }
+        }
     }
   }
 
@@ -300,13 +401,14 @@ object MvSync {
     * includes the window's own inserts). Returned eagerly checkpointed —
     * the caller unpersists. */
   private[graft] def windowDelta(source: IceTable, spec: MvSpec,
-      feed: DataFrame, gen: Long, maxPruneGroups: Int): DataFrame = {
+      feed: DataFrame, gen: Long, maxPruneGroups: Int,
+      dim: Option[DataFrame] = None): DataFrame = {
     val groupCols = spec.groupCols.map(col)
-    // WHERE + derived group keys apply to the feed ONCE, before the
-    // insert/delete split: both image kinds filter identically (a row
-    // that never passed the filter never retracts either), and the
-    // derived key is computed on each image's own values
-    val fprep = spec.prepare(feed)
+    // join + WHERE + derived group keys apply to the feed ONCE, before
+    // the insert/delete split: both image kinds enrich and filter
+    // identically (a row that never passed never retracts either), and
+    // the derived key is computed on each image's own values
+    val fprep = spec.prepare(feed, dim)
     val retracted = fprep
       .where(col(ChangeFeed.ChangeTypeCol) === "delete")
       .select(groupCols: _*).distinct().localCheckpoint(true)
@@ -320,7 +422,7 @@ object MvSync {
         .groupBy(groupCols: _*).agg(spec.aggExprs.head, spec.aggExprs.tail: _*)
         .withColumn("gen", lit(gen))
         .withColumn("is_reset", lit(false))
-      val resets = resetRows(source, retracted, spec, gen, maxPruneGroups)
+      val resets = resetRows(source, retracted, spec, gen, maxPruneGroups, dim)
       partials.unionByName(resets).localCheckpoint(true)
     } finally { retracted.unpersist(); () }
   }
@@ -339,6 +441,10 @@ object MvSync {
       batch: DataFrame, batchId: Long, queryName: String = "_mv_stream",
       maxPruneGroups: Int = 1000): Unit = {
     requireNotMvSource(source)
+    require(spec.joinDim.isEmpty,
+      "streaming maintenance of a join view is not supported — the " +
+        "dim-change reseed needs a synchronous decision point; use " +
+        "REFRESH MATERIALIZED VIEW (syncFromFeed) on a schedule instead")
     val b = batch.localCheckpoint()
     try {
       if (b.isEmpty) return
@@ -360,9 +466,10 @@ object MvSync {
     * becomes an `isin` literal (pushed to the scan — partition- and
     * stats-prunable), anything else a broadcast semi join. */
   private def resetRows(source: IceTable, retracted: DataFrame,
-      spec: MvSpec, until: Long, maxPruneGroups: Int): DataFrame = {
+      spec: MvSpec, until: Long, maxPruneGroups: Int,
+      dim: Option[DataFrame] = None): DataFrame = {
     val groupCols = spec.groupCols.map(col)
-    val base = spec.prepare(source.read(until + 1))
+    val base = spec.prepare(source.read(until + 1), dim)
     def semiJoined: DataFrame =
       base.alias("_mvb").join(broadcast(retracted.alias("_mvt")),
         groupCond("_mvb", "_mvt", spec.groupCols), "left_semi")
@@ -458,36 +565,44 @@ object MvSync {
     * are reclaimed with a CoW delete. Readers are correct throughout:
     * newest-reset-wins means the first commit alone already serves the
     * compacted state. Returns the number of live groups. */
+  /** Wait (bounded, exponential backoff) for the source's settled clock
+    * to pass `wm` — an open IceTransaction or in-flight commit can pin
+    * the settled bound for its whole lifetime, and a 1 ms spin against a
+    * pinned floor would burn a driver core for minutes. Bails with the
+    * cause instead: the caller can retry after the transaction resolves. */
+  private def awaitSettledPast(source: IceTable, wm: Long,
+      timeoutMs: Long = 30_000L, what: String = "settled-bound wait"): Long = {
+    val waitStart = System.currentTimeMillis()
+    var sleepMs = 1L
+    var until = ChangeFeed.settledNow(source)
+    while (until <= wm) {
+      if (System.currentTimeMillis() - waitStart >= timeoutMs)
+        throw new IllegalStateException(
+          s"$what: the source's settled clock ($until) has not passed " +
+            s"the sync watermark ($wm) after ${timeoutMs} ms — an open " +
+            "transaction or in-flight commit on the source is pinning " +
+            "the settled bound; retry after it commits or aborts")
+      Thread.sleep(sleepMs)
+      sleepMs = math.min(sleepMs * 2, 100L)
+      until = ChangeFeed.settledNow(source)
+    }
+    until
+  }
+
   def rebase(source: IceTable, mv: IceTable, spec: MvSpec,
       replicaId: String = "default",
-      settleTimeoutMs: Long = 30_000L): Long = {
+      settleTimeoutMs: Long = 30_000L,
+      dim: Option[DataFrame] = None,
+      dimVersion: Option[Long] = None): Long = {
     requireNotMvSource(source)
     val key = s"_mv_sync:$replicaId"
     val wm = CdcApply.readMark(mv, key).getOrElse(
       throw new IllegalStateException(
         s"materialized view at ${mv.root} was never synced"))
-    // the rebase generation must be STRICTLY past the watermark, so wait
-    // for the settled clock to pass it — with exponential backoff and a
-    // bound, because an open IceTransaction (or any registered commit
-    // floor) on the source can pin settledNow for its whole lifetime; a
-    // 1 ms spin against a pinned floor would burn a driver core for
-    // minutes. Bail with the cause instead: the caller can rebase after
-    // the transaction resolves.
-    val waitStart = System.currentTimeMillis()
-    var sleepMs = 1L
-    var until = ChangeFeed.settledNow(source)
-    while (until <= wm) {
-      if (System.currentTimeMillis() - waitStart >= settleTimeoutMs)
-        throw new IllegalStateException(
-          s"rebase of ${mv.root}: the source's settled clock ($until) has " +
-            s"not passed the sync watermark ($wm) after ${settleTimeoutMs} " +
-            "ms — an open transaction or in-flight commit on the source is " +
-            "pinning the settled bound; retry after it commits or aborts")
-      Thread.sleep(sleepMs)
-      sleepMs = math.min(sleepMs * 2, 100L)
-      until = ChangeFeed.settledNow(source)
-    }
-    val resets = spec.prepare(source.read(until + 1))
+    // the rebase generation must be STRICTLY past the watermark
+    val until = awaitSettledPast(source, wm, settleTimeoutMs,
+      what = s"rebase of ${mv.root}")
+    val resets = spec.prepare(source.read(until + 1), dim)
       .groupBy(spec.groupCols.map(col): _*)
       .agg(spec.aggExprs.head, spec.aggExprs.tail: _*)
       .withColumn("gen", lit(until))
@@ -497,6 +612,8 @@ object MvSync {
       val n = resets.count()
       if (n == 0) CdcApply.commitMark(mv, key, until)
       else mv.insertBatch(resets, key, until)
+      dimVersion.foreach(v =>
+        CdcApply.commitMark(mv, s"_mv_dim:$replicaId", v))
       mv.deleteWhere(col("gen") < until) // reclaim superseded generations
       n
     } finally { resets.unpersist(); () }

@@ -602,33 +602,62 @@ object GraftSqlParser {
       delegate: ParserInterface): graft.operators.MvSync.MvViewDef = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
     import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, SubqueryAlias}
-    import graft.operators.MvSync.{MvOutput, MvViewDef}
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, SubqueryAlias}
+    import graft.operators.MvSync.{MvJoinDim, MvOutput, MvViewDef}
     def fail(msg: String): Nothing = throw new UnsupportedOperationException(
-      "CREATE MATERIALIZED VIEW supports a single-table [WHERE +] GROUP " +
-        s"BY with count(*) / sum / min / max / avg / count(distinct) " +
-        s"outputs; $msg")
-    // (source table, WHERE predicate SQL) — the filter sits between the
-    // Aggregate and the relation; its raw SQL re-resolves against the
-    // base inside MvSpec.prepare on every maintenance path
-    def sourceOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-        : (String, Option[String]) =
+      "CREATE MATERIALIZED VIEW supports a single-table (or fact INNER " +
+        "JOIN dim) [WHERE +] GROUP BY with count(*) / sum / min / max / " +
+        s"avg / count(distinct) outputs; $msg")
+    // one side of a join: a bare catalog relation, optionally aliased —
+    // returns (table, alias-or-table-name)
+    def relOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : (String, String) =
       p match {
         case u: UnresolvedRelation => u.multipartIdentifier match {
-          case Seq(cat, t) if cat.equalsIgnoreCase(catalog) => (t, None)
+          case Seq(cat, t) if cat.equalsIgnoreCase(catalog) => (t, t)
+          case other => fail(
+            s"join sides must reference $catalog.<table>, got ${other.mkString(".")}")
+        }
+        case SubqueryAlias(id, child) => (relOf(child)._1, id.name)
+        case other => fail(
+          s"join sides must be bare table references, got ${other.nodeName}")
+      }
+    // (fact table, WHERE predicate SQL, dim join) — the filter sits
+    // between the Aggregate and the relation/join; its raw SQL
+    // re-resolves inside MvSpec.prepare on every maintenance path
+    def sourceOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : (String, Option[String], Option[MvJoinDim]) =
+      p match {
+        case u: UnresolvedRelation => u.multipartIdentifier match {
+          case Seq(cat, t) if cat.equalsIgnoreCase(catalog) => (t, None, None)
           case other => fail(
             s"FROM must reference $catalog.<table>, got ${other.mkString(".")}")
         }
         case Filter(cond, child) =>
-          val (t, inner) = sourceOf(child)
+          val (t, inner, j) = sourceOf(child)
           if (inner.nonEmpty) fail("at most one WHERE clause is supported")
-          (t, Some(cond.sql))
+          (t, Some(cond.sql), j)
+        // fact INNER JOIN dim ON cond: the LEFT side is the maintained
+        // (feed-driven) fact; the right is the dimension, joined as a
+        // pinned snapshot on every maintenance path, with version-change
+        // detection triggering a full reseed
+        case Join(l, r, Inner, Some(cond), _) =>
+          val (ft, fa) = relOf(l)
+          val (dt, da) = relOf(r)
+          if (fa.equalsIgnoreCase(da))
+            fail(s"join sides share the alias `$fa` — alias them apart")
+          (ft, None, Some(MvJoinDim(dt, fa, da, cond.sql)))
+        case Join(_, _, Inner, None, _) =>
+          fail("the join needs an ON condition")
+        case Join(_, _, other, _, _) =>
+          fail(s"only INNER JOIN ... ON is maintainable, got $other")
         case SubqueryAlias(_, child) => sourceOf(child)
         case other => fail(s"FROM must be a bare table reference, got ${other.nodeName}")
       }
     delegate.parsePlan(query) match {
       case Aggregate(groups, aggs, child, _) =>
-        val (src, whereSql) = sourceOf(child)
+        val (src, whereSql, dimJoin) = sourceOf(child)
         // expression group keys: a non-attribute GROUP BY entry must
         // appear ALIASED in the SELECT list with the same expression
         // text; the alias becomes the stored derived column's name
@@ -639,7 +668,11 @@ object GraftSqlParser {
             s"GROUP BY expression ${e.sql} must appear aliased in the " +
               "SELECT list (e.g. SELECT <expr> AS k … GROUP BY <expr>)"))
         val gcolsAndExprs = groups.map {
-          case a: UnresolvedAttribute => (a.name, None)
+          // a QUALIFIED attribute (d.cat in a join view) is an
+          // expression key: the stored column needs an unqualified
+          // name, so it must appear aliased in the SELECT list
+          case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+            (a.name, None)
           case _: Literal => fail("GROUP BY ordinals are not supported — " +
             "repeat the expression or name the column")
           case e => (aliasFor(e), Some(e.sql))
@@ -697,7 +730,7 @@ object GraftSqlParser {
           case other => fail(s"unsupported output expression $other")
         }
         if (outputs.isEmpty) fail("at least one aggregate output is required")
-        MvViewDef(src, gcols, outputs, whereSql, gexprs)
+        MvViewDef(src, gcols, outputs, whereSql, gexprs, dimJoin)
       case other => fail(
         s"the query must be exactly SELECT … FROM … [WHERE …] GROUP BY …, got ${other.nodeName}")
     }
@@ -1043,6 +1076,26 @@ object GraftSqlParser {
       }
   }
 
+  /** Resolve a join view's dimension: the pinned snapshot (read at the
+    * dim's newest commit bound) and its version — the max log-file ts,
+    * a stable identifier of the dim's state that syncFromFeed compares
+    * against the version recorded at the LAST sync to decide reseed. */
+  private def dimArgs(session: SparkSession,
+      d: graft.operators.MvSync.MvViewDef)
+      : (Option[org.apache.spark.sql.DataFrame], Option[Long]) =
+    d.dim match {
+      case None => (None, None)
+      case Some(j) =>
+        val root = rootFor(session, j.dimTable, requireLog = true).getOrElse(
+          throw new IllegalArgumentException(
+            s"dimension table '${j.dimTable}' of the view does not exist"))
+        val t = IceTable.open(session, root)
+        IceSqlResolution.requireNotMv(t)
+        val ver = t.snapshot().logFiles
+          .map(p => graft.ice.IceLogIO.logFileInfo(p)._1).max
+        (Some(t.read(ver + 1)), Some(ver))
+    }
+
   /** `CREATE MATERIALIZED VIEW graft.<m> AS SELECT …` → an MV table
     * ([[graft.operators.MvSync]]) whose config word persists the view
     * definition, seeded with one initial full aggregation. Reading
@@ -1067,21 +1120,32 @@ object GraftSqlParser {
       // reject BEFORE the view table is created, so a refused definition
       // leaves no half-made MV behind (MvSync re-checks at every sync)
       IceSqlResolution.requireNotMv(src)
+      val (dimDf, dimVer) = dimArgs(session, d)
       // an expression group key materializes under its alias via
-      // withColumn — an alias shadowing a real source column would
-      // silently overwrite it for every aggregate in the same view
+      // withColumn — an alias shadowing a real source (or joined dim)
+      // column would silently overwrite it for every aggregate in the
+      // same view
       val srcCols = src.trySnapshot(Long.MaxValue)
-        .map(_.schema.pairs.map(_._1.toLowerCase).toSet).getOrElse(Set.empty)
+        .map(_.schema.pairs.map(_._1.toLowerCase).toSet).getOrElse(Set.empty) ++
+        dimDf.toSeq.flatMap(_.columns.map(_.toLowerCase))
       d.groupExprs.foreach { case (alias, e) =>
-        if (srcCols.contains(alias.toLowerCase))
+        // a PURE column reference under its own name (`d.cat AS cat`) is
+        // the identity — shadowing is harmless and the natural join-view
+        // idiom; only a computed expression stealing a real column's
+        // name is dangerous
+        val pureSelfRef = e.replace("`", "").split('.')
+          .lastOption.exists(_.equalsIgnoreCase(alias))
+        if (!pureSelfRef && srcCols.contains(alias.toLowerCase))
           throw new UnsupportedOperationException(
             s"CREATE MATERIALIZED VIEW: group expression alias `$alias` " +
-              s"(= $e) shadows a column of '${d.source}' — pick an alias " +
-              "that is not a source column name")
+              s"(= $e) shadows a column of '${d.source}'" +
+              d.dim.fold("")(j => s" or '${j.dimTable}'") +
+              " — pick an alias that is not a source column name")
       }
       val root = rootFor(session, name, requireLog = false).get
       val mv = MvSync.create(session, root, d.spec, viewDef = Some(d))
-      val (_, seeded) = MvSync.syncFromFeed(src, mv, d.spec)
+      val (_, seeded) = MvSync.syncFromFeed(src, mv, d.spec,
+        dim = dimDf, dimVersion = dimVer)
       Seq(Row(seeded))
     }
   }
@@ -1108,8 +1172,10 @@ object GraftSqlParser {
             throw new IllegalArgumentException(
               s"source table '${d.source}' of materialized view '$name' " +
                 "no longer exists"))
+          val (dimDf, dimVer) = dimArgs(session, d)
           val (p, r) = MvSync.syncFromFeed(
-            IceTable.open(session, srcRoot), mv, d.spec)
+            IceTable.open(session, srcRoot), mv, d.spec,
+            dim = dimDf, dimVersion = dimVer)
           Seq(Row(p, r))
       }
   }

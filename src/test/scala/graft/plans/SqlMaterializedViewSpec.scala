@@ -185,6 +185,69 @@ class SqlMaterializedViewSpec extends SparkSpec {
     assert(e2.getMessage.contains("shadows"))
   }
 
+  test("star-join view: fact deltas join the pinned dim; dim changes trigger a full reseed") {
+    val w = freshWarehouse()
+    val fact = new IceTable(spark, s"$w/jf", IceTableConfig(
+      partitionExpr = concat(lit("p="), pmod(col("id"), lit(2))),
+      sortOrder = Seq("id")))
+    fact.insert(Seq((1L, "k1", 10L), (2L, "k1", 20L), (3L, "k2", 5L),
+      (4L, "kX", 100L)).toDF("id", "k", "v")) // kX has no dim row
+    val dim = new IceTable(spark, s"$w/jd", IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("k")))
+    dim.insert(Seq(("k1", "A"), ("k2", "B")).toDF("k", "cat"))
+    settle()
+    val seeded = spark.sql(
+      """CREATE MATERIALIZED VIEW graft.jmv AS
+        |SELECT d.cat AS cat, count(*) AS cnt, sum(f.v) AS total
+        |FROM graft.jf f JOIN graft.jd d ON f.k = d.k
+        |GROUP BY d.cat""".stripMargin).head.getLong(0)
+    assert(seeded == 2L) // kX dropped by the inner join
+    def viewRows() = spark.sql(
+      "SELECT cat, cnt, total FROM graft.jmv ORDER BY cat").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viewRows() == Seq(("A", 2L, 30L), ("B", 1L, 5L)))
+    // fact-only delta: the feed window joins the pinned dim — no reseed
+    fact.insert(Seq((5L, "k2", 7L)).toDF("id", "k", "v"))
+    settle()
+    val Seq(p1, r1) = spark.sql("REFRESH MATERIALIZED VIEW graft.jmv")
+      .head.toSeq.map(_.asInstanceOf[Long])
+    assert(p1 == 1L && r1 == 0L) // one partial, zero resets: true IVM
+    assert(viewRows() == Seq(("A", 2L, 30L), ("B", 2L, 12L)))
+    // a CoW update moving a fact row ACROSS dims: delete image joins on
+    // the old key (retracts A), insert image on the new (lands in B)
+    fact.updateWhere(col("id") === 2L, Seq("k" -> lit("k2")))
+    settle()
+    spark.sql("REFRESH MATERIALIZED VIEW graft.jmv").collect()
+    assert(viewRows() == Seq(("A", 1L, 10L), ("B", 3L, 32L)))
+    // DIM insert: kX now resolves — the version change forces a reseed
+    dim.insert(Seq(("kX", "A")).toDF("k", "cat"))
+    settle()
+    val Seq(p2, r2) = spark.sql("REFRESH MATERIALIZED VIEW graft.jmv")
+      .head.toSeq.map(_.asInstanceOf[Long])
+    assert(p2 == 0L && r2 == 2L) // full reseed, every live group reset
+    assert(viewRows() == Seq(("A", 2L, 110L), ("B", 3L, 32L)))
+    // DIM update: k2 moves from B to A — reseed again reflects it
+    dim.updateWhere(col("k") === "k2", Seq("cat" -> lit("A")))
+    settle()
+    spark.sql("REFRESH MATERIALIZED VIEW graft.jmv").collect()
+    assert(viewRows() == Seq(("A", 5L, 142L)))
+    // idle refresh after: no reseed, no partials
+    val Seq(p3, r3) = spark.sql("REFRESH MATERIALIZED VIEW graft.jmv")
+      .head.toSeq.map(_.asInstanceOf[Long])
+    assert(p3 == 0L && r3 == 0L)
+    // the definition round-trips: reopened handle knows the join
+    val vd = graft.operators.MvSync.MvViewDef.decode(
+      IceTable.open(spark, s"$w/jmv").cfg.mvDef.get)
+    assert(vd.dim.exists(j => j.dimTable == "jd" && j.factAlias == "f"))
+    // only INNER JOIN ... ON is maintainable
+    val e = intercept[UnsupportedOperationException](spark.sql(
+      """CREATE MATERIALIZED VIEW graft.jmv2 AS
+        |SELECT d.cat AS cat, count(*) AS cnt
+        |FROM graft.jf f LEFT JOIN graft.jd d ON f.k = d.k
+        |GROUP BY d.cat""".stripMargin))
+    assert(e.getMessage.contains("INNER"))
+  }
+
   test("direct DML on a materialized view is rejected loudly") {
     val w = freshWarehouse()
     seedBase(w, "mvbase2")
