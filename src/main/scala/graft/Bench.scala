@@ -779,9 +779,60 @@ object Bench {
       (full, refresh, rd)
     }
 
+    // Star-join IVM, same discipline: a 24M-row fact joined with a
+    // 1000-row dim, refreshed after a 0.1% fact append — the window
+    // joins the pinned dim and lands delta partials only (the fact, the
+    // dim, and the MV are never re-read). What a join view costs per
+    // refresh vs the full re-join-and-aggregate any engine without IVM
+    // pays (mv_full_reagg is the single-table analogue of that).
+    val mvJoinRefresh = {
+      import graft.ice.{IceTable, IceTableConfig}
+      import graft.operators.MvSync
+      import org.apache.spark.sql.functions._
+      val n = 24_000_000L
+      def rows = spark.range(n).select(
+        col("id"),
+        pmod(col("id"), lit(1000)).cast("string").as("k"),
+        (col("id") % 97).as("v"))
+      val factRoot = Fixtures.newRoot("bench_mvjfact")
+      val dimRoot = Fixtures.newRoot("bench_mvjdim")
+      val mvRoot = Fixtures.newRoot("bench_mvjview")
+      val fact = new IceTable(spark, factRoot, IceTableConfig(
+        partitionExpr = concat(lit("p="), pmod(col("id"), lit(16))),
+        sortOrder = Seq("id")))
+      fact.insert(rows)
+      val dim = new IceTable(spark, dimRoot, IceTableConfig(
+        partitionExpr = lit("all"), sortOrder = Seq("k")))
+      dim.insert(spark.range(1000).select(
+        col("id").cast("string").as("k"),
+        pmod(col("id"), lit(10)).cast("string").as("cat")))
+      val spec = MvSync.MvSpec(Seq("cat"), sumCols = Seq("f.v"),
+        joinDim = Some(MvSync.MvJoinDim("dim", "f", "d", "f.k = d.k")))
+      val mv = MvSync.create(spark, mvRoot, spec)
+      Thread.sleep(5)
+      val dimVer = dim.snapshot().logFiles
+        .map(p => graft.ice.IceLogIO.logFileInfo(p)._1).max
+      val dimDf = dim.read(dimVer + 1)
+      MvSync.syncFromFeed(fact, mv, spec,
+        dim = Some(dimDf), dimVersion = Some(dimVer))
+      def delta = rows.where(pmod(col("id"), lit(1000)) === 0)
+      var rep = 0L
+      val refresh = timed()({
+        rep += 1
+        fact.insert(delta.withColumn("id", col("id") + lit(rep * 10L * n)))
+        Thread.sleep(5)
+      }) {
+        MvSync.syncFromFeed(fact, mv, spec,
+          dim = Some(dimDf), dimVersion = Some(dimVer))
+      }
+      rm(new java.io.File(factRoot)); rm(new java.io.File(dimRoot))
+      rm(new java.io.File(mvRoot))
+      refresh
+    }
+
     val sections = Seq(
       "mv_full_reagg" -> mvFullReagg, "mv_refresh_delta" -> mvRefreshDelta,
-      "mv_read" -> mvRead,
+      "mv_read" -> mvRead, "mv_join_refresh" -> mvJoinRefresh,
       "join_colocated" -> joinColocated, "join_shuffled" -> joinShuffled,
       "synthetic_insert" -> synth, "insert_noshuffle" -> insertNoShuffle,
       "optimize_2000" -> optimize2000,
