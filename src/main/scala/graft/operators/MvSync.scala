@@ -6,9 +6,11 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Incremental materialized-view maintenance (IVM) over the row-level
-  * change feed: a GROUP BY count/sum/min/max view kept current as its
-  * base table mutates through inserts, CoW updates, and merge-on-read
-  * deletes — without ever re-aggregating the base.
+  * change feed: a GROUP BY count/sum/min/max/avg/count(distinct) view —
+  * optionally filtered (WHERE), keyed by expressions, and enriched by a
+  * star join against a dimension table — kept current as its base table
+  * mutates through inserts, CoW updates, and merge-on-read deletes,
+  * without ever re-aggregating the base.
   *
   * The reference's materialized views are ingest-time double-writes
   * (`examples/materialized-view.py:91-98` — every batch lands in the raw
@@ -28,6 +30,14 @@ import org.apache.spark.sql.functions._
   *    literal when the set is small — partition/stats-prunable on a
   *    group-partitioned base — else a broadcast semi join), so retraction
   *    cost is affected-groups-sized, never base-sized.
+  *  - '''count(distinct) maintains as mergeable HLL state''' (partial =
+  *    hll_sketch_agg per window, fold = hll_union_agg); retraction by
+  *    the same reset rule — a sketch cannot subtract.
+  *  - '''WHERE / expression keys / star joins''' route through ONE choke
+  *    point ([[MvSpec.prepare]]) applied identically to the seed scan
+  *    and to every window's insert AND delete images; a dimension
+  *    mutation is commit-version-detected and triggers an atomic full
+  *    reseed (including cnt=0 retractions for groups it emptied).
   *
   * MV row layout: group cols, `cnt`, `sum_<c>`…, `min_<c>`…, `max_<c>`…,
   * `gen` (the window's settled bound), `is_reset`. [[read]] folds per
