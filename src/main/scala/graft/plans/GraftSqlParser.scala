@@ -479,20 +479,34 @@ object GraftSqlParser {
   }
 
   /** Split on top-level `;` only — semicolons inside `'…'` / `"…"`
-    * string literals and `` `…` `` quoted identifiers stay put (doubled
-    * quotes pass through as two toggles, harmlessly). */
+    * string literals, `` `…` `` quoted identifiers (doubled quotes pass
+    * through as two toggles, harmlessly), and (nested) slash-star block
+    * comments stay put. Line comments are already stripped before
+    * recognition. */
   private def splitStatements(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val sb = new StringBuilder
     var quote: Char = 0
+    var block = 0
     var i = 0
     while (i < s.length) {
       val ch = s.charAt(i)
-      if (quote != 0) { if (ch == quote) quote = 0; sb.append(ch) }
-      else if (ch == '\'' || ch == '"' || ch == '`') { quote = ch; sb.append(ch) }
-      else if (ch == ';') { out += sb.toString; sb.clear() }
-      else sb.append(ch)
-      i += 1
+      if (quote != 0) { if (ch == quote) quote = 0; sb.append(ch); i += 1 }
+      else if (block > 0) {
+        if (ch == '*' && i + 1 < s.length && s.charAt(i + 1) == '/') {
+          block -= 1; sb.append("*/"); i += 2
+        } else if (ch == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+          block += 1; sb.append("/*"); i += 2
+        } else { sb.append(ch); i += 1 }
+      }
+      else if (ch == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        block = 1; sb.append("/*"); i += 2
+      }
+      else if (ch == '\'' || ch == '"' || ch == '`') {
+        quote = ch; sb.append(ch); i += 1
+      }
+      else if (ch == ';') { out += sb.toString; sb.clear(); i += 1 }
+      else { sb.append(ch); i += 1 }
     }
     out += sb.toString
     out.result().map(_.trim).filter(_.nonEmpty)
@@ -1091,7 +1105,11 @@ object GraftSqlParser {
             s"dimension table '${j.dimTable}' of the view does not exist"))
         val t = IceTable.open(session, root)
         IceSqlResolution.requireNotMv(t)
-        val ver = t.snapshot().logFiles
+        val snap = t.trySnapshot(Long.MaxValue).getOrElse(
+          throw new IllegalArgumentException(
+            s"dimension table '${j.dimTable}' has no commits yet — seed " +
+              "it before creating or refreshing a view that joins it"))
+        val ver = snap.logFiles
           .map(p => graft.ice.IceLogIO.logFileInfo(p)._1).max
         (Some(t.read(ver + 1)), Some(ver))
     }

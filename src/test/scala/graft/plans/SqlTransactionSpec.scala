@@ -75,11 +75,11 @@ class SqlTransactionSpec extends SparkSpec {
     assert(b.getString(0) === "k" && b.getLong(1) === 5L)
   }
 
-  test("semicolons inside string literals do not split the block") {
+  test("semicolons inside string literals and block comments do not split the block") {
     wh()
     spark.sql(
       """BEGIN TRANSACTION;
-        |INSERT INTO graft.txn_a VALUES (1, 'a;b');
+        |INSERT /* note; with a semicolon */ INTO graft.txn_a VALUES (1, 'a;b');
         |COMMIT""".stripMargin).collect()
     assert(spark.sql("SELECT v FROM graft.txn_a").head.getString(0) === "a;b")
   }
