@@ -810,11 +810,7 @@ object Bench {
         joinDim = Some(MvSync.MvJoinDim("dim", "f", "d", "f.k = d.k")))
       val mv = MvSync.create(spark, mvRoot, spec)
       Thread.sleep(5)
-      val dimVer = dim.snapshot().logFiles
-        .map(p => graft.ice.IceLogIO.logFileInfo(p)._1).max
-      val dimDf = dim.read(dimVer + 1)
-      MvSync.syncFromFeed(fact, mv, spec,
-        dim = Some(dimDf), dimVersion = Some(dimVer))
+      MvSync.syncFromFeed(fact, mv, spec, dimTable = Some(dim))
       def delta = rows.where(pmod(col("id"), lit(1000)) === 0)
       var rep = 0L
       val refresh = timed()({
@@ -822,8 +818,7 @@ object Bench {
         fact.insert(delta.withColumn("id", col("id") + lit(rep * 10L * n)))
         Thread.sleep(5)
       }) {
-        MvSync.syncFromFeed(fact, mv, spec,
-          dim = Some(dimDf), dimVersion = Some(dimVer))
+        MvSync.syncFromFeed(fact, mv, spec, dimTable = Some(dim))
       }
       rm(new java.io.File(factRoot)); rm(new java.io.File(dimRoot))
       rm(new java.io.File(mvRoot))

@@ -307,22 +307,52 @@ object MvSync {
   /** Advance the MV to the base table's current settled state. First call
     * seeds the view with one full aggregation (every group a reset row);
     * later calls process only the feed window since the stored watermark.
-    * For a join view ([[MvSpec.joinDim]]) the caller supplies a PINNED
-    * dimension snapshot and its commit version: a version change since
-    * the last sync triggers a full reseed (one fresh reset generation —
-    * readers are correct throughout via newest-reset-wins), because fact
-    * deltas joined against a moved dimension would mix join states.
+    *
+    * For a join view ([[MvSpec.joinDim]]) the caller supplies the
+    * dimension TABLE HANDLE; the sync pins its newest snapshot and
+    * version itself. A version change since the last sync maintains
+    * INCREMENTALLY when possible: the dim's own row-level change feed
+    * yields the changed dim rows, fact ⋈ changed-rows (old images → the
+    * groups those facts LEFT, new images → the groups they ENTER) names
+    * the affected groups, and only those reset — dim-change cost is
+    * affected-groups-sized, not view-sized. Falls back to a full reseed
+    * (one fresh reset generation + cnt=0 retractions for emptied groups,
+    * readers correct throughout via newest-reset-wins) when the dim
+    * delta is unattributable (cleanup horizon), oversized
+    * (> maxPruneGroups changed rows — at that volume most groups are
+    * affected anyway), or the recorded version cannot anchor a window.
     * Returns (partial-group rows appended, groups reset). */
   def syncFromFeed(source: IceTable, mv: IceTable, spec: MvSpec,
       replicaId: String = "default",
       maxPruneGroups: Int = 1000,
-      dim: Option[DataFrame] = None,
-      dimVersion: Option[Long] = None): (Long, Long) = {
+      dimTable: Option[IceTable] = None): (Long, Long) = {
     requireNotMvSource(source)
     spec.joinDim.foreach { j =>
-      require(dim.nonEmpty && dimVersion.nonEmpty,
-        s"view joins dimension '${j.dimTable}': pass the pinned dim " +
-          "snapshot and its commit version to every sync") }
+      require(dimTable.nonEmpty,
+        s"view joins dimension '${j.dimTable}': pass the dim table " +
+          "handle to every sync")
+      dimTable.foreach(requireNotMvSource)
+    }
+    // pin the dim snapshot + version once for the whole sync. The
+    // version is the dim's max log-file ts — monotone, which the mark
+    // channel requires (stream-commit records max-merge in the fold).
+    // A dim RESTORE (version moving backwards) reads as a persistent
+    // mismatch → full reseed per refresh until the clock re-passes the
+    // recorded mark: degraded but always correct, self-healing. A
+    // cross-host straggler landing at a ts at-or-below the recorded
+    // version with no later commit is undetectable — the same
+    // cross-process caveat as every settled-bound feed chain
+    val (dim, dimVersion): (Option[DataFrame], Option[Long]) = dimTable match {
+      case None => (None, None)
+      case Some(dt) =>
+        val snap = dt.trySnapshot(Long.MaxValue).getOrElse(
+          throw new IllegalArgumentException(
+            s"dimension table at ${dt.root} has no commits yet — seed it " +
+              "before syncing a view that joins it"))
+        val ver = snap.logFiles
+          .map(p => graft.ice.IceLogIO.logFileInfo(p)._1).max
+        (Some(dt.read(ver + 1)), Some(ver))
+    }
     val key = s"_mv_sync:$replicaId"
     val dimKey = s"_mv_dim:$replicaId"
     val groupCols = spec.groupCols.map(col)
@@ -360,7 +390,7 @@ object MvSync {
         // insert even when empty: the commit carries the view's COLUMN
         // SCHEMA, so read()/readView() work before any group exists
         mv.insertBatch(resets, key, until)
-        // the dim mark commits separately AFTER: a crash in between
+        // the dim marks commit separately AFTER: a crash in between
         // replays as "dim changed" → an extra (idempotent) reseed,
         // never a missed one
         dimVersion.foreach(v => CdcApply.commitMark(mv, dimKey, v))
@@ -377,13 +407,69 @@ object MvSync {
         }
 
       case Some(wm) =>
-        if (spec.joinDim.nonEmpty && CdcApply.readMark(mv, dimKey) != dimVersion) {
-          // the dimension moved: fact deltas would join the NEW dim while
-          // standing partials joined the OLD one — recompute every group
-          // at a fresh settled bound (covers any pending fact window too)
+        val prevDimVer = CdcApply.readMark(mv, dimKey)
+        val dimChanged = spec.joinDim.nonEmpty && prevDimVer != dimVersion
+        // the incremental dim path: the changed dim rows' images, bounded
+        // and attributable. The window starts one ms BEFORE the recorded
+        // version, so a same-millisecond commit that landed after the
+        // previous pin is still captured — the commits legitimately AT
+        // v0 re-appear too, which only re-resets already-correct groups
+        // (over-capture is idempotent; under-capture is not). Requires a
+        // strictly advanced version: a backwards move (dim RESTORE)
+        // cannot anchor a window and falls back to the full reseed.
+        val dimDelta: Option[DataFrame] =
+          if (!dimChanged) None
+          else (prevDimVer, dimVersion, dimTable) match {
+            case (Some(v0), Some(v1), Some(dt)) if v1 > v0 =>
+              try {
+                val d = ChangeFeed.between(dt, v0 - 1, v1).localCheckpoint(true)
+                if (d.count() > maxPruneGroups) { d.unpersist(); None }
+                else Some(d)
+              } catch { case _: Exception => None }
+            case _ => None
+          }
+        if (dimChanged && dimDelta.isEmpty) {
+          // fall back: recompute every group at a fresh settled bound
+          // (covers any pending fact window too)
           val until = awaitSettledPast(source, wm,
             what = s"dim-change reseed of ${mv.root}")
           (0L, fullResetSeed(until, retractStale = true))
+        } else if (dimChanged) {
+          // PARTIAL dim maintenance: affected groups = groups the
+          // changed facts left (fact ⋈ old images) ∪ groups they enter
+          // (fact ⋈ new images); those reset exactly, everything else
+          // keeps its standing partials. The pending fact window rides
+          // in the same delta, so one commit advances both marks' state.
+          val dd = dimDelta.get
+          try {
+            val until = awaitSettledPast(source, wm,
+              what = s"dim-delta sync of ${mv.root}")
+            val base = source.read(until + 1)
+            def groupsVia(tpe: String): DataFrame =
+              spec.prepare(base, Some(broadcast(
+                  dd.where(col(ChangeFeed.ChangeTypeCol) === tpe)
+                    .drop(ChangeFeed.ChangeTypeCol, ChangeFeed.CommitTsCol))))
+                .select(groupCols: _*)
+            val affected = groupsVia("delete").unionByName(groupsVia("insert"))
+              .distinct().localCheckpoint(true)
+            try {
+              val f = ChangeFeed.between(source, wm, until).localCheckpoint()
+              try {
+                val delta = windowDelta(source, spec, f, until,
+                  maxPruneGroups, dim, extraRetracted = Some(affected))
+                try {
+                  val byKind = delta.groupBy(col("is_reset")).count()
+                    .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+                  val nPart = byKind.getOrElse(false, 0L)
+                  val nReset = byKind.getOrElse(true, 0L)
+                  if (nPart + nReset == 0) CdcApply.commitMark(mv, key, until)
+                  else mv.insertBatch(delta, key, until)
+                  dimVersion.foreach(v => CdcApply.commitMark(mv, dimKey, v))
+                  (nPart, nReset)
+                } finally { delta.unpersist(); () }
+              } finally { f.unpersist(); () }
+            } finally { affected.unpersist(); () }
+          } finally { dd.unpersist(); () }
         } else {
           val (feed, until) = ChangeFeed.betweenSettled(source, wm)
           val f = feed.localCheckpoint()
@@ -412,16 +498,23 @@ object MvSync {
     * the caller unpersists. */
   private[graft] def windowDelta(source: IceTable, spec: MvSpec,
       feed: DataFrame, gen: Long, maxPruneGroups: Int,
-      dim: Option[DataFrame] = None): DataFrame = {
+      dim: Option[DataFrame] = None,
+      // extra group rows to force-reset (the dim-delta path's affected
+      // groups) — unioned with the feed's own retractions, so the reset
+      // machinery (exact recompute, cnt=0 for emptied groups) covers both
+      extraRetracted: Option[DataFrame] = None): DataFrame = {
     val groupCols = spec.groupCols.map(col)
     // join + WHERE + derived group keys apply to the feed ONCE, before
     // the insert/delete split: both image kinds enrich and filter
     // identically (a row that never passed never retracts either), and
     // the derived key is computed on each image's own values
     val fprep = spec.prepare(feed, dim)
-    val retracted = fprep
+    val feedRetracted = fprep
       .where(col(ChangeFeed.ChangeTypeCol) === "delete")
-      .select(groupCols: _*).distinct().localCheckpoint(true)
+      .select(groupCols: _*)
+    val retracted = extraRetracted
+      .fold(feedRetracted)(e => feedRetracted.unionByName(e.select(groupCols: _*)))
+      .distinct().localCheckpoint(true)
     try {
       val inserts = fprep.where(col(ChangeFeed.ChangeTypeCol) === "insert")
       val insAlive =
@@ -602,9 +695,15 @@ object MvSync {
   def rebase(source: IceTable, mv: IceTable, spec: MvSpec,
       replicaId: String = "default",
       settleTimeoutMs: Long = 30_000L,
-      dim: Option[DataFrame] = None,
-      dimVersion: Option[Long] = None): Long = {
+      dimTable: Option[IceTable] = None): Long = {
     requireNotMvSource(source)
+    val (dim, dimVersion): (Option[DataFrame], Option[Long]) = dimTable match {
+      case None => (None, None)
+      case Some(dt) =>
+        val ver = dt.snapshot().logFiles
+          .map(p => graft.ice.IceLogIO.logFileInfo(p)._1).max
+        (Some(dt.read(ver + 1)), Some(ver))
+    }
     val key = s"_mv_sync:$replicaId"
     val wm = CdcApply.readMark(mv, key).getOrElse(
       throw new IllegalStateException(

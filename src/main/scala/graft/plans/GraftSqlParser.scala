@@ -1090,28 +1090,22 @@ object GraftSqlParser {
       }
   }
 
-  /** Resolve a join view's dimension: the pinned snapshot (read at the
-    * dim's newest commit bound) and its version — the max log-file ts,
-    * a stable identifier of the dim's state that syncFromFeed compares
-    * against the version recorded at the LAST sync to decide reseed. */
+  /** Resolve a join view's dimension table handle (syncFromFeed pins its
+    * own snapshot + version and decides delta-vs-reseed from the dim's
+    * change feed). */
   private def dimArgs(session: SparkSession,
-      d: graft.operators.MvSync.MvViewDef)
-      : (Option[org.apache.spark.sql.DataFrame], Option[Long]) =
-    d.dim match {
-      case None => (None, None)
-      case Some(j) =>
-        val root = rootFor(session, j.dimTable, requireLog = true).getOrElse(
-          throw new IllegalArgumentException(
-            s"dimension table '${j.dimTable}' of the view does not exist"))
-        val t = IceTable.open(session, root)
-        IceSqlResolution.requireNotMv(t)
-        val snap = t.trySnapshot(Long.MaxValue).getOrElse(
-          throw new IllegalArgumentException(
-            s"dimension table '${j.dimTable}' has no commits yet — seed " +
-              "it before creating or refreshing a view that joins it"))
-        val ver = snap.logFiles
-          .map(p => graft.ice.IceLogIO.logFileInfo(p)._1).max
-        (Some(t.read(ver + 1)), Some(ver))
+      d: graft.operators.MvSync.MvViewDef): Option[IceTable] =
+    d.dim.map { j =>
+      val root = rootFor(session, j.dimTable, requireLog = true).getOrElse(
+        throw new IllegalArgumentException(
+          s"dimension table '${j.dimTable}' of the view does not exist"))
+      val t = IceTable.open(session, root)
+      IceSqlResolution.requireNotMv(t)
+      if (t.trySnapshot(Long.MaxValue).isEmpty)
+        throw new IllegalArgumentException(
+          s"dimension table '${j.dimTable}' has no commits yet — seed " +
+            "it before creating or refreshing a view that joins it")
+      t
     }
 
   /** `CREATE MATERIALIZED VIEW graft.<m> AS SELECT …` → an MV table
@@ -1138,14 +1132,15 @@ object GraftSqlParser {
       // reject BEFORE the view table is created, so a refused definition
       // leaves no half-made MV behind (MvSync re-checks at every sync)
       IceSqlResolution.requireNotMv(src)
-      val (dimDf, dimVer) = dimArgs(session, d)
+      val dimT = dimArgs(session, d)
       // an expression group key materializes under its alias via
       // withColumn — an alias shadowing a real source (or joined dim)
       // column would silently overwrite it for every aggregate in the
       // same view
       val srcCols = src.trySnapshot(Long.MaxValue)
         .map(_.schema.pairs.map(_._1.toLowerCase).toSet).getOrElse(Set.empty) ++
-        dimDf.toSeq.flatMap(_.columns.map(_.toLowerCase))
+        dimT.toSeq.flatMap(_.trySnapshot(Long.MaxValue).toSeq
+          .flatMap(_.schema.pairs.map(_._1.toLowerCase)))
       d.groupExprs.foreach { case (alias, e) =>
         // a PURE column reference under its own name (`d.cat AS cat`) is
         // the identity — shadowing is harmless and the natural join-view
@@ -1163,7 +1158,7 @@ object GraftSqlParser {
       val root = rootFor(session, name, requireLog = false).get
       val mv = MvSync.create(session, root, d.spec, viewDef = Some(d))
       val (_, seeded) = MvSync.syncFromFeed(src, mv, d.spec,
-        dim = dimDf, dimVersion = dimVer)
+        dimTable = dimT)
       Seq(Row(seeded))
     }
   }
@@ -1190,10 +1185,10 @@ object GraftSqlParser {
             throw new IllegalArgumentException(
               s"source table '${d.source}' of materialized view '$name' " +
                 "no longer exists"))
-          val (dimDf, dimVer) = dimArgs(session, d)
+          val dimT = dimArgs(session, d)
           val (p, r) = MvSync.syncFromFeed(
             IceTable.open(session, srcRoot), mv, d.spec,
-            dim = dimDf, dimVersion = dimVer)
+            dimTable = dimT)
           Seq(Row(p, r))
       }
   }
