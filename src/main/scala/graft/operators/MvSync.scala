@@ -72,9 +72,9 @@ object MvSync {
     * `dimAlias`) on `condSql`, INNER — unmatched fact rows leave the
     * view, exactly like the defining query. The fact side is the
     * maintained (feed-driven) side; dimension mutations are detected by
-    * commit version and trigger a full reseed (one fresh reset
-    * generation — dim-change cost is dim-change-sized × view-sized,
-    * never continuous). */
+    * commit version and maintained PARTIALLY from the dim's own change
+    * feed (only the affected groups reset — see [[syncFromFeed]]), with
+    * an atomic full reseed as the fallback. */
   case class MvJoinDim(dimTable: String, factAlias: String,
       dimAlias: String, condSql: String)
 
