@@ -995,6 +995,37 @@ object GraftSqlParser {
           def strs(k: String): Seq[String] = cfg.get(k).collect {
             case s: scala.collection.Seq[_] => s.map(_.toString).toSeq
           }.getOrElse(Seq.empty)
+          // a MATERIALIZED VIEW round-trips as its defining statement —
+          // re-executing it recreates AND reseeds the view; the MV
+          // table's physical layout is maintenance-internal
+          val mvStmt = cfg.get("mvd").map { enc =>
+            val d = graft.operators.MvSync.MvViewDef.decode(enc.toString)
+            val ge = d.groupExprs.toMap
+            val selGroups = d.groupCols.map(g => ge.get(g) match {
+              case Some(e) => s"$e AS `$g`"
+              case None => s"`$g`"
+            })
+            val selOuts = d.outputs.map { o =>
+              val agg = o.kind match {
+                case "cnt" => "count(*)"
+                case "dcnt" => s"count(DISTINCT ${o.col})"
+                case k => s"$k(${o.col})"
+              }
+              s"$agg AS `${o.alias}`"
+            }
+            val from = d.dim match {
+              case None => s"$cat.`${d.source}`"
+              case Some(j) => s"$cat.`${d.source}` ${j.factAlias} JOIN " +
+                s"$cat.`${j.dimTable}` ${j.dimAlias} ON ${j.condSql}"
+            }
+            val where = d.filterSql.fold("")(w => s"\nWHERE $w")
+            val gby = d.groupCols.map(g => ge.getOrElse(g, s"`$g`"))
+              .mkString(", ")
+            s"CREATE MATERIALIZED VIEW $cat.`$name` AS\n" +
+              s"SELECT ${(selGroups ++ selOuts).mkString(", ")}\n" +
+              s"FROM $from$where\nGROUP BY $gby"
+          }
+          if (mvStmt.isDefined) return Seq(Row(mvStmt.get))
           // Spark DDL type spellings (the CREATE grammar's vocabulary —
           // bare VARCHAR would not re-parse), via the same log-type →
           // Spark mapping every read path uses
@@ -1030,10 +1061,7 @@ object GraftSqlParser {
             cfg.get("fr").collect { case true =>
               "formatRow CLOSURE (not reproducible from SQL)" },
             cfg.get("prtx").collect { case true =>
-              "partition expression has NO SQL rendering (not reproducible)" },
-            cfg.get("mvd").map(v =>
-              "MATERIALIZED VIEW definition (reads fold incrementally-" +
-                s"maintained partials): $v"))
+              "partition expression has NO SQL rendering (not reproducible)" })
             .flatten
           comments.foreach(cmt => sb.append(s"\n-- config: $cmt"))
           // CHECK constraints re-apply via their own ALTER statements —

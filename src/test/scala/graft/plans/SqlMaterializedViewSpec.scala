@@ -255,6 +255,30 @@ class SqlMaterializedViewSpec extends SparkSpec {
     assert(e.getMessage.contains("INNER"))
   }
 
+  test("SHOW CREATE TABLE on an MV emits its round-trippable defining statement") {
+    val w = freshWarehouse()
+    val base = seedBase(w, "scbase")
+    settle()
+    spark.sql(
+      """CREATE MATERIALIZED VIEW graft.scmv AS
+        |SELECT pmod(v, 2) AS parity, count(*) AS cnt, sum(v) AS total,
+        |       count(DISTINCT v) AS uniq
+        |FROM graft.scbase WHERE grp <> 'skip'
+        |GROUP BY pmod(v, 2)""".stripMargin).collect()
+    val stmt = spark.sql("SHOW CREATE TABLE graft.scmv").head.getString(0)
+    assert(stmt.startsWith("CREATE MATERIALIZED VIEW"))
+    assert(stmt.contains("count(DISTINCT") && stmt.contains("WHERE"))
+    val expected = spark.sql(
+      "SELECT parity, cnt, total, uniq FROM graft.scmv ORDER BY parity")
+      .collect().toSeq
+    // the emitted statement RE-EXECUTES: drop, recreate, same contents
+    spark.sql("DROP MATERIALIZED VIEW graft.scmv").collect()
+    spark.sql(stmt).collect()
+    assert(spark.sql(
+      "SELECT parity, cnt, total, uniq FROM graft.scmv ORDER BY parity")
+      .collect().toSeq == expected)
+  }
+
   test("direct DML on a materialized view is rejected loudly") {
     val w = freshWarehouse()
     seedBase(w, "mvbase2")
