@@ -542,12 +542,43 @@ object MvSync {
     * window is worse than a dead stream. */
   def applyFeedBatch(source: IceTable, mv: IceTable, spec: MvSpec,
       batch: DataFrame, batchId: Long, queryName: String = "_mv_stream",
-      maxPruneGroups: Int = 1000): Unit = {
+      maxPruneGroups: Int = 1000,
+      dimTable: Option[IceTable] = None): Unit = {
     requireNotMvSource(source)
-    require(spec.joinDim.isEmpty,
-      "streaming maintenance of a join view is not supported — the " +
-        "dim-change reseed needs a synchronous decision point; use " +
-        "REFRESH MATERIALIZED VIEW (syncFromFeed) on a schedule instead")
+    // a STREAMING join view maintains against a PINNED dimension: the
+    // first batch records the dim version as the stream's baseline mark
+    // (keyed by queryName), and any later version is a loud failure —
+    // batch-sized deltas cannot absorb a dim move mid-stream. Recovery:
+    // stop the query, MvSync.rebase(source, mv, spec, replicaId =
+    // queryName, dimTable = …) to absorb the change (it re-records the
+    // baseline), restart the stream from the rebase watermark.
+    spec.joinDim.foreach { j =>
+      require(dimTable.nonEmpty,
+        s"view joins dimension '${j.dimTable}': pass the dim table " +
+          "handle to every streaming batch")
+      dimTable.foreach(requireNotMvSource)
+    }
+    val (dim, dimVersion): (Option[DataFrame], Option[Long]) = dimTable match {
+      case None => (None, None)
+      case Some(dt) =>
+        val ver = dt.snapshot().logFiles
+          .map(p => graft.ice.IceLogIO.logFileInfo(p)._1).max
+        (Some(dt.read(ver + 1)), Some(ver))
+    }
+    val dimKey = s"_mv_dim:$queryName"
+    dimVersion.foreach { v =>
+      CdcApply.readMark(mv, dimKey) match {
+        case None => CdcApply.commitMark(mv, dimKey, v)
+        case Some(v0) if v0 == v => ()
+        case Some(v0) => throw new IllegalStateException(
+          s"dimension '${spec.joinDim.get.dimTable}' changed under a " +
+            s"STREAMING join view (version $v0 → $v): streaming " +
+            "maintenance joins a pinned dim. Stop the query, run " +
+            s"MvSync.rebase(source, mv, spec, replicaId = \"$queryName\", " +
+            "dimTable = …) to absorb the change, then restart the stream " +
+            "from the rebase watermark")
+      }
+    }
     val b = batch.localCheckpoint()
     try {
       if (b.isEmpty) return
@@ -556,7 +587,7 @@ object MvSync {
           "before the feed floor are unrecoverable — rebuild the view " +
           "(drop + initial sync) instead of silently diverging")
       val gen = b.agg(max(col(ChangeFeed.CommitTsCol))).head.getLong(0)
-      val delta = windowDelta(source, spec, b, gen, maxPruneGroups)
+      val delta = windowDelta(source, spec, b, gen, maxPruneGroups, dim)
       try { mv.insertBatch(delta, queryName, batchId); () }
       finally { delta.unpersist(); () }
     } finally { b.unpersist(); () }
@@ -705,9 +736,18 @@ object MvSync {
         (Some(dt.read(ver + 1)), Some(ver))
     }
     val key = s"_mv_sync:$replicaId"
-    val wm = CdcApply.readMark(mv, key).getOrElse(
-      throw new IllegalStateException(
-        s"materialized view at ${mv.root} was never synced"))
+    val wm = CdcApply.readMark(mv, key).getOrElse {
+      // a STREAMING-maintained view has no batch-sync watermark (its
+      // offsets live in the Structured Streaming checkpoint); the
+      // newest applied generation bounds every batch it absorbed
+      val rows = mv.read(Long.MaxValue)
+      require(rows.columns.contains("gen"),
+        s"materialized view at ${mv.root} was never synced")
+      val m = rows.agg(max(col("gen"))).head
+      require(!m.isNullAt(0),
+        s"materialized view at ${mv.root} was never synced")
+      m.getLong(0)
+    }
     // the rebase generation must be STRICTLY past the watermark
     val until = awaitSettledPast(source, wm, settleTimeoutMs,
       what = s"rebase of ${mv.root}")

@@ -192,7 +192,12 @@ object Streams {
       checkpoint: String,
       startingTimestamp: Long = 0L,
       queryName: String = "_mv_stream",
-      trigger: Trigger = Trigger.ProcessingTime("3 seconds")): StreamingQuery =
+      trigger: Trigger = Trigger.ProcessingTime("3 seconds"),
+      // star-join views: the dim handle, re-pinned per batch — the first
+      // batch records the stream's dim-version baseline and a later dim
+      // mutation FAILS the query loudly (see MvSync.applyFeedBatch's
+      // recovery recipe); batch deltas cannot absorb a dim move
+      dimTable: Option[IceTable] = None): StreamingQuery =
     source.spark.readStream
       .format("ice")
       .option("path", source.root)
@@ -205,7 +210,7 @@ object Streams {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         graft.operators.MvSync.applyFeedBatch(
-          source, mv, spec, batch, id, queryName)
+          source, mv, spec, batch, id, queryName, dimTable = dimTable)
         ()
       }
       .start()

@@ -174,6 +174,62 @@ class MvSyncSpec extends SparkSpec {
     intercept[IllegalArgumentException](MvSync.rebase(mv, mv2, vd.spec))
   }
 
+  test("streaming join view: batches join the pinned dim; a dim move fails loudly, rebase recovers") {
+    import graft.ice.{ChangeFeed, IceTableConfig}
+    import org.apache.spark.sql.functions.{concat, lit, pmod}
+    val fact = new IceTable(spark, tmpDir("mvjs_fact"), IceTableConfig(
+      partitionExpr = concat(lit("p="), pmod(col("id"), lit(2))),
+      sortOrder = Seq("id")))
+    val dim = new IceTable(spark, tmpDir("mvjs_dim"), IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("k")))
+    dim.insert(Seq(("k1", "A"), ("k2", "B")).toDF("k", "cat"))
+    val jspec = MvSync.MvSpec(Seq("cat"), sumCols = Seq("f.v"),
+      joinDim = Some(MvSync.MvJoinDim("dim", "f", "d", "f.k = d.k")))
+    val mv = MvSync.create(spark, tmpDir("mvjs_mv"), jspec)
+    // batch 1: plain insert images, joined with the pinned dim
+    fact.insert(Seq((1L, "k1", 10L), (2L, "k2", 5L)).toDF("id", "k", "v"))
+    settle()
+    val b1 = ChangeFeed.between(fact, 0L)
+    MvSync.applyFeedBatch(fact, mv, jspec, b1, 1L, "q1",
+      dimTable = Some(dim))
+    val got = MvSync.read(mv, jspec).orderBy("cat").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("A", 1L, 10L), ("B", 1L, 5L)))
+    // the dim moves: the NEXT batch must fail loudly, not silently mix
+    dim.insert(Seq(("k3", "C")).toDF("k", "cat"))
+    settle()
+    fact.insert(Seq((3L, "k3", 7L)).toDF("id", "k", "v"))
+    settle()
+    val wm1 = b1.agg(org.apache.spark.sql.functions.max(
+      col(ChangeFeed.CommitTsCol))).head.getLong(0)
+    val b2 = ChangeFeed.between(fact, wm1)
+    val e = intercept[IllegalStateException](
+      MvSync.applyFeedBatch(fact, mv, jspec, b2, 2L, "q1",
+        dimTable = Some(dim)))
+    assert(e.getMessage.contains("pinned dim"))
+    // recovery: rebase under the stream's replica id absorbs the dim
+    // change AND every pending fact commit, re-recording the baseline
+    // (the stream then restarts from the rebase watermark, so nothing
+    // replays twice)
+    val rebaseN = MvSync.rebase(fact, mv, jspec, replicaId = "q1",
+      dimTable = Some(dim))
+    assert(rebaseN == 3L)
+    val got2 = MvSync.read(mv, jspec).orderBy("cat").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got2 == Seq(("A", 1L, 10L), ("B", 1L, 5L), ("C", 1L, 7L)))
+    // the restarted stream's first batch (post-rebase changes only)
+    // applies cleanly against the re-recorded baseline
+    val wm2 = ChangeFeed.settledNow(fact)
+    fact.insert(Seq((4L, "k3", 2L)).toDF("id", "k", "v"))
+    settle()
+    val b3 = ChangeFeed.between(fact, wm2)
+    MvSync.applyFeedBatch(fact, mv, jspec, b3, 3L, "q1",
+      dimTable = Some(dim))
+    val got3 = MvSync.read(mv, jspec).orderBy("cat").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got3 == Seq(("A", 1L, 10L), ("B", 1L, 5L), ("C", 2L, 9L)))
+  }
+
   test("mvSyncSink: the streaming form converges across restarts and DML") {
     import org.apache.spark.sql.streaming.Trigger
     val base = newBase(); val mv = newMv()
