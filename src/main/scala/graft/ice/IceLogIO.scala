@@ -538,9 +538,15 @@ object IceLogIO {
       if (m != null) {
         val ds = m.get(ts)
         if (ds != null) {
-          // remove THIS holder's deadline; fall back to any entry so a
-          // mismatched pairing still decrements the multiset
-          if (!ds.remove(java.lang.Long.valueOf(deadline)) && !ds.isEmpty)
+          // remove THIS holder's deadline. For a NON-expiring holder a
+          // missing entry means a mismatched pairing — fall back to any
+          // entry so the multiset still decrements. For an EXPIRING
+          // holder (finite deadline) a missing entry means purgeExpired
+          // already released it: falling back would steal a DIFFERENT
+          // holder's registration at the same ts and let a feed window
+          // close past a commit whose file is not yet visible.
+          if (!ds.remove(java.lang.Long.valueOf(deadline)) &&
+              deadline == Long.MaxValue && !ds.isEmpty)
             ds.remove(ds.size() - 1)
           if (ds.isEmpty) m.remove(ts)
         }

@@ -441,6 +441,22 @@ final class IceTable(
     * output was computed against the older dv state, and its tombstones
     * would strand the fresh marks on dead paths). Driver-side metadata
     * work only: one existence probe + one log listing. */
+  /** Monotone version of this table's FULL commit state: the max
+    * filename ts across the main log AND the deletion-vector side log.
+    * A merge-on-read delete commits only to `_dv`, so a main-log-only
+    * version would miss it — join-view maintenance (MvSync) uses this
+    * as the dimension version so dim-side MoR deletes are detected and
+    * maintained like any other dim mutation. */
+  private[graft] def commitVersion(): Long = {
+    val main = logio.currentLogFiles(root)
+      .map(p => IceLogIO.logFileInfo(p)._1)
+    val dvl =
+      try logio.currentLogFiles(s"$root/_dv")
+        .map(p => IceLogIO.logFileInfo(p)._1)
+      catch { case _: Exception => Seq.empty }
+    (main ++ dvl).maxOption.getOrElse(0L)
+  }
+
   private[ice] def dvStamp(): Option[String] = {
     val dvRoot = s"$root/_dv"
     val probe = new Path(dvRoot, "_log")
@@ -2234,9 +2250,19 @@ final class IceTable(
       val intent = IceLogIO.txnAbortPath(root, txnId)
       val marker = IceLogIO.txnMarkerPath(root, txnId)
       val mfs = intent.getFileSystem(hadoopConf)
-      try { val o = mfs.create(intent, false); o.close() }
-      catch { case _: java.io.IOException => () } // intent already exists
-      if (mfs.exists(marker)) { // confirmed late: withdraw, don't reclaim
+      // the intent must be DURABLY present before any reclaim: a failed
+      // PUT that is not "already exists" voids the handshake (a racing
+      // commit would probe an absent intent and confirm while we
+      // reclaim) — skip this transaction for this sweep instead
+      val intentPlaced =
+        try { val o = mfs.create(intent, false); o.close(); true }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
+          case _: java.io.IOException =>
+            try mfs.exists(intent) catch { case _: Exception => false }
+        }
+      if (!intentPlaced) false
+      else if (mfs.exists(marker)) { // confirmed late: withdraw, don't reclaim
         try mfs.delete(intent, false) catch { case _: Exception => () }
         false
       } else true

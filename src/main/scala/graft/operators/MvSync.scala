@@ -148,10 +148,18 @@ object MvSync {
       // only while the join aliases are in scope — downstream stages
       // re-alias the prepared frame (the window-delta anti join), so
       // materialize each as a plain sanitized column here and aggregate
-      // over that
-      (sumCols ++ countCols ++ minMaxCols ++ distinctCols)
+      // over that. A sanitized name colliding with a REAL input column
+      // (`f.v` vs an actual `f_v`) would silently overwrite it for every
+      // aggregate in the view — refuse loudly instead.
+      val qualified = (sumCols ++ countCols ++ minMaxCols ++ distinctCols)
         .filter(_.contains('.')).distinct
-        .foldLeft(derived) { (d, c) => d.withColumn(safe(c), expr(c)) }
+      qualified.foreach { c =>
+        require(!derived.columns.exists(_.equalsIgnoreCase(safe(c))),
+          s"aggregate argument `$c` materializes as column `${safe(c)}`, " +
+            "which already exists on the joined input — rename that " +
+            "column or qualify differently")
+      }
+      qualified.foldLeft(derived) { (d, c) => d.withColumn(safe(c), expr(c)) }
     }
     // aggregate-arg reference: qualified args read their materialized
     // plain column (see prepare); plain args read themselves
@@ -345,12 +353,14 @@ object MvSync {
     val (dim, dimVersion): (Option[DataFrame], Option[Long]) = dimTable match {
       case None => (None, None)
       case Some(dt) =>
-        val snap = dt.trySnapshot(Long.MaxValue).getOrElse(
+        if (dt.trySnapshot(Long.MaxValue).isEmpty)
           throw new IllegalArgumentException(
             s"dimension table at ${dt.root} has no commits yet — seed it " +
-              "before syncing a view that joins it"))
-        val ver = snap.logFiles
-          .map(p => graft.ice.IceLogIO.logFileInfo(p)._1).max
+              "before syncing a view that joins it")
+        // FULL commit-state version (main log + dv side log): a dim-side
+        // merge-on-read delete commits only to `_dv` and must be
+        // detected and maintained like any other dim mutation
+        val ver = dt.commitVersion()
         (Some(dt.read(ver + 1)), Some(ver))
     }
     val key = s"_mv_sync:$replicaId"
@@ -364,45 +374,78 @@ object MvSync {
     // delta) must land cnt=0 resets IN THE SAME atomic commit — a
     // vanished group would otherwise keep serving its old reset forever.
     def fullResetSeed(until: Long, retractStale: Boolean): Long = {
-      val fresh = spec.prepare(source.read(until + 1), dim)
+      val fresh0 = spec.prepare(source.read(until + 1), dim)
         .groupBy(groupCols: _*).agg(spec.aggExprs.head, spec.aggExprs.tail: _*)
-      val withStale =
-        if (!retractStale) fresh
-        else {
-          val staleKeys = read(mv, spec).select(groupCols: _*)
-            .alias("_mvo").join(fresh.alias("_mvn"),
-              groupCond("_mvo", "_mvn", spec.groupCols), "left_anti")
-          // typed null value columns via the outer join against fresh
-          // (no match by construction), cnt coalesced to the retraction 0
-          val stale = staleKeys.alias("_mvl").join(fresh.alias("_mvr"),
-              groupCond("_mvl", "_mvr", spec.groupCols), "left")
-            .select(spec.groupCols.map(c => col(s"_mvl.`$c`").as(c)) ++
-              (coalesce(col("_mvr.`cnt`"), lit(0L)).as("cnt") +:
-                spec.valueCols.drop(1).map(v => col(s"_mvr.`$v`").as(v))): _*)
-          fresh.unionByName(stale)
-        }
-      val resets = withStale
-        .withColumn("gen", lit(until))
-        .withColumn("is_reset", lit(true))
-        .localCheckpoint(true)
+      // a schema-less MV (seeded while the source had no commits) has no
+      // state to retract — and read(mv, spec) would refuse it
+      val canRetract = retractStale &&
+        mv.trySnapshot(Long.MaxValue).exists(_.schema.pairs.exists(_._1 == "gen"))
+      // the stale computation references `fresh` three times (anti-join,
+      // typed-null left join, union): checkpoint the group-count-sized
+      // aggregate so the base scans once, not three times
+      val fresh = if (canRetract) fresh0.localCheckpoint(true) else fresh0
       try {
-        val n = resets.count()
-        // insert even when empty: the commit carries the view's COLUMN
-        // SCHEMA, so read()/readView() work before any group exists
-        mv.insertBatch(resets, key, until)
-        // the dim marks commit separately AFTER: a crash in between
-        // replays as "dim changed" → an extra (idempotent) reseed,
-        // never a missed one
+        val withStale =
+          if (!canRetract) fresh
+          else {
+            val staleKeys = read(mv, spec).select(groupCols: _*)
+              .alias("_mvo").join(fresh.alias("_mvn"),
+                groupCond("_mvo", "_mvn", spec.groupCols), "left_anti")
+            // typed null value columns via the outer join against fresh
+            // (no match by construction), cnt coalesced to the retraction 0
+            val stale = staleKeys.alias("_mvl").join(fresh.alias("_mvr"),
+                groupCond("_mvl", "_mvr", spec.groupCols), "left")
+              .select(spec.groupCols.map(c => col(s"_mvl.`$c`").as(c)) ++
+                (coalesce(col("_mvr.`cnt`"), lit(0L)).as("cnt") +:
+                  spec.valueCols.drop(1).map(v => col(s"_mvr.`$v`").as(v))): _*)
+            fresh.unionByName(stale)
+          }
+        val resets = withStale
+          .withColumn("gen", lit(until))
+          .withColumn("is_reset", lit(true))
+          .localCheckpoint(true)
+        try {
+          val n = resets.count()
+          // insert even when empty: the commit carries the view's COLUMN
+          // SCHEMA, so read()/readView() work before any group exists
+          mv.insertBatch(resets, key, until)
+          // the dim marks commit separately AFTER: a crash in between
+          // replays as "dim changed" → an extra (idempotent) reseed,
+          // never a missed one
+          dimVersion.foreach(v => CdcApply.commitMark(mv, dimKey, v))
+          n
+        } finally { resets.unpersist(); () }
+      } finally { if (canRetract) { fresh.unpersist(); () } }
+    }
+
+    // count the delta's partial/reset rows, commit it (or just the
+    // watermark when empty), then — only when it moved — the dim mark:
+    // the one sequencing both window shapes must share
+    def commitDelta(delta: DataFrame, until: Long,
+        commitDim: Boolean): (Long, Long) = {
+      // one job for both counts (the checkpointed delta is tiny)
+      val byKind = delta.groupBy(col("is_reset")).count()
+        .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+      val nPart = byKind.getOrElse(false, 0L)
+      val nReset = byKind.getOrElse(true, 0L)
+      if (nPart + nReset == 0) CdcApply.commitMark(mv, key, until)
+      else mv.insertBatch(delta, key, until)
+      if (commitDim)
         dimVersion.foreach(v => CdcApply.commitMark(mv, dimKey, v))
-        n
-      } finally { resets.unpersist(); () }
+      (nPart, nReset)
     }
 
     CdcApply.readMark(mv, key) match {
       case None =>
         val until = ChangeFeed.settledNow(source)
         source.trySnapshot(until + 1) match {
-          case None => CdcApply.commitMark(mv, key, until); (0L, 0L)
+          case None =>
+            CdcApply.commitMark(mv, key, until)
+            // record the dim baseline too: without it the next sync
+            // reads "dim changed" and the retract path would trip over
+            // the still-schema-less view
+            dimVersion.foreach(v => CdcApply.commitMark(mv, dimKey, v))
+            (0L, 0L)
           case Some(_) => (0L, fullResetSeed(until, retractStale = false))
         }
 
@@ -435,40 +478,44 @@ object MvSync {
             what = s"dim-change reseed of ${mv.root}")
           (0L, fullResetSeed(until, retractStale = true))
         } else if (dimChanged) {
-          // PARTIAL dim maintenance: affected groups = groups the
-          // changed facts left (fact ⋈ old images) ∪ groups they enter
-          // (fact ⋈ new images); those reset exactly, everything else
-          // keeps its standing partials. The pending fact window rides
-          // in the same delta, so one commit advances both marks' state.
+          // PARTIAL dim maintenance. Affected groups come from the fact
+          // base at BOTH window bounds joined with ALL changed-row
+          // images: the base at the OLD watermark is the state the MV's
+          // standing partials reflect — a fact row deleted inside the
+          // pending window still witnessed its old dim mapping there, so
+          // its old group resets (the post-window base alone could never
+          // name it); the post-window base catches groups the changed
+          // keys newly enter. Only that set resets; everything else
+          // keeps its partials, and the pending fact window rides in the
+          // same atomic delta commit. Any failure mid-computation (e.g.
+          // the old-bound read racing a cleanup) falls back to the full
+          // reseed, which needs no history.
           val dd = dimDelta.get
           try {
             val until = awaitSettledPast(source, wm,
               what = s"dim-delta sync of ${mv.root}")
-            val base = source.read(until + 1)
-            def groupsVia(tpe: String): DataFrame =
-              spec.prepare(base, Some(broadcast(
-                  dd.where(col(ChangeFeed.ChangeTypeCol) === tpe)
-                    .drop(ChangeFeed.ChangeTypeCol, ChangeFeed.CommitTsCol))))
+            val images = broadcast(dd
+              .where(col(ChangeFeed.ChangeTypeCol).isin("insert", "delete"))
+              .drop(ChangeFeed.ChangeTypeCol, ChangeFeed.CommitTsCol))
+            def groupsAt(bound: Long): DataFrame =
+              spec.prepare(source.read(bound + 1), Some(images))
                 .select(groupCols: _*)
-            val affected = groupsVia("delete").unionByName(groupsVia("insert"))
+            val affected = groupsAt(wm).unionByName(groupsAt(until))
               .distinct().localCheckpoint(true)
             try {
               val f = ChangeFeed.between(source, wm, until).localCheckpoint()
               try {
                 val delta = windowDelta(source, spec, f, until,
                   maxPruneGroups, dim, extraRetracted = Some(affected))
-                try {
-                  val byKind = delta.groupBy(col("is_reset")).count()
-                    .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
-                  val nPart = byKind.getOrElse(false, 0L)
-                  val nReset = byKind.getOrElse(true, 0L)
-                  if (nPart + nReset == 0) CdcApply.commitMark(mv, key, until)
-                  else mv.insertBatch(delta, key, until)
-                  dimVersion.foreach(v => CdcApply.commitMark(mv, dimKey, v))
-                  (nPart, nReset)
-                } finally { delta.unpersist(); () }
+                try commitDelta(delta, until, commitDim = true)
+                finally { delta.unpersist(); () }
               } finally { f.unpersist(); () }
             } finally { affected.unpersist(); () }
+          } catch { case e: Exception =>
+            val until = awaitSettledPast(source, wm,
+              what = s"dim-change reseed (partial path failed: " +
+                s"${e.getMessage.take(120)}) of ${mv.root}")
+            (0L, fullResetSeed(until, retractStale = true))
           } finally { dd.unpersist(); () }
         } else {
           val (feed, until) = ChangeFeed.betweenSettled(source, wm)
@@ -476,16 +523,8 @@ object MvSync {
           try {
             if (f.isEmpty) return (0L, 0L) // idle window: commit nothing
             val delta = windowDelta(source, spec, f, until, maxPruneGroups, dim)
-            try {
-              // one job for both counts (the checkpointed delta is tiny)
-              val byKind = delta.groupBy(col("is_reset")).count()
-                .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
-              val nPart = byKind.getOrElse(false, 0L)
-              val nReset = byKind.getOrElse(true, 0L)
-              if (nPart + nReset == 0) CdcApply.commitMark(mv, key, until)
-              else mv.insertBatch(delta, key, until)
-              (nPart, nReset)
-            } finally { delta.unpersist(); () }
+            try commitDelta(delta, until, commitDim = false)
+            finally { delta.unpersist(); () }
           } finally { f.unpersist(); () }
         }
     }
@@ -561,8 +600,9 @@ object MvSync {
     val (dim, dimVersion): (Option[DataFrame], Option[Long]) = dimTable match {
       case None => (None, None)
       case Some(dt) =>
-        val ver = dt.snapshot().logFiles
-          .map(p => graft.ice.IceLogIO.logFileInfo(p)._1).max
+        // full commit-state version: main log + dv side log (a dim-side
+        // MoR delete commits only to _dv)
+        val ver = dt.commitVersion()
         (Some(dt.read(ver + 1)), Some(ver))
     }
     val dimKey = s"_mv_dim:$queryName"
@@ -731,8 +771,9 @@ object MvSync {
     val (dim, dimVersion): (Option[DataFrame], Option[Long]) = dimTable match {
       case None => (None, None)
       case Some(dt) =>
-        val ver = dt.snapshot().logFiles
-          .map(p => graft.ice.IceLogIO.logFileInfo(p)._1).max
+        // full commit-state version: main log + dv side log (a dim-side
+        // MoR delete commits only to _dv)
+        val ver = dt.commitVersion()
         (Some(dt.read(ver + 1)), Some(ver))
     }
     val key = s"_mv_sync:$replicaId"

@@ -491,7 +491,14 @@ object GraftSqlParser {
     var i = 0
     while (i < s.length) {
       val ch = s.charAt(i)
-      if (quote != 0) { if (ch == quote) quote = 0; sb.append(ch); i += 1 }
+      if (quote != 0) {
+        // Spark's default string grammar accepts backslash escapes —
+        // \' inside '…' must not close the literal (backticked
+        // identifiers have no backslash escapes)
+        if (ch == '\\' && quote != '`' && i + 1 < s.length) {
+          sb.append(ch).append(s.charAt(i + 1)); i += 2
+        } else { if (ch == quote) quote = 0; sb.append(ch); i += 1 }
+      }
       else if (block > 0) {
         if (ch == '*' && i + 1 < s.length && s.charAt(i + 1) == '/') {
           block -= 1; sb.append("*/"); i += 2

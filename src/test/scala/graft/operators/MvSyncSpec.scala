@@ -174,6 +174,37 @@ class MvSyncSpec extends SparkSpec {
     intercept[IllegalArgumentException](MvSync.rebase(mv, mv2, vd.spec))
   }
 
+  test("dim move + same-window fact delete: the OLD group still resets (old-watermark base)") {
+    // the trap: after the window, the fact row is gone, so the
+    // post-window base joined with the changed dim images can never name
+    // the group the MV's standing state reflects — affected-group
+    // discovery must also use the base at the OLD watermark
+    import graft.ice.{DeleteVectors, IceTableConfig}
+    import org.apache.spark.sql.functions.{concat, lit, pmod}
+    val fact = new IceTable(spark, tmpDir("mvjw_fact"), IceTableConfig(
+      partitionExpr = concat(lit("p="), pmod(col("id"), lit(2))),
+      sortOrder = Seq("id")))
+    val dim = new IceTable(spark, tmpDir("mvjw_dim"), IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("k")))
+    dim.insert(Seq(("k1", "A"), ("k2", "Z")).toDF("k", "cat"))
+    val jspec = MvSync.MvSpec(Seq("cat"), sumCols = Seq("f.v"),
+      joinDim = Some(MvSync.MvJoinDim("dim", "f", "d", "f.k = d.k")))
+    val mv = MvSync.create(spark, tmpDir("mvjw_mv"), jspec)
+    fact.insert(Seq((1L, "k1", 5L), (2L, "k2", 9L)).toDF("id", "k", "v"))
+    settle()
+    MvSync.syncFromFeed(fact, mv, jspec, dimTable = Some(dim))
+    def rows() = MvSync.read(mv, jspec).orderBy("cat").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows() == Seq(("A", 1L, 5L), ("Z", 1L, 9L)))
+    // SAME window: the dim row moves A → B AND the fact row deletes
+    dim.updateWhere(col("k") === "k1", Seq("cat" -> lit("B")))
+    DeleteVectors.deleteWhere(fact, col("id") === 1L)
+    settle()
+    MvSync.syncFromFeed(fact, mv, jspec, dimTable = Some(dim))
+    // group A (the stale state) retracted, B never materialized, Z intact
+    assert(rows() == Seq(("Z", 1L, 9L)))
+  }
+
   test("streaming join view: batches join the pinned dim; a dim move fails loudly, rebase recovers") {
     import graft.ice.{ChangeFeed, IceTableConfig}
     import org.apache.spark.sql.functions.{concat, lit, pmod}

@@ -238,6 +238,13 @@ class SqlMaterializedViewSpec extends SparkSpec {
       .head.toSeq.map(_.asInstanceOf[Long])
     assert(p2b == 0L && r2b == 2L) // {A, B} reset; C untouched
     assert(viewRows() == Seq(("A", 5L, 142L), ("C", 1L, 50L)))
+    // dim-side MERGE-ON-READ delete: commits only to the dim's _dv side
+    // log — the full commit version (main + dv) still detects it, the
+    // delete image retracts group C, and its facts leave the view
+    DeleteVectors.deleteWhere(dim, col("k") === "k3")
+    settle()
+    spark.sql("REFRESH MATERIALIZED VIEW graft.jmv").collect()
+    assert(viewRows() == Seq(("A", 5L, 142L)))
     // idle refresh after: no reseed, no partials
     val Seq(p3, r3) = spark.sql("REFRESH MATERIALIZED VIEW graft.jmv")
       .head.toSeq.map(_.asInstanceOf[Long])

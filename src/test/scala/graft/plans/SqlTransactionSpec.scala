@@ -82,6 +82,14 @@ class SqlTransactionSpec extends SparkSpec {
         |INSERT /* note; with a semicolon */ INTO graft.txn_a VALUES (1, 'a;b');
         |COMMIT""".stripMargin).collect()
     assert(spark.sql("SELECT v FROM graft.txn_a").head.getString(0) === "a;b")
+    // a backslash-escaped quote must not close the literal early (the
+    // delegate grammar accepts \' escapes) — the ; after it stays inside
+    spark.sql(
+      "BEGIN TRANSACTION; " +
+        "INSERT INTO graft.txn_a VALUES (2, 'O\\'Brien; Esq'); COMMIT")
+      .collect()
+    assert(spark.sql("SELECT v FROM graft.txn_a WHERE id = 2")
+      .head.getString(0) === "O'Brien; Esq")
   }
 
   test("malformed blocks fail at parse time with a reason; non-transactional statements rejected") {
