@@ -167,7 +167,17 @@ final class IceLogIO(pathSafeHostname: String, private[ice] val conf: Configurat
     * files — the vacuum sweep's input: their referenced data files are
     * protected while the transaction is young, reclaimed with the staged
     * log once it expires unconfirmed. */
-  private[ice] def stagedLogFiles(root: String): Seq[(String, String)] = {
+  private[ice] def stagedLogFiles(root: String): Seq[(String, String)] =
+    taggedLogFiles(root).filterNot { case (_, id) =>
+      IceLogIO.txnConfirmed(this, root, id) }
+
+  /** ALL txn-tagged log files, confirmed or not — the vacuum's
+    * protection-set input. A tagged log's data files must survive the
+    * generic orphan sweep regardless of confirmation state: a marker
+    * that lands between the sweep's snapshot read and this listing
+    * makes the transaction COMMITTED while the snapshot's `known` set
+    * still misses its files. */
+  private[ice] def taggedLogFiles(root: String): Seq[(String, String)] = {
     val dir = logDir(root)
     val filesystem = fs(root)
     if (!filesystem.exists(dir)) return Seq.empty
@@ -176,11 +186,7 @@ final class IceLogIO(pathSafeHostname: String, private[ice] val conf: Configurat
         !st.getPath.getName.startsWith("_"))
       .flatMap { st =>
         val n = st.getPath.getName
-        IceLogIO.txnIdOf(n) match {
-          case Some(id) if !IceLogIO.txnConfirmed(this, root, id) =>
-            Some((s"$logRel/$n", id))
-          case _ => None
-        }
+        IceLogIO.txnIdOf(n).map(id => (s"$logRel/$n", id))
       }
   }
 

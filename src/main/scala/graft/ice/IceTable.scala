@@ -450,10 +450,16 @@ final class IceTable(
   private[graft] def commitVersion(): Long = {
     val main = logio.currentLogFiles(root)
       .map(p => IceLogIO.logFileInfo(p)._1)
+    // only NOT-FOUND reads as "no dv commits" (the normal no-dv-table
+    // case — currentLogFiles already returns empty for a missing dir).
+    // A transient IO failure must PROPAGATE: swallowed, it would pin a
+    // stale (lower) dim version and a dim-side MoR delete committed in
+    // the same interval would slip through join-view maintenance
+    // undetected — the caller (MvSync) retries instead.
     val dvl =
       try logio.currentLogFiles(s"$root/_dv")
         .map(p => IceLogIO.logFileInfo(p)._1)
-      catch { case _: Exception => Seq.empty }
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
     (main ++ dvl).maxOption.getOrElse(0L)
   }
 
@@ -2189,6 +2195,14 @@ final class IceTable(
     * Cost: one recursive LIST of `_data/` — offline-maintenance priced,
     * same as any object-store GC; never on a query path. */
   def vacuumOrphans(minAgeMs: Long = 3_600_000L): Seq[String] =
+    vacuumOrphansImpl(minAgeMs, () => ())
+
+  /** Test seam: `afterSnapshot` runs between the snapshot read that
+    * builds `known` and the staged-transaction handshake — the window in
+    * which a late-landing commit marker can make an expired stage's
+    * files COMMITTED while `known` still misses them. */
+  private[ice] def vacuumOrphansImpl(
+      minAgeMs: Long, afterSnapshot: () => Unit): Seq[String] =
     IceTable.withTableLock(root, hadoopConf) {
     // a branch handle folds only ITS log — sweeping from one would treat
     // every main-only file as an orphan
@@ -2204,6 +2218,7 @@ final class IceTable(
           Branch.open(this, b).trySnapshot(Long.MaxValue)
             .map(_.files.map(_.path)).getOrElse(Seq.empty)
         }
+    afterSnapshot()
     val fsys = fs
     val cutoff = now() - minAgeMs
     val rootStr = fsys.makeQualified(new Path(root)).toString.stripSuffix("/")
@@ -2229,15 +2244,13 @@ final class IceTable(
     // even under cross-process clock skew (skew can kill a transaction,
     // never partially commit one).
     val stagedCut = now() - math.max(minAgeMs, IceTransaction.TtlMs)
-    val (expiredStages, liveStages) = logio.stagedLogFiles(root)
-      .partition { case (rel, _) => IceLogIO.logFileInfo(rel)._1 <= stagedCut }
+    val expiredStages = logio.stagedLogFiles(root)
+      .filter { case (rel, _) => IceLogIO.logFileInfo(rel)._1 <= stagedCut }
     // a read/parse failure on a staged log PROPAGATES and aborts the
     // sweep: returning "no markers" here would silently drop a live
     // stage's data files from the protection set and reclaim them
     def stagedMarkers(rel: String): Seq[FileMarker] =
       logio.parseLog(rel, logio.fetchLogLines(root, Seq(rel))(rel))._2
-    val protectedStaged: Set[String] =
-      liveStages.flatMap { case (rel, _) => stagedMarkers(rel).map(_.path) }.toSet
     // abort-intent handshake (see IceLogIO.txnAbortPath + IceTransaction
     // .commit): per expired txn, PUT the reclaim intent FIRST, then
     // re-probe the commit marker — a marker that landed since the staged
@@ -2267,6 +2280,19 @@ final class IceTable(
         false
       } else true
     }
+    // protection set for the generic `_data` sweep: markers of EVERY
+    // txn-tagged log NOT being reclaimed this sweep. That covers live
+    // stages, expired-but-honored stages (late-confirmed, or the intent
+    // PUT failed and the transaction could still confirm), and CONFIRMED
+    // transactions whose marker landed between the snapshot read above
+    // and the staged listing — in every one of those states the files
+    // are in neither `known` nor any narrower staged set yet must
+    // survive: they are committed (or still commit-able) data. A
+    // genuinely dead stage is reclaimed by a sweep whose handshake wins.
+    val reclaimedTxns = reclaimable.keySet
+    val protectedStaged: Set[String] = logio.taggedLogFiles(root)
+      .filterNot { case (_, txnId) => reclaimedTxns(txnId) }
+      .flatMap { case (rel, _) => stagedMarkers(rel).map(_.path) }.toSet
     reclaimable.values.flatten.foreach { case (rel, _) =>
       // read the marker list, then delete the staged LOG first — it is
       // the visibility anchor, so the data-file deletes below only ever

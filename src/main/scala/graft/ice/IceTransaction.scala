@@ -51,7 +51,10 @@ import scala.collection.mutable
   */
 final class IceTransaction private (
     val spark: SparkSession, val id: String,
-    ttlMs: Long = IceTransaction.TtlMs) {
+    ttlMs: Long = IceTransaction.TtlMs,
+    // test seam: runs between the marker PUT and the post-PUT
+    // verifications, where a GC pause / slow store can park the commit
+    private[ice] val afterMarkerPut: () => Unit = () => ()) {
 
   private sealed trait State
   private case object Pending extends State
@@ -171,6 +174,17 @@ final class IceTransaction private (
             s"skew: the stage was classified older than the " +
             s"${IceTransaction.TtlMs} ms TTL)")
       }
+      afterMarkerPut()
+      // the entry TTL gate ran BEFORE the marker PUT: a slow store or a
+      // GC pause can land the PUT past floorDeadline, by which time
+      // purgeExpired has released the settled-floor pins and an
+      // in-process feed window may already have closed past the staged
+      // ts — the commit would surface BELOW the watermark and feed/MV
+      // consumers would permanently miss it. Re-check and un-commit:
+      // past the deadline the transaction dies, never lands late.
+      if (System.currentTimeMillis() >= floorDeadline)
+        die(s"the ${ttlMs} ms TTL lapsed during the marker PUT, after " +
+          "the settled-floor pins expired")
       val abortIntent = IceLogIO.txnAbortPath(staged.head._1.root, id)
       if (fs.exists(abortIntent)) die("reclaim-intent marker present")
       staged.foreach { case (t, _, _, rel) =>
@@ -212,9 +226,12 @@ object IceTransaction {
     new IceTransaction(spark, newId())
 
   /** Test seam: a transaction with a shortened TTL (floor deadline +
-    * commit refusal move together, exactly like the production value). */
-  private[ice] def beginWithTtl(spark: SparkSession, ttlMs: Long): IceTransaction =
-    new IceTransaction(spark, newId(), ttlMs)
+    * commit refusal move together, exactly like the production value),
+    * and optionally a pause injected between the marker PUT and the
+    * post-PUT verifications (the GC-pause / slow-store window). */
+  private[ice] def beginWithTtl(spark: SparkSession, ttlMs: Long,
+      afterMarkerPut: () => Unit = () => ()): IceTransaction =
+    new IceTransaction(spark, newId(), ttlMs, afterMarkerPut)
 
   private def newId(): String = {
     val u = java.util.UUID.randomUUID()

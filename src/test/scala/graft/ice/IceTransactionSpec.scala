@@ -210,6 +210,62 @@ class IceTransactionSpec extends SparkSpec {
     intercept[IllegalStateException](txn.commit())
   }
 
+  test("a TTL lapse DURING the marker PUT un-commits (late marker never lands below the watermark)") {
+    // the entry TTL gate passes, then a GC pause / slow store parks the
+    // commit until the floor deadline has lapsed — by which time the
+    // settled-floor pins are released and a feed window may have closed
+    // past the staged ts. The post-PUT re-check must withdraw the marker
+    // and abort: a skewed/paused commit can die, never land late.
+    val (t1, _, parent) = pair()
+    t1.insert(Seq((1L, "seed")).toDF("id", "v"))
+    val t0 = System.currentTimeMillis()
+    val ttl = 3500L
+    val txn = IceTransaction.beginWithTtl(spark, ttlMs = ttl,
+      afterMarkerPut = () => {
+        val wait = t0 + ttl + 300L - System.currentTimeMillis()
+        if (wait > 0) Thread.sleep(wait)
+      })
+    txn.insert(t1, Seq((2L, "txn")).toDF("id", "v"))
+    val ex = intercept[IllegalStateException](txn.commit())
+    // the post-PUT check is the one under test; on a host slow enough
+    // that the insert alone ate the TTL, the entry gate fires instead —
+    // either way the invariant holds: aborted, nothing visible
+    assert(ex.getMessage.contains("TTL lapsed during the marker PUT") ||
+      ex.getMessage.contains("exceeded its"))
+    assert(t1.read().count() == 1L)
+    val txnDir = new java.io.File(s"$parent/_txn")
+    assert(!txnDir.exists() ||
+      !txnDir.listFiles().exists(_.getName == s"${txn.id}.commit"))
+    // the floor pins released with the abort: settled bounds flow again
+    assert(graft.ice.ChangeFeed.settledNow(t1) > 0L)
+  }
+
+  test("late-confirmed expired stage: reclaim skipped AND the orphan sweep spares its committed data") {
+    // the race: the vacuum reads the snapshot (building `known`) while
+    // the stage is unconfirmed, the commit marker lands, then the
+    // handshake probe honors it and skips the reclaim — but the stage's
+    // data files are in neither `known` nor the live-stage protection
+    // set and are older than the skewed cutoff. The sweep must protect
+    // them: they are COMMITTED data now.
+    val (t1, _, parent) = pair()
+    t1.insert(Seq((1L, "seed")).toDF("id", "v"))
+    val txn = IceTransaction.begin(spark)
+    txn.insert(t1, Seq((2L, "txn")).toDF("id", "v"))
+    val marker = new java.io.File(s"$parent/_txn/${txn.id}.commit")
+    val skewed = new IceTable(spark, t1.root, t1.cfg,
+      clock = () => System.currentTimeMillis() + 2 * IceTransaction.TtlMs)
+    val swept = skewed.vacuumOrphansImpl(0L, () => {
+      marker.getParentFile.mkdirs()
+      java.nio.file.Files.write(marker.toPath, "{}".getBytes("UTF-8"))
+      ()
+    })
+    // nothing of the stage was touched — not the log, not the data —
+    // and the now-confirmed commit reads back whole
+    assert(!swept.exists(_.contains("_x" + txn.id)))
+    assert(t1.read().count() == 2L)
+    assert(t1.read().where($"v" === "txn").count() == 1L)
+  }
+
   test("tables in different parent directories are rejected") {
     val (t1, _, _) = pair()
     val (t2other, _, _) = pair() // different parent

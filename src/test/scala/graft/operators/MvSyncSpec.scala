@@ -298,4 +298,37 @@ class MvSyncSpec extends SparkSpec {
     assert(mv.read().select("gen").distinct().count() == 2L)
     assert(drift(MvSync.read(mv, spec), before) == 0L)
   }
+
+  test("a transient _dv listing failure fails the sync loudly — never a stale dim pin") {
+    // commitVersion's `_dv` side-log listing: NOT-FOUND reads as "no dv
+    // commits" (the normal no-dv-table case), but a transient IO blip
+    // must PROPAGATE — swallowed, it would pin a stale dim version and a
+    // dim-side MoR delete committed in the same interval would slip
+    // through join-view maintenance undetected.
+    spark.sparkContext.hadoopConfiguration.set("fs.flakydv.impl",
+      classOf[graft.ice.FlakyDvFileSystem].getName)
+    val fact = new IceTable(spark, tmpDir("mvflaky_fact"), IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("id")))
+    val dim = new IceTable(spark, s"flakydv:${tmpDir("mvflaky_dim")}",
+      IceTableConfig(partitionExpr = lit("all"), sortOrder = Seq("k")))
+    dim.insert(Seq(("k1", "A"), ("k2", "B")).toDF("k", "cat"))
+    val jspec = MvSync.MvSpec(Seq("cat"), sumCols = Seq("f.v"),
+      joinDim = Some(MvSync.MvJoinDim("dim", "f", "d", "f.k = d.k")))
+    val mv = MvSync.create(spark, tmpDir("mvflaky_mv"), jspec)
+    fact.insert(Seq((1L, "k1", 5L), (2L, "k2", 9L)).toDF("id", "k", "v"))
+    settle()
+    MvSync.syncFromFeed(fact, mv, jspec, dimTable = Some(dim))
+    // the dim-side MoR delete commits ONLY to `_dv`
+    graft.ice.DeleteVectors.deleteWhere(dim, col("k") === "k2")
+    settle()
+    graft.ice.FlakyDvFileSystem.armFailure()
+    intercept[java.io.IOException](
+      MvSync.syncFromFeed(fact, mv, jspec, dimTable = Some(dim)))
+    // the retry (blip gone) maintains against the TRUE dim state: k2's
+    // group is retracted, never silently kept on the stale pin
+    MvSync.syncFromFeed(fact, mv, jspec, dimTable = Some(dim))
+    val got = MvSync.read(mv, jspec).orderBy("cat").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("A", 1L, 5L)))
+  }
 }
