@@ -807,10 +807,10 @@ object Bench {
         col("id").cast("string").as("k"),
         pmod(col("id"), lit(10)).cast("string").as("cat")))
       val spec = MvSync.MvSpec(Seq("cat"), sumCols = Seq("f.v"),
-        joinDim = Some(MvSync.MvJoinDim("dim", "f", "d", "f.k = d.k")))
+        joinDims = Seq(MvSync.MvJoinDim("dim", "f", "d", "f.k = d.k")))
       val mv = MvSync.create(spark, mvRoot, spec)
       Thread.sleep(5)
-      MvSync.syncFromFeed(fact, mv, spec, dimTable = Some(dim))
+      MvSync.syncFromFeed(fact, mv, spec, dimTables = Seq(dim))
       def delta = rows.where(pmod(col("id"), lit(1000)) === 0)
       var rep = 0L
       val refresh = timed()({
@@ -818,16 +818,31 @@ object Bench {
         fact.insert(delta.withColumn("id", col("id") + lit(rep * 10L * n)))
         Thread.sleep(5)
       }) {
-        MvSync.syncFromFeed(fact, mv, spec, dimTable = Some(dim))
+        MvSync.syncFromFeed(fact, mv, spec, dimTables = Seq(dim))
+      }
+      // DIM-CHANGE refresh: one dim row moves category per rep — the
+      // partial path resets only that key's groups, with the two
+      // affected-group discovery probes isin-pruned to the single
+      // changed key (pushed to the parquet scan). The cost claim under
+      // test: affected-data-sized, NOT two full 24M-row fact scans.
+      var drep = 0L
+      val dimChange = timed()({
+        drep += 1
+        dim.updateWhere(col("k") === (drep % 1000L).toString,
+          Seq("cat" -> concat(lit("m"), lit(drep % 10L))))
+        Thread.sleep(5)
+      }) {
+        MvSync.syncFromFeed(fact, mv, spec, dimTables = Seq(dim))
       }
       rm(new java.io.File(factRoot)); rm(new java.io.File(dimRoot))
       rm(new java.io.File(mvRoot))
-      refresh
+      (refresh, dimChange)
     }
 
     val sections = Seq(
       "mv_full_reagg" -> mvFullReagg, "mv_refresh_delta" -> mvRefreshDelta,
-      "mv_read" -> mvRead, "mv_join_refresh" -> mvJoinRefresh,
+      "mv_read" -> mvRead, "mv_join_refresh" -> mvJoinRefresh._1,
+      "mv_join_dimchange" -> mvJoinRefresh._2,
       "join_colocated" -> joinColocated, "join_shuffled" -> joinShuffled,
       "synthetic_insert" -> synth, "insert_noshuffle" -> insertNoShuffle,
       "optimize_2000" -> optimize2000,

@@ -896,6 +896,175 @@ object Fixtures {
       SqlMvJoinFixture(view, f.getParent, factOnlyDelta)
     }
 
+  final case class SqlMvGlobalFixture(viewName: String, whDir: String,
+    emptyReadsZero: Boolean)
+
+  /** GLOBAL (no GROUP BY) SQL MV (b62): `SELECT count(*), sum(…) FROM t`
+    * — the single most common dashboard shape — maintained under the
+    * synthetic constant group key through an append, a CoW update and a
+    * MoR delete (the delete exercises the reset path on the one global
+    * group). The carried boolean pins the empty edge: a second global
+    * view over a fully-deleted base reads ONE row with cnt 0, never
+    * no-rows. */
+  def eventsSqlMvGlobal(spark: SparkSession, sfDir: String): SqlMvGlobalFixture =
+    memo(s"$sfDir#sqlmvglobal") {
+      import graft.ice.DeleteVectors
+      val ev = raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val root = newRoot("mvglobase")
+      val f = new java.io.File(root)
+      spark.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      val base = new IceTable(spark, root, IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(8))),
+        sortOrder = Seq("event_id")))
+      base.insert(ev.where(col("event_id") % 2 === 0))
+      Thread.sleep(5)
+      val view = s"${f.getName}_v"
+      spark.sql(s"""CREATE MATERIALIZED VIEW graft.`$view` AS
+        SELECT count(*) AS cnt, sum(user_id) AS sum_uid,
+               min(event_id) AS min_id, max(event_id) AS max_id,
+               avg(user_id) AS avg_uid
+        FROM graft.`${f.getName}`""").collect()
+      base.insert(ev.where(col("event_id") % 2 === 1))
+      base.updateWhere(pmod(col("user_id"), lit(23)) === 7,
+        Seq("event_type" -> lit("redacted")))
+      DeleteVectors.deleteWhere(base, pmod(col("user_id"), lit(23)) === 8)
+      Thread.sleep(5)
+      spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$view`").collect()
+      // the empty edge, pinned as a boolean: a global view whose base
+      // fully retracts still reads exactly one row with cnt = 0
+      val emptyBase = new IceTable(spark, s"${f.getParent}/${f.getName}_e",
+        IceTableConfig(partitionExpr = lit("all"), sortOrder = Seq("event_id")))
+      emptyBase.insert(ev.limit(3))
+      Thread.sleep(5)
+      val ev2 = s"${f.getName}_ev"
+      spark.sql(s"""CREATE MATERIALIZED VIEW graft.`$ev2` AS
+        SELECT count(*) AS cnt FROM graft.`${f.getName}_e`""").collect()
+      emptyBase.deleteWhere(lit(true))
+      Thread.sleep(5)
+      spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$ev2`").collect()
+      val er = spark.sql(s"SELECT cnt FROM graft.`$ev2`").collect()
+      val emptyReadsZero = er.length == 1 && er.head.getLong(0) == 0L
+      SqlMvGlobalFixture(view, f.getParent, emptyReadsZero)
+    }
+
+  final case class SqlMvMultiDimFixture(viewName: String, whDir: String,
+    factOnlyDelta: Boolean, dimMovePartial: Boolean)
+
+  /** Multi-dimension star SQL MV (b63): `fact ⋈ d1 ⋈ d2` — the normal
+    * star schema — with each dim pinned and versioned independently.
+    * Fact-only windows land delta partials (zero resets, pinned as a
+    * boolean). A SINGLE dim move maintains partially: only the groups
+    * the changed keys touch reset (pinned as resets < live groups —
+    * d1 is seeded in two commits so the version anchor is the small
+    * second commit, keeping the delta window attributable). Moving BOTH
+    * dims in one window falls back to the atomic full reseed. All
+    * mutations are deterministic functions of the raw events so DuckDB
+    * re-derives the final join aggregation. */
+  def eventsSqlMvMultiDim(spark: SparkSession, sfDir: String): SqlMvMultiDimFixture =
+    memo(s"$sfDir#sqlmvmultidim") {
+      val ev = raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .withColumn("ub", pmod(col("user_id"), lit(4)).cast("int"))
+      val root = newRoot("mvmdfact")
+      val f = new java.io.File(root)
+      spark.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      val fact = new IceTable(spark, root, IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(8))),
+        sortOrder = Seq("event_id")))
+      fact.insert(ev.where(col("event_id") % 2 === 0))
+      val d1Name = s"${f.getName}_d1"
+      val d1 = new IceTable(spark, s"${f.getParent}/$d1Name", IceTableConfig(
+        partitionExpr = lit("all"), sortOrder = Seq("et")))
+      d1.insert(ev.select(col("event_type").as("et")).distinct()
+        .withColumn("cat", upper(substring(col("et"), 1, 1))))
+      // second, SMALL d1 commit: the recorded version anchors here, so
+      // the first dim move's delta window re-captures one dummy row,
+      // not the whole seed — partial maintenance stays group-sized
+      d1.insert {
+        import spark.implicits._
+        Seq(("zzz_unused", "ZZ")).toDF("et", "cat")
+      }
+      val d2Name = s"${f.getName}_d2"
+      val d2 = new IceTable(spark, s"${f.getParent}/$d2Name", IceTableConfig(
+        partitionExpr = lit("all"), sortOrder = Seq("ub")))
+      d2.insert {
+        import spark.implicits._
+        Seq(0, 1, 2, 3).toDF("ub")
+          .withColumn("tier", concat(lit("T"), col("ub")))
+      }
+      Thread.sleep(5)
+      val view = s"${f.getName}_v"
+      spark.sql(s"""CREATE MATERIALIZED VIEW graft.`$view` AS
+        SELECT da.cat AS cat, db.tier AS tier, count(*) AS cnt,
+               sum(f.user_id) AS sum_uid, max(f.event_id) AS max_id
+        FROM graft.`${f.getName}` f
+          JOIN graft.`$d1Name` da ON f.event_type = da.et
+          JOIN graft.`$d2Name` db ON f.ub = db.ub
+        GROUP BY da.cat, db.tier""").collect()
+      // fact-only window: true IVM over two pinned dims
+      fact.insert(ev.where(col("event_id") % 2 === 1))
+      Thread.sleep(5)
+      val r1 = spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$view`").head
+      val factOnlyDelta = r1.getLong(0) > 0L && r1.getLong(1) == 0L
+      val groupsBefore = spark.sql(s"SELECT count(*) FROM graft.`$view`")
+        .head.getLong(0)
+      // ONE dim moves: the lexicographically-smallest event type's
+      // category becomes 'Z' — only its groups (old cat + 'Z', per
+      // tier) reset
+      val minEt = ev.agg(min(col("event_type"))).head.getString(0)
+      d1.updateWhere(col("et") === minEt, Seq("cat" -> lit("Z")))
+      Thread.sleep(5)
+      val r2 = spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$view`").head
+      val dimMovePartial = r2.getLong(0) == 0L && r2.getLong(1) > 0L &&
+        r2.getLong(1) < groupsBefore
+      // BOTH dims move in one window → atomic full reseed
+      val maxEt = ev.agg(max(col("event_type"))).head.getString(0)
+      d1.updateWhere(col("et") === maxEt, Seq("cat" -> lit("Q")))
+      d2.updateWhere(col("ub") === 0, Seq("tier" -> lit("Z0")))
+      Thread.sleep(5)
+      spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$view`").collect()
+      SqlMvMultiDimFixture(view, f.getParent, factOnlyDelta, dimMovePartial)
+    }
+
+  final case class SqlMvHavingFixture(viewName: String, whDir: String)
+
+  /** SQL MV with HAVING (b64): the post-aggregate predicate compiles to
+    * a READ-SIDE filter over the folded view (maintenance is unchanged
+    * — a group crossing the threshold appears/disappears at read). The
+    * threshold is floor(final-row-count / 10), derivable by DuckDB from
+    * the raw events, so groups under 10% of rows (the 'redacted'
+    * slice) stay filtered. */
+  def eventsSqlMvHaving(spark: SparkSession, sfDir: String): SqlMvHavingFixture =
+    memo(s"$sfDir#sqlmvhaving") {
+      import graft.ice.DeleteVectors
+      val ev = raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val root = newRoot("mvhavbase")
+      val f = new java.io.File(root)
+      spark.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      val base = new IceTable(spark, root, IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(8))),
+        sortOrder = Seq("event_id")))
+      base.insert(ev.where(col("event_id") % 2 === 0))
+      Thread.sleep(5)
+      // the final state's row count is a pure function of the raw data
+      val threshold = ev.where(pmod(col("user_id"), lit(23)) =!= 8)
+        .count() / 10L
+      val view = s"${f.getName}_v"
+      spark.sql(s"""CREATE MATERIALIZED VIEW graft.`$view` AS
+        SELECT event_type, count(*) AS cnt, sum(user_id) AS sum_uid
+        FROM graft.`${f.getName}`
+        GROUP BY event_type HAVING count(*) > $threshold""").collect()
+      base.insert(ev.where(col("event_id") % 2 === 1))
+      base.updateWhere(pmod(col("user_id"), lit(23)) === 7,
+        Seq("event_type" -> lit("redacted")))
+      DeleteVectors.deleteWhere(base, pmod(col("user_id"), lit(23)) === 8)
+      Thread.sleep(5)
+      spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$view`").collect()
+      SqlMvHavingFixture(view, f.getParent)
+    }
+
   final case class SqlTxnFixture(whDir: String, atomic: Boolean)
 
   /** SQL multi-table transaction (b59): the reference's MV double-write

@@ -374,6 +374,45 @@ object SparkEntry {
         .withColumn("fact_delta_incremental", lit(fx.factOnlyDelta))
         .orderBy("cat")
     }),
+    "b62_mv_global" -> ((s, d) => {
+      // GLOBAL (no GROUP BY) SQL materialized view — the dashboard
+      // count shape — maintained under a synthetic constant key through
+      // append + CoW update + MoR delete (the delete resets the one
+      // global group). The boolean pins the empty edge: a fully-deleted
+      // base reads ONE row with cnt 0, never no-rows. DuckDB re-derives
+      // the global aggregates from the raw events.
+      val fx = Fixtures.eventsSqlMvGlobal(s, d)
+      s.conf.set(graft.plans.IceSqlResolution.WarehouseKey, fx.whDir)
+      s.sql(s"""SELECT cnt, CAST(sum_uid AS BIGINT) AS sum_uid, min_id,
+          max_id, avg_uid FROM graft.`${fx.viewName}`""")
+        .withColumn("empty_reads_zero", lit(fx.emptyReadsZero))
+    }),
+    "b63_mv_multidim" -> ((s, d) => {
+      // Multi-dimension star SQL MV: fact ⋈ d1 ⋈ d2 with each dim
+      // pinned + versioned independently. Fact-only windows are true
+      // IVM (partials, zero resets); a SINGLE dim move resets only the
+      // affected groups (resets < live groups — both pinned as
+      // booleans); both dims moving at once falls back to the atomic
+      // reseed. DuckDB re-derives the join aggregation with the same
+      // deterministic dim moves (min/max event types recategorized).
+      val fx = Fixtures.eventsSqlMvMultiDim(s, d)
+      s.conf.set(graft.plans.IceSqlResolution.WarehouseKey, fx.whDir)
+      s.sql(s"""SELECT cat, tier, cnt, CAST(sum_uid AS BIGINT) AS sum_uid,
+          max_id FROM graft.`${fx.viewName}`""")
+        .withColumn("fact_delta_incremental", lit(fx.factOnlyDelta))
+        .withColumn("dim_move_partial", lit(fx.dimMovePartial))
+        .orderBy("cat", "tier")
+    }),
+    "b64_mv_having" -> ((s, d) => {
+      // HAVING in a SQL MV definition: compiles to a read-side filter
+      // over the folded view (maintenance unchanged) — groups under the
+      // 10%-of-rows threshold (the 'redacted' slice) are filtered at
+      // read. DuckDB re-derives with the same derivable threshold.
+      val fx = Fixtures.eventsSqlMvHaving(s, d)
+      s.conf.set(graft.plans.IceSqlResolution.WarehouseKey, fx.whDir)
+      s.sql(s"""SELECT event_type, cnt, CAST(sum_uid AS BIGINT) AS sum_uid
+          FROM graft.`${fx.viewName}`""").orderBy("event_type")
+    }),
     "b59_sql_txn" -> ((s, d) => {
       // SQL multi-table transaction: BEGIN TRANSACTION; INSERT INTO raw;
       // INSERT INTO agg; COMMIT — the reference's MV double-write done
@@ -3150,6 +3189,34 @@ object SparkEntry {
         "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, " +
         "count(*) AS cnt, true AS est_ok, true AS cnt_ok, " +
         "true AS export_refused FROM final GROUP BY 1 ORDER BY 1"),
+    "b62_mv_global" ->
+      ("SELECT count(*) AS cnt, CAST(sum(user_id) AS BIGINT) AS sum_uid, " +
+        "min(event_id) AS min_id, max(event_id) AS max_id, " +
+        "avg(user_id) AS avg_uid, true AS empty_reads_zero " +
+        "FROM events WHERE user_id % 23 <> 8"),
+    "b63_mv_multidim" ->
+      ("WITH d1 AS (SELECT et, " +
+        "CASE WHEN et = (SELECT min(event_type) FROM events) THEN 'Z' " +
+        "WHEN et = (SELECT max(event_type) FROM events) THEN 'Q' " +
+        "ELSE upper(substring(et, 1, 1)) END AS cat " +
+        "FROM (SELECT DISTINCT event_type AS et FROM events)), " +
+        "d2 AS (SELECT ub, CASE WHEN ub = 0 THEN 'Z0' " +
+        "ELSE 'T' || CAST(ub AS VARCHAR) END AS tier " +
+        "FROM (SELECT UNNEST([0, 1, 2, 3]) AS ub)) " +
+        "SELECT d1.cat AS cat, d2.tier AS tier, count(*) AS cnt, " +
+        "CAST(sum(f.user_id) AS BIGINT) AS sum_uid, " +
+        "max(f.event_id) AS max_id, true AS fact_delta_incremental, " +
+        "true AS dim_move_partial " +
+        "FROM events f JOIN d1 ON f.event_type = d1.et " +
+        "JOIN d2 ON f.user_id % 4 = d2.ub GROUP BY 1, 2 ORDER BY 1, 2"),
+    "b64_mv_having" ->
+      ("WITH final AS (SELECT event_id, user_id, " +
+        "CASE WHEN user_id % 23 = 7 THEN 'redacted' ELSE event_type END AS event_type " +
+        "FROM events WHERE user_id % 23 <> 8) " +
+        "SELECT event_type, count(*) AS cnt, " +
+        "CAST(sum(user_id) AS BIGINT) AS sum_uid FROM final " +
+        "GROUP BY 1 HAVING count(*) > (SELECT count(*) // 10 FROM final) " +
+        "ORDER BY 1"),
     "b59_sql_txn" ->
       ("SELECT 'agg' AS src, count(*) AS cnt, " +
         "CAST(sum(user_id) AS BIGINT) AS sum_key, true AS atomic FROM events " +

@@ -126,7 +126,10 @@ object ManifestExport {
         "partial state is DataSketches HLL, which DuckDB cannot fold — " +
         "read the view through the engine, or export the folded RESULT")
     def q(c: String) = s""""${c.replace("\"", "\"\"")}""""
-    val gCols = d.groupCols.map(q).mkString(", ")
+    // fold keys come from the SPEC (a GLOBAL view folds under its
+    // stored synthetic key, which the projection then drops); only the
+    // user-declared group columns reach the output list
+    val gCols = d.spec.groupCols.map(q).mkString(", ")
     val folds = (s"sum(cnt) AS cnt" +:
       (spec.sumCols.map(c => s"sum(${q(spec.sumCol(c))}) AS ${q(spec.sumCol(c))}") ++
         spec.countCols.map(c => s"sum(${q(spec.cntCol(c))}) AS ${q(spec.cntCol(c))}") ++
@@ -149,6 +152,12 @@ object ManifestExport {
       }
       s"$e AS ${q(o.alias)}"
     }).mkString(", ")
+    // HAVING applies over the projected aliases, exactly like the
+    // engine's read rule (MvSync.projectView). Caveat shared with the
+    // global (no GROUP BY) shape: an EMPTY view reads as no rows here,
+    // where the engine serves the one-row aggregate identity (cnt 0) —
+    // foreign engines see the difference only at zero facts
+    val havingSql = d.havingSql.fold("")(h => s" WHERE $h")
     s"""WITH _raw AS (
        |$rawBody),
        |_rg AS (
@@ -162,7 +171,7 @@ object ManifestExport {
        |_fold AS (
        |  SELECT $gCols, $folds FROM _live
        |  GROUP BY $gCols HAVING sum(cnt) > 0)
-       |SELECT $outs FROM _fold""".stripMargin
+       |SELECT * FROM (SELECT $outs FROM _fold) _v$havingSql""".stripMargin
   }
 
   /** Write [[duckDbViewSql]] to `<dest>`. Returns the SQL. */

@@ -33,11 +33,15 @@ import org.apache.spark.sql.functions._
   *  - '''count(distinct) maintains as mergeable HLL state''' (partial =
   *    hll_sketch_agg per window, fold = hll_union_agg); retraction by
   *    the same reset rule — a sketch cannot subtract.
-  *  - '''WHERE / expression keys / star joins''' route through ONE choke
-  *    point ([[MvSpec.prepare]]) applied identically to the seed scan
-  *    and to every window's insert AND delete images; a dimension
-  *    mutation is commit-version-detected and triggers an atomic full
-  *    reseed (including cnt=0 retractions for groups it emptied).
+  *  - '''WHERE / expression keys / star joins''' (one or several dims)
+  *    route through ONE choke point ([[MvSpec.prepare]]) applied
+  *    identically to the seed scan and to every window's insert AND
+  *    delete images; a dimension mutation is commit-version-detected
+  *    and — when exactly one dim moved, boundedly — maintained
+  *    PARTIALLY: isin-pruned fact probes name the affected groups and
+  *    only those reset, so dim-change cost (reads and writes) is
+  *    affected-data-sized. The fallback is an atomic full reseed
+  *    (including cnt=0 retractions for groups it emptied).
   *
   * MV row layout: group cols, `cnt`, `sum_<c>`…, `min_<c>`…, `max_<c>`…,
   * `gen` (the window's settled bound), `is_reset`. [[read]] folds per
@@ -74,9 +78,30 @@ object MvSync {
     * maintained (feed-driven) side; dimension mutations are detected by
     * commit version and maintained PARTIALLY from the dim's own change
     * feed (only the affected groups reset — see [[syncFromFeed]]), with
-    * an atomic full reseed as the fallback. */
+    * an atomic full reseed as the fallback. A view may join SEVERAL
+    * dimensions (a [[MvSpec.joinDims]] list): each is pinned and
+    * versioned independently; a window where exactly one dim moved
+    * maintains partially, several at once fall back to the reseed. */
   case class MvJoinDim(dimTable: String, factAlias: String,
-      dimAlias: String, condSql: String)
+      dimAlias: String, condSql: String) {
+    /** `(factKeyCol, dimKeyCol)` when `condSql` is one alias-qualified
+      * equality `fact.k = dim.j` (either order) — the shape whose
+      * dim-change maintenance can PRUNE the fact scans with an `isin`
+      * on the changed dim keys (pushed to the parquet scan, partition-
+      * and stats-prunable). None for any richer predicate: pruning is
+      * then skipped, never guessed. */
+    private[graft] lazy val equiKeys: Option[(String, String)] = {
+      val id = "`?([A-Za-z_][A-Za-z0-9_]*)`?"
+      val eq = s"^\\s*\\(?\\s*$id\\.$id\\s*=\\s*$id\\.$id\\s*\\)?\\s*$$".r
+      condSql match {
+        case eq(a1, c1, a2, c2) if a1 == factAlias && a2 == dimAlias =>
+          Some((c1, c2))
+        case eq(a1, c1, a2, c2) if a1 == dimAlias && a2 == factAlias =>
+          Some((c2, c1))
+        case _ => None
+      }
+    }
+  }
 
   /** View definition: `groupCols` keys, `sumCols` summed (count is always
     * maintained), `minMaxCols` tracked as min+max, `distinctCols` tracked
@@ -110,12 +135,23 @@ object MvSync {
       // boundary arrives as delete(old image) + insert(new image), each
       // judged on its own values
       filterSql: Option[String] = None,
-      // star-join enrichment: fact rows join the dimension snapshot
-      // before filter/derive/aggregate on every maintenance path; the
-      // dim DataFrame itself is a runtime argument (a pinned snapshot),
-      // threaded by the caller — the spec stores only the shape
-      joinDim: Option[MvJoinDim] = None) {
-    require(groupCols.nonEmpty, "MvSpec needs at least one group column")
+      // star-join enrichment: fact rows join each dimension snapshot IN
+      // ORDER before filter/derive/aggregate on every maintenance path;
+      // the dim DataFrames themselves are runtime arguments (pinned
+      // snapshots), threaded by the caller — the spec stores only the
+      // shapes. All entries share one fact alias; a later entry's
+      // condSql may reference any earlier alias (snowflake), though
+      // only plain fact-to-dim equalities get the isin scan pruning
+      joinDims: Seq[MvJoinDim] = Nil) {
+    require(groupCols.nonEmpty,
+      "MvSpec needs at least one group column — for a global (no GROUP " +
+        "BY) view use MvSpec.global, which maintains under a constant " +
+        "synthetic key")
+    require(joinDims.map(_.factAlias).distinct.size <= 1,
+      "every joined dimension must share the same fact alias")
+    require(joinDims.map(_.dimAlias).distinct.size == joinDims.size &&
+      !joinDims.exists(j => j.dimAlias == j.factAlias),
+      "join aliases must be pairwise distinct")
     // value-column names: aggregate args may be alias-qualified in a
     // join view (`f.v`, `d.x`); a dot inside a stored column name would
     // read back as a struct-field path, so sanitize
@@ -128,19 +164,20 @@ object MvSync {
     /** Join + filter + derived-group-column projection of any fact
       * base/feed frame — the single choke point that keeps every
       * maintenance path's view of "the rows this MV aggregates"
-      * identical. `dim` must be supplied (a pinned dimension snapshot)
-      * exactly when [[joinDim]] is set. */
+      * identical. `dims` must supply one pinned dimension snapshot per
+      * [[joinDims]] entry, in order. */
     private[operators] def prepare(
-        df: DataFrame, dim: Option[DataFrame] = None): DataFrame = {
-      val joined = joinDim match {
-        case None => df
-        case Some(j) =>
-          val d = dim.getOrElse(throw new IllegalArgumentException(
-            s"view joins dimension '${j.dimTable}' — a pinned dim " +
-              "snapshot must be supplied to every maintenance call"))
-          df.alias(j.factAlias)
-            .join(d.alias(j.dimAlias), expr(j.condSql), "inner")
-      }
+        df: DataFrame, dims: Seq[DataFrame] = Nil): DataFrame = {
+      require(dims.length == joinDims.length,
+        s"view joins ${joinDims.length} dimension(s) " +
+          s"(${joinDims.map(_.dimTable).mkString(", ")}) — a pinned " +
+          "snapshot per dim must be supplied to every maintenance call")
+      val joined =
+        if (joinDims.isEmpty) df
+        else joinDims.zip(dims).foldLeft(
+          df.alias(joinDims.head.factAlias)) { case (acc, (j, d)) =>
+            acc.join(d.alias(j.dimAlias), expr(j.condSql), "inner")
+          }
       val filtered = filterSql.fold(joined)(p => joined.where(expr(p)))
       val derived = derivedGroups.foldLeft(filtered) { case (d, (name, sql)) =>
         d.withColumn(name, expr(sql)) }
@@ -179,26 +216,54 @@ object MvSync {
         distinctCols.map(hllCol))
   }
 
+  /** The synthetic constant group key a GLOBAL (no GROUP BY) view
+    * maintains under: the whole delta/reset algebra applies unchanged
+    * over one constant group; reads fold the key back out. Reserved —
+    * never a user column name. */
+  val GlobalKey = "_mv_all"
+
+  object MvSpec {
+    /** A GLOBAL-aggregate spec (`SELECT count(*), sum(v) FROM t`, no
+      * GROUP BY): one constant synthetic group key ([[GlobalKey]])
+      * carries the existing maintenance algebra unchanged. */
+    def global(
+        sumCols: Seq[String] = Nil,
+        minMaxCols: Seq[String] = Nil,
+        countCols: Seq[String] = Nil,
+        distinctCols: Seq[String] = Nil,
+        filterSql: Option[String] = None,
+        joinDims: Seq[MvJoinDim] = Nil): MvSpec =
+      MvSpec(Seq(GlobalKey), sumCols, minMaxCols, countCols, distinctCols,
+        derivedGroups = Seq(GlobalKey -> "1"),
+        filterSql = filterSql, joinDims = joinDims)
+  }
+
   /** One output column of a SQL-defined view: `kind` ∈ cnt | sum | min |
-    * max | avg | dcnt (= `count(distinct col)`, HLL-state maintained),
+    * max | avg | dcnt (= `count(distinct col)` /
+    * `approx_count_distinct(col)`, HLL-state maintained — reads are
+    * sketch ESTIMATES, exact in the sparse regime, ±~2% beyond),
     * `col` the aggregated source column ("" for cnt). */
   case class MvOutput(alias: String, kind: String, col: String)
 
   /** A SQL-defined materialized view: source TABLE NAME (warehouse-
     * resolved, so the definition travels with the log), group columns
-    * (plain names, or aliases of `groupExprs` entries), the SELECT's
-    * output list, an optional WHERE predicate, and the expression group
-    * keys. Persisted as one JSON string in the MV table's config word
-    * (`mvd`), so any reopened handle — and the catalog resolution rule —
-    * can reconstruct both the maintenance [[MvSpec]] and the user-facing
-    * projection. */
+    * (plain names, or aliases of `groupExprs` entries — EMPTY for a
+    * global view, which maintains under [[GlobalKey]]), the SELECT's
+    * output list, an optional WHERE predicate, the expression group
+    * keys, the joined dimensions in join order, and an optional HAVING
+    * predicate (compiled to a read-side filter over the folded view —
+    * it never changes what is maintained). Persisted as one JSON string
+    * in the MV table's config word (`mvd`), so any reopened handle —
+    * and the catalog resolution rule — can reconstruct both the
+    * maintenance [[MvSpec]] and the user-facing projection. */
   case class MvViewDef(source: String, groupCols: Seq[String],
       outputs: Seq[MvOutput],
       filterSql: Option[String] = None,
       groupExprs: Seq[(String, String)] = Nil,
-      dim: Option[MvJoinDim] = None) {
+      dims: Seq[MvJoinDim] = Nil,
+      havingSql: Option[String] = None) {
     def spec: MvSpec = MvSpec(
-      groupCols,
+      if (groupCols.isEmpty) Seq(GlobalKey) else groupCols,
       sumCols = outputs.collect {
         case o if o.kind == "sum" || o.kind == "avg" => o.col }.distinct,
       minMaxCols = outputs.collect {
@@ -207,9 +272,10 @@ object MvSync {
         case o if o.kind == "avg" => o.col }.distinct,
       distinctCols = outputs.collect {
         case o if o.kind == "dcnt" => o.col }.distinct,
-      derivedGroups = groupExprs,
+      derivedGroups =
+        (if (groupCols.isEmpty) Seq(GlobalKey -> "1") else Nil) ++ groupExprs,
       filterSql = filterSql,
-      joinDim = dim)
+      joinDims = dims)
     def encode: String = {
       val base = Seq[(String, Any)](
         "src" -> source, "g" -> groupCols,
@@ -218,9 +284,17 @@ object MvSync {
       val withGe =
         if (groupExprs.isEmpty) withW
         else withW :+ ("ge" -> groupExprs.map { case (a, e) => Seq(a, e) })
-      val withJ = dim.fold(withGe)(j => withGe :+
-        ("j" -> Seq(j.dimTable, j.factAlias, j.dimAlias, j.condSql)))
-      graft.ice.Json.obj(withJ: _*)
+      // single dim keeps the round-13 "j" word (already-persisted views
+      // decode unchanged); several encode as a "js" list
+      val withJ = dims match {
+        case Seq() => withGe
+        case Seq(j) => withGe :+
+          ("j" -> Seq(j.dimTable, j.factAlias, j.dimAlias, j.condSql))
+        case js => withGe :+ ("js" -> js.map(j =>
+          Seq(j.dimTable, j.factAlias, j.dimAlias, j.condSql)))
+      }
+      val withH = havingSql.fold(withJ)(h => withJ :+ ("h" -> h))
+      graft.ice.Json.obj(withH: _*)
     }
   }
 
@@ -237,6 +311,9 @@ object MvSync {
         }.toSeq
         case _ => Seq.empty
       }
+      def dimOf(v: Any): MvJoinDim = {
+        val f = strs(v); MvJoinDim(f(0), f(1), f(2), f(3))
+      }
       MvViewDef(
         m("src").toString,
         strs(m("g")),
@@ -248,9 +325,12 @@ object MvSync {
         },
         filterSql = m.get("w").map(_.toString),
         groupExprs = m.get("ge").map(pairs).getOrElse(Nil),
-        dim = m.get("j").map { v =>
-          val f = strs(v); MvJoinDim(f(0), f(1), f(2), f(3))
-        })
+        dims = m.get("j").map(v => Seq(dimOf(v))).getOrElse(
+          m.get("js") match {
+            case Some(xs: scala.collection.Seq[_]) => xs.map(dimOf).toSeq
+            case _ => Nil
+          }),
+        havingSql = m.get("h").map(_.toString))
     }
   }
 
@@ -312,114 +392,183 @@ object MvSync {
         "reset bookkeeping, not data) — define the second view over the " +
         "original base table instead")
 
+  /** Change-mark key recording dim `i`'s pinned version for a replica
+    * (or streaming query) — dim 0 keeps the single-dim key shape, so
+    * round-13 views carry their recorded baseline forward. */
+  private[graft] def dimMarkKey(replicaId: String, i: Int): String =
+    if (i == 0) s"_mv_dim:$replicaId" else s"_mv_dim:$replicaId:$i"
+
+  /** Pin each dimension's newest snapshot + FULL commit-state version
+    * (main log + `_dv` side log: a dim-side merge-on-read delete commits
+    * only to `_dv` and must be detected like any other dim mutation)
+    * ONCE for a whole maintenance call. The version is the dim's max
+    * log-file ts — monotone, which the mark channel requires. A dim
+    * RESTORE (version moving backwards) reads as a persistent mismatch →
+    * full reseed per refresh until the clock re-passes the recorded
+    * mark: degraded but always correct, self-healing. */
+  private def pinDims(dimTables: Seq[IceTable], requireSeeded: Boolean)
+      : (Seq[DataFrame], Seq[Long]) = {
+    val pins = dimTables.map { dt =>
+      if (requireSeeded && dt.trySnapshot(Long.MaxValue).isEmpty)
+        throw new IllegalArgumentException(
+          s"dimension table at ${dt.root} has no commits yet — seed it " +
+            "before syncing a view that joins it")
+      val ver = dt.commitVersion()
+      (dt.read(ver + 1), ver)
+    }
+    (pins.map(_._1), pins.map(_._2))
+  }
+
+  private def requireDims(spec: MvSpec, dimTables: Seq[IceTable],
+      what: String): Unit = {
+    require(dimTables.length == spec.joinDims.length,
+      s"view joins ${spec.joinDims.length} dimension(s) " +
+        s"(${spec.joinDims.map(_.dimTable).mkString(", ")}): pass every " +
+        s"dim table handle, in join order, to $what")
+    dimTables.foreach(requireNotMvSource)
+  }
+
+  /** One full reset generation at `until`: every group's aggregates
+    * recomputed exactly from the base (joined with the supplied pinned
+    * dims). With `retractStale`, groups live in the CURRENT view but
+    * absent from the recompute (a dim move can empty a group without
+    * any fact delta) land cnt=0 resets in the SAME frame — a vanished
+    * group would otherwise keep serving its old reset forever. Returned
+    * eagerly checkpointed; the caller commits and unpersists. */
+  private[graft] def resetSeedRows(source: IceTable, mv: IceTable,
+      spec: MvSpec, until: Long, dims: Seq[DataFrame],
+      retractStale: Boolean): DataFrame = {
+    val groupCols = spec.groupCols.map(col)
+    val fresh0 = spec.prepare(source.read(until + 1), dims)
+      .groupBy(groupCols: _*).agg(spec.aggExprs.head, spec.aggExprs.tail: _*)
+    // a schema-less MV (seeded while the source had no commits) has no
+    // state to retract — and read(mv, spec) would refuse it
+    val canRetract = retractStale &&
+      mv.trySnapshot(Long.MaxValue).exists(_.schema.pairs.exists(_._1 == "gen"))
+    // the stale computation references `fresh` three times (anti-join,
+    // typed-null left join, union): checkpoint the group-count-sized
+    // aggregate so the base scans once, not three times
+    val fresh = if (canRetract) fresh0.localCheckpoint(true) else fresh0
+    try {
+      val withStale =
+        if (!canRetract) fresh
+        else {
+          val staleKeys = read(mv, spec).select(groupCols: _*)
+            .alias("_mvo").join(fresh.alias("_mvn"),
+              groupCond("_mvo", "_mvn", spec.groupCols), "left_anti")
+          // typed null value columns via the outer join against fresh
+          // (no match by construction), cnt coalesced to the retraction 0
+          val stale = staleKeys.alias("_mvl").join(fresh.alias("_mvr"),
+              groupCond("_mvl", "_mvr", spec.groupCols), "left")
+            .select(spec.groupCols.map(c => col(s"_mvl.`$c`").as(c)) ++
+              (coalesce(col("_mvr.`cnt`"), lit(0L)).as("cnt") +:
+                spec.valueCols.drop(1).map(v => col(s"_mvr.`$v`").as(v))): _*)
+          fresh.unionByName(stale)
+        }
+      withStale
+        .withColumn("gen", lit(until))
+        .withColumn("is_reset", lit(true))
+        .localCheckpoint(true)
+    } finally { if (canRetract) { fresh.unpersist(); () } }
+  }
+
+  /** The groups one dimension's change can affect: fact rows joined
+    * with the CHANGED dim-row images (old images name the groups those
+    * facts LEFT; new images the groups they ENTER), evaluated against
+    * the fact base at BOTH window bounds — the base at the OLD
+    * watermark is the state the MV's standing partials reflect (a fact
+    * row deleted inside the pending window still witnessed its old dim
+    * mapping there; the post-window base alone could never name it),
+    * the post-window base catches groups the changed keys newly enter.
+    *
+    * When the join condition is one fact-to-dim equality, both fact
+    * scans are PRUNED with an `isin` on the changed dim keys — pushed
+    * to the parquet scan (partition- and stats-prunable on a
+    * key-clustered base), the same trick as the reset recompute — so
+    * discovery READS are changed-keys-sized, never base-sized. The key
+    * set is bounded: the caller's `maxPruneGroups` gate caps the image
+    * count before this runs. Non-equi conditions skip the prune (the
+    * unpruned scan is still correct). */
+  private[graft] def dimChangeAffectedGroups(source: IceTable,
+      spec: MvSpec, images: DataFrame, changed: Int, wm: Long,
+      until: Long, dims: Seq[DataFrame], maxPruneGroups: Int): DataFrame = {
+    val j = spec.joinDims(changed)
+    val groupCols = spec.groupCols.map(col)
+    val pruneKeys: Option[Seq[Any]] = j.equiKeys.flatMap { case (_, dk) =>
+      val vals = images.select(col(dk)).distinct()
+        .limit(maxPruneGroups + 1).collect().map(_.get(0)).toSeq
+      // over the cap → unpruned scans (still correct); null keys never
+      // match the inner equality join — drop them
+      if (vals.length <= maxPruneGroups) Some(vals.filterNot(_ == null))
+      else None
+    }
+    def groupsAt(bound: Long): DataFrame = {
+      val base = source.read(bound + 1)
+      val pruned = (j.equiKeys, pruneKeys) match {
+        case (Some((fk, _)), Some(ks)) => base.where(col(fk).isin(ks: _*))
+        case _ => base
+      }
+      spec.prepare(pruned, dims.updated(changed, images))
+        .select(groupCols: _*)
+    }
+    groupsAt(wm).unionByName(groupsAt(until)).distinct()
+  }
+
   /** Advance the MV to the base table's current settled state. First call
     * seeds the view with one full aggregation (every group a reset row);
     * later calls process only the feed window since the stored watermark.
     *
-    * For a join view ([[MvSpec.joinDim]]) the caller supplies the
-    * dimension TABLE HANDLE; the sync pins its newest snapshot and
-    * version itself. A version change since the last sync maintains
-    * INCREMENTALLY when possible: the dim's own row-level change feed
-    * yields the changed dim rows, fact ⋈ changed-rows (old images → the
-    * groups those facts LEFT, new images → the groups they ENTER) names
-    * the affected groups, and only those reset — dim-change cost is
-    * affected-groups-sized, not view-sized. Falls back to a full reseed
+    * For a join view ([[MvSpec.joinDims]]) the caller supplies the
+    * dimension TABLE HANDLES in join order; the sync pins each newest
+    * snapshot and version itself. A version change since the last sync
+    * maintains INCREMENTALLY when possible: when exactly ONE dim moved,
+    * its own row-level change feed yields the changed rows,
+    * [[dimChangeAffectedGroups]] names the affected groups from
+    * isin-pruned fact scans at both window bounds, and only those
+    * groups reset — dim-change cost (reads AND writes) is
+    * affected-data-sized, not base-sized. Falls back to a full reseed
     * (one fresh reset generation + cnt=0 retractions for emptied groups,
-    * readers correct throughout via newest-reset-wins) when the dim
-    * delta is unattributable (cleanup horizon), oversized
-    * (> maxPruneGroups changed rows — at that volume most groups are
-    * affected anyway), or the recorded version cannot anchor a window.
-    * Returns (partial-group rows appended, groups reset). */
+    * readers correct throughout via newest-reset-wins) when several
+    * dims moved at once, the delta is unattributable (cleanup horizon),
+    * oversized (> maxPruneGroups changed rows — at that volume most
+    * groups are affected anyway), or the recorded version cannot anchor
+    * a window. Returns (partial-group rows appended, groups reset).
+    *
+    * Cross-process caveat (same as every settled-bound feed chain): a
+    * straggler dim commit landing at a ts at-or-below the recorded
+    * version with no later commit is undetectable. */
   def syncFromFeed(source: IceTable, mv: IceTable, spec: MvSpec,
       replicaId: String = "default",
       maxPruneGroups: Int = 1000,
-      dimTable: Option[IceTable] = None): (Long, Long) = {
+      dimTables: Seq[IceTable] = Nil): (Long, Long) = {
     requireNotMvSource(source)
-    spec.joinDim.foreach { j =>
-      require(dimTable.nonEmpty,
-        s"view joins dimension '${j.dimTable}': pass the dim table " +
-          "handle to every sync")
-      dimTable.foreach(requireNotMvSource)
-    }
-    // pin the dim snapshot + version once for the whole sync. The
-    // version is the dim's max log-file ts — monotone, which the mark
-    // channel requires (stream-commit records max-merge in the fold).
-    // A dim RESTORE (version moving backwards) reads as a persistent
-    // mismatch → full reseed per refresh until the clock re-passes the
-    // recorded mark: degraded but always correct, self-healing. A
-    // cross-host straggler landing at a ts at-or-below the recorded
-    // version with no later commit is undetectable — the same
-    // cross-process caveat as every settled-bound feed chain
-    val (dim, dimVersion): (Option[DataFrame], Option[Long]) = dimTable match {
-      case None => (None, None)
-      case Some(dt) =>
-        if (dt.trySnapshot(Long.MaxValue).isEmpty)
-          throw new IllegalArgumentException(
-            s"dimension table at ${dt.root} has no commits yet — seed it " +
-              "before syncing a view that joins it")
-        // FULL commit-state version (main log + dv side log): a dim-side
-        // merge-on-read delete commits only to `_dv` and must be
-        // detected and maintained like any other dim mutation
-        val ver = dt.commitVersion()
-        (Some(dt.read(ver + 1)), Some(ver))
-    }
+    requireDims(spec, dimTables, "every sync")
+    val (dims, dimVersions) = pinDims(dimTables, requireSeeded = true)
     val key = s"_mv_sync:$replicaId"
-    val dimKey = s"_mv_dim:$replicaId"
     val groupCols = spec.groupCols.map(col)
 
+    // the dim marks commit separately AFTER the data commit: a crash in
+    // between replays as "dim changed" → an extra (idempotent) reseed,
+    // never a missed one
+    def commitDimMarks(): Unit = dimVersions.zipWithIndex.foreach {
+      case (v, i) => CdcApply.commitMark(mv, dimMarkKey(replicaId, i), v) }
+
     // one full aggregation landing as a reset generation at `until`;
-    // the initial seed and the dim-change reseed share it exactly.
-    // `retractStale`: groups live in the CURRENT view but absent from
-    // the recompute (a dim move can empty a group without any fact
-    // delta) must land cnt=0 resets IN THE SAME atomic commit — a
-    // vanished group would otherwise keep serving its old reset forever.
+    // the initial seed and the dim-change reseed share it exactly
     def fullResetSeed(until: Long, retractStale: Boolean): Long = {
-      val fresh0 = spec.prepare(source.read(until + 1), dim)
-        .groupBy(groupCols: _*).agg(spec.aggExprs.head, spec.aggExprs.tail: _*)
-      // a schema-less MV (seeded while the source had no commits) has no
-      // state to retract — and read(mv, spec) would refuse it
-      val canRetract = retractStale &&
-        mv.trySnapshot(Long.MaxValue).exists(_.schema.pairs.exists(_._1 == "gen"))
-      // the stale computation references `fresh` three times (anti-join,
-      // typed-null left join, union): checkpoint the group-count-sized
-      // aggregate so the base scans once, not three times
-      val fresh = if (canRetract) fresh0.localCheckpoint(true) else fresh0
+      val resets = resetSeedRows(source, mv, spec, until, dims, retractStale)
       try {
-        val withStale =
-          if (!canRetract) fresh
-          else {
-            val staleKeys = read(mv, spec).select(groupCols: _*)
-              .alias("_mvo").join(fresh.alias("_mvn"),
-                groupCond("_mvo", "_mvn", spec.groupCols), "left_anti")
-            // typed null value columns via the outer join against fresh
-            // (no match by construction), cnt coalesced to the retraction 0
-            val stale = staleKeys.alias("_mvl").join(fresh.alias("_mvr"),
-                groupCond("_mvl", "_mvr", spec.groupCols), "left")
-              .select(spec.groupCols.map(c => col(s"_mvl.`$c`").as(c)) ++
-                (coalesce(col("_mvr.`cnt`"), lit(0L)).as("cnt") +:
-                  spec.valueCols.drop(1).map(v => col(s"_mvr.`$v`").as(v))): _*)
-            fresh.unionByName(stale)
-          }
-        val resets = withStale
-          .withColumn("gen", lit(until))
-          .withColumn("is_reset", lit(true))
-          .localCheckpoint(true)
-        try {
-          val n = resets.count()
-          // insert even when empty: the commit carries the view's COLUMN
-          // SCHEMA, so read()/readView() work before any group exists
-          mv.insertBatch(resets, key, until)
-          // the dim marks commit separately AFTER: a crash in between
-          // replays as "dim changed" → an extra (idempotent) reseed,
-          // never a missed one
-          dimVersion.foreach(v => CdcApply.commitMark(mv, dimKey, v))
-          n
-        } finally { resets.unpersist(); () }
-      } finally { if (canRetract) { fresh.unpersist(); () } }
+        val n = resets.count()
+        // insert even when empty: the commit carries the view's COLUMN
+        // SCHEMA, so read()/readView() work before any group exists
+        mv.insertBatch(resets, key, until)
+        commitDimMarks()
+        n
+      } finally { resets.unpersist(); () }
     }
 
     // count the delta's partial/reset rows, commit it (or just the
-    // watermark when empty), then — only when it moved — the dim mark:
+    // watermark when empty), then — only when it moved — the dim marks:
     // the one sequencing both window shapes must share
     def commitDelta(delta: DataFrame, until: Long,
         commitDim: Boolean): (Long, Long) = {
@@ -430,8 +579,7 @@ object MvSync {
       val nReset = byKind.getOrElse(true, 0L)
       if (nPart + nReset == 0) CdcApply.commitMark(mv, key, until)
       else mv.insertBatch(delta, key, until)
-      if (commitDim)
-        dimVersion.foreach(v => CdcApply.commitMark(mv, dimKey, v))
+      if (commitDim) commitDimMarks()
       (nPart, nReset)
     }
 
@@ -441,72 +589,70 @@ object MvSync {
         source.trySnapshot(until + 1) match {
           case None =>
             CdcApply.commitMark(mv, key, until)
-            // record the dim baseline too: without it the next sync
+            // record the dim baselines too: without them the next sync
             // reads "dim changed" and the retract path would trip over
             // the still-schema-less view
-            dimVersion.foreach(v => CdcApply.commitMark(mv, dimKey, v))
+            commitDimMarks()
             (0L, 0L)
           case Some(_) => (0L, fullResetSeed(until, retractStale = false))
         }
 
       case Some(wm) =>
-        val prevDimVer = CdcApply.readMark(mv, dimKey)
-        val dimChanged = spec.joinDim.nonEmpty && prevDimVer != dimVersion
-        // the incremental dim path: the changed dim rows' images, bounded
-        // and attributable. The window starts one ms BEFORE the recorded
-        // version, so a same-millisecond commit that landed after the
-        // previous pin is still captured — the commits legitimately AT
-        // v0 re-appear too, which only re-resets already-correct groups
-        // (over-capture is idempotent; under-capture is not). Requires a
+        val prevVers: Seq[Option[Long]] =
+          dimTables.indices.map(i => CdcApply.readMark(mv, dimMarkKey(replicaId, i)))
+        val changedIdx: Seq[Int] = dimTables.indices
+          .filter(i => !prevVers(i).contains(dimVersions(i)))
+        // the incremental dim path applies when exactly ONE dim moved
+        // and its changed rows are bounded and attributable. The window
+        // starts one ms BEFORE the recorded version, so a
+        // same-millisecond commit that landed after the previous pin is
+        // still captured — the commits legitimately AT v0 re-appear
+        // too, which only re-resets already-correct groups (over-
+        // capture is idempotent; under-capture is not). Requires a
         // strictly advanced version: a backwards move (dim RESTORE)
         // cannot anchor a window and falls back to the full reseed.
-        val dimDelta: Option[DataFrame] =
-          if (!dimChanged) None
-          else (prevDimVer, dimVersion, dimTable) match {
-            case (Some(v0), Some(v1), Some(dt)) if v1 > v0 =>
-              try {
-                val d = ChangeFeed.between(dt, v0 - 1, v1).localCheckpoint(true)
-                if (d.count() > maxPruneGroups) { d.unpersist(); None }
-                else Some(d)
-              } catch { case _: Exception => None }
-            case _ => None
+        val dimDelta: Option[(Int, DataFrame)] =
+          if (changedIdx.size != 1) None
+          else {
+            val i = changedIdx.head
+            prevVers(i) match {
+              case Some(v0) if dimVersions(i) > v0 =>
+                try {
+                  val d = ChangeFeed.between(dimTables(i), v0 - 1,
+                    dimVersions(i)).localCheckpoint(true)
+                  if (d.count() > maxPruneGroups) { d.unpersist(); None }
+                  else Some((i, d))
+                } catch { case _: Exception => None }
+              case _ => None
+            }
           }
-        if (dimChanged && dimDelta.isEmpty) {
+        if (changedIdx.nonEmpty && dimDelta.isEmpty) {
           // fall back: recompute every group at a fresh settled bound
           // (covers any pending fact window too)
           val until = awaitSettledPast(source, wm,
             what = s"dim-change reseed of ${mv.root}")
           (0L, fullResetSeed(until, retractStale = true))
-        } else if (dimChanged) {
-          // PARTIAL dim maintenance. Affected groups come from the fact
-          // base at BOTH window bounds joined with ALL changed-row
-          // images: the base at the OLD watermark is the state the MV's
-          // standing partials reflect — a fact row deleted inside the
-          // pending window still witnessed its old dim mapping there, so
-          // its old group resets (the post-window base alone could never
-          // name it); the post-window base catches groups the changed
-          // keys newly enter. Only that set resets; everything else
-          // keeps its partials, and the pending fact window rides in the
-          // same atomic delta commit. Any failure mid-computation (e.g.
-          // the old-bound read racing a cleanup) falls back to the full
-          // reseed, which needs no history.
-          val dd = dimDelta.get
+        } else if (changedIdx.nonEmpty) {
+          // PARTIAL dim maintenance: only the affected groups reset
+          // (isin-pruned discovery — see dimChangeAffectedGroups);
+          // everything else keeps its partials, and the pending fact
+          // window rides in the same atomic delta commit. Any failure
+          // mid-computation (e.g. the old-bound read racing a cleanup)
+          // falls back to the full reseed, which needs no history.
+          val (ci, dd) = dimDelta.get
           try {
             val until = awaitSettledPast(source, wm,
               what = s"dim-delta sync of ${mv.root}")
             val images = broadcast(dd
               .where(col(ChangeFeed.ChangeTypeCol).isin("insert", "delete"))
               .drop(ChangeFeed.ChangeTypeCol, ChangeFeed.CommitTsCol))
-            def groupsAt(bound: Long): DataFrame =
-              spec.prepare(source.read(bound + 1), Some(images))
-                .select(groupCols: _*)
-            val affected = groupsAt(wm).unionByName(groupsAt(until))
-              .distinct().localCheckpoint(true)
+            val affected = dimChangeAffectedGroups(source, spec, images,
+              ci, wm, until, dims, maxPruneGroups).localCheckpoint(true)
             try {
               val f = ChangeFeed.between(source, wm, until).localCheckpoint()
               try {
                 val delta = windowDelta(source, spec, f, until,
-                  maxPruneGroups, dim, extraRetracted = Some(affected))
+                  maxPruneGroups, dims, extraRetracted = Some(affected))
                 try commitDelta(delta, until, commitDim = true)
                 finally { delta.unpersist(); () }
               } finally { f.unpersist(); () }
@@ -522,7 +668,7 @@ object MvSync {
           val f = feed.localCheckpoint()
           try {
             if (f.isEmpty) return (0L, 0L) // idle window: commit nothing
-            val delta = windowDelta(source, spec, f, until, maxPruneGroups, dim)
+            val delta = windowDelta(source, spec, f, until, maxPruneGroups, dims)
             try commitDelta(delta, until, commitDim = false)
             finally { delta.unpersist(); () }
           } finally { f.unpersist(); () }
@@ -537,7 +683,7 @@ object MvSync {
     * the caller unpersists. */
   private[graft] def windowDelta(source: IceTable, spec: MvSpec,
       feed: DataFrame, gen: Long, maxPruneGroups: Int,
-      dim: Option[DataFrame] = None,
+      dims: Seq[DataFrame] = Nil,
       // extra group rows to force-reset (the dim-delta path's affected
       // groups) — unioned with the feed's own retractions, so the reset
       // machinery (exact recompute, cnt=0 for emptied groups) covers both
@@ -547,7 +693,7 @@ object MvSync {
     // the insert/delete split: both image kinds enrich and filter
     // identically (a row that never passed never retracts either), and
     // the derived key is computed on each image's own values
-    val fprep = spec.prepare(feed, dim)
+    val fprep = spec.prepare(feed, dims)
     val feedRetracted = fprep
       .where(col(ChangeFeed.ChangeTypeCol) === "delete")
       .select(groupCols: _*)
@@ -564,7 +710,7 @@ object MvSync {
         .groupBy(groupCols: _*).agg(spec.aggExprs.head, spec.aggExprs.tail: _*)
         .withColumn("gen", lit(gen))
         .withColumn("is_reset", lit(false))
-      val resets = resetRows(source, retracted, spec, gen, maxPruneGroups, dim)
+      val resets = resetRows(source, retracted, spec, gen, maxPruneGroups, dims)
       partials.unionByName(resets).localCheckpoint(true)
     } finally { retracted.unpersist(); () }
   }
@@ -578,46 +724,52 @@ object MvSync {
     * the `(queryName, batchId)` record commit in ONE atomic log PUT
     * ([[IceTable.insertBatch]]); a crash-replayed batch is skipped. A
     * horizon-skip gap marker fails loudly — a view silently missing a
-    * window is worse than a dead stream. */
+    * window is worse than a dead stream.
+    *
+    * A STREAMING join view maintains against PINNED dimensions whose
+    * baseline versions are recorded under `queryName` marks — at stream
+    * setup ([[recordStreamDimBaseline]], so a dim mutation between the
+    * view's seed and the first batch is DETECTED, never silently
+    * adopted), by a [[rebase]] under `replicaId = queryName`, or (direct
+    * API callers only) by the first batch. A later version is a loud
+    * failure — batch-sized deltas cannot absorb a dim move mid-stream —
+    * unless `autoRebase` is set, in which case the batch lands as ONE
+    * full reset generation at the batch's own bound computed against
+    * the NEW pinned dims (cnt=0 retractions included), committed with
+    * the same `(queryName, batchId)` exactly-once record, and the
+    * baseline marks advance; later batches apply on top. Manual
+    * recovery (autoRebase off): stop the query, `MvSync.rebase(source,
+    * mv, spec, replicaId = queryName, dimTables = …)`, restart the
+    * stream from the rebase watermark. An EMPTY batch never absorbs a
+    * dim move (it has no generation to anchor): the next non-empty
+    * batch does. */
   def applyFeedBatch(source: IceTable, mv: IceTable, spec: MvSpec,
       batch: DataFrame, batchId: Long, queryName: String = "_mv_stream",
       maxPruneGroups: Int = 1000,
-      dimTable: Option[IceTable] = None): Unit = {
+      dimTables: Seq[IceTable] = Nil,
+      autoRebase: Boolean = false): Unit = {
     requireNotMvSource(source)
-    // a STREAMING join view maintains against a PINNED dimension: the
-    // first batch records the dim version as the stream's baseline mark
-    // (keyed by queryName), and any later version is a loud failure —
-    // batch-sized deltas cannot absorb a dim move mid-stream. Recovery:
-    // stop the query, MvSync.rebase(source, mv, spec, replicaId =
-    // queryName, dimTable = …) to absorb the change (it re-records the
-    // baseline), restart the stream from the rebase watermark.
-    spec.joinDim.foreach { j =>
-      require(dimTable.nonEmpty,
-        s"view joins dimension '${j.dimTable}': pass the dim table " +
-          "handle to every streaming batch")
-      dimTable.foreach(requireNotMvSource)
+    requireDims(spec, dimTables, "every streaming batch")
+    val (dims, dimVersions) = pinDims(dimTables, requireSeeded = false)
+    val prev: Seq[Option[Long]] = dimTables.indices
+      .map(i => CdcApply.readMark(mv, dimMarkKey(queryName, i)))
+    // no baseline yet (direct API caller): adopt the current version
+    dimTables.indices.foreach { i =>
+      if (prev(i).isEmpty)
+        CdcApply.commitMark(mv, dimMarkKey(queryName, i), dimVersions(i))
     }
-    val (dim, dimVersion): (Option[DataFrame], Option[Long]) = dimTable match {
-      case None => (None, None)
-      case Some(dt) =>
-        // full commit-state version: main log + dv side log (a dim-side
-        // MoR delete commits only to _dv)
-        val ver = dt.commitVersion()
-        (Some(dt.read(ver + 1)), Some(ver))
-    }
-    val dimKey = s"_mv_dim:$queryName"
-    dimVersion.foreach { v =>
-      CdcApply.readMark(mv, dimKey) match {
-        case None => CdcApply.commitMark(mv, dimKey, v)
-        case Some(v0) if v0 == v => ()
-        case Some(v0) => throw new IllegalStateException(
-          s"dimension '${spec.joinDim.get.dimTable}' changed under a " +
-            s"STREAMING join view (version $v0 → $v): streaming " +
-            "maintenance joins a pinned dim. Stop the query, run " +
-            s"MvSync.rebase(source, mv, spec, replicaId = \"$queryName\", " +
-            "dimTable = …) to absorb the change, then restart the stream " +
-            "from the rebase watermark")
-      }
+    val moved: Seq[Int] = dimTables.indices
+      .filter(i => prev(i).exists(_ != dimVersions(i)))
+    if (moved.nonEmpty && !autoRebase) {
+      val what = moved.map(i => s"'${spec.joinDims(i).dimTable}' " +
+        s"(version ${prev(i).get} → ${dimVersions(i)})").mkString(", ")
+      throw new IllegalStateException(
+        s"dimension $what changed under a STREAMING join view: " +
+          "streaming maintenance joins a pinned dim. Stop the query, run " +
+          s"MvSync.rebase(source, mv, spec, replicaId = \"$queryName\", " +
+          "dimTables = …) to absorb the change, then restart the stream " +
+          "from the rebase watermark — or start the sink with " +
+          "autoRebase = true to absorb dim moves in-stream")
     }
     val b = batch.localCheckpoint()
     try {
@@ -627,10 +779,40 @@ object MvSync {
           "before the feed floor are unrecoverable — rebuild the view " +
           "(drop + initial sync) instead of silently diverging")
       val gen = b.agg(max(col(ChangeFeed.CommitTsCol))).head.getLong(0)
-      val delta = windowDelta(source, spec, b, gen, maxPruneGroups, dim)
-      try { mv.insertBatch(delta, queryName, batchId); () }
-      finally { delta.unpersist(); () }
+      if (moved.nonEmpty) {
+        // in-stream dim-move absorption: one full reset generation at
+        // the batch's own bound against the NEW dims — the recompute
+        // already includes this batch's fact commits (they are in the
+        // base as of gen + 1), so nothing applies twice; the marks
+        // advance AFTER the data commit (a crash between replays as
+        // "dim changed" → another idempotent absorb, never a miss)
+        val resets = resetSeedRows(source, mv, spec, gen, dims,
+          retractStale = true)
+        try { mv.insertBatch(resets, queryName, batchId); () }
+        finally { resets.unpersist(); () }
+        dimVersions.zipWithIndex.foreach { case (v, i) =>
+          CdcApply.commitMark(mv, dimMarkKey(queryName, i), v) }
+      } else {
+        val delta = windowDelta(source, spec, b, gen, maxPruneGroups, dims)
+        try { mv.insertBatch(delta, queryName, batchId); () }
+        finally { delta.unpersist(); () }
+      }
     } finally { b.unpersist(); () }
+  }
+
+  /** Record a streaming query's dim-version baselines AT SETUP — only
+    * where no mark exists yet (a rebase or seed under `queryName`
+    * already recorded the version its recompute actually pinned). Makes
+    * a dim mutation between setup and the first batch a DETECTED move
+    * rather than a silently-adopted baseline. */
+  def recordStreamDimBaseline(mv: IceTable, spec: MvSpec,
+      queryName: String, dimTables: Seq[IceTable]): Unit = {
+    requireDims(spec, dimTables, "the stream setup")
+    dimTables.zipWithIndex.foreach { case (dt, i) =>
+      val k = dimMarkKey(queryName, i)
+      if (CdcApply.readMark(mv, k).isEmpty)
+        CdcApply.commitMark(mv, k, dt.commitVersion())
+    }
   }
 
   /** Exact recompute of the retracted groups from the base as of
@@ -641,9 +823,9 @@ object MvSync {
     * stats-prunable), anything else a broadcast semi join. */
   private def resetRows(source: IceTable, retracted: DataFrame,
       spec: MvSpec, until: Long, maxPruneGroups: Int,
-      dim: Option[DataFrame] = None): DataFrame = {
+      dims: Seq[DataFrame] = Nil): DataFrame = {
     val groupCols = spec.groupCols.map(col)
-    val base = spec.prepare(source.read(until + 1), dim)
+    val base = spec.prepare(source.read(until + 1), dims)
     def semiJoined: DataFrame =
       base.alias("_mvb").join(broadcast(retracted.alias("_mvt")),
         groupCond("_mvb", "_mvt", spec.groupCols), "left_semi")
@@ -705,7 +887,12 @@ object MvSync {
 
   /** Project a folded frame to a view definition's output aliases —
     * [[readView]]'s projection, reusable over [[foldPartials]] of any
-    * partial-row source. */
+    * partial-row source. A GLOBAL view (no group columns) folds its
+    * synthetic key out here and ALWAYS reads exactly one row: when the
+    * fold is empty (unseeded-but-schema'd, or fully retracted), the
+    * aggregates' ANSI over-empty identities surface — count 0,
+    * everything else null — never no-rows. A HAVING predicate applies
+    * LAST, over the projected aliases. */
   def projectView(folded: DataFrame, d: MvViewDef): DataFrame = {
     val cols = d.groupCols.map(col) ++ d.outputs.map { o =>
       (o.kind match {
@@ -729,7 +916,26 @@ object MvSync {
         case k => throw new IllegalArgumentException(s"unknown MV aggregate kind $k")
       }).as(o.alias)
     }
-    folded.select(cols: _*)
+    val projected = folded.select(cols: _*)
+    val shaped =
+      if (d.groupCols.nonEmpty) projected
+      else {
+        // the one-row default: typed from the projection's own schema,
+        // real row (priority 0) wins over the identity row (1) — both
+        // frames are at most one row, so the sort is free
+        val defaults = d.outputs.map { o =>
+          val dt = projected.schema(o.alias).dataType
+          (o.kind match {
+            case "cnt" | "dcnt" => lit(0L).cast(dt)
+            case _ => lit(null).cast(dt)
+          }).as(o.alias)
+        }
+        val zero = folded.sparkSession.range(1).select(defaults: _*)
+        projected.withColumn("_mv_pri", lit(0))
+          .unionByName(zero.withColumn("_mv_pri", lit(1)))
+          .orderBy(col("_mv_pri")).limit(1).drop("_mv_pri")
+      }
+    d.havingSql.fold(shaped)(h => shaped.where(expr(h)))
   }
 
   /** Re-base the fragmented view onto one fresh reset generation: a full
@@ -766,16 +972,10 @@ object MvSync {
   def rebase(source: IceTable, mv: IceTable, spec: MvSpec,
       replicaId: String = "default",
       settleTimeoutMs: Long = 30_000L,
-      dimTable: Option[IceTable] = None): Long = {
+      dimTables: Seq[IceTable] = Nil): Long = {
     requireNotMvSource(source)
-    val (dim, dimVersion): (Option[DataFrame], Option[Long]) = dimTable match {
-      case None => (None, None)
-      case Some(dt) =>
-        // full commit-state version: main log + dv side log (a dim-side
-        // MoR delete commits only to _dv)
-        val ver = dt.commitVersion()
-        (Some(dt.read(ver + 1)), Some(ver))
-    }
+    requireDims(spec, dimTables, "a rebase")
+    val (dims, dimVersions) = pinDims(dimTables, requireSeeded = false)
     val key = s"_mv_sync:$replicaId"
     val wm = CdcApply.readMark(mv, key).getOrElse {
       // a STREAMING-maintained view has no batch-sync watermark (its
@@ -792,7 +992,7 @@ object MvSync {
     // the rebase generation must be STRICTLY past the watermark
     val until = awaitSettledPast(source, wm, settleTimeoutMs,
       what = s"rebase of ${mv.root}")
-    val resets = spec.prepare(source.read(until + 1), dim)
+    val resets = spec.prepare(source.read(until + 1), dims)
       .groupBy(spec.groupCols.map(col): _*)
       .agg(spec.aggExprs.head, spec.aggExprs.tail: _*)
       .withColumn("gen", lit(until))
@@ -802,8 +1002,8 @@ object MvSync {
       val n = resets.count()
       if (n == 0) CdcApply.commitMark(mv, key, until)
       else mv.insertBatch(resets, key, until)
-      dimVersion.foreach(v =>
-        CdcApply.commitMark(mv, s"_mv_dim:$replicaId", v))
+      dimVersions.zipWithIndex.foreach { case (v, i) =>
+        CdcApply.commitMark(mv, dimMarkKey(replicaId, i), v) }
       mv.deleteWhere(col("gen") < until) // reclaim superseded generations
       n
     } finally { resets.unpersist(); () }

@@ -621,19 +621,20 @@ object GraftSqlParser {
     * with a reason. */
   private def extractMvDef(query: String, catalog: String,
       delegate: ParserInterface): graft.operators.MvSync.MvViewDef = {
-    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
-    import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedHaving, UnresolvedRelation, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal, NamedExpression}
     import org.apache.spark.sql.catalyst.plans.Inner
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, SubqueryAlias}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias}
     import graft.operators.MvSync.{MvJoinDim, MvOutput, MvViewDef}
     def fail(msg: String): Nothing = throw new UnsupportedOperationException(
       "CREATE MATERIALIZED VIEW supports a single-table (or fact INNER " +
-        "JOIN dim) [WHERE +] GROUP BY with count(*) / sum / min / max / " +
-        s"avg / count(distinct) outputs; $msg")
+        "JOIN dim(s)) [WHERE +] [GROUP BY] [+ HAVING] with count(*) / " +
+        "sum / min / max / avg / count(distinct) / approx_count_distinct " +
+        "outputs (the distinct aggregates maintain as HLL sketch state — " +
+        s"reads are estimates, ±~2% past the sparse regime); $msg")
     // one side of a join: a bare catalog relation, optionally aliased —
     // returns (table, alias-or-table-name)
-    def relOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-        : (String, String) =
+    def relOf(p: LogicalPlan): (String, String) =
       p match {
         case u: UnresolvedRelation => u.multipartIdentifier match {
           case Seq(cat, t) if cat.equalsIgnoreCase(catalog) => (t, t)
@@ -644,41 +645,104 @@ object GraftSqlParser {
         case other => fail(
           s"join sides must be bare table references, got ${other.nodeName}")
       }
-    // (fact table, WHERE predicate SQL, dim join) — the filter sits
-    // between the Aggregate and the relation/join; its raw SQL
-    // re-resolves inside MvSpec.prepare on every maintenance path
-    def sourceOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-        : (String, Option[String], Option[MvJoinDim]) =
+    // (fact table, fact alias, WHERE predicate SQL, dims in join order) —
+    // the filter sits between the Aggregate and the relation/joins; its
+    // raw SQL re-resolves inside MvSpec.prepare on every maintenance
+    // path. Joins are LEFT-DEEP: the deepest left leaf is the maintained
+    // (feed-driven) fact; every right side is a dimension, joined as a
+    // pinned snapshot, each version-tracked independently (a later ON
+    // may reference any earlier alias — prepare folds joins in the same
+    // order)
+    def sourceOf(p: LogicalPlan)
+        : (String, String, Option[String], Seq[MvJoinDim]) =
       p match {
         case u: UnresolvedRelation => u.multipartIdentifier match {
-          case Seq(cat, t) if cat.equalsIgnoreCase(catalog) => (t, None, None)
+          case Seq(cat, t) if cat.equalsIgnoreCase(catalog) => (t, t, None, Nil)
           case other => fail(
             s"FROM must reference $catalog.<table>, got ${other.mkString(".")}")
         }
         case Filter(cond, child) =>
-          val (t, inner, j) = sourceOf(child)
+          val (t, fa, inner, js) = sourceOf(child)
           if (inner.nonEmpty) fail("at most one WHERE clause is supported")
-          (t, Some(cond.sql), j)
-        // fact INNER JOIN dim ON cond: the LEFT side is the maintained
-        // (feed-driven) fact; the right is the dimension, joined as a
-        // pinned snapshot on every maintenance path, with version-change
-        // detection triggering a full reseed
+          (t, fa, Some(cond.sql), js)
         case Join(l, r, Inner, Some(cond), _) =>
-          val (ft, fa) = relOf(l)
+          val (ft, fa, whereSql, js) = sourceOf(l)
+          if (whereSql.nonEmpty) fail("WHERE must follow every JOIN")
           val (dt, da) = relOf(r)
-          if (fa.equalsIgnoreCase(da))
-            fail(s"join sides share the alias `$fa` — alias them apart")
-          (ft, None, Some(MvJoinDim(dt, fa, da, cond.sql)))
+          val taken = fa +: js.map(_.dimAlias)
+          if (taken.exists(_.equalsIgnoreCase(da)))
+            fail(s"join alias `$da` is already taken — alias the sides apart")
+          (ft, fa, None, js :+ MvJoinDim(dt, fa, da, cond.sql))
         case Join(_, _, Inner, None, _) =>
           fail("the join needs an ON condition")
         case Join(_, _, other, _, _) =>
           fail(s"only INNER JOIN ... ON is maintainable, got $other")
+        case SubqueryAlias(id, u: UnresolvedRelation) =>
+          (relOf(u)._1, id.name, None, Nil)
         case SubqueryAlias(_, child) => sourceOf(child)
         case other => fail(s"FROM must be a bare table reference, got ${other.nodeName}")
       }
-    delegate.parsePlan(query) match {
-      case Aggregate(groups, aggs, child, _) =>
-        val (src, whereSql, dimJoin) = sourceOf(child)
+    // HAVING compiles to a READ-SIDE filter over the view's output
+    // aliases (maintenance is unchanged): aggregate calls that match an
+    // output's (kind, column) rewrite to the output alias; whatever
+    // remains must reference only group columns or aliases
+    def havingOf(cond: Expression, outputs: Seq[MvOutput],
+        gcols: Seq[String]): String = {
+      def outFor(f: UnresolvedFunction): Option[MvOutput] = {
+        val kind = f.nameParts.last.toLowerCase match {
+          case "count" if f.isDistinct => "dcnt"
+          case "approx_count_distinct" => "dcnt"
+          case "count" => "cnt"
+          case "sum" => "sum"
+          case "min" => "min"
+          case "max" => "max"
+          case "avg" | "mean" => "avg"
+          case _ => return None
+        }
+        val colName = f.arguments match {
+          case Seq(_: UnresolvedStar) => ""
+          case Seq(Literal(_, _)) => ""
+          case Seq(a: UnresolvedAttribute) => a.name
+          case _ => return None
+        }
+        outputs.find(o => o.kind == kind && o.col == colName)
+      }
+      val rewritten = cond.transform {
+        case f: UnresolvedFunction =>
+          outFor(f).map(o => UnresolvedAttribute(Seq(o.alias)): Expression)
+            .getOrElse(fail(
+              s"HAVING references aggregate `${f.sql}` that is not in " +
+                "the SELECT list — alias it there and reference the alias"))
+      }
+      val allowed = (gcols ++ outputs.map(_.alias)).map(_.toLowerCase).toSet
+      rewritten.collect { case a: UnresolvedAttribute => a }.foreach { a =>
+        if (a.nameParts.length != 1 || !allowed(a.name.toLowerCase))
+          fail(s"HAVING may reference only group columns and SELECT " +
+            s"aliases, got `${a.sql}` — or apply the predicate as a " +
+            "read-side WHERE over the view instead")
+      }
+      rewritten.sql
+    }
+    val (groups0, aggs0, child0, havingCond):
+        (Seq[Expression], Seq[NamedExpression], LogicalPlan, Option[Expression]) =
+      delegate.parsePlan(query) match {
+        case UnresolvedHaving(cond, Aggregate(groups, aggs, child, _)) =>
+          (groups, aggs, child, Some(cond))
+        case Aggregate(groups, aggs, child, _) => (groups, aggs, child, None)
+        // a GLOBAL aggregate (`SELECT count(*) FROM t`, no GROUP BY)
+        // parses as a bare Project whose outputs are function calls —
+        // maintained under a constant synthetic key (MvSync.GlobalKey)
+        case Project(projList, child) if projList.exists {
+              case Alias(_: UnresolvedFunction, _) => true
+              case _: UnresolvedFunction => true
+              case _ => false } =>
+          (Nil, projList, child, None)
+        case other => fail(
+          s"the query must be exactly SELECT … FROM … [WHERE …] [GROUP BY …] [HAVING …], got ${other.nodeName}")
+      }
+    (groups0, aggs0, child0, havingCond) match {
+      case (groups, aggs, child, having) =>
+        val (src, _, whereSql, dimJoins) = sourceOf(child)
         // expression group keys: a non-attribute GROUP BY entry must
         // appear ALIASED in the SELECT list with the same expression
         // text; the alias becomes the stored derived column's name
@@ -732,6 +796,10 @@ object GraftSqlParser {
               case "min" => "min"
               case "max" => "max"
               case "avg" | "mean" => "avg"
+              // the honest ANSI spelling of what the engine serves:
+              // count(DISTINCT c) and approx_count_distinct(c) both
+              // maintain the same HLL sketch state
+              case "approx_count_distinct" => "dcnt"
               case other => fail(s"unsupported aggregate `$other`")
             }
             val colName =
@@ -751,9 +819,9 @@ object GraftSqlParser {
           case other => fail(s"unsupported output expression $other")
         }
         if (outputs.isEmpty) fail("at least one aggregate output is required")
-        MvViewDef(src, gcols, outputs, whereSql, gexprs, dimJoin)
-      case other => fail(
-        s"the query must be exactly SELECT … FROM … [WHERE …] GROUP BY …, got ${other.nodeName}")
+        val havingSql = having.map(h => havingOf(h, outputs, gcols))
+        MvViewDef(src, gcols, outputs, whereSql, gexprs, dimJoins,
+          havingSql)
     }
   }
 
@@ -1020,17 +1088,29 @@ object GraftSqlParser {
               }
               s"$agg AS `${o.alias}`"
             }
-            val from = d.dim match {
-              case None => s"$cat.`${d.source}`"
-              case Some(j) => s"$cat.`${d.source}` ${j.factAlias} JOIN " +
-                s"$cat.`${j.dimTable}` ${j.dimAlias} ON ${j.condSql}"
+            val from = d.dims.foldLeft(s"$cat.`${d.source}`" +
+                d.dims.headOption.fold("")(j => s" ${j.factAlias}")) {
+              (acc, j) => s"$acc JOIN $cat.`${j.dimTable}` ${j.dimAlias} " +
+                s"ON ${j.condSql}"
             }
             val where = d.filterSql.fold("")(w => s"\nWHERE $w")
-            val gby = d.groupCols.map(g => ge.getOrElse(g, s"`$g`"))
-              .mkString(", ")
+            val gby =
+              if (d.groupCols.isEmpty) "" // a GLOBAL view has no GROUP BY
+              else "\nGROUP BY " + d.groupCols
+                .map(g => ge.getOrElse(g, s"`$g`")).mkString(", ")
+            val hav = d.havingSql.fold("")(h => s"\nHAVING $h")
+            // the estimate contract travels with the statement: the
+            // DISTINCT outputs serve HLL sketch ESTIMATES, not the exact
+            // ANSI count the same SELECT would return against the base
+            val dcntNote =
+              if (d.outputs.exists(_.kind == "dcnt"))
+                "\n-- note: count(DISTINCT …) is maintained as HLL " +
+                  "sketch state; reads are estimates (exact in the " +
+                  "sparse regime, ±~2% beyond)"
+              else ""
             s"CREATE MATERIALIZED VIEW $cat.`$name` AS\n" +
               s"SELECT ${(selGroups ++ selOuts).mkString(", ")}\n" +
-              s"FROM $from$where\nGROUP BY $gby"
+              s"FROM $from$where$gby$hav$dcntNote"
           }
           if (mvStmt.isDefined) return Seq(Row(mvStmt.get))
           // Spark DDL type spellings (the CREATE grammar's vocabulary —
@@ -1125,12 +1205,12 @@ object GraftSqlParser {
       }
   }
 
-  /** Resolve a join view's dimension table handle (syncFromFeed pins its
-    * own snapshot + version and decides delta-vs-reseed from the dim's
-    * change feed). */
+  /** Resolve a join view's dimension table handles in join order
+    * (syncFromFeed pins each snapshot + version and decides
+    * delta-vs-reseed from the dims' change feeds). */
   private def dimArgs(session: SparkSession,
-      d: graft.operators.MvSync.MvViewDef): Option[IceTable] =
-    d.dim.map { j =>
+      d: graft.operators.MvSync.MvViewDef): Seq[IceTable] =
+    d.dims.map { j =>
       val root = rootFor(session, j.dimTable, requireLog = true).getOrElse(
         throw new IllegalArgumentException(
           s"dimension table '${j.dimTable}' of the view does not exist"))
@@ -1174,7 +1254,7 @@ object GraftSqlParser {
       // same view
       val srcCols = src.trySnapshot(Long.MaxValue)
         .map(_.schema.pairs.map(_._1.toLowerCase).toSet).getOrElse(Set.empty) ++
-        dimT.toSeq.flatMap(_.trySnapshot(Long.MaxValue).toSeq
+        dimT.flatMap(_.trySnapshot(Long.MaxValue).toSeq
           .flatMap(_.schema.pairs.map(_._1.toLowerCase)))
       d.groupExprs.foreach { case (alias, e) =>
         // a PURE column reference under its own name (`d.cat AS cat`) is
@@ -1187,13 +1267,15 @@ object GraftSqlParser {
           throw new UnsupportedOperationException(
             s"CREATE MATERIALIZED VIEW: group expression alias `$alias` " +
               s"(= $e) shadows a column of '${d.source}'" +
-              d.dim.fold("")(j => s" or '${j.dimTable}'") +
+              (if (d.dims.isEmpty) ""
+               else d.dims.map(j => s"'${j.dimTable}'")
+                 .mkString(" or ", " or ", "")) +
               " — pick an alias that is not a source column name")
       }
       val root = rootFor(session, name, requireLog = false).get
       val mv = MvSync.create(session, root, d.spec, viewDef = Some(d))
       val (_, seeded) = MvSync.syncFromFeed(src, mv, d.spec,
-        dimTable = dimT)
+        dimTables = dimT)
       Seq(Row(seeded))
     }
   }
@@ -1223,7 +1305,7 @@ object GraftSqlParser {
           val dimT = dimArgs(session, d)
           val (p, r) = MvSync.syncFromFeed(
             IceTable.open(session, srcRoot), mv, d.spec,
-            dimTable = dimT)
+            dimTables = dimT)
           Seq(Row(p, r))
       }
   }

@@ -193,11 +193,20 @@ object Streams {
       startingTimestamp: Long = 0L,
       queryName: String = "_mv_stream",
       trigger: Trigger = Trigger.ProcessingTime("3 seconds"),
-      // star-join views: the dim handle, re-pinned per batch — the first
-      // batch records the stream's dim-version baseline and a later dim
-      // mutation FAILS the query loudly (see MvSync.applyFeedBatch's
-      // recovery recipe); batch deltas cannot absorb a dim move
-      dimTable: Option[IceTable] = None): StreamingQuery =
+      // star-join views: the dim handles in join order, re-pinned per
+      // batch. The stream's dim-version BASELINES are recorded at setup
+      // (below) — a dim mutation between the view's seed and the first
+      // batch is detected, never silently adopted — and a later dim
+      // mutation FAILS the query loudly with the rebase-and-restart
+      // recipe (batch deltas cannot absorb a dim move) unless
+      // `autoRebase` is set, in which case the next non-empty batch
+      // absorbs it as one full reset generation against the new dim
+      // state and the stream continues (see MvSync.applyFeedBatch)
+      dimTables: Seq[IceTable] = Nil,
+      autoRebase: Boolean = false): StreamingQuery = {
+    if (spec.joinDims.nonEmpty)
+      graft.operators.MvSync.recordStreamDimBaseline(
+        mv, spec, queryName, dimTables)
     source.spark.readStream
       .format("ice")
       .option("path", source.root)
@@ -210,10 +219,12 @@ object Streams {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         graft.operators.MvSync.applyFeedBatch(
-          source, mv, spec, batch, id, queryName, dimTable = dimTable)
+          source, mv, spec, batch, id, queryName,
+          dimTables = dimTables, autoRebase = autoRebase)
         ()
       }
       .start()
+  }
 
   /** CONTINUOUS replication: tail the source's streaming change feed and
     * apply every micro-batch onto the replica — the streaming form of

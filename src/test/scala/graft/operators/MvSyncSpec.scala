@@ -188,11 +188,11 @@ class MvSyncSpec extends SparkSpec {
       partitionExpr = lit("all"), sortOrder = Seq("k")))
     dim.insert(Seq(("k1", "A"), ("k2", "Z")).toDF("k", "cat"))
     val jspec = MvSync.MvSpec(Seq("cat"), sumCols = Seq("f.v"),
-      joinDim = Some(MvSync.MvJoinDim("dim", "f", "d", "f.k = d.k")))
+      joinDims = Seq(MvSync.MvJoinDim("dim", "f", "d", "f.k = d.k")))
     val mv = MvSync.create(spark, tmpDir("mvjw_mv"), jspec)
     fact.insert(Seq((1L, "k1", 5L), (2L, "k2", 9L)).toDF("id", "k", "v"))
     settle()
-    MvSync.syncFromFeed(fact, mv, jspec, dimTable = Some(dim))
+    MvSync.syncFromFeed(fact, mv, jspec, dimTables = Seq(dim))
     def rows() = MvSync.read(mv, jspec).orderBy("cat").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(rows() == Seq(("A", 1L, 5L), ("Z", 1L, 9L)))
@@ -200,7 +200,7 @@ class MvSyncSpec extends SparkSpec {
     dim.updateWhere(col("k") === "k1", Seq("cat" -> lit("B")))
     DeleteVectors.deleteWhere(fact, col("id") === 1L)
     settle()
-    MvSync.syncFromFeed(fact, mv, jspec, dimTable = Some(dim))
+    MvSync.syncFromFeed(fact, mv, jspec, dimTables = Seq(dim))
     // group A (the stale state) retracted, B never materialized, Z intact
     assert(rows() == Seq(("Z", 1L, 9L)))
   }
@@ -215,14 +215,14 @@ class MvSyncSpec extends SparkSpec {
       partitionExpr = lit("all"), sortOrder = Seq("k")))
     dim.insert(Seq(("k1", "A"), ("k2", "B")).toDF("k", "cat"))
     val jspec = MvSync.MvSpec(Seq("cat"), sumCols = Seq("f.v"),
-      joinDim = Some(MvSync.MvJoinDim("dim", "f", "d", "f.k = d.k")))
+      joinDims = Seq(MvSync.MvJoinDim("dim", "f", "d", "f.k = d.k")))
     val mv = MvSync.create(spark, tmpDir("mvjs_mv"), jspec)
     // batch 1: plain insert images, joined with the pinned dim
     fact.insert(Seq((1L, "k1", 10L), (2L, "k2", 5L)).toDF("id", "k", "v"))
     settle()
     val b1 = ChangeFeed.between(fact, 0L)
     MvSync.applyFeedBatch(fact, mv, jspec, b1, 1L, "q1",
-      dimTable = Some(dim))
+      dimTables = Seq(dim))
     val got = MvSync.read(mv, jspec).orderBy("cat").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq(("A", 1L, 10L), ("B", 1L, 5L)))
@@ -236,14 +236,14 @@ class MvSyncSpec extends SparkSpec {
     val b2 = ChangeFeed.between(fact, wm1)
     val e = intercept[IllegalStateException](
       MvSync.applyFeedBatch(fact, mv, jspec, b2, 2L, "q1",
-        dimTable = Some(dim)))
+        dimTables = Seq(dim)))
     assert(e.getMessage.contains("pinned dim"))
     // recovery: rebase under the stream's replica id absorbs the dim
     // change AND every pending fact commit, re-recording the baseline
     // (the stream then restarts from the rebase watermark, so nothing
     // replays twice)
     val rebaseN = MvSync.rebase(fact, mv, jspec, replicaId = "q1",
-      dimTable = Some(dim))
+      dimTables = Seq(dim))
     assert(rebaseN == 3L)
     val got2 = MvSync.read(mv, jspec).orderBy("cat").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
@@ -255,7 +255,7 @@ class MvSyncSpec extends SparkSpec {
     settle()
     val b3 = ChangeFeed.between(fact, wm2)
     MvSync.applyFeedBatch(fact, mv, jspec, b3, 3L, "q1",
-      dimTable = Some(dim))
+      dimTables = Seq(dim))
     val got3 = MvSync.read(mv, jspec).orderBy("cat").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got3 == Seq(("A", 1L, 10L), ("B", 1L, 5L), ("C", 2L, 9L)))
@@ -299,6 +299,203 @@ class MvSyncSpec extends SparkSpec {
     assert(drift(MvSync.read(mv, spec), before) == 0L)
   }
 
+  test("dim-change group discovery prunes the fact scans with a pushed In on the join key") {
+    import graft.ice.{ChangeFeed, IceTableConfig}
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    val fact = new IceTable(spark, tmpDir("mvprune_fact"), IceTableConfig(
+      partitionExpr = concat(lit("p="), pmod(col("id"), lit(2))),
+      sortOrder = Seq("id")))
+    val dim = new IceTable(spark, tmpDir("mvprune_dim"), IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("k")))
+    dim.insert(Seq(("k1", "A"), ("k2", "B"), ("k3", "C")).toDF("k", "cat"))
+    val jspec = MvSync.MvSpec(Seq("cat"), sumCols = Seq("f.v"),
+      joinDims = Seq(MvSync.MvJoinDim("dim", "f", "d", "f.k = d.k")))
+    fact.insert(Seq((1L, "k1", 5L), (2L, "k2", 9L), (3L, "k3", 2L))
+      .toDF("id", "k", "v"))
+    settle()
+    val wm = ChangeFeed.settledNow(fact)
+    // two dim rows move; their images are the discovery input (two keys
+    // keep the pushed predicate a genuine In — one key folds to EqualTo)
+    dim.updateWhere(col("k").isin("k1", "k2"), Seq("cat" -> lit("Z")))
+    settle()
+    val images = broadcast(ChangeFeed.between(dim, wm)
+      .where(col(ChangeFeed.ChangeTypeCol).isin("insert", "delete"))
+      .drop(ChangeFeed.ChangeTypeCol, ChangeFeed.CommitTsCol))
+    val until = ChangeFeed.settledNow(fact)
+    val pinned = dim.read()
+    val affected = MvSync.dimChangeAffectedGroups(fact, jspec, images,
+      0, wm, until, Seq(pinned), maxPruneGroups = 100)
+    // correctness: only the changed keys' groups (old A and B, new Z)
+    assert(affected.collect().map(_.getString(0)).toSet == Set("A", "B", "Z"))
+    // the scale claim, node-typed: every fact probe carries a pushed
+    // In/InSet on the fact join key — discovery reads are
+    // changed-keys-sized, never full fact scans
+    assert(jspec.joinDims.head.equiKeys.contains(("k", "k")))
+    val factScans = affected.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths
+            .exists(_.toString.contains("mvprune_fact")) => s
+    }
+    assert(factScans.nonEmpty)
+    assert(factScans.forall(_.dataFilters.exists(e =>
+      e.find(x => x.isInstanceOf[In] || x.isInstanceOf[InSet]).nonEmpty)),
+      s"fact probes missing the pushed In: ${factScans.map(_.dataFilters)}")
+    // a NON-equi condition skips the prune but stays correct
+    val ne = jspec.copy(joinDims = Seq(
+      MvSync.MvJoinDim("dim", "f", "d", "f.k = d.k AND 1 = 1")))
+    assert(ne.joinDims.head.equiKeys.isEmpty)
+    val affectedNe = MvSync.dimChangeAffectedGroups(fact, ne, images,
+      0, wm, until, Seq(pinned), maxPruneGroups = 100)
+    assert(affectedNe.collect().map(_.getString(0)).toSet == Set("A", "B", "Z"))
+  }
+
+  test("multi-dim star join: fact-only incremental, one-dim move partial, multi-dim move reseeds") {
+    import graft.ice.IceTableConfig
+    val fact = new IceTable(spark, tmpDir("mvmd_fact"), IceTableConfig(
+      partitionExpr = concat(lit("p="), pmod(col("id"), lit(2))),
+      sortOrder = Seq("id")))
+    val d1 = new IceTable(spark, tmpDir("mvmd_d1"), IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("k1")))
+    val d2 = new IceTable(spark, tmpDir("mvmd_d2"), IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("k2")))
+    d1.insert(Seq(("a", "A"), ("b", "B")).toDF("k1", "cat"))
+    d2.insert(Seq(("x", "X"), ("y", "Y")).toDF("k2", "tier"))
+    val mspec = MvSync.MvSpec(Seq("cat", "tier"), sumCols = Seq("f.v"),
+      joinDims = Seq(
+        MvSync.MvJoinDim("d1", "f", "da", "f.k1 = da.k1"),
+        MvSync.MvJoinDim("d2", "f", "db", "f.k2 = db.k2")))
+    val mv = MvSync.create(spark, tmpDir("mvmd_mv"), mspec)
+    def oracle(): Set[(String, String, Long, Long)] =
+      fact.read().alias("f")
+        .join(d1.read().alias("da"), expr("f.k1 = da.k1"))
+        .join(d2.read().alias("db"), expr("f.k2 = db.k2"))
+        .groupBy("cat", "tier")
+        .agg(count(lit(1)).as("cnt"), sum("f.v").as("s"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+    def got(): Set[(String, String, Long, Long)] =
+      MvSync.read(mv, mspec).collect().map(r => (r.getString(0),
+        r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    fact.insert(Seq((1L, "a", "x", 10L), (2L, "b", "x", 20L),
+      (3L, "a", "y", 5L)).toDF("id", "k1", "k2", "v"))
+    settle()
+    MvSync.syncFromFeed(fact, mv, mspec, dimTables = Seq(d1, d2))
+    assert(got() == oracle())
+    // fact-only window: true IVM — partials, zero resets
+    fact.insert(Seq((4L, "b", "y", 7L)).toDF("id", "k1", "k2", "v"))
+    settle()
+    val (p1, r1) = MvSync.syncFromFeed(fact, mv, mspec, dimTables = Seq(d1, d2))
+    assert(p1 == 1L && r1 == 0L)
+    assert(got() == oracle())
+    // ONE dim moves: partial maintenance. The a-key's groups reset (old
+    // cat A and new cat C, both tiers = 4) plus the v0-BOUNDARY
+    // over-capture: the delta window opens 1 ms before the recorded
+    // version so a same-ms straggler is never missed, which re-captures
+    // the seed commit's own images — here d1's initial 2-row insert, so
+    // b's 2 groups re-reset too (idempotent re-resets, never a miss)
+    d1.updateWhere(col("k1") === "a", Seq("cat" -> lit("C")))
+    settle()
+    val (p2, r2) = MvSync.syncFromFeed(fact, mv, mspec, dimTables = Seq(d1, d2))
+    assert(p2 == 0L && r2 == 6L, s"expected 4+2 affected-group resets, got ($p2, $r2)")
+    assert(got() == oracle())
+    // BOTH dims move in one window: batch deltas cannot attribute —
+    // full reseed (every live group a reset, incl. stale retractions)
+    d1.updateWhere(col("k1") === "b", Seq("cat" -> lit("D")))
+    d2.updateWhere(col("k2") === "x", Seq("tier" -> lit("Z")))
+    settle()
+    val (p3, r3) = MvSync.syncFromFeed(fact, mv, mspec, dimTables = Seq(d1, d2))
+    assert(p3 == 0L && r3 >= 4L)
+    assert(got() == oracle())
+    // and the view keeps maintaining incrementally after
+    fact.insert(Seq((5L, "a", "y", 3L)).toDF("id", "k1", "k2", "v"))
+    settle()
+    val (p4, r4) = MvSync.syncFromFeed(fact, mv, mspec, dimTables = Seq(d1, d2))
+    assert(p4 == 1L && r4 == 0L)
+    assert(got() == oracle())
+  }
+
+  test("global (no GROUP BY) view reads exactly one row — including the empty edges") {
+    val base = newBase()
+    val vd = MvSync.MvViewDef("base", Nil, Seq(
+      MvSync.MvOutput("cnt", "cnt", ""),
+      MvSync.MvOutput("s", "sum", "v"),
+      MvSync.MvOutput("mn", "min", "v")))
+    val mv = MvSync.create(spark, tmpDir("mvsync_gmv"), vd.spec,
+      viewDef = Some(vd))
+    // seeded while the source has a schema but ZERO rows: the view must
+    // read the aggregate identities (cnt 0), not no-rows
+    base.insert(Seq((1L, "a", 10L)).toDF("id", "grp", "v"))
+    base.deleteWhere(lit(true))
+    settle()
+    MvSync.syncFromFeed(base, mv, vd.spec)
+    def row() = MvSync.readView(mv, vd).collect()
+    val empty = row()
+    assert(empty.length == 1 && empty.head.getLong(0) == 0L &&
+      empty.head.isNullAt(1) && empty.head.isNullAt(2))
+    // data arrives: partials accumulate under the synthetic key
+    base.insert(Seq((2L, "a", 7L), (3L, "b", 3L)).toDF("id", "grp", "v"))
+    settle()
+    val (p1, r1) = MvSync.syncFromFeed(base, mv, vd.spec)
+    assert(p1 == 1L)
+    val full = row()
+    assert(full.length == 1 && full.head.getLong(0) == 2L &&
+      full.head.getLong(1) == 10L && full.head.getLong(2) == 3L)
+    // full retraction: back to the one identity row, never zero rows
+    base.deleteWhere(lit(true))
+    settle()
+    MvSync.syncFromFeed(base, mv, vd.spec)
+    val retracted = row()
+    assert(retracted.length == 1 && retracted.head.getLong(0) == 0L &&
+      retracted.head.isNullAt(1) && retracted.head.isNullAt(2))
+  }
+
+  test("streaming autoRebase: a dim move is absorbed in-stream, exactly-once") {
+    import graft.ice.{ChangeFeed, IceTableConfig}
+    val fact = new IceTable(spark, tmpDir("mvar_fact"), IceTableConfig(
+      partitionExpr = concat(lit("p="), pmod(col("id"), lit(2))),
+      sortOrder = Seq("id")))
+    val dim = new IceTable(spark, tmpDir("mvar_dim"), IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("k")))
+    dim.insert(Seq(("k1", "A"), ("k2", "B")).toDF("k", "cat"))
+    val jspec = MvSync.MvSpec(Seq("cat"), sumCols = Seq("f.v"),
+      joinDims = Seq(MvSync.MvJoinDim("dim", "f", "d", "f.k = d.k")))
+    val mv = MvSync.create(spark, tmpDir("mvar_mv"), jspec)
+    fact.insert(Seq((1L, "k1", 10L), (2L, "k2", 5L)).toDF("id", "k", "v"))
+    settle()
+    val b1 = ChangeFeed.between(fact, 0L)
+    MvSync.applyFeedBatch(fact, mv, jspec, b1, 1L, "qa",
+      dimTables = Seq(dim), autoRebase = true)
+    def rows() = MvSync.read(mv, jspec).orderBy("cat").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows() == Seq(("A", 1L, 10L), ("B", 1L, 5L)))
+    // the dim moves AND facts land in the same stream window: the next
+    // batch absorbs both as one reset generation — no failure, no stop
+    val wm1 = b1.agg(max(col(ChangeFeed.CommitTsCol))).head.getLong(0)
+    dim.updateWhere(col("k") === "k1", Seq("cat" -> lit("C")))
+    settle()
+    fact.insert(Seq((3L, "k2", 7L)).toDF("id", "k", "v"))
+    settle()
+    val b2 = ChangeFeed.between(fact, wm1).localCheckpoint(true)
+    MvSync.applyFeedBatch(fact, mv, jspec, b2, 2L, "qa",
+      dimTables = Seq(dim), autoRebase = true)
+    // the reset at the batch's own bound covers the batch's fact insert
+    // too (it is in the base as of gen + 1): B counts rows 2 and 3
+    assert(rows() == Seq(("B", 2L, 12L), ("C", 1L, 10L)))
+    // exactly-once: a crash-replay of the same batch changes nothing
+    MvSync.applyFeedBatch(fact, mv, jspec, b2, 2L, "qa",
+      dimTables = Seq(dim), autoRebase = true)
+    assert(rows() == Seq(("B", 2L, 12L), ("C", 1L, 10L)))
+    // later fact-only batches apply deltas on top of the absorbed state
+    val wm2 = b2.agg(max(col(ChangeFeed.CommitTsCol))).head.getLong(0)
+    fact.insert(Seq((4L, "k1", 4L)).toDF("id", "k", "v"))
+    settle()
+    val b3 = ChangeFeed.between(fact, wm2)
+    MvSync.applyFeedBatch(fact, mv, jspec, b3, 3L, "qa",
+      dimTables = Seq(dim), autoRebase = true)
+    assert(rows() == Seq(("B", 2L, 12L), ("C", 2L, 14L)))
+    b2.unpersist()
+  }
+
   test("a transient _dv listing failure fails the sync loudly — never a stale dim pin") {
     // commitVersion's `_dv` side-log listing: NOT-FOUND reads as "no dv
     // commits" (the normal no-dv-table case), but a transient IO blip
@@ -313,20 +510,20 @@ class MvSyncSpec extends SparkSpec {
       IceTableConfig(partitionExpr = lit("all"), sortOrder = Seq("k")))
     dim.insert(Seq(("k1", "A"), ("k2", "B")).toDF("k", "cat"))
     val jspec = MvSync.MvSpec(Seq("cat"), sumCols = Seq("f.v"),
-      joinDim = Some(MvSync.MvJoinDim("dim", "f", "d", "f.k = d.k")))
+      joinDims = Seq(MvSync.MvJoinDim("dim", "f", "d", "f.k = d.k")))
     val mv = MvSync.create(spark, tmpDir("mvflaky_mv"), jspec)
     fact.insert(Seq((1L, "k1", 5L), (2L, "k2", 9L)).toDF("id", "k", "v"))
     settle()
-    MvSync.syncFromFeed(fact, mv, jspec, dimTable = Some(dim))
+    MvSync.syncFromFeed(fact, mv, jspec, dimTables = Seq(dim))
     // the dim-side MoR delete commits ONLY to `_dv`
     graft.ice.DeleteVectors.deleteWhere(dim, col("k") === "k2")
     settle()
     graft.ice.FlakyDvFileSystem.armFailure()
     intercept[java.io.IOException](
-      MvSync.syncFromFeed(fact, mv, jspec, dimTable = Some(dim)))
+      MvSync.syncFromFeed(fact, mv, jspec, dimTables = Seq(dim)))
     // the retry (blip gone) maintains against the TRUE dim state: k2's
     // group is retracted, never silently kept on the stale pin
-    MvSync.syncFromFeed(fact, mv, jspec, dimTable = Some(dim))
+    MvSync.syncFromFeed(fact, mv, jspec, dimTables = Seq(dim))
     val got = MvSync.read(mv, jspec).orderBy("cat").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq(("A", 1L, 5L)))

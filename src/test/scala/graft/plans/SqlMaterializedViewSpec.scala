@@ -252,7 +252,7 @@ class SqlMaterializedViewSpec extends SparkSpec {
     // the definition round-trips: reopened handle knows the join
     val vd = graft.operators.MvSync.MvViewDef.decode(
       IceTable.open(spark, s"$w/jmv").cfg.mvDef.get)
-    assert(vd.dim.exists(j => j.dimTable == "jd" && j.factAlias == "f"))
+    assert(vd.dims.exists(j => j.dimTable == "jd" && j.factAlias == "f"))
     // only INNER JOIN ... ON is maintainable
     val e = intercept[UnsupportedOperationException](spark.sql(
       """CREATE MATERIALIZED VIEW graft.jmv2 AS
@@ -260,6 +260,137 @@ class SqlMaterializedViewSpec extends SparkSpec {
         |FROM graft.jf f LEFT JOIN graft.jd d ON f.k = d.k
         |GROUP BY d.cat""".stripMargin))
     assert(e.getMessage.contains("INNER"))
+  }
+
+  test("global (no GROUP BY) view: one-row dashboard counts through DML, 0 when empty") {
+    val w = freshWarehouse()
+    val base = seedBase(w, "gbase")
+    settle()
+    spark.sql("""CREATE MATERIALIZED VIEW graft.gmv AS
+      SELECT count(*) AS cnt, sum(v) AS total, min(v) AS lo, max(v) AS hi
+      FROM graft.gbase""").collect()
+    def row() = spark.sql("SELECT cnt, total, lo, hi FROM graft.gmv").collect()
+    assert(row().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))) == Seq((3L, 35L, 5L, 20L)))
+    // insert + CoW update + MoR delete, one refresh
+    base.insert(Seq((4L, "c", 50L)).toDF("id", "grp", "v"))
+    base.updateWhere(col("id") === 1L, Seq("v" -> lit(11L)))
+    DeleteVectors.deleteWhere(base, col("id") === 3L)
+    settle()
+    spark.sql("REFRESH MATERIALIZED VIEW graft.gmv").collect()
+    val truth = spark.sql("""SELECT count(*) AS cnt, sum(v) AS total,
+      min(v) AS lo, max(v) AS hi FROM graft.gbase""").collect().toSeq
+    assert(row().toSeq == truth)
+    // the empty edge: full deletion reads as cnt 0, never no-rows
+    base.deleteWhere(lit(true))
+    settle()
+    spark.sql("REFRESH MATERIALIZED VIEW graft.gmv").collect()
+    val e = row()
+    assert(e.length == 1 && e.head.getLong(0) == 0L && e.head.isNullAt(1))
+    // SHOW CREATE round-trips with no GROUP BY clause
+    val stmt = spark.sql("SHOW CREATE TABLE graft.gmv").head.getString(0)
+    assert(!stmt.contains("GROUP BY"))
+    spark.sql("DROP MATERIALIZED VIEW graft.gmv").collect()
+    spark.sql(stmt).collect()
+    assert(row().length == 1 && row().head.getLong(0) == 0L)
+  }
+
+  test("HAVING compiles to a read-side filter over the folded view") {
+    val w = freshWarehouse()
+    val base = seedBase(w, "hbase")
+    settle()
+    spark.sql("""CREATE MATERIALIZED VIEW graft.hmv AS
+      SELECT grp, count(*) AS cnt, sum(v) AS total
+      FROM graft.hbase GROUP BY grp HAVING count(*) > 1""").collect()
+    def rows() = spark.sql(
+      "SELECT grp, cnt, total FROM graft.hmv ORDER BY grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows() == Seq(("a", 2L, 30L))) // b has cnt 1 → filtered at read
+    // maintenance is HAVING-agnostic: b's second row makes it appear
+    base.insert(Seq((9L, "b", 9L)).toDF("id", "grp", "v"))
+    settle()
+    spark.sql("REFRESH MATERIALIZED VIEW graft.hmv").collect()
+    assert(rows() == Seq(("a", 2L, 30L), ("b", 2L, 14L)))
+    // SHOW CREATE carries the HAVING and re-executes
+    val stmt = spark.sql("SHOW CREATE TABLE graft.hmv").head.getString(0)
+    assert(stmt.contains("HAVING"))
+    spark.sql("DROP MATERIALIZED VIEW graft.hmv").collect()
+    spark.sql(stmt).collect()
+    assert(rows() == Seq(("a", 2L, 30L), ("b", 2L, 14L)))
+    // an aggregate HAVING references but doesn't SELECT is named loudly
+    val e = intercept[Exception](spark.sql(
+      """CREATE MATERIALIZED VIEW graft.hbad AS
+        |SELECT grp, count(*) AS cnt FROM graft.hbase
+        |GROUP BY grp HAVING sum(v) > 3""".stripMargin))
+    assert(e.getMessage.contains("not in the SELECT list"))
+  }
+
+  test("approx_count_distinct is the honest spelling of the HLL-maintained distinct") {
+    val w = freshWarehouse()
+    seedBase(w, "adbase")
+    settle()
+    spark.sql("""CREATE MATERIALIZED VIEW graft.admv AS
+      SELECT grp, approx_count_distinct(v) AS uniq
+      FROM graft.adbase GROUP BY grp""").collect()
+    val got = spark.sql("SELECT grp, uniq FROM graft.admv ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 2L), ("b", 1L))) // sparse regime: exact
+    // SHOW CREATE notes the estimate contract
+    val stmt = spark.sql("SHOW CREATE TABLE graft.admv").head.getString(0)
+    assert(stmt.contains("estimates"))
+  }
+
+  test("multi-dim star view: two JOINs, fact deltas incremental, dim moves maintained") {
+    val w = freshWarehouse()
+    val fact = new IceTable(spark, s"$w/jf2", IceTableConfig(
+      partitionExpr = concat(lit("p="), pmod(col("id"), lit(2))),
+      sortOrder = Seq("id")))
+    val d1 = new IceTable(spark, s"$w/je1", IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("k1")))
+    val d2 = new IceTable(spark, s"$w/je2", IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("k2")))
+    d1.insert(Seq(("a", "A"), ("b", "B")).toDF("k1", "cat"))
+    d2.insert(Seq(("x", "X"), ("y", "Y")).toDF("k2", "tier"))
+    fact.insert(Seq((1L, "a", "x", 10L), (2L, "b", "x", 20L),
+      (3L, "a", "y", 5L)).toDF("id", "k1", "k2", "v"))
+    settle()
+    spark.sql("""CREATE MATERIALIZED VIEW graft.mdmv AS
+      SELECT da.cat AS cat, db.tier AS tier, count(*) AS cnt,
+             sum(f.v) AS total
+      FROM graft.jf2 f JOIN graft.je1 da ON f.k1 = da.k1
+                       JOIN graft.je2 db ON f.k2 = db.k2
+      GROUP BY da.cat, db.tier""").collect()
+    def truth() = spark.sql("""SELECT da.cat AS cat, db.tier AS tier,
+        count(*) AS cnt, sum(f.v) AS total
+      FROM graft.jf2 f JOIN graft.je1 da ON f.k1 = da.k1
+                       JOIN graft.je2 db ON f.k2 = db.k2
+      GROUP BY da.cat, db.tier ORDER BY cat, tier""").collect().toSeq
+    def got() = spark.sql(
+      "SELECT cat, tier, cnt, total FROM graft.mdmv ORDER BY cat, tier")
+      .collect().toSeq
+    assert(got() == truth())
+    // fact-only window: partials, zero resets — true IVM over 2 joins
+    fact.insert(Seq((4L, "b", "y", 7L)).toDF("id", "k1", "k2", "v"))
+    settle()
+    val r1 = spark.sql("REFRESH MATERIALIZED VIEW graft.mdmv").head
+    assert(r1.getLong(0) > 0L && r1.getLong(1) == 0L)
+    assert(got() == truth())
+    // one dim moves → partial maintenance; then both move → reseed
+    d1.updateWhere(col("k1") === "a", Seq("cat" -> lit("C")))
+    settle()
+    spark.sql("REFRESH MATERIALIZED VIEW graft.mdmv").collect()
+    assert(got() == truth())
+    d1.updateWhere(col("k1") === "b", Seq("cat" -> lit("D")))
+    d2.updateWhere(col("k2") === "x", Seq("tier" -> lit("Z")))
+    settle()
+    spark.sql("REFRESH MATERIALIZED VIEW graft.mdmv").collect()
+    assert(got() == truth())
+    // SHOW CREATE carries both joins and re-executes
+    val stmt = spark.sql("SHOW CREATE TABLE graft.mdmv").head.getString(0)
+    assert(stmt.contains("je1") && stmt.contains("je2"))
+    spark.sql("DROP MATERIALIZED VIEW graft.mdmv").collect()
+    spark.sql(stmt).collect()
+    assert(got() == truth())
   }
 
   test("SHOW CREATE TABLE on an MV emits its round-trippable defining statement") {
