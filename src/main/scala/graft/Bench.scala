@@ -192,7 +192,8 @@ object Bench {
     case _ => -1L
   }
 
-  private case class Timed(wallSec: Double, cpuSec: Double)
+  private case class Timed(wallSec: Double, cpuSec: Double,
+      minWallSec: Double = -1.0)
 
   /** Accumulated (wall, cpu) across every timed repetition — the basis of
     * the whole-run effective_parallelism metric. Warmups and untimed
@@ -233,7 +234,12 @@ object Bench {
       (w, c)
     }
     val med = runs.sortBy(_._1)(Ordering[Long])((runs.length - 1) / 2)
-    Timed(med._1 / 1e9, if (med._2 < 0) -1.0 else med._2 / 1e9)
+    // the MIN rides alongside the median in the artifact: a noisy host
+    // inflates the median while the min stays near steady state, so a
+    // round-over-round "regression" whose min is flat reads as noise
+    // without a re-run (the median stays the headline contract)
+    Timed(med._1 / 1e9, if (med._2 < 0) -1.0 else med._2 / 1e9,
+      runs.map(_._1).min / 1e9)
   }
 
   private def f(v: Double): String = "%.4f".format(v)
@@ -699,6 +705,8 @@ object Bench {
       .mkString("{", ",", "}")
     val qCpuJson = times.map { case (k, v) => s""""$k":${f(v.cpuSec)}""" }
       .mkString("{", ",", "}")
+    val qMinJson = times.map { case (k, v) => s""""$k":${f(v.minWallSec)}""" }
+      .mkString("{", ",", "}")
     val eJson = errors.map { case (k, v) => s""""$k":"$v"""" }
       .mkString("{", ",", "}")
     val total = times.values.map(_.wallSec).sum
@@ -939,7 +947,7 @@ object Bench {
     val sf1ErrJson = sf1Errors.map { case (k, v) =>
       s""""$k":"$v"""" }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"queries_cpu":$qCpuJson,"queries_sf1":$sf1Json,"queries_sf1_cpu":$sf1CpuJson,"sf1_errors":$sf1ErrJson,"sf1_synth_sec":${f(sf1SynthSec)},"sf1_load_sec":${f(sf1LoadSec)},"errors":$eJson,"load_cpu_sec":${f(loadCpuSec)},$sectionCpuJson,$common}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"queries_cpu":$qCpuJson,"queries_min":$qMinJson,"queries_sf1":$sf1Json,"queries_sf1_cpu":$sf1CpuJson,"sf1_errors":$sf1ErrJson,"sf1_synth_sec":${f(sf1SynthSec)},"sf1_load_sec":${f(sf1LoadSec)},"errors":$eJson,"load_cpu_sec":${f(loadCpuSec)},$sectionCpuJson,$common}"""
     // The driver captures only the LAST ~2000 chars of stdout and parses
     // the final complete JSON line inside that window. The degradation
     // history: r6 the line outgrew the window (`parsed: null`); r7 and r10
@@ -957,7 +965,7 @@ object Bench {
     def qCpuMap(dec: Int): String = times.map { case (k, v) =>
       s""""$k":${s"%.${dec}f".format(v.cpuSec)}""" }.mkString("{", ",", "}")
     def core(dec: Int): String =
-      s""""metric":"total","value":${f(total)},"unit":"sec","queries":${qMap(dec + 1)},"queries_cpu":${qCpuMap(dec)},"rep_stat":"median","bench_reps":$reps,"errors":$eJson,"steal_suspect":$stealSuspect,"probe_sec":${"%.3f".format(probeSec)},"bw_probe_sec":${"%.3f".format(bwProbeSec)},"cpu_ratio":${"%.2f".format(cpuRatio)},"contention_suspect":$contentionSuspect,"sf":"$sfDir""""
+      s""""metric":"total","value":${f(total)},"unit":"sec","queries":${qMap(dec + 1)},"queries_cpu":${qCpuMap(dec)},"queries_sf1":$sf1Json,"sf1_errors":$sf1ErrJson,"rep_stat":"median","bench_reps":$reps,"errors":$eJson,"steal_suspect":$stealSuspect,"probe_sec":${"%.3f".format(probeSec)},"bw_probe_sec":${"%.3f".format(bwProbeSec)},"cpu_ratio":${"%.2f".format(cpuRatio)},"contention_suspect":$contentionSuspect,"sf":"$sfDir""""
     // optional fragments, FIRST-listed sheds FIRST
     val optional = Seq(
       // static host diagnostics: identical on every run of this host
@@ -968,6 +976,10 @@ object Bench {
       s""""effective_parallelism":${"%.2f".format(effParallelism)},"cpu_total_sec":${"%.1f".format(totalCpuNs / 1e9)}""",
       // comparison-twin section walls (their headline halves ride below)
       sectionSlimAux,
+      // min-of-reps per query: the noise discriminator — a "regressed"
+      // median whose min is flat is host noise, not a plan change
+      s""""queries_min":${times.map { case (k, v) =>
+        s""""$k":${"%.2f".format(v.minWallSec)}""" }.mkString("{", ",", "}")}""",
       // per-section walls: the baseline-comparable numbers — shed LAST
       sectionSlimCore)
     // try: all fragments at 2-dec cpu, then shed fragments lowest-value-

@@ -1272,6 +1272,15 @@ object GraftSqlParser {
                  .mkString(" or ", " or ", "")) +
               " — pick an alias that is not a source column name")
       }
+      // a GLOBAL view maintains under the reserved synthetic key: a real
+      // source column with that name would be silently overwritten by
+      // the derived constant on every maintenance aggregation
+      if (d.groupCols.isEmpty &&
+          srcCols.contains(graft.operators.MvSync.GlobalKey))
+        throw new UnsupportedOperationException(
+          s"CREATE MATERIALIZED VIEW: a global (no GROUP BY) view " +
+            s"reserves the column name `${graft.operators.MvSync.GlobalKey}`, " +
+            s"which '${d.source}' already has — rename that column")
       val root = rootFor(session, name, requireLog = false).get
       val mv = MvSync.create(session, root, d.spec, viewDef = Some(d))
       val (_, seeded) = MvSync.syncFromFeed(src, mv, d.spec,
