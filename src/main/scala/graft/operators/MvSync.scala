@@ -514,6 +514,54 @@ object MvSync {
     groupsAt(wm).unionByName(groupsAt(until)).distinct()
   }
 
+  /** Signed dim-change partials for a SELF-MAINTAINABLE spec (count /
+    * sum / avg only — no min/max, no distinct): the changed dim rows'
+    * OLD images NEGATE the groups their facts leave, the NEW images
+    * credit the groups they enter, computed from ONE isin-pruned probe
+    * of the fact base AT THE WATERMARK (the state the MV's standing
+    * partials reflect, by the maintenance invariant), appended as
+    * ordinary partial rows. No affected-group discovery, no resets, no
+    * group-sized recompute: dim-change cost is changed-keys-sized. A
+    * group whose contributions fully negate folds to cnt = 0 and
+    * vanishes under the read rule — no explicit retraction row needed.
+    * Value negation preserves each aggregate's column type (negate-
+    * then-sum, never multiply), so signed rows union with every other
+    * partial generation. `_mv_sign` is a reserved column name on the
+    * joined frame. */
+  private def signedDimPartials(source: IceTable, spec: MvSpec,
+      images: DataFrame, changed: Int, wm: Long, dims: Seq[DataFrame],
+      gen: Long, maxPruneGroups: Int): DataFrame = {
+    val j = spec.joinDims(changed)
+    val groupCols = spec.groupCols.map(col)
+    val signed = broadcast(images.withColumn("_mv_sign",
+        when(col(ChangeFeed.ChangeTypeCol) === "delete", lit(-1L))
+          .otherwise(lit(1L)))
+      .drop(ChangeFeed.ChangeTypeCol, ChangeFeed.CommitTsCol))
+    val pruneKeys: Option[Seq[Any]] = j.equiKeys.flatMap { case (_, dk) =>
+      val vals = images.select(col(dk)).distinct()
+        .limit(maxPruneGroups + 1).collect().map(_.get(0)).toSeq
+      if (vals.length <= maxPruneGroups) Some(vals.filterNot(_ == null))
+      else None
+    }
+    val base = source.read(wm + 1)
+    val pruned = (j.equiKeys, pruneKeys) match {
+      case (Some((fk, _)), Some(ks)) => base.where(col(fk).isin(ks: _*))
+      case _ => base
+    }
+    val prep = spec.prepare(pruned, dims.updated(changed, signed))
+    def arg(c: String): Column =
+      if (c.contains('.')) col(c.replace('.', '_')) else col(c)
+    def flip(c: String): Column =
+      when(col("_mv_sign") < 0, -arg(c)).otherwise(arg(c))
+    val aggs = sum(col("_mv_sign")).as("cnt") +:
+      (spec.sumCols.map(c => sum(flip(c)).as(spec.sumCol(c))) ++
+        spec.countCols.map(c => sum(when(arg(c).isNotNull,
+          col("_mv_sign")).otherwise(lit(0L))).as(spec.cntCol(c))))
+    prep.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)
+      .withColumn("gen", lit(gen))
+      .withColumn("is_reset", lit(false))
+  }
+
   /** Advance the MV to the base table's current settled state. First call
     * seeds the view with one full aggregation (every group a reset row);
     * later calls process only the feed window since the stored watermark.
@@ -633,30 +681,61 @@ object MvSync {
             what = s"dim-change reseed of ${mv.root}")
           (0L, fullResetSeed(until, retractStale = true))
         } else if (changedIdx.nonEmpty) {
-          // PARTIAL dim maintenance: only the affected groups reset
-          // (isin-pruned discovery — see dimChangeAffectedGroups);
-          // everything else keeps its partials, and the pending fact
-          // window rides in the same atomic delta commit. Any failure
-          // mid-computation (e.g. the old-bound read racing a cleanup)
-          // falls back to the full reseed, which needs no history.
+          // PARTIAL dim maintenance. Two shapes:
+          //  - SELF-MAINTAINABLE specs (count/sum/avg only): the
+          //    genuinely-new images (ts > recorded version) land as
+          //    SIGNED partials from one isin-pruned watermark probe —
+          //    no discovery, no resets, dim-change cost is
+          //    changed-keys-sized. The v0-BOUNDARY re-captures (the
+          //    window opens 1 ms early so a same-ms straggler is never
+          //    missed) are NOT sign-safe — re-negating an already-
+          //    reflected change would corrupt — so exactly those route
+          //    through the idempotent reset machinery instead.
+          //  - min/max/distinct specs: all images → isin-pruned
+          //    affected-group discovery → exact resets (a sketch or
+          //    extremum cannot subtract).
+          // Either way the pending fact window rides in the same atomic
+          // delta commit, and any failure mid-computation (e.g. the
+          // old-bound read racing a cleanup) falls back to the full
+          // reseed, which needs no history.
           val (ci, dd) = dimDelta.get
           try {
             val until = awaitSettledPast(source, wm,
               what = s"dim-delta sync of ${mv.root}")
-            val images = broadcast(dd
+            val selfMaint =
+              spec.minMaxCols.isEmpty && spec.distinctCols.isEmpty
+            val imagesAll = dd
               .where(col(ChangeFeed.ChangeTypeCol).isin("insert", "delete"))
-              .drop(ChangeFeed.ChangeTypeCol, ChangeFeed.CommitTsCol))
-            val affected = dimChangeAffectedGroups(source, spec, images,
-              ci, wm, until, dims, maxPruneGroups).localCheckpoint(true)
+            val v0 = prevVers(ci).get
+            val (resetImgs, signedImgs) =
+              if (!selfMaint) (imagesAll, None)
+              else {
+                val re = imagesAll.where(col(ChangeFeed.CommitTsCol) <= v0)
+                val nw = imagesAll.where(col(ChangeFeed.CommitTsCol) > v0)
+                (re, Some(nw))
+              }
+            val signed = signedImgs
+              .filter(!_.isEmpty)
+              .map(nw => signedDimPartials(source, spec, nw, ci, wm,
+                dims, until, maxPruneGroups).localCheckpoint(true))
             try {
-              val f = ChangeFeed.between(source, wm, until).localCheckpoint()
+              val affected: Option[DataFrame] =
+                if (resetImgs.isEmpty) None
+                else Some(dimChangeAffectedGroups(source, spec,
+                  broadcast(resetImgs.drop(ChangeFeed.ChangeTypeCol,
+                    ChangeFeed.CommitTsCol)),
+                  ci, wm, until, dims, maxPruneGroups).localCheckpoint(true))
               try {
-                val delta = windowDelta(source, spec, f, until,
-                  maxPruneGroups, dims, extraRetracted = Some(affected))
-                try commitDelta(delta, until, commitDim = true)
-                finally { delta.unpersist(); () }
-              } finally { f.unpersist(); () }
-            } finally { affected.unpersist(); () }
+                val f = ChangeFeed.between(source, wm, until).localCheckpoint()
+                try {
+                  val delta = windowDelta(source, spec, f, until,
+                    maxPruneGroups, dims, extraRetracted = affected,
+                    extraSigned = signed)
+                  try commitDelta(delta, until, commitDim = true)
+                  finally { delta.unpersist(); () }
+                } finally { f.unpersist(); () }
+              } finally { affected.foreach { a => a.unpersist(); () } }
+            } finally { signed.foreach { s => s.unpersist(); () } }
           } catch { case e: Exception =>
             val until = awaitSettledPast(source, wm,
               what = s"dim-change reseed (partial path failed: " +
@@ -687,7 +766,13 @@ object MvSync {
       // extra group rows to force-reset (the dim-delta path's affected
       // groups) — unioned with the feed's own retractions, so the reset
       // machinery (exact recompute, cnt=0 for emptied groups) covers both
-      extraRetracted: Option[DataFrame] = None): DataFrame = {
+      extraRetracted: Option[DataFrame] = None,
+      // pre-aggregated SIGNED dim-change partial rows (self-maintainable
+      // specs) — unioned into the delta, EXCEPT for groups being reset
+      // in this same window: a reset recomputes from the post-window
+      // base, which already reflects the re-mapping the signed row
+      // encodes, so keeping both would double-count
+      extraSigned: Option[DataFrame] = None): DataFrame = {
     val groupCols = spec.groupCols.map(col)
     // join + WHERE + derived group keys apply to the feed ONCE, before
     // the insert/delete split: both image kinds enrich and filter
@@ -711,7 +796,13 @@ object MvSync {
         .withColumn("gen", lit(gen))
         .withColumn("is_reset", lit(false))
       val resets = resetRows(source, retracted, spec, gen, maxPruneGroups, dims)
-      partials.unionByName(resets).localCheckpoint(true)
+      val signedAlive = extraSigned.map { sgn =>
+        if (retracted.isEmpty) sgn
+        else sgn.alias("_mvs").join(broadcast(retracted.alias("_mvt")),
+            groupCond("_mvs", "_mvt", spec.groupCols), "left_anti")
+      }
+      signedAlive.fold(partials)(partials.unionByName(_))
+        .unionByName(resets).localCheckpoint(true)
     } finally { retracted.unpersist(); () }
   }
 

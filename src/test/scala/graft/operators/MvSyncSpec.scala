@@ -387,16 +387,19 @@ class MvSyncSpec extends SparkSpec {
     val (p1, r1) = MvSync.syncFromFeed(fact, mv, mspec, dimTables = Seq(d1, d2))
     assert(p1 == 1L && r1 == 0L)
     assert(got() == oracle())
-    // ONE dim moves: partial maintenance. The a-key's groups reset (old
-    // cat A and new cat C, both tiers = 4) plus the v0-BOUNDARY
-    // over-capture: the delta window opens 1 ms before the recorded
-    // version so a same-ms straggler is never missed, which re-captures
-    // the seed commit's own images — here d1's initial 2-row insert, so
-    // b's 2 groups re-reset too (idempotent re-resets, never a miss)
+    // ONE dim moves: partial maintenance. This spec is count/sum-only,
+    // so the move itself lands as SIGNED partials — but the delta
+    // window opens 1 ms before the recorded version (a same-ms
+    // straggler must never be missed), which re-captures the seed
+    // commit's own images; re-captures are NOT sign-safe, so exactly
+    // those route through the idempotent reset machinery: the seed's
+    // {a,b} images reset {A,B}×{X,Y} (4 resets), the move's images land
+    // as signed rows — the (A,*) negations drop against the resets,
+    // leaving the 2 (C,*) credit partials
     d1.updateWhere(col("k1") === "a", Seq("cat" -> lit("C")))
     settle()
     val (p2, r2) = MvSync.syncFromFeed(fact, mv, mspec, dimTables = Seq(d1, d2))
-    assert(p2 == 0L && r2 == 6L, s"expected 4+2 affected-group resets, got ($p2, $r2)")
+    assert(p2 == 2L && r2 == 4L, s"expected 2 signed + 4 re-capture resets, got ($p2, $r2)")
     assert(got() == oracle())
     // BOTH dims move in one window: batch deltas cannot attribute —
     // full reseed (every live group a reset, incl. stale retractions)
@@ -412,6 +415,85 @@ class MvSyncSpec extends SparkSpec {
     val (p4, r4) = MvSync.syncFromFeed(fact, mv, mspec, dimTables = Seq(d1, d2))
     assert(p4 == 1L && r4 == 0L)
     assert(got() == oracle())
+  }
+
+  test("signed dim maintenance: a count/sum join view absorbs dim moves with ZERO resets") {
+    import graft.ice.{DeleteVectors, IceTableConfig}
+    val fact = new IceTable(spark, tmpDir("mvsg_fact"), IceTableConfig(
+      partitionExpr = concat(lit("p="), pmod(col("id"), lit(2))),
+      sortOrder = Seq("id")))
+    val dim = new IceTable(spark, tmpDir("mvsg_dim"), IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("k")))
+    dim.insert(Seq(("k1", "A"), ("k2", "B")).toDF("k", "cat"))
+    // small second dim commit: the recorded version anchors here, so a
+    // later move's window re-captures one dummy row, not the seed
+    dim.insert(Seq(("zz", "Z")).toDF("k", "cat"))
+    val sspec = MvSync.MvSpec(Seq("cat"), sumCols = Seq("f.v"),
+      joinDims = Seq(MvSync.MvJoinDim("dim", "f", "d", "f.k = d.k")))
+    val mv = MvSync.create(spark, tmpDir("mvsg_mv"), sspec)
+    fact.insert(Seq((1L, "k1", 5L), (2L, "k2", 9L)).toDF("id", "k", "v"))
+    settle()
+    MvSync.syncFromFeed(fact, mv, sspec, dimTables = Seq(dim))
+    def rows() = MvSync.read(mv, sspec).orderBy("cat").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows() == Seq(("A", 1L, 5L), ("B", 1L, 9L)))
+    // ONE dim move: count/sum has no extremum to recompute, so the move
+    // lands as SIGNED partials — negate the old mapping, credit the new
+    // — with ZERO resets and no affected-group discovery at all. The
+    // emptied group folds to cnt 0 and vanishes under the read rule.
+    dim.updateWhere(col("k") === "k1", Seq("cat" -> lit("C")))
+    settle()
+    val (p1, r1) = MvSync.syncFromFeed(fact, mv, sspec, dimTables = Seq(dim))
+    assert(r1 == 0L, s"expected zero resets on the signed path, got ($p1, $r1)")
+    assert(p1 == 2L) // the -A negation row and the +C credit row
+    assert(rows() == Seq(("B", 1L, 9L), ("C", 1L, 5L)))
+    // physical shape: no reset generation was appended for the move
+    assert(mv.read().where(col("is_reset") && col("cat") === "C").isEmpty)
+    // the nasty mix: a fact MoR delete AND a dim move in the SAME
+    // window — the delete's group routes through the reset machinery,
+    // whose recompute subsumes (and drops) that group's signed row
+    DeleteVectors.deleteWhere(fact, col("id") === 2L)
+    dim.updateWhere(col("k") === "k2", Seq("cat" -> lit("D")))
+    settle()
+    MvSync.syncFromFeed(fact, mv, sspec, dimTables = Seq(dim))
+    assert(rows() == Seq(("C", 1L, 5L)))
+    // and a later plain fact window keeps accumulating on top
+    fact.insert(Seq((3L, "k1", 2L)).toDF("id", "k", "v"))
+    settle()
+    val (p3, r3) = MvSync.syncFromFeed(fact, mv, sspec, dimTables = Seq(dim))
+    assert(p3 == 1L && r3 == 0L)
+    assert(rows() == Seq(("C", 2L, 7L)))
+  }
+
+  test("signed dim maintenance follows a dim ATTRIBUTE change (sum over a dim column)") {
+    import graft.ice.IceTableConfig
+    val fact = new IceTable(spark, tmpDir("mvsa_fact"), IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("id")))
+    val dim = new IceTable(spark, tmpDir("mvsa_dim"), IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("k")))
+    dim.insert(Seq(("k1", 100L), ("k2", 10L)).toDF("k", "x"))
+    dim.insert(Seq(("zz", 0L)).toDF("k", "x"))
+    // the aggregate reads the DIM side: avg divides by the non-null
+    // count, so the signed path must maintain cnt_d_x too
+    val aspec = MvSync.MvSpec(Seq("g"), sumCols = Seq("d.x"),
+      countCols = Seq("d.x"),
+      joinDims = Seq(MvSync.MvJoinDim("dim", "f", "d", "f.k = d.k")))
+    val mv = MvSync.create(spark, tmpDir("mvsa_mv"), aspec)
+    fact.insert(Seq((1L, "k1", "g1"), (2L, "k2", "g1"), (3L, "k1", "g2"))
+      .toDF("id", "k", "g"))
+    settle()
+    MvSync.syncFromFeed(fact, mv, aspec, dimTables = Seq(dim))
+    def rows() = MvSync.read(mv, aspec).orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows() == Seq(("g1", 2L, 110L, 2L), ("g2", 1L, 100L, 1L)))
+    // the dim VALUE changes but no group does: the negation and the
+    // credit land in the SAME groups — net cnt 0, sum moves by the
+    // value delta, still zero resets
+    dim.updateWhere(col("k") === "k1", Seq("x" -> lit(7L)))
+    settle()
+    val (p1, r1) = MvSync.syncFromFeed(fact, mv, aspec, dimTables = Seq(dim))
+    assert(r1 == 0L)
+    assert(rows() == Seq(("g1", 2L, 17L, 2L), ("g2", 1L, 7L, 1L)))
   }
 
   test("global (no GROUP BY) view reads exactly one row — including the empty edges") {
