@@ -447,7 +447,16 @@ final class IceTable(
     * version would miss it — join-view maintenance (MvSync) uses this
     * as the dimension version so dim-side MoR deletes are detected and
     * maintained like any other dim mutation. */
-  private[graft] def commitVersion(): Long = {
+  private[graft] def commitVersion(): Long =
+    commitTimestamps().maxOption.getOrElse(0L)
+
+  /** Filename timestamps of EVERY current log file (main + `_dv`) —
+    * [[commitVersion]] is their max; their COUNT lets join-view
+    * maintenance prove "no commit landed at-or-below the recorded
+    * version since the last pin" (`prevCount + commitsInWindow ==
+    * count`), which is what makes the pure signed/exact dim window
+    * safe without the boundary re-capture. */
+  private[graft] def commitTimestamps(): Seq[Long] = {
     val main = logio.currentLogFiles(root)
       .map(p => IceLogIO.logFileInfo(p)._1)
     // only NOT-FOUND reads as "no dv commits" (the normal no-dv-table
@@ -460,7 +469,7 @@ final class IceTable(
       try logio.currentLogFiles(s"$root/_dv")
         .map(p => IceLogIO.logFileInfo(p)._1)
       catch { case _: java.io.FileNotFoundException => Seq.empty }
-    (main ++ dvl).maxOption.getOrElse(0L)
+    main ++ dvl
   }
 
   private[ice] def dvStamp(): Option[String] = {

@@ -398,6 +398,18 @@ object MvSync {
   private[graft] def dimMarkKey(replicaId: String, i: Int): String =
     if (i == 0) s"_mv_dim:$replicaId" else s"_mv_dim:$replicaId:$i"
 
+  /** Companion mark recording dim `i`'s log-file COUNT at the pin: on
+    * the next sync, `prevCount + commitsIn(v0, v1] == count` proves no
+    * commit landed at-or-below the recorded version since the pin, so
+    * the dim delta window can open at EXACTLY v0 — no boundary
+    * re-capture, the signed path runs pure, discovery sees only the
+    * genuinely-new images. Any mismatch (same-ms straggler, log
+    * consolidation by cleanup) falls back to the boundary-inclusive
+    * window, whose re-captures are idempotent. A missing mark (views
+    * recorded before this existed) also falls back — always safe. */
+  private def dimCountKey(replicaId: String, i: Int): String =
+    if (i == 0) s"_mv_dimn:$replicaId" else s"_mv_dimn:$replicaId:$i"
+
   /** Pin each dimension's newest snapshot + FULL commit-state version
     * (main log + `_dv` side log: a dim-side merge-on-read delete commits
     * only to `_dv` and must be detected like any other dim mutation)
@@ -406,18 +418,26 @@ object MvSync {
     * RESTORE (version moving backwards) reads as a persistent mismatch →
     * full reseed per refresh until the clock re-passes the recorded
     * mark: degraded but always correct, self-healing. */
+  /** One pinned dimension: snapshot frame, full commit-state version,
+    * and the commit-ts list behind it (count + window arithmetic for
+    * the straggler proof). */
+  private case class DimPin(df: DataFrame, version: Long, ts: Seq[Long]) {
+    def count: Long = ts.length.toLong
+    def commitsIn(from: Long, until: Long): Long =
+      ts.count(t => t > from && t <= until).toLong
+  }
+
   private def pinDims(dimTables: Seq[IceTable], requireSeeded: Boolean)
-      : (Seq[DataFrame], Seq[Long]) = {
-    val pins = dimTables.map { dt =>
+      : Seq[DimPin] =
+    dimTables.map { dt =>
       if (requireSeeded && dt.trySnapshot(Long.MaxValue).isEmpty)
         throw new IllegalArgumentException(
           s"dimension table at ${dt.root} has no commits yet — seed it " +
             "before syncing a view that joins it")
-      val ver = dt.commitVersion()
-      (dt.read(ver + 1), ver)
+      val ts = dt.commitTimestamps()
+      val ver = ts.maxOption.getOrElse(0L)
+      DimPin(dt.read(ver + 1), ver, ts)
     }
-    (pins.map(_._1), pins.map(_._2))
-  }
 
   private def requireDims(spec: MvSpec, dimTables: Seq[IceTable],
       what: String): Unit = {
@@ -591,15 +611,26 @@ object MvSync {
       dimTables: Seq[IceTable] = Nil): (Long, Long) = {
     requireNotMvSource(source)
     requireDims(spec, dimTables, "every sync")
-    val (dims, dimVersions) = pinDims(dimTables, requireSeeded = true)
+    val pins = pinDims(dimTables, requireSeeded = true)
+    val dims = pins.map(_.df)
+    val dimVersions = pins.map(_.version)
     val key = s"_mv_sync:$replicaId"
     val groupCols = spec.groupCols.map(col)
 
     // the dim marks commit separately AFTER the data commit: a crash in
     // between replays as "dim changed" → an extra (idempotent) reseed,
-    // never a missed one
-    def commitDimMarks(): Unit = dimVersions.zipWithIndex.foreach {
-      case (v, i) => CdcApply.commitMark(mv, dimMarkKey(replicaId, i), v) }
+    // never a missed one. The count mark rides along for the straggler
+    // proof (see dimCountKey)
+    // COUNT first, VERSION second: the straggler proof is consulted
+    // only when the version mark matches a completed pin, so a crash
+    // between the two writes leaves a stale version with a newer count
+    // — the proof then over-counts the window and fails toward the
+    // safe boundary-inclusive path, never toward a false match
+    def commitDimMarks(): Unit = pins.zipWithIndex.foreach {
+      case (pin, i) =>
+        CdcApply.commitMark(mv, dimCountKey(replicaId, i), pin.count)
+        CdcApply.commitMark(mv, dimMarkKey(replicaId, i), pin.version)
+    }
 
     // one full aggregation landing as a reset generation at `until`;
     // the initial seed and the dim-change reseed share it exactly
@@ -659,17 +690,28 @@ object MvSync {
         // capture is idempotent; under-capture is not). Requires a
         // strictly advanced version: a backwards move (dim RESTORE)
         // cannot anchor a window and falls back to the full reseed.
-        val dimDelta: Option[(Int, DataFrame)] =
+        // window start: the straggler proof (recorded log-file count +
+        // commits inside the window == pinned count) opens the window at
+        // EXACTLY v0 — no boundary re-capture, the signed path runs
+        // pure; without the proof (missing mark, same-ms straggler, log
+        // consolidation) the window opens 1 ms early and the re-captured
+        // images route through the idempotent reset machinery
+        val dimDelta: Option[(Int, DataFrame, Long)] =
           if (changedIdx.size != 1) None
           else {
             val i = changedIdx.head
             prevVers(i) match {
               case Some(v0) if dimVersions(i) > v0 =>
                 try {
-                  val d = ChangeFeed.between(dimTables(i), v0 - 1,
+                  val prevCount =
+                    CdcApply.readMark(mv, dimCountKey(replicaId, i))
+                  val noStraggler = prevCount.exists(pc =>
+                    pc + pins(i).commitsIn(v0, dimVersions(i)) == pins(i).count)
+                  val from = if (noStraggler) v0 else v0 - 1
+                  val d = ChangeFeed.between(dimTables(i), from,
                     dimVersions(i)).localCheckpoint(true)
                   if (d.count() > maxPruneGroups) { d.unpersist(); None }
-                  else Some((i, d))
+                  else Some((i, d, v0))
                 } catch { case _: Exception => None }
               case _ => None
             }
@@ -698,7 +740,7 @@ object MvSync {
           // delta commit, and any failure mid-computation (e.g. the
           // old-bound read racing a cleanup) falls back to the full
           // reseed, which needs no history.
-          val (ci, dd) = dimDelta.get
+          val (ci, dd, v0) = dimDelta.get
           try {
             val until = awaitSettledPast(source, wm,
               what = s"dim-delta sync of ${mv.root}")
@@ -706,7 +748,6 @@ object MvSync {
               spec.minMaxCols.isEmpty && spec.distinctCols.isEmpty
             val imagesAll = dd
               .where(col(ChangeFeed.ChangeTypeCol).isin("insert", "delete"))
-            val v0 = prevVers(ci).get
             val (resetImgs, signedImgs) =
               if (!selfMaint) (imagesAll, None)
               else {
@@ -841,7 +882,9 @@ object MvSync {
       autoRebase: Boolean = false): Unit = {
     requireNotMvSource(source)
     requireDims(spec, dimTables, "every streaming batch")
-    val (dims, dimVersions) = pinDims(dimTables, requireSeeded = false)
+    val pins = pinDims(dimTables, requireSeeded = false)
+    val dims = pins.map(_.df)
+    val dimVersions = pins.map(_.version)
     val prev: Seq[Option[Long]] = dimTables.indices
       .map(i => CdcApply.readMark(mv, dimMarkKey(queryName, i)))
     // no baseline yet (direct API caller): adopt the current version
@@ -911,12 +954,49 @@ object MvSync {
     * `cnt = 0` resets (so [[read]] drops them). The base scan is
     * restricted to the retracted groups: a small single-column set
     * becomes an `isin` literal (pushed to the scan — partition- and
-    * stats-prunable), anything else a broadcast semi join. */
+    * stats-prunable), anything else a broadcast semi join. For a JOIN
+    * view whose group columns live on a dimension, the semi join alone
+    * cannot prune the FACT side — so when the retracted set is small,
+    * the affected groups' JOIN KEYS are derived from the pinned dim
+    * (dim rows matching the retracted group values → their key column)
+    * and pushed into the fact scan as an `isin` too. Sound because any
+    * fact row of a retracted group must join a dim row carrying that
+    * group's dim-side values; a partial group-column match only widens
+    * the key set (superset, never a miss). */
   private def resetRows(source: IceTable, retracted: DataFrame,
       spec: MvSpec, until: Long, maxPruneGroups: Int,
       dims: Seq[DataFrame] = Nil): DataFrame = {
     val groupCols = spec.groupCols.map(col)
-    val base = spec.prepare(source.read(until + 1), dims)
+    // fact-side join-key prune (join views only): one bounded driver
+    // collect of dim keys per equi-joined dim whose columns carry any
+    // of the retracted group values
+    val factPruned: DataFrame = {
+      val raw = source.read(until + 1)
+      if (spec.joinDims.isEmpty) raw
+      else spec.joinDims.zip(dims).foldLeft(raw) {
+        case (acc, (j, d)) =>
+          j.equiKeys match {
+            case Some((fk, dk))
+                if spec.groupCols.exists(d.columns.contains) =>
+              val gcs = spec.groupCols.filter(d.columns.contains)
+              val keys =
+                try {
+                  val ks = d.alias("_mvd").join(
+                      broadcast(retracted.alias("_mvt")),
+                      gcs.map(c => col(s"_mvd.`$c`") <=> col(s"_mvt.`$c`"))
+                        .reduce(_ && _), "left_semi")
+                    .select(col(dk)).distinct()
+                    .limit(maxPruneGroups + 1).collect().map(_.get(0)).toSeq
+                  if (ks.length <= maxPruneGroups)
+                    Some(ks.filterNot(_ == null))
+                  else None
+                } catch { case _: Exception => None }
+              keys.fold(acc)(ks => acc.where(col(fk).isin(ks: _*)))
+            case _ => acc
+          }
+      }
+    }
+    val base = spec.prepare(factPruned, dims)
     def semiJoined: DataFrame =
       base.alias("_mvb").join(broadcast(retracted.alias("_mvt")),
         groupCond("_mvb", "_mvt", spec.groupCols), "left_semi")
@@ -1066,7 +1146,8 @@ object MvSync {
       dimTables: Seq[IceTable] = Nil): Long = {
     requireNotMvSource(source)
     requireDims(spec, dimTables, "a rebase")
-    val (dims, dimVersions) = pinDims(dimTables, requireSeeded = false)
+    val pins = pinDims(dimTables, requireSeeded = false)
+    val dims = pins.map(_.df)
     val key = s"_mv_sync:$replicaId"
     val wm = CdcApply.readMark(mv, key).getOrElse {
       // a STREAMING-maintained view has no batch-sync watermark (its
@@ -1093,8 +1174,10 @@ object MvSync {
       val n = resets.count()
       if (n == 0) CdcApply.commitMark(mv, key, until)
       else mv.insertBatch(resets, key, until)
-      dimVersions.zipWithIndex.foreach { case (v, i) =>
-        CdcApply.commitMark(mv, dimMarkKey(replicaId, i), v) }
+      pins.zipWithIndex.foreach { case (pin, i) =>
+        CdcApply.commitMark(mv, dimCountKey(replicaId, i), pin.count)
+        CdcApply.commitMark(mv, dimMarkKey(replicaId, i), pin.version)
+      }
       mv.deleteWhere(col("gen") < until) // reclaim superseded generations
       n
     } finally { resets.unpersist(); () }

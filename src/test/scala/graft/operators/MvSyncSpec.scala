@@ -387,20 +387,19 @@ class MvSyncSpec extends SparkSpec {
     val (p1, r1) = MvSync.syncFromFeed(fact, mv, mspec, dimTables = Seq(d1, d2))
     assert(p1 == 1L && r1 == 0L)
     assert(got() == oracle())
-    // ONE dim moves: partial maintenance. This spec is count/sum-only,
-    // so the move itself lands as SIGNED partials — but the delta
-    // window opens 1 ms before the recorded version (a same-ms
-    // straggler must never be missed), which re-captures the seed
-    // commit's own images; re-captures are NOT sign-safe, so exactly
-    // those route through the idempotent reset machinery: the seed's
-    // {a,b} images reset {A,B}×{X,Y} (4 resets), the move's images land
-    // as signed rows — the (A,*) negations drop against the resets,
-    // leaving the 2 (C,*) credit partials
+    // ONE dim moves: partial maintenance. This spec is count/sum-only
+    // AND the recorded log-count proves no straggler landed at the
+    // boundary, so the window opens at exactly v0 and the move lands as
+    // PURE SIGNED partials — the (A,*) negations and (C,*) credits,
+    // zero resets, zero discovery; B's groups are never touched
     d1.updateWhere(col("k1") === "a", Seq("cat" -> lit("C")))
     settle()
     val (p2, r2) = MvSync.syncFromFeed(fact, mv, mspec, dimTables = Seq(d1, d2))
-    assert(p2 == 2L && r2 == 4L, s"expected 2 signed + 4 re-capture resets, got ($p2, $r2)")
+    assert(p2 == 4L && r2 == 0L, s"expected 4 signed rows, 0 resets, got ($p2, $r2)")
     assert(got() == oracle())
+    // physical shape: no reset generation was appended for B's groups
+    assert(mv.read().where(col("is_reset") && col("cat") === "B")
+      .select("gen").distinct().count() == 1L) // the seed's only
     // BOTH dims move in one window: batch deltas cannot attribute —
     // full reseed (every live group a reset, incl. stale retractions)
     d1.updateWhere(col("k1") === "b", Seq("cat" -> lit("D")))
@@ -576,6 +575,41 @@ class MvSyncSpec extends SparkSpec {
       dimTables = Seq(dim), autoRebase = true)
     assert(rows() == Seq(("B", 2L, 12L), ("C", 2L, 14L)))
     b2.unpersist()
+  }
+
+  test("mvSyncSink autoRebase: the stream absorbs a dim move across restarts") {
+    import graft.ice.IceTableConfig
+    import org.apache.spark.sql.streaming.Trigger
+    val fact = new IceTable(spark, tmpDir("mvsk_fact"), IceTableConfig(
+      partitionExpr = concat(lit("p="), pmod(col("id"), lit(2))),
+      sortOrder = Seq("id")))
+    val dim = new IceTable(spark, tmpDir("mvsk_dim"), IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("k")))
+    dim.insert(Seq(("k1", "A"), ("k2", "B")).toDF("k", "cat"))
+    val jspec = MvSync.MvSpec(Seq("cat"), sumCols = Seq("f.v"),
+      joinDims = Seq(MvSync.MvJoinDim("dim", "f", "d", "f.k = d.k")))
+    val mv = MvSync.create(spark, tmpDir("mvsk_mv"), jspec)
+    val ckpt = tmpDir("mvsk_ckpt")
+    fact.insert(Seq((1L, "k1", 10L), (2L, "k2", 5L)).toDF("id", "k", "v"))
+    settle()
+    val q1 = graft.streaming.Streams.mvSyncSink(fact, mv, jspec, ckpt,
+      queryName = "qs", trigger = Trigger.AvailableNow(),
+      dimTables = Seq(dim), autoRebase = true)
+    q1.awaitTermination()
+    def rows() = MvSync.read(mv, jspec).orderBy("cat").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows() == Seq(("A", 1L, 10L), ("B", 1L, 5L)))
+    // the dim moves while the stream is down; the restarted sink's
+    // first batch absorbs it instead of dying (autoRebase)
+    dim.updateWhere(col("k") === "k1", Seq("cat" -> lit("C")))
+    settle()
+    fact.insert(Seq((3L, "k2", 7L)).toDF("id", "k", "v"))
+    settle()
+    val q2 = graft.streaming.Streams.mvSyncSink(fact, mv, jspec, ckpt,
+      queryName = "qs", trigger = Trigger.AvailableNow(),
+      dimTables = Seq(dim), autoRebase = true)
+    q2.awaitTermination()
+    assert(rows() == Seq(("B", 2L, 12L), ("C", 1L, 10L)))
   }
 
   test("a transient _dv listing failure fails the sync loudly — never a stale dim pin") {

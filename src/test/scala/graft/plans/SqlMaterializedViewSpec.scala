@@ -229,17 +229,17 @@ class SqlMaterializedViewSpec extends SparkSpec {
     spark.sql("REFRESH MATERIALIZED VIEW graft.jmv").collect()
     assert(viewRows() == Seq(("A", 2L, 110L), ("B", 3L, 32L), ("C", 1L, 50L)))
     // DIM update: k2 moves from B to A. This count/sum view is
-    // self-maintainable, so the move lands as SIGNED partials — B's
+    // self-maintainable and the recorded log-count proves the window
+    // boundary clean, so the move lands as PURE SIGNED partials — B's
     // negation folds the emptied group to cnt 0 (it vanishes with no
-    // explicit reset), A's credit row drops against the reset the
-    // window's re-captured kX insert forces on A (re-captures are not
-    // sign-safe and route through the idempotent reset machinery).
-    // C is NEVER touched: dim-change cost is affected-data-sized
+    // explicit reset) and A's credit row accumulates. Zero resets, no
+    // discovery; C is NEVER touched: dim-change cost is
+    // changed-keys-sized
     dim.updateWhere(col("k") === "k2", Seq("cat" -> lit("A")))
     settle()
     val Seq(p2b, r2b) = spark.sql("REFRESH MATERIALIZED VIEW graft.jmv")
       .head.toSeq.map(_.asInstanceOf[Long])
-    assert(p2b == 1L && r2b == 1L, s"got ($p2b, $r2b)") // -B signed; A re-capture reset
+    assert(p2b == 2L && r2b == 0L, s"got ($p2b, $r2b)") // -B and +A signed rows
     assert(viewRows() == Seq(("A", 5L, 142L), ("C", 1L, 50L)))
     // dim-side MERGE-ON-READ delete: commits only to the dim's _dv side
     // log — the full commit version (main + dv) still detects it, the
