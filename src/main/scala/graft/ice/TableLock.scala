@@ -243,11 +243,21 @@ object TableLock {
     * endpoint overrides, or fs impl bindings, the lease must hit the same
     * store the commits do. */
   private def io(root: String,
-      conf: org.apache.hadoop.conf.Configuration): LockIO =
-    if (!root.contains("://")) new NioLockIO(Paths.get(root))
-    else if (root.startsWith("file:"))
-      new NioLockIO(Paths.get(java.net.URI.create(root)))
-    else new HadoopLockIO(root, conf)
+      conf: org.apache.hadoop.conf.Configuration): LockIO = {
+    // scheme detection must accept the SINGLE-SLASH URI form too
+    // ("s3:/bucket/x", "flakydv:/tmp/x"): a bare `://` probe routed
+    // those through the nio branch, where Paths.get treats the whole
+    // string as a RELATIVE path and the lock/fence land under the
+    // process working directory instead of beside the table
+    val scheme = "^([A-Za-z][A-Za-z0-9+.-]*):".r.findPrefixMatchOf(root)
+      .map(_.group(1))
+    scheme match {
+      case None => new NioLockIO(Paths.get(root))
+      case Some("file") =>
+        new NioLockIO(Paths.get(java.net.URI.create(root)))
+      case Some(_) => new HadoopLockIO(root, conf)
+    }
+  }
 
   // ------------------------------------------------------------- leasing
 

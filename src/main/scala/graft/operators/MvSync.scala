@@ -38,9 +38,13 @@ import org.apache.spark.sql.functions._
   *    identically to the seed scan and to every window's insert AND
   *    delete images; a dimension mutation is commit-version-detected
   *    and — when exactly one dim moved, boundedly — maintained
-  *    PARTIALLY: isin-pruned fact probes name the affected groups and
-  *    only those reset, so dim-change cost (reads and writes) is
-  *    affected-data-sized. The fallback is an atomic full reseed
+  *    PARTIALLY: a count/sum/avg view absorbs it as SIGNED partials
+  *    (old images negate, new images credit — one isin-pruned
+  *    watermark probe, zero resets, changed-keys-sized), a
+  *    min/max/distinct view via isin-pruned affected-group discovery
+  *    and exact resets. A recorded log-file count proves the delta
+  *    window's boundary straggler-free so no re-captures are paid in
+  *    the common case. The fallback is an atomic full reseed
   *    (including cnt=0 retractions for groups it emptied).
   *
   * MV row layout: group cols, `cnt`, `sum_<c>`…, `min_<c>`…, `max_<c>`…,
