@@ -153,11 +153,29 @@ object ManifestExport {
       s"$e AS ${q(o.alias)}"
     }).mkString(", ")
     // HAVING applies over the projected aliases, exactly like the
-    // engine's read rule (MvSync.projectView). Caveat shared with the
-    // global (no GROUP BY) shape: an EMPTY view reads as no rows here,
-    // where the engine serves the one-row aggregate identity (cnt 0) —
-    // foreign engines see the difference only at zero facts
+    // engine's read rule (MvSync.projectView)
     val havingSql = d.havingSql.fold("")(h => s" WHERE $h")
+    // a GLOBAL (no GROUP BY) view always reads exactly ONE row in the
+    // engine — the ANSI aggregate-over-empty identities when the base
+    // is empty or fully retracted. Foreign engines must agree: union in
+    // the identity row exactly when the fold is empty (cnt/dcnt → 0,
+    // everything else NULL), BEFORE the HAVING filter, matching
+    // projectView's order
+    val projected = s"SELECT $outs FROM _fold"
+    val withIdentity =
+      if (d.groupCols.nonEmpty) projected
+      else {
+        val ids = d.outputs.map { o =>
+          val v = o.kind match {
+            case "cnt" | "dcnt" => "CAST(0 AS BIGINT)"
+            case _ => "NULL"
+          }
+          s"$v AS ${q(o.alias)}"
+        }.mkString(", ")
+        s"""$projected
+           |  UNION ALL
+           |  SELECT $ids WHERE NOT EXISTS (SELECT 1 FROM _fold)""".stripMargin
+      }
     s"""WITH _raw AS (
        |$rawBody),
        |_rg AS (
@@ -171,7 +189,7 @@ object ManifestExport {
        |_fold AS (
        |  SELECT $gCols, $folds FROM _live
        |  GROUP BY $gCols HAVING sum(cnt) > 0)
-       |SELECT * FROM (SELECT $outs FROM _fold) _v$havingSql""".stripMargin
+       |SELECT * FROM ($withIdentity) _v$havingSql""".stripMargin
   }
 
   /** Write [[duckDbViewSql]] to `<dest>`. Returns the SQL. */

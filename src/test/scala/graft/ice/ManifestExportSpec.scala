@@ -81,4 +81,45 @@ class ManifestExportSpec extends SparkSpec {
     val sql2 = ManifestExport.duckDbViewSql(t2, "v2")
     assert(!sql2.contains("file_row_number"))
   }
+
+  test("global and HAVING view exports carry the engine's read semantics") {
+    import graft.operators.MvSync
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // GLOBAL view: the export must union in the one-row aggregate
+    // identity when the fold is empty — exactly projectView's rule
+    // (shape validated against DuckDB: fully-negated folds read (0,
+    // NULL), revived folds read the summed signed history)
+    val base = new IceTable(spark, tmpDir("manx_base"), IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("id")))
+    base.insert(Seq((1L, 5L)).toDF("id", "v"))
+    val gvd = MvSync.MvViewDef("b", Nil, Seq(
+      MvSync.MvOutput("cnt", "cnt", ""), MvSync.MvOutput("s", "sum", "v")))
+    val gmv = MvSync.create(spark, tmpDir("manx_gmv"), gvd.spec,
+      viewDef = Some(gvd))
+    Thread.sleep(5)
+    MvSync.syncFromFeed(base, gmv, gvd.spec)
+    val gsql = ManifestExport.duckDbViewSql(gmv, "gv")
+    assert(gsql.contains("UNION ALL") && gsql.contains("CAST(0 AS BIGINT)") &&
+      gsql.contains("NOT EXISTS"), s"global identity row missing:\n$gsql")
+    assert(gsql.contains("\"_mv_all\""), "fold must key on the synthetic group")
+    // HAVING view: the predicate applies OVER the projected aliases,
+    // outside the fold, exactly like the engine's read rule
+    val hvd = MvSync.MvViewDef("b", Seq("g"), Seq(
+      MvSync.MvOutput("cnt", "cnt", "")), havingSql = Some("`cnt` > 1"))
+    val hmv = MvSync.create(spark, tmpDir("manx_hmv"), hvd.spec,
+      viewDef = Some(hvd))
+    val b2 = new IceTable(spark, tmpDir("manx_b2"), IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("id")))
+    b2.insert(Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g"))
+    Thread.sleep(5)
+    MvSync.syncFromFeed(b2, hmv, hvd.spec)
+    val hsql = ManifestExport.duckDbViewSql(hmv, "hv")
+    assert(hsql.contains(") _v WHERE"), s"HAVING filter missing:\n$hsql")
+    // and the engine-side replay of both folds matches the definitions
+    val gRows = MvSync.readView(gmv, gvd).collect()
+    assert(gRows.length == 1 && gRows.head.getLong(0) == 1L)
+    val hRows = MvSync.readView(hmv, hvd).collect()
+    assert(hRows.map(_.getLong(1)).toSeq == Seq(2L)) // only g=a survives
+  }
 }
