@@ -978,9 +978,11 @@ object Fixtures {
         partitionExpr = lit("all"), sortOrder = Seq("et")))
       d1.insert(ev.select(col("event_type").as("et")).distinct()
         .withColumn("cat", upper(substring(col("et"), 1, 1))))
-      // second, SMALL d1 commit: the recorded version anchors here, so
-      // the first dim move's delta window re-captures one dummy row,
-      // not the whole seed — partial maintenance stays group-sized
+      // second, SMALL d1 commit: belt-and-braces for the version
+      // anchor. With the straggler-proof log-count marks the first
+      // move's window opens clean anyway; without the proof (older
+      // marks) the re-capture would be this one dummy row, never the
+      // whole seed — partial maintenance stays group-sized either way
       d1.insert {
         import spark.implicits._
         Seq(("zzz_unused", "ZZ")).toDF("et", "cat")

@@ -593,12 +593,15 @@ object MvSync {
     * For a join view ([[MvSpec.joinDims]]) the caller supplies the
     * dimension TABLE HANDLES in join order; the sync pins each newest
     * snapshot and version itself. A version change since the last sync
-    * maintains INCREMENTALLY when possible: when exactly ONE dim moved,
-    * its own row-level change feed yields the changed rows,
-    * [[dimChangeAffectedGroups]] names the affected groups from
-    * isin-pruned fact scans at both window bounds, and only those
-    * groups reset — dim-change cost (reads AND writes) is
-    * affected-data-sized, not base-sized. Falls back to a full reseed
+    * maintains INCREMENTALLY when possible — exactly ONE dim moved and
+    * its own row-level change feed yields the changed rows boundedly:
+    * a count/sum/avg spec absorbs them as SIGNED partials
+    * ([[signedDimPartials]] — one isin-pruned watermark probe, zero
+    * resets, changed-keys-sized); a min/max/distinct spec runs
+    * [[dimChangeAffectedGroups]] (isin-pruned fact probes at both
+    * window bounds) and resets only the named groups. Either way
+    * dim-change cost (reads AND writes) is affected-data-sized, not
+    * base-sized. Falls back to a full reseed
     * (one fresh reset generation + cnt=0 retractions for emptied groups,
     * readers correct throughout via newest-reset-wins) when several
     * dims moved at once, the delta is unattributable (cleanup horizon),
