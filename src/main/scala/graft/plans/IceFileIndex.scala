@@ -105,6 +105,22 @@ final class IceFileIndex(
     def tightenHi(c: String, v: String): Unit =
       hi(c) = hi.get(c).fold(v)(cur =>
         if (IceTable.statsTryCmp(statsNumeric(c), v, cur).exists(_ < 0)) v else cur)
+    // [min, max] cover of a value set. EVERY value must parse under the
+    // column's comparator (an unparseable element would make the reduce
+    // pick an arbitrary endpoint and tighten WRONGLY — a false skip);
+    // string columns always compare, numeric columns via BigDecimal.
+    // Empty or partly-unparseable sets tighten nothing (safe).
+    def tightenToCover(c: String, vals: Seq[String]): Unit = {
+      val isNum = statsNumeric(c)
+      if (vals.nonEmpty &&
+          vals.forall(v => IceTable.statsTryCmp(isNum, v, v).isDefined)) {
+        val mn = vals.reduce((x, y) =>
+          if (IceTable.statsTryCmp(isNum, y, x).exists(_ < 0)) y else x)
+        val mx = vals.reduce((x, y) =>
+          if (IceTable.statsTryCmp(isNum, y, x).exists(_ > 0)) y else x)
+        tightenLo(c, mn); tightenHi(c, mx)
+      }
+    }
     dataFilters.foreach {
       case GreaterThanOrEqual(a, l: Literal) =>
         colOf(a).foreach(c => litStr(l).foreach(tightenLo(c, _)))
@@ -128,6 +144,23 @@ final class IceFileIndex(
       case EqualTo(l: Literal, a) if colOf(a).isDefined =>
         colOf(a).foreach(c =>
           litStr(l).foreach { v => tightenLo(c, v); tightenHi(c, v) })
+      // IN-lists (the dim-change probes, any isin pushdown): a SOUND
+      // interval cover — [min, max] of the list's non-null values. A
+      // matching row must equal one of those values, so it lies inside
+      // the cover; null list entries match nothing and drop out. On a
+      // key-clustered layout a small IN prunes to the few files whose
+      // stats window intersects the list's span
+      case org.apache.spark.sql.catalyst.expressions.In(a, list)
+          if colOf(a).isDefined && list.nonEmpty &&
+            list.forall(_.isInstanceOf[Literal]) =>
+        val c = colOf(a).get
+        tightenToCover(c,
+          list.collect { case l: Literal => litStr(l) }.flatten)
+      case s: org.apache.spark.sql.catalyst.expressions.InSet
+          if colOf(s.child).isDefined =>
+        val c = colOf(s.child).get
+        tightenToCover(c, s.hset.toSeq.collect {
+          case v if v != null => v.toString })
       case _ => ()
     }
     (lo.keySet ++ hi.keySet).map(c => c -> (lo.get(c), hi.get(c))).toMap

@@ -127,6 +127,48 @@ class IceFileIndexSpec extends SparkSpec {
     assert(selected.length == 2, s"expected 2 files, got ${selected.length}")
   }
 
+  test("IN-list filters derive a [min,max] stats cover and skip files") {
+    val df = (0 until 100).map(i => (i.toLong, s"g${i / 25}")).toDF("v", "grp")
+    val table = new IceTable(spark, tmpDir("fidx_inlist"), IceTableConfig(
+      partitionExpr = concat(lit("g="), col("grp")),
+      sortOrder = Seq("v"),
+      statsColumn = Some("v")))
+    table.insert(df) // 4 files: [0,24] [25,49] [50,74] [75,99]
+    IceFileIndex.registerView(spark, table, "ice_inlist")
+    def planned(q: org.apache.spark.sql.DataFrame): Int = {
+      val scan = scanOf(q)
+      scan.relation.location
+        .listFiles(scan.partitionFilters, scan.dataFilters)
+        .flatMap(_.files).length
+    }
+    // a small IN (stays a catalyst In node): the cover [30, 41] touches
+    // one file's window — the dim-change probe shape on a key-clustered
+    // base
+    val q = spark.sql(
+      "select count(*) as cnt from ice_inlist where v in (30, 41, 33)")
+    assert(q.as[Long].head() == 3L)
+    assert(planned(q) == 1, s"expected 1 file, got ${planned(q)}")
+    // a wide IN (past the InSet conversion threshold): same cover rule
+    val many = (26 to 49).mkString(", ")
+    val q2 = spark.sql(
+      s"select count(*) as cnt from ice_inlist where v in ($many)")
+    assert(q2.as[Long].head() == 24L)
+    assert(planned(q2) == 1, s"expected 1 file, got ${planned(q2)}")
+    // values spanning file windows: the INTERVAL cover [10, 60] is
+    // coarse by design — it keeps the middle window too (3 files, not
+    // 2); per-value precision is the tradeoff for a single sound
+    // [lo, hi] per column, and it never false-skips
+    val q3 = spark.sql(
+      "select count(*) as cnt from ice_inlist where v in (10, 60)")
+    assert(q3.as[Long].head() == 2L)
+    assert(planned(q3) == 3, s"expected the 3-file cover, got ${planned(q3)}")
+    // a null in the list matches nothing extra: the non-null cover holds
+    val q4 = spark.sql(
+      "select count(*) as cnt from ice_inlist where v in (7, null)")
+    assert(q4.as[Long].head() == 1L)
+    assert(planned(q4) == 1, s"expected 1 file, got ${planned(q4)}")
+  }
+
   test("unparseable double stats (Infinity) keep the file, never fail the plan") {
     val df = Seq((1.0, "a"), (Double.PositiveInfinity, "a"), (5.0, "b"), (7.0, "b"))
       .toDF("v", "grp")
