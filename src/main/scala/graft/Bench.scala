@@ -793,6 +793,11 @@ object Bench {
     // dim, and the MV are never re-read). What a join view costs per
     // refresh vs the full re-join-and-aggregate any engine without IVM
     // pays (mv_full_reagg is the single-table analogue of that).
+    // LAYOUT: the fact is partitioned by JOIN-KEY RANGE with k as its
+    // stats column — the recommended shape for a join view's fact,
+    // because the dim-change probe's isin(changed keys) then SKIPS
+    // whole files from the log alone (the IN-cover stats window)
+    // instead of scanning every row's key.
     val mvJoinRefresh = {
       import graft.ice.{IceTable, IceTableConfig}
       import graft.operators.MvSync
@@ -800,19 +805,21 @@ object Bench {
       val n = 24_000_000L
       def rows = spark.range(n).select(
         col("id"),
-        pmod(col("id"), lit(1000)).cast("string").as("k"),
+        pmod(col("id"), lit(1000)).as("k"),
         (col("id") % 97).as("v"))
       val factRoot = Fixtures.newRoot("bench_mvjfact")
       val dimRoot = Fixtures.newRoot("bench_mvjdim")
       val mvRoot = Fixtures.newRoot("bench_mvjview")
       val fact = new IceTable(spark, factRoot, IceTableConfig(
-        partitionExpr = concat(lit("p="), pmod(col("id"), lit(16))),
-        sortOrder = Seq("id")))
+        partitionExpr = concat(lit("kr="),
+          floor(pmod(col("id"), lit(1000)) / 64)),
+        sortOrder = Seq("k", "id"),
+        statsColumn = Some("k")))
       fact.insert(rows)
       val dim = new IceTable(spark, dimRoot, IceTableConfig(
         partitionExpr = lit("all"), sortOrder = Seq("k")))
       dim.insert(spark.range(1000).select(
-        col("id").cast("string").as("k"),
+        col("id").as("k"),
         pmod(col("id"), lit(10)).cast("string").as("cat")))
       val spec = MvSync.MvSpec(Seq("cat"), sumCols = Seq("f.v"),
         joinDims = Seq(MvSync.MvJoinDim("dim", "f", "d", "f.k = d.k")))
@@ -840,7 +847,7 @@ object Bench {
       var drep = 0L
       val dimChange = timed()({
         drep += 1
-        dim.updateWhere(col("k") === (drep % 1000L).toString,
+        dim.updateWhere(col("k") === (drep % 1000L),
           Seq("cat" -> concat(lit("m"), lit(drep % 10L))))
         Thread.sleep(5)
       }) {

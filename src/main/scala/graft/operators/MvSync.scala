@@ -414,6 +414,17 @@ object MvSync {
   private def dimCountKey(replicaId: String, i: Int): String =
     if (i == 0) s"_mv_dimn:$replicaId" else s"_mv_dimn:$replicaId:$i"
 
+  /** Fact-base frame for the maintenance PROBES (signed partials,
+    * affected-group discovery, reset recompute): the SQL-path relation
+    * ([[graft.plans.IceFileIndex]]), whose scans apply the LOG-SIDE
+    * stats windows — a pushed `isin`/equality on a key-clustered fact
+    * then SKIPS whole files from the log alone — plus the same
+    * deletion-vector overlay as [[IceTable.read]]. Full-scan paths
+    * (seed, reseed, rebase) keep the plain read: they have no
+    * predicate to push. */
+  private def probeRead(source: IceTable, maxTs: Long): DataFrame =
+    graft.plans.IceFileIndex.dataFrame(source.spark, source, maxTs)
+
   /** Pin each dimension's newest snapshot + FULL commit-state version
     * (main log + `_dv` side log: a dim-side merge-on-read delete commits
     * only to `_dv` and must be detected like any other dim mutation)
@@ -527,7 +538,7 @@ object MvSync {
       else None
     }
     def groupsAt(bound: Long): DataFrame = {
-      val base = source.read(bound + 1)
+      val base = probeRead(source, bound + 1)
       val pruned = (j.equiKeys, pruneKeys) match {
         case (Some((fk, _)), Some(ks)) => base.where(col(fk).isin(ks: _*))
         case _ => base
@@ -567,7 +578,7 @@ object MvSync {
       if (vals.length <= maxPruneGroups) Some(vals.filterNot(_ == null))
       else None
     }
-    val base = source.read(wm + 1)
+    val base = probeRead(source, wm + 1)
     val pruned = (j.equiKeys, pruneKeys) match {
       case (Some((fk, _)), Some(ks)) => base.where(col(fk).isin(ks: _*))
       case _ => base
@@ -978,7 +989,7 @@ object MvSync {
     // collect of dim keys per equi-joined dim whose columns carry any
     // of the retracted group values
     val factPruned: DataFrame = {
-      val raw = source.read(until + 1)
+      val raw = probeRead(source, until + 1)
       if (spec.joinDims.isEmpty) raw
       else spec.joinDims.zip(dims).foldLeft(raw) {
         case (acc, (j, d)) =>
