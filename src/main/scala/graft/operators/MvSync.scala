@@ -410,9 +410,34 @@ object MvSync {
     * genuinely-new images. Any mismatch (same-ms straggler, log
     * consolidation by cleanup) falls back to the boundary-inclusive
     * window, whose re-captures are idempotent. A missing mark (views
-    * recorded before this existed) also falls back — always safe. */
+    * recorded before this existed) also falls back — always safe.
+    *
+    * ENCODING: the mark channel folds per-key by MAX, and a raw count
+    * can legitimately SHRINK (log consolidation) — a max-merged stale
+    * count would wedge the proof and, pathologically, a stale-HIGH
+    * count could even compensate a straggler into a false pass. The
+    * value is therefore `(pinVersion << 20) | min(count, cap)`: a later
+    * pin's version strictly dominates the fold, and the proof only
+    * accepts a count whose EMBEDDED version equals the version mark —
+    * self-pairing, so torn/stale/foreign values all fail toward the
+    * safe boundary window. Counts at or above the 2^20-1 cap record the
+    * cap, which the proof rejects (a million-log dim is cleanup's
+    * problem, not the proof's). */
   private def dimCountKey(replicaId: String, i: Int): String =
     if (i == 0) s"_mv_dimn:$replicaId" else s"_mv_dimn:$replicaId:$i"
+
+  private val CountBits = 20
+  private val CountCap: Long = (1L << CountBits) - 1L
+
+  private def encodeCountMark(version: Long, count: Long): Long =
+    (version << CountBits) | math.min(count, CountCap)
+
+  /** The pinned count recorded FOR `version`, if the mark carries one. */
+  private def decodeCountMark(packed: Long, version: Long): Option[Long] = {
+    val ver = packed >>> CountBits
+    val cnt = packed & CountCap
+    if (ver == version && cnt < CountCap) Some(cnt) else None
+  }
 
   /** Fact-base frame for the maintenance PROBES (signed partials,
     * affected-group discovery, reset recompute): the SQL-path relation
@@ -646,7 +671,8 @@ object MvSync {
     // safe boundary-inclusive path, never toward a false match
     def commitDimMarks(): Unit = pins.zipWithIndex.foreach {
       case (pin, i) =>
-        CdcApply.commitMark(mv, dimCountKey(replicaId, i), pin.count)
+        CdcApply.commitMark(mv, dimCountKey(replicaId, i),
+          encodeCountMark(pin.version, pin.count))
         CdcApply.commitMark(mv, dimMarkKey(replicaId, i), pin.version)
     }
 
@@ -721,8 +747,9 @@ object MvSync {
             prevVers(i) match {
               case Some(v0) if dimVersions(i) > v0 =>
                 try {
-                  val prevCount =
-                    CdcApply.readMark(mv, dimCountKey(replicaId, i))
+                  val prevCount = CdcApply
+                    .readMark(mv, dimCountKey(replicaId, i))
+                    .flatMap(decodeCountMark(_, v0))
                   val noStraggler = prevCount.exists(pc =>
                     pc + pins(i).commitsIn(v0, dimVersions(i)) == pins(i).count)
                   val from = if (noStraggler) v0 else v0 - 1
@@ -1193,7 +1220,8 @@ object MvSync {
       if (n == 0) CdcApply.commitMark(mv, key, until)
       else mv.insertBatch(resets, key, until)
       pins.zipWithIndex.foreach { case (pin, i) =>
-        CdcApply.commitMark(mv, dimCountKey(replicaId, i), pin.count)
+        CdcApply.commitMark(mv, dimCountKey(replicaId, i),
+          encodeCountMark(pin.version, pin.count))
         CdcApply.commitMark(mv, dimMarkKey(replicaId, i), pin.version)
       }
       mv.deleteWhere(col("gen") < until) // reclaim superseded generations

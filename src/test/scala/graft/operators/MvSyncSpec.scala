@@ -577,6 +577,75 @@ class MvSyncSpec extends SparkSpec {
     b2.unpersist()
   }
 
+  test("straggler-proof fallback: a wrong count mark degrades to the boundary window, never to a miss") {
+    import graft.ice.{CdcApply, IceTableConfig}
+    val fact = new IceTable(spark, tmpDir("mvfb_fact"), IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("id")))
+    val dim = new IceTable(spark, tmpDir("mvfb_dim"), IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("k")))
+    dim.insert(Seq(("k1", "A"), ("k2", "B")).toDF("k", "cat"))
+    val jspec = MvSync.MvSpec(Seq("cat"), sumCols = Seq("f.v"),
+      joinDims = Seq(MvSync.MvJoinDim("dim", "f", "d", "f.k = d.k")))
+    val mv = MvSync.create(spark, tmpDir("mvfb_mv"), jspec)
+    fact.insert(Seq((1L, "k1", 5L), (2L, "k2", 9L)).toDF("id", "k", "v"))
+    settle()
+    MvSync.syncFromFeed(fact, mv, jspec, dimTables = Seq(dim))
+    // poison the count mark with a DOMINATING value whose embedded
+    // version doesn't pair with the recorded version mark (the torn-
+    // pair / foreign-write shape; a low bogus value can't even land —
+    // the mark channel max-merges, which is the encoding's point). The
+    // self-pairing check must reject it and the window open 1 ms early
+    // — the boundary re-captures route through the idempotent resets,
+    // so the result is identical, just not signed-pure
+    val v0 = dim.commitVersion()
+    CdcApply.commitMark(mv, "_mv_dimn:default", ((v0 + 1L) << 20) | 2L)
+    dim.updateWhere(col("k") === "k1", Seq("cat" -> lit("C")))
+    settle()
+    val (p1, r1) = MvSync.syncFromFeed(fact, mv, jspec, dimTables = Seq(dim))
+    def rows() = MvSync.read(mv, jspec).orderBy("cat").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows() == Seq(("B", 1L, 9L), ("C", 1L, 5L)))
+    // the failed proof forced re-capture resets (boundary evidence)
+    assert(r1 > 0L, s"expected boundary-window resets, got ($p1, $r1)")
+    // the sync re-recorded a TRUE count: the next move runs signed-pure
+    dim.updateWhere(col("k") === "k2", Seq("cat" -> lit("D")))
+    settle()
+    val (p2, r2) = MvSync.syncFromFeed(fact, mv, jspec, dimTables = Seq(dim))
+    assert(r2 == 0L && p2 == 2L, s"expected pure signed, got ($p2, $r2)")
+    assert(rows() == Seq(("C", 1L, 5L), ("D", 1L, 9L)))
+  }
+
+  test("dim log consolidation between syncs stays correct (count mismatch degrades safely)") {
+    import graft.ice.IceTableConfig
+    val fact = new IceTable(spark, tmpDir("mvlc_fact"), IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("id")))
+    val dim = new IceTable(spark, tmpDir("mvlc_dim"), IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("k")))
+    dim.insert(Seq(("k1", "A")).toDF("k", "cat"))
+    dim.insert(Seq(("k2", "B")).toDF("k", "cat"))
+    val jspec = MvSync.MvSpec(Seq("cat"), sumCols = Seq("f.v"),
+      joinDims = Seq(MvSync.MvJoinDim("dim", "f", "d", "f.k = d.k")))
+    val mv = MvSync.create(spark, tmpDir("mvlc_mv"), jspec)
+    fact.insert(Seq((1L, "k1", 5L), (2L, "k2", 9L)).toDF("id", "k", "v"))
+    settle()
+    MvSync.syncFromFeed(fact, mv, jspec, dimTables = Seq(dim))
+    // compaction consolidates the dim's two logs into one: version AND
+    // count both move with zero row-level changes — the sync must read
+    // "dim changed", find an empty (or unattributable) delta, and land
+    // on a state identical to the truth
+    dim.merge()
+    Thread.sleep(5)
+    MvSync.syncFromFeed(fact, mv, jspec, dimTables = Seq(dim))
+    def rows() = MvSync.read(mv, jspec).orderBy("cat").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows() == Seq(("A", 1L, 5L), ("B", 1L, 9L)))
+    // and a real move right after the consolidation still maintains
+    dim.updateWhere(col("k") === "k1", Seq("cat" -> lit("Z")))
+    settle()
+    MvSync.syncFromFeed(fact, mv, jspec, dimTables = Seq(dim))
+    assert(rows() == Seq(("B", 1L, 9L), ("Z", 1L, 5L)))
+  }
+
   test("mvSyncSink autoRebase: the stream absorbs a dim move across restarts") {
     import graft.ice.IceTableConfig
     import org.apache.spark.sql.streaming.Trigger
