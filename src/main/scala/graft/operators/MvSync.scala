@@ -74,6 +74,21 @@ import org.apache.spark.sql.functions._
   */
 object MvSync {
 
+  /** Invoked whenever a partial-maintenance path silently degrades to a
+    * correct-but-costlier one (dim-delta attempt → full reseed, fact-key
+    * prune → unpruned semi join). At 100 TB that degrade is a 1000× cost
+    * cliff an operator must be able to diagnose, so the default writes a
+    * tagged line to stderr; tests (and embedding apps) swap in a capture.
+    * The maintenance result is identical either way — this is telemetry,
+    * never control flow. */
+  @volatile var onFallback: String => Unit =
+    msg => System.err.println(s"[mv-sync] $msg")
+
+  private def warnFallback(what: String, reason: String): Unit = {
+    val f = onFallback
+    if (f != null) f(s"$what degraded to the fallback path: $reason")
+  }
+
   /** A star-join enrichment baked into a view definition: every
     * maintenance aggregation joins the FACT rows (base scan or feed
     * images, aliased `factAlias`) with the dimension table (aliased
@@ -395,6 +410,29 @@ object MvSync {
         "cannot be the source of another MV (its raw rows are partial/" +
         "reset bookkeeping, not data) — define the second view over the " +
         "original base table instead")
+
+  /** Mark key recording the view's FLAT state: set by [[rebase]] AFTER
+    * its CoW cleanup, value = a millisecond STRICTLY ABOVE every commit
+    * (file marker) alive at that moment — rebase spins the clock past
+    * the ceiling before committing, so any later maintenance write
+    * carries `createdMs >= flat` and the proof self-invalidates. While
+    * every alive file's marker sits strictly below the mark, the view
+    * holds exactly ONE all-reset generation with one row per group, and
+    * [[read]] skips the newest-reset-wins window fold entirely — a plain
+    * scan + projection, no MV-sized exchange. Fail-safe by construction:
+    * partials, resets, a second rebase's rewrites, even an MV compaction
+    * all produce markers at-or-above the mark and fall back to the full
+    * fold (compaction's is a false negative — rerun rebase to re-arm).
+    * Clock-trust model: same as the log fold itself (ms timestamps
+    * order commits); a maintenance writer racing the rebase is already
+    * outside rebase's contract. */
+  private[graft] val FlatKey = "_mv_flat"
+
+  /** True when `snap` proves the post-rebase steady state (see
+    * [[FlatKey]]): the read needs no fold. */
+  private[graft] def isFlatSnapshot(snap: graft.ice.IceSnapshot): Boolean =
+    snap.streamCommits.get(FlatKey)
+      .exists(f => snap.aliveFiles.forall(_.createdMs < f))
 
   /** Change-mark key recording dim `i`'s pinned version for a replica
     * (or streaming query) — dim 0 keeps the single-dim key shape, so
@@ -755,9 +793,23 @@ object MvSync {
                   val from = if (noStraggler) v0 else v0 - 1
                   val d = ChangeFeed.between(dimTables(i), from,
                     dimVersions(i)).localCheckpoint(true)
-                  if (d.count() > maxPruneGroups) { d.unpersist(); None }
-                  else Some((i, d, v0))
-                } catch { case _: Exception => None }
+                  if (d.count() > maxPruneGroups) {
+                    d.unpersist()
+                    warnFallback(s"dim-delta sync of ${mv.root}",
+                      s"dim '${spec.joinDims(i).dimTable}' changed more " +
+                        s"than maxPruneGroups=$maxPruneGroups rows in " +
+                        s"[$from, ${dimVersions(i)}] — full reseed")
+                    None
+                  } else Some((i, d, v0))
+                } catch { case e: Exception =>
+                  warnFallback(s"dim-delta sync of ${mv.root}",
+                    s"reading dim '${spec.joinDims(i).dimTable}' change " +
+                      s"feed [${v0}, ${dimVersions(i)}] failed " +
+                      s"(${e.getClass.getSimpleName}: " +
+                      s"${String.valueOf(e.getMessage).take(160)}) — " +
+                      "full reseed")
+                  None
+                }
               case _ => None
             }
           }
@@ -823,6 +875,9 @@ object MvSync {
               } finally { affected.foreach { a => a.unpersist(); () } }
             } finally { signed.foreach { s => s.unpersist(); () } }
           } catch { case e: Exception =>
+            warnFallback(s"partial dim maintenance of ${mv.root}",
+              s"${e.getClass.getSimpleName}: " +
+                s"${String.valueOf(e.getMessage).take(160)} — full reseed")
             val until = awaitSettledPast(source, wm,
               what = s"dim-change reseed (partial path failed: " +
                 s"${e.getMessage.take(120)}) of ${mv.root}")
@@ -964,13 +1019,23 @@ object MvSync {
         // already includes this batch's fact commits (they are in the
         // base as of gen + 1), so nothing applies twice; the marks
         // advance AFTER the data commit (a crash between replays as
-        // "dim changed" → another idempotent absorb, never a miss)
+        // "dim changed" → another idempotent absorb, never a miss).
+        // The advance is GATED on the insert landing: a crash-replayed
+        // batchId whose original delivery was a plain delta (the dim
+        // moved while the stream was down) is skipped by insertBatch —
+        // advancing the marks then would record the move as absorbed
+        // without any reset generation existing, silently diverging
+        // every later delta. Stale marks instead make the NEXT batch
+        // re-detect the move; an extra absorb is idempotent, a missed
+        // one is not.
         val resets = resetSeedRows(source, mv, spec, gen, dims,
           retractStale = true)
-        try { mv.insertBatch(resets, queryName, batchId); () }
-        finally { resets.unpersist(); () }
-        dimVersions.zipWithIndex.foreach { case (v, i) =>
-          CdcApply.commitMark(mv, dimMarkKey(queryName, i), v) }
+        val landed =
+          try mv.insertBatch(resets, queryName, batchId)
+          finally { resets.unpersist(); () }
+        if (landed)
+          dimVersions.zipWithIndex.foreach { case (v, i) =>
+            CdcApply.commitMark(mv, dimMarkKey(queryName, i), v) }
       } else {
         val delta = windowDelta(source, spec, b, gen, maxPruneGroups, dims)
         try { mv.insertBatch(delta, queryName, batchId); () }
@@ -1034,8 +1099,21 @@ object MvSync {
                     .limit(maxPruneGroups + 1).collect().map(_.get(0)).toSeq
                   if (ks.length <= maxPruneGroups)
                     Some(ks.filterNot(_ == null))
-                  else None
-                } catch { case _: Exception => None }
+                  else {
+                    warnFallback(s"fact-scan key prune on '${j.dimTable}'",
+                      s"more than maxPruneGroups=$maxPruneGroups affected " +
+                        "dim keys — reset recompute scans the fact " +
+                        "unpruned (semi-join only)")
+                    None
+                  }
+                } catch { case e: Exception =>
+                  warnFallback(s"fact-scan key prune on '${j.dimTable}'",
+                    s"key derivation failed " +
+                      s"(${e.getClass.getSimpleName}: " +
+                      s"${String.valueOf(e.getMessage).take(160)}) — " +
+                      "reset recompute scans the fact unpruned")
+                  None
+                }
               keys.fold(acc)(ks => acc.where(col(fk).isin(ks: _*)))
             case _ => acc
           }
@@ -1068,14 +1146,30 @@ object MvSync {
 
   /** The view's current contents: per group, the newest reset plus every
     * strictly-later partial, folded. Groups whose live row count is zero
-    * are dropped. One exchange on the group key, MV-sized. */
+    * are dropped. One exchange on the group key, MV-sized — except in
+    * the post-rebase steady state ([[FlatKey]] proof), where the read is
+    * a plain scan + projection with NO window fold and NO exchange. */
   def read(mv: IceTable, spec: MvSpec,
       maxTs: Long = Long.MaxValue): DataFrame = {
     val rows = mv.read(maxTs)
     require(rows.columns.contains("gen"),
       s"materialized view at ${mv.root} has no synced state yet")
-    foldPartials(rows, spec)
+    foldOrFlat(rows, spec, mv.trySnapshot(maxTs))
   }
+
+  /** [[foldPartials]], short-circuited to scan + projection when `snap`
+    * proves the flat (single all-reset generation, one row per group)
+    * state. Value columns are cast to the fold's own output types (sum
+    * over decimals widens), so both paths present ONE schema. */
+  private[graft] def foldOrFlat(rows: DataFrame, spec: MvSpec,
+      snap: Option[graft.ice.IceSnapshot]): DataFrame =
+    if (!snap.exists(isFlatSnapshot)) foldPartials(rows, spec)
+    else {
+      val foldSchema = foldPartials(rows, spec).schema
+      rows.where(col("cnt") > 0).select(
+        spec.groupCols.map(col) ++ spec.valueCols.map(c =>
+          col(c).cast(foldSchema(c).dataType).as(c)): _*)
+    }
 
   /** The newest-reset-wins fold over raw partial rows from ANY source —
     * the snapshot read ([[read]]), or a manifest's bare file list
@@ -1225,6 +1319,15 @@ object MvSync {
         CdcApply.commitMark(mv, dimMarkKey(replicaId, i), pin.version)
       }
       mv.deleteWhere(col("gen") < until) // reclaim superseded generations
+      // FLAT-STATE MARK (read fast path): every alive marker now sits at
+      // or below the commit ceiling; spin the clock strictly past it so
+      // the mark value upper-bounds them all AND lower-bounds every
+      // later write — see [[FlatKey]]
+      val ceil = math.max(mv.commitVersion(),
+        mv.trySnapshot(Long.MaxValue).toSeq
+          .flatMap(_.aliveFiles.map(_.createdMs)).maxOption.getOrElse(0L))
+      while (System.currentTimeMillis() <= ceil) Thread.sleep(1)
+      CdcApply.commitMark(mv, FlatKey, ceil + 1L)
       n
     } finally { resets.unpersist(); () }
   }

@@ -128,8 +128,12 @@ final class IceSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
           if (!raw.columns.contains("gen")) throw new IllegalStateException(
             s"materialized view '$name' has no synced state yet — " +
               "REFRESH MATERIALIZED VIEW after its source has commits")
+          // foldOrFlat: a freshly-rebased view (flat-mark proof in the
+          // snapshot) reads as scan + projection — no window fold, no
+          // MV-sized exchange; any later partial self-invalidates it
+          val snap = pre.orElse(t.trySnapshot(maxTs))
           graft.operators.MvSync.projectView(
-              graft.operators.MvSync.foldPartials(raw, vd.spec), vd)
+              graft.operators.MvSync.foldOrFlat(raw, vd.spec, snap), vd)
             .queryExecution.analyzed
         case None => raw.queryExecution.analyzed
       }

@@ -134,10 +134,21 @@ class MvSyncSpec extends SparkSpec {
     assert(n == 1L) // only group a is live
     assert(mv.read().count() == 1L) // superseded rows reclaimed
     assert(drift(MvSync.read(mv, spec), before) == 0L)
+    // post-rebase steady state: the flat-mark proof removes the
+    // newest-reset-wins fold — the read plan carries NO Window node (and
+    // so no MV-sized exchange), it is scan + projection
+    val flatPlan = MvSync.read(mv, spec).queryExecution.executedPlan.toString
+    assert(!flatPlan.contains("Window"),
+      s"expected a fold-free post-rebase read, got:\n$flatPlan")
     // the view keeps syncing after a rebase
     base.insert(Seq((4L, "c", 7L)).toDF("id", "grp", "v"))
     settle(); MvSync.syncFromFeed(base, mv, spec)
     assert(drift(MvSync.read(mv, spec), expected(base)) == 0L)
+    // the new partial generation self-invalidates the flat proof: the
+    // fold is back on (fail-safe direction)
+    val foldPlan = MvSync.read(mv, spec).queryExecution.executedPlan.toString
+    assert(foldPlan.contains("Window"),
+      s"expected the fold to return after new partials, got:\n$foldPlan")
   }
 
   test("rebase against a pinned commit floor times out with the cause, then succeeds") {
@@ -712,5 +723,95 @@ class MvSyncSpec extends SparkSpec {
     val got = MvSync.read(mv, jspec).orderBy("cat").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq(("A", 1L, 5L)))
+  }
+
+  test("autoRebase replay gate: a skipped duplicate batch never advances the dim marks") {
+    // The divergence shape: batch 2's ORIGINAL delivery lands as a plain
+    // fact delta; the stream crashes; the dim moves while it is down;
+    // the restart REPLAYS batch 2 (same batchId). insertBatch skips the
+    // duplicate — if the dim marks advanced anyway, the move would be
+    // recorded as absorbed without any reset generation existing, and
+    // every later delta would apply on stale partials forever. The gate:
+    // marks stay put on a skipped insert, so the NEXT batch re-detects
+    // the move and absorbs it (an extra absorb is idempotent).
+    import graft.ice.{ChangeFeed, IceTableConfig}
+    val fact = new IceTable(spark, tmpDir("mvrg_fact"), IceTableConfig(
+      partitionExpr = concat(lit("p="), pmod(col("id"), lit(2))),
+      sortOrder = Seq("id")))
+    val dim = new IceTable(spark, tmpDir("mvrg_dim"), IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("k")))
+    dim.insert(Seq(("k1", "A"), ("k2", "B")).toDF("k", "cat"))
+    val jspec = MvSync.MvSpec(Seq("cat"), sumCols = Seq("f.v"),
+      joinDims = Seq(MvSync.MvJoinDim("dim", "f", "d", "f.k = d.k")))
+    val mv = MvSync.create(spark, tmpDir("mvrg_mv"), jspec)
+    fact.insert(Seq((1L, "k1", 10L), (2L, "k2", 5L)).toDF("id", "k", "v"))
+    settle()
+    val b1 = ChangeFeed.between(fact, 0L)
+    val wm1 = b1.agg(max(col(ChangeFeed.CommitTsCol))).head.getLong(0)
+    MvSync.applyFeedBatch(fact, mv, jspec, b1, 1L, "qrg",
+      dimTables = Seq(dim), autoRebase = true)
+    // batch 2: fact-only, lands as a plain delta
+    fact.insert(Seq((3L, "k1", 7L)).toDF("id", "k", "v"))
+    settle()
+    val b2 = ChangeFeed.between(fact, wm1).localCheckpoint(true)
+    MvSync.applyFeedBatch(fact, mv, jspec, b2, 2L, "qrg",
+      dimTables = Seq(dim), autoRebase = true)
+    def rows() = MvSync.read(mv, jspec).orderBy("cat").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows() == Seq(("A", 2L, 17L), ("B", 1L, 5L)))
+    // crash: the dim moves while the stream is down, then the restart
+    // re-delivers batch 2 verbatim
+    dim.updateWhere(col("k") === "k1", Seq("cat" -> lit("C")))
+    settle()
+    MvSync.applyFeedBatch(fact, mv, jspec, b2, 2L, "qrg",
+      dimTables = Seq(dim), autoRebase = true)
+    // the replayed insert was skipped: the move must NOT read as absorbed
+    // — the next (fresh) batch re-detects it and lands the reset
+    val wm2 = b2.agg(max(col(ChangeFeed.CommitTsCol))).head.getLong(0)
+    fact.insert(Seq((4L, "k2", 2L)).toDF("id", "k", "v"))
+    settle()
+    val b3 = ChangeFeed.between(fact, wm2)
+    MvSync.applyFeedBatch(fact, mv, jspec, b3, 3L, "qrg",
+      dimTables = Seq(dim), autoRebase = true)
+    assert(rows() == Seq(("B", 2L, 7L), ("C", 2L, 17L)))
+    b2.unpersist()
+  }
+
+  test("partial-maintenance degrades are surfaced, and the fallback still lands correct state") {
+    // r14 verdict item #5: the dim-delta and key-prune fallbacks were
+    // silent — at 100 TB a degrade is a 1000× cost cliff an operator
+    // must be able to diagnose. The hook captures the reason; the
+    // injected failure here is a delta larger than maxPruneGroups.
+    import graft.ice.IceTableConfig
+    val fact = new IceTable(spark, tmpDir("mvwf_fact"), IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("id")))
+    val dim = new IceTable(spark, tmpDir("mvwf_dim"), IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("k")))
+    dim.insert(Seq(("k1", "A"), ("k2", "B"), ("k3", "B")).toDF("k", "cat"))
+    val jspec = MvSync.MvSpec(Seq("cat"), sumCols = Seq("f.v"),
+      joinDims = Seq(MvSync.MvJoinDim("dim", "f", "d", "f.k = d.k")))
+    val mv = MvSync.create(spark, tmpDir("mvwf_mv"), jspec)
+    fact.insert(Seq((1L, "k1", 5L), (2L, "k2", 9L), (3L, "k3", 4L))
+      .toDF("id", "k", "v"))
+    settle()
+    MvSync.syncFromFeed(fact, mv, jspec, dimTables = Seq(dim))
+    val captured = scala.collection.mutable.ArrayBuffer.empty[String]
+    val saved = MvSync.onFallback
+    MvSync.onFallback = m => captured.synchronized { captured += m; () }
+    try {
+      // a 2-key dim move against maxPruneGroups = 0: the delta is
+      // "too large", the partial path is refused, the full reseed runs
+      dim.updateWhere(col("k").isin("k1", "k2"), Seq("cat" -> lit("Z")))
+      settle()
+      MvSync.syncFromFeed(fact, mv, jspec, dimTables = Seq(dim),
+        maxPruneGroups = 0)
+      val got = MvSync.read(mv, jspec).orderBy("cat").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == Seq(("B", 1L, 4L), ("Z", 2L, 14L)))
+      val msgs = captured.synchronized { captured.toList }
+      assert(msgs.exists(m => m.contains("maxPruneGroups") &&
+        m.contains("full reseed")),
+        s"expected a surfaced degrade reason, captured: $msgs")
+    } finally MvSync.onFallback = saved
   }
 }
