@@ -374,6 +374,38 @@ object SparkEntry {
         .withColumn("fact_delta_incremental", lit(fx.factOnlyDelta))
         .orderBy("cat")
     }),
+    "b65_mv_join_manifest" -> ((s, d) => {
+      // A STAR-JOIN view's foreign-engine path: join-view partials are
+      // MATERIALIZED (the dim-sourced group column is a stored column),
+      // so the manifest's fold SQL serves the folded state from the bare
+      // file list with no dim data and no join at all. Graded like
+      // b57: replay the fold over exactly the manifest's files, compare
+      // against DuckDB's re-derivation from raw events + derived dim;
+      // the boolean pins the exported SQL's shape (fold CTEs present,
+      // the dim-sourced group key quoted DuckDB-style, no backticks).
+      import graft.ice.{IceTable, ManifestExport}
+      import graft.operators.MvSync
+      val fx = Fixtures.eventsSqlMvJoin(s, d)
+      val mv = IceTable.open(s, s"${fx.whDir}/${fx.viewName}")
+      val dest = s"${mv.root}/_export/manifest.json"
+      ManifestExport.writeManifest(mv, dest)
+      val sql = ManifestExport.writeDuckDbView(
+        mv, s"${mv.root}/_export/view.sql", "mv_join_view")
+      val (_, files, dels) = ManifestExport.readManifest(mv, dest)
+      val vd = MvSync.MvViewDef.decode(mv.cfg.mvDef.get)
+      val aliveAbs = mv.snapshot().aliveFiles
+        .map(m => s"${mv.qualifiedRoot}/${m.path}").toSet
+      val sqlOk = files.toSet == aliveAbs && dels.isEmpty &&
+        sql.contains("_rgen") && sql.contains("\"cat\"") &&
+        !sql.contains("`")
+      val folded = MvSync.projectView(MvSync.foldPartials(
+        s.read.schema(mv.snapshot().schema.toStructType).parquet(files: _*),
+        vd.spec), vd)
+      folded.select(col("cat"), col("cnt"),
+          col("sum_uid").cast("bigint").as("sum_uid"), col("max_id"))
+        .withColumn("fold_sql_exported", lit(sqlOk))
+        .orderBy("cat")
+    }),
     "b62_mv_global" -> ((s, d) => {
       // GLOBAL (no GROUP BY) SQL materialized view — the dashboard
       // count shape — maintained under a synthetic constant key through
@@ -3173,6 +3205,18 @@ object SparkEntry {
         "SELECT d.cat AS cat, count(*) AS cnt, " +
         "CAST(sum(f.user_id) AS BIGINT) AS sum_uid, max(f.event_id) AS max_id, " +
         "true AS fact_delta_incremental " +
+        "FROM final f JOIN dim d ON f.event_type = d.et " +
+        "GROUP BY 1 ORDER BY 1"),
+    "b65_mv_join_manifest" ->
+      ("WITH final AS (SELECT event_id, user_id, " +
+        "CASE WHEN user_id % 23 = 7 THEN 'redacted' ELSE event_type END AS event_type " +
+        "FROM events WHERE user_id % 23 <> 8), " +
+        "dim AS (SELECT DISTINCT event_type AS et, " +
+        "upper(substring(event_type, 1, 1)) AS cat FROM events " +
+        "UNION ALL SELECT 'redacted', 'R') " +
+        "SELECT d.cat AS cat, count(*) AS cnt, " +
+        "CAST(sum(f.user_id) AS BIGINT) AS sum_uid, max(f.event_id) AS max_id, " +
+        "true AS fold_sql_exported " +
         "FROM final f JOIN dim d ON f.event_type = d.et " +
         "GROUP BY 1 ORDER BY 1"),
     "b60_mv_where" ->

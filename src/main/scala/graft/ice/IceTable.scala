@@ -2217,6 +2217,16 @@ final class IceTable(
     // every main-only file as an orphan
     require(logRel == "_log",
       "vacuumOrphans must run on the main table handle, not a branch")
+    // Listed BEFORE the snapshot fold: any log in this set is definitely
+    // part of the fold below, so its markers are in `known` and the
+    // protection-set pass can skip fetching/parsing it. A tagged log
+    // confirming between this list and the fold is simply not in the set
+    // — it gets parsed, the safe direction. This keeps the sweep's parse
+    // cost bounded by UNCONFIRMED + just-confirmed stages instead of
+    // growing with total transaction history, and keeps one corrupt
+    // historical confirmed log (whose files `known` already protects)
+    // from aborting every future vacuum.
+    val confirmedAtSnapshot: Set[String] = logio.currentLogFiles(root).toSet
     val known: Set[String] =
       trySnapshot(Long.MaxValue).map(_.files.map(_.path).toSet).getOrElse(Set.empty) ++
         // branch logs reference shared `_data/` files main's log knows
@@ -2289,18 +2299,23 @@ final class IceTable(
         false
       } else true
     }
-    // protection set for the generic `_data` sweep: markers of EVERY
-    // txn-tagged log NOT being reclaimed this sweep. That covers live
-    // stages, expired-but-honored stages (late-confirmed, or the intent
-    // PUT failed and the transaction could still confirm), and CONFIRMED
+    // protection set for the generic `_data` sweep: markers of every
+    // txn-tagged log NOT being reclaimed this sweep AND not already
+    // covered by the snapshot fold. That covers live stages,
+    // expired-but-honored stages (late-confirmed, or the intent PUT
+    // failed and the transaction could still confirm), and CONFIRMED
     // transactions whose marker landed between the snapshot read above
     // and the staged listing — in every one of those states the files
     // are in neither `known` nor any narrower staged set yet must
-    // survive: they are committed (or still commit-able) data. A
+    // survive: they are committed (or still commit-able) data. Tagged
+    // logs in `confirmedAtSnapshot` are skipped — the fold already put
+    // their markers in `known`, so parsing them again would only add
+    // linear-in-history cost and a corrupt-old-log failure mode. A
     // genuinely dead stage is reclaimed by a sweep whose handshake wins.
     val reclaimedTxns = reclaimable.keySet
     val protectedStaged: Set[String] = logio.taggedLogFiles(root)
-      .filterNot { case (_, txnId) => reclaimedTxns(txnId) }
+      .filterNot { case (rel, txnId) =>
+        reclaimedTxns(txnId) || confirmedAtSnapshot(rel) }
       .flatMap { case (rel, _) => stagedMarkers(rel).map(_.path) }.toSet
     reclaimable.values.flatten.foreach { case (rel, _) =>
       // read the marker list, then delete the staged LOG first — it is

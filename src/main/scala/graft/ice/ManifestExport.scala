@@ -153,8 +153,11 @@ object ManifestExport {
       s"$e AS ${q(o.alias)}"
     }).mkString(", ")
     // HAVING applies over the projected aliases, exactly like the
-    // engine's read rule (MvSync.projectView)
-    val havingSql = d.havingSql.fold("")(h => s" WHERE $h")
+    // engine's read rule (MvSync.projectView) — translated to DuckDB
+    // dialect first: the stored predicate is Spark-rendered expression
+    // text (backtick-quoted identifiers, typed literal suffixes like
+    // 1.5BD / 2L), which is not valid DuckDB SQL verbatim
+    val havingSql = d.havingSql.fold("")(h => s" WHERE ${havingToDuckDb(h)}")
     // a GLOBAL (no GROUP BY) view always reads exactly ONE row in the
     // engine — the ANSI aggregate-over-empty identities when the base
     // is empty or fully retracted. Foreign engines must agree: union in
@@ -190,6 +193,89 @@ object ManifestExport {
        |  SELECT $gCols, $folds FROM _live
        |  GROUP BY $gCols HAVING sum(cnt) > 0)
        |SELECT * FROM ($withIdentity) _v$havingSql""".stripMargin
+  }
+
+  /** Translate a Spark-rendered predicate (`Expression.sql` output) to
+    * DuckDB dialect: backtick-quoted identifiers become double-quoted
+    * (`` `a``b` `` → `"a``b"`… i.e. doubled backticks un-escape, inner
+    * double quotes re-escape), and the typed numeric literal suffixes
+    * Spark renders (`1.5BD` decimal, `1.5D` double, `2L` bigint, `2S`
+    * smallint, `2Y` tinyint, with optional exponent) are stripped —
+    * DuckDB types bare literals compatibly for comparison predicates.
+    * The scan is quote-aware: nothing inside a single-quoted string is
+    * touched. Anything that still looks non-portable afterwards (an
+    * unbalanced backtick) refuses loudly, matching the HLL-state
+    * refusal pattern — a syntactically invalid export is worse than no
+    * export. */
+  private[graft] def havingToDuckDb(h: String): String = {
+    val out = new StringBuilder(h.length)
+    var i = 0
+    val n = h.length
+    while (i < n) {
+      h.charAt(i) match {
+        case '\'' => // string literal: copy verbatim incl. '' escapes
+          out.append('\'')
+          i += 1
+          var closed = false
+          while (i < n && !closed) {
+            val c = h.charAt(i)
+            out.append(c)
+            if (c == '\'') {
+              if (i + 1 < n && h.charAt(i + 1) == '\'') { out.append('\''); i += 1 }
+              else closed = true
+            }
+            i += 1
+          }
+          if (!closed) throw new UnsupportedOperationException(
+            s"cannot export HAVING predicate to DuckDB (unterminated string): $h")
+        case '`' => // identifier: `a``b` → "a`b" → re-quote for DuckDB
+          i += 1
+          val ident = new StringBuilder
+          var closed = false
+          while (i < n && !closed) {
+            val c = h.charAt(i)
+            if (c == '`') {
+              if (i + 1 < n && h.charAt(i + 1) == '`') { ident.append('`'); i += 1 }
+              else closed = true
+            } else ident.append(c)
+            i += 1
+          }
+          if (!closed) throw new UnsupportedOperationException(
+            s"cannot export HAVING predicate to DuckDB (unbalanced backtick): $h")
+          out.append('"').append(ident.toString.replace("\"", "\"\"")).append('"')
+        case c if c.isDigit &&
+            (i == 0 || !h.charAt(i - 1).isLetterOrDigit && h.charAt(i - 1) != '_') =>
+          // numeric literal: digits [.digits] [E[+-]digits] [suffix]
+          val start = i
+          while (i < n && h.charAt(i).isDigit) i += 1
+          if (i < n && h.charAt(i) == '.') {
+            i += 1
+            while (i < n && h.charAt(i).isDigit) i += 1
+          }
+          if (i < n && (h.charAt(i) == 'E' || h.charAt(i) == 'e') &&
+              i + 1 < n && (h.charAt(i + 1).isDigit ||
+                ((h.charAt(i + 1) == '+' || h.charAt(i + 1) == '-') &&
+                  i + 2 < n && h.charAt(i + 2).isDigit))) {
+            i += 1
+            if (h.charAt(i) == '+' || h.charAt(i) == '-') i += 1
+            while (i < n && h.charAt(i).isDigit) i += 1
+          }
+          out.append(h.substring(start, i))
+          // strip a Spark type suffix iff it ends the token
+          val suffix =
+            if (h.regionMatches(true, i, "BD", 0, 2)) 2
+            else if (i < n && "DLSYdlsy".indexOf(h.charAt(i)) >= 0) 1
+            else 0
+          val after = i + suffix
+          if (suffix > 0 &&
+              (after >= n || (!h.charAt(after).isLetterOrDigit && h.charAt(after) != '_')))
+            i = after // drop it
+        case c =>
+          out.append(c)
+          i += 1
+      }
+    }
+    out.toString
   }
 
   /** Write [[duckDbViewSql]] to `<dest>`. Returns the SQL. */

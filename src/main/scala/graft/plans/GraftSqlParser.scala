@@ -56,6 +56,11 @@ import graft.ice.{DeleteVectors, IceTable, IceTableConfig}
   *                                               -- keys, WHERE pushed into
   *                                               -- every maintenance path
   *   REFRESH MATERIALIZED VIEW graft.m           -- one feed-window advance
+  *   REFRESH MATERIALIZED VIEW graft.m FULL      -- generation-collapsing
+  *                                               -- rebase (defragmentation)
+  *   ALTER MATERIALIZED VIEW graft.m             -- definition evolution:
+  *     ADD (sum(x) AS sx, ...)                   -- one base scan seeds the
+  *                                               -- new columns' state
   *   DROP MATERIALIZED VIEW graft.m              -- alias of DROP TABLE
   *   BEGIN TRANSACTION;                          -- multi-table atomicity:
   *     INSERT INTO graft.t1 <query>;             -- all inserts stage, ONE
@@ -159,8 +164,17 @@ object GraftSqlParser {
     // SQL-defined incremental materialized views (graft.operators.MvSync)
     val createMvRe = re(
       s"""\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$c\\.$ident\\s+AS\\s+(.+?)\\s*;?\\s*""")
+    // REFRESH … advances one feed window; REFRESH … FULL runs the
+    // generation-collapsing rebase (MvSync.rebase) — the SQL spelling of
+    // the view's defragmentation hygiene loop
     val refreshMvRe = re(
-      s"""\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+$c\\.$ident\\s*;?\\s*""")
+      s"""\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+$c\\.$ident(\\s+FULL)?\\s*;?\\s*""")
+    // MV definition evolution: ALTER MATERIALIZED VIEW m ADD (sum(x) AS
+    // sx, …) — one base scan seeds the widened state (a rebase under the
+    // NEW spec), then the definition persists; the view stays readable
+    // under the OLD definition throughout
+    val alterMvRe = re(
+      s"""\\s*ALTER\\s+MATERIALIZED\\s+VIEW\\s+$c\\.$ident\\s+ADD\\s+\\((.+)\\)\\s*;?\\s*""")
     // CHECK constraints (Delta's ALTER TABLE spellings): the predicate
     // body is a balanced-paren walk like partition expressions
     val constraintAddRe = re(
@@ -257,7 +271,12 @@ object GraftSqlParser {
       return Some(GraftCreateMvCommand(name(mvm, 2), mvm.group(1) != null,
         extractMvDef(mvm.group(4), catalog, delegate)))
     val rfm = refreshMvRe.matcher(sqlText)
-    if (rfm.matches()) return Some(GraftRefreshMvCommand(name(rfm, 1)))
+    if (rfm.matches())
+      return Some(GraftRefreshMvCommand(name(rfm, 1), full = rfm.group(3) != null))
+    val amv = alterMvRe.matcher(sqlText)
+    if (amv.matches())
+      return Some(GraftAlterMvAddCommand(name(amv, 1),
+        parseMvAddList(amv.group(3), delegate)))
 
     // ALTER TABLE graft.t ADD CONSTRAINT n CHECK (pred) | DROP CONSTRAINT n
     val cam = constraintAddRe.matcher(sqlText)
@@ -619,6 +638,82 @@ object GraftSqlParser {
     * BY expression must appear ALIASED in the SELECT list (the alias
     * names the stored derived column). Anything else fails AT PARSE TIME
     * with a reason. */
+  /** Compile one aliased aggregate call into an [[MvOutput]] — shared by
+    * the CREATE MATERIALIZED VIEW SELECT-list compiler and ALTER
+    * MATERIALIZED VIEW … ADD. count(DISTINCT c) maintains as mergeable
+    * HLL sketch state (partial = hll_sketch_agg per window, fold =
+    * hll_union_agg; retraction by the min/max reset rule); other
+    * DISTINCT aggregates have no mergeable partial form. */
+  private def mvAggOutput(
+      f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction,
+      aliasName: String,
+      fail: String => Nothing): graft.operators.MvSync.MvOutput = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import graft.operators.MvSync.MvOutput
+    if (f.isDistinct) {
+      if (f.nameParts.last.toLowerCase != "count")
+        fail("only count(DISTINCT col) is incrementally " +
+          "maintainable (as HLL sketch state)")
+      f.arguments match {
+        case Seq(a: UnresolvedAttribute) => MvOutput(aliasName, "dcnt", a.name)
+        case _ => fail("count(DISTINCT …) must take exactly one " +
+          "plain column")
+      }
+    } else {
+      val kind = f.nameParts.last.toLowerCase match {
+        case "count" => "cnt"
+        case "sum" => "sum"
+        case "min" => "min"
+        case "max" => "max"
+        case "avg" | "mean" => "avg"
+        // the honest ANSI spelling of what the engine serves:
+        // count(DISTINCT c) and approx_count_distinct(c) both
+        // maintain the same HLL sketch state
+        case "approx_count_distinct" => "dcnt"
+        case other => fail(s"unsupported aggregate `$other`")
+      }
+      val colName =
+        if (kind == "cnt") f.arguments match {
+          case Seq(_: UnresolvedStar) => ""
+          case Seq(Literal(_, _)) => ""
+          case _ => fail("count must be count(*) or count(1)")
+        }
+        else f.arguments match {
+          case Seq(a: UnresolvedAttribute) => a.name
+          case _ => fail(
+            s"${f.nameParts.last} must take exactly one plain column")
+        }
+      MvOutput(aliasName, kind, colName)
+    }
+  }
+
+  /** Compile `ALTER MATERIALIZED VIEW … ADD (agg AS alias, …)`'s
+    * parenthesized list through the delegate's own SELECT grammar. */
+  private def parseMvAddList(body: String,
+      delegate: ParserInterface): Seq[graft.operators.MvSync.MvOutput] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    def fail(msg: String): Nothing = throw new UnsupportedOperationException(
+      "ALTER MATERIALIZED VIEW … ADD takes a parenthesized list of " +
+        "aliased aggregates — count(*) / sum / min / max / avg / " +
+        s"count(distinct) / approx_count_distinct, each AS <alias>; $msg")
+    val plan =
+      try delegate.parsePlan(s"SELECT $body FROM __mv_alter__")
+      catch { case e: Exception => fail(
+        s"the list does not parse: ${String.valueOf(e.getMessage).take(160)}") }
+    plan match {
+      case Project(items, _) if items.nonEmpty => items.map {
+        case Alias(f: UnresolvedFunction, aliasName) =>
+          mvAggOutput(f, aliasName, fail)
+        case other => fail(s"unsupported output expression ${other.sql} — " +
+          "alias every aggregate (… AS name)")
+      }
+      case _ => fail("expected a plain aggregate list")
+    }
+  }
+
   private def extractMvDef(query: String, catalog: String,
       delegate: ParserInterface): graft.operators.MvSync.MvViewDef = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedHaving, UnresolvedRelation, UnresolvedStar}
@@ -775,45 +870,8 @@ object GraftSqlParser {
             if (!gcols.exists(_.equalsIgnoreCase(a.name)))
               fail(s"non-aggregate output `${a.name}` is not in GROUP BY")
             None // group columns pass through under their own names
-          case Alias(f: UnresolvedFunction, aliasName) if f.isDistinct =>
-            // count(DISTINCT c) maintains as mergeable HLL sketch state
-            // (partial = hll_sketch_agg per window, fold = hll_union_agg;
-            // retraction by the min/max reset rule). Other DISTINCT
-            // aggregates have no mergeable partial form.
-            if (f.nameParts.last.toLowerCase != "count")
-              fail("only count(DISTINCT col) is incrementally " +
-                "maintainable (as HLL sketch state)")
-            f.arguments match {
-              case Seq(a: UnresolvedAttribute) =>
-                Some(MvOutput(aliasName, "dcnt", a.name))
-              case _ => fail("count(DISTINCT …) must take exactly one " +
-                "plain column")
-            }
           case Alias(f: UnresolvedFunction, aliasName) =>
-            val kind = f.nameParts.last.toLowerCase match {
-              case "count" => "cnt"
-              case "sum" => "sum"
-              case "min" => "min"
-              case "max" => "max"
-              case "avg" | "mean" => "avg"
-              // the honest ANSI spelling of what the engine serves:
-              // count(DISTINCT c) and approx_count_distinct(c) both
-              // maintain the same HLL sketch state
-              case "approx_count_distinct" => "dcnt"
-              case other => fail(s"unsupported aggregate `$other`")
-            }
-            val colName =
-              if (kind == "cnt") f.arguments match {
-                case Seq(_: UnresolvedStar) => ""
-                case Seq(Literal(_, _)) => ""
-                case _ => fail("count must be count(*) or count(1)")
-              }
-              else f.arguments match {
-                case Seq(a: UnresolvedAttribute) => a.name
-                case _ => fail(
-                  s"${f.nameParts.last} must take exactly one plain column")
-              }
-            Some(MvOutput(aliasName, kind, colName))
+            Some(mvAggOutput(f, aliasName, fail))
           case _: UnresolvedFunction =>
             fail("alias every aggregate output (… AS name)")
           case other => fail(s"unsupported output expression $other")
@@ -1291,8 +1349,17 @@ object GraftSqlParser {
 
   /** `REFRESH MATERIALIZED VIEW graft.<m>` → one incremental
     * [[graft.operators.MvSync.syncFromFeed]] window: count/sum deltas
-    * appended, delete-touched groups recomputed, exactly-once. */
-  final case class GraftRefreshMvCommand(name: String)
+    * appended, delete-touched groups recomputed, exactly-once.
+    *
+    * `REFRESH MATERIALIZED VIEW graft.<m> FULL` →
+    * [[graft.operators.MvSync.rebase]]: every live group lands as ONE
+    * fresh reset generation (readers see the compacted state atomically
+    * — newest-reset-wins) and the superseded older rows are reclaimed.
+    * The SQL spelling of the view's defragmentation hygiene loop — the
+    * reference's analog is the periodic merge/OPTIMIZE pass
+    * (`examples/api-flask.py:92-101`); without it a SQL-only operator
+    * could never collapse a long-lived view's partial-generation tail. */
+  final case class GraftRefreshMvCommand(name: String, full: Boolean = false)
       extends LeafRunnableCommand {
     import graft.operators.MvSync
     override val output: Seq[Attribute] = Seq(
@@ -1312,10 +1379,77 @@ object GraftSqlParser {
               s"source table '${d.source}' of materialized view '$name' " +
                 "no longer exists"))
           val dimT = dimArgs(session, d)
-          val (p, r) = MvSync.syncFromFeed(
-            IceTable.open(session, srcRoot), mv, d.spec,
-            dimTables = dimT)
-          Seq(Row(p, r))
+          val src = IceTable.open(session, srcRoot)
+          if (full) {
+            val n = MvSync.rebase(src, mv, d.spec, dimTables = dimT)
+            Seq(Row(0L, n))
+          } else {
+            val (p, r) = MvSync.syncFromFeed(src, mv, d.spec,
+              dimTables = dimT)
+            Seq(Row(p, r))
+          }
+      }
+  }
+
+  /** `ALTER MATERIALIZED VIEW graft.<m> ADD (sum(x) AS sx, …)` — MV
+    * definition evolution without DROP+CREATE. The widened state seeds
+    * with ONE base scan: a [[graft.operators.MvSync.rebase]] under the
+    * NEW spec lands every live group as a reset generation carrying the
+    * new columns (and collapses fragmentation as a side effect), THEN
+    * the new definition persists. Readers are never broken: until the
+    * config commit they project the OLD definition over rows that merely
+    * carry extra columns; after it, every stored row has the new state.
+    * A crash in between leaves a correct old-definition view and an
+    * idempotent re-run. Rejected: alias collisions with existing outputs
+    * or group columns (case-insensitive) — and a new aggregate over a
+    * column the source lacks fails the seed scan's analysis BEFORE
+    * anything commits. */
+  final case class GraftAlterMvAddCommand(name: String,
+      adds: Seq[graft.operators.MvSync.MvOutput])
+      extends LeafRunnableCommand {
+    import graft.operators.MvSync
+    override val output: Seq[Attribute] = Seq(
+      AR("columns_added", LongType, nullable = false)(),
+      AR("groups_reseeded", LongType, nullable = false)())
+    override def run(session: SparkSession): Seq[Row] =
+      rootFor(session, name, requireLog = true) match {
+        case None => throw new IllegalArgumentException(
+          s"graft materialized view '$name' does not exist")
+        case Some(root) =>
+          val mv = IceTable.open(session, root)
+          val d = mv.cfg.mvDef.map(MvSync.MvViewDef.decode).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft table '$name' is not a materialized view — ALTER " +
+                "MATERIALIZED VIEW only evolves view definitions"))
+          val taken = (d.outputs.map(_.alias) ++ d.groupCols)
+            .map(_.toLowerCase).toSet
+          adds.foreach { o =>
+            if (taken(o.alias.toLowerCase))
+              throw new UnsupportedOperationException(
+                s"ALTER MATERIALIZED VIEW: output alias `${o.alias}` " +
+                  s"already exists on '$name' — pick a fresh alias")
+          }
+          adds.groupBy(_.alias.toLowerCase).collect {
+            case (a, os) if os.size > 1 =>
+              throw new UnsupportedOperationException(
+                s"ALTER MATERIALIZED VIEW: alias `$a` appears twice in ADD")
+          }
+          val newDef = d.copy(outputs = d.outputs ++ adds)
+          val srcRoot = rootFor(session, d.source, requireLog = true).getOrElse(
+            throw new IllegalArgumentException(
+              s"source table '${d.source}' of materialized view '$name' " +
+                "no longer exists"))
+          val dimT = dimArgs(session, newDef)
+          // seed the widened state FIRST (a failed/crashed seed leaves a
+          // correct old-definition view), persist the definition LAST
+          val n = MvSync.rebase(IceTable.open(session, srcRoot), mv,
+            newDef.spec, dimTables = dimT)
+          new IceTable(session, root, mv.cfg.copy(
+            sortOrder = newDef.spec.groupCols,
+            customMergeSql = MvSync.mvConfig(newDef.spec,
+              viewDef = Some(newDef)).customMergeSql,
+            mvDef = Some(newDef.encode))).persistConfig()
+          Seq(Row(adds.length.toLong, n))
       }
   }
 

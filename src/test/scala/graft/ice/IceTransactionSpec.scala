@@ -96,6 +96,34 @@ class IceTransactionSpec extends SparkSpec {
     assert(t1.read().where($"v" === "txn").count() == 1L)
   }
 
+  test("a corrupt CONFIRMED tagged log (checkpoint-covered) cannot abort the vacuum") {
+    // r14 advice: the protection-set pass used to fetch+parse EVERY
+    // txn-tagged log on every sweep — so one rotted historical log
+    // (whose files `known` already protects via the fold) permanently
+    // aborted all future vacuums, and sweep cost grew with transaction
+    // history. Confirmed-at-snapshot logs are now skipped.
+    val (t1, _, _) = pair()
+    t1.insert(Seq((1L, "seed")).toDF("id", "v"))
+    val txn = IceTransaction.begin(spark)
+    txn.insert(t1, Seq((2L, "txn")).toDF("id", "v"))
+    txn.commit()
+    Thread.sleep(2)
+    t1.insert(Seq((3L, "later")).toDF("id", "v"))
+    assert(t1.writeCheckpoint().isDefined)
+    // rot the historical tagged log's bytes: the fold never reads it
+    // (the checkpoint covers it), and neither must the vacuum
+    val tagged = new java.io.File(s"${t1.root}/_log").listFiles()
+      .filter(f => f.getName.contains("_x" + txn.id) &&
+        !f.getName.startsWith("."))
+    assert(tagged.length == 1)
+    java.nio.file.Files.writeString(tagged.head.toPath, "not json at all")
+    val swept = t1.vacuumOrphans(minAgeMs = 0L) // must not throw
+    // the transaction's committed data survives (protected via `known`)
+    assert(!swept.exists(_.contains("_data/")))
+    assert(t1.read().count() == 3L)
+    assert(t1.read().where($"v" === "txn").count() == 1L)
+  }
+
   test("no settled feed window closes past an open transaction (in-process)") {
     val (t1, _, _) = pair()
     t1.insert(Seq((1L, "seed")).toDF("id", "v"))

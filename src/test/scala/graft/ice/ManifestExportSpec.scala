@@ -116,10 +116,81 @@ class ManifestExportSpec extends SparkSpec {
     MvSync.syncFromFeed(b2, hmv, hvd.spec)
     val hsql = ManifestExport.duckDbViewSql(hmv, "hv")
     assert(hsql.contains(") _v WHERE"), s"HAVING filter missing:\n$hsql")
+    // the predicate is TRANSLATED to DuckDB dialect, never embedded as
+    // Spark-rendered text: identifiers double-quoted, no backticks left
+    assert(hsql.contains("""_v WHERE "cnt" > 1"""),
+      s"HAVING must export in DuckDB dialect:\n$hsql")
+    assert(!hsql.contains("`"), s"backticks leaked into the export:\n$hsql")
     // and the engine-side replay of both folds matches the definitions
     val gRows = MvSync.readView(gmv, gvd).collect()
     assert(gRows.length == 1 && gRows.head.getLong(0) == 1L)
     val hRows = MvSync.readView(hmv, hvd).collect()
     assert(hRows.map(_.getLong(1)).toSeq == Seq(2L)) // only g=a survives
+  }
+
+  test("HAVING translation: Spark-rendered predicates become valid DuckDB tokens") {
+    val tr = ManifestExport.havingToDuckDb _
+    // backtick identifiers → double quotes; typed literal suffixes
+    // (1.5BD decimal, 1.5D double, 2L bigint, 2S/2Y small/tiny) stripped
+    assert(tr("(`total` > 1.5BD) AND (`cnt` >= 2L)") ==
+      """("total" > 1.5) AND ("cnt" >= 2)""")
+    assert(tr("`mean` > 1.25D OR `lo` <= 3S OR `hi` <> 4Y") ==
+      """"mean" > 1.25 OR "lo" <= 3 OR "hi" <> 4""")
+    // exponent forms keep the exponent, lose only the suffix
+    assert(tr("`x` < 1.0E10D") == """"x" < 1.0E10""")
+    // escaped quotes inside identifiers re-escape for DuckDB
+    assert(tr("`a``b` = 1 AND `c\"d` = 2") ==
+      """"a`b" = 1 AND "c""d" = 2""")
+    // string literals are untouchable — suffix-looking text stays
+    assert(tr("`g` = '1.5BD' AND `h` = 'it''s `fine`'") ==
+      """"g" = '1.5BD' AND "h" = 'it''s `fine`'""")
+    // plain numbers and non-suffix identifiers pass through
+    assert(tr("cnt2 > 10 AND f(3) = 7") == "cnt2 > 10 AND f(3) = 7")
+    // malformed input refuses loudly rather than exporting broken SQL
+    intercept[UnsupportedOperationException](tr("`unclosed > 1"))
+    intercept[UnsupportedOperationException](tr("'unclosed"))
+  }
+
+  test("a star-join view exports: the fold SQL applies to the materialized partials, no dim needed") {
+    import graft.operators.MvSync
+    // join-view MV rows STORE the dim-sourced group column and the
+    // sanitized aggregate args, so the manifest fold is dim-free — the
+    // r14 stretch item: verify the export serves a joinDims view
+    val fact = new IceTable(spark, tmpDir("manj_fact"), IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("id")))
+    val dim = new IceTable(spark, tmpDir("manj_dim"), IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("k")))
+    dim.insert(Seq(("k1", "A"), ("k2", "B")).toDF("k", "cat"))
+    val vd = MvSync.MvViewDef("fact", Seq("cat"), Seq(
+      MvSync.MvOutput("cnt", "cnt", ""),
+      MvSync.MvOutput("total", "sum", "f.v")),
+      dims = Seq(MvSync.MvJoinDim("dim", "f", "d", "f.k = d.k")))
+    val mv = MvSync.create(spark, tmpDir("manj_mv"), vd.spec,
+      viewDef = Some(vd))
+    fact.insert(Seq((1L, "k1", 5L), (2L, "k2", 9L), (3L, "k1", 2L))
+      .toDF("id", "k", "v"))
+    Thread.sleep(5)
+    MvSync.syncFromFeed(fact, mv, vd.spec, dimTables = Seq(dim))
+    // a second window so the export folds across generations for real
+    fact.insert(Seq((4L, "k2", 1L)).toDF("id", "k", "v"))
+    Thread.sleep(5)
+    MvSync.syncFromFeed(fact, mv, vd.spec, dimTables = Seq(dim))
+    val dest = s"${mv.root}/_export/manifest.json"
+    ManifestExport.writeManifest(mv, dest)
+    val sql = ManifestExport.duckDbViewSql(mv, "jv")
+    assert(sql.contains("\"cat\"") && sql.contains("sum_f_v") &&
+      sql.contains("_rgen") && !sql.contains("`"),
+      s"join-view fold SQL malformed:\n$sql")
+    // replay the fold over exactly the manifest's file list — no log
+    // fold, no dim table — and compare with the engine's read
+    val (_, files, _) = ManifestExport.readManifest(mv, dest)
+    val foreign = MvSync.projectView(MvSync.foldPartials(
+      spark.read.schema(mv.snapshot().schema.toStructType)
+        .parquet(files: _*), vd.spec), vd)
+      .orderBy("cat").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val engine = MvSync.readView(mv, vd).orderBy("cat").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(foreign == engine && foreign == Seq(("A", 2L, 7L), ("B", 2L, 10L)))
   }
 }

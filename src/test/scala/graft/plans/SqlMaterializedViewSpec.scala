@@ -506,4 +506,86 @@ class SqlMaterializedViewSpec extends SparkSpec {
       s"SELECT cnt FROM graft.mv4 TIMESTAMP AS OF $tsAfterSeed WHERE grp = 'a'")
       .head.getLong(0) == 2L)
   }
+
+  test("ALTER MATERIALIZED VIEW … ADD widens the definition with ONE base scan; collisions and bad columns rejected") {
+    val w = freshWarehouse()
+    val base = seedBase(w, "mvbase7") // (1,a,10),(2,a,20),(3,b,5)
+    settle()
+    spark.sql("""CREATE MATERIALIZED VIEW graft.mv7 AS
+      SELECT grp, count(*) AS cnt FROM graft.mvbase7 GROUP BY grp""")
+    // widen with three aggregate kinds at once (sum, avg, min): one
+    // reseed carries the new columns; existing reads never break
+    val r = spark.sql("""ALTER MATERIALIZED VIEW graft.mv7
+      ADD (sum(v) AS total, avg(v) AS mean, min(id) AS lo)""").head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    def rows() = spark.sql(
+      "SELECT grp, cnt, total, mean, lo FROM graft.mv7 ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    assert(rows() == Seq(("a", 2L, 30L, 15.0, 1L), ("b", 1L, 5L, 5.0, 3L)))
+    // maintenance follows the WIDENED definition incrementally
+    base.insert(Seq((4L, "b", 7L)).toDF("id", "grp", "v"))
+    settle()
+    spark.sql("REFRESH MATERIALIZED VIEW graft.mv7").collect()
+    assert(rows() == Seq(("a", 2L, 30L, 15.0, 1L), ("b", 2L, 12L, 6.0, 3L)))
+    // SHOW CREATE round-trips the widened definition
+    val stmt = spark.sql("SHOW CREATE TABLE graft.mv7").head.getString(0)
+    assert(stmt.contains("AS `total`") && stmt.contains("AS `mean`") &&
+      stmt.contains("AS `lo`"), s"widened definition missing from:\n$stmt")
+    // alias collisions (output or group column) are rejected loudly
+    intercept[UnsupportedOperationException](spark.sql(
+      "ALTER MATERIALIZED VIEW graft.mv7 ADD (max(v) AS total)"))
+    intercept[UnsupportedOperationException](spark.sql(
+      "ALTER MATERIALIZED VIEW graft.mv7 ADD (max(v) AS grp)"))
+    // a missing source column fails the seed scan BEFORE anything
+    // commits — the view keeps serving the last good definition
+    intercept[Exception](spark.sql(
+      "ALTER MATERIALIZED VIEW graft.mv7 ADD (sum(no_such_col) AS sn)"))
+    assert(rows() == Seq(("a", 2L, 30L, 15.0, 1L), ("b", 2L, 12L, 6.0, 3L)))
+    // plain tables are not ALTER MATERIALIZED VIEW targets
+    intercept[IllegalArgumentException](spark.sql(
+      "ALTER MATERIALIZED VIEW graft.mvbase7 ADD (count(*) AS c)"))
+  }
+
+  test("REFRESH … FULL rebases: generations collapse, the read goes fold-free, later windows still apply") {
+    val w = freshWarehouse()
+    val base = seedBase(w, "mvbase6")
+    settle()
+    spark.sql("""CREATE MATERIALIZED VIEW graft.mv6 AS
+      SELECT grp, count(*) AS cnt, sum(v) AS total FROM graft.mvbase6
+      GROUP BY grp""")
+    // fragment the view: two more windows, one with a retraction
+    base.insert(Seq((4L, "b", 7L)).toDF("id", "grp", "v"))
+    settle()
+    spark.sql("REFRESH MATERIALIZED VIEW graft.mv6").collect()
+    DeleteVectors.deleteWhere(base, col("id") === 1L)
+    settle()
+    spark.sql("REFRESH MATERIALIZED VIEW graft.mv6").collect()
+    def viewRows() = spark.sql(
+      "SELECT grp, cnt, total FROM graft.mv6 ORDER BY grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val before = viewRows()
+    assert(before == Seq(("a", 1L, 20L), ("b", 2L, 12L)))
+    val mvT = IceTable.open(spark, s"$w/mv6")
+    assert(mvT.read().select("gen").distinct().count() > 1L,
+      "precondition: the view is fragmented across generations")
+    // FULL = the generation-collapsing rebase, spelled in SQL
+    val r = spark.sql("REFRESH MATERIALIZED VIEW graft.mv6 FULL").head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 2L)
+    // superseded generations reclaimed: one all-reset generation remains
+    assert(mvT.read().select("gen").distinct().count() == 1L)
+    assert(mvT.read().where(!col("is_reset")).count() == 0L)
+    // the folded read is UNCHANGED…
+    assert(viewRows() == before)
+    // …and fold-free: scan + projection, no Window node in the plan
+    val plan = spark.sql("SELECT grp, cnt, total FROM graft.mv6")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"expected a fold-free post-rebase read, got:\n$plan")
+    // incremental maintenance continues on top of the rebased state
+    base.insert(Seq((5L, "c", 3L)).toDF("id", "grp", "v"))
+    settle()
+    spark.sql("REFRESH MATERIALIZED VIEW graft.mv6").collect()
+    assert(viewRows() == Seq(("a", 1L, 20L), ("b", 2L, 12L), ("c", 1L, 3L)))
+  }
 }
