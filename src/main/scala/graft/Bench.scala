@@ -193,13 +193,25 @@ object Bench {
   }
 
   private case class Timed(wallSec: Double, cpuSec: Double,
-      minWallSec: Double = -1.0)
+      minWallSec: Double = -1.0, gcSec: Double = -1.0)
+
+  /** Summed collection time across all GC beans, millis. Per-rep deltas
+    * ride next to the CPU pairing: process-CPU includes GC threads, so a
+    * CPU inflation whose GC delta inflated with it is heap pressure, not
+    * a plan regression — the attribution instrument the r14
+    * b12_json_extract anomaly (6× CPU, unchanged code) lacked. */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
 
   /** Accumulated (wall, cpu) across every timed repetition — the basis of
     * the whole-run effective_parallelism metric. Warmups and untimed
     * builds are excluded: they are deliberately not part of the claim. */
   private var totalWallNs = 0L
   private var totalCpuNs = 0L
+  private var totalGcMs = 0L
 
   private val reps: Int =
     sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3)
@@ -224,14 +236,16 @@ object Bench {
   private def timed[A](nReps: Int = reps)(setup: => Unit = ())(body: => A): Timed = {
     val runs = (0 until math.max(1, nReps)).map { _ =>
       setup
+      val g0 = gcMillis()
       val c0 = processCpu(); val w0 = System.nanoTime()
       body
       val w = System.nanoTime() - w0
       val c = if (c0 < 0) -1L else processCpu() - c0
-      totalWallNs += w; if (c >= 0) totalCpuNs += c
+      val g = gcMillis() - g0
+      totalWallNs += w; if (c >= 0) totalCpuNs += c; totalGcMs += g
       probeSamples += BenchProbe.run() // outside the measured window
       bwProbeSamples += BenchProbe.runBandwidth()
-      (w, c)
+      (w, c, g)
     }
     val med = runs.sortBy(_._1)(Ordering[Long])((runs.length - 1) / 2)
     // the MIN rides alongside the median in the artifact: a noisy host
@@ -239,10 +253,89 @@ object Bench {
     // round-over-round "regression" whose min is flat reads as noise
     // without a re-run (the median stays the headline contract)
     Timed(med._1 / 1e9, if (med._2 < 0) -1.0 else med._2 / 1e9,
-      runs.map(_._1).min / 1e9)
+      runs.map(_._1).min / 1e9, med._3 / 1e3)
   }
 
   private def f(v: Double): String = "%.4f".format(v)
+
+  /** Star-join IVM bench over an `n`-row synthetic fact ⋈ 1000-row dim:
+    * (refresh after a 0.1% fact append, refresh after a one-row dim
+    * category move). The fact is partitioned by JOIN-KEY RANGE with k as
+    * its stats column — the recommended layout for a join view's fact,
+    * because the dim-change probe's isin(changed keys) then SKIPS whole
+    * files from the log alone (the IN-cover stats window) instead of
+    * scanning every row's key.
+    *
+    * DIM-CHANGE path: this count/sum view is self-maintainable, so after
+    * the first post-seed window (which re-captures the 1000-row dim seed
+    * → one reseed) the straggler-proof window opens clean and each move
+    * lands as SIGNED partials from ONE isin-pruned fact probe — no
+    * discovery, no resets, no group-sized recompute. The cost claim
+    * under test: changed-keys-sized, NOT fact-scan-sized (r14: 40.4
+    * CPU-s with per-sync boundary re-captures → 1.6 CPU-s signed,
+    * measured same-host same-day). `warmDimChange` runs one UNTIMED
+    * dim-move sync first so a reps=1 call (the sf1 cliff watch) times
+    * the steady-state signed path, not the one-time seed re-capture. */
+  private def mvJoinBench(spark: SparkSession, n: Long, refreshReps: Int,
+      dimReps: Int, warmDimChange: Boolean): (Timed, Timed) = {
+    import graft.ice.{IceTable, IceTableConfig}
+    import graft.operators.MvSync
+    import org.apache.spark.sql.functions._
+    def rows = spark.range(n).select(
+      col("id"),
+      pmod(col("id"), lit(1000)).as("k"),
+      (col("id") % 97).as("v"))
+    val factRoot = Fixtures.newRoot("bench_mvjfact")
+    val dimRoot = Fixtures.newRoot("bench_mvjdim")
+    val mvRoot = Fixtures.newRoot("bench_mvjview")
+    try {
+      val fact = new IceTable(spark, factRoot, IceTableConfig(
+        partitionExpr = concat(lit("kr="),
+          floor(pmod(col("id"), lit(1000)) / 64)),
+        sortOrder = Seq("k", "id"),
+        statsColumn = Some("k")))
+      fact.insert(rows)
+      val dim = new IceTable(spark, dimRoot, IceTableConfig(
+        partitionExpr = lit("all"), sortOrder = Seq("k")))
+      dim.insert(spark.range(1000).select(
+        col("id").as("k"),
+        pmod(col("id"), lit(10)).cast("string").as("cat")))
+      val spec = MvSync.MvSpec(Seq("cat"), sumCols = Seq("f.v"),
+        joinDims = Seq(MvSync.MvJoinDim("dim", "f", "d", "f.k = d.k")))
+      val mv = MvSync.create(spark, mvRoot, spec)
+      Thread.sleep(5)
+      MvSync.syncFromFeed(fact, mv, spec, dimTables = Seq(dim))
+      def delta = rows.where(pmod(col("id"), lit(1000)) === 0)
+      var rep = 0L
+      val refresh =
+        if (refreshReps <= 0) Timed(-1.0, -1.0)
+        else timed(refreshReps)({
+          rep += 1
+          fact.insert(delta.withColumn("id", col("id") + lit(rep * 10L * n)))
+          Thread.sleep(5)
+        }) {
+          MvSync.syncFromFeed(fact, mv, spec, dimTables = Seq(dim))
+        }
+      var drep = 0L
+      def moveDim(): Unit = {
+        drep += 1
+        dim.updateWhere(col("k") === (drep % 1000L),
+          Seq("cat" -> concat(lit("m"), lit(drep % 10L))))
+        Thread.sleep(5)
+      }
+      if (warmDimChange) {
+        moveDim()
+        MvSync.syncFromFeed(fact, mv, spec, dimTables = Seq(dim))
+      }
+      val dimChange = timed(dimReps)({ moveDim() }) {
+        MvSync.syncFromFeed(fact, mv, spec, dimTables = Seq(dim))
+      }
+      (refresh, dimChange)
+    } finally {
+      rm(new java.io.File(factRoot)); rm(new java.io.File(dimRoot))
+      rm(new java.io.File(mvRoot))
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -345,8 +438,14 @@ object Bench {
     // 10× volume (cold rep measured 137 CPU-s, warm rep 32). reps=1 is
     // the tier's design (cliff watch, not variance), so the recorded
     // value carries that one-time cost by construction.
+    // round-15 additions per the r14 verdict: b12_json_extract (the
+    // unattributed CPU-inflation watch item — its sf1 number pins down
+    // whether the cost scales with data or with heap) and, below, a
+    // 240M-row mv_join_dimchange (the dim-maintenance path is changed-
+    // keys-bound, so its sf1 number must stay ~FLAT vs sf0.1 — that
+    // flatness IS the scale claim, measured not asserted)
     val sf1Names = Seq("b6_group_agg", "b10_quantiles", "b11_topk",
-      "join_star_schema", "llm_minhash_dedup")
+      "join_star_schema", "llm_minhash_dedup", "b12_json_extract")
     val sf1Times = scala.collection.mutable.LinkedHashMap.empty[String, Timed]
     // sf1 failures stay OUT of `errors` (which rides the parsed contract
     // line): the experimental tier must not degrade a green sf0.1 run
@@ -355,6 +454,7 @@ object Bench {
     var sf1LoadSec = -1.0
     var sf1Synthesized: Option[String] = None
     var sf1Table: Option[String] = None
+    var sf1EventsRoot: Option[String] = None
     // bisect/debug knob: SPARK_GRAFT_SKIP_SF1=1 drops the tier entirely
     // (it writes + deletes tens of GB right before the synthetic
     // sections — the A/B that isolates its cache/GC shadow on them)
@@ -379,6 +479,8 @@ object Bench {
             df.withColumn("l_orderkey", col("l_orderkey") + lit(off * i)))
           reps10("orders", (df, i) =>
             df.withColumn("o_orderkey", col("o_orderkey") + lit(off * i)))
+          reps10("events", (df, i) =>
+            df.withColumn("event_id", col("event_id") + lit(off * i)))
           Fixtures.raw(spark, sfDir, "customer")
             .write.mode("overwrite").parquet(s"$dest/customer.parquet")
           reps10("documents", (df, i) =>
@@ -392,8 +494,10 @@ object Bench {
           dest
         }
       val tl0 = System.nanoTime()
-      // the tier's own ingest, timed apart
+      // the tier's own ingest, timed apart (events too, so b12's timed
+      // rep measures the query, never the fixture build)
       sf1Table = Some(Fixtures.lineitemIce(spark, sf1Dir).root)
+      sf1EventsRoot = Some(Fixtures.eventsIce(spark, sf1Dir).table.root)
       sf1LoadSec = (System.nanoTime() - tl0) / 1e9
       sf1Names.foreach { name =>
         // reps=1 by design (the tier watches for cliffs, not variance);
@@ -406,6 +510,16 @@ object Bench {
             .replaceAll("[\"\\n\\r]", " ").take(200)
         }
       }
+      // 10× the mv_join fixture: one WARMED single-rep dim-change sync
+      // over a 240M-row fact — flat-vs-sf0.1 proves changed-keys-sized
+      try sf1Times("mv_join_dimchange") = mvJoinBench(spark,
+        n = 240_000_000L, refreshReps = 0, dimReps = 1,
+        warmDimChange = true)._2
+      catch { case e: Throwable =>
+        sf1Errors("mv_join_dimchange") = Option(e.getMessage)
+          .getOrElse(e.getClass.getName)
+          .replaceAll("[\"\\n\\r]", " ").take(200)
+      }
     } catch { case e: Throwable =>
       sf1Errors("tier") = Option(e.getMessage).getOrElse(e.getClass.getName)
         .replaceAll("[\"\\n\\r]", " ").take(200)
@@ -414,7 +528,7 @@ object Bench {
       // free the tier's scratch before the synthetic sections write their
       // tens of GB — leftover gigabytes on tmpfs shrink headroom toward
       // ENOSPC and add writeback pressure to the timings that follow
-      (sf1Synthesized.toSeq ++ sf1Table.toSeq).foreach { d =>
+      (sf1Synthesized.toSeq ++ sf1Table.toSeq ++ sf1EventsRoot.toSeq).foreach { d =>
         try org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(d))
         catch { case _: Exception => () }
       }
@@ -707,6 +821,8 @@ object Bench {
       .mkString("{", ",", "}")
     val qMinJson = times.map { case (k, v) => s""""$k":${f(v.minWallSec)}""" }
       .mkString("{", ",", "}")
+    val qGcJson = times.map { case (k, v) => s""""$k":${f(v.gcSec)}""" }
+      .mkString("{", ",", "}")
     val eJson = errors.map { case (k, v) => s""""$k":"$v"""" }
       .mkString("{", ",", "}")
     val total = times.values.map(_.wallSec).sum
@@ -798,65 +914,8 @@ object Bench {
     // because the dim-change probe's isin(changed keys) then SKIPS
     // whole files from the log alone (the IN-cover stats window)
     // instead of scanning every row's key.
-    val mvJoinRefresh = {
-      import graft.ice.{IceTable, IceTableConfig}
-      import graft.operators.MvSync
-      import org.apache.spark.sql.functions._
-      val n = 24_000_000L
-      def rows = spark.range(n).select(
-        col("id"),
-        pmod(col("id"), lit(1000)).as("k"),
-        (col("id") % 97).as("v"))
-      val factRoot = Fixtures.newRoot("bench_mvjfact")
-      val dimRoot = Fixtures.newRoot("bench_mvjdim")
-      val mvRoot = Fixtures.newRoot("bench_mvjview")
-      val fact = new IceTable(spark, factRoot, IceTableConfig(
-        partitionExpr = concat(lit("kr="),
-          floor(pmod(col("id"), lit(1000)) / 64)),
-        sortOrder = Seq("k", "id"),
-        statsColumn = Some("k")))
-      fact.insert(rows)
-      val dim = new IceTable(spark, dimRoot, IceTableConfig(
-        partitionExpr = lit("all"), sortOrder = Seq("k")))
-      dim.insert(spark.range(1000).select(
-        col("id").as("k"),
-        pmod(col("id"), lit(10)).cast("string").as("cat")))
-      val spec = MvSync.MvSpec(Seq("cat"), sumCols = Seq("f.v"),
-        joinDims = Seq(MvSync.MvJoinDim("dim", "f", "d", "f.k = d.k")))
-      val mv = MvSync.create(spark, mvRoot, spec)
-      Thread.sleep(5)
-      MvSync.syncFromFeed(fact, mv, spec, dimTables = Seq(dim))
-      def delta = rows.where(pmod(col("id"), lit(1000)) === 0)
-      var rep = 0L
-      val refresh = timed()({
-        rep += 1
-        fact.insert(delta.withColumn("id", col("id") + lit(rep * 10L * n)))
-        Thread.sleep(5)
-      }) {
-        MvSync.syncFromFeed(fact, mv, spec, dimTables = Seq(dim))
-      }
-      // DIM-CHANGE refresh: one dim row moves category per rep. This
-      // count/sum view is self-maintainable, so after the first rep
-      // (whose window re-captures the 1000-row dim seed → one reseed)
-      // the straggler-proof window opens clean and the move lands as
-      // SIGNED partials from ONE isin-pruned fact probe — no discovery,
-      // no resets, no group-sized recompute. The cost claim under test:
-      // changed-keys-sized, NOT fact-scan-sized (r14: 40.4 CPU-s with
-      // per-sync boundary re-captures → 1.6 CPU-s signed, measured
-      // same-host same-day).
-      var drep = 0L
-      val dimChange = timed()({
-        drep += 1
-        dim.updateWhere(col("k") === (drep % 1000L),
-          Seq("cat" -> concat(lit("m"), lit(drep % 10L))))
-        Thread.sleep(5)
-      }) {
-        MvSync.syncFromFeed(fact, mv, spec, dimTables = Seq(dim))
-      }
-      rm(new java.io.File(factRoot)); rm(new java.io.File(dimRoot))
-      rm(new java.io.File(mvRoot))
-      (refresh, dimChange)
-    }
+    val mvJoinRefresh = mvJoinBench(spark, n = 24_000_000L,
+      refreshReps = reps, dimReps = reps, warmDimChange = false)
 
     val sections = Seq(
       "mv_full_reagg" -> mvFullReagg, "mv_refresh_delta" -> mvRefreshDelta,
@@ -887,10 +946,12 @@ object Bench {
       .filter { case (k, _) => pred(k) }
       .map { case (k, v) => s""""${k}_sec":${"%.2f".format(v.wallSec)}""" }
       .mkString(",")
-    val sectionSlimCore = slimOf(k => !sectionAuxNames(k))
     val sectionSlimAux = slimOf(sectionAuxNames)
     val sectionCpuJson = sections.map { case (k, v) =>
       s""""${k}_cpu_sec":${f(v.cpuSec)}"""
+    }.mkString(",")
+    val sectionGcJson = sections.map { case (k, v) =>
+      s""""${k}_gc_sec":${f(v.gcSec)}"""
     }.mkString(",")
     // Host-noise self-diagnosis (round 5 and round 7 both recorded ~2×
     // uniform slowdowns that a same-session rerun disproved): the
@@ -958,25 +1019,56 @@ object Bench {
     val sf1ErrJson = sf1Errors.map { case (k, v) =>
       s""""$k":"$v"""" }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"queries_cpu":$qCpuJson,"queries_min":$qMinJson,"queries_sf1":$sf1Json,"queries_sf1_cpu":$sf1CpuJson,"sf1_errors":$sf1ErrJson,"sf1_synth_sec":${f(sf1SynthSec)},"sf1_load_sec":${f(sf1LoadSec)},"errors":$eJson,"load_cpu_sec":${f(loadCpuSec)},$sectionCpuJson,$common}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"queries_cpu":$qCpuJson,"queries_min":$qMinJson,"queries_gc":$qGcJson,"gc_total_sec":${f(totalGcMs / 1e3)},"queries_sf1":$sf1Json,"queries_sf1_cpu":$sf1CpuJson,"sf1_errors":$sf1ErrJson,"sf1_synth_sec":${f(sf1SynthSec)},"sf1_load_sec":${f(sf1LoadSec)},"errors":$eJson,"load_cpu_sec":${f(loadCpuSec)},$sectionCpuJson,$sectionGcJson,$common}"""
     // The driver captures only the LAST ~2000 chars of stdout and parses
     // the final complete JSON line inside that window. The degradation
     // history: r6 the line outgrew the window (`parsed: null`); r7 and r10
-    // the fallback dropped `queries_cpu`/`rep_stat` — the exact fields a
-    // noise post-mortem needs — while KEEPING static host diagnostics.
-    // The assembly is now priority-ordered: a mandatory core that always
-    // carries queries + queries_cpu + rep_stat + errors + every contention
-    // signal, then optional fragments shed LOWEST-VALUE-FIRST (static host
-    // diagnostics before fixture timings before per-section walls), then
-    // precision reduction on the query maps — so `queries_cpu` survives
-    // every fallback and only diagnostics a clean re-run could reproduce
-    // ever leave the line. bench_out.json always holds the full detail.
+    // the fallback dropped `queries_cpu`/`rep_stat`; r14 shed ALL optional
+    // fragments — so the noise discriminator (queries_min) and the MV
+    // maintenance numbers never reached the judged artifact in the exact
+    // round an anomaly needed them. The mandatory core therefore now
+    // carries EVERYTHING a cross-round post-mortem needs, compactly:
+    //   - "queries": median wall per query (the headline contract shape);
+    //   - "queries_cpu_min_gc": per query [cpu_sec, min_wall_sec, gc_sec]
+    //     — CPU pairing, min-of-reps noise discriminator, and the GC
+    //     delta that attributes process-CPU inflation to heap pressure;
+    //   - the sf1 cliff-watch map and the four MV maintenance sections;
+    //   - every contention signal.
+    // Error maps are truncated in core (full text in bench_out.json).
+    // Optional fragments shed LOWEST-VALUE-FIRST as before; a final
+    // 1-decimal core is the last resort. bench_out.json always holds the
+    // full detail.
+    def fmt(v: Double, dec: Int): String = s"%.${dec}f".format(v)
     def qMap(dec: Int): String = times.map { case (k, v) =>
-      s""""$k":${s"%.${dec}f".format(v.wallSec)}""" }.mkString("{", ",", "}")
-    def qCpuMap(dec: Int): String = times.map { case (k, v) =>
-      s""""$k":${s"%.${dec}f".format(v.cpuSec)}""" }.mkString("{", ",", "}")
+      s""""$k":${fmt(v.wallSec, dec)}""" }.mkString("{", ",", "}")
+    def cmgMap(dec: Int): String = times.map { case (k, v) =>
+      s""""$k":[${fmt(v.cpuSec, dec)},${fmt(v.minWallSec, dec)},${
+        fmt(v.gcSec, 1)}]""" }.mkString("{", ",", "}")
+    val sf1Slim = sf1Times.map { case (k, v) =>
+      s""""$k":${fmt(v.wallSec, 1)}""" }.mkString("{", ",", "}")
+    // truncated per-entry AND capped to 3 entries: a mass-failure run
+    // must not blow the parsed line past the driver's stdout window (the
+    // r6 `parsed: null` class) — full error text always rides in
+    // bench_out.json
+    def errSlim(m: scala.collection.Map[String, String]): String = {
+      val shown = m.take(3).map { case (k, v) => s""""$k":"${v.take(60)}"""" }
+      val more =
+        if (m.size > 3) Seq(s""""_more":"${m.size - 3} more, see bench_out.json"""")
+        else Seq.empty
+      (shown ++ more).mkString("{", ",", "}")
+    }
+    // the four MV maintenance walls, named in core (r14 item #2)
+    val mvCore = Seq("mv_full_reagg", "mv_refresh_delta",
+      "mv_join_refresh", "mv_join_dimchange")
+    val mvCoreJson = sections.filter(s => mvCore.contains(s._1))
+      .map { case (k, v) => s""""${k}_sec":${fmt(v.wallSec, 2)}""" }
+      .mkString(",")
     def core(dec: Int): String =
-      s""""metric":"total","value":${f(total)},"unit":"sec","queries":${qMap(dec + 1)},"queries_cpu":${qCpuMap(dec)},"queries_sf1":$sf1Json,"sf1_errors":$sf1ErrJson,"rep_stat":"median","bench_reps":$reps,"errors":$eJson,"steal_suspect":$stealSuspect,"probe_sec":${"%.3f".format(probeSec)},"bw_probe_sec":${"%.3f".format(bwProbeSec)},"cpu_ratio":${"%.2f".format(cpuRatio)},"contention_suspect":$contentionSuspect,"sf":"$sfDir""""
+      s""""metric":"total","value":${f(total)},"unit":"sec","queries":${qMap(dec)},"queries_cpu_min_gc":${cmgMap(dec)},"queries_sf1":$sf1Slim${
+        if (sf1Errors.isEmpty) "" else s""","sf1_errors":${errSlim(sf1Errors)}"""
+      },$mvCoreJson,"rep_stat":"median","bench_reps":$reps${
+        if (errors.isEmpty) "" else s""","errors":${errSlim(errors)}"""
+      },"steal_suspect":$stealSuspect,"probe_sec":${"%.3f".format(probeSec)},"bw_probe_sec":${"%.3f".format(bwProbeSec)},"cpu_ratio":${"%.2f".format(cpuRatio)},"gc_total_sec":${"%.1f".format(totalGcMs / 1e3)},"contention_suspect":$contentionSuspect,"sf":"$sfDir""""
     // optional fragments, FIRST-listed sheds FIRST
     val optional = Seq(
       // static host diagnostics: identical on every run of this host
@@ -987,14 +1079,10 @@ object Bench {
       s""""effective_parallelism":${"%.2f".format(effParallelism)},"cpu_total_sec":${"%.1f".format(totalCpuNs / 1e9)}""",
       // comparison-twin section walls (their headline halves ride below)
       sectionSlimAux,
-      // min-of-reps per query: the noise discriminator — a "regressed"
-      // median whose min is flat is host noise, not a plan change
-      s""""queries_min":${times.map { case (k, v) =>
-        s""""$k":${"%.2f".format(v.minWallSec)}""" }.mkString("{", ",", "}")}""",
-      // per-section walls: the baseline-comparable numbers — shed LAST
-      sectionSlimCore)
-    // try: all fragments at 2-dec cpu, then shed fragments lowest-value-
-    // first, then drop cpu precision to 1 decimal with no fragments
+      // remaining per-section walls (the MV four already ride in core)
+      slimOf(k => !sectionAuxNames(k) && !mvCore.contains(k)))
+    // try: all fragments at 2-dec, then shed fragments lowest-value-
+    // first, then drop precision to 1 decimal with no fragments
     val candidates =
       (0 to optional.length).map { dropped =>
         (Seq(core(2)) ++ optional.drop(dropped)).mkString("{", ",", "}")
