@@ -350,6 +350,12 @@ final class IceTable(
     readFilesApplyingDeletes(snap, snap.aliveFiles, maxTs)
   }
 
+  /** [[read]] over an ALREADY-FOLDED snapshot — callers needing both the
+    * snapshot metadata and the rows (the MV read's flat-state proof)
+    * fold the log once instead of twice. */
+  private[graft] def read(snap: IceSnapshot, maxTs: Long): DataFrame =
+    readFilesApplyingDeletes(snap, snap.aliveFiles, maxTs)
+
   /** Merge-on-read (the ClickHouse `FINAL` shape): [[read]] with the
     * table's custom merge SQL re-applied at query time, so not-yet-
     * compacted aggregate/replacing/dedup state collapses to its final

@@ -1151,10 +1151,11 @@ object MvSync {
     * a plain scan + projection with NO window fold and NO exchange. */
   def read(mv: IceTable, spec: MvSpec,
       maxTs: Long = Long.MaxValue): DataFrame = {
-    val rows = mv.read(maxTs)
+    val snap = mv.snapshot(maxTs) // ONE fold: rows + flat proof share it
+    val rows = mv.read(snap, maxTs)
     require(rows.columns.contains("gen"),
       s"materialized view at ${mv.root} has no synced state yet")
-    foldOrFlat(rows, spec, mv.trySnapshot(maxTs))
+    foldOrFlat(rows, spec, Some(snap))
   }
 
   /** [[foldPartials]], short-circuited to scan + projection when `snap`

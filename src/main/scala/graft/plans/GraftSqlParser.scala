@@ -1403,7 +1403,15 @@ object GraftSqlParser {
     * idempotent re-run. Rejected: alias collisions with existing outputs
     * or group columns (case-insensitive) — and a new aggregate over a
     * column the source lacks fails the seed scan's analysis BEFORE
-    * anything commits. */
+    * anything commits.
+    *
+    * STREAMING CAVEAT: stop any [[graft.streaming.Streams.mvSyncSink]]
+    * maintaining this view before altering — a live sink holds the OLD
+    * spec in its closure and would keep landing old-shaped partials, so
+    * the new column would silently undercount rows streamed after the
+    * ALTER. Restart the sink (it re-reads nothing — pass the new spec)
+    * after the command returns. SQL `REFRESH` needs nothing: it
+    * re-decodes the persisted definition on every call. */
   final case class GraftAlterMvAddCommand(name: String,
       adds: Seq[graft.operators.MvSync.MvOutput])
       extends LeafRunnableCommand {

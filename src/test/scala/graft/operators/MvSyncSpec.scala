@@ -151,6 +151,33 @@ class MvSyncSpec extends SparkSpec {
       s"expected the fold to return after new partials, got:\n$foldPlan")
   }
 
+  test("flat fast-path reads present the FOLD's schema: decimal sums widen identically") {
+    // foldPartials' sum over a stored decimal WIDENS the type
+    // (decimal(p,s) → decimal(p+10,s)); the flat branch must cast the
+    // stored columns to the fold's own output types or the two paths
+    // would present different schemas to downstream consumers
+    import graft.ice.IceTableConfig
+    val base = new IceTable(spark, tmpDir("mvdec_base"), IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("id")))
+    val dspec = MvSync.MvSpec(Seq("grp"), sumCols = Seq("d"))
+    val mv = MvSync.create(spark, tmpDir("mvdec_mv"), dspec)
+    base.insert(Seq((1L, "a", BigDecimal("1.50")), (2L, "a", BigDecimal("2.25")),
+      (3L, "b", BigDecimal("0.75"))).toDF("id", "grp", "d"))
+    settle()
+    MvSync.syncFromFeed(base, mv, dspec)
+    val foldedSchema = MvSync.read(mv, dspec).schema
+    MvSync.rebase(base, mv, dspec)
+    val flat = MvSync.read(mv, dspec)
+    assert(!flat.queryExecution.executedPlan.toString.contains("Window"))
+    assert(flat.schema == foldedSchema,
+      s"flat path schema ${flat.schema} != fold schema $foldedSchema")
+    val got = flat.orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString)).toSeq
+    assert(got.map(_._1) == Seq("a", "b") && got.map(_._2) == Seq(2L, 1L))
+    assert(BigDecimal(got.head._3) == BigDecimal("3.75") &&
+      BigDecimal(got(1)._3) == BigDecimal("0.75"))
+  }
+
   test("rebase against a pinned commit floor times out with the cause, then succeeds") {
     val base = newBase(); val mv = newMv()
     base.insert(Seq((1L, "a", 10L), (2L, "b", 4L)).toDF("id", "grp", "v"))

@@ -547,6 +547,33 @@ class SqlMaterializedViewSpec extends SparkSpec {
       "ALTER MATERIALIZED VIEW graft.mvbase7 ADD (count(*) AS c)"))
   }
 
+  test("ALTER … ADD on a GLOBAL view and with count(DISTINCT) — the synthetic key and HLL state evolve too") {
+    val w = freshWarehouse()
+    val base = seedBase(w, "mvbase8") // (1,a,10),(2,a,20),(3,b,5)
+    settle()
+    spark.sql("""CREATE MATERIALIZED VIEW graft.mv8 AS
+      SELECT count(*) AS cnt FROM graft.mvbase8""")
+    val r = spark.sql("""ALTER MATERIALIZED VIEW graft.mv8
+      ADD (sum(v) AS total, count(DISTINCT grp) AS groups)""").head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L) // one synthetic group
+    def row() = spark.sql(
+      "SELECT cnt, total, groups FROM graft.mv8").head
+    assert(row().getLong(0) == 3L && row().getLong(1) == 35L &&
+      row().getLong(2) == 2L)
+    // the widened global view still reads ONE row after full retraction
+    base.deleteWhere(lit(true))
+    settle()
+    spark.sql("REFRESH MATERIALIZED VIEW graft.mv8").collect()
+    val empty = row()
+    assert(empty.getLong(0) == 0L && empty.isNullAt(1) &&
+      empty.getLong(2) == 0L)
+    // the added HLL column makes the DuckDB export refuse, like CREATE's
+    val mvT = IceTable.open(spark, s"$w/mv8")
+    val ex = intercept[UnsupportedOperationException](
+      graft.ice.ManifestExport.duckDbViewSql(mvT, "gv8"))
+    assert(ex.getMessage.contains("HLL"))
+  }
+
   test("REFRESH … FULL rebases: generations collapse, the read goes fold-free, later windows still apply") {
     val w = freshWarehouse()
     val base = seedBase(w, "mvbase6")
