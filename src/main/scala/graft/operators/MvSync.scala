@@ -423,6 +423,10 @@ object MvSync {
     * partials, resets, a second rebase's rewrites, even an MV compaction
     * all produce markers at-or-above the mark and fall back to the full
     * fold (compaction's is a false negative — rerun rebase to re-arm).
+    * The one writer that could REVIVE old markers below the mark —
+    * RESTORE — is refused on MV tables at the SQL surface (and is
+    * already semantically broken for derived state: max-merged sync
+    * watermarks cannot rewind).
     * Clock-trust model: same as the log fold itself (ms timestamps
     * order commits); a maintenance writer racing the rebase is already
     * outside rebase's contract. */
@@ -1323,12 +1327,25 @@ object MvSync {
       // FLAT-STATE MARK (read fast path): every alive marker now sits at
       // or below the commit ceiling; spin the clock strictly past it so
       // the mark value upper-bounds them all AND lower-bounds every
-      // later write — see [[FlatKey]]
+      // later write — see [[FlatKey]]. The spin is BOUNDED: a ceiling
+      // stamped by a writer whose clock ran ahead (bad NTP on an ingest
+      // host) would otherwise block here for the full skew. Past the
+      // bound the mark is simply SKIPPED with the reason surfaced — the
+      // rebase itself is complete and correct either way; only the
+      // fold-free read optimization is forgone (rerun rebase to re-arm
+      // once clocks agree).
       val ceil = math.max(mv.commitVersion(),
         mv.trySnapshot(Long.MaxValue).toSeq
           .flatMap(_.aliveFiles.map(_.createdMs)).maxOption.getOrElse(0L))
-      while (System.currentTimeMillis() <= ceil) Thread.sleep(1)
-      CdcApply.commitMark(mv, FlatKey, ceil + 1L)
+      val spinDeadline = System.currentTimeMillis() + settleTimeoutMs
+      while (System.currentTimeMillis() <= ceil &&
+          System.currentTimeMillis() < spinDeadline) Thread.sleep(1)
+      if (System.currentTimeMillis() > ceil)
+        CdcApply.commitMark(mv, FlatKey, ceil + 1L)
+      else warnFallback(s"flat-state mark after rebase of ${mv.root}",
+        s"a commit timestamp ($ceil) sits ${ceil - System.currentTimeMillis()} ms " +
+          "ahead of this host's clock (writer clock skew) — mark skipped, " +
+          "reads keep the window fold; rerun rebase once clocks agree")
       n
     } finally { resets.unpersist(); () }
   }

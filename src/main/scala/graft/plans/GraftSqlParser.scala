@@ -1070,6 +1070,20 @@ object GraftSqlParser {
           s"graft table '$name' does not exist")
         case Some(root) =>
           val t = IceTable.open(session, root)
+          // an MV cannot be RESTOREd in place: its sync watermarks and
+          // dim-version marks fold by per-key MAX (they cannot rewind),
+          // so a restored view would claim later windows were applied
+          // and silently diverge — and revived pre-rebase markers would
+          // carry createdMs below a surviving flat-state mark, falsely
+          // proving the fold-free read. Restore the BASE table and
+          // REFRESH (or DROP + CREATE) the view instead; time travel
+          // (`SELECT … TIMESTAMP AS OF`) serves historical view states
+          // without mutating anything.
+          require(t.cfg.mvDef.isEmpty,
+            s"$root is a MATERIALIZED VIEW — derived state cannot be " +
+              "RESTOREd in place (max-merged sync watermarks cannot " +
+              "rewind). RESTORE the source table and REFRESH the view, " +
+              "or read the past via TIMESTAMP AS OF")
           val (revived, tombstoned) = t.restoreTo(bound)
           val dv = DeleteVectors.dvTable(t)
           val dvChanged: Long =

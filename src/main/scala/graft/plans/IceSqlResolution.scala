@@ -115,7 +115,12 @@ final class IceSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       // reference costs ONE log fold
       val (t, snapOpt) = IceSqlResolution.openTargetWithSnapshot(
         spark, root, branch)
-      val pre = if (maxTs == Long.MaxValue) snapOpt else None
+      // time travel folds ONCE too: the bounded snapshot feeds both the
+      // relation and (for an MV) the flat-state proof below — two
+      // independent folds could disagree if a commit raced between them,
+      // and the proof must be judged against the EXACT file set it reads
+      val pre =
+        if (maxTs == Long.MaxValue) snapOpt else t.trySnapshot(maxTs)
       val raw = IceFileIndex.dataFrame(spark, t, maxTs, pre)
       val rel = t.cfg.mvDef match {
         // a materialized view reads as its FOLDED definition (the
@@ -130,10 +135,11 @@ final class IceSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
               "REFRESH MATERIALIZED VIEW after its source has commits")
           // foldOrFlat: a freshly-rebased view (flat-mark proof in the
           // snapshot) reads as scan + projection — no window fold, no
-          // MV-sized exchange; any later partial self-invalidates it
-          val snap = pre.orElse(t.trySnapshot(maxTs))
+          // MV-sized exchange; any later partial self-invalidates it.
+          // `pre` is the SAME snapshot `raw` was built from, so the
+          // proof can never be newer than the rows it vouches for
           graft.operators.MvSync.projectView(
-              graft.operators.MvSync.foldOrFlat(raw, vd.spec, snap), vd)
+              graft.operators.MvSync.foldOrFlat(raw, vd.spec, pre), vd)
             .queryExecution.analyzed
         case None => raw.queryExecution.analyzed
       }

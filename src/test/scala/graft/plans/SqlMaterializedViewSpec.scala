@@ -574,6 +574,37 @@ class SqlMaterializedViewSpec extends SparkSpec {
     assert(ex.getMessage.contains("HLL"))
   }
 
+  test("RESTORE TABLE on a materialized view is refused — derived state cannot rewind") {
+    // max-merged sync watermarks cannot be lowered, so an in-place
+    // restore would claim later windows applied and silently diverge —
+    // and revived pre-rebase markers would sit below a surviving
+    // flat-state mark, falsely proving the fold-free read over raw
+    // multi-generation partials
+    val w = freshWarehouse()
+    val base = seedBase(w, "mvbase9")
+    settle()
+    spark.sql("""CREATE MATERIALIZED VIEW graft.mv9 AS
+      SELECT grp, count(*) AS cnt FROM graft.mvbase9 GROUP BY grp""")
+    val preTs = System.currentTimeMillis()
+    Thread.sleep(5)
+    base.insert(Seq((4L, "b", 7L)).toDF("id", "grp", "v"))
+    settle()
+    spark.sql("REFRESH MATERIALIZED VIEW graft.mv9 FULL").collect()
+    val ex = intercept[Exception](spark.sql(
+      s"RESTORE TABLE graft.mv9 TO TIMESTAMP AS OF $preTs").collect())
+    assert(ex.getMessage.contains("MATERIALIZED VIEW"),
+      s"expected the MV-restore refusal, got: ${ex.getMessage}")
+    // the view is untouched and still serves the current folded state
+    assert(spark.sql("SELECT cnt FROM graft.mv9 WHERE grp = 'b'")
+      .head.getLong(0) == 2L)
+    // …and the base itself remains restorable (the recipe the error names)
+    spark.sql(s"RESTORE TABLE graft.mvbase9 TO TIMESTAMP AS OF $preTs").collect()
+    settle()
+    spark.sql("REFRESH MATERIALIZED VIEW graft.mv9").collect()
+    assert(spark.sql("SELECT cnt FROM graft.mv9 WHERE grp = 'b'")
+      .head.getLong(0) == 1L)
+  }
+
   test("REFRESH … FULL rebases: generations collapse, the read goes fold-free, later windows still apply") {
     val w = freshWarehouse()
     val base = seedBase(w, "mvbase6")
