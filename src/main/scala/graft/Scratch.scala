@@ -3,72 +3,105 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch perf harness (not part of the library surface): times one
-  * operator in isolation at a given SF. Kept for local iteration.
+/** Scratch harness (not part of the library surface): one-off local
+  * experiments. Kept for iteration; each round repurposes the body.
   *
-  * Current experiment: where do llm_minhash_dedup's sf1 CPU-seconds go?
-  * The pipeline has two halves with a hard materialization boundary
-  * between them — the cached tok table (built + counted inside
-  * minHashDupPairsPlanned) and everything derived from it (banding,
-  * candidate pairing, exact verification). Timing the planned call vs
-  * the result materialization splits CPU across that boundary. Run with
-  * SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 and SCRATCH_SF1=1 to
-  * replicate the bench's synthesized sf1 documents (10 salted replicas).
+  * Current experiment: EXECUTE the exported DuckDB view SQL in actual
+  * DuckDB (driver-side python has it; the Scala test suite cannot
+  * depend on it) and diff against the engine's own folded read. Exports
+  * three shapes to `/tmp/scratch_duck/`:
+  *   - `grouped/` — WHERE + HAVING with a DECIMAL literal and avg
+  *     aliases (the Spark-rendered predicate carries `1.25BD`-style
+  *     suffixes and backticks: exactly the dialect-translation surface);
+  *   - `joinview/` — a star-join view (dim-free fold over materialized
+  *     partials);
+  *   - `global/` — a no-GROUP-BY view folded to its identity-row shape.
+  * Each dir gets `manifest.json`, `view.sql`, and `expected.csv` (the
+  * engine's readView, sorted). Validate with:
+  * {{{
+  * python3 - <<'PY'
+  * import duckdb, pathlib
+  * for d in ["grouped", "joinview", "global"]:
+  *     sql = pathlib.Path(f"/tmp/scratch_duck/{d}/view.sql").read_text()
+  *     con = duckdb.connect()
+  *     con.execute(sql)
+  *     got = con.execute("SELECT * FROM v ORDER BY 1").fetchall()
+  *     print(d, got)
+  * PY
+  * }}}
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[32]")
+      .master("local[8]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .config("spark.local.dir", Fixtures.scratchDir("graft_local"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val bean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    import graft.ice.{IceTable, IceTableConfig, ManifestExport}
+    import graft.operators.MvSync
+    import spark.implicits._
 
-    val docs0 = Fixtures.raw(spark, sfDir, "documents")
-    val docs =
-      if (!sys.env.get("SCRATCH_SF1").contains("1")) docs0
-      else {
-        // the bench's sf1 synthesis for documents: 10 key-offset replicas,
-        // replica 0 verbatim, others salted every 3rd word
-        val off = 10_000_000L
-        (0 until 10).map { i =>
-          if (i == 0) docs0
-          else docs0.withColumn("doc_id", col("doc_id") + lit(off * i))
-            .withColumn("text", concat_ws(" ",
-              transform(split(col("text"), " "), (w, ix) =>
-                when(ix % 3 === 0, concat(lit(s"q${i}x"), w)).otherwise(w))))
-        }.reduce(_ unionByName _).localCheckpoint()
-      }
-    println(s"docs=${docs.count()}")
-
-    def timed[A](label: String)(f: => A): A = {
-      val c0 = bean.getProcessCpuTime; val t0 = System.nanoTime()
-      val r = f
-      val wall = (System.nanoTime() - t0) / 1e9
-      val cpu = (bean.getProcessCpuTime - c0) / 1e9
-      println(f"$label%-28s wall=$wall%7.2f s  cpu=$cpu%7.2f s")
-      r
+    val outRoot = "/tmp/scratch_duck"
+    def export(dir: String, mv: IceTable, expected: org.apache.spark.sql.DataFrame): Unit = {
+      val d = s"$outRoot/$dir"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      ManifestExport.writeManifest(mv, s"$d/manifest.json")
+      val sql = ManifestExport.writeDuckDbView(mv, s"$d/view.sql", "v")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$d/expected.csv"),
+        expected.collect().map(_.toSeq.map(String.valueOf).mkString(","))
+          .sorted.mkString("", "\n", "\n"))
+      println(s"== $dir exported; HAVING line: " +
+        sql.linesIterator.find(_.contains("_v WHERE")).getOrElse("(none)"))
     }
 
-    // warmup at a small scale to take codegen out of the measurement
-    operators.Dedup.minHashDupPairs(docs.limit(500), "doc_id", "text").count()
+    // ---- grouped: WHERE + decimal-literal HAVING over avg/sum aliases
+    val wh = java.nio.file.Files.createTempDirectory("scratch_wh").toString
+    spark.conf.set(graft.plans.IceSqlResolution.WarehouseKey, wh)
+    val base = new IceTable(spark, s"$wh/sb", IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("id")))
+    base.insert(Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L), (4L, "b", 9L),
+      (5L, "c", 1L), (6L, "skip", 99L)).toDF("id", "grp", "v"))
+    Thread.sleep(5)
+    spark.sql("""CREATE MATERIALIZED VIEW graft.sv AS
+      SELECT grp, count(*) AS cnt, sum(v) AS total, avg(v) AS mean
+      FROM graft.sb WHERE grp <> 'skip'
+      GROUP BY grp HAVING avg(v) > 1.25 AND count(*) >= 2""").collect()
+    val svT = IceTable.open(spark, s"$wh/sv")
+    val svD = MvSync.MvViewDef.decode(svT.cfg.mvDef.get)
+    println(s"stored havingSql: ${svD.havingSql}")
+    export("grouped", svT, MvSync.readView(svT, svD))
 
-    (1 to 2).foreach { rep =>
-      val (pairs, tok) = timed(s"rep$rep tok build (planned)") {
-        operators.Dedup.minHashDupPairsPlanned(
-          docs, "doc_id", "text", 0.8, 128, 16, 3, 1000)
-      }
-      timed(s"rep$rep band+pair+verify") { pairs.count() }
-      tok.unpersist()
-    }
+    // ---- joinview: fact JOIN dim, rebased (flat state exports too)
+    val dim = new IceTable(spark, s"$wh/jd", IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("k")))
+    dim.insert(Seq(("k1", "A"), ("k2", "B")).toDF("k", "cat"))
+    val fact = new IceTable(spark, s"$wh/jf", IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("id")))
+    fact.insert(Seq((1L, "k1", 5L), (2L, "k2", 9L), (3L, "k1", 2L))
+      .toDF("id", "k", "v"))
+    Thread.sleep(5)
+    spark.sql("""CREATE MATERIALIZED VIEW graft.jv AS
+      SELECT d.cat AS cat, count(*) AS cnt, sum(f.v) AS total
+      FROM graft.jf f JOIN graft.jd d ON f.k = d.k GROUP BY d.cat""").collect()
+    fact.insert(Seq((4L, "k2", 1L)).toDF("id", "k", "v"))
+    Thread.sleep(5)
+    spark.sql("REFRESH MATERIALIZED VIEW graft.jv FULL").collect()
+    val jvT = IceTable.open(spark, s"$wh/jv")
+    val jvD = MvSync.MvViewDef.decode(jvT.cfg.mvDef.get)
+    export("joinview", jvT, MvSync.readView(jvT, jvD))
+
+    // ---- global: no GROUP BY, identity-row shape
+    spark.sql("""CREATE MATERIALIZED VIEW graft.gv AS
+      SELECT count(*) AS cnt, sum(v) AS total FROM graft.sb""").collect()
+    val gvT = IceTable.open(spark, s"$wh/gv")
+    val gvD = MvSync.MvViewDef.decode(gvT.cfg.mvDef.get)
+    export("global", gvT, MvSync.readView(gvT, gvD))
+
     spark.stop()
   }
 }
