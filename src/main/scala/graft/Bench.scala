@@ -865,7 +865,7 @@ object Bench {
     // vs MvSync.syncFromFeed after a 0.1% append window, which scales
     // with the WINDOW (delta partials only; the MV and the base stay
     // unread). The folded read rides along.
-    val (mvFullReagg, mvRefreshDelta, mvRead) = {
+    val (mvFullReagg, mvRefreshDelta, mvRead, mvReadFlat) = {
       import graft.ice.{IceTable, IceTableConfig}
       import graft.operators.MvSync
       import org.apache.spark.sql.functions._
@@ -889,6 +889,12 @@ object Bench {
       val full = timed()({ Thread.sleep(2) }) {
         MvSync.rebase(base, mv, spec)
       }
+      // the fold-free read: the last rebase rep armed the flat-state
+      // mark and nothing has written since, so this measures the
+      // post-rebase steady state (scan + projection, no Window fold, no
+      // MV-sized exchange) — contrast with mv_read below, which runs
+      // after the refresh windows re-fragment the view
+      val rdFlat = timed()() { MvSync.read(mv, spec).collect() }
       def delta = rows.where(pmod(col("id"), lit(1000)) === 0) // 0.1% per window
       var rep = 0L
       val refresh = timed()({
@@ -900,7 +906,7 @@ object Bench {
       }
       val rd = timed()() { MvSync.read(mv, spec).collect() }
       rm(new java.io.File(baseRoot)); rm(new java.io.File(mvRoot))
-      (full, refresh, rd)
+      (full, refresh, rd, rdFlat)
     }
 
     // Star-join IVM, same discipline: a 24M-row fact joined with a
@@ -919,7 +925,8 @@ object Bench {
 
     val sections = Seq(
       "mv_full_reagg" -> mvFullReagg, "mv_refresh_delta" -> mvRefreshDelta,
-      "mv_read" -> mvRead, "mv_join_refresh" -> mvJoinRefresh._1,
+      "mv_read" -> mvRead, "mv_read_flat" -> mvReadFlat,
+      "mv_join_refresh" -> mvJoinRefresh._1,
       "mv_join_dimchange" -> mvJoinRefresh._2,
       "join_colocated" -> joinColocated, "join_shuffled" -> joinShuffled,
       "synthetic_insert" -> synth, "insert_noshuffle" -> insertNoShuffle,
@@ -941,7 +948,7 @@ object Bench {
     // already rides) shed before the baseline-comparable headline numbers
     val sectionAuxNames = Set("insert_noshuffle", "rowgroup_default_noindex",
       "rowgroup8k_noindex", "nobloom_needle", "nobloom_miss", "mv_read",
-      "log_read_2000", "log_read_2000_ckpt")
+      "mv_read_flat", "log_read_2000", "log_read_2000_ckpt")
     def slimOf(pred: String => Boolean): String = sections
       .filter { case (k, _) => pred(k) }
       .map { case (k, v) => s""""${k}_sec":${"%.2f".format(v.wallSec)}""" }
