@@ -103,8 +103,12 @@ class ManifestHavingPropertiesSpec extends AnyFunSuite {
       // content is allowed to look like anything), then look for leaks
       val noStrings = out.replaceAll("'(?:''|[^'])*'", "''")
         .replaceAll("\"(?:\"\"|[^\"])*\"", "\"\"")
-      !noStrings.contains('`') &&
-        !"""\d(BD|[LSY])\b""".r.findFirstIn(noStrings).isDefined
+      // a typed-suffix LEAK is a NUMERIC LITERAL still wearing its
+      // suffix — the token must start at a non-word boundary (a bare
+      // identifier like C_G2Y legitimately ends in digit+Y and is fine)
+      val suffixLeak =
+        """(?<![A-Za-z0-9_])\d+(?:\.\d+)?(?:E[+-]?\d+)?(?:BD|[LSY])\b""".r
+      !noStrings.contains('`') && suffixLeak.findFirstIn(noStrings).isEmpty
     })
   }
 }
