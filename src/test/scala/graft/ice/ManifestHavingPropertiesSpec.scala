@@ -107,7 +107,7 @@ class ManifestHavingPropertiesSpec extends AnyFunSuite {
       // suffix — the token must start at a non-word boundary (a bare
       // identifier like C_G2Y legitimately ends in digit+Y and is fine)
       val suffixLeak =
-        """(?<![A-Za-z0-9_])\d+(?:\.\d+)?(?:E[+-]?\d+)?(?:BD|[LSY])\b""".r
+        """(?<![A-Za-z0-9_])\d+(?:\.\d+)?(?:E[+-]?\d+)?(?:BD|[DLSY])\b""".r
       !noStrings.contains('`') && suffixLeak.findFirstIn(noStrings).isEmpty
     })
   }

@@ -20,24 +20,48 @@ import sys
 import duckdb
 
 root = pathlib.Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/scratch_duck")
-fail = 0
+if not root.is_dir():
+    sys.exit(f"no exports under {root} — run: sbt -batch 'runMain graft.Scratch'")
 dirs = sorted(p for p in root.iterdir() if (p / "view.sql").exists())
 if not dirs:
     sys.exit(f"no exports under {root} — run: sbt -batch 'runMain graft.Scratch'")
-for d in dirs:
-    sql = (d / "view.sql").read_text()
-    con = duckdb.connect()
+
+
+def norm_field(tok: str) -> str:
+    """Canonicalize numeric renderings: Java's Double.toString flips to
+    E-notation (1.23456785E7) where Python says 12345678.5 — parse both
+    through float so semantically equal rows compare equal. Applied
+    identically to both sides, so int-vs-float drift ("30" → "30.0")
+    stays consistent too."""
     try:
+        return repr(float(tok))
+    except ValueError:
+        return tok
+
+
+def norm_row(line: str) -> str:
+    return ",".join(norm_field(t) for t in line.split(","))
+
+
+fail = 0
+for d in dirs:
+    try:
+        sql = (d / "view.sql").read_text()
+        exp = sorted(
+            norm_row(l)
+            for l in (d / "expected.csv").read_text().splitlines()
+            if l
+        )
+        con = duckdb.connect()
         con.execute(sql)
         got = sorted(
-            ",".join(str(x) for x in row)
+            norm_row(",".join(str(x) for x in row))
             for row in con.execute("SELECT * FROM v").fetchall()
         )
     except Exception as e:  # noqa: BLE001 - report, keep checking the rest
-        print(f"{d.name}: FAIL (DuckDB rejected the exported SQL: {e})")
+        print(f"{d.name}: FAIL ({e})")
         fail += 1
         continue
-    exp = sorted(l for l in (d / "expected.csv").read_text().splitlines() if l)
     ok = got == exp
     print(f"{d.name}: {'ok' if ok else 'FAIL'} ({len(got)} rows)")
     if not ok:
