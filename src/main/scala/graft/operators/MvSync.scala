@@ -422,7 +422,10 @@ object MvSync {
     * scan + projection, no MV-sized exchange. Fail-safe by construction:
     * partials, resets, a second rebase's rewrites, even an MV compaction
     * all produce markers at-or-above the mark and fall back to the full
-    * fold (compaction's is a false negative — rerun rebase to re-arm).
+    * fold (compaction's is a false negative, and a practically vacuous
+    * one: a freshly-rebased view is ONE commit — one file per partition
+    * dir — so OPTIMIZE on a flat view is a no-op that rewrites nothing
+    * and the proof survives; rerun rebase to re-arm in any exotic case).
     * The one writer that could REVIVE old markers below the mark —
     * RESTORE — is refused on MV tables at the SQL surface (and is
     * already semantically broken for derived state: max-merged sync
