@@ -153,14 +153,14 @@ final class IceLogIO(pathSafeHostname: String, private[ice] val conf: Configurat
             java.nio.file.Files.isRegularFile(e) && visible(n))
           out += s"$logRel/$n"
       } finally ds.close()
-      return out.result().sorted
+      return IceLogIO.observeListing(root, logRel, out.result().sorted)
     }
     if (!filesystem.exists(dir)) return Seq.empty
-    filesystem.listStatus(dir).toSeq
+    IceLogIO.observeListing(root, logRel, filesystem.listStatus(dir).toSeq
       .filter(st => st.isFile && !st.getPath.getName.startsWith(".") &&
         !st.getPath.getName.startsWith("_") && visible(st.getPath.getName))
       .map(st => s"$logRel/${st.getPath.getName}")
-      .sorted
+      .sorted)
   }
 
   /** Root-relative paths of STAGED (txn-tagged, still-unconfirmed) log
@@ -376,7 +376,8 @@ final class IceLogIO(pathSafeHostname: String, private[ice] val conf: Configurat
       streamCommits: Map[String, Long] = Map.empty,
       tableCfg: Option[Map[String, Any]] = None,
       cleanedHorizon: Option[Long] = None,
-      txnTag: Option[String] = None): (String, LogMetadata) = {
+      txnTag: Option[String] = None,
+      stampCreatedTs: Boolean = false): (String, LogMetadata) = {
     // The filename IS the commit identity: two commits in the same
     // millisecond from one writer would collide on `{ts}_{host}.jsonl`
     // (rename then fails — or silently replaces, store-dependent).
@@ -401,7 +402,20 @@ final class IceLogIO(pathSafeHostname: String, private[ice] val conf: Configurat
       // stamp the lease's fencing token into the commit metadata; the
       // lock-free insert path costs one map probe and stamps nothing
       val fenceTok = TableLock.checkAndFence(root)
-      var ts = timestamp.getOrElse(entryNow)
+      // Observed-log floor: commit STRICTLY ABOVE every log filename ts
+      // this JVM has listed (or itself appended) for this (root, logRel).
+      // Listing is observation — a writer that folded the log is causally
+      // later than every commit it saw, so ordering by ts here is real
+      // order, not clock trust. This is what lets derived-state proofs
+      // (MvSync's flat mark) compare createdMs against a mark written by
+      // another host without assuming synchronized clocks: every insert
+      // path folds the log at least once (preflight / mark reads) before
+      // writing, so its commit lands above the mark's carrying log even
+      // when its wall clock lags. Validated rewrites already floor at
+      // maxLogTs+1 under the table lock; this extends the same guarantee
+      // to the lock-free insert path at zero extra I/O.
+      var ts = math.max(timestamp.getOrElse(entryNow),
+        IceLogIO.observedFloor(root, logRel) + 1L)
       var attempts = 0
       while (attempts < 1000) {
         // the txn tag suffixes the name: STAGED commits are listed by
@@ -430,9 +444,15 @@ final class IceLogIO(pathSafeHostname: String, private[ice] val conf: Configurat
                 tableCfg = tableCfg,
                 cleanedHorizon = cleanedHorizon,
                 fence = fenceTok)
+              // stampCreatedTs: new-file markers inherit the FINAL (bumped,
+              // floored) commit ts as createdMs, so marker time equals
+              // commit time — rebuilt each attempt because ts can move
+              val stamped =
+                if (stampCreatedTs) files.map(_.copy(createdMs = ts)) else files
               val lines = Seq(meta.json, schema.toJson) ++
-                tombstones.map(_.json) ++ files.map(_.json)
+                tombstones.map(_.json) ++ stamped.map(_.json)
               writeAtomic(filesystem, dest, lines.mkString("\n"))
+              IceLogIO.observe(root, logRel, ts)
               return (rel, meta)
             }
           } finally IceLogIO.unreserve(root, fileId)
@@ -515,6 +535,37 @@ object IceLogIO {
     * in-flight rewrite must not pin the MAIN feed's settled bound (its
     * commit lands in `_branch/<name>/_log`, invisible to main windows). */
   private def inFlightKey(root: String, logRel: String) = s"$root#$logRel"
+
+  // Max log filename ts this JVM has LISTED or APPENDED per (root, logRel):
+  // the causal floor [[append]] commits strictly above. Same-JVM precise;
+  // cross-JVM writers inherit it the moment they fold the log (every
+  // insert path does at least once). Monotone max-merge, never trimmed —
+  // one Long per table handle root ever touched by this JVM.
+  private val observedTsMax =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[ice] def observe(root: String, logRel: String, ts: Long): Unit = {
+    observedTsMax.merge(inFlightKey(root, logRel), java.lang.Long.valueOf(ts),
+      (a, b) => if (a >= b) a else b)
+    ()
+  }
+
+  /** Record the newest filename ts of a listing (no-op for empty). */
+  private[ice] def observeListing(
+      root: String, logRel: String, listing: Seq[String]): Seq[String] = {
+    var mx = Long.MinValue
+    listing.foreach { p =>
+      try { val t = logFileInfo(p)._1; if (t > mx) mx = t }
+      catch { case _: Exception => } // foreign name: not a commit, skip
+    }
+    if (mx != Long.MinValue) observe(root, logRel, mx)
+    listing
+  }
+
+  private[ice] def observedFloor(root: String, logRel: String): Long = {
+    val v = observedTsMax.get(inFlightKey(root, logRel))
+    if (v == null) 0L else v.longValue()
+  }
 
   /** Register `ts` as a lower bound of a commit that is about to be
     * written to `root`'s `logRel` directory (append only ever bumps

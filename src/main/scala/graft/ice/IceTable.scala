@@ -757,13 +757,19 @@ final class IceTable(
     val probed = preflight(shaped)
     enforceConstraints(shaped, "INSERT")
     val (markers, schema) = writeRouted(routeRows(df0))
-    // One PUT = the transaction (icedb/icedb.py:217-219).
-    logio.append(root, 1, schema, markers,
+    // One PUT = the transaction (icedb/icedb.py:217-219). The markers'
+    // createdMs is stamped INSIDE append from the final commit ts
+    // (observed-floor + collision bumps included), so marker time equals
+    // commit time and inherits the fold's causal monotonicity — derived-
+    // state proofs (MvSync flat mark) stay sound under cross-host clock
+    // skew without inserts paying any extra log read.
+    val (_, meta) = logio.append(root, 1, schema, markers,
       timestamp = Some(math.max(now(), minTs)),
-      streamCommits = streamCommits, tableCfg = persistedCfg)
+      streamCommits = streamCommits, tableCfg = persistedCfg,
+      stampCreatedTs = true)
     preflightSchema = Some(probed)
     maybeCheckpoint()
-    markers
+    markers.map(_.copy(createdMs = meta.timestamp))
   }
 
   /** Stage one insert for a multi-table transaction
@@ -782,8 +788,8 @@ final class IceTable(
     enforceConstraints(shaped, "INSERT")
     val (markers, schema) = writeRouted(routeRows(df0))
     val (rel, meta) = logio.append(root, 1, schema, markers,
-      tableCfg = persistedCfg, txnTag = Some(txnId))
-    (markers, meta.timestamp, rel)
+      tableCfg = persistedCfg, txnTag = Some(txnId), stampCreatedTs = true)
+    (markers.map(_.copy(createdMs = meta.timestamp)), meta.timestamp, rel)
   }
 
   /** The shared pre-insert pipeline — formatRow hook (A23), `_partition`
@@ -1339,7 +1345,7 @@ final class IceTable(
       snapOpt.foreach(s => sch.accumulate(s.schema.columns, s.schema.types))
       sch.accumulate(addedSchema.columns, addedSchema.types)
       logio.append(root, 1, sch, added, timestamp = Some(now()),
-        tableCfg = persistedCfg)
+        tableCfg = persistedCfg, stampCreatedTs = true)
     } else {
       // the source may carry evolved columns; accumulate add-only
       validatedRewriteCommit(targets, rewritten ++ added, Seq(addedSchema),

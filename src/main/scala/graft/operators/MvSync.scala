@@ -430,9 +430,16 @@ object MvSync {
     * RESTORE — is refused on MV tables at the SQL surface (and is
     * already semantically broken for derived state: max-merged sync
     * watermarks cannot rewind).
-    * Clock-trust model: same as the log fold itself (ms timestamps
-    * order commits); a maintenance writer racing the rebase is already
-    * outside rebase's contract. */
+    * Clock-trust model: NOT raw wall clocks — marker `createdMs` is
+    * stamped inside the log append from the final commit ts, which is
+    * floored strictly above every log filename ts the writing JVM has
+    * listed (IceLogIO observed-ts floor). Every maintenance writer folds
+    * the view's log (mark reads / preflight) before inserting, so its
+    * markers land ABOVE the mark's carrying log even on a host whose
+    * wall clock lags the rebasing host — the proof inherits the fold's
+    * causal monotonicity. A maintenance writer racing the rebase itself
+    * (fold before the mark lands, insert after) remains outside rebase's
+    * contract, as for every other locked-vs-lock-free pair. */
   private[graft] val FlatKey = "_mv_flat"
 
   /** True when `snap` proves the post-rebase steady state (see

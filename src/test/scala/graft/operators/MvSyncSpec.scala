@@ -151,6 +151,32 @@ class MvSyncSpec extends SparkSpec {
       s"expected the fold to return after new partials, got:\n$foldPlan")
   }
 
+  test("flat proof self-invalidates even when the maintenance writer's clock lags the rebase host") {
+    val base = newBase(); val mv = newMv()
+    base.insert(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "grp", "v"))
+    settle(); MvSync.syncFromFeed(base, mv, spec)
+    MvSync.rebase(base, mv, spec)
+    assert(mv.trySnapshot(Long.MaxValue).exists(MvSync.isFlatSnapshot),
+      "rebase must arm the flat proof")
+    // A maintenance writer on a host whose wall clock LAGS the rebasing
+    // host: its partial insert must still land ABOVE the flat mark
+    // (observed-log commit floor + final-commit-ts marker stamping), or
+    // isFlatSnapshot would keep "proving" flat and the fold-free read
+    // would serve reset+partial rows per group — silent duplication.
+    val lag = System.currentTimeMillis() - 3_600_000L
+    val laggedMv = new IceTable(spark, mv.root, mv.cfg, () => lag)
+    base.insert(Seq((3L, "a", 30L)).toDF("id", "grp", "v"))
+    settle(); MvSync.syncFromFeed(base, laggedMv, spec)
+    val snap = laggedMv.trySnapshot(Long.MaxValue).get
+    assert(!MvSync.isFlatSnapshot(snap),
+      "a lagging-clock partial insert must self-invalidate the flat proof")
+    assert(drift(MvSync.read(laggedMv, spec), expected(base)) == 0L)
+    // and the fold is demonstrably back on
+    val plan = MvSync.read(laggedMv, spec).queryExecution.executedPlan.toString
+    assert(plan.contains("Window"),
+      s"expected the fold after a lagging-clock partial, got:\n$plan")
+  }
+
   test("flat fast-path reads present the FOLD's schema: decimal sums widen identically") {
     // foldPartials' sum over a stored decimal WIDENS the type
     // (decimal(p,s) → decimal(p+10,s)); the flat branch must cast the
