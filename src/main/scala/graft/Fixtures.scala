@@ -324,6 +324,48 @@ object Fixtures {
       table
     }
 
+  /** SQL log-only retention variant (b66): `ALTER TABLE … DROP
+    * PARTITIONS WHERE` drops the first week, then a whole-partition
+    * `DELETE` drops one more day through the auto-routed log-only fast
+    * path. `logOnly` pins that BOTH drops touched ZERO physical data
+    * files (the `_data` listing — name, size, mtime — is byte-identical
+    * before and after) and that the DELETE's reported row count is
+    * exact. The reference's retention op is pure metadata
+    * (icedb/icedb.py:435-501); this is its SQL spelling. */
+  final case class DroppedFixture(table: IceTable, logOnly: Boolean)
+  def eventsSqlDropped(spark: SparkSession, sfDir: String): DroppedFixture =
+    memo(s"$sfDir#sqldropped") {
+      val ev = raw(spark, sfDir, "events")
+      val root = newRoot("sqldropped")
+      val f = new java.io.File(root)
+      spark.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      val table = new IceTable(spark, root, IceTableConfig(
+        partitionExpr = concat(lit("d="), date_format(evTs(col("ts")), "yyyy-MM-dd")),
+        sortOrder = Seq("ts", "event_id")))
+      table.insert(ev)
+      def listing(): Set[(String, Long, Long)] = {
+        val base = java.nio.file.Paths.get(root, "_data")
+        val out = Set.newBuilder[(String, Long, Long)]
+        java.nio.file.Files.walk(base).forEach { p =>
+          if (java.nio.file.Files.isRegularFile(p) &&
+              !p.getFileName.toString.startsWith("."))
+            out += ((base.relativize(p).toString, java.nio.file.Files.size(p),
+              java.nio.file.Files.getLastModifiedTime(p).toMillis))
+        }
+        out.result()
+      }
+      val day8Rows = table.read()
+        .where(date_format(evTs(col("ts")), "yyyy-MM-dd") === "2024-01-08").count()
+      val before = listing()
+      val alter = spark.sql(s"ALTER TABLE graft.`${f.getName}` " +
+        "DROP PARTITIONS WHERE d <= '2024-01-07'").head
+      val del = spark.sql(
+        s"DELETE FROM graft.`${f.getName}` WHERE d = '2024-01-08'").head
+      val logOnly = listing() == before &&
+        alter.getLong(0) > 0L && del.getLong(0) == day8Rows
+      DroppedFixture(table, logOnly)
+    }
+
   /** Change-feed variant (a41): a window spanning an append, a CoW
     * UPDATE (delete+insert pairs) and a merge-on-read delete; `sinceTs`
     * excludes the seed insert. */

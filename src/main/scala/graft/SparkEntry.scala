@@ -374,6 +374,19 @@ object SparkEntry {
         .withColumn("fact_delta_incremental", lit(fx.factOnlyDelta))
         .orderBy("cat")
     }),
+    "b66_drop_partitions" -> ((s, d) => {
+      // Log-only SQL retention (A16's SQL spelling): ALTER TABLE … DROP
+      // PARTITIONS WHERE drops week one, a whole-partition DELETE
+      // auto-routes day 8 through the same metadata-only path; the
+      // boolean pins that ZERO physical data files were read, written,
+      // or deleted (byte-identical `_data` listing) and the DELETE's
+      // reported row count was exact. DuckDB re-derives the survivors.
+      val fx = Fixtures.eventsSqlDropped(s, d)
+      fx.table.read().groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("log_only", lit(fx.logOnly))
+        .orderBy(col("event_type"))
+    }),
     "b65_mv_join_manifest" -> ((s, d) => {
       // A STAR-JOIN view's foreign-engine path: join-view partials are
       // MATERIALIZED (the dim-sourced group column is a stored column),
@@ -3219,6 +3232,10 @@ object SparkEntry {
         "true AS fold_sql_exported " +
         "FROM final f JOIN dim d ON f.event_type = d.et " +
         "GROUP BY 1 ORDER BY 1"),
+    "b66_drop_partitions" ->
+      ("SELECT event_type, count(*) AS cnt, true AS log_only FROM events " +
+        "WHERE strftime(ts, '%Y-%m-%d') > '2024-01-08' " +
+        "GROUP BY event_type ORDER BY event_type"),
     "b60_mv_where" ->
       ("WITH final AS (SELECT event_id, user_id, " +
         "CASE WHEN user_id % 23 = 7 THEN 'redacted' ELSE event_type END AS event_type " +

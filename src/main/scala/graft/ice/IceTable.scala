@@ -1220,6 +1220,19 @@ final class IceTable(
         s"updateWhere cannot assign bucket column(s) ${touched.mkString(", ")}" +
           " of a bucketed table; delete + re-insert the rows instead")
     }
+    // virtual (path-derived, non-data) partition columns are readable in
+    // the predicate but not assignable: the value IS the directory —
+    // assigning it would be silently dropped at write
+    trySnapshot(Long.MaxValue).foreach { s =>
+      val dataLc = s.schema.pairs.iterator.map(_._1.toLowerCase).toSet
+      val virt = partitionKeyNames(s).filterNot(k => dataLc(k.toLowerCase))
+      val touched = assignments.map(_._1)
+        .filter(a => virt.exists(_.equalsIgnoreCase(a)))
+      require(touched.isEmpty,
+        s"updateWhere cannot assign path-derived partition column(s) " +
+          s"${touched.mkString(", ")}; re-route rows with repartitionTable " +
+          "or delete + re-insert")
+    }
     // one SELECT, all expressions against the ORIGINAL columns — SQL
     // UPDATE semantics. A withColumn chain would re-evaluate the
     // condition (and later values) against already-updated columns:
@@ -1406,7 +1419,15 @@ final class IceTable(
   /** Shared CoW row-mutation core: probe which alive files hold matching
     * rows (one pushed-filter scan reading only `_metadata` + the columns
     * `cond` needs), rewrite exactly those files through `transform`, and
-    * commit tombstones + replacements in one validated append. */
+    * commit tombstones + replacements in one validated append.
+    *
+    * The predicate may reference the path-derived PARTITION columns
+    * (catalog-scan parity: `DELETE … WHERE d = '…' AND id < n` must work
+    * at row level too). Non-shadowed partition keys ride the scan as
+    * VIRTUAL string columns — parsed from the file path in the probe,
+    * bound as literals in each per-file rewrite — and are dropped before
+    * anything is written or accumulated into the schema. Keys shadowed
+    * by a data column keep the file's values, as this scan always did. */
   private def mutateAffected(cond: Column,
       precheck: Option[DataFrame => Unit] = None)(
       transform: DataFrame => DataFrame): Long = {
@@ -1414,13 +1435,29 @@ final class IceTable(
     val snap = trySnapshot(Long.MaxValue).getOrElse(return 0L)
     if (snap.aliveFiles.isEmpty) return 0L
     val schema = snap.schema.toStructType
+    val virtKeys = partitionKeyNames(snap)
+      .filterNot(k => schema.fieldNames.exists(_.equalsIgnoreCase(k)))
+    // per-row parse from the relative path `_p` — same value semantics as
+    // the catalog scan (raw segment after '=', missing key = "")
+    def withVirtFromPath(df: DataFrame): DataFrame =
+      virtKeys.foldLeft(df)((d, k) => d.withColumn(k, regexp_extract(
+        col("_p"), "(?:^|/)" + java.util.regex.Pattern.quote(k) + "=([^/]*)", 1)))
+    // exact per-file bind (the file's whole directory is one partition)
+    def withVirtFor(df: DataFrame, partition: String): DataFrame = {
+      val kv = partition.split("/").iterator.map { seg =>
+        val i = seg.indexOf('=')
+        if (i < 0) (seg, "") else (seg.substring(0, i), seg.substring(i + 1))
+      }.toMap
+      virtKeys.foldLeft(df)((d, k) => d.withColumn(k, lit(kv.getOrElse(k, ""))))
+    }
     val scan = spark.read.schema(schema)
       .parquet(snap.aliveFiles.map(m => s"$root/${m.path}"): _*)
     // FAIL FAST on a type-changing mutation, before any file is written:
     // the log schema drives every read, so a rewritten file whose column
     // type diverged (e.g. SET bigint_col = 'text') would poison the table
     val outSchema = Schema.fromStructType(
-      transform(scan.limit(0)).drop("_metadata").schema)
+      transform(withVirtFromPath(scan.limit(0).withColumn("_p", lit(""))))
+        .drop("_metadata").drop("_p").drop(virtKeys: _*).schema)
     val probe = new Schema
     probe.accumulate(
       Schema.fromStructType(schema).columns, Schema.fromStructType(schema).types)
@@ -1433,9 +1470,9 @@ final class IceTable(
     def applyDv(df: DataFrame): DataFrame = del.fold(df)(d =>
       df.join(d.withColumnRenamed("_dv_path", "_p").withColumnRenamed("_dv_row", "_r"),
         Seq("_p", "_r"), "left_anti"))
-    val probed = applyDv(scan
+    val probed = withVirtFromPath(applyDv(scan
       .withColumn("_p", relPathCol)
-      .withColumn("_r", col("_metadata.row_index")))
+      .withColumn("_r", col("_metadata.row_index"))))
     val hits = probed.where(cond)
       .groupBy(col("_p")).agg(count(lit(1)).as("_n"))
       .collect() // file-count scale: one row per AFFECTED file
@@ -1446,10 +1483,10 @@ final class IceTable(
     // caller's one-shot validation pass (e.g. updateWhere's CHECK
     // pre-flight) over the AFFECTED files only, before any rewrite
     // writes a byte
-    precheck.foreach(check => check(applyDv(
+    precheck.foreach(check => check(withVirtFromPath(applyDv(
       spark.read.schema(schema).parquet(targets.map(m => s"$root/${m.path}"): _*)
         .withColumn("_p", relPathCol)
-        .withColumn("_r", col("_metadata.row_index")))
+        .withColumn("_r", col("_metadata.row_index"))))
       .drop("_p", "_r")))
     // per-file rewrites fan out on the bounded pool (leaf-only: one Spark
     // job + a rename each), like rewritePartition — serial per-file jobs
@@ -1464,7 +1501,9 @@ final class IceTable(
             .withColumn("_p", lit(m.path))
             .withColumn("_r", col("_metadata.row_index")))
             .drop("_p", "_r")
-          writeSingleFileFor(transform(src), partitionOf(m.path))
+          val part = partitionOf(m.path)
+          writeSingleFileFor(
+            transform(withVirtFor(src, part)).drop(virtKeys: _*), part)
         }
       }, Duration.Inf)
     }
@@ -2546,6 +2585,141 @@ final class IceTable(
       tableCfg = persistedCfg.orElse(snap.tableConfig))
     (Some(newLog), Some(meta), deleted)
     }
+
+  /** Log-only retention drop by PREDICATE — the SQL-facing face of
+    * [[removePartitions]] (`ALTER TABLE … DROP PARTITIONS WHERE pred`).
+    * `cond` is evaluated over the snapshot's DISTINCT partition
+    * directories against the same path-derived STRING partition columns
+    * the catalog scan serves (IceFileIndex: raw segment after `=`,
+    * missing key = ""), and every file of every matching directory is
+    * tombstoned in merged-log commits — ZERO data files read or
+    * written. This is the reference's retention operation
+    * (icedb/icedb.py:435-501, README.md:536-551): dropping a month from
+    * a 100 TB table is a handful of log PUTs, never a rewrite of the
+    * month. `cond` referencing anything but partition keys throws (use
+    * DELETE for row predicates — DROP PARTITIONS must be incapable of
+    * silently becoming a rewrite). Returns (partitions dropped, files
+    * tombstoned). */
+  def dropPartitionsWhere(cond: Column): (Int, Int) = {
+    val snap = trySnapshot(Long.MaxValue).getOrElse(return (0, 0))
+    val matched = partitionsMatching(snap, cond).getOrElse(
+      throw new IllegalArgumentException(
+        s"DROP PARTITIONS predicate may reference only this table's " +
+          s"path-derived partition columns " +
+          s"(${partitionKeyNames(snap).mkString(", ")}); for row-level " +
+          "predicates use DELETE"))
+    if (matched.isEmpty) return (0, 0)
+    val matchSet = matched.toSet
+    // each removePartitions call is one merged-log commit capped at
+    // maxFiles tombstones; loop until the matched dirs are fully drained
+    // (a month at 100 TB can exceed one commit's cap — still pure log
+    // PUTs, each atomic)
+    var files = 0
+    var n = -1
+    while (n != 0) {
+      val (_, _, d) = removePartitions(parts => parts.filter(matchSet))
+      files += d
+      n = d
+    }
+    (matched.size, files)
+  }
+
+  /** DELETE fast path: Some(exact rows deleted) when `cond` provably
+    * covers WHOLE partitions and the drop can be LOG-ONLY —
+    *  - it references only path-derived partition keys,
+    *  - none of those keys shadows a DATA column (for a shadowed name
+    *    the scan serves the file's values, so row-level and
+    *    partition-level semantics could disagree),
+    *  - no deletion-vector side table exists (dv-masked rows would
+    *    inflate the reported count),
+    *  - every affected file carries a log row count (the `rc` marker
+    *    field — rows_deleted stays exact).
+    * None = not provable; the caller falls back to the CoW rewrite,
+    * which is always correct. The row count is summed from the probe
+    * snapshot's markers; a writer racing the drop is the same
+    * lock-free-vs-locked window every mutation documents. */
+  private[graft] def tryLogOnlyDelete(cond: Column): Option[Long] = {
+    val snap = trySnapshot(Long.MaxValue).getOrElse(return Some(0L))
+    val refs = org.apache.spark.sql.graft.PlanBridge.eagerExpression(cond)
+      .collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name.toLowerCase
+      }.toSet
+    // an unconditional DELETE (no column refs) stays on the CoW path:
+    // it reports exact row counts without marker preconditions
+    if (refs.isEmpty) return None
+    val dataCols = snap.schema.pairs.iterator.map(_._1.toLowerCase).toSet
+    if (refs.exists(dataCols)) return None
+    if (dvStamp().isDefined) return None
+    val matched = partitionsMatching(snap, cond).getOrElse(return None)
+    if (matched.isEmpty) return Some(0L)
+    val matchSet = matched.toSet
+    val affected = snap.aliveFiles.filter(m => matchSet(partitionOf(m.path)))
+    if (affected.exists(_.rowCount.isEmpty)) return None
+    var n = -1
+    while (n != 0) n = removePartitions(parts => parts.filter(matchSet))._3
+    Some(affected.iterator.flatMap(_.rowCount).sum)
+  }
+
+  /** Partition key names of a snapshot's marker paths, first-seen order,
+    * bucket routing level excluded (same contract as the catalog scan's
+    * partitionKeys). */
+  private def partitionKeyNames(snap: IceSnapshot): Seq[String] = {
+    val seen = mutable.LinkedHashSet.empty[String]
+    snap.aliveFiles.foreach(m => partitionOf(m.path).split("/").foreach { seg =>
+      val i = seg.indexOf('=')
+      if (i > 0) seen += seg.substring(0, i)
+    })
+    if (cfg.bucketBy.isDefined) (seen - "bkt").toSeq else seen.toSeq
+  }
+
+  /** Evaluate `cond` against the snapshot's distinct partition dirs:
+    * Some(matching dirs) iff it resolves using ONLY the path-derived
+    * partition keys; None otherwise. Value semantics are EXACTLY the
+    * catalog scan's (IceFileIndex): all-string columns, raw path
+    * segment after `=`, missing key = "" — so `WHERE d <= '2024-01-07'`
+    * matches the same rows here and in a scan-side filter. The
+    * evaluation runs on a LocalRelation the optimizer folds driver-side
+    * (ConvertToLocalRelation): no Spark job, no data file touched;
+    * partition-count scale, the same driver-side contract as
+    * [[removePartitions]] itself. */
+  private[graft] def partitionsMatching(
+      snap: IceSnapshot, cond: Column): Option[Seq[String]] = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val dirs = snap.aliveFiles.iterator.map(m => partitionOf(m.path))
+      .toSeq.distinct.sorted
+    if (dirs.isEmpty) return Some(Seq.empty)
+    val keys = partitionKeyNames(snap)
+    if (keys.isEmpty) return None
+    val refs = org.apache.spark.sql.graft.PlanBridge.eagerExpression(cond)
+      .collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name.toLowerCase
+      }.toSet
+    if (!refs.subsetOf(keys.map(_.toLowerCase).toSet)) return None
+    val dirCol = "__graft_partition_dir"
+    val schema = StructType(
+      StructField(dirCol, StringType, nullable = false) +:
+        keys.map(StructField(_, StringType, nullable = false)))
+    val rows: java.util.List[Row] = {
+      val out = new java.util.ArrayList[Row](dirs.length)
+      dirs.foreach { d =>
+        val kv = d.split("/").iterator.map { seg =>
+          val i = seg.indexOf('=')
+          if (i < 0) (seg, "") else (seg.substring(0, i), seg.substring(i + 1))
+        }.toMap
+        out.add(Row.fromSeq(d +: keys.map(k => kv.getOrElse(k, ""))))
+      }
+      out
+    }
+    val local = spark.createDataFrame(rows, schema)
+    try Some(local.where(cond).select(dirCol).collect()
+      .map(_.getString(0)).toSeq)
+    catch {
+      // unresolvable / ill-typed against the partition-only schema
+      case _: org.apache.spark.sql.AnalysisException => None
+    }
+  }
 
   /** A17 filtered partition rewrite (GDPR purge, retro-dedup): every alive
     * part in the target partition is piped through `filterSql` (source view

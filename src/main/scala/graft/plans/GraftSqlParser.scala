@@ -34,6 +34,7 @@ import graft.ice.{DeleteVectors, IceTable, IceTableConfig}
   *   ALTER TABLE graft.t SORTED BY (c1, ...)     -- config-only commit
   *   ALTER TABLE graft.t PARTITIONED BY (<expr>) -- atomic partition evolution
   *   ALTER TABLE graft.t ADD COLUMN[S] (c TYPE, ...) -- union-schema evolution
+  *   ALTER TABLE graft.t DROP PARTITIONS WHERE p -- log-only retention drop
   *   ALTER TABLE graft.t CREATE BRANCH b         -- WAP fork (metadata-only)
   *   ALTER TABLE graft.t PUBLISH BRANCH b        -- fast-forward, one commit
   *   ALTER TABLE graft.t DROP BRANCH b           -- release the branch
@@ -181,6 +182,10 @@ object GraftSqlParser {
       s"""\\s*ALTER\\s+TABLE\\s+$c\\.$ident\\s+ADD\\s+CONSTRAINT\\s+([A-Za-z0-9_]+)\\s+CHECK\\s*\\(.*""")
     val constraintDropRe = re(
       s"""\\s*ALTER\\s+TABLE\\s+$c\\.$ident\\s+DROP\\s+CONSTRAINT\\s+([A-Za-z0-9_]+)\\s*;?\\s*""")
+    // log-only retention: drop whole partitions by predicate over the
+    // path-derived partition columns (IceTable.dropPartitionsWhere)
+    val dropPartsRe = re(
+      s"""\\s*ALTER\\s+TABLE\\s+$c\\.$ident\\s+DROP\\s+PARTITIONS\\s+WHERE\\s+(.+?)\\s*;?\\s*""")
     val showBranchesRe = re(
       s"""\\s*SHOW\\s+BRANCHES\\s+(?:IN|FROM)\\s+$c\\.$ident\\s*;?\\s*""")
     // multi-table transactions at the SQL boundary (IceTransaction):
@@ -295,6 +300,11 @@ object GraftSqlParser {
     val cdm = constraintDropRe.matcher(sqlText)
     if (cdm.matches())
       return Some(GraftDropConstraintCommand(name(cdm, 1), cdm.group(3)))
+
+    // ALTER TABLE graft.t DROP PARTITIONS WHERE <pred> — log-only retention
+    val dpm = dropPartsRe.matcher(sqlText)
+    if (dpm.matches())
+      return Some(GraftDropPartitionsCommand(name(dpm, 1), dpm.group(3).trim))
 
     // ALTER TABLE graft.t ADD COLUMN[S] (c TYPE, ...) | c TYPE — the
     // column list parses through the delegate's own schema grammar
@@ -1572,6 +1582,39 @@ object GraftSqlParser {
           val n = t.repartitionTable(
             org.apache.spark.sql.functions.expr(partitionExprSql))
           Seq(Row(n.toLong))
+      }
+  }
+
+  /** `ALTER TABLE graft.<t> DROP PARTITIONS WHERE <pred>` →
+    * [[IceTable.dropPartitionsWhere]]: the reference's retention
+    * operation (icedb/icedb.py:435-501, README.md:536-551) as SQL — a
+    * PURE-METADATA commit chain that tombstones every file of every
+    * matching partition directory, reading and writing ZERO data files.
+    * The predicate sees the path-derived STRING partition columns
+    * exactly as the catalog scan serves them; anything else is refused
+    * loudly (DROP PARTITIONS must be incapable of silently becoming a
+    * rewrite — row predicates belong to DELETE). Refused on MV tables:
+    * dropping derived-state partitions under the sync's feet would
+    * diverge the view (REFRESH/DROP the view instead). */
+  final case class GraftDropPartitionsCommand(name: String, predSql: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      AR("partitions_dropped", LongType, nullable = false)(),
+      AR("files_tombstoned", LongType, nullable = false)())
+    override def run(session: SparkSession): Seq[Row] =
+      rootFor(session, name, requireLog = true) match {
+        case None => throw new IllegalArgumentException(
+          s"graft table '$name' does not exist")
+        case Some(root) =>
+          val t = IceTable.open(session, root)
+          require(t.cfg.mvDef.isEmpty,
+            s"$root is a MATERIALIZED VIEW — its partitions are derived " +
+              "state maintained by the sync; dropping them in place would " +
+              "silently diverge the view. REFRESH … FULL or DROP the view " +
+              "instead")
+          val (parts, files) = t.dropPartitionsWhere(
+            org.apache.spark.sql.functions.expr(predSql))
+          Seq(Row(parts.toLong, files.toLong))
       }
   }
 

@@ -539,7 +539,13 @@ object IceSqlResolution {
 }
 
 /** `DELETE FROM graft.<t> WHERE ...` → [[IceTable.deleteWhere]] (atomic
-  * CoW of only the affected files). Returns one row: rows_deleted. */
+  * CoW of only the affected files). When the predicate provably covers
+  * WHOLE partitions ([[IceTable.tryLogOnlyDelete]]: partition-key-only
+  * refs, no data-column shadowing, no deletion vectors, exact marker
+  * row counts), the delete is LOG-ONLY — one metadata commit, zero data
+  * files read or written; at 100 TB that turns routine retention
+  * (`DELETE … WHERE d < '…'`) from a month-sized rewrite into a PUT.
+  * Returns one row: rows_deleted. */
 final case class IceDeleteCommand(root: String, ident: String, condSql: String,
     branch: String = "")
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
@@ -547,8 +553,9 @@ final case class IceDeleteCommand(root: String, ident: String, condSql: String,
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     Seq(AR("rows_deleted", org.apache.spark.sql.types.LongType, nullable = false)())
   override def run(session: SparkSession): Seq[org.apache.spark.sql.Row] = {
-    val n = IceSqlResolution.openMutable(session, root, branch)
-      .deleteWhere(org.apache.spark.sql.functions.expr(condSql))
+    val t = IceSqlResolution.openMutable(session, root, branch)
+    val cond = org.apache.spark.sql.functions.expr(condSql)
+    val n = t.tryLogOnlyDelete(cond).getOrElse(t.deleteWhere(cond))
     Seq(org.apache.spark.sql.Row(n))
   }
 }
