@@ -938,6 +938,66 @@ object Fixtures {
       SqlMvJoinFixture(view, f.getParent, factOnlyDelta)
     }
 
+  final case class SqlMvLeftJoinFixture(viewName: String, whDir: String,
+    factOnlyDelta: Boolean)
+
+  /** LEFT-JOIN star view (b67): the dim is seeded WITHOUT the 'view'
+    * event type, so those facts NULL-EXTEND into the (none) group
+    * instead of leaving the view — the facts-before-dims shape.
+    * Maintained through an insert-only fact window (partials, zero
+    * resets — pinned as a boolean), a redaction update that moves rows
+    * to a dim-less type (into the null group), a MoR delete, and a dim
+    * ARRIVAL ('redacted' gains a row) that moves the null group's rows
+    * into 'R' via the affected-group reset path (max is not
+    * self-maintainable). DuckDB re-derives the final state with the
+    * same LEFT JOIN. */
+  def eventsSqlMvLeftJoin(spark: SparkSession, sfDir: String): SqlMvLeftJoinFixture =
+    memo(s"$sfDir#sqlmvleftjoin") {
+      import graft.ice.DeleteVectors
+      val ev = raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val root = newRoot("mvljfact")
+      val f = new java.io.File(root)
+      spark.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      val fact = new IceTable(spark, root, IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(8))),
+        sortOrder = Seq("event_id")))
+      fact.insert(ev.where(col("event_id") % 2 === 0))
+      val dimName = s"${f.getName}_dim"
+      val dim = new IceTable(spark, s"${f.getParent}/$dimName", IceTableConfig(
+        partitionExpr = lit("all"), sortOrder = Seq("et")))
+      dim.insert(ev.select(col("event_type").as("et")).distinct()
+        .where(col("et") =!= "view") // 'view' facts have NO dim row
+        .withColumn("cat", upper(substring(col("et"), 1, 1))))
+      Thread.sleep(5)
+      val view = s"${f.getName}_v"
+      spark.sql(s"""CREATE MATERIALIZED VIEW graft.`$view` AS
+        SELECT d.cat AS cat, count(*) AS cnt, sum(f.user_id) AS sum_uid,
+               max(f.event_id) AS max_id
+        FROM graft.`${f.getName}` f LEFT JOIN graft.`$dimName` d
+          ON f.event_type = d.et
+        GROUP BY d.cat""").collect()
+      fact.insert(ev.where(col("event_id") % 2 === 1))
+      Thread.sleep(5)
+      val r1 = spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$view`").head
+      val factOnlyDelta = r1.getLong(0) > 0L && r1.getLong(1) == 0L
+      // redaction moves rows to a type with NO dim row: under LEFT they
+      // move INTO the null group (an inner view would drop them)
+      fact.updateWhere(pmod(col("user_id"), lit(23)) === 7,
+        Seq("event_type" -> lit("redacted")))
+      DeleteVectors.deleteWhere(fact, pmod(col("user_id"), lit(23)) === 8)
+      Thread.sleep(5)
+      spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$view`").collect()
+      // dim ARRIVAL: 'redacted' gains a row — its facts move null → 'R'
+      dim.insert {
+        import spark.implicits._
+        Seq(("redacted", "R")).toDF("et", "cat")
+      }
+      Thread.sleep(5)
+      spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$view`").collect()
+      SqlMvLeftJoinFixture(view, f.getParent, factOnlyDelta)
+    }
+
   final case class SqlMvGlobalFixture(viewName: String, whDir: String,
     emptyReadsZero: Boolean)
 

@@ -374,6 +374,22 @@ object SparkEntry {
         .withColumn("fact_delta_incremental", lit(fx.factOnlyDelta))
         .orderBy("cat")
     }),
+    "b67_mv_left_join" -> ((s, d) => {
+      // LEFT-JOIN star view: facts with no dim row null-extend into a
+      // '(none)' group (inner would drop them) and MOVE into 'R' when
+      // the dim row arrives — maintained incrementally through insert,
+      // redaction update, MoR delete, and the dim arrival; DuckDB
+      // re-derives the final state with the same LEFT JOIN. The null
+      // group key is surfaced as '(none)' on both sides so row order
+      // and hashing never depend on engine null-sort defaults.
+      val fx = Fixtures.eventsSqlMvLeftJoin(s, d)
+      s.conf.set(graft.plans.IceSqlResolution.WarehouseKey, fx.whDir)
+      s.sql(s"""SELECT coalesce(cat, '(none)') AS cat, cnt,
+          CAST(sum_uid AS BIGINT) AS sum_uid, max_id
+          FROM graft.`${fx.viewName}`""")
+        .withColumn("fact_delta_incremental", lit(fx.factOnlyDelta))
+        .orderBy("cat")
+    }),
     "b66_drop_partitions" -> ((s, d) => {
       // Log-only SQL retention (A16's SQL spelling): ALTER TABLE … DROP
       // PARTITIONS WHERE drops week one, a whole-partition DELETE
@@ -3236,6 +3252,19 @@ object SparkEntry {
       ("SELECT event_type, count(*) AS cnt, true AS log_only FROM events " +
         "WHERE strftime(ts, '%Y-%m-%d') > '2024-01-08' " +
         "GROUP BY event_type ORDER BY event_type"),
+    "b67_mv_left_join" ->
+      ("WITH final AS (SELECT event_id, user_id, " +
+        "CASE WHEN user_id % 23 = 7 THEN 'redacted' ELSE event_type END AS event_type " +
+        "FROM events WHERE user_id % 23 <> 8), " +
+        "dim AS (SELECT DISTINCT event_type AS et, " +
+        "upper(substring(event_type, 1, 1)) AS cat FROM events " +
+        "WHERE event_type <> 'view' " +
+        "UNION ALL SELECT 'redacted', 'R') " +
+        "SELECT coalesce(d.cat, '(none)') AS cat, count(*) AS cnt, " +
+        "CAST(sum(f.user_id) AS BIGINT) AS sum_uid, max(f.event_id) AS max_id, " +
+        "true AS fact_delta_incremental " +
+        "FROM final f LEFT JOIN dim d ON f.event_type = d.et " +
+        "GROUP BY 1 ORDER BY 1"),
     "b60_mv_where" ->
       ("WITH final AS (SELECT event_id, user_id, " +
         "CASE WHEN user_id % 23 = 7 THEN 'redacted' ELSE event_type END AS event_type " +

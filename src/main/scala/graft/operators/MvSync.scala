@@ -92,8 +92,11 @@ object MvSync {
   /** A star-join enrichment baked into a view definition: every
     * maintenance aggregation joins the FACT rows (base scan or feed
     * images, aliased `factAlias`) with the dimension table (aliased
-    * `dimAlias`) on `condSql`, INNER — unmatched fact rows leave the
-    * view, exactly like the defining query. The fact side is the
+    * `dimAlias`) on `condSql`. INNER (default): unmatched fact rows
+    * leave the view, exactly like the defining query. LEFT: unmatched
+    * facts null-extend — they contribute to the group whose dim-sourced
+    * key columns are null (facts arriving before their dim row, the
+    * second star shape every pipeline hits). The fact side is the
     * maintained (feed-driven) side; dimension mutations are detected by
     * commit version and maintained PARTIALLY from the dim's own change
     * feed (only the affected groups reset — see [[syncFromFeed]]), with
@@ -102,7 +105,14 @@ object MvSync {
     * versioned independently; a window where exactly one dim moved
     * maintains partially, several at once fall back to the reseed. */
   case class MvJoinDim(dimTable: String, factAlias: String,
-      dimAlias: String, condSql: String) {
+      dimAlias: String, condSql: String, joinType: String = "inner") {
+    require(joinType == "inner" || joinType == "left",
+      s"a view dimension joins 'inner' or 'left', got '$joinType' — " +
+        "RIGHT/FULL outer have no maintainable fact side")
+    /** LEFT dims null-extend unmatched facts: the fact contributes to
+      * the group of its dim columns as nulls — the second star shape
+      * every pipeline hits (facts arriving before their dim row). */
+    def isLeft: Boolean = joinType == "left"
     /** `(factKeyCol, dimKeyCol)` when `condSql` is one alias-qualified
       * equality `fact.k = dim.j` (either order) — the shape whose
       * dim-change maintenance can PRUNE the fact scans with an `isin`
@@ -195,7 +205,7 @@ object MvSync {
         if (joinDims.isEmpty) df
         else joinDims.zip(dims).foldLeft(
           df.alias(joinDims.head.factAlias)) { case (acc, (j, d)) =>
-            acc.join(d.alias(j.dimAlias), expr(j.condSql), "inner")
+            acc.join(d.alias(j.dimAlias), expr(j.condSql), j.joinType)
           }
       val filtered = filterSql.fold(joined)(p => joined.where(expr(p)))
       val derived = derivedGroups.foldLeft(filtered) { case (d, (name, sql)) =>
@@ -304,13 +314,17 @@ object MvSync {
         if (groupExprs.isEmpty) withW
         else withW :+ ("ge" -> groupExprs.map { case (a, e) => Seq(a, e) })
       // single dim keeps the round-13 "j" word (already-persisted views
-      // decode unchanged); several encode as a "js" list
+      // decode unchanged); several encode as a "js" list. An outer dim
+      // appends its join type as a 5th element; inner dims stay 4-wide
+      // so every already-persisted definition round-trips byte-stable
+      def enc(j: MvJoinDim): Seq[String] = {
+        val base = Seq(j.dimTable, j.factAlias, j.dimAlias, j.condSql)
+        if (j.joinType == "inner") base else base :+ j.joinType
+      }
       val withJ = dims match {
         case Seq() => withGe
-        case Seq(j) => withGe :+
-          ("j" -> Seq(j.dimTable, j.factAlias, j.dimAlias, j.condSql))
-        case js => withGe :+ ("js" -> js.map(j =>
-          Seq(j.dimTable, j.factAlias, j.dimAlias, j.condSql)))
+        case Seq(j) => withGe :+ ("j" -> enc(j))
+        case js => withGe :+ ("js" -> js.map(enc))
       }
       val withH = havingSql.fold(withJ)(h => withJ :+ ("h" -> h))
       graft.ice.Json.obj(withH: _*)
@@ -331,7 +345,9 @@ object MvSync {
         case _ => Seq.empty
       }
       def dimOf(v: Any): MvJoinDim = {
-        val f = strs(v); MvJoinDim(f(0), f(1), f(2), f(3))
+        val f = strs(v)
+        MvJoinDim(f(0), f(1), f(2), f(3),
+          joinType = if (f.length > 4) f(4) else "inner")
       }
       MvViewDef(
         m("src").toString,
@@ -602,28 +618,52 @@ object MvSync {
     * count before this runs. Non-equi conditions skip the prune (the
     * unpruned scan is still correct). */
   private[graft] def dimChangeAffectedGroups(source: IceTable,
-      spec: MvSpec, images: DataFrame, changed: Int, wm: Long,
+      spec: MvSpec, rawImages: DataFrame, changed: Int, wm: Long,
       until: Long, dims: Seq[DataFrame], maxPruneGroups: Int): DataFrame = {
     val j = spec.joinDims(changed)
     val groupCols = spec.groupCols.map(col)
+    val images = broadcast(
+      rawImages.drop(ChangeFeed.ChangeTypeCol, ChangeFeed.CommitTsCol))
     val pruneKeys: Option[Seq[Any]] = j.equiKeys.flatMap { case (_, dk) =>
       val vals = images.select(col(dk)).distinct()
         .limit(maxPruneGroups + 1).collect().map(_.get(0)).toSeq
       // over the cap → unpruned scans (still correct); null keys never
-      // match the inner equality join — drop them
+      // match the equality join (inner or left) — drop them
       if (vals.length <= maxPruneGroups) Some(vals.filterNot(_ == null))
       else None
     }
-    def groupsAt(bound: Long): DataFrame = {
+    def groupsAt(bound: Long, dimDf: DataFrame): DataFrame = {
       val base = probeRead(source, bound + 1)
       val pruned = (j.equiKeys, pruneKeys) match {
         case (Some((fk, _)), Some(ks)) => base.where(col(fk).isin(ks: _*))
         case _ => base
       }
-      spec.prepare(pruned, dims.updated(changed, images))
+      spec.prepare(pruned, dims.updated(changed, dimDf))
         .select(groupCols: _*)
     }
-    groupsAt(wm).unionByName(groupsAt(until)).distinct()
+    val all =
+      if (!j.isLeft) groupsAt(wm, images).unionByName(groupsAt(until, images))
+      else {
+        // a LEFT dim's affected facts change GROUP, they never leave the
+        // view: the old group of a fact whose dim row was just CREATED is
+        // the null-extended group, which joining against the mixed image
+        // set would miss (the fact matches the new image). Split sides:
+        // delete images stand in for the dim's OLD state, insert images
+        // for the NEW — a fact unmatched on a side LEFT-extends to the
+        // null group on exactly that side. Both window bounds × both
+        // sides: a superset of the affected groups is idempotently safe
+        // (extra resets recompute already-correct groups).
+        val oldSide = broadcast(rawImages
+          .where(col(ChangeFeed.ChangeTypeCol) === "delete")
+          .drop(ChangeFeed.ChangeTypeCol, ChangeFeed.CommitTsCol))
+        val newSide = broadcast(rawImages
+          .where(col(ChangeFeed.ChangeTypeCol) === "insert")
+          .drop(ChangeFeed.ChangeTypeCol, ChangeFeed.CommitTsCol))
+        groupsAt(wm, oldSide).unionByName(groupsAt(wm, newSide))
+          .unionByName(groupsAt(until, oldSide))
+          .unionByName(groupsAt(until, newSide))
+      }
+    all.distinct()
   }
 
   /** Signed dim-change partials for a SELF-MAINTAINABLE spec (count /
@@ -660,7 +700,34 @@ object MvSync {
       case (Some((fk, _)), Some(ks)) => base.where(col(fk).isin(ks: _*))
       case _ => base
     }
-    val prep = spec.prepare(pruned, dims.updated(changed, signed))
+    val prep =
+      if (!j.isLeft)
+        // INNER: one probe, the mixed signed image set IS the dim — a
+        // fact matching an old image names the group it leaves (-1), a
+        // new image the group it enters (+1), no match = out of the view
+        spec.prepare(pruned, dims.updated(changed, signed))
+      else {
+        // LEFT: affected facts never leave the view, they change GROUP
+        // (possibly to/from the null-extended one). Evaluate each
+        // affected fact's group under the dim's OLD state (delete
+        // images; unmatched = it was null-extended) with sign -1, and
+        // under the NEW state (insert images) with sign +1 — the same
+        // -old +new algebra, with the null group now a first-class
+        // citizen on both sides. Facts the prune could not exclude
+        // cancel exactly (-1/+1 into the same group fold to zero).
+        // Each side projects to exactly the aggregation's inputs before
+        // the union: the raw joined frame carries duplicate key names
+        // (f.k and d.k), which unionByName refuses.
+        val needed = (spec.groupCols ++ (spec.sumCols ++ spec.countCols)
+          .map(c => if (c.contains('.')) c.replace('.', '_') else c)).distinct
+        def side(kind: String, sgn: Long): DataFrame =
+          spec.prepare(pruned, dims.updated(changed, broadcast(
+            images.where(col(ChangeFeed.ChangeTypeCol) === kind)
+              .drop(ChangeFeed.ChangeTypeCol, ChangeFeed.CommitTsCol))))
+            .select(needed.map(col): _*)
+            .withColumn("_mv_sign", lit(sgn))
+        side("delete", -1L).unionByName(side("insert", 1L))
+      }
     def arg(c: String): Column =
       if (c.contains('.')) col(c.replace('.', '_')) else col(c)
     def flip(c: String): Column =
@@ -873,9 +940,7 @@ object MvSync {
             try {
               val affected: Option[DataFrame] =
                 if (resetImgs.isEmpty) None
-                else Some(dimChangeAffectedGroups(source, spec,
-                  broadcast(resetImgs.drop(ChangeFeed.ChangeTypeCol,
-                    ChangeFeed.CommitTsCol)),
+                else Some(dimChangeAffectedGroups(source, spec, resetImgs,
                   ci, wm, until, dims, maxPruneGroups).localCheckpoint(true))
               try {
                 val f = ChangeFeed.between(source, wm, until).localCheckpoint()
@@ -1103,7 +1168,15 @@ object MvSync {
             case Some((fk, dk))
                 if spec.groupCols.exists(d.columns.contains) =>
               val gcs = spec.groupCols.filter(d.columns.contains)
-              val keys =
+              // a LEFT dim's NULL-extended group is made of facts with
+              // NO dim row: a retracted null group cannot be keyed
+              // through the dim, and an isin prune would exclude exactly
+              // the unmatched facts the recompute must see — skip the
+              // prune for that reset (full fact scan, still correct)
+              val nullGroupRetracted = j.isLeft &&
+                retracted.where(gcs.map(col(_).isNull).reduce(_ || _))
+                  .limit(1).count() > 0
+              val keys = if (nullGroupRetracted) None else
                 try {
                   val ks = d.alias("_mvd").join(
                       broadcast(retracted.alias("_mvt")),

@@ -728,12 +728,12 @@ object GraftSqlParser {
       delegate: ParserInterface): graft.operators.MvSync.MvViewDef = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedHaving, UnresolvedRelation, UnresolvedStar}
     import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal, NamedExpression}
-    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias}
     import graft.operators.MvSync.{MvJoinDim, MvOutput, MvViewDef}
     def fail(msg: String): Nothing = throw new UnsupportedOperationException(
-      "CREATE MATERIALIZED VIEW supports a single-table (or fact INNER " +
-        "JOIN dim(s)) [WHERE +] [GROUP BY] [+ HAVING] with count(*) / " +
+      "CREATE MATERIALIZED VIEW supports a single-table (or fact INNER/" +
+        "LEFT JOIN dim(s)) [WHERE +] [GROUP BY] [+ HAVING] with count(*) / " +
         "sum / min / max / avg / count(distinct) / approx_count_distinct " +
         "outputs (the distinct aggregates maintain as HLL sketch state — " +
         s"reads are estimates, ±~2% past the sparse regime); $msg")
@@ -770,18 +770,20 @@ object GraftSqlParser {
           val (t, fa, inner, js) = sourceOf(child)
           if (inner.nonEmpty) fail("at most one WHERE clause is supported")
           (t, fa, Some(cond.sql), js)
-        case Join(l, r, Inner, Some(cond), _) =>
+        case Join(l, r, jt @ (Inner | LeftOuter), Some(cond), _) =>
           val (ft, fa, whereSql, js) = sourceOf(l)
           if (whereSql.nonEmpty) fail("WHERE must follow every JOIN")
           val (dt, da) = relOf(r)
           val taken = fa +: js.map(_.dimAlias)
           if (taken.exists(_.equalsIgnoreCase(da)))
             fail(s"join alias `$da` is already taken — alias the sides apart")
-          (ft, fa, None, js :+ MvJoinDim(dt, fa, da, cond.sql))
-        case Join(_, _, Inner, None, _) =>
+          val joinType = if (jt == Inner) "inner" else "left"
+          (ft, fa, None, js :+ MvJoinDim(dt, fa, da, cond.sql, joinType))
+        case Join(_, _, Inner | LeftOuter, None, _) =>
           fail("the join needs an ON condition")
         case Join(_, _, other, _, _) =>
-          fail(s"only INNER JOIN ... ON is maintainable, got $other")
+          fail(s"only INNER or LEFT [OUTER] JOIN ... ON is maintainable " +
+            s"(the fact side must be the maintained side), got $other")
         case SubqueryAlias(id, u: UnresolvedRelation) =>
           (relOf(u)._1, id.name, None, Nil)
         case SubqueryAlias(_, child) => sourceOf(child)
@@ -1172,8 +1174,10 @@ object GraftSqlParser {
             }
             val from = d.dims.foldLeft(s"$cat.`${d.source}`" +
                 d.dims.headOption.fold("")(j => s" ${j.factAlias}")) {
-              (acc, j) => s"$acc JOIN $cat.`${j.dimTable}` ${j.dimAlias} " +
-                s"ON ${j.condSql}"
+              (acc, j) =>
+                val kw = if (j.isLeft) "LEFT JOIN" else "JOIN"
+                s"$acc $kw $cat.`${j.dimTable}` ${j.dimAlias} " +
+                  s"ON ${j.condSql}"
             }
             val where = d.filterSql.fold("")(w => s"\nWHERE $w")
             val gby =

@@ -269,6 +269,110 @@ class MvSyncSpec extends SparkSpec {
     assert(rows() == Seq(("Z", 1L, 9L)))
   }
 
+  test("LEFT JOIN dim view: null-extension, dim arrival/departure, deletes — exact through the signed path") {
+    import graft.ice.{DeleteVectors, IceTableConfig}
+    import org.apache.spark.sql.functions.{concat, lit, pmod}
+    val fact = new IceTable(spark, tmpDir("mvlj_fact"), IceTableConfig(
+      partitionExpr = concat(lit("p="), pmod(col("id"), lit(2))),
+      sortOrder = Seq("id")))
+    val dim = new IceTable(spark, tmpDir("mvlj_dim"), IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("k")))
+    val jspec = MvSync.MvSpec(Seq("cat"), sumCols = Seq("f.v"),
+      joinDims = Seq(MvSync.MvJoinDim("dim", "f", "d", "f.k = d.k", "left")))
+    val mv = MvSync.create(spark, tmpDir("mvlj_mv"), jspec)
+    def oracle(): DataFrame = fact.read().alias("f")
+      .join(dim.read().alias("d"), expr("f.k = d.k"), "left")
+      .groupBy(col("cat"))
+      .agg(count(lit(1)).as("cnt"), sum(col("f.v")).as("sum_f_v"))
+    def check(): Unit =
+      assert(drift(MvSync.read(mv, jspec), oracle()) == 0L)
+
+    // seed: k2 has no dim row yet → null-extended group
+    dim.insert(Seq(("k1", "A")).toDF("k", "cat"))
+    fact.insert(Seq((1L, "k1", 5L), (2L, "k2", 9L)).toDF("id", "k", "v"))
+    settle(); MvSync.syncFromFeed(fact, mv, jspec, dimTables = Seq(dim))
+    check()
+    assert(MvSync.read(mv, jspec).where($"cat".isNull).head
+      .getAs[Long]("sum_f_v") == 9L, "unmatched facts must null-extend")
+
+    // dim ARRIVAL (sum-only spec → one-dim move rides the SIGNED path,
+    // zero resets): the fact moves null-group → B
+    dim.insert(Seq(("k2", "B")).toDF("k", "cat"))
+    settle()
+    val (p1, r1) = MvSync.syncFromFeed(fact, mv, jspec, dimTables = Seq(dim))
+    assert(r1 == 0L, s"dim arrival must stay signed (no resets), got $r1")
+    assert(p1 > 0L)
+    check()
+    assert(MvSync.read(mv, jspec).where($"cat".isNull).isEmpty,
+      "the emptied null group must fold out (cnt nets to 0)")
+
+    // dim DEPARTURE: facts fall back to the null group
+    dim.deleteWhere(col("k") === "k1")
+    settle()
+    val (_, r2) = MvSync.syncFromFeed(fact, mv, jspec, dimTables = Seq(dim))
+    assert(r2 == 0L, "departure is the same signed algebra")
+    check()
+    assert(MvSync.read(mv, jspec).where($"cat".isNull).head
+      .getAs[Long]("sum_f_v") == 5L)
+
+    // MoR fact delete inside the null group retracts exactly
+    DeleteVectors.deleteWhere(fact, col("id") === 1L)
+    settle(); MvSync.syncFromFeed(fact, mv, jspec, dimTables = Seq(dim))
+    check()
+    // plain fact insert with no dim row lands in the null group
+    fact.insert(Seq((3L, "k9", 4L)).toDF("id", "k", "v"))
+    settle(); MvSync.syncFromFeed(fact, mv, jspec, dimTables = Seq(dim))
+    check()
+    // rebase collapses generations; the left join re-derives identically
+    MvSync.rebase(fact, mv, jspec, dimTables = Seq(dim))
+    check()
+  }
+
+  test("LEFT JOIN dim with min/max: dim moves route through affected-group resets, null group included") {
+    import graft.ice.IceTableConfig
+    import org.apache.spark.sql.functions.{concat, lit, pmod}
+    val fact = new IceTable(spark, tmpDir("mvlm_fact"), IceTableConfig(
+      partitionExpr = concat(lit("p="), pmod(col("id"), lit(2))),
+      sortOrder = Seq("id")))
+    val dim = new IceTable(spark, tmpDir("mvlm_dim"), IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("k")))
+    val jspec = MvSync.MvSpec(Seq("cat"), minMaxCols = Seq("f.v"),
+      joinDims = Seq(MvSync.MvJoinDim("dim", "f", "d", "f.k = d.k", "left")))
+    val mv = MvSync.create(spark, tmpDir("mvlm_mv"), jspec)
+    def oracle(): DataFrame = fact.read().alias("f")
+      .join(dim.read().alias("d"), expr("f.k = d.k"), "left")
+      .groupBy(col("cat")).agg(count(lit(1)).as("cnt"),
+        min(col("f.v")).as("min_f_v"), max(col("f.v")).as("max_f_v"))
+    def check(): Unit =
+      assert(drift(MvSync.read(mv, jspec), oracle()) == 0L)
+
+    dim.insert(Seq(("k1", "A")).toDF("k", "cat"))
+    fact.insert(Seq((1L, "k1", 5L), (2L, "k2", 9L), (3L, "k2", 3L))
+      .toDF("id", "k", "v"))
+    settle(); MvSync.syncFromFeed(fact, mv, jspec, dimTables = Seq(dim))
+    check()
+
+    // dim ARRIVAL: min/max cannot subtract → the affected groups (the
+    // null group it leaves, B it enters) reset exactly
+    dim.insert(Seq(("k2", "B")).toDF("k", "cat"))
+    settle()
+    val (p1, r1) = MvSync.syncFromFeed(fact, mv, jspec, dimTables = Seq(dim))
+    assert(p1 == 0L && r1 == 2L,
+      s"expected exactly {null, B} reset, got ($p1, $r1)")
+    check()
+    assert(MvSync.read(mv, jspec).where($"cat".isNull).isEmpty)
+
+    // dim DEPARTURE: {A, null} reset; the null group recompute must see
+    // the unmatched facts (the isin prune is skipped for it)
+    dim.deleteWhere(col("k") === "k1")
+    settle()
+    val (_, r2) = MvSync.syncFromFeed(fact, mv, jspec, dimTables = Seq(dim))
+    assert(r2 == 2L, s"expected {A, null} reset, got $r2")
+    check()
+    val ng = MvSync.read(mv, jspec).where($"cat".isNull).head
+    assert(ng.getAs[Long]("cnt") == 1L && ng.getAs[Long]("min_f_v") == 5L)
+  }
+
   test("streaming join view: batches join the pinned dim; a dim move fails loudly, rebase recovers") {
     import graft.ice.{ChangeFeed, IceTableConfig}
     import org.apache.spark.sql.functions.{concat, lit, pmod}

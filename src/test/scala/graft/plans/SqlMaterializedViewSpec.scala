@@ -256,13 +256,59 @@ class SqlMaterializedViewSpec extends SparkSpec {
     val vd = graft.operators.MvSync.MvViewDef.decode(
       IceTable.open(spark, s"$w/jmv").cfg.mvDef.get)
     assert(vd.dims.exists(j => j.dimTable == "jd" && j.factAlias == "f"))
-    // only INNER JOIN ... ON is maintainable
+    // RIGHT/FULL outer joins have no maintainable fact side — refused;
+    // LEFT is first-class (null-extended facts, see the left-join test)
     val e = intercept[UnsupportedOperationException](spark.sql(
       """CREATE MATERIALIZED VIEW graft.jmv2 AS
         |SELECT d.cat AS cat, count(*) AS cnt
-        |FROM graft.jf f LEFT JOIN graft.jd d ON f.k = d.k
+        |FROM graft.jf f RIGHT JOIN graft.jd d ON f.k = d.k
         |GROUP BY d.cat""".stripMargin))
-    assert(e.getMessage.contains("INNER"))
+    assert(e.getMessage.contains("INNER or LEFT"))
+  }
+
+  test("LEFT JOIN view: unmatched facts null-extend, a dim arrival moves them, SHOW CREATE round-trips") {
+    val w = freshWarehouse()
+    val fact = seedBase(w, "ljf")
+    fact.insert(Seq((4L, "c", 7L)).toDF("id", "grp", "v"))
+    val dim = new IceTable(spark, s"$w/ljd", IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("k")))
+    // grp values a/b/c on the fact; only a and b get dim rows — the c
+    // facts null-extend
+    dim.insert(Seq(("a", "A"), ("b", "B")).toDF("k", "cat"))
+    settle()
+    spark.sql(
+      """CREATE MATERIALIZED VIEW graft.ljmv AS
+        |SELECT d.cat AS cat, count(*) AS cnt, sum(f.v) AS sum_v
+        |FROM graft.ljf f LEFT JOIN graft.ljd d ON f.grp = d.k
+        |GROUP BY d.cat""".stripMargin).collect()
+    def rows(): Map[Option[String], (Long, Long)] =
+      spark.sql("SELECT cat, cnt, CAST(sum_v AS BIGINT) AS sum_v FROM graft.ljmv")
+        .collect()
+        .map(r => Option(r.getString(0)) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def oracle(): Map[Option[String], (Long, Long)] =
+      IceTable.open(spark, s"$w/ljf").read().alias("f")
+        .join(dim.read().alias("d"), expr("f.grp = d.k"), "left")
+        .groupBy(col("cat"))
+        .agg(count(lit(1)).as("cnt"), sum(col("f.v")).as("sum_v"))
+        .collect()
+        .map(r => Option(r.getString(0)) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows() == oracle())
+    assert(rows().contains(None), "grp=c facts must null-extend")
+    // dim arrival: c gains a row — the null group's facts move into 'C'
+    dim.insert(Seq(("c", "C")).toDF("k", "cat"))
+    settle()
+    spark.sql("REFRESH MATERIALIZED VIEW graft.ljmv").collect()
+    assert(rows() == oracle())
+    assert(!rows().contains(None), "emptied null group must fold out")
+    // SHOW CREATE renders the LEFT JOIN and re-executes
+    val stmt = spark.sql("SHOW CREATE TABLE graft.ljmv").head.getString(0)
+    assert(stmt.contains("LEFT JOIN"), stmt)
+    spark.sql("DROP MATERIALIZED VIEW graft.ljmv").collect()
+    spark.sql(stmt.split("\n").filterNot(_.trim.startsWith("--")).mkString("\n"))
+      .collect()
+    settle()
+    spark.sql("REFRESH MATERIALIZED VIEW graft.ljmv").collect()
+    assert(rows() == oracle())
   }
 
   test("global (no GROUP BY) view: one-row dashboard counts through DML, 0 when empty") {
