@@ -1340,9 +1340,12 @@ final class IceTable(
               .withColumn("_r", col("_metadata.row_index")))
             .drop("_p", "_r")
             .join(srcKeys, keyCols, "left_anti")
-          writeSingleFileFor(kept, partitionOf(m.path))
+          val out = writeSingleFileFor(kept, partitionOf(m.path))
+          // fully-emptied file: tombstone only, never an alive empty file
+          if (out.rowCount.contains(0L)) { logio.delete(root, out.path); None }
+          else Some(out)
         }
-      }, Duration.Inf)
+      }, Duration.Inf).flatten
     }
     // new rows go through the SAME routing pipeline as insert (formatRow,
     // `_partition` fast path, partitionFunc, custom insert SQL) — a bare
@@ -1407,9 +1410,12 @@ final class IceTable(
               .withColumn("_r", col("_metadata.row_index")))
             .drop("_p", "_r")
             .join(srcKeys, keyCols, "left_anti")
-          writeSingleFileFor(kept, partitionOf(m.path))
+          val out = writeSingleFileFor(kept, partitionOf(m.path))
+          // fully-emptied file: tombstone only, never an alive empty file
+          if (out.rowCount.contains(0L)) { logio.delete(root, out.path); None }
+          else Some(out)
         }
-      }, Duration.Inf)
+      }, Duration.Inf).flatten
     }
     validatedRewriteCommit(targets, rewritten, Seq.empty, dvStampAtRead)
     maybeCheckpoint()
@@ -1490,7 +1496,11 @@ final class IceTable(
       .drop("_p", "_r")))
     // per-file rewrites fan out on the bounded pool (leaf-only: one Spark
     // job + a rename each), like rewritePartition — serial per-file jobs
-    // would make driver wall-clock linear in affected files
+    // would make driver wall-clock linear in affected files. A rewrite
+    // that keeps ZERO rows (a delete emptied the file) tombstones the
+    // source WITHOUT a replacement — an empty file would survive alive
+    // forever, padding every later scan's file list (and, on MV tables,
+    // carrying the pre-narrowing union schema past a rebase).
     val newFiles: Seq[FileMarker] = {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
@@ -1502,10 +1512,12 @@ final class IceTable(
             .withColumn("_r", col("_metadata.row_index")))
             .drop("_p", "_r")
           val part = partitionOf(m.path)
-          writeSingleFileFor(
+          val out = writeSingleFileFor(
             transform(withVirtFor(src, part)).drop(virtKeys: _*), part)
+          if (out.rowCount.contains(0L)) { logio.delete(root, out.path); None }
+          else Some(out)
         }
-      }, Duration.Inf)
+      }, Duration.Inf).flatten
     }
     validatedRewriteCommit(targets, newFiles, Seq(outSchema), dvStampAtRead)
     matched

@@ -436,12 +436,14 @@ object MvSync {
     * holds exactly ONE all-reset generation with one row per group, and
     * [[read]] skips the newest-reset-wins window fold entirely — a plain
     * scan + projection, no MV-sized exchange. Fail-safe by construction:
-    * partials, resets, a second rebase's rewrites, even an MV compaction
-    * all produce markers at-or-above the mark and fall back to the full
-    * fold (compaction's is a false negative, and a practically vacuous
-    * one: a freshly-rebased view is ONE commit — one file per partition
-    * dir — so OPTIMIZE on a flat view is a no-op that rewrites nothing
-    * and the proof survives; rerun rebase to re-arm in any exotic case).
+    * partials, resets, a second rebase's rewrites, even a raw file-level
+    * MV compaction all produce markers at-or-above the mark and fall
+    * back to the full fold (compaction's is a false negative, and SQL
+    * `OPTIMIZE` on an MV no longer hits it: the command routes to THIS
+    * rebase — the view's real compaction — so it collapses generations
+    * AND re-records the mark in one pass. Only a direct API
+    * `mv.optimize()` can still trade the fast path for nothing; rerun
+    * [[rebase]] to re-arm).
     * The one writer that could REVIVE old markers below the mark —
     * RESTORE — is refused on MV tables at the SQL surface (and is
     * already semantically broken for derived state: max-merged sync

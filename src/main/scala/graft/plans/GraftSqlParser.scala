@@ -176,6 +176,10 @@ object GraftSqlParser {
     // under the OLD definition throughout
     val alterMvRe = re(
       s"""\\s*ALTER\\s+MATERIALIZED\\s+VIEW\\s+$c\\.$ident\\s+ADD\\s+\\((.+)\\)\\s*;?\\s*""")
+    // the symmetric evolution: ALTER MATERIALIZED VIEW m DROP (alias, …)
+    // — pure definition narrowing (a projection), no reseed, no outage
+    val alterMvDropRe = re(
+      s"""\\s*ALTER\\s+MATERIALIZED\\s+VIEW\\s+$c\\.$ident\\s+DROP\\s+\\(([^)]+)\\)\\s*;?\\s*""")
     // CHECK constraints (Delta's ALTER TABLE spellings): the predicate
     // body is a balanced-paren walk like partition expressions
     val constraintAddRe = re(
@@ -282,6 +286,11 @@ object GraftSqlParser {
     if (amv.matches())
       return Some(GraftAlterMvAddCommand(name(amv, 1),
         parseMvAddList(amv.group(3), delegate)))
+    val amvd = alterMvDropRe.matcher(sqlText)
+    if (amvd.matches())
+      return Some(GraftAlterMvDropCommand(name(amvd, 1),
+        amvd.group(3).split(",").toSeq
+          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)))
 
     // ALTER TABLE graft.t ADD CONSTRAINT n CHECK (pred) | DROP CONSTRAINT n
     val cam = constraintAddRe.matcher(sqlText)
@@ -1489,6 +1498,81 @@ object GraftSqlParser {
       }
   }
 
+  /** `ALTER MATERIALIZED VIEW graft.<m> DROP (alias, …)` — the symmetric
+    * evolution to ADD, and strictly CHEAPER: dropping an aggregate is a
+    * projection, so the command narrows the persisted definition (and
+    * the compaction merge SQL) in ONE config commit — no reseed, no base
+    * scan, the view readable throughout. Stored state columns that only
+    * the dropped outputs used become dead weight in already-written rows
+    * (reads never project them) and are physically reclaimed at the next
+    * rebase (REFRESH … FULL / OPTIMIZE), whose reset rows carry only the
+    * narrowed spec's columns. Shared state survives automatically: the
+    * maintenance spec derives from the REMAINING outputs, so dropping
+    * `sum(x)` while `avg(x)` remains keeps `sum_x` maintained.
+    * Refused: dropping a GROUP column (that reshapes the key — use
+    * DROP + CREATE), an alias the stored HAVING references (reads would
+    * break), an unknown alias, or every last output. A concurrent
+    * old-definition maintainer (streaming sink, racing REFRESH) keeps
+    * writing the wider state harmlessly — extra columns are ignored,
+    * never wrong, which is why DROP needs none of ADD's sequencing. */
+  final case class GraftAlterMvDropCommand(name: String, drops: Seq[String])
+      extends LeafRunnableCommand {
+    import graft.operators.MvSync
+    override val output: Seq[Attribute] =
+      Seq(AR("columns_dropped", LongType, nullable = false)())
+    override def run(session: SparkSession): Seq[Row] =
+      rootFor(session, name, requireLog = true) match {
+        case None => throw new IllegalArgumentException(
+          s"graft materialized view '$name' does not exist")
+        case Some(root) =>
+          val mv = IceTable.open(session, root)
+          val d = mv.cfg.mvDef.map(MvSync.MvViewDef.decode).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft table '$name' is not a materialized view — ALTER " +
+                "MATERIALIZED VIEW only evolves view definitions"))
+          require(drops.nonEmpty, "DROP needs at least one alias")
+          drops.groupBy(_.toLowerCase).collect { case (a, os) if os.size > 1 =>
+            throw new UnsupportedOperationException(
+              s"ALTER MATERIALIZED VIEW: alias `$a` appears twice in DROP")
+          }
+          val outByAlias = d.outputs.map(o => o.alias.toLowerCase -> o).toMap
+          val gset = d.groupCols.map(_.toLowerCase).toSet
+          drops.foreach { a =>
+            val lc = a.toLowerCase
+            if (gset(lc)) throw new UnsupportedOperationException(
+              s"ALTER MATERIALIZED VIEW: `$a` is a GROUP column of " +
+                s"'$name' — dropping it reshapes the key; DROP + CREATE " +
+                "the view instead")
+            if (!outByAlias.contains(lc)) throw new IllegalArgumentException(
+              s"ALTER MATERIALIZED VIEW: '$name' has no output `$a` " +
+                s"(outputs: ${d.outputs.map(_.alias).mkString(", ")})")
+          }
+          val dropSet = drops.map(_.toLowerCase).toSet
+          val remaining = d.outputs.filterNot(o => dropSet(o.alias.toLowerCase))
+          if (remaining.isEmpty) throw new UnsupportedOperationException(
+            s"ALTER MATERIALIZED VIEW: dropping every output of '$name' " +
+              "leaves nothing to read — DROP MATERIALIZED VIEW instead")
+          d.havingSql.foreach { h =>
+            val refs = org.apache.spark.sql.graft.PlanBridge.eagerExpression(
+              org.apache.spark.sql.functions.expr(h)).collect {
+                case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+                  a.name.toLowerCase
+              }.toSet
+            val hit = drops.filter(a => refs(a.toLowerCase))
+            if (hit.nonEmpty) throw new UnsupportedOperationException(
+              s"ALTER MATERIALIZED VIEW: the view's HAVING ($h) references " +
+                s"${hit.mkString(", ")} — drop or rewrite the HAVING first " +
+                "(DROP + CREATE)")
+          }
+          val newDef = d.copy(outputs = remaining)
+          new IceTable(session, root, mv.cfg.copy(
+            customMergeSql = MvSync.mvConfig(newDef.spec,
+              viewDef = Some(newDef)).customMergeSql,
+            mvDef = Some(newDef.encode))).persistConfig()
+          Seq(Row(drops.length.toLong))
+      }
+  }
+
   /** `BEGIN TRANSACTION; INSERT INTO graft.<t> …; …; COMMIT|ROLLBACK` →
     * one [[graft.ice.IceTransaction]]: every insert stages (data files +
     * a txn-tagged log now, visible to no reader), then ONE marker PUT
@@ -1675,7 +1759,18 @@ object GraftSqlParser {
   }
 
   /** `OPTIMIZE graft.<t>` → [[IceTable.optimize]] (greedy full-table
-    * compaction, one atomic merged-log commit per round). */
+    * compaction, one atomic merged-log commit per round).
+    *
+    * On a MATERIALIZED VIEW, OPTIMIZE routes to the view's REAL
+    * compaction — [[graft.operators.MvSync.rebase]] (the REFRESH … FULL
+    * path): the file-level merge would only fold within (group, gen,
+    * is_reset) cells, leaving superseded generations on disk AND
+    * invalidating the flat-state proof, so a delta-fragmented view would
+    * silently lose its fold-free scan-only read until someone ran
+    * REFRESH … FULL anyway. The rebase collapses every generation,
+    * CoW-cleans superseded rows, and re-records the flat mark in the
+    * same pass — OPTIMIZE on a view always re-arms the fast path, never
+    * degrades it. Returned count = live groups rebased. */
   final case class GraftOptimizeCommand(name: String) extends LeafRunnableCommand {
     override val output: Seq[Attribute] =
       Seq(AR("merges", LongType, nullable = false)())
@@ -1684,7 +1779,20 @@ object GraftSqlParser {
         case None => throw new IllegalArgumentException(
           s"graft table '$name' does not exist")
         case Some(root) =>
-          Seq(Row(IceTable.open(session, root).optimize().toLong))
+          import graft.operators.MvSync
+          val t = IceTable.open(session, root)
+          t.cfg.mvDef match {
+            case Some(enc) =>
+              val d = MvSync.MvViewDef.decode(enc)
+              val srcRoot = rootFor(session, d.source, requireLog = true)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"source table '${d.source}' of materialized view " +
+                    s"'$name' no longer exists"))
+              val n = MvSync.rebase(IceTable.open(session, srcRoot), t,
+                d.spec, dimTables = dimArgs(session, d))
+              Seq(Row(n))
+            case None => Seq(Row(t.optimize().toLong))
+          }
       }
   }
 
@@ -1710,6 +1818,13 @@ object GraftSqlParser {
             s"too many ZORDER BY columns (${cols.length}; max 31 — the " +
               "interleaved Z-value carries 62 bits)")
           val (t, snapOpt) = IceTable.openWithSnapshot(session, root)
+          // a Z-ordered MV would keep its rows but lose the flat-state
+          // proof (all rewrites invalidate it) for zero pruning benefit —
+          // the view's own reads are group-key folds, not range scans
+          require(t.cfg.mvDef.isEmpty,
+            s"$root is a MATERIALIZED VIEW — ZORDER would invalidate its " +
+              "fold-free read proof for no benefit; use OPTIMIZE (which " +
+              "rebases the view) instead")
           val snap = snapOpt.getOrElse(return Seq(Row(0L)))
           if (snap.aliveFiles.isEmpty) return Seq(Row(0L))
           val fields = snap.schema.toStructType.fields

@@ -311,6 +311,48 @@ class SqlMaterializedViewSpec extends SparkSpec {
     assert(rows() == oracle())
   }
 
+  test("OPTIMIZE on an MV rebases: generations collapse and the fold-free read re-arms") {
+    val w = freshWarehouse()
+    val base = seedBase(w, "optbase")
+    settle()
+    spark.sql(
+      """CREATE MATERIALIZED VIEW graft.optmv AS
+        |SELECT grp, count(*) AS cnt, sum(v) AS total
+        |FROM graft.optbase GROUP BY grp""".stripMargin).collect()
+    // fragment the view: two delta windows (one with a retraction)
+    base.insert(Seq((10L, "a", 1L), (11L, "c", 2L)).toDF("id", "grp", "v"))
+    settle()
+    spark.sql("REFRESH MATERIALIZED VIEW graft.optmv").collect()
+    DeleteVectors.deleteWhere(base, col("id") === 3L)
+    settle()
+    spark.sql("REFRESH MATERIALIZED VIEW graft.optmv").collect()
+    val mv = IceTable.open(spark, s"$w/optmv")
+    assert(mv.read().count() > 3L, "view must be fragmented before OPTIMIZE")
+    // the delta-fragmented view's read needs the fold (Window node)
+    def planOf(): String =
+      spark.sql("SELECT grp, cnt, total FROM graft.optmv")
+        .queryExecution.executedPlan.toString
+    assert(planOf().contains("Window"), "fragmented view should fold")
+    // OPTIMIZE = the view's real compaction: rebase, not a cell merge —
+    // generations collapse AND the flat proof re-arms in the same pass
+    val merged = spark.sql("OPTIMIZE graft.optmv").head.getLong(0)
+    assert(merged > 0L)
+    val after = planOf()
+    assert(!after.contains("Window"),
+      s"post-OPTIMIZE read must be fold-free, got:\n$after")
+    // contents identical to a fresh aggregation of the base
+    val truth = spark.sql(
+      """SELECT grp, count(*) AS cnt, sum(v) AS total
+        |FROM graft.optbase GROUP BY grp ORDER BY grp""".stripMargin)
+      .collect().toSeq
+    assert(spark.sql("SELECT grp, cnt, total FROM graft.optmv ORDER BY grp")
+      .collect().toSeq == truth)
+    // ZORDER on an MV is refused with guidance
+    val e = intercept[IllegalArgumentException](
+      spark.sql("OPTIMIZE graft.optmv ZORDER BY (cnt)").collect())
+    assert(e.getMessage.contains("MATERIALIZED VIEW"))
+  }
+
   test("global (no GROUP BY) view: one-row dashboard counts through DML, 0 when empty") {
     val w = freshWarehouse()
     val base = seedBase(w, "gbase")
@@ -591,6 +633,63 @@ class SqlMaterializedViewSpec extends SparkSpec {
     // plain tables are not ALTER MATERIALIZED VIEW targets
     intercept[IllegalArgumentException](spark.sql(
       "ALTER MATERIALIZED VIEW graft.mvbase7 ADD (count(*) AS c)"))
+  }
+
+  test("ALTER MATERIALIZED VIEW … DROP narrows in one config commit; rebase reclaims the dead state") {
+    val w = freshWarehouse()
+    val base = seedBase(w, "mvbase9") // (1,a,10),(2,a,20),(3,b,5)
+    settle()
+    spark.sql("""CREATE MATERIALIZED VIEW graft.mv9 AS
+      SELECT grp, count(*) AS cnt, sum(v) AS total, avg(v) AS mean,
+             min(id) AS lo
+      FROM graft.mvbase9 GROUP BY grp""")
+    val logsBefore = IceTable.open(spark, s"$w/mv9").history().count()
+    // DROP two outputs: pure projection — ONE config commit, no reseed
+    val r = spark.sql(
+      "ALTER MATERIALIZED VIEW graft.mv9 DROP (mean, lo)").head
+    assert(r.getLong(0) == 2L)
+    val logsAfter = IceTable.open(spark, s"$w/mv9").history().count()
+    assert(logsAfter == logsBefore + 1, "DROP must be one config commit")
+    // reads are correct immediately, serving the narrowed projection
+    def rows() = spark.sql(
+      "SELECT grp, cnt, CAST(total AS BIGINT) AS total FROM graft.mv9 ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows() == Seq(("a", 2L, 30L), ("b", 1L, 5L)))
+    intercept[Exception](spark.sql("SELECT mean FROM graft.mv9").collect())
+    // shared state survived: total (sum) still maintained though avg —
+    // which shared sum_v — was dropped; maintenance continues narrowed
+    base.insert(Seq((4L, "b", 7L)).toDF("id", "grp", "v"))
+    DeleteVectors.deleteWhere(base, col("id") === 1L)
+    settle()
+    spark.sql("REFRESH MATERIALIZED VIEW graft.mv9").collect()
+    assert(rows() == Seq(("a", 1L, 20L), ("b", 2L, 12L)))
+    // SHOW CREATE round-trips the NARROWED definition
+    val stmt = spark.sql("SHOW CREATE TABLE graft.mv9").head.getString(0)
+    assert(stmt.contains("AS `total`") && !stmt.contains("AS `mean`") &&
+      !stmt.contains("AS `lo`"), s"narrowed definition wrong:\n$stmt")
+    // the next rebase physically reclaims the dead state columns: no
+    // alive file carries min_id / cnt_v after OPTIMIZE (= rebase on MVs)
+    spark.sql("OPTIMIZE graft.mv9").collect()
+    val mv = IceTable.open(spark, s"$w/mv9")
+    val fileCols = spark.read.parquet(
+      mv.snapshot().aliveFiles.map(m => s"${mv.root}/${m.path}"): _*).columns.toSet
+    assert(!fileCols.contains("min_id") && !fileCols.contains("cnt_v"),
+      s"dead state must be reclaimed by the rebase, files carry: $fileCols")
+    assert(fileCols.contains("sum_v"), "shared sum state must survive")
+    assert(rows() == Seq(("a", 1L, 20L), ("b", 2L, 12L)))
+    // refusals: group column, unknown alias, last output, HAVING ref
+    intercept[UnsupportedOperationException](spark.sql(
+      "ALTER MATERIALIZED VIEW graft.mv9 DROP (grp)"))
+    intercept[IllegalArgumentException](spark.sql(
+      "ALTER MATERIALIZED VIEW graft.mv9 DROP (no_such)"))
+    intercept[UnsupportedOperationException](spark.sql(
+      "ALTER MATERIALIZED VIEW graft.mv9 DROP (cnt, total)"))
+    spark.sql("""CREATE MATERIALIZED VIEW graft.mv9h AS
+      SELECT grp, count(*) AS cnt, sum(v) AS total
+      FROM graft.mvbase9 GROUP BY grp HAVING sum(v) > 1""")
+    val eh = intercept[UnsupportedOperationException](spark.sql(
+      "ALTER MATERIALIZED VIEW graft.mv9h DROP (total)"))
+    assert(eh.getMessage.contains("HAVING"))
   }
 
   test("ALTER … ADD on a GLOBAL view and with count(DISTINCT) — the synthetic key and HLL state evolve too") {
