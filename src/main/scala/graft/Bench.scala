@@ -459,6 +459,16 @@ object Bench {
     // (it writes + deletes tens of GB right before the synthetic
     // sections — the A/B that isolates its cache/GC shadow on them)
     val skipSf1 = sys.env.get("SPARK_GRAFT_SKIP_SF1").contains("1")
+    // in-SECTION contention telemetry (r15 verdict item #1): the sf1
+    // tier's recordings were a bare wall number, so a contended-host
+    // recording (r15's mv_join_dimchange 3.6 s vs 0.88 s committed)
+    // could not be adjudicated from the artifact. The probe samples and
+    // GC landed DURING this section get their own medians on the parsed
+    // line, and every sf1 query now runs 2 reps carrying
+    // [wall, cpu, min, gc] — min-of-reps is the noise discriminator
+    val sf1ProbeFrom = probeSamples.length
+    val sf1BwFrom = bwProbeSamples.length
+    val sf1Gc0 = gcMillis()
     try if (!skipSf1) {
       val sf1Dir = sys.env.get("SPARK_GRAFT_SF1_DIR")
         .orElse(Option("/root/testdata/sf1")
@@ -500,20 +510,23 @@ object Bench {
       sf1EventsRoot = Some(Fixtures.eventsIce(spark, sf1Dir).table.root)
       sf1LoadSec = (System.nanoTime() - tl0) / 1e9
       sf1Names.foreach { name =>
-        // reps=1 by design (the tier watches for cliffs, not variance);
-        // codegen is already warm — the sf0.1 pass compiled these exact
-        // plan shapes
-        try sf1Times(name) = timed(nReps = 1)() { qs(name)(spark, sf1Dir).count() }
+        // reps=2 (r15 verdict item #1): the tier watches for cliffs, and
+        // a single rep cannot tell a cliff from a co-tenant pulse — the
+        // min of two runs rides the parsed line as the discriminator.
+        // Codegen is already warm: the sf0.1 pass compiled these shapes
+        try sf1Times(name) = timed(nReps = 2)() { qs(name)(spark, sf1Dir).count() }
         catch { case e: Throwable =>
           sf1Errors(name) = Option(e.getMessage)
             .getOrElse(e.getClass.getName)
             .replaceAll("[\"\\n\\r]", " ").take(200)
         }
       }
-      // 10× the mv_join fixture: one WARMED single-rep dim-change sync
-      // over a 240M-row fact — flat-vs-sf0.1 proves changed-keys-sized
+      // 10× the mv_join fixture: WARMED dim-change syncs over a 240M-row
+      // fact — flat-vs-sf0.1 proves changed-keys-sized. Two reps so the
+      // recording self-adjudicates (the r15 3.6 s single number on a
+      // cpu_ratio-2.05 host could not)
       try sf1Times("mv_join_dimchange") = mvJoinBench(spark,
-        n = 240_000_000L, refreshReps = 0, dimReps = 1,
+        n = 240_000_000L, refreshReps = 0, dimReps = 2,
         warmDimChange = true)._2
       catch { case e: Throwable =>
         sf1Errors("mv_join_dimchange") = Option(e.getMessage)
@@ -533,6 +546,16 @@ object Bench {
         catch { case _: Exception => () }
       }
     }
+    // the sf1 section's OWN probe medians + GC (see note above the tier)
+    val sf1ProbeSec = {
+      val s = probeSamples.drop(sf1ProbeFrom)
+      if (s.isEmpty) -1.0 else s.sorted.apply((s.length - 1) / 2)
+    }
+    val sf1BwProbeSec = {
+      val s = bwProbeSamples.drop(sf1BwFrom)
+      if (s.isEmpty) -1.0 else s.sorted.apply((s.length - 1) / 2)
+    }
+    val sf1GcSec = (gcMillis() - sf1Gc0) / 1e3
 
     // The reference's own synthetic ingest benchmark, replicated: 6M small
     // rows into 16 partitions (perf_tests/local_testing/README.md:10-24,
@@ -1019,14 +1042,18 @@ object Bench {
       s""""load_sec":${f(loadSec)},"insert_sec":${f(insertSec)},"merge_sec":${f(mergeSec)},"load_rows":$loadRows,"synthetic_insert_rows":$synthRows,"synthetic_insert_rows_per_sec":${(synthRows / synth.wallSec).toLong},$sectionJson,"bench_reps":$reps,"rep_stat":"median","effective_parallelism":${f(effParallelism)},"cpu_total_sec":${f(totalCpuNs / 1e9)},"steal_suspect":$stealSuspect,"probe_sec":${f(probeSec)},"bw_probe_sec":${f(bwProbeSec)},"cpu_ratio":${f(cpuRatio)},"contention_suspect":$contentionSuspect,"load_avg":${f(loadAvg)},"host_cpus":${Runtime.getRuntime.availableProcessors},"spark_cpus":$cpus,"scratch_medium":"${Fixtures.scratchMedium}","scratch_free_gb":${Fixtures.scratchFreeGb},"sf":"$sfDir""""
     // Full telemetry (per-query and per-section CPU pairings) — for humans
     // and for bench_out.json.
+    // sf1 entries are [wall, cpu, min, gc] arrays (the "sf1_shape" key
+    // documents this in core): wall alone cannot be adjudicated on a
+    // contended host, which is exactly what the r15 sf1 recording proved
     val sf1Json = sf1Times.map { case (k, v) =>
-      s""""$k":${f(v.wallSec)}""" }.mkString("{", ",", "}")
-    val sf1CpuJson = sf1Times.map { case (k, v) =>
-      s""""$k":${f(v.cpuSec)}""" }.mkString("{", ",", "}")
+      s""""$k":[${f(v.wallSec)},${f(v.cpuSec)},${f(v.minWallSec)},${f(v.gcSec)}]""" }
+      .mkString("{", ",", "}")
     val sf1ErrJson = sf1Errors.map { case (k, v) =>
       s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val sf1Probes =
+      s""""sf1_probe_sec":${"%.3f".format(sf1ProbeSec)},"sf1_bw_probe_sec":${"%.3f".format(sf1BwProbeSec)},"sf1_gc_sec":${"%.1f".format(sf1GcSec)}"""
     val detail =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"queries_cpu":$qCpuJson,"queries_min":$qMinJson,"queries_gc":$qGcJson,"gc_total_sec":${f(totalGcMs / 1e3)},"queries_sf1":$sf1Json,"queries_sf1_cpu":$sf1CpuJson,"sf1_errors":$sf1ErrJson,"sf1_synth_sec":${f(sf1SynthSec)},"sf1_load_sec":${f(sf1LoadSec)},"errors":$eJson,"load_cpu_sec":${f(loadCpuSec)},$sectionCpuJson,$sectionGcJson,$common}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qJson,"queries_cpu":$qCpuJson,"queries_min":$qMinJson,"queries_gc":$qGcJson,"gc_total_sec":${f(totalGcMs / 1e3)},"queries_sf1":$sf1Json,"sf1_shape":"[wall,cpu,min,gc]",$sf1Probes,"sf1_errors":$sf1ErrJson,"sf1_synth_sec":${f(sf1SynthSec)},"sf1_load_sec":${f(sf1LoadSec)},"errors":$eJson,"load_cpu_sec":${f(loadCpuSec)},$sectionCpuJson,$sectionGcJson,$common}"""
     // The driver captures only the LAST ~2000 chars of stdout and parses
     // the final complete JSON line inside that window. The degradation
     // history: r6 the line outgrew the window (`parsed: null`); r7 and r10
@@ -1052,7 +1079,9 @@ object Bench {
       s""""$k":[${fmt(v.cpuSec, dec)},${fmt(v.minWallSec, dec)},${
         fmt(v.gcSec, 1)}]""" }.mkString("{", ",", "}")
     val sf1Slim = sf1Times.map { case (k, v) =>
-      s""""$k":${fmt(v.wallSec, 1)}""" }.mkString("{", ",", "}")
+      s""""$k":[${fmt(v.wallSec, 1)},${fmt(v.cpuSec, 1)},${
+        fmt(v.minWallSec, 1)},${fmt(v.gcSec, 1)}]""" }
+      .mkString("{", ",", "}")
     // truncated per-entry AND capped to 3 entries: a mass-failure run
     // must not blow the parsed line past the driver's stdout window (the
     // r6 `parsed: null` class) — full error text always rides in
@@ -1070,8 +1099,13 @@ object Bench {
     val mvCoreJson = sections.filter(s => mvCore.contains(s._1))
       .map { case (k, v) => s""""${k}_sec":${fmt(v.wallSec, 2)}""" }
       .mkString(",")
+    // core carries the sf1 arrays with SHORT probe keys (full names +
+    // the "sf1_shape" legend ride in bench_out.json's detail line); the
+    // array shape matches queries_cpu_min_gc prefixed by the wall
+    val sf1ProbesSlim =
+      s""""sf1_probe":${"%.3f".format(sf1ProbeSec)},"sf1_bw":${"%.3f".format(sf1BwProbeSec)},"sf1_gc":${"%.1f".format(sf1GcSec)}"""
     def core(dec: Int): String =
-      s""""metric":"total","value":${f(total)},"unit":"sec","queries":${qMap(dec)},"queries_cpu_min_gc":${cmgMap(dec)},"queries_sf1":$sf1Slim${
+      s""""metric":"total","value":${f(total)},"unit":"sec","queries":${qMap(dec)},"queries_cpu_min_gc":${cmgMap(dec)},"queries_sf1":$sf1Slim,$sf1ProbesSlim${
         if (sf1Errors.isEmpty) "" else s""","sf1_errors":${errSlim(sf1Errors)}"""
       },$mvCoreJson,"rep_stat":"median","bench_reps":$reps${
         if (errors.isEmpty) "" else s""","errors":${errSlim(errors)}"""

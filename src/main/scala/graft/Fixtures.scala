@@ -998,6 +998,51 @@ object Fixtures {
       SqlMvLeftJoinFixture(view, f.getParent, factOnlyDelta)
     }
 
+  final case class SqlMvXdFixture(viewName: String, whDir: String,
+    exportOk: Boolean)
+
+  /** EXACT count(distinct) SQL view (b68): `exact_count_distinct(user_id)`
+    * maintained as a per-(group, value) count side table — exact and
+    * retractable, unlike the HLL spelling — driven through an insert
+    * window, a redaction update (moves users across groups) and a MoR
+    * delete. `exportOk` pins that the DuckDB export SERVES the exact
+    * distinct (side-table fold CTE over real file lists; the HLL
+    * spelling refuses instead) — the executable DuckDB run of the same
+    * export shape lives in `graft.Scratch` + tools/check_duckdb_export.py.
+    * DuckDB re-derives every count(DISTINCT) exactly. */
+  def eventsSqlMvXd(spark: SparkSession, sfDir: String): SqlMvXdFixture =
+    memo(s"$sfDir#sqlmvxd") {
+      import graft.ice.DeleteVectors
+      val ev = raw(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val root = newRoot("mvxdbase")
+      val f = new java.io.File(root)
+      spark.conf.set(graft.plans.IceSqlResolution.WarehouseKey, f.getParent)
+      val base = new IceTable(spark, root, IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("user_id"), lit(8))),
+        sortOrder = Seq("event_id")))
+      base.insert(ev.where(col("event_id") % 2 === 0))
+      Thread.sleep(5)
+      val view = s"${f.getName}_v"
+      spark.sql(s"""CREATE MATERIALIZED VIEW graft.`$view` AS
+        SELECT event_type, count(*) AS cnt,
+               exact_count_distinct(user_id) AS users
+        FROM graft.`${f.getName}` GROUP BY event_type""").collect()
+      base.insert(ev.where(col("event_id") % 2 === 1))
+      Thread.sleep(5)
+      spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$view`").collect()
+      base.updateWhere(pmod(col("user_id"), lit(23)) === 7,
+        Seq("event_type" -> lit("redacted")))
+      DeleteVectors.deleteWhere(base, pmod(col("user_id"), lit(23)) === 8)
+      Thread.sleep(5)
+      spark.sql(s"REFRESH MATERIALIZED VIEW graft.`$view`").collect()
+      val mv = IceTable.open(spark, s"${f.getParent}/$view")
+      val sql = graft.ice.ManifestExport.duckDbViewSql(mv, "xd_view")
+      val exportOk = sql.contains("_xd_user_id") &&
+        sql.contains("\"xd_user_id\"") && sql.contains("read_parquet")
+      SqlMvXdFixture(view, f.getParent, exportOk)
+    }
+
   final case class SqlMvGlobalFixture(viewName: String, whDir: String,
     emptyReadsZero: Boolean)
 

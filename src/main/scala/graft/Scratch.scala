@@ -102,6 +102,27 @@ object Scratch {
     val gvD = MvSync.MvViewDef.decode(gvT.cfg.mvDef.get)
     export("global", gvT, MvSync.readView(gvT, gvD))
 
+    // ---- xdistinct: exact_count_distinct served from the side-table
+    // fold CTEs — through duplicate-preserving and true retractions, so
+    // the exported SQL's refcount semantics are what DuckDB executes
+    val xb = new IceTable(spark, s"$wh/xb", IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("id")))
+    xb.insert(Seq(
+      (1L, "a", 10L), (2L, "a", 10L), (3L, "a", 20L), (4L, "b", 5L))
+      .toDF("id", "grp", "v"))
+    Thread.sleep(5)
+    spark.sql("""CREATE MATERIALIZED VIEW graft.xv AS
+      SELECT grp, count(*) AS cnt, exact_count_distinct(v) AS uv
+      FROM graft.xb GROUP BY grp""").collect()
+    xb.deleteWhere(col("id") === 1L) // dup of v=10 survives
+    xb.deleteWhere(col("id") === 3L) // last v=20 retracts
+    xb.insert(Seq((5L, "b", 7L)).toDF("id", "grp", "v"))
+    Thread.sleep(5)
+    spark.sql("REFRESH MATERIALIZED VIEW graft.xv").collect()
+    val xvT = IceTable.open(spark, s"$wh/xv")
+    val xvD = MvSync.MvViewDef.decode(xvT.cfg.mvDef.get)
+    export("xdistinct", xvT, MvSync.readView(xvT, xvD))
+
     spark.stop()
   }
 }

@@ -374,6 +374,18 @@ object SparkEntry {
         .withColumn("fact_delta_incremental", lit(fx.factOnlyDelta))
         .orderBy("cat")
     }),
+    "b68_mv_exact_distinct" -> ((s, d) => {
+      // billing-grade EXACT count(distinct): per-(group, value) count
+      // side state (retractable, exportable) vs DuckDB's own
+      // count(DISTINCT) through insert + redaction update + MoR delete.
+      // The boolean pins that the DuckDB export serves the exact
+      // distinct via the side-fold CTE (the HLL spelling refuses).
+      val fx = Fixtures.eventsSqlMvXd(s, d)
+      s.conf.set(graft.plans.IceSqlResolution.WarehouseKey, fx.whDir)
+      s.sql(s"SELECT event_type, cnt, users FROM graft.`${fx.viewName}`")
+        .withColumn("export_serves_exact", lit(fx.exportOk))
+        .orderBy("event_type")
+    }),
     "b67_mv_left_join" -> ((s, d) => {
       // LEFT-JOIN star view: facts with no dim row null-extend into a
       // '(none)' group (inner would drop them) and MOVE into 'R' when
@@ -3252,6 +3264,14 @@ object SparkEntry {
       ("SELECT event_type, count(*) AS cnt, true AS log_only FROM events " +
         "WHERE strftime(ts, '%Y-%m-%d') > '2024-01-08' " +
         "GROUP BY event_type ORDER BY event_type"),
+    "b68_mv_exact_distinct" ->
+      ("WITH final AS (SELECT event_id, user_id, " +
+        "CASE WHEN user_id % 23 = 7 THEN 'redacted' ELSE event_type END AS event_type " +
+        "FROM events WHERE user_id % 23 <> 8) " +
+        "SELECT event_type, count(*) AS cnt, " +
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS users, " +
+        "true AS export_serves_exact " +
+        "FROM final GROUP BY event_type ORDER BY event_type"),
     "b67_mv_left_join" ->
       ("WITH final AS (SELECT event_id, user_id, " +
         "CASE WHEN user_id % 23 = 7 THEN 'redacted' ELSE event_type END AS event_type " +

@@ -99,8 +99,26 @@ object ManifestExport {
       }
     val body = table.cfg.mvDef match {
       case None => rawBody
-      case Some(enc) => mvFoldSql(rawBody,
-        graft.operators.MvSync.MvViewDef.decode(enc))
+      case Some(enc) =>
+        val d = graft.operators.MvSync.MvViewDef.decode(enc)
+        // exact-distinct side tables export alongside: their alive file
+        // lists feed per-column fold CTEs, so a foreign engine serves
+        // the EXACT distinct (unlike the HLL spelling, which refuses)
+        val xdBodies = d.spec.exactDistinctCols.map { c =>
+          val side = graft.operators.MvSync.xdTable(table, d.spec, c)
+          val fs = side.trySnapshot(maxTs)
+            .map(_.aliveFiles.sortBy(_.path)).getOrElse(Seq.empty)
+          val b =
+            if (fs.isEmpty) ""
+            else {
+              val l = fs.map(m =>
+                lit(stripScheme(s"${side.qualifiedRoot}/${m.path}")))
+                .mkString("[", ", ", "]")
+              s"SELECT * FROM read_parquet($l, union_by_name=true)"
+            }
+          (c, b)
+        }
+        mvFoldSql(rawBody, d, xdBodies)
     }
     s"""CREATE OR REPLACE VIEW $viewName AS
        |$body;
@@ -115,7 +133,8 @@ object ManifestExport {
     * groups dropped) followed by the definition's output projection,
     * spelled in DuckDB SQL. */
   private def mvFoldSql(
-      rawBody: String, d: graft.operators.MvSync.MvViewDef): String = {
+      rawBody: String, d: graft.operators.MvSync.MvViewDef,
+      xdBodies: Seq[(String, String)] = Nil): String = {
     val spec = d.spec
     // count(distinct) partials are DataSketches HLL binaries — a foreign
     // engine without the sketch library cannot fold them. Refuse with the
@@ -136,7 +155,47 @@ object ManifestExport {
         spec.minMaxCols.flatMap(c => Seq(
           s"min(${q(spec.minCol(c))}) AS ${q(spec.minCol(c))}",
           s"max(${q(spec.maxCol(c))}) AS ${q(spec.maxCol(c))}")))).mkString(", ")
-    val outs = (d.groupCols.map(q) ++ d.outputs.map { o =>
+    // exact-distinct columns fold their per-(group, value) SIDE tables:
+    // one CTE chain per column (same newest-reset-wins algebra with the
+    // value in the key), counted per group and LEFT-joined to the fold.
+    // A side table with no commits yet contributes an empty relation —
+    // the coalesce serves 0, matching the engine's read
+    def xdCte(c: String): String = s"_xd_${spec.xdValCol(c)}"
+    val xdKey = (spec.groupCols ++ Seq.empty).map(q) // group key, quoted
+    val xdCtes = xdBodies.map { case (c, b) =>
+      val cte = xdCte(c)
+      val v = q(spec.xdValCol(c))
+      val gv = (spec.groupCols.map(q) :+ v).mkString(", ")
+      val gOnly = xdKey.mkString(", ")
+      if (b.isEmpty)
+        s"""$cte AS (
+           |  SELECT ${(xdKey.map(g => s"NULL AS $g") :+
+                 s"CAST(0 AS BIGINT) AS ${q(spec.xdCol(c))}").mkString(", ")}
+           |  WHERE 1 = 0)""".stripMargin
+      else
+        s"""$cte AS (
+           |  SELECT $gOnly, count(*) AS ${q(spec.xdCol(c))}
+           |  FROM (
+           |    SELECT $gv, sum(cnt) AS cnt FROM (
+           |      SELECT * FROM (
+           |        SELECT *, max(CASE WHEN is_reset THEN gen END)
+           |          OVER (PARTITION BY $gv) AS _rgen
+           |        FROM ($b) _xr) _xg
+           |      WHERE (is_reset AND gen = _rgen)
+           |         OR ((NOT is_reset) AND gen > coalesce(_rgen, -9223372036854775807 - 1))
+           |    ) _xl GROUP BY $gv HAVING sum(cnt) > 0) _xf
+           |  WHERE $v IS NOT NULL GROUP BY $gOnly)""".stripMargin
+    }
+    val xdJoins = xdBodies.map { case (c, _) =>
+      val cte = xdCte(c)
+      val on =
+        if (xdKey.isEmpty) "TRUE"
+        else xdKey.map(g => s"_fold.$g IS NOT DISTINCT FROM $cte.$g")
+          .mkString(" AND ")
+      s" LEFT JOIN $cte ON $on"
+    }.mkString
+    val outs = (d.groupCols.map(g => s"_fold.${q(g)} AS ${q(g)}") ++
+      d.outputs.map { o =>
       val e = o.kind match {
         case "cnt" => "cnt"
         case "sum" => q(spec.sumCol(o.col))
@@ -148,6 +207,8 @@ object ManifestExport {
             s"CAST(${q(spec.sumCol(o.col))} AS DOUBLE) / CAST($nn AS DOUBLE) END"
         case "min" => q(spec.minCol(o.col))
         case "max" => q(spec.maxCol(o.col))
+        case "xdcnt" =>
+          s"coalesce(${xdCte(o.col)}.${q(spec.xdCol(o.col))}, 0)"
         case k => throw new IllegalArgumentException(s"unknown MV aggregate kind $k")
       }
       s"$e AS ${q(o.alias)}"
@@ -164,13 +225,13 @@ object ManifestExport {
     // the identity row exactly when the fold is empty (cnt/dcnt → 0,
     // everything else NULL), BEFORE the HAVING filter, matching
     // projectView's order
-    val projected = s"SELECT $outs FROM _fold"
+    val projected = s"SELECT $outs FROM _fold$xdJoins"
     val withIdentity =
       if (d.groupCols.nonEmpty) projected
       else {
         val ids = d.outputs.map { o =>
           val v = o.kind match {
-            case "cnt" | "dcnt" => "CAST(0 AS BIGINT)"
+            case "cnt" | "dcnt" | "xdcnt" => "CAST(0 AS BIGINT)"
             case _ => "NULL"
           }
           s"$v AS ${q(o.alias)}"
@@ -179,6 +240,7 @@ object ManifestExport {
            |  UNION ALL
            |  SELECT $ids WHERE NOT EXISTS (SELECT 1 FROM _fold)""".stripMargin
       }
+    val xdWith = xdCtes.map(c => s",\n$c").mkString
     s"""WITH _raw AS (
        |$rawBody),
        |_rg AS (
@@ -191,7 +253,7 @@ object ManifestExport {
        |     OR ((NOT is_reset) AND gen > coalesce(_rgen, -9223372036854775807 - 1))),
        |_fold AS (
        |  SELECT $gCols, $folds FROM _live
-       |  GROUP BY $gCols HAVING sum(cnt) > 0)
+       |  GROUP BY $gCols HAVING sum(cnt) > 0)$xdWith
        |SELECT * FROM ($withIdentity) _v$havingSql""".stripMargin
   }
 
@@ -203,10 +265,12 @@ object ManifestExport {
     * smallint, `2Y` tinyint, with optional exponent) are stripped —
     * DuckDB types bare literals compatibly for comparison predicates.
     * The scan is quote-aware: nothing inside a single-quoted string is
-    * touched. Anything that still looks non-portable afterwards (an
-    * unbalanced backtick) refuses loudly, matching the HLL-state
-    * refusal pattern — a syntactically invalid export is worse than no
-    * export. */
+    * touched. Anything that still looks non-portable afterwards — an
+    * unbalanced backtick, a function spelling outside the known-portable
+    * set, a CAST target type DuckDB does not share — refuses loudly at
+    * WRITE time ([[validatePortable]]), matching the HLL-state refusal
+    * pattern: an export that only breaks when a foreign engine executes
+    * it is worse than no export. */
   private[graft] def havingToDuckDb(h: String): String = {
     val out = new StringBuilder(h.length)
     var i = 0
@@ -275,7 +339,105 @@ object ManifestExport {
           i += 1
       }
     }
-    out.toString
+    val translated = out.toString
+    validatePortable(translated, h)
+    translated
+  }
+
+  /** Refuse-at-write guard over the TRANSLATED predicate: any function
+    * spelling outside a known-portable set, or a CAST target type DuckDB
+    * does not spell the same way, refuses loudly — a view.sql that only
+    * fails when someone executes it in DuckDB is worse than no export
+    * (same posture as the HLL-state refusal). Quote-aware: nothing
+    * inside string literals or double-quoted identifiers is judged. */
+  private def validatePortable(s: String, orig: String): Unit = {
+    def refuse(what: String): Nothing = throw new UnsupportedOperationException(
+      s"cannot export HAVING predicate to DuckDB ($what) — read the view " +
+        s"through the engine, or rewrite the HAVING: $orig")
+    val portableFns = Set(
+      "cast", "coalesce", "nullif", "abs", "round", "floor", "ceil",
+      "ceiling", "upper", "lower", "length", "substring", "substr",
+      "concat", "trim", "ltrim", "rtrim", "greatest", "least", "power",
+      "pow", "sqrt", "exp", "ln", "log10", "mod", "sign", "left",
+      "right", "replace", "contains", "starts_with", "ends_with")
+    val keywords = Set("and", "or", "not", "in", "exists", "any", "all",
+      "some", "case", "when", "then", "else", "end", "between", "like",
+      "is", "null", "true", "false", "distinct", "from")
+    val typeRe = ("(?i)^(BIGINT|INT|INTEGER|SMALLINT|TINYINT|DOUBLE|" +
+      "FLOAT|REAL|BOOLEAN|DATE|TIMESTAMP|VARCHAR|STRING|TEXT|" +
+      "DECIMAL(\\s*\\(\\s*\\d+\\s*,\\s*\\d+\\s*\\))?)$").r
+    val n = s.length
+    // matching close paren from an opener, quote-aware
+    def closeOf(open: Int): Int = {
+      var k = open + 1; var depth = 1
+      while (k < n && depth > 0) {
+        s.charAt(k) match {
+          case '\'' | '"' =>
+            val q = s.charAt(k); k += 1
+            while (k < n && s.charAt(k) != q) k += 1
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ => ()
+        }
+        k += 1
+      }
+      if (depth != 0) refuse("unbalanced parentheses") else k - 1
+    }
+    var i = 0
+    while (i < n) {
+      s.charAt(i) match {
+        case '\'' | '"' =>
+          val q = s.charAt(i); i += 1
+          while (i < n && s.charAt(i) != q) i += 1
+          i += 1 // doubled escapes read as close+reopen: fine for skipping
+        case c if c.isLetter || c == '_' =>
+          val st = i
+          while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_'))
+            i += 1
+          val word = s.substring(st, i)
+          var j = i
+          while (j < n && s.charAt(j) == ' ') j += 1
+          // a word preceded by AS is a CAST target type (possibly
+          // parameterized, DECIMAL(10,2)) — judged by the cast branch,
+          // never as a function call
+          val afterAs = {
+            var p = st - 1
+            while (p >= 0 && s.charAt(p) == ' ') p -= 1
+            p >= 1 && s.regionMatches(true, p - 1, "AS", 0, 2) &&
+              (p - 2 < 0 || !s.charAt(p - 2).isLetterOrDigit)
+          }
+          if (j < n && s.charAt(j) == '(' && !afterAs &&
+              !keywords.contains(word.toLowerCase)) {
+            val f = word.toLowerCase
+            if (!portableFns(f))
+              refuse(s"function `$word` has no known portable spelling")
+            if (f == "cast") {
+              val close = closeOf(j)
+              val body = s.substring(j + 1, close)
+              // the LAST top-level " AS " names the target type
+              var last = -1; var depth = 0; var m = 0
+              while (m < body.length) {
+                body.charAt(m) match {
+                  case '\'' | '"' =>
+                    val q = body.charAt(m); m += 1
+                    while (m < body.length && body.charAt(m) != q) m += 1
+                  case '(' => depth += 1
+                  case ')' => depth -= 1
+                  case _ => ()
+                }
+                if (depth == 0 && m + 4 <= body.length &&
+                    body.regionMatches(true, m, " AS ", 0, 4)) last = m
+                m += 1
+              }
+              if (last < 0) refuse("CAST without AS")
+              val tpe = body.substring(last + 4).trim
+              if (!typeRe.pattern.matcher(tpe).matches())
+                refuse(s"CAST target type `$tpe` is not portable to DuckDB")
+            }
+          }
+        case _ => i += 1
+      }
+    }
   }
 
   /** Write [[duckDbViewSql]] to `<dest>`. Returns the SQL. */

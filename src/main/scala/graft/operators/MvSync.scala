@@ -171,7 +171,18 @@ object MvSync {
       // shapes. All entries share one fact alias; a later entry's
       // condSql may reference any earlier alias (snowflake), though
       // only plain fact-to-dim equalities get the isin scan pruning
-      joinDims: Seq[MvJoinDim] = Nil) {
+      joinDims: Seq[MvJoinDim] = Nil,
+      // EXACT count(distinct c): maintained as a per-(group, value)
+      // count SIDE TABLE under `<mvRoot>/_xd/<col>` — itself a view
+      // with the value appended to the group key and only cnt
+      // maintained, so the whole partial/reset/rebase algebra applies
+      // recursively and the count is exact AND retractable (unlike the
+      // HLL state of [[distinctCols]], and exportable to foreign
+      // engines). Reads fold the side state and count live values per
+      // group. Cost: side state is (group × distinct values)-sized —
+      // the price of billing-grade exactness; prefer [[distinctCols]]
+      // when ±2% estimates are acceptable
+      exactDistinctCols: Seq[String] = Nil) {
     require(groupCols.nonEmpty,
       "MvSpec needs at least one group column — for a global (no GROUP " +
         "BY) view use MvSpec.global, which maintains under a constant " +
@@ -190,6 +201,10 @@ object MvSync {
     def maxCol(c: String): String = s"max_${safe(c)}"
     def cntCol(c: String): String = s"cnt_${safe(c)}"
     def hllCol(c: String): String = s"hll_${safe(c)}"
+    def xdCol(c: String): String = s"xd_${safe(c)}"
+    /** The sanitized stored name of an exact-distinct VALUE column in
+      * its side table (= the appended group key). */
+    def xdValCol(c: String): String = safe(c)
     /** Join + filter + derived-group-column projection of any fact
       * base/feed frame — the single choke point that keeps every
       * maintenance path's view of "the rows this MV aggregates"
@@ -301,6 +316,8 @@ object MvSync {
         case o if o.kind == "avg" => o.col }.distinct,
       distinctCols = outputs.collect {
         case o if o.kind == "dcnt" => o.col }.distinct,
+      exactDistinctCols = outputs.collect {
+        case o if o.kind == "xdcnt" => o.col }.distinct,
       derivedGroups =
         (if (groupCols.isEmpty) Seq(GlobalKey -> "1") else Nil) ++ groupExprs,
       filterSql = filterSql,
@@ -406,6 +423,41 @@ object MvSync {
       partitionExpr: Column = lit("all"),
       viewDef: Option[MvViewDef] = None): IceTable =
     new IceTable(spark, root, mvConfig(spec, partitionExpr, viewDef))
+
+  /** The maintenance spec of an exact-distinct SIDE table: the value
+    * column joins the group key (qualified args become a derived
+    * column), only cnt is maintained — a per-(group, value) reference
+    * count that the whole partial/reset/rebase algebra handles
+    * recursively. */
+  private[graft] def xdSideSpec(spec: MvSpec, c: String): MvSpec = {
+    val v = c.replace('.', '_')
+    spec.copy(
+      groupCols = spec.groupCols :+ v,
+      sumCols = Nil, minMaxCols = Nil, countCols = Nil,
+      distinctCols = Nil, exactDistinctCols = Nil,
+      derivedGroups = spec.derivedGroups ++
+        (if (c.contains('.')) Seq(v -> c) else Nil))
+  }
+
+  /** Handle to the side table of exact-distinct column `c`: nested under
+    * the view's own root (`_xd/` is invisible to the main table's data
+    * and log listings, like `_dv/`), so DROP TABLE, path permissions and
+    * manifest roots travel together. Materializes on first maintenance
+    * touch — no separate create step. */
+  private[graft] def xdTable(mv: IceTable, spec: MvSpec, c: String): IceTable =
+    new IceTable(mv.spark, s"${mv.root}/_xd/${c.replace('.', '_')}",
+      mvConfig(xdSideSpec(spec, c)))
+
+  /** Run `f` for every exact-distinct side view BEFORE the caller's main
+    * maintenance body (several paths return early mid-body): a crash in
+    * between leaves the sides one window ahead — each column converges
+    * at the next call, reads are only transiently staler on the other
+    * aggregates, never wrong. */
+  private def syncSides(mv: IceTable, spec: MvSpec)(
+      f: (IceTable, MvSpec) => Unit): Unit =
+    spec.exactDistinctCols.foreach { c =>
+      f(xdTable(mv, spec, c), xdSideSpec(spec, c))
+    }
 
   /** Null-safe equality on the group columns between two ALIASED
     * relations (both sides of every join here share lineage through the
@@ -775,6 +827,10 @@ object MvSync {
       dimTables: Seq[IceTable] = Nil): (Long, Long) = {
     requireNotMvSource(source)
     requireDims(spec, dimTables, "every sync")
+    // exact-distinct side views first (the main body returns early on
+    // idle windows): each recursion carries its own watermark/dim marks
+    syncSides(mv, spec)((t, s) =>
+      { syncFromFeed(source, t, s, replicaId, maxPruneGroups, dimTables); () })
     val pins = pinDims(dimTables, requireSeeded = true)
     val dims = pins.map(_.df)
     val dimVersions = pins.map(_.version)
@@ -1060,9 +1116,23 @@ object MvSync {
       batch: DataFrame, batchId: Long, queryName: String = "_mv_stream",
       maxPruneGroups: Int = 1000,
       dimTables: Seq[IceTable] = Nil,
-      autoRebase: Boolean = false): Unit = {
+      autoRebase: Boolean = false,
+      // self-defragmentation cadence for long-lived streams: every Nth
+      // batch lands as ONE full reset generation at the batch's own
+      // bound (sound for exactly the reason the dim-move absorb is: the
+      // recompute includes the batch's commits, nothing applies twice),
+      // then superseded rows reclaim and the flat mark re-arms — read
+      // cost stops growing with generation count without an operator
+      // cron running REFRESH … FULL. 0 = off
+      rebaseEveryNBatches: Int = 0): Unit = {
     requireNotMvSource(source)
     requireDims(spec, dimTables, "every streaming batch")
+    // exact-distinct side views apply the SAME batch under the same
+    // (queryName, batchId) exactly-once record — each side dedups its
+    // own replays, so a crash between main and sides converges
+    syncSides(mv, spec)((t, s) => applyFeedBatch(source, t, s, batch,
+      batchId, queryName, maxPruneGroups, dimTables, autoRebase,
+      rebaseEveryNBatches))
     val pins = pinDims(dimTables, requireSeeded = false)
     val dims = pins.map(_.df)
     val dimVersions = pins.map(_.version)
@@ -1094,7 +1164,12 @@ object MvSync {
           "before the feed floor are unrecoverable — rebuild the view " +
           "(drop + initial sync) instead of silently diverging")
       val gen = b.agg(max(col(ChangeFeed.CommitTsCol))).head.getLong(0)
-      if (moved.nonEmpty) {
+      // cadence rebase: every Nth batch takes the absorb shape even with
+      // no dim move — the full reset generation both applies this batch
+      // AND collapses every older generation
+      val cadenceDue = rebaseEveryNBatches > 0 && batchId > 0 &&
+        batchId % rebaseEveryNBatches == 0
+      if (moved.nonEmpty || cadenceDue) {
         // in-stream dim-move absorption: one full reset generation at
         // the batch's own bound against the NEW dims — the recompute
         // already includes this batch's fact commits (they are in the
@@ -1114,9 +1189,20 @@ object MvSync {
         val landed =
           try mv.insertBatch(resets, queryName, batchId)
           finally { resets.unpersist(); () }
-        if (landed)
-          dimVersions.zipWithIndex.foreach { case (v, i) =>
-            CdcApply.commitMark(mv, dimMarkKey(queryName, i), v) }
+        if (landed) {
+          if (moved.nonEmpty)
+            dimVersions.zipWithIndex.foreach { case (v, i) =>
+              CdcApply.commitMark(mv, dimMarkKey(queryName, i), v) }
+          // finish what the full reset generation enables: reclaim the
+          // superseded rows and re-arm the fold-free read — an in-stream
+          // absorb/cadence batch IS a rebase at the batch bound, and
+          // leaving the view fragmented would forgo exactly the hygiene
+          // it just paid the recompute for. Crash-safe: a replayed batch
+          // is skipped above (landed = false), and a crash between the
+          // insert and this reclaim only defers hygiene to the next
+          // cadence batch — never correctness
+          reclaimAndArmFlat(mv, gen)
+        }
       } else {
         val delta = windowDelta(source, spec, b, gen, maxPruneGroups, dims)
         try { mv.insertBatch(delta, queryName, batchId); () }
@@ -1244,8 +1330,29 @@ object MvSync {
     val rows = mv.read(snap, maxTs)
     require(rows.columns.contains("gen"),
       s"materialized view at ${mv.root} has no synced state yet")
-    foldOrFlat(rows, spec, Some(snap))
+    withExactDistinct(mv, spec, foldOrFlat(rows, spec, Some(snap)), maxTs)
   }
+
+  /** Join the exact-distinct side counts onto a folded main frame — the
+    * shared tail of [[read]] and the SQL catalog resolution. Each side
+    * view folds per (group, value): its live rows ARE the distinct
+    * values, so the count per group is exact; non-null filter matches
+    * ANSI count(distinct), the null-safe LEFT join serves 0 for groups
+    * whose values are all null. Join key is group-count-sized; the side
+    * fold enjoys the same flat fast path after a rebase. */
+  private[graft] def withExactDistinct(mv: IceTable, spec: MvSpec,
+      folded: DataFrame, maxTs: Long = Long.MaxValue): DataFrame =
+    spec.exactDistinctCols.foldLeft(folded) { (acc, c) =>
+      val xd = spec.xdCol(c)
+      val cnts = read(xdTable(mv, spec, c), xdSideSpec(spec, c), maxTs)
+        .where(col(spec.xdValCol(c)).isNotNull)
+        .groupBy(spec.groupCols.map(col): _*)
+        .agg(count(lit(1)).as(xd))
+      acc.alias("_mva").join(cnts.alias("_mvx"),
+          groupCond("_mva", "_mvx", spec.groupCols), "left")
+        .select(acc.columns.map(k => col(s"_mva.`$k`").as(k)) :+
+          coalesce(col(s"_mvx.`$xd`"), lit(0L)).as(xd): _*)
+    }
 
   /** [[foldPartials]], short-circuited to scan + projection when `snap`
     * proves the flat (single all-reset generation, one row per group)
@@ -1313,6 +1420,9 @@ object MvSync {
         // state): coalesce to 0, matching ANSI count(distinct)
         case "dcnt" =>
           coalesce(hll_sketch_estimate(col(d.spec.hllCol(o.col))), lit(0L))
+        // exact count(distinct): the side-state count column [[read]]
+        // already joined in — exact and retractable, no estimate
+        case "xdcnt" => col(d.spec.xdCol(o.col))
         case k => throw new IllegalArgumentException(s"unknown MV aggregate kind $k")
       }).as(o.alias)
     }
@@ -1326,7 +1436,7 @@ object MvSync {
         val defaults = d.outputs.map { o =>
           val dt = projected.schema(o.alias).dataType
           (o.kind match {
-            case "cnt" | "dcnt" => lit(0L).cast(dt)
+            case "cnt" | "dcnt" | "xdcnt" => lit(0L).cast(dt)
             case _ => lit(null).cast(dt)
           }).as(o.alias)
         }
@@ -1375,20 +1485,29 @@ object MvSync {
       dimTables: Seq[IceTable] = Nil): Long = {
     requireNotMvSource(source)
     requireDims(spec, dimTables, "a rebase")
+    // rebase the exact-distinct side views too: their generations
+    // collapse and their own flat marks re-arm alongside the main one
+    syncSides(mv, spec)((t, s) =>
+      { rebase(source, t, s, replicaId, settleTimeoutMs, dimTables); () })
     val pins = pinDims(dimTables, requireSeeded = false)
     val dims = pins.map(_.df)
     val key = s"_mv_sync:$replicaId"
     val wm = CdcApply.readMark(mv, key).getOrElse {
-      // a STREAMING-maintained view has no batch-sync watermark (its
-      // offsets live in the Structured Streaming checkpoint); the
-      // newest applied generation bounds every batch it absorbed
-      val rows = mv.read(Long.MaxValue)
-      require(rows.columns.contains("gen"),
-        s"materialized view at ${mv.root} was never synced")
-      val m = rows.agg(max(col("gen"))).head
-      require(!m.isNullAt(0),
-        s"materialized view at ${mv.root} was never synced")
-      m.getLong(0)
+      // a brand-new table (an exact-distinct side view being seeded by
+      // an ALTER … ADD rebase) starts from zero — the rebase IS the seed
+      if (mv.trySnapshot(Long.MaxValue).isEmpty) 0L
+      else {
+        // a STREAMING-maintained view has no batch-sync watermark (its
+        // offsets live in the Structured Streaming checkpoint); the
+        // newest applied generation bounds every batch it absorbed
+        val rows = mv.read(Long.MaxValue)
+        require(rows.columns.contains("gen"),
+          s"materialized view at ${mv.root} was never synced")
+        val m = rows.agg(max(col("gen"))).head
+        require(!m.isNullAt(0),
+          s"materialized view at ${mv.root} was never synced")
+        m.getLong(0)
+      }
     }
     // the rebase generation must be STRICTLY past the watermark
     val until = awaitSettledPast(source, wm, settleTimeoutMs,
@@ -1408,30 +1527,38 @@ object MvSync {
           encodeCountMark(pin.version, pin.count))
         CdcApply.commitMark(mv, dimMarkKey(replicaId, i), pin.version)
       }
-      mv.deleteWhere(col("gen") < until) // reclaim superseded generations
-      // FLAT-STATE MARK (read fast path): every alive marker now sits at
-      // or below the commit ceiling; spin the clock strictly past it so
-      // the mark value upper-bounds them all AND lower-bounds every
-      // later write — see [[FlatKey]]. The spin is BOUNDED: a ceiling
-      // stamped by a writer whose clock ran ahead (bad NTP on an ingest
-      // host) would otherwise block here for the full skew. Past the
-      // bound the mark is simply SKIPPED with the reason surfaced — the
-      // rebase itself is complete and correct either way; only the
-      // fold-free read optimization is forgone (rerun rebase to re-arm
-      // once clocks agree).
-      val ceil = math.max(mv.commitVersion(),
-        mv.trySnapshot(Long.MaxValue).toSeq
-          .flatMap(_.aliveFiles.map(_.createdMs)).maxOption.getOrElse(0L))
-      val spinDeadline = System.currentTimeMillis() + settleTimeoutMs
-      while (System.currentTimeMillis() <= ceil &&
-          System.currentTimeMillis() < spinDeadline) Thread.sleep(1)
-      if (System.currentTimeMillis() > ceil)
-        CdcApply.commitMark(mv, FlatKey, ceil + 1L)
-      else warnFallback(s"flat-state mark after rebase of ${mv.root}",
-        s"a commit timestamp ($ceil) sits ${ceil - System.currentTimeMillis()} ms " +
-          "ahead of this host's clock (writer clock skew) — mark skipped, " +
-          "reads keep the window fold; rerun rebase once clocks agree")
+      reclaimAndArmFlat(mv, until, settleTimeoutMs)
       n
     } finally { resets.unpersist(); () }
+  }
+
+  /** The compaction tail a freshly-landed FULL reset generation enables
+    * — shared by [[rebase]] and the streaming absorb/cadence paths:
+    * reclaim every superseded row (CoW delete of `gen < until`), then
+    * record the FLAT-STATE MARK (read fast path): every alive marker now
+    * sits at or below the commit ceiling; spin the clock strictly past
+    * it so the mark value upper-bounds them all AND lower-bounds every
+    * later write — see [[FlatKey]]. The spin is BOUNDED: a ceiling
+    * stamped by a writer whose clock ran ahead (bad NTP on an ingest
+    * host) would otherwise block here for the full skew. Past the bound
+    * the mark is simply SKIPPED with the reason surfaced — the collapse
+    * itself is complete and correct either way; only the fold-free read
+    * optimization is forgone (rerun rebase to re-arm once clocks
+    * agree). */
+  private def reclaimAndArmFlat(mv: IceTable, until: Long,
+      settleTimeoutMs: Long = 30_000L): Unit = {
+    mv.deleteWhere(col("gen") < until) // reclaim superseded generations
+    val ceil = math.max(mv.commitVersion(),
+      mv.trySnapshot(Long.MaxValue).toSeq
+        .flatMap(_.aliveFiles.map(_.createdMs)).maxOption.getOrElse(0L))
+    val spinDeadline = System.currentTimeMillis() + settleTimeoutMs
+    while (System.currentTimeMillis() <= ceil &&
+        System.currentTimeMillis() < spinDeadline) Thread.sleep(1)
+    if (System.currentTimeMillis() > ceil)
+      CdcApply.commitMark(mv, FlatKey, ceil + 1L)
+    else warnFallback(s"flat-state mark after rebase of ${mv.root}",
+      s"a commit timestamp ($ceil) sits ${ceil - System.currentTimeMillis()} ms " +
+        "ahead of this host's clock (writer clock skew) — mark skipped, " +
+        "reads keep the window fold; rerun rebase once clocks agree")
   }
 }

@@ -690,6 +690,10 @@ object GraftSqlParser {
         // count(DISTINCT c) and approx_count_distinct(c) both
         // maintain the same HLL sketch state
         case "approx_count_distinct" => "dcnt"
+        // billing-grade EXACT distinct: maintained as a per-(group,
+        // value) count side view (exact, retractable, exportable) —
+        // heavier than the HLL spelling, which is why it is opt-in
+        case "exact_count_distinct" => "xdcnt"
         case other => fail(s"unsupported aggregate `$other`")
       }
       val colName =
@@ -808,6 +812,7 @@ object GraftSqlParser {
         val kind = f.nameParts.last.toLowerCase match {
           case "count" if f.isDistinct => "dcnt"
           case "approx_count_distinct" => "dcnt"
+          case "exact_count_distinct" => "xdcnt"
           case "count" => "cnt"
           case "sum" => "sum"
           case "min" => "min"
@@ -1177,6 +1182,7 @@ object GraftSqlParser {
               val agg = o.kind match {
                 case "cnt" => "count(*)"
                 case "dcnt" => s"count(DISTINCT ${o.col})"
+                case "xdcnt" => s"exact_count_distinct(${o.col})"
                 case k => s"$k(${o.col})"
               }
               s"$agg AS `${o.alias}`"
@@ -1442,12 +1448,21 @@ object GraftSqlParser {
     * column the source lacks fails the seed scan's analysis BEFORE
     * anything commits.
     *
-    * STREAMING CAVEAT: stop any [[graft.streaming.Streams.mvSyncSink]]
-    * maintaining this view before altering — a live sink holds the OLD
-    * spec in its closure and would keep landing old-shaped partials, so
-    * the new column would silently undercount rows streamed after the
-    * ALTER. Restart the sink (it re-reads nothing — pass the new spec)
-    * after the command returns. SQL `REFRESH` needs nothing: it
+    * CONCURRENT-MAINTAINER CAVEAT: no OTHER maintainer may run while
+    * the ALTER is in flight — this applies to a live
+    * [[graft.streaming.Streams.mvSyncSink]] (stop it first; a live sink
+    * holds the OLD spec in its closure and would keep landing old-shaped
+    * partials, silently undercounting the new column for rows streamed
+    * after the ALTER — restart it with the new spec after the command
+    * returns) AND to a concurrent SQL `REFRESH` from another session: a
+    * REFRESH that decoded the OLD definition and lands its window
+    * between this command's rebase and its config commit writes
+    * old-shaped partials after the new reset generation, permanently
+    * undercounting the added columns for that window (sum/count fold
+    * nulls as zero contribution). ALTER is a schema-evolution step, not
+    * a concurrent workload — sequence it like one. A post-ALTER
+    * `REFRESH … FULL` repairs any such window after the fact. SQL
+    * `REFRESH` issued AFTER the command returns needs nothing: it
     * re-decodes the persisted definition on every call. */
   final case class GraftAlterMvAddCommand(name: String,
       adds: Seq[graft.operators.MvSync.MvOutput])

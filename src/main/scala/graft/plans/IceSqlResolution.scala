@@ -139,7 +139,9 @@ final class IceSqlResolution(spark: SparkSession) extends Rule[LogicalPlan] {
           // `pre` is the SAME snapshot `raw` was built from, so the
           // proof can never be newer than the rows it vouches for
           graft.operators.MvSync.projectView(
-              graft.operators.MvSync.foldOrFlat(raw, vd.spec, pre), vd)
+              graft.operators.MvSync.withExactDistinct(t, vd.spec,
+                graft.operators.MvSync.foldOrFlat(raw, vd.spec, pre), maxTs),
+              vd)
             .queryExecution.analyzed
         case None => raw.queryExecution.analyzed
       }

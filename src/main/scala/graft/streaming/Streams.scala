@@ -203,7 +203,15 @@ object Streams {
       // absorbs it as one full reset generation against the new dim
       // state and the stream continues (see MvSync.applyFeedBatch)
       dimTables: Seq[IceTable] = Nil,
-      autoRebase: Boolean = false): StreamingQuery = {
+      autoRebase: Boolean = false,
+      // opt-in self-defragmentation: every Nth non-empty batch lands as
+      // one full reset generation (a rebase at the batch's own bound),
+      // reclaims superseded rows, and re-arms the fold-free read — a
+      // long-lived streaming view's read cost stops growing with
+      // generation count without an operator cron running
+      // REFRESH … FULL. Exactly-once holds across the cadence batch
+      // (same (queryName, batchId) record). 0 = off
+      rebaseEveryNBatches: Int = 0): StreamingQuery = {
     if (spec.joinDims.nonEmpty)
       graft.operators.MvSync.recordStreamDimBaseline(
         mv, spec, queryName, dimTables)
@@ -220,7 +228,8 @@ object Streams {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         graft.operators.MvSync.applyFeedBatch(
           source, mv, spec, batch, id, queryName,
-          dimTables = dimTables, autoRebase = autoRebase)
+          dimTables = dimTables, autoRebase = autoRebase,
+          rebaseEveryNBatches = rebaseEveryNBatches)
         ()
       }
       .start()

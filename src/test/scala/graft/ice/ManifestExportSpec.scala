@@ -145,10 +145,28 @@ class ManifestExportSpec extends SparkSpec {
     assert(tr("`g` = '1.5BD' AND `h` = 'it''s `fine`'") ==
       """"g" = '1.5BD' AND "h" = 'it''s `fine`'""")
     // plain numbers and non-suffix identifiers pass through
-    assert(tr("cnt2 > 10 AND f(3) = 7") == "cnt2 > 10 AND f(3) = 7")
+    assert(tr("cnt2 > 10 AND g7 = 7") == "cnt2 > 10 AND g7 = 7")
+    // portable function spellings and CAST types pass through
+    assert(tr("abs(`total`) > 2 AND coalesce(`cnt`, 0) >= 1") ==
+      """abs("total") > 2 AND coalesce("cnt", 0) >= 1""")
+    assert(tr("CAST(`total` AS DOUBLE) > 1.5D") ==
+      """CAST("total" AS DOUBLE) > 1.5""")
+    assert(tr("cast(`c` AS DECIMAL(10,2)) = 1") ==
+      """cast("c" AS DECIMAL(10,2)) = 1""")
+    // function names inside strings are content, not calls
+    assert(tr("`g` = 'f(3)'") == """"g" = 'f(3)'""")
     // malformed input refuses loudly rather than exporting broken SQL
     intercept[UnsupportedOperationException](tr("`unclosed > 1"))
     intercept[UnsupportedOperationException](tr("'unclosed"))
+    // NON-PORTABLE tokens refuse at WRITE time, never a broken view.sql:
+    // unknown function spellings and Spark-only CAST target types
+    val ef = intercept[UnsupportedOperationException](tr("f(3) = 7"))
+    assert(ef.getMessage.contains("no known portable spelling"))
+    intercept[UnsupportedOperationException](tr("date_format(`d`, 'yyyy') = '2024'"))
+    val ec = intercept[UnsupportedOperationException](
+      tr("CAST(`x` AS BINARY) = `y`"))
+    assert(ec.getMessage.contains("not portable"))
+    intercept[UnsupportedOperationException](tr("CAST(`x` AS ARRAY<INT>) = `y`"))
   }
 
   test("a star-join view exports: the fold SQL applies to the materialized partials, no dim needed") {

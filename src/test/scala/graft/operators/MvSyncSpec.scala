@@ -269,6 +269,51 @@ class MvSyncSpec extends SparkSpec {
     assert(rows() == Seq(("Z", 1L, 9L)))
   }
 
+  test("exact count(distinct): per-(group,value) side state is exact and retractable through DML + rebase") {
+    import graft.ice.DeleteVectors
+    val base = newBase()
+    val xspec = MvSync.MvSpec(Seq("grp"), sumCols = Seq("v"),
+      exactDistinctCols = Seq("v"))
+    val mv = MvSync.create(spark, tmpDir("mvxd_mv"), xspec)
+    def oracle(): DataFrame = base.read().groupBy("grp").agg(
+      count(lit(1)).as("cnt"), sum("v").as("sum_v"),
+      countDistinct(col("v")).as("xd_v"))
+    def check(): Unit =
+      assert(drift(MvSync.read(mv, xspec), oracle()) == 0L)
+
+    // duplicate values within and across groups, plus a null (ANSI:
+    // count(distinct) ignores nulls)
+    base.insert(Seq((1L, "a", 10L), (2L, "a", 10L), (3L, "a", 20L),
+      (4L, "b", 10L)).toDF("id", "grp", "v"))
+    settle(); MvSync.syncFromFeed(base, mv, xspec)
+    check()
+    assert(MvSync.read(mv, xspec).where($"grp" === "a").head
+      .getAs[Long]("xd_v") == 2L)
+    // insert-only window: a NEW value and a DUPLICATE of an existing one
+    base.insert(Seq((5L, "a", 30L), (6L, "a", 10L)).toDF("id", "grp", "v"))
+    settle(); MvSync.syncFromFeed(base, mv, xspec)
+    check() // a: {10,20,30} = 3
+    // retraction: deleting ONE of the two id 10-value rows must NOT drop
+    // the value; deleting the last 20-value row must
+    DeleteVectors.deleteWhere(base, col("id") === 1L)
+    DeleteVectors.deleteWhere(base, col("id") === 3L)
+    settle(); MvSync.syncFromFeed(base, mv, xspec)
+    check() // a: {10, 30} = 2 — refcount semantics, not set-forgetting
+    assert(MvSync.read(mv, xspec).where($"grp" === "a").head
+      .getAs[Long]("xd_v") == 2L)
+    // CoW update moving a value across groups
+    base.updateWhere(col("id") === 4L, Seq("grp" -> lit("a")))
+    settle(); MvSync.syncFromFeed(base, mv, xspec)
+    check()
+    // rebase collapses main AND side generations; exactness survives
+    MvSync.rebase(base, mv, xspec)
+    check()
+    // the side view itself went flat too (scan-only read)
+    val side = MvSync.xdTable(mv, xspec, "v")
+    assert(side.trySnapshot(Long.MaxValue).exists(MvSync.isFlatSnapshot),
+      "rebase must re-arm the side view's flat proof")
+  }
+
   test("LEFT JOIN dim view: null-extension, dim arrival/departure, deletes — exact through the signed path") {
     import graft.ice.{DeleteVectors, IceTableConfig}
     import org.apache.spark.sql.functions.{concat, lit, pmod}
@@ -427,6 +472,49 @@ class MvSyncSpec extends SparkSpec {
     val got3 = MvSync.read(mv, jspec).orderBy("cat").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got3 == Seq(("A", 1L, 10L), ("B", 1L, 5L), ("C", 2L, 9L)))
+  }
+
+  test("rebase cadence: every Nth batch collapses generations exactly-once and re-arms the fold-free read") {
+    import graft.ice.ChangeFeed
+    val base = newBase(); val mv = newMv()
+    // batch 1: plain delta
+    base.insert(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "grp", "v"))
+    settle()
+    val b1 = ChangeFeed.between(base, 0L).localCheckpoint(true)
+    MvSync.applyFeedBatch(base, mv, spec, b1, 1L, "qc",
+      rebaseEveryNBatches = 2)
+    val wm1 = b1.agg(max(col(ChangeFeed.CommitTsCol))).head.getLong(0)
+    // batch 2 (cadence due): lands as ONE full reset generation, the
+    // superseded rows reclaim, and the flat proof re-arms
+    base.insert(Seq((3L, "a", 5L)).toDF("id", "grp", "v"))
+    settle()
+    val b2 = ChangeFeed.between(base, wm1).localCheckpoint(true)
+    MvSync.applyFeedBatch(base, mv, spec, b2, 2L, "qc",
+      rebaseEveryNBatches = 2)
+    assert(drift(MvSync.read(mv, spec), expected(base)) == 0L)
+    assert(mv.read().count() == 2L, "generations must have collapsed")
+    assert(mv.trySnapshot(Long.MaxValue).exists(MvSync.isFlatSnapshot),
+      "the cadence batch must re-arm the flat proof")
+    val flat = MvSync.read(mv, spec).queryExecution.executedPlan.toString
+    assert(!flat.contains("Window"), s"expected fold-free read:\n$flat")
+    // exactly-once: REPLAYING the cadence batch changes nothing
+    val logs = mv.history().count()
+    MvSync.applyFeedBatch(base, mv, spec, b2, 2L, "qc",
+      rebaseEveryNBatches = 2)
+    assert(mv.history().count() == logs, "a replayed cadence batch must skip")
+    assert(drift(MvSync.read(mv, spec), expected(base)) == 0L)
+    assert(mv.trySnapshot(Long.MaxValue).exists(MvSync.isFlatSnapshot))
+    // batch 3: a plain delta self-invalidates the proof (fail-safe) and
+    // stays correct
+    val wm2 = b2.agg(max(col(ChangeFeed.CommitTsCol))).head.getLong(0)
+    base.insert(Seq((4L, "c", 7L)).toDF("id", "grp", "v"))
+    settle()
+    val b3 = ChangeFeed.between(base, wm2).localCheckpoint(true)
+    MvSync.applyFeedBatch(base, mv, spec, b3, 3L, "qc",
+      rebaseEveryNBatches = 2)
+    assert(drift(MvSync.read(mv, spec), expected(base)) == 0L)
+    assert(!mv.trySnapshot(Long.MaxValue).exists(MvSync.isFlatSnapshot))
+    b1.unpersist(); b2.unpersist(); b3.unpersist()
   }
 
   test("mvSyncSink: the streaming form converges across restarts and DML") {

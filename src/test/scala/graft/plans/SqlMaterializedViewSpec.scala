@@ -311,6 +311,44 @@ class SqlMaterializedViewSpec extends SparkSpec {
     assert(rows() == oracle())
   }
 
+  test("exact_count_distinct: SQL views serve the exact retractable distinct through DML") {
+    val w = freshWarehouse()
+    val base = seedBase(w, "xdbase") // (1,a,10),(2,a,20),(3,b,5)
+    base.insert(Seq((4L, "a", 10L), (5L, "b", 5L)).toDF("id", "grp", "v"))
+    settle()
+    spark.sql("""CREATE MATERIALIZED VIEW graft.xdmv AS
+      SELECT grp, count(*) AS cnt, exact_count_distinct(v) AS uv
+      FROM graft.xdbase GROUP BY grp""").collect()
+    def rows() = spark.sql(
+      "SELECT grp, cnt, uv FROM graft.xdmv ORDER BY grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    def truth() = spark.sql(
+      """SELECT grp, count(*) AS cnt, count(DISTINCT v) AS uv
+        |FROM graft.xdbase GROUP BY grp ORDER BY grp""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows() == truth() && rows() == Seq(("a", 3L, 2L), ("b", 2L, 1L)))
+    // DML: dedup-surviving delete, true retraction, update, insert
+    DeleteVectors.deleteWhere(base, col("id") === 1L) // dup of v=10 stays
+    base.deleteWhere(col("id") === 2L)                // last v=20 goes
+    base.updateWhere(col("id") === 5L, Seq("v" -> lit(7L)))
+    base.insert(Seq((6L, "b", 9L)).toDF("id", "grp", "v"))
+    settle()
+    spark.sql("REFRESH MATERIALIZED VIEW graft.xdmv").collect()
+    assert(rows() == truth())
+    // SHOW CREATE round-trips the exact spelling
+    val stmt = spark.sql("SHOW CREATE TABLE graft.xdmv").head.getString(0)
+    assert(stmt.contains("exact_count_distinct(v)"), stmt)
+    // the DuckDB export SERVES the exact distinct (the HLL spelling
+    // refuses): side-table fold CTE + join present, all file lists real
+    val sql = graft.ice.ManifestExport.duckDbViewSql(
+      IceTable.open(spark, s"$w/xdmv"), "xd_view")
+    assert(sql.contains("_xd_v") && sql.contains("\"xd_v\"") &&
+      sql.contains("read_parquet"), s"export missing the side fold:\n$sql")
+    // OPTIMIZE (= rebase) keeps exactness and flattens main + side
+    spark.sql("OPTIMIZE graft.xdmv").collect()
+    assert(rows() == truth())
+  }
+
   test("OPTIMIZE on an MV rebases: generations collapse and the fold-free read re-arms") {
     val w = freshWarehouse()
     val base = seedBase(w, "optbase")
