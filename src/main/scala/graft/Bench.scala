@@ -247,7 +247,12 @@ object Bench {
       bwProbeSamples += BenchProbe.runBandwidth()
       (w, c, g)
     }
-    val med = runs.sortBy(_._1)(Ordering[Long])((runs.length - 1) / 2)
+    // UPPER middle: for odd reps this is the true median; for 2 reps it
+    // picks the WORSE run — the (wall, min) pair then brackets the two
+    // observations, which is the whole point of the 2-rep sf1 tier
+    // (lower-middle would make wall == min by construction and silently
+    // discard the contended rep from the artifact)
+    val med = runs.sortBy(_._1)(Ordering[Long])(runs.length / 2)
     // the MIN rides alongside the median in the artifact: a noisy host
     // inflates the median while the min stays near steady state, so a
     // round-over-round "regression" whose min is flat reads as noise
@@ -289,11 +294,23 @@ object Bench {
     val dimRoot = Fixtures.newRoot("bench_mvjdim")
     val mvRoot = Fixtures.newRoot("bench_mvjview")
     try {
+      // rowGroupRows: the dim-change probe prunes to the FILES carrying
+      // the changed key via the log's stats windows, then to the ROW
+      // GROUPS via parquet min/max on the k-sorted file — the probe's
+      // read cost is row-group-granular, so an unbounded row group makes
+      // it file-size-granular instead (the r15→r16 sf1 attribution: at
+      // 240M rows the single 15M-row file held the key's whole
+      // partition in a handful of giant row groups, and the "flat at
+      // 10×" claim degraded to ~4× wall on a CLEAN host). Bounding the
+      // row group is the production layout contract for a join-view
+      // fact; 1M rows ≈ tens of MB, the same target a real compactor
+      // keeps
       val fact = new IceTable(spark, factRoot, IceTableConfig(
         partitionExpr = concat(lit("kr="),
           floor(pmod(col("id"), lit(1000)) / 64)),
         sortOrder = Seq("k", "id"),
-        statsColumn = Some("k")))
+        statsColumn = Some("k"),
+        rowGroupRows = Some(1_000_000)))
       fact.insert(rows)
       val dim = new IceTable(spark, dimRoot, IceTableConfig(
         partitionExpr = lit("all"), sortOrder = Seq("k")))
@@ -1073,14 +1090,18 @@ object Bench {
     // 1-decimal core is the last resort. bench_out.json always holds the
     // full detail.
     def fmt(v: Double, dec: Int): String = s"%.${dec}f".format(v)
+    // gc deltas are "0" when they round to zero (the common case) — at
+    // ~24 queries the ",0.0" suffixes alone cost ~50 chars of the
+    // 1900-char window
+    def gcf(v: Double): String = if (v < 0.05) "0" else fmt(v, 1)
     def qMap(dec: Int): String = times.map { case (k, v) =>
       s""""$k":${fmt(v.wallSec, dec)}""" }.mkString("{", ",", "}")
     def cmgMap(dec: Int): String = times.map { case (k, v) =>
       s""""$k":[${fmt(v.cpuSec, dec)},${fmt(v.minWallSec, dec)},${
-        fmt(v.gcSec, 1)}]""" }.mkString("{", ",", "}")
+        gcf(v.gcSec)}]""" }.mkString("{", ",", "}")
     val sf1Slim = sf1Times.map { case (k, v) =>
       s""""$k":[${fmt(v.wallSec, 1)},${fmt(v.cpuSec, 1)},${
-        fmt(v.minWallSec, 1)},${fmt(v.gcSec, 1)}]""" }
+        fmt(v.minWallSec, 1)},${gcf(v.gcSec)}]""" }
       .mkString("{", ",", "}")
     // truncated per-entry AND capped to 3 entries: a mass-failure run
     // must not blow the parsed line past the driver's stdout window (the
@@ -1099,13 +1120,14 @@ object Bench {
     val mvCoreJson = sections.filter(s => mvCore.contains(s._1))
       .map { case (k, v) => s""""${k}_sec":${fmt(v.wallSec, 2)}""" }
       .mkString(",")
-    // core carries the sf1 arrays with SHORT probe keys (full names +
-    // the "sf1_shape" legend ride in bench_out.json's detail line); the
-    // array shape matches queries_cpu_min_gc prefixed by the wall
+    // core carries the sf1 arrays with SHORT probe keys (full names, the
+    // bandwidth probe, and the "sf1_shape" legend ride in
+    // bench_out.json's detail line); the array shape matches
+    // queries_cpu_min_gc prefixed by the wall
     val sf1ProbesSlim =
-      s""""sf1_probe":${"%.3f".format(sf1ProbeSec)},"sf1_bw":${"%.3f".format(sf1BwProbeSec)},"sf1_gc":${"%.1f".format(sf1GcSec)}"""
-    def core(dec: Int): String =
-      s""""metric":"total","value":${f(total)},"unit":"sec","queries":${qMap(dec)},"queries_cpu_min_gc":${cmgMap(dec)},"queries_sf1":$sf1Slim,$sf1ProbesSlim${
+      s""""sf1_probe":${"%.3f".format(sf1ProbeSec)},"sf1_gc":${"%.1f".format(sf1GcSec)}"""
+    def core(dec: Int, sf1: String = sf1Slim): String =
+      s""""metric":"total","value":${f(total)},"unit":"sec","queries":${qMap(dec)},"queries_cpu_min_gc":${cmgMap(dec)},"queries_sf1":$sf1,$sf1ProbesSlim${
         if (sf1Errors.isEmpty) "" else s""","sf1_errors":${errSlim(sf1Errors)}"""
       },$mvCoreJson,"rep_stat":"median","bench_reps":$reps${
         if (errors.isEmpty) "" else s""","errors":${errSlim(errors)}"""
@@ -1123,11 +1145,15 @@ object Bench {
       // remaining per-section walls (the MV four already ride in core)
       slimOf(k => !sectionAuxNames(k) && !mvCore.contains(k)))
     // try: all fragments at 2-dec, then shed fragments lowest-value-
-    // first, then drop precision to 1 decimal with no fragments
+    // first, then drop precision to 1 decimal with no fragments, and as
+    // the guaranteed-to-fit last resort degrade the sf1 arrays back to
+    // wall-only (the r15 shape — full arrays always ride bench_out.json)
+    val sf1WallOnly = sf1Times.map { case (k, v) =>
+      s""""$k":${fmt(v.wallSec, 1)}""" }.mkString("{", ",", "}")
     val candidates =
       (0 to optional.length).map { dropped =>
         (Seq(core(2)) ++ optional.drop(dropped)).mkString("{", ",", "}")
-      } :+ s"{${core(1)}}"
+      } :+ s"{${core(1)}}" :+ s"{${core(1, sf1WallOnly)}}"
     val line = candidates.find(_.length <= 1900).getOrElse(candidates.last)
     // mirror to a file so the metric survives any stdout mangling
     try java.nio.file.Files.writeString(

@@ -330,6 +330,7 @@ final class IceTable(
     base.split("/").dropRight(1).mkString("/")
   }
 
+
   // -------------------------------------------------------------- read (B1+)
 
   /** Snapshot → DataFrame: the whole delegated query surface (SURVEY §2.B)
@@ -1450,10 +1451,7 @@ final class IceTable(
         col("_p"), "(?:^|/)" + java.util.regex.Pattern.quote(k) + "=([^/]*)", 1)))
     // exact per-file bind (the file's whole directory is one partition)
     def withVirtFor(df: DataFrame, partition: String): DataFrame = {
-      val kv = partition.split("/").iterator.map { seg =>
-        val i = seg.indexOf('=')
-        if (i < 0) (seg, "") else (seg.substring(0, i), seg.substring(i + 1))
-      }.toMap
+      val kv = IceTable.partitionKvOf(partition)
       virtKeys.foldLeft(df)((d, k) => d.withColumn(k, lit(kv.getOrElse(k, ""))))
     }
     val scan = spark.read.schema(schema)
@@ -2716,10 +2714,7 @@ final class IceTable(
     val rows: java.util.List[Row] = {
       val out = new java.util.ArrayList[Row](dirs.length)
       dirs.foreach { d =>
-        val kv = d.split("/").iterator.map { seg =>
-          val i = seg.indexOf('=')
-          if (i < 0) (seg, "") else (seg.substring(0, i), seg.substring(i + 1))
-        }.toMap
+        val kv = IceTable.partitionKvOf(d)
         out.add(Row.fromSeq(d +: keys.map(k => kv.getOrElse(k, ""))))
       }
       out
@@ -2818,6 +2813,19 @@ final class IceTable(
 }
 
 object IceTable {
+
+  /** Parse a partition directory string into its `k=v` map — THE value
+    * semantics every surface must share (the catalog scan's partition
+    * columns, predicate-based drops, the CoW mutation core's virtual
+    * columns): raw segment text after the first `=`, a segment without
+    * one maps to value "". One definition, so the DELETE fast path's
+    * partition-level == row-level equivalence can never silently
+    * desynchronize between copies. */
+  def partitionKvOf(dir: String): Map[String, String] =
+    dir.split("/").iterator.map { seg =>
+      val i = seg.indexOf('=')
+      if (i < 0) (seg, "") else (seg.substring(0, i), seg.substring(i + 1))
+    }.toMap
   /** Internal routing column name; never written to data files. */
   private[ice] val RouteCol = "_ice_part"
 

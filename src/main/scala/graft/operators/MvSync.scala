@@ -431,12 +431,18 @@ object MvSync {
     * recursively. */
   private[graft] def xdSideSpec(spec: MvSpec, c: String): MvSpec = {
     val v = c.replace('.', '_')
+    // exact_count_distinct over a column that IS a group key: the side
+    // key set is unchanged (appending would duplicate the name and break
+    // every groupBy/write of the side view) — the side fold then holds
+    // one live row per group and the read counts it, which is exactly
+    // count(distinct g) == 1 per live group
+    val already = spec.groupCols.exists(_.equalsIgnoreCase(v))
     spec.copy(
-      groupCols = spec.groupCols :+ v,
+      groupCols = if (already) spec.groupCols else spec.groupCols :+ v,
       sumCols = Nil, minMaxCols = Nil, countCols = Nil,
       distinctCols = Nil, exactDistinctCols = Nil,
       derivedGroups = spec.derivedGroups ++
-        (if (c.contains('.')) Seq(v -> c) else Nil))
+        (if (!already && c.contains('.')) Seq(v -> c) else Nil))
   }
 
   /** Handle to the side table of exact-distinct column `c`: nested under
@@ -762,25 +768,44 @@ object MvSync {
         spec.prepare(pruned, dims.updated(changed, signed))
       else {
         // LEFT: affected facts never leave the view, they change GROUP
-        // (possibly to/from the null-extended one). Evaluate each
-        // affected fact's group under the dim's OLD state (delete
-        // images; unmatched = it was null-extended) with sign -1, and
-        // under the NEW state (insert images) with sign +1 — the same
-        // -old +new algebra, with the null group now a first-class
-        // citizen on both sides. Facts the prune could not exclude
-        // cancel exactly (-1/+1 into the same group fold to zero).
-        // Each side projects to exactly the aggregation's inputs before
+        // (possibly to/from the null-extended one). Null-extension
+        // depends on the FULL dim state for a key — a fact whose key
+        // still matches a SURVIVING dim row never null-extends — so the
+        // change images alone cannot stand in for the dim (a
+        // duplicate-keyed dim would make the empty side fabricate
+        // phantom null-group rows). Reconstruct both per-key states
+        // from the pinned NEW dim instead:
+        //   new_K = pinned dim restricted to the changed keys
+        //   old_K = new_K ⊎ delete images ∖ insert images  (multiset)
+        // and evaluate each affected fact under old_K (sign -1) and
+        // new_K (+1) — exact null-extension on both sides, fan-out
+        // duplicates included. Facts the prune could not exclude cancel
+        // exactly (-1/+1 into the same group fold to zero). The caller
+        // gates this branch on an equi-key join, so the key restriction
+        // always exists and the image cap bounds it.
+        val (_, dk) = j.equiKeys.getOrElse(throw new IllegalStateException(
+          "signed LEFT dim maintenance requires an equi-key join " +
+            "(caller gate missed)"))
+        val ks = pruneKeys.getOrElse(throw new IllegalStateException(
+          "changed-key set exceeded the cap after the image-count gate"))
+        val dimCols = dims(changed).columns.toSeq.map(col)
+        def imgs(kind: String): DataFrame = images
+          .where(col(ChangeFeed.ChangeTypeCol) === kind)
+          .drop(ChangeFeed.ChangeTypeCol, ChangeFeed.CommitTsCol)
+          .select(dimCols: _*)
+        val newK = dims(changed).where(col(dk).isin(ks: _*))
+          .select(dimCols: _*)
+        val oldK = newK.unionByName(imgs("delete")).exceptAll(imgs("insert"))
+        // each side projects to exactly the aggregation's inputs before
         // the union: the raw joined frame carries duplicate key names
-        // (f.k and d.k), which unionByName refuses.
+        // (f.k and d.k), which unionByName refuses
         val needed = (spec.groupCols ++ (spec.sumCols ++ spec.countCols)
           .map(c => if (c.contains('.')) c.replace('.', '_') else c)).distinct
-        def side(kind: String, sgn: Long): DataFrame =
-          spec.prepare(pruned, dims.updated(changed, broadcast(
-            images.where(col(ChangeFeed.ChangeTypeCol) === kind)
-              .drop(ChangeFeed.ChangeTypeCol, ChangeFeed.CommitTsCol))))
+        def side(dimK: DataFrame, sgn: Long): DataFrame =
+          spec.prepare(pruned, dims.updated(changed, broadcast(dimK)))
             .select(needed.map(col): _*)
             .withColumn("_mv_sign", lit(sgn))
-        side("delete", -1L).unionByName(side("insert", 1L))
+        side(oldK, -1L).unionByName(side(newK, 1L))
       }
     def arg(c: String): Column =
       if (c.contains('.')) col(c.replace('.', '_')) else col(c)
@@ -980,8 +1005,16 @@ object MvSync {
           try {
             val until = awaitSettledPast(source, wm,
               what = s"dim-delta sync of ${mv.root}")
+            // the signed path needs (a) subtractable aggregates and,
+            // for a LEFT dim, (b) an equi-key join — reconstructing the
+            // per-key old/new dim states (exact null-extension) needs
+            // the key restriction. A non-equi LEFT dim routes through
+            // the reset machinery below, which evaluates against FULL
+            // pinned dims and is exact for any join shape
             val selfMaint =
-              spec.minMaxCols.isEmpty && spec.distinctCols.isEmpty
+              spec.minMaxCols.isEmpty && spec.distinctCols.isEmpty &&
+                (!spec.joinDims(ci).isLeft ||
+                  spec.joinDims(ci).equiKeys.isDefined)
             val imagesAll = dd
               .where(col(ChangeFeed.ChangeTypeCol).isin("insert", "delete"))
             val (resetImgs, signedImgs) =
@@ -1200,8 +1233,12 @@ object MvSync {
           // it just paid the recompute for. Crash-safe: a replayed batch
           // is skipped above (landed = false), and a crash between the
           // insert and this reclaim only defers hygiene to the next
-          // cadence batch — never correctness
-          reclaimAndArmFlat(mv, gen)
+          // cadence batch — never correctness. The flat-mark clock spin
+          // gets a SHORT budget here: this runs inside foreachBatch, and
+          // a writer-skew ceiling must cost micro-batch latency ~2 s,
+          // not rebase's 30 s default — skipping the mark is fail-safe
+          // (the fold stays on; the next cadence batch retries)
+          reclaimAndArmFlat(mv, gen, settleTimeoutMs = 2_000L)
         }
       } else {
         val delta = windowDelta(source, spec, b, gen, maxPruneGroups, dims)

@@ -1584,6 +1584,23 @@ object GraftSqlParser {
             customMergeSql = MvSync.mvConfig(newDef.spec,
               viewDef = Some(newDef)).customMergeSql,
             mvDef = Some(newDef.encode))).persistConfig()
+          // exact-distinct side tables whose LAST referencing output was
+          // dropped are dead state sized (group × distinct values) —
+          // unlike dead columns in main rows, no later rebase would ever
+          // visit them again. Reclaim now (ALTER is sequenced like the
+          // schema change it is; no maintainer may run concurrently)
+          val stillUsed = newDef.spec.exactDistinctCols
+            .map(_.replace('.', '_').toLowerCase).toSet
+          d.spec.exactDistinctCols
+            .map(_.replace('.', '_'))
+            .filterNot(v => stillUsed(v.toLowerCase))
+            .foreach { v =>
+              val p = new org.apache.hadoop.fs.Path(s"$root/_xd/$v")
+              try {
+                p.getFileSystem(session.sparkContext.hadoopConfiguration)
+                  .delete(p, true); ()
+              } catch { case _: Exception => () } // best-effort reclaim
+            }
           Seq(Row(drops.length.toLong))
       }
   }

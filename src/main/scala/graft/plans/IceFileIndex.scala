@@ -38,10 +38,7 @@ final class IceFileIndex(
       .groupBy(m => table.partitionOf(m.path))
       .toSeq.sortBy(_._1)
       .map { case (part, markers) =>
-        val kv = part.split("/").map { seg =>
-          val i = seg.indexOf('=')
-          if (i < 0) (seg, "") else (seg.substring(0, i), seg.substring(i + 1))
-        }.toMap
+        val kv = IceTable.partitionKvOf(part) // THE shared k=v semantics
         val row = InternalRow.fromSeq(partitionSchema.map(f =>
           UTF8String.fromString(kv.getOrElse(f.name, ""))))
         // sizes come from the log markers — no S3 HEAD/LIST needed.

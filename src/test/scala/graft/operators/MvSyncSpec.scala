@@ -373,6 +373,53 @@ class MvSyncSpec extends SparkSpec {
     check()
   }
 
+  test("LEFT JOIN dim with DUPLICATE keys: signed maintenance never fabricates null-group rows") {
+    import graft.ice.IceTableConfig
+    import org.apache.spark.sql.functions.{concat, lit, pmod}
+    val fact = new IceTable(spark, tmpDir("mvld_fact"), IceTableConfig(
+      partitionExpr = concat(lit("p="), pmod(col("id"), lit(2))),
+      sortOrder = Seq("id")))
+    val dim = new IceTable(spark, tmpDir("mvld_dim"), IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("k")))
+    val jspec = MvSync.MvSpec(Seq("cat"), sumCols = Seq("f.v"),
+      joinDims = Seq(MvSync.MvJoinDim("dim", "f", "d", "f.k = d.k", "left")))
+    val mv = MvSync.create(spark, tmpDir("mvld_mv"), jspec)
+    def oracle(): DataFrame = fact.read().alias("f")
+      .join(dim.read().alias("d"), expr("f.k = d.k"), "left")
+      .groupBy(col("cat"))
+      .agg(count(lit(1)).as("cnt"), sum(col("f.v")).as("sum_f_v"))
+    def check(): Unit =
+      assert(drift(MvSync.read(mv, jspec), oracle()) == 0L)
+
+    // k1 carries TWO dim rows (fan-out); k2 has none (real null group)
+    dim.insert(Seq(("k1", "A"), ("k1", "B")).toDF("k", "cat"))
+    fact.insert(Seq((1L, "k1", 5L), (2L, "k2", 9L)).toDF("id", "k", "v"))
+    settle(); MvSync.syncFromFeed(fact, mv, jspec, dimTables = Seq(dim))
+    check() // A(1,5), B(1,5), null(1,9)
+
+    // delete ONE of k1's rows: the fact still matches (k1,'A') — it must
+    // NOT null-extend; the legitimate null group must not be disturbed
+    dim.deleteWhere(col("cat") === "B")
+    settle()
+    val (_, r1) = MvSync.syncFromFeed(fact, mv, jspec, dimTables = Seq(dim))
+    assert(r1 == 0L, "one-dim sum-only move must stay signed")
+    check()
+    val view1 = MvSync.read(mv, jspec)
+    assert(view1.where($"cat" <=> "B").isEmpty)
+    assert(view1.where($"cat".isNull).head.getAs[Long]("sum_f_v") == 9L,
+      "the real null group must hold exactly the unmatched fact")
+
+    // add a SECOND row back under k1: no spurious -1 into the null group
+    // (which would wrongly retract the k2 fact)
+    dim.insert(Seq(("k1", "C")).toDF("k", "cat"))
+    settle()
+    val (_, r2) = MvSync.syncFromFeed(fact, mv, jspec, dimTables = Seq(dim))
+    assert(r2 == 0L)
+    check() // A(1,5), C(1,5), null(1,9)
+    assert(MvSync.read(mv, jspec).where($"cat".isNull).head
+      .getAs[Long]("cnt") == 1L)
+  }
+
   test("LEFT JOIN dim with min/max: dim moves route through affected-group resets, null group included") {
     import graft.ice.IceTableConfig
     import org.apache.spark.sql.functions.{concat, lit, pmod}

@@ -347,6 +347,34 @@ class SqlMaterializedViewSpec extends SparkSpec {
     // OPTIMIZE (= rebase) keeps exactness and flattens main + side
     spark.sql("OPTIMIZE graft.xdmv").collect()
     assert(rows() == truth())
+    // exact_count_distinct over a GROUP column: the side key set is
+    // unchanged (no duplicate group name) and the count is trivially 1
+    // per live group — creatable AND refreshable
+    spark.sql("""CREATE MATERIALIZED VIEW graft.xdgmv AS
+      SELECT grp, count(*) AS c, exact_count_distinct(grp) AS ug
+      FROM graft.xdbase GROUP BY grp""").collect()
+    base.insert(Seq((7L, "c", 1L)).toDF("id", "grp", "v"))
+    settle()
+    spark.sql("REFRESH MATERIALIZED VIEW graft.xdgmv").collect()
+    val g = spark.sql("SELECT grp, ug FROM graft.xdgmv ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(g.map(_._2).forall(_ == 1L), s"got $g")
+    assert(g.map(_._1) == Seq("a", "b", "c"))
+    // ALTER … DROP of the last output over an exact-distinct column
+    // reclaims its side table (group × distinct-values-sized dead state
+    // no rebase would ever visit again)
+    val xdDir = new java.io.File(s"$w/xdmv/_xd/v")
+    assert(xdDir.isDirectory, "side table must exist before the DROP")
+    spark.sql("ALTER MATERIALIZED VIEW graft.xdmv DROP (uv)").collect()
+    assert(!xdDir.exists, "orphaned side table must be reclaimed")
+    // the narrowed view keeps serving and maintaining
+    base.insert(Seq((8L, "b", 2L)).toDF("id", "grp", "v"))
+    settle()
+    spark.sql("REFRESH MATERIALIZED VIEW graft.xdmv").collect()
+    assert(spark.sql("SELECT grp, cnt FROM graft.xdmv ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      spark.sql("SELECT grp, count(*) AS cnt FROM graft.xdbase GROUP BY grp ORDER BY grp")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
 
   test("OPTIMIZE on an MV rebases: generations collapse and the fold-free read re-arms") {
