@@ -1448,22 +1448,25 @@ object GraftSqlParser {
     * column the source lacks fails the seed scan's analysis BEFORE
     * anything commits.
     *
-    * CONCURRENT-MAINTAINER CAVEAT: no OTHER maintainer may run while
-    * the ALTER is in flight — this applies to a live
-    * [[graft.streaming.Streams.mvSyncSink]] (stop it first; a live sink
-    * holds the OLD spec in its closure and would keep landing old-shaped
-    * partials, silently undercounting the new column for rows streamed
-    * after the ALTER — restart it with the new spec after the command
-    * returns) AND to a concurrent SQL `REFRESH` from another session: a
-    * REFRESH that decoded the OLD definition and lands its window
-    * between this command's rebase and its config commit writes
-    * old-shaped partials after the new reset generation, permanently
-    * undercounting the added columns for that window (sum/count fold
-    * nulls as zero contribution). ALTER is a schema-evolution step, not
-    * a concurrent workload — sequence it like one. A post-ALTER
-    * `REFRESH … FULL` repairs any such window after the fact. SQL
-    * `REFRESH` issued AFTER the command returns needs nothing: it
-    * re-decodes the persisted definition on every call. */
+    * CONCURRENT-MAINTAINER CAVEATS: a live
+    * [[graft.streaming.Streams.mvSyncSink]] must STOP before the ALTER —
+    * a live sink holds the OLD spec in its closure and would keep
+    * landing old-shaped partials after the command returns, silently
+    * undercounting the new column for every later batch; restart it
+    * with the new spec. A concurrent SQL `REFRESH` from another session
+    * (which decoded the OLD definition) racing into the seed→persist
+    * window is DETECTED and absorbed: persistConfig writes no data
+    * files, so any alive-data-set change since the seed is a foreign
+    * maintenance write, and the command re-rebases under the
+    * now-persisted definition before returning (idempotent; only the
+    * race pays the second scan). That narrows the exposure to a REFRESH
+    * still in flight at re-check time (it decoded the old definition
+    * before the persist and commits after the check) — sequencing out
+    * concurrent maintainers during schema evolution remains the
+    * operator's contract, now with a self-repairing common case and a
+    * post-ALTER `REFRESH … FULL` as the universal repair. SQL `REFRESH`
+    * issued AFTER the command returns needs nothing: it re-decodes the
+    * persisted definition on every call. */
   final case class GraftAlterMvAddCommand(name: String,
       adds: Seq[graft.operators.MvSync.MvOutput])
       extends LeafRunnableCommand {
@@ -1504,11 +1507,30 @@ object GraftSqlParser {
           // correct old-definition view), persist the definition LAST
           val n = MvSync.rebase(IceTable.open(session, srcRoot), mv,
             newDef.spec, dimTables = dimT)
+          val aliveAfterSeed = mv.snapshot(Long.MaxValue)
+            .aliveFiles.map(_.path).toSet
           new IceTable(session, root, mv.cfg.copy(
             sortOrder = newDef.spec.groupCols,
             customMergeSql = MvSync.mvConfig(newDef.spec,
               viewDef = Some(newDef)).customMergeSql,
             mvDef = Some(newDef.encode))).persistConfig()
+          // CLOSE the seed→persist window: a concurrent OLD-definition
+          // maintainer (a racing SQL REFRESH from another session that
+          // decoded the old spec) landing between the rebase and the
+          // config commit writes old-shaped partials AFTER the new reset
+          // generation — the added columns would permanently undercount
+          // that window. persistConfig writes no data files, so any
+          // change to the ALIVE DATA SET since the seed is a foreign
+          // maintenance write: absorb it with a second rebase under the
+          // now-persisted definition (idempotent; only the race pays it)
+          val reopened = IceTable.open(session, root)
+          val aliveNow = reopened.snapshot(Long.MaxValue)
+            .aliveFiles.map(_.path).toSet
+          if (aliveNow != aliveAfterSeed) {
+            MvSync.rebase(IceTable.open(session, srcRoot), reopened,
+              newDef.spec, dimTables = dimT)
+            ()
+          }
           Seq(Row(adds.length.toLong, n))
       }
   }

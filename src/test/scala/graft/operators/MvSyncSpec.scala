@@ -521,6 +521,44 @@ class MvSyncSpec extends SparkSpec {
     assert(got3 == Seq(("A", 1L, 10L), ("B", 1L, 5L), ("C", 2L, 9L)))
   }
 
+  test("streaming LEFT-join view: batches null-extend; autoRebase absorbs a dim arrival into the real group") {
+    import graft.ice.{ChangeFeed, IceTableConfig}
+    import org.apache.spark.sql.functions.{concat, lit, pmod}
+    val fact = new IceTable(spark, tmpDir("mvls_fact"), IceTableConfig(
+      partitionExpr = concat(lit("p="), pmod(col("id"), lit(2))),
+      sortOrder = Seq("id")))
+    val dim = new IceTable(spark, tmpDir("mvls_dim"), IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("k")))
+    dim.insert(Seq(("k1", "A")).toDF("k", "cat"))
+    val jspec = MvSync.MvSpec(Seq("cat"), sumCols = Seq("f.v"),
+      joinDims = Seq(MvSync.MvJoinDim("dim", "f", "d", "f.k = d.k", "left")))
+    val mv = MvSync.create(spark, tmpDir("mvls_mv"), jspec)
+    def rows() = MvSync.read(mv, jspec).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    // batch 1: k2 has no dim row — its fact must null-extend, not vanish
+    fact.insert(Seq((1L, "k1", 10L), (2L, "k2", 5L)).toDF("id", "k", "v"))
+    settle()
+    val b1 = ChangeFeed.between(fact, 0L).localCheckpoint(true)
+    MvSync.applyFeedBatch(fact, mv, jspec, b1, 1L, "ql",
+      dimTables = Seq(dim), autoRebase = true)
+    assert(rows() == Set((Some("A"), 1L, 10L), (None, 1L, 5L)))
+    // the dim arrives for k2: the next batch absorbs the move in-stream
+    // (one reset generation) and the null group's fact lands in B
+    dim.insert(Seq(("k2", "B")).toDF("k", "cat"))
+    settle()
+    fact.insert(Seq((3L, "k2", 2L)).toDF("id", "k", "v"))
+    settle()
+    val wm1 = b1.agg(max(col(ChangeFeed.CommitTsCol))).head.getLong(0)
+    val b2 = ChangeFeed.between(fact, wm1).localCheckpoint(true)
+    MvSync.applyFeedBatch(fact, mv, jspec, b2, 2L, "ql",
+      dimTables = Seq(dim), autoRebase = true)
+    assert(rows() == Set((Some("A"), 1L, 10L), (Some("B"), 2L, 7L)),
+      s"got ${rows()}")
+    // absorb ran the rebase tail: collapsed + fold-free
+    assert(mv.trySnapshot(Long.MaxValue).exists(MvSync.isFlatSnapshot))
+    b1.unpersist(); b2.unpersist()
+  }
+
   test("rebase cadence: every Nth batch collapses generations exactly-once and re-arms the fold-free read") {
     import graft.ice.ChangeFeed
     val base = newBase(); val mv = newMv()
