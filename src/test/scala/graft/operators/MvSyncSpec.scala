@@ -521,6 +521,49 @@ class MvSyncSpec extends SparkSpec {
     assert(got3 == Seq(("A", 1L, 10L), ("B", 1L, 5L), ("C", 2L, 9L)))
   }
 
+  test("exact count(distinct) composes with a LEFT dim: side views ride the same maintenance recursively") {
+    import graft.ice.IceTableConfig
+    import org.apache.spark.sql.functions.{concat, lit, pmod}
+    val fact = new IceTable(spark, tmpDir("mvxl_fact"), IceTableConfig(
+      partitionExpr = concat(lit("p="), pmod(col("id"), lit(2))),
+      sortOrder = Seq("id")))
+    val dim = new IceTable(spark, tmpDir("mvxl_dim"), IceTableConfig(
+      partitionExpr = lit("all"), sortOrder = Seq("k")))
+    val xspec = MvSync.MvSpec(Seq("cat"),
+      exactDistinctCols = Seq("f.v"),
+      joinDims = Seq(MvSync.MvJoinDim("dim", "f", "d", "f.k = d.k", "left")))
+    val mv = MvSync.create(spark, tmpDir("mvxl_mv"), xspec)
+    def oracle(): DataFrame = fact.read().alias("f")
+      .join(dim.read().alias("d"), expr("f.k = d.k"), "left")
+      .groupBy(col("cat")).agg(count(lit(1)).as("cnt"),
+        countDistinct(col("f.v")).as("xd_f_v"))
+    def check(): Unit =
+      assert(drift(MvSync.read(mv, xspec), oracle()) == 0L)
+
+    dim.insert(Seq(("k1", "A")).toDF("k", "cat"))
+    fact.insert(Seq((1L, "k1", 10L), (2L, "k2", 10L), (3L, "k2", 20L))
+      .toDF("id", "k", "v"))
+    settle(); MvSync.syncFromFeed(fact, mv, xspec, dimTables = Seq(dim))
+    check()
+    assert(MvSync.read(mv, xspec).where($"cat".isNull).head
+      .getAs[Long]("xd_f_v") == 2L, "null group must count {10, 20}")
+
+    // dim ARRIVAL: the k2 facts (and their side-state rows) move from
+    // the null-extended group into B — main AND side maintained signed
+    dim.insert(Seq(("k2", "B")).toDF("k", "cat"))
+    settle()
+    val (_, r1) = MvSync.syncFromFeed(fact, mv, xspec, dimTables = Seq(dim))
+    assert(r1 == 0L, "cnt-only spec stays signed through the dim move")
+    check()
+    assert(MvSync.read(mv, xspec).where($"cat" === "B").head
+      .getAs[Long]("xd_f_v") == 2L)
+    assert(MvSync.read(mv, xspec).where($"cat".isNull).isEmpty)
+
+    // rebase collapses main and sides; exactness survives
+    MvSync.rebase(fact, mv, xspec, dimTables = Seq(dim))
+    check()
+  }
+
   test("streaming LEFT-join view: batches null-extend; autoRebase absorbs a dim arrival into the real group") {
     import graft.ice.{ChangeFeed, IceTableConfig}
     import org.apache.spark.sql.functions.{concat, lit, pmod}
