@@ -1056,7 +1056,7 @@ object Bench {
     val loadAvg =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val common =
-      s""""load_sec":${f(loadSec)},"insert_sec":${f(insertSec)},"merge_sec":${f(mergeSec)},"load_rows":$loadRows,"synthetic_insert_rows":$synthRows,"synthetic_insert_rows_per_sec":${(synthRows / synth.wallSec).toLong},$sectionJson,"bench_reps":$reps,"rep_stat":"median","effective_parallelism":${f(effParallelism)},"cpu_total_sec":${f(totalCpuNs / 1e9)},"steal_suspect":$stealSuspect,"probe_sec":${f(probeSec)},"bw_probe_sec":${f(bwProbeSec)},"cpu_ratio":${f(cpuRatio)},"contention_suspect":$contentionSuspect,"load_avg":${f(loadAvg)},"host_cpus":${Runtime.getRuntime.availableProcessors},"spark_cpus":$cpus,"scratch_medium":"${Fixtures.scratchMedium}","scratch_free_gb":${Fixtures.scratchFreeGb},"sf":"$sfDir""""
+      s""""load_sec":${f(loadSec)},"insert_sec":${f(insertSec)},"merge_sec":${f(mergeSec)},"load_rows":$loadRows,"synthetic_insert_rows":$synthRows,"synthetic_insert_rows_per_sec":${(synthRows / synth.wallSec).toLong},$sectionJson,"bench_reps":$reps,"rep_stat":"median_upper","effective_parallelism":${f(effParallelism)},"cpu_total_sec":${f(totalCpuNs / 1e9)},"steal_suspect":$stealSuspect,"probe_sec":${f(probeSec)},"bw_probe_sec":${f(bwProbeSec)},"cpu_ratio":${f(cpuRatio)},"contention_suspect":$contentionSuspect,"load_avg":${f(loadAvg)},"host_cpus":${Runtime.getRuntime.availableProcessors},"spark_cpus":$cpus,"scratch_medium":"${Fixtures.scratchMedium}","scratch_free_gb":${Fixtures.scratchFreeGb},"sf":"$sfDir""""
     // Full telemetry (per-query and per-section CPU pairings) — for humans
     // and for bench_out.json.
     // sf1 entries are [wall, cpu, min, gc] arrays (the "sf1_shape" key
@@ -1129,7 +1129,7 @@ object Bench {
     def core(dec: Int, sf1: String = sf1Slim): String =
       s""""metric":"total","value":${f(total)},"unit":"sec","queries":${qMap(dec)},"queries_cpu_min_gc":${cmgMap(dec)},"queries_sf1":$sf1,$sf1ProbesSlim${
         if (sf1Errors.isEmpty) "" else s""","sf1_errors":${errSlim(sf1Errors)}"""
-      },$mvCoreJson,"rep_stat":"median","bench_reps":$reps${
+      },$mvCoreJson,"rep_stat":"median_upper","bench_reps":$reps${
         if (errors.isEmpty) "" else s""","errors":${errSlim(errors)}"""
       },"steal_suspect":$stealSuspect,"probe_sec":${"%.3f".format(probeSec)},"bw_probe_sec":${"%.3f".format(bwProbeSec)},"cpu_ratio":${"%.2f".format(cpuRatio)},"gc_total_sec":${"%.1f".format(totalGcMs / 1e3)},"contention_suspect":$contentionSuspect,"sf":"$sfDir""""
     // optional fragments, FIRST-listed sheds FIRST

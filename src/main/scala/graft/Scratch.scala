@@ -123,6 +123,16 @@ object Scratch {
     val xvD = MvSync.MvViewDef.decode(xvT.cfg.mvDef.get)
     export("xdistinct", xvT, MvSync.readView(xvT, xvD))
 
+    // ---- xdgroup: exact_count_distinct over a GROUP column — the side
+    // key set stays deduped (a repeated column name would be an
+    // ambiguous reference in DuckDB's binder)
+    spark.sql("""CREATE MATERIALIZED VIEW graft.xg AS
+      SELECT grp, count(*) AS cnt, exact_count_distinct(grp) AS ug
+      FROM graft.xb GROUP BY grp""").collect()
+    val xgT = IceTable.open(spark, s"$wh/xg")
+    val xgD = MvSync.MvViewDef.decode(xgT.cfg.mvDef.get)
+    export("xdgroup", xgT, MvSync.readView(xgT, xgD))
+
     spark.stop()
   }
 }

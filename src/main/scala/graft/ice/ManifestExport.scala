@@ -165,7 +165,10 @@ object ManifestExport {
     val xdCtes = xdBodies.map { case (c, b) =>
       val cte = xdCte(c)
       val v = q(spec.xdValCol(c))
-      val gv = (spec.groupCols.map(q) :+ v).mkString(", ")
+      // distinct: exact_count_distinct over a GROUP column keeps the
+      // side key set unchanged (mirrors MvSync.xdSideSpec) — a repeated
+      // name would be an ambiguous reference in DuckDB's binder
+      val gv = (spec.groupCols.map(q) :+ v).distinct.mkString(", ")
       val gOnly = xdKey.mkString(", ")
       if (b.isEmpty)
         s"""$cte AS (

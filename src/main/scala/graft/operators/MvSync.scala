@@ -435,8 +435,17 @@ object MvSync {
     // key set is unchanged (appending would duplicate the name and break
     // every groupBy/write of the side view) — the side fold then holds
     // one live row per group and the read counts it, which is exactly
-    // count(distinct g) == 1 per live group
-    val already = spec.groupCols.exists(_.equalsIgnoreCase(v))
+    // count(distinct g) == 1 per live group. Only an UNQUALIFIED
+    // self-reference qualifies: a qualified arg (f.v) whose SANITIZED
+    // name (f_v) collides with an unrelated real group column must
+    // refuse loudly, not silently key the side state off the wrong
+    // column
+    val already = !c.contains('.') &&
+      spec.groupCols.exists(_.equalsIgnoreCase(c))
+    require(already || !spec.groupCols.exists(_.equalsIgnoreCase(v)),
+      s"exact_count_distinct($c) materializes its value column as `$v`, " +
+        "which collides with a group column of the view — qualify or " +
+        "rename so the side state keys off the intended values")
     spec.copy(
       groupCols = if (already) spec.groupCols else spec.groupCols :+ v,
       sumCols = Nil, minMaxCols = Nil, countCols = Nil,

@@ -1507,8 +1507,6 @@ object GraftSqlParser {
           // correct old-definition view), persist the definition LAST
           val n = MvSync.rebase(IceTable.open(session, srcRoot), mv,
             newDef.spec, dimTables = dimT)
-          val aliveAfterSeed = mv.snapshot(Long.MaxValue)
-            .aliveFiles.map(_.path).toSet
           new IceTable(session, root, mv.cfg.copy(
             sortOrder = newDef.spec.groupCols,
             customMergeSql = MvSync.mvConfig(newDef.spec,
@@ -1519,14 +1517,20 @@ object GraftSqlParser {
           // decoded the old spec) landing between the rebase and the
           // config commit writes old-shaped partials AFTER the new reset
           // generation — the added columns would permanently undercount
-          // that window. persistConfig writes no data files, so any
-          // change to the ALIVE DATA SET since the seed is a foreign
-          // maintenance write: absorb it with a second rebase under the
-          // now-persisted definition (idempotent; only the race pays it)
+          // that window. The detector is the rebase's own FLAT-STATE
+          // proof: the rebase records its mark strictly above every
+          // marker it left alive, and the causal commit floor puts ANY
+          // later maintenance write — even one landing before we could
+          // list — at or above the mark, so a surviving proof means no
+          // foreign data write exists anywhere in the window
+          // (persistConfig appends no file markers and cannot
+          // invalidate it). A broken proof → one idempotent re-rebase
+          // under the now-persisted definition; a skew-skipped mark
+          // costs the same single extra rebase, never a loop
           val reopened = IceTable.open(session, root)
-          val aliveNow = reopened.snapshot(Long.MaxValue)
-            .aliveFiles.map(_.path).toSet
-          if (aliveNow != aliveAfterSeed) {
+          val stillFlat = reopened.trySnapshot(Long.MaxValue)
+            .exists(MvSync.isFlatSnapshot)
+          if (!stillFlat) {
             MvSync.rebase(IceTable.open(session, srcRoot), reopened,
               newDef.spec, dimTables = dimT)
             ()
@@ -1551,7 +1555,12 @@ object GraftSqlParser {
     * break), an unknown alias, or every last output. A concurrent
     * old-definition maintainer (streaming sink, racing REFRESH) keeps
     * writing the wider state harmlessly — extra columns are ignored,
-    * never wrong, which is why DROP needs none of ADD's sequencing. */
+    * never wrong, which is why DROP needs none of ADD's sequencing —
+    * with ONE exception: dropping the last output over an
+    * `exact_count_distinct` column also reclaims its `_xd/` side
+    * table, and a live OLD-spec streaming sink would recreate and keep
+    * feeding it; stop the sink before dropping exact-distinct outputs
+    * (other drops remain sequencing-free). */
   final case class GraftAlterMvDropCommand(name: String, drops: Seq[String])
       extends LeafRunnableCommand {
     import graft.operators.MvSync
@@ -1609,8 +1618,14 @@ object GraftSqlParser {
           // exact-distinct side tables whose LAST referencing output was
           // dropped are dead state sized (group × distinct values) —
           // unlike dead columns in main rows, no later rebase would ever
-          // visit them again. Reclaim now (ALTER is sequenced like the
-          // schema change it is; no maintainer may run concurrently)
+          // visit them again. Reclaim now. NOTE: this is the one DROP
+          // that inherits ADD's sequencing caveat — a live OLD-spec
+          // streaming sink would recreate (and keep feeding) the side
+          // table on its next batch; stop it first. Other drops stay
+          // sequencing-free (extra state columns are harmless). A failed
+          // delete surfaces through the maintenance-fallback hook so the
+          // operator never believes dead state was reclaimed when it
+          // was not
           val stillUsed = newDef.spec.exactDistinctCols
             .map(_.replace('.', '_').toLowerCase).toSet
           d.spec.exactDistinctCols
@@ -1621,7 +1636,14 @@ object GraftSqlParser {
               try {
                 p.getFileSystem(session.sparkContext.hadoopConfiguration)
                   .delete(p, true); ()
-              } catch { case _: Exception => () } // best-effort reclaim
+              } catch { case e: Exception =>
+                val f = MvSync.onFallback
+                if (f != null) f(s"ALTER MATERIALIZED VIEW DROP on $root: " +
+                  s"reclaim of side table _xd/$v failed " +
+                  s"(${e.getClass.getSimpleName}: " +
+                  s"${String.valueOf(e.getMessage).take(160)}) — dead " +
+                  "state remains on disk; delete the directory manually")
+              }
             }
           Seq(Row(drops.length.toLong))
       }

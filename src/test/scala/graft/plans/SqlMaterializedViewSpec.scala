@@ -360,6 +360,20 @@ class SqlMaterializedViewSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(g.map(_._2).forall(_ == 1L), s"got $g")
     assert(g.map(_._1) == Seq("a", "b", "c"))
+    // its export must not emit a duplicated group column in the side
+    // CTE (an ambiguous reference in DuckDB's binder)
+    val gsql = graft.ice.ManifestExport.duckDbViewSql(
+      IceTable.open(spark, s"$w/xdgmv"), "xdg_view")
+    assert(!gsql.contains("\"grp\", \"grp\""), s"duplicate column:\n$gsql")
+    // a QUALIFIED exact-distinct arg whose sanitized name collides with
+    // a real group column refuses loudly (silent mis-keying would be
+    // wrong counts); only the unqualified self-reference folds in
+    intercept[IllegalArgumentException] {
+      graft.operators.MvSync.xdSideSpec(graft.operators.MvSync.MvSpec(
+        groupCols = Seq("f_v"), exactDistinctCols = Seq("f.v"),
+        joinDims = Seq(graft.operators.MvSync.MvJoinDim(
+          "dim", "f", "d", "f.k = d.k"))), "f.v")
+    }
     // ALTER … DROP of the last output over an exact-distinct column
     // reclaims its side table (group × distinct-values-sized dead state
     // no rebase would ever visit again)
