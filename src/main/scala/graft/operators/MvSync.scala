@@ -1206,10 +1206,11 @@ object MvSync {
           "before the feed floor are unrecoverable — rebuild the view " +
           "(drop + initial sync) instead of silently diverging")
       val gen = b.agg(max(col(ChangeFeed.CommitTsCol))).head.getLong(0)
-      // cadence rebase: every Nth batch takes the absorb shape even with
-      // no dim move — the full reset generation both applies this batch
-      // AND collapses every older generation
-      val cadenceDue = rebaseEveryNBatches > 0 && batchId > 0 &&
+      // cadence rebase: every Nth batch (counting from 0 — a cadence hit
+      // on the first batch is just a seed-shaped recompute) takes the
+      // absorb shape even with no dim move: the full reset generation
+      // both applies this batch AND collapses every older generation
+      val cadenceDue = rebaseEveryNBatches > 0 &&
         batchId % rebaseEveryNBatches == 0
       if (moved.nonEmpty || cadenceDue) {
         // in-stream dim-move absorption: one full reset generation at
@@ -1593,7 +1594,14 @@ object MvSync {
     * agree). */
   private def reclaimAndArmFlat(mv: IceTable, until: Long,
       settleTimeoutMs: Long = 30_000L): Unit = {
-    mv.deleteWhere(col("gen") < until) // reclaim superseded generations
+    // reclaim superseded generations AND the fresh generation's cnt=0
+    // retraction rows: they exist to mask older rows of emptied groups
+    // during the commit→reclaim window, and once the older generations
+    // are gone (this same atomic CoW) they are pure dead weight — a
+    // long-lived absorb/cadence stream would otherwise accumulate one
+    // tombstone row per ever-emptied group forever
+    mv.deleteWhere(col("gen") < until ||
+      (col("gen") === until && col("cnt") === 0))
     val ceil = math.max(mv.commitVersion(),
       mv.trySnapshot(Long.MaxValue).toSeq
         .flatMap(_.aliveFiles.map(_.createdMs)).maxOption.getOrElse(0L))

@@ -669,6 +669,35 @@ class MvSyncSpec extends SparkSpec {
     assert(a.getAs[Long]("cnt") == 1L && a.getAs[Long]("sum_v") == 7L)
   }
 
+  test("mvSyncSink rebaseEveryNBatches: the stream self-defragments and survives a restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = newBase(); val mv = newMv()
+    val ckpt = tmpDir("mvcad_ckpt")
+    base.insert(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "grp", "v"))
+    Thread.sleep(5)
+    val q1 = graft.streaming.Streams.mvSyncSink(base, mv, spec, ckpt,
+      trigger = Trigger.AvailableNow(), rebaseEveryNBatches = 1)
+    q1.awaitTermination()
+    assert(drift(MvSync.read(mv, spec), expected(base)) == 0L)
+    // every batch is a cadence batch here: the view stays collapsed and
+    // the fold-free read armed after each one
+    assert(mv.trySnapshot(Long.MaxValue).exists(MvSync.isFlatSnapshot),
+      "cadence must leave the view flat")
+    assert(mv.read().count() == 2L, "generations must be collapsed")
+    // restart from the same checkpoint after more DML — exactly-once
+    // across cadence batches, still flat, still exact
+    base.insert(Seq((3L, "a", 7L)).toDF("id", "grp", "v"))
+    DeleteVectors.deleteWhere(base, col("id") === 2L)
+    Thread.sleep(5)
+    val q2 = graft.streaming.Streams.mvSyncSink(base, mv, spec, ckpt,
+      trigger = Trigger.AvailableNow(), rebaseEveryNBatches = 1)
+    q2.awaitTermination()
+    assert(drift(MvSync.read(mv, spec), expected(base)) == 0L)
+    assert(mv.trySnapshot(Long.MaxValue).exists(MvSync.isFlatSnapshot))
+    assert(mv.read().count() === MvSync.read(mv, spec).count(),
+      "one stored row per live group after the cadence rebase")
+  }
+
   test("compaction folds within a (group, gen, is_reset) cell only") {
     val base = newBase(); val mv = newMv()
     base.insert(Seq((1L, "a", 10L)).toDF("id", "grp", "v"))
