@@ -1268,7 +1268,8 @@ final class IceTable(
     * with matching rows dropped instead of rewritten. Merge-on-read
     * alternative: [[DeleteVectors.deleteWhere]]. Returns rows deleted. */
   def deleteWhere(cond: Column): Long =
-    mutateAffected(cond)(df => df.where(!coalesce(cond, lit(false))))
+    mutateAffected(cond, dropsMatched = true)(
+      df => df.where(!coalesce(cond, lit(false))))
 
   /** MERGE INTO / upsert (replacing semantics, atomic): after the call
     * the table holds `(rows whose key ∉ source) ∪ source` — matched keys
@@ -1436,7 +1437,8 @@ final class IceTable(
     * anything is written or accumulated into the schema. Keys shadowed
     * by a data column keep the file's values, as this scan always did. */
   private def mutateAffected(cond: Column,
-      precheck: Option[DataFrame => Unit] = None)(
+      precheck: Option[DataFrame => Unit] = None,
+      dropsMatched: Boolean = false)(
       transform: DataFrame => DataFrame): Long = {
     val dvStampAtRead = dvStamp() // BEFORE any read — see validatedRewriteCommit
     val snap = trySnapshot(Long.MaxValue).getOrElse(return 0L)
@@ -1477,13 +1479,27 @@ final class IceTable(
     val probed = withVirtFromPath(applyDv(scan
       .withColumn("_p", relPathCol)
       .withColumn("_r", col("_metadata.row_index"))))
-    val hits = probed.where(cond)
-      .groupBy(col("_p")).agg(count(lit(1)).as("_n"))
+    // one probe pass computes BOTH the per-file match count and the
+    // per-file alive total: when the mutation DROPS matched rows
+    // (delete), a file whose every alive row matches needs no rewrite at
+    // all — tombstone-only, zero read/write. A rebase reclaim (gen <
+    // until) empties every superseded generation's files, so this turns
+    // its CoW from file-count rewrite jobs into one probe + one commit.
+    val hits = probed
+      .groupBy(col("_p")).agg(count(when(cond, 1)).as("_n"),
+        count(lit(1)).as("_t"))
+      .where(col("_n") > 0)
       .collect() // file-count scale: one row per AFFECTED file
     if (hits.isEmpty) return 0L
     val matched = hits.map(_.getLong(1)).sum
     val affected = hits.map(_.getString(0)).toSet
+    val emptied: Set[String] =
+      if (dropsMatched)
+        hits.filter(r => r.getLong(1) == r.getLong(2))
+          .map(_.getString(0)).toSet
+      else Set.empty
     val targets = snap.aliveFiles.filter(m => affected(m.path))
+    val rewriteTargets = targets.filterNot(m => emptied(m.path))
     // caller's one-shot validation pass (e.g. updateWhere's CHECK
     // pre-flight) over the AFFECTED files only, before any rewrite
     // writes a byte
@@ -1503,7 +1519,7 @@ final class IceTable(
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       implicit val ec: scala.concurrent.ExecutionContext = IceTable.insertPool
-      Await.result(Future.traverse(targets) { m =>
+      Await.result(Future.traverse(rewriteTargets) { m =>
         Future {
           val src = applyDv(spark.read.schema(schema).parquet(s"$root/${m.path}")
             .withColumn("_p", lit(m.path))
