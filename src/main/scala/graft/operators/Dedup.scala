@@ -12,6 +12,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Edge-count bound for [[connectedComponents]]' driver fast path: 1M
+    * edges = 16 MB of longs (≤ ~100 MB collected as rows) — far under any
+    * sane driver heap, and union-find over it runs in ~0.1 s. Overridable
+    * for constrained drivers via SPARK_GRAFT_CC_DRIVER_MAX_EDGES. */
+  private val DriverCcMaxEdges: Long =
+    sys.env.get("SPARK_GRAFT_CC_DRIVER_MAX_EDGES").flatMap(_.toLongOption)
+      .getOrElse(1_000_000L)
+
   /** Exact dedup: keep the lowest-`idCol` row per content hash. One shuffle
     * on the 128-bit content hash; ties broken deterministically. */
   def exactDedup(df: DataFrame, contentCols: Seq[String], idCol: String): DataFrame = {
@@ -359,6 +367,47 @@ object Dedup {
       (r.getLong(0), r.getLong(1))
     }
     var s = sig(edges)
+    // DRIVER FAST PATH: the star loop costs 2+ Spark jobs per round
+    // (localCheckpoint + convergence signature) — irreducible latency
+    // that dominates every small/medium dup set (the common case: a
+    // verified near-dup edge list is orders of magnitude smaller than
+    // the corpus). The edge count is already in hand from sig(), so when
+    // the whole edge set is driver-sized, collect it once and run
+    // union-find locally — the SAME (id, component = min of component)
+    // forest, exactly, in one job. Past the bound the distributed
+    // O(log² n) loop is unchanged — components over 10⁹-edge graphs
+    // never touch the driver.
+    if (s._1 > 0 && s._1 <= DriverCcMaxEdges) {
+      import pairs.sparkSession.implicits._
+      val collected = edges.as[(Long, Long)].collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        // path compression
+        var c = x
+        while (parent.getOrDefault(c, c) != c) {
+          val nxt = parent.get(c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      collected.foreach { case (u, v) =>
+        val ru = find(u); val rv = find(v)
+        // union by MIN root: the component label contract
+        if (ru != rv) {
+          if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+        }
+      }
+      val forest = collected.iterator
+        .flatMap { case (u, v) => Iterator(u, v) }
+        .map(n => (n, find(n)))
+        .filter { case (n, r) => n != r }
+        .toSeq.distinct
+      val starEdges = pairs.sparkSession
+        .createDataFrame(forest).toDF("id", "_c")
+      return nodes.join(starEdges, Seq("id"), "left")
+        .select(col("id"), coalesce(col("_c"), col("id")).as("component"))
+    }
     var converged = edges.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {

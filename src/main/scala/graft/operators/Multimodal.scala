@@ -27,6 +27,18 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** Codec passes are embarrassingly parallel and CPU-bound, but their
+    * input is often one small parquet split (a single scan partition),
+    * which would run the whole encode/decode on one core. Spread UP to
+    * the session's default parallelism; inputs that already carry enough
+    * partitions pass through untouched (at scale the scan itself
+    * supplies the parallelism). Row-level ops are per-row deterministic,
+    * so the row→partition mapping cannot change any result. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** splitmix64-style finalizer shared by every synthetic content
     * generator (pixel/sample/frame hashing — one place to tweak
     * distinctness, which round 8 already had to do once per modality). */
@@ -120,6 +132,13 @@ object Multimodal {
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
     import javax.imageio.ImageIO
 
+    // ImageIO's default stream cache is FILE-backed: every decode of an
+    // in-memory payload writes the bytes to a temp file first (one create
+    // + write + delete per image — measured ~0.5 ms each, pure overhead
+    // for payloads that are already byte arrays). Memory-cached streams
+    // decode identical pixels. Process-wide, set once.
+    ImageIO.setUseCache(false)
+
     /** Decode payload → image, None when bytes aren't a supported format. */
     def decode(payload: Array[Byte]): Option[BufferedImage] =
       if (payload == null || payload.isEmpty) None
@@ -157,7 +176,7 @@ object Multimodal {
   def packPng(df: DataFrame, idCol: String): DataFrame = {
     import java.awt.image.BufferedImage
     val enc = RowEncoder.encoderFor(mediaSchema)
-    df.select(col(idCol).cast("long").as("media_id"))
+    spread(df.select(col(idCol).cast("long").as("media_id")))
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -195,7 +214,7 @@ object Multimodal {
   def packWav(df: DataFrame, idCol: String): DataFrame = {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     val enc = RowEncoder.encoderFor(mediaSchema)
-    df.select(col(idCol).cast("long").as("media_id"))
+    spread(df.select(col(idCol).cast("long").as("media_id")))
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -274,6 +293,12 @@ object Multimodal {
     * fingerprints. */
   private[operators] def aHashOf(img: java.awt.image.BufferedImage): Long = {
     val w = img.getWidth; val h = img.getHeight
+    // one bulk getRGB for the whole raster: the per-pixel getRGB(x, y)
+    // call re-resolves the color model per pixel (~100 ns each, and the
+    // per-cell rectangles re-read overlapping pixels when w or h < 8);
+    // the bulk form converts the raster once and the cell loops below
+    // read a plain int[]. Same sRGB ints, same hash.
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
     val cells = new Array[Double](64)
     var cy = 0
     while (cy < 8) {
@@ -286,7 +311,7 @@ object Multimodal {
         while (y < y1) {
           var x = x0
           while (x < x1) {
-            val rgb = img.getRGB(x, y)
+            val rgb = px(y * w + x)
             sum += (((rgb >> 16) & 0xFF) * 299 +
               ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000.0
             n += 1; x += 1
@@ -582,7 +607,7 @@ object Multimodal {
     * samples = (10 + id % 20) * 1152. */
   def packMp3(df: DataFrame, idCol: String): DataFrame = {
     val enc = RowEncoder.encoderFor(mediaSchema)
-    df.select(col(idCol).cast("long").as("media_id"))
+    spread(df.select(col(idCol).cast("long").as("media_id")))
       .mapPartitions { rows =>
         val frameLen = 144 * 128000 / 44100 // 417 bytes, padding 0
         rows.map { r =>
@@ -621,7 +646,7 @@ object Multimodal {
       System.arraycopy(body, 0, out, 28, body.length)
       out
     }
-    df.select(col(idCol).cast("long").as("media_id"))
+    spread(df.select(col(idCol).cast("long").as("media_id")))
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -757,7 +782,7 @@ object Multimodal {
     * `(320 + 16·(id%8)) × (240 + 16·(id%8))`, frames `30 · duration`. */
   def packMp4(df: DataFrame, idCol: String): DataFrame = {
     val enc = RowEncoder.encoderFor(mediaSchema)
-    df.select(col(idCol).cast("long").as("media_id"))
+    spread(df.select(col(idCol).cast("long").as("media_id")))
       .mapPartitions { rows =>
         def w32(b: Array[Byte], o: Int, v: Long): Unit = {
           b(o) = ((v >> 24) & 0xff).toByte; b(o + 1) = ((v >> 16) & 0xff).toByte
@@ -907,7 +932,7 @@ object Multimodal {
     import java.io.ByteArrayOutputStream
     import javax.imageio.ImageIO
     val enc = RowEncoder.encoderFor(mediaSchema)
-    df.select(col(idCol).cast("long").as("media_id"))
+    spread(df.select(col(idCol).cast("long").as("media_id")))
       .mapPartitions { rows =>
         def w32(b: Array[Byte], o: Int, v: Long): Unit = {
           b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
