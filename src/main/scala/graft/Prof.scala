@@ -38,9 +38,73 @@ object Prof {
     section match {
       case "logfold" => logfold(spark)
       case "mv" => mv(spark)
+      case "b11" => b11(spark, args.lift(1).getOrElse("/root/testdata/sf0.1"))
+      case "b11sf1" =>
+        val dest = synthSf1(spark, "/root/testdata/sf0.1")
+        b11(spark, dest)
+        rm(new java.io.File(dest))
+      case "q" =>
+        // time named registered queries with the bench's methodology
+        // (count(), untimed warmup first): runMain graft.Prof q q1,q2 [sfDir]
+        val names = args.lift(1).map(_.split(",").toSeq).getOrElse(Seq.empty)
+        val sfDir = args.lift(2).getOrElse("/root/testdata/sf0.1")
+        val qs = SparkEntry.queries
+        names.foreach { n => try qs(n)(spark, sfDir).count()
+          catch { case e: Throwable => println(s"[prof] $n warm FAILED: $e") } }
+        (1 to 3).foreach { i => names.foreach { n =>
+          timeIt(s"$n rep$i") { qs(n)(spark, sfDir).count() } } }
       case other => System.err.println(s"unknown section: $other")
     }
     spark.stop()
+  }
+
+  /** The bench's sf1 lineitem synthesis (10 key-offset replicas). */
+  private def synthSf1(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    val dest = Fixtures.scratchDir("prof_sf1")
+    val off = 10_000_000L
+    val base = Fixtures.raw(spark, sfDir, "lineitem")
+    timeIt("synth sf1 lineitem") {
+      (0 until 10).map(i =>
+        base.withColumn("l_orderkey", col("l_orderkey") + lit(off * i)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dest/lineitem.parquet")
+    }
+    dest
+  }
+
+  /** b11_topk decomposition: scan-only, long-sum, double-sum, decimal-sum
+    * (the registered shape), with and without the top-k tail. */
+  private def b11(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+    val t = Fixtures.lineitemIce(spark, sfDir)
+    def scan = t.read()
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def grouped = scan.groupBy(col("l_orderkey"))
+    def dec38 = grouped
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+    def int64 = grouped
+      .agg((sum((dec(col("l_extendedprice")) * 100).cast("long") *
+        (lit(100L) - (dec(col("l_discount")) * 100).cast("long"))) / lit(10000.0))
+        .as("revenue"))
+    timeIt("warm") { noop(dec38); noop(int64) }
+    (1 to 2).foreach { i =>
+      timeIt(s"noop scan rep$i") { noop(scan.select("l_orderkey", "l_extendedprice", "l_discount")) }
+      timeIt(s"noop group dec38 rep$i") { noop(dec38) }
+      timeIt(s"noop group int64 rep$i") { noop(int64) }
+      timeIt(s"topk dec38 rep$i") {
+        dec38.orderBy(col("revenue").desc, col("l_orderkey")).limit(10).count() }
+      timeIt(s"topk int64 rep$i") {
+        int64.orderBy(col("revenue").desc, col("l_orderkey")).limit(10).count() }
+    }
+    // equality probe: the two arithmetics must agree bit-for-bit
+    val a = dec38.orderBy(col("revenue").desc, col("l_orderkey")).limit(10).collect()
+    val b = int64.orderBy(col("revenue").desc, col("l_orderkey")).limit(10).collect()
+    println(s"[prof] equal=${a.sameElements(b)}")
+    a.zip(b).foreach { case (x, y) => if (x != y) println(s"[prof] DIFF $x vs $y") }
   }
 
   /** Replicates Bench's mv_full_reagg / mv_refresh_delta shapes with

@@ -1397,12 +1397,24 @@ object SparkEntry {
           expr("percentile(l_quantity, 0.9)").as("p90"))
     }),
     "b11_topk" -> ((s, d) => {
+      // Exact scale-4 arithmetic in INTEGER units: revenue_e4 = Σ
+      // price_e2·(100 − disc_e2) summed as plain longs, divided by 10⁴
+      // at the end. Bit-identical to the former decimal(38,4) sum (the
+      // e2 units come from the same HALF_UP decimal(18,2) casts, the
+      // products and sums are exact in both domains — per-group sums
+      // ≪ 2⁵³ — and long/1e4 is the correctly-rounded double of the same
+      // rational, which is what casting the exact decimal to double
+      // yields; QueryEquivalenceSpec pins this, the oracle hash-matches
+      // both). Why: sum over decimal(38,4) stores >18-digit values as
+      // byte arrays in the agg buffer — per-row BigDecimal serialize +
+      // deserialize — and at sf1's 1.5M groups that measured 420-1100
+      // CPU-s vs 15-60 for the long form (10-30× — the recorded sf1
+      // cliff), with identical results.
       Fixtures.lineitemIce(s, d).read()
         .groupBy(col("l_orderkey"))
-        // exact scale-4 decimal sum straight to double (a re-cast to scale 2
-        // would expose Spark HALF_UP vs DuckDB HALF_EVEN at half-cents)
-        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-          .cast("double").as("revenue"))
+        .agg((sum((dec(col("l_extendedprice")) * 100).cast("long") *
+          (lit(100L) - (dec(col("l_discount")) * 100).cast("long"))) /
+          lit(10000.0)).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),

@@ -37,6 +37,16 @@ object TextFunctions {
         i => concat_ws(" ", slice(t, i + 1, lit(k))))))
   }
 
+  /** Distinct xxhash64 k-shingle hashes in one native call — the hot-path
+    * form of [[shingles]] for MinHash-family operators: no token strings
+    * ever materialize as rows, no shuffle before the hash (see
+    * [[org.apache.spark.sql.graft.ShingleHash]] for the bit-exact
+    * contract with the exploded-window pipeline it replaces). */
+  def shingleHashes(text: Column, k: Int = 3): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.graft.ShingleHash(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text), k))
+
   // ------------------------------------------------------------ language ID
 
   private val stopwords: Map[String, Seq[String]] = Map(

@@ -132,38 +132,22 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
 
-    // THE one tokenization pass, fully codegen-friendly. The higher-order
-    // shingle expression (transform+slice+concat_ws) evaluates interpreted
-    // and dominated round 2's bench; instead: posexplode tokens, pick up
-    // the next k−1 tokens with window lead() (one bounded per-doc sort),
-    // and hash the k tokens directly with multi-arg xxhash64 — no shingle
-    // strings are ever built. Shingle-set semantics are preserved by the
-    // distinct on (_id, _h); docs shorter than k keep their one padded
-    // shingle (the `_p === 0` branch), matching `shingles()`'s short-doc
-    // rule. Everything below derives from this compact (id, 64-bit hash)
-    // table: signatures, banding, sizes, and the exact verification — the
-    // text is scanned exactly once and the cache holds two longs per
-    // shingle, not string arrays.
-    //
-    // (Measured alternative, rejected: building the shingles shuffle-free
-    // with arrays_zip over k left-shifted slices + posexplode benched
-    // 2.1-2.9 s vs 1.0-1.5 s for this shape at sf0.1×32 threads — the
-    // zipped struct array falls out of whole-stage codegen and allocates
-    // per-element structs, costing more than the window's one bounded
-    // per-doc sort.)
-    val w = Window.partitionBy("_id").orderBy("_p")
-    val leads = (1 until shingleK).map(j =>
-      coalesce(lead(col("_t"), j).over(w), lit("")).as(s"_t$j"))
-    val lastLead = lead(col("_t"), shingleK - 1).over(w)
+    // THE one tokenization pass, entirely inside the scan task. Round 2
+    // used the higher-order shingle expression (interpreted — dominated
+    // the bench); rounds 3-15 used posexplode + window lead() + multi-arg
+    // xxhash64 + distinct — codegen'd, but the window SHUFFLED AND SORTED
+    // every token string and the distinct shuffled every (id, hash) row.
+    // The native [[graft.functions.TextFunctions.shingleHashes]]
+    // expression (this round) computes the same distinct multi-arg-
+    // xxhash64 shingle set per document in one generated call — same
+    // tokens, same seed-chained hash, same short-doc ""-padding rule,
+    // pinned bit-exact against the old pipeline by ShingleHashSpec — so
+    // the only shuffle left ahead of banding is banding's own. The cache
+    // holds two longs per shingle, not string arrays.
     val tok = df
       .select(col(idCol).as("_id"),
-        posexplode(tokens(col(textCol))).as(Seq("_p", "_t")))
-      .select(Seq(col("_id"), col("_p"), col("_t"),
-        lastLead.isNotNull.as("_full")) ++ leads: _*)
-      .where(col("_full") || col("_p") === 0)
-      .select(col("_id"),
-        xxhash64(col("_t") +: (1 until shingleK).map(j => col(s"_t$j")): _*).as("_h"))
-      .distinct()
+        explode(graft.functions.TextFunctions.shingleHashes(
+          col(textCol), shingleK)).as("_h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize the cache NOW: four downstream branches read tok, and if
     // the first action schedules them as sibling stages they all recompute
@@ -348,38 +332,31 @@ object Dedup {
       maxIter: Int = 30): DataFrame = {
     val nodes = pairs.select(col(aCol).cast("long").as("id"))
       .union(pairs.select(col(bCol).cast("long").as("id"))).distinct()
-    var edges = pairs
+    val edges0 = pairs
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .where(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
-      .localCheckpoint(true)
 
-    // Convergence = the (count, hash-sum) signature of the edge set stops
-    // moving. One tiny aggregate per round instead of a full exceptAll
-    // anti-join; a collision would need two distinct edge sets with equal
-    // count AND equal xxhash64 sum mid-run — vanishingly unlikely.
-    def sig(e: DataFrame): (Long, Long) = {
-      // hashes reduced mod a prime before summing: a raw xxhash64 sum can
-      // overflow Long, which ANSI mode (Spark 4 default) turns into an error
-      val r = e.agg(count(lit(1)),
-        coalesce(sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L))), lit(0L))).head
-      (r.getLong(0), r.getLong(1))
-    }
-    var s = sig(edges)
     // DRIVER FAST PATH: the star loop costs 2+ Spark jobs per round
     // (localCheckpoint + convergence signature) — irreducible latency
     // that dominates every small/medium dup set (the common case: a
     // verified near-dup edge list is orders of magnitude smaller than
-    // the corpus). The edge count is already in hand from sig(), so when
-    // the whole edge set is driver-sized, collect it once and run
-    // union-find locally — the SAME (id, component = min of component)
-    // forest, exactly, in one job. Past the bound the distributed
-    // O(log² n) loop is unchanged — components over 10⁹-edge graphs
-    // never touch the driver.
-    if (s._1 > 0 && s._1 <= DriverCcMaxEdges) {
+    // the corpus). Probe with ONE bounded job: limit(max+1) either
+    // returns the ENTIRE edge set (≤ max rows — run union-find locally,
+    // producing the SAME (id, component = min of component) forest,
+    // exactly) or proves it is bigger than the bound, in which case the
+    // distributed O(log² n) loop below runs unchanged — components over
+    // 10⁹-edge graphs never touch the driver.
+    val ccMax = math.min(DriverCcMaxEdges, Int.MaxValue - 1L).toInt
+    val probe: Array[(Long, Long)] = {
       import pairs.sparkSession.implicits._
-      val collected = edges.as[(Long, Long)].collect()
+      edges0.limit(ccMax + 1).as[(Long, Long)].collect()
+    }
+    if (probe.isEmpty) // no edges at all: every node is its own component
+      return nodes.select(col("id"), col("id").as("component"))
+    if (probe.length <= ccMax) {
+      val collected = probe
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -408,6 +385,20 @@ object Dedup {
       return nodes.join(starEdges, Seq("id"), "left")
         .select(col("id"), coalesce(col("_c"), col("id")).as("component"))
     }
+    var edges = edges0.localCheckpoint(true)
+
+    // Convergence = the (count, hash-sum) signature of the edge set stops
+    // moving. One tiny aggregate per round instead of a full exceptAll
+    // anti-join; a collision would need two distinct edge sets with equal
+    // count AND equal xxhash64 sum mid-run — vanishingly unlikely.
+    def sig(e: DataFrame): (Long, Long) = {
+      // hashes reduced mod a prime before summing: a raw xxhash64 sum can
+      // overflow Long, which ANSI mode (Spark 4 default) turns into an error
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L))), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    var s = sig(edges)
     var converged = edges.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
