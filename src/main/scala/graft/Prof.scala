@@ -43,6 +43,7 @@ object Prof {
         val dest = synthSf1(spark, "/root/testdata/sf0.1")
         b11(spark, dest)
         rm(new java.io.File(dest))
+      case "tok" => tokAb(spark, args.lift(1).getOrElse("/root/testdata/sf0.1"))
       case "q" =>
         // time named registered queries with the bench's methodology
         // (count(), untimed warmup first): runMain graft.Prof q q1,q2 [sfDir]
@@ -56,6 +57,60 @@ object Prof {
       case other => System.err.println(s"unknown section: $other")
     }
     spark.stop()
+  }
+
+  /** In-process A/B of the minhash tok-build variants: legacy
+    * posexplode+window pipeline vs native ShingleHash, single-split vs
+    * spread. Each builds + counts the (id, hash) table 3×. */
+  private def tokAb(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val k = 3
+    val docs = Fixtures.raw(spark, sfDir, "documents")
+      .select(col("doc_id").as("_id"), col("text"))
+    def legacy = {
+      val w = Window.partitionBy("_id").orderBy("_p")
+      val leads = (1 until k).map(j =>
+        coalesce(lead(col("_t"), j).over(w), lit("")).as(s"_t$j"))
+      val lastLead = lead(col("_t"), k - 1).over(w)
+      docs.select(col("_id"),
+          posexplode(graft.functions.TextFunctions.tokens(col("text"))).as(Seq("_p", "_t")))
+        .select(Seq(col("_id"), col("_p"), col("_t"),
+          lastLead.isNotNull.as("_full")) ++ leads: _*)
+        .where(col("_full") || col("_p") === 0)
+        .select(col("_id"),
+          xxhash64(col("_t") +: (1 until k).map(j => col(s"_t$j")): _*).as("_h"))
+        .distinct()
+    }
+    def nativeFlat = docs.select(col("_id"),
+      explode(graft.functions.TextFunctions.shingleHashes(col("text"), k)).as("_h"))
+    def nativeSpread = docs.repartition(spark.sparkContext.defaultParallelism)
+      .select(col("_id"),
+        explode(graft.functions.TextFunctions.shingleHashes(col("text"), k)).as("_h"))
+    def nativeById = docs.repartition(
+        spark.sparkContext.defaultParallelism, col("_id"))
+      .select(col("_id"),
+        explode(graft.functions.TextFunctions.shingleHashes(col("text"), k)).as("_h"))
+    // warm
+    legacy.count(); nativeFlat.count(); nativeSpread.count()
+    (1 to 3).foreach { i =>
+      timeIt(s"legacy window tok rep$i") { legacy.count() }
+      timeIt(s"native 1-split tok rep$i") { nativeFlat.count() }
+      timeIt(s"native spread tok rep$i") { nativeSpread.count() }
+      // downstream shape: the banding groupBys fed by each variant
+      timeIt(s"legacy + banding rep$i") {
+        legacy.withColumn("_b", pmod(col("_h"), lit(128)).cast("int"))
+          .groupBy("_id", "_b").agg(min(col("_h"))).count() }
+      timeIt(s"spread + banding rep$i") {
+        nativeSpread.withColumn("_b", pmod(col("_h"), lit(128)).cast("int"))
+          .groupBy("_id", "_b").agg(min(col("_h"))).count() }
+      timeIt(s"1split + banding rep$i") {
+        nativeFlat.withColumn("_b", pmod(col("_h"), lit(128)).cast("int"))
+          .groupBy("_id", "_b").agg(min(col("_h"))).count() }
+      timeIt(s"byid + banding rep$i") {
+        nativeById.withColumn("_b", pmod(col("_h"), lit(128)).cast("int"))
+          .groupBy("_id", "_b").agg(min(col("_h"))).count() }
+    }
   }
 
   /** The bench's sf1 lineitem synthesis (10 key-offset replicas). */

@@ -205,6 +205,18 @@ final class IceTable(
   def snapshot(maxTs: Long = Long.MaxValue): IceSnapshot =
     logio.readAtMaxTime(root, maxTs)
 
+  /** Strict-`<` fold bound covering every commit this JVM has observed
+    * for this table, plus anything stamped up to the current
+    * millisecond. The wall clock alone UNDER-covers: commit timestamps
+    * are floor-bumped strictly above every observed log (IceLogIO
+    * append), so a fast same-millisecond commit streak stamps logs
+    * "in the future" — a maintenance fold at bare now() would silently
+    * miss them (optimize planning against a snapshot that hides the
+    * rows it was called to compact). Explicit time-travel bounds are
+    * unaffected. */
+  private def coveringTs(): Long =
+    math.max(now(), IceLogIO.observedFloor(root, logRel)) + 1L
+
   def trySnapshot(maxTs: Long = Long.MaxValue): Option[IceSnapshot] =
     try Some(snapshot(maxTs)) catch { case _: NoLogFilesException => None }
 
@@ -223,11 +235,12 @@ final class IceTable(
     * tombstoned) but a leak that would compound across generations. The
     * canonical re-fold keeps each checkpoint exactly the live log state. */
   def writeCheckpoint(keep: Int = 3): Option[String] = {
-    // now()+1: the snapshot filter is strict `<`, and a commit made in
-    // THIS millisecond (e.g. cleanup's consolidated log, which calls this
-    // right after appending) must be coverable
+    // coveringTs: the snapshot filter is strict `<`, and a commit made
+    // in THIS millisecond (e.g. cleanup's consolidated log, which calls
+    // this right after appending) — or floor-bumped past it — must be
+    // coverable
     val rel = logio.writeCheckpoint(
-      root, logio.readAtMaxTime(root, now() + 1, useCheckpoints = false))
+      root, logio.readAtMaxTime(root, coveringTs(), useCheckpoints = false))
     logio.pruneCheckpoints(root, keep)
     rel
   }
@@ -1650,7 +1663,7 @@ final class IceTable(
       maxFileCount: Int,
       asc: Boolean,
       snapshotTs: Option[Long]): Option[MergeResult] = {
-    val snap = trySnapshot(snapshotTs.getOrElse(now())).getOrElse(return None)
+    val snap = trySnapshot(snapshotTs.getOrElse(coveringTs())).getOrElse(return None)
 
     // group *all* current markers (incl. tombstoned) like icedb.py:234-240
     val partitions = snap.files.groupBy(f => partitionOf(f.path))
@@ -1849,7 +1862,7 @@ final class IceTable(
     var floor = 0L
     var more = true
     while (more) {
-      val ts = math.max(now(), floor)
+      val ts = math.max(coveringTs(), floor)
       merge(maxFileSize, maxFileCount, asc, Some(ts)) match {
         case Some(r) => n += 1; floor = r.meta.timestamp + 1
         case None => more = false
@@ -1886,7 +1899,7 @@ final class IceTable(
     var floor = 0L
     while (progressed) {
       progressed = false
-      val snapOpt = trySnapshot(math.max(now(), floor))
+      val snapOpt = trySnapshot(math.max(coveringTs(), floor))
       snapOpt.foreach { snap =>
         val candidates = snap.files.groupBy(f => partitionOf(f.path)).toSeq
           .sortBy(_._1)
@@ -1957,7 +1970,7 @@ final class IceTable(
       partitions: Option[Set[String]] = None): Int = {
     require(filesPer >= 1, "filesPer must be >= 1")
     val dvStampAtRead = dvStamp() // BEFORE the dv-applying reads
-    val snap = trySnapshot(now()).getOrElse(return 0)
+    val snap = trySnapshot(coveringTs()).getOrElse(return 0)
     val byPart = snap.aliveFiles.groupBy(f => partitionOf(f.path)).toSeq
       .filter { case (p, _) => partitions.forall(_.contains(p)) }
       .sortBy(_._1)
@@ -2015,7 +2028,7 @@ final class IceTable(
       newPartitionExpr: Column,
       newSortOrder: Seq[String] = cfg.sortOrder): Int = {
     val dvStampAtRead = dvStamp() // BEFORE the dv-applying read
-    val snap = trySnapshot(now()).getOrElse(return 0)
+    val snap = trySnapshot(coveringTs()).getOrElse(return 0)
     if (snap.aliveFiles.isEmpty) return 0
     val src = readFilesApplyingDeletes(snap, snap.aliveFiles)
     // write through the standard insert machinery (clone with the new
@@ -2139,7 +2152,7 @@ final class IceTable(
     // the whole delete→append→delete sequence holds the commit lock: a
     // merge validating its sources must never interleave with cleanup
     // deleting the logs those sources came from
-    val nowMs = now()
+    val nowMs = coveringTs()
     val snap = snapshot(nowMs)
     val mergeLogFiles = snap.logFiles.filter(p => IceLogIO.logFileInfo(p)._2)
 
@@ -2770,7 +2783,7 @@ final class IceTable(
       transform: DataFrame => DataFrame)
       : (Option[String], Option[LogMetadata], Seq[String]) = {
     val dvStampAtRead = dvStamp() // BEFORE the dv-applying reads
-    val runTime = now()
+    val runTime = coveringTs()
     val snap = snapshot(runTime)
 
     val targets = snap.aliveFiles.filter(f => partitionOf(f.path) == targetPartition)

@@ -144,6 +144,13 @@ object Dedup {
     // pinned bit-exact against the old pipeline by ShingleHashSpec — so
     // the only shuffle left ahead of banding is banding's own. The cache
     // holds two longs per shingle, not string arrays.
+    // (Measured alternative, rejected: repartitioning a single-split
+    // corpus before hashing — round-robin pays the deterministic
+    // sort-before-repartition over the text rows (9-13 CPU-s at sf0.1)
+    // and by-id hash repartition still loses to the shuffle-free build
+    // (in-process A/B, Prof "tok"): at local scale the one-task hash
+    // build is cheaper than any shuffle, and at 100 TB the scan itself
+    // supplies the splits.)
     val tok = df
       .select(col(idCol).as("_id"),
         explode(graft.functions.TextFunctions.shingleHashes(

@@ -1099,6 +1099,22 @@ object MvSync {
     // identically (a row that never passed never retracts either), and
     // the derived key is computed on each image's own values
     val fprep = spec.prepare(feed, dims)
+    // INSERT-ONLY fast path (the common steady-state window): with no
+    // delete images and no forced resets, the delta is the partials
+    // (plus any signed rows) alone — the retracted-set checkpoint, its
+    // emptiness probe, and resetRows' prune collect are three Spark
+    // jobs of pure latency that would all operate on nothing. One
+    // limit(1) probe over the (checkpointed) feed decides.
+    if (extraRetracted.isEmpty &&
+        feed.where(col(ChangeFeed.ChangeTypeCol) === "delete").isEmpty) {
+      val partials = fprep
+        .where(col(ChangeFeed.ChangeTypeCol) === "insert")
+        .groupBy(groupCols: _*).agg(spec.aggExprs.head, spec.aggExprs.tail: _*)
+        .withColumn("gen", lit(gen))
+        .withColumn("is_reset", lit(false))
+      return extraSigned.fold(partials)(partials.unionByName(_))
+        .localCheckpoint(true)
+    }
     val feedRetracted = fprep
       .where(col(ChangeFeed.ChangeTypeCol) === "delete")
       .select(groupCols: _*)
