@@ -110,6 +110,25 @@ object Prof {
       timeIt(s"byid + banding rep$i") {
         nativeById.withColumn("_b", pmod(col("_h"), lit(128)).cast("int"))
           .groupBy("_id", "_b").agg(min(col("_h"))).count() }
+      // the full band-key second aggregate, both shapes
+      def minned = nativeFlat
+        .withColumn("_b", pmod(col("_h"), lit(128)).cast("int"))
+        .groupBy("_id", "_b").agg(min(col("_h")).as("_m"))
+        .withColumn("_band", (col("_b") / 8).cast("int"))
+      timeIt(s"bandkey collect_list rep$i") {
+        minned.groupBy("_id", "_band")
+          .agg(sort_array(collect_list(struct(col("_b"), col("_m")))).as("_bm"))
+          .select(xxhash64(col("_band"), col("_bm")).as("_bucket"))
+          .count() }
+      timeIt(s"bandkey commutative rep$i") {
+        val bh = xxhash64(col("_b"), col("_m"))
+        minned.groupBy("_id", "_band")
+          .agg(expr("bit_xor(xxhash64(_b, _m))").as("_x"),
+            sum(pmod(bh, lit(1000000007L))).as("_s"),
+            count(lit(1)).as("_c"))
+          .select(xxhash64(col("_band"), col("_x"), col("_s"), col("_c"))
+            .as("_bucket"))
+          .count() }
     }
   }
 
