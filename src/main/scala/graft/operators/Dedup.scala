@@ -161,8 +161,6 @@ object Dedup {
     // the scan in parallel before any block lands in the cache
     tok.count()
 
-    val sizes = tok.groupBy("_id").agg(count(lit(1)).as("_n"))
-
     // One-permutation-hashing (Li et al., NIPS 2012): bucket the single
     // hash by `h mod numHashes` and take the min per bucket — an unbiased
     // MinHash estimator at 1/numHashes-th the hashing cost of the
@@ -174,9 +172,21 @@ object Dedup {
     // never fake evidence on its own, and bands with no occupied position
     // at all simply produce no row (they used to bucket every short doc
     // together and flood the verifier).
-    val banded = tok
+    //
+    // The per-(doc, minBucket) aggregate ALSO carries its hash count, so
+    // the verifier's per-doc shingle-set sizes fold from this (already
+    // (_id, _b)-shuffled, ≤ numHashes rows per doc) table instead of a
+    // second full shuffle of tok — Catalyst reuses the exchange between
+    // the two branches (ReusedExchange in the plan).
+    val perBucket = tok
       .withColumn("_b", pmod(col("_h"), lit(numHashes)).cast("int"))
-      .groupBy("_id", "_b").agg(min(col("_h")).as("_m"))
+      .groupBy("_id", "_b").agg(min(col("_h")).as("_m"),
+        count(lit(1)).as("_c"))
+
+    // |shingles(doc)| = Σ_b count(doc, b): tok is distinct per doc
+    val sizes = perBucket.groupBy("_id").agg(sum(col("_c")).as("_n"))
+
+    val banded = perBucket
       .withColumn("_band", (col("_b") / rows).cast("int"))
       .groupBy("_id", "_band")
       .agg(sort_array(collect_list(struct(col("_b"), col("_m")))).as("_bm"))
