@@ -693,7 +693,16 @@ object IceLogIO {
         else m.firstKey.longValue
       }
     }.min
-    math.min(settledClock - 1, floor - 1)
+    // A DURABLE commit must never sit above the settled bound: commit
+    // timestamps are floor-bumped strictly above every observed log, so
+    // a fast same-millisecond commit streak stamps logs past the wall
+    // clock — the observed floor lifts the bound to cover them (any
+    // LATER commit will land strictly above the floor by the same
+    // bump rule, so the lift can never run ahead of a pending write;
+    // the in-flight cap below still bounds everything mid-commit).
+    val observed = roots.iterator
+      .map(r => observedFloor(r, "_log")).maxOption.getOrElse(0L)
+    math.min(math.max(settledClock - 1, observed), floor - 1)
   }
 
   /** Shared bounded pool for concurrent log GETs (daemon threads). */
