@@ -44,6 +44,10 @@ object Prof {
         b11(spark, dest)
         rm(new java.io.File(dest))
       case "tok" => tokAb(spark, args.lift(1).getOrElse("/root/testdata/sf0.1"))
+      case "insert" => insertProf(spark)
+      case "opt2000" => opt2000Prof(spark)
+      case "scanraw" => scanRawProf(spark)
+      case "scanstack" => scanStackProf(spark)
       case "q" =>
         // time named registered queries with the bench's methodology
         // (count(), untimed warmup first): runMain graft.Prof q q1,q2 [sfDir]
@@ -130,6 +134,227 @@ object Prof {
             .as("_bucket"))
           .count() }
     }
+  }
+
+  /** Decomposition of the bench's synthetic_insert section (6M rows into
+    * 16 partitions): isolates generation, routing, shuffle, sort, parquet
+    * encode (several codecs), and the full IceTable.insert — so the CPU
+    * can be attributed before any change. All noop-sink per guide §1.4. */
+  private def insertProf(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val n = 6_000_000L
+    def synthDf = spark.range(n).select(
+      col("id").as("ts"),
+      concat(lit("user_"), pmod(col("id"), lit(16))).as("user_id"),
+      lit("page_load").as("event"),
+      to_json(struct(col("id").as("n"))).as("properties"))
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def routed = synthDf.withColumn("_route",
+      concat(lit("u="), pmod(col("ts"), lit(16))))
+    def arranged = routed.repartition(col("_route"))
+      .sortWithinPartitions(col("_route"), col("event"), col("ts"))
+    // warm all plan shapes once
+    noop(synthDf); noop(arranged)
+    (1 to 3).foreach { i =>
+      timeIt(s"gen only rep$i") { noop(synthDf) }
+      timeIt(s"gen+route rep$i") { noop(routed) }
+      timeIt(s"+shuffle rep$i") { noop(routed.repartition(col("_route"))) }
+      timeIt(s"+sort rep$i") { noop(arranged) }
+      Seq("snappy", "zstd", "lz4_raw", "uncompressed").foreach { codec =>
+        timeIt(s"write $codec partBy rep$i") {
+          val tmp = Fixtures.scratchDir("prof_ins")
+          arranged.write.mode("overwrite").partitionBy("_route")
+            .option("compression", codec).parquet(tmp)
+          rm(new java.io.File(tmp))
+        }
+      }
+      timeIt(s"write snappy nodict rep$i") {
+        val tmp = Fixtures.scratchDir("prof_ins")
+        arranged.write.mode("overwrite").partitionBy("_route")
+          .option("compression", "snappy")
+          .option("parquet.enable.dictionary", "false").parquet(tmp)
+        rm(new java.io.File(tmp))
+      }
+      timeIt(s"write snappy nocrc rep$i") {
+        val tmp = Fixtures.scratchDir("prof_ins")
+        arranged.write.mode("overwrite").partitionBy("_route")
+          .option("compression", "snappy")
+          .option("parquet.page.write-checksum.enabled", "false").parquet(tmp)
+        rm(new java.io.File(tmp))
+      }
+      timeIt(s"full IceTable.insert rep$i") {
+        import graft.ice.{IceTable, IceTableConfig}
+        val root = Fixtures.scratchDir("prof_ins_t")
+        val t = new IceTable(spark, root, IceTableConfig(
+          partitionExpr = concat(lit("u="), pmod(col("ts"), lit(16))),
+          sortOrder = Seq("event", "ts")))
+        t.insert(synthDf)
+        rm(new java.io.File(root))
+      }
+    }
+  }
+
+  /** Decomposition of optimize_2000: build the 2000-file table once, then
+    * split the merge cost into scan / scan+sort / scan+sort+write phases
+    * (per partition, like commitMerges does) before timing the real
+    * optimize() on a fresh build. */
+  private def opt2000Prof(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.ice.{IceTable, IceTableConfig}
+    val n = 6_000_000L
+    def synthDf = spark.range(n).select(
+      col("id").as("ts"),
+      concat(lit("user_"), pmod(col("id"), lit(16))).as("user_id"),
+      lit("page_load").as("event"),
+      to_json(struct(col("id").as("n"))).as("properties"))
+    def build(): (IceTable, String) = {
+      val root = Fixtures.scratchDir("prof_opt")
+      val t = new IceTable(spark, root, IceTableConfig(
+        partitionExpr = concat(lit("u="), pmod(col("ts"), lit(16))),
+        sortOrder = Seq("event", "ts"), shuffleOnInsert = false))
+      t.insert(synthDf.repartition(125))
+      require(t.snapshot().aliveFiles.length == 2000)
+      (t, root)
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val (t0, root0) = timeIt("build 2000-file table") { build() }
+    val snap = t0.snapshot()
+    // read-only phases over ALL 2000 files
+    noop(t0.readFiles(snap, snap.aliveFiles)) // warm
+    (1 to 2).foreach { i =>
+      timeIt(s"scan 2000 files noop rep$i") {
+        noop(t0.readFiles(snap, snap.aliveFiles))
+      }
+      timeIt(s"scan+persort(16x coalesced) rep$i") {
+        val byPart = snap.aliveFiles.groupBy(m =>
+          t0.partitionOf(m.path)).toSeq.sortBy(_._1)
+        byPart.foreach { case (_, ms) =>
+          noop(t0.readFiles(snap, ms).coalesce(1)
+            .sortWithinPartitions(col("event"), col("ts")))
+        }
+      }
+    }
+    rm(new java.io.File(root0))
+    (1 to 2).foreach { i =>
+      val (t, root) = build()
+      timeIt(s"optimize rep$i") {
+        t.optimize(maxFileSize = 10_000_000_000L, maxFileCount = 1000)
+        require(t.snapshot().aliveFiles.length == 16)
+      }
+      rm(new java.io.File(root))
+    }
+  }
+
+  /** A/B of Hadoop LocalFileSystem (checksummed: .crc sidecar probe +
+    * verify on every open) vs RawLocalFileSystem on the 2000-tiny-file
+    * scan AND a 16-big-file scan of the same 6M rows — isolates per-file
+    * open overhead from per-byte checksum cost. */
+  private def scanRawProf(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.ice.{IceTable, IceTableConfig}
+    val n = 6_000_000L
+    def synthDf = spark.range(n).select(
+      col("id").as("ts"),
+      concat(lit("user_"), pmod(col("id"), lit(16))).as("user_id"),
+      lit("page_load").as("event"),
+      to_json(struct(col("id").as("n"))).as("properties"))
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val root = Fixtures.scratchDir("prof_scanraw")
+    val t = new IceTable(spark, root, IceTableConfig(
+      partitionExpr = concat(lit("u="), pmod(col("ts"), lit(16))),
+      sortOrder = Seq("event", "ts"), shuffleOnInsert = false))
+    t.insert(synthDf.repartition(125))
+    val snap2000 = t.snapshot()
+    require(snap2000.aliveFiles.length == 2000)
+    // compacted twin: same rows, 16 files
+    val root16 = Fixtures.scratchDir("prof_scanraw16")
+    val t16 = new IceTable(spark, root16, IceTableConfig(
+      partitionExpr = concat(lit("u="), pmod(col("ts"), lit(16))),
+      sortOrder = Seq("event", "ts")))
+    t16.insert(synthDf)
+    val snap16 = t16.snapshot()
+    noop(t.readFiles(snap2000, snap2000.aliveFiles)) // warm plans
+    noop(t16.readFiles(snap16, snap16.aliveFiles))
+    def passes(tag: String): Unit = (1 to 2).foreach { i =>
+      timeIt(s"$tag scan 2000 files rep$i") {
+        noop(t.readFiles(snap2000, snap2000.aliveFiles)) }
+      timeIt(s"$tag scan 16 files rep$i") {
+        noop(t16.readFiles(snap16, snap16.aliveFiles)) }
+    }
+    passes("checksumFS")
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+    org.apache.hadoop.fs.FileSystem.closeAll()
+    passes("rawFS     ")
+    hc.unset("fs.file.impl")
+    org.apache.hadoop.fs.FileSystem.closeAll()
+    rm(new java.io.File(root)); rm(new java.io.File(root16))
+  }
+
+  /** Poor-man's sampling profiler over the 2000-tiny-file scan: dump
+    * executor task thread stacks every ~50ms while the scan runs, count
+    * top in-scan frames. */
+  private def scanStackProf(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.ice.{IceTable, IceTableConfig}
+    val n = 6_000_000L
+    def synthDf = spark.range(n).select(
+      col("id").as("ts"),
+      concat(lit("user_"), pmod(col("id"), lit(16))).as("user_id"),
+      lit("page_load").as("event"),
+      to_json(struct(col("id").as("n"))).as("properties"))
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val root = Fixtures.scratchDir("prof_scanstk")
+    val t = new IceTable(spark, root, IceTableConfig(
+      partitionExpr = concat(lit("u="), pmod(col("ts"), lit(16))),
+      sortOrder = Seq("event", "ts"), shuffleOnInsert = false))
+    t.insert(synthDf.repartition(125))
+    val snap = t.snapshot()
+    noop(t.readFiles(snap, snap.aliveFiles)) // warm
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          println(s"[stage] id=${sc.stageInfo.stageId} tasks=${sc.stageInfo.numTasks} name=${sc.stageInfo.name.take(60)}")
+      })
+    val counts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    @volatile var printedFull = false
+    @volatile var sampling = true
+    val sampler = new Thread(() => {
+      while (sampling) {
+        Thread.getAllStackTraces.forEach { (th, st) =>
+          if (th.getName.startsWith("Executor task launch") &&
+              th.getState == Thread.State.RUNNABLE && st.nonEmpty) {
+            // record the deepest "interesting" frame classes
+            val sig = st.drop(6).take(40).map(f =>
+              s"${f.getClassName.split("\\.").last}.${f.getMethodName}")
+              .mkString("<")
+            counts.merge(sig.take(1200), 1, (a, b) => a + b)
+            if (!printedFull &&
+                sig.contains("SerializableConfiguration.readObject")) {
+              printedFull = true
+              println("[fullstack] " + st.map(f =>
+                s"${f.getClassName}.${f.getMethodName}:${f.getLineNumber}")
+                .mkString("\n[fullstack] "))
+            }
+          }
+        }
+        Thread.sleep(23)
+      }
+    })
+    sampler.setDaemon(true); sampler.start()
+    (1 to 4).foreach { i => timeIt(s"sampled scan rep$i") {
+      noop(t.readFiles(snap, snap.aliveFiles)) } }
+    sampling = false; sampler.join(1000)
+    import scala.jdk.CollectionConverters._
+    counts.asScala.toSeq.sortBy(-_._2).take(30).foreach { case (sig, c) =>
+      println(f"[stack] $c%5d  $sig")
+    }
+    rm(new java.io.File(root))
   }
 
   /** The bench's sf1 lineitem synthesis (10 key-offset replicas). */

@@ -240,6 +240,46 @@ final class IceFileIndex(
   }
 }
 
+/** Zero-listing [[FileIndex]] over an EXPLICIT marker list: the planner
+  * twin of `spark.read.schema(s).parquet(paths: _*)` minus the listing.
+  * DataFrameReader resolves a multi-path read through InMemoryFileIndex,
+  * which above `spark.sql.sources.parallelPartitionDiscovery.threshold`
+  * (default 32) paths runs a DISTRIBUTED listing job with one task per
+  * path — and every one of those tasks re-deserializes the full Hadoop
+  * Configuration from the task binary (gzip-per-entry: measured 15-20 ms
+  * CPU per task, ~35 CPU-s ahead of a 2000-file compaction scan, an
+  * 83-task job ahead of every query on the 83-partition lineitem
+  * fixture). The log already records every path and exact byte size at
+  * commit time (`FileMarker.fileBytes` = `getFileStatus(dest).getLen`),
+  * so the listing discovers nothing — this index serves the plan straight
+  * from the markers, the same trust [[IceFileIndex]] (the catalog
+  * relation) has always placed in them. At object-store scale the same
+  * construction replaces per-file HEAD/LIST round-trips with zero I/O.
+  *
+  * No partition columns: the relation's schema is exactly the passed
+  * dataSchema, matching the explicit-file-list read contract
+  * ([[graft.ice.IceTable.readFiles]]); partition values stay derivable
+  * from the path. Deliberately NOT an [[IceFileIndex]] subclass: the
+  * [[IceDvOverlay]] rule keys on that type, and explicit-list readers
+  * apply deletion vectors themselves. */
+final class MarkerFileIndex(
+    qualifiedRoot: String,
+    markers: Seq[FileMarker]) extends FileIndex {
+  private lazy val dir = PartitionDirectory(InternalRow.empty,
+    markers.map(m => FileStatusWithMetadata(new FileStatus(
+      m.fileBytes, false, 1, 128L * 1024 * 1024, m.createdMs,
+      new Path(qualifiedRoot + "/" + m.path)))))
+  override def rootPaths: Seq[Path] = Seq(new Path(qualifiedRoot))
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = Seq(dir)
+  override def inputFiles: Array[String] =
+    markers.map(m => s"$qualifiedRoot/${m.path}").toArray
+  override def refresh(): Unit = ()
+  override def sizeInBytes: Long = markers.map(_.fileBytes).sum
+  override def partitionSchema: StructType = StructType(Nil)
+}
+
 object IceFileIndex {
 
   /** Partition keys present in a snapshot's marker paths, in first-seen

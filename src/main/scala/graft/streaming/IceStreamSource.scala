@@ -325,10 +325,10 @@ class IceStreamSource(table: IceTable, pinnedSchema: StructType, startTs: Long)
       if (files.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], pinnedSchema)
       else
-        // explicit file list + pinned schema: no directory listing, and
-        // pre-schema-evolution files surface later columns as null
-        spark.read.schema(pinnedSchema)
-          .parquet(files.map(m => s"${table.root}/${m.path}"): _*)
+        // explicit file list + pinned schema: no directory listing (and
+        // no DataFrameReader bulk-listing job — see IceTable.scanMarkers),
+        // and pre-schema-evolution files surface later columns as null
+        table.scanMarkers(pinnedSchema, files)
     StreamBridge.asStreamingBatch(batch)
   }
 
